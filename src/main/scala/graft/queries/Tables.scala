@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Loaders + shared column helpers for the driver testdata tables
+  * (TESTDATA.md). All timestamps are normalised to TimestampNTZType so
+  * that written parquet matches the DuckDB oracle's naive TIMESTAMP
+  * (isAdjustedToUTC=false) bit-for-bit; session timezone is UTC so the
+  * cast is wall-clock-preserving.
+  */
+object Tables {
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  /** events.ts is parquet TIMESTAMP(NANOS, ntz), which Spark cannot read
+    * natively ([PARQUET_TYPE_ILLEGAL]). We read it as epoch-nanos Long via
+    * the legacy conf, then derive a micros-precision NTZ `ts` (floor
+    * division — matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast, which the
+    * oracle SQL applies on its side). The raw nanos stay as `ts_ns`.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts_ns", col("ts").cast("long"))
+      .withColumn("ts", ntz(timestamp_micros(expr("ts_ns div 1000"))))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Timestamp column → naive (NTZ) for oracle-parity output. */
+  def ntz(c: Column): Column = c.cast(TimestampNTZType)
+
+  /** Epoch microseconds of a timestamp column (NTZ or LTZ; UTC session
+    * makes the two identical) — mirrors DuckDB epoch_us().
+    */
+  def us(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** Deterministic cross-engine rounding of a double: floor(x*10^k+0.5)
+    * / 10^k is pure IEEE arithmetic, identical in Spark and DuckDB —
+    * unlike ROUND(double, k), whose half-tie behavior is impl-defined.
+    */
+  def rk(c: Column, k: Int): Column = {
+    val p = math.pow(10, k)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** Tokens of lower-cased text split on whitespace, empties dropped —
+    * mirrors DuckDB list_filter(regexp_split_to_array(lower(x),'\s+'), ...).
+    */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), x => x =!= lit(""))
+}
