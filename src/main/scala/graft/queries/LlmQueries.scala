@@ -1,0 +1,375 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** SURVEY.md §2.3 Q24–Q26 plus the large-scale training-data pipeline
+  * suite (north star per BASELINE.json): deduplication (exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash), similarity search (brute-force
+  * cosine, random-hyperplane LSH ANN), and text analysis (language-ID,
+  * quality scoring, token counting, fingerprinting) over the
+  * `documents` / `embeddings` testdata tables.
+  *
+  * Oracle-checked queries replicate the exact same arithmetic in DuckDB
+  * SQL (sequential double folds, integer ratios, `rk` rounding) so the
+  * hash compare is deterministic. Queries whose algorithm depends on an
+  * engine-specific hash (xxhash64 seeds for MinHash/SimHash, seeded
+  * hyperplanes for ANN) have no SQL oracle — the driver records a
+  * rows-only check — and are instead cross-validated in ScalaTest
+  * against the exact-algorithm queries (e.g. MinHash candidates must
+  * recover every Jaccard>=0.5 pair at test scale).
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct word n-gram shingles of a token-array column. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+
+  /** Sequential-fold dot product of two double arrays — same op order as
+    * DuckDB list_reduce, so results match bit-for-bit.
+    */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2(a: Column): Column = sqrt(dotd(a, a))
+
+  /** documents → (doc_id, toks) with non-empty token arrays. */
+  private def docToks(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+
+  /** Exact Jaccard over shared-shingle pairs: inverted-index equi-join
+    * (explode shingles, self-join on shingle) — never an all-pairs cross
+    * product, so it scales: the shuffle key is the shingle, hot shingles
+    * are the skew concern (prefix filtering / stop-shingle dropping is
+    * the 100 TB refinement).
+    */
+  private def jaccardPairs(s: SparkSession, d: String, thresh: Double): DataFrame = {
+    val sh = docToks(s, d)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val a = sh.select(col("doc_id").as("da"), col("n").as("na"), col("s"))
+    val b = sh.select(col("doc_id").as("db"), col("n").as("nb"), col("s"))
+    a.join(b, Seq("s")).filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("shared"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= thresh)
+  }
+
+  /** 16 minhash values per doc: min over shingles of xxhash64(seed_i, s). */
+  private val NumHashes = 16
+
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val exploded = docToks(s, d)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("s"))
+    val aggs = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  val all: Map[String, Q] = Map(
+    // Q24 — exact dedup: hash-groupBy on the full text, keep MIN(doc_id).
+    // One shuffle keyed by text (at 100 TB: key by a 128-bit digest of
+    // the text instead of shipping full bodies through the shuffle).
+    "q24_exact_dedup" -> ((s, d) =>
+      documents(s, d).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))),
+
+    // Q25 — brute-force cosine top-k=5 against a fixed query vector
+    // (vec_id=0). Broadcast of the single query row + map-side fold +
+    // TakeOrderedAndProject: fully parallel, no shuffle of the corpus.
+    "q25_cosine_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      e.crossJoin(q)
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (dotd(col("embedding"), col("qv")) / (l2(col("embedding")) * l2(col("qv")))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(5)
+        .select(col("vec_id"), rk(col("cos"), 6).as("cosine"))
+    }),
+
+    // Q26 — token counting: explode + count, top-20 by (cnt desc, token).
+    "q26_token_topk" -> ((s, d) =>
+      docToks(s, d).select(explode(col("toks")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)),
+
+    // Q27 — n-gram Jaccard near-dup: word-3-shingle inverted-index join,
+    // exact Jaccard >= 0.5. Oracle replicates the identical int ratio.
+    "q27_ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(s, d, 0.5)
+        .select(col("da"), col("db"), rk(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("da"), col("db"))),
+
+    // Q28 — MinHash + LSH banded dedup (no SQL oracle: xxhash64-based).
+    // 16 minhashes → 8 bands × 2 rows; candidates share a band bucket;
+    // candidates are then CONFIRMED with exact Jaccard >= 0.5. At scale
+    // this is the linear-ish dedup path: signature pass + band-bucket
+    // shuffle + candidate-only verification, never all-pairs.
+    "q28_minhash_lsh" -> ((s, d) => {
+      val sigs = minhashSigs(s, d)
+      val bands = (0 until NumHashes / 2).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bucket"))
+      }
+      val exploded = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      val l = exploded.select(col("doc_id").as("da"), col("band"), col("bucket"))
+      val r = exploded.select(col("doc_id").as("db"), col("band"), col("bucket"))
+      val cand = l.join(r, Seq("band", "bucket")).filter(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      cand.join(jaccardPairs(s, d, 0.5), Seq("da", "db"))
+        .select(col("da"), col("db"), rk(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // Q29 — SimHash near-dup (no SQL oracle: xxhash64-based). 64-bit
+    // simhash over token hashes; pigeonhole join on 4×16-bit blocks
+    // guarantees recall for hamming <= 3; exact bit_count(xor) confirm.
+    "q29_simhash" -> ((s, d) => {
+      val tok = docToks(s, d)
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
+        .withColumn("h", xxhash64(col("t")))
+      val bitSums = (0 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+      val sim = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash",
+          (0 until 64).map(b =>
+            when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+            .reduce(_.bitwiseOR(_)))
+        .select(col("doc_id"), col("simhash"))
+      val blocks = sim.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(k =>
+            struct(lit(k).as("blk"),
+              shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("kb"))
+        .select(col("doc_id"), col("simhash"), col("kb.blk"), col("kb.v"))
+      val l = blocks.select(col("doc_id").as("da"), col("simhash").as("sa"), col("blk"), col("v"))
+      val r = blocks.select(col("doc_id").as("db"), col("simhash").as("sb"), col("blk"), col("v"))
+      l.join(r, Seq("blk", "v")).filter(col("da") < col("db"))
+        .select(col("da"), col("db"), col("sa"), col("sb")).distinct()
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+        .filter(col("hamming") <= 3)
+        .select(col("da"), col("db"), col("hamming"))
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // Q30 — embedding-cosine near-dup ranking: top-20 most-similar pairs.
+    // Exact all-pairs here (oracle-checkable); the approximate scale path
+    // is Q31. Both sides fold sequentially in double.
+    "q30_embed_neardup" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", l2(col("embedding")))
+      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+      a.crossJoin(b).filter(col("va") < col("vb"))
+        .select(col("va"), col("vb"),
+          (dotd(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        .orderBy(col("cos").desc, col("va"), col("vb")).limit(20)
+        .select(col("va"), col("vb"), rk(col("cos"), 6).as("cosine"))
+    }),
+
+    // Q31 — ANN via random-hyperplane LSH (no SQL oracle: seeded
+    // hyperplanes). 6-bit sign signature buckets the corpus; the query
+    // probes its own bucket plus all 1-bit flips (multiprobe), reranks
+    // candidates exactly, returns top-5. At 100 TB the bucket join is a
+    // broadcast of the (tiny) probe-bucket list against the bucketed
+    // corpus — no all-pairs stage.
+    "q31_ann_lsh" -> ((s, d) => {
+      val bits = 6
+      val rnd = new scala.util.Random(42)
+      val planes: Array[Array[Double]] =
+        Array.fill(bits)(Array.fill(64)(rnd.nextGaussian()))
+      def sig(v: Column): Column =
+        (0 until bits).map { j =>
+          val dot = aggregate(
+            zip_with(v, lit(planes(j)), (x, p) => x.cast("double") * p),
+            lit(0.0), (acc, x) => acc + x)
+          when(dot > 0, shiftleft(lit(1), j)).otherwise(lit(0))
+        }.reduce((x, y) => x.bitwiseOR(y))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", sig(col("embedding")))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("bucket").as("qb"))
+      val probes = q.select(col("qv"), col("qb"),
+          explode(array(lit(0) +: (0 until bits).map(j => shiftleft(lit(1), j)): _*)).as("flip"))
+        .select(col("qv"), col("qb").bitwiseXOR(col("flip")).as("bucket"))
+      e.filter(col("vec_id") =!= 0)
+        .join(broadcast(probes), Seq("bucket"))
+        .select(col("vec_id"),
+          (dotd(col("embedding"), col("qv")) / (l2(col("embedding")) * l2(col("qv")))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(5)
+        .select(col("vec_id"), rk(col("cos"), 6).as("cosine"))
+    }),
+
+    // Q32 — language-ID by marker-lexicon scoring (n-gram heuristic
+    // machinery; the testdata's lang label is synthetic so the oracle
+    // checks the scoring pipeline, not label recovery). Deterministic
+    // argmax with alphabetical tie-break.
+    "q32_langid" -> ((s, d) => {
+      val lex: Seq[(String, Seq[String])] = Seq(
+        "de" -> Seq("table", "window", "merge"),
+        "en" -> Seq("the", "a", "value"),
+        "es" -> Seq("fast", "group", "row"),
+        "fr" -> Seq("line", "query", "stream"),
+        "zh" -> Seq("scan", "key", "join"))
+      val scored = docToks(s, d).select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("t").isin(lex.head._2: _*), 1).otherwise(0)).as(s"s_${lex.head._1}"),
+          lex.tail.map { case (lang, words) =>
+            sum(when(col("t").isin(words: _*), 1).otherwise(0)).as(s"s_$lang")
+          }: _*)
+      // argmax via a sorted struct array: (-score, lang) min = best.
+      val best = array_min(array(lex.map { case (lang, _) =>
+        struct((-col(s"s_$lang")).as("neg"), lit(lang).as("lang"))
+      }: _*))
+      scored.select(col("doc_id"), best.getField("lang").as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q33 — quality scoring: char length, token count, mean token
+    // length, stopword ratio — length/stopword heuristics per doc.
+    "q33_quality" -> ((s, d) =>
+      docToks(s, d)
+        .join(documents(s, d).select(col("doc_id"), length(col("text")).cast("long").as("n_chars")), "doc_id")
+        .select(
+          col("doc_id"), col("n_chars"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          rk(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+             size(col("toks")), 4).as("avg_tok_len"),
+          rk(size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") /
+             size(col("toks")), 4).as("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // Q34 — BPE-ish regex token counting: [a-z0-9]+ runs of the
+    // lower-cased text; per-doc total and distinct counts.
+    "q34_token_count_regex" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+        .orderBy(col("doc_id"))),
+
+    // Q35 — document fingerprint: polynomial rolling hash over the raw
+    // characters (acc*31 + codepoint mod 1e9+7) — cross-engine exact
+    // (sequential fold on longs, no engine hash involved).
+    "q35_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          aggregate(
+            transform(split(col("text"), ""), c => ascii(c).cast("long")),
+            lit(0L), (acc, c) => pmod(acc * 31 + c, lit(1000000007L))).as("fingerprint"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q24_exact_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q25_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT vec_id,
+        |         list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
+        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a,b) -> a+b)
+        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
+        |          * sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))) AS cos
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |FROM c ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
+    "q26_token_topk" ->
+      """SELECT tok AS token, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+        |  FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q27_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM t WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared,
+        |         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, FLOOR(CAST(shared AS DOUBLE)/(na+nb-shared) * 1000000.0 + 0.5)
+        |         / 1000000.0 AS jaccard
+        |FROM p WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
+        |ORDER BY da, db""".stripMargin,
+    "q30_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding),
+        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x,y) -> x+y)
+        |         / (a.nrm * b.nrm) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT va, vb, FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |FROM p ORDER BY cos DESC, va, vb LIMIT 20""".stripMargin,
+    "q32_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN t IN ('table','window','merge') THEN 1 ELSE 0 END) AS s_de,
+        |         SUM(CASE WHEN t IN ('the','a','value') THEN 1 ELSE 0 END) AS s_en,
+        |         SUM(CASE WHEN t IN ('fast','group','row') THEN 1 ELSE 0 END) AS s_es,
+        |         SUM(CASE WHEN t IN ('line','query','stream') THEN 1 ELSE 0 END) AS s_fr,
+        |         SUM(CASE WHEN t IN ('scan','key','join') THEN 1 ELSE 0 END) AS s_zh
+        |  FROM t GROUP BY doc_id)
+        |SELECT doc_id,
+        |       list_min([{'neg': -s_de, 'lang': 'de'}, {'neg': -s_en, 'lang': 'en'},
+        |                 {'neg': -s_es, 'lang': 'es'}, {'neg': -s_fr, 'lang': 'fr'},
+        |                 {'neg': -s_zh, 'lang': 'zh'}]).lang AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q33_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, n_chars, len(toks) AS n_tokens,
+        |       FLOOR(CAST(list_reduce(list_prepend(0, list_transform(toks,
+        |           t -> length(t))), (a,b) -> a+b) AS DOUBLE) / len(toks)
+        |         * 10000.0 + 0.5) / 10000.0 AS avg_tok_len,
+        |       FLOOR(CAST(len(list_filter(toks, t -> t IN ('the','a'))) AS DOUBLE)
+        |         / len(toks) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q34_token_count_regex" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+        |         AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |         (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // q28_minhash_lsh, q29_simhash, q31_ann_lsh: engine-hash-based —
+    // rows-only driver check; cross-validated in ScalaTest instead.
+  )
+}
