@@ -1,0 +1,247 @@
+package graft.ros.bag
+
+import java.io.{ByteArrayOutputStream, DataInputStream, InputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** ROS bag v2.0 container format — pure-Scala reader and fixture writer.
+  *
+  * The reference gets this for free from rosbag_storage
+  * (reference CMakeLists.txt:38); we re-implement from the public format
+  * spec (ros.org/wiki/Bags/Format/2.0). Structure: a `#ROSBAG V2.0`
+  * magic line, then length-prefixed records; each record is
+  * `<hlen:u32><header><dlen:u32><data>` where the header is a list of
+  * `<flen:u32><name>=<bytes>` fields. Record kinds (op field):
+  * 0x03 bag header (padded to 4096), 0x05 chunk (compression + embedded
+  * connection/message records), 0x07 connection, 0x02 message data,
+  * 0x04 index data, 0x06 chunk info.
+  *
+  * Compression: 'none' supported (lz4/bz2 would need codecs not in this
+  * environment; chunks declare their compression so foreign bags fail
+  * loudly, not wrongly).
+  */
+object BagFormat {
+  val Magic = "#ROSBAG V2.0\n"
+
+  val OpMessageData: Byte = 0x02
+  val OpBagHeader: Byte = 0x03
+  val OpIndexData: Byte = 0x04
+  val OpChunk: Byte = 0x05
+  val OpChunkInfo: Byte = 0x06
+  val OpConnection: Byte = 0x07
+
+  final case class Record(header: Map[String, Array[Byte]], data: Array[Byte]) {
+    def op: Byte = header("op")(0)
+    def str(k: String): String = new String(header(k), StandardCharsets.UTF_8)
+    def u32(k: String): Int = ByteBuffer.wrap(header(k)).order(ByteOrder.LITTLE_ENDIAN).getInt()
+    def u64(k: String): Long = ByteBuffer.wrap(header(k)).order(ByteOrder.LITTLE_ENDIAN).getLong()
+    /** bag time fields: 4-byte sec then 4-byte nsec, little-endian. */
+    def time(k: String): (Int, Int) = {
+      val b = ByteBuffer.wrap(header(k)).order(ByteOrder.LITTLE_ENDIAN)
+      (b.getInt(), b.getInt())
+    }
+  }
+
+  /** Connection dimension row — reference FlattenedRosWriter.cpp:90-137.
+    * `callerid` comes from the embedded connection header map
+    * (FlattenedRosWriter.cpp:218-220); absent key → empty string, like
+    * the reference's `?: ""`.
+    */
+  final case class BagConnection(connId: Int, topic: String, datatype: String,
+                                 md5sum: String, msgDef: String, callerid: String)
+
+  final case class BagChunk(pos: Long, compression: String, uncompressedSize: Int,
+                            dataOffset: Long, dataLength: Int)
+
+  final case class BagIndex(connections: Seq[BagConnection], chunks: Seq[BagChunk])
+
+  // ---- low-level record IO ----
+
+  def parseHeader(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val m = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
+    while (buf.hasRemaining) {
+      val flen = buf.getInt()
+      val field = new Array[Byte](flen); buf.get(field)
+      val eq = field.indexOf('='.toByte)
+      require(eq > 0, "malformed bag header field")
+      m += new String(field, 0, eq, StandardCharsets.UTF_8) -> field.drop(eq + 1)
+    }
+    m.toMap
+  }
+
+  /** Read one record from a stream; returns None at clean EOF. */
+  def readRecord(in: DataInputStream): Option[Record] = {
+    val hlenBytes = new Array[Byte](4)
+    val first = in.read(hlenBytes)
+    if (first < 0) return None
+    require(first == 4, "truncated record length")
+    val hlen = ByteBuffer.wrap(hlenBytes).order(ByteOrder.LITTLE_ENDIAN).getInt()
+    val header = new Array[Byte](hlen); in.readFully(header)
+    val dlen = readU32(in)
+    val data = new Array[Byte](dlen); in.readFully(data)
+    Some(Record(parseHeader(header), data))
+  }
+
+  private def readU32(in: DataInputStream): Int = {
+    val b = new Array[Byte](4); in.readFully(b)
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt()
+  }
+
+  /** One pass over the whole file: connections + chunk positions.
+    * Connections may appear inside chunks or in the trailing index
+    * section; both are collected (id-deduplicated).
+    */
+  def scanIndex(open: () => InputStream): BagIndex = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(open()))
+    try {
+      val magic = new Array[Byte](Magic.length)
+      in.readFully(magic)
+      require(new String(magic, StandardCharsets.UTF_8) == Magic, "not a ROS bag v2.0 file")
+      var pos: Long = Magic.length
+      val conns = scala.collection.mutable.LinkedHashMap[Int, BagConnection]()
+      val chunks = scala.collection.mutable.ArrayBuffer[BagChunk]()
+      var rec = readRecord(in)
+      while (rec.isDefined) {
+        val r = rec.get
+        val recLen = 8L + headerLen(r.header) + r.data.length
+        r.op match {
+          case OpChunk =>
+            val dataOffset = pos + 4 + headerLen(r.header) + 4
+            chunks += BagChunk(pos, r.str("compression"), r.u32("size"), dataOffset, r.data.length)
+            collectChunkConnections(r.data, conns)
+          case OpConnection => addConnection(r, conns)
+          case _ => ()
+        }
+        pos += recLen
+        rec = readRecord(in)
+      }
+      BagIndex(conns.values.toSeq, chunks.toSeq)
+    } finally in.close()
+  }
+
+  private def headerLen(h: Map[String, Array[Byte]]): Int =
+    h.map { case (k, v) => 4 + k.length + 1 + v.length }.sum
+
+  private def collectChunkConnections(chunkData: Array[Byte],
+      conns: scala.collection.mutable.LinkedHashMap[Int, BagConnection]): Unit =
+    foreachChunkRecord(chunkData) { r =>
+      if (r.op == OpConnection) addConnection(r, conns)
+    }
+
+  private def addConnection(r: Record,
+      conns: scala.collection.mutable.LinkedHashMap[Int, BagConnection]): Unit = {
+    val id = r.u32("conn")
+    if (!conns.contains(id)) {
+      val ch = parseHeader(r.data)
+      def s(k: String) = ch.get(k).map(new String(_, StandardCharsets.UTF_8)).getOrElse("")
+      conns += id -> BagConnection(id, r.str("topic"), s("type"), s("md5sum"),
+        s("message_definition"), s("callerid"))
+    }
+  }
+
+  /** Iterate the records embedded in (uncompressed) chunk data. */
+  def foreachChunkRecord(chunkData: Array[Byte])(f: Record => Unit): Unit = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(chunkData))
+    var rec = readRecord(in)
+    while (rec.isDefined) { f(rec.get); rec = readRecord(in) }
+  }
+
+  final case class BagMessage(connId: Int, timeSec: Int, timeNsec: Int,
+                              offsetInChunk: Int, data: Array[Byte])
+
+  /** Messages of one chunk, in storage order, with their offset (the
+    * in-chunk tiebreak for seqno).
+    */
+  def chunkMessages(chunk: BagChunk, chunkData: Array[Byte]): Seq[BagMessage] = {
+    require(chunk.compression == "none",
+      s"unsupported chunk compression '${chunk.compression}' (supported: none)")
+    val out = scala.collection.mutable.ArrayBuffer[BagMessage]()
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(chunkData))
+    var off = 0
+    var rec = readRecord(in)
+    while (rec.isDefined) {
+      val r = rec.get
+      if (r.op == OpMessageData) {
+        val (sec, nsec) = r.time("time")
+        out += BagMessage(r.u32("conn"), sec, nsec, off, r.data)
+      }
+      off += 8 + headerLen(r.header) + r.data.length
+      rec = readRecord(in)
+    }
+    out.toSeq
+  }
+
+  // ---- writer (fixtures; mirrors reference test technique,
+  //      rosbag2parquet_test.cpp:29-59) ----
+
+  final case class WriteMessage(connId: Int, timeSec: Int, timeNsec: Int, data: Array[Byte])
+
+  def writeBag(connections: Seq[BagConnection],
+               messages: Seq[WriteMessage],
+               messagesPerChunk: Int = 100): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Magic.getBytes(StandardCharsets.UTF_8))
+
+    // bag header record, padded to 4096 bytes total via ASCII-space data
+    val bagHeaderFields = fields(
+      "op" -> Array(OpBagHeader),
+      "index_pos" -> le64(0L),
+      "conn_count" -> le32(connections.size),
+      "chunk_count" -> le32((messages.size + messagesPerChunk - 1) / messagesPerChunk))
+    val pad = 4096 - 8 - bagHeaderFields.length
+    writeRecord(out, bagHeaderFields, Array.fill(pad)(' '.toByte))
+
+    val connRecords = connections.map { c =>
+      val ch = fields(
+        "topic" -> c.topic.getBytes(StandardCharsets.UTF_8),
+        "type" -> c.datatype.getBytes(StandardCharsets.UTF_8),
+        "md5sum" -> c.md5sum.getBytes(StandardCharsets.UTF_8),
+        "message_definition" -> c.msgDef.getBytes(StandardCharsets.UTF_8),
+        "callerid" -> c.callerid.getBytes(StandardCharsets.UTF_8))
+      (fields("op" -> Array(OpConnection), "conn" -> le32(c.connId),
+        "topic" -> c.topic.getBytes(StandardCharsets.UTF_8)), ch)
+    }
+
+    messages.grouped(messagesPerChunk).foreach { group =>
+      val chunkBody = new ByteArrayOutputStream()
+      connRecords.foreach { case (h, d) => writeRecord(chunkBody, h, d) }
+      group.foreach { m =>
+        val h = fields("op" -> Array(OpMessageData), "conn" -> le32(m.connId),
+          "time" -> time(m.timeSec, m.timeNsec))
+        writeRecord(chunkBody, h, m.data)
+      }
+      val body = chunkBody.toByteArray
+      val ch = fields("op" -> Array(OpChunk),
+        "compression" -> "none".getBytes(StandardCharsets.UTF_8),
+        "size" -> le32(body.length))
+      writeRecord(out, ch, body)
+    }
+
+    // trailing index section: connection records again (spec)
+    connRecords.foreach { case (h, d) => writeRecord(out, h, d) }
+    out.toByteArray
+  }
+
+  private def writeRecord(out: ByteArrayOutputStream, header: Array[Byte], data: Array[Byte]): Unit = {
+    out.write(le32(header.length)); out.write(header)
+    out.write(le32(data.length)); out.write(data)
+  }
+
+  private def fields(fs: (String, Array[Byte])*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    fs.foreach { case (name, value) =>
+      val nb = name.getBytes(StandardCharsets.UTF_8)
+      out.write(le32(nb.length + 1 + value.length))
+      out.write(nb); out.write('='.toByte); out.write(value)
+    }
+    out.toByteArray
+  }
+
+  private def le32(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+  private def le64(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+  private def time(sec: Int, nsec: Int): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putInt(sec).putInt(nsec).array()
+}

@@ -1,0 +1,222 @@
+package graft.ros.bag
+
+import java.util
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 `rosbag` batch source — the Spark re-expression of the
+  * reference's scan loop (reference rosbag2parquet.cpp:41-63): one
+  * InputPartition per bag chunk (the bag's own parallelism grain; its
+  * chunk index is the analog of parquet row groups, reference
+  * README.md:8-10), per-message rows with bag receipt time, size,
+  * connection identity and the raw serialized blob.
+  *
+  * Pushdown surface (SURVEY.md §4):
+  *  - required columns: the `data` blob is only materialized when asked
+  *    for (the reference reads header fields "before deciding whether to
+  *    incur I/O for the image blob", README.md:10);
+  *  - filters on connection_id/topic/datatype/time_sec are evaluated
+  *    inside the reader before row construction (residuals are kept —
+  *    Spark re-applies all filters above);
+  *  - limit: per-partition early stop (the reference's --max_mbs,
+  *    main.cpp:26).
+  *
+  * Usage: spark.read.format("rosbag").load(path). Connections are
+  * exposed separately via `RosbagTables.connections(spark, path)`.
+  */
+class RosbagDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "rosbag"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RosbagDataSource.SpineSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new RosbagTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object RosbagDataSource {
+  /** The message-spine schema (reference Messages table,
+    * FlattenedRosWriter.cpp:49-87, plus the connection attributes the
+    * per-type tables re-join for, README.md:108-121). chunk_idx/offset
+    * give the stable storage order used for seqno tie-breaks.
+    */
+  val SpineSchema: StructType = StructType(Seq(
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("offset", IntegerType, nullable = false),
+    StructField("time_sec", IntegerType, nullable = false),
+    StructField("time_nsec", IntegerType, nullable = false),
+    StructField("size", IntegerType, nullable = false),
+    StructField("connection_id", IntegerType, nullable = false),
+    StructField("topic", StringType, nullable = false),
+    StructField("datatype", StringType, nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+}
+
+class RosbagTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"rosbag:$path"
+  override def schema(): StructType = RosbagDataSource.SpineSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RosbagScanBuilder(path)
+}
+
+class RosbagScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
+  private var required: StructType = RosbagDataSource.SpineSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition(RosbagFilters.supported)
+    pushed = supported
+    residual ++ supported // conservatively keep all as residual upstream
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+
+  override def build(): Scan = new RosbagScan(path, required, pushed, limit)
+}
+
+object RosbagFilters {
+  private val cols = Set("connection_id", "topic", "datatype", "time_sec")
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(c, _) => cols(c)
+    case In(c, _) => cols(c)
+    case GreaterThan(c, _) => cols(c)
+    case GreaterThanOrEqual(c, _) => cols(c)
+    case LessThan(c, _) => cols(c)
+    case LessThanOrEqual(c, _) => cols(c)
+    case _ => false
+  }
+
+  def eval(f: Filter, m: BagFormat.BagMessage, conn: BagFormat.BagConnection): Boolean = {
+    def v(c: String): Any = c match {
+      case "connection_id" => m.connId
+      case "topic" => conn.topic
+      case "datatype" => conn.datatype
+      case "time_sec" => m.timeSec
+    }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Int, y: Number) => java.lang.Integer.compare(x, y.intValue())
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => 0
+    }
+    f match {
+      case EqualTo(c, value) => cmp(v(c), value) == 0
+      case In(c, values) => values.exists(value => cmp(v(c), value) == 0)
+      case GreaterThan(c, value) => cmp(v(c), value) > 0
+      case GreaterThanOrEqual(c, value) => cmp(v(c), value) >= 0
+      case LessThan(c, value) => cmp(v(c), value) < 0
+      case LessThanOrEqual(c, value) => cmp(v(c), value) <= 0
+      case _ => true
+    }
+  }
+}
+
+final case class RosbagInputPartition(path: String, chunkIdx: Int,
+    chunk: BagFormat.BagChunk, conns: Map[Int, BagFormat.BagConnection])
+  extends InputPartition
+
+class RosbagScan(path: String, required: StructType, filters: Array[Filter], limit: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val index = RosbagIO.scanIndex(path)
+    val conns = index.connections.map(c => c.connId -> c).toMap
+    index.chunks.zipWithIndex.map { case (c, i) =>
+      RosbagInputPartition(path, i, c, conns): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RosbagReaderFactory(required, filters, limit)
+
+  override def description(): String =
+    s"rosbag $path, pushedFilters=[${filters.mkString(", ")}], limit=$limit"
+}
+
+class RosbagReaderFactory(required: StructType, filters: Array[Filter], limit: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RosbagInputPartition]
+    new RosbagPartitionReader(p, required, filters, limit)
+  }
+}
+
+class RosbagPartitionReader(p: RosbagInputPartition, required: StructType,
+    filters: Array[Filter], limit: Int) extends PartitionReader[InternalRow] {
+
+  private lazy val messages: Iterator[BagFormat.BagMessage] = {
+    val data = RosbagIO.readChunkData(p.path, p.chunk)
+    val all = BagFormat.chunkMessages(p.chunk, data).iterator
+    val filtered = all.filter { m =>
+      val conn = p.conns.getOrElse(m.connId,
+        throw new IllegalStateException(s"message references unknown connection ${m.connId}"))
+      filters.forall(f => RosbagFilters.eval(f, m, conn))
+    }
+    if (limit >= 0) filtered.take(limit) else filtered
+  }
+  private var current: BagFormat.BagMessage = _
+
+  override def next(): Boolean =
+    if (messages.hasNext) { current = messages.next(); true } else false
+
+  override def get(): InternalRow = {
+    val conn = p.conns(current.connId)
+    InternalRow.fromSeq(required.fields.map { f =>
+      f.name match {
+        case "chunk_idx" => p.chunkIdx
+        case "offset" => current.offsetInChunk
+        case "time_sec" => current.timeSec
+        case "time_nsec" => current.timeNsec
+        case "size" => current.data.length
+        case "connection_id" => current.connId
+        case "topic" => UTF8String.fromString(conn.topic)
+        case "datatype" => UTF8String.fromString(conn.datatype)
+        case "data" => current.data
+      }
+    }.toSeq)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Hadoop-FS-backed IO so bags on hdfs:///s3:// work like file://. */
+object RosbagIO {
+  private def fs(path: String) = {
+    val p = new Path(path)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    (p.getFileSystem(conf), p)
+  }
+
+  def scanIndex(path: String): BagFormat.BagIndex = {
+    val (filesystem, p) = fs(path)
+    BagFormat.scanIndex(() => filesystem.open(p))
+  }
+
+  def readChunkData(path: String, chunk: BagFormat.BagChunk): Array[Byte] = {
+    val (filesystem, p) = fs(path)
+    val in = filesystem.open(p)
+    try {
+      in.seek(chunk.dataOffset)
+      val buf = new Array[Byte](chunk.dataLength)
+      in.readFully(buf)
+      buf
+    } finally in.close()
+  }
+}

@@ -1,0 +1,143 @@
+package graft.ros.etl
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Seqno
+import graft.ros.{MsgDefParser, RosMsgBundle, RosSchemaMapper}
+
+/** The reference's whole pipeline (reference rosbag2parquet.cpp:41-63,
+  * FlattenedRosWriter.cpp:226-271) as one Spark job: read a bag via the
+  * DSv2 `rosbag` source, assign the dense global seqno in time order,
+  * and write `Messages`, `Connections` and one flattened parquet table
+  * per datatype (snappy, like TableBuffer.cpp:49-51).
+  *
+  * Scale shape: the bag scan parallelizes per chunk; seqno is the
+  * prefix-sum operator (no single-partition stage); each per-type table
+  * is a filter + mapPartitions decode of only that type's rows (the
+  * reference's route-by-type, FlattenedRosWriter.cpp:273-289, becomes
+  * predicate pushdown into the source); Connections is driver-side tiny.
+  */
+object BagEtl {
+  final case class Info(bagname: String, count: Long, sizeBytes: Long)
+
+  /** reference main.cpp:38-54: probe `<base>`, `<base>.1`, ... */
+  def versionedOutputDir(base: String): String = {
+    val fs = new java.io.File(base)
+    if (!fs.exists()) base
+    else Iterator.from(1).map(i => s"$base.$i").find(p => !new java.io.File(p).exists()).get
+  }
+
+  /** Run the conversion; returns the reference's `info` result
+    * (rosbag2parquet.h:6-10). `maxMessages` mirrors --max_mbs's
+    * test-scope-limiting role (main.cpp:26) with row granularity.
+    */
+  def run(spark: SparkSession, bagPath: String, outDir: String,
+          maxMessages: Option[Long] = None): Info = {
+    val index = graft.ros.bag.RosbagIO.scanIndex(bagPath)
+
+    // Connections dimension (reference FlattenedRosWriter.cpp:209-224).
+    val connRows = index.connections.map(c =>
+      Row(c.connId, c.topic, c.datatype, c.md5sum, c.msgDef, c.callerid))
+    val connSchema = StructType(Seq(
+      StructField("connection_id", IntegerType, nullable = false),
+      StructField("topic", StringType, nullable = false),
+      StructField("datatype", StringType, nullable = false),
+      StructField("md5sum", StringType, nullable = false),
+      StructField("msg_def", StringType, nullable = false),
+      StructField("callerid", StringType, nullable = false)))
+    val connections = spark.createDataFrame(
+      spark.sparkContext.parallelize(connRows, 1), connSchema)
+
+    // md5 consistency per datatype (reference FlattenedRosWriter.cpp:287).
+    index.connections.groupBy(_.datatype).foreach { case (dt, cs) =>
+      require(cs.map(_.md5sum).distinct.size == 1,
+        s"datatype $dt has conflicting md5sums across connections")
+    }
+
+    val raw0 = spark.read.format("rosbag").load(bagPath)
+    val raw = maxMessages.map(n => raw0.limit(n.toInt).toDF()).getOrElse(raw0)
+
+    // Global seqno in merge-time order with storage-order tie-break —
+    // rosbag::View semantics (reference rosbag2parquet.cpp:45-52;
+    // seqno FlattenedRosWriter.cpp:195,256).
+    val spine = Seqno.globalSeqno(raw,
+      Seq(col("time_sec"), col("time_nsec"), col("chunk_idx"), col("offset")))
+
+    // Messages fact table (reference FlattenedRosWriter.cpp:49-87).
+    val messages = spine.select(
+      col("seqno"), col("time_sec"), col("time_nsec"), col("size"), col("connection_id"))
+
+    val out = versionedOutputDir(outDir)
+    messages.write.mode(SaveMode.ErrorIfExists)
+      .option("compression", "snappy").parquet(s"$out/Messages.parquet")
+    connections.write.mode(SaveMode.ErrorIfExists)
+      .option("compression", "snappy").parquet(s"$out/Connections.parquet")
+
+    // Per-type flattened tables. One pass per datatype over only that
+    // type's rows (datatype filter is pushed into the bag source).
+    val ddl = new StringBuilder
+    index.connections.map(c => (c.datatype, c.msgDef)).distinct.foreach {
+      case (datatype, msgDef) =>
+        val bundle = MsgDefParser.parse(datatype, msgDef)
+        val tableName = datatype.replace("/", "_")  // reference MessageTable.cpp:315
+        val df = decodeType(spark, spine, bundle, datatype)
+        df.write.mode(SaveMode.ErrorIfExists)
+          .option("compression", "snappy").parquet(s"$out/$tableName.parquet")
+        ddl ++= VerticaDdl.createTable(tableName, df.schema) ++= "\n"
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/vertica_load_tables.sql"), ddl.toString)
+
+    val Row(cnt: Long, size: Long) = raw
+      .agg(count(lit(1)), coalesce(sum(col("size")), lit(0L))).head()
+    Info(new java.io.File(bagPath).getName, cnt, size)
+  }
+
+  /** Flattened per-type DataFrame: seqno + flattened payload columns +
+    * connection_id + raw data blob (column frame per reference
+    * MessageTable.cpp:326-343; blob retention README.md:106).
+    */
+  def decodeType(spark: SparkSession, spine: DataFrame, bundle: RosMsgBundle,
+                 datatype: String): DataFrame = {
+    val flat = RosSchemaMapper.flatSchema(bundle)
+    val outSchema = StructType(
+      StructField("seqno", LongType, nullable = false) +:
+      (flat.fields :+
+        StructField("connection_id", IntegerType, nullable = false) :+
+        StructField("data", BinaryType, nullable = false)))
+    val rows = spine
+      .filter(col("datatype") === datatype)
+      .select(col("seqno"), col("connection_id"), col("data"))
+      .rdd.map { r =>
+        val seqno = r.getLong(0)
+        val connId = r.getInt(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val vals = RosSchemaMapper.decode(bundle, bytes)
+        Row.fromSeq(seqno +: (vals :+ connId :+ bytes))
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+}
+
+/** Parquet/Spark schema → Vertica DDL (reference utils.h:99-136
+  * GetVerticaType; loader script visible in README.md:100).
+  */
+object VerticaDdl {
+  def verticaType(dt: DataType): String = dt match {
+    case BooleanType => "BOOLEAN"
+    case IntegerType | LongType | ShortType | ByteType => "INTEGER"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE PRECISION"
+    case StringType => "VARCHAR(65000)"
+    case BinaryType => "LONG VARBINARY(10485760)"
+    case _: ArrayType | _: StructType => "LONG VARBINARY(10485760)"  // opaque
+    case other => throw new IllegalArgumentException(s"no Vertica mapping for $other")
+  }
+
+  def createTable(name: String, schema: StructType): String = {
+    val cols = schema.fields.map(f => s"  ${f.name} ${verticaType(f.dataType)}")
+      .mkString(",\n")
+    s"CREATE TABLE $name (\n$cols\n);"
+  }
+}

@@ -1,0 +1,134 @@
+package graft.ros.bag
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.ros.{Fixtures, MsgDefParser, RosSchemaMapper}
+import BagFormat._
+
+/** Bag container + DSv2 source + end-to-end ETL specs — the Spark
+  * analog of the reference's gtest suite (rosbag2parquet_test.cpp:
+  * write_read_bag :20-77 and two_messages_test :160-303).
+  */
+class BagSpec extends SparkTestBase {
+
+  private val imuBundle = MsgDefParser.parse("sensor_msgs/Imu", Fixtures.imuDef)
+
+  /** Build a serialized Imu message from scalar values (flattened order). */
+  private def imuBytes(seq: Long, sec: Int, nsec: Int, frame: String, ax: Double): Array[Byte] = {
+    val vals: Seq[Any] = Seq(
+      seq, sec, nsec, frame,                  // header
+      0.1, 0.2, 0.3, 0.4,                     // orientation quaternion
+      Seq.tabulate(9)(_.toDouble),            // orientation_covariance
+      1.0, 2.0, 3.0,                          // angular_velocity
+      Seq.tabulate(9)(i => i * 2.0),
+      ax, 9.8, -9.8,                          // linear_acceleration
+      Seq.tabulate(9)(i => i * 3.0))
+    RosSchemaMapper.encode(imuBundle, vals)
+  }
+
+  private def writeFixtureBag(nMessages: Int, messagesPerChunk: Int = 2): String = {
+    val conn = BagConnection(0, "/imu_data", "sensor_msgs/Imu", Fixtures.imuMd5,
+      Fixtures.imuDef, "/test_node")
+    val msgs = (0 until nMessages).map { i =>
+      WriteMessage(0, 1700000000 + i, i * 1000,
+        imuBytes(seq = i.toLong, sec = 1700000000 + i, nsec = i * 1000,
+          frame = s"frame$i", ax = i * 0.5))
+    }
+    val bytes = BagFormat.writeBag(Seq(conn), msgs, messagesPerChunk)
+    val p = Files.createTempFile("graft_test", ".bag")
+    Files.write(p, bytes)
+    p.toString
+  }
+
+  test("bag write/read round-trip: index, connections, messages") {
+    val path = writeFixtureBag(5, messagesPerChunk = 2)
+    val idx = RosbagIO.scanIndex(path)
+    assert(idx.connections.size == 1)
+    val c = idx.connections.head
+    assert(c.topic == "/imu_data" && c.datatype == "sensor_msgs/Imu" &&
+      c.callerid == "/test_node" && c.md5sum == Fixtures.imuMd5)
+    assert(idx.chunks.size == 3)  // 2+2+1
+    val all = idx.chunks.flatMap(ch =>
+      BagFormat.chunkMessages(ch, RosbagIO.readChunkData(path, ch)))
+    assert(all.size == 5)
+    assert(all.map(_.timeSec) == (0 until 5).map(1700000000 + _))
+  }
+
+  test("DSv2 rosbag source: scan, schema, pushdown") {
+    val path = writeFixtureBag(6, messagesPerChunk = 2)
+    val df = spark.read.format("rosbag").load(path)
+    assert(df.schema.fieldNames.toSeq == Seq("chunk_idx", "offset", "time_sec",
+      "time_nsec", "size", "connection_id", "topic", "datatype", "data"))
+    assert(df.count() == 6)
+    // filter pushdown on time_sec halves the rows
+    val half = df.filter(col("time_sec") >= 1700000003).count()
+    assert(half == 3)
+    // column pruning: projecting only time_sec must not break
+    assert(df.select("time_sec").distinct().count() == 6)
+    // blob round-trips: decode one message back (reference
+    // rosbag2parquet_test.cpp:262-275's differential check)
+    val row = df.filter(col("time_sec") === 1700000002).select("data").head()
+    val vals = RosSchemaMapper.decode(imuBundle, row.getAs[Array[Byte]](0))
+    assert(vals(0) == 2L && vals(3) == "frame2")
+  }
+
+  test("end-to-end ETL: Messages/Connections/per-type tables (two_messages_test analog)") {
+    val path = writeFixtureBag(2, messagesPerChunk = 10)
+    val out = Files.createTempDirectory("graft_etl").toString + "/out"
+    val info = graft.ros.etl.BagEtl.run(spark, path, out)
+    assert(info.count == 2)
+
+    val messages = spark.read.parquet(s"$out/Messages.parquet")
+    assert(messages.count() == 2)
+    // seqno starts at 0 and moves forward (rosbag2parquet_test.cpp:213-218)
+    val seqnos = messages.orderBy("time_sec").select("seqno").collect().map(_.getLong(0))
+    assert(seqnos.toSeq == Seq(0L, 1L))
+
+    val conns = spark.read.parquet(s"$out/Connections.parquet")
+    assert(conns.count() == 1)
+    assert(conns.head().getAs[String]("topic") == "/imu_data")
+
+    val imu = spark.read.parquet(s"$out/sensor_msgs_Imu.parquet")
+    assert(imu.count() == 2)
+    // frame: seqno + flattened + connection_id + data (MessageTable.cpp:326-343)
+    assert(imu.schema.fieldNames.head == "seqno")
+    assert(imu.schema.fieldNames.takeRight(2).toSeq == Seq("connection_id", "data"))
+    val r = imu.filter(col("seqno") === 1).head()
+    assert(r.getAs[String]("header_frame_id") == "frame1")
+    assert(r.getAs[Double]("linear_acceleration_x") == 0.5)
+    // connection_id consistent across tables (rosbag2parquet_test.cpp:220-234)
+    assert(r.getAs[Int]("connection_id") ==
+      messages.head().getAs[Int]("connection_id"))
+    // blob round-trip through the decoder
+    val vals = RosSchemaMapper.decode(imuBundle, r.getAs[Array[Byte]]("data"))
+    assert(vals(3) == "frame1")
+
+    // DDL side-output exists and mentions the table (utils.h:99-136)
+    val ddl = Files.readString(Paths.get(s"$out/vertica_load_tables.sql"))
+    assert(ddl.contains("CREATE TABLE sensor_msgs_Imu"))
+    assert(ddl.contains("header_frame_id VARCHAR(65000)"))
+
+    // output-dir versioning (main.cpp:38-54)
+    assert(graft.ros.etl.BagEtl.versionedOutputDir(out) == s"$out.1")
+  }
+
+  test("seqno is merge-time order across chunks, not storage order") {
+    // two connections, interleaved timestamps, one chunk each
+    val conn0 = BagConnection(0, "/a", "sensor_msgs/Imu", Fixtures.imuMd5, Fixtures.imuDef, "")
+    val conn1 = BagConnection(1, "/b", "sensor_msgs/Imu", Fixtures.imuMd5, Fixtures.imuDef, "")
+    val msgs = Seq(
+      WriteMessage(0, 100, 0, imuBytes(0, 100, 0, "a0", 0)),
+      WriteMessage(0, 300, 0, imuBytes(1, 300, 0, "a1", 0)),
+      WriteMessage(1, 200, 0, imuBytes(2, 200, 0, "b0", 0)),
+      WriteMessage(1, 400, 0, imuBytes(3, 400, 0, "b1", 0)))
+    val bytes = BagFormat.writeBag(Seq(conn0, conn1), msgs, messagesPerChunk = 2)
+    val p = Files.createTempFile("graft_test2", ".bag"); Files.write(p, bytes)
+    val out = Files.createTempDirectory("graft_etl2").toString + "/out"
+    graft.ros.etl.BagEtl.run(spark, p.toString, out)
+    val m = spark.read.parquet(s"$out/Messages.parquet")
+      .orderBy("seqno").select("time_sec").collect().map(_.getInt(0))
+    assert(m.toSeq == Seq(100, 200, 300, 400))
+  }
+}
