@@ -23,11 +23,17 @@ import Tables._
 object LlmQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct word n-gram shingles of a token-array column. */
+  /** Distinct word n-gram shingles of a token-array column; empty array
+    * for docs shorter than n tokens (guarded inside the expression so no
+    * caller-side filter exists for the optimizer to push below a
+    * repartition — see the plan note in `jaccardPairs`).
+    */
   def shingles(toks: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
 
   /** Sequential-fold dot product of two double arrays — same op order as
     * DuckDB list_reduce, so results match bit-for-bit.
@@ -40,7 +46,8 @@ object LlmQueries {
 
   /** documents → (doc_id, toks) with non-empty token arrays. */
   private def docToks(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    spread(documents(s, d), col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
 
   /** Exact Jaccard over shared-shingle pairs: inverted-index equi-join
     * (explode shingles, self-join on shingle) — never an all-pairs cross
@@ -49,18 +56,43 @@ object LlmQueries {
     * the 100 TB refinement).
     */
   private def jaccardPairs(s: SparkSession, d: String, thresh: Double): DataFrame = {
+    // explode_outer, NOT explode: InferFiltersFromGenerate would add
+    // `size(sh)>0 AND isnotnull(sh)` to a plain explode, and predicate
+    // pushdown then sinks that below the spread-repartition — which
+    // re-evaluates the whole interpreted token+shingle chain inside the
+    // single pre-shuffle scan task (observed 10s+ single-core). The
+    // outer variant infers nothing; the null-filter on the generator
+    // OUTPUT cannot be pushed below the Generate.
     val sh = docToks(s, d)
-      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-    val a = sh.select(col("doc_id").as("da"), col("n").as("na"), col("s"))
-    val b = sh.select(col("doc_id").as("db"), col("n").as("nb"), col("s"))
-    a.join(b, Seq("s")).filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("shared"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .select(col("doc_id"), size(col("sh")).as("n"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+    // Pair generation as ONE aggregation: group by shingle, expand the
+    // ordered doc pairs inside each group. Equivalent to the classic
+    // inverted-index self-join but runs the (interpreted, HOF-heavy)
+    // shingle pipeline once instead of twice and skips the join build.
+    // Hot-shingle fanout is the quadratic term; at 100 TB add prefix
+    // filtering / stop-shingle capping (not done here: oracle exactness).
+    // The pair-expansion lambdas are interpreted and byte-light: AQE's
+    // coalescing would fold the shuffle to 1 partition and serialize the
+    // compute. An explicit repartition (never AQE-coalesced) keeps the
+    // expensive stage wide.
+    val nPart = s.sessionState.conf.numShufflePartitions
+    sh.groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .repartition(nPart, col("s"))
+      .select(explode(flatten(transform(col("ds"), x =>
+        transform(filter(col("ds"), y => y("doc_id") > x("doc_id")),
+          y => struct(x("doc_id").as("da"), x("n").as("na"),
+                      y("doc_id").as("db"), y("n").as("nb")))))).as("p"))
+      .select(col("p.da").as("da"), col("p.na").as("na"),
+              col("p.db").as("db"), col("p.nb").as("nb"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= thresh)
+      .select(col("da"), col("db"), col("shared"), col("na"), col("nb"), col("jaccard"))
   }
 
   /** 16 minhash values per doc: min over shingles of xxhash64(seed_i, s). */
@@ -68,8 +100,8 @@ object LlmQueries {
 
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val exploded = docToks(s, d)
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("s"))
+      .select(col("doc_id"), explode_outer(shingles(col("toks"), 3)).as("s"))
+      .filter(col("s").isNotNull)
     val aggs = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -90,7 +122,7 @@ object LlmQueries {
     "q25_cosine_topk" -> ((s, d) => {
       val e = embeddings(s, d)
       val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
-      e.crossJoin(q)
+      spread(e, col("vec_id")).crossJoin(q)
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
           (dotd(col("embedding"), col("qv")) / (l2(col("embedding")) * l2(col("qv")))).as("cos"))
@@ -100,7 +132,8 @@ object LlmQueries {
 
     // Q26 — token counting: explode + count, top-20 by (cnt desc, token).
     "q26_token_topk" -> ((s, d) =>
-      docToks(s, d).select(explode(col("toks")).as("token"))
+      docToks(s, d).select(explode_outer(col("toks")).as("token"))
+        .filter(col("token").isNotNull)
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(20)),
 
@@ -124,10 +157,13 @@ object LlmQueries {
       }
       val exploded = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-      val l = exploded.select(col("doc_id").as("da"), col("band"), col("bucket"))
-      val r = exploded.select(col("doc_id").as("db"), col("band"), col("bucket"))
-      val cand = l.join(r, Seq("band", "bucket")).filter(col("da") < col("db"))
-        .select(col("da"), col("db")).distinct()
+      val cand = exploded.groupBy(col("band"), col("bucket"))
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("band"), col("bucket"))
+        .select(explode(flatten(transform(col("ds"), x =>
+          transform(filter(col("ds"), y => y > x),
+            y => struct(x.as("da"), y.as("db")))))).as("p"))
+        .select(col("p.da").as("da"), col("p.db").as("db")).distinct()
       cand.join(jaccardPairs(s, d, 0.5), Seq("da", "db"))
         .select(col("da"), col("db"), rk(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("da"), col("db"))
@@ -138,7 +174,8 @@ object LlmQueries {
     // guarantees recall for hamming <= 3; exact bit_count(xor) confirm.
     "q29_simhash" -> ((s, d) => {
       val tok = docToks(s, d)
-        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
+        .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("t"))
+        .filter(col("t").isNotNull)
         .withColumn("h", xxhash64(col("t")))
       val bitSums = (0 until 64).map(b =>
         sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
@@ -169,9 +206,10 @@ object LlmQueries {
     "q30_embed_neardup" -> ((s, d) => {
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
         .withColumn("nrm", l2(col("embedding")))
-      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+      val a = spread(e, col("vec_id"))
+        .select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
-      a.crossJoin(b).filter(col("va") < col("vb"))
+      a.crossJoin(broadcast(b)).filter(col("va") < col("vb"))
         .select(col("va"), col("vb"),
           (dotd(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
         .orderBy(col("cos").desc, col("va"), col("vb")).limit(20)
@@ -196,10 +234,11 @@ object LlmQueries {
             lit(0.0), (acc, x) => acc + x)
           when(dot > 0, shiftleft(lit(1), j)).otherwise(lit(0))
         }.reduce((x, y) => x.bitwiseOR(y))
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val e = spread(embeddings(s, d), col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
         .withColumn("bucket", sig(col("embedding")))
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("bucket").as("qb"))
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), sig(col("embedding")).as("qb"))
       val probes = q.select(col("qv"), col("qb"),
           explode(array(lit(0) +: (0 until bits).map(j => shiftleft(lit(1), j)): _*)).as("flip"))
         .select(col("qv"), col("qb").bitwiseXOR(col("flip")).as("bucket"))
@@ -222,7 +261,9 @@ object LlmQueries {
         "es" -> Seq("fast", "group", "row"),
         "fr" -> Seq("line", "query", "stream"),
         "zh" -> Seq("scan", "key", "join"))
-      val scored = docToks(s, d).select(col("doc_id"), explode(col("toks")).as("t"))
+      val scored = docToks(s, d)
+        .select(col("doc_id"), explode_outer(col("toks")).as("t"))
+        .filter(col("t").isNotNull)
         .groupBy(col("doc_id"))
         .agg(
           sum(when(col("t").isin(lex.head._2: _*), 1).otherwise(0)).as(s"s_${lex.head._1}"),

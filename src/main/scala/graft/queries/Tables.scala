@@ -44,6 +44,16 @@ object Tables {
     */
   def us(c: Column): Column = unix_micros(c.cast(TimestampType))
 
+  /** Spread a (typically single-file, hence single-partition) small
+    * table across the session's shuffle partitions before per-row-
+    * expensive work. Spark's higher-order functions (transform/
+    * aggregate/zip_with) are interpreted (CodegenFallback), so leaving
+    * a 5k-row table in 1 partition serializes 10s+ of lambda
+    * evaluation on one core; one tiny shuffle buys full parallelism.
+    */
+  def spread(df: DataFrame, by: Column): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, by)
+
   /** Deterministic cross-engine rounding of a double: floor(x*10^k+0.5)
     * / 10^k is pure IEEE arithmetic, identical in Spark and DuckDB —
     * unlike ROUND(double, k), whose half-tie behavior is impl-defined.
