@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's contemplated
+  * live pipeline (reference rosbag2parquet.cpp:37 "rosnode that ...
+  * listens on any topic and serializes data as it comes in" — pure
+  * batch in the reference, README.md:133). Event-time = bag receipt
+  * time / events.ts; all operators are engine-side extensions with no
+  * reference semantics to preserve (SURVEY.md §2.2 streaming row).
+  *
+  * Every op takes and returns a streaming DataFrame so it composes with
+  * any source (file stream over a bag-ETL output directory, Kafka, or
+  * MemoryStream in tests) and any sink.
+  */
+object StreamingOps {
+
+  /** Tumbling-window aggregation with a watermark for late sensor data:
+    * the streaming form of the rosbag-info query (reference
+    * rosbag_example.cpp:37-49). State is bounded by the watermark.
+    */
+  def windowedTypeStats(events: DataFrame, windowLen: String = "10 seconds",
+                        watermark: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Session windows per user (gap-based) — burst detection over a
+    * sensor/event stream.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "5 minutes",
+                    watermark: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup bounded by the watermark — the streaming
+    * member of the dedup family (Q24's batch hash-groupBy).
+    */
+  def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String],
+                           tsCol: String, watermark: String = "1 minute"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  final case class Reading(userId: Long, ts: java.sql.Timestamp, value: Double)
+  final case class GapState(lastTsMicros: Long, count: Long)
+  final case class GapAlert(userId: Long, gapMicros: Long, count: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: per-key inter-event
+    * gap detection (the streaming form of Q11's lag-gap analysis) —
+    * emits an alert whenever the gap from the previous event exceeds
+    * `maxGapMicros`. Demonstrates the KeyValueGroupedDataset state API
+    * (SURVEY.md §2.2: "stateful dedup / custom state").
+    */
+  def gapAlerts(readings: Dataset[Reading], maxGapMicros: Long): Dataset[GapAlert] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[GapState, GapAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Reading], state: GroupState[GapState]) =>
+          val sorted = rows.toSeq.sortBy(r => r.ts.getTime)
+          var st = state.getOption.getOrElse(GapState(Long.MinValue, 0L))
+          val alerts = scala.collection.mutable.ArrayBuffer[GapAlert]()
+          sorted.foreach { r =>
+            val tsMicros = r.ts.getTime * 1000L
+            if (st.lastTsMicros != Long.MinValue && tsMicros - st.lastTsMicros > maxGapMicros)
+              alerts += GapAlert(userId, tsMicros - st.lastTsMicros, st.count + 1)
+            st = GapState(tsMicros, st.count + 1)
+          }
+          state.update(st)
+          alerts.iterator
+      }
+  }
+
+  /** File-stream source over a bag-ETL output directory: the "live
+    * rosnode" analog — as new per-type parquet files land, they flow
+    * through the same relational ops. Caller supplies the schema
+    * (streams cannot infer).
+    */
+  def streamEtlOutput(spark: SparkSession, dir: String,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Standard sink: partitioned parquet with checkpointing — mirrors the
+    * batch ETL layout (datatype partitioning, reference README.md:4).
+    */
+  def writePartitioned(df: DataFrame, outDir: String, checkpoint: String,
+                       partitionCol: String = "event_type") =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partitionCol)
+      .outputMode(OutputMode.Append())
+}

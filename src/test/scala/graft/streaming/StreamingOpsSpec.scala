@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkTestBase
+
+class StreamingOpsSpec extends SparkTestBase {
+  import StreamingOps._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+
+  private def runBatches[T](q: org.apache.spark.sql.streaming.DataStreamWriter[T]): Unit = {
+    val sq = q.trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination(60000)
+  }
+
+  test("windowed type stats with watermark (streaming rosbag-info)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(100), 1, "click", 1.0), Ev(2, ts(105), 1, "click", 2.0),
+      Ev(3, ts(112), 2, "view", 3.0), Ev(4, ts(119), 2, "click", 4.0))
+    val out = windowedTypeStats(mem.toDF(), "10 seconds", "5 seconds")
+    runBatches(out.writeStream.format("memory").queryName("win").outputMode("append"))
+    // AvailableNow + append: windows closed by final watermark are emitted
+    val rows = spark.table("win").orderBy("win_start", "event_type")
+      .select(unix_timestamp(col("win_start")).as("s"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // events at 100,105 (click) -> window [100,110); 112 view + 119 click -> [110,120)
+    assert(rows.contains((100L, "click", 2L)))
+    // the [110,120) window closes only if watermark passes 120; final
+    // watermark = max(ts) - 5s = 114 < 120, so it stays in state: only
+    // the first window is emitted. That asymmetry IS the semantics.
+    assert(rows.length == 1)
+  }
+
+  test("streaming dedup within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(10), 1, "a", 1.0), Ev(1, ts(11), 1, "a", 1.0),   // dup event_id
+      Ev(2, ts(12), 1, "b", 2.0))
+    val out = dedupWithinWatermark(mem.toDF(), Seq("event_id"), "ts", "1 minute")
+    runBatches(out.writeStream.format("memory").queryName("dedup").outputMode("append"))
+    val got = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState gap alerts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Reading]
+    mem.addData(Reading(7, ts(100), 1.0), Reading(7, ts(101), 1.0))
+    val out = gapAlerts(mem.toDS(), maxGapMicros = 5L * 1000000)
+    val sq = out.writeStream.format("memory").queryName("gaps").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination(60000)
+    assert(spark.table("gaps").count() == 0)  // 1s gap, no alert
+
+    // second batch: 50s gap -> alert, state carried across batches
+    mem.addData(Reading(7, ts(151), 2.0))
+    val sq2 = out.writeStream.format("memory").queryName("gaps2").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("gap_ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    sq2.awaitTermination(60000)
+    // fresh query (fresh state) sees all 3 readings: gap 101->151 = 50s
+    val alerts = spark.table("gaps2").as[GapAlert].collect()
+    assert(alerts.length == 1)
+    assert(alerts.head.userId == 7 && alerts.head.gapMicros == 50L * 1000000)
+  }
+
+  test("session windows per user") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(100), 1, "a", 1.0), Ev(2, ts(160), 1, "a", 1.0),  // same session (gap 60s < 5m)
+      Ev(3, ts(1000), 1, "a", 1.0),                               // new session
+      Ev(4, ts(5000), 9, "a", 1.0))                               // watermark pusher
+    val out = sessionCounts(mem.toDF(), "5 minutes", "1 second")
+    runBatches(out.writeStream.format("memory").queryName("sess").outputMode("append"))
+    val rows = spark.table("sess").filter(col("user_id") === 1)
+      .orderBy("sess_start")
+      .select(unix_timestamp(col("sess_start")), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((100L, 2L), (1000L, 1L)))
+  }
+}
