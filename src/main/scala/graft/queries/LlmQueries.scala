@@ -35,12 +35,14 @@ object LlmQueries {
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
       .otherwise(array().cast("array<string>"))
 
-  /** Sequential-fold dot product of two double arrays — same op order as
-    * DuckDB list_reduce, so results match bit-for-bit.
+  /** Left-to-right dot product — identical op order (hence bit-identical
+    * results) to DuckDB's list_reduce oracle. Backed by the native
+    * codegen'd DotProduct expression (org.apache.spark.sql.graftfns):
+    * the interpreted aggregate(zip_with(...)) fold it replaces is a
+    * CodegenFallback and ~10x slower on the pair-heavy queries.
     */
   def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graftfns.VectorFunctions.dot(a, b)
 
   def l2(a: Column): Column = sqrt(dotd(a, a))
 

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF (SURVEY.md §7.7): element-wise-min union of minhash
+  * signatures. The set-union property of minhash — sig(A ∪ B) =
+  * elementwise_min(sig(A), sig(B)) — makes this a natural Aggregator:
+  * aggregate per-shard document signatures into collection-level
+  * signatures (e.g. estimate Jaccard overlap BETWEEN datasets, not just
+  * between documents) with a tiny fixed-size state that merges
+  * associatively across partitions (map-side partial, then merge —
+  * exactly Spark's Aggregator contract).
+  *
+  * Register via `udaf(MinHashUnion)` for use in agg(); used typed via
+  * `.toColumn` on grouped Datasets.
+  */
+object MinHashUnion extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+  val NumHashes = 16
+
+  override def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+    var i = 0
+    while (i < NumHashes && i < sig.length) {
+      if (sig(i) < buf(i)) buf(i) = sig(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < NumHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    Encoders.javaSerialization[Array[Long]]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+
+  /** Jaccard estimate from two signatures: fraction of agreeing slots. */
+  def estimate(a: Seq[Long], b: Seq[Long]): Double =
+    a.zip(b).count { case (x, y) => x == y }.toDouble / NumHashes
+}

@@ -1,0 +1,75 @@
+package org.apache.spark.sql.graftfns
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd dot product over float-array columns.
+  *
+  * The built-in route (`aggregate(zip_with(...))`) evaluates interpreted
+  * (higher-order functions are CodegenFallback) and allocates an
+  * intermediate array per row — measured ~10x slower on the ANN /
+  * near-dup queries. This expression emits a tight multiply-add loop via
+  * doGenCode (SURVEY.md §7.3's "custom expression only if bench demands
+  * it" — it did).
+  *
+  * Determinism: accumulates LEFT-TO-RIGHT in double, the exact op order
+  * of the interpreted fold and of DuckDB's list_reduce oracle — results
+  * are bit-identical to both, so it is safe inside oracle-checked
+  * queries.
+  *
+  * Lives under org.apache.spark.sql (the standard extension-library
+  * pattern) because Column<->Expression bridging and AbstractDataType
+  * are private[sql].
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column API for the native dot product (float arrays, double out). */
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** L2 norm via the native dot. */
+  def norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
+}

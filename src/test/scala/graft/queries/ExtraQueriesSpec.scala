@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class ExtraQueriesSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within declared error of exact") {
+    val approx = ExtraQueries.all("q40_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus")).agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.10,
+        s"status $k: approx $ap vs exact $ex beyond 10%")
+    }
+  }
+
+  test("MinHashUnion aggregator: signature union == signature of union") {
+    import spark.implicits._
+    // signatures of three "documents" (random but fixed)
+    val rng = new scala.util.Random(7)
+    val sigs = Seq.fill(3)(Seq.fill(MinHashUnion.NumHashes)(rng.nextLong()))
+    val ds = sigs.zipWithIndex.map { case (s, i) => (i % 2, s) }
+      .toDF("grp", "sig").as[(Int, Seq[Long])]
+    val merged = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(MinHashUnion.toColumn.name("u"))
+      .collect().toMap
+    // group 0 holds sigs 0 and 2; group 1 holds sig 1
+    val expect0 = sigs(0).zip(sigs(2)).map { case (a, b) => math.min(a, b) }
+    assert(merged(0) == expect0)
+    assert(merged(1) == sigs(1))
+    // estimate of identical signatures is 1.0
+    assert(MinHashUnion.estimate(sigs(0), sigs(0)) == 1.0)
+  }
+}
