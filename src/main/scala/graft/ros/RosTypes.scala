@@ -151,6 +151,17 @@ object MsgDefParser {
     RosMsgDef(fullName, fields)
   }
 
+  /** Debug pretty-print of a message definition: drop blank lines and
+    * comment lines, stop at the first `===` separator — reference
+    * MessageTable.cpp:346-358 (O20).
+    */
+  def prettyPrint(definition: String): String =
+    definition.linesIterator
+      .takeWhile(l => !Separator.matches(l.trim) || l.trim.length < 3)
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .mkString("\n")
+
   /** '#' starts a comment unless inside a string constant (handled by
     * caller); good enough for the msg IDL.
     */

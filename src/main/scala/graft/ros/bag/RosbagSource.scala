@@ -63,7 +63,7 @@ class RosbagTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"rosbag:$path"
   override def schema(): StructType = RosbagDataSource.SpineSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RosbagScanBuilder(path)
 }
@@ -134,6 +134,10 @@ class RosbagScan(path: String, required: StructType, filters: Array[Filter], lim
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RosbagMicroBatchStream(path, required, filters)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val index = RosbagIO.scanIndex(path)

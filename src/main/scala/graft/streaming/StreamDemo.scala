@@ -45,7 +45,16 @@ object StreamDemo {
     val n = spark.read.parquet(s"$out/windowed").count()
     println(s"DEMO windowed_rows=$n")
 
-    // 3. multimodal path over the per-type table's blob column
+    // 3. stream the BAG itself (DSv2 micro-batch tailing)
+    val bagStream = spark.readStream.format("rosbag").load(bag)
+      .groupBy(col("connection_id")).count()
+    val q2 = bagStream.writeStream.format("memory").queryName("bagtail")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    println("DEMO bagtail_conns=" + spark.table("bagtail").count())
+
+    // 4. multimodal path over the per-type table's blob column
     val imu = spark.read.parquet(s"$out/etl/sensor_msgs_Imu.parquet")
     val feats = graft.multimodal.MultimodalOps
       .decodeFeaturesStub(imu.select(col("seqno"), col("data")), "data", dim = 8)

@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Plan-shape regression tests: the 100 TB story depends on these plan
+  * properties, not just on small-scale correctness (SURVEY.md §4).
+  * Reading .explain output is how they were originally tuned; these
+  * specs pin them.
+  */
+class PlanSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: time-range predicate pushed to parquet scan") {
+    val p = plan("q01_range_filter_sort")
+    // plan toString truncates long filter lists; the >= being listed in
+    // PushedFilters proves the scan-level pushdown happened.
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"predicates not pushed:\n$p")
+  }
+
+  test("q02: column pruning reaches the scan (no full-width read)") {
+    val p = plan("q02_project")
+    // ReadSchema must contain only the 3 projected columns
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("event_id") && !rs.contains("props") && !rs.contains("user_id"),
+      s"scan not pruned: $rs")
+  }
+
+  test("q08: dimension join is broadcast, with dim filter pushed") {
+    val p = plan("q08_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("LessThan(p_size,15)"), s"p_size filter not pushed:\n$p")
+  }
+
+  test("q05: both small-dim joins broadcast (no shuffle join)") {
+    val p = plan("q05_rollup")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    assert(p.split("BroadcastHashJoin").length >= 3)
+  }
+
+  test("q10: global seqno has no single-partition window") {
+    // the scale-safe seqno must not plan a Window over a global sort
+    val df = graft.operators.Seqno.globalSeqno(
+      Tables.events(spark, sf), Seq(org.apache.spark.sql.functions.col("event_id")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"seqno fell back to a window:\n$p")
+  }
+
+  test("q13: top-k plans as TakeOrderedAndProject, not full sort") {
+    val p = plan("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
+  test("rosbag source reports pushed filters and pruned columns") {
+    val path = graft.ros.etl.BagEtlMain.demoBag()
+    val df = spark.read.format("rosbag").load(path)
+      .filter(org.apache.spark.sql.functions.col("topic") === "/imu/body")
+      .select("time_sec", "connection_id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pushedFilters=[") && p.contains("EqualTo(topic,/imu/body)"),
+      s"bag source filter not pushed:\n$p")
+    assert(df.count() == 50)
+  }
+}

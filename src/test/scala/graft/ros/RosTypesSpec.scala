@@ -125,3 +125,13 @@ class RosSchemaMapperSpec extends AnyFunSuite {
     assert(RosSchemaMapper.flatSchema(bundle).size == decoded.size)
   }
 }
+
+class PrettyPrintSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("pretty-print drops blanks/comments and stops at ===") {
+    val out = MsgDefParser.prettyPrint(Fixtures.imuDef)
+    assert(out.linesIterator.toSeq.head == "Header header")
+    assert(out.linesIterator.forall(l => !l.startsWith("#")))  // comment LINES dropped
+    assert(!out.contains("MSG:") && !out.contains("==="))
+    assert(out.contains("float64[9] orientation_covariance"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ros.bag
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkTestBase
+import graft.ros.{Fixtures, MsgDefParser, RosSchemaMapper}
+import BagFormat._
+
+/** Streaming bag tailing: readStream.format("rosbag") picks up chunks
+  * appended after the first trigger, resuming from the checkpointed
+  * chunk offset.
+  */
+class RosbagStreamSpec extends SparkTestBase {
+  private val imuBundle = MsgDefParser.parse("sensor_msgs/Imu", Fixtures.imuDef)
+
+  private def msgBytes(i: Int): Array[Byte] =
+    RosSchemaMapper.encode(imuBundle, Seq(
+      i.toLong, 1700000000 + i, 0, s"f$i",
+      0.0, 0.0, 0.0, 1.0, Seq.fill(9)(0.0),
+      0.0, 0.0, 0.0, Seq.fill(9)(0.0),
+      0.0, 0.0, 0.0, Seq.fill(9)(0.0)))
+
+  private val conn = BagConnection(0, "/imu", "sensor_msgs/Imu",
+    Fixtures.imuMd5, Fixtures.imuDef, "")
+
+  private def bagBytes(n: Int): Array[Byte] =
+    writeBag(Seq(conn),
+      (0 until n).map(i => WriteMessage(0, 1700000000 + i, 0, msgBytes(i))),
+      messagesPerChunk = 2)
+
+  test("stream tails a growing bag from the checkpointed chunk offset") {
+    val dir = Files.createTempDirectory("bag_stream")
+    val bagPath = dir.resolve("grow.bag")
+    val ck = dir.resolve("ck").toString
+
+    Files.write(bagPath, bagBytes(4))   // 2 chunks
+    val stream = spark.readStream.format("rosbag").load(bagPath.toString)
+      .select("time_sec", "connection_id")
+
+    val out = dir.resolve("out").toString
+    def runOnce(): Long = {
+      val q = stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(out).count()
+    }
+
+    assert(runOnce() == 4)              // both chunks
+    // grow the bag: same prefix (chunks are immutable), 2 more chunks
+    Files.write(bagPath, bagBytes(8))
+    assert(runOnce() == 8)              // only chunks 3-4 appended (4+4)
+    // no growth -> no new rows
+    assert(runOnce() == 8)
+  }
+}
