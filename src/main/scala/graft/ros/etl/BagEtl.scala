@@ -74,40 +74,65 @@ object BagEtl {
     connections.write.mode(SaveMode.ErrorIfExists)
       .option("compression", "snappy").parquet(s"$out/Connections.parquet")
 
-    // Per-type flattened tables. One pass per datatype over only that
-    // type's rows (datatype filter is pushed into the bag source).
+    // ONE pass over the bag: write the sequenced spine partitioned by
+    // datatype. Each per-type decode then reads only its partition
+    // directory (partition pruning — no bag re-scan, no seqno
+    // recompute per type; the reference's route-by-type dispatch,
+    // FlattenedRosWriter.cpp:273-289, becomes a dynamic-partition
+    // write). The spine is a temp dataset dropped after conversion.
+    val spineDir = s"$out/_spine"
+    spine.select(col("seqno"), col("connection_id"), col("data"), col("datatype"))
+      .write.partitionBy("datatype")
+      .option("compression", "snappy").parquet(spineDir)
+
     val ddl = new StringBuilder
     index.connections.map(c => (c.datatype, c.msgDef)).distinct.foreach {
       case (datatype, msgDef) =>
         val bundle = MsgDefParser.parse(datatype, msgDef)
         val tableName = datatype.replace("/", "_")  // reference MessageTable.cpp:315
-        val df = decodeType(spark, spine, bundle, datatype)
+        val part = spark.read.parquet(spineDir)
+          .filter(col("datatype") === datatype)
+          .select(col("seqno"), col("connection_id"), col("data"))
+        val df = decodeRows(spark, part, bundle)
         df.write.mode(SaveMode.ErrorIfExists)
           .option("compression", "snappy").parquet(s"$out/$tableName.parquet")
         ddl ++= VerticaDdl.createTable(tableName, df.schema) ++= "\n"
     }
+    // drop the temp spine
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    if (!bagPath.contains("://")) rmrf(new java.io.File(spineDir))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$out/vertica_load_tables.sql"), ddl.toString)
 
-    val Row(cnt: Long, size: Long) = raw
-      .agg(count(lit(1)), coalesce(sum(col("size")), lit(0L))).head()
+    // info from the written Messages table (columnar) — not a bag re-scan
+    val Row(cnt: Long, size: Long) = spark.read.parquet(s"$out/Messages.parquet")
+      .agg(count(lit(1)), coalesce(sum(col("size").cast("long")), lit(0L))).head()
     Info(new java.io.File(bagPath).getName, cnt, size)
   }
 
-  /** Flattened per-type DataFrame: seqno + flattened payload columns +
-    * connection_id + raw data blob (column frame per reference
-    * MessageTable.cpp:326-343; blob retention README.md:106).
+  /** Flattened per-type DataFrame from (seqno, connection_id, data)
+    * rows: seqno + flattened payload columns + connection_id + raw data
+    * blob (column frame per reference MessageTable.cpp:326-343; blob
+    * retention README.md:106).
     */
-  def decodeType(spark: SparkSession, spine: DataFrame, bundle: RosMsgBundle,
-                 datatype: String): DataFrame = {
+  def decodeRows(spark: SparkSession, part: DataFrame, bundle: RosMsgBundle): DataFrame = {
     val flat = RosSchemaMapper.flatSchema(bundle)
+    // Payload fields may collide with the reserved frame columns (e.g.
+    // sensor_msgs/CompressedImage has a `data` field — the reference
+    // never hits this because it drops arrays). Reserved names win
+    // (reference compat); colliding payload columns get `_field`.
+    val reserved = Set("seqno", "connection_id", "data")
+    val payload = flat.fields.map(f =>
+      if (reserved(f.name)) f.copy(name = f.name + "_field") else f)
     val outSchema = StructType(
       StructField("seqno", LongType, nullable = false) +:
-      (flat.fields :+
+      (payload :+
         StructField("connection_id", IntegerType, nullable = false) :+
         StructField("data", BinaryType, nullable = false)))
-    val rows = spine
-      .filter(col("datatype") === datatype)
+    val rows = part
       .select(col("seqno"), col("connection_id"), col("data"))
       .rdd.map { r =>
         val seqno = r.getLong(0)
