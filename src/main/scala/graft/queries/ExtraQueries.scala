@@ -73,7 +73,20 @@ object ExtraQueries {
     "q40_approx_distinct" -> ((s, d) =>
       orders(s, d).groupBy(col("o_orderstatus"))
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
-        .orderBy(col("o_orderstatus")))
+        .orderBy(col("o_orderstatus"))),
+
+    // Q41 — full outer join (completes the join family; both-null sides
+    // forced by disjoint-ish customer subsets).
+    "q41_full_outer" -> ((s, d) => {
+      val c = customer(s, d)
+      val a = c.filter(col("c_acctbal") > 9000).select(col("c_custkey").as("ka"))
+      val b = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("kb"))
+      a.join(b, col("ka") === col("kb"), "full_outer")
+        .select(coalesce(col("ka"), col("kb")).as("k"),
+          col("ka").isNotNull.as("is_rich"),
+          col("kb").isNotNull.as("is_building"))
+        .orderBy(col("k"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -107,7 +120,14 @@ object ExtraQueries {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
         |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q41_full_outer" ->
+      """SELECT COALESCE(a.ka, b.kb) AS k,
+        |       a.ka IS NOT NULL AS is_rich, b.kb IS NOT NULL AS is_building
+        |FROM (SELECT c_custkey AS ka FROM customer WHERE c_acctbal > 9000) a
+        |FULL OUTER JOIN (SELECT c_custkey AS kb FROM customer
+        |                 WHERE c_mktsegment = 'BUILDING') b ON a.ka = b.kb
+        |ORDER BY k""".stripMargin
     // q40: no oracle (sketch-based)
   )
 }

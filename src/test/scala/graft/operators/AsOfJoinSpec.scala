@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class AsOfJoinSpec extends SparkTestBase {
+  test("attaches nearest-preceding left value per key; null when none") {
+    import spark.implicits._
+    val sensors = Seq(
+      (1L, 10L, "a10"), (1L, 20L, "a20"), (2L, 15L, "b15")
+    ).toDF("dev", "ts", "reading")
+    val queries = Seq(
+      (1L, 5L), (1L, 10L), (1L, 25L), (2L, 14L), (2L, 99L)
+    ).toDF("dev", "qts")
+    val out = AsOfJoin(sensors, queries, "dev", "ts", "qts", Seq("reading"))
+      .orderBy("dev", "qts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)).orNull))
+    assert(out.toSeq == Seq(
+      (1L, 5L, null),      // nothing at-or-before 5
+      (1L, 10L, "a10"),    // exact-time match included
+      (1L, 25L, "a20"),
+      (2L, 14L, null),
+      (2L, 99L, "b15")))
+  }
+
+  test("matches q22's inline technique on testdata") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.queries.Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("event_id"))
+    val o = graft.queries.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey").as("user_id"),
+        col("o_orderdate"))
+    val viaOperator = AsOfJoin(e, o, "user_id", "ts", "o_orderdate", Seq("event_id"))
+      .select(col("o_orderkey"), col("event_id").as("matched_event_id"))
+      .orderBy("o_orderkey").collect().map(r => (r.getLong(0), r.get(1)))
+    val viaQuery = graft.SparkEntry.queries("q22_asof_join")(spark, sf)
+      .select(col("o_orderkey"), col("matched_event_id"))
+      .orderBy("o_orderkey").collect().map(r => (r.getLong(0), r.get(1)))
+    assert(viaOperator.toSeq == viaQuery.toSeq)
+  }
+}
