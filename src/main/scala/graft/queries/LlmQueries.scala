@@ -166,7 +166,23 @@ object LlmQueries {
           transform(filter(col("ds"), y => y > x),
             y => struct(x.as("da"), y.as("db")))))).as("p"))
         .select(col("p.da").as("da"), col("p.db").as("db")).distinct()
-      cand.join(jaccardPairs(s, d, 0.5), Seq("da", "db"))
+      // Exact-Jaccard confirmation on CANDIDATES ONLY: join the (small)
+      // candidate pair set against per-doc shingle arrays and intersect
+      // directly — not a re-run of the full all-pairs pipeline. Same
+      // integers as the inverted-index count, so results match q27's.
+      // no size-filter here: it would be pushed below the spread and
+      // serialize the interpreted chain (see jaccardPairs note); docs
+      // without shingles can't be candidates, and 0/0 -> null fails the
+      // threshold filter anyway.
+      val sets = docToks(s, d)
+        .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
+      val a = sets.select(col("doc_id").as("da"), col("sh").as("sa"))
+      val b = sets.select(col("doc_id").as("db"), col("sh").as("sb"))
+      cand.join(a, Seq("da")).join(b, Seq("db"))
+        .withColumn("shared", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard", col("shared").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("shared")))
+        .filter(col("jaccard") >= 0.5)
         .select(col("da"), col("db"), rk(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("da"), col("db"))
     }),

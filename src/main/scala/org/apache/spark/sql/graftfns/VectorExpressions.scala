@@ -66,10 +66,32 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
+  /** Register dot_product for SQL use on a live session (tests,
+    * driver-created sessions). For builder-time wiring use
+    * `spark.sql.extensions=org.apache.spark.sql.graftfns.GraftExtensions`.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+
   /** Column API for the native dot product (float arrays, double out). */
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** L2 norm via the native dot. */
   def norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
+}
+
+/** SparkSessionExtensions entry point: set
+  * `spark.sql.extensions=org.apache.spark.sql.graftfns.GraftExtensions`
+  * and `dot_product` is available in SQL on every session.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getCanonicalName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
 }

@@ -34,4 +34,19 @@ class VectorExprSpec extends SparkTestBase {
     val out = withNull.select(VectorFunctions.dot(col("a"), col("b")).as("d")).collect()
     assert(out(0).isNullAt(0) && out(1).getDouble(0) == 2.0)
   }
+
+  test("dot_product registered for SQL") {
+    org.apache.spark.sql.graftfns.VectorFunctions.register(spark)
+    vecDf.createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT dot_product(a, b) AS d FROM vecs ORDER BY d DESC").collect()
+    assert(r.head.getDouble(0) == 32.0)
+  }
+
+  test("RosbagTables.connections reads the dimension") {
+    val bag = graft.ros.etl.BagEtlMain.demoBag()
+    val c = graft.ros.bag.RosbagTables.connections(spark, bag)
+    assert(c.count() == 2)
+    assert(c.schema.fieldNames.toSeq ==
+      Seq("connection_id", "topic", "datatype", "md5sum", "msg_def", "callerid"))
+  }
 }
