@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.ros.MsgDefParser
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 `rosbag` batch source — the Spark re-expression of the
@@ -33,11 +34,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class RosbagDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "rosbag"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    RosbagDataSource.SpineSchema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    Option(options.get("datatype")) match {
+      case Some(dt) =>
+        RosbagTypedRead.typedSchema(RosbagTypedRead.bundleFor(path, dt),
+          options.getBoolean("includeRaw", false))
+      case None => RosbagDataSource.SpineSchema
+    }
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new RosbagTable(properties.get("path"))
+    new RosbagTable(properties.get("path"),
+      Option(properties.get("datatype")),
+      "true".equalsIgnoreCase(String.valueOf(properties.get("includeRaw"))))
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -59,19 +69,28 @@ object RosbagDataSource {
     StructField("data", BinaryType, nullable = false)))
 }
 
-class RosbagTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"rosbag:$path"
-  override def schema(): StructType = RosbagDataSource.SpineSchema
+class RosbagTable(path: String, datatype: Option[String] = None,
+                  includeRaw: Boolean = false) extends Table with SupportsRead {
+  private lazy val msgDef: String = datatype.map { dt =>
+    RosbagIO.scanIndex(path).connections.find(_.datatype == dt)
+      .getOrElse(throw new IllegalArgumentException(s"datatype $dt not in bag")).msgDef
+  }.getOrElse("")
+  override def name(): String = s"rosbag:$path${datatype.map(":" + _).getOrElse("")}"
+  override def schema(): StructType = datatype match {
+    case Some(dt) => RosbagTypedRead.typedSchema(MsgDefParser.parse(dt, msgDef), includeRaw)
+    case None => RosbagDataSource.SpineSchema
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RosbagScanBuilder(path)
+    new RosbagScanBuilder(path, schema(), datatype.map(dt => (dt, msgDef)), includeRaw)
 }
 
-class RosbagScanBuilder(path: String)
+class RosbagScanBuilder(path: String, fullSchema: StructType,
+    typed: Option[(String, String)] = None, includeRaw: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
-  private var required: StructType = RosbagDataSource.SpineSchema
+  private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
 
@@ -79,7 +98,13 @@ class RosbagScanBuilder(path: String)
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, residual) = filters.partition(RosbagFilters.supported)
+    // typed reads only push meta-column filters (payload filters stay
+    // upstream); the spine read pushes topic/datatype too
+    val pushable: Filter => Boolean =
+      if (typed.isDefined) f => RosbagFilters.supported(f) &&
+        f.references.forall(Set("connection_id", "time_sec"))
+      else RosbagFilters.supported
+    val (supported, residual) = filters.partition(pushable)
     pushed = supported
     residual ++ supported // conservatively keep all as residual upstream
   }
@@ -87,7 +112,7 @@ class RosbagScanBuilder(path: String)
 
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
-  override def build(): Scan = new RosbagScan(path, required, pushed, limit)
+  override def build(): Scan = new RosbagScan(path, required, pushed, limit, typed, includeRaw)
 }
 
 object RosbagFilters {
@@ -130,7 +155,8 @@ final case class RosbagInputPartition(path: String, chunkIdx: Int,
     chunk: BagFormat.BagChunk, conns: Map[Int, BagFormat.BagConnection])
   extends InputPartition
 
-class RosbagScan(path: String, required: StructType, filters: Array[Filter], limit: Int)
+class RosbagScan(path: String, required: StructType, filters: Array[Filter], limit: Int,
+    typed: Option[(String, String)] = None, includeRaw: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -147,11 +173,14 @@ class RosbagScan(path: String, required: StructType, filters: Array[Filter], lim
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new RosbagReaderFactory(required, filters, limit)
+  override def createReaderFactory(): PartitionReaderFactory = typed match {
+    case Some((dt, msgDef)) => new RosbagTypedReaderFactory(dt, msgDef, required, includeRaw, filters)
+    case None => new RosbagReaderFactory(required, filters, limit)
+  }
 
   override def description(): String =
-    s"rosbag $path, pushedFilters=[${filters.mkString(", ")}], limit=$limit"
+    s"rosbag $path${typed.map(t => s" typed=${t._1}").getOrElse("")}, " +
+      s"pushedFilters=[${filters.mkString(", ")}], limit=$limit"
 }
 
 class RosbagReaderFactory(required: StructType, filters: Array[Filter], limit: Int)

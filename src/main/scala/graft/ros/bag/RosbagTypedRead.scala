@@ -1,0 +1,108 @@
+package graft.ros.bag
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.ros.{MsgDefParser, RosMsgBundle, RosSchemaMapper}
+
+/** Typed in-place bag reads: `spark.read.format("rosbag")
+  * .option("datatype", "sensor_msgs/Imu").load(path)` decodes the
+  * flattened per-type schema DIRECTLY inside the source's
+  * PartitionReader — querying the bag without converting it first.
+  * The reference's pitch is convert-then-query (README.md:2); this adds
+  * query-in-place on top: the same flatten/decode used by the ETL, but
+  * streamed straight into Catalyst as InternalRows (SURVEY.md §1.1's
+  * "row-based PartitionReader[InternalRow]" analog).
+  *
+  * Schema: spine meta (chunk_idx, offset, time_sec, time_nsec,
+  * connection_id) ++ flattened payload columns (reserved names get
+  * `_field` like the ETL). The raw blob is included only when
+  * `option("includeRaw", "true")`.
+  */
+object RosbagTypedRead {
+  val MetaFields: Seq[StructField] = Seq(
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("offset", IntegerType, nullable = false),
+    StructField("time_sec", IntegerType, nullable = false),
+    StructField("time_nsec", IntegerType, nullable = false),
+    StructField("connection_id", IntegerType, nullable = false))
+
+  private val reserved = MetaFields.map(_.name).toSet + "data"
+
+  def bundleFor(path: String, datatype: String): RosMsgBundle = {
+    val conn = RosbagIO.scanIndex(path).connections.find(_.datatype == datatype)
+      .getOrElse(throw new IllegalArgumentException(
+        s"datatype $datatype not present in bag $path"))
+    MsgDefParser.parse(datatype, conn.msgDef)
+  }
+
+  def typedSchema(bundle: RosMsgBundle, includeRaw: Boolean): StructType = {
+    val payload = RosSchemaMapper.flatSchema(bundle).fields.map(f =>
+      if (reserved(f.name)) f.copy(name = f.name + "_field") else f)
+    val raw = if (includeRaw) Seq(StructField("data", BinaryType, nullable = false)) else Nil
+    StructType(MetaFields ++ payload ++ raw)
+  }
+
+  /** Scala decode value → Catalyst internal value, per data type. */
+  def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: String, StringType) => UTF8String.fromString(s)
+    case (b: Array[Byte], BinaryType) => b
+    case (seq: Seq[_], ArrayType(et, _)) =>
+      new GenericArrayData(seq.map(toCatalyst(_, et)).toArray)
+    case (r: org.apache.spark.sql.Row, st: StructType) =>
+      InternalRow.fromSeq(r.toSeq.zip(st.fields).map { case (x, f) => toCatalyst(x, f.dataType) })
+    case (x, _) => x
+  }
+}
+
+class RosbagTypedReaderFactory(datatype: String, msgDef: String,
+    required: StructType, includeRaw: Boolean,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RosbagInputPartition]
+    new RosbagTypedPartitionReader(p, datatype, msgDef, required, includeRaw, filters)
+  }
+}
+
+class RosbagTypedPartitionReader(p: RosbagInputPartition, datatype: String,
+    msgDef: String, required: StructType, includeRaw: Boolean,
+    filters: Array[org.apache.spark.sql.sources.Filter])
+    extends PartitionReader[InternalRow] {
+  import RosbagTypedRead._
+
+  private lazy val bundle = MsgDefParser.parse(datatype, msgDef)
+  private lazy val fullSchema = typedSchema(bundle, includeRaw)
+  // index of each required column in the full typed row
+  private lazy val projection: Array[Int] =
+    required.fields.map(f => fullSchema.fieldIndex(f.name))
+  private lazy val typeConns = p.conns.filter(_._2.datatype == datatype).keySet
+
+  private lazy val messages: Iterator[BagFormat.BagMessage] = {
+    val data = RosbagIO.readChunkData(p.path, p.chunk)
+    BagFormat.chunkMessages(p.chunk, data).iterator
+      .filter(m => typeConns.contains(m.connId))
+      // pushed meta filters skip whole messages BEFORE the decode cost
+      .filter(m => filters.forall(f => RosbagFilters.eval(f, m, p.conns(m.connId))))
+  }
+  private var current: BagFormat.BagMessage = _
+
+  override def next(): Boolean =
+    if (messages.hasNext) { current = messages.next(); true } else false
+
+  override def get(): InternalRow = {
+    val vals = RosSchemaMapper.decode(bundle, current.data)
+    val meta: Seq[Any] = Seq(p.chunkIdx, current.offsetInChunk,
+      current.timeSec, current.timeNsec, current.connId)
+    val raw: Seq[Any] = if (includeRaw) Seq(current.data) else Nil
+    val full = meta ++ vals ++ raw
+    InternalRow.fromSeq(projection.toSeq.map { i =>
+      toCatalyst(full(i), fullSchema.fields(i).dataType)
+    })
+  }
+
+  override def close(): Unit = ()
+}

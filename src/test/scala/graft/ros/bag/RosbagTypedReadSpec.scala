@@ -1,0 +1,38 @@
+package graft.ros.bag
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class RosbagTypedReadSpec extends SparkTestBase {
+  test("typed in-place read: flattened schema, values, pruning, filters") {
+    val bag = graft.ros.etl.BagEtlMain.demoBag()   // 100 msgs, 2 conns, Imu
+    val df = spark.read.format("rosbag")
+      .option("datatype", "sensor_msgs/Imu").load(bag)
+    // schema: meta ++ flattened Imu fields, no raw blob by default
+    assert(df.schema.fieldNames.take(5).toSeq ==
+      Seq("chunk_idx", "offset", "time_sec", "time_nsec", "connection_id"))
+    assert(df.schema.fieldNames.contains("header_frame_id"))
+    assert(!df.schema.fieldNames.contains("data"))
+    assert(df.count() == 100)
+    // decoded values present and queryable without any ETL
+    val agg = df.groupBy(col("connection_id"))
+      .agg(count(lit(1)).as("n"), max(col("linear_acceleration_x")).as("mx"))
+      .orderBy("connection_id").collect()
+    assert(agg.map(_.getLong(1)).toSeq == Seq(50L, 50L))
+    // pushed meta filter halves the read
+    assert(df.filter(col("time_sec") >= 1700000025).count() == 50)
+    // includeRaw variant round-trips the blob
+    val withRaw = spark.read.format("rosbag")
+      .option("datatype", "sensor_msgs/Imu").option("includeRaw", "true").load(bag)
+    assert(withRaw.schema.fieldNames.last == "data")
+    assert(withRaw.select("data").head().getAs[Array[Byte]](0).nonEmpty)
+  }
+
+  test("typed read of unknown datatype fails loudly") {
+    val bag = graft.ros.etl.BagEtlMain.demoBag()
+    val e = intercept[Exception] {
+      spark.read.format("rosbag").option("datatype", "nope/Nope").load(bag).count()
+    }
+    assert(e.getMessage.contains("nope/Nope"))
+  }
+}
