@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigated equi join: explode the hot-key concentration by
+  * salting. The large (skewed) side gets a deterministic salt in
+  * [0, salts) derived from a per-row tie-break column; the small side
+  * is replicated once per salt value; the join key becomes
+  * (key, salt) — a single hot key now spreads across `salts` tasks.
+  *
+  * AQE's skew-join handles many cases at runtime (sort-merge splits);
+  * salting is the explicit form for when the skew is known and extreme
+  * (one key >> task memory) or the join isn't SMJ. Results are
+  * identical to the plain join (salt is derived, never random —
+  * deterministic re-execution matters under task retries).
+  */
+object SaltedJoin {
+  /** @param large    skewed fact side
+    * @param small    replicable side (salts x its size must stay small)
+    * @param key      equi-key column name on both sides
+    * @param tieBreak any column on `large` with per-row variety (e.g. a
+    *                 unique id) — drives the deterministic salt
+    * @param salts    number of salt buckets for hot keys
+    */
+  def apply(large: DataFrame, small: DataFrame, key: String,
+            tieBreak: Column, salts: Int, joinType: String = "inner"): DataFrame = {
+    val l = large.withColumn("__salt", pmod(xxhash64(tieBreak), lit(salts)).cast("int"))
+    val s = small.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    l.join(s, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}
