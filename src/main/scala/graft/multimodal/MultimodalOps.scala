@@ -81,7 +81,8 @@ object MultimodalOps {
     */
   def repartitionByBlobBudget(df: DataFrame, blobCol: String,
                               targetBytes: Long = 128L << 20): DataFrame = {
-    val total = df.agg(sum(length(col(blobCol)))).head().getLong(0)
+    val total = df.agg(coalesce(sum(length(col(blobCol)).cast("long")), lit(0L)))
+      .head().getLong(0)
     val parts = math.max(1, math.min(10000, (total / targetBytes).toInt + 1))
     df.repartition(parts)
   }

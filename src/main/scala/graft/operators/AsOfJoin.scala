@@ -28,22 +28,27 @@ object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame, key: String,
             leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val rightCols = right.columns.toSeq
+    val lvType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => left.schema(left.schema.fieldIndex(c))))
+    // ALL carried values travel in ONE struct: the struct is non-null
+    // for every left row (even if its fields are null), so
+    // last(ignoreNulls) distinguishes "no left row yet" (null struct)
+    // from "left value is null" — and a right row can never mix fields
+    // from different left rows.
     val l = left.select(
       (col(key).as("__k") +: col(leftTs).as("__ts") +: lit(0).as("__tag") +:
-        valueCols.map(c => col(c).as(s"__v_$c"))) ++
+        struct(valueCols.map(col): _*).as("__lv") +: Nil) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
     val r = right.select(
       (col(key).as("__k") +: col(rightTs).cast(left.schema(leftTs).dataType).as("__ts") +:
-        lit(1).as("__tag") +:
-        valueCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__v_$c"))) ++
+        lit(1).as("__tag") +: lit(null).cast(lvType).as("__lv") +: Nil) ++
         rightCols.map(col): _*)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__v_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1)
-      .select(rightCols.map(col) ++ valueCols.map(c => col(s"__v_$c").as(c)): _*)
+    l.unionByName(r)
+      .withColumn("__lv", last(col("__lv"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(rightCols.map(col) ++ valueCols.map(c => col(s"__lv.$c").as(c)): _*)
   }
 }

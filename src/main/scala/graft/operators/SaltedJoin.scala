@@ -25,6 +25,12 @@ object SaltedJoin {
     */
   def apply(large: DataFrame, small: DataFrame, key: String,
             tieBreak: Column, salts: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit `salts` null-padded copies of every
+    // unmatched small-side row (the replication has no inverse there)
+    val supported = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+    require(supported(joinType.toLowerCase),
+      s"SaltedJoin does not support $joinType (small side is replicated)")
     val l = large.withColumn("__salt", pmod(xxhash64(tieBreak), lit(salts)).cast("int"))
     val s = small.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     l.join(s, Seq(key, "__salt"), joinType).drop("__salt")

@@ -410,7 +410,7 @@ object CoreQueries {
     "q23_range_join" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
         |SELECT o_orderkey, COUNT(event_id) AS n_events
-        |FROM orders LEFT JOIN events
+        |FROM orders LEFT JOIN ev
         |  ON user_id = o_custkey
         | AND ts BETWEEN o_orderdate - INTERVAL 1 DAY AND o_orderdate + INTERVAL 1 DAY
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin

@@ -30,7 +30,8 @@ object BagFormat {
   val OpChunkInfo: Byte = 0x06
   val OpConnection: Byte = 0x07
 
-  final case class Record(header: Map[String, Array[Byte]], data: Array[Byte]) {
+  final case class Record(header: Map[String, Array[Byte]], data: Array[Byte],
+                          wireLen: Long) {
     def op: Byte = header("op")(0)
     def str(k: String): String = new String(header(k), StandardCharsets.UTF_8)
     def u32(k: String): Int = ByteBuffer.wrap(header(k)).order(ByteOrder.LITTLE_ENDIAN).getInt()
@@ -70,17 +71,23 @@ object BagFormat {
     m.toMap
   }
 
-  /** Read one record from a stream; returns None at clean EOF. */
+  /** Read one record from a stream; returns None at clean EOF. Short
+    * reads (network streams return 1-3 of the 4 prefix bytes) are
+    * handled by probing one byte then readFully-ing the rest; wireLen
+    * carries the EXACT on-wire record size so callers track positions
+    * without re-deriving lengths from the parsed (deduplicated) header.
+    */
   def readRecord(in: DataInputStream): Option[Record] = {
-    val hlenBytes = new Array[Byte](4)
-    val first = in.read(hlenBytes)
+    val first = in.read()
     if (first < 0) return None
-    require(first == 4, "truncated record length")
+    val hlenBytes = new Array[Byte](4)
+    hlenBytes(0) = first.toByte
+    in.readFully(hlenBytes, 1, 3)
     val hlen = ByteBuffer.wrap(hlenBytes).order(ByteOrder.LITTLE_ENDIAN).getInt()
     val header = new Array[Byte](hlen); in.readFully(header)
     val dlen = readU32(in)
     val data = new Array[Byte](dlen); in.readFully(data)
-    Some(Record(parseHeader(header), data))
+    Some(Record(parseHeader(header), data, 8L + hlen + dlen))
   }
 
   private def readU32(in: DataInputStream): Int = {
@@ -104,24 +111,21 @@ object BagFormat {
       var rec = readRecord(in)
       while (rec.isDefined) {
         val r = rec.get
-        val recLen = 8L + headerLen(r.header) + r.data.length
         r.op match {
           case OpChunk =>
-            val dataOffset = pos + 4 + headerLen(r.header) + 4
+            // header portion = wireLen minus the two u32 prefixes and data
+            val dataOffset = pos + (r.wireLen - r.data.length)
             chunks += BagChunk(pos, r.str("compression"), r.u32("size"), dataOffset, r.data.length)
             collectChunkConnections(r.data, conns)
           case OpConnection => addConnection(r, conns)
           case _ => ()
         }
-        pos += recLen
+        pos += r.wireLen
         rec = readRecord(in)
       }
       BagIndex(conns.values.toSeq, chunks.toSeq)
     } finally in.close()
   }
-
-  private def headerLen(h: Map[String, Array[Byte]]): Int =
-    h.map { case (k, v) => 4 + k.length + 1 + v.length }.sum
 
   private def collectChunkConnections(chunkData: Array[Byte],
       conns: scala.collection.mutable.LinkedHashMap[Int, BagConnection]): Unit =
@@ -166,7 +170,7 @@ object BagFormat {
         val (sec, nsec) = r.time("time")
         out += BagMessage(r.u32("conn"), sec, nsec, off, r.data)
       }
-      off += 8 + headerLen(r.header) + r.data.length
+      off += r.wireLen.toInt
       rec = readRecord(in)
     }
     out.toSeq

@@ -19,7 +19,8 @@ final case class RosbagOffset(chunkCount: Long) extends Offset {
 }
 
 class RosbagMicroBatchStream(path: String, required: StructType,
-    filters: Array[Filter]) extends MicroBatchStream {
+    filters: Array[Filter], typed: Option[(String, String)] = None,
+    includeRaw: Boolean = false) extends MicroBatchStream {
 
   override def initialOffset(): Offset = RosbagOffset(0L)
 
@@ -43,8 +44,11 @@ class RosbagMicroBatchStream(path: String, required: StructType,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new RosbagReaderFactory(required, filters, limit = -1)
+  override def createReaderFactory(): PartitionReaderFactory = typed match {
+    case Some((dt, msgDef)) =>
+      new RosbagTypedReaderFactory(dt, msgDef, required, includeRaw, filters)
+    case None => new RosbagReaderFactory(required, filters, limit = -1)
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

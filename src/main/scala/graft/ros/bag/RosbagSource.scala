@@ -163,7 +163,7 @@ class RosbagScan(path: String, required: StructType, filters: Array[Filter], lim
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new RosbagMicroBatchStream(path, required, filters)
+    new RosbagMicroBatchStream(path, required, filters, typed, includeRaw)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val index = RosbagIO.scanIndex(path)

@@ -17,8 +17,12 @@ object RosbagTables {
     StructField("msg_def", StringType, nullable = false),
     StructField("callerid", StringType, nullable = false)))
 
-  def connections(spark: SparkSession, path: String): DataFrame = {
-    val rows = RosbagIO.scanIndex(path).connections.map(c =>
+  def connections(spark: SparkSession, path: String): DataFrame =
+    fromIndex(spark, RosbagIO.scanIndex(path))
+
+  /** Build from an already-scanned index (avoids a second file scan). */
+  def fromIndex(spark: SparkSession, index: BagFormat.BagIndex): DataFrame = {
+    val rows = index.connections.map(c =>
       Row(c.connId, c.topic, c.datatype, c.md5sum, c.msgDef, c.callerid))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ConnectionsSchema)
   }

@@ -37,17 +37,7 @@ object BagEtl {
     val index = graft.ros.bag.RosbagIO.scanIndex(bagPath)
 
     // Connections dimension (reference FlattenedRosWriter.cpp:209-224).
-    val connRows = index.connections.map(c =>
-      Row(c.connId, c.topic, c.datatype, c.md5sum, c.msgDef, c.callerid))
-    val connSchema = StructType(Seq(
-      StructField("connection_id", IntegerType, nullable = false),
-      StructField("topic", StringType, nullable = false),
-      StructField("datatype", StringType, nullable = false),
-      StructField("md5sum", StringType, nullable = false),
-      StructField("msg_def", StringType, nullable = false),
-      StructField("callerid", StringType, nullable = false)))
-    val connections = spark.createDataFrame(
-      spark.sparkContext.parallelize(connRows, 1), connSchema)
+    val connections = graft.ros.bag.RosbagTables.fromIndex(spark, index)
 
     // md5 consistency per datatype (reference FlattenedRosWriter.cpp:287).
     index.connections.groupBy(_.datatype).foreach { case (dt, cs) =>
@@ -98,12 +88,10 @@ object BagEtl {
           .option("compression", "snappy").parquet(s"$out/$tableName.parquet")
         ddl ++= VerticaDdl.createTable(tableName, df.schema) ++= "\n"
     }
-    // drop the temp spine
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete()
-    }
-    if (!bagPath.contains("://")) rmrf(new java.io.File(spineDir))
+    // drop the temp spine (Hadoop FS: works for file:// and remote FS)
+    val spinePath = new org.apache.hadoop.fs.Path(spineDir)
+    spinePath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .delete(spinePath, true)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$out/vertica_load_tables.sql"), ddl.toString)
 

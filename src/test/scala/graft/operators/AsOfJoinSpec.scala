@@ -38,4 +38,18 @@ class AsOfJoinSpec extends SparkTestBase {
       .orderBy("o_orderkey").collect().map(r => (r.getLong(0), r.get(1)))
     assert(viaOperator.toSeq == viaQuery.toSeq)
   }
+
+  test("genuinely-null left values carry as null, not skipped (regression)") {
+    import spark.implicits._
+    val sensors = Seq(
+      (1L, 10L, Some("a10"), Some(1.0)),
+      (1L, 20L, None: Option[String], Some(2.0))   // v null at ts=20
+    ).toDF("dev", "ts", "v", "x")
+    val queries = Seq((1L, 25L)).toDF("dev", "qts")
+    val out = AsOfJoin(sensors, queries, "dev", "ts", "qts", Seq("v", "x")).head()
+    // latest preceding left row is ts=20: v must be null (not stale a10),
+    // x must be 2.0 from the SAME row (no cross-row mixing)
+    assert(out.isNullAt(out.fieldIndex("v")))
+    assert(out.getDouble(out.fieldIndex("x")) == 2.0)
+  }
 }

@@ -35,4 +35,17 @@ class RosbagTypedReadSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("nope/Nope"))
   }
+
+  test("typed STREAMING read decodes payload columns (regression)") {
+    val bag = graft.ros.etl.BagEtlMain.demoBag()
+    val stream = spark.readStream.format("rosbag")
+      .option("datatype", "sensor_msgs/Imu").load(bag)
+      .select("connection_id", "header_frame_id")
+    val q = stream.writeStream.format("memory").queryName("typedtail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val t = spark.table("typedtail")
+    assert(t.count() == 100)
+    assert(t.select("header_frame_id").head().getString(0).startsWith("f"))
+  }
 }
