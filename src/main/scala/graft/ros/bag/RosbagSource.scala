@@ -237,9 +237,18 @@ object RosbagIO {
     (p.getFileSystem(conf), p)
   }
 
+  // Index cache keyed by (path, mtime, length): every Spark action
+  // re-plans the scan, and an uncached scanIndex re-reads the WHOLE bag
+  // driver-side per action (5+ full-file passes per ETL run). The key
+  // invalidates on append (tailing) since mtime/length change.
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), BagFormat.BagIndex]()
+
   def scanIndex(path: String): BagFormat.BagIndex = {
     val (filesystem, p) = fs(path)
-    BagFormat.scanIndex(() => filesystem.open(p))
+    val st = filesystem.getFileStatus(p)
+    indexCache.computeIfAbsent((path, st.getModificationTime, st.getLen),
+      _ => BagFormat.scanIndex(() => filesystem.open(p)))
   }
 
   def readChunkData(path: String, chunk: BagFormat.BagChunk): Array[Byte] = {
