@@ -64,34 +64,39 @@ object BagEtl {
     connections.write.mode(SaveMode.ErrorIfExists)
       .option("compression", "snappy").parquet(s"$out/Connections.parquet")
 
-    // ONE pass over the bag: write the sequenced spine partitioned by
-    // datatype. Each per-type decode then reads only its partition
-    // directory (partition pruning — no bag re-scan, no seqno
-    // recompute per type; the reference's route-by-type dispatch,
-    // FlattenedRosWriter.cpp:273-289, becomes a dynamic-partition
-    // write). The spine is a temp dataset dropped after conversion.
-    val spineDir = s"$out/_spine"
-    spine.select(col("seqno"), col("connection_id"), col("data"), col("datatype"))
-      .write.partitionBy("datatype")
-      .option("compression", "snappy").parquet(spineDir)
+    // Seqno map: (chunk_idx, offset) -> seqno, ints only — the blobs
+    // never ride a seqno shuffle. Each per-type table is a TYPED
+    // source read (decode happens inside the PartitionReader as
+    // InternalRows — no Row/encoder boxing) joined to the seqno map on
+    // the stable storage identity. The reference's route-by-type
+    // dispatch (FlattenedRosWriter.cpp:273-289) is the datatype option
+    // pushed into the source.
+    val seqnoDir = s"$out/_seqno"
+    spine.select(col("chunk_idx"), col("offset"), col("seqno"))
+      .write.option("compression", "snappy").parquet(seqnoDir)
+    val seqnoMap = spark.read.parquet(seqnoDir)
 
     val ddl = new StringBuilder
     index.connections.map(c => (c.datatype, c.msgDef)).distinct.foreach {
-      case (datatype, msgDef) =>
-        val bundle = MsgDefParser.parse(datatype, msgDef)
+      case (datatype, _) =>
         val tableName = datatype.replace("/", "_")  // reference MessageTable.cpp:315
-        val part = spark.read.parquet(spineDir)
-          .filter(col("datatype") === datatype)
-          .select(col("seqno"), col("connection_id"), col("data"))
-        val df = decodeRows(spark, part, bundle)
+        val typed = spark.read.format("rosbag")
+          .option("datatype", datatype).option("includeRaw", "true")
+          .load(bagPath)
+        val payload = typed.columns.filterNot(Set(
+          "chunk_idx", "offset", "time_sec", "time_nsec", "connection_id", "data"))
+        val df = typed
+          .join(seqnoMap, Seq("chunk_idx", "offset"))
+          .select(col("seqno") +: payload.map(col).toSeq :+
+            col("connection_id") :+ col("data"): _*)
         df.write.mode(SaveMode.ErrorIfExists)
           .option("compression", "snappy").parquet(s"$out/$tableName.parquet")
         ddl ++= VerticaDdl.createTable(tableName, df.schema) ++= "\n"
     }
-    // drop the temp spine (Hadoop FS: works for file:// and remote FS)
-    val spinePath = new org.apache.hadoop.fs.Path(spineDir)
-    spinePath.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      .delete(spinePath, true)
+    // drop the temp seqno map (Hadoop FS: works for file:// and remote)
+    val seqnoPath = new org.apache.hadoop.fs.Path(seqnoDir)
+    seqnoPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .delete(seqnoPath, true)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$out/vertica_load_tables.sql"), ddl.toString)
 

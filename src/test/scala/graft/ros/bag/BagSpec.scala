@@ -114,6 +114,20 @@ class BagSpec extends SparkTestBase {
     assert(graft.ros.etl.BagEtl.versionedOutputDir(out) == s"$out.1")
   }
 
+  test("decodeRows re-materializes blobs into typed columns (SURVEY 7.7)") {
+    val path = writeFixtureBag(3, messagesPerChunk = 10)
+    val out = Files.createTempDirectory("graft_rem").toString + "/out"
+    graft.ros.etl.BagEtl.run(spark, path, out)
+    // take only (seqno, connection_id, data) — as a downstream consumer
+    // holding raw blobs would — and decode back to typed columns
+    val blobs = spark.read.parquet(s"$out/sensor_msgs_Imu.parquet")
+      .select("seqno", "connection_id", "data")
+    val typed = graft.ros.etl.BagEtl.decodeRows(spark, blobs, imuBundle)
+    assert(typed.count() == 3)
+    assert(typed.filter(col("seqno") === 2).head()
+      .getAs[String]("header_frame_id") == "frame2")
+  }
+
   test("seqno is merge-time order across chunks, not storage order") {
     // two connections, interleaved timestamps, one chunk each
     val conn0 = BagConnection(0, "/a", "sensor_msgs/Imu", Fixtures.imuMd5, Fixtures.imuDef, "")
