@@ -192,7 +192,7 @@ object CoreQueries {
       events(s, d).select(
         col("event_id"),
         (us(col("ts")) / lit(1000000L)).cast("long").as("sec"),
-        pmod(us(col("ts")), lit(1000000L)).as("micros"),
+        (us(col("ts")) % lit(1000000L)).as("micros"),   // % matches DuckDB
         ntz(timestamp_micros(us(col("ts")))).as("rebuilt"),
         ntz(date_trunc("day", col("ts"))).as("day"))
         .orderBy(col("event_id"))),
@@ -216,7 +216,7 @@ object CoreQueries {
         size(col("embedding")).cast("long").as("dim"),
         element_at(col("embedding"), 1).as("first_elem"),
         element_at(col("embedding"), -1).as("last_elem"),
-        round(sqrt(aggregate(col("embedding"), lit(0.0),
+        rk(sqrt(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("l2_norm"))
         .orderBy(col("vec_id"))),
 
@@ -314,12 +314,12 @@ object CoreQueries {
       """SELECT n_name, kind, cnt FROM (
         |  SELECT n_name, 'with_orders' AS kind, COUNT(*) AS cnt
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |  GROUP BY n_name
         |  UNION ALL
         |  SELECT n_name, 'without_orders' AS kind, COUNT(*) AS cnt
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |  GROUP BY n_name)
         |ORDER BY n_name, kind""".stripMargin,
     "q10_global_seqno" ->
@@ -389,8 +389,9 @@ object CoreQueries {
     "q20_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |       embedding[1] AS first_elem, embedding[-1] AS last_elem,
-        |       ROUND(sqrt(list_sum(list_transform(embedding,
-        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+        |       FLOOR(sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q21_cube" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)

@@ -98,7 +98,7 @@ object LlmQueries {
   }
 
   /** 16 minhash values per doc: min over shingles of xxhash64(seed_i, s). */
-  private val NumHashes = 16
+  private val NumHashes = MinHashUnion.NumHashes  // single source of truth
 
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val exploded = docToks(s, d)
@@ -247,9 +247,8 @@ object LlmQueries {
         Array.fill(bits)(Array.fill(64)(rnd.nextGaussian()))
       def sig(v: Column): Column =
         (0 until bits).map { j =>
-          val dot = aggregate(
-            zip_with(v, lit(planes(j)), (x, p) => x.cast("double") * p),
-            lit(0.0), (acc, x) => acc + x)
+          // native codegen'd dot (float planes) — not the interpreted fold
+          val dot = dotd(v, typedLit(planes(j).map(_.toFloat)))
           when(dot > 0, shiftleft(lit(1), j)).otherwise(lit(0))
         }.reduce((x, y) => x.bitwiseOR(y))
       val e = spread(embeddings(s, d), col("vec_id"))
@@ -299,8 +298,9 @@ object LlmQueries {
     // Q33 — quality scoring: char length, token count, mean token
     // length, stopword ratio — length/stopword heuristics per doc.
     "q33_quality" -> ((s, d) =>
-      docToks(s, d)
-        .join(documents(s, d).select(col("doc_id"), length(col("text")).cast("long").as("n_chars")), "doc_id")
+      spread(documents(s, d), col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"),
+          length(col("text")).cast("long").as("n_chars"))
         .select(
           col("doc_id"), col("n_chars"),
           size(col("toks")).cast("long").as("n_tokens"),
@@ -352,12 +352,12 @@ object LlmQueries {
         |FROM c ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
     "q26_token_topk" ->
       """SELECT tok AS token, COUNT(*) AS cnt FROM (
-        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
         |  FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     "q27_ngram_jaccard" ->
       """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
@@ -389,7 +389,7 @@ object LlmQueries {
         |FROM p ORDER BY cos DESC, va, vb LIMIT 20""".stripMargin,
     "q32_langid" ->
       """WITH t AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS t
         |  FROM documents),
         |s AS (
         |  SELECT doc_id,
@@ -407,7 +407,7 @@ object LlmQueries {
     "q33_quality" ->
       """WITH t AS (
         |  SELECT doc_id, length(text) AS n_chars,
-        |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
         |  FROM documents)
         |SELECT doc_id, n_chars, len(toks) AS n_tokens,
         |       FLOOR(CAST(list_reduce(list_prepend(0, list_transform(toks,

@@ -38,7 +38,7 @@ object MinHashUnion extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
 
   override def bufferEncoder: Encoder[Array[Long]] =
-    Encoders.javaSerialization[Array[Long]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 

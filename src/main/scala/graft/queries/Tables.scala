@@ -28,10 +28,16 @@ object Tables {
     * oracle SQL applies on its side). The raw nanos stay as `ts_ns`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Deliberately session-wide: the conf must hold at ACTION time (the
+    // scan runs lazily), so a set/restore scope would break the read.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FLOOR division to micros (pmod keeps it exact in the long domain):
+    // `div` truncates toward zero, which would disagree with DuckDB's
+    // flooring TIMESTAMP_NS cast for pre-epoch nanos.
     t(s, d, "events")
       .withColumn("ts_ns", col("ts").cast("long"))
-      .withColumn("ts", ntz(timestamp_micros(expr("ts_ns div 1000"))))
+      .withColumn("ts", ntz(timestamp_micros(
+        expr("(ts_ns - pmod(ts_ns, 1000L)) div 1000"))))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
@@ -63,8 +69,9 @@ object Tables {
     floor(c * lit(p) + lit(0.5)) / lit(p)
   }
 
-  /** Tokens of lower-cased text split on whitespace, empties dropped —
-    * mirrors DuckDB list_filter(regexp_split_to_array(lower(x),'\s+'), ...).
+  /** Tokens of lower-cased text split on the \s+ regex, empties
+    * dropped. Oracles MUST use regexp_split_to_array(lower(x), '\s+')
+    * — a single-space string_split diverges on tabs/newlines.
     */
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), x => x =!= lit(""))
