@@ -49,10 +49,13 @@ object BagFormat {
     * the reference's `?: ""`.
     */
   final case class BagConnection(connId: Int, topic: String, datatype: String,
-                                 md5sum: String, msgDef: String, callerid: String)
+                                 md5sum: String, msgDef: String, callerid: String,
+                                 header: Map[String, String] = Map.empty)
 
   final case class BagChunk(pos: Long, compression: String, uncompressedSize: Int,
-                            dataOffset: Long, dataLength: Int)
+                            dataOffset: Long, dataLength: Int,
+                            startTime: Option[(Int, Int)] = None,
+                            endTime: Option[(Int, Int)] = None)
 
   final case class BagIndex(connections: Seq[BagConnection], chunks: Seq[BagChunk])
 
@@ -108,6 +111,7 @@ object BagFormat {
       var pos: Long = Magic.length
       val conns = scala.collection.mutable.LinkedHashMap[Int, BagConnection]()
       val chunks = scala.collection.mutable.ArrayBuffer[BagChunk]()
+      val chunkTimes = scala.collection.mutable.HashMap[Long, ((Int, Int), (Int, Int))]()
       var rec = readRecord(in)
       while (rec.isDefined) {
         val r = rec.get
@@ -118,12 +122,22 @@ object BagFormat {
             chunks += BagChunk(pos, r.str("compression"), r.u32("size"), dataOffset, r.data.length)
             collectChunkConnections(r.data, conns)
           case OpConnection => addConnection(r, conns)
+          case OpChunkInfo =>
+            // per-chunk time range — the stats readers use to skip
+            // chunks (reference README.md:8)
+            chunkTimes += r.u64("chunk_pos") -> (r.time("start_time"), r.time("end_time"))
           case _ => ()
         }
         pos += r.wireLen
         rec = readRecord(in)
       }
-      BagIndex(conns.values.toSeq, chunks.toSeq)
+      val withTimes = chunks.map { c =>
+        chunkTimes.get(c.pos) match {
+          case Some((st, et)) => c.copy(startTime = Some(st), endTime = Some(et))
+          case None => c
+        }
+      }
+      BagIndex(conns.values.toSeq, withTimes.toSeq)
     } finally in.close()
   }
 
@@ -139,8 +153,12 @@ object BagFormat {
     if (!conns.contains(id)) {
       val ch = parseHeader(r.data)
       def s(k: String) = ch.get(k).map(new String(_, StandardCharsets.UTF_8)).getOrElse("")
+      // full raw header as a string map — the reference reads callerid
+      // via header->find (FlattenedRosWriter.cpp:218-220); keeping the
+      // whole map preserves foreign keys (latching, etc.)
+      val headerMap = ch.map { case (k, v) => k -> new String(v, StandardCharsets.UTF_8) }
       conns += id -> BagConnection(id, r.str("topic"), s("type"), s("md5sum"),
-        s("message_definition"), s("callerid"))
+        s("message_definition"), s("callerid"), headerMap)
     }
   }
 
@@ -207,6 +225,7 @@ object BagFormat {
         "topic" -> c.topic.getBytes(StandardCharsets.UTF_8)), ch)
     }
 
+    val chunkInfos = scala.collection.mutable.ArrayBuffer[(Long, (Int, Int), (Int, Int), Int)]()
     messages.grouped(messagesPerChunk).foreach { group =>
       val chunkBody = new ByteArrayOutputStream()
       connRecords.foreach { case (h, d) => writeRecord(chunkBody, h, d) }
@@ -219,11 +238,22 @@ object BagFormat {
       val ch = fields("op" -> Array(OpChunk),
         "compression" -> "none".getBytes(StandardCharsets.UTF_8),
         "size" -> le32(body.length))
+      val posBefore = out.size().toLong
       writeRecord(out, ch, body)
+      val st = group.map(m => (m.timeSec, m.timeNsec)).min
+      val et = group.map(m => (m.timeSec, m.timeNsec)).max
+      chunkInfos += ((posBefore, st, et, group.size))
     }
 
-    // trailing index section: connection records again (spec)
+    // trailing index section: connection records + chunk info (spec)
     connRecords.foreach { case (h, d) => writeRecord(out, h, d) }
+    chunkInfos.foreach { case (chunkPos, st, et, count) =>
+      val h = fields("op" -> Array(OpChunkInfo), "ver" -> le32(1),
+        "chunk_pos" -> le64(chunkPos),
+        "start_time" -> time(st._1, st._2), "end_time" -> time(et._1, et._2),
+        "count" -> le32(1))
+      writeRecord(out, h, Array.empty[Byte])
+    }
     out.toByteArray
   }
 

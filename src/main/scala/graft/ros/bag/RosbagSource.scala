@@ -117,6 +117,30 @@ class RosbagScanBuilder(path: String, fullSchema: StructType,
 
 object RosbagFilters {
   private val cols = Set("connection_id", "topic", "datatype", "time_sec")
+
+  /** Chunk-level pruning: can this chunk possibly contain a row
+    * passing `f`, given its chunk-info time range? Conservative —
+    * chunks without ranges (foreign writers) are never pruned.
+    * The analog of parquet row-group stats pruning, over the bag's
+    * own chunk index (reference README.md:8).
+    */
+  def chunkMayMatch(f: Filter, chunk: BagFormat.BagChunk): Boolean = {
+    (chunk.startTime, chunk.endTime) match {
+      case (Some((sMin, _)), Some((sMax, _))) =>
+        def num(v: Any): Option[Long] = v match {
+          case n: Number => Some(n.longValue()); case _ => None
+        }
+        f match {
+          case GreaterThan("time_sec", v) => num(v).forall(x => sMax > x)
+          case GreaterThanOrEqual("time_sec", v) => num(v).forall(x => sMax >= x)
+          case LessThan("time_sec", v) => num(v).forall(x => sMin < x)
+          case LessThanOrEqual("time_sec", v) => num(v).forall(x => sMin <= x)
+          case EqualTo("time_sec", v) => num(v).forall(x => sMin <= x && x <= sMax)
+          case _ => true
+        }
+      case _ => true
+    }
+  }
   def supported(f: Filter): Boolean = f match {
     case EqualTo(c, _) => cols(c)
     case In(c, _) => cols(c)
@@ -168,9 +192,11 @@ class RosbagScan(path: String, required: StructType, filters: Array[Filter], lim
   override def planInputPartitions(): Array[InputPartition] = {
     val index = RosbagIO.scanIndex(path)
     val conns = index.connections.map(c => c.connId -> c).toMap
-    index.chunks.zipWithIndex.map { case (c, i) =>
-      RosbagInputPartition(path, i, c, conns): InputPartition
-    }.toArray
+    index.chunks.zipWithIndex
+      .filter { case (c, _) => filters.forall(f => RosbagFilters.chunkMayMatch(f, c)) }
+      .map { case (c, i) =>
+        RosbagInputPartition(path, i, c, conns): InputPartition
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = typed match {

@@ -15,7 +15,12 @@ object RosbagTables {
     StructField("datatype", StringType, nullable = false),
     StructField("md5sum", StringType, nullable = false),
     StructField("msg_def", StringType, nullable = false),
-    StructField("callerid", StringType, nullable = false)))
+    StructField("callerid", StringType, nullable = false),
+    // full raw connection header as a string map (reference
+    // FlattenedRosWriter.cpp:218-220's header->find model):
+    // element_at(header, 'latching') etc.
+    StructField("header", MapType(StringType, StringType, valueContainsNull = false),
+      nullable = false)))
 
   def connections(spark: SparkSession, path: String): DataFrame =
     fromIndex(spark, RosbagIO.scanIndex(path))
@@ -23,7 +28,7 @@ object RosbagTables {
   /** Build from an already-scanned index (avoids a second file scan). */
   def fromIndex(spark: SparkSession, index: BagFormat.BagIndex): DataFrame = {
     val rows = index.connections.map(c =>
-      Row(c.connId, c.topic, c.datatype, c.md5sum, c.msgDef, c.callerid))
+      Row(c.connId, c.topic, c.datatype, c.md5sum, c.msgDef, c.callerid, c.header))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ConnectionsSchema)
   }
 }

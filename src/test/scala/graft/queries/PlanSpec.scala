@@ -56,6 +56,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
   }
 
+  test("rosbag source prunes whole chunks from time filters (chunk-info index)") {
+    val path = graft.ros.etl.BagEtlMain.demoBag()   // 100 msgs over 50s, chunks of 16
+    val all = spark.read.format("rosbag").load(path)
+    val filtered = all.filter(org.apache.spark.sql.functions.col("time_sec") >= 1700000040)
+    // partition count == planned chunks; late filter must plan fewer
+    assert(filtered.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      s"no chunk pruning: ${filtered.rdd.getNumPartitions} vs ${all.rdd.getNumPartitions}")
+    assert(filtered.count() == 20)   // rows still exact (per-message filter)
+  }
+
   test("rosbag source reports pushed filters and pruned columns") {
     val path = graft.ros.etl.BagEtlMain.demoBag()
     val df = spark.read.format("rosbag").load(path)
