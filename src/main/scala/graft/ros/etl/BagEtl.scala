@@ -32,8 +32,16 @@ object BagEtl {
     * (rosbag2parquet.h:6-10). `maxMessages` mirrors --max_mbs's
     * test-scope-limiting role (main.cpp:26) with row granularity.
     */
+  /** @param keepRawBlob retain the raw serialized `data` column on
+    *        per-type tables (reference README.md:106 "you don't lose
+    *        any data"). Since this engine ALSO materializes arrays
+    *        (unlike the reference), blob-dominated types store their
+    *        payload twice with the default; pass false for the
+    *        storage-lean layout (the typed columns alone are lossless
+    *        for all materialized fields).
+    */
   def run(spark: SparkSession, bagPath: String, outDir: String,
-          maxMessages: Option[Long] = None): Info = {
+          maxMessages: Option[Long] = None, keepRawBlob: Boolean = true): Info = {
     val index = graft.ros.bag.RosbagIO.scanIndex(bagPath)
 
     // Connections dimension (reference FlattenedRosWriter.cpp:209-224).
@@ -81,14 +89,14 @@ object BagEtl {
       case (datatype, _) =>
         val tableName = datatype.replace("/", "_")  // reference MessageTable.cpp:315
         val typed = spark.read.format("rosbag")
-          .option("datatype", datatype).option("includeRaw", "true")
+          .option("datatype", datatype).option("includeRaw", keepRawBlob.toString)
           .load(bagPath)
         val payload = typed.columns.filterNot(Set(
           "chunk_idx", "offset", "time_sec", "time_nsec", "connection_id", "data"))
+        val frame = col("seqno") +: payload.map(col).toSeq :+ col("connection_id")
         val df = typed
           .join(seqnoMap, Seq("chunk_idx", "offset"))
-          .select(col("seqno") +: payload.map(col).toSeq :+
-            col("connection_id") :+ col("data"): _*)
+          .select((if (keepRawBlob) frame :+ col("data") else frame): _*)
         df.write.mode(SaveMode.ErrorIfExists)
           .option("compression", "snappy").parquet(s"$out/$tableName.parquet")
         ddl ++= VerticaDdl.createTable(tableName, df.schema) ++= "\n"

@@ -128,6 +128,17 @@ class BagSpec extends SparkTestBase {
       .getAs[String]("header_frame_id") == "frame2")
   }
 
+  test("keepRawBlob=false drops the duplicate blob column") {
+    val path = writeFixtureBag(2, messagesPerChunk = 10)
+    val out = Files.createTempDirectory("graft_lean").toString + "/out"
+    graft.ros.etl.BagEtl.run(spark, path, out, keepRawBlob = false)
+    val imu = spark.read.parquet(s"$out/sensor_msgs_Imu.parquet")
+    assert(!imu.schema.fieldNames.contains("data"))
+    assert(imu.schema.fieldNames.last == "connection_id")
+    assert(imu.filter(col("seqno") === 1).head()
+      .getAs[String]("header_frame_id") == "frame1")
+  }
+
   test("seqno is merge-time order across chunks, not storage order") {
     // two connections, interleaved timestamps, one chunk each
     val conn0 = BagConnection(0, "/a", "sensor_msgs/Imu", Fixtures.imuMd5, Fixtures.imuDef, "")
