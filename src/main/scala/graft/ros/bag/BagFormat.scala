@@ -112,15 +112,24 @@ object BagFormat {
       val conns = scala.collection.mutable.LinkedHashMap[Int, BagConnection]()
       val chunks = scala.collection.mutable.ArrayBuffer[BagChunk]()
       val chunkTimes = scala.collection.mutable.HashMap[Long, ((Int, Int), (Int, Int))]()
-      var rec = readRecord(in)
+      // A bag being actively appended may end mid-record; treat that as
+      // "no more complete records" (the next scan sees the finished
+      // record) rather than failing the whole index scan.
+      def nextComplete(): Option[Record] =
+        try readRecord(in) catch { case _: java.io.EOFException => None }
+      var rec = nextComplete()
       while (rec.isDefined) {
         val r = rec.get
         r.op match {
           case OpChunk =>
             // header portion = wireLen minus the two u32 prefixes and data
             val dataOffset = pos + (r.wireLen - r.data.length)
-            chunks += BagChunk(pos, r.str("compression"), r.u32("size"), dataOffset, r.data.length)
-            collectChunkConnections(r.data, conns)
+            val compression = r.str("compression")
+            chunks += BagChunk(pos, compression, r.u32("size"), dataOffset, r.data.length)
+            // embedded records are only parseable for uncompressed
+            // chunks; compressed bags still get connections from the
+            // trailing index section (fail loudly only on data access)
+            if (compression == "none") collectChunkConnections(r.data, conns)
           case OpConnection => addConnection(r, conns)
           case OpChunkInfo =>
             // per-chunk time range — the stats readers use to skip
@@ -129,7 +138,7 @@ object BagFormat {
           case _ => ()
         }
         pos += r.wireLen
-        rec = readRecord(in)
+        rec = nextComplete()
       }
       val withTimes = chunks.map { c =>
         chunkTimes.get(c.pos) match {
@@ -225,7 +234,7 @@ object BagFormat {
         "topic" -> c.topic.getBytes(StandardCharsets.UTF_8)), ch)
     }
 
-    val chunkInfos = scala.collection.mutable.ArrayBuffer[(Long, (Int, Int), (Int, Int), Int)]()
+    val chunkInfos = scala.collection.mutable.ArrayBuffer[(Long, (Int, Int), (Int, Int), Seq[(Int, Int)])]()
     messages.grouped(messagesPerChunk).foreach { group =>
       val chunkBody = new ByteArrayOutputStream()
       connRecords.foreach { case (h, d) => writeRecord(chunkBody, h, d) }
@@ -242,17 +251,21 @@ object BagFormat {
       writeRecord(out, ch, body)
       val st = group.map(m => (m.timeSec, m.timeNsec)).min
       val et = group.map(m => (m.timeSec, m.timeNsec)).max
-      chunkInfos += ((posBefore, st, et, group.size))
+      val perConn = group.groupBy(_.connId).view.mapValues(_.size).toSeq.sortBy(_._1)
+      chunkInfos += ((posBefore, st, et, perConn))
     }
 
-    // trailing index section: connection records + chunk info (spec)
+    // trailing index section: connection records + chunk info (spec:
+    // count = number of (conn, msg-count) pairs carried in the data)
     connRecords.foreach { case (h, d) => writeRecord(out, h, d) }
-    chunkInfos.foreach { case (chunkPos, st, et, count) =>
+    chunkInfos.foreach { case (chunkPos, st, et, perConn) =>
       val h = fields("op" -> Array(OpChunkInfo), "ver" -> le32(1),
         "chunk_pos" -> le64(chunkPos),
         "start_time" -> time(st._1, st._2), "end_time" -> time(et._1, et._2),
-        "count" -> le32(1))
-      writeRecord(out, h, Array.empty[Byte])
+        "count" -> le32(perConn.size))
+      val data = new ByteArrayOutputStream()
+      perConn.foreach { case (conn, n) => data.write(le32(conn)); data.write(le32(n)) }
+      writeRecord(out, h, data.toByteArray)
     }
     out.toByteArray
   }

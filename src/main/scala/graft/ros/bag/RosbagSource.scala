@@ -44,10 +44,15 @@ class RosbagDataSource extends TableProvider with DataSourceRegister {
     }
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new RosbagTable(properties.get("path"),
-      Option(properties.get("datatype")),
-      "true".equalsIgnoreCase(String.valueOf(properties.get("includeRaw"))))
+                        properties: util.Map[String, String]): Table = {
+    // properties arrive case-SENSITIVE; inferSchema saw them case-
+    // insensitively — mismatched handling would silently build a spine
+    // table under a typed schema
+    val opts = new CaseInsensitiveStringMap(properties)
+    new RosbagTable(opts.get("path"),
+      Option(opts.get("datatype")),
+      opts.getBoolean("includeRaw", false))
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -263,18 +268,21 @@ object RosbagIO {
     (p.getFileSystem(conf), p)
   }
 
-  // Index cache keyed by (path, mtime, length): every Spark action
-  // re-plans the scan, and an uncached scanIndex re-reads the WHOLE bag
-  // driver-side per action (5+ full-file passes per ETL run). The key
-  // invalidates on append (tailing) since mtime/length change.
+  // Index cache: every Spark action re-plans the scan, and an uncached
+  // scanIndex re-reads the WHOLE bag driver-side per action. ONE entry
+  // per path (latest version): a tailed bag changes (mtime, length)
+  // every trigger, so versioned keys would leak an index per append.
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), BagFormat.BagIndex]()
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), BagFormat.BagIndex)]()
 
   def scanIndex(path: String): BagFormat.BagIndex = {
     val (filesystem, p) = fs(path)
     val st = filesystem.getFileStatus(p)
-    indexCache.computeIfAbsent((path, st.getModificationTime, st.getLen),
-      _ => BagFormat.scanIndex(() => filesystem.open(p)))
+    val version = (st.getModificationTime, st.getLen)
+    indexCache.compute(path, (_, cached) =>
+      if (cached != null && cached._1 == version) cached
+      else (version, BagFormat.scanIndex(() => filesystem.open(p)))
+    )._2
   }
 
   def readChunkData(path: String, chunk: BagFormat.BagChunk): Array[Byte] = {

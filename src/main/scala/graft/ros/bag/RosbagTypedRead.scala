@@ -29,7 +29,7 @@ object RosbagTypedRead {
     StructField("time_nsec", IntegerType, nullable = false),
     StructField("connection_id", IntegerType, nullable = false))
 
-  private val reserved = MetaFields.map(_.name).toSet + "data"
+  private val reserved = MetaFields.map(_.name).toSet + "data" + "seqno"
 
   def bundleFor(path: String, datatype: String): RosMsgBundle = {
     val conn = RosbagIO.scanIndex(path).connections.find(_.datatype == datatype)
@@ -93,12 +93,25 @@ class RosbagTypedPartitionReader(p: RosbagInputPartition, datatype: String,
   override def next(): Boolean =
     if (messages.hasNext) { current = messages.next(); true } else false
 
+  // column pruning: decode the payload only when a payload column is
+  // actually required (meta-only scans — counts, time filters — keep
+  // the "no decode unless asked" property of the spine reader)
+  private lazy val needsPayload: Boolean =
+    projection.exists(i => i >= MetaFields.size &&
+      !(includeRaw && i == fullSchema.size - 1))
+
   override def get(): InternalRow = {
-    val vals = RosSchemaMapper.decode(bundle, current.data)
-    val meta: Seq[Any] = Seq(p.chunkIdx, current.offsetInChunk,
-      current.timeSec, current.timeNsec, current.connId)
-    val raw: Seq[Any] = if (includeRaw) Seq(current.data) else Nil
-    val full = meta ++ vals ++ raw
+    val nFields = fullSchema.size
+    val full = new Array[Any](nFields)
+    full(0) = p.chunkIdx; full(1) = current.offsetInChunk
+    full(2) = current.timeSec; full(3) = current.timeNsec; full(4) = current.connId
+    if (includeRaw) full(nFields - 1) = current.data
+    if (needsPayload) {
+      val vals = RosSchemaMapper.decode(bundle, current.data)
+      var i = 0
+      val it = vals.iterator
+      while (it.hasNext) { full(MetaFields.size + i) = it.next(); i += 1 }
+    }
     InternalRow.fromSeq(projection.toSeq.map { i =>
       toCatalyst(full(i), fullSchema.fields(i).dataType)
     })

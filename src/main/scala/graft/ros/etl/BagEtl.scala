@@ -21,11 +21,15 @@ import graft.ros.{MsgDefParser, RosMsgBundle, RosSchemaMapper}
 object BagEtl {
   final case class Info(bagname: String, count: Long, sizeBytes: Long)
 
-  /** reference main.cpp:38-54: probe `<base>`, `<base>.1`, ... */
+  /** reference main.cpp:38-54: probe `<base>`, `<base>.1`, ... —
+    * via Hadoop FS so remote outDirs (hdfs://, s3a://) version too.
+    */
   def versionedOutputDir(base: String): String = {
-    val fs = new java.io.File(base)
-    if (!fs.exists()) base
-    else Iterator.from(1).map(i => s"$base.$i").find(p => !new java.io.File(p).exists()).get
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) base
+    else Iterator.from(1).map(i => s"$base.$i")
+      .find(c => !fs.exists(new org.apache.hadoop.fs.Path(c))).get
   }
 
   /** Run the conversion; returns the reference's `info` result
@@ -58,8 +62,12 @@ object BagEtl {
 
     // Global seqno in merge-time order with storage-order tie-break —
     // rosbag::View semantics (reference rosbag2parquet.cpp:45-52;
-    // seqno FlattenedRosWriter.cpp:195,256).
-    val spine = Seqno.globalSeqno(raw,
+    // seqno FlattenedRosWriter.cpp:195,256). Seqno pins its physical
+    // plan before downstream pruning can act, so select the meta
+    // columns FIRST — otherwise every blob rides the range shuffle.
+    val spine = Seqno.globalSeqno(
+      raw.select(col("chunk_idx"), col("offset"), col("time_sec"),
+        col("time_nsec"), col("size"), col("connection_id")),
       Seq(col("time_sec"), col("time_nsec"), col("chunk_idx"), col("offset")))
 
     // Messages fact table (reference FlattenedRosWriter.cpp:49-87).
@@ -85,8 +93,9 @@ object BagEtl {
     val seqnoMap = spark.read.parquet(seqnoDir)
 
     val ddl = new StringBuilder
-    index.connections.map(c => (c.datatype, c.msgDef)).distinct.foreach {
-      case (datatype, _) =>
+    // one table per DATATYPE (two same-type connections may carry
+    // textually different but md5-equal definition strings)
+    index.connections.map(_.datatype).distinct.foreach { datatype =>
         val tableName = datatype.replace("/", "_")  // reference MessageTable.cpp:315
         val typed = spark.read.format("rosbag")
           .option("datatype", datatype).option("includeRaw", keepRawBlob.toString)
@@ -105,8 +114,11 @@ object BagEtl {
     val seqnoPath = new org.apache.hadoop.fs.Path(seqnoDir)
     seqnoPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
       .delete(seqnoPath, true)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$out/vertica_load_tables.sql"), ddl.toString)
+    val ddlPath = new org.apache.hadoop.fs.Path(s"$out/vertica_load_tables.sql")
+    val ddlFs = ddlPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val os = ddlFs.create(ddlPath, true)
+    try os.write(ddl.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
 
     // info from the written Messages table (columnar) — not a bag re-scan
     val Row(cnt: Long, size: Long) = spark.read.parquet(s"$out/Messages.parquet")

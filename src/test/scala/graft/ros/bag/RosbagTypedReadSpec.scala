@@ -48,4 +48,23 @@ class RosbagTypedReadSpec extends SparkTestBase {
     assert(t.count() == 100)
     assert(t.select("header_frame_id").head().getString(0).startsWith("f"))
   }
+
+  test("option keys are case-insensitive end to end (regression)") {
+    val bag = graft.ros.etl.BagEtlMain.demoBag()
+    val df = spark.read.format("rosbag")
+      .option("DataType", "sensor_msgs/Imu").option("IncludeRaw", "true").load(bag)
+    assert(df.schema.fieldNames.contains("header_frame_id"))
+    assert(df.schema.fieldNames.last == "data")
+    assert(df.count() == 100)
+  }
+
+  test("scanIndex tolerates a partially-appended trailing record (regression)") {
+    val bag = graft.ros.etl.BagEtlMain.demoBag()
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(bag))
+    val cut = java.nio.file.Files.createTempFile("cut", ".bag")
+    // chop mid-way through the trailing index section
+    java.nio.file.Files.write(cut, bytes.dropRight(7))
+    val idx = RosbagIO.scanIndex(cut.toString)
+    assert(idx.chunks.nonEmpty)   // complete chunks still indexed
+  }
 }
