@@ -267,6 +267,44 @@ object LlmQueries {
         .select(col("vec_id"), rk(col("cos"), 6).as("cosine"))
     }),
 
+    // Q42 — ANN via IVF-style coarse quantization (no SQL oracle:
+    // depends on centroid choice). Deterministic "training-free" IVF:
+    // centroids are a fixed sample of the corpus itself (every Nth
+    // vector); vectors assign to their nearest centroid (one broadcast
+    // pass, native dot); the query probes the nProbe nearest centroid
+    // cells and reranks exactly. At 100 TB: the assignment pass is a
+    // map-only broadcast join, cells are the partition/bucketing key,
+    // and probing touches nProbe/k of the data.
+    "q42_ann_ivf" -> ((s, d) => {
+      val k = 16; val nProbe = 4
+      val e = spread(embeddings(s, d), col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val centroids = broadcast(embeddings(s, d)
+        .filter(col("vec_id") % lit(500 / k) === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
+      // assignment: nearest centroid by cosine (norms cancel per-vector)
+      val assigned = e.crossJoin(centroids)
+        .withColumn("sim", dotd(col("embedding"), col("cvec")) / l2(col("cvec")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+            .orderBy(col("sim").desc, col("cent_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val q = embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      // probe cells: nProbe centroids nearest to the query
+      val probes = broadcast(centroids.crossJoin(q)
+        .withColumn("sim", dotd(col("qv"), col("cvec")) / l2(col("cvec")))
+        .orderBy(col("sim").desc, col("cent_id")).limit(nProbe)
+        .select(col("cent_id"), col("qv")))
+      assigned.join(probes, Seq("cent_id"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (dotd(col("embedding"), col("qv")) / (l2(col("embedding")) * l2(col("qv")))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(5)
+        .select(col("vec_id"), rk(col("cos"), 6).as("cosine"))
+    }),
+
     // Q32 — language-ID by marker-lexicon scoring (n-gram heuristic
     // machinery; the testdata's lang label is synthetic so the oracle
     // checks the scoring pipeline, not label recovery). Deterministic

@@ -47,6 +47,15 @@ class LlmQueriesSpec extends SparkTestBase {
     if (ann.nonEmpty && exact.nonEmpty) assert(ann.max <= exact.max + 1e-9)
   }
 
+  test("IVF ANN returns <=k ranked candidates bounded by brute force") {
+    val ivf = run("q42_ann_ivf").collect()
+    assert(ivf.nonEmpty && ivf.length <= 5)
+    val cosines = ivf.map(_.getDouble(1))
+    assert(cosines.sameElements(cosines.sorted.reverse))
+    val exact = run("q25_cosine_topk").collect().map(_.getDouble(1))
+    assert(cosines.max <= exact.max + 1e-9)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val n = Tables.documents(spark, sf).count()
     val out = run("q24_exact_dedup")
