@@ -16,9 +16,13 @@ import java.nio.charset.StandardCharsets
   * connection/message records), 0x07 connection, 0x02 message data,
   * 0x04 index data, 0x06 chunk info.
   *
-  * Compression: 'none' supported (lz4/bz2 would need codecs not in this
-  * environment; chunks declare their compression so foreign bags fail
-  * loudly, not wrongly).
+  * Compression: 'none', 'bz2' and 'lz4' chunks are supported. rosbag's
+  * bz2 chunks are plain bzip2 streams (commons-compress, already on
+  * Spark's classpath); its lz4 chunks are written by roslz4, which
+  * emits the standard LZ4 Frame format (magic 0x184D2204 — the same
+  * framing the `lz4` CLI reads), so commons-compress's FramedLZ4
+  * decoder reads them. Unknown compressions still fail loudly, not
+  * wrongly.
   */
 object BagFormat {
   val Magic = "#ROSBAG V2.0\n"
@@ -126,9 +130,12 @@ object BagFormat {
             val dataOffset = pos + (r.wireLen - r.data.length)
             val compression = r.str("compression")
             chunks += BagChunk(pos, compression, r.u32("size"), dataOffset, r.data.length)
-            // embedded records are only parseable for uncompressed
-            // chunks; compressed bags still get connections from the
-            // trailing index section (fail loudly only on data access)
+            // embedded connection records are collected inline only for
+            // uncompressed chunks — inflating every chunk during the
+            // (driver-side) index scan would decompress the whole bag
+            // up front. Every properly-closed bag repeats its
+            // connection records in the trailing index section, which
+            // this same pass picks up below.
             if (compression == "none") collectChunkConnections(r.data, conns)
           case OpConnection => addConnection(r, conns)
           case OpChunkInfo =>
@@ -185,10 +192,9 @@ object BagFormat {
     * in-chunk tiebreak for seqno).
     */
   def chunkMessages(chunk: BagChunk, chunkData: Array[Byte]): Seq[BagMessage] = {
-    require(chunk.compression == "none",
-      s"unsupported chunk compression '${chunk.compression}' (supported: none)")
+    val body = decompressChunk(chunk.compression, chunkData, chunk.uncompressedSize)
     val out = scala.collection.mutable.ArrayBuffer[BagMessage]()
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(chunkData))
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(body))
     var off = 0
     var rec = readRecord(in)
     while (rec.isDefined) {
@@ -203,6 +209,54 @@ object BagFormat {
     out.toSeq
   }
 
+  /** Inflate a chunk body per its declared compression. The chunk
+    * header's `size` field is the uncompressed length (bag v2.0 spec),
+    * so the output buffer is exact-sized — no growth reallocation.
+    * In-chunk message offsets (seqno tiebreak, index data) are offsets
+    * into THIS uncompressed body, matching rosbag semantics.
+    */
+  def decompressChunk(compression: String, data: Array[Byte],
+                      uncompressedSize: Int): Array[Byte] = compression match {
+    case "none" => data
+    case "bz2" | "lz4" =>
+      val raw = new java.io.ByteArrayInputStream(data)
+      val in: InputStream =
+        if (compression == "bz2")
+          new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(raw)
+        else
+          new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorInputStream(raw)
+      try {
+        val out = new Array[Byte](uncompressedSize)
+        var off = 0
+        var n = 0
+        while (off < out.length && { n = in.read(out, off, out.length - off); n > 0 }) off += n
+        if (off != uncompressedSize)
+          throw new java.io.IOException(
+            s"$compression chunk inflated to $off bytes, header declared $uncompressedSize")
+        if (in.read() != -1)
+          throw new java.io.IOException(
+            s"$compression chunk longer than declared size $uncompressedSize")
+        out
+      } finally in.close()
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported chunk compression '$other' (supported: none, bz2, lz4)")
+  }
+
+  private def compressChunk(compression: String, body: Array[Byte]): Array[Byte] =
+    compression match {
+      case "none" => body
+      case "bz2" =>
+        val bos = new ByteArrayOutputStream()
+        val cs = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos)
+        cs.write(body); cs.close(); bos.toByteArray
+      case "lz4" =>
+        val bos = new ByteArrayOutputStream()
+        val cs = new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream(bos)
+        cs.write(body); cs.close(); bos.toByteArray
+      case other => throw new IllegalArgumentException(s"unsupported compression '$other'")
+    }
+
   // ---- writer (fixtures; mirrors reference test technique,
   //      rosbag2parquet_test.cpp:29-59) ----
 
@@ -210,7 +264,8 @@ object BagFormat {
 
   def writeBag(connections: Seq[BagConnection],
                messages: Seq[WriteMessage],
-               messagesPerChunk: Int = 100): Array[Byte] = {
+               messagesPerChunk: Int = 100,
+               compression: String = "none"): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(Magic.getBytes(StandardCharsets.UTF_8))
 
@@ -245,10 +300,10 @@ object BagFormat {
       }
       val body = chunkBody.toByteArray
       val ch = fields("op" -> Array(OpChunk),
-        "compression" -> "none".getBytes(StandardCharsets.UTF_8),
+        "compression" -> compression.getBytes(StandardCharsets.UTF_8),
         "size" -> le32(body.length))
       val posBefore = out.size().toLong
-      writeRecord(out, ch, body)
+      writeRecord(out, ch, compressChunk(compression, body))
       val st = group.map(m => (m.timeSec, m.timeNsec)).min
       val et = group.map(m => (m.timeSec, m.timeNsec)).max
       val perConn = group.groupBy(_.connId).view.mapValues(_.size).toSeq.sortBy(_._1)

@@ -28,7 +28,8 @@ class BagSpec extends SparkTestBase {
     RosSchemaMapper.encode(imuBundle, vals)
   }
 
-  private def writeFixtureBag(nMessages: Int, messagesPerChunk: Int = 2): String = {
+  private def writeFixtureBag(nMessages: Int, messagesPerChunk: Int = 2,
+                              compression: String = "none"): String = {
     val conn = BagConnection(0, "/imu_data", "sensor_msgs/Imu", Fixtures.imuMd5,
       Fixtures.imuDef, "/test_node")
     val msgs = (0 until nMessages).map { i =>
@@ -36,7 +37,7 @@ class BagSpec extends SparkTestBase {
         imuBytes(seq = i.toLong, sec = 1700000000 + i, nsec = i * 1000,
           frame = s"frame$i", ax = i * 0.5))
     }
-    val bytes = BagFormat.writeBag(Seq(conn), msgs, messagesPerChunk)
+    val bytes = BagFormat.writeBag(Seq(conn), msgs, messagesPerChunk, compression)
     val p = Files.createTempFile("graft_test", ".bag")
     Files.write(p, bytes)
     p.toString
@@ -54,6 +55,39 @@ class BagSpec extends SparkTestBase {
       BagFormat.chunkMessages(ch, RosbagIO.readChunkData(path, ch)))
     assert(all.size == 5)
     assert(all.map(_.timeSec) == (0 until 5).map(1700000000 + _))
+  }
+
+  for (codec <- Seq("bz2", "lz4")) {
+    test(s"compressed ($codec) bag round-trip: chunks inflate, DSv2 + ETL read them") {
+      val path = writeFixtureBag(5, messagesPerChunk = 2, compression = codec)
+      val idx = RosbagIO.scanIndex(path)
+      assert(idx.chunks.size == 3 && idx.chunks.forall(_.compression == codec))
+      // connections for compressed bags come from the trailing index
+      // section (inline chunk records are not inflated at scan time)
+      assert(idx.connections.size == 1 && idx.connections.head.topic == "/imu_data")
+      // the compressed payload really is smaller than the declared
+      // uncompressed size for these repetitive fixtures (i.e. we are
+      // actually decompressing, not reading 'none' bytes)
+      assert(idx.chunks.head.dataLength < idx.chunks.head.uncompressedSize)
+      val all = idx.chunks.flatMap(ch =>
+        BagFormat.chunkMessages(ch, RosbagIO.readChunkData(path, ch)))
+      assert(all.map(_.timeSec) == (0 until 5).map(1700000000 + _))
+      // full stack: DSv2 scan with pushdown, then decode one blob back
+      val df = spark.read.format("rosbag").load(path)
+      assert(df.count() == 5)
+      assert(df.filter(col("time_sec") >= 1700000003).count() == 2)
+      val row = df.filter(col("time_sec") === 1700000002).select("data").head()
+      val vals = RosSchemaMapper.decode(imuBundle, row.getAs[Array[Byte]](0))
+      assert(vals(0) == 2L && vals(3) == "frame2")
+    }
+  }
+
+  test("unknown chunk compression fails loudly on data access") {
+    val chunk = BagChunk(0L, "zstd", 10, 0L, 10)
+    val e = intercept[IllegalArgumentException] {
+      BagFormat.chunkMessages(chunk, new Array[Byte](10))
+    }
+    assert(e.getMessage.contains("zstd"))
   }
 
   test("DSv2 rosbag source: scan, schema, pushdown") {
