@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distinct unordered pairs of rows sharing a key, with bounded
+  * per-task state — the scale-safe core of the near-dup suite
+  * (n-gram Jaccard, MinHash-LSH band buckets, SimHash blocks, blocked
+  * exact all-pairs).
+  *
+  * The naive inverted-index expansion (`collect_list` per key, expand
+  * in-row) holds a whole bucket in one aggregation buffer and emits
+  * O(f²) pairs from one task — fine for the median key, fatal for a
+  * hot key (one stop-shingle shared by 10⁶ docs = one 10¹²-pair task).
+  * This operator routes by bucket size instead:
+  *
+  *  - keys with `2 ≤ f ≤ cap` members collect in-row as before
+  *    (buffer ≤ cap rows, ≤ cap² pairs per task);
+  *  - keys with `f > cap` members are hash-split into `⌈f/cap⌉`
+  *    blocks; every unordered block pair (bi ≤ bj) becomes its own
+  *    reduce group holding ≤ ~2·cap members and emitting ≤ ~cap²
+  *    pairs. Replication cost is f·⌈f/cap⌉ rows — the f² pair work is
+  *    unavoidable by definition; what matters is that it is spread
+  *    over (f/cap)²/2 tasks instead of one.
+  *
+  * Every unordered pair {x, y} of rows sharing a key is emitted
+  * exactly once per key, ordered `pa < pb` by the payload's natural
+  * (struct) ordering — callers put the id field first. Pairs sharing
+  * several keys appear once per key (q27 counts those; q28/q29
+  * `.distinct()` them away).
+  */
+object KeyedPairs {
+
+  /** @param df      input rows
+    * @param keys    bucket key columns (pairs form within a key)
+    * @param payload what each side of a pair carries; the FIRST field
+    *                must be a unique, orderable id (pair order + the
+    *                block-split hash derive from the whole payload)
+    * @param cap     max members expanded in one task (≥ 2)
+    * @return columns `pa`, `pb` (payload type), one row per (key, pair)
+    */
+  private def sizes_(rows: DataFrame, k: Seq[Column]): DataFrame =
+    rows.groupBy(k: _*).agg(count(lit(1)).as("f"))
+
+  def pairs(df: DataFrame, keys: Seq[String], payload: Column, cap: Int): DataFrame = {
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    val k = keys.map(col)
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val rows = df.select(k :+ payload.as("p"): _*)
+
+    // bucket sizes first: a bounded count-agg (map-side partial).
+    // Only the keys ABOVE the cap are materialized and broadcast —
+    // hot keys are rare by definition (if a workload makes them
+    // common, raise the cap or pre-drop stop-keys; a broadcast-sized
+    // hot list is the operating assumption, documented here). Routing
+    // is then two map-side broadcast joins: no shuffle join of the
+    // full input against its sizes.
+    val hot = sizes_(rows, k).filter(col("f") > cap)
+
+    // -- small buckets (everything not hot): classic in-row expansion,
+    // buffer ≤ cap guaranteed by the anti join.
+    // The explicit repartition keeps the (interpreted, byte-light)
+    // pair-expansion lambdas wide: AQE would coalesce the tiny
+    // post-agg shuffle to one partition and serialize the compute.
+    val small = rows.join(broadcast(hot.select(k: _*)), keys, "left_anti")
+      .groupBy(k: _*).agg(collect_list(col("p")).as("ps"))
+      .repartition(nPart, k: _*)
+      .select(explode(flatten(transform(col("ps"), x =>
+        transform(filter(col("ps"), y => y > x),
+          y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
+
+    // -- big buckets: split members into nb = ⌈f/cap⌉ hash-blocks.
+    // A row in block b joins group (b, j) for all j ≥ b as the A side,
+    // and group (i, b) for all i < b as the B side; so each unordered
+    // block pair is one group, the diagonal group (b, b) holds the
+    // block itself once (A side only).
+    val big = rows.join(broadcast(hot), keys)  // attaches f, map-side
+      .withColumn("nb", ceil(col("f") / lit(cap)).cast("int"))
+      .withColumn("blk", pmod(xxhash64(col("p")), col("nb")).cast("int"))
+    val aSide = big.select(k ++ Seq(col("blk").as("bi"),
+      explode(sequence(col("blk"), col("nb") - 1)).as("bj"),
+      col("p"), lit(true).as("isA")): _*)
+    val bSide = big
+      .filter(col("blk") > 0)  // sequence(0, -1) would count DOWN
+      .select(k ++ Seq(explode(sequence(lit(0), col("blk") - 1)).as("bi"),
+        col("blk").as("bj"), col("p"), lit(false).as("isA")): _*)
+    val grouped = aSide.unionByName(bSide)
+      .groupBy(k ++ Seq(col("bi"), col("bj")): _*)
+      // collect_list skips nulls: each side's members, ≤ ~cap each
+      .agg(collect_list(when(col("isA"), col("p"))).as("as_"),
+           collect_list(when(!col("isA"), col("p"))).as("bs"))
+      .repartition(nPart, k ++ Seq(col("bi"), col("bj")): _*)
+    val bigPairs = grouped.select(explode(
+      when(col("bi") === col("bj"),
+        // within-block pairs, ordered by payload
+        flatten(transform(col("as_"), x =>
+          transform(filter(col("as_"), y => y > x),
+            y => struct(x.as("pa"), y.as("pb"))))))
+        .otherwise(
+          // cross-block pairs: blocks differ, so x ≠ y always
+          flatten(transform(col("as_"), x =>
+            transform(col("bs"), y =>
+              when(x < y, struct(x.as("pa"), y.as("pb")))
+                .otherwise(struct(y.as("pa"), x.as("pb")))))))).as("pr"))
+
+    small.unionByName(bigPairs)
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+  }
+
+  /** All unordered pairs of the WHOLE table — the degenerate
+    * one-bucket case, for exact all-pairs similarity. A keyed call
+    * with a constant key would plan the size lookup as a trivially-true
+    * nested-loop join (the optimizer folds `lit = lit` away); here the
+    * member count is read once up front instead, making the block
+    * count a literal: the whole plan is two projections, one shuffle
+    * on (bi, bj), and bounded in-task expansion — nothing broadcast,
+    * no join.
+    */
+  def allPairs(df: DataFrame, payload: Column, cap: Int): DataFrame = {
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val rows = df.select(payload.as("p"))
+    val n = rows.count()
+    val nb = math.max(1L, (n + cap - 1) / cap).toInt
+    val withBlk = rows.withColumn("blk", pmod(xxhash64(col("p")), lit(nb)).cast("int"))
+    val aSide = withBlk.select(col("blk").as("bi"),
+      explode(sequence(col("blk"), lit(nb - 1))).as("bj"), col("p"), lit(true).as("isA"))
+    val bSide = withBlk.filter(col("blk") > 0)
+      .select(explode(sequence(lit(0), col("blk") - 1)).as("bi"),
+        col("blk").as("bj"), col("p"), lit(false).as("isA"))
+    aSide.unionByName(bSide)
+      .groupBy(col("bi"), col("bj"))
+      .agg(collect_list(when(col("isA"), col("p"))).as("as_"),
+           collect_list(when(!col("isA"), col("p"))).as("bs"))
+      .repartition(nPart, col("bi"), col("bj"))
+      .select(explode(
+        when(col("bi") === col("bj"),
+          flatten(transform(col("as_"), x =>
+            transform(filter(col("as_"), y => y > x),
+              y => struct(x.as("pa"), y.as("pb"))))))
+          .otherwise(
+            flatten(transform(col("as_"), x =>
+              transform(col("bs"), y =>
+                when(x < y, struct(x.as("pa"), y.as("pb")))
+                  .otherwise(struct(y.as("pa"), x.as("pb")))))))).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+  }
+}

@@ -51,44 +51,44 @@ object LlmQueries {
     spread(documents(s, d), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
 
-  /** Exact Jaccard over shared-shingle pairs: inverted-index equi-join
-    * (explode shingles, self-join on shingle) — never an all-pairs cross
-    * product, so it scales: the shuffle key is the shingle, hot shingles
-    * are the skew concern (prefix filtering / stop-shingle dropping is
-    * the 100 TB refinement).
+  /** Per-task member cap for keyed pair expansion (see KeyedPairs):
+    * buckets above this split into block pairs. High enough that test
+    * corpora stay on the single-task path; the operator's spec forces
+    * the block path with a synthetic hot key.
+    */
+  private val PairCap = 1024
+
+  /** (doc_id, sh) with sh = distinct 3-shingles — the one expensive
+    * interpreted pass shared by q27 and q28, cached so signature
+    * derivation and the confirmation join read it instead of
+    * re-running the token+shingle HOF chain (round-1 bench: that
+    * recompute was 3× the cost of q28). The cache boundary also stops
+    * predicate pushdown from sinking derived size()-filters below the
+    * spread-repartition (the round-1 single-task trap).
+    */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    docToks(s, d)
+      .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
+      .persist()
+
+  /** Exact Jaccard over shared-shingle pairs: inverted-index grouping
+    * (explode shingles, pair docs within a shingle) — never an
+    * all-pairs cross product. Hot shingles (the skew/scale concern) are
+    * split into bounded block-pair tasks by KeyedPairs, so no task
+    * holds or emits an unbounded bucket.
     */
   private def jaccardPairs(s: SparkSession, d: String, thresh: Double): DataFrame = {
     // explode_outer, NOT explode: InferFiltersFromGenerate would add
     // `size(sh)>0 AND isnotnull(sh)` to a plain explode, and predicate
-    // pushdown then sinks that below the spread-repartition — which
-    // re-evaluates the whole interpreted token+shingle chain inside the
-    // single pre-shuffle scan task (observed 10s+ single-core). The
-    // outer variant infers nothing; the null-filter on the generator
-    // OUTPUT cannot be pushed below the Generate.
-    val sh = docToks(s, d)
-      .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
+    // pushdown then sinks that below the shingle cache — harmless now
+    // that the lineage is cached, but the outer variant keeps the plan
+    // inference-free if the cache is evicted.
+    val sh = shingleSets(s, d)
       .select(col("doc_id"), size(col("sh")).as("n"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-    // Pair generation as ONE aggregation: group by shingle, expand the
-    // ordered doc pairs inside each group. Equivalent to the classic
-    // inverted-index self-join but runs the (interpreted, HOF-heavy)
-    // shingle pipeline once instead of twice and skips the join build.
-    // Hot-shingle fanout is the quadratic term; at 100 TB add prefix
-    // filtering / stop-shingle capping (not done here: oracle exactness).
-    // The pair-expansion lambdas are interpreted and byte-light: AQE's
-    // coalescing would fold the shuffle to 1 partition and serialize the
-    // compute. An explicit repartition (never AQE-coalesced) keeps the
-    // expensive stage wide.
-    val nPart = s.sessionState.conf.numShufflePartitions
-    sh.groupBy(col("s"))
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-      .repartition(nPart, col("s"))
-      .select(explode(flatten(transform(col("ds"), x =>
-        transform(filter(col("ds"), y => y("doc_id") > x("doc_id")),
-          y => struct(x("doc_id").as("da"), x("n").as("na"),
-                      y("doc_id").as("db"), y("n").as("nb")))))).as("p"))
-      .select(col("p.da").as("da"), col("p.na").as("na"),
-              col("p.db").as("db"), col("p.nb").as("nb"))
+    graft.operators.KeyedPairs.pairs(sh, Seq("s"), struct(col("doc_id"), col("n")), PairCap)
+      .select(col("pa.doc_id").as("da"), col("pa.n").as("na"),
+              col("pb.doc_id").as("db"), col("pb.n").as("nb"))
       .groupBy(col("da"), col("db"), col("na"), col("nb"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
@@ -100,12 +100,43 @@ object LlmQueries {
   /** 16 minhash values per doc: min over shingles of xxhash64(seed_i, s). */
   private val NumHashes = MinHashUnion.NumHashes  // single source of truth
 
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val exploded = docToks(s, d)
-      .select(col("doc_id"), explode_outer(shingles(col("toks"), 3)).as("s"))
-      .filter(col("s").isNotNull)
-    val aggs = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  /** SimHash near-dup with parametric pigeonhole blocking: the 64-bit
+    * simhash splits into `nBlocks` equal-width slices (64 must divide
+    * evenly); two docs within hamming distance nBlocks-1 share at
+    * least one slice verbatim, so candidate recall for the hamming<=3
+    * confirm is guaranteed for any nBlocks >= 4. One simhash lineage
+    * feeds KeyedPairs (the round-1 shape self-joined the lineage,
+    * computing the 64 bit-sums twice).
+    */
+  def simhashPairs(s: SparkSession, d: String, nBlocks: Int): DataFrame = {
+    require(64 % nBlocks == 0 && nBlocks >= 2, s"nBlocks must divide 64, got $nBlocks")
+    val width = 64 / nBlocks
+    val mask = (1L << width) - 1
+    val tok = docToks(s, d)
+      .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("t"))
+      .filter(col("t").isNotNull)
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val sim = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)))
+      .select(col("doc_id"), col("simhash"))
+    val blocks = sim.select(col("doc_id"), col("simhash"),
+        explode(array((0 until nBlocks).map(k =>
+          struct(lit(k).as("blk"),
+            shiftright(col("simhash"), k * width).bitwiseAND(mask).as("v"))): _*)).as("kb"))
+      .select(col("doc_id"), col("simhash"), col("kb.blk"), col("kb.v"))
+    graft.operators.KeyedPairs
+      .pairs(blocks, Seq("blk", "v"), struct(col("doc_id"), col("simhash")), PairCap)
+      .select(col("pa.doc_id").as("da"), col("pa.simhash").as("sa"),
+              col("pb.doc_id").as("db"), col("pb.simhash").as("sb")).distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= 3)
+      .select(col("da"), col("db"), col("hamming"))
+      .orderBy(col("da"), col("db"))
   }
 
   val all: Map[String, Q] = Map(
@@ -152,30 +183,33 @@ object LlmQueries {
     // this is the linear-ish dedup path: signature pass + band-bucket
     // shuffle + candidate-only verification, never all-pairs.
     "q28_minhash_lsh" -> ((s, d) => {
-      val sigs = minhashSigs(s, d)
+      // ONE pass computes the shingle sets (cached); signatures are a
+      // map-only HOF over the cached arrays — no explode+groupBy
+      // shuffle at all — and the confirmation join below re-reads the
+      // same cache instead of re-running the interpreted chain (the
+      // round-1 3×-recompute that made this the slowest query).
+      val sets = shingleSets(s, d)
+      val sigCols = (0 until NumHashes).map(i =>
+        array_min(transform(col("sh"), x => xxhash64(lit(i), x))).as(s"h$i"))
+      val sigs = sets.filter(size(col("sh")) > 0)
+        .select(col("doc_id") +: sigCols: _*)
       val bands = (0 until NumHashes / 2).map { b =>
         struct(lit(b).as("band"),
           xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bucket"))
       }
       val exploded = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-      val cand = exploded.groupBy(col("band"), col("bucket"))
-        .agg(collect_list(col("doc_id")).as("ds"))
-        .repartition(s.sessionState.conf.numShufflePartitions, col("band"), col("bucket"))
-        .select(explode(flatten(transform(col("ds"), x =>
-          transform(filter(col("ds"), y => y > x),
-            y => struct(x.as("da"), y.as("db")))))).as("p"))
-        .select(col("p.da").as("da"), col("p.db").as("db")).distinct()
+      // band buckets → candidate pairs, hot buckets split into bounded
+      // block-pair tasks (a viral doc cluster can put thousands of
+      // near-identical docs into one bucket)
+      val cand = graft.operators.KeyedPairs
+        .pairs(exploded, Seq("band", "bucket"), col("doc_id"), PairCap)
+        .select(col("pa").as("da"), col("pb").as("db")).distinct()
       // Exact-Jaccard confirmation on CANDIDATES ONLY: join the (small)
-      // candidate pair set against per-doc shingle arrays and intersect
-      // directly — not a re-run of the full all-pairs pipeline. Same
-      // integers as the inverted-index count, so results match q27's.
-      // no size-filter here: it would be pushed below the spread and
-      // serialize the interpreted chain (see jaccardPairs note); docs
-      // without shingles can't be candidates, and 0/0 -> null fails the
-      // threshold filter anyway.
-      val sets = docToks(s, d)
-        .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
+      // candidate pair set against the cached per-doc shingle arrays
+      // and intersect directly — not a re-run of the full pipeline.
+      // Same integers as the inverted-index count, so results match
+      // q27's.
       val a = sets.select(col("doc_id").as("da"), col("sh").as("sa"))
       val b = sets.select(col("doc_id").as("db"), col("sh").as("sb"))
       cand.join(a, Seq("da")).join(b, Seq("db"))
@@ -188,48 +222,32 @@ object LlmQueries {
     }),
 
     // Q29 — SimHash near-dup (no SQL oracle: xxhash64-based). 64-bit
-    // simhash over token hashes; pigeonhole join on 4×16-bit blocks
-    // guarantees recall for hamming <= 3; exact bit_count(xor) confirm.
-    "q29_simhash" -> ((s, d) => {
-      val tok = docToks(s, d)
-        .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("t"))
-        .filter(col("t").isNotNull)
-        .withColumn("h", xxhash64(col("t")))
-      val bitSums = (0 until 64).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-      val sim = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-        .withColumn("simhash",
-          (0 until 64).map(b =>
-            when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-            .reduce(_.bitwiseOR(_)))
-        .select(col("doc_id"), col("simhash"))
-      val blocks = sim.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(k =>
-            struct(lit(k).as("blk"),
-              shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("kb"))
-        .select(col("doc_id"), col("simhash"), col("kb.blk"), col("kb.v"))
-      val l = blocks.select(col("doc_id").as("da"), col("simhash").as("sa"), col("blk"), col("v"))
-      val r = blocks.select(col("doc_id").as("db"), col("simhash").as("sb"), col("blk"), col("v"))
-      l.join(r, Seq("blk", "v")).filter(col("da") < col("db"))
-        .select(col("da"), col("db"), col("sa"), col("sb")).distinct()
-        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
-        .filter(col("hamming") <= 3)
-        .select(col("da"), col("db"), col("hamming"))
-        .orderBy(col("da"), col("db"))
-    }),
+    // simhash over token hashes; pigeonhole blocking on nBlocks
+    // equal-width slices guarantees recall for hamming <= nBlocks-1;
+    // exact bit_count(xor) confirm. Default 4×16-bit; at larger corpora
+    // raise nBlocks (more, narrower slices → more buckets → smaller
+    // bucket populations; recall bound only widens). Hot buckets (the
+    // round-1 65,536-bucket-ceiling concern) split into bounded
+    // block-pair tasks via KeyedPairs either way.
+    "q29_simhash" -> ((s, d) => simhashPairs(s, d, nBlocks = 4)),
 
     // Q30 — embedding-cosine near-dup ranking: top-20 most-similar pairs.
     // Exact all-pairs here (oracle-checkable); the approximate scale path
-    // is Q31. Both sides fold sequentially in double.
+    // is Q31. Blocked self-pairing (KeyedPairs.allPairs): vectors hash
+    // into ⌈n/cap⌉ blocks and every block PAIR is its own bounded task,
+    // so nothing is broadcast and no task holds more than ~2·cap
+    // vectors (the round-1 shape broadcast the entire corpus — a hard
+    // driver-memory fail beyond toy scale). Per-task top-20 feeds
+    // TakeOrderedAndProject, so only 20 rows per task survive.
     "q30_embed_neardup" -> ((s, d) => {
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val e = spread(embeddings(s, d), col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", l2(col("embedding")))
-      val a = spread(e, col("vec_id"))
-        .select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
-      a.crossJoin(broadcast(b)).filter(col("va") < col("vb"))
-        .select(col("va"), col("vb"),
-          (dotd(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
+      graft.operators.KeyedPairs.allPairs(e, payload, cap = 256)
+        .select(col("pa.vec_id").as("va"), col("pb.vec_id").as("vb"),
+          (dotd(col("pa.embedding"), col("pb.embedding")) /
+            (col("pa.nrm") * col("pb.nrm"))).as("cos"))
         .orderBy(col("cos").desc, col("va"), col("vb")).limit(20)
         .select(col("va"), col("vb"), rk(col("cos"), 6).as("cosine"))
     }),
@@ -267,40 +285,30 @@ object LlmQueries {
         .select(col("vec_id"), rk(col("cos"), 6).as("cosine"))
     }),
 
-    // Q42 — ANN via IVF-style coarse quantization (no SQL oracle:
-    // depends on centroid choice). Deterministic "training-free" IVF:
-    // centroids are a fixed sample of the corpus itself (every Nth
-    // vector); vectors assign to their nearest centroid (one broadcast
-    // pass, native dot); the query probes the nProbe nearest centroid
-    // cells and reranks exactly. At 100 TB: the assignment pass is a
-    // map-only broadcast join, cells are the partition/bucketing key,
-    // and probing touches nProbe/k of the data.
+    // Q42 — ANN via IVF coarse quantization (no SQL oracle: depends on
+    // centroid training). k-means-trained centroids (IvfIndex.train:
+    // deterministic stride init derived from the actual count, 2 Lloyd
+    // iterations); assignment is a single map-only projection (k native
+    // dots inside one least() — no join, no window, no shuffle; the
+    // round-1 shape crossJoined ×k then shuffled a row_number window);
+    // the query probes the nProbe nearest cells driver-side and
+    // exact-reranks only those. At 100 TB the assignment is the same
+    // projection and cells become the parquet partition key
+    // (IvfIndex.build/probe — partition-pruned probes).
     "q42_ann_ivf" -> ((s, d) => {
+      import graft.operators.IvfIndex
       val k = 16; val nProbe = 4
       val e = spread(embeddings(s, d), col("vec_id"))
         .select(col("vec_id"), col("embedding"))
-      val centroids = broadcast(embeddings(s, d)
-        .filter(col("vec_id") % lit(500 / k) === 0 && col("vec_id") < 500)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
-      // assignment: nearest centroid by cosine (norms cancel per-vector)
-      val assigned = e.crossJoin(centroids)
-        .withColumn("sim", dotd(col("embedding"), col("cvec")) / l2(col("cvec")))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-            .orderBy(col("sim").desc, col("cent_id"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id"))
-      val q = embeddings(s, d).filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"))
-      // probe cells: nProbe centroids nearest to the query
-      val probes = broadcast(centroids.crossJoin(q)
-        .withColumn("sim", dotd(col("qv"), col("cvec")) / l2(col("cvec")))
-        .orderBy(col("sim").desc, col("cent_id")).limit(nProbe)
-        .select(col("cent_id"), col("qv")))
-      assigned.join(probes, Seq("cent_id"))
-        .filter(col("vec_id") =!= 0)
+      val cents = IvfIndex.train(e, "vec_id", "embedding", k, iters = 2)
+      val qv = embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cells = IvfIndex.probeCells(qv, cents, nProbe)
+      IvfIndex.assign(e, "embedding", cents)
+        .filter(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
         .select(col("vec_id"),
-          (dotd(col("embedding"), col("qv")) / (l2(col("embedding")) * l2(col("qv")))).as("cos"))
+          (dotd(col("embedding"), typedLit(qv)) /
+            (l2(col("embedding")) * lit(math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x))))).as("cos"))
         .orderBy(col("cos").desc, col("vec_id")).limit(5)
         .select(col("vec_id"), rk(col("cos"), 6).as("cosine"))
     }),

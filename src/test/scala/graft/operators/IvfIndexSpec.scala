@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import graft.SparkTestBase
+
+class IvfIndexSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  test("train is deterministic and returns k centroids of the right dim") {
+    val a = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val b = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    assert(a.size == 4 && a.map(_.id) == Seq(0, 1, 2, 3))
+    assert(a.zip(b).forall { case (x, y) => x.vec.sameElements(y.vec) })
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    assert(a.forall(_.vec.length == dim))
+  }
+
+  test("assignment is map-only: no join, no window, no extra shuffle") {
+    val cents = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val plan = IvfIndex.assign(emb, "embedding", cents).queryExecution.executedPlan
+    val nodes = plan.collect { case p => p }
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]), "argmax must not use a window")
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]), "assignment must not shuffle")
+    assert(!nodes.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[CartesianProductExec]), "assignment must not cross-join centroids")
+  }
+
+  test("every vector lands in its true nearest cell (matches driver-side argmax)") {
+    val cents = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val assigned = IvfIndex.assign(emb, "embedding", cents)
+      .select(col("vec_id"), col("cell"), col("embedding")).collect()
+    assigned.foreach { r =>
+      val v = r.getSeq[Float](2).toArray
+      val best = IvfIndex.probeCells(v, cents, 1).head
+      assert(r.getInt(1) == best, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("built index probes with partition pruning and finds exact top-k with nProbe=k") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    val cents = IvfIndex.build(emb, "vec_id", "embedding", dir, k = 4, iters = 2)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    // nProbe = k probes everything → exact; ask for 6 because the
+    // query vector itself (cos = 1) occupies one slot
+    val got = IvfIndex.probe(spark, dir, "vec_id", "embedding", cents, q,
+      nProbe = 4, topK = 6).filter(col("vec_id") =!= 0).collect()
+    assert(got.length == 5)
+    // partition pruning: a 1-cell probe plan reads only that partition
+    val pruned = spark.read.parquet(dir).filter(col("cell") === cents.head.id)
+    val scanned = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.get("PartitionFilters").toSeq
+    }.flatten
+    assert(scanned.exists(_.contains("cell")), s"no cell partition filter in scan: $scanned")
+    // and the pruned read returns exactly the one cell
+    assert(pruned.select(col("cell")).distinct().count() == 1)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** KeyedPairs must emit exactly the brute-force pair multiset whether a
+  * bucket expands in-row (f ≤ cap) or through the bounded block-pair
+  * path (f > cap) — the hot-key scale fix must be invisible to
+  * results.
+  */
+class KeyedPairsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** brute force: all unordered id pairs per key, one row per (key, pair) */
+  private def brute(rows: Seq[(String, Long)]): Seq[(Long, Long)] =
+    rows.groupBy(_._1).toSeq.flatMap { case (_, ms) =>
+      val ids = ms.map(_._2).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.size) yield (ids(i), ids(j))
+    }
+
+  // one hot key (60 members), some warm keys, many singletons
+  private val rows: Seq[(String, Long)] =
+    (0L until 60L).map(("hot", _)) ++
+      (100L until 105L).map(("warm1", _)) ++
+      Seq(("warm2", 200L), ("warm2", 201L)) ++
+      (300L until 340L).map(i => (s"single$i", i))
+
+  private def run(cap: Int): Seq[(Long, Long)] = {
+    val df = rows.toDF("k", "id")
+    KeyedPairs.pairs(df, Seq("k"), col("id"), cap)
+      .select(col("pa").cast("long"), col("pb").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  test("in-row path (cap > all bucket sizes) matches brute force") {
+    assert(run(cap = 1000).sorted == brute(rows).sorted)
+  }
+
+  test("block path (cap = 7 forces the hot key through block pairs) matches brute force") {
+    val got = run(cap = 7)
+    assert(got.sorted == brute(rows).sorted)
+    assert(got.forall { case (a, b) => a < b })
+  }
+
+  test("cap = 2 (every key with f>2 blocked, nb up to 30) still exact") {
+    assert(run(cap = 2).sorted == brute(rows).sorted)
+  }
+
+  test("allPairs matches brute force over the whole table, any cap") {
+    val ids = (0L until 50L) ++ (200L until 210L)
+    val expected = (for (i <- ids.indices; j <- (i + 1) until ids.size)
+      yield (math.min(ids(i), ids(j)), math.max(ids(i), ids(j)))).sorted
+    val df = ids.toDF("id")
+    for (cap <- Seq(2, 7, 1000)) {
+      val got = KeyedPairs.allPairs(df, col("id"), cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == expected, s"cap=$cap")
+    }
+  }
+
+  test("pairs sharing several keys appear once per key") {
+    val df = Seq(("k1", 1L), ("k1", 2L), ("k2", 1L), ("k2", 2L)).toDF("k", "id")
+    val got = KeyedPairs.pairs(df, Seq("k"), col("id"), cap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (1L, 2L)))
+  }
+
+  test("struct payloads order by first field and carry extras through") {
+    val df = Seq(("k", 5L, "x"), ("k", 3L, "y"), ("k", 9L, "z")).toDF("k", "id", "tag")
+    val got = KeyedPairs.pairs(df, Seq("k"), struct(col("id"), col("tag")), cap = 2)
+      .select(col("pa.id"), col("pa.tag"), col("pb.id"), col("pb.tag"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set((3L, "y", 5L, "x"), (3L, "y", 9L, "z"), (5L, "x", 9L, "z")))
+  }
+}

@@ -32,6 +32,15 @@ class LlmQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("simhash 8-block config finds the same hamming<=3 pairs as the 4-block default") {
+    // pigeonhole guarantee: any nBlocks >= 4 has full recall for
+    // hamming <= 3, so the confirmed pair sets must be identical
+    val p4 = run("q29_simhash").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p8 = LlmQueries.simhashPairs(spark, sf, nBlocks = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p8 == p4)
+  }
+
   test("ANN returns <=k ranked candidates with valid cosines") {
     val ann = run("q31_ann_lsh").collect()
     assert(ann.length <= 5)

@@ -56,6 +56,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
   }
 
+  test("q30: exact all-pairs is blocked — no corpus broadcast, no nested-loop join") {
+    val p = plan("q30_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q30 still cross-joins the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not a TakeOrdered:\n$p")
+  }
+
+  test("q42: IVF assignment is a projection — no window, no join of any kind") {
+    val p = plan("q42_ann_ivf")
+    assert(!p.contains("Window"), s"q42 argmax fell back to a window:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"q42 plans a join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not a TakeOrdered:\n$p")
+  }
+
   test("rosbag source prunes whole chunks from time filters (chunk-info index)") {
     val path = graft.ros.etl.BagEtlMain.demoBag()   // 100 msgs over 50s, chunks of 16
     val all = spark.read.format("rosbag").load(path)
