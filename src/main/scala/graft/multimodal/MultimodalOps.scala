@@ -42,20 +42,31 @@ object MultimodalOps {
         blob(0) == 0x89.toByte && blob(1) == 'P' && blob(2) == 'N' && blob(3) == 'G') {
       Row("png", beInt(16), beInt(20), 1, null)   // IHDR at offset 16/20
     } else if (blob.length >= 4 && blob(0) == 0xFF.toByte && blob(1) == 0xD8.toByte) {
-      // JPEG: walk segments to SOF0/SOF2
+      // JPEG: walk segments to SOF0/SOF2. 0xFF fill bytes may pad
+      // between segments, and TEM (0x01) / RST0-7 (0xD0-0xD7) are
+      // standalone markers with NO length field — treating either as
+      // marker+length would desynchronize the walk on valid files.
       var o = 2
       var res: Row = Row("jpeg", null, null, 1, null)
       var done = false
-      while (!done && o + 4 < blob.length) {
+      while (!done && o + 1 < blob.length) {
         if (blob(o) != 0xFF.toByte) { done = true }
         else {
-          val marker = blob(o + 1) & 0xFF
-          val len = beShort(o + 2)
-          if (marker == 0xC0 || marker == 0xC2) {
-            if (o + 9 < blob.length)
-              res = Row("jpeg", beShort(o + 7), beShort(o + 5), 1, null)
-            done = true
-          } else o += 2 + len
+          var m = o + 1                       // skip consecutive fill bytes
+          while (m < blob.length - 1 && blob(m) == 0xFF.toByte) m += 1
+          val marker = blob(m) & 0xFF
+          if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+            o = m + 1                         // standalone: no length field
+          } else if (marker == 0xD9 || m + 2 >= blob.length) {
+            done = true                       // EOI or truncated
+          } else {
+            val len = beShort(m + 1)
+            if (marker == 0xC0 || marker == 0xC2) {
+              if (m + 7 < blob.length)        // precision @m+3, h @m+4, w @m+6
+                res = Row("jpeg", beShort(m + 6), beShort(m + 4), 1, null)
+              done = true
+            } else o = m + 1 + len
+          }
         }
       }
       res

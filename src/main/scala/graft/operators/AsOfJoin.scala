@@ -17,6 +17,26 @@ import org.apache.spark.sql.expressions.Window
   * single key exceeds task memory).
   */
 object AsOfJoin {
+  import org.apache.spark.sql.types._
+
+  private val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+
+  /** Common event-time type both sides are cast TO (never a narrowing
+    * cast of either side): identical types pass through; date widens to
+    * the other side's timestamp flavor; integral types widen to the
+    * larger. Anything else (e.g. long vs int would silently overflow,
+    * double vs timestamp is meaningless) fails loudly at plan time.
+    */
+  private[operators] def widerTsType(l: DataType, r: DataType): DataType = (l, r) match {
+    case (a, b) if a == b => a
+    case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+    case (DateType, TimestampNTZType) | (TimestampNTZType, DateType) => TimestampNTZType
+    case (a, b) if integral.contains(a) && integral.contains(b) =>
+      if (a.defaultSize >= b.defaultSize) a else b
+    case (a, b) => throw new IllegalArgumentException(
+      s"as-of timestamp types must match or widen losslessly; got $a vs $b")
+  }
+
   /** @param left     the "quotes"/sensor stream providing values
     * @param right    the "trades"/query stream receiving values
     * @param key      equi-key column name present on both sides
@@ -28,6 +48,7 @@ object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame, key: String,
             leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val rightCols = right.columns.toSeq
+    val tsType = widerTsType(left.schema(leftTs).dataType, right.schema(rightTs).dataType)
     val lvType = org.apache.spark.sql.types.StructType(
       valueCols.map(c => left.schema(left.schema.fieldIndex(c))))
     // ALL carried values travel in ONE struct: the struct is non-null
@@ -36,11 +57,11 @@ object AsOfJoin {
     // from "left value is null" — and a right row can never mix fields
     // from different left rows.
     val l = left.select(
-      (col(key).as("__k") +: col(leftTs).as("__ts") +: lit(0).as("__tag") +:
+      (col(key).as("__k") +: col(leftTs).cast(tsType).as("__ts") +: lit(0).as("__tag") +:
         struct(valueCols.map(col): _*).as("__lv") +: Nil) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
     val r = right.select(
-      (col(key).as("__k") +: col(rightTs).cast(left.schema(leftTs).dataType).as("__ts") +:
+      (col(key).as("__k") +: col(rightTs).cast(tsType).as("__ts") +:
         lit(1).as("__tag") +: lit(null).cast(lvType).as("__lv") +: Nil) ++
         rightCols.map(col): _*)
     val w = Window.partitionBy(col("__k"))

@@ -26,7 +26,6 @@ object BagEtlMain {
     // reference main.cpp:57-59 report
     System.err.println(s"rosbag2parquet: processed ${info.count} messages " +
       s"(${info.sizeBytes} bytes) from ${info.bagname}")
-    new java.io.File(BagEtl.versionedOutputDir(outBase)).getParentFile
     spark.stop()
   }
 

@@ -41,6 +41,22 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(parseImageMeta(Array[Byte](1, 2, 3)) == Row(null, null, null, null, null))
   }
 
+  test("JPEG walk handles fill bytes and length-less standalone markers") {
+    // APP0 segment (len 4, 2 bytes payload), then 0xFF fill padding,
+    // then TEM (0x01) and RST3 (0xD3) standalone markers, then SOF0
+    val jpeg = Array(
+      0xFF, 0xD8,                         // SOI
+      0xFF, 0xE0, 0x00, 0x04, 0xAA, 0xBB, // APP0, len=4
+      0xFF, 0xFF, 0xFF, 0x01,             // two fill bytes, then TEM
+      0xFF, 0xD3,                         // RST3, no length
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x01, 0x00, 0x02, 0x00  // SOF0 h=256 w=512
+    ).map(_.toByte) ++ Array.fill(8)(0.toByte)
+    assert(parseImageMeta(jpeg) == Row("jpeg", 512, 256, 1, null))
+    // EOI before any SOF -> dimensions stay null, no crash
+    val eoiOnly = Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)
+    assert(parseImageMeta(eoiOnly) == Row("jpeg", null, null, 1, null))
+  }
+
   test("decode stub: deterministic features with real batch shape") {
     val df = decodeFeaturesStub(mediaDf(4), "blob", dim = 8)
     assert(df.schema("features").dataType == ArrayType(FloatType, containsNull = false))

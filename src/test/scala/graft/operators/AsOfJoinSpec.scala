@@ -39,6 +39,29 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(viaOperator.toSeq == viaQuery.toSeq)
   }
 
+  test("mixed ts types widen (never truncate the finer side); lossy mixes fail loudly") {
+    import spark.implicits._
+    // left is DATE, right is TIMESTAMP: the 12:00 event must see the
+    // same-day left row, and a 00:00 next-day left row must NOT match
+    val sensors = Seq(("2024-03-01", "d1"), ("2024-03-02", "d2")).toDF("k_", "v")
+      .select(lit(1L).as("dev"), col("k_").cast("date").as("ts"), col("v"))
+    val queries = Seq("2024-03-01 12:00:00").toDF("q_")
+      .select(lit(1L).as("dev"), col("q_").cast("timestamp_ntz").as("qts"))
+    val out = AsOfJoin(sensors, queries, "dev", "ts", "qts", Seq("v")).head()
+    assert(out.getAs[String]("v") == "d1")
+    // int vs long widens to long without overflow surprises
+    val li = Seq((1L, 5, "a")).toDF("dev", "ts", "v")
+    val rl = Seq((1L, 4294967301L)).toDF("dev", "qts")   // > Int.MaxValue
+    val wide = AsOfJoin(li, rl, "dev", "ts", "qts", Seq("v")).head()
+    assert(wide.getAs[String]("v") == "a")               // 5 <= 4294967301
+    // double vs timestamp: no sane widening — must throw, not coerce
+    val bad = Seq((1L, 1.5)).toDF("dev", "ts")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin(bad.withColumn("v", lit("x")), queries, "dev", "ts", "qts", Seq("v"))
+    }
+    assert(e.getMessage.contains("widen"))
+  }
+
   test("genuinely-null left values carry as null, not skipped (regression)") {
     import spark.implicits._
     val sensors = Seq(
