@@ -43,9 +43,21 @@ object BagEtl {
     *        payload twice with the default; pass false for the
     *        storage-lean layout (the typed columns alone are lossless
     *        for all materialized fields).
+    * @param blobSideTable split raw blobs larger than `blobThreshold`
+    *        out of each per-type table into `<table>_blobs.parquet`
+    *        keyed by seqno (reference wishlist rosbag2parquet.cpp:26
+    *        "emit blobs as a standalone table"; README.md:137). The
+    *        main table keeps small blobs inline, nulls the big ones and
+    *        carries a `data_externalized` flag — scan-heavy queries
+    *        stop paying for image bytes they never read, and the side
+    *        table joins back on seqno when they do. Requires
+    *        keepRawBlob (no blob column to externalize otherwise).
     */
   def run(spark: SparkSession, bagPath: String, outDir: String,
-          maxMessages: Option[Long] = None, keepRawBlob: Boolean = true): Info = {
+          maxMessages: Option[Long] = None, keepRawBlob: Boolean = true,
+          blobSideTable: Boolean = false, blobThreshold: Int = 1 << 20): Info = {
+    require(!blobSideTable || keepRawBlob,
+      "blobSideTable requires keepRawBlob=true (there is no blob column to externalize)")
     val index = graft.ros.bag.RosbagIO.scanIndex(bagPath)
 
     // Connections dimension (reference FlattenedRosWriter.cpp:209-224).
@@ -103,9 +115,22 @@ object BagEtl {
         val payload = typed.columns.filterNot(Set(
           "chunk_idx", "offset", "time_sec", "time_nsec", "connection_id", "data"))
         val frame = col("seqno") +: payload.map(col).toSeq :+ col("connection_id")
-        val df = typed
+        val joined = typed
           .join(seqnoMap, Seq("chunk_idx", "offset"))
           .select((if (keepRawBlob) frame :+ col("data") else frame): _*)
+        val df =
+          if (blobSideTable) {
+            // Two writes from one logical read; each branch prunes to its
+            // own columns (the side table scans only seqno+data), so the
+            // bag is not decoded twice for the payload columns.
+            val (slim, side) = graft.multimodal.MultimodalOps
+              .externalizeBlobs(joined, "data", "seqno", blobThreshold)
+            side.write.mode(SaveMode.ErrorIfExists)
+              .option("compression", "snappy")
+              .parquet(s"$out/${tableName}_blobs.parquet")
+            ddl ++= VerticaDdl.createTable(tableName + "_blobs", side.schema) ++= "\n"
+            slim
+          } else joined
         df.write.mode(SaveMode.ErrorIfExists)
           .option("compression", "snappy").parquet(s"$out/$tableName.parquet")
         ddl ++= VerticaDdl.createTable(tableName, df.schema) ++= "\n"

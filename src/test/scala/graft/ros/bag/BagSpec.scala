@@ -173,6 +173,45 @@ class BagSpec extends SparkTestBase {
       .getAs[String]("header_frame_id") == "frame1")
   }
 
+  test("blobSideTable externalizes big blobs into <type>_blobs.parquet keyed by seqno") {
+    val path = writeFixtureBag(3, messagesPerChunk = 10)
+    val out = Files.createTempDirectory("graft_blobs").toString + "/out"
+    // Imu blobs are ~300 bytes; a 100-byte threshold externalizes all
+    graft.ros.etl.BagEtl.run(spark, path, out,
+      blobSideTable = true, blobThreshold = 100)
+
+    val imu = spark.read.parquet(s"$out/sensor_msgs_Imu.parquet")
+    assert(imu.schema.fieldNames.contains("data_externalized"))
+    assert(imu.filter(col("data").isNotNull).count() == 0)  // slim main
+    assert(imu.filter(col("data_externalized")).count() == 3)
+
+    val side = spark.read.parquet(s"$out/sensor_msgs_Imu_blobs.parquet")
+    assert(side.schema.fieldNames.toSeq == Seq("seqno", "data"))
+    assert(side.count() == 3)
+
+    // join back on seqno and decode — the round trip is lossless
+    val r = imu.drop("data").join(side, "seqno")
+      .filter(col("seqno") === 2).head()
+    val vals = RosSchemaMapper.decode(imuBundle, r.getAs[Array[Byte]]("data"))
+    assert(vals(3) == "frame2")
+
+    val ddl = Files.readString(Paths.get(s"$out/vertica_load_tables.sql"))
+    assert(ddl.contains("CREATE TABLE sensor_msgs_Imu_blobs"))
+
+    // a threshold above the blob size keeps everything inline
+    val out2 = Files.createTempDirectory("graft_blobs2").toString + "/out"
+    graft.ros.etl.BagEtl.run(spark, path, out2,
+      blobSideTable = true, blobThreshold = 1 << 20)
+    val imu2 = spark.read.parquet(s"$out2/sensor_msgs_Imu.parquet")
+    assert(imu2.filter(col("data").isNotNull).count() == 3)
+    assert(spark.read.parquet(s"$out2/sensor_msgs_Imu_blobs.parquet").count() == 0)
+
+    intercept[IllegalArgumentException] {
+      graft.ros.etl.BagEtl.run(spark, path, out + "_x",
+        keepRawBlob = false, blobSideTable = true)
+    }
+  }
+
   test("seqno is merge-time order across chunks, not storage order") {
     // two connections, interleaved timestamps, one chunk each
     val conn0 = BagConnection(0, "/a", "sensor_msgs/Imu", Fixtures.imuMd5, Fixtures.imuDef, "")
