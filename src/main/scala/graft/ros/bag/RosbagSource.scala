@@ -71,7 +71,33 @@ object RosbagDataSource {
     StructField("connection_id", IntegerType, nullable = false),
     StructField("topic", StringType, nullable = false),
     StructField("datatype", StringType, nullable = false),
+    // std_msgs/Header stamp of the MESSAGE (sensor time), as opposed to
+    // time_sec/time_nsec which is bag RECEIPT time — reference TODO
+    // rosbag2parquet.cpp:28-30. Null for types whose first field is not
+    // a Header. Read from the fixed 12-byte wire prefix (uint32 seq,
+    // uint32 sec, uint32 nsec) without a full decode.
+    StructField("header_stamp_sec", IntegerType, nullable = true),
+    StructField("header_stamp_nsec", IntegerType, nullable = true),
     StructField("data", BinaryType, nullable = false)))
+
+  /** Does this connection's type start with a std_msgs/Header field?
+    * (ROS convention: Header, if present, is the first field — only
+    * then is the stamp at a fixed wire offset.)
+    */
+  def startsWithHeader(datatype: String, msgDef: String): Boolean =
+    try {
+      MsgDefParser.parse(datatype, msgDef).root.fields
+        .find(_.constantValue.isEmpty)
+        .exists(_.tpe match {
+          case graft.ros.RosMsgRef(pkg, "Header") =>
+            pkg.forall(p => p == "std_msgs" || p == "roslib")
+          case _ => false
+        })
+    } catch { case _: Exception => false }
+
+  def leInt(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
 }
 
 class RosbagTable(path: String, datatype: Option[String] = None,
@@ -237,6 +263,18 @@ class RosbagPartitionReader(p: RosbagInputPartition, required: StructType,
   }
   private var current: BagFormat.BagMessage = _
 
+  // per-connection "first field is a Header" memo — parsed once per
+  // partition, and only if a header_stamp column survives pruning
+  private lazy val connHasHeader: Map[Int, Boolean] =
+    p.conns.map { case (id, c) =>
+      id -> RosbagDataSource.startsWithHeader(c.datatype, c.msgDef)
+    }
+
+  private def headerStamp(nsec: Boolean): Any =
+    if (connHasHeader(current.connId) && current.data.length >= 12)
+      RosbagDataSource.leInt(current.data, if (nsec) 8 else 4)
+    else null
+
   override def next(): Boolean =
     if (messages.hasNext) { current = messages.next(); true } else false
 
@@ -252,6 +290,8 @@ class RosbagPartitionReader(p: RosbagInputPartition, required: StructType,
         case "connection_id" => current.connId
         case "topic" => UTF8String.fromString(conn.topic)
         case "datatype" => UTF8String.fromString(conn.datatype)
+        case "header_stamp_sec" => headerStamp(nsec = false)
+        case "header_stamp_nsec" => headerStamp(nsec = true)
         case "data" => current.data
       }
     }.toSeq)

@@ -79,12 +79,16 @@ object BagEtl {
     // columns FIRST — otherwise every blob rides the range shuffle.
     val spine = Seqno.globalSeqno(
       raw.select(col("chunk_idx"), col("offset"), col("time_sec"),
-        col("time_nsec"), col("size"), col("connection_id")),
+        col("time_nsec"), col("size"), col("connection_id"),
+        col("header_stamp_sec"), col("header_stamp_nsec")),
       Seq(col("time_sec"), col("time_nsec"), col("chunk_idx"), col("offset")))
 
-    // Messages fact table (reference FlattenedRosWriter.cpp:49-87).
+    // Messages fact table (reference FlattenedRosWriter.cpp:49-87), plus
+    // the sensor-time header stamp (nullable; reference TODO
+    // rosbag2parquet.cpp:28-30) read in the source from the wire prefix.
     val messages = spine.select(
-      col("seqno"), col("time_sec"), col("time_nsec"), col("size"), col("connection_id"))
+      col("seqno"), col("time_sec"), col("time_nsec"), col("size"), col("connection_id"),
+      col("header_stamp_sec"), col("header_stamp_nsec"))
 
     val out = versionedOutputDir(outDir)
     messages.write.mode(SaveMode.ErrorIfExists)

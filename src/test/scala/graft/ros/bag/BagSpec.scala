@@ -94,7 +94,8 @@ class BagSpec extends SparkTestBase {
     val path = writeFixtureBag(6, messagesPerChunk = 2)
     val df = spark.read.format("rosbag").load(path)
     assert(df.schema.fieldNames.toSeq == Seq("chunk_idx", "offset", "time_sec",
-      "time_nsec", "size", "connection_id", "topic", "datatype", "data"))
+      "time_nsec", "size", "connection_id", "topic", "datatype",
+      "header_stamp_sec", "header_stamp_nsec", "data"))
     assert(df.count() == 6)
     // filter pushdown on time_sec halves the rows
     val half = df.filter(col("time_sec") >= 1700000003).count()
@@ -171,6 +172,40 @@ class BagSpec extends SparkTestBase {
     assert(imu.schema.fieldNames.last == "connection_id")
     assert(imu.filter(col("seqno") === 1).head()
       .getAs[String]("header_frame_id") == "frame1")
+  }
+
+  test("header_stamp columns: sensor time from the wire prefix, null for headerless types") {
+    // Imu (Header first field) with header stamp DIFFERENT from bag
+    // receipt time, plus a headerless Vector3 connection.
+    val vecDef = "float64 x\nfloat64 y\nfloat64 z\n"
+    val vecBundle = MsgDefParser.parse("geometry_msgs/Vector3", vecDef)
+    val connImu = BagConnection(0, "/imu", "sensor_msgs/Imu", Fixtures.imuMd5,
+      Fixtures.imuDef, "")
+    val connVec = BagConnection(1, "/vec", "geometry_msgs/Vector3",
+      "cc153912f1453b708d221682bc23d9ac", vecDef, "")
+    val msgs = Seq(
+      // receipt 2000000000, header stamp 1500000000.42 — sensor lag
+      WriteMessage(0, 2000000000, 7, imuBytes(5, 1500000000, 42, "f", 1.0)),
+      WriteMessage(1, 2000000001, 0,
+        RosSchemaMapper.encode(vecBundle, Seq(1.0, 2.0, 3.0))))
+    val bytes = BagFormat.writeBag(Seq(connImu, connVec), msgs, messagesPerChunk = 10)
+    val p = Files.createTempFile("graft_hdr", ".bag"); Files.write(p, bytes)
+
+    val df = spark.read.format("rosbag").load(p.toString)
+    val imuRow = df.filter(col("connection_id") === 0)
+      .select("header_stamp_sec", "header_stamp_nsec", "time_sec").head()
+    assert(imuRow.getInt(0) == 1500000000 && imuRow.getInt(1) == 42)
+    assert(imuRow.getInt(2) == 2000000000)  // receipt time untouched
+    val vecRow = df.filter(col("connection_id") === 1)
+      .select("header_stamp_sec", "header_stamp_nsec").head()
+    assert(vecRow.isNullAt(0) && vecRow.isNullAt(1))
+
+    // ETL carries the stamp into the Messages spine
+    val out = Files.createTempDirectory("graft_hdr_etl").toString + "/out"
+    graft.ros.etl.BagEtl.run(spark, p.toString, out)
+    val m = spark.read.parquet(s"$out/Messages.parquet").orderBy("seqno").collect()
+    assert(m(0).getAs[Int]("header_stamp_sec") == 1500000000)
+    assert(m(1).isNullAt(m(1).fieldIndex("header_stamp_sec")))
   }
 
   test("blobSideTable externalizes big blobs into <type>_blobs.parquet keyed by seqno") {
