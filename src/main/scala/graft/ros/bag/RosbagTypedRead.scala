@@ -66,6 +66,19 @@ class RosbagTypedReaderFactory(datatype: String, msgDef: String,
     val p = partition.asInstanceOf[RosbagInputPartition]
     new RosbagTypedPartitionReader(p, datatype, msgDef, required, includeRaw, filters)
   }
+
+  // vectorized path: decode straight into column vectors whenever every
+  // required column has a columnar-supported shape (scalars, strings,
+  // blobs, arrays of primitives); array-of-struct projections fall back
+  // to the row reader above (Scan.columnarSupportMode PARTITION_DEFINED
+  // routes on this per-partition answer)
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    RosbagColumnarRead.supportsColumnar(required)
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[RosbagInputPartition]
+    new RosbagTypedColumnarReader(p, datatype, msgDef, required, includeRaw, filters)
+  }
 }
 
 class RosbagTypedPartitionReader(p: RosbagInputPartition, datatype: String,

@@ -58,7 +58,16 @@ object BagEtl {
           blobSideTable: Boolean = false, blobThreshold: Int = 1 << 20): Info = {
     require(!blobSideTable || keepRawBlob,
       "blobSideTable requires keepRawBlob=true (there is no blob column to externalize)")
+    // opt-in phase timing for throughput work (GRAFT_ETL_TIMING=1)
+    val timing = sys.env.contains("GRAFT_ETL_TIMING")
+    var tLast = System.nanoTime()
+    def lap(phase: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[etl-timing] $phase%-22s ${(now - tLast) / 1e9}%6.2fs")
+      tLast = now
+    }
     val index = graft.ros.bag.RosbagIO.scanIndex(bagPath)
+    lap("scanIndex")
 
     // Connections dimension (reference FlattenedRosWriter.cpp:209-224).
     val connections = graft.ros.bag.RosbagTables.fromIndex(spark, index)
@@ -93,6 +102,7 @@ object BagEtl {
     val out = versionedOutputDir(outDir)
     messages.write.mode(SaveMode.ErrorIfExists)
       .option("compression", "snappy").parquet(s"$out/Messages.parquet")
+    lap("messages-write")
     connections.write.mode(SaveMode.ErrorIfExists)
       .option("compression", "snappy").parquet(s"$out/Connections.parquet")
 
@@ -106,6 +116,7 @@ object BagEtl {
     val seqnoDir = s"$out/_seqno"
     spine.select(col("chunk_idx"), col("offset"), col("seqno"))
       .write.option("compression", "snappy").parquet(seqnoDir)
+    lap("seqno-map-write")
     val seqnoMap = spark.read.parquet(seqnoDir)
 
     val ddl = new StringBuilder
@@ -138,6 +149,7 @@ object BagEtl {
         df.write.mode(SaveMode.ErrorIfExists)
           .option("compression", "snappy").parquet(s"$out/$tableName.parquet")
         ddl ++= VerticaDdl.createTable(tableName, df.schema) ++= "\n"
+        lap(s"table:$tableName")
     }
     // drop the temp seqno map (Hadoop FS: works for file:// and remote)
     val seqnoPath = new org.apache.hadoop.fs.Path(seqnoDir)

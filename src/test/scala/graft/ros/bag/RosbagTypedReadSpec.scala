@@ -28,6 +28,34 @@ class RosbagTypedReadSpec extends SparkTestBase {
     assert(withRaw.select("data").head().getAs[Array[Byte]](0).nonEmpty)
   }
 
+  test("typed read uses the vectorized columnar reader (plan + values)") {
+    val bag = graft.ros.etl.BagEtlMain.demoBag()
+    val df = spark.read.format("rosbag")
+      .option("datatype", "sensor_msgs/Imu").option("includeRaw", "true").load(bag)
+    // all Imu columns (scalars, strings, float64[9] arrays, raw blob) are
+    // columnar-supported, so the scan must report columnar and the plan
+    // carries a ColumnarToRow transition
+    assert(RosbagColumnarRead.supportsColumnar(df.schema))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected columnar scan in:\n$plan")
+    // values through the columnar decode match the row decode exactly:
+    // re-decode each raw blob with the interpreted mapper and compare
+    val bundle = RosbagTypedRead.bundleFor(bag, "sensor_msgs/Imu")
+    val flat = graft.ros.RosSchemaMapper.flatSchema(bundle)
+    val cols = flat.fieldNames.toSeq
+    df.orderBy("chunk_idx", "offset").collect().foreach { r =>
+      val expected = graft.ros.RosSchemaMapper.decode(bundle, r.getAs[Array[Byte]]("data"))
+      cols.zip(expected).foreach { case (name, exp) =>
+        val got = r.getAs[Any](name)
+        (got, exp) match {
+          case (g: scala.collection.Seq[_], e: scala.collection.Seq[_]) =>
+            assert(g.toSeq == e.toSeq, s"column $name")
+          case (g, e) => assert(g == e, s"column $name")
+        }
+      }
+    }
+  }
+
   test("typed read of unknown datatype fails loudly") {
     val bag = graft.ros.etl.BagEtlMain.demoBag()
     val e = intercept[Exception] {
