@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
   * don't lose any data"; blob externalization wishlist
   * rosbag2parquet.cpp:26, README.md:137).
   *
-  * The Spark-side plumbing here is REAL (schemas, blob-budget
-  * partitioning, mapPartitions batch shape, header parsing); the codec
-  * internals are STUBBED deterministically (`stubDecode`) because no
-  * image/audio libraries exist in this environment — swap the stub for
-  * a real codec without touching the plumbing.
+  * Image (PNG/JPEG/BMP/GIF via `javax.imageio`) and audio (WAV/AIFF
+  * via `javax.sound.sampled`) decode are REAL — both codecs ship in
+  * the JDK, no external libraries. Video frame sampling remains a
+  * clearly-labeled deterministic stub (the JDK has no video codec);
+  * its Spark-side plumbing (explode cardinality, per-frame keying) is
+  * real and swaps to a codec without touching the shape.
   */
 object MultimodalOps {
 
@@ -96,6 +97,158 @@ object MultimodalOps {
       .head().getLong(0)
     val parts = math.max(1, math.min(10000, (total / targetBytes).toInt + 1))
     df.repartition(parts)
+  }
+
+  // ---- REAL image decode (javax.imageio: PNG/JPEG/BMP/GIF, JDK-native) ----
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("rms", FloatType, nullable = true),
+    StructField("peak", FloatType, nullable = true)))
+
+  /** Decode one image blob; None when no installed reader recognizes
+    * the bytes (ImageIO probes by content, not extension).
+    */
+  private def readImage(blob: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+    catch { case _: Exception => None }
+
+  /** REAL image feature extraction: decode the blob and compute
+    * `[log-width, log-height, aspect, meanR, meanG, meanB, lumaStd,
+    * lumaHist(histBins)...]`, all in [0,1] — the classic cheap visual
+    * fingerprint for near-dup / quality filtering over image corpora.
+    * Pixels are sampled with a stride that caps work at ~64k samples
+    * per image so a 4k frame costs the same as a thumbnail. Rows whose
+    * blob no codec recognizes get a null vector (filter with
+    * `col(out).isNotNull`).
+    */
+  def decodeImageFeatures(df: DataFrame, blobCol: String, histBins: Int = 8,
+                          out: String = "features"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+
+      StructField(out, ArrayType(FloatType, containsNull = false), nullable = true))
+    val rows = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)   // no temp-file cache per decode
+      it.map { r =>
+        val feats = readImage(r.getAs[Array[Byte]](blobCol)).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val stride = math.max(1, math.sqrt(w.toLong * h / 65536.0).toInt)
+          var n = 0
+          var sr = 0.0; var sg = 0.0; var sb = 0.0
+          var sl = 0.0; var sl2 = 0.0
+          val hist = new Array[Int](histBins)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val cr = (rgb >> 16) & 0xFF; val cg = (rgb >> 8) & 0xFF; val cb = rgb & 0xFF
+              val lum = (0.299 * cr + 0.587 * cg + 0.114 * cb) / 255.0
+              sr += cr; sg += cg; sb += cb; sl += lum; sl2 += lum * lum
+              hist(math.min(histBins - 1, (lum * histBins).toInt)) += 1
+              n += 1
+              x += stride
+            }
+            y += stride
+          }
+          val meanL = sl / n
+          val std = math.sqrt(math.max(0, sl2 / n - meanL * meanL))
+          Array(
+            (math.log1p(w.toDouble) / 16.0).toFloat,   // log-scaled dims: ~[0,1] up to 8.8M px wide
+            (math.log1p(h.toDouble) / 16.0).toFloat,
+            (w.toDouble / (w + h)).toFloat,            // aspect in (0,1)
+            (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+            std.toFloat) ++
+            hist.map(c => c.toFloat / n)
+        }
+        Row.fromSeq(r.toSeq :+ feats.map(_.toSeq).orNull)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** REAL decode + resize to `w`×`h` 8-bit grayscale (row-major bytes)
+    * via Java2D bilinear scaling — canonical fixed-shape model-input
+    * prep. Null for undecodable blobs.
+    */
+  def resizeToGray(df: DataFrame, blobCol: String, w: Int = 32, h: Int = 32,
+                   out: String = "gray"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+
+      StructField(out, BinaryType, nullable = true))
+    val rows = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val gray = readImage(r.getAs[Array[Byte]](blobCol)).map { img =>
+          val dst = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          dst.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte]
+            .getData.clone()
+        }
+        Row.fromSeq(r.toSeq :+ gray.orNull)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ---- REAL audio decode (javax.sound.sampled: WAV/AIFF/AU, JDK-native) ----
+
+  /** REAL audio decode: parse the blob with `javax.sound.sampled`,
+    * normalize to signed 16-bit PCM, and compute
+    * `(sample_rate, channels, n_samples per channel, rms, peak)` with
+    * rms/peak in [0,1]. Null struct for blobs no audio reader accepts.
+    * Streams fixed 64 KiB buffers — constant memory per row regardless
+    * of clip length.
+    */
+  def audioFeatures(df: DataFrame, blobCol: String, out: String = "audio"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+
+      StructField(out, audioMetaSchema, nullable = true))
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val blob = r.getAs[Array[Byte]](blobCol)
+        val meta = try {
+          import javax.sound.sampled._
+          val in = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(blob))
+          try {
+            val src = in.getFormat
+            val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
+              src.getSampleRate, false)
+            val pcm = AudioSystem.getAudioInputStream(fmt, in)
+            try {
+              val buf = new Array[Byte](1 << 16)
+              var nSamp = 0L; var sum2 = 0.0; var peak = 0.0
+              var read = pcm.read(buf)
+              while (read > 0) {
+                var i = 0
+                while (i + 1 < read) {
+                  val s = ((buf(i + 1) << 8) | (buf(i) & 0xFF)) / 32768.0
+                  sum2 += s * s; if (math.abs(s) > peak) peak = math.abs(s)
+                  nSamp += 1
+                  i += 2
+                }
+                read = pcm.read(buf)
+              }
+              val perChan = nSamp / math.max(1, fmt.getChannels)
+              Row(fmt.getSampleRate.toInt, fmt.getChannels, perChan,
+                math.sqrt(sum2 / math.max(1L, nSamp)).toFloat, peak.toFloat)
+            } finally pcm.close()
+          } finally in.close()
+        } catch { case _: Exception => null }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   // ---- STUBBED decode / feature ops (deterministic fakes) ----

@@ -57,6 +57,104 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(parseImageMeta(eoiOnly) == Row("jpeg", null, null, 1, null))
   }
 
+  /** Real encoded fixtures via the same JDK codecs the ops use. */
+  private def encodePng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def encodeWav(sampleRate: Int, amplitude: Double, nSamples: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    (0 until nSamples).foreach { i =>
+      val s = (amplitude * 32767 * math.sin(2 * math.Pi * 440 * i / sampleRate)).toInt
+      pcm(2 * i) = (s & 0xFF).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nSamples)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def blobDf(blobs: Seq[Array[Byte]]) = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val rows = blobs.zipWithIndex.map { case (b, i) => Row(i.toLong, b) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("real image decode: features from actual PNG pixels") {
+    // solid red, solid dark-green, and an undecodable garbage blob
+    val df = decodeImageFeatures(blobDf(Seq(
+      encodePng(64, 32, 0xFF0000), encodePng(16, 16, 0x004000),
+      Array[Byte](1, 2, 3, 4))), "blob", histBins = 8)
+    val rows = df.orderBy("id").select("features").collect()
+    val red = rows(0).getSeq[Float](0)
+    assert(red.size == 7 + 8)
+    assert(red(2) == 64f / 96f)                      // aspect w/(w+h)
+    assert(math.abs(red(3) - 1.0f) < 0.01)           // meanR ~ 1
+    assert(red(4) < 0.01 && red(5) < 0.01)           // meanG/meanB ~ 0
+    assert(red(6) < 0.01)                            // solid color: lumaStd ~ 0
+    assert(math.abs(red.drop(7).sum - 1.0f) < 1e-3)  // histogram sums to 1
+    val green = rows(1).getSeq[Float](0)
+    assert(green(3) < 0.01 && green(4) > 0.2 && green(4) < 0.3)
+    assert(rows(2).isNullAt(0))                      // garbage -> null
+  }
+
+  test("real image resize: fixed-shape grayscale bytes") {
+    val df = resizeToGray(blobDf(Seq(
+      encodePng(100, 60, 0xFFFFFF), encodePng(10, 10, 0x000000),
+      Array[Byte](9, 9))), "blob", w = 8, h = 8)
+    val rows = df.orderBy("id").select("gray").collect()
+    val white = rows(0).getAs[Array[Byte]](0)
+    assert(white.length == 64 && white.forall(b => (b & 0xFF) > 250))
+    val black = rows(1).getAs[Array[Byte]](0)
+    assert(black.length == 64 && black.forall(b => (b & 0xFF) < 5))
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("real audio decode: WAV sample rate, duration, rms, peak") {
+    val quiet = encodeWav(8000, 0.1, 8000)   // 1s of quiet 440 Hz
+    val loud = encodeWav(16000, 0.9, 4000)   // 0.25s loud
+    val df = audioFeatures(blobDf(Seq(quiet, loud, Array[Byte](0, 1, 2))), "blob")
+    val rows = df.orderBy("id")
+      .select("audio.sample_rate", "audio.channels", "audio.n_samples",
+              "audio.rms", "audio.peak").collect()
+    assert(rows(0).getInt(0) == 8000 && rows(0).getInt(1) == 1)
+    assert(rows(0).getLong(2) == 8000)
+    // sine RMS = A/sqrt(2); peak = A
+    assert(math.abs(rows(0).getFloat(3) - 0.1 / math.sqrt(2)) < 0.005)
+    assert(math.abs(rows(0).getFloat(4) - 0.1) < 0.005)
+    assert(rows(1).getInt(0) == 16000 && rows(1).getLong(2) == 4000)
+    assert(math.abs(rows(1).getFloat(3) - 0.9 / math.sqrt(2)) < 0.02)
+    assert(rows(2).isNullAt(0) || rows(2).get(0) == null)   // garbage -> null struct
+  }
+
+  test("decoded image features feed the dedup/ANN query surface") {
+    // near-dup detection over decoded features: two visually identical
+    // images (same color, different encode dims) vs one different
+    val df = decodeImageFeatures(blobDf(Seq(
+      encodePng(32, 32, 0x3060C0), encodePng(32, 32, 0x3060C0),
+      encodePng(32, 32, 0xC06030))), "blob")
+    import org.apache.spark.sql.functions.{aggregate => sqlAggregate, _}
+    val a = df.select(col("id").as("ia"), col("features").as("fa"))
+    val b = df.select(col("id").as("ib"), col("features").as("fb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+      .withColumn("dist", sqrt(sqlAggregate(
+        zip_with(col("fa"), col("fb"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v)))
+    val close = pairs.filter(col("dist") < 0.01).select("ia", "ib").collect()
+    assert(close.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+
   test("decode stub: deterministic features with real batch shape") {
     val df = decodeFeaturesStub(mediaDf(4), "blob", dim = 8)
     assert(df.schema("features").dataType == ArrayType(FloatType, containsNull = false))
