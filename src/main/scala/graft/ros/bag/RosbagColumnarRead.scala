@@ -134,9 +134,15 @@ object RosbagColumnarRead {
               val elemWriter = writeElem(p, v.arrayData())
               (buf: ByteBuffer) => {
                 val n = fixedLen.getOrElse(readLen(buf))
+                // appendArray FIRST: it records the child's current
+                // elementsAppended as this row's offset, so the n
+                // element appends below land exactly in [offset,
+                // offset+n). Appending elements first would make the
+                // offset point one row ahead (zeros on the last row,
+                // silently shifted values elsewhere).
+                v.appendArray(n)
                 var i = 0
                 while (i < n) { elemWriter(buf); i += 1 }
-                v.appendArray(n)
               }
             case None =>
               val elemSkip = skipScalar(p)

@@ -52,10 +52,24 @@ object BagEtl {
     *        stop paying for image bytes they never read, and the side
     *        table joins back on seqno when they do. Requires
     *        keepRawBlob (no blob column to externalize otherwise).
+    * @param stagedByType single-pass mode: ONE scan of the bag writes
+    *        (spine meta, datatype, raw bytes) to a parquet staging
+    *        table partitioned by datatype; the spine reads just its
+    *        meta columns back (parquet column pruning skips the blob
+    *        pages) and each per-type table decodes only its own
+    *        partition's bytes. Every bag chunk is read — and, for
+    *        bz2/lz4 bags, decompressed — exactly ONCE for the whole
+    *        ETL: the reference's serial read-once economics
+    *        (rosbag2parquet.cpp:41-63) at cluster parallelism. Costs
+    *        one extra write of the payload bytes, so it wins when the
+    *        bag has many datatypes or compressed chunks; the default
+    *        per-type re-scan wins for small uncompressed bags with
+    *        one or two types.
     */
   def run(spark: SparkSession, bagPath: String, outDir: String,
           maxMessages: Option[Long] = None, keepRawBlob: Boolean = true,
-          blobSideTable: Boolean = false, blobThreshold: Int = 1 << 20): Info = {
+          blobSideTable: Boolean = false, blobThreshold: Int = 1 << 20,
+          stagedByType: Boolean = false): Info = {
     require(!blobSideTable || keepRawBlob,
       "blobSideTable requires keepRawBlob=true (there is no blob column to externalize)")
     // opt-in phase timing for throughput work (GRAFT_ETL_TIMING=1)
@@ -81,15 +95,36 @@ object BagEtl {
     val raw0 = spark.read.format("rosbag").load(bagPath)
     val raw = maxMessages.map(n => raw0.limit(n.toInt).toDF()).getOrElse(raw0)
 
+    val out = versionedOutputDir(outDir)
+
+    // Stage the spine meta to parquet BEFORE the seqno operator. The
+    // range-partition seqno needs two passes over its input (bound
+    // sampling + shuffle write); run those against a kilobytes-per-
+    // million-rows parquet staging table instead of the bag source, so
+    // every bag chunk is read (and decompressed) exactly ONCE for the
+    // spine. Meta-only projection: the source's column pruning skips
+    // payload decode entirely. In stagedByType mode the same single
+    // pass ALSO stages the raw bytes partitioned by datatype — the
+    // only bag scan of the whole ETL.
+    val stageDir = s"$out/_spine"
+    val metaCols = Seq(col("chunk_idx"), col("offset"), col("time_sec"),
+      col("time_nsec"), col("size"), col("connection_id"),
+      col("header_stamp_sec"), col("header_stamp_nsec"))
+    if (stagedByType)
+      raw.select(metaCols :+ col("datatype") :+ col("data"): _*)
+        .write.partitionBy("datatype")
+        .option("compression", "snappy").parquet(stageDir)
+    else
+      raw.select(metaCols: _*)
+        .write.option("compression", "snappy").parquet(stageDir)
+    lap("spine-stage-write")
+
     // Global seqno in merge-time order with storage-order tie-break —
     // rosbag::View semantics (reference rosbag2parquet.cpp:45-52;
-    // seqno FlattenedRosWriter.cpp:195,256). Seqno pins its physical
-    // plan before downstream pruning can act, so select the meta
-    // columns FIRST — otherwise every blob rides the range shuffle.
+    // seqno FlattenedRosWriter.cpp:195,256). The meta select prunes
+    // the staged blob pages out of the read in stagedByType mode.
     val spine = Seqno.globalSeqno(
-      raw.select(col("chunk_idx"), col("offset"), col("time_sec"),
-        col("time_nsec"), col("size"), col("connection_id"),
-        col("header_stamp_sec"), col("header_stamp_nsec")),
+      spark.read.parquet(stageDir).select(metaCols: _*),
       Seq(col("time_sec"), col("time_nsec"), col("chunk_idx"), col("offset")))
 
     // Messages fact table (reference FlattenedRosWriter.cpp:49-87), plus
@@ -99,7 +134,6 @@ object BagEtl {
       col("seqno"), col("time_sec"), col("time_nsec"), col("size"), col("connection_id"),
       col("header_stamp_sec"), col("header_stamp_nsec"))
 
-    val out = versionedOutputDir(outDir)
     messages.write.mode(SaveMode.ErrorIfExists)
       .option("compression", "snappy").parquet(s"$out/Messages.parquet")
     lap("messages-write")
@@ -124,15 +158,28 @@ object BagEtl {
     // textually different but md5-equal definition strings)
     index.connections.map(_.datatype).distinct.foreach { datatype =>
         val tableName = datatype.replace("/", "_")  // reference MessageTable.cpp:315
-        val typed = spark.read.format("rosbag")
-          .option("datatype", datatype).option("includeRaw", keepRawBlob.toString)
-          .load(bagPath)
-        val payload = typed.columns.filterNot(Set(
-          "chunk_idx", "offset", "time_sec", "time_nsec", "connection_id", "data"))
-        val frame = col("seqno") +: payload.map(col).toSeq :+ col("connection_id")
-        val joined = typed
-          .join(seqnoMap, Seq("chunk_idx", "offset"))
-          .select((if (keepRawBlob) frame :+ col("data") else frame): _*)
+        val joined = if (stagedByType) {
+          // decode this type's bytes from its staging partition — the
+          // bag itself is never re-read
+          val bundle = MsgDefParser.parse(datatype,
+            index.connections.find(_.datatype == datatype).get.msgDef)
+          val part = spark.read.parquet(stageDir)
+            .filter(col("datatype") === datatype)
+            .join(seqnoMap, Seq("chunk_idx", "offset"))
+            .select(col("seqno"), col("connection_id"), col("data"))
+          val decoded = decodeRows(spark, part, bundle)
+          if (keepRawBlob) decoded else decoded.drop("data")
+        } else {
+          val typed = spark.read.format("rosbag")
+            .option("datatype", datatype).option("includeRaw", keepRawBlob.toString)
+            .load(bagPath)
+          val payload = typed.columns.filterNot(Set(
+            "chunk_idx", "offset", "time_sec", "time_nsec", "connection_id", "data"))
+          val frame = col("seqno") +: payload.map(col).toSeq :+ col("connection_id")
+          typed
+            .join(seqnoMap, Seq("chunk_idx", "offset"))
+            .select((if (keepRawBlob) frame :+ col("data") else frame): _*)
+        }
         val df =
           if (blobSideTable) {
             // Two writes from one logical read; each branch prunes to its
@@ -151,10 +198,11 @@ object BagEtl {
         ddl ++= VerticaDdl.createTable(tableName, df.schema) ++= "\n"
         lap(s"table:$tableName")
     }
-    // drop the temp seqno map (Hadoop FS: works for file:// and remote)
-    val seqnoPath = new org.apache.hadoop.fs.Path(seqnoDir)
-    seqnoPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      .delete(seqnoPath, true)
+    // drop the temp staging dirs (Hadoop FS: works for file:// and remote)
+    Seq(seqnoDir, stageDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    }
     val ddlPath = new org.apache.hadoop.fs.Path(s"$out/vertica_load_tables.sql")
     val ddlFs = ddlPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val os = ddlFs.create(ddlPath, true)
@@ -178,7 +226,10 @@ object BagEtl {
     // sensor_msgs/CompressedImage has a `data` field — the reference
     // never hits this because it drops arrays). Reserved names win
     // (reference compat); colliding payload columns get `_field`.
-    val reserved = Set("seqno", "connection_id", "data")
+    // Same set as the typed source (RosbagTypedRead.reserved) so the
+    // staged and per-type-scan ETL modes emit identical column names.
+    val reserved = Set("seqno", "connection_id", "data",
+      "chunk_idx", "offset", "time_sec", "time_nsec")
     val payload = flat.fields.map(f =>
       if (reserved(f.name)) f.copy(name = f.name + "_field") else f)
     val outSchema = StructType(

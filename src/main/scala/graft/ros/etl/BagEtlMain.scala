@@ -36,12 +36,15 @@ object BagEtlMain {
     import graft.ros.bag.BagFormat._
     import graft.ros.{Fixtures, MsgDefParser, RosSchemaMapper}
     val bundle = MsgDefParser.parse("sensor_msgs/Imu", Fixtures.imuDef)
+    // array values vary per row AND per element: a decoder that reads a
+    // neighboring row's array slot (offset bookkeeping bugs) cannot
+    // round-trip this fixture
     def msg(seq: Long, sec: Int, nsec: Int, frame: String): Array[Byte] =
       RosSchemaMapper.encode(bundle, Seq(
         seq, sec, nsec, frame,
-        0.0, 0.0, 0.0, 1.0, Seq.fill(9)(0.0),
-        0.1, 0.2, 0.3, Seq.fill(9)(0.0),
-        9.8, 0.0, 0.0, Seq.fill(9)(0.0)))
+        0.0, 0.0, 0.0, 1.0, Seq.tabulate(9)(j => seq + j * 0.25),
+        0.1, 0.2, 0.3, Seq.tabulate(9)(j => seq * 2 + j * 0.5),
+        9.8, 0.0, 0.0, Seq.tabulate(9)(j => seq * 3 + j * 0.75)))
     val conns = Seq(
       BagConnection(0, "/imu/body", "sensor_msgs/Imu", Fixtures.imuMd5, Fixtures.imuDef, "/imu_node"),
       BagConnection(1, "/imu/head", "sensor_msgs/Imu", Fixtures.imuMd5, Fixtures.imuDef, "/imu_node"))

@@ -72,8 +72,10 @@ object EtlBench {
     val bagMB = java.nio.file.Files.size(bagPath) / 1e6
     System.err.println(f"bag written: $bagMB%.1f MB")
 
+    val staged = sys.env.contains("GRAFT_ETL_STAGED")
     val t0 = System.nanoTime()
-    val info = BagEtl.run(spark, bagPath.toString, dir.resolve("out").toString)
+    val info = BagEtl.run(spark, bagPath.toString, dir.resolve("out").toString,
+      stagedByType = staged)
     val sec = (System.nanoTime() - t0) / 1e9
 
     def dirSize(f: java.io.File): Long =

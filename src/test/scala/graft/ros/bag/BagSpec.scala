@@ -149,6 +149,52 @@ class BagSpec extends SparkTestBase {
     assert(graft.ros.etl.BagEtl.versionedOutputDir(out) == s"$out.1")
   }
 
+  test("stagedByType single-pass ETL produces tables identical to per-type scans") {
+    // two datatypes (slash in partition values) + compressed chunks —
+    // the case the single-pass mode exists for
+    import graft.ros.etl.EtlBench
+    val imgBundle = MsgDefParser.parse("sensor_msgs/CompressedImage",
+      EtlBench.compressedImageDef)
+    val conns = Seq(
+      BagConnection(0, "/cam", "sensor_msgs/CompressedImage", "md5img",
+        EtlBench.compressedImageDef, "/cam"),
+      BagConnection(1, "/imu_data", "sensor_msgs/Imu", Fixtures.imuMd5,
+        Fixtures.imuDef, "/imu"))
+    val msgs = (0 until 12).flatMap { i =>
+      val img = RosSchemaMapper.encode(imgBundle, Seq(
+        i.toLong, 1700000000 + i, 0, "cam", "jpeg", Array.fill(64)(i.toByte)))
+      Seq(WriteMessage(0, 1700000000 + i, 0, img),
+          WriteMessage(1, 1700000000 + i, 1, imuBytes(i.toLong, 1700000000 + i, 1,
+            s"frame$i", i * 0.5)))
+    }
+    val bag = Files.createTempFile("graft_staged", ".bag")
+    Files.write(bag, BagFormat.writeBag(conns, msgs, messagesPerChunk = 4,
+      compression = "lz4"))
+    val base = Files.createTempDirectory("graft_staged").toString
+    graft.ros.etl.BagEtl.run(spark, bag.toString, s"$base/scan")
+    graft.ros.etl.BagEtl.run(spark, bag.toString, s"$base/staged", stagedByType = true)
+
+    for (t <- Seq("Messages", "sensor_msgs_Imu", "sensor_msgs_CompressedImage")) {
+      val a = spark.read.parquet(s"$base/scan/$t.parquet")
+      val b = spark.read.parquet(s"$base/staged/$t.parquet")
+      assert(a.schema.map(f => (f.name, f.dataType)) ==
+             b.schema.map(f => (f.name, f.dataType)), s"$t schema")
+      val key = a.columns.head   // seqno
+      val rowsA = a.orderBy(key).collect()
+      val rowsB = b.orderBy(key).collect()
+      assert(rowsA.length == rowsB.length, s"$t rows")
+      rowsA.zip(rowsB).foreach { case (ra, rb) =>
+        ra.toSeq.zip(rb.toSeq).zip(a.columns).foreach {
+          case ((x: Array[Byte], y: Array[Byte]), c) =>
+            assert(java.util.Arrays.equals(x, y), s"$t.$c")
+          case ((x, y), c) => assert(x == y, s"$t.$c")
+        }
+      }
+    }
+    // staging dir is cleaned up
+    assert(!Files.exists(Paths.get(s"$base/staged/_spine")))
+  }
+
   test("decodeRows re-materializes blobs into typed columns (SURVEY 7.7)") {
     val path = writeFixtureBag(3, messagesPerChunk = 10)
     val out = Files.createTempDirectory("graft_rem").toString + "/out"
