@@ -28,23 +28,21 @@ object IvfIndex {
 
   private def dotd(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
-  /** Lloyd-iteration k-means, deterministic throughout: init picks
-    * every ⌈n/k⌉th id (stride derived from the actual count — never a
-    * hard-coded corpus size), updates are per-dimension avg aggregates
-    * (one map-side-combined shuffle of k×dim doubles per iteration),
-    * empty cells keep their previous centroid.
+  /** Lloyd-iteration k-means, deterministic throughout: init picks the
+    * k ids that hash lowest (a deterministic pseudo-random sample that
+    * assumes NOTHING about the id distribution — dense, sparse and
+    * offset id spaces all yield exactly min(k, n) centroids), updates
+    * are per-dimension avg aggregates (one map-side-combined shuffle of
+    * k×dim doubles per iteration), empty cells keep their previous
+    * centroid.
     */
   def train(e: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Seq[Centroid] = {
     require(k >= 1 && iters >= 0)
-    val n = e.count()
-    require(n > 0, "cannot train on an empty table")
-    val stride = math.max(1L, n / k)
     var cents: Seq[Centroid] = e
-      .filter(pmod(col(idCol), lit(stride)) === 0)
-      .orderBy(col(idCol)).limit(k)
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) => Centroid(i, r.getSeq[Float](0).toArray) }.toSeq
-    require(cents.nonEmpty, s"init selected no centroids (n=$n, stride=$stride)")
+    require(cents.nonEmpty, "cannot train on an empty table")
     val dim = cents.head.vec.length
     for (_ <- 1 to iters) {
       val avgCols = (0 until dim).map(i => avg(element_at(col("v"), i + 1)).as(s"c$i"))
@@ -78,13 +76,18 @@ object IvfIndex {
     e.withColumn("cell", nearestCell(col(vecCol), cents))
 
   /** nProbe cells nearest to a local query vector — pure driver math
-    * over the k-row model.
+    * over the k-row model. Dimension mismatches fail loudly (a silent
+    * prefix dot product returns confidently wrong neighbors), and
+    * zero-norm centroids rank last instead of poisoning the sort with
+    * NaN.
     */
   def probeCells(q: Array[Float], cents: Seq[Centroid], nProbe: Int): Seq[Int] =
     cents.map { c =>
+      require(c.vec.length == q.length,
+        s"query dim ${q.length} != centroid ${c.id} dim ${c.vec.length}")
       var acc = 0.0; var i = 0
-      while (i < q.length && i < c.vec.length) { acc += q(i).toDouble * c.vec(i).toDouble; i += 1 }
-      (-acc / c.norm, c.id)
+      while (i < q.length) { acc += q(i).toDouble * c.vec(i).toDouble; i += 1 }
+      (if (c.norm == 0.0) Double.MaxValue else -acc / c.norm, c.id)
     }.sorted.take(nProbe).map(_._2)
 
   /** Persisted index: train, assign, write parquet partitioned by

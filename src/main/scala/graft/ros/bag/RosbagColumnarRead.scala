@@ -174,7 +174,7 @@ object RosbagColumnarRead {
 class RosbagTypedColumnarReader(p: RosbagInputPartition, datatype: String,
     msgDef: String, required: StructType, includeRaw: Boolean,
     filters: Array[org.apache.spark.sql.sources.Filter],
-    batchSize: Int = 4096)
+    batchSize: Int = 4096, batchBytes: Long = 32L << 20)
     extends PartitionReader[ColumnarBatch] {
   import RosbagColumnarRead._
 
@@ -222,8 +222,14 @@ class RosbagTypedColumnarReader(p: RosbagInputPartition, datatype: String,
     var i = 0
     while (i < vectors.length) { vectors(i).reset(); i += 1 }
     var n = 0
-    while (n < batchSize && messages.hasNext) {
+    var bytes = 0L
+    // row AND byte budget: blob-dominated types (images) would blow the
+    // ~2 GB contiguous capacity of a single child vector — and hold the
+    // heap — at 4096 rows x MB-scale messages. Each batch stops at
+    // batchBytes of wire payload (always admitting at least one row).
+    while (n < batchSize && bytes < batchBytes && messages.hasNext) {
       val m = messages.next()
+      bytes += m.data.length
       if (chunkIdxV != null) chunkIdxV.appendInt(p.chunkIdx)
       if (offsetV != null) offsetV.appendInt(m.offsetInChunk)
       if (timeSecV != null) timeSecV.appendInt(m.timeSec)

@@ -82,18 +82,26 @@ object RosbagDataSource {
 
   /** Does this connection's type start with a std_msgs/Header field?
     * (ROS convention: Header, if present, is the first field — only
-    * then is the stamp at a fixed wire offset.)
+    * then is the stamp at a fixed wire offset.) Memoized JVM-wide: the
+    * full recursive IDL parse would otherwise run once per PARTITION
+    * per connection (readers memoize per-reader), which a
+    * thousand-chunk bag with dozens of connections turns into real
+    * per-task latency. Bounded by the number of distinct definitions.
     */
+  private val headerMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
   def startsWithHeader(datatype: String, msgDef: String): Boolean =
-    try {
-      MsgDefParser.parse(datatype, msgDef).root.fields
-        .find(_.constantValue.isEmpty)
-        .exists(_.tpe match {
-          case graft.ros.RosMsgRef(pkg, "Header") =>
-            pkg.forall(p => p == "std_msgs" || p == "roslib")
-          case _ => false
-        })
-    } catch { case _: Exception => false }
+    headerMemo.computeIfAbsent((datatype, msgDef), { _ =>
+      try {
+        MsgDefParser.parse(datatype, msgDef).root.fields
+          .find(_.constantValue.isEmpty)
+          .exists(_.tpe match {
+            case graft.ros.RosMsgRef(pkg, "Header") =>
+              pkg.forall(p => p == "std_msgs" || p == "roslib")
+            case _ => false
+          })
+      } catch { case _: Exception => false }
+    })
 
   def leInt(b: Array[Byte], o: Int): Int =
     (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |

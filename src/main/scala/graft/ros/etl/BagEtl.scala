@@ -158,7 +158,13 @@ object BagEtl {
     // textually different but md5-equal definition strings)
     index.connections.map(_.datatype).distinct.foreach { datatype =>
         val tableName = datatype.replace("/", "_")  // reference MessageTable.cpp:315
-        val joined = if (stagedByType) {
+        // `joined`: the per-type frame. `rawForSide`: a lineage for the
+        // side-table write that does NOT pay the payload decode. In scan
+        // mode Catalyst pruning on the typed source gives that for free
+        // (the side write prunes to seqno+data, skipping the wire walk);
+        // in staged mode decodeRows goes through an RDD that is opaque
+        // to pruning, so the side table reads the staged bytes directly.
+        val (joined, rawForSide) = if (stagedByType) {
           // decode this type's bytes from its staging partition — the
           // bag itself is never re-read
           val bundle = MsgDefParser.parse(datatype,
@@ -168,7 +174,7 @@ object BagEtl {
             .join(seqnoMap, Seq("chunk_idx", "offset"))
             .select(col("seqno"), col("connection_id"), col("data"))
           val decoded = decodeRows(spark, part, bundle)
-          if (keepRawBlob) decoded else decoded.drop("data")
+          (if (keepRawBlob) decoded else decoded.drop("data"), part)
         } else {
           val typed = spark.read.format("rosbag")
             .option("datatype", datatype).option("includeRaw", keepRawBlob.toString)
@@ -176,17 +182,17 @@ object BagEtl {
           val payload = typed.columns.filterNot(Set(
             "chunk_idx", "offset", "time_sec", "time_nsec", "connection_id", "data"))
           val frame = col("seqno") +: payload.map(col).toSeq :+ col("connection_id")
-          typed
+          val j = typed
             .join(seqnoMap, Seq("chunk_idx", "offset"))
             .select((if (keepRawBlob) frame :+ col("data") else frame): _*)
+          (j, j)
         }
         val df =
           if (blobSideTable) {
-            // Two writes from one logical read; each branch prunes to its
-            // own columns (the side table scans only seqno+data), so the
-            // bag is not decoded twice for the payload columns.
-            val (slim, side) = graft.multimodal.MultimodalOps
+            val (slim, _) = graft.multimodal.MultimodalOps
               .externalizeBlobs(joined, "data", "seqno", blobThreshold)
+            val side = rawForSide.filter(length(col("data")) > blobThreshold)
+              .select(col("seqno"), col("data"))
             side.write.mode(SaveMode.ErrorIfExists)
               .option("compression", "snappy")
               .parquet(s"$out/${tableName}_blobs.parquet")

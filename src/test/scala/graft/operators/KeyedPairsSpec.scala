@@ -58,6 +58,24 @@ class KeyedPairsSpec extends SparkTestBase {
     }
   }
 
+  test("caller key columns named like internals (blk, f, nb) survive the hot path") {
+    // q29 keys on a column literally named "blk" — the operator's
+    // working columns must never capture it. A collision drops every
+    // cross-block pair of a hot bucket silently (regression: internal
+    // withColumn("blk", ...) replaced the caller's grouping key).
+    for (key <- Seq("blk", "f", "nb", "bi", "isA")) {
+      val renamed = rows.toDF(key, "id")
+      val got = KeyedPairs.pairs(renamed, Seq(key), col("id"), cap = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.sorted == brute(rows).sorted, s"key column named '$key'")
+    }
+    // and the reserved prefix is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      KeyedPairs.pairs(rows.toDF("__kp_f", "id"), Seq("__kp_f"), col("id"), 7)
+    }
+    assert(e.getMessage.contains("__kp_"))
+  }
+
   test("pairs sharing several keys appear once per key") {
     val df = Seq(("k1", 1L), ("k1", 2L), ("k2", 1L), ("k2", 2L)).toDF("k", "id")
     val got = KeyedPairs.pairs(df, Seq("k"), col("id"), cap = 2)
