@@ -381,7 +381,40 @@ object LlmQueries {
           aggregate(
             transform(split(col("text"), ""), c => ascii(c).cast("long")),
             lit(0L), (acc, c) => pmod(acc * 31 + c, lit(1000000007L))).as("fingerprint"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Q43 — deterministic hash sampling (~10%): Lehmer-hash the id and
+    // keep residue 0. Unlike rand()-based TABLESAMPLE this is
+    // re-runnable, engine-portable, and JOINABLE (the same doc set
+    // samples on every table keyed by doc_id) — the curation primitive
+    // for fixed dev slices of a 100 TB corpus. Map-only filter on the
+    // scan: no shuffle, no state, trivially parallel.
+    "q43_hash_sample" -> ((s, d) =>
+      documents(s, d)
+        .filter(pmod(col("doc_id") * 48271L, lit(2147483647L)) % 10 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Q44 — TF-IDF top terms: tf = count/doc-length, idf =
+    // ln((N+1)/(df+1)), top-20 (doc, term) pairs. Scale shape: two
+    // shuffles of the (doc, token) pairs (tf agg, df agg + join keyed
+    // by token) and a 1-row broadcast for N — document-frequency is NOT
+    // force-broadcast because a web-scale vocabulary outgrows the
+    // driver; AQE picks broadcast when it fits.
+    "q44_tfidf" -> ((s, d) => {
+      val tok = docToks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf_cnt"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = broadcast(dl.select(count(lit(1)).as("n_docs")))
+      tf.join(dl, "doc_id").join(dfreq, "token").crossJoin(nDocs)
+        .select(col("doc_id"), col("token"),
+          rk((col("tf_cnt").cast("double") / col("dl")) *
+             log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("token")).limit(20)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -478,7 +511,26 @@ object LlmQueries {
         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
         |         list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
         |         (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q43_hash_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE ((doc_id * 48271) % 2147483647) % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "q44_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf_cnt FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM dl)
+        |SELECT tf.doc_id, tf.token,
+        |       FLOOR((CAST(tf_cnt AS DOUBLE) / dl)
+        |         * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) * 1000000.0 + 0.5)
+        |         / 1000000.0 AS tfidf
+        |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) CROSS JOIN nd
+        |ORDER BY tfidf DESC, tf.doc_id, tf.token LIMIT 20""".stripMargin
     // q28_minhash_lsh, q29_simhash, q31_ann_lsh: engine-hash-based —
     // rows-only driver check; cross-validated in ScalaTest instead.
   )
