@@ -271,8 +271,8 @@ class RosbagPartitionReader(p: RosbagInputPartition, required: StructType,
   }
   private var current: BagFormat.BagMessage = _
 
-  // per-connection "first field is a Header" memo — parsed once per
-  // partition, and only if a header_stamp column survives pruning
+  // per-connection "first field is a Header" memo (startsWithHeader is
+  // itself JVM-memoized; this map is just the per-connId view)
   private lazy val connHasHeader: Map[Int, Boolean] =
     p.conns.map { case (id, c) =>
       id -> RosbagDataSource.startsWithHeader(c.datatype, c.msgDef)
@@ -286,23 +286,36 @@ class RosbagPartitionReader(p: RosbagInputPartition, required: StructType,
   override def next(): Boolean =
     if (messages.hasNext) { current = messages.next(); true } else false
 
+  // The projection compiles ONCE per reader into an extractor array —
+  // no per-row per-field name dispatch, no Seq allocation. UTF8 topic/
+  // datatype strings are interned per connection, not re-encoded per
+  // row. This is the spine-scan hot path: every ETL meta pass and every
+  // query-in-place meta projection runs through here.
+  private val topicUtf8: Map[Int, UTF8String] =
+    p.conns.map { case (id, c) => id -> UTF8String.fromString(c.topic) }
+  private val datatypeUtf8: Map[Int, UTF8String] =
+    p.conns.map { case (id, c) => id -> UTF8String.fromString(c.datatype) }
+  private val extractors: Array[() => Any] = required.fields.map { f =>
+    f.name match {
+      case "chunk_idx" => () => p.chunkIdx
+      case "offset" => () => current.offsetInChunk
+      case "time_sec" => () => current.timeSec
+      case "time_nsec" => () => current.timeNsec
+      case "size" => () => current.data.length
+      case "connection_id" => () => current.connId
+      case "topic" => () => topicUtf8(current.connId)
+      case "datatype" => () => datatypeUtf8(current.connId)
+      case "header_stamp_sec" => () => headerStamp(nsec = false)
+      case "header_stamp_nsec" => () => headerStamp(nsec = true)
+      case "data" => () => current.data
+    }
+  }
+
   override def get(): InternalRow = {
-    val conn = p.conns(current.connId)
-    InternalRow.fromSeq(required.fields.map { f =>
-      f.name match {
-        case "chunk_idx" => p.chunkIdx
-        case "offset" => current.offsetInChunk
-        case "time_sec" => current.timeSec
-        case "time_nsec" => current.timeNsec
-        case "size" => current.data.length
-        case "connection_id" => current.connId
-        case "topic" => UTF8String.fromString(conn.topic)
-        case "datatype" => UTF8String.fromString(conn.datatype)
-        case "header_stamp_sec" => headerStamp(nsec = false)
-        case "header_stamp_nsec" => headerStamp(nsec = true)
-        case "data" => current.data
-      }
-    }.toSeq)
+    val vals = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) { vals(i) = extractors(i)(); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 
   override def close(): Unit = ()
