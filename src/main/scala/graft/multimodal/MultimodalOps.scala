@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -312,15 +312,20 @@ object MultimodalOps {
     * The main table keeps small blobs inline and nulls out big ones —
     * scan-heavy queries stop paying for image bytes they don't read.
     */
+  /** THE externalization cutoff — single definition so a slim table's
+    * `_externalized` flags and the side table built from another
+    * lineage (e.g. BagEtl's staged bytes) can never disagree.
+    */
+  def isBigBlob(blobCol: Column, threshold: Int): Column =
+    length(blobCol) > threshold
+
   def externalizeBlobs(df: DataFrame, blobCol: String, keyCol: String,
                        threshold: Int = 1 << 20): (DataFrame, DataFrame) = {
-    val big = col("__len") > threshold
-    val withLen = df.withColumn("__len", length(col(blobCol)))
-    val slim = withLen
-      .withColumn(blobCol, when(big, lit(null)).otherwise(col(blobCol)))
+    val big = isBigBlob(col(blobCol), threshold)
+    val slim = df
       .withColumn(s"${blobCol}_externalized", big)
-      .drop("__len")
-    val side = withLen.filter(big).select(col(keyCol), col(blobCol)).drop("__len")
+      .withColumn(blobCol, when(big, lit(null)).otherwise(col(blobCol)))
+    val side = df.filter(big).select(col(keyCol), col(blobCol))
     (slim, side)
   }
 }

@@ -33,6 +33,8 @@ object AsOfJoin {
     case (DateType, TimestampNTZType) | (TimestampNTZType, DateType) => TimestampNTZType
     case (a, b) if integral.contains(a) && integral.contains(b) =>
       if (a.defaultSize >= b.defaultSize) a else b
+    case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+      DoubleType  // float -> double is exact; numeric-seconds streams
     case (a, b) => throw new IllegalArgumentException(
       s"as-of timestamp types must match or widen losslessly; got $a vs $b")
   }

@@ -80,7 +80,18 @@ object RosbagColumnarRead {
     case RFloat64 => buf => v.appendDouble(buf.getDouble())
     case RString  => buf => {
       val n = readLen(buf)
-      v.appendByteArray(buf.array(), buf.arrayOffset() + buf.position(), n)
+      val arr = buf.array(); val off = buf.arrayOffset() + buf.position()
+      // parity with the row path (RosSchemaMapper decodes through
+      // new String(..., UTF_8), which substitutes U+FFFD): valid UTF-8
+      // appends zero-copy; invalid bytes take the Java String round
+      // trip so both readers return identical values
+      if (org.apache.spark.unsafe.types.UTF8String.fromBytes(arr, off, n).isValid) {
+        v.appendByteArray(arr, off, n)
+      } else {
+        val fixed = new String(arr, off, n, java.nio.charset.StandardCharsets.UTF_8)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        v.appendByteArray(fixed, 0, fixed.length)
+      }
       skip(buf, n)
     }
     case RTime | RDuration =>
@@ -227,9 +238,12 @@ class RosbagTypedColumnarReader(p: RosbagInputPartition, datatype: String,
     // ~2 GB contiguous capacity of a single child vector — and hold the
     // heap — at 4096 rows x MB-scale messages. Each batch stops at
     // batchBytes of wire payload (always admitting at least one row).
+    // Meta-only scans materialize nothing from the payload, so they
+    // keep full-size batches regardless of message size.
+    val payloadMaterialized = needsWalk || rawV != null
     while (n < batchSize && bytes < batchBytes && messages.hasNext) {
       val m = messages.next()
-      bytes += m.data.length
+      if (payloadMaterialized) bytes += m.data.length
       if (chunkIdxV != null) chunkIdxV.appendInt(p.chunkIdx)
       if (offsetV != null) offsetV.appendInt(m.offsetInChunk)
       if (timeSecV != null) timeSecV.appendInt(m.timeSec)

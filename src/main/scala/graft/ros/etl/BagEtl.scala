@@ -189,10 +189,17 @@ object BagEtl {
         }
         val df =
           if (blobSideTable) {
-            val (slim, _) = graft.multimodal.MultimodalOps
+            val (slim, sideFromJoined) = graft.multimodal.MultimodalOps
               .externalizeBlobs(joined, "data", "seqno", blobThreshold)
-            val side = rawForSide.filter(length(col("data")) > blobThreshold)
-              .select(col("seqno"), col("data"))
+            // scan mode: the returned side prunes to seqno+data through
+            // the typed source (no payload decode). Staged mode: decode
+            // is RDD-opaque to pruning, so build the side from the
+            // staged bytes — same isBigBlob cutoff, different lineage.
+            val side =
+              if (stagedByType) rawForSide
+                .filter(graft.multimodal.MultimodalOps.isBigBlob(col("data"), blobThreshold))
+                .select(col("seqno"), col("data"))
+              else sideFromJoined
             side.write.mode(SaveMode.ErrorIfExists)
               .option("compression", "snappy")
               .parquet(s"$out/${tableName}_blobs.parquet")

@@ -56,6 +56,24 @@ class RosbagTypedReadSpec extends SparkTestBase {
     }
   }
 
+  test("columnar string decode sanitizes invalid UTF-8 identically to the row path") {
+    // hand-built message for `string s`: length prefix + bytes with a
+    // bare 0xE9 (latin-1) that is NOT valid UTF-8
+    val payload = Array[Byte](3, 0, 0, 0, 'a'.toByte, 0xE9.toByte, 'b'.toByte)
+    val conn = BagFormat.BagConnection(0, "/s", "test_msgs/S", "md5s", "string s\n", "/n")
+    val bag = java.nio.file.Files.createTempFile("utf8", ".bag")
+    java.nio.file.Files.write(bag, BagFormat.writeBag(Seq(conn),
+      Seq(BagFormat.WriteMessage(0, 1700000000, 0, payload)), messagesPerChunk = 4))
+    val df = spark.read.format("rosbag")
+      .option("datatype", "test_msgs/S").load(bag.toString)
+    assert(RosbagColumnarRead.supportsColumnar(df.select("s").schema))
+    val got = df.select("s").head().getString(0)
+    val expected = new String(Array[Byte]('a'.toByte, 0xE9.toByte, 'b'.toByte),
+      java.nio.charset.StandardCharsets.UTF_8)   // a, U+FFFD, b
+    assert(got == expected)
+    assert(got.contains('�'))
+  }
+
   test("typed read of unknown datatype fails loudly") {
     val bag = graft.ros.etl.BagEtlMain.demoBag()
     val e = intercept[Exception] {
