@@ -66,11 +66,16 @@ object EtlBench {
       Seq(WriteMessage(0, 1700000000 + i / 20, (i % 20) * 50000000, imgMsg(i)),
           WriteMessage(1, 1700000000 + i / 20, (i % 20) * 50000000 + 1, imuMsg(i)))
     }
+    // GRAFT_ETL_COMPRESSION=bz2|lz4 benches compressed-chunk bags — the
+    // case the staged single-pass mode exists for (decompress once, not
+    // once per datatype)
+    val compression = sys.env.getOrElse("GRAFT_ETL_COMPRESSION", "none")
     val dir = java.nio.file.Files.createTempDirectory("etl_bench")
     val bagPath = dir.resolve("bench.bag")
-    java.nio.file.Files.write(bagPath, writeBag(conns, msgs, messagesPerChunk = 256))
+    java.nio.file.Files.write(bagPath,
+      writeBag(conns, msgs, messagesPerChunk = 256, compression = compression))
     val bagMB = java.nio.file.Files.size(bagPath) / 1e6
-    System.err.println(f"bag written: $bagMB%.1f MB")
+    System.err.println(f"bag written: $bagMB%.1f MB ($compression)")
 
     val staged = sys.env.contains("GRAFT_ETL_STAGED")
     val t0 = System.nanoTime()

@@ -70,6 +70,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-k not a TakeOrdered:\n$p")
   }
 
+  test("q43: deterministic sampling is a map-only scan — no shuffle except the sort") {
+    val p = plan("q43_hash_sample")
+    // exactly one Exchange: the final orderBy's range partitioning.
+    // The hash filter itself must not cost a shuffle or a join.
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1, s"extra shuffle:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"q43 plans a join:\n$p")
+  }
+
+  test("q44: document frequency is never FORCE-broadcast (vocab outgrows driver)") {
+    // AQE may legitimately broadcast the tiny test vocab; the 100 TB
+    // property is that the QUERY doesn't hint it. Exactly one broadcast
+    // hint is allowed: the 1-row n_docs scalar.
+    val df = graft.SparkEntry.queries("q44_tfidf")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    val hints = analyzed.linesIterator.count(_.contains("ResolvedHint"))
+    assert(hints == 1, s"expected only the n_docs broadcast hint, got $hints:\n$analyzed")
+    val p = plan("q44_tfidf")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not a TakeOrdered:\n$p")
+  }
+
   test("rosbag source prunes whole chunks from time filters (chunk-info index)") {
     val path = graft.ros.etl.BagEtlMain.demoBag()   // 100 msgs over 50s, chunks of 16
     val all = spark.read.format("rosbag").load(path)
