@@ -81,6 +81,68 @@ object StreamingOps {
       }
   }
 
+  final case class BandDoc(band: Int, bucket: Long, docId: Long, sig: Seq[Long])
+  final case class DupCandidate(docId: Long, priorId: Long, estJaccard: Double)
+
+  /** Streaming MinHash near-dup: every arriving document is checked
+    * against the HISTORY of its LSH band buckets — "have we already
+    * ingested something like this?", the incremental form of Q28's
+    * batch dedup, with the exact same signature scheme (3-shingles,
+    * 16 minhashes, 8 bands of 2; graft.queries.LlmQueries) so batch
+    * and stream agree on what a candidate is.
+    *
+    * Scale shape: the signature derivation is map-only (no shuffle);
+    * the only shuffle keys by (band, bucket); per-bucket state is a
+    * BOUNDED ring of the `maxPerBucket` most recent (id, signature)
+    * pairs — a viral cluster cannot grow a bucket's state without
+    * limit (recall against evicted history degrades, which is the
+    * right failure mode for dedup). `estJaccard` is the signature
+    * agreement fraction (MinHashUnion.estimate); confirm exactly
+    * downstream if needed. Emitted once per shared band, so consumers
+    * should de-duplicate pairs (kept out of this operator: streaming
+    * dropDuplicates without a watermark holds unbounded state).
+    * Production note: wire GroupStateTimeout + a watermark to expire
+    * idle buckets entirely.
+    */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        maxPerBucket: Int = 64): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    val n = graft.queries.MinHashUnion.NumHashes
+    val sigs = docs
+      .select(col(idCol).cast("long").as("docId"),
+        graft.queries.LlmQueries.shingles(
+          graft.queries.Tables.tokens(col(textCol)), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("docId"), array((0 until n).map(i =>
+        array_min(transform(col("sh"), x => xxhash64(lit(i), x)))): _*).as("sig"))
+    val bands = (0 until n / 2).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(element_at(col("sig"), 2 * b + 1),
+                 element_at(col("sig"), 2 * b + 2)).as("bucket")))
+    sigs.select(col("docId"), col("sig"), explode(array(bands: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("docId"), col("sig"))
+      .as[BandDoc]
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], DupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[BandDoc],
+         state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          var hist = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer[DupCandidate]()
+          rows.toSeq.sortBy(_.docId).foreach { d =>
+            hist.foreach { case (pid, psig) =>
+              if (pid != d.docId)
+                out += DupCandidate(d.docId, pid,
+                  graft.queries.MinHashUnion.estimate(d.sig, psig))
+            }
+            hist = ((d.docId, d.sig) +: hist).take(maxPerBucket)
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
+
   /** File-stream source over a bag-ETL output directory: the "live
     * rosnode" analog — as new per-type parquet files land, they flow
     * through the same relational ops. Caller supplies the schema

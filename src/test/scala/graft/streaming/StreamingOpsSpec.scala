@@ -40,6 +40,34 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(rows.length == 1)
   }
 
+  test("streaming minhash near-dup flags copies against bucket history") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def doc(seed: Int): String =
+      (0 until 30).map(i => s"tok${(seed * 31 + i * 7) % 97}w$i").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    // batch 1: three distinct docs
+    mem.addData((1L, doc(1)), (2L, doc(2)), (3L, doc(3)))
+    // batch 2: 4 = near-copy of 1 (one token changed), 5 = exact copy
+    // of 2, 6 = fresh
+    mem.addData(
+      (4L, doc(1).replace("w7 ", "w7x ")),
+      (5L, doc(2)),
+      (6L, doc(42)))
+    val out = nearDupCandidates(mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    runBatches(out.writeStream.format("memory").queryName("neardup").outputMode("append"))
+    val cands = spark.table("neardup")
+      .groupBy("docId", "priorId").agg(max("estJaccard").as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cands.contains((4L, 1L)), s"near-copy not flagged: $cands")
+    assert(cands((4L, 1L)) >= 0.5)
+    assert(cands((5L, 2L)) == 1.0, s"exact copy estimate: $cands")
+    // fresh docs don't pair with history
+    assert(!cands.keys.exists { case (a, b) => a == 6L || b == 6L })
+    // history only: a doc never pairs against a LATER doc
+    assert(cands.keys.forall { case (a, b) => a > b })
+  }
+
   test("streaming dedup within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
