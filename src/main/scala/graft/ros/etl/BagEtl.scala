@@ -153,10 +153,19 @@ object BagEtl {
     lap("seqno-map-write")
     val seqnoMap = spark.read.parquet(seqnoDir)
 
-    val ddl = new StringBuilder
     // one table per DATATYPE (two same-type connections may carry
-    // textually different but md5-equal definition strings)
-    index.connections.map(_.datatype).distinct.foreach { datatype =>
+    // textually different but md5-equal definition strings). The
+    // per-type jobs are independent (distinct output dirs, shared
+    // read-only seqno map), so they run CONCURRENTLY: Spark's scheduler
+    // interleaves their stages, overlapping one job's write/commit
+    // stalls with another's scan — on a cluster this keeps executors
+    // busy across the per-type tail. DDL is collected per type and
+    // appended in the original datatype order for deterministic output.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val typeDdl = index.connections.map(_.datatype).distinct.map { datatype => Future {
+        val ddl = new StringBuilder
         val tableName = datatype.replace("/", "_")  // reference MessageTable.cpp:315
         // `joined`: the per-type frame. `rawForSide`: a lineage for the
         // side-table write that does NOT pay the payload decode. In scan
@@ -210,7 +219,10 @@ object BagEtl {
           .option("compression", "snappy").parquet(s"$out/$tableName.parquet")
         ddl ++= VerticaDdl.createTable(tableName, df.schema) ++= "\n"
         lap(s"table:$tableName")
-    }
+        ddl.toString
+    } }
+    val ddl = new StringBuilder
+    Await.result(Future.sequence(typeDdl), Duration.Inf).foreach(ddl ++= _)
     // drop the temp staging dirs (Hadoop FS: works for file:// and remote)
     Seq(seqnoDir, stageDir).foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
