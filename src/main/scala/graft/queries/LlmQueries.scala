@@ -194,15 +194,12 @@ object LlmQueries {
       // same cache instead of re-running the interpreted chain (the
       // round-1 3×-recompute that made this the slowest query).
       val sets = shingleSets(s, d)
-      val sigCols = (0 until NumHashes).map(i =>
-        array_min(transform(col("sh"), x => xxhash64(lit(i), x))).as(s"h$i"))
+      // signature + band derivation shared with the STREAMING near-dup
+      // (MinHashLsh is the single definition of the scheme)
       val sigs = sets.filter(size(col("sh")) > 0)
-        .select(col("doc_id") +: sigCols: _*)
-      val bands = (0 until NumHashes / 2).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bucket"))
-      }
-      val exploded = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+        .select(col("doc_id"), MinHashLsh.signature(col("sh")).as("sig"))
+      val exploded = sigs
+        .select(col("doc_id"), explode(MinHashLsh.bandBuckets(col("sig"))).as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
       // band buckets → candidate pairs, hot buckets split into bounded
       // block-pair tasks (a viral doc cluster can put thousands of

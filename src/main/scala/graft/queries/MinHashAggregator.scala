@@ -46,3 +46,32 @@ object MinHashUnion extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   def estimate(a: Seq[Long], b: Seq[Long]): Double =
     a.zip(b).count { case (x, y) => x == y }.toDouble / NumHashes
 }
+
+/** THE MinHash-LSH column builders — single definition of the
+  * signature scheme (seeded xxhash64 minima) and the band/bucket
+  * derivation, shared by batch q28 and the streaming near-dup so the
+  * two can never disagree on what a candidate pair is.
+  */
+object MinHashLsh {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  val NumHashes: Int = MinHashUnion.NumHashes
+  val NumBands: Int = NumHashes / 2   // bands of 2 rows each
+
+  /** `array<long>` signature of a distinct-shingle array column:
+    * sig[i] = min over shingles of xxhash64(i, shingle).
+    */
+  def signature(sh: Column): Column =
+    array((0 until NumHashes).map(i =>
+      array_min(transform(sh, x => xxhash64(lit(i), x)))): _*)
+
+  /** `array<struct<band:int, bucket:long>>` — one bucket per band,
+    * hashing that band's signature rows together.
+    */
+  def bandBuckets(sig: Column): Column =
+    array((0 until NumBands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(element_at(sig, 2 * b + 1),
+                 element_at(sig, 2 * b + 2)).as("bucket"))): _*)
+}

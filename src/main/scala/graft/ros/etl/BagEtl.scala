@@ -164,7 +164,17 @@ object BagEtl {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val typeDdl = index.connections.map(_.datatype).distinct.map { datatype => Future {
+    // one job group for all per-type jobs: on any failure the siblings
+    // are cancelled instead of racing caller teardown (job groups are
+    // thread-local, so each future sets it)
+    val jobGroup = s"graft-etl-${java.util.UUID.randomUUID()}"
+    val typeDdl = index.connections.map(_.datatype).distinct.map { datatype =>
+      Future { scala.concurrent.blocking {   // blocking{}: Spark actions
+        // park threads — without it the global EC caps concurrency at
+        // CPU count and starves other users of the pool
+        spark.sparkContext.setJobGroup(jobGroup, s"per-type $datatype",
+          interruptOnCancel = true)
+        val tTable = System.nanoTime()
         val ddl = new StringBuilder
         val tableName = datatype.replace("/", "_")  // reference MessageTable.cpp:315
         // `joined`: the per-type frame. `rawForSide`: a lineage for the
@@ -218,15 +228,26 @@ object BagEtl {
         df.write.mode(SaveMode.ErrorIfExists)
           .option("compression", "snappy").parquet(s"$out/$tableName.parquet")
         ddl ++= VerticaDdl.createTable(tableName, df.schema) ++= "\n"
-        lap(s"table:$tableName")
+        // per-table wall time is measured locally (the shared lap()
+        // deltas would be garbage under concurrency)
+        if (timing) System.err.println(
+          f"[etl-timing] table:$tableName%-16s ${(System.nanoTime() - tTable) / 1e9}%6.2fs")
         ddl.toString
-    } }
+    } } }
     val ddl = new StringBuilder
-    Await.result(Future.sequence(typeDdl), Duration.Inf).foreach(ddl ++= _)
-    // drop the temp staging dirs (Hadoop FS: works for file:// and remote)
-    Seq(seqnoDir, stageDir).foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    try
+      Await.result(Future.sequence(typeDdl), Duration.Inf).foreach(ddl ++= _)
+    catch { case e: Throwable =>
+      // fail fast AND stop the siblings — don't leave background jobs
+      // racing the caller's teardown or writing partial tables
+      spark.sparkContext.cancelJobGroup(jobGroup)
+      throw e
+    } finally {
+      // drop the temp staging dirs even on failure (file:// and remote)
+      Seq(seqnoDir, stageDir).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+      }
     }
     val ddlPath = new org.apache.hadoop.fs.Path(s"$out/vertica_load_tables.sql")
     val ddlFs = ddlPath.getFileSystem(new org.apache.hadoop.conf.Configuration())

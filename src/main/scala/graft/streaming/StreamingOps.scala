@@ -107,19 +107,24 @@ object StreamingOps {
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
                         maxPerBucket: Int = 64): Dataset[DupCandidate] = {
     import docs.sparkSession.implicits._
-    val n = graft.queries.MinHashUnion.NumHashes
+    import org.apache.spark.sql.types._
+    // fail fast: a silent cast("long") would null out string/UUID ids
+    // and kill the query mid-stream on the non-nullable docId field
+    val idType = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"idCol '$idCol' must be an integral type, got $idType " +
+        "(hash non-numeric ids to long upstream)")
+    // signature + band derivation shared with batch q28 (MinHashLsh is
+    // the single definition of the scheme — stream and batch agree on
+    // what a candidate is by construction)
     val sigs = docs
       .select(col(idCol).cast("long").as("docId"),
         graft.queries.LlmQueries.shingles(
           graft.queries.Tables.tokens(col(textCol)), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("docId"), array((0 until n).map(i =>
-        array_min(transform(col("sh"), x => xxhash64(lit(i), x)))): _*).as("sig"))
-    val bands = (0 until n / 2).map(b =>
-      struct(lit(b).as("band"),
-        xxhash64(element_at(col("sig"), 2 * b + 1),
-                 element_at(col("sig"), 2 * b + 2)).as("bucket")))
-    sigs.select(col("docId"), col("sig"), explode(array(bands: _*)).as("bb"))
+      .select(col("docId"), graft.queries.MinHashLsh.signature(col("sh")).as("sig"))
+    sigs.select(col("docId"), col("sig"),
+        explode(graft.queries.MinHashLsh.bandBuckets(col("sig"))).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("docId"), col("sig"))
       .as[BandDoc]

@@ -18,7 +18,7 @@ class ColumnarPropSpec extends SparkTestBase {
 
   private val scalarPrims: Seq[RosPrimitive] = Seq(
     RBool, RInt8, RUInt8, RInt16, RUInt16, RInt32, RUInt32,
-    RInt64, RFloat32, RFloat64, RString, RTime)
+    RInt64, RUInt64, RFloat32, RFloat64, RString, RTime, RDuration)
 
   private def idlName(p: RosPrimitive): String = p match {
     case RBool => "bool"; case RInt8 => "int8"; case RUInt8 => "uint8"
@@ -47,18 +47,18 @@ class ColumnarPropSpec extends SparkTestBase {
     case RUInt16  => rng.nextInt(65536)
     case RInt32   => rng.nextInt()
     case RUInt32  => (rng.nextLong() & 0xFFFFFFFFL)
-    case RInt64   => rng.nextLong()
+    case RInt64 | RUInt64 => rng.nextLong()
     case RFloat32 => if (rng.nextInt(10) == 0) Float.NaN else rng.nextFloat() * 1e6f
     case RFloat64 => if (rng.nextInt(10) == 0) Double.NaN else rng.nextDouble() * 1e12
     case RString  => rng.alphanumeric.take(rng.nextInt(20)).mkString
-    case RTime    => rng.nextInt(Int.MaxValue)
+    case RTime | RDuration => rng.nextInt(Int.MaxValue)
     case other    => throw new IllegalArgumentException(other.toString)
   }
 
   private def genValues(d: RosMsgDef, rng: scala.util.Random): Seq[Any] =
     d.fields.flatMap { f =>
       f.tpe match {
-        case RTime => Seq(genValue(RTime, rng), genValue(RTime, rng))
+        case RTime | RDuration => Seq(genValue(RTime, rng), genValue(RTime, rng))
         case p: RosPrimitive => Seq(genValue(p, rng))
         case RosArray(p: RosPrimitive, fixedLen) =>
           val n = fixedLen.getOrElse(rng.nextInt(6))
@@ -69,10 +69,14 @@ class ColumnarPropSpec extends SparkTestBase {
       }
     }
 
+  // string ARRAYS are allowed (variable-length elements inside a
+  // variable-length array — the hardest offset-bookkeeping shape the
+  // vectorized reader supports); time/duration arrays are not (they
+  // map to array-of-struct, which routes to the row reader)
   private val genField: Gen[RosField] = for {
     p <- Gen.oneOf(scalarPrims)
     name <- Gen.identifier.map(_.take(10))
-    isArr <- Gen.frequency(3 -> false, 1 -> (p != RTime && p != RString))
+    isArr <- Gen.frequency(3 -> false, 1 -> (p != RTime && p != RDuration))
     fixed <- Gen.option(Gen.choose(0, 4))
   } yield RosField(name, if (isArr) RosArray(p, fixed) else p, None)
 

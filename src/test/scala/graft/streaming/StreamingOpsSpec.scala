@@ -46,17 +46,34 @@ class StreamingOpsSpec extends SparkTestBase {
     def doc(seed: Int): String =
       (0 until 30).map(i => s"tok${(seed * 31 + i * 7) % 97}w$i").mkString(" ")
     val mem = MemoryStream[(Long, String)]
-    // batch 1: three distinct docs
+    val out = nearDupCandidates(mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    // SAME checkpoint across two query runs: run 2 resumes the state
+    // store, so its candidate pairs can only come from state persisted
+    // by run 1 — a genuine cross-micro-batch state test (one run with
+    // two addData calls would collapse into a single batch under
+    // AvailableNow and never read restored state).
+    // parquet sink: the memory sink rejects checkpoint recovery
+    val ck = java.nio.file.Files.createTempDirectory("nd_ck").toString
+    val sink = java.nio.file.Files.createTempDirectory("nd_out").toString
+    def runOnce(): Unit = {
+      val sq = out.writeStream.format("parquet").option("path", sink)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination(60000)
+    }
+    // run 1: three distinct docs, no pairs expected
     mem.addData((1L, doc(1)), (2L, doc(2)), (3L, doc(3)))
-    // batch 2: 4 = near-copy of 1 (one token changed), 5 = exact copy
-    // of 2, 6 = fresh
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 0)
+    // run 2 (resumed from the same checkpoint): 4 = near-copy of 1 (one
+    // token changed), 5 = exact copy of 2, 6 = fresh. All pairs emitted
+    // now can only come from run 1's RESTORED state.
     mem.addData(
       (4L, doc(1).replace("w7 ", "w7x ")),
       (5L, doc(2)),
       (6L, doc(42)))
-    val out = nearDupCandidates(mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
-    runBatches(out.writeStream.format("memory").queryName("neardup").outputMode("append"))
-    val cands = spark.table("neardup")
+    runOnce()
+    val cands = spark.read.parquet(sink)
       .groupBy("docId", "priorId").agg(max("estJaccard").as("est"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(cands.contains((4L, 1L)), s"near-copy not flagged: $cands")
