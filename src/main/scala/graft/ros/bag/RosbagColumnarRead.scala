@@ -181,6 +181,94 @@ object RosbagColumnarRead {
   }
 }
 
+/** Batch-at-a-time columnar reader for the UNTYPED (spine) bag scan —
+  * the hottest path in the ETL: every meta pass (seqno staging,
+  * Messages) and every query-in-place meta projection runs through it.
+  * All spine columns vectorize trivially: ints from the message
+  * record, topic/datatype as per-connection interned UTF-8 bytes,
+  * nullable header stamps from the 12-byte wire prefix, the raw blob
+  * by reference-free byte append.
+  */
+class RosbagMetaColumnarReader(p: RosbagInputPartition, required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter], limit: Int,
+    batchSize: Int = 4096, batchBytes: Long = 32L << 20)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(batchSize, required)
+  private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+
+  private lazy val connHasHeader: Map[Int, Boolean] =
+    p.conns.map { case (id, c) =>
+      id -> RosbagDataSource.startsWithHeader(c.datatype, c.msgDef)
+    }
+  private val topicBytes: Map[Int, Array[Byte]] =
+    p.conns.map { case (id, c) =>
+      id -> c.topic.getBytes(java.nio.charset.StandardCharsets.UTF_8) }
+  private val datatypeBytes: Map[Int, Array[Byte]] =
+    p.conns.map { case (id, c) =>
+      id -> c.datatype.getBytes(java.nio.charset.StandardCharsets.UTF_8) }
+
+  private def stamp(m: BagFormat.BagMessage, v: OnHeapColumnVector, off: Int): Unit =
+    if (connHasHeader(m.connId) && m.data.length >= 12)
+      v.appendInt(RosbagDataSource.leInt(m.data, off))
+    else v.appendNull()
+
+  private val writers: Array[BagFormat.BagMessage => Unit] =
+    required.fields.zipWithIndex.map { case (f, i) =>
+      val v = vectors(i)
+      f.name match {
+        case "chunk_idx" => (_: BagFormat.BagMessage) => v.appendInt(p.chunkIdx)
+        case "offset" => (m: BagFormat.BagMessage) => v.appendInt(m.offsetInChunk)
+        case "time_sec" => (m: BagFormat.BagMessage) => v.appendInt(m.timeSec)
+        case "time_nsec" => (m: BagFormat.BagMessage) => v.appendInt(m.timeNsec)
+        case "size" => (m: BagFormat.BagMessage) => v.appendInt(m.data.length)
+        case "connection_id" => (m: BagFormat.BagMessage) => v.appendInt(m.connId)
+        case "topic" => (m: BagFormat.BagMessage) => {
+          val b = topicBytes(m.connId); v.appendByteArray(b, 0, b.length) }
+        case "datatype" => (m: BagFormat.BagMessage) => {
+          val b = datatypeBytes(m.connId); v.appendByteArray(b, 0, b.length) }
+        case "header_stamp_sec" => (m: BagFormat.BagMessage) => stamp(m, v, 4)
+        case "header_stamp_nsec" => (m: BagFormat.BagMessage) => stamp(m, v, 8)
+        case "data" => (m: BagFormat.BagMessage) =>
+          v.appendByteArray(m.data, 0, m.data.length)
+      }
+    }
+  private val dataRequired = required.fieldNames.contains("data")
+
+  private lazy val messages: Iterator[BagFormat.BagMessage] = {
+    val data = RosbagIO.readChunkData(p.path, p.chunk)
+    val all = BagFormat.chunkMessages(p.chunk, data).iterator
+    val filtered = all.filter { m =>
+      val conn = p.conns.getOrElse(m.connId,
+        throw new IllegalStateException(s"message references unknown connection ${m.connId}"))
+      filters.forall(f => RosbagFilters.eval(f, m, conn))
+    }
+    if (limit >= 0) filtered.take(limit) else filtered
+  }
+
+  override def next(): Boolean = {
+    if (!messages.hasNext) return false
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    var bytes = 0L
+    while (n < batchSize && bytes < batchBytes && messages.hasNext) {
+      val m = messages.next()
+      if (dataRequired) bytes += m.data.length
+      var j = 0
+      while (j < writers.length) { writers(j)(m); j += 1 }
+      n += 1
+    }
+    batch.setNumRows(n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = batch.close()
+}
+
 /** Batch-at-a-time columnar reader for typed bag scans. */
 class RosbagTypedColumnarReader(p: RosbagInputPartition, datatype: String,
     msgDef: String, required: StructType, includeRaw: Boolean,

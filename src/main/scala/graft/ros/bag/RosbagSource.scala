@@ -254,6 +254,15 @@ class RosbagReaderFactory(required: StructType, filters: Array[Filter], limit: I
     val p = partition.asInstanceOf[RosbagInputPartition]
     new RosbagPartitionReader(p, required, filters, limit)
   }
+
+  // every spine column vectorizes (ints / interned strings / nullable
+  // stamps / binary), so the untyped scan is always columnar
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[RosbagInputPartition]
+    new RosbagMetaColumnarReader(p, required, filters, limit)
+  }
 }
 
 class RosbagPartitionReader(p: RosbagInputPartition, required: StructType,

@@ -97,6 +97,9 @@ class BagSpec extends SparkTestBase {
       "time_nsec", "size", "connection_id", "topic", "datatype",
       "header_stamp_sec", "header_stamp_nsec", "data"))
     assert(df.count() == 6)
+    // the untyped scan is vectorized (RosbagMetaColumnarReader)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "spine scan did not plan columnar")
     // filter pushdown on time_sec halves the rows
     val half = df.filter(col("time_sec") >= 1700000003).count()
     assert(half == 3)
