@@ -392,6 +392,18 @@ object LlmQueries {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Q45 — corpus composition report: per (source, lang) document
+    // counts, char volume, and averages — the "what is this corpus made
+    // of" question every curation pass starts with. One map-side-
+    // combined aggregation; scale-trivial.
+    "q45_corpus_stats" -> ((s, d) =>
+      documents(s, d).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          rk(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"), col("lang"))),
+
     // Q44 — TF-IDF top terms: tf = count/doc-length, idf =
     // ln((N+1)/(df+1)), top-20 (doc, term) pairs. Scale shape: two
     // shuffles of the (doc, token) pairs (tf agg, df agg + join keyed
@@ -513,6 +525,13 @@ object LlmQueries {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE ((doc_id * 48271) % 2147483647) % 10 = 0
         |ORDER BY doc_id""".stripMargin,
+    "q45_corpus_stats" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5)
+        |         / 10000.0 AS avg_chars,
+        |       MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "q44_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
