@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative hash-min label propagation — the
+  * missing last step of near-duplicate DEDUP: pair emitters (n-gram
+  * Jaccard, MinHash-LSH, SimHash) produce edges, but "keep one copy
+  * per duplicate CLUSTER" needs the transitive closure (A~B, B~C puts
+  * A and C in one cluster even when the pair stage never compared
+  * them).
+  *
+  * Each round every node takes the min component label among itself
+  * and its neighbors; a label therefore travels one hop per round and
+  * the loop converges in `diameter(G)` rounds. Near-dup clusters are
+  * shallow (copies of a common ancestor — diameter a few hops), which
+  * makes this the right algorithm here; for general graphs with long
+  * chains, the large-star/small-star variant (O(log n) rounds) is the
+  * scale path and slots behind the same interface.
+  *
+  * Scale shape per round: one shuffle for the neighbor-min aggregation
+  * keyed by node, one broadcast-or-shuffle join to merge labels, one
+  * count action for the convergence check. The edge list is persisted
+  * once and reused every round. Each generation of labels is
+  * localCheckpoint'ed: an iterative plan that references the previous
+  * generation several times grows EXPONENTIALLY without lineage
+  * truncation (the planner itself OOMs stringifying it around round
+  * 15). On a production cluster prefer reliable `checkpoint()` with a
+  * checkpoint dir — localCheckpoint trades executor-loss recovery for
+  * not needing one.
+  */
+object ConnectedComponents {
+
+  /** @param edges undirected edges, two columns
+    * @return (id, comp) for every node appearing in `edges`, where
+    *         comp = min node id of the component — deterministic.
+    */
+  def components(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val next = labels
+        .join(
+          sym.join(labels.select(col("id").as("b"), col("comp")), "b")
+            .groupBy(col("a").as("id"))
+            .agg(min(col("comp")).as("nmin")),
+          Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint(true)   // truncate lineage — see scaladoc
+      val changed = next
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      done = changed == 0
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    require(done, s"connected components did not converge in $maxIter rounds " +
+      "(graph diameter exceeds maxIter — raise it, or use a star-contraction variant)")
+    labels
+  }
+}

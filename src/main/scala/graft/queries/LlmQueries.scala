@@ -392,6 +392,19 @@ object LlmQueries {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Q46 — cluster-level dedup: connected components over the exact
+    // Jaccard>=0.5 pair graph (transitive closure — A~B, B~C clusters
+    // A,B,C together even though the pair stage never compared A to
+    // C), keep_id = min doc of each cluster. The step that turns pair
+    // EMITTERS into an actual dedup decision. Oracle: DuckDB recursive
+    // CTE over the identical pair graph.
+    "q46_dedup_clusters" -> ((s, d) => {
+      val pairs = jaccardPairs(s, d, 0.5).select(col("da"), col("db"))
+      graft.operators.ConnectedComponents.components(pairs, "da", "db")
+        .select(col("id").as("doc_id"), col("comp").as("keep_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Q45 — corpus composition report: per (source, lang) document
     // counts, char volume, and averages — the "what is this corpus made
     // of" question every curation pass starts with. One map-side-
@@ -532,6 +545,31 @@ object LlmQueries {
         |         / 10000.0 AS avg_chars,
         |       MIN(doc_id) AS first_doc
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "q46_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM t WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared,
+        |         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT da, db FROM p
+        |          WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5),
+        |edges AS (SELECT da AS a, db AS b FROM pairs
+        |          UNION SELECT db, da FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS keep_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q44_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** brute force union-find */
+  private def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chains, cliques, and singleton edges match union-find") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),          // chain: all -> 1
+      (10L, 11L), (11L, 12L), (10L, 12L),    // triangle: all -> 10
+      (20L, 21L),                            // pair
+      (31L, 30L))                            // reversed order edge
+    assert(run(edges) == brute(edges))
+  }
+
+  test("random graphs match union-find (seeded)") {
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      val n = 40
+      val edges = Seq.fill(30)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(run(edges) == brute(edges), s"seed=$seed edges=$edges")
+    }
+  }
+
+  test("long path converges (diameter rounds) and self-loops are ignored") {
+    val path = (0L until 15L).map(i => (i, i + 1)) :+ (7L, 7L)
+    val got = run(path)
+    assert(got.values.toSet == Set(0L))
+    assert(got.keys.toSet == (0L to 15L).toSet)
+  }
+}
