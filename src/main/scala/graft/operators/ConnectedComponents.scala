@@ -71,4 +71,34 @@ object ConnectedComponents {
       "(graph diameter exceeds maxIter — raise it, or use a star-contraction variant)")
     labels
   }
+
+  /** Size-routed variant: a near-dup pair graph is usually TINY
+    * relative to the corpus (it only holds docs that survived the
+    * similarity threshold), and a tiny graph shouldn't pay
+    * diameter-many Spark rounds — below `driverThreshold` edges the
+    * graph is collected and solved with union-find on the driver
+    * (model-sized data, same reasoning as IvfIndex's driver-side
+    * centroids); above it, the distributed rounds run. Both paths
+    * produce the identical (id, comp=min id) labeling.
+    */
+  def componentsAuto(edges: DataFrame, srcCol: String, dstCol: String,
+                     driverThreshold: Long = 1000000L,
+                     maxIter: Int = 20): DataFrame = {
+    val pairs = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+    if (pairs.count() > driverThreshold)
+      return components(edges, srcCol, dstCol, maxIter)
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "comp")
+  }
 }

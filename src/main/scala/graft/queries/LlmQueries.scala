@@ -400,7 +400,7 @@ object LlmQueries {
     // CTE over the identical pair graph.
     "q46_dedup_clusters" -> ((s, d) => {
       val pairs = jaccardPairs(s, d, 0.5).select(col("da"), col("db"))
-      graft.operators.ConnectedComponents.components(pairs, "da", "db")
+      graft.operators.ConnectedComponents.componentsAuto(pairs, "da", "db")
         .select(col("id").as("doc_id"), col("comp").as("keep_id"))
         .orderBy(col("doc_id"))
     }),

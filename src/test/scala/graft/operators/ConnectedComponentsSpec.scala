@@ -33,13 +33,22 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(run(edges) == brute(edges))
   }
 
-  test("random graphs match union-find (seeded)") {
+  test("random graphs match union-find (seeded), both routing paths agree") {
     for (seed <- 1 to 5) {
       val rng = new scala.util.Random(seed)
       val n = 40
       val edges = Seq.fill(30)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
-      assert(run(edges) == brute(edges), s"seed=$seed edges=$edges")
+      val expected = brute(edges)
+      assert(run(edges) == expected, s"seed=$seed edges=$edges")
+      // componentsAuto: driver path (threshold above size) and
+      // distributed path (threshold 0) must both match
+      for (thresh <- Seq(0L, 1000000L)) {
+        val auto = ConnectedComponents
+          .componentsAuto(edges.toDF("src", "dst"), "src", "dst", thresh)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(auto == expected, s"seed=$seed thresh=$thresh")
+      }
     }
   }
 
