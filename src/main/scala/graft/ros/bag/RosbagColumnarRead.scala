@@ -230,6 +230,8 @@ class RosbagMetaColumnarReader(p: RosbagInputPartition, required: StructType,
           val b = datatypeBytes(m.connId); v.appendByteArray(b, 0, b.length) }
         case "header_stamp_sec" => (m: BagFormat.BagMessage) => stamp(m, v, 4)
         case "header_stamp_nsec" => (m: BagFormat.BagMessage) => stamp(m, v, 8)
+        case "data_crc32" => (m: BagFormat.BagMessage) =>
+          v.appendLong(RosbagDataSource.crc32(m.data))
         case "data" => (m: BagFormat.BagMessage) =>
           v.appendByteArray(m.data, 0, m.data.length)
       }

@@ -78,6 +78,12 @@ object RosbagDataSource {
     // uint32 sec, uint32 nsec) without a full decode.
     StructField("header_stamp_sec", IntegerType, nullable = true),
     StructField("header_stamp_nsec", IntegerType, nullable = true),
+    // CRC32 of the serialized message bytes (reference TODO
+    // rosbag2parquet.cpp:28 "compute per msg crc"). Long because CRC32
+    // is an unsigned 32-bit value. Computed only when the column is
+    // projected (pruned scans never touch it); the per-FILE checksum is
+    // the bit_xor aggregate of these, see BagEtl.Info.crcXor.
+    StructField("data_crc32", LongType, nullable = false),
     StructField("data", BinaryType, nullable = false)))
 
   /** Does this connection's type start with a std_msgs/Header field?
@@ -106,6 +112,15 @@ object RosbagDataSource {
   def leInt(b: Array[Byte], o: Int): Int =
     (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
       ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  /** CRC32 of a message payload — JDK zlib intrinsics, ~GB/s; cheap
+    * next to chunk decompression and the wire walk.
+    */
+  def crc32(b: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, 0, b.length)
+    c.getValue
+  }
 }
 
 class RosbagTable(path: String, datatype: Option[String] = None,
@@ -316,6 +331,7 @@ class RosbagPartitionReader(p: RosbagInputPartition, required: StructType,
       case "datatype" => () => datatypeUtf8(current.connId)
       case "header_stamp_sec" => () => headerStamp(nsec = false)
       case "header_stamp_nsec" => () => headerStamp(nsec = true)
+      case "data_crc32" => () => RosbagDataSource.crc32(current.data)
       case "data" => () => current.data
     }
   }

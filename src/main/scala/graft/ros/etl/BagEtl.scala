@@ -19,7 +19,16 @@ import graft.ros.{MsgDefParser, RosMsgBundle, RosSchemaMapper}
   * predicate pushdown into the source); Connections is driver-side tiny.
   */
 object BagEtl {
-  final case class Info(bagname: String, count: Long, sizeBytes: Long)
+  /** The reference's `info` result (rosbag2parquet.h:6-10) plus the
+    * per-file checksum of reference TODO rosbag2parquet.cpp:28 ("and
+    * while we are at it: per file crc"): `crcXor` is the bit-xor of all
+    * per-message CRC32s — order-independent, so it aggregates
+    * distributed with no shuffle-order sensitivity, and any single
+    * corrupted message flips it. (It is a message-content checksum, not
+    * a CRC of the container file's bytes — chunk compression codec or
+    * re-chunking don't change it, which is the useful invariant.)
+    */
+  final case class Info(bagname: String, count: Long, sizeBytes: Long, crcXor: Long)
 
   /** reference main.cpp:38-54: probe `<base>`, `<base>.1`, ... —
     * via Hadoop FS so remote outDirs (hdfs://, s3a://) version too.
@@ -109,7 +118,7 @@ object BagEtl {
     val stageDir = s"$out/_spine"
     val metaCols = Seq(col("chunk_idx"), col("offset"), col("time_sec"),
       col("time_nsec"), col("size"), col("connection_id"),
-      col("header_stamp_sec"), col("header_stamp_nsec"))
+      col("header_stamp_sec"), col("header_stamp_nsec"), col("data_crc32"))
     if (stagedByType)
       raw.select(metaCols :+ col("datatype") :+ col("data"): _*)
         .write.partitionBy("datatype")
@@ -132,7 +141,7 @@ object BagEtl {
     // rosbag2parquet.cpp:28-30) read in the source from the wire prefix.
     val messages = spine.select(
       col("seqno"), col("time_sec"), col("time_nsec"), col("size"), col("connection_id"),
-      col("header_stamp_sec"), col("header_stamp_nsec"))
+      col("header_stamp_sec"), col("header_stamp_nsec"), col("data_crc32"))
 
     messages.write.mode(SaveMode.ErrorIfExists)
       .option("compression", "snappy").parquet(s"$out/Messages.parquet")
@@ -256,9 +265,10 @@ object BagEtl {
     finally os.close()
 
     // info from the written Messages table (columnar) — not a bag re-scan
-    val Row(cnt: Long, size: Long) = spark.read.parquet(s"$out/Messages.parquet")
-      .agg(count(lit(1)), coalesce(sum(col("size").cast("long")), lit(0L))).head()
-    Info(new java.io.File(bagPath).getName, cnt, size)
+    val Row(cnt: Long, size: Long, crc: Long) = spark.read.parquet(s"$out/Messages.parquet")
+      .agg(count(lit(1)), coalesce(sum(col("size").cast("long")), lit(0L)),
+        coalesce(expr("bit_xor(data_crc32)"), lit(0L))).head()
+    Info(new java.io.File(bagPath).getName, cnt, size, crc)
   }
 
   /** Flattened per-type DataFrame from (seqno, connection_id, data)

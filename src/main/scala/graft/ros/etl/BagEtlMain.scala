@@ -25,7 +25,7 @@ object BagEtlMain {
     val info = BagEtl.run(spark, bagPath, outBase)
     // reference main.cpp:57-59 report
     System.err.println(s"rosbag2parquet: processed ${info.count} messages " +
-      s"(${info.sizeBytes} bytes) from ${info.bagname}")
+      s"(${info.sizeBytes} bytes, crc-xor ${info.crcXor}) from ${info.bagname}")
     spark.stop()
   }
 

@@ -95,7 +95,7 @@ class BagSpec extends SparkTestBase {
     val df = spark.read.format("rosbag").load(path)
     assert(df.schema.fieldNames.toSeq == Seq("chunk_idx", "offset", "time_sec",
       "time_nsec", "size", "connection_id", "topic", "datatype",
-      "header_stamp_sec", "header_stamp_nsec", "data"))
+      "header_stamp_sec", "header_stamp_nsec", "data_crc32", "data"))
     assert(df.count() == 6)
     // the untyped scan is vectorized (RosbagMetaColumnarReader)
     assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
@@ -294,6 +294,31 @@ class BagSpec extends SparkTestBase {
       graft.ros.etl.BagEtl.run(spark, path, out + "_x",
         keepRawBlob = false, blobSideTable = true)
     }
+  }
+
+  test("data_crc32: per-message CRC32 + per-file xor (reference TODO rosbag2parquet.cpp:28)") {
+    val path = writeFixtureBag(4, messagesPerChunk = 2)
+    val df = spark.read.format("rosbag").load(path)
+    // the column matches java.util.zip.CRC32 of the raw bytes, row by row
+    val rows = df.select("data_crc32", "data").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val c = new java.util.zip.CRC32()
+      c.update(r.getAs[Array[Byte]]("data"))
+      assert(r.getLong(0) == c.getValue)
+    }
+    // ETL carries it into Messages; Info.crcXor is the xor of all of them
+    val out = Files.createTempDirectory("graft_crc").toString + "/out"
+    val info = graft.ros.etl.BagEtl.run(spark, path, out)
+    val fromSpine = spark.read.parquet(s"$out/Messages.parquet")
+      .select("data_crc32").collect().map(_.getLong(0))
+    assert(fromSpine.sorted.toSeq == rows.map(_.getLong(0)).sorted.toSeq)
+    assert(info.crcXor == fromSpine.reduce(_ ^ _))
+    // a flipped payload byte changes the per-message CRC (and so the file xor)
+    val corrupted = rows.head.getAs[Array[Byte]]("data").clone()
+    corrupted(20) = (corrupted(20) ^ 0xFF).toByte
+    val c2 = new java.util.zip.CRC32(); c2.update(corrupted)
+    assert(c2.getValue != rows.head.getLong(0))
   }
 
   test("seqno is merge-time order across chunks, not storage order") {
