@@ -423,6 +423,106 @@ object LlmQueries {
           min(col("doc_id")).as("first_doc"))
         .orderBy(col("source"), col("lang"))),
 
+    // Q47 — benchmark contamination: fraction of each document's
+    // 3-shingles that appear in a "benchmark" slice (stand-in: every
+    // 97th doc — in production the eval-suite shingle set). The
+    // benchmark shingle set is genuinely small (eval suites are MBs,
+    // not TBs), so it BROADCASTS: the corpus-side scan joins map-side
+    // against it and aggregates per doc — one shuffle of matched rows
+    // only, no corpus self-join. The decontamination primitive every
+    // training pipeline needs before a model ships.
+    "q47_contamination" -> ((s, d) => {
+      val sets = shingleSets(s, d)
+      val isBench = pmod(col("doc_id"), lit(97)) === 0
+      val benchSh = broadcast(
+        sets.filter(isBench).select(explode(col("sh")).as("s")).distinct())
+      sets.filter(!isBench)
+        .select(col("doc_id"), size(col("sh")).as("n"), explode_outer(col("sh")).as("s"))
+        .filter(col("s").isNotNull)
+        .join(benchSh, Seq("s"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap").cast("double") / col("n") >= 0.25)
+        .select(col("doc_id"), col("n").cast("long").as("n_shingles"),
+          col("overlap"),
+          rk(col("overlap").cast("double") / col("n"), 6).as("contamination"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q48 — within-doc repetition scoring (Gopher-style quality rule):
+    // duplicate-token fraction and duplicate-3-gram fraction per doc,
+    // keep = under both thresholds. Pure map-side array arithmetic on
+    // the scan — no shuffle at any scale (the agg is per-row, not
+    // per-key).
+    "q48_repetition" -> ((s, d) => {
+      val grams = when(size(col("toks")) >= 3,
+        transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+        .otherwise(array().cast("array<string>"))
+      docToks(s, d)
+        .filter(size(col("toks")) > 0)
+        .withColumn("g", grams)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          rk(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+             size(col("toks")), 6).as("dup_token_frac"),
+          when(size(col("g")) > 0,
+            rk(lit(1.0) - size(array_distinct(col("g"))).cast("double") /
+               size(col("g")), 6)).otherwise(lit(0.0)).as("dup_3gram_frac"))
+        .withColumn("keep",
+          col("dup_token_frac") <= 0.6 && col("dup_3gram_frac") <= 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q49 — per-source token-budget sampling: deterministic Lehmer-hash
+    // order within each source, cumulative token sum, keep docs while
+    // the running total fits the budget — the "mix N tokens from each
+    // source" curation step. One shuffle (window partitioned by
+    // source); per-source hash order makes the sample re-runnable and
+    // independent of storage layout. Source skew = partition skew here;
+    // at 100 TB sub-split hot sources by hash range and re-aggregate.
+    "q49_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1000L
+      val base = spread(documents(s, d), col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          pmod(col("doc_id") * 48271L, lit(2147483647L)).as("hk"))
+      val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+    }),
+
+    // Q50 — int8-quantized cosine top-k: per-vector symmetric scalar
+    // quantization (scale = max|x|/127, round-half-up), then the same
+    // top-5 as q25 over the quantized values. The embedding-compression
+    // path for 100 TB: int8 storage is 4× smaller than float32 and the
+    // quantized dot stays exact in double (|q|<=127 products sum far
+    // below 2^53), so the oracle replicates it bit-for-bit. Recall vs
+    // the exact q25 is asserted in LlmQueriesSpec.
+    "q50_quantized_topk" -> ((s, d) => {
+      def quant(v: Column): Column = {
+        val mx = array_max(transform(v, x => abs(x.cast("double"))))
+        when(mx > 0,
+          transform(v, x => floor(x.cast("double") * lit(127.0) / mx + 0.5)))
+          .otherwise(transform(v, _ => lit(0.0)))
+      }
+      val q = spread(embeddings(s, d), col("vec_id"))
+        // int values ±127: the float cast is exact, and dotd's
+        // left-to-right double fold then matches DuckDB's list_reduce
+        .withColumn("qe", quant(col("embedding")).cast("array<float>"))
+      val qv = broadcast(q.filter(col("vec_id") === 0).select(col("qe").as("qq")))
+      q.crossJoin(qv).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (dotd(col("qe"), col("qq")) / (l2(col("qe")) * l2(col("qq")))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(5)
+        .select(col("vec_id"), rk(col("cos"), 6).as("cosine"))
+    }),
+
     // Q44 — TF-IDF top terms: tf = count/doc-length, idf =
     // ln((N+1)/(df+1)), top-20 (doc, term) pairs. Scale shape: two
     // shuffles of the (doc, token) pairs (tf agg, df agg + join keyed
@@ -576,6 +676,88 @@ object LlmQueries {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS keep_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q47_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM t WHERE len(toks) >= 3),
+        |bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+        |       FROM sh WHERE doc_id % 97 <> 0),
+        |ov AS (SELECT doc_id, ANY_VALUE(n) AS n, COUNT(*) AS overlap
+        |       FROM ex JOIN bench USING (s) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_shingles, overlap,
+        |       FLOOR(CAST(overlap AS DOUBLE) / n * 1000000.0 + 0.5) / 1000000.0
+        |         AS contamination
+        |FROM ov WHERE CAST(overlap AS DOUBLE) / n >= 0.25
+        |ORDER BY doc_id""".stripMargin,
+    "q48_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |              ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM t WHERE len(toks) > 0),
+        |m AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         FLOOR((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+        |           * 1000000.0 + 0.5) / 1000000.0 AS dup_token_frac,
+        |         CASE WHEN len(grams) > 0
+        |              THEN FLOOR((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |                / len(grams)) * 1000000.0 + 0.5) / 1000000.0
+        |              ELSE 0.0 END AS dup_3gram_frac
+        |  FROM g)
+        |SELECT doc_id, n_tokens, dup_token_frac, dup_3gram_frac,
+        |       (dup_token_frac <= 0.6 AND dup_3gram_frac <= 0.2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q49_token_budget" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '')) AS BIGINT) AS n_tokens,
+        |         (doc_id * 48271) % 2147483647 AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM b)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 1000
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+    "q50_quantized_topk" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |qn AS (
+        |  SELECT vec_id,
+        |         CASE WHEN mx > 0
+        |              THEN list_transform(embedding,
+        |                     x -> FLOOR(CAST(x AS DOUBLE) * 127.0 / mx + 0.5))
+        |              ELSE list_transform(embedding, x -> 0.0) END AS qe
+        |  FROM s),
+        |qq AS (SELECT qe AS qv FROM qn WHERE vec_id = 0),
+        |c AS (
+        |  SELECT vec_id,
+        |         list_reduce(list_prepend(0.0, list_transform(list_zip(qe, qv),
+        |           p -> p[1] * p[2])), (a,b) -> a+b)
+        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(qe,
+        |              x -> x * x)), (a,b) -> a+b))
+        |          * sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+        |              x -> x * x)), (a,b) -> a+b))) AS cos
+        |  FROM qn, qq WHERE vec_id <> 0)
+        |SELECT vec_id, FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |FROM c ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
     "q44_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -65,6 +65,48 @@ class LlmQueriesSpec extends SparkTestBase {
     assert(cosines.max <= exact.max + 1e-9)
   }
 
+  test("int8-quantized top-k overlaps the exact top-k (quantization recall)") {
+    val exact = run("q25_cosine_topk").collect().map(_.getLong(0)).toSet
+    val quant = run("q50_quantized_topk").collect()
+    assert(quant.length == 5)
+    val qIds = quant.map(_.getLong(0)).toSet
+    // int8 symmetric quantization distorts cosines by well under the
+    // gap between neighbors on this data — demand >=4/5 agreement
+    assert((exact & qIds).size >= 4, s"quantized top-k drifted: $qIds vs $exact")
+    // and quantized cosines cannot exceed 1 by more than rounding
+    quant.map(_.getDouble(1)).foreach(c => assert(c >= -1.0001 && c <= 1.0001))
+  }
+
+  test("token-budget sampling: per-source cumsum respects the budget and is a prefix") {
+    val rows = run("q49_token_budget").collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(1))
+    // every source is represented and every kept row is under budget
+    assert(bySource.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) <= 1000L))
+    // the budget actually bites at this scale: kept docs < corpus docs
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.length < total, "budget never bound - vacuous sample")
+    // cum_tokens within a source is strictly the running sum of n_tokens
+    bySource.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(3))
+      sorted.foldLeft(0L) { (acc, r) =>
+        val next = acc + r.getLong(2)
+        assert(r.getLong(3) == next); next
+      }
+    }
+  }
+
+  test("contamination grows with the corpus slice: flagged docs overlap bench shingles") {
+    val rows = run("q47_contamination").collect()
+    assert(rows.nonEmpty, "fixture near-dups of benchmark docs should be flagged")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 != 0)               // bench docs never self-flag
+      assert(r.getDouble(3) >= 0.25 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))          // overlap <= shingle count
+    }
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val n = Tables.documents(spark, sf).count()
     val out = run("q24_exact_dedup")

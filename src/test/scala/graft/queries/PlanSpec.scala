@@ -90,6 +90,29 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 not a TakeOrdered:\n$p")
   }
 
+  test("q47: benchmark shingle set IS force-broadcast (eval suites stay small)") {
+    val df = graft.SparkEntry.queries("q47_contamination")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.linesIterator.exists(_.contains("ResolvedHint")),
+      s"benchmark side not broadcast-hinted:\n$analyzed")
+    val p = plan("q47_contamination")
+    assert(!p.contains("SortMergeJoin"), s"contamination join shuffled the corpus:\n$p")
+  }
+
+  test("q48: repetition scoring is map-only — no join, no aggregation shuffle") {
+    val p = plan("q48_repetition")
+    assert(!p.toLowerCase.contains("join"), s"q48 plans a join:\n$p")
+    // allowed Exchanges: the spread repartition + the final orderBy sort
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2, s"extra shuffle:\n$p")
+  }
+
+  test("q50: quantized top-k broadcasts only the query vector, TakeOrdered for top-5") {
+    val p = plan("q50_quantized_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-5 not a TakeOrdered:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"quantized rerank shuffled the corpus:\n$p")
+  }
+
   test("rosbag source prunes whole chunks from time filters (chunk-info index)") {
     val path = graft.ros.etl.BagEtlMain.demoBag()   // 100 msgs over 50s, chunks of 16
     val all = spark.read.format("rosbag").load(path)
