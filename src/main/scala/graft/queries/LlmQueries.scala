@@ -523,6 +523,50 @@ object LlmQueries {
         .select(col("vec_id"), rk(col("cos"), 6).as("cosine"))
     }),
 
+    // Q51 — unigram-LM quality scoring (CCNet-style): score each doc by
+    // the mean negative log-probability of its tokens under the
+    // corpus's own unigram distribution — high = out-of-distribution /
+    // junk, low = fluent-for-this-corpus. Determinism trick: the
+    // per-token surprisal is quantized to an INTEGER (floor(-ln p * 1e6
+    // + 0.5)) before summation, so the per-doc sum is exact long
+    // arithmetic — order-independent across partitions and engines (a
+    // double sum would differ in the last bits by addition order).
+    // Scale shape: two token-keyed shuffles (term counts, then the
+    // score agg); the vocabulary join is NOT force-broadcast (same
+    // reasoning as q44 — a web-scale vocab outgrows the driver; AQE
+    // broadcasts when it fits). The 1-row total is broadcast.
+    "q51_unigram_lm" -> ((s, d) => {
+      val tok = docToks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+      val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = broadcast(tok.agg(count(lit(1)).as("total")))
+      val scored = counts.crossJoin(total)
+        .select(col("token"),
+          floor(-log(col("cnt").cast("double") / col("total")) * 1e6 + 0.5)
+            .cast("long").as("lp_micro"))
+      tok.join(scored, "token")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("lp_sum"))
+        .select(col("doc_id"), col("n_tokens"),
+          rk(col("lp_sum").cast("double") / (col("n_tokens") * 1e6), 4)
+            .as("mean_surprisal"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q52 — stratified hash sampling: per-stratum (lang) rates — keep
+    // 50% of 'en', 10% of everything else — via the same Lehmer hash as
+    // q43, so the sample is deterministic, re-runnable, and joinable
+    // across tables. Map-only filter on the scan: the stratification is
+    // a CASE on the rate, not a per-group shuffle (the usual
+    // sampleBy/rand() approach is neither repeatable nor joinable).
+    "q52_stratified_sample" -> ((s, d) => {
+      val res = pmod(col("doc_id") * 48271L, lit(2147483647L)) % 100
+      documents(s, d)
+        .filter(when(col("lang") === "en", res < 50).otherwise(res < 10))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Q44 — TF-IDF top terms: tf = count/doc-length, idf =
     // ln((N+1)/(df+1)), top-20 (doc, term) pairs. Scale shape: two
     // shuffles of the (doc, token) pairs (tf agg, df agg + join keyed
@@ -758,6 +802,31 @@ object LlmQueries {
         |  FROM qn, qq WHERE vec_id <> 0)
         |SELECT vec_id, FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
         |FROM c ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
+    "q51_unigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '')) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS total FROM tok),
+        |scored AS (
+        |  SELECT token,
+        |         CAST(FLOOR(-ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5)
+        |           AS BIGINT) AS lp_micro
+        |  FROM counts CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp_micro) AS lp_sum
+        |  FROM tok JOIN scored USING (token) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |       FLOOR(CAST(lp_sum AS DOUBLE) / (n_tokens * 1000000.0)
+        |         * 10000.0 + 0.5) / 10000.0 AS mean_surprisal
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q52_stratified_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |           THEN ((doc_id * 48271) % 2147483647) % 100 < 50
+        |           ELSE ((doc_id * 48271) % 2147483647) % 100 < 10 END
+        |ORDER BY doc_id""".stripMargin,
     "q44_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -75,10 +75,20 @@ object BagEtl {
     *        per-type re-scan wins for small uncompressed bags with
     *        one or two types.
     */
+  /** @param nativeTimestamp additionally emit `time` as a parquet
+    *        TIMESTAMP (micros, NTZ) derived from time_sec/time_nsec
+    *        (floor to micros) — reference TODO rosbag2parquet.cpp:31-32
+    *        "use parquet timestamps rather than ros sec/nsec". Additive:
+    *        the raw sec/nsec pair stays (the reference's load-time
+    *        compatibility concern), and parquet min/max column stats
+    *        cover it like every other column (Spark's writer generates
+    *        chunk statistics for all columns — reference TODO :33 is
+    *        free here).
+    */
   def run(spark: SparkSession, bagPath: String, outDir: String,
           maxMessages: Option[Long] = None, keepRawBlob: Boolean = true,
           blobSideTable: Boolean = false, blobThreshold: Int = 1 << 20,
-          stagedByType: Boolean = false): Info = {
+          stagedByType: Boolean = false, nativeTimestamp: Boolean = false): Info = {
     require(!blobSideTable || keepRawBlob,
       "blobSideTable requires keepRawBlob=true (there is no blob column to externalize)")
     // opt-in phase timing for throughput work (GRAFT_ETL_TIMING=1)
@@ -139,9 +149,16 @@ object BagEtl {
     // Messages fact table (reference FlattenedRosWriter.cpp:49-87), plus
     // the sensor-time header stamp (nullable; reference TODO
     // rosbag2parquet.cpp:28-30) read in the source from the wire prefix.
-    val messages = spine.select(
+    val messages0 = spine.select(
       col("seqno"), col("time_sec"), col("time_nsec"), col("size"), col("connection_id"),
       col("header_stamp_sec"), col("header_stamp_nsec"), col("data_crc32"))
+    val messages = if (nativeTimestamp)
+      // floor-to-micros; NTZ so readers in any session timezone see the
+      // same wall-clock instant the bag recorded
+      messages0.withColumn("time",
+        timestamp_micros(col("time_sec").cast("long") * 1000000L +
+          expr("time_nsec div 1000")).cast(org.apache.spark.sql.types.TimestampNTZType))
+    else messages0
 
     messages.write.mode(SaveMode.ErrorIfExists)
       .option("compression", "snappy").parquet(s"$out/Messages.parquet")

@@ -321,6 +321,21 @@ class BagSpec extends SparkTestBase {
     assert(c2.getValue != rows.head.getLong(0))
   }
 
+  test("nativeTimestamp emits a parquet TIMESTAMP alongside sec/nsec (TODO rosbag2parquet.cpp:31)") {
+    val path = writeFixtureBag(2, messagesPerChunk = 10)
+    val out = Files.createTempDirectory("graft_ts").toString + "/out"
+    graft.ros.etl.BagEtl.run(spark, path, out, nativeTimestamp = true)
+    val m = spark.read.parquet(s"$out/Messages.parquet").orderBy("seqno")
+    assert(m.schema("time").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // sec/nsec pair is retained (load-time compatibility) and `time`
+    // floors to micros: msg 1 has time_nsec = 1000 → 1 micro
+    val r = m.collect()(1)
+    assert(r.getAs[Int]("time_sec") == 1700000001 && r.getAs[Int]("time_nsec") == 1000)
+    assert(r.getAs[java.time.LocalDateTime]("time") ==
+      java.time.LocalDateTime.ofEpochSecond(1700000001L, 1000, java.time.ZoneOffset.UTC))
+  }
+
   test("seqno is merge-time order across chunks, not storage order") {
     // two connections, interleaved timestamps, one chunk each
     val conn0 = BagConnection(0, "/a", "sensor_msgs/Imu", Fixtures.imuMd5, Fixtures.imuDef, "")
