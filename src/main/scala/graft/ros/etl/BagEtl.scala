@@ -153,11 +153,15 @@ object BagEtl {
       col("seqno"), col("time_sec"), col("time_nsec"), col("size"), col("connection_id"),
       col("header_stamp_sec"), col("header_stamp_nsec"), col("data_crc32"))
     val messages = if (nativeTimestamp)
-      // floor-to-micros; NTZ so readers in any session timezone see the
-      // same wall-clock instant the bag recorded
+      // floor-to-micros. Built with pure NTZ arithmetic (timestampadd on
+      // an NTZ epoch literal): a timestamp_micros→NTZ cast would render
+      // the instant in the WRITER's session timezone and shift the
+      // stored value for any non-UTC session — this form is
+      // timezone-independent by construction.
       messages0.withColumn("time",
-        timestamp_micros(col("time_sec").cast("long") * 1000000L +
-          expr("time_nsec div 1000")).cast(org.apache.spark.sql.types.TimestampNTZType))
+        expr("timestampadd(MICROSECOND, " +
+          "cast(time_sec as bigint) * 1000000 + time_nsec div 1000, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
     else messages0
 
     messages.write.mode(SaveMode.ErrorIfExists)

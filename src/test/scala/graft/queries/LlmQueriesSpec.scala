@@ -102,7 +102,7 @@ class LlmQueriesSpec extends SparkTestBase {
     assert(rows.nonEmpty, "fixture near-dups of benchmark docs should be flagged")
     rows.foreach { r =>
       assert(r.getLong(0) % 97 != 0)               // bench docs never self-flag
-      assert(r.getDouble(3) >= 0.25 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(3) >= 0.10 && r.getDouble(3) <= 1.0)
       assert(r.getLong(2) <= r.getLong(1))          // overlap <= shingle count
     }
   }

@@ -324,7 +324,12 @@ class BagSpec extends SparkTestBase {
   test("nativeTimestamp emits a parquet TIMESTAMP alongside sec/nsec (TODO rosbag2parquet.cpp:31)") {
     val path = writeFixtureBag(2, messagesPerChunk = 10)
     val out = Files.createTempDirectory("graft_ts").toString + "/out"
-    graft.ros.etl.BagEtl.run(spark, path, out, nativeTimestamp = true)
+    // run under a NON-UTC session: the stored NTZ value must be the
+    // bag's recorded UTC wall clock regardless of writer timezone
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try graft.ros.etl.BagEtl.run(spark, path, out, nativeTimestamp = true)
+    finally spark.conf.set("spark.sql.session.timeZone", prevTz)
     val m = spark.read.parquet(s"$out/Messages.parquet").orderBy("seqno")
     assert(m.schema("time").dataType ==
       org.apache.spark.sql.types.TimestampNTZType)
