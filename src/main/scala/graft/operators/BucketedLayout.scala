@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed table layouts — the co-location primitive for the engine's
+  * own dominant join pattern (per-type tables ⋈ Messages on seqno,
+  * reference README.md:119-121) and for any repeated large–large
+  * equi-join at 100 TB.
+  *
+  * Writing both sides bucketed on the same key with the same bucket
+  * count lets every later join / aggregation on that key plan with NO
+  * Exchange: task i reads bucket i of each side, pre-partitioned and
+  * pre-sorted on disk. At 100 TB this converts the dominant repeated
+  * cost — re-shuffling the spine and payload tables on every query —
+  * into a one-time layout cost at write, exactly the trade the
+  * reference makes by pre-flattening into per-type files.
+  *
+  * Bucketing metadata lives in the session catalog (Spark cannot
+  * attach it to bare parquet paths), so layouts go through
+  * `saveAsTable`; pass `path` to make it an EXTERNAL table at that
+  * location — catalog-aware readers get exchange-free, bucket-pruned
+  * plans while plain path readers still see ordinary parquet files.
+  */
+object BucketedLayout {
+
+  /** Write `df` as a bucketed + sorted table. Bucket count is a layout
+    * contract: joins co-locate only between tables with the SAME count
+    * (pick once per key domain; at 100 TB size it so a bucket is a few
+    * hundred MB — e.g. 16384 buckets for a 5 TB table).
+    */
+  def write(df: DataFrame, table: String, key: String, buckets: Int,
+            path: Option[String] = None): Unit = {
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Catalog read-back (the bucketed plan comes from the catalog, not
+    * the files — reading the path directly loses the layout).
+    */
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}
