@@ -326,6 +326,26 @@ object LlmQueries {
         .select(col("vec_id"), rk(col("cos"), 6).as("cosine"))
     }),
 
+    // Q53 — ANN via product quantization (no SQL oracle: depends on
+    // trained codebooks). m=8 sub-spaces × 16 codewords: each vector
+    // compresses to 8 small ints (32× smaller than float32); ADC
+    // scoring is 8 literal-table lookups per row (map-only, the float
+    // vectors untouched), then only the top-64 shortlist is
+    // exact-reranked. The memory-side scale path: PQ codes of a 100 TB
+    // embedding corpus fit in cluster RAM. Recall vs exact q25 is
+    // asserted in LlmQueriesSpec.
+    "q53_ann_pq" -> ((s, d) => {
+      import graft.operators.PqIndex
+      val e = spread(embeddings(s, d), col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val model = PqIndex.train(e, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      val qv = embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val enc = PqIndex.encode(e.filter(col("vec_id") =!= 0), "embedding", model)
+      PqIndex.search(enc, "vec_id", "embedding", model, qv, topK = 5)
+        .select(col("vec_id"), rk(col("cos"), 6).as("cosine"))
+    }),
+
     // Q32 — language-ID by marker-lexicon scoring (n-gram heuristic
     // machinery; the testdata's lang label is synthetic so the oracle
     // checks the scoring pipeline, not label recovery). Deterministic
@@ -847,7 +867,8 @@ object LlmQueries {
         |         / 1000000.0 AS tfidf
         |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) CROSS JOIN nd
         |ORDER BY tfidf DESC, tf.doc_id, tf.token LIMIT 20""".stripMargin
-    // q28_minhash_lsh, q29_simhash, q31_ann_lsh: engine-hash-based —
-    // rows-only driver check; cross-validated in ScalaTest instead.
+    // q28_minhash_lsh, q29_simhash, q31_ann_lsh: engine-hash-based;
+    // q53_ann_pq: trained-codebook-based — rows-only driver check;
+    // cross-validated in ScalaTest instead.
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.queries.Tables
+
+class PqIndexSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+
+  test("training is deterministic and codes are within [0, k)") {
+    val m1 = PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val m2 = PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    assert(m1.books.map(_.words.map(_.toSeq).toSeq) ==
+           m2.books.map(_.words.map(_.toSeq).toSeq))
+    val codes = PqIndex.encode(emb, "embedding", m1)
+      .select(col("pqcode")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 4 && c.forall(j => j >= 0 && j < 8)))
+  }
+
+  test("ADC score equals the dot of the query with the reconstructed codewords") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 1)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val rows = PqIndex.encode(emb, "embedding", model)
+      .withColumn("adc", PqIndex.adcScore(q, model))
+      .select(col("pqcode"), col("adc")).limit(20).collect()
+    rows.foreach { r =>
+      val code = r.getSeq[Int](0)
+      // reconstruct: concatenate the chosen codewords, dot with q
+      val recon = model.books.flatMap(b => b.words(code(b.sub))).toArray
+      val expect = recon.zip(q).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2.toDouble)
+      assert(math.abs(r.getDouble(1) - expect) < 1e-6)
+    }
+  }
+
+  test("quantization error decreases with codebook size") {
+    def mse(k: Int): Double = {
+      val model = PqIndex.train(emb, "vec_id", "embedding", m = 4, k = k, iters = 2)
+      val rows = PqIndex.encode(emb, "embedding", model)
+        .select(col("embedding"), col("pqcode")).collect()
+      rows.map { r =>
+        val v = r.getSeq[Float](0); val code = r.getSeq[Int](1)
+        val recon = model.books.flatMap(b => b.words(code(b.sub)))
+        v.zip(recon).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+      }.sum / rows.length
+    }
+    val coarse = mse(2)
+    val fine = mse(16)
+    assert(fine < coarse, s"k=16 mse $fine not below k=2 mse $coarse")
+  }
+
+  test("dimension mismatch in adcScore fails loudly") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 4, iters = 0)
+    intercept[IllegalArgumentException] {
+      PqIndex.adcScore(new Array[Float](7), model)
+    }
+  }
+}

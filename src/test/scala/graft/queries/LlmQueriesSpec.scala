@@ -107,6 +107,19 @@ class LlmQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("PQ ANN: ranked, bounded by brute force, and high-recall vs exact top-k") {
+    val pq = run("q53_ann_pq").collect()
+    assert(pq.nonEmpty && pq.length <= 5)
+    val cosines = pq.map(_.getDouble(1))
+    assert(cosines.sameElements(cosines.sorted.reverse))
+    val exact = run("q25_cosine_topk").collect()
+    assert(cosines.max <= exact.map(_.getDouble(1)).max + 1e-9)
+    // with a 64-candidate shortlist over ~500 vectors the exact rerank
+    // should recover most of the true top-5
+    val overlap = (pq.map(_.getLong(0)).toSet & exact.map(_.getLong(0)).toSet).size
+    assert(overlap >= 3, s"PQ recall too low: $overlap/5")
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val n = Tables.documents(spark, sf).count()
     val out = run("q24_exact_dedup")

@@ -113,6 +113,13 @@ class PlanSpec extends SparkTestBase {
       s"quantized rerank shuffled the corpus:\n$p")
   }
 
+  test("q53: PQ encode+ADC is map-only — no join, no window; top-k is TakeOrdered") {
+    val p = plan("q53_ann_pq")
+    assert(!p.toLowerCase.contains("join"), s"q53 plans a join:\n$p")
+    assert(!p.contains("Window"), s"q53 plans a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"shortlist/top-k not TakeOrdered:\n$p")
+  }
+
   test("rosbag source prunes whole chunks from time filters (chunk-info index)") {
     val path = graft.ros.etl.BagEtlMain.demoBag()   // 100 msgs over 50s, chunks of 16
     val all = spark.read.format("rosbag").load(path)
