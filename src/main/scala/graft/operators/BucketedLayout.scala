@@ -24,9 +24,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object BucketedLayout {
 
   /** Write `df` as a bucketed + sorted table. Bucket count is a layout
-    * contract: joins co-locate only between tables with the SAME count
-    * (pick once per key domain; at 100 TB size it so a bucket is a few
-    * hundred MB — e.g. 16384 buckets for a 5 TB table).
+    * contract: joins co-locate only between tables with the SAME count,
+    * so pick it once per key domain, sized so each bucket holds a few
+    * hundred MB (e.g. 16384 buckets for a 5 TB table).
     */
   def write(df: DataFrame, table: String, key: String, buckets: Int,
             path: Option[String] = None): Unit = {

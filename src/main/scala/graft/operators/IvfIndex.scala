@@ -28,35 +28,19 @@ object IvfIndex {
 
   private def dotd(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
-  /** Lloyd-iteration k-means, deterministic throughout: init picks the
-    * k ids that hash lowest (a deterministic pseudo-random sample that
-    * assumes NOTHING about the id distribution — dense, sparse and
-    * offset id spaces all yield exactly min(k, n) centroids), updates
-    * are per-dimension avg aggregates (one map-side-combined shuffle of
-    * k×dim doubles per iteration), empty cells keep their previous
-    * centroid.
+  /** Deterministic k-means via the shared trainer (graft.operators
+    * .KMeans: lowest-hash seed init, order-independent integer-micro
+    * sum updates, empty cells keep their centroid) with the COSINE
+    * cell-assignment geometry below.
     */
   def train(e: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Seq[Centroid] = {
-    require(k >= 1 && iters >= 0)
-    var cents: Seq[Centroid] = e
-      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .zipWithIndex.map { case (r, i) => Centroid(i, r.getSeq[Float](0).toArray) }.toSeq
-    require(cents.nonEmpty, "cannot train on an empty table")
-    val dim = cents.head.vec.length
-    for (_ <- 1 to iters) {
-      val avgCols = (0 until dim).map(i => avg(element_at(col("v"), i + 1)).as(s"c$i"))
-      val updated = e.select(col(vecCol).as("v"))
-        .withColumn("cell", nearestCell(col("v"), cents))
-        .groupBy(col("cell")).agg(avgCols.head, avgCols.tail: _*)
-        .collect()
-        .map(r => r.getInt(0) ->
-          Centroid(r.getInt(0), Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat)))
-        .toMap
-      cents = cents.map(c => updated.getOrElse(c.id, c))
-    }
-    cents
+    val words = KMeans.train(e, idCol, vecCol, k, iters,
+      (v, ws) => nearestCell(v, toCentroids(ws)))
+    toCentroids(words)
   }
+
+  private def toCentroids(ws: Array[Array[Float]]): Seq[Centroid] =
+    ws.zipWithIndex.map { case (w, i) => Centroid(i, w) }.toIndexedSeq
 
   /** Map-only nearest-centroid argmax by cosine: one least() over k
     * (negated dot/|c|, id) structs — |v| is constant per row, so it

@@ -43,37 +43,40 @@ object PqIndex {
     (if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)).getField("id")
   }
 
-  /** Per-subspace Lloyd k-means (deterministic: lowest-hash init like
-    * IvfIndex, per-dimension avg updates, empty cells keep their
-    * codeword). One pass per (subspace × iteration); each is a
-    * map-side-combined shuffle of k×subDim doubles — model-sized, not
-    * data-sized.
+  /** Per-subspace k-means via the shared deterministic trainer
+    * (graft.operators.KMeans) under the euclidean geometry above. One
+    * model-sized shuffle per (subspace × iteration). The k seed rows
+    * are collected ONCE and sliced driver-side per subspace (they are
+    * the same lowest-hash ids for every subspace — m separate
+    * TakeOrdered scans would be pure waste), and the iteration scans
+    * hit a persisted projection instead of recomputing the caller's
+    * lineage m×iters times.
     */
   def train(e: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, iters: Int): Model = {
-    val dim = e.select(size(col(vecCol))).head().getInt(0)
+    require(m >= 1 && k >= 1 && iters >= 0,
+      s"need m >= 1, k >= 1, iters >= 0; got m=$m k=$k iters=$iters")
+    // one guarded scan: every vector must have the same dimension — a
+    // ragged row would otherwise mis-encode SILENTLY (slice() clamps
+    // and the dot loops over min(lengths), yielding valid-looking but
+    // wrong codes)
+    val dims = e.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    val (dmin, dim) = (dims.getInt(0), dims.getInt(1))
+    require(dmin == dim, s"ragged vector column: sizes $dmin..$dim")
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val subDim = dim / m
-    val books = (0 until m).map { s =>
-      val sub = e.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("sv"))
-      var words: Array[Array[Float]] = sub
-        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
-        .select(col("sv")).collect()
-        .map(_.getSeq[Float](0).toArray)
-      require(words.nonEmpty, "cannot train on an empty table")
-      for (_ <- 1 to iters) {
-        val avgCols = (0 until subDim).map(i => avg(element_at(col("sv"), i + 1)).as(s"c$i"))
-        val updated = sub
-          .withColumn("code", nearestWord(col("sv"), words))
-          .groupBy(col("code")).agg(avgCols.head, avgCols.tail: _*)
-          .collect()
-          .map(r => r.getInt(0) -> Array.tabulate(subDim)(i => r.getDouble(i + 1).toFloat))
-          .toMap
-        words = words.zipWithIndex.map { case (w, j) => updated.getOrElse(j, w) }
+    val seedVecs = e.orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    val base = e.select(col(idCol), col(vecCol)).persist()
+    try {
+      val books = (0 until m).map { s =>
+        val sub = base.select(col(idCol),
+          slice(col(vecCol), s * subDim + 1, subDim).as("sv"))
+        val seeds = seedVecs.map(_.slice(s * subDim, (s + 1) * subDim))
+        Codebook(s, KMeans.train(sub, idCol, "sv", k, iters, nearestWord, Some(seeds)))
       }
-      Codebook(s, words)
-    }
-    Model(m, subDim, books)
+      Model(m, subDim, books)
+    } finally base.unpersist()
   }
 
   /** Adds a `pqcode` array<int> column (cast to array<tinyint> on disk
@@ -105,20 +108,29 @@ object PqIndex {
     }.reduce(_ + _)
   }
 
-  /** ANN search: ADC-score the (compressed) corpus, shortlist the top
-    * `shortlist` candidates, exact-rerank those by cosine. At scale the
-    * shortlist pass reads only the pqcode column; only `shortlist` rows
-    * ever touch their float vectors.
+  /** ANN search in TWO passes so the claim "only shortlist rows touch
+    * their float vectors" is true in the PLAN, not just the prose:
+    * pass 1 scores (id, pqcode) only — the float column is absent from
+    * that scan — and collects the shortlist ids (model-sized driver
+    * traffic, same pattern as IvfIndex.probeCells); pass 2 filters
+    * id IN (shortlist) — pushed into the scan, pruning row groups —
+    * and exact-reranks just those rows by cosine. Zero-norm vectors
+    * rank LAST (cos would be 0/0 = NaN, which Spark sorts above every
+    * real double — a garbage vector must not win).
     */
   def search(encoded: DataFrame, idCol: String, vecCol: String, model: Model,
              q: Array[Float], topK: Int, shortlist: Int = 64): DataFrame = {
     val qNorm = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-    encoded
+    require(qNorm > 0, "zero query vector has no cosine neighbors")
+    val ids = encoded.select(col(idCol), col("pqcode"))
       .withColumn("adc", adcScore(q, model))
       .orderBy(col("adc").desc, col(idCol)).limit(shortlist)
+      .select(col(idCol)).collect().map(_.get(0))
+    val nrm = VectorFunctions.norm(col(vecCol))
+    encoded.filter(col(idCol).isin(ids: _*))
       .select(col(idCol),
-        (dotd(col(vecCol), typedLit(q)) /
-          (VectorFunctions.norm(col(vecCol)) * lit(qNorm))).as("cos"))
+        when(nrm > 0, dotd(col(vecCol), typedLit(q)) / (nrm * lit(qNorm)))
+          .otherwise(lit(-2.0)).as("cos"))
       .orderBy(col("cos").desc, col(idCol)).limit(topK)
   }
 }

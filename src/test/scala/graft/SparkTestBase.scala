@@ -12,6 +12,18 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkTestBase {
+  private lazy val tempWarehouse: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warehouse")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(dir))
+        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }))
+    dir.toString
+  }
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -19,9 +31,9 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // managed tables (BucketedLayoutSpec) go to a temp warehouse,
-      // not ./spark-warehouse inside the repo
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
+      // not ./spark-warehouse inside the repo; deleted on JVM exit so
+      // repeated test runs don't accumulate parquet in /tmp
+      .config("spark.sql.warehouse.dir", tempWarehouse)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

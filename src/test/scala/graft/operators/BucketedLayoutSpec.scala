@@ -55,6 +55,10 @@ class BucketedLayoutSpec extends SparkTestBase {
     BucketedLayout.write(docs.select(col("doc_id")), "b_b", "doc_id", 3)
     withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
       val j = BucketedLayout.read(spark, "b_a").join(BucketedLayout.read(spark, "b_b"), "doc_id")
+      // the fallback must actually SHUFFLE (4-bucket and 3-bucket
+      // layouts are not co-partitioned; an exchange-free plan here
+      // would be assuming co-partitioning that doesn't exist)
+      assert(j.queryExecution.executedPlan.toString.contains("Exchange"))
       assert(j.count() == docs.count())   // correctness survives the mismatch
     }
     spark.sql("DROP TABLE b_a")

@@ -51,6 +51,36 @@ class PqIndexSpec extends SparkTestBase {
     assert(fine < coarse, s"k=16 mse $fine not below k=2 mse $coarse")
   }
 
+  test("ragged vector column fails loudly at train time (silent mis-encode guard)") {
+    import spark.implicits._
+    val ragged = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.train(ragged, "vec_id", "embedding", m = 2, k = 2, iters = 0)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
+  test("zero-norm vectors rank last in search, never first via NaN") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // garbage row
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val model = PqIndex.train(vecs, "vec_id", "embedding", m = 2, k = 2, iters = 1)
+    val enc = PqIndex.encode(vecs, "embedding", model)
+    val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val out = PqIndex.search(enc, "vec_id", "embedding", model, q, topK = 4, shortlist = 4)
+      .collect()
+    assert(out.head.getLong(0) == 1L)                      // true best first
+    assert(out.last.getLong(0) == 3L && out.last.getDouble(1) == -2.0)
+    intercept[IllegalArgumentException] {
+      PqIndex.search(enc, "vec_id", "embedding", model, new Array[Float](4), 1)
+    }
+  }
+
   test("dimension mismatch in adcScore fails loudly") {
     val model = PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 4, iters = 0)
     intercept[IllegalArgumentException] {
