@@ -84,6 +84,16 @@ object BagFormat {
     * carries the EXACT on-wire record size so callers track positions
     * without re-deriving lengths from the parsed (deduplicated) header.
     */
+  /** Corrupt-length guards: a flipped bit in a length prefix must fail
+    * as "corrupt bag", not as a NegativeArraySizeException or a
+    * pre-allocation OOM (the array is allocated BEFORE readFully can
+    * notice truncation). Record headers are key=value lists — far
+    * below 64 MB in any real bag; record data (a whole chunk at most)
+    * stays under 1 GB.
+    */
+  private val MaxHeaderLen = 1 << 26
+  private val MaxDataLen = 1 << 30
+
   def readRecord(in: DataInputStream): Option[Record] = {
     val first = in.read()
     if (first < 0) return None
@@ -91,8 +101,12 @@ object BagFormat {
     hlenBytes(0) = first.toByte
     in.readFully(hlenBytes, 1, 3)
     val hlen = ByteBuffer.wrap(hlenBytes).order(ByteOrder.LITTLE_ENDIAN).getInt()
+    require(hlen >= 0 && hlen <= MaxHeaderLen,
+      s"corrupt bag: record header length $hlen out of range")
     val header = new Array[Byte](hlen); in.readFully(header)
     val dlen = readU32(in)
+    require(dlen >= 0 && dlen <= MaxDataLen,
+      s"corrupt bag: record data length $dlen out of range")
     val data = new Array[Byte](dlen); in.readFully(data)
     Some(Record(parseHeader(header), data, 8L + hlen + dlen))
   }
@@ -110,7 +124,9 @@ object BagFormat {
     val in = new DataInputStream(new java.io.BufferedInputStream(open()))
     try {
       val magic = new Array[Byte](Magic.length)
-      in.readFully(magic)
+      try in.readFully(magic)
+      catch { case _: java.io.EOFException =>
+        throw new IllegalArgumentException("not a ROS bag v2.0 file (shorter than the magic header)") }
       require(new String(magic, StandardCharsets.UTF_8) == Magic, "not a ROS bag v2.0 file")
       var pos: Long = Magic.length
       val conns = scala.collection.mutable.LinkedHashMap[Int, BagConnection]()

@@ -341,6 +341,38 @@ class BagSpec extends SparkTestBase {
       java.time.LocalDateTime.ofEpochSecond(1700000001L, 1000, java.time.ZoneOffset.UTC))
   }
 
+  test("corrupt and truncated bags fail loudly or degrade to the tail-scan semantics") {
+    // not a bag at all / shorter than the magic
+    val junk = Files.createTempFile("graft_junk", ".bag")
+    Files.write(junk, "#ROSBAG".getBytes)   // truncated magic
+    val e1 = intercept[IllegalArgumentException] {
+      BagFormat.scanIndex(() => Files.newInputStream(junk))
+    }
+    assert(e1.getMessage.contains("not a ROS bag"))
+
+    val good = writeFixtureBag(4, messagesPerChunk = 2)
+    val bytes = Files.readAllBytes(Paths.get(good))
+
+    // a flipped length prefix must say "corrupt bag", not NegativeArraySize/OOM.
+    // The first record starts right after the 13-byte magic; forge its hlen.
+    val corrupt = bytes.clone()
+    corrupt(13) = 0xFF.toByte; corrupt(14) = 0xFF.toByte
+    corrupt(15) = 0xFF.toByte; corrupt(16) = 0xFF.toByte
+    val cPath = Files.createTempFile("graft_corrupt", ".bag")
+    Files.write(cPath, corrupt)
+    val e2 = intercept[IllegalArgumentException] {
+      BagFormat.scanIndex(() => Files.newInputStream(cPath))
+    }
+    assert(e2.getMessage.contains("corrupt bag"))
+
+    // truncation mid-record = a bag still being written: the scan keeps
+    // every complete record instead of failing (tailing semantics)
+    val trunc = Files.createTempFile("graft_trunc", ".bag")
+    Files.write(trunc, bytes.take(bytes.length - 7))
+    val idx = BagFormat.scanIndex(() => Files.newInputStream(trunc))
+    assert(idx.connections.nonEmpty)
+  }
+
   test("seqno is merge-time order across chunks, not storage order") {
     // two connections, interleaved timestamps, one chunk each
     val conn0 = BagConnection(0, "/a", "sensor_msgs/Imu", Fixtures.imuMd5, Fixtures.imuDef, "")
