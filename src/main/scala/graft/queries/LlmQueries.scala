@@ -592,6 +592,46 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Q54 — the end-to-end curation pipeline, composed as ONE query:
+    // (1) quality gate (length window + duplicate-token fraction, q48's
+    // arithmetic), (2) exact dedup keeping the lowest doc_id (q24),
+    // (3) per-source token budget over the survivors (q49). This is the
+    // query a training-data pipeline actually ships; each stage was
+    // verified alone, this verifies the composition. Scale shape: one
+    // map-side gate, one text-keyed dedup shuffle, one source-window
+    // shuffle — nothing quadratic, nothing collected.
+    "q54_curation_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1000L
+      val base = spread(documents(s, d), col("doc_id"))
+        .select(col("doc_id"), col("source"), col("text"),
+          tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("dup_tok_frac",
+          rk(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+             size(col("toks")), 6))
+      val gated = base
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
+                col("dup_tok_frac") <= 0.6)
+      val deduped = gated
+        .groupBy(col("text"))
+        // n_tokens is a function of the text, so first() is
+        // deterministic-by-value; source is NOT (copies can live in
+        // different sources) — the keeper's own source is re-joined
+        // below instead of trusting whichever copy won the agg
+        .agg(min(col("doc_id")).as("doc_id"), first(col("n_tokens")).as("n_tokens"))
+      val keepers = deduped
+        .join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(pmod(col("doc_id") * 48271L, lit(2147483647L)), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      keepers.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+    }),
+
     // Q44 — TF-IDF top terms: tf = count/doc-length, idf =
     // ln((N+1)/(df+1)), top-20 (doc, term) pairs. Scale shape: two
     // shuffles of the (doc, token) pairs (tf agg, df agg + join keyed
@@ -852,6 +892,35 @@ object LlmQueries {
         |           THEN ((doc_id * 48271) % 2147483647) % 100 < 50
         |           ELSE ((doc_id * 48271) % 2147483647) % 100 < 10 END
         |ORDER BY doc_id""".stripMargin,
+    "q54_curation_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source, text,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         FLOOR((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+        |           * 1000000.0 + 0.5) / 1000000.0 AS dup_tok_frac
+        |  FROM t WHERE len(toks) > 0),
+        |gated AS (
+        |  SELECT * FROM b
+        |  WHERE n_tokens >= 20 AND n_tokens <= 1000 AND dup_tok_frac <= 0.6),
+        |dedup AS (
+        |  SELECT MIN(doc_id) AS doc_id, ANY_VALUE(n_tokens) AS n_tokens
+        |  FROM gated GROUP BY text),
+        |keepers AS (
+        |  SELECT d.doc_id, d.n_tokens, doc.source
+        |  FROM dedup d JOIN documents doc USING (doc_id)),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY (doc_id * 48271) % 2147483647, doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM keepers)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 1000
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
     "q44_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -113,6 +113,14 @@ class PlanSpec extends SparkTestBase {
       s"quantized rerank shuffled the corpus:\n$p")
   }
 
+  test("q51: unigram vocabulary join is never FORCE-broadcast (vocab outgrows driver)") {
+    // same policy as q44: only the 1-row token total carries a hint
+    val df = graft.SparkEntry.queries("q51_unigram_lm")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    val hints = analyzed.linesIterator.count(_.contains("ResolvedHint"))
+    assert(hints == 1, s"expected only the total broadcast hint, got $hints")
+  }
+
   test("q53: PQ encode+ADC is map-only — no join, no window; top-k is TakeOrdered") {
     val p = plan("q53_ann_pq")
     assert(!p.toLowerCase.contains("join"), s"q53 plans a join:\n$p")
