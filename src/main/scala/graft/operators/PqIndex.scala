@@ -69,12 +69,27 @@ object PqIndex {
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
     val base = e.select(col(idCol), col(vecCol)).persist()
     try {
-      val books = (0 until m).map { s =>
-        val sub = base.select(col(idCol),
-          slice(col(vecCol), s * subDim + 1, subDim).as("sv"))
-        val seeds = seedVecs.map(_.slice(s * subDim, (s + 1) * subDim))
-        Codebook(s, KMeans.train(sub, idCol, "sv", k, iters, nearestWord, Some(seeds)))
-      }
+      // the m subspace trainings are independent job chains over the
+      // same cached base — run them CONCURRENTLY so the scheduler
+      // overlaps their (model-sized) aggregations instead of paying
+      // m×iters sequential job latencies (the same trick as BagEtl's
+      // per-type jobs); one job group so a failure cancels siblings
+      import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val spark = e.sparkSession
+      val jobGroup = s"graft-pq-${java.util.UUID.randomUUID()}"
+      val books = try
+        Await.result(Future.sequence((0 until m).map { s => Future { blocking {
+          spark.sparkContext.setJobGroup(jobGroup, s"pq subspace $s",
+            interruptOnCancel = true)
+          val sub = base.select(col(idCol),
+            slice(col(vecCol), s * subDim + 1, subDim).as("sv"))
+          val seeds = seedVecs.map(_.slice(s * subDim, (s + 1) * subDim))
+          Codebook(s, KMeans.train(sub, idCol, "sv", k, iters, nearestWord, Some(seeds)))
+        } } }), Duration.Inf)
+      catch { case t: Throwable =>
+        spark.sparkContext.cancelJobGroup(jobGroup); throw t }
       Model(m, subDim, books)
     } finally base.unpersist()
   }
