@@ -83,13 +83,19 @@ object PqIndex {
         Await.result(Future.sequence((0 until m).map { s => Future { blocking {
           spark.sparkContext.setJobGroup(jobGroup, s"pq subspace $s",
             interruptOnCancel = true)
-          val sub = base.select(col(idCol),
-            slice(col(vecCol), s * subDim + 1, subDim).as("sv"))
-          val seeds = seedVecs.map(_.slice(s * subDim, (s + 1) * subDim))
-          Codebook(s, KMeans.train(sub, idCol, "sv", k, iters, nearestWord, Some(seeds)))
+          try {
+            val sub = base.select(col(idCol),
+              slice(col(vecCol), s * subDim + 1, subDim).as("sv"))
+            val seeds = seedVecs.map(_.slice(s * subDim, (s + 1) * subDim))
+            Codebook(s, KMeans.train(sub, idCol, "sv", k, iters, nearestWord, Some(seeds)))
+          } finally spark.sparkContext.clearJobGroup()  // pooled EC thread:
+          // don't leak the group id + interruptOnCancel to later users
         } } }), Duration.Inf)
       catch { case t: Throwable =>
-        spark.sparkContext.cancelJobGroup(jobGroup); throw t }
+        // AndFutureJobs: sibling futures between jobs would otherwise
+        // keep SUBMITTING iteration jobs after this throw, racing the
+        // base.unpersist below
+        spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup); throw t }
       Model(m, subDim, books)
     } finally base.unpersist()
   }

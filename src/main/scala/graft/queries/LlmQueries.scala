@@ -614,15 +614,16 @@ object LlmQueries {
       val gated = base
         .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
                 col("dup_tok_frac") <= 0.6)
-      val deduped = gated
+      // n_tokens is a function of the text so first() is deterministic-
+      // by-value; source is NOT (copies can live in different sources),
+      // so the keeper's own source comes from min_by on the unique
+      // doc_id — no second documents scan, no join
+      val keepers = gated
         .groupBy(col("text"))
-        // n_tokens is a function of the text, so first() is
-        // deterministic-by-value; source is NOT (copies can live in
-        // different sources) — the keeper's own source is re-joined
-        // below instead of trusting whichever copy won the agg
-        .agg(min(col("doc_id")).as("doc_id"), first(col("n_tokens")).as("n_tokens"))
-      val keepers = deduped
-        .join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("source"), col("doc_id")).as("source"),
+          first(col("n_tokens")).as("n_tokens"))
+        .drop("text")
       val w = Window.partitionBy(col("source"))
         .orderBy(pmod(col("doc_id") * 48271L, lit(2147483647L)), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -906,12 +907,10 @@ object LlmQueries {
         |gated AS (
         |  SELECT * FROM b
         |  WHERE n_tokens >= 20 AND n_tokens <= 1000 AND dup_tok_frac <= 0.6),
-        |dedup AS (
-        |  SELECT MIN(doc_id) AS doc_id, ANY_VALUE(n_tokens) AS n_tokens
-        |  FROM gated GROUP BY text),
         |keepers AS (
-        |  SELECT d.doc_id, d.n_tokens, doc.source
-        |  FROM dedup d JOIN documents doc USING (doc_id)),
+        |  SELECT MIN(doc_id) AS doc_id, arg_min(source, doc_id) AS source,
+        |         ANY_VALUE(n_tokens) AS n_tokens
+        |  FROM gated GROUP BY text),
         |c AS (
         |  SELECT doc_id, source, n_tokens,
         |         SUM(n_tokens) OVER (PARTITION BY source

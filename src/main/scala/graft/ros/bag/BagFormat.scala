@@ -105,8 +105,12 @@ object BagFormat {
       s"corrupt bag: record header length $hlen out of range")
     val header = new Array[Byte](hlen); in.readFully(header)
     val dlen = readU32(in)
-    require(dlen >= 0 && dlen <= MaxDataLen,
-      s"corrupt bag: record data length $dlen out of range")
+    require(dlen >= 0, s"corrupt bag: negative record data length $dlen")
+    // not necessarily corrupt — a writer CAN be configured with >=1 GiB
+    // chunks — but allocating multi-GB on a length prefix is how a
+    // corrupt file turns into an OOM, so name the limit honestly
+    require(dlen <= MaxDataLen,
+      s"record data length $dlen exceeds the 1 GiB reader limit (BagFormat.MaxDataLen)")
     val data = new Array[Byte](dlen); in.readFully(data)
     Some(Record(parseHeader(header), data, 8L + hlen + dlen))
   }

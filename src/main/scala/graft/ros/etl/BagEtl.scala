@@ -204,6 +204,7 @@ object BagEtl {
         // CPU count and starves other users of the pool
         spark.sparkContext.setJobGroup(jobGroup, s"per-type $datatype",
           interruptOnCancel = true)
+        try {
         val tTable = System.nanoTime()
         val ddl = new StringBuilder
         val tableName = datatype.replace("/", "_")  // reference MessageTable.cpp:315
@@ -263,14 +264,19 @@ object BagEtl {
         if (timing) System.err.println(
           f"[etl-timing] table:$tableName%-16s ${(System.nanoTime() - tTable) / 1e9}%6.2fs")
         ddl.toString
+        // pooled EC thread: clear the thread-local group so later Spark
+        // work on this thread isn't attributed to a dead ETL group with
+        // interruptOnCancel it never asked for
+        } finally spark.sparkContext.clearJobGroup()
     } } }
     val ddl = new StringBuilder
     try
       Await.result(Future.sequence(typeDdl), Duration.Inf).foreach(ddl ++= _)
     catch { case e: Throwable =>
-      // fail fast AND stop the siblings — don't leave background jobs
-      // racing the caller's teardown or writing partial tables
-      spark.sparkContext.cancelJobGroup(jobGroup)
+      // fail fast AND stop the siblings — AndFutureJobs so siblings
+      // between jobs can't keep submitting against the dirs the finally
+      // below deletes
+      spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
       throw e
     } finally {
       // drop the temp staging dirs even on failure (file:// and remote)
