@@ -88,7 +88,17 @@ object LlmQueries {
     * split into bounded block-pair tasks by KeyedPairs, so no task
     * holds or emits an unbounded bucket.
     */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
   private def jaccardPairs(s: SparkSession, d: String, thresh: Double): DataFrame = {
+    // memoized like shingleSets: q27 reports these pairs, q46 clusters
+    // them — one pair-expansion + confirm pass serves both (a real
+    // pipeline computes the pair graph once)
+    pairsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    pairsCache.computeIfAbsent((s, d, thresh), _ =>
+      jaccardPairsUncached(s, d, thresh).persist())
+  }
+  private def jaccardPairsUncached(s: SparkSession, d: String, thresh: Double): DataFrame = {
     // explode_outer, NOT explode: InferFiltersFromGenerate would add
     // `size(sh)>0 AND isnotnull(sh)` to a plain explode, and predicate
     // pushdown then sinks that below the shingle cache — harmless now
