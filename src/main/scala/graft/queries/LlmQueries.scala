@@ -848,8 +848,8 @@ object LlmQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source, n_tokens,
-        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
-        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |  FROM b)
         |SELECT doc_id, source, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= 1000
@@ -923,9 +923,9 @@ object LlmQueries {
         |  FROM gated GROUP BY text),
         |c AS (
         |  SELECT doc_id, source, n_tokens,
-        |         SUM(n_tokens) OVER (PARTITION BY source
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY source
         |           ORDER BY (doc_id * 48271) % 2147483647, doc_id
-        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |  FROM keepers)
         |SELECT doc_id, source, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= 1000

@@ -28,6 +28,14 @@ for name, sql in sorted(oracle.items()):
         e, g = exp[c], got[c]
         if str(e.dtype).startswith('datetime') or str(g.dtype).startswith('datetime'):
             e = pd.to_datetime(e).astype('datetime64[ns]'); g = pd.to_datetime(g).astype('datetime64[ns]')
+        # the driver hashes values WITH their dtype: a DuckDB HUGEINT
+        # (pandas float64, e.g. raw integer SUM) vs a Spark BIGINT
+        # hashes "3.0" vs "3" -> mismatch even when == passes. Fail
+        # locally on int-vs-float dtype splits so the gate matches.
+        ek, gk = e.dtype.kind, g.dtype.kind
+        if {ek, gk} == {'i', 'f'} or {ek, gk} == {'u', 'f'}:
+            fails.append((name, f'col {c} dtype split: oracle={e.dtype} spark={g.dtype} (driver hash would mismatch; CAST the oracle column)'))
+            break
         try:
             eq = (e.isna() & g.isna()) | (e == g)
         except Exception:
