@@ -23,9 +23,10 @@ object AsOfJoin {
 
   /** Common event-time type both sides are cast TO (never a narrowing
     * cast of either side): identical types pass through; date widens to
-    * the other side's timestamp flavor; integral types widen to the
-    * larger. Anything else (e.g. long vs int would silently overflow,
-    * double vs timestamp is meaningless) fails loudly at plan time.
+    * the other side's timestamp flavor; integral pairs widen losslessly
+    * to the larger of the two; float widens to double. Only mixed
+    * numeric/temporal combinations (e.g. double vs timestamp — no
+    * lossless common type exists) fail loudly at plan time.
     */
   private[operators] def widerTsType(l: DataType, r: DataType): DataType = (l, r) match {
     case (a, b) if a == b => a

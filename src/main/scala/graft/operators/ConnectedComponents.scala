@@ -84,14 +84,32 @@ object ConnectedComponents {
   def componentsAuto(edges: DataFrame, srcCol: String, dstCol: String,
                      driverThreshold: Long = 1000000L,
                      maxIter: Int = 20): DataFrame = {
+    // the driver path works on Long ids; a lossy cast("long") on e.g.
+    // string/double ids would null them silently, so non-integral id
+    // types take the distributed path (which orders any comparable type)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    val idTypes = edges.select(col(srcCol), col(dstCol)).schema.map(_.dataType)
+    if (!idTypes.forall(integral.contains))
+      return components(edges, srcCol, dstCol, maxIter)
     val pairs = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
     if (pairs.count() > driverThreshold)
       return components(edges, srcCol, dstCol, maxIter)
     val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    // iterative find with path halving — a recursive find stack-overflows
+    // on the O(n)-deep chains an adversarial union order can build
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElseUpdate(x, x)
+      while (p != x) {
+        val gp = parent.getOrElseUpdate(p, p)
+        parent(x) = gp
+        x = gp
+        p = parent.getOrElseUpdate(x, x)
+      }
+      x
     }
     es.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))

@@ -42,13 +42,24 @@ object KMeans {
     for (_ <- 1 to iters) {
       val sumCols = (0 until dim).map(i =>
         sum(floor(element_at(col("__v"), i + 1).cast("double") * 1e6 + 0.5)
-          .cast("long")).as(s"s$i")) :+ count(lit(1)).as("__n")
+          .cast("long")).as(s"s$i")) :+ count(lit(1)).as("__n") :+
+        max(array_max(transform(col("__v"), x => abs(x.cast("double"))))).as("__mx")
       val updated = e.select(col(vecCol).as("__v"))
         .withColumn("__cell", nearest(col("__v"), cents))
         .groupBy(col("__cell")).agg(sumCols.head, sumCols.tail: _*)
         .collect()
         .map { r =>
           val n = r.getLong(dim + 1)
+          // the micro-quantized per-cell sum is exact ONLY while it fits
+          // a Long: n elements of magnitude <= mx sum to <= n*mx*1e6.
+          // Detect (not silently wrap) inputs outside that domain —
+          // embeddings are O(1)-magnitude, so a violation means the
+          // caller fed unnormalized data, not a tuning problem.
+          val mx = r.getDouble(dim + 2)
+          require(mx * 1e6 * n <= Long.MaxValue.toDouble * 0.99,
+            s"k-means centroid sum would overflow Long: cell of $n vectors " +
+              f"with max|x|=$mx%.3g exceeds the exact-integer domain " +
+              "(|x|*1e6*cellSize must stay below 2^63) — rescale the input")
           r.getInt(0) -> Array.tabulate(dim)(i =>
             (r.getLong(i + 1).toDouble / (1e6 * n)).toFloat)
         }.toMap

@@ -68,6 +68,19 @@ object LlmQueries {
     */
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The (session, dir) memo keys assume the parquet under `dir` is
+    * IMMUTABLE for the session's lifetime (true for the driver's
+    * testdata and for any sanely-versioned lake layout — new data means
+    * a new directory). If a caller rewrites a dir in place, it must
+    * call this to drop the stale persisted derivations.
+    */
+  def invalidateCaches(): Unit = {
+    shingleCache.values.forEach(df => { df.unpersist(); () })
+    shingleCache.clear()
+    pairsCache.values.forEach(df => { df.unpersist(); () })
+    pairsCache.clear()
+  }
   private def shingleSets(s: SparkSession, d: String): DataFrame = {
     // entries for stopped sessions are dead weight (their persisted
     // blocks are gone with the context) — sweep them so a long-lived

@@ -58,4 +58,27 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(got.values.toSet == Set(0L))
     assert(got.keys.toSet == (0L to 15L).toSet)
   }
+
+  test("driver path survives an adversarial 30k-deep union chain") {
+    // edges (i, i+1) applied in DECREASING i order build a parent chain
+    // of depth n on the driver union-find; a recursive find() would
+    // StackOverflowError in the final labeling pass — the iterative
+    // path-halving find must not
+    val n = 30000L
+    val edges = (n - 1 to 0L by -1).map(i => (i, i + 1))
+    val got = ConnectedComponents
+      .componentsAuto(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n.toInt + 1 && got.values.toSet == Set(0L))
+  }
+
+  test("non-integral id types route to the distributed path, not a lossy cast") {
+    // string ids would cast("long") to null on the driver path; the
+    // type guard must send them through the distributed rounds instead
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+    val got = ConnectedComponents
+      .componentsAuto(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
 }
