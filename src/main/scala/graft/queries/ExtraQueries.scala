@@ -86,6 +86,82 @@ object ExtraQueries {
           col("ka").isNotNull.as("is_rich"),
           col("kb").isNotNull.as("is_building"))
         .orderBy(col("k"))
+    }),
+
+    // Q55 — gap-based sessionization: a new session starts when a user
+    // is idle > 12h (the events stream's median inter-event gap is
+    // ~7h, p90 ~25h, so the cut is non-vacuous both ways). The classic
+    // clickstream/robot-log operator: lag → boundary flag → running
+    // session number → per-session aggregation. Scale shape: ONE
+    // shuffle — all three windows and the final groupBy share the
+    // user_id hash partitioning, so the lag, the cumulative sum and
+    // the aggregation pipeline within a single exchange. Session skew
+    // = user skew; a hot user is still one partition's worth of rows,
+    // never a cross-partition structure.
+    "q55_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = 43200L * 1000000L // 12h in micros
+      events(s, d)
+        .withColumn("prev_us", lag(us(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || us(col("ts")) - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          rk(sum(col("value").cast("decimal(28,10)")).cast("double"), 4).as("sum_value"))
+        .orderBy(col("user_id"), col("session_no"))
+    }),
+
+    // Q56 — per-group embedding centroids: the mean vector of each
+    // lang's documents — the domain-centroid primitive behind corpus
+    // clustering, mixture balancing, and SemDeDup-style semantic
+    // grouping. Output is (lang, dim, centroid) rows, not arrays: the
+    // long layout keeps the oracle compare exact and the Spark plan a
+    // plain map-combined agg. Determinism: elements are micro-quantized
+    // to integers BEFORE summation (same trick as KMeans/q51) so the
+    // per-cell sum is exact long arithmetic in any shuffle order.
+    // Scale shape: broadcast dim join (doc→lang), posexplode (64×
+    // rows, map-side), one partial-agg shuffle keyed (lang, dim) —
+    // cardinality k×64, trivially small whatever the corpus size.
+    "q56_group_centroids" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"))
+      embeddings(s, d)
+        .join(broadcast(docs), col("vec_id") === col("doc_id"))
+        .select(col("lang"), posexplode(col("embedding")))
+        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+        .groupBy(col("lang"), col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")).as("sx"))
+        .select(col("lang"), col("dim"),
+          rk(col("sx").cast("double") / (col("n") * lit(1e6)), 6).as("centroid"))
+        .orderBy(col("lang"), col("dim"))
+    }),
+
+    // Q57 — inverted index: per token, document frequency and a BOUNDED
+    // posting-list sample (the 8 lowest doc_ids). The search/dedup-
+    // support artifact over a corpus. Hot tokens ("the") are the skew
+    // case: a naive collect_list holds the full posting list in one
+    // aggregation buffer — unbounded. Here the sample comes from
+    // row_number <= 8 within each token, so no buffer exceeds 8
+    // entries regardless of token frequency, and df is a plain count.
+    // The window and the groupBy share the token hash partitioning:
+    // one distinct shuffle + one token shuffle, both bounded.
+    "q57_inverted_index" -> ((s, d) => {
+      val td = spread(documents(s, d), col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .distinct()
+      val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+      td.withColumn("rn", row_number().over(w))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(
+            sort_array(collect_list(when(col("rn") <= 8, col("doc_id")))),
+            _.cast("string")), ",").as("posting_sample"))
+        .orderBy(col("df").desc, col("token")).limit(100)
     })
   )
 
@@ -127,7 +203,63 @@ object ExtraQueries {
         |FROM (SELECT c_custkey AS ka FROM customer WHERE c_acctbal > 9000) a
         |FULL OUTER JOIN (SELECT c_custkey AS kb FROM customer
         |                 WHERE c_mktsegment = 'BUILDING') b ON a.ka = b.kb
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+    "q55_sessionize" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |l AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         LAG(epoch_us(ts), 1) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM ev),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |                 OR epoch_us(ts) - prev_us > 43200000000 THEN 1
+        |            ELSE 0 END AS new_sess
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_no
+        |  FROM f)
+        |SELECT user_id, session_no, COUNT(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+        |         * 10000.0 + 0.5) / 10000.0 AS sum_value
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+    "q56_group_centroids" ->
+      """WITH j AS (
+        |  SELECT d.lang, e.embedding
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |x AS (
+        |  SELECT lang,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |         unnest(embedding) AS x
+        |  FROM j),
+        |g AS (
+        |  SELECT lang, dim, COUNT(*) AS n,
+        |         SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS sx
+        |  FROM x GROUP BY lang, dim)
+        |SELECT lang, dim,
+        |       FLOOR(CAST(sx AS DOUBLE) / (n * 1000000.0) * 1000000.0 + 0.5)
+        |         / 1000000.0 AS centroid
+        |FROM g ORDER BY lang, dim""".stripMargin,
+    "q57_inverted_index" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '')) AS token
+        |  FROM documents),
+        |td AS (SELECT DISTINCT doc_id, token FROM t0),
+        |r AS (
+        |  SELECT token, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |  FROM td)
+        |SELECT token, COUNT(*) AS df,
+        |       array_to_string(list_sort(list(doc_id) FILTER (rn <= 8)), ',')
+        |         AS posting_sample
+        |FROM r GROUP BY token
+        |ORDER BY df DESC, token LIMIT 100""".stripMargin
     // q40: no oracle (sketch-based)
   )
 }
