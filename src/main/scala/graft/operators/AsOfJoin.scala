@@ -75,4 +75,20 @@ object AsOfJoin {
       .filter(col("__tag") === 1)
       .select(rightCols.map(col) ++ valueCols.map(c => col(s"__lv.$c").as(c)): _*)
   }
+
+  /** The custom-operator form of the same join: a first-class
+    * AsOfJoinPlan logical node planned to a sort-merge AsOfJoinExec
+    * (SURVEY.md §7.3 ladder (c); see
+    * org.apache.spark.sql.graftplans.AsOfJoinPlan for semantics and the
+    * comparison with the union+window encoding above). Same arguments,
+    * same output columns. Differences: null KEYS never match here (SQL
+    * comparison semantics), whereas the window form groups null keys
+    * into their own partition and matches within it.
+    */
+  def native(left: DataFrame, right: DataFrame, key: String,
+             leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val tsType = widerTsType(left.schema(leftTs).dataType, right.schema(rightTs).dataType)
+    org.apache.spark.sql.graftplans.AsOfJoinApi.asof(
+      left, right, key, leftTs, rightTs, valueCols, tsType)
+  }
 }

@@ -162,6 +162,27 @@ object ExtraQueries {
             sort_array(collect_list(when(col("rn") <= 8, col("doc_id")))),
             _.cast("string")), ",").as("posting_sample"))
         .orderBy(col("df").desc, col("token")).limit(100)
+    }),
+
+    // Q58 — the as-of join through the CUSTOM OPERATOR stack
+    // (AsOfJoinPlan logical node → AsOfJoinStrategy → sort-merge
+    // AsOfJoinExec; SURVEY.md §7.3 ladder (c)) — same semantics as
+    // q22's union+window encoding, checked against DuckDB's native
+    // ASOF JOIN. One shuffle per side, O(1) merge state, no window
+    // buffers.
+    "q58_asof_native" -> ((s, d) => {
+      val e = events(s, d)
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("event_id"))
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("matched_event_id"), col("ts").as("matched_ts"))
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").as("user_id"), col("o_orderdate"))
+      graft.operators.AsOfJoin
+        .native(e, o, "user_id", "ts", "o_orderdate",
+          Seq("matched_event_id", "matched_ts"))
+        .select(col("o_orderkey"), col("matched_event_id"),
+          ntz(col("matched_ts")).as("matched_ts"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -259,7 +280,16 @@ object ExtraQueries {
         |       array_to_string(list_sort(list(doc_id) FILTER (rn <= 8)), ',')
         |         AS posting_sample
         |FROM r GROUP BY token
-        |ORDER BY df DESC, token LIMIT 100""".stripMargin
+        |ORDER BY df DESC, token LIMIT 100""".stripMargin,
+    "q58_asof_native" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |e AS (
+        |  SELECT user_id, ts, MAX(event_id) AS event_id
+        |  FROM ev GROUP BY user_id, ts)
+        |SELECT o_orderkey, e.event_id AS matched_event_id, e.ts AS matched_ts
+        |FROM orders
+        |ASOF LEFT JOIN e ON o_custkey = e.user_id AND e.ts <= o_orderdate
+        |ORDER BY o_orderkey""".stripMargin
     // q40: no oracle (sketch-based)
   )
 }

@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * are bit-identical to both, so it is safe inside oracle-checked
   * queries.
   *
+  * Null semantics MATCH the HOF form exactly (which is what makes the
+  * RewriteDotProduct optimizer rule a sound substitution): zip_with
+  * pads a shorter array with nulls and the fold then yields NULL, so a
+  * length mismatch or a null element returns NULL here too — never a
+  * silently truncated product.
+  *
   * Lives under org.apache.spark.sql (the standard extension-library
   * pattern) because Column<->Expression bridging and AbstractDataType
   * are private[sql].
@@ -32,14 +38,23 @@ case class DotProduct(left: Expression, right: Expression)
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // can return null on non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -51,13 +66,25 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // per-element null checks only when the static schema says null
+      // elements are possible — the containsNull=false hot path is a
+      // branch-free multiply-add loop
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -84,14 +111,19 @@ object VectorFunctions {
 
 /** SparkSessionExtensions entry point: set
   * `spark.sql.extensions=org.apache.spark.sql.graftfns.GraftExtensions`
-  * and `dot_product` is available in SQL on every session.
+  * and every session gets `dot_product` in SQL plus the
+  * [[RewriteDotProduct]] optimizer rule (HOF dot-product folds are
+  * silently upgraded to the codegen'd expression).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getCanonicalName, "dot_product"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftplans.AsOfJoinStrategy)
+  }
 }

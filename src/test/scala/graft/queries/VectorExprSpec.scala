@@ -42,6 +42,55 @@ class VectorExprSpec extends SparkTestBase {
     assert(r.head.getDouble(0) == 32.0)
   }
 
+  test("RewriteDotProduct upgrades the HOF fold to the codegen expression") {
+    import org.apache.spark.sql.graftfns.{DotProduct, RewriteDotProduct}
+    val interp = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ RewriteDotProduct
+    try {
+      val df = vecDf.select(interp.as("d"))
+      val rewritten = df.queryExecution.optimizedPlan.expressions
+        .flatMap(_.collect { case e: DotProduct => e })
+      assert(rewritten.nonEmpty, "rule did not fire on the canonical HOF fold")
+      // bit-identical to the native expression
+      val native = vecDf.select(VectorFunctions.dot(col("a"), col("b")).as("d"))
+        .collect().map(_.getDouble(0)).toSeq
+      assert(df.collect().map(_.getDouble(0)).toSeq == native)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("RewriteDotProduct leaves float-precision products alone") {
+    import org.apache.spark.sql.graftfns.{DotProduct, RewriteDotProduct}
+    // x * y on float lambda vars rounds each product to FLOAT — not the
+    // double-product semantics DotProduct implements, so no rewrite
+    val floatProd = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ RewriteDotProduct
+    try {
+      val plan = vecDf.select(floatProd.as("d")).queryExecution.optimizedPlan
+      assert(plan.expressions.flatMap(_.collect { case e: DotProduct => e }).isEmpty)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("length mismatch and null elements yield NULL in both forms") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 1.0f)),       // ragged
+      Row(Seq(1.0f, null, 3.0f), Seq(1.0f, 1.0f, 1.0f)), // null element
+      Row(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))), schema)   // clean
+    val interp = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val out = df.select(VectorFunctions.dot(col("a"), col("b")).as("native"),
+      interp.as("interp")).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+    assert(out(2).getDouble(0) == 11.0 && out(2).getDouble(1) == 11.0)
+  }
+
   test("RosbagTables.connections reads the dimension") {
     val bag = graft.ros.etl.BagEtlMain.demoBag()
     val c = graft.ros.bag.RosbagTables.connections(spark, bag)
