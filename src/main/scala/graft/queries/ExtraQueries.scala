@@ -151,8 +151,8 @@ object ExtraQueries {
     // The window and the groupBy share the token hash partitioning:
     // one distinct shuffle + one token shuffle, both bounded.
     "q57_inverted_index" -> ((s, d) => {
-      val td = spread(documents(s, d), col("doc_id"))
-        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val td = LlmQueries.docToks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
         .distinct()
       val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
       td.withColumn("rn", row_number().over(w))

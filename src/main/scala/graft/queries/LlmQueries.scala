@@ -29,11 +29,14 @@ object LlmQueries {
     * repartition — see the plan note in `jaccardPairs`).
     */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
+    // native codegen'd shingling (org.apache.spark.sql.graftfns
+    // .WordShingles) — bit-equal to the interpreted
+    // array_distinct(transform(sequence(...), concat_ws)) chain it
+    // replaced (TextExprSpec proves it on random inputs, including the
+    // null corners); coalesce keeps the HOF wrapper's null semantics
+    // (null token array -> EMPTY shingle set, not null)
+    coalesce(org.apache.spark.sql.graftfns.TextFunctions.shingles(toks, n),
+      array().cast("array<string>"))
 
   /** Left-to-right dot product — identical op order (hence bit-identical
     * results) to DuckDB's list_reduce oracle. Backed by the native
@@ -46,10 +49,23 @@ object LlmQueries {
 
   def l2(a: Column): Column = sqrt(dotd(a, a))
 
-  /** documents → (doc_id, toks) with non-empty token arrays. */
-  private def docToks(s: SparkSession, d: String): DataFrame =
-    spread(documents(s, d), col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+  /** documents → (doc_id, toks). Memoized per (session, dir) like the
+    * shingle sets one level up: the whitespace tokenization is the one
+    * interpreted-HOF pass EVERY text query starts from (token top-k,
+    * TF-IDF, unigram LM, quality, fingerprints, the shingle family via
+    * shingleSets) — one persisted derivation serves them all, exactly
+    * as a real pipeline stages its tokenized corpus once. Same
+    * immutable-dir assumption as the other caches (invalidateCaches).
+    */
+  private val docToksCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def docToks(s: SparkSession, d: String): DataFrame = {
+    docToksCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    docToksCache.computeIfAbsent((s, d), _ =>
+      spread(documents(s, d), col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .persist())
+  }
 
   /** Per-task member cap for keyed pair expansion (see KeyedPairs):
     * buckets above this split into block pairs. High enough that test
@@ -80,6 +96,8 @@ object LlmQueries {
     shingleCache.clear()
     pairsCache.values.forEach(df => { df.unpersist(); () })
     pairsCache.clear()
+    docToksCache.values.forEach(df => { df.unpersist(); () })
+    docToksCache.clear()
   }
   private def shingleSets(s: SparkSession, d: String): DataFrame = {
     // entries for stopped sessions are dead weight (their persisted
