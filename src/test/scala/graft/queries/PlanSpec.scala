@@ -128,6 +128,45 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"shortlist/top-k not TakeOrdered:\n$p")
   }
 
+  test("q55: sessionize shares ONE hash exchange across lag, cumsum, and agg") {
+    val p = plan("q55_sessionize")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected the user_id exchange to serve both windows AND the groupBy, got $hashExchanges:\n$p")
+  }
+
+  test("q56: dim join is broadcast by POLICY; centroid agg is one (lang,dim) exchange") {
+    val df = graft.SparkEntry.queries("q56_group_centroids")(spark, sf)
+    // broadcast policy asserted on the ANALYZED plan (AQE broadcasts
+    // tiny sides regardless at test scale — see verify SKILL gotchas)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.linesIterator.count(_.contains("ResolvedHint")) == 1,
+      s"doc->lang dimension should carry a broadcast hint:\n$analyzed")
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"centroid agg should shuffle once on (lang, dim):\n$p")
+  }
+
+  test("q57: window and groupBy share the token partitioning; top-k is TakeOrdered") {
+    val p = plan("q57_inverted_index")
+    // (doc_id, token) distinct + token window; the final groupBy(token)
+    // must REUSE the window's exchange, not add a third. Count only
+    // planner-inserted exchanges: the cached docToks lineage printout
+    // contains its own REPARTITION_BY_NUM spread.
+    val hashExchanges = "ENSURE_REQUIREMENTS".r.findAllIn(p).size
+    assert(hashExchanges == 2,
+      s"expected distinct + token exchanges only, got $hashExchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"df top-100 not TakeOrdered:\n$p")
+  }
+
+  test("q58: custom as-of exec in the plan — no window, no standard join") {
+    val p = plan("q58_asof_native")
+    assert(p.contains("AsOfJoin"), s"custom exec missing:\n$p")
+    assert(!p.contains("Window"), s"native as-of must not plan a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"native as-of must not plan a standard join:\n$p")
+  }
+
   test("rosbag source prunes whole chunks from time filters (chunk-info index)") {
     val path = graft.ros.etl.BagEtlMain.demoBag()   // 100 msgs over 50s, chunks of 16
     val all = spark.read.format("rosbag").load(path)
