@@ -93,13 +93,21 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  /** Register dot_product for SQL use on a live session (tests,
-    * driver-created sessions). For builder-time wiring use
+  /** Register the native functions for SQL use on a live session
+    * (tests, driver-created sessions). For builder-time wiring use
     * `spark.sql.extensions=org.apache.spark.sql.graftfns.GraftExtensions`.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0),
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
+          case other => throw new IllegalArgumentException(
+            s"word_shingles(toks, n): n must be an integer literal, got $other")
+        }), "built-in")
+  }
 
   /** Column API for the native dot product (float arrays, double out). */
   def dot(a: Column, b: Column): Column =
@@ -123,6 +131,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[DotProduct].getCanonicalName, "dot_product"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordShingles].getCanonicalName, "word_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles(exprs(0), exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
+          case other => throw new IllegalArgumentException(
+            s"word_shingles(toks, n): n must be an integer literal, got $other")
+        })))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftplans.AsOfJoinStrategy)
   }

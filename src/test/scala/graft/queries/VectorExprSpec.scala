@@ -35,11 +35,14 @@ class VectorExprSpec extends SparkTestBase {
     assert(out(0).isNullAt(0) && out(1).getDouble(0) == 2.0)
   }
 
-  test("dot_product registered for SQL") {
+  test("dot_product and word_shingles registered for SQL") {
     org.apache.spark.sql.graftfns.VectorFunctions.register(spark)
     vecDf.createOrReplaceTempView("vecs")
     val r = spark.sql("SELECT dot_product(a, b) AS d FROM vecs ORDER BY d DESC").collect()
     assert(r.head.getDouble(0) == 32.0)
+    val sh = spark.sql(
+      "SELECT word_shingles(array('a','b','c'), 2) AS s").head().getSeq[String](0)
+    assert(sh == Seq("a b", "b c"))
   }
 
   test("RewriteDotProduct upgrades the HOF fold to the codegen expression") {
