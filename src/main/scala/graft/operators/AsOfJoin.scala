@@ -37,7 +37,7 @@ object AsOfJoin {
     case (FloatType, DoubleType) | (DoubleType, FloatType) =>
       DoubleType  // float -> double is exact; numeric-seconds streams
     case (a, b) => throw new IllegalArgumentException(
-      s"as-of timestamp types must match or widen losslessly; got $a vs $b")
+      s"as-of join column types must match or widen losslessly; got $a vs $b")
   }
 
   /** @param left     the "quotes"/sensor stream providing values
@@ -88,7 +88,11 @@ object AsOfJoin {
   def native(left: DataFrame, right: DataFrame, key: String,
              leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val tsType = widerTsType(left.schema(leftTs).dataType, right.schema(rightTs).dataType)
+    // keys get the same lossless-widen-or-fail treatment as timestamps:
+    // an int-vs-long key pair must hash and compare in ONE type or
+    // equal keys land in different shuffle partitions
+    val keyType = widerTsType(left.schema(key).dataType, right.schema(key).dataType)
     org.apache.spark.sql.graftplans.AsOfJoinApi.asof(
-      left, right, key, leftTs, rightTs, valueCols, tsType)
+      left, right, key, leftTs, rightTs, valueCols, tsType, keyType)
   }
 }

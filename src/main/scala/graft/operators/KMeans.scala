@@ -39,27 +39,33 @@ object KMeans {
     }
     require(cents.nonEmpty, "cannot train on an empty table")
     val dim = cents.head.length
+    // loop-invariant overflow guard, computed ONCE (not per iteration —
+    // the interpreted per-element abs pass is the expensive part): the
+    // micro-quantized per-cell sum is exact only while it fits a Long
+    // (n elements of magnitude <= mx sum to <= n*mx*1e6). Detect, not
+    // silently wrap — embeddings are O(1)-magnitude, so a violation
+    // means unnormalized input, not a tuning problem. Conservative
+    // bound: global max|x| times the TOTAL row count caps every cell.
+    if (iters > 0) {
+      val r = e.agg(
+        max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))).as("mx"),
+        count(lit(1)).as("n")).head()
+      val (mx, n) = (r.getDouble(0), r.getLong(1))
+      require(mx * 1e6 * n <= Long.MaxValue.toDouble * 0.99,
+        s"k-means centroid sum could overflow Long: $n vectors with " +
+          f"max|x|=$mx%.3g exceed the exact-integer domain " +
+          "(|x|*1e6*rows must stay below 2^63) — rescale the input")
+    }
     for (_ <- 1 to iters) {
       val sumCols = (0 until dim).map(i =>
         sum(floor(element_at(col("__v"), i + 1).cast("double") * 1e6 + 0.5)
-          .cast("long")).as(s"s$i")) :+ count(lit(1)).as("__n") :+
-        max(array_max(transform(col("__v"), x => abs(x.cast("double"))))).as("__mx")
+          .cast("long")).as(s"s$i")) :+ count(lit(1)).as("__n")
       val updated = e.select(col(vecCol).as("__v"))
         .withColumn("__cell", nearest(col("__v"), cents))
         .groupBy(col("__cell")).agg(sumCols.head, sumCols.tail: _*)
         .collect()
         .map { r =>
           val n = r.getLong(dim + 1)
-          // the micro-quantized per-cell sum is exact ONLY while it fits
-          // a Long: n elements of magnitude <= mx sum to <= n*mx*1e6.
-          // Detect (not silently wrap) inputs outside that domain —
-          // embeddings are O(1)-magnitude, so a violation means the
-          // caller fed unnormalized data, not a tuning problem.
-          val mx = r.getDouble(dim + 2)
-          require(mx * 1e6 * n <= Long.MaxValue.toDouble * 0.99,
-            s"k-means centroid sum would overflow Long: cell of $n vectors " +
-              f"with max|x|=$mx%.3g exceeds the exact-integer domain " +
-              "(|x|*1e6*cellSize must stay below 2^63) — rescale the input")
           r.getInt(0) -> Array.tabulate(dim)(i =>
             (r.getLong(i + 1).toDouble / (1e6 * n)).toFloat)
         }.toMap

@@ -101,13 +101,19 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", exprs => WordShingles(exprs(0),
-        exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
-          case other => throw new IllegalArgumentException(
-            s"word_shingles(toks, n): n must be an integer literal, got $other")
-        }), "built-in")
+      "word_shingles", wordShinglesBuilder, "built-in")
   }
+
+  /** Shared SQL builder (registry + extensions): n must be a literal —
+    * the shingle width shapes the expression, it cannot vary per row.
+    */
+  private[graftfns] def wordShinglesBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): WordShingles =
+    WordShingles(exprs(0), exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
+      case other => throw new IllegalArgumentException(
+        s"word_shingles(toks, n): n must be an integer literal, got $other")
+    })
 
   /** Column API for the native dot product (float arrays, double out). */
   def dot(a: Column, b: Column): Column =
@@ -136,11 +142,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WordShingles].getCanonicalName, "word_shingles"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        WordShingles(exprs(0), exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
-          case other => throw new IllegalArgumentException(
-            s"word_shingles(toks, n): n must be an integer literal, got $other")
-        })))
+        VectorFunctions.wordShinglesBuilder(exprs)))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftplans.AsOfJoinStrategy)
   }

@@ -90,7 +90,12 @@ case class AsOfJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
 
-  // rows stream out in the right child's sorted order
+  // rows stream 1:1 out of the right child's partitions, so both its
+  // partitioning and the required (key, ts) sort survive — declaring
+  // them lets downstream same-key aggregations/windows/merge-joins
+  // skip their exchange AND their sort
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    right.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending))
 

@@ -92,6 +92,38 @@ class AsOfJoinExecSpec extends SparkTestBase
     assert(!out.exists(_._3.exists(v => v == "null-ts" || v == "null-key")))
   }
 
+  test("mismatched-but-joinable KEY types widen — int vs long keys still match") {
+    // regression: without a common key type, hash(5:Int) != hash(5L)
+    // puts equal keys in different partitions -> silent null matches
+    val left = Seq((1, 10L, "a"), (2, 5L, "b")).toDF("k", "ts", "v") // k: Int
+    val right = Seq((1L, 20L), (2L, 20L), (3L, 20L)).toDF("k", "ts") // k: Long
+    val out = AsOfJoin.native(left, right, "k", "ts", "ts", Seq("v"))
+      .orderBy("k").collect().map(r => Option(r.getString(2)).orNull)
+    assert(out.toSeq == Seq("a", "b", null))
+    // and a lossy key mix still fails loudly
+    val bad = Seq(("x", 1L, "v")).toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.native(bad, right.select(col("k").cast("double").as("k"), col("ts")),
+        "k", "ts", "ts", Seq("v"))
+    }
+    assert(e.getMessage.contains("widen"))
+  }
+
+  test("downstream same-key aggregation reuses the exec's partitioning (no 3rd exchange)") {
+    val left = (0 until 100).map(i => (i.toLong % 7, i.toLong, i * 1.0))
+      .toDF("k", "ts", "x")
+    val right = (0 until 100).map(i => (i.toLong % 9, i.toLong)).toDF("k", "ts")
+    val agg = AsOfJoin.native(left, right, "k", "ts", "ts", Seq("x"))
+      .groupBy(col("k")).agg(sum(col("x")).as("sx"))
+    agg.collect()
+    val shuffles = collect(agg.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.size == 2,
+      s"expected only the two as-of input shuffles; groupBy(k) must reuse the " +
+        s"exec's output partitioning, got ${shuffles.size}:\n${agg.queryExecution.executedPlan}")
+  }
+
   test("exec declares right-side (key, ts) output ordering and clustering") {
     val left = (0 until 50).map(i => (i.toLong % 5, i.toLong, i)).toDF("k", "ts", "x")
     val right = (0 until 50).map(i => (i.toLong % 5, (i * 7 % 50).toLong)).toDF("k", "ts")
