@@ -138,4 +138,36 @@ class StreamingOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.toSeq == Seq((100L, 2L), (1000L, 1L)))
   }
+
+  test("streaming session_window ≡ batch q55 sessionization on testdata (12h gap)") {
+    // the streaming and batch session operators must agree on what a
+    // session IS. Boundary note: session_window starts a new session at
+    // gap >= 12h, q55's lag-flag at gap > 12h — identical unless a gap
+    // lands on exactly 43200.000000s, which the testdata's microsecond
+    // timestamps never do (verified against the corpus).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.queries.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .collect().toSeq
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    // far-future watermark pusher closes every real session
+    mem.addData(Ev(-1L, new Timestamp(evs.map(_.ts.getTime).max + 400L * 24 * 3600 * 1000),
+      -1L, "pusher", 0.0))
+    val out = sessionCounts(mem.toDF(), "12 hours", "1 second")
+    runBatches(out.writeStream.format("memory").queryName("sess12h").outputMode("append"))
+    val streaming = spark.table("sess12h").filter(col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = graft.SparkEntry.queries("q55_sessionize")(spark, sf)
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streaming.nonEmpty && streaming == batch,
+      s"streaming sessions (${streaming.size}) != batch sessions (${batch.size})")
+  }
 }
