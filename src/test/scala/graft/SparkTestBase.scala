@@ -29,6 +29,7 @@ object SparkTestBase {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graftfns.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // managed tables (BucketedLayoutSpec) go to a temp warehouse,
       // not ./spark-warehouse inside the repo; deleted on JVM exit so
