@@ -93,7 +93,10 @@ object ConnectedComponents {
     val idTypes = edges.select(col(srcCol), col(dstCol)).schema.map(_.dataType)
     if (!idTypes.forall(integral.contains))
       return components(edges, srcCol, dstCol, maxIter)
+    // drop null-id edges up front: the distributed path drops them too
+    // (null =!= x is null → filtered), and Row.getLong would NPE below
     val pairs = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
     if (pairs.count() > driverThreshold)
       return components(edges, srcCol, dstCol, maxIter)
     val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))

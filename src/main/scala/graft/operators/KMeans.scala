@@ -50,24 +50,36 @@ object KMeans {
       val r = e.agg(
         max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))).as("mx"),
         count(lit(1)).as("n")).head()
-      val (mx, n) = (r.getDouble(0), r.getLong(1))
-      require(mx * 1e6 * n <= Long.MaxValue.toDouble * 0.99,
-        s"k-means centroid sum could overflow Long: $n vectors with " +
-          f"max|x|=$mx%.3g exceed the exact-integer domain " +
-          "(|x|*1e6*rows must stay below 2^63) — rescale the input")
+      // max() is null when there are no rows, or every vector is
+      // null/empty — nothing to sum, so nothing can overflow.
+      if (!r.isNullAt(0)) {
+        val (mx, n) = (r.getDouble(0), r.getLong(1))
+        require(mx * 1e6 * n <= Long.MaxValue.toDouble * 0.99,
+          s"k-means centroid sum could overflow Long: $n vectors with " +
+            f"max|x|=$mx%.3g exceed the exact-integer domain " +
+            "(|x|*1e6*rows must stay below 2^63) — rescale the input")
+      }
     }
     for (_ <- 1 to iters) {
+      // try_element_at: null (not an ANSI error) on empty/short vectors —
+      // the null-sum check below keeps those cells' previous centroids
       val sumCols = (0 until dim).map(i =>
-        sum(floor(element_at(col("__v"), i + 1).cast("double") * 1e6 + 0.5)
+        sum(floor(try_element_at(col("__v"), lit(i + 1)).cast("double") * 1e6 + 0.5)
           .cast("long")).as(s"s$i")) :+ count(lit(1)).as("__n")
       val updated = e.select(col(vecCol).as("__v"))
         .withColumn("__cell", nearest(col("__v"), cents))
         .groupBy(col("__cell")).agg(sumCols.head, sumCols.tail: _*)
         .collect()
-        .map { r =>
-          val n = r.getLong(dim + 1)
-          r.getInt(0) -> Array.tabulate(dim)(i =>
-            (r.getLong(i + 1).toDouble / (1e6 * n)).toFloat)
+        .flatMap { r =>
+          // a sum is null when every vector in the cell is empty/null at
+          // that position — treat like an empty cell (keep the previous
+          // centroid) instead of NPE-ing on Row.getLong
+          if ((1 to dim).exists(r.isNullAt)) None
+          else {
+            val n = r.getLong(dim + 1)
+            Some(r.getInt(0) -> Array.tabulate(dim)(i =>
+              (r.getLong(i + 1).toDouble / (1e6 * n)).toFloat))
+          }
         }.toMap
       cents = cents.zipWithIndex.map { case (c, j) => updated.getOrElse(j, c) }
     }

@@ -34,6 +34,14 @@ object AsOfJoinApi {
            tsType: DataType, keyType: DataType): DataFrame = {
     require(valueCols.nonEmpty && valueCols.distinct == valueCols,
       s"valueCols must be non-empty and distinct, got $valueCols")
+    // every working name is reserved on BOTH sides: the final
+    // drop(hidden) removes ALL columns of that name, so a valueCol
+    // named __asof_rk would silently vanish from the result
+    val reserved = Seq("__asof_lk", "__asof_ts", "__asof_rk", "__asof_rts")
+    valueCols.foreach { v =>
+      require(!reserved.contains(v),
+        s"valueCol '$v' collides with a reserved as-of working name ($reserved)")
+    }
     val spark = left.sparkSession
     ensureStrategy(spark)
     val resolver = spark.sessionState.analyzer.resolver
@@ -76,7 +84,13 @@ object AsOfJoinApi {
     * wiring: `spark.sql.extensions=...GraftExtensions`).
     */
   def ensureStrategy(s: SparkSession): Unit = synchronized {
-    if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
+    // the strategy may already be live via GraftExtensions
+    // (injectPlannerStrategy) — check the PLANNER's effective strategy
+    // list, not just extraStrategies, so the recommended extension
+    // wiring doesn't accumulate a duplicate per asof() call
+    val live = s.sessionState.planner.strategies.contains(AsOfJoinStrategy) ||
+      s.experimental.extraStrategies.contains(AsOfJoinStrategy)
+    if (!live)
       s.experimental.extraStrategies = s.experimental.extraStrategies :+ AsOfJoinStrategy
   }
 }

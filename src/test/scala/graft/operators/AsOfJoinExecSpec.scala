@@ -109,6 +109,33 @@ class AsOfJoinExecSpec extends SparkTestBase
     assert(e.getMessage.contains("widen"))
   }
 
+  test("reserved working names are rejected on valueCols, not silently dropped") {
+    // a left valueCol named like a hidden working column would be
+    // removed by the final drop(hidden) — must fail loudly instead
+    val left = Seq((1, 10L, "a")).toDF("k", "ts", "__asof_rk") // k: Int
+    val right = Seq((1L, 5L)).toDF("k", "ts")                  // k: Long -> needs cast
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.native(left, right, "k", "ts", "ts", Seq("__asof_rk"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("ensureStrategy is idempotent when the extension already injected it") {
+    // GraftExtensions wires AsOfJoinStrategy via injectPlannerStrategy;
+    // repeated asof() calls must not accumulate duplicates in
+    // experimental.extraStrategies
+    val left = Seq((1L, 10L, "a")).toDF("k", "ts", "v")
+    val right = Seq((1L, 20L)).toDF("k", "ts")
+    val before = spark.experimental.extraStrategies.count(_ ==
+      org.apache.spark.sql.graftplans.AsOfJoinStrategy)
+    AsOfJoin.native(left, right, "k", "ts", "ts", Seq("v")).collect()
+    AsOfJoin.native(left, right, "k", "ts", "ts", Seq("v")).collect()
+    val after = spark.experimental.extraStrategies.count(_ ==
+      org.apache.spark.sql.graftplans.AsOfJoinStrategy)
+    assert(after == before,
+      s"extraStrategies grew $before -> $after despite the extension wiring")
+  }
+
   test("downstream same-key aggregation reuses the exec's partitioning (no 3rd exchange)") {
     val left = (0 until 100).map(i => (i.toLong % 7, i.toLong, i * 1.0))
       .toDF("k", "ts", "x")

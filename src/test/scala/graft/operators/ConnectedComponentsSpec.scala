@@ -72,6 +72,21 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(got.size == n.toInt + 1 && got.values.toSet == Set(0L))
   }
 
+  test("null-id edges are dropped identically on both routing paths") {
+    // the distributed path drops null-id edges via a =!= b null
+    // semantics; the driver path must filter them too, not NPE in
+    // Row.getLong
+    val edges = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 3L), (null, 5L), (6L, null), (null, null), (8L, 9L))
+      .toDF("src", "dst")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L)
+    for (thresh <- Seq(0L, 1000000L)) {
+      val got = ConnectedComponents.componentsAuto(edges, "src", "dst", thresh)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"thresh=$thresh")
+    }
+  }
+
   test("non-integral id types route to the distributed path, not a lossy cast") {
     // string ids would cast("long") to null on the driver path; the
     // type guard must send them through the distributed rounds instead
