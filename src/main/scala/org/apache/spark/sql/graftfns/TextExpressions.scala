@@ -86,8 +86,111 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Native codegen'd 64-bit SimHash over a token array: dedupe tokens
+  * (array_distinct semantics — value equality, nulls skipped), hash
+  * each distinct token with xxhash64 (seed 42, the engine default),
+  * count set bits per position, emit bit b iff strictly more than half
+  * the tokens have it set (2*S_b > N — ties break to 0).
+  *
+  * Bit-equal to the exploded derivation it replaces
+  * (explode(array_distinct(toks)) → xxhash64 → 64 bit-sum aggregates →
+  * reassemble), proven on random inputs in TextExprSpec. The plan win
+  * is structural, not just codegen: the exploded form shuffles
+  * tokens×docs rows through a 65-column aggregation, while this is a
+  * MAP-ONLY projection — per-doc state never leaves the row. At corpus
+  * scale that deletes the largest shuffle of the SimHash dedup path
+  * (reference scope: near-dup infrastructure per SURVEY.md §2.2's
+  * LLM-pipeline brief).
+  *
+  * Returns NULL for a NULL input or when no non-null token exists
+  * (those docs have no simhash — the exploded form dropped them in the
+  * groupBy; callers filter on isNotNull).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash64"
+  // null on non-null input when the array holds no non-null tokens
+  override def nullable: Boolean = true
+
+  private val Seed = 42L  // xxhash64's default seed in Spark
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val sz = toks.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    val counts = new Array[Int](64)
+    var n = 0
+    var i = 0
+    while (i < sz) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        if (seen.add(t)) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(t, Seed)
+          n += 1
+          var b = 0
+          while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        }
+      }
+      i += 1
+    }
+    if (n == 0) null
+    else {
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (2 * counts(b) > n) out |= (1L << b); b += 1 }
+      out
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sz = ctx.freshName("sz")
+      val seen = ctx.freshName("seen")
+      val counts = ctx.freshName("counts")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val t = ctx.freshName("t")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      val utf8 = classOf[UTF8String].getName
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      s"""
+         |int $sz = $c.numElements();
+         |java.util.HashSet<$utf8> $seen = new java.util.HashSet<$utf8>();
+         |int[] $counts = new int[64];
+         |int $n = 0;
+         |for (int $i = 0; $i < $sz; $i++) {
+         |  if ($c.isNullAt($i)) continue;
+         |  $utf8 $t = $c.getUTF8String($i);
+         |  if (!$seen.add($t)) continue;
+         |  long $h = $xxh.hashUTF8String($t, ${Seed}L);
+         |  $n++;
+         |  for (int $b = 0; $b < 64; $b++) $counts[$b] += (int) (($h >>> $b) & 1L);
+         |}
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $out = 0L;
+         |  for (int $b = 0; $b < 64; $b++) if (2 * $counts[$b] > $n) $out |= (1L << $b);
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column API for native shingling (token array -> distinct n-grams). */
   def shingles(toks: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(toks), n))
+
+  /** Column API for the native map-only SimHash (token array -> long). */
+  def simhash64(toks: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(toks)))
 }

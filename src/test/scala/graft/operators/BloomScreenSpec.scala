@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftfns.BloomScreen
+import graft.SparkTestBase
+
+class BloomScreenSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("no false negatives: every inserted key tests positive") {
+    val keys = (0 until 5000).map(i => s"shingle $i")
+    val bf = BloomScreen.build(keys.toDF("s"), col("s"), expectedItems = 5000)
+    val misses = keys.toDF("s")
+      .filter(!BloomScreen.mightContain(bf, col("s"))).count()
+    assert(misses == 0, s"$misses members screened out — bloom must never false-negative")
+  }
+
+  test("misses are screened: non-member pass-through stays near fpp") {
+    val members = (0 until 5000).map(i => s"in $i")
+    val bf = BloomScreen.build(members.toDF("s"), col("s"), expectedItems = 5000, fpp = 0.01)
+    val probes = (0 until 20000).map(i => s"out $i").toDF("s")
+    val passed = probes.filter(BloomScreen.mightContain(bf, col("s"))).count()
+    // 1% target; allow generous slack for hash variance
+    assert(passed < 20000 * 0.05,
+      s"$passed/20000 non-members passed — screening is not effective")
+  }
+
+  test("bloom-prefiltered semi-join returns exactly the plain semi-join rows") {
+    val corpus = (0 until 10000).map(i => (i.toLong, s"k${i % 300}")).toDF("id", "k")
+    val probe = (0 until 90).map(i => s"k${i * 3}").toDF("k")
+    val exact = corpus.join(probe, Seq("k"), "left_semi")
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    val bf = BloomScreen.build(probe, col("k"), expectedItems = 100)
+    val screened = corpus.filter(BloomScreen.mightContain(bf, col("k")))
+      .join(probe, Seq("k"), "left_semi")
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(screened == exact)
+  }
+
+  test("empty build yields an all-false filter, not a crash") {
+    val bf = BloomScreen.build(Seq.empty[String].toDF("s"), col("s"), expectedItems = 10)
+    val passed = Seq("a", "b").toDF("s")
+      .filter(BloomScreen.mightContain(bf, col("s"))).count()
+    assert(passed == 0)
+  }
+
+  test("build parameters are validated") {
+    intercept[IllegalArgumentException] {
+      BloomScreen.build(Seq("a").toDF("s"), col("s"), expectedItems = 0)
+    }
+    intercept[IllegalArgumentException] {
+      BloomScreen.build(Seq("a").toDF("s"), col("s"), expectedItems = 10, fpp = 1.5)
+    }
+  }
+}

@@ -120,6 +120,45 @@ class LlmQueriesSpec extends SparkTestBase {
     assert(overlap >= 3, s"PQ recall too low: $overlap/5")
   }
 
+  test("bloom-prefiltered contamination returns exactly q47's rows") {
+    val exact = run("q47_contamination").collect().map(_.toSeq).toSeq
+    val bloom = run("q59_contamination_bloom").collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty && bloom == exact)
+  }
+
+  test("semantic dedup clusters are refinements of the exact cosine>=0.40 pair graph") {
+    val thresh = 0.40
+    // exact ground truth: all-pairs cosine over the full corpus
+    import graft.operators.KeyedPairs
+    val e = Tables.spread(Tables.embeddings(spark, sf), col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", LlmQueries.l2(col("embedding")))
+    val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
+    val exactPairs = KeyedPairs.allPairs(e, payload, cap = 256)
+      .select(col("pa.vec_id").as("va"), col("pb.vec_id").as("vb"),
+        (LlmQueries.dotd(col("pa.embedding"), col("pb.embedding")) /
+          (col("pa.nrm") * col("pb.nrm"))).as("cos"))
+      .filter(col("cos") >= thresh)
+    val exactComp = graft.operators.ConnectedComponents
+      .componentsAuto(exactPairs.select("va", "vb"), "va", "vb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sem = run("q60_semantic_dedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sem.nonEmpty, "within-cluster pairs should exist at this threshold")
+    // every q60 edge is an exact edge (precision is exact by the cosine
+    // confirm), so each q60 cluster must live inside ONE exact cluster
+    sem.groupBy(_._2).values.foreach { members =>
+      val exactLabels = members.keys.map(exactComp).toSet
+      assert(exactLabels.size == 1,
+        s"semantic cluster spans exact components: $members -> $exactLabels")
+    }
+    // recall at test scale: the within-cell stage recovers a meaningful
+    // share of the exact duplicate set (SemDeDup's contract is within-
+    // cluster pruning, so 100% is NOT expected)
+    val recall = sem.size.toDouble / exactComp.size
+    assert(recall >= 0.3, f"semantic dedup recall $recall%.2f too low")
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val n = Tables.documents(spark, sf).count()
     val out = run("q24_exact_dedup")

@@ -48,6 +48,52 @@ class TextExprSpec extends SparkTestBase {
     }
   }
 
+  test("SimHash64 matches the exploded xxhash64 bit-sum derivation") {
+    // the pre-round-4 shape, kept as the test oracle: explode distinct
+    // tokens, xxhash64 each, 64 bit-count sums, bit b set iff 2*S_b > N
+    val rng = new scala.util.Random(13)
+    val alphabet = Seq("a", "bb", "query", "", "ñü", "the", "a b", "x",
+      "join", "scan", "row", "value")
+    val rows = (0 until 300).map { i =>
+      val len = rng.nextInt(12)
+      Row(i.toLong, Seq.fill(len)(alphabet(rng.nextInt(alphabet.size))))
+    } ++ Seq(
+      Row(1000L, null),                      // null array -> null simhash
+      Row(1001L, Seq[String]()),             // empty -> null
+      Row(1002L, Seq(null, null)),           // only nulls -> null
+      Row(1003L, Seq("solo")),
+      Row(1004L, Seq(null, "a", null, "a"))) // dup + nulls -> hash of {a}
+    val schema2 = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("toks", ArrayType(StringType, containsNull = true), nullable = true)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema2)
+    val native = df
+      .select(col("doc_id"), TextFunctions.simhash64(col("toks")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s$b")) :+ count(lit(1)).as("n")
+    val oracle = df
+      .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("t"))
+      .filter(col("t").isNotNull)
+      .withColumn("h", xxhash64(col("t")))
+      .groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("sh",
+        (0 until 64).map(b =>
+          when(col(s"s$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)))
+      .select(col("doc_id"), col("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == oracle)
+  }
+
+  test("simhash64 is callable from SQL via the extension registration") {
+    val got = spark.sql(
+      "SELECT simhash64(array('the','a','value')) = simhash64(array('a','value','the','the')) AS eq"
+    ).head().getBoolean(0)
+    assert(got, "simhash must be order- and duplicate-insensitive")
+  }
+
   test("LlmQueries.shingles (the production entry) equals the old chain on testdata") {
     val toks = Tables.tokens(col("text"))
     val df = Tables.documents(spark, "/root/testdata/sf0.001")
