@@ -183,6 +183,25 @@ object ExtraQueries {
         .select(col("o_orderkey"), col("matched_event_id"),
           ntz(col("matched_ts")).as("matched_ts"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Q62 — pivot (wide reshaping): per-source document counts spread
+    // across one column per language. Spark's relational pivot with an
+    // EXPLICIT value list — at 100 TB the implicit form would run a
+    // distinct-values job over the corpus and then hit the
+    // spark.sql.pivotMaxValues ceiling; a declared domain keeps it to
+    // ONE map-side-combined aggregation. Missing cells coalesce to 0
+    // (count semantics), matching the oracle's FILTER form.
+    "q62_pivot" -> ((s, d) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      documents(s, d)
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+        .withColumn("n_total", langs.map(l => col(s"n_$l")).reduce(_ + _))
+        .orderBy(col("source"))
     })
   )
 
@@ -289,7 +308,16 @@ object ExtraQueries {
         |SELECT o_orderkey, e.event_id AS matched_event_id, e.ts AS matched_ts
         |FROM orders
         |ASOF LEFT JOIN e ON o_custkey = e.user_id AND e.ts <= o_orderdate
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q62_pivot" ->
+      """SELECT source,
+        |       COUNT(*) FILTER (lang = 'de') AS n_de,
+        |       COUNT(*) FILTER (lang = 'en') AS n_en,
+        |       COUNT(*) FILTER (lang = 'es') AS n_es,
+        |       COUNT(*) FILTER (lang = 'fr') AS n_fr,
+        |       COUNT(*) FILTER (lang = 'zh') AS n_zh,
+        |       COUNT(*) FILTER (lang IN ('de','en','es','fr','zh')) AS n_total
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
     // q40: no oracle (sketch-based)
   )
 }
