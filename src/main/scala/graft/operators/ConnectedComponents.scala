@@ -72,6 +72,79 @@ object ConnectedComponents {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SOCC'14 — public algorithm): converges in O(log n)
+    * rounds on ANY graph shape, vs `components`' diameter-many rounds.
+    * This is the scale path when cluster graphs stop being shallow —
+    * chain-shaped duplicate graphs (doc A ~ A' ~ A'' ~ ...) give label
+    * propagation a round per hop, while star contraction halves
+    * depth every round.
+    *
+    * Per round: large-star hangs every strictly-larger neighbor of u
+    * onto u's minimum (one groupBy + one co-partitioned join — the
+    * neighbor lists are never collected into a buffer), small-star
+    * does the same for the smaller neighbors. Both preserve
+    * connectivity (paper, Lemmas 1-2); a stable state is a depth-1
+    * star per component rooted at the component min. Convergence test:
+    * cheap (count, xxhash-sum) fingerprint per round, confirmed with
+    * an exact except() only when the fingerprint matches — never a
+    * probabilistic stop.
+    *
+    * Same output contract as `components`: (id, comp = min node id),
+    * for every node with degree >= 1 after null/self-loop removal.
+    */
+  def componentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxIter: Int = 30): DataFrame = {
+    var cur = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"),
+              least(col("a"), col("b")).as("b"))     // orient a > b
+      .distinct()
+      .localCheckpoint(true)                         // truncate lineage per round
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: xor of hashes can't overflow under ANSI and
+      // is order-insensitive; it is only a cheap pre-check — equality
+      // is always confirmed exactly below
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var curFp = fingerprint(cur)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      // large-star: symmetric view; every neighbor b > a links to a's min
+      val sym = cur.union(cur.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val large = sym.join(mins, "a").where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))  // b_old > a >= m: stays oriented
+        .distinct()
+        .localCheckpoint(true)
+      // small-star on the oriented edges: low neighbors and self to the min
+      val minsS = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val next = large.join(minsS, "a").where(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(minsS.select(col("a"), col("m").as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      val nextFp = fingerprint(next)
+      // fingerprint equality is necessary; confirm exactly (except is
+      // empty both ways iff the sets are equal given equal counts)
+      done = nextFp == curFp && next.exceptAll(cur).isEmpty
+      cur = next
+      curFp = nextFp
+      i += 1
+    }
+    require(done, s"star contraction did not converge in $maxIter rounds")
+    // stable state is (child, root) stars; roots label themselves
+    cur.select(col("a").as("id"), col("b").as("comp"))
+      .union(cur.select(col("b").as("id"), col("b").as("comp")))
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+  }
+
   /** Size-routed variant: a near-dup pair graph is usually TINY
     * relative to the corpus (it only holds docs that survived the
     * similarity threshold), and a tiny graph shouldn't pay
@@ -92,13 +165,16 @@ object ConnectedComponents {
       ByteType, ShortType, IntegerType, LongType)
     val idTypes = edges.select(col(srcCol), col(dstCol)).schema.map(_.dataType)
     if (!idTypes.forall(integral.contains))
-      return components(edges, srcCol, dstCol, maxIter)
-    // drop null-id edges up front: the distributed path drops them too
+      return componentsStar(edges, srcCol, dstCol, maxIter)
+    // drop null-id edges up front: the distributed paths drop them too
     // (null =!= x is null → filtered), and Row.getLong would NPE below
     val pairs = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+    // above the driver threshold the graph is genuinely large, where
+    // depth is unknowable — take the O(log n)-round star contraction,
+    // not the diameter-bounded propagation
     if (pairs.count() > driverThreshold)
-      return components(edges, srcCol, dstCol, maxIter)
+      return componentsStar(edges, srcCol, dstCol, maxIter)
     val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
     // iterative find with path halving — a recursive find stack-overflows

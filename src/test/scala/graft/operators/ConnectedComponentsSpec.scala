@@ -72,6 +72,44 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(got.size == n.toInt + 1 && got.values.toSet == Set(0L))
   }
 
+  test("star contraction matches union-find on random graphs and hard shapes") {
+    def runStar(edges: Seq[(Long, Long)], maxIter: Int = 30): Map[Long, Long] =
+      ConnectedComponents.componentsStar(edges.toDF("src", "dst"), "src", "dst", maxIter)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(100 + seed)
+      val n = 50
+      val edges = Seq.fill(40)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(runStar(edges) == brute(edges), s"seed=$seed")
+    }
+    // shapes that stress the contraction invariants
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val clique = for (a <- 0L until 8L; b <- (a + 1) until 8L) yield (a, b)
+    val star = (1L to 10L).map(i => (0L, i))
+    val twoComps = chain ++ star.map { case (a, b) => (a + 100, b + 100) }
+    for (g <- Seq(chain, clique, star, twoComps))
+      assert(runStar(g) == brute(g))
+  }
+
+  test("star contraction converges in O(log n) rounds on a deep path") {
+    // a 2000-node path has diameter 2000: label propagation would need
+    // 2000 rounds; star contraction must finish well under 20
+    val path = (0L until 2000L).map(i => (i, i + 1))
+    val got = ConnectedComponents
+      .componentsStar(path.toDF("src", "dst"), "src", "dst", maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 2001 && got.values.toSet == Set(0L))
+  }
+
+  test("star contraction handles non-integral ids (distributed auto path)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+    val got = ConnectedComponents
+      .componentsStar(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("null-id edges are dropped identically on both routing paths") {
     // the distributed path drops null-id edges via a =!= b null
     // semantics; the driver path must filter them too, not NPE in
