@@ -121,6 +121,48 @@ class PlanSpec extends SparkTestBase {
     assert(hints == 1, s"expected only the total broadcast hint, got $hints")
   }
 
+  test("q29: simhash derivation is map-only — no token explode, no 65-column agg") {
+    // the SimHash64 expression computes the per-doc hash inside the
+    // row; the only aggregation allowed downstream is KeyedPairs'
+    // bucket-count routing — never a 64-bit-sum aggregate over an
+    // exploded token stream
+    val df = LlmQueries.simhashPairs(spark, sf, nBlocks = 4)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("simhash64"), s"native simhash expression missing:\n$p")
+    assert(!p.contains("s63"), s"legacy 64-column bit-sum aggregate present:\n$p")
+  }
+
+  test("q59: bloom screen sits on the corpus side BEFORE the contamination join") {
+    val p = plan("q59_contamination_bloom")
+    assert(p.contains("might_contain"), s"bloom probe missing from the plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"contamination join shuffled the corpus:\n$p")
+    // the probe must be a filter under the join, not above it: the
+    // join operator's children subtree contains the might_contain
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val probeIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe not below the join:\n$p")
+  }
+
+  test("q61: per-lang bounds are broadcast back onto the scan (no corpus shuffle)") {
+    val df = graft.SparkEntry.queries("q61_percentile_gate")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.linesIterator.exists(_.contains("ResolvedHint")),
+      s"bounds side not broadcast-hinted:\n$analyzed")
+    val p = plan("q61_percentile_gate")
+    assert(!p.contains("SortMergeJoin"), s"bounds join shuffled the corpus:\n$p")
+  }
+
+  test("q62: explicit-domain pivot is one plan, no distinct-values pre-job") {
+    val p = plan("q62_pivot")
+    assert(!p.toLowerCase.contains("join"), s"pivot plans a join:\n$p")
+    // pivot = two-stage agg ((source,lang) counts, then PivotFirst by
+    // source) + final sort: 3 exchanges, ONE job — the implicit-values
+    // form would run a separate distinct-values collect job first
+    assert(p.contains("pivotfirst") || p.contains("__pivot"), s"not a pivot plan:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 3, s"extra shuffle:\n$p")
+  }
+
   test("q53: PQ encode+ADC is map-only — no join, no window; top-k is TakeOrdered") {
     val p = plan("q53_ann_pq")
     assert(!p.toLowerCase.contains("join"), s"q53 plans a join:\n$p")
@@ -153,8 +195,12 @@ class PlanSpec extends SparkTestBase {
     // must REUSE the window's exchange, not add a third. Count only
     // planner-inserted exchanges: the cached docToks lineage printout
     // contains its own REPARTITION_BY_NUM spread.
+    // <= 2 not == 2: when the docToks cache is already materialized,
+    // the distinct reuses the cache's doc_id hash partitioning (a
+    // subset of the (doc_id, token) clustering) and the plan drops to
+    // ONE exchange — strictly better
     val hashExchanges = "ENSURE_REQUIREMENTS".r.findAllIn(p).size
-    assert(hashExchanges == 2,
+    assert(hashExchanges <= 2,
       s"expected distinct + token exchanges only, got $hashExchanges:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"df top-100 not TakeOrdered:\n$p")
   }
