@@ -148,6 +148,32 @@ object StreamingOps {
       }
   }
 
+  /** Streaming contamination screen: score each arriving document's
+    * shingle overlap against a BATCH-built Bloom filter of the
+    * benchmark set (BloomScreen.build over the eval suite, rebuilt
+    * when the suite changes — the classic static-side sketch).
+    * Entirely MAP-ONLY and stateless: the filter rides along as a
+    * binary literal, the probe runs inside a higher-order filter over
+    * the shingle array, so this adds zero shuffles and zero state to
+    * any ingest stream and works under any watermark. No false
+    * negatives (Bloom), so `bloomOverlap >= threshold` is a SUPERSET
+    * of the exact contamination flags — route flagged docs to the
+    * exact batch check (q47), the same screen-then-confirm contract as
+    * q59.
+    */
+  def contaminationScreen(docs: DataFrame, idCol: String, textCol: String,
+                          benchBloom: Array[Byte], minOverlap: Double = 0.10): DataFrame = {
+    import org.apache.spark.sql.graftfns.BloomScreen
+    docs
+      .select(col(idCol), graft.queries.LlmQueries.shingles(
+        graft.queries.Tables.tokens(col(textCol)), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col(idCol), size(col("sh")).as("n_shingles"),
+        size(filter(col("sh"), s => BloomScreen.mightContain(benchBloom, s)))
+          .as("bloom_overlap"))
+      .filter(col("bloom_overlap").cast("double") / col("n_shingles") >= minOverlap)
+  }
+
   /** File-stream source over a bag-ETL output directory: the "live
     * rosnode" analog — as new per-type parquet files land, they flow
     * through the same relational ops. Caller supplies the schema

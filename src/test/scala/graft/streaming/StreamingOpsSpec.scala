@@ -170,4 +170,36 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streaming.nonEmpty && streaming == batch,
       s"streaming sessions (${streaming.size}) != batch sessions (${batch.size})")
   }
+
+  test("streaming contamination screen is a superset of the exact batch flags") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // batch side: build the benchmark bloom exactly as q59 does
+    val sets = graft.queries.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.queries.LlmQueries.shingles(
+        graft.queries.Tables.tokens(col("text")), 3).as("sh"))
+    val isBench = pmod(col("doc_id"), lit(97)) === 0
+    val benchSh = sets.filter(isBench).select(explode(col("sh")).as("s")).distinct()
+    val bloom = org.apache.spark.sql.graftfns.BloomScreen
+      .build(benchSh, col("s"), math.max(benchSh.count(), 1L), fpp = 0.01)
+    // stream the non-bench corpus through the screen
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .filter(!isBench).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val out = contaminationScreen(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", bloom, minOverlap = 0.10)
+    runBatches(out.writeStream.format("memory").queryName("contam").outputMode("append"))
+    val flagged = spark.table("contam").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val exact = graft.SparkEntry.queries("q47_contamination")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty && exact.subsetOf(flagged),
+      s"bloom screen missed exact flags: ${exact -- flagged}")
+    // and the screen is selective, not a pass-through
+    assert(flagged.size < docs.size / 2,
+      s"screen passed ${flagged.size}/${docs.size} docs - not screening")
+  }
 }
