@@ -159,6 +159,35 @@ class LlmQueriesSpec extends SparkTestBase {
     assert(recall >= 0.3, f"semantic dedup recall $recall%.2f too low")
   }
 
+  test("q61's documented scale path (approx_percentile) tracks the exact gate") {
+    // the query ships exact percentile() for the oracle; the scaladoc
+    // names approx_percentile as the 100 TB swap-in. Prove the swap is
+    // sound here: with default accuracy the approximate bounds must
+    // keep the same docs within a small symmetric margin.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    def gate(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =
+      docs.groupBy(col("lang")).agg(lo.as("lo"), hi.as("hi"))
+    // compare the KEPT DOC SETS, not bound values: approx_percentile
+    // returns an actual element (no interpolation), so raw bound
+    // distance is meaningless on sparse strata — rank drift is what
+    // the gate actually feels
+    def kept(bounds: org.apache.spark.sql.DataFrame): Set[Long] =
+      docs.join(bounds, Seq("lang"))
+        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactKept = kept(
+      gate(expr("percentile(n_chars, 0.05)"), expr("percentile(n_chars, 0.95)")))
+    val approxKept = kept(gate(
+      expr("approx_percentile(n_chars, 0.05, 10000)").cast("double"),
+      expr("approx_percentile(n_chars, 0.95, 10000)").cast("double")))
+    val diff = (exactKept -- approxKept) ++ (approxKept -- exactKept)
+    val total = docs.count()
+    // 4 boundaries x 5 strata of rank-neighborhood flips at most
+    assert(diff.size <= math.max(20, total / 20),
+      s"approx gate drifted by ${diff.size}/$total docs")
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val n = Tables.documents(spark, sf).count()
     val out = run("q24_exact_dedup")
