@@ -124,7 +124,29 @@ object KeyedPairs {
     * on (bi, bj), and bounded in-task expansion — nothing broadcast,
     * no join.
     */
-  def allPairs(df: DataFrame, payload: Column, cap: Int): DataFrame = {
+  def allPairs(df: DataFrame, payload: Column, cap: Int): DataFrame =
+    allPairsGrouped(df, payload, cap)
+      .select(explode(
+        when(col("bi") === col("bj"),
+          flatten(transform(col("as_"), x =>
+            transform(filter(col("as_"), y => y > x),
+              y => struct(x.as("pa"), y.as("pb"))))))
+          .otherwise(
+            flatten(transform(col("as_"), x =>
+              transform(col("bs"), y =>
+                when(x < y, struct(x.as("pa"), y.as("pb")))
+                  .otherwise(struct(y.as("pa"), x.as("pb")))))))).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+
+  /** The block-pair GROUPS behind [[allPairs]], before pair expansion:
+    * (bi, bj, as_, bs) with as_/bs the two sides' payload arrays
+    * (diagonal groups have bs empty). Exposed so callers that only
+    * need a REDUCTION of each group's pairs (per-task top-k scoring,
+    * counting) can fuse it into one expression over the arrays instead
+    * of materializing cap² pair structs per task — the shuffle after
+    * the fused op carries the reduced rows only.
+    */
+  def allPairsGrouped(df: DataFrame, payload: Column, cap: Int): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val rows = df.select(payload.as("p"))
@@ -141,16 +163,5 @@ object KeyedPairs {
       .agg(collect_list(when(col("isA"), col("p"))).as("as_"),
            collect_list(when(!col("isA"), col("p"))).as("bs"))
       .repartition(nPart, col("bi"), col("bj"))
-      .select(explode(
-        when(col("bi") === col("bj"),
-          flatten(transform(col("as_"), x =>
-            transform(filter(col("as_"), y => y > x),
-              y => struct(x.as("pa"), y.as("pb"))))))
-          .otherwise(
-            flatten(transform(col("as_"), x =>
-              transform(col("bs"), y =>
-                when(x < y, struct(x.as("pa"), y.as("pb")))
-                  .otherwise(struct(y.as("pa"), x.as("pb")))))))).as("pr"))
-      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
   }
 }

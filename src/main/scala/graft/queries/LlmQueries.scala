@@ -300,21 +300,23 @@ object LlmQueries {
 
     // Q30 — embedding-cosine near-dup ranking: top-20 most-similar pairs.
     // Exact all-pairs here (oracle-checkable); the approximate scale path
-    // is Q31. Blocked self-pairing (KeyedPairs.allPairs): vectors hash
-    // into ⌈n/cap⌉ blocks and every block PAIR is its own bounded task,
-    // so nothing is broadcast and no task holds more than ~2·cap
-    // vectors (the round-1 shape broadcast the entire corpus — a hard
-    // driver-memory fail beyond toy scale). Per-task top-20 feeds
-    // TakeOrderedAndProject, so only 20 rows per task survive.
+    // is Q31. Blocked self-pairing (KeyedPairs.allPairsGrouped): vectors
+    // hash into ⌈n/cap⌉ blocks, every block PAIR is its own bounded
+    // task, nothing broadcast (the round-1 shape broadcast the entire
+    // corpus — a hard driver-memory fail beyond toy scale). Scoring +
+    // top-20 are FUSED into one expression per task (TopDotPairs:
+    // tight primitive loops + a bounded heap, bit-identical arithmetic
+    // to the unfused dot/orderBy form) — the post-pair shuffle carries
+    // 20 rows per task, never cap² pair structs with embedding copies.
     "q30_embed_neardup" -> ((s, d) => {
       val e = spread(embeddings(s, d), col("vec_id"))
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", l2(col("embedding")))
-      val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
-      graft.operators.KeyedPairs.allPairs(e, payload, cap = 256)
-        .select(col("pa.vec_id").as("va"), col("pb.vec_id").as("vb"),
-          (dotd(col("pa.embedding"), col("pb.embedding")) /
-            (col("pa.nrm") * col("pb.nrm"))).as("cos"))
+      val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
+      graft.operators.KeyedPairs.allPairsGrouped(e, payload, cap = 256)
+        .select(explode(org.apache.spark.sql.graftfns.PairFunctions
+          .topDotPairs(col("as_"), col("bs"), 20)).as("pr"))
+        .select(col("pr.va").as("va"), col("pr.vb").as("vb"), col("pr.cos").as("cos"))
         .orderBy(col("cos").desc, col("va"), col("vb")).limit(20)
         .select(col("va"), col("vb"), rk(col("cos"), 6).as("cosine"))
     }),

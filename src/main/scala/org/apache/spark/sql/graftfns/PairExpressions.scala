@@ -1,0 +1,178 @@
+package org.apache.spark.sql.graftfns
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Per-task top-k scored pair expansion for blocked all-pairs cosine —
+  * the fusion that makes exact embedding near-dup ranking (q30) a
+  * shuffle-light plan at any scale.
+  *
+  * The generic path (KeyedPairs.allPairs → explode pair structs →
+  * dot → TakeOrdered) materializes one struct PER PAIR, each carrying
+  * two full embedding vectors: ~cap² × 2·dim floats of intermediate
+  * garbage per task before the ranker throws all but k rows away.
+  * This expression runs the same double loop INSIDE one eval call per
+  * block-pair group — tight JVM loops over pre-extracted primitive
+  * arrays, a bounded k-heap, and an output of exactly ≤ k tiny
+  * (va, vb, cos) rows per task. The shuffle after it carries k rows
+  * per task instead of cap² pairs.
+  *
+  * CodegenFallback is deliberate: one eval call does O(cap²·dim) work,
+  * so per-call interpretation overhead is amortized to nothing — the
+  * opposite trade from [[DotProduct]], which runs once per row.
+  *
+  * Arithmetic is BIT-IDENTICAL to the unfused form (and hence to the
+  * DuckDB oracle): dot accumulates left-to-right in double
+  * (`acc += (double)a[i] * (double)b[i]`), cosine is
+  * `dot / (nrmA * nrmB)` with the lower-id side as A — exactly
+  * `dotd(pa.embedding, pb.embedding) / (pa.nrm * pb.nrm)`.
+  *
+  * Input: two arrays of struct(id LONG, embedding ARRAY<FLOAT>,
+  * nrm DOUBLE). When `right` is empty this is a DIAGONAL block (pairs
+  * within `left`, id-ascending); otherwise every cross pair, oriented
+  * va < vb. Pairs whose vectors differ in length or hold null
+  * elements are skipped (the unfused form gave them NULL cosine,
+  * which a descending ranker also never surfaced). Zero-norm vectors
+  * are skipped too — a DELIBERATE divergence: the unfused form throws
+  * DIVIDE_BY_ZERO under ANSI, and a vector with no direction cannot
+  * be anyone's near-duplicate. Ranking: (cos desc, va asc, vb asc) —
+  * ties break identically to the global orderBy, so per-task top-k
+  * composes exactly with a downstream TakeOrderedAndProject.
+  */
+case class TopDotPairs(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  private val sideType = ArrayType(StructType(Seq(
+    StructField("id", LongType), StructField("embedding", ArrayType(FloatType)),
+    StructField("nrm", DoubleType))))
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(sideType, sideType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("va", LongType, nullable = false),
+    StructField("vb", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "top_dot_pairs"
+
+  /** (ids, embeddings, norms); embeddings null when unusable (null
+    * vector / null element) — those rows pair with nothing.
+    */
+  private def extract(a: ArrayData): (Array[Long], Array[Array[Float]], Array[Double]) = {
+    val n = a.numElements()
+    val ids = new Array[Long](n)
+    val embs = new Array[Array[Float]](n)
+    val nrms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = a.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      if (!row.isNullAt(1) && !row.isNullAt(2)) {
+        val e = row.getArray(1)
+        val m = e.numElements()
+        var ok = true
+        val f = new Array[Float](m)
+        var j = 0
+        while (j < m && ok) {
+          if (e.isNullAt(j)) ok = false else f(j) = e.getFloat(j)
+          j += 1
+        }
+        // zero/NaN norm -> no direction -> pairs with nothing (see scaladoc)
+        val nrm = row.getDouble(2)
+        if (ok && nrm > 0) { embs(i) = f; nrms(i) = nrm }
+      }
+      i += 1
+    }
+    (ids, embs, nrms)
+  }
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (aIds, aEmb, aNrm) = extract(l.asInstanceOf[ArrayData])
+    val (bIds, bEmb, bNrm) = extract(r.asInstanceOf[ArrayData])
+    // min-heap on goodness: the ROOT is the worst kept pair, evicted
+    // when a better one arrives. Comparator = (cos asc, va desc, vb
+    // desc), i.e. the REVERSE of the output ranking.
+    val heap = new java.util.PriorityQueue[(Double, Long, Long)](k + 1,
+      (x: (Double, Long, Long), y: (Double, Long, Long)) => {
+        val c = java.lang.Double.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val va = java.lang.Long.compare(y._2, x._2)
+          if (va != 0) va else java.lang.Long.compare(y._3, x._3)
+        }
+      })
+    def offer(ia: Long, ib: Long, cos: Double): Unit = {
+      val (va, vb) = if (ia < ib) (ia, ib) else (ib, ia)
+      heap.add((cos, va, vb))
+      if (heap.size > k) heap.poll()
+    }
+    if (bIds.length == 0) {
+      // diagonal: pairs within left, lower id as A
+      var i = 0
+      while (i < aIds.length) {
+        if (aEmb(i) != null) {
+          var j = i + 1
+          while (j < aIds.length) {
+            if (aEmb(j) != null && aEmb(i).length == aEmb(j).length && aIds(i) != aIds(j)) {
+              // orient by id BEFORE the arithmetic so operand order
+              // matches the unfused pa < pb form exactly
+              val (x, y) = if (aIds(i) < aIds(j)) (i, j) else (j, i)
+              offer(aIds(x), aIds(y), dot(aEmb(x), aEmb(y)) / (aNrm(x) * aNrm(y)))
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < aIds.length) {
+        if (aEmb(i) != null) {
+          var j = 0
+          while (j < bIds.length) {
+            if (bEmb(j) != null && aEmb(i).length == bEmb(j).length && aIds(i) != bIds(j)) {
+              val (xi, xe, xn, yi, ye, yn) =
+                if (aIds(i) < bIds(j)) (aIds(i), aEmb(i), aNrm(i), bIds(j), bEmb(j), bNrm(j))
+                else (bIds(j), bEmb(j), bNrm(j), aIds(i), aEmb(i), aNrm(i))
+              offer(xi, yi, dot(xe, ye) / (xn * yn))
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Any](heap.size)
+    var idx = heap.size - 1
+    while (idx >= 0) {             // poll order = worst first: fill backwards
+      val (cos, va, vb) = heap.poll()
+      out(idx) = InternalRow(va, vb, cos)
+      idx -= 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PairFunctions {
+  /** Column API: per-group top-k cosine pairs over (id, embedding, nrm)
+    * struct arrays — see [[TopDotPairs]].
+    */
+  def topDotPairs(as: Column, bs: Column, k: Int): Column =
+    ExpressionUtils.column(TopDotPairs(
+      ExpressionUtils.expression(as), ExpressionUtils.expression(bs), k))
+}

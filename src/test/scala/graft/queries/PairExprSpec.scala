@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftfns.PairFunctions
+import graft.SparkTestBase
+
+/** TopDotPairs (fused per-task scoring + top-k) vs the unfused
+  * pair-explode + dot + global rank form it replaces: the global
+  * top-k must be IDENTICAL, including tie order, on random inputs.
+  */
+class PairExprSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def randVecs(seed: Int, n: Int, dim: Int): Seq[(Long, Seq[Float])] = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rng.nextFloat() * 2 - 1)))
+  }
+
+  private def topK(vecs: Seq[(Long, Seq[Float])], k: Int, cap: Int): Seq[(Long, Long, Double)] = {
+    val e = vecs.toDF("vec_id", "embedding")
+      .withColumn("nrm", LlmQueries.l2(col("embedding")))
+    val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
+    graft.operators.KeyedPairs.allPairsGrouped(e, payload, cap)
+      .select(explode(PairFunctions.topDotPairs(col("as_"), col("bs"), k)).as("pr"))
+      .select(col("pr.va"), col("pr.vb"), col("pr.cos"))
+      .orderBy(col("cos").desc, col("va"), col("vb")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+  }
+
+  private def topKUnfused(vecs: Seq[(Long, Seq[Float])], k: Int, cap: Int): Seq[(Long, Long, Double)] = {
+    val e = vecs.toDF("vec_id", "embedding")
+      .withColumn("nrm", LlmQueries.l2(col("embedding")))
+    val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
+    graft.operators.KeyedPairs.allPairs(e, payload, cap)
+      .select(col("pa.vec_id").as("va"), col("pb.vec_id").as("vb"),
+        (LlmQueries.dotd(col("pa.embedding"), col("pb.embedding")) /
+          (col("pa.nrm") * col("pb.nrm"))).as("cos"))
+      .orderBy(col("cos").desc, col("va"), col("vb")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+  }
+
+  test("fused top-k equals the unfused pair-explode form bit-for-bit") {
+    for (seed <- 1 to 3; cap <- Seq(8, 64)) {
+      val vecs = randVecs(seed, 120, 16)
+      assert(topK(vecs, 20, cap) == topKUnfused(vecs, 20, cap),
+        s"seed=$seed cap=$cap")
+    }
+  }
+
+  test("small inputs: fewer pairs than k, single block, duplicate cosines") {
+    // 3 vectors -> 3 pairs < k; identical vectors -> tied cosines must
+    // order by (va, vb)
+    val vecs = Seq((0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)))
+    val got = topK(vecs, 20, cap = 8)
+    assert(got.map(t => (t._1, t._2)) == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(got.forall(t => math.abs(t._3 - 1.0) < 1e-9))
+  }
+
+  test("mismatched-dimension and zero vectors: skipped, never a crash or a winner") {
+    // the UNFUSED form throws DIVIDE_BY_ZERO under ANSI on a zero-norm
+    // vector; the fused expression deliberately SKIPS directionless
+    // vectors instead (scaladoc'd divergence) — ragged vectors pair
+    // with nothing in both forms
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)),
+      (2L, Seq(1f, 0f, 0f)),   // ragged
+      (3L, Seq(0f, 0f)))       // zero norm
+    intercept[Exception] { topKUnfused(vecs, 3, cap = 8) }   // ANSI crash
+    val fused = topK(vecs, 3, cap = 8)
+    assert(fused.map(t => (t._1, t._2)) == Seq((0L, 1L)))
+    assert(math.abs(fused.head._3 - 1.0) < 1e-9)
+  }
+}
