@@ -773,6 +773,43 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Q63 — winnowing fingerprints (Schleimer et al., SIGMOD'03 — the
+    // MOSS algorithm): per position, hash the 3-token shingle with the
+    // engine-portable polynomial hash (q35's), then keep the MINIMUM
+    // hash of each 4-window of consecutive positions — a deterministic
+    // ~2/(w+1) sample of positions that still guarantees any shared
+    // run of >= w+k-1 tokens leaves a shared fingerprint. Shared-
+    // fingerprint doc pairs then form the same inverted-index shape as
+    // q27 at a FRACTION of the index size — the published
+    // sparsification for substring-level overlap detection at corpus
+    // scale. Map-only derivation + one fp-keyed pair stage
+    // (KeyedPairs-bounded); at 100 TB the per-position hashing moves
+    // into a WordShingles-style native expression.
+    "q63_winnow_fingerprints" -> ((s, d) => {
+      val k = 3; val w = 4
+      def polyHash(str: Column): Column =
+        aggregate(transform(split(str, ""), c => ascii(c).cast("long")),
+          lit(0L), (acc, c) => pmod(acc * 31 + c, lit(1000000007L)))
+      val grams = when(size(col("toks")) >= k,
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+        .otherwise(array().cast("array<string>"))
+      val fps = docToks(s, d)
+        .withColumn("hs", transform(grams, g => polyHash(g)))
+        .filter(size(col("hs")) >= w)
+        .withColumn("fps", array_distinct(
+          transform(sequence(lit(1), size(col("hs")) - w + 1),
+            i => array_min(slice(col("hs"), i, lit(w))))))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      graft.operators.KeyedPairs.pairs(fps, Seq("fp"), col("doc_id"), PairCap)
+        .select(col("pa").as("da"), col("pb").as("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+        .orderBy(col("da"), col("db"))
+    }),
+
     // Q44 — TF-IDF top terms: tf = count/doc-length, idf =
     // ln((N+1)/(df+1)), top-20 (doc, term) pairs. Scale shape: two
     // shuffles of the (doc, token) pairs (tf agg, df agg + join keyed
@@ -1084,6 +1121,32 @@ object LlmQueries {
     // q28_minhash_lsh, q29_simhash, q31_ann_lsh: engine-hash-based;
     // q53_ann_pq, q60_semantic_dedup: trained-model-based — rows-only
     // driver check; cross-validated in ScalaTest instead.
+    "q63_winnow_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |h AS (
+        |  SELECT doc_id, list_transform(sh, s ->
+        |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT))),
+        |             (a, c) -> (a * 31 + c) % 1000000007)) AS hs
+        |  FROM g),
+        |w AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 2),
+        |           i -> list_min(hs[i:i+3]))) AS fps
+        |  FROM h WHERE len(hs) >= 4),
+        |ex AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+        |  FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, shared FROM p WHERE shared >= 3
+        |ORDER BY da, db""".stripMargin,
     "q61_percentile_gate" ->
       """WITH b AS (
         |  SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
