@@ -199,13 +199,25 @@ object LlmQueries {
           struct(lit(k).as("blk"),
             shiftright(col("simhash"), k * width).bitwiseAND(mask).as("v"))): _*)).as("kb"))
       .select(col("doc_id"), col("simhash"), col("kb.blk"), col("kb.v"))
-    graft.operators.KeyedPairs
-      .pairs(blocks, Seq("blk", "v"), struct(col("doc_id"), col("simhash")), PairCap)
-      .select(col("pa.doc_id").as("da"), col("pa.simhash").as("sa"),
-              col("pb.doc_id").as("db"), col("pb.simhash").as("sb")).distinct()
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+    // EMIT-ONCE dedup, no distinct shuffle: a near-dup pair shares
+    // several blocks and would surface once per shared block; instead
+    // of collecting all copies and running distinct over ~nBlocks× the
+    // pair volume, each pair is kept only in its FIRST shared block —
+    // computable per pair from the two simhashes alone (the shared-
+    // block set is a pure function of sa^sb), so the check is a
+    // map-side filter on the pair stream and every pair survives
+    // exactly once globally.
+    val pairs = graft.operators.KeyedPairs
+      .pairs(blocks, Seq("blk", "v"),
+        struct(col("doc_id"), col("simhash"), col("blk")), PairCap)
+    val xor = col("pa.simhash").bitwiseXOR(col("pb.simhash"))
+    val firstShared = array_min(array((0 until nBlocks).map(k =>
+      when(shiftright(xor, k * width).bitwiseAND(mask) === 0, lit(k))): _*))
+    pairs
+      .filter(col("pa.blk") === firstShared)
+      .select(col("pa.doc_id").as("da"), col("pb.doc_id").as("db"),
+        bit_count(xor).as("hamming"))
       .filter(col("hamming") <= 3)
-      .select(col("da"), col("db"), col("hamming"))
       .orderBy(col("da"), col("db"))
   }
 
