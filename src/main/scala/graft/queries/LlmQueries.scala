@@ -794,26 +794,16 @@ object LlmQueries {
     // fingerprint doc pairs then form the same inverted-index shape as
     // q27 at a FRACTION of the index size — the published
     // sparsification for substring-level overlap detection at corpus
-    // scale. Map-only derivation + one fp-keyed pair stage
-    // (KeyedPairs-bounded); at 100 TB the per-position hashing moves
-    // into a WordShingles-style native expression.
+    // scale. Map-only derivation (the per-position hashing + window
+    // minima live in the native codegen'd WinnowFingerprints
+    // expression — bit-equal to the interpreted gram/split/ascii/
+    // slice chain per TextExprSpec) + one fp-keyed pair stage
+    // (KeyedPairs-bounded).
     "q63_winnow_fingerprints" -> ((s, d) => {
-      val k = 3; val w = 4
-      def polyHash(str: Column): Column =
-        aggregate(transform(split(str, ""), c => ascii(c).cast("long")),
-          lit(0L), (acc, c) => pmod(acc * 31 + c, lit(1000000007L)))
-      val grams = when(size(col("toks")) >= k,
-        transform(sequence(lit(0), size(col("toks")) - k),
-          i => concat_ws(" ", element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
-        .otherwise(array().cast("array<string>"))
       val fps = docToks(s, d)
-        .withColumn("hs", transform(grams, g => polyHash(g)))
-        .filter(size(col("hs")) >= w)
-        .withColumn("fps", array_distinct(
-          transform(sequence(lit(1), size(col("hs")) - w + 1),
-            i => array_min(slice(col("hs"), i, lit(w))))))
-        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graftfns.TextFunctions
+            .winnowFingerprints(col("toks"), 3, 4)).as("fp"))
       graft.operators.KeyedPairs.pairs(fps, Seq("fp"), col("doc_id"), PairCap)
         .select(col("pa").as("da"), col("pb").as("db"))
         .groupBy(col("da"), col("db"))

@@ -185,6 +185,116 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Native winnowing fingerprints (Schleimer et al., SIGMOD'03 — the
+  * MOSS document-fingerprinting algorithm) over a token array, fused
+  * into one loop per row: k-gram construction, code-point polynomial
+  * hashing, sliding w-window minimum, and first-occurrence dedup.
+  *
+  * Bit-identical to the interpreted HOF chain it replaces
+  * (`transform(sequence…)` k-grams → `concat_ws(" ", …)` →
+  * per-character `split`/`ascii` polynomial fold mod 1e9+7 →
+  * `array_min(slice(…))` per window → `array_distinct`), proven on
+  * random inputs in TextExprSpec. Spark's `ascii` is `codePointAt(0)`
+  * of the first code point (same as DuckDB's `ord`), so the hash here
+  * walks UTF-8 code points — identical for non-ASCII text too. The
+  * interpreted form allocates a per-character string array for every
+  * gram of every document (three HOF lambda trees deep), which made
+  * winnowing the single most expensive stage in the suite; this is a
+  * map-only projection with zero allocations beyond the output array.
+  *
+  * Semantics preserved exactly: `concat_ws` skips null tokens (all-null
+  * grams hash to 0 via the empty string); fewer than w grams — which
+  * includes fewer than k tokens — yields an EMPTY array (the caller's
+  * explode then drops the doc, matching the old `size(hs) >= w`
+  * filter); NULL input yields NULL.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1, s"gram size must be >= 1, got $k")
+  require(w >= 1, s"window size must be >= 1, got $w")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = WinnowFingerprints.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.compute($c, $k, $w);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  private val Mod = 1000000007L
+
+  /** Polynomial fold acc = (acc*31 + codePoint) % Mod over s's UTF-8
+    * code points (Spark `ascii` ≡ DuckDB `ord` per char of `split`).
+    */
+  private def hashCodePoints(acc0: Long, s: UTF8String): Long = {
+    var acc = acc0
+    val n = s.numBytes
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i) & 0xFF
+      var cp = 0
+      if (b < 0x80) { cp = b; i += 1 }
+      else if (b < 0xE0) {
+        cp = ((b & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); i += 2
+      } else if (b < 0xF0) {
+        cp = ((b & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+          (s.getByte(i + 2) & 0x3F); i += 3
+      } else {
+        cp = ((b & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+          ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F); i += 4
+      }
+      acc = (acc * 31 + cp) % Mod
+    }
+    acc
+  }
+
+  /** Row kernel, shared verbatim by eval and codegen. */
+  def compute(toks: ArrayData, k: Int, w: Int): GenericArrayData = {
+    val sz = toks.numElements()
+    val ng = sz - k + 1
+    if (ng < w) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](ng)
+    var i = 0
+    while (i < ng) {
+      var acc = 0L
+      var first = true
+      var j = 0
+      while (j < k) {
+        if (!toks.isNullAt(i + j)) {
+          if (!first) acc = (acc * 31 + 32) % Mod // the concat_ws ' '
+          acc = hashCodePoints(acc, toks.getUTF8String(i + j))
+          first = false
+        }
+        j += 1
+      }
+      hs(i) = acc
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= ng - w) {
+      var m = hs(i)
+      var j = 1
+      while (j < w) { if (hs(i + j) < m) m = hs(i + j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
 object TextFunctions {
   /** Column API for native shingling (token array -> distinct n-grams). */
   def shingles(toks: Column, n: Int): Column =
@@ -193,4 +303,11 @@ object TextFunctions {
   /** Column API for the native map-only SimHash (token array -> long). */
   def simhash64(toks: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(toks)))
+
+  /** Column API for native winnowing (token array -> distinct
+    * fingerprint longs; k-gram hashes, min of each w-window).
+    */
+  def winnowFingerprints(toks: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(
+      WinnowFingerprints(ExpressionUtils.expression(toks), k, w))
 }

@@ -104,6 +104,8 @@ object VectorFunctions {
       "word_shingles", wordShinglesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprints", winnowBuilder, "built-in")
   }
 
   /** Shared SQL builder (registry + extensions): n must be a literal —
@@ -116,6 +118,18 @@ object VectorFunctions {
       case other => throw new IllegalArgumentException(
         s"word_shingles(toks, n): n must be an integer literal, got $other")
     })
+
+  /** Shared SQL builder: k and w shape the expression — literals only. */
+  private[graftfns] def winnowBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): WinnowFingerprints = {
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
+        case other => throw new IllegalArgumentException(
+          s"winnow_fingerprints(toks, k, w): $name must be an integer literal, got $other")
+      }
+    WinnowFingerprints(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "w"))
+  }
 
   /** Column API for the native dot product (float arrays, double out). */
   def dot(a: Column, b: Column): Column =
@@ -151,6 +165,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[SimHash64].getCanonicalName, "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(exprs(0))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fingerprints"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WinnowFingerprints].getCanonicalName, "winnow_fingerprints"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorFunctions.winnowBuilder(exprs)))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftplans.AsOfJoinStrategy)
   }

@@ -94,6 +94,62 @@ class TextExprSpec extends SparkTestBase {
     assert(got, "simhash must be order- and duplicate-insensitive")
   }
 
+  /** the pre-round-4 interpreted q63 derivation, kept as the test oracle */
+  private def hofWinnow(toks: org.apache.spark.sql.Column, k: Int, w: Int) = {
+    def polyHash(str: org.apache.spark.sql.Column) =
+      aggregate(transform(split(str, ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, c) => pmod(acc * 31 + c, lit(1000000007L)))
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val hs = transform(grams, g => polyHash(g))
+    when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(1), size(hs) - w + 1),
+        i => array_min(slice(hs, i, lit(w))))))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  test("WinnowFingerprints matches the interpreted gram/hash/window chain") {
+    val rng = new scala.util.Random(29)
+    // non-ASCII entries exercise the code-point hash (ascii == ord ==
+    // codePointAt(0), incl. a supplementary-plane char)
+    val alphabet = Seq("a", "bb", "query", "", "ñü", "the", "a b", "x",
+      "héllo", "日本語", "😀ok")
+    val rows = (0 until 300).map { _ =>
+      val len = rng.nextInt(14)
+      Row(Seq.fill(len)(alphabet(rng.nextInt(alphabet.size))))
+    } ++ Seq(
+      Row(null),                          // null array -> null
+      Row(Seq[String]()),                 // empty -> empty
+      Row(Seq("a", "b")),                 // < k tokens -> empty
+      Row(Seq("a", "b", "c", "d", "e")),  // exactly w grams boundary
+      Row(Seq(null, "a", null, "b", null, "c", "d")), // null tokens
+      Row(Seq.fill(9)("d")))              // all-duplicate grams
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    for ((k, w) <- Seq((3, 4), (2, 3), (1, 2), (4, 4))) {
+      val out = df.select(
+        coalesce(TextFunctions.winnowFingerprints(col("toks"), k, w),
+          array().cast("array<long>")).as("native"),
+        hofWinnow(col("toks"), k, w).as("interp")).collect()
+      out.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"k=$k w=$w row=$i: native=${r.getSeq[Long](0)} interp=${r.getSeq[Long](1)}")
+      }
+    }
+  }
+
+  test("winnow_fingerprints is callable from SQL and guarantees shared-run coverage") {
+    // two texts sharing a run of >= w+k-1 = 6 tokens must share a fingerprint
+    val got = spark.sql(
+      """SELECT size(array_intersect(
+        |  winnow_fingerprints(array('p','q','the','quick','brown','fox','jumped','high'), 3, 4),
+        |  winnow_fingerprints(array('z','the','quick','brown','fox','jumped','away','now'), 3, 4))) > 0
+        |  AS shared""".stripMargin).head().getBoolean(0)
+    assert(got, "a shared >= w+k-1 token run must leave a shared fingerprint")
+  }
+
   test("LlmQueries.shingles (the production entry) equals the old chain on testdata") {
     val toks = Tables.tokens(col("text"))
     val df = Tables.documents(spark, "/root/testdata/sf0.001")
