@@ -812,6 +812,66 @@ object LlmQueries {
         .orderBy(col("da"), col("db"))
     }),
 
+    // Q64 — BPE-style adjacent-pair counts: the corpus statistics pass
+    // of byte-pair/word-piece vocabulary induction — count every
+    // ADJACENT token pair occurrence (all occurrences, not per-doc
+    // distinct like shingling) and rank. The pair emit is the native
+    // WordShingles expression in no-dedup mode (one codegen loop per
+    // row); pairs ride the count shuffle as single "t1 t2" strings —
+    // injective, since tokens are whitespace-split so can't contain
+    // the separator — and are split back only for the 30 result rows.
+    // Scale shape: map-side emit off the cached token arrays, ONE
+    // count-agg shuffle with partial aggregation (pair vocabulary ≪
+    // pair occurrences), top-k via TakeOrderedAndProject. This is the
+    // inner loop of iterative BPE training — each merge round is this
+    // query over a re-tokenized corpus.
+    "q64_bpe_pairs" -> ((s, d) =>
+      docToks(s, d)
+        .select(explode(org.apache.spark.sql.graftfns.TextFunctions
+          .shinglesAll(col("toks"), 2)).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+        .select(split_part(col("p"), lit(" "), lit(1)).as("t1"),
+          split_part(col("p"), lit(" "), lit(2)).as("t2"), col("cnt"))
+        .orderBy(col("cnt").desc, col("t1"), col("t2")).limit(30)),
+
+    // Q65 — cross-source shingle overlap matrix: for every source pair,
+    // how many distinct 3-gram shingles they share and the containment
+    // fraction each way — the corpus-provenance leakage report (how
+    // much of source A's content also appears in source B). ONE
+    // shingle-keyed shuffle does all the heavy work: collect_set
+    // dedupes (source, shingle) AND gathers each shingle's source set
+    // — bounded by the source cardinality (provenance tags are few by
+    // definition, no KeyedPairs cap needed), so even a stop-shingle in
+    // every source stays a |sources|-sized buffer. Each set then emits
+    // its singles (sb NULL → per-source index sizes) and ordered pairs
+    // (→ shared counts) in a single stream, so one tiny counts matrix
+    // (≤ |sources|² rows) serves both legs of the final assembly — the
+    // two consumers share the counts exchange (ReusedExchange), and
+    // the size joins are broadcast.
+    "q65_source_overlap" -> ((s, d) => {
+      val ss = spread(documents(s, d), col("doc_id"))
+        .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+        .groupBy(col("sh")).agg(sort_array(collect_set(col("source"))).as("ss"))
+      val counts = ss
+        .select(explode(flatten(transform(sequence(lit(1), size(col("ss"))), i =>
+          transform(sequence(i, size(col("ss"))), j =>
+            struct(try_element_at(col("ss"), i).as("sa"),
+              when(j > i, try_element_at(col("ss"), j))
+                .otherwise(lit(null).cast("string")).as("sb")))))).as("p"))
+        .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("cnt"))
+      val sizes = counts.filter(col("sb").isNull)
+        .select(col("sa").as("source"), col("cnt").as("n_sh"))
+      val ov = counts.filter(col("sb").isNotNull)
+        .select(col("sa").as("src_a"), col("sb").as("src_b"), col("cnt").as("shared"))
+      ov.join(broadcast(sizes).as("za"), col("src_a") === col("za.source"))
+        .join(broadcast(sizes).as("zb"), col("src_b") === col("zb.source"))
+        .select(col("src_a"), col("src_b"), col("shared"),
+          rk(col("shared").cast("double") / col("za.n_sh"), 6).as("cont_a"),
+          rk(col("shared").cast("double") / col("zb.n_sh"), 6).as("cont_b"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Q44 — TF-IDF top terms: tf = count/doc-length, idf =
     // ln((N+1)/(df+1)), top-20 (doc, term) pairs. Scale shape: two
     // shuffles of the (doc, token) pairs (tf agg, df agg + join keyed
@@ -1149,6 +1209,37 @@ object LlmQueries {
         |  GROUP BY 1, 2)
         |SELECT da, db, shared FROM p WHERE shared >= 3
         |ORDER BY da, db""".stripMargin,
+    "q64_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |           i -> {'t1': toks[i], 't2': toks[i+1]})) AS pr
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT pr.t1 AS t1, pr.t2 AS t2, COUNT(*) AS cnt
+        |FROM p GROUP BY 1, 2
+        |ORDER BY cnt DESC, t1, t2 LIMIT 30""".stripMargin,
+    "q65_source_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |  FROM t WHERE len(toks) >= 3),
+        |sz AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |ov AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared,
+        |  FLOOR(CAST(shared AS DOUBLE) / za.n_sh * 1000000.0 + 0.5) / 1000000.0 AS cont_a,
+        |  FLOOR(CAST(shared AS DOUBLE) / zb.n_sh * 1000000.0 + 0.5) / 1000000.0 AS cont_b
+        |FROM ov JOIN sz za ON ov.src_a = za.source JOIN sz zb ON ov.src_b = zb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "q61_percentile_gate" ->
       """WITH b AS (
         |  SELECT lang, quantile_cont(n_chars, 0.05) AS lo,

@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * makes the interpreted overhead THE pipeline bottleneck — the same
   * bench-driven justification as [[DotProduct]] (SURVEY.md §7.3).
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, dedup: Boolean = true)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(n >= 1, s"shingle width must be >= 1, got $n")
@@ -38,7 +38,11 @@ case class WordShingles(child: Expression, n: Int)
     val toks = input.asInstanceOf[ArrayData]
     val sz = toks.numElements()
     if (sz < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    // LinkedHashSet (dedup) and ArrayList (all occurrences) share the
+    // java.util.Collection toArray contract — one loop serves both modes
+    val out: java.util.Collection[UTF8String] =
+      if (dedup) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](sz - n + 1)
     var i = 0
     while (i <= sz - n) {
       val parts = new Array[UTF8String](n)
@@ -47,10 +51,10 @@ case class WordShingles(child: Expression, n: Int)
         parts(k) = if (toks.isNullAt(i + k)) null else toks.getUTF8String(i + k)
         k += 1
       }
-      seen.add(UTF8String.concatWs(space, parts: _*))
+      out.add(UTF8String.concatWs(space, parts: _*))
       i += 1
     }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -63,12 +67,15 @@ case class WordShingles(child: Expression, n: Int)
       val k = ctx.freshName("k")
       val utf8 = classOf[UTF8String].getName
       val gad = classOf[GenericArrayData].getName
+      val coll =
+        if (dedup) s"new java.util.LinkedHashSet<$utf8>()"
+        else s"new java.util.ArrayList<$utf8>($sz - $n + 1)"
       s"""
          |int $sz = $c.numElements();
          |if ($sz < $n) {
          |  ${ev.value} = new $gad(new Object[0]);
          |} else {
-         |  java.util.LinkedHashSet<$utf8> $seen = new java.util.LinkedHashSet<$utf8>();
+         |  java.util.Collection<$utf8> $seen = $coll;
          |  $utf8[] $parts = new $utf8[$n];
          |  for (int $i = 0; $i <= $sz - $n; $i++) {
          |    for (int $k = 0; $k < $n; $k++) {
@@ -299,6 +306,13 @@ object TextFunctions {
   /** Column API for native shingling (token array -> distinct n-grams). */
   def shingles(toks: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(toks), n))
+
+  /** All n-gram occurrences in position order (no dedup) — the
+    * frequency-counting variant (BPE pair statistics, n-gram LMs).
+    */
+  def shinglesAll(toks: Column, n: Int): Column =
+    ExpressionUtils.column(
+      WordShingles(ExpressionUtils.expression(toks), n, dedup = false))
 
   /** Column API for the native map-only SimHash (token array -> long). */
   def simhash64(toks: Column): Column =

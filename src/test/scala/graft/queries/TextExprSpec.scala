@@ -94,6 +94,33 @@ class TextExprSpec extends SparkTestBase {
     assert(got, "simhash must be order- and duplicate-insensitive")
   }
 
+  test("shinglesAll (no-dedup mode) matches the interpreted transform chain") {
+    // all-occurrence n-grams in position order: the q64 BPE-pair emit
+    val rng = new scala.util.Random(17)
+    val alphabet = Seq("a", "bb", "query", "", "ñü", "the", "a b", "x")
+    val rows = (0 until 300).map { _ =>
+      val len = rng.nextInt(9)
+      Row(Seq.fill(len)(alphabet(rng.nextInt(alphabet.size))))
+    } ++ Seq(Row(null), Row(Seq[String]()), Row(Seq("solo")),
+      Row(Seq(null, "a", null, "b")), Row(Seq("d", "d", "d", "d")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    for (n <- 1 to 3) {
+      val interp = when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+      val out = df.select(
+        coalesce(TextFunctions.shinglesAll(col("toks"), n),
+          array().cast("array<string>")).as("native"),
+        interp.as("interp")).collect()
+      out.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n row=$i: native=${r.getSeq[String](0)} interp=${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   /** the pre-round-4 interpreted q63 derivation, kept as the test oracle */
   private def hofWinnow(toks: org.apache.spark.sql.Column, k: Int, w: Int) = {
     def polyHash(str: org.apache.spark.sql.Column) =
