@@ -872,6 +872,48 @@ object LlmQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // Q66 — sequence packing (concat-and-chunk training prep): lay the
+    // corpus out in doc_id order as one token stream and cut it into
+    // fixed 2048-token training sequences — each doc's pack id and
+    // offset within its pack. The global running token count is the
+    // PrefixSum operator: a two-phase distributed scan (range shuffle,
+    // per-partition totals, map-side offsets), never the
+    // single-partition `SUM() OVER (ORDER BY)` window that a naive
+    // translation would plan — the difference between a 100 TB pack
+    // job finishing and one task owning the corpus.
+    "q66_sequence_packing" -> ((s, d) => {
+      val seqLen = 2048L
+      val toks = docToks(s, d)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+      graft.operators.PrefixSum
+        .exclusive(toks, Seq(col("doc_id")), col("n_tok"), "tok_start")
+        .select(col("doc_id"), col("n_tok"),
+          floor(col("tok_start") / seqLen).cast("long").as("pack_id"),
+          pmod(col("tok_start"), lit(seqLen)).as("pack_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q67 — mixture re-weighting: per-source token share and the
+    // repeat factor that equalizes the training mixture (weight =
+    // uniform target share / actual share — the DoReMi/Pile-style
+    // static mixture table). One count-agg shuffle to source
+    // cardinality; the totals row is a broadcast crossJoin back onto
+    // the tiny per-source table (the two consumers share the agg
+    // exchange).
+    "q67_mixture_weights" -> ((s, d) => {
+      val perSrc = spread(documents(s, d), col("doc_id"))
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("toks"), count(lit(1)).as("docs"))
+      val tot = perSrc
+        .agg(sum(col("toks")).as("tot_toks"), count(lit(1)).as("n_src"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("toks"), col("docs"),
+          rk(col("toks").cast("double") / col("tot_toks"), 6).as("share"),
+          rk(col("tot_toks").cast("double") / (col("n_src") * col("toks")), 6).as("weight"))
+        .orderBy(col("source"))
+    }),
+
     // Q44 — TF-IDF top terms: tf = count/doc-length, idf =
     // ln((N+1)/(df+1)), top-20 (doc, term) pairs. Scale shape: two
     // shuffles of the (doc, token) pairs (tf agg, df agg + join keyed
@@ -1240,6 +1282,30 @@ object LlmQueries {
         |  FLOOR(CAST(shared AS DOUBLE) / zb.n_sh * 1000000.0 + 0.5) / 1000000.0 AS cont_b
         |FROM ov JOIN sz za ON ov.src_a = za.source JOIN sz zb ON ov.src_b = zb.source
         |ORDER BY src_a, src_b""".stripMargin,
+    "q66_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+        |  FROM t)
+        |SELECT doc_id, n_tok, pre // 2048 AS pack_id, pre % 2048 AS pack_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q67_mixture_weights" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS toks, COUNT(*) AS docs
+        |      FROM t GROUP BY 1),
+        |g AS (SELECT CAST(SUM(toks) AS BIGINT) AS tot_toks, COUNT(*) AS n_src FROM s)
+        |SELECT source, toks, docs,
+        |  FLOOR(CAST(toks AS DOUBLE) / tot_toks * 1000000.0 + 0.5) / 1000000.0 AS share,
+        |  FLOOR(CAST(tot_toks AS DOUBLE) / (n_src * toks) * 1000000.0 + 0.5) / 1000000.0 AS weight
+        |FROM s, g ORDER BY source""".stripMargin,
     "q61_percentile_gate" ->
       """WITH b AS (
         |  SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
