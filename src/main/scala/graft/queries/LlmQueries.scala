@@ -98,7 +98,29 @@ object LlmQueries {
     pairsCache.clear()
     docToksCache.values.forEach(df => { df.unpersist(); () })
     docToksCache.clear()
+    simhashCache.values.forEach(df => { df.unpersist(); () })
+    simhashCache.clear()
     modelCache.clear()
+  }
+
+  /** (doc_id, simhash) memoized per (session, dir) — 16 bytes/doc. The
+    * cache boundary matters more than the reuse: without it the
+    * optimizer collapses the isNotNull filter into the projection and
+    * re-evaluates simhash64 per row (once in the Filter condition,
+    * once in the Project), and KeyedPairs' three consumers (hot count,
+    * small path, big path) each rebuild the whole derivation. The
+    * InMemoryRelation stops both — simhash64 runs exactly once per doc.
+    */
+  private val simhashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def simhashes(s: SparkSession, d: String): DataFrame = {
+    simhashCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    simhashCache.computeIfAbsent((s, d), _ =>
+      docToks(s, d)
+        .select(col("doc_id"),
+          org.apache.spark.sql.graftfns.TextFunctions.simhash64(col("toks")).as("simhash"))
+        .filter(col("simhash").isNotNull)
+        .persist())
   }
 
   /** Trained ANN models (IVF centroids, PQ codebooks) memoized per
@@ -189,11 +211,10 @@ object LlmQueries {
     // this query; now per-doc state never leaves the row (bit-equality
     // proven in TextExprSpec; ties 2*S_b == N break to 0 both ways).
     // Docs with no usable tokens get NULL (the groupBy form dropped
-    // them) — filtered here.
-    val sim = docToks(s, d)
-      .select(col("doc_id"),
-        org.apache.spark.sql.graftfns.TextFunctions.simhash64(col("toks")).as("simhash"))
-      .filter(col("simhash").isNotNull)
+    // them) — filtered behind the simhashes cache boundary (which also
+    // stops the optimizer re-evaluating simhash64 inside the filter
+    // and once per KeyedPairs consumer).
+    val sim = simhashes(s, d)
     val blocks = sim.select(col("doc_id"), col("simhash"),
         explode(array((0 until nBlocks).map(k =>
           struct(lit(k).as("blk"),

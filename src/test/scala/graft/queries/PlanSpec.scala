@@ -102,8 +102,16 @@ class PlanSpec extends SparkTestBase {
   test("q48: repetition scoring is map-only — no join, no aggregation shuffle") {
     val p = plan("q48_repetition")
     assert(!p.toLowerCase.contains("join"), s"q48 plans a join:\n$p")
-    // allowed Exchanges: the spread repartition + the final orderBy sort
-    assert(p.linesIterator.count(_.contains("Exchange")) <= 2, s"extra shuffle:\n$p")
+    // allowed Exchanges: the spread repartition + the final orderBy sort.
+    // Count PHYSICAL shuffle nodes, not string matches — the string
+    // rendering inlines InMemoryRelation's cached plan, whose internal
+    // exchanges vary with which suite materialized the shared caches
+    // first (see the verify-skill cache-partitioning gotcha).
+    val df = graft.SparkEntry.queries("q48_repetition")(spark, sf)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 2, s"extra shuffle:\n$p")
   }
 
   test("q50: quantized top-k broadcasts only the query vector, TakeOrdered for top-5") {
