@@ -870,8 +870,12 @@ object LlmQueries {
     // two consumers share the counts exchange (ReusedExchange), and
     // the size joins are broadcast.
     "q65_source_overlap" -> ((s, d) => {
-      val ss = spread(documents(s, d), col("doc_id"))
-        .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+      // shingle derivation comes from the shared shingleSets cache (the
+      // dedup family's staged corpus); only the doc_id -> source
+      // attribute join is new — broadcast/co-keyed, never a re-derive
+      val ss = shingleSets(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), explode(col("sh")).as("sh"))
         .groupBy(col("sh")).agg(sort_array(collect_set(col("source"))).as("ss"))
       val counts = ss
         .select(explode(flatten(transform(sequence(lit(1), size(col("ss"))), i =>
