@@ -939,6 +939,69 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // Q68 — FILTERED vector search: exact cosine top-5 restricted by a
+    // metadata predicate (lang = 'en') — the filtered-ANN feature of
+    // every production vector store. The predicate runs as a semi-join
+    // BEFORE any scoring, so non-matching vectors never enter the
+    // similarity pipeline; at index scale the same shape intersects
+    // IVF cell lists with the filter instead (the candidate set is
+    // pruned on both axes, never scored-then-filtered).
+    "q68_filtered_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      val keep = documents(s, d).filter(col("lang") === "en").select(col("doc_id"))
+      spread(e, col("vec_id"))
+        .join(keep, col("vec_id") === col("doc_id"), "left_semi")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .select(col("vec_id"),
+          (dotd(col("embedding"), col("qv")) / (l2(col("embedding")) * l2(col("qv")))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(5)
+        .select(col("vec_id"), rk(col("cos"), 6).as("cosine"))
+    }),
+
+    // Q69 — hybrid retrieval with reciprocal-rank fusion: the lexical
+    // leg (q44's tf-idf for one query term) and the vector leg (q25's
+    // cosine against one query vector) each produce a top-100 candidate
+    // list; RRF fuses them as Σ 1/(60+rank). Ranking happens AFTER the
+    // per-leg TakeOrdered top-k, so the only window runs over ≤ 100
+    // rows — the corpus is never globally ranked (fuse the lists, not
+    // the collection; standard practice and the scale-safe shape).
+    "q69_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val kCand = 100
+      val term = "spark"
+      val tok = docToks(s, d).select(col("doc_id"), explode(col("toks")).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf_cnt"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = broadcast(dl.select(count(lit(1)).as("n_docs")))
+      val lex = tf.filter(col("token") === term)
+        .join(dl, "doc_id").join(dfreq, "token").crossJoin(nDocs)
+        .select(col("doc_id"),
+          ((col("tf_cnt").cast("double") / col("dl")) *
+            log((col("n_docs") + 1).cast("double") / (col("df") + 1))).as("lscore"))
+        .orderBy(col("lscore").desc, col("doc_id")).limit(kCand)
+        .withColumn("rank_lex",
+          row_number().over(Window.orderBy(col("lscore").desc, col("doc_id"))))
+      val e = embeddings(s, d)
+      val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      val vec = spread(e, col("vec_id")).crossJoin(q)
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          (dotd(col("embedding"), col("qv")) / (l2(col("embedding")) * l2(col("qv")))).as("vscore"))
+        .orderBy(col("vscore").desc, col("doc_id")).limit(kCand)
+        .withColumn("rank_vec",
+          row_number().over(Window.orderBy(col("vscore").desc, col("doc_id"))))
+      lex.select(col("doc_id"), col("rank_lex"))
+        .join(vec.select(col("doc_id"), col("rank_vec")), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), rk(col("rrf"), 6).as("rrf"))
+    }),
+
     // Q44 — TF-IDF top terms: tf = count/doc-length, idf =
     // ln((N+1)/(df+1)), top-20 (doc, term) pairs. Scale shape: two
     // shuffles of the (doc, token) pairs (tf agg, df agg + join keyed
@@ -1307,6 +1370,61 @@ object LlmQueries {
         |  FLOOR(CAST(shared AS DOUBLE) / zb.n_sh * 1000000.0 + 0.5) / 1000000.0 AS cont_b
         |FROM ov JOIN sz za ON ov.src_a = za.source JOIN sz zb ON ov.src_b = zb.source
         |ORDER BY src_a, src_b""".stripMargin,
+    "q68_filtered_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT vec_id,
+        |         list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
+        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a,b) -> a+b)
+        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
+        |          * sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))) AS cos
+        |  FROM embeddings, q
+        |  WHERE vec_id <> 0
+        |    AND vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en'))
+        |SELECT vec_id, FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |FROM c ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
+    "q69_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf_cnt FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM dl),
+        |lexTop AS (
+        |  SELECT tf.doc_id,
+        |         (CAST(tf_cnt AS DOUBLE) / dl)
+        |           * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS lscore
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) CROSS JOIN nd
+        |  WHERE token = 'spark'
+        |  ORDER BY lscore DESC, tf.doc_id LIMIT 100),
+        |lex AS (SELECT doc_id,
+        |          ROW_NUMBER() OVER (ORDER BY lscore DESC, doc_id) AS rank_lex
+        |        FROM lexTop),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |vecTop AS (
+        |  SELECT vec_id AS doc_id,
+        |         list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, q),
+        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a,b) -> a+b)
+        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
+        |          * sqrt(list_reduce(list_prepend(0.0, list_transform(q,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))) AS vscore
+        |  FROM embeddings, qv WHERE vec_id <> 0
+        |  ORDER BY vscore DESC, doc_id LIMIT 100),
+        |vec AS (SELECT doc_id,
+        |          ROW_NUMBER() OVER (ORDER BY vscore DESC, doc_id) AS rank_vec
+        |        FROM vecTop),
+        |f AS (
+        |  SELECT doc_id,
+        |         COALESCE(CAST(1 AS DOUBLE) / (60 + rank_lex), 0)
+        |           + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_vec), 0) AS rrf
+        |  FROM lex FULL OUTER JOIN vec USING (doc_id))
+        |SELECT doc_id, FLOOR(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "q66_sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
