@@ -65,17 +65,22 @@ object KeyedPairs {
     // full input against its sizes.
     val hot = rows.groupBy(k: _*).agg(count(lit(1)).as(F)).filter(col(F) > cap)
 
-    // -- small buckets (everything not hot): classic in-row expansion,
-    // buffer ≤ cap guaranteed by the anti join.
-    // The explicit repartition keeps the (interpreted, byte-light)
-    // pair-expansion lambdas wide: AQE would coalesce the tiny
-    // post-agg shuffle to one partition and serialize the compute.
+    // -- small buckets (everything not hot): in-row expansion,
+    // buffer ≤ cap guaranteed by the anti join. The expansion itself is
+    // the native PairExpand expression — one eval per bucket instead of
+    // a nested lambda tree + CreateStruct per pair, which on pair-heavy
+    // corpora was the dominant cost of the whole stage.
+    // The explicit repartition keeps the (byte-light) expansion wide:
+    // AQE would coalesce the tiny post-agg shuffle to one partition and
+    // serialize the compute.
+    val emptyPs = array().cast(rows.schema(P).dataType match {
+      case t => org.apache.spark.sql.types.ArrayType(t)
+    })
     val small = rows.join(broadcast(hot.select(k: _*)), keys, "left_anti")
       .groupBy(k: _*).agg(collect_list(col(P)).as(PS))
       .repartition(nPart, k: _*)
-      .select(explode(flatten(transform(col(PS), x =>
-        transform(filter(col(PS), y => y > x),
-          y => struct(x.as("pa"), y.as("pb")))))).as(PR))
+      .select(explode(org.apache.spark.sql.graftfns.PairFunctions
+        .pairExpand(col(PS), emptyPs, lit(true))).as(PR))
 
     // -- big buckets: split members into nb = ⌈f/cap⌉ hash-blocks.
     // A row in block b joins group (b, j) for all j ≥ b as the A side,
@@ -98,18 +103,11 @@ object KeyedPairs {
       .agg(collect_list(when(col(ISA), col(P))).as(AS),
            collect_list(when(!col(ISA), col(P))).as(BS))
       .repartition(nPart, k ++ Seq(col(BI), col(BJ)): _*)
+    // within-block (bi == bj) and cross-block pairs in one native
+    // expression call per group (blocks differ => x ≠ y on the cross arm)
     val bigPairs = grouped.select(explode(
-      when(col(BI) === col(BJ),
-        // within-block pairs, ordered by payload
-        flatten(transform(col(AS), x =>
-          transform(filter(col(AS), y => y > x),
-            y => struct(x.as("pa"), y.as("pb"))))))
-        .otherwise(
-          // cross-block pairs: blocks differ, so x ≠ y always
-          flatten(transform(col(AS), x =>
-            transform(col(BS), y =>
-              when(x < y, struct(x.as("pa"), y.as("pb")))
-                .otherwise(struct(y.as("pa"), x.as("pb")))))))).as(PR))
+      org.apache.spark.sql.graftfns.PairFunctions
+        .pairExpand(col(AS), col(BS), col(BI) === col(BJ))).as(PR))
 
     small.unionByName(bigPairs)
       .select(col(s"$PR.pa").as("pa"), col(s"$PR.pb").as("pb"))
@@ -126,16 +124,8 @@ object KeyedPairs {
     */
   def allPairs(df: DataFrame, payload: Column, cap: Int): DataFrame =
     allPairsGrouped(df, payload, cap)
-      .select(explode(
-        when(col("bi") === col("bj"),
-          flatten(transform(col("as_"), x =>
-            transform(filter(col("as_"), y => y > x),
-              y => struct(x.as("pa"), y.as("pb"))))))
-          .otherwise(
-            flatten(transform(col("as_"), x =>
-              transform(col("bs"), y =>
-                when(x < y, struct(x.as("pa"), y.as("pb")))
-                  .otherwise(struct(y.as("pa"), x.as("pb")))))))).as("pr"))
+      .select(explode(org.apache.spark.sql.graftfns.PairFunctions
+        .pairExpand(col("as_"), col("bs"), col("bi") === col("bj"))).as("pr"))
       .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
 
   /** The block-pair GROUPS behind [[allPairs]], before pair expansion:

@@ -168,6 +168,103 @@ case class TopDotPairs(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native unordered-pair expansion over payload arrays — the fused
+  * replacement for KeyedPairs' interpreted in-row expansion
+  * (`flatten(transform(ps, x => transform(filter(ps, y => y > x), ...)))`
+  * and its cross-block sibling), which evaluates a nested lambda tree
+  * plus a CreateStruct per PAIR. On pair-heavy corpora that expansion
+  * is the dominant cost of the whole near-dup family (q27/q28/q29/
+  * q46/q63/q65): the amplified-corpus probe spends ~40s of its jaccard
+  * materialization in lambda evaluation alone. One eval call here does
+  * the whole bucket with a tight double loop and one comparator.
+  *
+  * Semantics are EXACTLY the interpreted forms:
+  *  - `diag` true (the bucket itself, `bs` ignored): every unordered
+  *    pair {x, y} of distinct-valued elements of `as`, oriented
+  *    pa < pb by the payload's natural (struct) ordering; equal-valued
+  *    elements pair with nothing (the `y > x` filter's behavior —
+  *    exact-duplicate payloads cannot order themselves).
+  *  - `diag` false: every (x, y) of `as` × `bs`, oriented by the same
+  *    ordering with ties going (y, x) (the `when(x < y, ...)`
+  *    otherwise-branch). Cross blocks never hold equal payloads (equal
+  *    values hash to the same block), so the tie arm is vestigial but
+  *    preserved bit-for-bit.
+  *
+  * CodegenFallback for the same reason as [[TopDotPairs]]: one call
+  * does O(f²) work, so per-call interpretation overhead vanishes.
+  */
+case class PairExpand(as: Expression, bs: Expression, diag: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(as, bs, diag)
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  private def elemType: DataType = as.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (as.dataType, bs.dataType, diag.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _), BooleanType) if a.sameType(b) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pair_expand needs two arrays of the same element type and a boolean, " +
+            s"got ${as.dataType}, ${bs.dataType}, ${diag.dataType}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pa", elemType), StructField("pb", elemType))), containsNull = false)
+  override def prettyName: String = "pair_expand"
+
+  @transient private lazy val ordering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(elemType)
+
+  override def eval(input: InternalRow): Any = {
+    val a = as.eval(input).asInstanceOf[ArrayData]
+    val b = bs.eval(input).asInstanceOf[ArrayData]
+    val d = diag.eval(input).asInstanceOf[Boolean]
+    val et = elemType
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    if (d) {
+      val n = a.numElements()
+      var i = 0
+      while (i < n) {
+        val x = a.get(i, et)
+        var j = i + 1
+        while (j < n) {
+          val y = a.get(j, et)
+          val c = ordering.compare(x, y)
+          if (c < 0) out += InternalRow(x, y)
+          else if (c > 0) out += InternalRow(y, x)
+          // c == 0: equal payloads pair with nothing (y > x filter)
+          j += 1
+        }
+        i += 1
+      }
+    } else {
+      val n = a.numElements(); val m = b.numElements()
+      var i = 0
+      while (i < n) {
+        val x = a.get(i, et)
+        var j = 0
+        while (j < m) {
+          val y = b.get(j, et)
+          if (ordering.compare(x, y) < 0) out += InternalRow(x, y)
+          else out += InternalRow(y, x) // ties go (y, x): the otherwise-branch
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(as = newChildren(0), bs = newChildren(1), diag = newChildren(2))
+}
+
 object PairFunctions {
   /** Column API: per-group top-k cosine pairs over (id, embedding, nrm)
     * struct arrays — see [[TopDotPairs]].
@@ -175,4 +272,9 @@ object PairFunctions {
   def topDotPairs(as: Column, bs: Column, k: Int): Column =
     ExpressionUtils.column(TopDotPairs(
       ExpressionUtils.expression(as), ExpressionUtils.expression(bs), k))
+
+  /** Column API: native bucket pair expansion — see [[PairExpand]]. */
+  def pairExpand(as: Column, bs: Column, diag: Column): Column =
+    ExpressionUtils.column(PairExpand(ExpressionUtils.expression(as),
+      ExpressionUtils.expression(bs), ExpressionUtils.expression(diag)))
 }

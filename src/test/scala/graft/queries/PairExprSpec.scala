@@ -70,4 +70,40 @@ class PairExprSpec extends SparkTestBase {
     assert(fused.map(t => (t._1, t._2)) == Seq((0L, 1L)))
     assert(math.abs(fused.head._3 - 1.0) < 1e-9)
   }
+
+  test("PairExpand matches the interpreted expansion, incl. duplicates and ties") {
+    // the pre-PairExpand interpreted forms, kept as the test oracle
+    val rng = new scala.util.Random(53)
+    val rows = (0 until 200).map { g =>
+      // duplicate-heavy payloads: ids drawn from a tiny domain so equal
+      // structs occur often (the y > x filter's equal-skip corner)
+      val n = rng.nextInt(7)
+      val m = rng.nextInt(7)
+      val mk = () => (rng.nextInt(5).toLong, rng.nextInt(3))
+      (g, Seq.fill(n)(mk()), Seq.fill(m)(mk()), rng.nextBoolean())
+    }
+    val df = rows.toDF("g", "as_", "bs", "diag")
+      .select(col("g"),
+        col("as_").cast("array<struct<id:bigint,n:int>>").as("as_"),
+        col("bs").cast("array<struct<id:bigint,n:int>>").as("bs"), col("diag"))
+    val interp = when(col("diag"),
+      flatten(transform(col("as_"), x =>
+        transform(filter(col("as_"), y => y > x),
+          y => struct(x.as("pa"), y.as("pb"))))))
+      .otherwise(flatten(transform(col("as_"), x =>
+        transform(col("bs"), y =>
+          when(x < y, struct(x.as("pa"), y.as("pb")))
+            .otherwise(struct(y.as("pa"), x.as("pb")))))))
+    val out = df.select(col("g"),
+      PairFunctions.pairExpand(col("as_"), col("bs"), col("diag")).as("native"),
+      interp.as("interp")).collect()
+    out.foreach { r =>
+      // MULTISET equality: emission order differs (positional i<j loop
+      // vs x-major lambda iteration) and is irrelevant — every consumer
+      // explodes the array into an aggregation
+      def ms(i: Int) = r.getSeq[Any](i).map(_.toString).sorted
+      assert(ms(1) == ms(2),
+        s"g=${r.getInt(0)}: native=${r.getSeq[Any](1)} interp=${r.getSeq[Any](2)}")
+    }
+  }
 }
