@@ -174,6 +174,40 @@ object StreamingOps {
       .filter(col("bloom_overlap").cast("double") / col("n_shingles") >= minOverlap)
   }
 
+  /** Stream-stream interval join: enrich each left-stream row with the
+    * right-stream rows for the same key whose event time falls inside
+    * [left.ts - lower, left.ts + upper] — the streaming form of the
+    * as-of/range-join family (batch q22/q23/q58). Both sides carry
+    * watermarks, and the time-bound condition is what lets Spark PURGE
+    * state: a right row is dropped once the left watermark passes
+    * right.ts + lower, so state is bounded by (watermark + interval),
+    * never by stream length. Inner join only here — outer interval
+    * joins emit nulls on watermark expiry and belong to the caller's
+    * latency budget, not a library default.
+    *
+    * Column names must be distinct across the two sides except for
+    * `key` (standard streaming-join hygiene; the require makes the
+    * ambiguity an error instead of a silent resolution).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   leftWatermark: String = "30 seconds",
+                   rightWatermark: String = "30 seconds",
+                   lower: String = "10 seconds",
+                   upper: String = "0 seconds"): DataFrame = {
+    val overlap = (left.columns.toSet intersect right.columns.toSet) - key
+    require(overlap.isEmpty,
+      s"both sides define ${overlap.mkString(", ")}; rename before joining")
+    require(leftTs != rightTs, "the two event-time columns must be named differently")
+    val l = left.withWatermark(leftTs, leftWatermark).alias("l")
+    val r = right.withWatermark(rightTs, rightWatermark).alias("r")
+    l.join(r, expr(
+      s"""l.$key = r.$key AND
+         |$rightTs >= $leftTs - INTERVAL $lower AND
+         |$rightTs <= $leftTs + INTERVAL $upper""".stripMargin))
+      .drop(r.col(key))
+  }
+
   /** File-stream source over a bag-ETL output directory: the "live
     * rosnode" analog — as new per-type parquet files land, they flow
     * through the same relational ops. Caller supplies the schema

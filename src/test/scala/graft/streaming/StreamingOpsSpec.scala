@@ -202,4 +202,37 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(flagged.size < docs.size / 2,
       s"screen passed ${flagged.size}/${docs.size} docs - not screening")
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // orders enriched with the user's events from the preceding 10s
+    val orders = Seq((1L, ts(100), "o1"), (1L, ts(130), "o2"),
+      (2L, ts(105), "o3"), (3L, ts(110), "o4"))
+    val events = Seq((1L, ts(95), "click"), (1L, ts(99), "view"),
+      (1L, ts(125), "click"), (2L, ts(104), "view"),
+      (2L, ts(90), "stale"), (3L, ts(111), "late"))
+    val lMem = MemoryStream[(Long, Timestamp, String)]
+    val rMem = MemoryStream[(Long, Timestamp, String)]
+    lMem.addData(orders: _*)
+    rMem.addData(events: _*)
+    val joined = intervalJoin(
+      lMem.toDF().toDF("user_id", "ots", "order_id"),
+      rMem.toDF().toDF("user_id", "ets", "etype"),
+      key = "user_id", leftTs = "ots", rightTs = "ets",
+      lower = "10 seconds", upper = "0 seconds")
+    runBatches(joined.writeStream.format("memory").queryName("ivj").outputMode("append"))
+    val got = spark.table("ivj")
+      .select("order_id", "etype").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = orders.toDF("user_id", "ots", "order_id")
+      .join(events.toDF("user_id", "ets", "etype"), Seq("user_id"))
+      .filter(col("ets") >= col("ots") - expr("INTERVAL 10 seconds") &&
+        col("ets") <= col("ots"))
+      .select("order_id", "etype").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == batch, s"stream=$got batch=$batch")
+    // the time bound actually prunes: the stale and late events match nothing
+    assert(!got.exists(_._2 == "stale") && !got.exists(_._2 == "late"))
+  }
 }
