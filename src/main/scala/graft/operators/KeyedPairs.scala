@@ -73,9 +73,8 @@ object KeyedPairs {
     // The explicit repartition keeps the (byte-light) expansion wide:
     // AQE would coalesce the tiny post-agg shuffle to one partition and
     // serialize the compute.
-    val emptyPs = array().cast(rows.schema(P).dataType match {
-      case t => org.apache.spark.sql.types.ArrayType(t)
-    })
+    val emptyPs = array().cast(
+      org.apache.spark.sql.types.ArrayType(rows.schema(P).dataType))
     val small = rows.join(broadcast(hot.select(k: _*)), keys, "left_anti")
       .groupBy(k: _*).agg(collect_list(col(P)).as(PS))
       .repartition(nPart, k: _*)

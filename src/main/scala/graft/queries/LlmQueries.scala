@@ -348,7 +348,7 @@ object LlmQueries {
       val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
       graft.operators.KeyedPairs.allPairsGrouped(e, payload, cap = 256)
         .select(explode(org.apache.spark.sql.graftfns.PairFunctions
-          .topDotPairs(col("as_"), col("bs"), 20)).as("pr"))
+          .topDotPairs(col("as_"), col("bs"), col("bi") === col("bj"), 20)).as("pr"))
         .select(col("pr.va").as("va"), col("pr.vb").as("vb"), col("pr.cos").as("cos"))
         .orderBy(col("cos").desc, col("va"), col("vb")).limit(20)
         .select(col("va"), col("vb"), rk(col("cos"), 6).as("cosine"))
@@ -912,8 +912,10 @@ object LlmQueries {
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
       graft.operators.PrefixSum
         .exclusive(toks, Seq(col("doc_id")), col("n_tok"), "tok_start")
+        // integer DIV, not floor(double /): tok_start past 2^53 would
+        // lose low bits in the double and disagree with the exact pmod
         .select(col("doc_id"), col("n_tok"),
-          floor(col("tok_start") / seqLen).cast("long").as("pack_id"),
+          expr(s"tok_start div $seqLen").as("pack_id"),
           pmod(col("tok_start"), lit(seqLen)).as("pack_offset"))
         .orderBy(col("doc_id"))
     }),
@@ -971,16 +973,10 @@ object LlmQueries {
       import org.apache.spark.sql.expressions.Window
       val kCand = 100
       val term = "spark"
-      val tok = docToks(s, d).select(col("doc_id"), explode(col("toks")).as("token"))
-      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf_cnt"))
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val nDocs = broadcast(dl.select(count(lit(1)).as("n_docs")))
+      val (tf, dl, dfreq, nDocs) = tfidfStats(s, d)
       val lex = tf.filter(col("token") === term)
         .join(dl, "doc_id").join(dfreq, "token").crossJoin(nDocs)
-        .select(col("doc_id"),
-          ((col("tf_cnt").cast("double") / col("dl")) *
-            log((col("n_docs") + 1).cast("double") / (col("df") + 1))).as("lscore"))
+        .select(col("doc_id"), tfidfScore.as("lscore"))
         .orderBy(col("lscore").desc, col("doc_id")).limit(kCand)
         .withColumn("rank_lex",
           row_number().over(Window.orderBy(col("lscore").desc, col("doc_id"))))
@@ -1009,20 +1005,35 @@ object LlmQueries {
     // force-broadcast because a web-scale vocabulary outgrows the
     // driver; AQE picks broadcast when it fits.
     "q44_tfidf" -> ((s, d) => {
-      val tok = docToks(s, d)
-        .select(col("doc_id"), explode(col("toks")).as("token"))
-      val tf = tok.groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf_cnt"))
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val nDocs = broadcast(dl.select(count(lit(1)).as("n_docs")))
+      val (tf, dl, dfreq, nDocs) = tfidfStats(s, d)
       tf.join(dl, "doc_id").join(dfreq, "token").crossJoin(nDocs)
-        .select(col("doc_id"), col("token"),
-          rk((col("tf_cnt").cast("double") / col("dl")) *
-             log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6).as("tfidf"))
+        .select(col("doc_id"), col("token"), rk(tfidfScore, 6).as("tfidf"))
         .orderBy(col("tfidf").desc, col("doc_id"), col("token")).limit(20)
     })
   )
+
+  /** The tf-idf corpus statistics shared by q44 and q69's lexical leg:
+    * (tf, dl, dfreq, nDocs). Two shuffles of the (doc, token) pairs and
+    * a 1-row broadcast; document-frequency is NOT force-broadcast (a
+    * web-scale vocabulary outgrows the driver — AQE picks broadcast
+    * when it fits).
+    */
+  private def tfidfStats(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tok = docToks(s, d).select(col("doc_id"), explode(col("toks")).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf_cnt"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(dl.select(count(lit(1)).as("n_docs")))
+    (tf, dl, dfreq, nDocs)
+  }
+
+  /** tf/dl × ln((N+1)/(df+1)) over the tfidfStats column names — ONE
+    * definition so q44 and q69 cannot drift apart.
+    */
+  private def tfidfScore: Column =
+    (col("tf_cnt").cast("double") / col("dl")) *
+      log((col("n_docs") + 1).cast("double") / (col("df") + 1))
 
   private val ContaminationSql =
     """WITH t AS (

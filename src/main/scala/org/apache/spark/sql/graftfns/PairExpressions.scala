@@ -33,27 +33,37 @@ import org.apache.spark.sql.types._
   * `dotd(pa.embedding, pb.embedding) / (pa.nrm * pb.nrm)`.
   *
   * Input: two arrays of struct(id LONG, embedding ARRAY<FLOAT>,
-  * nrm DOUBLE). When `right` is empty this is a DIAGONAL block (pairs
-  * within `left`, id-ascending); otherwise every cross pair, oriented
-  * va < vb. Pairs whose vectors differ in length or hold null
-  * elements are skipped (the unfused form gave them NULL cosine,
-  * which a descending ranker also never surfaced). Zero-norm vectors
-  * are skipped too — a DELIBERATE divergence: the unfused form throws
-  * DIVIDE_BY_ZERO under ANSI, and a vector with no direction cannot
-  * be anyone's near-duplicate. Ranking: (cos desc, va asc, vb asc) —
-  * ties break identically to the global orderBy, so per-task top-k
-  * composes exactly with a downstream TakeOrderedAndProject.
+  * nrm DOUBLE) plus an explicit `diag` boolean. When `diag` is true
+  * this is a DIAGONAL block (pairs within `left`, id-ascending, and
+  * `right` is ignored); otherwise every cross pair, oriented va < vb.
+  * The flag must be EXPLICIT (bi === bj), not inferred from `right`
+  * being empty: a cross block-pair group whose right block happened to
+  * receive no rows also has an empty right side, and inferring
+  * diagonal there would re-emit the left block's internal pairs — a
+  * duplicate of the true diagonal group's output. Pairs whose vectors
+  * differ in length or hold null elements are skipped (the unfused
+  * form gave them NULL cosine, which a descending ranker also never
+  * surfaced). Zero-norm vectors are skipped too — a DELIBERATE
+  * divergence: the unfused form throws DIVIDE_BY_ZERO under ANSI, and
+  * a vector with no direction cannot be anyone's near-duplicate.
+  * Ranking: (cos desc, va asc, vb asc) — ties break identically to
+  * the global orderBy, so per-task top-k composes exactly with a
+  * downstream TakeOrderedAndProject.
   */
-case class TopDotPairs(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+case class TopDotPairs(left: Expression, right: Expression, diag: Expression, k: Int)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
 
   require(k >= 1, s"k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(left, right, diag)
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
 
   private val sideType = ArrayType(StructType(Seq(
     StructField("id", LongType), StructField("embedding", ArrayType(FloatType)),
     StructField("nrm", DoubleType))))
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(sideType, sideType)
+  override def inputTypes: Seq[AbstractDataType] = Seq(sideType, sideType, BooleanType)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("va", LongType, nullable = false),
     StructField("vb", LongType, nullable = false),
@@ -98,9 +108,16 @@ case class TopDotPairs(left: Expression, right: Expression, k: Int)
     acc
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    val d = diag.eval(input)
+    if (l == null || d == null || (d == false && r == null))
+      return new GenericArrayData(Array.empty[Any])
     val (aIds, aEmb, aNrm) = extract(l.asInstanceOf[ArrayData])
-    val (bIds, bEmb, bNrm) = extract(r.asInstanceOf[ArrayData])
+    val (bIds, bEmb, bNrm) =
+      if (d.asInstanceOf[Boolean]) (Array.empty[Long], Array.empty[Array[Float]], Array.empty[Double])
+      else extract(r.asInstanceOf[ArrayData])
     // min-heap on goodness: the ROOT is the worst kept pair, evicted
     // when a better one arrives. Comparator = (cos asc, va desc, vb
     // desc), i.e. the REVERSE of the output ranking.
@@ -118,7 +135,7 @@ case class TopDotPairs(left: Expression, right: Expression, k: Int)
       heap.add((cos, va, vb))
       if (heap.size > k) heap.poll()
     }
-    if (bIds.length == 0) {
+    if (d.asInstanceOf[Boolean]) {
       // diagonal: pairs within left, lower id as A
       var i = 0
       while (i < aIds.length) {
@@ -164,8 +181,9 @@ case class TopDotPairs(left: Expression, right: Expression, k: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1), diag = newChildren(2))
 }
 
 /** Native unordered-pair expansion over payload arrays — the fused
@@ -223,22 +241,31 @@ case class PairExpand(as: Expression, bs: Expression, diag: Expression)
   override def eval(input: InternalRow): Any = {
     val a = as.eval(input).asInstanceOf[ArrayData]
     val b = bs.eval(input).asInstanceOf[ArrayData]
-    val d = diag.eval(input).asInstanceOf[Boolean]
+    val d = diag.eval(input)
+    // null inputs pair with nothing — the interpreted forms produced a
+    // null array there, which every consumer's explode dropped; an
+    // empty array is the same downstream without the null channel
+    if (a == null || d == null || (d == false && b == null))
+      return new GenericArrayData(Array.empty[Any])
     val et = elemType
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    if (d) {
+    if (d.asInstanceOf[Boolean]) {
       val n = a.numElements()
       var i = 0
       while (i < n) {
         val x = a.get(i, et)
-        var j = i + 1
-        while (j < n) {
-          val y = a.get(j, et)
-          val c = ordering.compare(x, y)
-          if (c < 0) out += InternalRow(x, y)
-          else if (c > 0) out += InternalRow(y, x)
-          // c == 0: equal payloads pair with nothing (y > x filter)
-          j += 1
+        if (x != null) { // null x: `y > null` is null for every y — no pairs
+          var j = i + 1
+          while (j < n) {
+            val y = a.get(j, et)
+            if (y != null) { // null y: dropped by the three-valued filter
+              val c = ordering.compare(x, y)
+              if (c < 0) out += InternalRow(x, y)
+              else if (c > 0) out += InternalRow(y, x)
+              // c == 0: equal payloads pair with nothing (y > x filter)
+            }
+            j += 1
+          }
         }
         i += 1
       }
@@ -250,8 +277,11 @@ case class PairExpand(as: Expression, bs: Expression, diag: Expression)
         var j = 0
         while (j < m) {
           val y = b.get(j, et)
-          if (ordering.compare(x, y) < 0) out += InternalRow(x, y)
-          else out += InternalRow(y, x) // ties go (y, x): the otherwise-branch
+          // null x or y: `x < y` is null, so the interpreted when()
+          // took its otherwise-branch — (y, x), null and all
+          if (x != null && y != null && ordering.compare(x, y) < 0)
+            out += InternalRow(x, y)
+          else out += InternalRow(y, x) // ties and nulls go (y, x)
           j += 1
         }
         i += 1
@@ -267,11 +297,13 @@ case class PairExpand(as: Expression, bs: Expression, diag: Expression)
 
 object PairFunctions {
   /** Column API: per-group top-k cosine pairs over (id, embedding, nrm)
-    * struct arrays — see [[TopDotPairs]].
+    * struct arrays; `diag` marks the within-block group — see
+    * [[TopDotPairs]].
     */
-  def topDotPairs(as: Column, bs: Column, k: Int): Column =
+  def topDotPairs(as: Column, bs: Column, diag: Column, k: Int): Column =
     ExpressionUtils.column(TopDotPairs(
-      ExpressionUtils.expression(as), ExpressionUtils.expression(bs), k))
+      ExpressionUtils.expression(as), ExpressionUtils.expression(bs),
+      ExpressionUtils.expression(diag), k))
 
   /** Column API: native bucket pair expansion — see [[PairExpand]]. */
   def pairExpand(as: Column, bs: Column, diag: Column): Column =

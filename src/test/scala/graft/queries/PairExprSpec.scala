@@ -21,7 +21,8 @@ class PairExprSpec extends SparkTestBase {
       .withColumn("nrm", LlmQueries.l2(col("embedding")))
     val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
     graft.operators.KeyedPairs.allPairsGrouped(e, payload, cap)
-      .select(explode(PairFunctions.topDotPairs(col("as_"), col("bs"), k)).as("pr"))
+      .select(explode(PairFunctions.topDotPairs(
+        col("as_"), col("bs"), col("bi") === col("bj"), k)).as("pr"))
       .select(col("pr.va"), col("pr.vb"), col("pr.cos"))
       .orderBy(col("cos").desc, col("va"), col("vb")).limit(k)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
@@ -69,6 +70,30 @@ class PairExprSpec extends SparkTestBase {
     val fused = topK(vecs, 3, cap = 8)
     assert(fused.map(t => (t._1, t._2)) == Seq((0L, 1L)))
     assert(math.abs(fused.head._3 - 1.0) < 1e-9)
+  }
+
+  test("empty cross block emits NOTHING — diag comes from the flag, not from bs") {
+    // the bug this pins: a cross block-pair group whose right block got
+    // no rows also has an empty bs; inferring 'diagonal' from emptiness
+    // re-emits the left block's internal pairs (duplicates in the
+    // output). Both fused expressions take diag explicitly now.
+    val e = Seq((0L, Seq(1f, 0f)), (1L, Seq(1f, 0.1f)), (2L, Seq(1f, 0.2f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("nrm", LlmQueries.l2(col("embedding")))
+    val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
+    val row = e.agg(collect_list(payload).as("all")).select(
+      PairFunctions.topDotPairs(col("all"),
+        expr("CAST(array() AS array<struct<id:bigint,embedding:array<float>,nrm:double>>)"),
+        lit(false), 10).as("cross_empty"),
+      PairFunctions.topDotPairs(col("all"),
+        expr("CAST(array() AS array<struct<id:bigint,embedding:array<float>,nrm:double>>)"),
+        lit(true), 10).as("diag"),
+      PairFunctions.pairExpand(col("all"),
+        expr("CAST(array() AS array<struct<id:bigint,embedding:array<float>,nrm:double>>)"),
+        lit(false)).as("pe_cross_empty")).head()
+    assert(row.getSeq[Any](0).isEmpty, "cross group with empty bs must emit nothing")
+    assert(row.getSeq[Any](1).size == 3, "diagonal of 3 vectors = 3 pairs")
+    assert(row.getSeq[Any](2).isEmpty, "PairExpand cross with empty bs must emit nothing")
   }
 
   test("PairExpand matches the interpreted expansion, incl. duplicates and ties") {

@@ -106,12 +106,23 @@ class PlanSpec extends SparkTestBase {
     // Count PHYSICAL shuffle nodes, not string matches — the string
     // rendering inlines InMemoryRelation's cached plan, whose internal
     // exchanges vary with which suite materialized the shared caches
-    // first (see the verify-skill cache-partitioning gotcha).
+    // first (see the verify-skill cache-partitioning gotcha). Under AQE
+    // executedPlan is a leaf AdaptiveSparkPlanExec, so a plain collect
+    // sees zero nodes — strip it first (same trap AsOfJoinExecSpec
+    // documents).
     val df = graft.SparkEntry.queries("q48_repetition")(spark, sf)
-    val shuffles = df.queryExecution.executedPlan.collect {
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val shuffles = root.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      case q: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => q
     }
     assert(shuffles.size <= 2, s"extra shuffle:\n$p")
+    assert(shuffles.nonEmpty || !p.contains("Exchange"),
+      s"shuffle counter saw nothing but the plan prints Exchange — counter broken:\n$p")
   }
 
   test("q50: quantized top-k broadcasts only the query vector, TakeOrdered for top-5") {
