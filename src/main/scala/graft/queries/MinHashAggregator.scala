@@ -60,11 +60,13 @@ object MinHashLsh {
   val NumBands: Int = NumHashes / 2   // bands of 2 rows each
 
   /** `array<long>` signature of a distinct-shingle array column:
-    * sig[i] = min over shingles of xxhash64(i, shingle).
+    * sig[i] = min over shingles of xxhash64(i, shingle). Backed by the
+    * native one-pass MinHashSig expression (bit-equal to the NumHashes
+    * separate array_min(transform(...)) passes it replaced — proven in
+    * TextExprSpec, incl. the null-shingle and empty-array corners).
     */
   def signature(sh: Column): Column =
-    array((0 until NumHashes).map(i =>
-      array_min(transform(sh, x => xxhash64(lit(i), x)))): _*)
+    org.apache.spark.sql.graftfns.TextFunctions.minhashSig(sh, NumHashes)
 
   /** `array<struct<band:int, bucket:long>>` — one bucket per band,
     * hashing that band's signature rows together.

@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graftfns
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -302,6 +303,95 @@ object WinnowFingerprints {
   }
 }
 
+/** Native MinHash signature over a shingle array: sig[i] = min over
+  * shingles of xxhash64(i, shingle), for i in 0 until numHashes — ONE
+  * walk of the array computing all minima, replacing numHashes
+  * separate interpreted `array_min(transform(sh, x => xxhash64(lit(i),
+  * x)))` passes (16 lambda evaluations and 16 intermediate arrays per
+  * row; at corpus scale the signature pass is the map-side cost of the
+  * whole MinHash dedup path).
+  *
+  * Bit-identical to the HOF form: Spark's multi-arg xxhash64 chains
+  * args through the seed, so `xxhash64(lit(i), x)` is
+  * `hashUTF8String(x, hashInt(i, 42))` — the per-i seeds are
+  * precomputed once. Null shingles contribute the bare seed (a null
+  * arg leaves the running hash unchanged); an EMPTY array — and a NULL
+  * one, which the HOF chain turns into array_min(null) per slot —
+  * yields an all-null signature. All preserved exactly; callers filter
+  * on size > 0 as before.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends Expression with ExpectsInputTypes {
+
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+  override def nullable: Boolean = false // null input -> all-null sig, not null
+
+  // xxhash64's default seed is 42; hashing the Int literal i first
+  // chains into each string hash as that element's seed
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L))
+
+  override def eval(input: InternalRow): Any =
+    MinHashSig.compute(child.eval(input).asInstanceOf[ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+    val cls = MinHashSig.getClass.getName.stripSuffix("$")
+    val c = child.genCode(ctx)
+    ev.copy(
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      code = code"""
+        |${c.code}
+        |org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} =
+        |  $cls.compute(${c.isNull} ? null : ${c.value}, $seedsRef);
+        |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+object MinHashSig {
+  /** Row kernel, shared verbatim by eval and codegen. A null or empty
+    * array yields the all-null signature (what the HOF chain produced).
+    */
+  def compute(sh: ArrayData, seeds: Array[Long]): GenericArrayData = {
+    val k = seeds.length
+    if (sh == null) return new GenericArrayData(new Array[Any](k))
+    val n = sh.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k)) // all-null sig
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (sh.isNullAt(j)) {
+        // null arg leaves the running hash at the seed
+        var i = 0
+        while (i < k) { if (seeds(i) < mins(i)) mins(i) = seeds(i); i += 1 }
+      } else {
+        val s = sh.getUTF8String(j)
+        var i = 0
+        while (i < k) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, seeds(i))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins) // primitive-long constructor, no boxing
+  }
+}
+
 object TextFunctions {
   /** Column API for native shingling (token array -> distinct n-grams). */
   def shingles(toks: Column, n: Int): Column =
@@ -319,9 +409,14 @@ object TextFunctions {
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(toks)))
 
   /** Column API for native winnowing (token array -> distinct
-    * fingerprint longs; k-gram hashes, min of each w-window).
+    * fingerprint longs; k-gram hashes, min of each 4-window).
     */
   def winnowFingerprints(toks: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(
       WinnowFingerprints(ExpressionUtils.expression(toks), k, w))
+
+  /** Column API for the native one-pass MinHash signature. */
+  def minhashSig(sh: Column, numHashes: Int): Column =
+    ExpressionUtils.column(
+      MinHashSig(ExpressionUtils.expression(sh), numHashes))
 }

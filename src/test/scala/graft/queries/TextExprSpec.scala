@@ -121,6 +121,30 @@ class TextExprSpec extends SparkTestBase {
     }
   }
 
+  test("MinHashSig matches the per-seed array_min(transform) derivation") {
+    // the pre-round-4 interpreted scheme, kept as the test oracle
+    val k = 16
+    def interp(sh: org.apache.spark.sql.Column) =
+      array((0 until k).map(i =>
+        array_min(transform(sh, x => xxhash64(lit(i), x)))): _*)
+    val rng = new scala.util.Random(23)
+    val alphabet = Seq("a b c", "bb x", "query scan", "", "ñü 日", "the a", "z")
+    val rows = (0 until 300).map { _ =>
+      val len = rng.nextInt(10)
+      Row(Seq.fill(len)(alphabet(rng.nextInt(alphabet.size))))
+    } ++ Seq(Row(null), Row(Seq[String]()),       // null -> null, empty -> all-null sig
+      Row(Seq(null, "a")), Row(Seq("solo")))      // null shingle -> bare seed candidate
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val out = df.select(
+      TextFunctions.minhashSig(col("toks"), k).as("native"),
+      interp(col("toks")).as("interp")).collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+        s"row=$i: native=${r.getSeq[Any](0)} interp=${r.getSeq[Any](1)}")
+    }
+  }
+
   /** the pre-round-4 interpreted q63 derivation, kept as the test oracle */
   private def hofWinnow(toks: org.apache.spark.sql.Column, k: Int, w: Int) = {
     def polyHash(str: org.apache.spark.sql.Column) =
