@@ -90,18 +90,49 @@ object IvfIndex {
     */
   def probe(spark: org.apache.spark.sql.SparkSession, dir: String, idCol: String,
             vecCol: String, cents: Seq[Centroid], q: Array[Float],
-            nProbe: Int, topK: Int): DataFrame = {
+            nProbe: Int, topK: Int): DataFrame =
+    rerank(candidates(spark, dir, cents, q, nProbe), idCol, vecCol, q, topK)
+
+  /** FILTERED probe — the filtered-search feature of production vector
+    * stores (q68 is the exact-scan form): candidates are pruned on BOTH
+    * axes before any scoring — cell pruning reads nProbe/k of the bytes
+    * (partition pruning), and the metadata keep-set lands as a
+    * semi-join on id ahead of the rerank, so non-matching vectors are
+    * never scored. `keep` needs an idCol column; it is NOT
+    * force-broadcast (a permissive predicate's keep-set outgrows the
+    * driver — AQE broadcasts when it fits).
+    */
+  def probeFiltered(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    idCol: String, vecCol: String, cents: Seq[Centroid],
+                    q: Array[Float], nProbe: Int, topK: Int,
+                    keep: DataFrame): DataFrame = {
+    require(keep.columns.contains(idCol),
+      s"keep-set must carry the id column '$idCol' (has ${keep.columns.mkString(", ")})")
+    rerank(
+      candidates(spark, dir, cents, q, nProbe)
+        .join(keep.select(col(idCol)), Seq(idCol), "left_semi"),
+      idCol, vecCol, q, topK)
+  }
+
+  /** Cell-pruned candidate scan of a built index directory. */
+  private def candidates(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         cents: Seq[Centroid], q: Array[Float],
+                         nProbe: Int): DataFrame = {
     val cells = probeCells(q, cents, nProbe)
+    spark.read.parquet(dir).filter(col("cell").isin(cells: _*))
+  }
+
+  /** Exact cosine rerank + top-k of a candidate stream. */
+  private def rerank(cand: DataFrame, idCol: String, vecCol: String,
+                     q: Array[Float], topK: Int): DataFrame = {
     val qNorm = {
       var acc = 0.0; var i = 0
       while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
       math.sqrt(acc)
     }
-    spark.read.parquet(dir)
-      .filter(col("cell").isin(cells: _*))
-      .select(col(idCol),
-        (dotd(col(vecCol), typedLit(q)) /
-          (VectorFunctions.norm(col(vecCol)) * lit(qNorm))).as("cos"))
+    cand.select(col(idCol),
+      (dotd(col(vecCol), typedLit(q)) /
+        (VectorFunctions.norm(col(vecCol)) * lit(qNorm))).as("cos"))
       .orderBy(col("cos").desc, col(idCol)).limit(topK)
   }
 }

@@ -61,4 +61,35 @@ class IvfIndexSpec extends SparkTestBase {
     // and the pruned read returns exactly the one cell
     assert(pruned.select(col("cell")).distinct().count() == 1)
   }
+
+  test("filtered probe with nProbe=k equals the exact filtered top-k (q68 semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_f").toString + "/idx"
+    val cents = IvfIndex.build(emb, "vec_id", "embedding", dir, k = 4, iters = 2)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    // metadata predicate: the q68 keep-set (en-language docs)
+    val keep = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val keepIds = keep.collect().map(_.getLong(0)).toSet
+    val got = IvfIndex.probeFiltered(spark, dir, "vec_id", "embedding", cents, q,
+      nProbe = 4, topK = 5, keep = keep.filter(col("vec_id") =!= 0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // every result honors the predicate
+    assert(got.forall(t => keepIds.contains(t._1)), s"non-keep ids in $got")
+    // nProbe = k probes every cell → must equal the exact filtered scan
+    val exact = graft.SparkEntry.queries("q68_filtered_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == exact.map(_._1).toSeq,
+      s"ids: index=${got.map(_._1).toSeq} exact=${exact.map(_._1).toSeq}")
+    // with real pruning (nProbe = 1) results still honor the predicate
+    val pruned = IvfIndex.probeFiltered(spark, dir, "vec_id", "embedding", cents, q,
+      nProbe = 1, topK = 5, keep = keep).collect().map(_.getLong(0))
+    assert(pruned.forall(keepIds.contains))
+    // and a keep-set missing the id column fails loudly
+    intercept[IllegalArgumentException] {
+      IvfIndex.probeFiltered(spark, dir, "vec_id", "embedding", cents, q,
+        nProbe = 1, topK = 5, keep = keep.withColumnRenamed("vec_id", "doc_id"))
+    }
+  }
 }
