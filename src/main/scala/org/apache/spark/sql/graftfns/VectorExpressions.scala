@@ -106,6 +106,8 @@ object VectorFunctions {
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fingerprints", winnowBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", minhashBuilder, "built-in")
   }
 
   /** Shared SQL builder (registry + extensions): n must be a literal —
@@ -130,6 +132,15 @@ object VectorFunctions {
       }
     WinnowFingerprints(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "w"))
   }
+
+  /** Shared SQL builder: the hash count shapes the expression — literal only. */
+  private[graftfns] def minhashBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): MinHashSig =
+    MinHashSig(exprs(0), exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig(sh, k): k must be an integer literal, got $other")
+    })
 
   /** Column API for the native dot product (float arrays, double out). */
   def dot(a: Column, b: Column): Column =
@@ -171,6 +182,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[WinnowFingerprints].getCanonicalName, "winnow_fingerprints"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorFunctions.winnowBuilder(exprs)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSig].getCanonicalName, "minhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorFunctions.minhashBuilder(exprs)))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftplans.AsOfJoinStrategy)
   }

@@ -87,6 +87,13 @@ class TextExprSpec extends SparkTestBase {
     assert(native == oracle)
   }
 
+  test("minhash_sig is callable from SQL and is order/duplicate-insensitive") {
+    val got = spark.sql(
+      "SELECT minhash_sig(array('a','b','c'), 16) = minhash_sig(array('c','a','b','b'), 16) AS eq"
+    ).head().getBoolean(0)
+    assert(got, "minhash signature must be a set function of the shingles")
+  }
+
   test("simhash64 is callable from SQL via the extension registration") {
     val got = spark.sql(
       "SELECT simhash64(array('the','a','value')) = simhash64(array('a','value','the','the')) AS eq"
