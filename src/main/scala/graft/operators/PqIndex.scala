@@ -154,4 +154,21 @@ object PqIndex {
           .otherwise(lit(-2.0)).as("cos"))
       .orderBy(col("cos").desc, col(idCol)).limit(topK)
   }
+
+  /** FILTERED ANN search: the metadata keep-set semi-joins the encoded
+    * table BEFORE the ADC shortlist pass, so both passes see only
+    * matching rows — pre-filtering, the vector-store convention (a
+    * post-filter of the shortlist could leave fewer than topK
+    * survivors of a selective predicate no matter how large the true
+    * match set is). Same pattern as IvfIndex.probeFiltered; `keep` is
+    * not force-broadcast.
+    */
+  def searchFiltered(encoded: DataFrame, idCol: String, vecCol: String,
+                     model: Model, q: Array[Float], topK: Int,
+                     keep: DataFrame, shortlist: Int = 64): DataFrame = {
+    require(keep.columns.contains(idCol),
+      s"keep-set must carry the id column '$idCol' (has ${keep.columns.mkString(", ")})")
+    search(encoded.join(keep.select(col(idCol)), Seq(idCol), "left_semi"),
+      idCol, vecCol, model, q, topK, shortlist)
+  }
 }

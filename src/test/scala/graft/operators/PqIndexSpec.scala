@@ -87,4 +87,32 @@ class PqIndexSpec extends SparkTestBase {
       PqIndex.adcScore(new Array[Float](7), model)
     }
   }
+
+  test("filtered search pre-filters both passes and honors the predicate") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val enc = PqIndex.encode(emb, "embedding", model)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    // predicate: even ids only
+    val keep = emb.select(col("vec_id")).filter(col("vec_id") % 2 === 0)
+    val got = PqIndex.searchFiltered(enc, "vec_id", "embedding", model, q,
+      topK = 5, keep = keep).collect().map(_.getLong(0))
+    assert(got.nonEmpty && got.forall(_ % 2 == 0), s"odd ids leaked: ${got.toSeq}")
+    // keep = everything ≡ unfiltered search
+    val all = PqIndex.searchFiltered(enc, "vec_id", "embedding", model, q,
+      topK = 5, keep = emb.select(col("vec_id"))).collect().map(_.getLong(0))
+    val plain = PqIndex.search(enc, "vec_id", "embedding", model, q, topK = 5)
+      .collect().map(_.getLong(0))
+    assert(all.toSeq == plain.toSeq)
+    // a selective predicate still fills topK from the full match set
+    // (pre-filter, not shortlist post-filter): ask for more survivors
+    // than an unfiltered 5-row shortlist could contain
+    val deep = PqIndex.searchFiltered(enc, "vec_id", "embedding", model, q,
+      topK = 8, keep = keep, shortlist = 8).collect()
+    assert(deep.length == 8, s"pre-filter must fill topK, got ${deep.length}")
+    intercept[IllegalArgumentException] {
+      PqIndex.searchFiltered(enc, "vec_id", "embedding", model, q, 5,
+        keep.withColumnRenamed("vec_id", "id"))
+    }
+  }
 }
