@@ -1,6 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,26 +28,47 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
     catch { case _: Throwable => () }
+    // Shared-derivation warm phase, timed as its own line items: the
+    // persisted caches (docToks, shingleSets, simhashes, pair graph,
+    // IVF/PQ models) are otherwise paid by whichever query iterates
+    // first, so adding a query reshuffles every consumer's timing.
+    val warm = graft.queries.LlmQueries.warmShared(spark, sfDir)
     // Per-query median of N runs: this box has co-tenant load that swings
     // single-shot timings by up to 10x (round-1 q19: 0.9-8.1s on identical
     // plans), so one sample per query is noise, not signal.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Fixed alphabetical order: Map hash-iteration order changes when
+    // queries are added, which silently re-attributes any residual
+    // shared cost and makes round-over-round diffs incomparable.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count(); () }
+        catch {
+          case e: Throwable =>
+            err = Some(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(200))
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       // true median: mean of the middle two for even run counts
       val median = if (times.length % 2 == 1) times(times.length / 2)
         else (times(times.length / 2 - 1) + times(times.length / 2)) / 2
-      name -> median
+      // a failed query must NOT masquerade as a fast one
+      (name, if (err.isDefined) -1.0 else median, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    val warmJson = warm.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
+      .mkString("{", ",", "}")
+    val warmTotal = warm.collect { case (_, v) if v > 0 => v }.sum
+    val total = results.collect { case (_, v, None) => v }.sum + warmTotal
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warm_sec":$warmTotal,"warm":$warmJson,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

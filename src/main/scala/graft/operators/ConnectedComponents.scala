@@ -156,7 +156,8 @@ object ConnectedComponents {
     */
   def componentsAuto(edges: DataFrame, srcCol: String, dstCol: String,
                      driverThreshold: Long = 1000000L,
-                     maxIter: Int = 20): DataFrame = {
+                     maxIter: Int = 20,
+                     starMaxIter: Int = 30): DataFrame = {
     // the driver path works on Long ids; a lossy cast("long") on e.g.
     // string/double ids would null them silently, so non-integral id
     // types take the distributed path (which orders any comparable type)
@@ -164,8 +165,12 @@ object ConnectedComponents {
     val integral = Set[org.apache.spark.sql.types.DataType](
       ByteType, ShortType, IntegerType, LongType)
     val idTypes = edges.select(col(srcCol), col(dstCol)).schema.map(_.dataType)
+    // routed paths get componentsStar's own budget (starMaxIter), not
+    // the propagation maxIter: 20 rounds is tuned for label hops, but
+    // the O(log n) contraction on a billion-node graph can need more —
+    // forwarding the smaller bound would abort a job that was converging
     if (!idTypes.forall(integral.contains))
-      return componentsStar(edges, srcCol, dstCol, maxIter)
+      return componentsStar(edges, srcCol, dstCol, starMaxIter)
     // drop null-id edges up front: the distributed paths drop them too
     // (null =!= x is null → filtered), and Row.getLong would NPE below
     val pairs = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
@@ -174,7 +179,7 @@ object ConnectedComponents {
     // depth is unknowable — take the O(log n)-round star contraction,
     // not the diameter-bounded propagation
     if (pairs.count() > driverThreshold)
-      return componentsStar(edges, srcCol, dstCol, maxIter)
+      return componentsStar(edges, srcCol, dstCol, starMaxIter)
     val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
     // iterative find with path halving — a recursive find stack-overflows

@@ -39,49 +39,63 @@ object KMeans {
     }
     require(cents.nonEmpty, "cannot train on an empty table")
     val dim = cents.head.length
-    // loop-invariant overflow guard, computed ONCE (not per iteration —
-    // the interpreted per-element abs pass is the expensive part): the
-    // micro-quantized per-cell sum is exact only while it fits a Long
-    // (n elements of magnitude <= mx sum to <= n*mx*1e6). Detect, not
-    // silently wrap — embeddings are O(1)-magnitude, so a violation
-    // means unnormalized input, not a tuning problem. Conservative
-    // bound: global max|x| times the TOTAL row count caps every cell.
-    if (iters > 0) {
-      val r = e.agg(
-        max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))).as("mx"),
-        count(lit(1)).as("n")).head()
-      // max() is null when there are no rows, or every vector is
-      // null/empty — nothing to sum, so nothing can overflow.
-      if (!r.isNullAt(0)) {
-        val (mx, n) = (r.getDouble(0), r.getLong(1))
+    // Row layout of the per-cell aggregate: __cell, then (sum, count)
+    // per position, then __n, then (iteration 1 only) __mx.
+    def sIdx(i: Int) = 1 + 2 * i
+    def cIdx(i: Int) = 2 + 2 * i
+    val nIdx = 1 + 2 * dim
+    val mxIdx = 2 + 2 * dim
+    for (it <- 1 to iters) {
+      // try_element_at: null (not an ANSI error) on empty/short vectors.
+      // Each position carries its own non-null COUNT and is averaged
+      // over that count — a cell mixing short and full-length vectors
+      // gets an unbiased mean of the values actually present, instead
+      // of short rows silently dragging the coordinate toward 0 by
+      // inflating a shared divisor.
+      val sumCols = (0 until dim).flatMap(i => Seq(
+        sum(floor(try_element_at(col("__v"), lit(i + 1)).cast("double") * 1e6 + 0.5)
+          .cast("long")).as(s"s$i"),
+        count(try_element_at(col("__v"), lit(i + 1))).as(s"c$i"))) :+
+        count(lit(1)).as("__n")
+      // The overflow guard rides iteration 1's aggregate instead of a
+      // separate full-corpus pass: the micro-quantized per-cell sum is
+      // exact only while it fits a Long (n values of magnitude <= mx
+      // sum to <= n*mx*1e6). Detect, not silently wrap — embeddings
+      // are O(1)-magnitude, so a violation means unnormalized input.
+      // (Under ANSI the sum itself may throw first; either way the
+      // corrupted result is never used.)
+      val aggCols = if (it == 1) sumCols :+
+        max(array_max(transform(col("__v"), x => abs(x.cast("double"))))).as("__mx")
+      else sumCols
+      val rows = e.select(col(vecCol).as("__v"))
+        .withColumn("__cell", nearest(col("__v"), cents))
+        .groupBy(col("__cell")).agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+      if (it == 1) {
+        val n = rows.map(_.getLong(nIdx)).sum
+        val mx = rows.collect { case r if !r.isNullAt(mxIdx) => r.getDouble(mxIdx) }
+          .foldLeft(0.0)(math.max)
         require(mx * 1e6 * n <= Long.MaxValue.toDouble * 0.99,
           s"k-means centroid sum could overflow Long: $n vectors with " +
             f"max|x|=$mx%.3g exceed the exact-integer domain " +
             "(|x|*1e6*rows must stay below 2^63) — rescale the input")
       }
-    }
-    for (_ <- 1 to iters) {
-      // try_element_at: null (not an ANSI error) on empty/short vectors —
-      // the null-sum check below keeps those cells' previous centroids
-      val sumCols = (0 until dim).map(i =>
-        sum(floor(try_element_at(col("__v"), lit(i + 1)).cast("double") * 1e6 + 0.5)
-          .cast("long")).as(s"s$i")) :+ count(lit(1)).as("__n")
-      val updated = e.select(col(vecCol).as("__v"))
-        .withColumn("__cell", nearest(col("__v"), cents))
-        .groupBy(col("__cell")).agg(sumCols.head, sumCols.tail: _*)
-        .collect()
-        .flatMap { r =>
-          // a sum is null when every vector in the cell is empty/null at
-          // that position — treat like an empty cell (keep the previous
-          // centroid) instead of NPE-ing on Row.getLong
-          if ((1 to dim).exists(r.isNullAt)) None
-          else {
-            val n = r.getLong(dim + 1)
-            Some(r.getInt(0) -> Array.tabulate(dim)(i =>
-              (r.getLong(i + 1).toDouble / (1e6 * n)).toFloat))
+      val updated = rows.flatMap { r =>
+        // null __cell groups the null-vector rows — nothing to learn
+        if (r.isNullAt(0)) None else Some(r.getInt(0) -> r)
+      }.toMap
+      cents = cents.zipWithIndex.map { case (c, j) =>
+        updated.get(j) match {
+          case None => c // empty cell: keep the previous centroid
+          case Some(r) => Array.tabulate(dim) { i =>
+            // position with no values in this cell: keep the previous
+            // coordinate (the all-empty-cell case degenerates to c)
+            val cnt = r.getLong(cIdx(i))
+            if (cnt == 0L) c(i)
+            else (r.getLong(sIdx(i)).toDouble / (1e6 * cnt)).toFloat
           }
-        }.toMap
-      cents = cents.zipWithIndex.map { case (c, j) => updated.getOrElse(j, c) }
+        }
+      }
     }
     cents
   }

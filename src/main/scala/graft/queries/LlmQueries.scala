@@ -103,6 +103,41 @@ object LlmQueries {
     modelCache.clear()
   }
 
+  /** Force-build every shared derivation (tokenized corpus, shingle
+    * sets, simhashes, the 0.5-Jaccard pair graph, IVF/PQ models) and
+    * return per-derivation build seconds. Bench calls this before the
+    * timed loop so cache-build cost is its own line item instead of
+    * being attributed to whichever query happens to iterate first —
+    * the round-4 "regression" cluster (q48/q51/q57) was exactly that
+    * attribution drift, not a plan change. A failed build reports a
+    * negative time; the queries that need it will then surface the
+    * real error in their own err fields.
+    */
+  def warmShared(s: SparkSession, d: String): Seq[(String, Double)] = {
+    def timed(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      try { f; name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => name -> -1.0 }
+    }
+    def embIn = spread(embeddings(s, d), col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    Seq(
+      timed("docToks") { docToks(s, d).count(); () },
+      timed("shingleSets") { shingleSets(s, d).count(); () },
+      timed("simhashes") { simhashes(s, d).count(); () },
+      timed("jaccardPairs") { jaccardPairs(s, d, 0.5).count(); () },
+      timed("ivfModel") {
+        cachedModel(s, d, "ivf_k16_i2")(
+          graft.operators.IvfIndex.train(embIn, "vec_id", "embedding", 16, iters = 2))
+        ()
+      },
+      timed("pqModel") {
+        cachedModel(s, d, "pq_m8_k16_i2")(
+          graft.operators.PqIndex.train(embIn, "vec_id", "embedding", m = 8, k = 16, iters = 2))
+        ()
+      })
+  }
+
   /** (doc_id, simhash) memoized per (session, dir) — 16 bytes/doc. The
     * cache boundary matters more than the reuse: without it the
     * optimizer collapses the isNotNull filter into the projection and
@@ -742,10 +777,15 @@ object LlmQueries {
       // sizing hint: one tiny count job over the (cached) bench slice
       val nBench = math.max(benchSh.count(), 1L)
       val bf = BloomScreen.build(benchSh, col("s"), nBench, fpp = 0.01)
+      // no broadcast hint on the confirm join: at eval-suite scale AQE
+      // picks broadcast on its own, and when the benchmark set outgrows
+      // broadcast range (the scenario the bloom screen exists for) the
+      // planner must be free to shuffle-join the screened survivors —
+      // a forced broadcast would OOM exactly when the screen matters.
       sets.filter(!isBench)
         .select(col("doc_id"), size(col("sh")).as("n"), explode_outer(col("sh")).as("s"))
         .filter(col("s").isNotNull && BloomScreen.mightContain(bf, col("s")))
-        .join(broadcast(benchSh), Seq("s"))
+        .join(benchSh, Seq("s"))
         .groupBy(col("doc_id"), col("n"))
         .agg(count(lit(1)).as("overlap"))
         .filter(col("overlap").cast("double") / col("n") >= 0.10)

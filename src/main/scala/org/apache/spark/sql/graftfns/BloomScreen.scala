@@ -45,6 +45,14 @@ object BloomScreen {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate silently clamps numBits to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (default 64M
+    // bits ≈ 8 MB), so above ~7M items at fpp=0.01 the realized fpp
+    // would quietly degrade toward pass-through. Raise the session cap
+    // to cover the computed size so the requested fpp is honored.
+    val capKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val cap = df.sparkSession.conf.getOption(capKey).map(_.toLong).getOrElse(67108864L)
+    if (numBits > cap) df.sparkSession.conf.set(capKey, numBits.toString)
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(ExpressionUtils.expression(key))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
