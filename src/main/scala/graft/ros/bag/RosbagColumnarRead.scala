@@ -208,6 +208,8 @@ class RosbagMetaColumnarReader(p: RosbagInputPartition, required: StructType,
   private val datatypeBytes: Map[Int, Array[Byte]] =
     p.conns.map { case (id, c) =>
       id -> c.datatype.getBytes(java.nio.charset.StandardCharsets.UTF_8) }
+  private val pathBytes: Array[Byte] =
+    p.path.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   private def stamp(m: BagFormat.BagMessage, v: OnHeapColumnVector, off: Int): Unit =
     if (connHasHeader(m.connId) && m.data.length >= 12)
@@ -218,6 +220,8 @@ class RosbagMetaColumnarReader(p: RosbagInputPartition, required: StructType,
     required.fields.zipWithIndex.map { case (f, i) =>
       val v = vectors(i)
       f.name match {
+        case "bag_path" => (_: BagFormat.BagMessage) =>
+          v.appendByteArray(pathBytes, 0, pathBytes.length)
         case "chunk_idx" => (_: BagFormat.BagMessage) => v.appendInt(p.chunkIdx)
         case "offset" => (m: BagFormat.BagMessage) => v.appendInt(m.offsetInChunk)
         case "time_sec" => (m: BagFormat.BagMessage) => v.appendInt(m.timeSec)
@@ -244,7 +248,7 @@ class RosbagMetaColumnarReader(p: RosbagInputPartition, required: StructType,
     val filtered = all.filter { m =>
       val conn = p.conns.getOrElse(m.connId,
         throw new IllegalStateException(s"message references unknown connection ${m.connId}"))
-      filters.forall(f => RosbagFilters.eval(f, m, conn))
+      filters.forall(f => RosbagFilters.eval(f, m, conn, p.path))
     }
     if (limit >= 0) filtered.take(limit) else filtered
   }
@@ -293,7 +297,7 @@ class RosbagTypedColumnarReader(p: RosbagInputPartition, datatype: String,
   // fields colliding with reserved names carry the `_field` suffix in
   // the typed schema (RosbagTypedRead.typedSchema) — look them up
   // under the renamed column
-  private val metaNames = Set("chunk_idx", "offset", "time_sec", "time_nsec",
+  private val metaNames = Set("bag_path", "chunk_idx", "offset", "time_sec", "time_nsec",
     "connection_id", "data")
   private val reservedPayload = metaNames + "seqno"
   private val ops: Array[Op] =
@@ -308,9 +312,11 @@ class RosbagTypedColumnarReader(p: RosbagInputPartition, datatype: String,
     val data = RosbagIO.readChunkData(p.path, p.chunk)
     BagFormat.chunkMessages(p.chunk, data).iterator
       .filter(m => typeConns.contains(m.connId))
-      .filter(m => filters.forall(f => RosbagFilters.eval(f, m, p.conns(m.connId))))
+      .filter(m => filters.forall(f => RosbagFilters.eval(f, m, p.conns(m.connId), p.path)))
   }
 
+  private val bagPathV = vec("bag_path").orNull
+  private val bagPathBytes = p.path.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   private val chunkIdxV = vec("chunk_idx").orNull
   private val offsetV = vec("offset").orNull
   private val timeSecV = vec("time_sec").orNull
@@ -334,6 +340,7 @@ class RosbagTypedColumnarReader(p: RosbagInputPartition, datatype: String,
     while (n < batchSize && bytes < batchBytes && messages.hasNext) {
       val m = messages.next()
       if (payloadMaterialized) bytes += m.data.length
+      if (bagPathV != null) bagPathV.appendByteArray(bagPathBytes, 0, bagPathBytes.length)
       if (chunkIdxV != null) chunkIdxV.appendInt(p.chunkIdx)
       if (offsetV != null) offsetV.appendInt(m.offsetInChunk)
       if (timeSecV != null) timeSecV.appendInt(m.timeSec)

@@ -38,7 +38,8 @@ class RosbagDataSource extends TableProvider with DataSourceRegister {
     val path = options.get("path")
     Option(options.get("datatype")) match {
       case Some(dt) =>
-        RosbagTypedRead.typedSchema(RosbagTypedRead.bundleFor(path, dt),
+        val target = RosbagTypedRead.resolveTarget(path, dt, Option(options.get("md5")))
+        RosbagTypedRead.typedSchema(MsgDefParser.parse(dt, target.msgDef),
           options.getBoolean("includeRaw", false))
       case None => RosbagDataSource.SpineSchema
     }
@@ -51,7 +52,8 @@ class RosbagDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new RosbagTable(opts.get("path"),
       Option(opts.get("datatype")),
-      opts.getBoolean("includeRaw", false))
+      opts.getBoolean("includeRaw", false),
+      Option(opts.get("md5")))
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -63,6 +65,10 @@ object RosbagDataSource {
     * give the stable storage order used for seqno tie-breaks.
     */
   val SpineSchema: StructType = StructType(Seq(
+    // which bag this row came from — constant within a bag, the fleet/
+    // dataset dimension when load() is given a directory or glob. With
+    // (chunk_idx, offset) it is the stable storage identity of a row.
+    StructField("bag_path", StringType, nullable = false),
     StructField("chunk_idx", IntegerType, nullable = false),
     StructField("offset", IntegerType, nullable = false),
     StructField("time_sec", IntegerType, nullable = false),
@@ -124,24 +130,27 @@ object RosbagDataSource {
 }
 
 class RosbagTable(path: String, datatype: Option[String] = None,
-                  includeRaw: Boolean = false) extends Table with SupportsRead {
-  private lazy val msgDef: String = datatype.map { dt =>
-    RosbagIO.scanIndex(path).connections.find(_.datatype == dt)
-      .getOrElse(throw new IllegalArgumentException(s"datatype $dt not in bag")).msgDef
-  }.getOrElse("")
+                  includeRaw: Boolean = false, md5: Option[String] = None)
+    extends Table with SupportsRead {
+  // typed reads resolve (datatype, md5 variant) -> one msg def + the
+  // bags that carry it, ONCE per table (multi-bag loads with schema
+  // drift pick a variant via option("md5", prefix))
+  private lazy val target: Option[RosbagTypedRead.TypedTarget] =
+    datatype.map(dt => RosbagTypedRead.resolveTarget(path, dt, md5))
   override def name(): String = s"rosbag:$path${datatype.map(":" + _).getOrElse("")}"
-  override def schema(): StructType = datatype match {
-    case Some(dt) => RosbagTypedRead.typedSchema(MsgDefParser.parse(dt, msgDef), includeRaw)
+  override def schema(): StructType = target match {
+    case Some(t) =>
+      RosbagTypedRead.typedSchema(MsgDefParser.parse(t.datatype, t.msgDef), includeRaw)
     case None => RosbagDataSource.SpineSchema
   }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RosbagScanBuilder(path, schema(), datatype.map(dt => (dt, msgDef)), includeRaw)
+    new RosbagScanBuilder(path, schema(), target, includeRaw)
 }
 
 class RosbagScanBuilder(path: String, fullSchema: StructType,
-    typed: Option[(String, String)] = None, includeRaw: Boolean = false)
+    typed: Option[RosbagTypedRead.TypedTarget] = None, includeRaw: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = fullSchema
@@ -156,7 +165,7 @@ class RosbagScanBuilder(path: String, fullSchema: StructType,
     // upstream); the spine read pushes topic/datatype too
     val pushable: Filter => Boolean =
       if (typed.isDefined) f => RosbagFilters.supported(f) &&
-        f.references.forall(Set("connection_id", "time_sec"))
+        f.references.forall(Set("connection_id", "time_sec", "bag_path"))
       else RosbagFilters.supported
     val (supported, residual) = filters.partition(pushable)
     pushed = supported
@@ -170,7 +179,17 @@ class RosbagScanBuilder(path: String, fullSchema: StructType,
 }
 
 object RosbagFilters {
-  private val cols = Set("connection_id", "topic", "datatype", "time_sec")
+  private val cols = Set("connection_id", "topic", "datatype", "time_sec", "bag_path")
+
+  /** Bag-level pruning: a bag_path equality/In filter drops WHOLE bags
+    * from the plan — the multi-bag analog of partition pruning (a fleet
+    * query over one vehicle's bags never opens the others' indexes).
+    */
+  def bagMayMatch(f: Filter, path: String): Boolean = f match {
+    case EqualTo("bag_path", v) => path == v
+    case In("bag_path", vs) => vs.contains(path)
+    case _ => true
+  }
 
   /** Chunk-level pruning: can this chunk possibly contain a row
     * passing `f`, given its chunk-info time range? Conservative —
@@ -205,12 +224,14 @@ object RosbagFilters {
     case _ => false
   }
 
-  def eval(f: Filter, m: BagFormat.BagMessage, conn: BagFormat.BagConnection): Boolean = {
+  def eval(f: Filter, m: BagFormat.BagMessage, conn: BagFormat.BagConnection,
+           path: String = ""): Boolean = {
     def v(c: String): Any = c match {
       case "connection_id" => m.connId
       case "topic" => conn.topic
       case "datatype" => conn.datatype
       case "time_sec" => m.timeSec
+      case "bag_path" => path
     }
     def cmp(a: Any, b: Any): Int = (a, b) match {
       case (x: Int, y: Number) => java.lang.Integer.compare(x, y.intValue())
@@ -234,32 +255,49 @@ final case class RosbagInputPartition(path: String, chunkIdx: Int,
   extends InputPartition
 
 class RosbagScan(path: String, required: StructType, filters: Array[Filter], limit: Int,
-    typed: Option[(String, String)] = None, includeRaw: Boolean = false)
+    typed: Option[RosbagTypedRead.TypedTarget] = None, includeRaw: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new RosbagMicroBatchStream(path, required, filters, typed, includeRaw)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a tailed stream follows ONE growing file; a directory of closed
+    // bags is a batch dataset (a directory-watcher stream is a
+    // different source shape)
+    val single = RosbagIO.resolveBags(path) match {
+      case Seq(one) => one
+      case many => throw new UnsupportedOperationException(
+        s"streaming tail follows a single bag; $path resolves to ${many.size} files")
+    }
+    new RosbagMicroBatchStream(single, required, filters,
+      typed.map(t => (t.datatype, t.msgDef)), includeRaw)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val index = RosbagIO.scanIndex(path)
-    val conns = index.connections.map(c => c.connId -> c).toMap
-    index.chunks.zipWithIndex
-      .filter { case (c, _) => filters.forall(f => RosbagFilters.chunkMayMatch(f, c)) }
-      .map { case (c, i) =>
-        RosbagInputPartition(path, i, c, conns): InputPartition
+    // multi-bag: one partition per (bag, chunk). Typed reads plan only
+    // the bags carrying the resolved (datatype, md5) variant; bag_path
+    // filters prune whole bags before any index is opened; chunk-info
+    // time ranges prune chunks within each surviving bag.
+    val bagPaths = typed.map(_.bags).getOrElse(RosbagIO.resolveBags(path))
+    bagPaths
+      .filter(b => filters.forall(f => RosbagFilters.bagMayMatch(f, b)))
+      .flatMap { bag =>
+        val index = RosbagIO.scanIndex(bag)
+        val conns = index.connections.map(c => c.connId -> c).toMap
+        index.chunks.zipWithIndex
+          .filter { case (c, _) => filters.forall(f => RosbagFilters.chunkMayMatch(f, c)) }
+          .map { case (c, i) => RosbagInputPartition(bag, i, c, conns): InputPartition }
       }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = typed match {
-    case Some((dt, msgDef)) => new RosbagTypedReaderFactory(dt, msgDef, required, includeRaw, filters)
+    case Some(t) => new RosbagTypedReaderFactory(t.datatype, t.msgDef, required, includeRaw, filters)
     case None => new RosbagReaderFactory(required, filters, limit)
   }
 
   override def description(): String =
-    s"rosbag $path${typed.map(t => s" typed=${t._1}").getOrElse("")}, " +
+    s"rosbag $path${typed.map(t => s" typed=${t.datatype}").getOrElse("")}, " +
       s"pushedFilters=[${filters.mkString(", ")}], limit=$limit"
 }
 
@@ -289,7 +327,7 @@ class RosbagPartitionReader(p: RosbagInputPartition, required: StructType,
     val filtered = all.filter { m =>
       val conn = p.conns.getOrElse(m.connId,
         throw new IllegalStateException(s"message references unknown connection ${m.connId}"))
-      filters.forall(f => RosbagFilters.eval(f, m, conn))
+      filters.forall(f => RosbagFilters.eval(f, m, conn, p.path))
     }
     if (limit >= 0) filtered.take(limit) else filtered
   }
@@ -319,8 +357,10 @@ class RosbagPartitionReader(p: RosbagInputPartition, required: StructType,
     p.conns.map { case (id, c) => id -> UTF8String.fromString(c.topic) }
   private val datatypeUtf8: Map[Int, UTF8String] =
     p.conns.map { case (id, c) => id -> UTF8String.fromString(c.datatype) }
+  private val pathUtf8: UTF8String = UTF8String.fromString(p.path)
   private val extractors: Array[() => Any] = required.fields.map { f =>
     f.name match {
+      case "bag_path" => () => pathUtf8
       case "chunk_idx" => () => p.chunkIdx
       case "offset" => () => current.offsetInChunk
       case "time_sec" => () => current.timeSec
@@ -352,6 +392,35 @@ object RosbagIO {
     val p = new Path(path)
     val conf = new org.apache.hadoop.conf.Configuration()
     (p.getFileSystem(conf), p)
+  }
+
+  /** Expand `path` into the ordered bag files it denotes: a glob
+    * pattern (Hadoop globStatus), a directory (its *.bag children,
+    * name-sorted — how a 100 TB robotics corpus arrives: a prefix full
+    * of per-drive bags), or a single file (returned verbatim). Sorted
+    * so multi-bag ordering — seqno tie-breaks, table listing — is
+    * deterministic across filesystems. Every returned path is the
+    * FileStatus's fully-qualified URI (file:/..., hdfs://...), so
+    * bag_path values compare equal no matter how the load path was
+    * spelled (bare /tmp/x.bag vs a dir listing's file:/tmp/x.bag).
+    */
+  def resolveBags(path: String): Seq[String] = {
+    val (filesystem, p) = fs(path)
+    if (path.exists(c => "*?[]{}".indexOf(c.toInt) >= 0)) {
+      val matches = Option(filesystem.globStatus(p)).getOrElse(Array.empty)
+      val bags = matches.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+      require(bags.nonEmpty, s"glob matches no files: $path")
+      bags
+    } else {
+      val st = filesystem.getFileStatus(p)
+      if (st.isDirectory) {
+        val bags = filesystem.listStatus(p)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".bag"))
+          .map(_.getPath.toString).sorted.toSeq
+        require(bags.nonEmpty, s"directory contains no .bag files: $path")
+        bags
+      } else Seq(st.getPath.toString)
+    }
   }
 
   // Index cache: every Spark action re-plans the scan, and an uncached

@@ -10,6 +10,10 @@ import org.apache.spark.sql.types._
   */
 object RosbagTables {
   val ConnectionsSchema: StructType = StructType(Seq(
+    // connection ids are per-bag (the bag container assigns them
+    // densely from 0): (bag_path, connection_id) is the dimension key
+    // in a multi-bag dataset
+    StructField("bag_path", StringType, nullable = false),
     StructField("connection_id", IntegerType, nullable = false),
     StructField("topic", StringType, nullable = false),
     StructField("datatype", StringType, nullable = false),
@@ -22,13 +26,21 @@ object RosbagTables {
     StructField("header", MapType(StringType, StringType, valueContainsNull = false),
       nullable = false)))
 
-  def connections(spark: SparkSession, path: String): DataFrame =
-    fromIndex(spark, RosbagIO.scanIndex(path))
-
-  /** Build from an already-scanned index (avoids a second file scan). */
-  def fromIndex(spark: SparkSession, index: BagFormat.BagIndex): DataFrame = {
-    val rows = index.connections.map(c =>
-      Row(c.connId, c.topic, c.datatype, c.md5sum, c.msgDef, c.callerid, c.header))
+  /** Connections across every bag `path` denotes (file, directory, or
+    * glob) — still driver-side tiny: dozens of connections per bag.
+    */
+  def connections(spark: SparkSession, path: String): DataFrame = {
+    val rows = RosbagIO.resolveBags(path).flatMap(b =>
+      indexRows(RosbagIO.scanIndex(b), b))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ConnectionsSchema)
   }
+
+  /** Build from an already-scanned index (avoids a second file scan). */
+  def fromIndex(spark: SparkSession, index: BagFormat.BagIndex, bagPath: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(indexRows(index, bagPath), 1), ConnectionsSchema)
+
+  private def indexRows(index: BagFormat.BagIndex, bagPath: String): Seq[Row] =
+    index.connections.map(c =>
+      Row(bagPath, c.connId, c.topic, c.datatype, c.md5sum, c.msgDef, c.callerid, c.header))
 }

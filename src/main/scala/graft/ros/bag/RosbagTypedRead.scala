@@ -23,6 +23,7 @@ import graft.ros.{MsgDefParser, RosMsgBundle, RosSchemaMapper}
   */
 object RosbagTypedRead {
   val MetaFields: Seq[StructField] = Seq(
+    StructField("bag_path", StringType, nullable = false),
     StructField("chunk_idx", IntegerType, nullable = false),
     StructField("offset", IntegerType, nullable = false),
     StructField("time_sec", IntegerType, nullable = false),
@@ -31,11 +32,45 @@ object RosbagTypedRead {
 
   private val reserved = MetaFields.map(_.name).toSet + "data" + "seqno"
 
+  /** A resolved typed-read target: ONE message definition (identified
+    * by its md5) and the bags that carry it. Multi-bag loads with
+    * schema drift (SURVEY §7.4.3: a fleet's mid-life message-definition
+    * change) hold several variants of a datatype; each variant is its
+    * own target/table — `option("md5", prefix)` selects one.
+    */
+  final case class TypedTarget(datatype: String, msgDef: String, md5: String,
+                               bags: Seq[String])
+
+  /** Resolve (path, datatype, optional md5 prefix) against every bag
+    * `path` denotes. Fails loudly when the datatype drifts across bags
+    * and no md5 narrows it to one variant — a silent pick would decode
+    * some bags with the wrong definition.
+    */
+  def resolveTarget(path: String, datatype: String, md5: Option[String]): TypedTarget = {
+    val variants: Seq[(String, String, String)] = // (md5, msgDef, bag)
+      RosbagIO.resolveBags(path).flatMap { bag =>
+        RosbagIO.scanIndex(bag).connections
+          .filter(_.datatype == datatype)
+          .map(c => (c.md5sum, c.msgDef, bag))
+      }
+    require(variants.nonEmpty, s"datatype $datatype not present in $path")
+    val byMd5 = variants.groupBy(_._1)
+    val chosen = md5 match {
+      case Some(m) => byMd5.filter { case (k, _) => k.startsWith(m) }
+      case None => byMd5
+    }
+    require(chosen.size == 1,
+      s"datatype $datatype has ${byMd5.size} definition variants in $path " +
+        s"(md5s: ${byMd5.keys.toSeq.sorted.mkString(", ")})" +
+        (if (md5.isDefined) s"; md5 prefix '${md5.get}' matches ${chosen.size}"
+         else "; pass option(\"md5\", <prefix>) to select one"))
+    val (m, vs) = chosen.head
+    TypedTarget(datatype, vs.head._2, m, vs.map(_._3).distinct)
+  }
+
   def bundleFor(path: String, datatype: String): RosMsgBundle = {
-    val conn = RosbagIO.scanIndex(path).connections.find(_.datatype == datatype)
-      .getOrElse(throw new IllegalArgumentException(
-        s"datatype $datatype not present in bag $path"))
-    MsgDefParser.parse(datatype, conn.msgDef)
+    val t = resolveTarget(path, datatype, None)
+    MsgDefParser.parse(datatype, t.msgDef)
   }
 
   def typedSchema(bundle: RosMsgBundle, includeRaw: Boolean): StructType = {
@@ -99,9 +134,10 @@ class RosbagTypedPartitionReader(p: RosbagInputPartition, datatype: String,
     BagFormat.chunkMessages(p.chunk, data).iterator
       .filter(m => typeConns.contains(m.connId))
       // pushed meta filters skip whole messages BEFORE the decode cost
-      .filter(m => filters.forall(f => RosbagFilters.eval(f, m, p.conns(m.connId))))
+      .filter(m => filters.forall(f => RosbagFilters.eval(f, m, p.conns(m.connId), p.path)))
   }
   private var current: BagFormat.BagMessage = _
+  private val pathUtf8 = UTF8String.fromString(p.path)
 
   override def next(): Boolean =
     if (messages.hasNext) { current = messages.next(); true } else false
@@ -116,8 +152,9 @@ class RosbagTypedPartitionReader(p: RosbagInputPartition, datatype: String,
   override def get(): InternalRow = {
     val nFields = fullSchema.size
     val full = new Array[Any](nFields)
-    full(0) = p.chunkIdx; full(1) = current.offsetInChunk
-    full(2) = current.timeSec; full(3) = current.timeNsec; full(4) = current.connId
+    full(0) = pathUtf8
+    full(1) = p.chunkIdx; full(2) = current.offsetInChunk
+    full(3) = current.timeSec; full(4) = current.timeNsec; full(5) = current.connId
     if (includeRaw) full(nFields - 1) = current.data
     if (needsPayload) {
       val vals = RosSchemaMapper.decode(bundle, current.data)

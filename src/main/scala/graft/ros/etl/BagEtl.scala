@@ -99,16 +99,43 @@ object BagEtl {
       System.err.println(f"[etl-timing] $phase%-22s ${(now - tLast) / 1e9}%6.2fs")
       tLast = now
     }
-    val index = graft.ros.bag.RosbagIO.scanIndex(bagPath)
+    // bagPath may be one file, a directory, or a glob — the dataset
+    // shape a 100 TB robotics corpus actually arrives in.
+    val bags = graft.ros.bag.RosbagIO.resolveBags(bagPath)
+    val indexes = bags.map(b => b -> graft.ros.bag.RosbagIO.scanIndex(b))
     lap("scanIndex")
 
-    // Connections dimension (reference FlattenedRosWriter.cpp:209-224).
-    val connections = graft.ros.bag.RosbagTables.fromIndex(spark, index)
+    // Connections dimension (reference FlattenedRosWriter.cpp:209-224),
+    // keyed (bag_path, connection_id) — connection ids are per-bag.
+    val connections = graft.ros.bag.RosbagTables.connections(spark, bagPath)
 
-    // md5 consistency per datatype (reference FlattenedRosWriter.cpp:287).
-    index.connections.groupBy(_.datatype).foreach { case (dt, cs) =>
-      require(cs.map(_.md5sum).distinct.size == 1,
-        s"datatype $dt has conflicting md5sums across connections")
+    // md5 consistency per datatype WITHIN each bag (reference
+    // FlattenedRosWriter.cpp:287 asserts per-bag).
+    indexes.foreach { case (b, index) =>
+      index.connections.groupBy(_.datatype).foreach { case (dt, cs) =>
+        require(cs.map(_.md5sum).distinct.size == 1,
+          s"datatype $dt has conflicting md5sums across connections in $b")
+      }
+    }
+
+    // ACROSS bags a datatype may drift (SURVEY §7.4.3: a fleet with a
+    // mid-life message-definition change). Each (datatype, md5) variant
+    // becomes its own table; drifted types namespace the table name
+    // with the md5 prefix so both variants land side by side.
+    // (datatype, md5, msgDef, bags carrying it, tableName)
+    val typeGroups: Seq[(String, String, String, Seq[String], String)] = {
+      val all = indexes.flatMap { case (b, index) =>
+        index.connections.map(c => (c.datatype, c.md5sum, c.msgDef, b))
+      }
+      val byType = all.groupBy(_._1)
+      byType.toSeq.sortBy(_._1).flatMap { case (dt, rows) =>
+        val base = dt.replace("/", "_") // reference MessageTable.cpp:315
+        val byMd5 = rows.groupBy(_._2).toSeq.sortBy(_._1)
+        byMd5.map { case (md5, vs) =>
+          val name = if (byMd5.size == 1) base else s"${base}__${md5.take(8)}"
+          (dt, md5, vs.head._3, vs.map(_._4).distinct, name)
+        }
+      }
     }
 
     val raw0 = spark.read.format("rosbag").load(bagPath)
@@ -126,7 +153,7 @@ object BagEtl {
     // pass ALSO stages the raw bytes partitioned by datatype — the
     // only bag scan of the whole ETL.
     val stageDir = s"$out/_spine"
-    val metaCols = Seq(col("chunk_idx"), col("offset"), col("time_sec"),
+    val metaCols = Seq(col("bag_path"), col("chunk_idx"), col("offset"), col("time_sec"),
       col("time_nsec"), col("size"), col("connection_id"),
       col("header_stamp_sec"), col("header_stamp_nsec"), col("data_crc32"))
     if (stagedByType)
@@ -142,15 +169,19 @@ object BagEtl {
     // rosbag::View semantics (reference rosbag2parquet.cpp:45-52;
     // seqno FlattenedRosWriter.cpp:195,256). The meta select prunes
     // the staged blob pages out of the read in stagedByType mode.
+    // bag_path in the tie-break: rosbag::View merge-time order within a
+    // bag, deterministic (name-sorted) interleave across equal-time
+    // rows from different bags.
     val spine = Seqno.globalSeqno(
       spark.read.parquet(stageDir).select(metaCols: _*),
-      Seq(col("time_sec"), col("time_nsec"), col("chunk_idx"), col("offset")))
+      Seq(col("time_sec"), col("time_nsec"), col("bag_path"), col("chunk_idx"), col("offset")))
 
     // Messages fact table (reference FlattenedRosWriter.cpp:49-87), plus
     // the sensor-time header stamp (nullable; reference TODO
     // rosbag2parquet.cpp:28-30) read in the source from the wire prefix.
     val messages0 = spine.select(
-      col("seqno"), col("time_sec"), col("time_nsec"), col("size"), col("connection_id"),
+      col("seqno"), col("bag_path"), col("time_sec"), col("time_nsec"), col("size"),
+      col("connection_id"),
       col("header_stamp_sec"), col("header_stamp_nsec"), col("data_crc32"))
     val messages = if (nativeTimestamp)
       // floor-to-micros. Built with pure NTZ arithmetic (timestampadd on
@@ -178,7 +209,7 @@ object BagEtl {
     // dispatch (FlattenedRosWriter.cpp:273-289) is the datatype option
     // pushed into the source.
     val seqnoDir = s"$out/_seqno"
-    spine.select(col("chunk_idx"), col("offset"), col("seqno"))
+    spine.select(col("bag_path"), col("chunk_idx"), col("offset"), col("seqno"))
       .write.option("compression", "snappy").parquet(seqnoDir)
     lap("seqno-map-write")
     val seqnoMap = spark.read.parquet(seqnoDir)
@@ -198,16 +229,15 @@ object BagEtl {
     // are cancelled instead of racing caller teardown (job groups are
     // thread-local, so each future sets it)
     val jobGroup = s"graft-etl-${java.util.UUID.randomUUID()}"
-    val typeDdl = index.connections.map(_.datatype).distinct.map { datatype =>
+    val typeDdl = typeGroups.map { case (datatype, md5, groupMsgDef, groupBags, tableName) =>
       Future { scala.concurrent.blocking {   // blocking{}: Spark actions
         // park threads — without it the global EC caps concurrency at
         // CPU count and starves other users of the pool
-        spark.sparkContext.setJobGroup(jobGroup, s"per-type $datatype",
+        spark.sparkContext.setJobGroup(jobGroup, s"per-type $tableName",
           interruptOnCancel = true)
         try {
         val tTable = System.nanoTime()
         val ddl = new StringBuilder
-        val tableName = datatype.replace("/", "_")  // reference MessageTable.cpp:315
         // `joined`: the per-type frame. `rawForSide`: a lineage for the
         // side-table write that does NOT pay the payload decode. In scan
         // mode Catalyst pruning on the typed source gives that for free
@@ -215,25 +245,29 @@ object BagEtl {
         // in staged mode decodeRows goes through an RDD that is opaque
         // to pruning, so the side table reads the staged bytes directly.
         val (joined, rawForSide) = if (stagedByType) {
-          // decode this type's bytes from its staging partition — the
-          // bag itself is never re-read
-          val bundle = MsgDefParser.parse(datatype,
-            index.connections.find(_.datatype == datatype).get.msgDef)
+          // decode this variant's bytes from its staging partition — the
+          // bags themselves are never re-read. bag_path narrows to the
+          // bags carrying THIS md5 variant (within a bag the md5 is
+          // unique per datatype, so bag_path fully disambiguates).
+          val bundle = MsgDefParser.parse(datatype, groupMsgDef)
           val part = spark.read.parquet(stageDir)
-            .filter(col("datatype") === datatype)
-            .join(seqnoMap, Seq("chunk_idx", "offset"))
-            .select(col("seqno"), col("connection_id"), col("data"))
+            .filter(col("datatype") === datatype && col("bag_path").isin(groupBags: _*))
+            .join(seqnoMap, Seq("bag_path", "chunk_idx", "offset"))
+            .select(col("seqno"), col("connection_id"), col("bag_path"), col("data"))
           val decoded = decodeRows(spark, part, bundle)
           (if (keepRawBlob) decoded else decoded.drop("data"), part)
         } else {
           val typed = spark.read.format("rosbag")
-            .option("datatype", datatype).option("includeRaw", keepRawBlob.toString)
+            .option("datatype", datatype).option("md5", md5)
+            .option("includeRaw", keepRawBlob.toString)
             .load(bagPath)
           val payload = typed.columns.filterNot(Set(
-            "chunk_idx", "offset", "time_sec", "time_nsec", "connection_id", "data"))
-          val frame = col("seqno") +: payload.map(col).toSeq :+ col("connection_id")
+            "bag_path", "chunk_idx", "offset", "time_sec", "time_nsec",
+            "connection_id", "data"))
+          val frame = col("seqno") +: payload.map(col).toSeq :+
+            col("connection_id") :+ col("bag_path")
           val j = typed
-            .join(seqnoMap, Seq("chunk_idx", "offset"))
+            .join(seqnoMap, Seq("bag_path", "chunk_idx", "offset"))
             .select((if (keepRawBlob) frame :+ col("data") else frame): _*)
           (j, j)
         }
@@ -311,7 +345,7 @@ object BagEtl {
     // (reference compat); colliding payload columns get `_field`.
     // Same set as the typed source (RosbagTypedRead.reserved) so the
     // staged and per-type-scan ETL modes emit identical column names.
-    val reserved = Set("seqno", "connection_id", "data",
+    val reserved = Set("seqno", "connection_id", "data", "bag_path",
       "chunk_idx", "offset", "time_sec", "time_nsec")
     val payload = flat.fields.map(f =>
       if (reserved(f.name)) f.copy(name = f.name + "_field") else f)
@@ -319,15 +353,17 @@ object BagEtl {
       StructField("seqno", LongType, nullable = false) +:
       (payload :+
         StructField("connection_id", IntegerType, nullable = false) :+
+        StructField("bag_path", StringType, nullable = false) :+
         StructField("data", BinaryType, nullable = false)))
     val rows = part
-      .select(col("seqno"), col("connection_id"), col("data"))
+      .select(col("seqno"), col("connection_id"), col("bag_path"), col("data"))
       .rdd.map { r =>
         val seqno = r.getLong(0)
         val connId = r.getInt(1)
-        val bytes = r.getAs[Array[Byte]](2)
+        val bag = r.getString(2)
+        val bytes = r.getAs[Array[Byte]](3)
         val vals = RosSchemaMapper.decode(bundle, bytes)
-        Row.fromSeq(seqno +: (vals :+ connId :+ bytes))
+        Row.fromSeq(seqno +: (vals :+ connId :+ bag :+ bytes))
       }
     spark.createDataFrame(rows, outSchema)
   }

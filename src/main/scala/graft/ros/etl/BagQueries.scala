@@ -16,10 +16,16 @@ object BagQueries {
     */
   def bagInfo(spark: SparkSession, etlDir: String): DataFrame = {
     val messages = spark.read.parquet(s"$etlDir/Messages.parquet")
+    // connection ids are per-bag: the dimension key is (bag_path,
+    // connection_id) whenever the output carries the bag spine column
+    // (multi-bag ETL always does; tolerate older single-bag outputs).
+    val joinKeys =
+      if (messages.columns.contains("bag_path")) Seq("bag_path", "connection_id")
+      else Seq("connection_id")
     val connections = spark.read.parquet(s"$etlDir/Connections.parquet")
-      .select(col("connection_id"), col("topic"), col("datatype"))
+      .select(joinKeys.map(col) :+ col("topic") :+ col("datatype"): _*)
     messages
-      .join(broadcast(connections), "connection_id")
+      .join(broadcast(connections), joinKeys)
       .withColumn("ts", col("time_sec").cast("double") + col("time_nsec") / 1e9)
       .rollup(col("datatype"), col("topic"))
       .agg(

@@ -99,7 +99,8 @@ class VectorExprSpec extends SparkTestBase {
     val c = graft.ros.bag.RosbagTables.connections(spark, bag)
     assert(c.count() == 2)
     assert(c.schema.fieldNames.toSeq ==
-      Seq("connection_id", "topic", "datatype", "md5sum", "msg_def", "callerid", "header"))
+      Seq("bag_path", "connection_id", "topic", "datatype", "md5sum", "msg_def",
+        "callerid", "header"))
     // header map access (reference header->find model)
     assert(c.select(element_at(col("header"), "type")).head().getString(0)
       == "sensor_msgs/Imu")

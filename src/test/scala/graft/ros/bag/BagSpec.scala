@@ -93,8 +93,8 @@ class BagSpec extends SparkTestBase {
   test("DSv2 rosbag source: scan, schema, pushdown") {
     val path = writeFixtureBag(6, messagesPerChunk = 2)
     val df = spark.read.format("rosbag").load(path)
-    assert(df.schema.fieldNames.toSeq == Seq("chunk_idx", "offset", "time_sec",
-      "time_nsec", "size", "connection_id", "topic", "datatype",
+    assert(df.schema.fieldNames.toSeq == Seq("bag_path", "chunk_idx", "offset",
+      "time_sec", "time_nsec", "size", "connection_id", "topic", "datatype",
       "header_stamp_sec", "header_stamp_nsec", "data_crc32", "data"))
     assert(df.count() == 6)
     // the untyped scan is vectorized (RosbagMetaColumnarReader)
@@ -132,7 +132,7 @@ class BagSpec extends SparkTestBase {
     assert(imu.count() == 2)
     // frame: seqno + flattened + connection_id + data (MessageTable.cpp:326-343)
     assert(imu.schema.fieldNames.head == "seqno")
-    assert(imu.schema.fieldNames.takeRight(2).toSeq == Seq("connection_id", "data"))
+    assert(imu.schema.fieldNames.takeRight(3).toSeq == Seq("connection_id", "bag_path", "data"))
     val r = imu.filter(col("seqno") === 1).head()
     assert(r.getAs[String]("header_frame_id") == "frame1")
     assert(r.getAs[Double]("linear_acceleration_x") == 0.5)
@@ -202,10 +202,10 @@ class BagSpec extends SparkTestBase {
     val path = writeFixtureBag(3, messagesPerChunk = 10)
     val out = Files.createTempDirectory("graft_rem").toString + "/out"
     graft.ros.etl.BagEtl.run(spark, path, out)
-    // take only (seqno, connection_id, data) — as a downstream consumer
-    // holding raw blobs would — and decode back to typed columns
+    // take only (seqno, connection_id, bag_path, data) — as a downstream
+    // consumer holding raw blobs would — and decode back to typed columns
     val blobs = spark.read.parquet(s"$out/sensor_msgs_Imu.parquet")
-      .select("seqno", "connection_id", "data")
+      .select("seqno", "connection_id", "bag_path", "data")
     val typed = graft.ros.etl.BagEtl.decodeRows(spark, blobs, imuBundle)
     assert(typed.count() == 3)
     assert(typed.filter(col("seqno") === 2).head()
@@ -218,7 +218,7 @@ class BagSpec extends SparkTestBase {
     graft.ros.etl.BagEtl.run(spark, path, out, keepRawBlob = false)
     val imu = spark.read.parquet(s"$out/sensor_msgs_Imu.parquet")
     assert(!imu.schema.fieldNames.contains("data"))
-    assert(imu.schema.fieldNames.last == "connection_id")
+    assert(imu.schema.fieldNames.takeRight(2).toSeq == Seq("connection_id", "bag_path"))
     assert(imu.filter(col("seqno") === 1).head()
       .getAs[String]("header_frame_id") == "frame1")
   }
@@ -389,5 +389,81 @@ class BagSpec extends SparkTestBase {
     val m = spark.read.parquet(s"$out/Messages.parquet")
       .orderBy("seqno").select("time_sec").collect().map(_.getInt(0))
     assert(m.toSeq == Seq(100, 200, 300, 400))
+  }
+
+  test("multi-bag directory: pruned spine, md5-namespaced tables, per-bag ETL equivalence") {
+    // three bags in one dir; bag c's test_msgs/Point definition drifted
+    // (SURVEY §7.4.3: a fleet with a mid-life message-definition change)
+    val dir = Files.createTempDirectory("graft_multibag")
+    val ptDefV1 = "float64 x\nfloat64 y\n"
+    val ptDefV2 = "float64 x\nfloat64 y\nfloat64 z\n"
+    def ptBytes(d: String, vals: Seq[Any]) =
+      RosSchemaMapper.encode(MsgDefParser.parse("test_msgs/Point", d), vals)
+    def writeBagFile(name: String, ptDef: String, md5: String, base: Int,
+                     withZ: Boolean): String = {
+      val connImu = BagConnection(0, "/imu_data", "sensor_msgs/Imu",
+        Fixtures.imuMd5, Fixtures.imuDef, "/n")
+      val connPt = BagConnection(1, "/pt", "test_msgs/Point", md5, ptDef, "/n")
+      val msgs = (0 until 4).map { i =>
+        if (i % 2 == 0)
+          WriteMessage(0, base + i, 0, imuBytes(i.toLong, base + i, 0, s"f$i", i * 0.5))
+        else WriteMessage(1, base + i, 0, ptBytes(ptDef,
+          if (withZ) Seq(i * 1.0, i * 2.0, i * 3.0) else Seq(i * 1.0, i * 2.0)))
+      }
+      val p = dir.resolve(name)
+      Files.write(p, BagFormat.writeBag(Seq(connImu, connPt), msgs, messagesPerChunk = 2))
+      p.toString
+    }
+    val bagA = writeBagFile("a.bag", ptDefV1, "md5v1", 1700000000, withZ = false)
+    val bagB = writeBagFile("b.bag", ptDefV1, "md5v1", 1700000100, withZ = false)
+    val bagC = writeBagFile("c.bag", ptDefV2, "md5v2", 1700000200, withZ = true)
+
+    // one consistent spine over the dir, one partition per (bag, chunk)
+    val spine = spark.read.format("rosbag").load(dir.toString)
+    assert(spine.count() == 12)
+    assert(spine.select("bag_path").distinct().count() == 3)
+    // bag_path equality prunes WHOLE bags at planning time: same
+    // partition count as loading that single bag directly
+    val one = spine.filter(col("bag_path") === spark.read.format("rosbag")
+      .load(bagB).select("bag_path").head().getString(0))
+    assert(one.count() == 4)
+    assert(one.rdd.getNumPartitions ==
+      spark.read.format("rosbag").load(bagB).rdd.getNumPartitions)
+
+    // typed read over a drifted datatype must not silently pick a def
+    val err = intercept[Exception] {
+      spark.read.format("rosbag").option("datatype", "test_msgs/Point")
+        .load(dir.toString)
+    }
+    assert(err.getMessage.contains("variants"))
+    val v1 = spark.read.format("rosbag").option("datatype", "test_msgs/Point")
+      .option("md5", "md5v1").load(dir.toString)
+    assert(v1.count() == 4 && !v1.columns.contains("z"))
+    val v2 = spark.read.format("rosbag").option("datatype", "test_msgs/Point")
+      .option("md5", "md5v2").load(dir.toString)
+    assert(v2.count() == 2 && v2.columns.contains("z"))
+
+    // ETL over the dir: dense global seqno, per-(datatype, md5)
+    // namespaced tables for the drifted type
+    val out = Files.createTempDirectory("graft_mb_out").toString + "/out"
+    graft.ros.etl.BagEtl.run(spark, dir.toString, out)
+    val names = new java.io.File(out).listFiles.map(_.getName).toSet
+    assert(names.contains("sensor_msgs_Imu.parquet"))
+    assert(names.contains("test_msgs_Point__md5v1.parquet"))
+    assert(names.contains("test_msgs_Point__md5v2.parquet"))
+    val messages = spark.read.parquet(s"$out/Messages.parquet")
+    assert(messages.count() == 12)
+    assert(messages.agg(min("seqno"), max("seqno")).head() == Row(0L, 11L))
+    assert(spark.read.parquet(s"$out/test_msgs_Point__md5v2.parquet")
+      .columns.contains("z"))
+
+    // dir ETL == per-bag ETLs unioned, modulo the global seqno
+    val dirImu = spark.read.parquet(s"$out/sensor_msgs_Imu.parquet").drop("seqno")
+    val perBag = Seq(bagA, bagB, bagC).map { b =>
+      val o = Files.createTempDirectory("graft_sb_out").toString + "/out"
+      graft.ros.etl.BagEtl.run(spark, b, o)
+      spark.read.parquet(s"$o/sensor_msgs_Imu.parquet").drop("seqno")
+    }.reduce(_ unionByName _)
+    assert(dirImu.exceptAll(perBag).isEmpty && perBag.exceptAll(dirImu).isEmpty)
   }
 }

@@ -9,8 +9,8 @@ class RosbagTypedReadSpec extends SparkTestBase {
     val df = spark.read.format("rosbag")
       .option("datatype", "sensor_msgs/Imu").load(bag)
     // schema: meta ++ flattened Imu fields, no raw blob by default
-    assert(df.schema.fieldNames.take(5).toSeq ==
-      Seq("chunk_idx", "offset", "time_sec", "time_nsec", "connection_id"))
+    assert(df.schema.fieldNames.take(6).toSeq ==
+      Seq("bag_path", "chunk_idx", "offset", "time_sec", "time_nsec", "connection_id"))
     assert(df.schema.fieldNames.contains("header_frame_id"))
     assert(!df.schema.fieldNames.contains("data"))
     assert(df.count() == 100)
