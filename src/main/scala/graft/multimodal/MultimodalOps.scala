@@ -281,6 +281,65 @@ object MultimodalOps {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Frame byte ranges of a raw MJPEG stream (concatenated JPEGs):
+    * each frame spans SOI (FFD8) .. EOI (FFD9). Nested SOIs (embedded
+    * thumbnails) are not tracked — camera MJPEG streams don't carry
+    * them; a thumbnail-bearing stream would split early at the
+    * thumbnail's EOI and the decode require below fails loudly rather
+    * than emitting garbage frames.
+    */
+  private[multimodal] def mjpegFrameRanges(blob: Array[Byte]): Seq[(Int, Int)] = {
+    val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0
+    var start = -1
+    while (i + 1 < blob.length) {
+      val b0 = blob(i) & 0xFF
+      val b1 = blob(i + 1) & 0xFF
+      if (b0 == 0xFF && b1 == 0xD8 && start < 0) { start = i; i += 2 }
+      else if (b0 == 0xFF && b1 == 0xD9 && start >= 0) {
+        frames += ((start, i + 2)); start = -1; i += 2
+      } else i += 1
+    }
+    frames.toSeq
+  }
+
+  /** REAL frame sampling for MJPEG video blobs — the one video
+    * container the JDK decodes on its own (each frame is a JPEG;
+    * javax.imageio reads it). Emits one row per sampled frame (every
+    * `everyNth` stream frame, up to `maxFrames`) with the frame's JPEG
+    * bytes and its DECODED dimensions — the decode both proves the
+    * split found real frames and is where resize / feature-extract
+    * plugs in. Same scale shape as the image ops: per-partition
+    * iteration, frame explode bounded by maxFrames, no driver-side
+    * bytes. Other containers (H.264 etc.) need a native codec and stay
+    * behind the labeled sampleFramesStub.
+    */
+  def sampleFramesMjpeg(df: DataFrame, blobCol: String, idCol: String,
+                        everyNth: Int = 2, maxFrames: Int = 8): DataFrame = {
+    require(everyNth >= 1 && maxFrames >= 1,
+      s"need everyNth >= 1 and maxFrames >= 1, got $everyNth/$maxFrames")
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false), // index in the stream
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("frame_data", BinaryType, nullable = false)))
+    val rows = df.select(idCol, blobCol).rdd.mapPartitions(_.flatMap { r =>
+      val blob = r.getAs[Array[Byte]](1)
+      mjpegFrameRanges(blob).zipWithIndex
+        .filter { case (_, fi) => fi % everyNth == 0 }
+        .take(maxFrames)
+        .map { case ((s0, e0), fi) =>
+          val bytes = java.util.Arrays.copyOfRange(blob, s0, e0)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"frame $fi of ${r.get(0)} is not a decodable JPEG")
+          Row(r.get(0), fi, img.getWidth, img.getHeight, bytes)
+        }
+    })
+    spark.createDataFrame(rows, schema)
+  }
+
   /** STUB: frame sampling for video blobs — emits one row per sampled
     * frame index with a frame-slice blob. Real plumbing: explode
     * cardinality, per-frame keying; fake: the "frame" is a byte slice.

@@ -59,6 +59,33 @@ object IvfIndex {
   def assign(e: DataFrame, vecCol: String, cents: Seq[Centroid]): DataFrame =
     e.withColumn("cell", nearestCell(col(vecCol), cents))
 
+  /** The `n` nearest cell ids as an array, best first (ties toward the
+    * lower cell id, matching nearestCell's struct ordering). Still
+    * map-only: the model rides along as literals, sorted per row.
+    */
+  def nearestCells(v: Column, cents: Seq[Centroid], n: Int): Column = {
+    val scored = cents.map { c =>
+      struct((-dotd(v, typedLit(c.vec)) / lit(c.norm)).as("negsim"), lit(c.id).as("id"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, n), x => x.getField("id"))
+  }
+
+  /** Multi-assignment: one row per (vector, cell) for the nAssign
+    * nearest cells — the cross-cell recall knob for within-cell
+    * algorithms (SemDeDup-style dedup misses pairs straddling a cell
+    * boundary by construction; with nAssign=2 a boundary pair is
+    * co-located in one of the shared runner-up cells). Row volume is
+    * nAssign×; downstream pair consumers must dedupe, since a pair
+    * sharing two cells is emitted from both. nAssign=1 is `assign`.
+    */
+  def assignMulti(e: DataFrame, vecCol: String, cents: Seq[Centroid],
+                  nAssign: Int): DataFrame = {
+    require(nAssign >= 1 && nAssign <= cents.size,
+      s"nAssign must be in [1, ${cents.size}], got $nAssign")
+    if (nAssign == 1) assign(e, vecCol, cents)
+    else e.withColumn("cell", explode(nearestCells(col(vecCol), cents, nAssign)))
+  }
+
   /** nProbe cells nearest to a local query vector — pure driver math
     * over the k-row model. Dimension mismatches fail loudly (a silent
     * prefix dot product returns confidently wrong neighbors), and

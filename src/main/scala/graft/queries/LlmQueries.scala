@@ -223,6 +223,69 @@ object LlmQueries {
       .select(col("da"), col("db"), col("shared"), col("na"), col("nb"), col("jaccard"))
   }
 
+  /** q60's pair graph with the cross-cell recall knob. nAssign=1 is
+    * the published single-cell SemDeDup tradeoff (pairs straddling a
+    * cell boundary are missed by construction); nAssign>1 assigns each
+    * vector to its nAssign nearest cells so a boundary pair co-locates
+    * in a shared runner-up cell — recall rises at ~nAssign× pairing
+    * volume. A pair sharing two cells is emitted from both, so the
+    * multi-assign path dedupes before clustering (cheap: the graph is
+    * threshold-sparse). Still never all-pairs, still map-only
+    * assignment; driver state stays model-sized.
+    */
+  private[graft] def semanticDedupPairs(s: SparkSession, d: String,
+      nAssign: Int, thresh: Double): DataFrame = {
+    import graft.operators.{IvfIndex, KeyedPairs}
+    val e = spread(embeddings(s, d), col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val cents = cachedModel(s, d, "ivf_k16_i2")(
+      IvfIndex.train(e, "vec_id", "embedding", k = 16, iters = 2))
+    val assigned = IvfIndex.assignMulti(e, "embedding", cents, nAssign)
+      .withColumn("nrm", l2(col("embedding")))
+    val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
+    val pairs = KeyedPairs.pairs(assigned, Seq("cell"), payload, PairCap)
+      .select(col("pa.vec_id").as("va"), col("pb.vec_id").as("vb"),
+        (dotd(col("pa.embedding"), col("pb.embedding")) /
+          (col("pa.nrm") * col("pb.nrm"))).as("cos"))
+      .filter(col("cos") >= thresh)
+      .select(col("va"), col("vb"))
+    if (nAssign == 1) pairs else pairs.distinct()
+  }
+
+  /** Q60 body: cluster the semantic pair graph, keep the lowest vec_id
+    * per connected duplicate cluster (the embedding-side analogue of
+    * q46's text dedup). See semanticDedupPairs for the nAssign knob.
+    */
+  def semanticDedup(s: SparkSession, d: String, nAssign: Int = 1,
+                    thresh: Double = 0.40): DataFrame =
+    graft.operators.ConnectedComponents
+      .componentsAuto(semanticDedupPairs(s, d, nAssign, thresh), "va", "vb")
+      .select(col("id").as("vec_id"), col("comp").as("keep_id"))
+      .orderBy(col("vec_id"))
+
+  /** Q61 body. exact=true is the oracle form (interpolated
+    * percentile()); exact=false is the 100 TB path — approx_percentile
+    * (sketch-backed, mergeable map-side, no per-group sort buffer),
+    * `accuracy` trading rank error (~1/accuracy) for sketch size. Same
+    * plan shape either way: a lang-cardinality bounds table broadcast
+    * back onto a map-only corpus pass. LlmQueriesSpec asserts the
+    * approximate gate stays within the exact gate's tolerance.
+    */
+  def percentileGate(s: SparkSession, d: String, exact: Boolean = true,
+                     accuracy: Int = 10000): DataFrame = {
+    val docs = documents(s, d)
+    val (loE, hiE) =
+      if (exact) (expr("percentile(n_chars, 0.05)"), expr("percentile(n_chars, 0.95)"))
+      else (expr(s"approx_percentile(n_chars, 0.05, $accuracy)").cast("double"),
+            expr(s"approx_percentile(n_chars, 0.95, $accuracy)").cast("double"))
+    val bounds = docs.groupBy(col("lang")).agg(loE.as("lo"), hiE.as("hi"))
+    docs.join(broadcast(bounds), Seq("lang"))
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        rk(col("lo"), 4).as("lo"), rk(col("hi"), 4).as("hi"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 16 minhash values per doc: min over shingles of xxhash64(seed_i, s). */
   private val NumHashes = MinHashUnion.NumHashes  // single source of truth
 
@@ -805,25 +868,7 @@ object LlmQueries {
     // out-of-contract (recall vs the exact pair graph is measured in
     // LlmQueriesSpec). Scale shape: map-only assignment, one
     // cell-keyed pair stage, tiny component rounds — never all-pairs.
-    "q60_semantic_dedup" -> ((s, d) => {
-      import graft.operators.{IvfIndex, KeyedPairs}
-      val thresh = 0.40
-      val e = spread(embeddings(s, d), col("vec_id"))
-        .select(col("vec_id"), col("embedding"))
-      val cents = cachedModel(s, d, "ivf_k16_i2")(
-        IvfIndex.train(e, "vec_id", "embedding", k = 16, iters = 2))
-      val assigned = IvfIndex.assign(e, "embedding", cents)
-        .withColumn("nrm", l2(col("embedding")))
-      val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
-      val pairs = KeyedPairs.pairs(assigned, Seq("cell"), payload, PairCap)
-        .select(col("pa.vec_id").as("va"), col("pb.vec_id").as("vb"),
-          (dotd(col("pa.embedding"), col("pb.embedding")) /
-            (col("pa.nrm") * col("pb.nrm"))).as("cos"))
-        .filter(col("cos") >= thresh)
-      graft.operators.ConnectedComponents.componentsAuto(pairs, "va", "vb")
-        .select(col("id").as("vec_id"), col("comp").as("keep_id"))
-        .orderBy(col("vec_id"))
-    }),
+    "q60_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
 
     // Q61 — per-language percentile quality gate: keep docs whose
     // n_chars lies within [p05, p95] of their language — the
@@ -834,17 +879,7 @@ object LlmQueries {
     // per-group sort buffer). The bounds table is lang-cardinality
     // (tiny) — broadcast back onto the scan, so the corpus pass is
     // map-only.
-    "q61_percentile_gate" -> ((s, d) => {
-      val docs = documents(s, d)
-      val bounds = docs.groupBy(col("lang"))
-        .agg(expr("percentile(n_chars, 0.05)").as("lo"),
-             expr("percentile(n_chars, 0.95)").as("hi"))
-      docs.join(broadcast(bounds), Seq("lang"))
-        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          rk(col("lo"), 4).as("lo"), rk(col("hi"), 4).as("hi"))
-        .orderBy(col("doc_id"))
-    }),
+    "q61_percentile_gate" -> ((s, d) => percentileGate(s, d, exact = true)),
 
     // Q63 — winnowing fingerprints (Schleimer et al., SIGMOD'03 — the
     // MOSS algorithm): per position, hash the 3-token shingle with the

@@ -165,6 +165,37 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(f1.size == 8 && f1.forall(v => v >= 0f && v <= 1f))
   }
 
+  test("real MJPEG frame sampling: split, decode, everyNth/maxFrames") {
+    // a 5-frame MJPEG stream: five real JPEGs (distinct sizes so the
+    // split boundaries are provably per-frame) concatenated raw
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames5 = (0 until 5).map(i => jpeg(8 + i, 6 + i, 0x123456 * (i + 1)))
+    val stream = frames5.reduce(_ ++ _)
+    assert(MultimodalOps.mjpegFrameRanges(stream).size == 5)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(7L, stream)), 1),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("blob", BinaryType, nullable = false))))
+    // every 2nd frame of 5 -> stream indices 0, 2, 4, decoded dims real
+    val out = sampleFramesMjpeg(df, "blob", "id", everyNth = 2, maxFrames = 8)
+      .orderBy("frame_idx").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    assert(out.map(r => (r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((8, 6), (10, 8), (12, 10)))
+    // each emitted frame is byte-identical to the source JPEG
+    assert(out(1).getAs[Array[Byte]]("frame_data").toSeq == frames5(2).toSeq)
+    // maxFrames caps the explode
+    val capped = sampleFramesMjpeg(df, "blob", "id", everyNth = 1, maxFrames = 2)
+    assert(capped.count() == 2)
+  }
+
   test("frame sampling stub: explode cardinality and keying") {
     val frames = sampleFramesStub(mediaDf(3), "blob", "id", everyNth = 10, maxFrames = 4)
     assert(frames.schema.fieldNames.toSeq == Seq("id", "frame_idx", "frame_data"))

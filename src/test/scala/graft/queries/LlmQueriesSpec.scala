@@ -159,33 +159,61 @@ class LlmQueriesSpec extends SparkTestBase {
     assert(recall >= 0.3, f"semantic dedup recall $recall%.2f too low")
   }
 
-  test("q61's documented scale path (approx_percentile) tracks the exact gate") {
-    // the query ships exact percentile() for the oracle; the scaladoc
-    // names approx_percentile as the 100 TB swap-in. Prove the swap is
-    // sound here: with default accuracy the approximate bounds must
-    // keep the same docs within a small symmetric margin.
-    import org.apache.spark.sql.functions._
-    val docs = Tables.documents(spark, sf)
-    def gate(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =
-      docs.groupBy(col("lang")).agg(lo.as("lo"), hi.as("hi"))
-    // compare the KEPT DOC SETS, not bound values: approx_percentile
+  test("q61's scale variant percentileGate(exact=false) tracks the exact gate") {
+    // the query ships exact percentile() for the oracle; exact=false is
+    // the 100 TB approx_percentile path, shipped as callable code.
+    // Compare the KEPT DOC SETS, not bound values: approx_percentile
     // returns an actual element (no interpolation), so raw bound
     // distance is meaningless on sparse strata — rank drift is what
-    // the gate actually feels
-    def kept(bounds: org.apache.spark.sql.DataFrame): Set[Long] =
-      docs.join(bounds, Seq("lang"))
-        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
-        .select("doc_id").collect().map(_.getLong(0)).toSet
-    val exactKept = kept(
-      gate(expr("percentile(n_chars, 0.05)"), expr("percentile(n_chars, 0.95)")))
-    val approxKept = kept(gate(
-      expr("approx_percentile(n_chars, 0.05, 10000)").cast("double"),
-      expr("approx_percentile(n_chars, 0.95, 10000)").cast("double")))
+    // the gate actually feels.
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactKept = kept(LlmQueries.percentileGate(spark, sf, exact = true))
+    val approxKept = kept(LlmQueries.percentileGate(spark, sf, exact = false))
     val diff = (exactKept -- approxKept) ++ (approxKept -- exactKept)
-    val total = docs.count()
+    val total = Tables.documents(spark, sf).count()
     // 4 boundaries x 5 strata of rank-neighborhood flips at most
     assert(diff.size <= math.max(20, total / 20),
       s"approx gate drifted by ${diff.size}/$total docs")
+  }
+
+  test("q60 multi-assignment (nAssign=2) raises cross-cell recall, bounded volume") {
+    val thresh = 0.40
+    // exact ground truth pair set (all-pairs at test scale)
+    import graft.operators.KeyedPairs
+    val e = Tables.spread(Tables.embeddings(spark, sf), col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", LlmQueries.l2(col("embedding")))
+    val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
+    val exact = KeyedPairs.allPairs(e, payload, cap = 256)
+      .select(col("pa.vec_id").as("va"), col("pb.vec_id").as("vb"),
+        (LlmQueries.dotd(col("pa.embedding"), col("pb.embedding")) /
+          (col("pa.nrm") * col("pb.nrm"))).as("cos"))
+      .filter(col("cos") >= thresh)
+      .select("va", "vb").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    def pairSet(nAssign: Int): Set[(Long, Long)] =
+      LlmQueries.semanticDedupPairs(spark, sf, nAssign, thresh).collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+        .toSet
+    val p1 = pairSet(1)
+    val p2 = pairSet(2)
+    // precision stays exact (every emitted pair passed the cosine
+    // confirm), single-assign pairs are never lost, and the runner-up
+    // cell recovers boundary pairs the single-cell pass missed
+    assert(p1.subsetOf(exact) && p2.subsetOf(exact))
+    assert(p1.subsetOf(p2))
+    val r1 = p1.size.toDouble / math.max(exact.size, 1)
+    val r2 = p2.size.toDouble / math.max(exact.size, 1)
+    assert(r2 >= r1, f"nAssign=2 recall $r2%.2f below nAssign=1 $r1%.2f")
+    // pairing volume bounded: deduped output can at most reach the
+    // exact pair graph, never a blowup past it
+    assert(p2.size <= exact.size)
+    // cross-validation for the shipped nAssign=1 entry still holds via
+    // the refinement test above; nAssign=2 clusters remain refinements
+    val sem2 = LlmQueries.semanticDedup(spark, sf, nAssign = 2)
+    assert(sem2.count() >= run("q60_semantic_dedup").count())
   }
 
   test("exact dedup keeps one row per distinct text") {
