@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
-  private def esc(s: String): String =
+  private[graft] def esc(s: String): String =
     s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -13,16 +13,22 @@ object Bench {
       case c => c.toString
     }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "org.apache.spark.sql.graftfns.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** Median of N timings (mean of the middle two for even counts). */
+  private[graft] def median(times: Seq[Double]): Double = {
+    val s = times.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+  }
+
+  /** The standard suite protocol, shared by Bench and AmplifiedBench:
+    * warm the shared derivations (timed as their own line items), then
+    * run every SparkEntry query in SORTED order, per-query median of
+    * `runs`, recording errors instead of swallowing them. Returns the
+    * inner JSON fields and whether any query failed.
+    */
+  private[graft] def timeSuite(spark: SparkSession, sfDir: String, runs: Int)
+      : (String, Boolean) = {
+    require(runs >= 1, s"bench runs must be >= 1, got $runs")
     // warm up JVM/codegen/parquet-reader paths so the first timed query
     // doesn't carry one-time init (~1-3s of janino + Hadoop FS setup).
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -33,14 +39,12 @@ object Bench {
     // IVF/PQ models) are otherwise paid by whichever query iterates
     // first, so adding a query reshuffles every consumer's timing.
     val warm = graft.queries.LlmQueries.warmShared(spark, sfDir)
-    // Per-query median of N runs: this box has co-tenant load that swings
-    // single-shot timings by up to 10x (round-1 q19: 0.9-8.1s on identical
-    // plans), so one sample per query is noise, not signal.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     // Fixed alphabetical order: Map hash-iteration order changes when
     // queries are added, which silently re-attributes any residual
     // shared cost and makes round-over-round diffs incomparable.
+    // Per-query median of N runs: this box has co-tenant load that
+    // swings single-shot timings by up to 10x (round-1 q19: 0.9-8.1s
+    // on identical plans), so one sample per query is noise.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to runs).map { _ =>
@@ -52,12 +56,9 @@ object Bench {
               Option(e.getMessage).getOrElse("").take(200))
         }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      // true median: mean of the middle two for even run counts
-      val median = if (times.length % 2 == 1) times(times.length / 2)
-        else (times(times.length / 2 - 1) + times(times.length / 2)) / 2
+      }
       // a failed query must NOT masquerade as a fast one
-      (name, if (err.isDefined) -1.0 else median, err)
+      (name, if (err.isDefined) -1.0 else median(times), err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -67,8 +68,29 @@ object Bench {
       .mkString("{", ",", "}")
     val warmTotal = warm.collect { case (_, v) if v > 0 => v }.sum
     val total = results.collect { case (_, v, None) => v }.sum + warmTotal
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warm_sec":$warmTotal,"warm":$warmJson,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val fields = s""""value":$total,"unit":"sec","runs":$runs,""" +
+      s""""warm_sec":$warmTotal,"warm":$warmJson,"errors":$errs,"queries":$qs"""
+    (fields, results.exists(_._3.isDefined))
+  }
+
+  private[graft] def session(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "org.apache.spark.sql.graftfns.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val (fields, failed) = timeSuite(spark, sfDir, runs)
+    println(s"""{"metric":"total",$fields,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_._3.isDefined)) sys.exit(1)
+    if (failed) sys.exit(1)
   }
 }
