@@ -1073,6 +1073,56 @@ object LlmQueries {
         .select(col("doc_id"), rk(col("rrf"), 6).as("rrf"))
     }),
 
+    // Q70 — PII scrubbing: regex redaction of emails, phone-shaped
+    // numbers and long digit runs — the standard pre-training privacy
+    // pass. The testdata text is word-only, so deterministic PII is
+    // injected from doc_id identically on both engines (the redaction
+    // is then actually exercised, not a no-op hash). Patterns use
+    // character classes only (no backslash escapes), the syntax subset
+    // where Java regex (Spark) and RE2 (DuckDB) agree symbol for
+    // symbol. Map-only scan; the only shuffle is the output sort.
+    "q70_pii_scrub" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+      val phone = "[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"
+      val idnum = "[0-9]{6,}"
+      val withPii = documents(s, d).select(col("doc_id"), concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit("-1234 ref "), (col("doc_id") + 100000).cast("string")).as("text"))
+      withPii.select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            email, "<EMAIL>"), phone, "<PHONE>"), idnum, "<ID>").as("scrubbed"),
+          (size(regexp_extract_all(col("text"), lit(email), lit(0))) +
+           size(regexp_extract_all(col("text"), lit(phone), lit(0))) +
+           size(regexp_extract_all(col("text"), lit(idnum), lit(0))))
+            .cast("long").as("n_pii"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q71 — overlapping document chunking: each doc's token stream cut
+    // into windows of 32 tokens at stride 24 (8-token overlap) — the
+    // long-context training-window prep that precedes q66's packing.
+    // The per-doc chunk index set is sequence()+explode (generate-side,
+    // no join, no window); slice() clips the tail window. Map-only
+    // derivation over the shared tokenized corpus.
+    "q71_doc_chunking" -> ((s, d) => {
+      val w = 32; val st = 24
+      docToks(s, d)
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            greatest(expr(s"(n - $w + ${st - 1}) div $st"), lit(0)).cast("long"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * st).as("start_tok"),
+          slice(col("toks"), (col("chunk_idx") * st + 1).cast("int"), lit(w)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Q44 — TF-IDF top terms: tf = count/doc-length, idf =
     // ln((N+1)/(df+1)), top-20 (doc, term) pairs. Scale shape: two
     // shuffles of the (doc, token) pairs (tf agg, df agg + join keyed
@@ -1511,6 +1561,36 @@ object LlmQueries {
         |  FROM lex FULL OUTER JOIN vec USING (doc_id))
         |SELECT doc_id, FLOOR(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf
         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "q70_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |           || '@mail.com or 555-'
+        |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |           || '-1234 ref ' || CAST(doc_id + 100000 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}', '<PHONE>', 'g'),
+        |         '[0-9]{6,}', '<ID>', 'g') AS scrubbed,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))
+        |          + len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}'))
+        |          + len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_pii
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q71_doc_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |k AS (SELECT doc_id, toks,
+        |        unnest(range(0, greatest((n - 32 + 23) // 24, 0) + 1)) AS chunk_idx
+        |      FROM b)
+        |SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+        |       CAST(len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT) AS n_tok,
+        |       array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk_text
+        |FROM k ORDER BY doc_id, chunk_idx""".stripMargin,
     "q66_sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
