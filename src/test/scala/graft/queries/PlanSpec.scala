@@ -252,4 +252,22 @@ class PlanSpec extends SparkTestBase {
       s"bag source filter not pushed:\n$p")
     assert(df.count() == 50)
   }
+
+  test("q70: PII scrub is a map-only scan — no join, no aggregation") {
+    val p = plan("q70_pii_scrub")
+    assert(!p.toLowerCase.contains("join"), s"q70 plans a join:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"q70 plans an aggregation:\n$p")
+  }
+
+  test("q71: chunking is generate-side — no join, no window function") {
+    val p = plan("q71_doc_chunking")
+    // match join OPERATORS, not the substring — array_join() is in the
+    // projection
+    val joinNodes = Seq("SortMergeJoin", "BroadcastHashJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+    assert(!joinNodes.exists(p.contains), s"q71 plans a join:\n$p")
+    assert(!p.contains("Window"), s"q71 plans a window:\n$p")
+    assert(p.contains("Generate"), s"q71 should explode chunk indices:\n$p")
+  }
 }
