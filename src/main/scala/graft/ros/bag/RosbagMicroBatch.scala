@@ -53,3 +53,99 @@ class RosbagMicroBatchStream(path: String, required: StructType,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
+
+/** Offset of a directory stream: per-bag complete-chunk counts. JSON
+  * shape `{"bags":{"<path>":<chunks>,...}}`, emitted sorted so equal
+  * offsets serialize identically.
+  */
+final case class RosbagDirOffset(bags: Map[String, Long]) extends Offset {
+  override def json(): String =
+    bags.toSeq.sortBy(_._1).map { case (p, n) =>
+      "\"" + RosbagDirOffset.esc(p) + "\":" + n
+    }.mkString("{\"bags\":{", ",", "}}")
+}
+
+object RosbagDirOffset {
+  private[bag] def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) { sb += s(i + 1); i += 2 }
+      else { sb += s(i); i += 1 }
+    }
+    sb.toString
+  }
+  /** Parse the shape json() writes: quoted-path : integer pairs (the
+    * "bags" key itself never matches — its value is an object, not an
+    * integer).
+    */
+  def parse(json: String): RosbagDirOffset = {
+    val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+)""".r
+    RosbagDirOffset(pair.findAllMatchIn(json).map(m =>
+      unesc(m.group(1)) -> m.group(2).toLong).toMap)
+  }
+}
+
+/** Micro-batch streaming over a DIRECTORY (or glob) of bags — the
+  * fleet-ingest shape: drives upload finished (or still-growing) bags
+  * into a prefix, and each trigger re-lists the path, indexes any new
+  * bag, and plans one InputPartition per NEW chunk of every bag. Bags
+  * are append-only (chunk indexes are stable once written), so offsets
+  * replay exactly from the checkpoint; a bag that disappears keeps its
+  * committed count and simply contributes no new chunks. Typed dir
+  * streams pin the (datatype, md5) variant resolved at stream start —
+  * connections of the same datatype with a DIFFERENT definition are
+  * dropped from the partition's connection map, so a drifted bag
+  * arriving mid-stream is skipped for this stream rather than decoded
+  * with the wrong definition (read it with its own `option("md5",...)`
+  * stream).
+  */
+class RosbagDirMicroBatchStream(path: String, required: StructType,
+    filters: Array[Filter], typed: Option[RosbagTypedRead.TypedTarget] = None,
+    includeRaw: Boolean = false) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = RosbagDirOffset(Map.empty)
+
+  override def latestOffset(): Offset = {
+    // an empty/not-yet-created prefix is a stream with nothing to read
+    // yet, not an error
+    val bags = try RosbagIO.resolveBags(path) catch {
+      case _: IllegalArgumentException | _: java.io.FileNotFoundException => Seq.empty
+    }
+    RosbagDirOffset(bags.map(b => b -> RosbagIO.scanIndex(b).chunks.size.toLong).toMap)
+  }
+
+  override def deserializeOffset(json: String): Offset = RosbagDirOffset.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RosbagDirOffset].bags
+    val e = end.asInstanceOf[RosbagDirOffset].bags
+    e.toSeq.sortBy(_._1).flatMap { case (bag, until) =>
+      val from = s.getOrElse(bag, 0L).toInt
+      if (until <= from) Nil
+      else {
+        val index = RosbagIO.scanIndex(bag)
+        val conns0 = index.connections.map(c => c.connId -> c).toMap
+        val conns = typed match {
+          case Some(t) => conns0.filter { case (_, c) =>
+            c.datatype != t.datatype || c.md5sum == t.md5 }
+          case None => conns0
+        }
+        index.chunks.zipWithIndex.slice(from, until.toInt).map { case (c, i) =>
+          RosbagInputPartition(bag, i, c, conns): InputPartition
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = typed match {
+    case Some(t) =>
+      new RosbagTypedReaderFactory(t.datatype, t.msgDef, required, includeRaw, filters)
+    case None => new RosbagReaderFactory(required, filters, limit = -1)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -262,16 +262,20 @@ class RosbagScan(path: String, required: StructType, filters: Array[Filter], lim
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    // a tailed stream follows ONE growing file; a directory of closed
-    // bags is a batch dataset (a directory-watcher stream is a
-    // different source shape)
-    val single = RosbagIO.resolveBags(path) match {
-      case Seq(one) => one
-      case many => throw new UnsupportedOperationException(
-        s"streaming tail follows a single bag; $path resolves to ${many.size} files")
+    // a single existing FILE is tailed as one growing bag; a directory
+    // or glob streams as a fleet-ingest archive — new bags AND new
+    // chunks of known bags are picked up per trigger
+    val p = new Path(path)
+    val isSingleFile = !path.exists(c => "*?[]{}".indexOf(c.toInt) >= 0) && {
+      try p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .getFileStatus(p).isFile
+      catch { case _: java.io.FileNotFoundException => false }
     }
-    new RosbagMicroBatchStream(single, required, filters,
-      typed.map(t => (t.datatype, t.msgDef)), includeRaw)
+    if (isSingleFile)
+      new RosbagMicroBatchStream(path, required, filters,
+        typed.map(t => (t.datatype, t.msgDef)), includeRaw)
+    else
+      new RosbagDirMicroBatchStream(path, required, filters, typed, includeRaw)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -284,7 +288,17 @@ class RosbagScan(path: String, required: StructType, filters: Array[Filter], lim
       .filter(b => filters.forall(f => RosbagFilters.bagMayMatch(f, b)))
       .flatMap { bag =>
         val index = RosbagIO.scanIndex(bag)
-        val conns = index.connections.map(c => c.connId -> c).toMap
+        val conns0 = index.connections.map(c => c.connId -> c).toMap
+        // typed reads pin ONE (datatype, md5) variant: a bag carrying
+        // both variants of the datatype (two connections) must not
+        // decode the other variant's messages with this definition —
+        // drop mismatched same-datatype connections from the map so
+        // the reader's typeConns filter skips them
+        val conns = typed match {
+          case Some(t) => conns0.filter { case (_, c) =>
+            c.datatype != t.datatype || c.md5sum == t.md5 }
+          case None => conns0
+        }
         index.chunks.zipWithIndex
           .filter { case (c, _) => filters.forall(f => RosbagFilters.chunkMayMatch(f, c)) }
           .map { case (c, i) => RosbagInputPartition(bag, i, c, conns): InputPartition }

@@ -55,4 +55,39 @@ class RosbagStreamSpec extends SparkTestBase {
     // no growth -> no new rows
     assert(runOnce() == 8)
   }
+
+  test("directory stream ingests new bags AND new chunks of known bags") {
+    val root = Files.createTempDirectory("bag_dir_stream")
+    val bags = root.resolve("bags"); Files.createDirectory(bags)
+    val ck = root.resolve("ck").toString
+    val out = root.resolve("out").toString
+
+    Files.write(bags.resolve("a.bag"), bagBytes(4))  // 2 chunks
+    val stream = spark.readStream.format("rosbag").load(bags.toString)
+      .select("bag_path", "time_sec")
+    def runOnce(): Long = {
+      val q = stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(out).count()
+    }
+
+    assert(runOnce() == 4)
+    // a NEW bag arrives and a known bag grows — one trigger sees both
+    Files.write(bags.resolve("b.bag"), bagBytes(6))
+    Files.write(bags.resolve("a.bag"), bagBytes(8))
+    assert(runOnce() == 4 + 6 + 4)
+    assert(spark.read.parquet(out).select("bag_path").distinct().count() == 2)
+    // quiescent dir -> no new rows
+    assert(runOnce() == 14)
+  }
+
+  test("dir offset JSON round-trips, including escaped path characters") {
+    val off = RosbagDirOffset(Map(
+      "file:/data/a.bag" -> 3L, "file:/we\"ird\\path.bag" -> 7L))
+    assert(RosbagDirOffset.parse(off.json()) == off)
+    assert(RosbagDirOffset.parse(RosbagDirOffset(Map.empty).json()).bags.isEmpty)
+  }
 }
