@@ -114,7 +114,8 @@ class RosbagDirMicroBatchStream(path: String, required: StructType,
     val bags = try RosbagIO.resolveBags(path) catch {
       case _: IllegalArgumentException | _: java.io.FileNotFoundException => Seq.empty
     }
-    RosbagDirOffset(bags.map(b => b -> RosbagIO.scanIndex(b).chunks.size.toLong).toMap)
+    RosbagDirOffset(RosbagIO.scanIndexes(bags)
+      .map { case (b, index) => b -> index.chunks.size.toLong }.toMap)
   }
 
   override def deserializeOffset(json: String): Offset = RosbagDirOffset.parse(json)

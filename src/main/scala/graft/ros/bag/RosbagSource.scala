@@ -284,10 +284,9 @@ class RosbagScan(path: String, required: StructType, filters: Array[Filter], lim
     // filters prune whole bags before any index is opened; chunk-info
     // time ranges prune chunks within each surviving bag.
     val bagPaths = typed.map(_.bags).getOrElse(RosbagIO.resolveBags(path))
-    bagPaths
-      .filter(b => filters.forall(f => RosbagFilters.bagMayMatch(f, b)))
-      .flatMap { bag =>
-        val index = RosbagIO.scanIndex(bag)
+    val surviving = bagPaths.filter(b => filters.forall(f => RosbagFilters.bagMayMatch(f, b)))
+    RosbagIO.scanIndexes(surviving)
+      .flatMap { case (bag, index) =>
         val conns0 = index.connections.map(c => c.connId -> c).toMap
         // typed reads pin ONE (datatype, md5) variant: a bag carrying
         // both variants of the datatype (two connections) must not
@@ -435,6 +434,22 @@ object RosbagIO {
         bags
       } else Seq(st.getPath.toString)
     }
+  }
+
+  /** Scan many bag indexes concurrently (cache-aware): the per-bag
+    * index read is driver-side metadata I/O, and a 10k-bag corpus
+    * would otherwise pay it serially on every plan. blocking{} marks
+    * the I/O so the shared pool grows past core count instead of
+    * convoying behind it.
+    */
+  def scanIndexes(paths: Seq[String]): Seq[(String, BagFormat.BagIndex)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.traverse(paths)(p =>
+        Future(scala.concurrent.blocking(p -> scanIndex(p)))),
+      Duration.Inf)
   }
 
   // Index cache: every Spark action re-plans the scan, and an uncached

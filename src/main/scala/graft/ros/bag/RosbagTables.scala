@@ -30,8 +30,8 @@ object RosbagTables {
     * glob) — still driver-side tiny: dozens of connections per bag.
     */
   def connections(spark: SparkSession, path: String): DataFrame = {
-    val rows = RosbagIO.resolveBags(path).flatMap(b =>
-      indexRows(RosbagIO.scanIndex(b), b))
+    val rows = RosbagIO.scanIndexes(RosbagIO.resolveBags(path))
+      .flatMap { case (b, index) => indexRows(index, b) }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ConnectionsSchema)
   }
 

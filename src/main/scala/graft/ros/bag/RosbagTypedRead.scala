@@ -48,8 +48,8 @@ object RosbagTypedRead {
     */
   def resolveTarget(path: String, datatype: String, md5: Option[String]): TypedTarget = {
     val variants: Seq[(String, String, String)] = // (md5, msgDef, bag)
-      RosbagIO.resolveBags(path).flatMap { bag =>
-        RosbagIO.scanIndex(bag).connections
+      RosbagIO.scanIndexes(RosbagIO.resolveBags(path)).flatMap { case (bag, index) =>
+        index.connections
           .filter(_.datatype == datatype)
           .map(c => (c.md5sum, c.msgDef, bag))
       }

@@ -102,7 +102,7 @@ object BagEtl {
     // bagPath may be one file, a directory, or a glob — the dataset
     // shape a 100 TB robotics corpus actually arrives in.
     val bags = graft.ros.bag.RosbagIO.resolveBags(bagPath)
-    val indexes = bags.map(b => b -> graft.ros.bag.RosbagIO.scanIndex(b))
+    val indexes = graft.ros.bag.RosbagIO.scanIndexes(bags)
     lap("scanIndex")
 
     // Connections dimension (reference FlattenedRosWriter.cpp:209-224),

@@ -196,6 +196,29 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(capped.count() == 2)
   }
 
+  test("MJPEG split recovers exact frame boundaries on random sequences") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 10) {
+      val frames = (0 until 1 + rnd.nextInt(6)).map { _ =>
+        val img = new java.awt.image.BufferedImage(
+          1 + rnd.nextInt(16), 1 + rnd.nextInt(16),
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until img.getWidth; y <- 0 until img.getHeight)
+          img.setRGB(x, y, rnd.nextInt())
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val stream = frames.reduce(_ ++ _)
+      val ranges = MultimodalOps.mjpegFrameRanges(stream)
+      assert(ranges.size == frames.size)
+      ranges.zip(frames).foreach { case ((s0, e0), f) =>
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(stream, s0, e0), f))
+      }
+    }
+  }
+
   test("frame sampling stub: explode cardinality and keying") {
     val frames = sampleFramesStub(mediaDf(3), "blob", "id", everyNth = 10, maxFrames = 4)
     assert(frames.schema.fieldNames.toSeq == Seq("id", "frame_idx", "frame_data"))
