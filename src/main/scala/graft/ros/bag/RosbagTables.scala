@@ -29,9 +29,15 @@ object RosbagTables {
   /** Connections across every bag `path` denotes (file, directory, or
     * glob) — still driver-side tiny: dozens of connections per bag.
     */
-  def connections(spark: SparkSession, path: String): DataFrame = {
-    val rows = RosbagIO.scanIndexes(RosbagIO.resolveBags(path))
-      .flatMap { case (b, index) => indexRows(index, b) }
+  def connections(spark: SparkSession, path: String): DataFrame =
+    fromIndexes(spark, RosbagIO.scanIndexes(RosbagIO.resolveBags(path)))
+
+  /** One Connections frame from many already-scanned indexes — a
+    * single driver-side row seq, not an N-way union of tiny frames.
+    */
+  def fromIndexes(spark: SparkSession,
+                  indexes: Seq[(String, BagFormat.BagIndex)]): DataFrame = {
+    val rows = indexes.flatMap { case (b, index) => indexRows(index, b) }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ConnectionsSchema)
   }
 

@@ -89,6 +89,95 @@ object BagEtl {
           maxMessages: Option[Long] = None, keepRawBlob: Boolean = true,
           blobSideTable: Boolean = false, blobThreshold: Int = 1 << 20,
           stagedByType: Boolean = false, nativeTimestamp: Boolean = false): Info = {
+    // bagPath may be one file, a directory, or a glob — the dataset
+    // shape a 100 TB robotics corpus actually arrives in.
+    val bags = graft.ros.bag.RosbagIO.resolveBags(bagPath)
+    runBags(spark, bags, new java.io.File(bagPath).getName,
+      versionedOutputDir(outDir), maxMessages, keepRawBlob, blobSideTable,
+      blobThreshold, stagedByType, nativeTimestamp)._1
+  }
+
+  /** Incremental multi-bag conversion: ETL only the bags under
+    * `bagPath` not yet present in `outDir`'s Messages (matched by
+    * bag_path), appending Messages/Connections/per-type rows with
+    * seqnos continuing after the existing maximum — the daily
+    * fleet-upload shape: new drives arrive, the corpus tables grow,
+    * nothing already converted is re-read or re-written. Table naming
+    * stays consistent across increments via the `_tables.json`
+    * manifest: a (datatype, md5) variant keeps its historical table;
+    * a NEW variant of a known datatype always gets the md5-namespaced
+    * name (the historical table is never renamed). Seqnos are dense
+    * overall; cross-bag time interleave holds WITHIN each increment
+    * (across increments, arrival order dominates — an ingest log, not
+    * a global re-sort). Returns the `info` of the appended increment
+    * (zero-count when there is nothing new). On a fresh/absent outDir
+    * this is exactly `run`.
+    */
+  def runIncremental(spark: SparkSession, bagPath: String, outDir: String,
+          keepRawBlob: Boolean = true,
+          blobSideTable: Boolean = false, blobThreshold: Int = 1 << 20,
+          stagedByType: Boolean = false, nativeTimestamp: Boolean = false): Info = {
+    val messagesPath = new org.apache.hadoop.fs.Path(s"$outDir/Messages.parquet")
+    val fs = messagesPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(messagesPath))
+      return run(spark, bagPath, outDir, None, keepRawBlob, blobSideTable,
+        blobThreshold, stagedByType, nativeTimestamp)
+    val existing = spark.read.parquet(s"$outDir/Messages.parquet")
+    require(existing.columns.contains("bag_path"),
+      s"$outDir predates the bag_path spine column — re-run the full ETL once")
+    val done = existing.select(col("bag_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val dirName = new java.io.File(bagPath).getName
+    val newBags = graft.ros.bag.RosbagIO.resolveBags(bagPath).filterNot(done)
+    if (newBags.isEmpty) return Info(dirName, 0L, 0L, 0L)
+    val offset = existing.agg(max(col("seqno"))).head().getLong(0) + 1
+    runBags(spark, newBags, dirName, outDir, None, keepRawBlob, blobSideTable,
+      blobThreshold, stagedByType, nativeTimestamp,
+      seqnoOffset = offset, naming = readManifest(outDir), append = true)._1
+  }
+
+  /** Table-name manifest `<out>/_tables.json`: (datatype, md5) → table
+    * name, maintained by every run so increments keep naming stable.
+    * Keys are ROS identifiers + hex digests — no JSON escaping needed.
+    */
+  private def manifestFsPath(out: String) =
+    new org.apache.hadoop.fs.Path(s"$out/_tables.json")
+  private[etl] def readManifest(out: String): Map[(String, String), String] = {
+    val p = manifestFsPath(out)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val pair = """"([^"]*)\|([^"]*)"\s*:\s*"([^"]*)"""".r
+      pair.findAllMatchIn(s).map(m => (m.group(1), m.group(2)) -> m.group(3)).toMap
+    }
+  }
+  private def writeManifest(out: String, m: Map[(String, String), String]): Unit = {
+    val p = manifestFsPath(out)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val body = m.toSeq.sortBy(t => (t._1._1, t._1._2))
+      .map { case ((dt, md5), n) => s""""$dt|$md5":"$n"""" }
+      .mkString("{", ",", "}")
+    val os = fs.create(p, true)
+    try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  /** The conversion core over an explicit bag list. `seqnoOffset`
+    * shifts the dense seqno (incremental appends continue after the
+    * existing max); `naming` pins historical (datatype, md5) → table
+    * names; `append` switches every table write to SaveMode.Append and
+    * restricts DDL emission to newly-created tables. Returns the info
+    * of THIS run's slice plus the (datatype, md5, table) groups.
+    */
+  private def runBags(spark: SparkSession, bags: Seq[String], bagName: String,
+          out: String, maxMessages: Option[Long], keepRawBlob: Boolean,
+          blobSideTable: Boolean, blobThreshold: Int,
+          stagedByType: Boolean, nativeTimestamp: Boolean,
+          seqnoOffset: Long = 0L,
+          naming: Map[(String, String), String] = Map.empty,
+          append: Boolean = false): (Info, Seq[(String, String, String)]) = {
     require(!blobSideTable || keepRawBlob,
       "blobSideTable requires keepRawBlob=true (there is no blob column to externalize)")
     // opt-in phase timing for throughput work (GRAFT_ETL_TIMING=1)
@@ -99,15 +188,12 @@ object BagEtl {
       System.err.println(f"[etl-timing] $phase%-22s ${(now - tLast) / 1e9}%6.2fs")
       tLast = now
     }
-    // bagPath may be one file, a directory, or a glob — the dataset
-    // shape a 100 TB robotics corpus actually arrives in.
-    val bags = graft.ros.bag.RosbagIO.resolveBags(bagPath)
     val indexes = graft.ros.bag.RosbagIO.scanIndexes(bags)
     lap("scanIndex")
 
     // Connections dimension (reference FlattenedRosWriter.cpp:209-224),
     // keyed (bag_path, connection_id) — connection ids are per-bag.
-    val connections = graft.ros.bag.RosbagTables.connections(spark, bagPath)
+    val connections = graft.ros.bag.RosbagTables.fromIndexes(spark, indexes)
 
     // md5 consistency per datatype WITHIN each bag (reference
     // FlattenedRosWriter.cpp:287 asserts per-bag).
@@ -132,16 +218,21 @@ object BagEtl {
         val base = dt.replace("/", "_") // reference MessageTable.cpp:315
         val byMd5 = rows.groupBy(_._2).toSeq.sortBy(_._1)
         byMd5.map { case (md5, vs) =>
-          val name = if (byMd5.size == 1) base else s"${base}__${md5.take(8)}"
+          // historical names (manifest) win; a NEW variant of a
+          // historically-known datatype is always namespaced (the
+          // legacy plain table keeps its variant and is never renamed)
+          val name = naming.getOrElse((dt, md5),
+            if (naming.keys.exists(_._1 == dt)) s"${base}__${md5.take(8)}"
+            else if (byMd5.size == 1) base
+            else s"${base}__${md5.take(8)}")
           (dt, md5, vs.head._3, vs.map(_._4).distinct, name)
         }
       }
     }
 
-    val raw0 = spark.read.format("rosbag").load(bagPath)
+    val raw0 = bags.map(b => spark.read.format("rosbag").load(b))
+      .reduce(_ unionByName _)
     val raw = maxMessages.map(n => raw0.limit(n.toInt).toDF()).getOrElse(raw0)
-
-    val out = versionedOutputDir(outDir)
 
     // Stage the spine meta to parquet BEFORE the seqno operator. The
     // range-partition seqno needs two passes over its input (bound
@@ -172,9 +263,13 @@ object BagEtl {
     // bag_path in the tie-break: rosbag::View merge-time order within a
     // bag, deterministic (name-sorted) interleave across equal-time
     // rows from different bags.
-    val spine = Seqno.globalSeqno(
+    val spine0 = Seqno.globalSeqno(
       spark.read.parquet(stageDir).select(metaCols: _*),
       Seq(col("time_sec"), col("time_nsec"), col("bag_path"), col("chunk_idx"), col("offset")))
+    // incremental appends continue the dense seqno after the existing
+    // table's maximum
+    val spine = if (seqnoOffset == 0L) spine0
+      else spine0.withColumn("seqno", col("seqno") + lit(seqnoOffset))
 
     // Messages fact table (reference FlattenedRosWriter.cpp:49-87), plus
     // the sensor-time header stamp (nullable; reference TODO
@@ -195,10 +290,11 @@ object BagEtl {
           "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
     else messages0
 
-    messages.write.mode(SaveMode.ErrorIfExists)
+    val writeMode = if (append) SaveMode.Append else SaveMode.ErrorIfExists
+    messages.write.mode(writeMode)
       .option("compression", "snappy").parquet(s"$out/Messages.parquet")
     lap("messages-write")
-    connections.write.mode(SaveMode.ErrorIfExists)
+    connections.write.mode(writeMode)
       .option("compression", "snappy").parquet(s"$out/Connections.parquet")
 
     // Seqno map: (chunk_idx, offset) -> seqno, ints only — the blobs
@@ -257,10 +353,11 @@ object BagEtl {
           val decoded = decodeRows(spark, part, bundle)
           (if (keepRawBlob) decoded else decoded.drop("data"), part)
         } else {
-          val typed = spark.read.format("rosbag")
-            .option("datatype", datatype).option("md5", md5)
-            .option("includeRaw", keepRawBlob.toString)
-            .load(bagPath)
+          val typed = groupBags.map(b => spark.read.format("rosbag")
+              .option("datatype", datatype).option("md5", md5)
+              .option("includeRaw", keepRawBlob.toString)
+              .load(b))
+            .reduce(_ unionByName _)
           val payload = typed.columns.filterNot(Set(
             "bag_path", "chunk_idx", "offset", "time_sec", "time_nsec",
             "connection_id", "data"))
@@ -284,15 +381,21 @@ object BagEtl {
                 .filter(graft.multimodal.MultimodalOps.isBigBlob(col("data"), blobThreshold))
                 .select(col("seqno"), col("data"))
               else sideFromJoined
-            side.write.mode(SaveMode.ErrorIfExists)
+            val sideNew = !append || !tableExists(s"$out/${tableName}_blobs.parquet")
+            side.write.mode(writeMode)
               .option("compression", "snappy")
               .parquet(s"$out/${tableName}_blobs.parquet")
-            ddl ++= VerticaDdl.createTable(tableName + "_blobs", side.schema) ++= "\n"
+            if (sideNew)
+              ddl ++= VerticaDdl.createTable(tableName + "_blobs", side.schema) ++= "\n"
             slim
           } else joined
-        df.write.mode(SaveMode.ErrorIfExists)
+        // DDL describes tables, not rows: appends to an existing table
+        // must not re-emit its CREATE statement
+        val tableNew = !append || !tableExists(s"$out/$tableName.parquet")
+        df.write.mode(writeMode)
           .option("compression", "snappy").parquet(s"$out/$tableName.parquet")
-        ddl ++= VerticaDdl.createTable(tableName, df.schema) ++= "\n"
+        if (tableNew)
+          ddl ++= VerticaDdl.createTable(tableName, df.schema) ++= "\n"
         // per-table wall time is measured locally (the shared lap()
         // deltas would be garbage under concurrency)
         if (timing) System.err.println(
@@ -321,15 +424,34 @@ object BagEtl {
     }
     val ddlPath = new org.apache.hadoop.fs.Path(s"$out/vertica_load_tables.sql")
     val ddlFs = ddlPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val priorDdl =
+      if (append && ddlFs.exists(ddlPath)) {
+        val in = ddlFs.open(ddlPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } else ""
     val os = ddlFs.create(ddlPath, true)
-    try os.write(ddl.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try os.write((priorDdl + ddl.toString).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
 
-    // info from the written Messages table (columnar) — not a bag re-scan
-    val Row(cnt: Long, size: Long, crc: Long) = spark.read.parquet(s"$out/Messages.parquet")
+    // manifest: naming history (incl. this run's groups) for future
+    // incremental appends
+    writeManifest(out, naming ++
+      typeGroups.map { case (dt, md5, _, _, name) => (dt, md5) -> name })
+
+    // info from the written Messages table (columnar) — not a bag
+    // re-scan; in append mode the slice covers only THIS run's bags
+    val msgs0 = spark.read.parquet(s"$out/Messages.parquet")
+    val msgs = if (append) msgs0.filter(col("bag_path").isin(bags: _*)) else msgs0
+    val Row(cnt: Long, size: Long, crc: Long) = msgs
       .agg(count(lit(1)), coalesce(sum(col("size").cast("long")), lit(0L)),
         coalesce(expr("bit_xor(data_crc32)"), lit(0L))).head()
-    Info(new java.io.File(bagPath).getName, cnt, size, crc)
+    (Info(bagName, cnt, size, crc),
+      typeGroups.map { case (dt, md5, _, _, name) => (dt, md5, name) })
+  }
+
+  private def tableExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p)
   }
 
   /** Flattened per-type DataFrame from (seqno, connection_id, data)

@@ -466,4 +466,66 @@ class BagSpec extends SparkTestBase {
     }.reduce(_ unionByName _)
     assert(dirImu.exceptAll(perBag).isEmpty && perBag.exceptAll(dirImu).isEmpty)
   }
+
+  test("incremental ETL: new bags append with continued seqnos and stable naming") {
+    val dir = Files.createTempDirectory("graft_incr")
+    val ptDefV1 = "float64 x\nfloat64 y\n"
+    val ptDefV2 = "float64 x\nfloat64 y\nfloat64 z\n"
+    def ptBytes(d: String, vals: Seq[Any]) =
+      RosSchemaMapper.encode(MsgDefParser.parse("test_msgs/Point", d), vals)
+    def writeBagFile(name: String, ptDef: String, md5: String, base: Int,
+                     withZ: Boolean): Unit = {
+      val connImu = BagConnection(0, "/imu_data", "sensor_msgs/Imu",
+        Fixtures.imuMd5, Fixtures.imuDef, "/n")
+      val connPt = BagConnection(1, "/pt", "test_msgs/Point", md5, ptDef, "/n")
+      val msgs = (0 until 4).map { i =>
+        if (i % 2 == 0)
+          WriteMessage(0, base + i, 0, imuBytes(i.toLong, base + i, 0, s"f$i", i * 0.5))
+        else WriteMessage(1, base + i, 0, ptBytes(ptDef,
+          if (withZ) Seq(i * 1.0, i * 2.0, i * 3.0) else Seq(i * 1.0, i * 2.0)))
+      }
+      Files.write(dir.resolve(name),
+        BagFormat.writeBag(Seq(connImu, connPt), msgs, messagesPerChunk = 2))
+      ()
+    }
+    import graft.ros.etl.BagEtl
+    val out = Files.createTempDirectory("graft_incr_out").toString + "/out"
+
+    writeBagFile("a.bag", ptDefV1, "md5v1", 1700000000, withZ = false)
+    val full = BagEtl.run(spark, dir.toString, out)
+    assert(full.count == 4)
+
+    // two new bags arrive: one same-variant, one with a DRIFTED Point
+    writeBagFile("b.bag", ptDefV1, "md5v1", 1700000100, withZ = false)
+    writeBagFile("c.bag", ptDefV2, "md5v2", 1700000200, withZ = true)
+    val inc = BagEtl.runIncremental(spark, dir.toString, out)
+    assert(inc.count == 8)  // only b + c converted
+
+    // spine: all 12 rows, seqno dense and unique across increments
+    val m = spark.read.parquet(s"$out/Messages.parquet")
+    assert(m.count() == 12)
+    assert(m.select("seqno").distinct().count() == 12)
+    assert(m.agg(min("seqno"), max("seqno")).head() == Row(0L, 11L))
+    // a.bag's rows were not rewritten: its seqnos are still 0..3
+    assert(m.filter(col("bag_path").endsWith("a.bag"))
+      .agg(max("seqno")).head().getLong(0) == 3L)
+
+    // naming stable: v1 keeps the historical plain table (a+b rows),
+    // the new variant lands namespaced; imu accumulates all bags
+    assert(spark.read.parquet(s"$out/test_msgs_Point.parquet").count() == 4)
+    assert(spark.read.parquet(s"$out/test_msgs_Point__md5v2.parquet").count() == 2)
+    assert(spark.read.parquet(s"$out/sensor_msgs_Imu.parquet").count() == 6)
+    assert(spark.read.parquet(s"$out/Connections.parquet").count() == 6)
+
+    // DDL has exactly one CREATE per table across increments
+    val ddl = new String(Files.readAllBytes(Paths.get(s"$out/vertica_load_tables.sql")))
+    assert("CREATE TABLE test_msgs_Point ".r.findAllIn(ddl).size == 1)
+    assert("CREATE TABLE sensor_msgs_Imu ".r.findAllIn(ddl).size == 1)
+    assert("CREATE TABLE test_msgs_Point__md5v2 ".r.findAllIn(ddl).size == 1)
+
+    // quiescent dir: a no-op increment changes nothing
+    val none = BagEtl.runIncremental(spark, dir.toString, out)
+    assert(none.count == 0)
+    assert(spark.read.parquet(s"$out/Messages.parquet").count() == 12)
+  }
 }
