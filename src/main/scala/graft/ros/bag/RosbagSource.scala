@@ -35,7 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
 class RosbagDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "rosbag"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val path = options.get("path")
+    val path = RosbagDataSource.pathSpec(options)
     Option(options.get("datatype")) match {
       case Some(dt) =>
         val target = RosbagTypedRead.resolveTarget(path, dt, Option(options.get("md5")))
@@ -50,7 +50,7 @@ class RosbagDataSource extends TableProvider with DataSourceRegister {
     // insensitively — mismatched handling would silently build a spine
     // table under a typed schema
     val opts = new CaseInsensitiveStringMap(properties)
-    new RosbagTable(opts.get("path"),
+    new RosbagTable(RosbagDataSource.pathSpec(opts),
       Option(opts.get("datatype")),
       opts.getBoolean("includeRaw", false),
       Option(opts.get("md5")))
@@ -59,6 +59,18 @@ class RosbagDataSource extends TableProvider with DataSourceRegister {
 }
 
 object RosbagDataSource {
+  /** The path spec a table reads: `option("bags", "<p1>\n<p2>...")`
+    * (an EXPLICIT newline-separated list — lets a caller plan one scan
+    * relation over an arbitrary bag subset, e.g. the incremental ETL's
+    * new-bags slice, instead of an N-way union) or the ordinary
+    * load-path. Each listed entry may itself be a file/dir/glob;
+    * RosbagIO.resolveBags splits and resolves.
+    */
+  def pathSpec(opts: CaseInsensitiveStringMap): String = {
+    val bags = opts.get("bags")
+    if (bags != null && bags.nonEmpty) bags else opts.get("path")
+  }
+
   /** The message-spine schema (reference Messages table,
     * FlattenedRosWriter.cpp:49-87, plus the connection attributes the
     * per-type tables re-join for, README.md:108-121). chunk_idx/offset
@@ -266,7 +278,8 @@ class RosbagScan(path: String, required: StructType, filters: Array[Filter], lim
     // or glob streams as a fleet-ingest archive — new bags AND new
     // chunks of known bags are picked up per trigger
     val p = new Path(path)
-    val isSingleFile = !path.exists(c => "*?[]{}".indexOf(c.toInt) >= 0) && {
+    val isSingleFile = !path.contains('\n') &&
+      !path.exists(c => "*?[]{}".indexOf(c.toInt) >= 0) && {
       try p.getFileSystem(new org.apache.hadoop.conf.Configuration())
         .getFileStatus(p).isFile
       catch { case _: java.io.FileNotFoundException => false }
@@ -418,6 +431,10 @@ object RosbagIO {
     * spelled (bare /tmp/x.bag vs a dir listing's file:/tmp/x.bag).
     */
   def resolveBags(path: String): Seq[String] = {
+    // a newline-separated spec (the source's "bags" option) is an
+    // explicit list: resolve each entry, preserve overall sort
+    if (path.contains('\n'))
+      return path.split('\n').toSeq.filter(_.nonEmpty).flatMap(resolveBags).distinct.sorted
     val (filesystem, p) = fs(path)
     if (path.exists(c => "*?[]{}".indexOf(c.toInt) >= 0)) {
       val matches = Option(filesystem.globStatus(p)).getOrElse(Array.empty)

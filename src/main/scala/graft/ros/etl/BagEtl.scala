@@ -230,8 +230,10 @@ object BagEtl {
       }
     }
 
-    val raw0 = bags.map(b => spark.read.format("rosbag").load(b))
-      .reduce(_ unionByName _)
+    // ONE scan relation over the whole bag list (the "bags" option) —
+    // not an N-way union, which bloats the analyzer at fleet scale
+    val raw0 = spark.read.format("rosbag")
+      .option("bags", bags.mkString("\n")).load()
     val raw = maxMessages.map(n => raw0.limit(n.toInt).toDF()).getOrElse(raw0)
 
     // Stage the spine meta to parquet BEFORE the seqno operator. The
@@ -353,11 +355,11 @@ object BagEtl {
           val decoded = decodeRows(spark, part, bundle)
           (if (keepRawBlob) decoded else decoded.drop("data"), part)
         } else {
-          val typed = groupBags.map(b => spark.read.format("rosbag")
-              .option("datatype", datatype).option("md5", md5)
-              .option("includeRaw", keepRawBlob.toString)
-              .load(b))
-            .reduce(_ unionByName _)
+          val typed = spark.read.format("rosbag")
+            .option("bags", groupBags.mkString("\n"))
+            .option("datatype", datatype).option("md5", md5)
+            .option("includeRaw", keepRawBlob.toString)
+            .load()
           val payload = typed.columns.filterNot(Set(
             "bag_path", "chunk_idx", "offset", "time_sec", "time_nsec",
             "connection_id", "data"))
