@@ -1123,6 +1123,24 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Q72 — split-leakage audit: assign train/val by the q43 Lehmer
+    // hash (map-only, re-runnable), then surface the near-dup pairs
+    // from q27's exact >=0.5 Jaccard graph that STRADDLE the split —
+    // the leakage check a train/eval cut ships with (a val doc whose
+    // near-duplicate sits in train is a leaked eval item). Composes
+    // the cached pair graph: the audit costs one filter over pairs,
+    // not a new similarity pass.
+    "q72_split_leakage" -> ((s, d) => {
+      def split(c: Column) =
+        when(pmod(c * 48271L, lit(2147483647L)) % 100 < 90, "train")
+          .otherwise("val")
+      jaccardPairs(s, d, 0.5)
+        .select(col("da"), col("db"), rk(col("jaccard"), 6).as("jaccard"),
+          split(col("da")).as("split_a"), split(col("db")).as("split_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .orderBy(col("da"), col("db"))
+    }),
+
     // Q44 — TF-IDF top terms: tf = count/doc-length, idf =
     // ln((N+1)/(df+1)), top-20 (doc, term) pairs. Scale shape: two
     // shuffles of the (doc, token) pairs (tf agg, df agg + join keyed
@@ -1591,6 +1609,31 @@ object LlmQueries {
         |       CAST(len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT) AS n_tok,
         |       array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk_text
         |FROM k ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q72_split_leakage" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM t WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared,
+        |         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT da, db,
+        |         FLOOR(CAST(shared AS DOUBLE)/(na+nb-shared) * 1000000.0 + 0.5)
+        |           / 1000000.0 AS jaccard,
+        |         CASE WHEN (da * 48271) % 2147483647 % 100 < 90
+        |              THEN 'train' ELSE 'val' END AS split_a,
+        |         CASE WHEN (db * 48271) % 2147483647 % 100 < 90
+        |              THEN 'train' ELSE 'val' END AS split_b
+        |  FROM p WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5)
+        |SELECT da, db, jaccard, split_a, split_b FROM pr
+        |WHERE split_a <> split_b ORDER BY da, db""".stripMargin,
     "q66_sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -84,6 +84,26 @@ class RosbagStreamSpec extends SparkTestBase {
     assert(runOnce() == 14)
   }
 
+  test("dir stream output equals the batch read of the same directory") {
+    val root = Files.createTempDirectory("bag_dir_equiv")
+    val bags = root.resolve("bags"); Files.createDirectory(bags)
+    Files.write(bags.resolve("x.bag"), bagBytes(4))
+    Files.write(bags.resolve("y.bag"), bagBytes(6))
+    val out = root.resolve("out").toString
+    val q = spark.readStream.format("rosbag").load(bags.toString)
+      .select("bag_path", "chunk_idx", "offset", "time_sec", "data_crc32")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(out)
+    val batch = spark.read.format("rosbag").load(bags.toString)
+      .select("bag_path", "chunk_idx", "offset", "time_sec", "data_crc32")
+    assert(streamed.count() == 10)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("dir offset JSON round-trips, including escaped path characters") {
     val off = RosbagDirOffset(Map(
       "file:/data/a.bag" -> 3L, "file:/we\"ird\\path.bag" -> 7L))
