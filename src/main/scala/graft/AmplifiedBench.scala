@@ -55,8 +55,12 @@ object AmplifiedBench {
     val docsX = sys.env.getOrElse("SPARK_GRAFT_DOCS_X", "10").toInt
     val embX = sys.env.getOrElse("SPARK_GRAFT_EMB_X", "4").toInt
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    // reuse only a FULLY-built dir (a crash between table writes must
+    // not leave a half-amplified dir that silently benches wrong data)
+    def complete(d: String) = Seq("documents", "embeddings", "lineitem")
+      .forall(t => new java.io.File(s"$d/$t.parquet").exists())
     val outDir = sys.env.get("SPARK_GRAFT_AMPLIFIED_DIR") match {
-      case Some(d) if new java.io.File(s"$d/documents.parquet").exists() => d
+      case Some(d) if complete(d) => d
       case maybe =>
         val d = maybe.getOrElse(
           java.nio.file.Files.createTempDirectory("graft_amplified").toString)

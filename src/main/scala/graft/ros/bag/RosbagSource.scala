@@ -460,13 +460,21 @@ object RosbagIO {
     * convoying behind it.
     */
   def scanIndexes(paths: Seq[String]): Seq[(String, BagFormat.BagIndex)] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(
-      Future.traverse(paths)(p =>
-        Future(scala.concurrent.blocking(p -> scanIndex(p)))),
-      Duration.Inf)
+    if (paths.isEmpty) return Seq.empty
+    // bounded pool, not Future.traverse on the global EC: blocking{}
+    // compensation threads scale with the FLEET size there (10k bags =
+    // thousands of threads each holding an open stream); 32 metadata
+    // readers saturate any filesystem's listing path
+    val par = math.min(32, paths.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      val futs = paths.map { p =>
+        pool.submit(new java.util.concurrent.Callable[(String, BagFormat.BagIndex)] {
+          override def call(): (String, BagFormat.BagIndex) = p -> scanIndex(p)
+        })
+      }
+      futs.map(_.get())
+    } finally pool.shutdown()
   }
 
   // Index cache: every Spark action re-plans the scan, and an uncached
