@@ -48,6 +48,24 @@ object AmplifiedBench {
         try org.apache.hadoop.io.IOUtils.copyBytes(bytes, dst, 1 << 20)
         finally { bytes.close(); dst.close() }
     }
+    // marker LAST: its presence certifies a complete build with these
+    // exact factors (reuse must not bench half-built or differently-
+    // amplified data under this run's labels)
+    val mk = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_amplified.json"), true)
+    try mk.write(s"""{"docs_x":$docsX,"emb_x":$embX,"src":"$srcDir"}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mk.close()
+  }
+
+  /** Does `d` hold a COMPLETE amplification with exactly these factors? */
+  def builtWith(d: String, docsX: Int, embX: Int): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/_amplified.json")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.exists(p) && {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      s.contains(s""""docs_x":$docsX""") && s.contains(s""""emb_x":$embX""")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -55,12 +73,11 @@ object AmplifiedBench {
     val docsX = sys.env.getOrElse("SPARK_GRAFT_DOCS_X", "10").toInt
     val embX = sys.env.getOrElse("SPARK_GRAFT_EMB_X", "4").toInt
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-    // reuse only a FULLY-built dir (a crash between table writes must
-    // not leave a half-amplified dir that silently benches wrong data)
-    def complete(d: String) = Seq("documents", "embeddings", "lineitem")
-      .forall(t => new java.io.File(s"$d/$t.parquet").exists())
+    // reuse only a dir whose marker certifies a complete build with the
+    // SAME factors (half-built or differently-amplified data must not
+    // run under this round's labels)
     val outDir = sys.env.get("SPARK_GRAFT_AMPLIFIED_DIR") match {
-      case Some(d) if complete(d) => d
+      case Some(d) if builtWith(d, docsX, embX) => d
       case maybe =>
         val d = maybe.getOrElse(
           java.nio.file.Files.createTempDirectory("graft_amplified").toString)

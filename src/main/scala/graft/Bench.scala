@@ -64,13 +64,19 @@ object Bench {
       .mkString("{", ",", "}")
     val warmJson = warm.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
+    // a failed warm build re-attributes its cost to the first consuming
+    // query — exactly the drift this protocol pins — so it fails the
+    // bench just like a failed query
+    val warmErrs = warm.collect { case (k, v) if v < 0 =>
+      "\"warm:" + k + "\":\"shared cache build failed\"" }
+    val errs = (warmErrs ++ results.collect {
+        case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" })
       .mkString("{", ",", "}")
     val warmTotal = warm.collect { case (_, v) if v > 0 => v }.sum
     val total = results.collect { case (_, v, None) => v }.sum + warmTotal
     val fields = s""""value":$total,"unit":"sec","runs":$runs,""" +
       s""""warm_sec":$warmTotal,"warm":$warmJson,"errors":$errs,"queries":$qs"""
-    (fields, results.exists(_._3.isDefined))
+    (fields, results.exists(_._3.isDefined) || warm.exists(_._2 < 0))
   }
 
   private[graft] def session(cpus: String): SparkSession = {

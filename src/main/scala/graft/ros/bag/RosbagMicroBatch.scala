@@ -66,14 +66,33 @@ final case class RosbagDirOffset(bags: Map[String, Long]) extends Offset {
 }
 
 object RosbagDirOffset {
-  private[bag] def esc(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  // FULL JSON string escaping incl. control characters: the offset is
+  // stored in Spark's LINE-delimited offset log, so a raw newline in a
+  // path (legal on POSIX) would split the checkpoint entry across
+  // lines and brick recovery
+  private[bag] def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
   private def unesc(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {
-      if (s(i) == '\\' && i + 1 < s.length) { sb += s(i + 1); i += 2 }
-      else { sb += s(i); i += 1 }
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' if i + 5 < s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case c => sb += c; i += 2
+        }
+      } else { sb += s(i); i += 1 }
     }
     sb.toString
   }
@@ -114,7 +133,9 @@ class RosbagDirMicroBatchStream(path: String, required: StructType,
     val bags = try RosbagIO.resolveBags(path) catch {
       case _: IllegalArgumentException | _: java.io.FileNotFoundException => Seq.empty
     }
-    RosbagDirOffset(RosbagIO.scanIndexes(bags)
+    // tolerant: a bag deleted between the listing and the index open is
+    // simply not offered this trigger (it keeps any committed count)
+    RosbagDirOffset(RosbagIO.scanIndexesTolerant(bags)
       .map { case (b, index) => b -> index.chunks.size.toLong }.toMap)
   }
 
@@ -123,22 +144,27 @@ class RosbagDirMicroBatchStream(path: String, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[RosbagDirOffset].bags
     val e = end.asInstanceOf[RosbagDirOffset].bags
-    e.toSeq.sortBy(_._1).flatMap { case (bag, until) =>
-      val from = s.getOrElse(bag, 0L).toInt
-      if (until <= from) Nil
-      else {
-        val index = RosbagIO.scanIndex(bag)
-        val conns0 = index.connections.map(c => c.connId -> c).toMap
-        val conns = typed match {
-          case Some(t) => conns0.filter { case (_, c) =>
-            c.datatype != t.datatype || c.md5sum == t.md5 }
-          case None => conns0
+    // same plan-time pruning as the batch scan: bag_path filters skip
+    // whole bags, chunk-info time ranges skip chunks — offsets still
+    // advance over pruned ranges (they are committed as read)
+    e.toSeq.sortBy(_._1)
+      .filter { case (bag, _) => filters.forall(f => RosbagFilters.bagMayMatch(f, bag)) }
+      .flatMap { case (bag, until) =>
+        val from = s.getOrElse(bag, 0L).toInt
+        if (until <= from) Nil
+        else {
+          val index = RosbagIO.scanIndex(bag)
+          val conns0 = index.connections.map(c => c.connId -> c).toMap
+          val conns = typed match {
+            case Some(t) => conns0.filter { case (_, c) =>
+              c.datatype != t.datatype || c.md5sum == t.md5 }
+            case None => conns0
+          }
+          index.chunks.zipWithIndex.slice(from, until.toInt)
+            .filter { case (c, _) => filters.forall(f => RosbagFilters.chunkMayMatch(f, c)) }
+            .map { case (c, i) => RosbagInputPartition(bag, i, c, conns): InputPartition }
         }
-        index.chunks.zipWithIndex.slice(from, until.toInt).map { case (c, i) =>
-          RosbagInputPartition(bag, i, c, conns): InputPartition
-        }
-      }
-    }.toArray
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = typed match {

@@ -196,6 +196,14 @@ object RosbagFilters {
   /** Bag-level pruning: a bag_path equality/In filter drops WHOLE bags
     * from the plan — the multi-bag analog of partition pruning (a fleet
     * query over one vehicle's bags never opens the others' indexes).
+    *
+    * Matching is EXACT against the stored value (the fully-qualified
+    * URI, e.g. "file:/data/a.bag") — deliberately not fuzzy: Spark
+    * re-applies every filter as a residual above the scan with plain
+    * string equality, so a source that matched "/data/a.bag" loosely
+    * would emit rows the Catalyst Filter then drops anyway. Take
+    * filter values from read bag_path values (or qualify with Hadoop
+    * Path first).
     */
   def bagMayMatch(f: Filter, path: String): Boolean = f match {
     case EqualTo("bag_path", v) => path == v
@@ -459,7 +467,19 @@ object RosbagIO {
     * the I/O so the shared pool grows past core count instead of
     * convoying behind it.
     */
-  def scanIndexes(paths: Seq[String]): Seq[(String, BagFormat.BagIndex)] = {
+  def scanIndexes(paths: Seq[String]): Seq[(String, BagFormat.BagIndex)] =
+    scanIndexesImpl(paths, tolerant = false)
+
+  /** scanIndexes that DROPS bags vanishing between listing and open
+    * (fleet uploaders delete/rename mid-trigger) — for discovery paths
+    * like a stream's latestOffset, where a disappeared bag simply
+    * isn't offered; committed replays stay strict.
+    */
+  def scanIndexesTolerant(paths: Seq[String]): Seq[(String, BagFormat.BagIndex)] =
+    scanIndexesImpl(paths, tolerant = true)
+
+  private def scanIndexesImpl(paths: Seq[String], tolerant: Boolean)
+      : Seq[(String, BagFormat.BagIndex)] = {
     if (paths.isEmpty) return Seq.empty
     // bounded pool, not Future.traverse on the global EC: blocking{}
     // compensation threads scale with the FLEET size there (10k bags =
@@ -470,10 +490,12 @@ object RosbagIO {
     try {
       val futs = paths.map { p =>
         pool.submit(new java.util.concurrent.Callable[(String, BagFormat.BagIndex)] {
-          override def call(): (String, BagFormat.BagIndex) = p -> scanIndex(p)
+          override def call(): (String, BagFormat.BagIndex) =
+            try p -> scanIndex(p)
+            catch { case _: java.io.FileNotFoundException if tolerant => null }
         })
       }
-      futs.map(_.get())
+      futs.map(_.get()).filter(_ != null)
     } finally pool.shutdown()
   }
 

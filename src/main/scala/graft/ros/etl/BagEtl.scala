@@ -119,18 +119,28 @@ object BagEtl {
           stagedByType: Boolean = false, nativeTimestamp: Boolean = false): Info = {
     val messagesPath = new org.apache.hadoop.fs.Path(s"$outDir/Messages.parquet")
     val fs = messagesPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    if (!fs.exists(messagesPath))
-      return run(spark, bagPath, outDir, None, keepRawBlob, blobSideTable,
-        blobThreshold, stagedByType, nativeTimestamp)
+    val dirName = new java.io.File(bagPath).getName
+    if (!fs.exists(messagesPath)) {
+      // bootstrap WITHOUT run()'s versioned-dir redirect: a pre-created
+      // or crash-remnant outDir lacking Messages must not silently fork
+      // the corpus into outDir.1, .2, ... on every call (incremental
+      // mode would never engage). Write into outDir itself; leftover
+      // tables from a crashed attempt fail loudly via ErrorIfExists.
+      return runBags(spark, graft.ros.bag.RosbagIO.resolveBags(bagPath),
+        dirName, outDir, None, keepRawBlob, blobSideTable, blobThreshold,
+        stagedByType, nativeTimestamp)._1
+    }
     val existing = spark.read.parquet(s"$outDir/Messages.parquet")
     require(existing.columns.contains("bag_path"),
       s"$outDir predates the bag_path spine column — re-run the full ETL once")
     val done = existing.select(col("bag_path")).distinct()
       .collect().map(_.getString(0)).toSet
-    val dirName = new java.io.File(bagPath).getName
     val newBags = graft.ros.bag.RosbagIO.resolveBags(bagPath).filterNot(done)
     if (newBags.isEmpty) return Info(dirName, 0L, 0L, 0L)
-    val offset = existing.agg(max(col("seqno"))).head().getLong(0) + 1
+    // null on a zero-row Messages table (connections-only first run):
+    // nothing to continue from, start the dense numbering at 0
+    val maxRow = existing.agg(max(col("seqno"))).head()
+    val offset = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1
     runBags(spark, newBags, dirName, outDir, None, keepRawBlob, blobSideTable,
       blobThreshold, stagedByType, nativeTimestamp,
       seqnoOffset = offset, naming = readManifest(outDir), append = true)._1
@@ -293,11 +303,6 @@ object BagEtl {
     else messages0
 
     val writeMode = if (append) SaveMode.Append else SaveMode.ErrorIfExists
-    messages.write.mode(writeMode)
-      .option("compression", "snappy").parquet(s"$out/Messages.parquet")
-    lap("messages-write")
-    connections.write.mode(writeMode)
-      .option("compression", "snappy").parquet(s"$out/Connections.parquet")
 
     // Seqno map: (chunk_idx, offset) -> seqno, ints only — the blobs
     // never ride a seqno shuffle. Each per-type table is a TYPED
@@ -409,9 +414,24 @@ object BagEtl {
         } finally spark.sparkContext.clearJobGroup()
     } } }
     val ddl = new StringBuilder
-    try
+    try {
       Await.result(Future.sequence(typeDdl), Duration.Inf).foreach(ddl ++= _)
-    catch { case e: Throwable =>
+      // Messages is the increment's COMMIT RECORD: runIncremental
+      // derives its done-set from Messages.bag_path, so it must land
+      // only AFTER every per-type write succeeded — a crash mid-
+      // increment leaves per-type work unrecorded and the next
+      // increment redoes those bags. (The redo can duplicate per-type
+      // rows the crashed attempt had already appended; they carry the
+      // same (bag_path, chunk_idx-derived seqno) identity, so
+      // dropDuplicates recovers — the alternative ordering loses rows
+      // SILENTLY, which is not recoverable.) Written inside the try:
+      // the lineage reads the staging dirs the finally deletes.
+      messages.write.mode(writeMode)
+        .option("compression", "snappy").parquet(s"$out/Messages.parquet")
+      lap("messages-write")
+      connections.write.mode(writeMode)
+        .option("compression", "snappy").parquet(s"$out/Connections.parquet")
+    } catch { case e: Throwable =>
       // fail fast AND stop the siblings — AndFutureJobs so siblings
       // between jobs can't keep submitting against the dirs the finally
       // below deletes

@@ -45,14 +45,23 @@ object BloomScreen {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    // BloomFilterAggregate silently clamps numBits to
-    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (default 64M
-    // bits ≈ 8 MB), so above ~7M items at fpp=0.01 the realized fpp
-    // would quietly degrade toward pass-through. Raise the session cap
-    // to cover the computed size so the requested fpp is honored.
-    val capKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val cap = df.sparkSession.conf.getOption(capKey).map(_.toLong).getOrElse(67108864L)
-    if (numBits > cap) df.sparkSession.conf.set(capKey, numBits.toString)
+    // BloomFilterAggregate silently clamps BOTH sizing inputs:
+    // numBits to spark.sql.optimizer.runtime.bloomFilter.maxNumBits
+    // (default 64M bits ≈ 8 MB) and estimatedNumItems to
+    // ...bloomFilter.maxNumItems (default 4M). A clamped item count is
+    // the nastier failure: BloomFilter.create derives the HASH COUNT
+    // from bits/items, so 4M claimed items against a raised bit budget
+    // picks far too many hash functions and a large real insert
+    // saturates the filter toward all-true — pass-through with the fpp
+    // "honored" on paper. Raise both session caps (raise-only, never
+    // lower: a deliberate session-wide mutation with the same lifetime
+    // as the built filter it serves).
+    def raiseCap(key: String, default: Long, needed: Long): Unit = {
+      val cap = df.sparkSession.conf.getOption(key).map(_.toLong).getOrElse(default)
+      if (needed > cap) df.sparkSession.conf.set(key, needed.toString)
+    }
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L, numBits)
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L, expectedItems)
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(ExpressionUtils.expression(key))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
