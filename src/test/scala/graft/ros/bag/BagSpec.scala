@@ -492,8 +492,14 @@ class BagSpec extends SparkTestBase {
     val out = Files.createTempDirectory("graft_incr_out").toString + "/out"
 
     writeBagFile("a.bag", ptDefV1, "md5v1", 1700000000, withZ = false)
-    val full = BagEtl.run(spark, dir.toString, out)
+    // bootstrap through runIncremental on a PRE-CREATED empty dir: the
+    // tables must land in `out` itself (a versioned-dir redirect to
+    // out.1 would mean incremental mode never engages afterwards)
+    Files.createDirectories(Paths.get(out))
+    val full = BagEtl.runIncremental(spark, dir.toString, out)
     assert(full.count == 4)
+    assert(Files.exists(Paths.get(s"$out/Messages.parquet")))
+    assert(!Files.exists(Paths.get(s"$out.1")))
 
     // two new bags arrive: one same-variant, one with a DRIFTED Point
     writeBagFile("b.bag", ptDefV1, "md5v1", 1700000100, withZ = false)
