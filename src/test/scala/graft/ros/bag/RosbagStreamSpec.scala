@@ -106,8 +106,13 @@ class RosbagStreamSpec extends SparkTestBase {
 
   test("dir offset JSON round-trips, including escaped path characters") {
     val off = RosbagDirOffset(Map(
-      "file:/data/a.bag" -> 3L, "file:/we\"ird\\path.bag" -> 7L))
-    assert(RosbagDirOffset.parse(off.json()) == off)
+      "file:/data/a.bag" -> 3L, "file:/we\"ird\\path.bag" -> 7L,
+      // control chars MUST escape: the offset log is line-delimited,
+      // so a raw newline would split the checkpoint entry
+      "file:/new\nline\tandctl.bag" -> 2L))
+    val json = off.json()
+    assert(!json.contains('\n'))
+    assert(RosbagDirOffset.parse(json) == off)
     assert(RosbagDirOffset.parse(RosbagDirOffset(Map.empty).json()).bags.isEmpty)
   }
 }
