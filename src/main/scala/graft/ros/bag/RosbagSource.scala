@@ -495,7 +495,12 @@ object RosbagIO {
             catch { case _: java.io.FileNotFoundException if tolerant => null }
         })
       }
-      futs.map(_.get()).filter(_ != null)
+      futs.map { f =>
+        // surface the ORIGINAL failure ("corrupt bag ...": the message
+        // callers and tests match on), not the pool's ExecutionException
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }.filter(_ != null)
     } finally pool.shutdown()
   }
 
