@@ -260,6 +260,21 @@ class PlanSpec extends SparkTestBase {
       s"q70 plans an aggregation:\n$p")
   }
 
+  test("q72: leakage audit reuses the cached pair graph (no new shingle pass)") {
+    val p = plan("q72_split_leakage")
+    // the audit must read the persisted jaccard pair graph, not re-run
+    // the shingle/explode/pair derivation
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"q72 does not read the cached pair graph:\n$p")
+    // the rendering INLINES the cached lineage below InMemoryRelation
+    // (verify-skill gotcha) — only the plan ABOVE the cache boundary
+    // must be free of the shingle derivation
+    val idx = p.indexOf("InMemoryRelation")
+    val aboveCache = if (idx >= 0) p.substring(0, idx) else p
+    assert(!aboveCache.contains("Generate"),
+      s"q72 re-derives shingles above the cache:\n$p")
+  }
+
   test("q71: chunking is generate-side — no join, no window function") {
     val p = plan("q71_doc_chunking")
     // match join OPERATORS, not the substring — array_join() is in the
