@@ -28,13 +28,25 @@ object Tables {
     * oracle SQL applies on its side). The raw nanos stay as `ts_ns`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Deliberately session-wide: the conf must hold at ACTION time (the
-    // scan runs lazily), so a set/restore scope would break the read.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The legacy conf is needed only for SCHEMA INFERENCE (the footer
+    // read maps TIMESTAMP(NANOS) → LongType); with an EXPLICIT schema
+    // the scan itself reads nanos-as-long without any conf. So scope
+    // the mutation to the eager footer read and restore — the returned
+    // (lazy) DataFrame carries the explicit schema and leaks no session
+    // state into co-hosted workloads. (Spark 4.1 exposes no per-read
+    // option for this; ParquetOptions has no nanosAsLong key.)
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = s.conf.getOption(key)
+    val schema =
+      try { s.conf.set(key, "true"); t(s, d, "events").schema }
+      finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     // FLOOR division to micros (pmod keeps it exact in the long domain):
     // `div` truncates toward zero, which would disagree with DuckDB's
     // flooring TIMESTAMP_NS cast for pre-epoch nanos.
-    t(s, d, "events")
+    s.read.schema(schema).parquet(s"$d/events.parquet")
       .withColumn("ts_ns", col("ts").cast("long"))
       .withColumn("ts", ntz(timestamp_micros(
         expr("(ts_ns - pmod(ts_ns, 1000L)) div 1000"))))

@@ -153,16 +153,28 @@ class RosbagDirMicroBatchStream(path: String, required: StructType,
         val from = s.getOrElse(bag, 0L).toInt
         if (until <= from) Nil
         else {
-          val index = RosbagIO.scanIndex(bag)
-          val conns0 = index.connections.map(c => c.connId -> c).toMap
-          val conns = typed match {
-            case Some(t) => conns0.filter { case (_, c) =>
-              c.datatype != t.datatype || c.md5sum == t.md5 }
-            case None => conns0
+          // Same delete/rename tolerance as latestOffset: a bag that
+          // vanished AFTER latestOffset offered it (uploader deleted or
+          // renamed it mid-trigger) contributes nothing this batch.
+          // Strict here would be worse than lost data — the checkpoint
+          // replays the uncommitted batch on every restart, hitting
+          // FileNotFoundException forever and permanently wedging the
+          // stream. Rows in already-deleted chunks are gone either way;
+          // skipping commits the offset and the stream moves on.
+          val indexOpt =
+            try Some(RosbagIO.scanIndex(bag))
+            catch { case _: java.io.FileNotFoundException => None }
+          indexOpt.toSeq.flatMap { index =>
+            val conns0 = index.connections.map(c => c.connId -> c).toMap
+            val conns = typed match {
+              case Some(t) => conns0.filter { case (_, c) =>
+                c.datatype != t.datatype || c.md5sum == t.md5 }
+              case None => conns0
+            }
+            index.chunks.zipWithIndex.slice(from, until.toInt)
+              .filter { case (c, _) => filters.forall(f => RosbagFilters.chunkMayMatch(f, c)) }
+              .map { case (c, i) => RosbagInputPartition(bag, i, c, conns): InputPartition }
           }
-          index.chunks.zipWithIndex.slice(from, until.toInt)
-            .filter { case (c, _) => filters.forall(f => RosbagFilters.chunkMayMatch(f, c)) }
-            .map { case (c, i) => RosbagInputPartition(bag, i, c, conns): InputPartition }
         }
       }.toArray
   }

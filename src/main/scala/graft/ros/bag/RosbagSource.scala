@@ -71,6 +71,21 @@ object RosbagDataSource {
     if (bags != null && bags.nonEmpty) bags else opts.get("path")
   }
 
+  /** Build the newline-separated "bags" option value from resolved
+    * paths. '\n' is the list separator, so a POSIX path containing a
+    * newline (legal, and a case RosbagDirOffset's escaping supports)
+    * cannot ride this spec — it would silently split into two
+    * nonexistent entries. Fail loudly at construction instead.
+    */
+  def bagsSpec(bags: Seq[String]): String = {
+    bags.find(_.contains('\n')).foreach { b =>
+      throw new IllegalArgumentException(
+        "bag path contains a newline and cannot be passed via the " +
+        s"newline-separated 'bags' option: ${b.replace("\n", "\\n")}")
+    }
+    bags.mkString("\n")
+  }
+
   /** The message-spine schema (reference Messages table,
     * FlattenedRosWriter.cpp:49-87, plus the connection attributes the
     * per-type tables re-join for, README.md:108-121). chunk_idx/offset
@@ -244,8 +259,11 @@ object RosbagFilters {
     case _ => false
   }
 
+  // `path` is REQUIRED (no default): a call site that forgot it would
+  // silently evaluate pushed bag_path filters against "" and drop every
+  // row — the compiler must catch the omission instead.
   def eval(f: Filter, m: BagFormat.BagMessage, conn: BagFormat.BagConnection,
-           path: String = ""): Boolean = {
+           path: String): Boolean = {
     def v(c: String): Any = c match {
       case "connection_id" => m.connId
       case "topic" => conn.topic

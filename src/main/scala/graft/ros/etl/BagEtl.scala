@@ -133,8 +133,23 @@ object BagEtl {
     val existing = spark.read.parquet(s"$outDir/Messages.parquet")
     require(existing.columns.contains("bag_path"),
       s"$outDir predates the bag_path spine column — re-run the full ETL once")
+    // Done-set = Messages.bag_path ∪ Connections.bag_path: a bag with
+    // connections but ZERO messages never lands in Messages, and a
+    // Messages-only done-set would re-convert it every increment,
+    // appending duplicate Connections rows that multiply every msg↔conn
+    // join. Connections is written AFTER Messages (runBags), so for a
+    // normal bag Connections-presence implies Messages landed too; for
+    // a zero-message bag Connections IS its complete output — either
+    // way presence in Connections means the bag is fully converted.
+    // (A bag with zero connections AND zero messages writes nothing and
+    // is re-indexed each increment — a no-op re-read, not duplication.)
+    val connPath = new org.apache.hadoop.fs.Path(s"$outDir/Connections.parquet")
+    val doneConns =
+      if (!fs.exists(connPath)) Set.empty[String]
+      else spark.read.parquet(s"$outDir/Connections.parquet")
+        .select(col("bag_path")).distinct().collect().map(_.getString(0)).toSet
     val done = existing.select(col("bag_path")).distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(_.getString(0)).toSet ++ doneConns
     val newBags = graft.ros.bag.RosbagIO.resolveBags(bagPath).filterNot(done)
     if (newBags.isEmpty) return Info(dirName, 0L, 0L, 0L)
     // null on a zero-row Messages table (connections-only first run):
@@ -243,7 +258,7 @@ object BagEtl {
     // ONE scan relation over the whole bag list (the "bags" option) —
     // not an N-way union, which bloats the analyzer at fleet scale
     val raw0 = spark.read.format("rosbag")
-      .option("bags", bags.mkString("\n")).load()
+      .option("bags", graft.ros.bag.RosbagDataSource.bagsSpec(bags)).load()
     val raw = maxMessages.map(n => raw0.limit(n.toInt).toDF()).getOrElse(raw0)
 
     // Stage the spine meta to parquet BEFORE the seqno operator. The
@@ -361,7 +376,7 @@ object BagEtl {
           (if (keepRawBlob) decoded else decoded.drop("data"), part)
         } else {
           val typed = spark.read.format("rosbag")
-            .option("bags", groupBags.mkString("\n"))
+            .option("bags", graft.ros.bag.RosbagDataSource.bagsSpec(groupBags))
             .option("datatype", datatype).option("md5", md5)
             .option("includeRaw", keepRawBlob.toString)
             .load()

@@ -53,19 +53,32 @@ object BloomScreen {
     // from bits/items, so 4M claimed items against a raised bit budget
     // picks far too many hash functions and a large real insert
     // saturates the filter toward all-true — pass-through with the fpp
-    // "honored" on paper. Raise both session caps (raise-only, never
-    // lower: a deliberate session-wide mutation with the same lifetime
-    // as the built filter it serves).
-    def raiseCap(key: String, default: Long, needed: Long): Unit = {
-      val cap = df.sparkSession.conf.getOption(key).map(_.toLong).getOrElse(default)
-      if (needed > cap) df.sparkSession.conf.set(key, needed.toString)
+    // "honored" on paper. Raise both session caps for the duration of
+    // the build, then RESTORE the prior values: Spark's own runtime
+    // bloom-join filters in unrelated queries read the same confs, and
+    // a permanent raise would silently inflate them for the session's
+    // lifetime. (The caps are captured when THIS aggregate is analyzed,
+    // inside the raised window — the finished filter is unaffected by
+    // the restore.)
+    val conf = df.sparkSession.conf
+    val caps = Seq(
+      ("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L, numBits),
+      ("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L, expectedItems))
+    val prior = caps.map { case (k, default, needed) =>
+      val before = conf.getOption(k)
+      if (needed > before.map(_.toLong).getOrElse(default)) conf.set(k, needed.toString)
+      k -> before
     }
-    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L, numBits)
-    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L, expectedItems)
-    val agg = new BloomFilterAggregate(
-      new XxHash64(Seq(ExpressionUtils.expression(key))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val row = df.select(ExpressionUtils.column(agg).as("bf")).head()
+    val row =
+      try {
+        val agg = new BloomFilterAggregate(
+          new XxHash64(Seq(ExpressionUtils.expression(key))),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+        df.select(ExpressionUtils.column(agg).as("bf")).head()
+      } finally prior.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None)    => conf.unset(k)
+      }
     // null only when df is empty: return an empty filter of the right
     // size so mightContain is all-false (the semantically right answer)
     if (row.isNullAt(0)) {

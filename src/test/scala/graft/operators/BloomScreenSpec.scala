@@ -52,4 +52,23 @@ class BloomScreenSpec extends SparkTestBase {
       BloomScreen.build(Seq("a").toDF("s"), col("s"), expectedItems = 10, fpp = 1.5)
     }
   }
+
+  test("build restores the session bloom-filter caps it raised") {
+    // an oversized build must raise the caps only for its own window —
+    // Spark's runtime bloom-join filters read the same confs, and a
+    // permanent raise would inflate them for every later query
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val before = (spark.conf.getOption(bitsKey), spark.conf.getOption(itemsKey))
+    // 50M items needs > 64M default bit cap and > 4M default item cap
+    val bf = BloomScreen.build(
+      (0 until 1000).map(i => s"k$i").toDF("s"), col("s"),
+      expectedItems = 50000000L, fpp = 0.01)
+    assert(bf.length * 8L > 67108864L, "filter was clamped to the default bit cap")
+    assert((spark.conf.getOption(bitsKey), spark.conf.getOption(itemsKey)) == before,
+      "session bloom caps were not restored after build")
+    // and the filter built inside the window still works
+    assert((0 until 1000).map(i => s"k$i").toDF("s")
+      .filter(!BloomScreen.mightContain(bf, col("s"))).count() == 0)
+  }
 }

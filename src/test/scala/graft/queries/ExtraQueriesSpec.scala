@@ -6,6 +6,19 @@ import graft.SparkTestBase
 class ExtraQueriesSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
 
+  test("Tables.events leaks no nanosAsLong conf into the session") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val ev = Tables.events(spark, sf)
+    assert(spark.conf.getOption(key) == before,
+      "events() left the legacy nanos conf set session-wide")
+    // the scan still works at ACTION time without the conf (explicit
+    // schema carries the nanos-as-long mapping)
+    assert(ev.count() > 0)
+    assert(ev.schema("ts").dataType.typeName == "timestamp_ntz")
+    assert(ev.schema("ts_ns").dataType.typeName == "long")
+  }
+
   test("approx_count_distinct within declared error of exact") {
     val approx = ExtraQueries.all("q40_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -534,4 +534,49 @@ class BagSpec extends SparkTestBase {
     assert(none.count == 0)
     assert(spark.read.parquet(s"$out/Messages.parquet").count() == 12)
   }
+
+  test("incremental ETL converts a zero-message bag exactly once (done-set covers Connections)") {
+    import graft.ros.etl.BagEtl
+    val dir = Files.createTempDirectory("graft_zero")
+    // normal bag + a bag holding a CONNECTION but no messages (a real
+    // shape: a recorder subscribed to a topic that never published).
+    // The done-set must commit it via Connections.bag_path — a
+    // Messages-only done-set re-converts it every increment and the
+    // duplicate Connections rows multiply every msg↔conn join.
+    Files.write(dir.resolve("a.bag"), BagFormat.writeBag(
+      Seq(BagConnection(0, "/imu_data", "sensor_msgs/Imu", Fixtures.imuMd5, Fixtures.imuDef, "/n")),
+      (0 until 3).map(i => WriteMessage(0, 1700000000 + i, 0,
+        imuBytes(i.toLong, 1700000000 + i, 0, s"f$i", i * 0.5))),
+      messagesPerChunk = 2))
+    Files.write(dir.resolve("empty.bag"), BagFormat.writeBag(
+      Seq(BagConnection(0, "/silent", "sensor_msgs/Imu", Fixtures.imuMd5, Fixtures.imuDef, "/n")),
+      Seq.empty, messagesPerChunk = 2))
+    val out = Files.createTempDirectory("graft_zero_out").toString + "/out"
+    Files.createDirectories(Paths.get(out))
+    assert(BagEtl.runIncremental(spark, dir.toString, out).count == 3)
+    val conns1 = spark.read.parquet(s"$out/Connections.parquet")
+    assert(conns1.count() == 2)
+    assert(conns1.filter(col("topic") === "/silent").count() == 1)
+    // re-run on the unchanged dir: NOTHING is re-converted — the
+    // zero-message bag is committed, Connections rows stay unique
+    assert(BagEtl.runIncremental(spark, dir.toString, out).count == 0)
+    val conns2 = spark.read.parquet(s"$out/Connections.parquet")
+    assert(conns2.count() == 2, "zero-message bag was re-converted: duplicate Connections rows")
+    // and a genuinely new bag still appends
+    Files.write(dir.resolve("b.bag"), BagFormat.writeBag(
+      Seq(BagConnection(0, "/imu_data", "sensor_msgs/Imu", Fixtures.imuMd5, Fixtures.imuDef, "/n")),
+      Seq(WriteMessage(0, 1700000100, 0, imuBytes(9L, 1700000100, 0, "f9", 0.9))),
+      messagesPerChunk = 2))
+    assert(BagEtl.runIncremental(spark, dir.toString, out).count == 1)
+    assert(spark.read.parquet(s"$out/Connections.parquet").count() == 3)
+    assert(spark.read.parquet(s"$out/Messages.parquet").count() == 4)
+  }
+
+  test("bagsSpec rejects a bag path containing a newline instead of splitting it") {
+    val e = intercept[IllegalArgumentException] {
+      RosbagDataSource.bagsSpec(Seq("/ok/a.bag", "/bad/with\nnewline.bag"))
+    }
+    assert(e.getMessage.contains("newline"))
+    assert(RosbagDataSource.bagsSpec(Seq("/a.bag", "/b.bag")) == "/a.bag\n/b.bag")
+  }
 }

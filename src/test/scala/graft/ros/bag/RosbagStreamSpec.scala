@@ -104,6 +104,29 @@ class RosbagStreamSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("dir stream tolerates a bag deleted after latestOffset offered it") {
+    // The uploader delete/rename scenario: latestOffset listed the bag,
+    // then it vanished before planInputPartitions opened it. Strict
+    // scanIndex would throw FileNotFoundException — and since the
+    // offset is already in the checkpoint, every restart replays the
+    // batch and hits it again, permanently wedging the stream. The
+    // plan must instead skip the vanished bag and read the survivors.
+    val root = Files.createTempDirectory("bag_dir_del")
+    val bags = root.resolve("bags"); Files.createDirectory(bags)
+    Files.write(bags.resolve("keep.bag"), bagBytes(4))   // 2 chunks
+    Files.write(bags.resolve("gone.bag"), bagBytes(2))   // 1 chunk
+    val stream = new RosbagDirMicroBatchStream(
+      bags.toString, RosbagDataSource.SpineSchema, Array.empty)
+    val latest = stream.latestOffset().asInstanceOf[RosbagDirOffset]
+    assert(latest.bags.size == 2)
+    Files.delete(bags.resolve("gone.bag"))
+    // replaying the committed-in-checkpoint range must not throw
+    val parts = stream.planInputPartitions(RosbagDirOffset(Map.empty), latest)
+    assert(parts.length == 2, "expected only keep.bag's chunks")
+    assert(parts.map(_.asInstanceOf[RosbagInputPartition].path).distinct
+      .forall(_.endsWith("keep.bag")))
+  }
+
   test("dir offset JSON round-trips, including escaped path characters") {
     val off = RosbagDirOffset(Map(
       "file:/data/a.bag" -> 3L, "file:/we\"ird\\path.bag" -> 7L,
