@@ -491,6 +491,121 @@ object BagEtl {
     p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p)
   }
 
+  /** Per-table result of [[compact]]. `rewritten = false` means the
+    * table was already at or under its target file count and was left
+    * untouched.
+    */
+  final case class CompactStat(table: String, filesBefore: Int,
+      filesAfter: Int, bytes: Long, rewritten: Boolean)
+
+  /** Small-file compaction for an ETL output directory — the table
+    * maintenance a fleet-ingest corpus needs. Every `runIncremental`
+    * call and every streaming trigger APPENDS files; a year of daily
+    * increments leaves thousands of tiny parquet files per table, and
+    * at 100 TB the scan planner then drowns in per-file overhead
+    * (footer reads, task scheduling, row groups far below the HDFS
+    * block size). This is the table-lifecycle generalization of the
+    * reference's row-group sizing discipline (TableBuffer.cpp:149-174
+    * buffers rows until a target byte size before cutting a row
+    * group): rewrite each table's files so each is ~`targetFileBytes`.
+    *
+    * Semantics preserved:
+    *  - rows are IDENTICAL before and after (pure file re-layout);
+    *  - tables carrying `seqno` are range-partitioned and sorted by it,
+    *    so file k holds a contiguous seqno range below file k+1 — the
+    *    storage order consumers (and parquet min/max pruning on seqno)
+    *    rely on;
+    *  - the `_tables.json` manifest, Vertica DDL and incremental
+    *    done-set are untouched — a subsequent `runIncremental` appends
+    *    exactly as before;
+    *  - Messages is compacted LAST: if compaction dies midway, the
+    *    commit record still matches some fully-converted state.
+    *
+    * Crash safety: each table swaps via rename — new files land in
+    * `.compact_tmp/<table>`, the live table moves to
+    * `.compact_trash/<table>`, the tmp moves into place, the trash is
+    * dropped. A recovery preamble on the NEXT compact restores any
+    * table stranded in trash (live missing) and clears stale tmp
+    * output, so every crash window is recoverable and never loses
+    * rows. Run it as the single maintainer of the directory — not
+    * concurrently with an in-flight increment or streaming query
+    * writing the same tables (same discipline every table-maintenance
+    * system requires).
+    */
+  def compact(spark: SparkSession, outDir: String,
+      targetFileBytes: Long = 128L << 20): Seq[CompactStat] = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    require(fs.exists(root), s"no such ETL output dir: $outDir")
+    val tmpRoot = new Path(root, ".compact_tmp")
+    val trashRoot = new Path(root, ".compact_trash")
+
+    // recovery preamble: a prior compact may have died between swap
+    // renames — a table sitting in trash with no live counterpart IS
+    // the live data; restore it. Tmp output is always incomplete
+    // (the swap starts only after a successful write) — drop it.
+    if (fs.exists(trashRoot)) {
+      fs.listStatus(trashRoot).foreach { st =>
+        val live = new Path(root, st.getPath.getName)
+        if (!fs.exists(live))
+          require(fs.rename(st.getPath, live), s"recovery rename failed for ${st.getPath}")
+      }
+      fs.delete(trashRoot, true)
+    }
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+
+    def dataFiles(table: Path) = fs.listStatus(table).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+    val tables = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    val (messages, others) = tables.partition(_.getName == "Messages.parquet")
+    try {
+      (others ++ messages).toSeq.map { table =>
+        val name = table.getName
+        // a streaming parquet SINK dir is transactional (_spark_metadata
+        // log lists the valid files) — rewriting files under it would
+        // corrupt the log. Compact applies to BagEtl table layouts only.
+        require(!fs.exists(new Path(table, "_spark_metadata")),
+          s"$name has a _spark_metadata streaming-sink log; compact would corrupt it")
+        val before = dataFiles(table)
+        val bytes = before.map(_.getLen).sum
+        val targetFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        if (before.length <= targetFiles)
+          CompactStat(name, before.length, before.length, bytes, rewritten = false)
+        else {
+          val df = spark.read.parquet(table.toString)
+          val relaid =
+            if (df.columns.contains("seqno"))
+              df.repartitionByRange(targetFiles, col("seqno"))
+                .sortWithinPartitions("seqno")
+            else if (df.columns.contains("bag_path") && df.columns.contains("connection_id"))
+              df.repartitionByRange(targetFiles, col("bag_path"), col("connection_id"))
+                .sortWithinPartitions("bag_path", "connection_id")
+            else df.repartition(targetFiles)
+          val tmp = new Path(tmpRoot, name)
+          relaid.write.mode(SaveMode.ErrorIfExists)
+            .option("compression", "snappy").parquet(tmp.toString)
+          val trash = new Path(trashRoot, name)
+          fs.mkdirs(trashRoot)
+          require(fs.rename(table, trash), s"compact swap-out rename failed for $name")
+          require(fs.rename(tmp, table), s"compact swap-in rename failed for $name")
+          fs.delete(trash, true)
+          CompactStat(name, before.length, dataFiles(table).length, bytes, rewritten = true)
+        }
+      }
+    } finally {
+      fs.delete(tmpRoot, true)
+      if (fs.exists(trashRoot) && fs.listStatus(trashRoot).isEmpty)
+        fs.delete(trashRoot, true)
+    }
+  }
+
   /** Flattened per-type DataFrame from (seqno, connection_id, data)
     * rows: seqno + flattened payload columns + connection_id + raw data
     * blob (column frame per reference MessageTable.cpp:326-343; blob

@@ -572,6 +572,88 @@ class BagSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/Messages.parquet").count() == 4)
   }
 
+  test("compact: N increments' small files rewrite to target size with identical rows") {
+    import graft.ros.etl.BagEtl
+    val dir = Files.createTempDirectory("graft_cpt")
+    def addBag(name: String, base: Int): Unit = {
+      Files.write(dir.resolve(name), BagFormat.writeBag(
+        Seq(BagConnection(0, "/imu_data", "sensor_msgs/Imu", Fixtures.imuMd5, Fixtures.imuDef, "/n")),
+        (0 until 4).map(i => WriteMessage(0, base + i, 0,
+          imuBytes(i.toLong, base + i, 0, s"f$i", i * 0.5))),
+        messagesPerChunk = 2))
+      ()
+    }
+    val out = Files.createTempDirectory("graft_cpt_out").toString + "/out"
+    Files.createDirectories(Paths.get(out))
+    // four increments → ≥4 files per table (each append adds its own)
+    (0 until 4).foreach { k =>
+      addBag(s"inc$k.bag", 1700000000 + k * 100)
+      assert(BagEtl.runIncremental(spark, dir.toString, out).count == 4)
+    }
+    def parts(t: String) = Paths.get(s"$out/$t.parquet").toFile.listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(parts("Messages") >= 4, "fixture should have accumulated small files")
+    val beforeM = spark.read.parquet(s"$out/Messages.parquet").cache()
+    val beforeI = spark.read.parquet(s"$out/sensor_msgs_Imu.parquet").cache()
+    beforeM.count(); beforeI.count()
+
+    val stats = BagEtl.compact(spark, out)   // default 128MB target → 1 file each
+    assert(stats.exists(s => s.table == "Messages.parquet" && s.rewritten))
+    // Messages is compacted last (commit-record discipline)
+    assert(stats.last.table == "Messages.parquet")
+    assert(parts("Messages") == 1 && parts("sensor_msgs_Imu") == 1)
+
+    // rows identical both ways, seqnos still dense and unique
+    val afterM = spark.read.parquet(s"$out/Messages.parquet")
+    val afterI = spark.read.parquet(s"$out/sensor_msgs_Imu.parquet")
+    assert(afterM.exceptAll(beforeM).isEmpty && beforeM.exceptAll(afterM).isEmpty)
+    assert(afterI.exceptAll(beforeI).isEmpty && beforeI.exceptAll(afterI).isEmpty)
+    assert(afterM.select("seqno").distinct().count() == 16)
+
+    // idempotent: a second compact rewrites nothing
+    assert(BagEtl.compact(spark, out).forall(!_.rewritten))
+
+    // a subsequent increment still appends correctly after compaction
+    addBag("inc4.bag", 1700000400)
+    assert(BagEtl.runIncremental(spark, dir.toString, out).count == 4)
+    val m5 = spark.read.parquet(s"$out/Messages.parquet")
+    assert(m5.count() == 20 && m5.agg(max("seqno")).head().getLong(0) == 19L)
+    assert(spark.read.parquet(s"$out/Connections.parquet").count() == 5)
+    beforeM.unpersist(); beforeI.unpersist()
+    ()
+  }
+
+  test("compact recovery: a table stranded in trash by a crash is restored") {
+    import graft.ros.etl.BagEtl
+    val dir = Files.createTempDirectory("graft_cptr")
+    Files.write(dir.resolve("a.bag"), BagFormat.writeBag(
+      Seq(BagConnection(0, "/imu_data", "sensor_msgs/Imu", Fixtures.imuMd5, Fixtures.imuDef, "/n")),
+      (0 until 3).map(i => WriteMessage(0, 1700000000 + i, 0,
+        imuBytes(i.toLong, 1700000000 + i, 0, s"f$i", i * 0.5))),
+      messagesPerChunk = 2))
+    val out = Files.createTempDirectory("graft_cptr_out").toString + "/out"
+    Files.createDirectories(Paths.get(out))
+    BagEtl.runIncremental(spark, dir.toString, out)
+    // simulate a crash between swap renames: live table moved to trash,
+    // replacement never swapped in
+    val trash = Paths.get(s"$out/.compact_trash")
+    Files.createDirectories(trash)
+    Files.move(Paths.get(s"$out/Messages.parquet"), trash.resolve("Messages.parquet"))
+    assert(!Files.exists(Paths.get(s"$out/Messages.parquet")))
+    BagEtl.compact(spark, out)
+    assert(spark.read.parquet(s"$out/Messages.parquet").count() == 3,
+      "recovery preamble must restore the stranded table")
+    assert(!Files.exists(trash))
+  }
+
+  test("compact refuses a streaming-sink table dir (_spark_metadata)") {
+    import graft.ros.etl.BagEtl
+    val out = Files.createTempDirectory("graft_cpts").toString
+    Files.createDirectories(Paths.get(s"$out/sink.parquet/_spark_metadata"))
+    val e = intercept[IllegalArgumentException] { BagEtl.compact(spark, out) }
+    assert(e.getMessage.contains("_spark_metadata"))
+  }
+
   test("bagsSpec rejects a bag path containing a newline instead of splitting it") {
     val e = intercept[IllegalArgumentException] {
       RosbagDataSource.bagsSpec(Seq("/ok/a.bag", "/bad/with\nnewline.bag"))
