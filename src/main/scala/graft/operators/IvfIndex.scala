@@ -101,6 +101,43 @@ object IvfIndex {
       (if (c.norm == 0.0) Double.MaxValue else -acc / c.norm, c.id)
     }.sorted.take(nProbe).map(_._2)
 
+  /** Persist a trained model: centroids as one parquet file plus a
+    * `_model.json` manifest written LAST (the commit marker —
+    * [[ModelIO]]). A real vector pipeline trains ONCE and serves every
+    * later session from the stored model; without persistence a fresh
+    * JVM retrains from scratch (the round-5 gap).
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, dir: String,
+           cents: Seq[Centroid]): Unit = {
+    require(cents.nonEmpty, "cannot save an empty centroid set")
+    import spark.implicits._
+    cents.map(c => (c.id, c.vec)).toDF("id", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    ModelIO.writeManifest(dir, Map(
+      "type" -> "ivf", "k" -> cents.size.toString,
+      "dim" -> cents.head.vec.length.toString))
+  }
+
+  /** Load a committed model from [[save]]'s layout; None when no
+    * manifest exists (absent or mid-save-crashed dir).
+    */
+  def loadIfExists(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Option[Seq[Centroid]] =
+    ModelIO.readManifest(dir).map { mf =>
+      require(mf.get("type").contains("ivf"), s"$dir holds a ${mf.get("type")} model, not ivf")
+      val (k, dim) = (mf("k").toInt, mf("dim").toInt)
+      val cents = spark.read.parquet(s"$dir/centroids.parquet")
+        .orderBy("id").collect()
+        .map(r => Centroid(r.getInt(0), r.getSeq[Float](1).toArray)).toIndexedSeq
+      require(cents.size == k && cents.forall(_.vec.length == dim),
+        s"$dir model payload disagrees with its manifest (k=$k dim=$dim)")
+      cents
+    }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Centroid] =
+    loadIfExists(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed IVF model at $dir"))
+
   /** Persisted index: train, assign, write parquet partitioned by
     * `cell`. A probe that filters `cell IN (...)` reads only the probed
     * directories (partition pruning) — nProbe/k of the bytes.

@@ -100,6 +100,49 @@ object PqIndex {
     } finally base.unpersist()
   }
 
+  /** Persist a trained model: codebook words as one parquet file
+    * (sub, word, vec) plus a `_model.json` manifest written LAST (the
+    * commit marker — [[ModelIO]]). Same train-once serve-forever
+    * lifecycle as [[IvfIndex.save]].
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, dir: String,
+           model: Model): Unit = {
+    require(model.books.nonEmpty && model.books.forall(_.words.nonEmpty),
+      "cannot save an empty PQ model")
+    import spark.implicits._
+    model.books.flatMap(b => b.words.zipWithIndex.map { case (w, j) => (b.sub, j, w) })
+      .toDF("sub", "word", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    ModelIO.writeManifest(dir, Map(
+      "type" -> "pq", "m" -> model.m.toString,
+      "subDim" -> model.subDim.toString,
+      "k" -> model.books.head.words.length.toString))
+  }
+
+  /** Load a committed model from [[save]]'s layout; None when no
+    * manifest exists (absent or mid-save-crashed dir).
+    */
+  def loadIfExists(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Option[Model] =
+    ModelIO.readManifest(dir).map { mf =>
+      require(mf.get("type").contains("pq"), s"$dir holds a ${mf.get("type")} model, not pq")
+      val (m, subDim, k) = (mf("m").toInt, mf("subDim").toInt, mf("k").toInt)
+      val rows = spark.read.parquet(s"$dir/codebooks.parquet")
+        .orderBy("sub", "word").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      val books = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (sub, ws) =>
+        Codebook(sub, ws.sortBy(_._2).map(_._3))
+      }
+      require(books.size == m && books.forall(_.words.length == k) &&
+        books.forall(_.words.forall(_.length == subDim)),
+        s"$dir model payload disagrees with its manifest (m=$m k=$k subDim=$subDim)")
+      Model(m, subDim, books)
+    }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model =
+    loadIfExists(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed PQ model at $dir"))
+
   /** Adds a `pqcode` array<int> column (cast to array<tinyint> on disk
     * for k<=256 if storage matters) — one projection, m argmins.
     */

@@ -92,4 +92,29 @@ class IvfIndexSpec extends SparkTestBase {
         nProbe = 1, topK = 5, keep = keep.withColumnRenamed("vec_id", "doc_id"))
     }
   }
+
+  test("save/load round-trips the model; a fresh session probes identically") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_model").toString + "/m"
+    val cents = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    IvfIndex.save(spark, dir, cents)
+    // a FRESH session (no shared per-session state) loads the stored model
+    val s2 = spark.newSession()
+    val loaded = IvfIndex.load(s2, dir)
+    assert(loaded.map(_.id) == cents.map(_.id))
+    assert(loaded.zip(cents).forall { case (a, b) => a.vec.sameElements(b.vec) },
+      "loaded centroids must be bit-identical to the trained ones")
+    // probe outputs from the loaded model are unchanged
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    assert(IvfIndex.probeCells(q, loaded, 2) == IvfIndex.probeCells(q, cents, 2))
+    // absence and half-written dirs read as "no model"
+    assert(IvfIndex.loadIfExists(spark, dir + "_nope").isEmpty)
+    val crash = java.nio.file.Files.createTempDirectory("ivf_crash").toString
+    emb.limit(1).write.mode("overwrite").parquet(s"$crash/centroids.parquet")
+    assert(IvfIndex.loadIfExists(spark, crash).isEmpty,
+      "payload without the manifest commit marker must read as absent")
+    // a dir holding another model type fails loudly
+    graft.operators.ModelIO.writeManifest(crash, Map("type" -> "pq"))
+    intercept[IllegalArgumentException] { IvfIndex.load(spark, crash) }
+  }
 }

@@ -115,4 +115,28 @@ class PqIndexSpec extends SparkTestBase {
         keep.withColumnRenamed("vec_id", "id"))
     }
   }
+
+  test("save/load round-trips the model; a fresh session searches identically") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_model").toString + "/m"
+    val model = PqIndex.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    PqIndex.save(spark, dir, model)
+    val s2 = spark.newSession()
+    val loaded = PqIndex.load(s2, dir)
+    assert(loaded.m == model.m && loaded.subDim == model.subDim)
+    assert(loaded.books.map(_.sub) == model.books.map(_.sub))
+    assert(loaded.books.zip(model.books).forall { case (a, b) =>
+      a.words.zip(b.words).forall { case (x, y) => x.sameElements(y) } },
+      "loaded codebooks must be bit-identical to the trained ones")
+    // search from the loaded model returns the same rows
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val enc = PqIndex.encode(emb.filter(col("vec_id") =!= 0), "embedding", model)
+    val a = PqIndex.search(enc, "vec_id", "embedding", model, q, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = PqIndex.search(PqIndex.encode(emb.filter(col("vec_id") =!= 0), "embedding", loaded),
+        "vec_id", "embedding", loaded, q, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+    assert(PqIndex.loadIfExists(spark, dir + "_nope").isEmpty)
+  }
 }

@@ -221,4 +221,41 @@ class LlmQueriesSpec extends SparkTestBase {
     val out = run("q24_exact_dedup")
     assert(out.agg(sum("n_copies")).head().getLong(0) == n)
   }
+
+  test("ANN models persist: a fresh session serves q42/q53 from the disk store") {
+    val store = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val prior = sys.props.put("graft.model.dir", store)
+    try {
+      // session 1 must be FRESH: the suite's earlier q42/q53 runs put
+      // models in the in-memory cache keyed by `spark`, which would
+      // short-circuit the disk tier entirely. A fresh session finds an
+      // empty store → trains → saves.
+      val s1 = spark.newSession()
+      val ivf42 = LlmQueries.all("q42_ann_ivf")(s1, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val pq53 = LlmQueries.all("q53_ann_pq")(s1, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val ivfDir = LlmQueries.modelStoreDir(sf, "ivf_k16_i2")
+      val pqDir = LlmQueries.modelStoreDir(sf, "pq_m8_k16_i2")
+      assert(ivfDir.startsWith(store) && pqDir.startsWith(store))
+      assert(graft.operators.ModelIO.readManifest(ivfDir).exists(_("type") == "ivf"))
+      assert(graft.operators.ModelIO.readManifest(pqDir).exists(_("type") == "pq"))
+      // a FRESH session has no in-memory model cache entry for itself —
+      // it must LOAD from the store (training again would also work,
+      // but the loaded model must reproduce the same output exactly)
+      val s2 = spark.newSession()
+      val ivf42b = LlmQueries.all("q42_ann_ivf")(s2, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val pq53b = LlmQueries.all("q53_ann_pq")(s2, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(ivf42b == ivf42, "q42 from the loaded IVF model diverged")
+      assert(pq53b == pq53, "q53 from the loaded PQ model diverged")
+    } finally {
+      prior match {
+        case Some(v) => sys.props.put("graft.model.dir", v)
+        case None    => sys.props.remove("graft.model.dir")
+      }
+      ()
+    }
+  }
 }
