@@ -47,10 +47,13 @@ object KeyedPairs {
     *                must be a unique, orderable id (pair order + the
     *                block-split hash derive from the whole payload)
     * @param cap     max members expanded in one task (≥ 2)
+    * @param maxHotKeys guard on the broadcast hot-key list (below)
     * @return columns `pa`, `pb` (payload type), one row per (key, pair)
     */
-  def pairs(df: DataFrame, keys: Seq[String], payload: Column, cap: Int): DataFrame = {
+  def pairs(df: DataFrame, keys: Seq[String], payload: Column, cap: Int,
+            maxHotKeys: Int = 1 << 20): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
+    require(maxHotKeys >= 1, s"maxHotKeys must be >= 1, got $maxHotKeys")
     require(keys.forall(!_.startsWith("__kp_")), "key columns may not use the __kp_ prefix")
     val k = keys.map(col)
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -59,11 +62,33 @@ object KeyedPairs {
     // bucket sizes first: a bounded count-agg (map-side partial).
     // Only the keys ABOVE the cap are materialized and broadcast —
     // hot keys are rare by definition (if a workload makes them
-    // common, raise the cap or pre-drop stop-keys; a broadcast-sized
-    // hot list is the operating assumption, documented here). Routing
-    // is then two map-side broadcast joins: no shuffle join of the
-    // full input against its sizes.
-    val hot = rows.groupBy(k: _*).agg(count(lit(1)).as(F)).filter(col(F) > cap)
+    // common, raise the cap or pre-drop stop-keys). That
+    // broadcast-sized assumption is GUARDED, not hoped for: the hot
+    // list is collected once (largest first, bounded at
+    // maxHotKeys + 1), and a pathological corpus fails loudly with the
+    // top offenders and their bucket sizes instead of OOMing the
+    // driver mid-broadcast. The collected list then feeds both routing
+    // joins as a LocalRelation, so the size aggregation runs exactly
+    // once instead of once per broadcast. Routing is two map-side
+    // broadcast joins: no shuffle join of the full input against its
+    // sizes.
+    val hotRows = rows.groupBy(k: _*).agg(count(lit(1)).as(F)).filter(col(F) > cap)
+      .orderBy(col(F).desc).limit(maxHotKeys + 1).collect()
+    if (hotRows.length > maxHotKeys) {
+      val sample = hotRows.take(5).map { r =>
+        val kv = keys.zipWithIndex.map { case (n, i) => s"$n=${r.get(i)}" }.mkString(", ")
+        s"($kv) -> ${r.getLong(keys.length)} members"
+      }.mkString("; ")
+      throw new IllegalArgumentException(
+        s"KeyedPairs: more than $maxHotKeys keys exceed cap=$cap — the hot-key list " +
+        s"would not be broadcast-safe. Largest buckets: $sample. Raise cap, pre-drop " +
+        "stop-keys, or raise maxHotKeys if the driver can hold the list.")
+    }
+    val hot = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*),
+      org.apache.spark.sql.types.StructType(
+        keys.map(n => rows.schema(n)) :+
+        org.apache.spark.sql.types.StructField(F, org.apache.spark.sql.types.LongType, nullable = false)))
 
     // -- small buckets (everything not hot): in-row expansion,
     // buffer ≤ cap guaranteed by the anti join. The expansion itself is

@@ -35,22 +35,29 @@ object Tables {
     // (lazy) DataFrame carries the explicit schema and leaks no session
     // state into co-hosted workloads. (Spark 4.1 exposes no per-read
     // option for this; ParquetOptions has no nanosAsLong key.)
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = s.conf.getOption(key)
-    val schema =
-      try { s.conf.set(key, "true"); t(s, d, "events").schema }
-      finally prior match {
-        case Some(v) => s.conf.set(key, v)
-        case None    => s.conf.unset(key)
-      }
     // FLOOR division to micros (pmod keeps it exact in the long domain):
     // `div` truncates toward zero, which would disagree with DuckDB's
     // flooring TIMESTAMP_NS cast for pre-epoch nanos.
-    s.read.schema(schema).parquet(s"$d/events.parquet")
+    s.read.schema(eventsRawSchema(s, d)).parquet(s"$d/events.parquet")
       .withColumn("ts_ns", col("ts").cast("long"))
       .withColumn("ts", ntz(timestamp_micros(
         expr("(ts_ns - pmod(ts_ns, 1000L)) div 1000"))))
   }
+  /** The raw events.parquet read schema (ts as nanos-epoch Long) —
+    * inferred under a SCOPED nanosAsLong conf and usable by any reader
+    * (batch or file-stream) without session state. Public because the
+    * streaming path needs the same schema for readStream.schema(...).
+    */
+  def eventsRawSchema(s: SparkSession, d: String): org.apache.spark.sql.types.StructType = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = s.conf.getOption(key)
+    try { s.conf.set(key, "true"); t(s, d, "events").schema }
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

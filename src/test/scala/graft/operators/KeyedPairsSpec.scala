@@ -91,4 +91,21 @@ class KeyedPairsSpec extends SparkTestBase {
       .toSet
     assert(got == Set((3L, "y", 5L, "x"), (3L, "y", 9L, "z"), (5L, "x", 9L, "z")))
   }
+
+  test("hot-list guard: a pathologically hot corpus fails with a diagnostic, not an OOM") {
+    // 40 keys, each with 3 members (> cap=2): with maxHotKeys=16 the
+    // broadcast-sized assumption is violated and the guard must name
+    // the largest offenders instead of letting the broadcast blow up
+    val df = (0 until 40).flatMap(key => (0 until 3).map(m => (s"k$key", key * 10L + m)))
+      .toDF("k", "id")
+    val e = intercept[IllegalArgumentException] {
+      KeyedPairs.pairs(df, Seq("k"), struct(col("id")), cap = 2, maxHotKeys = 16)
+    }
+    assert(e.getMessage.contains("hot-key") && e.getMessage.contains("members"),
+      s"diagnostic missing: ${e.getMessage}")
+    assert(e.getMessage.contains("k="), "diagnostic must sample offending keys")
+    // same corpus passes with an adequate guard and stays exact
+    val got = KeyedPairs.pairs(df, Seq("k"), struct(col("id")), cap = 2, maxHotKeys = 64)
+    assert(got.count() == 40L * 3)  // 3 members -> 3 unordered pairs per key
+  }
 }

@@ -16,14 +16,15 @@ class StreamBatchEquivSpec extends SparkTestBase {
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    // file-stream over the same parquet; nanos ts column needs the same
-    // legacy conf, set by the batch loader above
+    // file-stream over the same parquet; the nanos ts column reads via
+    // the EXPLICIT schema (Tables scopes the legacy conf to inference —
+    // nothing session-wide to lean on anymore)
     // the file-stream source needs a DIRECTORY; testdata is single files
     val dir = java.nio.file.Files.createTempDirectory("sbe_events")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val schema = graft.queries.Tables.eventsRawSchema(spark, sf)
     val stream = spark.readStream.schema(schema).parquet(dir.toString)
       .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     val q = stream.writeStream.format("memory").queryName("sbe")
