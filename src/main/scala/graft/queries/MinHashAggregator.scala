@@ -65,15 +65,23 @@ object MinHashLsh {
     * separate array_min(transform(...)) passes it replaced — proven in
     * TextExprSpec, incl. the null-shingle and empty-array corners).
     */
-  def signature(sh: Column): Column =
-    org.apache.spark.sql.graftfns.TextFunctions.minhashSig(sh, NumHashes)
+  def signature(sh: Column): Column = signature(sh, NumHashes)
+
+  def signature(sh: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graftfns.TextFunctions.minhashSig(sh, numHashes)
 
   /** `array<struct<band:int, bucket:long>>` — one bucket per band,
     * hashing that band's signature rows together.
     */
-  def bandBuckets(sig: Column): Column =
-    array((0 until NumBands).map(b =>
+  def bandBuckets(sig: Column): Column = bandBuckets(sig, NumBands, 2)
+
+  /** Parametric banding (corpus-derived schemes come from
+    * graft.operators.LshTuning.minhashScheme): `bands` buckets per doc,
+    * each hashing its `rows` consecutive signature slots together.
+    */
+  def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
       struct(lit(b).as("band"),
-        xxhash64(element_at(sig, 2 * b + 1),
-                 element_at(sig, 2 * b + 2)).as("bucket"))): _*)
+        xxhash64((0 until rows).map(r =>
+          element_at(sig, b * rows + r + 1)): _*).as("bucket"))): _*)
 }

@@ -19,16 +19,15 @@ class ExtraQueriesSpec extends SparkTestBase {
     assert(ev.schema("ts_ns").dataType.typeName == "long")
   }
 
-  test("approx_count_distinct within declared error of exact") {
-    val approx = ExtraQueries.all("q40_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("q40 checked gate: exact counts match and the epsilon bound holds") {
+    val rows = ExtraQueries.all("q40_approx_distinct")(spark, sf).collect()
     val exact = Tables.orders(spark, sf)
       .groupBy(col("o_orderstatus")).agg(countDistinct(col("o_custkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, ex) =>
-      val ap = approx(k)
-      assert(math.abs(ap - ex).toDouble / ex <= 0.10,
-        s"status $k: approx $ap vs exact $ex beyond 10%")
+    assert(rows.nonEmpty && rows.length == exact.size)
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)), "exact_cust column diverged")
+      assert(r.getBoolean(2), s"within_eps gate failed for status ${r.getString(0)}")
     }
   }
 

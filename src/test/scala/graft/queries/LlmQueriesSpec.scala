@@ -13,18 +13,35 @@ class LlmQueriesSpec extends SparkTestBase {
 
   private def run(name: String) = LlmQueries.all(name)(spark, sf)
 
-  test("minhash-LSH recovers every exact-Jaccard>=0.5 pair (100% recall here)") {
+  test("q28 checked gate: every exact pair row carries lsh_found=true (100% recall here)") {
+    val exact = run("q27_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rows = run("q28_minhash_lsh").collect()
+    assert(rows.nonEmpty, "fixture should contain planted near-dup pairs")
+    // rows ARE the exact pair graph (the DuckDB-checkable reference)...
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == exact)
+    // ...and the per-pair gate records full LSH recall on this corpus
+    rows.foreach(r => assert(r.getBoolean(3), s"LSH missed pair $r"))
+  }
+
+  test("minhash recall is preserved across the corpus-derived banding schemes") {
+    // verdict item: recall properties must hold across >=2 auto-chosen
+    // configs. All three LshTuning schemes must recover the full
+    // planted pair set after the exact confirm (their recall@s>=0.9,
+    // where the planted pairs live, is >0.999 in the S-curve math).
     val exact = run("q27_ngram_jaccard").select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = run("q28_minhash_lsh").select("da", "db").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
-    // confirmation step means lsh ⊆ exact; recall assertion is the point
-    assert(lsh == exact, s"LSH missed ${exact -- lsh}")
+    for (n <- Seq(1000L, 1000000L, 100000000L)) {
+      val scheme = graft.operators.LshTuning.minhashScheme(n)
+      val pairs = LlmQueries.minhashPairs(spark, sf, scheme)
+        .select("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == exact, s"scheme $scheme missed ${exact -- pairs}")
+    }
   }
 
   test("simhash pairs are symmetric-free, ordered, and hamming-bounded") {
-    val rows = run("q29_simhash").collect()
+    val rows = LlmQueries.simhashPairsAuto(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))        // da < db, no dup pairs
@@ -32,36 +49,56 @@ class LlmQueriesSpec extends SparkTestBase {
     }
   }
 
-  test("simhash 8-block config finds the same hamming<=3 pairs as the 4-block default") {
-    // pigeonhole guarantee: any nBlocks >= 4 has full recall for
-    // hamming <= 3, so the confirmed pair sets must be identical
-    val p4 = run("q29_simhash").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val p8 = LlmQueries.simhashPairs(spark, sf, nBlocks = 8).collect()
+  test("simhash: every legal blocking finds the same hamming<=3 pairs (pigeonhole)") {
+    // recall is GUARANTEED for any config with blocks - blocksPerKey
+    // >= 3 and the confirm is exact, so all pair sets must be equal —
+    // including the generalized block-combination configs
+    val base = LlmQueries.simhashPairsAuto(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(p8 == p4)
+    for ((b, j) <- Seq((8, 1), (8, 2), (8, 3), (4, 1))) {
+      val p = LlmQueries.simhashPairs(spark, sf, b, j).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p == base, s"blocking ($b,$j) diverged: ${(p -- base) ++ (base -- p)}")
+    }
   }
 
-  test("ANN returns <=k ranked candidates with valid cosines") {
-    val ann = run("q31_ann_lsh").collect()
+  test("q29 checked gate: one row, doc count matches, both booleans true") {
+    val rows = run("q29_simhash").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == Tables.documents(spark, sf).count()) // all docs tokenize here
+    assert(r.getBoolean(1), "pairs_valid gate failed")
+    assert(r.getBoolean(2), "configs_agree gate failed")
+  }
+
+  test("ANN LSH returns <=k ranked candidates with valid cosines") {
+    val ann = LlmQueries.annLshTopK(spark, sf, 12, 10, 2, 42, 5).collect()
     assert(ann.length <= 5)
     val cosines = ann.map(_.getDouble(1))
     assert(cosines.sameElements(cosines.sorted.reverse))   // ranked desc
     assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
+    // any ANN hit can't beat the true best
+    val exact = LlmQueries.exactCosTopK(spark, sf, 5).collect().map(_.getDouble(1))
+    if (ann.nonEmpty && exact.nonEmpty) assert(cosines.max <= exact.max + 1e-9)
   }
 
-  test("brute-force top-k is the ANN upper bound") {
-    val exact = run("q25_cosine_topk").collect().map(_.getDouble(1))
-    val ann = run("q31_ann_lsh").collect().map(_.getDouble(1))
-    // any ANN hit can't beat the true best
-    if (ann.nonEmpty && exact.nonEmpty) assert(ann.max <= exact.max + 1e-9)
+  test("q31/q42/q53 checked gates: rows are the exact top-5 and recall_ok holds") {
+    val exact = run("q25_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for (q <- Seq("q31_ann_lsh", "q42_ann_ivf", "q53_ann_pq")) {
+      val rows = run(q).collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq == exact,
+        s"$q reference rows diverge from q25")
+      rows.foreach(r => assert(r.getBoolean(2), s"$q recall gate failed"))
+    }
   }
 
   test("IVF ANN returns <=k ranked candidates bounded by brute force") {
-    val ivf = run("q42_ann_ivf").collect()
+    val ivf = LlmQueries.annIvfTopK(spark, sf, nProbe = 6, k = 5).collect()
     assert(ivf.nonEmpty && ivf.length <= 5)
     val cosines = ivf.map(_.getDouble(1))
     assert(cosines.sameElements(cosines.sorted.reverse))
-    val exact = run("q25_cosine_topk").collect().map(_.getDouble(1))
+    val exact = LlmQueries.exactCosTopK(spark, sf, 5).collect().map(_.getDouble(1))
     assert(cosines.max <= exact.max + 1e-9)
   }
 
@@ -108,11 +145,11 @@ class LlmQueriesSpec extends SparkTestBase {
   }
 
   test("PQ ANN: ranked, bounded by brute force, and high-recall vs exact top-k") {
-    val pq = run("q53_ann_pq").collect()
+    val pq = LlmQueries.annPqTopK(spark, sf, k = 5).collect()
     assert(pq.nonEmpty && pq.length <= 5)
     val cosines = pq.map(_.getDouble(1))
     assert(cosines.sameElements(cosines.sorted.reverse))
-    val exact = run("q25_cosine_topk").collect()
+    val exact = LlmQueries.exactCosTopK(spark, sf, 5).collect()
     assert(cosines.max <= exact.map(_.getDouble(1)).max + 1e-9)
     // with a 64-candidate shortlist over ~500 vectors the exact rerank
     // should recover most of the true top-5
@@ -142,7 +179,7 @@ class LlmQueriesSpec extends SparkTestBase {
     val exactComp = graft.operators.ConnectedComponents
       .componentsAuto(exactPairs.select("va", "vb"), "va", "vb")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val sem = run("q60_semantic_dedup").collect()
+    val sem = LlmQueries.semanticDedup(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sem.nonEmpty, "within-cluster pairs should exist at this threshold")
     // every q60 edge is an exact edge (precision is exact by the cosine
@@ -210,10 +247,22 @@ class LlmQueriesSpec extends SparkTestBase {
     // pairing volume bounded: deduped output can at most reach the
     // exact pair graph, never a blowup past it
     assert(p2.size <= exact.size)
-    // cross-validation for the shipped nAssign=1 entry still holds via
-    // the refinement test above; nAssign=2 clusters remain refinements
+    // nAssign=2 (the shipped q60 gate config) clusters remain
+    // refinements and can only grow the deduped membership
     val sem2 = LlmQueries.semanticDedup(spark, sf, nAssign = 2)
-    assert(sem2.count() >= run("q60_semantic_dedup").count())
+    assert(sem2.count() >= LlmQueries.semanticDedup(spark, sf).count())
+  }
+
+  test("q60 checked gate: one row, corpus/exact-graph counts, both booleans true") {
+    val rows = run("q60_semantic_dedup").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == Tables.embeddings(spark, sf).count())
+    // n_exact_pairs matches the reference pair graph the specs build
+    val nExact = LlmQueries.exactCosPairs(spark, sf, 0.40).count()
+    assert(r.getLong(1) == nExact)
+    assert(r.getBoolean(2), "pairs_subset_ok gate failed")
+    assert(r.getBoolean(3), "recall_ok gate failed (nAssign=2 cell-blocked recall < 0.6)")
   }
 
   test("exact dedup keeps one row per distinct text") {
@@ -231,9 +280,9 @@ class LlmQueriesSpec extends SparkTestBase {
       // short-circuit the disk tier entirely. A fresh session finds an
       // empty store → trains → saves.
       val s1 = spark.newSession()
-      val ivf42 = LlmQueries.all("q42_ann_ivf")(s1, sf)
+      val ivf42 = LlmQueries.annIvfTopK(s1, sf, nProbe = 6, k = 5)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      val pq53 = LlmQueries.all("q53_ann_pq")(s1, sf)
+      val pq53 = LlmQueries.annPqTopK(s1, sf, k = 5)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val ivfDir = LlmQueries.modelStoreDir(sf, "ivf_k16_i2")
       val pqDir = LlmQueries.modelStoreDir(sf, "pq_m8_k16_i2")
@@ -244,9 +293,9 @@ class LlmQueriesSpec extends SparkTestBase {
       // it must LOAD from the store (training again would also work,
       // but the loaded model must reproduce the same output exactly)
       val s2 = spark.newSession()
-      val ivf42b = LlmQueries.all("q42_ann_ivf")(s2, sf)
+      val ivf42b = LlmQueries.annIvfTopK(s2, sf, nProbe = 6, k = 5)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      val pq53b = LlmQueries.all("q53_ann_pq")(s2, sf)
+      val pq53b = LlmQueries.annPqTopK(s2, sf, k = 5)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(ivf42b == ivf42, "q42 from the loaded IVF model diverged")
       assert(pq53b == pq53, "q53 from the loaded PQ model diverged")

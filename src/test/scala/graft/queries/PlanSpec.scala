@@ -64,7 +64,10 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q42: IVF assignment is a projection — no window, no join of any kind") {
-    val p = plan("q42_ann_ivf")
+    // the ANN pipeline itself (the checked q42 entry wraps it together
+    // with the exact reference + recall gate, which legitimately joins)
+    val df = LlmQueries.annIvfTopK(spark, sf, nProbe = 6, k = 5)
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Window"), s"q42 argmax fell back to a window:\n$p")
     assert(!p.toLowerCase.contains("join"), s"q42 plans a join:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k not a TakeOrdered:\n$p")
@@ -183,7 +186,9 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q53: PQ encode+ADC is map-only — no join, no window; top-k is TakeOrdered") {
-    val p = plan("q53_ann_pq")
+    // the ANN pipeline itself (see the q42 note above)
+    val df = LlmQueries.annPqTopK(spark, sf, k = 5)
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.toLowerCase.contains("join"), s"q53 plans a join:\n$p")
     assert(!p.contains("Window"), s"q53 plans a window:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"shortlist/top-k not TakeOrdered:\n$p")
