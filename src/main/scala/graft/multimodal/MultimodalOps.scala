@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   *
   * Image (PNG/JPEG/BMP/GIF via `javax.imageio`) and audio (WAV/AIFF
   * via `javax.sound.sampled`) decode are REAL — both codecs ship in
-  * the JDK, no external libraries. Video frame sampling remains a
-  * clearly-labeled deterministic stub (the JDK has no video codec);
-  * its Spark-side plumbing (explode cardinality, per-frame keying) is
+  * the JDK, no external libraries. Video: raw MJPEG streams AND
+  * AVI-contained MJPEG decode end-to-end (the RIFF walk is pure bytes,
+  * each frame a JDK-readable JPEG); only inter-frame codecs (H.264
+  * etc.) remain behind a clearly-labeled deterministic stub whose
+  * Spark-side plumbing (explode cardinality, per-frame keying) is
   * real and swaps to a codec without touching the shape.
   */
 object MultimodalOps {
@@ -28,13 +30,14 @@ object MultimodalOps {
 
   // ---- REAL header parsing (pure bytes, no codec) ----
 
-  /** Parse PNG IHDR / JPEG SOF0 dimensions straight from the blob —
-    * metadata extraction without decoding, the exact "read the header
-    * before deciding whether to incur I/O for the image" motivation of
-    * the reference (README.md:10). Returns null struct fields for
-    * unrecognized formats.
+  /** Parse PNG IHDR / JPEG SOF0 / AVI avih dimensions straight from
+    * the blob — metadata extraction without decoding, the exact "read
+    * the header before deciding whether to incur I/O for the image"
+    * motivation of the reference (README.md:10). Returns null struct
+    * fields for unrecognized formats.
     */
   def parseImageMeta(blob: Array[Byte]): Row = {
+    if (isAvi(blob)) return parseAviMeta(blob)
     def beInt(o: Int): Int =
       ((blob(o) & 0xFF) << 24) | ((blob(o + 1) & 0xFF) << 16) |
         ((blob(o + 2) & 0xFF) << 8) | (blob(o + 3) & 0xFF)
@@ -303,16 +306,105 @@ object MultimodalOps {
     frames.toSeq
   }
 
-  /** REAL frame sampling for MJPEG video blobs — the one video
-    * container the JDK decodes on its own (each frame is a JPEG;
-    * javax.imageio reads it). Emits one row per sampled frame (every
-    * `everyNth` stream frame, up to `maxFrames`) with the frame's JPEG
-    * bytes and its DECODED dimensions — the decode both proves the
-    * split found real frames and is where resize / feature-extract
-    * plugs in. Same scale shape as the image ops: per-partition
-    * iteration, frame explode bounded by maxFrames, no driver-side
-    * bytes. Other containers (H.264 etc.) need a native codec and stay
-    * behind the labeled sampleFramesStub.
+  // ---- AVI (RIFF) container: pure-bytes parse, public format ----
+
+  private[multimodal] def isAvi(blob: Array[Byte]): Boolean =
+    blob.length >= 12 &&
+      blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' && blob(3) == 'F' &&
+      blob(8) == 'A' && blob(9) == 'V' && blob(10) == 'I' && blob(11) == ' '
+
+  private def leInt(blob: Array[Byte], o: Int): Long =
+    (blob(o) & 0xFFL) | ((blob(o + 1) & 0xFFL) << 8) |
+      ((blob(o + 2) & 0xFFL) << 16) | ((blob(o + 3) & 0xFFL) << 24)
+
+  private def fourcc(blob: Array[Byte], o: Int): String =
+    new String(blob, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Byte ranges of the FIRST video stream's frame payloads in an AVI
+    * (RIFF) container — the pure-bytes walk of the public format:
+    * chunks are `fourcc size(le32) data` padded to even offsets; LIST
+    * chunks nest, frame data lives in the `movi` LIST (directly or
+    * inside `rec ` grouping LISTs) as `NNdc`/`NNdb` chunks where NN is
+    * the two-digit stream number. Streams other than the first video
+    * stream (audio `NNwb`, a second camera) are skipped; sizes are
+    * clamped to the blob so a truncated upload yields the complete
+    * prefix of frames instead of an index error.
+    */
+  private[multimodal] def aviVideoFrameRanges(blob: Array[Byte]): Seq[(Int, Int)] = {
+    require(isAvi(blob), "not a RIFF/AVI blob")
+    val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var videoStream = -1
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = fourcc(blob, o)
+        val size = leInt(blob, o + 4)
+        val data = o + 8
+        val dataEnd = math.min(end.toLong, data + size).toInt
+        if (id == "LIST" && data + 4 <= dataEnd) {
+          val ltype = fourcc(blob, data)
+          // only frame-bearing lists recurse; hdrl/strl/odml carry
+          // headers the range walk doesn't need
+          if (ltype == "movi" || ltype == "rec ") walk(data + 4, dataEnd)
+        } else if (id(0).isDigit && id(1).isDigit && id(2) == 'd' &&
+                   (id(3) == 'c' || id(3) == 'b')) {
+          val strm = (id(0) - '0') * 10 + (id(1) - '0')
+          if (videoStream < 0) videoStream = strm
+          if (strm == videoStream && dataEnd > data) frames += ((data, dataEnd))
+        }
+        o = data + (size + (size & 1L)).toInt   // word alignment
+      }
+    }
+    walk(12, blob.length)
+    frames.toSeq
+  }
+
+  /** AVI main-header metadata: (format "avi", width, height,
+    * n_frames, null) from the `avih` chunk inside LIST hdrl. Null
+    * fields when the header is absent/truncated.
+    */
+  private[multimodal] def parseAviMeta(blob: Array[Byte]): Row = {
+    var res: Row = Row("avi", null, null, null, null)
+    var o = 12
+    while (o + 8 <= blob.length) {
+      val id = fourcc(blob, o)
+      val size = leInt(blob, o + 4)
+      val data = o + 8
+      val dataEnd = math.min(blob.length.toLong, data + size).toInt
+      if (id == "LIST" && data + 4 <= dataEnd && fourcc(blob, data) == "hdrl") {
+        var c = data + 4
+        while (c + 8 <= dataEnd) {
+          if (fourcc(blob, c) == "avih" && c + 8 + 40 <= dataEnd) {
+            // dwTotalFrames @16, dwWidth @32, dwHeight @36 of the payload
+            res = Row("avi", leInt(blob, c + 8 + 32).toInt,
+              leInt(blob, c + 8 + 36).toInt, leInt(blob, c + 8 + 16).toInt, null)
+            c = dataEnd
+          } else {
+            val csz = leInt(blob, c + 4)
+            c = c + 8 + (csz + (csz & 1L)).toInt
+          }
+        }
+        o = blob.length
+      } else o = data + (size + (size & 1L)).toInt
+    }
+    res
+  }
+
+  /** REAL frame sampling for MJPEG video blobs — both RAW concatenated
+    * JPEG streams and AVI-contained MJPEG (`.avi` with an MJPG vids
+    * stream; the RIFF walk is aviVideoFrameRanges). Each frame is a
+    * JPEG javax.imageio reads, so the JDK decodes these two containers
+    * end-to-end with no native codec. Emits one row per sampled frame
+    * (every `everyNth` stream frame, up to `maxFrames`) with the
+    * frame's JPEG bytes and its DECODED dimensions — the decode both
+    * proves the split found real frames and is where resize /
+    * feature-extract plugs in. Same scale shape as the image ops:
+    * per-partition iteration, frame explode bounded by maxFrames, no
+    * driver-side bytes. Caveats that stay out of JDK reach: AVI-MJPG
+    * files that omit the JPEG Huffman tables (some camera firmwares)
+    * fail the decode require loudly, and inter-frame codecs (H.264
+    * etc.) need a native decoder — those remain behind the labeled
+    * sampleFramesStub.
     */
   def sampleFramesMjpeg(df: DataFrame, blobCol: String, idCol: String,
                         everyNth: Int = 2, maxFrames: Int = 8): DataFrame = {
@@ -327,7 +419,9 @@ object MultimodalOps {
       StructField("frame_data", BinaryType, nullable = false)))
     val rows = df.select(idCol, blobCol).rdd.mapPartitions(_.flatMap { r =>
       val blob = r.getAs[Array[Byte]](1)
-      mjpegFrameRanges(blob).zipWithIndex
+      val ranges = if (isAvi(blob)) aviVideoFrameRanges(blob)
+                   else mjpegFrameRanges(blob)
+      ranges.zipWithIndex
         .filter { case (_, fi) => fi % everyNth == 0 }
         .take(maxFrames)
         .map { case ((s0, e0), fi) =>

@@ -219,6 +219,85 @@ class MultimodalOpsSpec extends SparkTestBase {
     }
   }
 
+  /** Minimal-but-valid AVI container around MJPEG frames: RIFF(AVI )
+    * holding LIST hdrl(avih) + LIST movi(00dc frames, word-aligned),
+    * optionally with frames wrapped in `rec ` grouping lists and an
+    * interleaved audio (01wb) chunk — the shapes real muxers emit.
+    */
+  private def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+                       recWrap: Boolean = false, withAudio: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++ pad
+    }
+    def list(ltype: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", ltype.getBytes("US-ASCII") ++ payload)
+    // avih: 14 dwords; totalFrames @16, streams @24, width @32, height @36
+    val avih = Array(33333, 0, 0, 0, frames.length, 0, 1, 0, w, h, 0, 0, 0, 0)
+      .flatMap(le32)
+    val vid = frames.map(chunk("00dc", _))
+    val movi = (if (withAudio) Seq(chunk("01wb", Array.fill(33)(7.toByte))) else Nil) ++
+      (if (recWrap) vid.map(f => list("rec ", f)) else vid)
+    val body = list("hdrl", chunk("avih", avih)) ++ movi.flatten
+    bos.write("RIFF".getBytes("US-ASCII"))
+    bos.write(le32(4 + body.length))
+    bos.write("AVI ".getBytes("US-ASCII"))
+    bos.write(body)
+    bos.toByteArray
+  }
+
+  private def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("AVI container: RIFF walk recovers exact MJPEG frame payloads") {
+    val frames = (0 until 5).map(i => jpegFrame(8 + i, 6 + i, 0x224466 * (i + 1)))
+    for ((recWrap, withAudio) <- Seq((false, false), (true, false), (false, true), (true, true))) {
+      val avi = aviBytes(frames, 12, 10, recWrap, withAudio)
+      val ranges = MultimodalOps.aviVideoFrameRanges(avi)
+      assert(ranges.size == frames.size, s"recWrap=$recWrap audio=$withAudio")
+      ranges.zip(frames).foreach { case ((s0, e0), f) =>
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(avi, s0, e0), f))
+      }
+    }
+  }
+
+  test("AVI header metadata parses via parseImageMeta (format/width/height/frames)") {
+    val avi = aviBytes((0 until 3).map(i => jpegFrame(9, 7, i * 1000)), 9, 7)
+    assert(parseImageMeta(avi) == Row("avi", 9, 7, 3, null))
+    // truncated mid-movi: the walk yields the complete frame prefix
+    val frames = (0 until 4).map(i => jpegFrame(8, 8, i))
+    val whole = aviBytes(frames, 8, 8)
+    val lastStart = MultimodalOps.aviVideoFrameRanges(whole).last._1
+    val cut = java.util.Arrays.copyOfRange(whole, 0, lastStart + 4)
+    assert(MultimodalOps.aviVideoFrameRanges(cut).size >= 3)
+  }
+
+  test("AVI MJPEG end-to-end: sampleFramesMjpeg decodes .avi blobs") {
+    val frames = (0 until 5).map(i => jpegFrame(8 + i, 6 + i, 0x123456 * (i + 1)))
+    val avi = aviBytes(frames, 12, 10)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, avi)), 1),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("blob", BinaryType, nullable = false))))
+    val out = sampleFramesMjpeg(df, "blob", "id", everyNth = 2, maxFrames = 8)
+      .orderBy("frame_idx").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    assert(out.map(r => (r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((8, 6), (10, 8), (12, 10)))
+    assert(out(1).getAs[Array[Byte]]("frame_data").toSeq == frames(2).toSeq)
+  }
+
   test("frame sampling stub: explode cardinality and keying") {
     val frames = sampleFramesStub(mediaDf(3), "blob", "id", everyNth = 10, maxFrames = 4)
     assert(frames.schema.fieldNames.toSeq == Seq("id", "frame_idx", "frame_data"))
