@@ -64,18 +64,23 @@ object KeyedPairs {
     // hot keys are rare by definition (if a workload makes them
     // common, raise the cap or pre-drop stop-keys). That
     // broadcast-sized assumption is GUARDED, not hoped for: the hot
-    // list is collected once (largest first, bounded at
-    // maxHotKeys + 1), and a pathological corpus fails loudly with the
-    // top offenders and their bucket sizes instead of OOMing the
-    // driver mid-broadcast. The collected list then feeds both routing
-    // joins as a LocalRelation, so the size aggregation runs exactly
-    // once instead of once per broadcast. Routing is two map-side
-    // broadcast joins: no shuffle join of the full input against its
-    // sizes.
-    val hotRows = rows.groupBy(k: _*).agg(count(lit(1)).as(F)).filter(col(F) > cap)
-      .orderBy(col(F).desc).limit(maxHotKeys + 1).collect()
+    // list is collected once, UNSORTED with a bounded limit
+    // (CollectLimit — early-out, no per-partition top-k heap: the
+    // first guard shipped as orderBy(desc).limit(1M), which planned a
+    // TakeOrdered that built a million-row heap per partition and
+    // merged nPart×1M rows on the driver on EVERY build — a 5× tax on
+    // the amplified jaccard graph for a diagnostic that only matters
+    // on the failure path). A pathological corpus still fails loudly:
+    // the top offenders are fetched by a SEPARATE small query only
+    // after the guard trips. The collected list then feeds both
+    // routing joins as a LocalRelation, so the size aggregation runs
+    // exactly once instead of once per broadcast. Routing is two
+    // map-side broadcast joins: no shuffle join of the full input
+    // against its sizes.
+    val hotAgg = rows.groupBy(k: _*).agg(count(lit(1)).as(F)).filter(col(F) > cap)
+    val hotRows = hotAgg.limit(maxHotKeys + 1).collect()
     if (hotRows.length > maxHotKeys) {
-      val sample = hotRows.take(5).map { r =>
+      val sample = hotAgg.orderBy(col(F).desc).limit(5).collect().map { r =>
         val kv = keys.zipWithIndex.map { case (n, i) => s"$n=${r.get(i)}" }.mkString(", ")
         s"($kv) -> ${r.getLong(keys.length)} members"
       }.mkString("; ")
