@@ -76,8 +76,10 @@ object LshTuning {
   /** Key width tracks log2(N): 16-bit keys carry a ~65k-doc corpus at
     * ~1 doc/bucket; past that, (8,3) widens keys to 24 bits at 56
     * keys/doc, and (8,4) to 32 bits at 70 keys/doc. (8,2) is never
-    * chosen: same 16-bit keys as (4,1) but 7× the shuffle volume — it
-    * exists only as the cross-validation config in q29's gate.
+    * chosen: same 16-bit key width as (4,1) but 7× the shuffle volume,
+    * and measurably worse in practice — correlated 8-bit half-slices
+    * collide into hot combo buckets (162s vs 10s for (8,1) at sf0.1).
+    * It is exercised only in the fixture-scale equality specs.
     */
   def simhashBlocking(corpusDocs: Long): SimHashBlocking =
     if (corpusDocs <= 200000L) SimHashBlocking(4, 1)

@@ -711,13 +711,19 @@ object LlmQueries {
     //     for any config with blocks - blocksPerKey >= 3 and the
     //     confirm is exact. A blocking bug in either path breaks
     //     equality and fails the row. The agreement runs over a
-    //     deterministic ~2k-doc hash sample past 2k docs (full corpus
+    //     deterministic ~1k-doc hash sample past 2k docs (full corpus
     //     below), bounding the cross-validation cost at any scale —
     //     near-dup cliques make the pair stage quadratic in clique
     //     size, so running a second full config would roughly double
     //     the query's dominant term for a check a sample serves
     //     equally well (a systematic blocking bug is not
-    //     sample-escapable).
+    //     sample-escapable). The alt config is (8,1) against (4,1) —
+    //     NOT (8,2): measured at sf0.1, (8,2) costs 162s where (8,1)
+    //     costs 10s, because correlated 8-bit half-slices collide into
+    //     hot 16-bit combo buckets and every clique pair re-expands
+    //     once per shared combo (C(8,2)=28) before the emit-once
+    //     filter. The j>1 combination path is exercised by the spec at
+    //     fixture scale and by auto itself past 200k docs.
     // Detailed pair output remains available as simhashPairsAuto /
     // simhashPairs (specs + users).
     "q29_simhash" -> ((s, d) => {
@@ -727,9 +733,9 @@ object LlmQueries {
       val cap = LshTuning.pairCap(n)
       val autoBl = LshTuning.simhashBlocking(n)
       val altBl =
-        if (autoBl.blocks == 4) LshTuning.SimHashBlocking(8, 2)
+        if (autoBl.blocks == 4) LshTuning.SimHashBlocking(8, 1)
         else LshTuning.SimHashBlocking(4, 1)
-      val m = math.max(1L, n / 2000L)
+      val m = if (n <= 2000L) 1L else math.max(1L, n / 1000L)
       val simS = simhashes(s, d)
         .filter(pmod(xxhash64(col("doc_id")), lit(m)) === 0)
       val sa = simhashPairsFrom(simS, autoBl, cap)
