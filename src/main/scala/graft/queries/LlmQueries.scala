@@ -306,14 +306,15 @@ object LlmQueries {
     val e = spread(embeddings(s, d), col("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", l2(col("embedding")))
-    val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
-    KeyedPairs.allPairs(e, payload, cap = 256)
-      .select(col("pa.vec_id").as("a"), col("pb.vec_id").as("b"),
-        (dotd(col("pa.embedding"), col("pb.embedding")) /
-          (col("pa.nrm") * col("pb.nrm"))).as("cos"))
-      .filter(col("cos") >= thresh)
-      .select(least(col("a"), col("b")).as("va"),
-        greatest(col("a"), col("b")).as("vb"), col("cos"))
+    val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
+    // fused scoring (ThresholdDotPairs): the double loop runs inside
+    // one eval per block-pair task and only the threshold-sparse graph
+    // leaves it — the unfused form materialized cap² pair structs with
+    // two embedding copies each before the filter dropped ~all of them
+    KeyedPairs.allPairsGrouped(e, payload, cap = 256)
+      .select(explode(org.apache.spark.sql.graftfns.PairFunctions
+        .thresholdDotPairs(col("as_"), col("bs"), col("bi") === col("bj"), thresh)).as("pr"))
+      .select(col("pr.va").as("va"), col("pr.vb").as("vb"), col("pr.cos").as("cos"))
   }
 
   /** Q60 body: cluster the semantic pair graph, keep the lowest vec_id
@@ -523,30 +524,30 @@ object LlmQueries {
   def annLshTopK(s: SparkSession, d: String, tables: Int, bits: Int,
       radius: Int, seed: Long, k: Int): DataFrame = {
     require(bits <= 30 && radius >= 0 && radius <= 3)
+    val dim = 64
     val rnd = new scala.util.Random(seed)
-    val planes: Array[Array[Array[Float]]] =
-      Array.fill(tables)(Array.fill(bits)(Array.fill(64)(rnd.nextGaussian().toFloat)))
-    def sig(v: Column, t: Int): Column =
-      (0 until bits).map { j =>
-        // native codegen'd dot — same accumulation order as the
-        // driver-side signature below, so signs agree bit-for-bit
-        when(dotd(v, typedLit(planes(t)(j))) > 0, shiftleft(lit(1), j)).otherwise(lit(0))
-      }.reduce((x, y) => x.bitwiseOR(y))
+    // flat layout planes[(t*bits + j)*dim + i] — the SAME Gaussian draw
+    // sequence as the nested fill it replaced, consumed by the fused
+    // HyperplaneSigs kernel (one native loop per row computing all L
+    // buckets; the composed form built tables×bits DotProduct nodes in
+    // one Generate projection)
+    val planes: Array[Float] =
+      Array.fill(tables * bits * dim)(rnd.nextGaussian().toFloat)
     val e = spread(embeddings(s, d), col("vec_id"))
       .select(col("vec_id"), col("embedding"))
     // narrow index: (vec_id, tbl, bucket) ×L — no embedding copies
     val index = e.select(col("vec_id"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("tbl"), sig(col("embedding"), t).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+        posexplode(org.apache.spark.sql.graftfns.VectorFunctions
+          .hyperplaneSigs(col("embedding"), planes, tables, bits, dim)))
+      .toDF("vec_id", "tbl", "bucket")
     val qv = embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
     def sigOf(t: Int): Int =
       (0 until bits).foldLeft(0) { (acc, j) =>
         var dot = 0.0
         var i = 0
-        val p = planes(t)(j)
-        while (i < p.length && i < qv.length) { dot += p(i).toDouble * qv(i).toDouble; i += 1 }
+        val base = (t * bits + j) * dim
+        while (i < dim && i < qv.length) { dot += planes(base + i).toDouble * qv(i).toDouble; i += 1 }
         if (dot > 0) acc | (1 << j) else acc
       }
     // multiprobe: all bit-flip masks of weight <= radius, per table

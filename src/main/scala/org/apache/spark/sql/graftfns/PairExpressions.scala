@@ -186,6 +186,135 @@ case class TopDotPairs(left: Expression, right: Expression, diag: Expression, k:
     copy(left = newChildren(0), right = newChildren(1), diag = newChildren(2))
 }
 
+/** Per-task THRESHOLDED scored pair expansion — [[TopDotPairs]]'s
+  * sibling for building a similarity pair GRAPH instead of a top-k:
+  * emits every pair with cosine >= thresh, fused inside one eval per
+  * block-pair group. The generic path (pair structs → dot → filter)
+  * materializes cap² intermediate structs per task, each carrying two
+  * embedding copies, of which a threshold-sparse handful survive; here
+  * the double loop scores in place and the output holds exactly the
+  * surviving (va, vb, cos) rows. This is the reference-graph kernel
+  * behind q60's checked gate (exact cosine>=t pair graph) — at audit
+  * scale the only thing crossing task boundaries is the sparse graph.
+  *
+  * Same arithmetic/orientation/skip rules as [[TopDotPairs]]
+  * (lower-id side is A before the arithmetic, zero-norm and ragged
+  * vectors pair with nothing), same explicit `diag` flag, same
+  * deliberate CodegenFallback (one eval does O(cap²·dim) work).
+  * Output order within a task is loop order — consumers that need
+  * determinism sort or aggregate downstream (set semantics are
+  * order-free).
+  */
+case class ThresholdDotPairs(left: Expression, right: Expression,
+    diag: Expression, thresh: Double)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(left, right, diag)
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  private val sideType = ArrayType(StructType(Seq(
+    StructField("id", LongType), StructField("embedding", ArrayType(FloatType)),
+    StructField("nrm", DoubleType))))
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(sideType, sideType, BooleanType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("va", LongType, nullable = false),
+    StructField("vb", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "threshold_dot_pairs"
+
+  private def extract(a: ArrayData): (Array[Long], Array[Array[Float]], Array[Double]) = {
+    val n = a.numElements()
+    val ids = new Array[Long](n)
+    val embs = new Array[Array[Float]](n)
+    val nrms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = a.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      if (!row.isNullAt(1) && !row.isNullAt(2)) {
+        val e = row.getArray(1)
+        val m = e.numElements()
+        var ok = true
+        val f = new Array[Float](m)
+        var j = 0
+        while (j < m && ok) {
+          if (e.isNullAt(j)) ok = false else f(j) = e.getFloat(j)
+          j += 1
+        }
+        val nrm = row.getDouble(2)
+        if (ok && nrm > 0) { embs(i) = f; nrms(i) = nrm }
+      }
+      i += 1
+    }
+    (ids, embs, nrms)
+  }
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    val d = diag.eval(input)
+    if (l == null || d == null || (d == false && r == null))
+      return new GenericArrayData(Array.empty[Any])
+    val (aIds, aEmb, aNrm) = extract(l.asInstanceOf[ArrayData])
+    val (bIds, bEmb, bNrm) =
+      if (d.asInstanceOf[Boolean]) (Array.empty[Long], Array.empty[Array[Float]], Array.empty[Double])
+      else extract(r.asInstanceOf[ArrayData])
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    def score(xi: Long, xe: Array[Float], xn: Double,
+              yi: Long, ye: Array[Float], yn: Double): Unit = {
+      val cos = dot(xe, ye) / (xn * yn)
+      if (cos >= thresh) out += InternalRow(xi, yi, cos)
+    }
+    if (d.asInstanceOf[Boolean]) {
+      var i = 0
+      while (i < aIds.length) {
+        if (aEmb(i) != null) {
+          var j = i + 1
+          while (j < aIds.length) {
+            if (aEmb(j) != null && aEmb(i).length == aEmb(j).length && aIds(i) != aIds(j)) {
+              val (x, y) = if (aIds(i) < aIds(j)) (i, j) else (j, i)
+              score(aIds(x), aEmb(x), aNrm(x), aIds(y), aEmb(y), aNrm(y))
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < aIds.length) {
+        if (aEmb(i) != null) {
+          var j = 0
+          while (j < bIds.length) {
+            if (bEmb(j) != null && aEmb(i).length == bEmb(j).length && aIds(i) != bIds(j)) {
+              if (aIds(i) < bIds(j))
+                score(aIds(i), aEmb(i), aNrm(i), bIds(j), bEmb(j), bNrm(j))
+              else
+                score(bIds(j), bEmb(j), bNrm(j), aIds(i), aEmb(i), aNrm(i))
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1), diag = newChildren(2))
+}
+
 /** Native unordered-pair expansion over payload arrays — the fused
   * replacement for KeyedPairs' interpreted in-row expansion
   * (`flatten(transform(ps, x => transform(filter(ps, y => y > x), ...)))`
@@ -304,6 +433,14 @@ object PairFunctions {
     ExpressionUtils.column(TopDotPairs(
       ExpressionUtils.expression(as), ExpressionUtils.expression(bs),
       ExpressionUtils.expression(diag), k))
+
+  /** Column API: per-group thresholded cosine pairs — see
+    * [[ThresholdDotPairs]].
+    */
+  def thresholdDotPairs(as: Column, bs: Column, diag: Column, thresh: Double): Column =
+    ExpressionUtils.column(ThresholdDotPairs(
+      ExpressionUtils.expression(as), ExpressionUtils.expression(bs),
+      ExpressionUtils.expression(diag), thresh))
 
   /** Column API: native bucket pair expansion — see [[PairExpand]]. */
   def pairExpand(as: Column, bs: Column, diag: Column): Column =

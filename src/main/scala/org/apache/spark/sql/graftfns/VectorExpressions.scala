@@ -1,11 +1,11 @@
 package org.apache.spark.sql.graftfns
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native codegen'd dot product over float-array columns.
   *
@@ -92,6 +92,98 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All L random-hyperplane sign signatures of a float vector in ONE
+  * kernel: returns `array<int>` of length `tables`, where element t is
+  * the `bits`-bit bucket of table t (bit j set iff
+  * dot(vec, plane[t][j]) > 0). The composed form this replaces built
+  * tables×bits separate [[DotProduct]] nodes inside one Generate
+  * projection — a 120-node expression tree (12×10 at q31's scheme)
+  * whose generated code re-read the input array per plane; here the
+  * planes live in ONE flat reference array
+  * (`planes[(t*bits + j)*dim + i]`) and the input is walked with plain
+  * index loops. Arithmetic matches the driver-side probe signature
+  * bit-for-bit: left-to-right double accumulation over
+  * min(dim, |vec|), strict `> 0` sign. Null elements contribute
+  * nothing (embeddings carry containsNull=false; the guard is for
+  * schema generality). NULL input → NULL.
+  */
+case class HyperplaneSigs(child: Expression, planes: Array[Float],
+    tables: Int, bits: Int, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(tables >= 1 && bits >= 1 && bits <= 30 && dim >= 1,
+    s"bad scheme: tables=$tables bits=$bits dim=$dim")
+  require(planes.length == tables * bits * dim,
+    s"planes length ${planes.length} != tables*bits*dim ${tables * bits * dim}")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hyperplane_sigs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0
+      var j = 0
+      while (j < bits) {
+        val base = (t * bits + j) * dim
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          if (!v.isNullAt(i)) acc += planes(base + i).toDouble * v.getFloat(i).toDouble
+          i += 1
+        }
+        if (acc > 0) sig |= (1 << j)
+        j += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.addReferenceObj("planes", planes, "float[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val sig = ctx.freshName("sig")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      val elemNullCheck =
+        if (child.dataType.asInstanceOf[ArrayType].containsNull)
+          s"if ($v.isNullAt($i)) continue;"
+        else ""
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |int[] $out = new int[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $sig = 0;
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    int $base = ($t * $bits + $j) * $dim;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $elemNullCheck
+         |      $acc += (double) $p[$base + $i] * (double) $v.getFloat($i);
+         |    }
+         |    if ($acc > 0) $sig |= (1 << $j);
+         |  }
+         |  $out[$t] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Register the native functions for SQL use on a live session
     * (tests, driver-created sessions). For builder-time wiring use
@@ -145,6 +237,12 @@ object VectorFunctions {
   /** Column API for the native dot product (float arrays, double out). */
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API for the fused multi-table hyperplane signatures. */
+  def hyperplaneSigs(v: Column, planes: Array[Float],
+      tables: Int, bits: Int, dim: Int): Column =
+    ExpressionUtils.column(
+      HyperplaneSigs(ExpressionUtils.expression(v), planes, tables, bits, dim))
 
   /** L2 norm via the native dot. */
   def norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))

@@ -96,6 +96,54 @@ class PairExprSpec extends SparkTestBase {
     assert(row.getSeq[Any](2).isEmpty, "PairExpand cross with empty bs must emit nothing")
   }
 
+  test("ThresholdDotPairs equals the unfused pair+filter form as a set, any blocking") {
+    for (seed <- 1 to 3; cap <- Seq(8, 64)) {
+      val vecs = randVecs(seed, 120, 16)
+      val thresh = 0.25
+      val e = vecs.toDF("vec_id", "embedding")
+        .withColumn("nrm", LlmQueries.l2(col("embedding")))
+      val fused = {
+        val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
+        graft.operators.KeyedPairs.allPairsGrouped(e, payload, cap)
+          .select(explode(PairFunctions.thresholdDotPairs(
+            col("as_"), col("bs"), col("bi") === col("bj"), thresh)).as("pr"))
+          .select(col("pr.va"), col("pr.vb"), col("pr.cos"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      }
+      val unfused = {
+        val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
+        graft.operators.KeyedPairs.allPairs(e, payload, cap)
+          .select(col("pa.vec_id").as("va"), col("pb.vec_id").as("vb"),
+            (LlmQueries.dotd(col("pa.embedding"), col("pb.embedding")) /
+              (col("pa.nrm") * col("pb.nrm"))).as("cos"))
+          .filter(col("cos") >= thresh)
+          .collect().map(r =>
+            (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)),
+              r.getDouble(2))).toSet
+      }
+      assert(fused == unfused, s"seed=$seed cap=$cap")
+      assert(fused.forall(_._3 >= thresh))
+      // orientation: fused emits va < vb directly
+      assert(fused.forall(t => t._1 < t._2))
+    }
+  }
+
+  test("ThresholdDotPairs skips ragged and zero-norm vectors like TopDotPairs") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)),
+      (2L, Seq(1f, 0f, 0f)),   // ragged
+      (3L, Seq(0f, 0f)))       // zero norm
+    val e = vecs.toDF("vec_id", "embedding")
+      .withColumn("nrm", LlmQueries.l2(col("embedding")))
+    val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
+    val got = graft.operators.KeyedPairs.allPairsGrouped(e, payload, cap = 8)
+      .select(explode(PairFunctions.thresholdDotPairs(
+        col("as_"), col("bs"), col("bi") === col("bj"), 0.5)).as("pr"))
+      .select(col("pr.va"), col("pr.vb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 1L)))
+  }
+
   test("PairExpand matches the interpreted expansion, incl. duplicates and ties") {
     // the pre-PairExpand interpreted forms, kept as the test oracle
     val rng = new scala.util.Random(53)

@@ -35,6 +35,46 @@ class VectorExprSpec extends SparkTestBase {
     assert(out(0).isNullAt(0) && out(1).getDouble(0) == 2.0)
   }
 
+  test("HyperplaneSigs matches the composed per-plane dot derivation bit-for-bit") {
+    val tables = 5; val bits = 7; val dim = 16
+    val rng = new scala.util.Random(11)
+    val planes = Array.fill(tables * bits * dim)(rng.nextGaussian().toFloat)
+    val vrng = new scala.util.Random(12)
+    val vecs = Seq.fill(40)(Seq.fill(dim)(vrng.nextFloat() * 2 - 1))
+    val schema = StructType(Seq(
+      StructField("v", ArrayType(FloatType, containsNull = false), nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.map(Row(_)) :+ Row(null)), schema)
+    // composed oracle: one when(dot > 0, 1<<j) chain per (t, j)
+    def planeLit(t: Int, j: Int) =
+      typedLit((0 until dim).map(i => planes((t * bits + j) * dim + i)).toArray)
+    def sig(t: Int) = (0 until bits).map { j =>
+      when(VectorFunctions.dot(col("v"), planeLit(t, j)) > 0,
+        shiftleft(lit(1), j)).otherwise(lit(0))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    val rows = df.select(
+      VectorFunctions.hyperplaneSigs(col("v"), planes, tables, bits, dim).as("fused"),
+      array((0 until tables).map(sig): _*).as("composed")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(0))   // null vec -> null sigs
+      else assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+    }
+    assert(rows.count(_.isNullAt(0)) == 1)
+    // short vectors use the min(dim, |v|) prefix — same as the driver probe
+    val short = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq(1.0f, -2.0f)))), schema)
+    val fused = short.select(
+      VectorFunctions.hyperplaneSigs(col("v"), planes, tables, bits, dim)).head().getSeq[Int](0)
+    val manual = (0 until tables).map { t =>
+      (0 until bits).foldLeft(0) { (acc, j) =>
+        val base = (t * bits + j) * dim
+        val dot = planes(base).toDouble * 1.0f + planes(base + 1).toDouble * -2.0f
+        if (dot > 0) acc | (1 << j) else acc
+      }
+    }
+    assert(fused == manual)
+  }
+
   test("dot_product and word_shingles registered for SQL") {
     org.apache.spark.sql.graftfns.VectorFunctions.register(spark)
     vecDf.createOrReplaceTempView("vecs")
