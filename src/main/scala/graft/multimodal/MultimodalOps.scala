@@ -338,7 +338,7 @@ object MultimodalOps {
       var o = start
       while (o + 8 <= end) {
         val id = fourcc(blob, o)
-        val size = leInt(blob, o + 4)
+        val size = leInt(blob, o + 4)            // unsigned le32 as Long
         val data = o + 8
         val dataEnd = math.min(end.toLong, data + size).toInt
         if (id == "LIST" && data + 4 <= dataEnd) {
@@ -352,7 +352,12 @@ object MultimodalOps {
           if (videoStream < 0) videoStream = strm
           if (strm == videoStream && dataEnd > data) frames += ((data, dataEnd))
         }
-        o = data + (size + (size & 1L)).toInt   // word alignment
+        // advance in LONG space, clamped: a corrupt size near 2^32
+        // would wrap an Int advance backwards (or to zero progress) and
+        // loop this walk forever — clamping to `end` terminates the
+        // walk with the frames found so far, matching the documented
+        // truncation tolerance
+        o = math.min(end.toLong, data + size + (size & 1L)).toInt
       }
     }
     walk(12, blob.length)
@@ -381,11 +386,12 @@ object MultimodalOps {
             c = dataEnd
           } else {
             val csz = leInt(blob, c + 4)
-            c = c + 8 + (csz + (csz & 1L)).toInt
+            // clamped Long advance — see aviVideoFrameRanges
+            c = math.min(dataEnd.toLong, c + 8 + csz + (csz & 1L)).toInt
           }
         }
         o = blob.length
-      } else o = data + (size + (size & 1L)).toInt
+      } else o = math.min(blob.length.toLong, data + size + (size & 1L)).toInt
     }
     res
   }

@@ -108,12 +108,16 @@ object IvfIndex {
     * JVM retrains from scratch (the round-5 gap).
     */
   def save(spark: org.apache.spark.sql.SparkSession, dir: String,
-           cents: Seq[Centroid]): Unit = {
+           cents: Seq[Centroid], extra: Map[String, String] = Map.empty): Unit = {
     require(cents.nonEmpty, "cannot save an empty centroid set")
     import spark.implicits._
+    // un-commit FIRST: a re-save or lost concurrent-save race must
+    // never leave a committed manifest over a missing/half-rewritten
+    // payload (the overwrite below deletes the old parquet)
+    ModelIO.deleteManifest(spark, dir)
     cents.map(c => (c.id, c.vec)).toDF("id", "vec")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    ModelIO.writeManifest(dir, Map(
+    ModelIO.writeManifest(spark, dir, extra ++ Map(
       "type" -> "ivf", "k" -> cents.size.toString,
       "dim" -> cents.head.vec.length.toString))
   }
@@ -123,7 +127,7 @@ object IvfIndex {
     */
   def loadIfExists(spark: org.apache.spark.sql.SparkSession,
                    dir: String): Option[Seq[Centroid]] =
-    ModelIO.readManifest(dir).map { mf =>
+    ModelIO.readManifest(spark, dir).map { mf =>
       require(mf.get("type").contains("ivf"), s"$dir holds a ${mf.get("type")} model, not ivf")
       val (k, dim) = (mf("k").toInt, mf("dim").toInt)
       val cents = spark.read.parquet(s"$dir/centroids.parquet")

@@ -106,14 +106,16 @@ object PqIndex {
     * lifecycle as [[IvfIndex.save]].
     */
   def save(spark: org.apache.spark.sql.SparkSession, dir: String,
-           model: Model): Unit = {
+           model: Model, extra: Map[String, String] = Map.empty): Unit = {
     require(model.books.nonEmpty && model.books.forall(_.words.nonEmpty),
       "cannot save an empty PQ model")
     import spark.implicits._
+    // un-commit FIRST — see IvfIndex.save
+    ModelIO.deleteManifest(spark, dir)
     model.books.flatMap(b => b.words.zipWithIndex.map { case (w, j) => (b.sub, j, w) })
       .toDF("sub", "word", "vec")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
-    ModelIO.writeManifest(dir, Map(
+    ModelIO.writeManifest(spark, dir, extra ++ Map(
       "type" -> "pq", "m" -> model.m.toString,
       "subDim" -> model.subDim.toString,
       "k" -> model.books.head.words.length.toString))
@@ -124,7 +126,7 @@ object PqIndex {
     */
   def loadIfExists(spark: org.apache.spark.sql.SparkSession,
                    dir: String): Option[Model] =
-    ModelIO.readManifest(dir).map { mf =>
+    ModelIO.readManifest(spark, dir).map { mf =>
       require(mf.get("type").contains("pq"), s"$dir holds a ${mf.get("type")} model, not pq")
       val (m, subDim, k) = (mf("m").toInt, mf("subDim").toInt, mf("k").toInt)
       val rows = spark.read.parquet(s"$dir/codebooks.parquet")

@@ -115,6 +115,7 @@ object LlmQueries {
     simhashCache.values.forEach(df => { df.unpersist(); () })
     simhashCache.clear()
     modelCache.clear()
+    corpusFpCache.clear()
   }
 
   /** Force-build every shared derivation (tokenized corpus, shingle
@@ -197,24 +198,50 @@ object LlmQueries {
       .map("%02x".format(_)).mkString
     s"$root/$key/$scheme"
   }
+  /** Cheap corpus identity for the disk-tier staleness check: row
+    * count + order-free xxhash64 checksum of (vec_id, embedding), one
+    * map-side aggregate (bit_xor merges associatively — no sort, no
+    * shuffle of the vectors). Guards the path-keyed model store
+    * against a corpus REGENERATED at the same path: without it a new
+    * JVM would load centroids trained on the old data and the checked
+    * recall gates would fail on the wrong model. Memoized per
+    * (session, dir); the one pass is noise next to training, and
+    * cross-session loads pay it once.
+    */
+  private val corpusFpCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private[graft] def embeddingsFingerprint(s: SparkSession, d: String): String = {
+    corpusFpCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    corpusFpCache.computeIfAbsent((s, d), _ => {
+      val r = embeddings(s, d)
+        .agg(count(lit(1)), bit_xor(xxhash64(col("vec_id"), col("embedding")))).head()
+      s"${r.getLong(0)}x${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    })
+  }
   private def cachedModel[T <: AnyRef](s: SparkSession, d: String, scheme: String)(
       train: => T,
-      save: (SparkSession, String, T) => Unit,
+      save: (SparkSession, String, T, Map[String, String]) => Unit,
       load: (SparkSession, String) => Option[T]): T = {
     modelCache.keySet.removeIf(_._1.sparkContext.isStopped)
     modelCache.computeIfAbsent((s, d, scheme), _ => {
       val store = modelStoreDir(d, scheme)
-      load(s, store).getOrElse { val m = train; save(s, store, m); m }
+      val fp = embeddingsFingerprint(s, d)
+      val committed = graft.operators.ModelIO.readManifest(s, store)
+        .exists(_.get("fp").contains(fp))
+      (if (committed) load(s, store) else None)
+        .getOrElse { val m = train; save(s, store, m, Map("fp" -> fp)); m }
     }).asInstanceOf[T]
   }
   private def cachedIvf(s: SparkSession, d: String, scheme: String)(
       train: => Seq[graft.operators.IvfIndex.Centroid]): Seq[graft.operators.IvfIndex.Centroid] =
     cachedModel(s, d, scheme)(train,
-      graft.operators.IvfIndex.save, graft.operators.IvfIndex.loadIfExists)
+      (sp, dir, m, ex) => graft.operators.IvfIndex.save(sp, dir, m, ex),
+      graft.operators.IvfIndex.loadIfExists)
   private def cachedPq(s: SparkSession, d: String, scheme: String)(
       train: => graft.operators.PqIndex.Model): graft.operators.PqIndex.Model =
     cachedModel(s, d, scheme)(train,
-      graft.operators.PqIndex.save, graft.operators.PqIndex.loadIfExists)
+      (sp, dir, m, ex) => graft.operators.PqIndex.save(sp, dir, m, ex),
+      graft.operators.PqIndex.loadIfExists)
   private def shingleSets(s: SparkSession, d: String): DataFrame = {
     // entries for stopped sessions are dead weight (their persisted
     // blocks are gone with the context) — sweep them so a long-lived
@@ -1174,7 +1201,11 @@ object LlmQueries {
       val recall = sem.join(exact, Seq("va", "vb"), "left_semi")
         .agg(count(lit(1)).as("n_found"))
         .crossJoin(broadcast(nExact.select(col("n_exact_pairs").as("ne"))))
-        .select((col("n_found").cast("double") / col("ne") >= 0.60).as("recall_ok"))
+        // empty exact graph -> vacuously ok (nothing to miss); without
+        // the guard 0/0 is NULL and the gate row would fail the hash
+        // compare on exactly the corpus with nothing to find
+        .select((col("ne") === 0 ||
+          col("n_found").cast("double") / col("ne") >= 0.60).as("recall_ok"))
       nVecs.crossJoin(broadcast(nExact)).crossJoin(broadcast(subset))
         .crossJoin(broadcast(recall))
     }),
@@ -1504,23 +1535,31 @@ object LlmQueries {
       |FROM ov WHERE CAST(overlap AS DOUBLE) / n >= 0.10
       |ORDER BY doc_id""".stripMargin
 
+  /** The exact top-5 cosine reference (q25's arithmetic) with optional
+    * extra projected columns — the single definition backing the q25
+    * oracle AND the three checked-ANN oracles (q31/q42/q53), which are
+    * this reference plus a literal TRUE gate column. One copy means the
+    * reference arithmetic cannot silently diverge between them.
+    */
+  private def exactTop5Sql(extraCols: String): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |c AS (
+       |  SELECT vec_id,
+       |         list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
+       |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a,b) -> a+b)
+       |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+       |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
+       |          * sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+       |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))) AS cos
+       |  FROM embeddings, q WHERE vec_id <> 0)
+       |SELECT vec_id, FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine$extraCols
+       |FROM c ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q24_exact_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
-    "q25_cosine_topk" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |c AS (
-        |  SELECT vec_id,
-        |         list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
-        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a,b) -> a+b)
-        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
-        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
-        |          * sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
-        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))) AS cos
-        |  FROM embeddings, q WHERE vec_id <> 0)
-        |SELECT vec_id, FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
-        |FROM c ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
+    "q25_cosine_topk" -> exactTop5Sql(""),
     "q26_token_topk" ->
       """SELECT tok AS token, COUNT(*) AS cnt FROM (
         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
@@ -1799,48 +1838,9 @@ object LlmQueries {
         |FROM documents
         |WHERE text IS NOT NULL
         |  AND len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) > 0""".stripMargin,
-    "q31_ann_lsh" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |c AS (
-        |  SELECT vec_id,
-        |         list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
-        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a,b) -> a+b)
-        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
-        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
-        |          * sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
-        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))) AS cos
-        |  FROM embeddings, q WHERE vec_id <> 0)
-        |SELECT vec_id, FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine,
-        |       TRUE AS recall_ok
-        |FROM c ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
-    "q42_ann_ivf" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |c AS (
-        |  SELECT vec_id,
-        |         list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
-        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a,b) -> a+b)
-        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
-        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
-        |          * sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
-        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))) AS cos
-        |  FROM embeddings, q WHERE vec_id <> 0)
-        |SELECT vec_id, FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine,
-        |       TRUE AS recall_ok
-        |FROM c ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
-    "q53_ann_pq" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |c AS (
-        |  SELECT vec_id,
-        |         list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, qv),
-        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a,b) -> a+b)
-        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
-        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))
-        |          * sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
-        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))) AS cos
-        |  FROM embeddings, q WHERE vec_id <> 0)
-        |SELECT vec_id, FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine,
-        |       TRUE AS recall_ok
-        |FROM c ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
+    "q31_ann_lsh" -> exactTop5Sql(", TRUE AS recall_ok"),
+    "q42_ann_ivf" -> exactTop5Sql(", TRUE AS recall_ok"),
+    "q53_ann_pq" -> exactTop5Sql(", TRUE AS recall_ok"),
     "q60_semantic_dedup" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -48,15 +48,23 @@ object Tables {
     * (batch or file-stream) without session state. Public because the
     * streaming path needs the same schema for readStream.schema(...).
     */
-  def eventsRawSchema(s: SparkSession, d: String): org.apache.spark.sql.types.StructType = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = s.conf.getOption(key)
-    try { s.conf.set(key, "true"); t(s, d, "events").schema }
-    finally prior match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
+  def eventsRawSchema(s: SparkSession, d: String): org.apache.spark.sql.types.StructType =
+    // synchronized: the set/infer/restore window is not safe under
+    // concurrent SAME-SESSION callers — thread B could hit the footer
+    // read with the flag restored out from under it, or capture A's
+    // raised value as its "prior" and re-leak it. Session confs are
+    // per-session state, so cross-session callers never contend here;
+    // the JVM-wide lock is coarser than needed but this runs once per
+    // (session, dir) in practice (the schema feeds cached frames).
+    synchronized {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = s.conf.getOption(key)
+      try { s.conf.set(key, "true"); t(s, d, "events").schema }
+      finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     }
-  }
 
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -60,16 +60,20 @@ object BloomScreen {
     // lifetime. (The caps are captured when THIS aggregate is analyzed,
     // inside the raised window — the finished filter is unaffected by
     // the restore.)
-    val conf = df.sparkSession.conf
-    val caps = Seq(
-      ("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L, numBits),
-      ("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L, expectedItems))
-    val prior = caps.map { case (k, default, needed) =>
-      val before = conf.getOption(k)
-      if (needed > before.map(_.toLong).getOrElse(default)) conf.set(k, needed.toString)
-      k -> before
-    }
-    val row =
+    // synchronized: the raise/build/restore window is not safe under
+    // concurrent same-session builders (one could restore the caps out
+    // from under another's analysis, or capture a raised value as its
+    // "prior") — same shape as Tables.eventsRawSchema's guard
+    val row = BloomScreen.synchronized {
+      val conf = df.sparkSession.conf
+      val caps = Seq(
+        ("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L, numBits),
+        ("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L, expectedItems))
+      val prior = caps.map { case (k, default, needed) =>
+        val before = conf.getOption(k)
+        if (needed > before.map(_.toLong).getOrElse(default)) conf.set(k, needed.toString)
+        k -> before
+      }
       try {
         val agg = new BloomFilterAggregate(
           new XxHash64(Seq(ExpressionUtils.expression(key))),
@@ -79,6 +83,7 @@ object BloomScreen {
         case (k, Some(v)) => conf.set(k, v)
         case (k, None)    => conf.unset(k)
       }
+    }
     // null only when df is empty: return an empty filter of the right
     // size so mightContain is all-false (the semantically right answer)
     if (row.isNullAt(0)) {

@@ -283,6 +283,25 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(MultimodalOps.aviVideoFrameRanges(cut).size >= 3)
   }
 
+  test("AVI walk terminates on corrupt chunk sizes (no wrap-around loop)") {
+    // a chunk size near 2^32 once wrapped the Int advance backwards and
+    // looped the walk forever while appending ranges; the clamped Long
+    // advance must terminate with the in-bounds prefix instead
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    for (bad <- Seq(0xFFFFFFF8L, 0xFFFFFFE4L, 0x7FFFFFFFL)) {
+      val blob = "RIFF".getBytes ++ le32(0x1000) ++ "AVI ".getBytes ++
+        "00dc".getBytes ++ le32(bad) ++ Array.fill(16)(1.toByte)
+      val ranges = MultimodalOps.aviVideoFrameRanges(blob)   // must return
+      assert(ranges.size <= 1)
+      ranges.foreach { case (s0, e0) =>
+        assert(s0 >= 0 && e0 <= blob.length && s0 < e0)
+      }
+      assert(parseImageMeta(blob).getString(0) == "avi")     // must return too
+    }
+  }
+
   test("AVI MJPEG end-to-end: sampleFramesMjpeg decodes .avi blobs") {
     val frames = (0 until 5).map(i => jpegFrame(8 + i, 6 + i, 0x123456 * (i + 1)))
     val avi = aviBytes(frames, 12, 10)

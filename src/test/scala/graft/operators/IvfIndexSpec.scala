@@ -114,7 +114,7 @@ class IvfIndexSpec extends SparkTestBase {
     assert(IvfIndex.loadIfExists(spark, crash).isEmpty,
       "payload without the manifest commit marker must read as absent")
     // a dir holding another model type fails loudly
-    graft.operators.ModelIO.writeManifest(crash, Map("type" -> "pq"))
+    graft.operators.ModelIO.writeManifest(spark, crash, Map("type" -> "pq"))
     intercept[IllegalArgumentException] { IvfIndex.load(spark, crash) }
   }
 }

@@ -287,8 +287,12 @@ class LlmQueriesSpec extends SparkTestBase {
       val ivfDir = LlmQueries.modelStoreDir(sf, "ivf_k16_i2")
       val pqDir = LlmQueries.modelStoreDir(sf, "pq_m8_k16_i2")
       assert(ivfDir.startsWith(store) && pqDir.startsWith(store))
-      assert(graft.operators.ModelIO.readManifest(ivfDir).exists(_("type") == "ivf"))
-      assert(graft.operators.ModelIO.readManifest(pqDir).exists(_("type") == "pq"))
+      val ivfMf = graft.operators.ModelIO.readManifest(s1, ivfDir)
+      assert(ivfMf.exists(_("type") == "ivf"))
+      assert(graft.operators.ModelIO.readManifest(s1, pqDir).exists(_("type") == "pq"))
+      // the manifest carries the corpus fingerprint the cache checks
+      assert(ivfMf.exists(_.get("fp").contains(
+        LlmQueries.embeddingsFingerprint(s1, sf))))
       // a FRESH session has no in-memory model cache entry for itself —
       // it must LOAD from the store (training again would also work,
       // but the loaded model must reproduce the same output exactly)
@@ -299,6 +303,20 @@ class LlmQueriesSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(ivf42b == ivf42, "q42 from the loaded IVF model diverged")
       assert(pq53b == pq53, "q53 from the loaded PQ model diverged")
+      // stale store: a manifest whose fingerprint doesn't match the
+      // corpus (the regenerated-data-at-same-path scenario) must NOT be
+      // served — a fresh session retrains and re-commits with the
+      // current fingerprint, and deterministic training reproduces the
+      // same outputs
+      val mf = graft.operators.ModelIO.readManifest(s2, ivfDir).get
+      graft.operators.ModelIO.writeManifest(s2, ivfDir, mf + ("fp" -> "stale"))
+      val s3 = spark.newSession()
+      val ivf42c = LlmQueries.annIvfTopK(s3, sf, nProbe = 6, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(ivf42c == ivf42, "retrain after stale fingerprint diverged")
+      assert(graft.operators.ModelIO.readManifest(s3, ivfDir)
+        .exists(_.get("fp").contains(LlmQueries.embeddingsFingerprint(s3, sf))),
+        "stale store was not re-committed with the current fingerprint")
     } finally {
       prior match {
         case Some(v) => sys.props.put("graft.model.dir", v)
