@@ -27,7 +27,7 @@ object AmplifiedBench {
   def amplify(spark: SparkSession, srcDir: String, outDir: String,
               docsX: Int, embX: Int): Unit = {
     val src = new org.apache.hadoop.fs.Path(srcDir)
-    val fs = src.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = src.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     val tables = fs.listStatus(src).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
     def replicate(name: String, idCol: String, x: Int): Unit = {
@@ -60,7 +60,7 @@ object AmplifiedBench {
   /** Does `d` hold a COMPLETE amplification with exactly these factors? */
   def builtWith(d: String, docsX: Int, embX: Int): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$d/_amplified.json")
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     fs.exists(p) && {
       val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()

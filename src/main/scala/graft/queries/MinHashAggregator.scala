@@ -42,9 +42,16 @@ object MinHashUnion extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 
-  /** Jaccard estimate from two signatures: fraction of agreeing slots. */
-  def estimate(a: Seq[Long], b: Seq[Long]): Double =
-    a.zip(b).count { case (x, y) => x == y }.toDouble / NumHashes
+  /** Jaccard estimate from two signatures: fraction of agreeing slots.
+    * Divides by the COMPARED length, not the aggregator's fixed
+    * NumHashes — signatures from a wider LshTuning scheme (32/48
+    * hashes) estimate correctly too.
+    */
+  def estimate(a: Seq[Long], b: Seq[Long]): Double = {
+    val n = math.min(a.length, b.length)
+    if (n == 0) 0.0
+    else a.zip(b).count { case (x, y) => x == y }.toDouble / n
+  }
 }
 
 /** THE MinHash-LSH column builders — single definition of the

@@ -306,7 +306,7 @@ class RosbagScan(path: String, required: StructType, filters: Array[Filter], lim
     val p = new Path(path)
     val isSingleFile = !path.contains('\n') &&
       !path.exists(c => "*?[]{}".indexOf(c.toInt) >= 0) && {
-      try p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      try p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
         .getFileStatus(p).isFile
       catch { case _: java.io.FileNotFoundException => false }
     }
@@ -440,10 +440,24 @@ class RosbagPartitionReader(p: RosbagInputPartition, required: StructType,
 
 /** Hadoop-FS-backed IO so bags on hdfs:///s3:// work like file://. */
 object RosbagIO {
+  /** The session's Hadoop configuration when a session exists (driver-
+    * side planning/listing — this is where `spark.hadoop.*` object-
+    * store credentials must reach), falling back to the default
+    * Configuration (executor-side partition readers, where cluster
+    * deployments inject credentials via core-site.xml — the standard
+    * non-session channel). getDefaultSession covers driver background
+    * threads (the parallel index-scan pool) where the thread-local
+    * active session is unset.
+    */
+  private[graft] def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   private def fs(path: String) = {
     val p = new Path(path)
-    val conf = new org.apache.hadoop.conf.Configuration()
-    (p.getFileSystem(conf), p)
+    (p.getFileSystem(hadoopConf()), p)
   }
 
   /** Expand `path` into the ordered bag files it denotes: a glob

@@ -35,7 +35,7 @@ object BagEtl {
     */
   def versionedOutputDir(base: String): String = {
     val p = new org.apache.hadoop.fs.Path(base)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     if (!fs.exists(p)) base
     else Iterator.from(1).map(i => s"$base.$i")
       .find(c => !fs.exists(new org.apache.hadoop.fs.Path(c))).get
@@ -118,7 +118,7 @@ object BagEtl {
           blobSideTable: Boolean = false, blobThreshold: Int = 1 << 20,
           stagedByType: Boolean = false, nativeTimestamp: Boolean = false): Info = {
     val messagesPath = new org.apache.hadoop.fs.Path(s"$outDir/Messages.parquet")
-    val fs = messagesPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = messagesPath.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     val dirName = new java.io.File(bagPath).getName
     if (!fs.exists(messagesPath)) {
       // bootstrap WITHOUT run()'s versioned-dir redirect: a pre-created
@@ -169,7 +169,7 @@ object BagEtl {
     new org.apache.hadoop.fs.Path(s"$out/_tables.json")
   private[etl] def readManifest(out: String): Map[(String, String), String] = {
     val p = manifestFsPath(out)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     if (!fs.exists(p)) Map.empty
     else {
       val in = fs.open(p)
@@ -180,7 +180,7 @@ object BagEtl {
   }
   private def writeManifest(out: String, m: Map[(String, String), String]): Unit = {
     val p = manifestFsPath(out)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     val body = m.toSeq.sortBy(t => (t._1._1, t._1._2))
       .map { case ((dt, md5), n) => s""""$dt|$md5":"$n"""" }
       .mkString("{", ",", "}")
@@ -456,11 +456,11 @@ object BagEtl {
       // drop the temp staging dirs even on failure (file:// and remote)
       Seq(seqnoDir, stageDir).foreach { d =>
         val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+        p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()).delete(p, true)
       }
     }
     val ddlPath = new org.apache.hadoop.fs.Path(s"$out/vertica_load_tables.sql")
-    val ddlFs = ddlPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val ddlFs = ddlPath.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     val priorDdl =
       if (append && ddlFs.exists(ddlPath)) {
         val in = ddlFs.open(ddlPath)
@@ -488,7 +488,7 @@ object BagEtl {
 
   private def tableExists(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p)
+    p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()).exists(p)
   }
 
   /** Per-table result of [[compact]]. `rewritten = false` means the
@@ -537,7 +537,7 @@ object BagEtl {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     import org.apache.hadoop.fs.Path
     val root = new Path(outDir)
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     require(fs.exists(root), s"no such ETL output dir: $outDir")
     val tmpRoot = new Path(root, ".compact_tmp")
     val trashRoot = new Path(root, ".compact_trash")

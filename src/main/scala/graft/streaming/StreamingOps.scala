@@ -87,9 +87,15 @@ object StreamingOps {
   /** Streaming MinHash near-dup: every arriving document is checked
     * against the HISTORY of its LSH band buckets — "have we already
     * ingested something like this?", the incremental form of Q28's
-    * batch dedup, with the exact same signature scheme (3-shingles,
-    * 16 minhashes, 8 bands of 2; graft.queries.LlmQueries) so batch
-    * and stream agree on what a candidate is.
+    * batch dedup. The `scheme` parameter is the SAME MinHashScheme
+    * family the batch side derives from LshTuning.minhashScheme —
+    * a deployment must pin ONE scheme across its batch backfill and
+    * its stream (candidates only exist under a shared banding), so
+    * the scheme is explicit here rather than corpus-derived: a stream
+    * has no fixed corpus size to derive from, and silently re-deriving
+    * per restart would orphan the accumulated bucket state. Default =
+    * the small-corpus scheme (16 hashes, 8 bands × 2), which is what
+    * the batch side picks below 100k docs.
     *
     * Scale shape: the signature derivation is map-only (no shuffle);
     * the only shuffle keys by (band, bucket); per-bucket state is a
@@ -105,7 +111,9 @@ object StreamingOps {
     * idle buckets entirely.
     */
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        maxPerBucket: Int = 64): Dataset[DupCandidate] = {
+                        maxPerBucket: Int = 64,
+                        scheme: graft.operators.LshTuning.MinHashScheme =
+                          graft.operators.LshTuning.MinHashScheme(16, 8, 2)): Dataset[DupCandidate] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.types._
     // fail fast: a silent cast("long") would null out string/UUID ids
@@ -115,16 +123,17 @@ object StreamingOps {
       s"idCol '$idCol' must be an integral type, got $idType " +
         "(hash non-numeric ids to long upstream)")
     // signature + band derivation shared with batch q28 (MinHashLsh is
-    // the single definition of the scheme — stream and batch agree on
-    // what a candidate is by construction)
+    // the single definition of the banding; the scheme pins its shape)
     val sigs = docs
       .select(col(idCol).cast("long").as("docId"),
         graft.queries.LlmQueries.shingles(
           graft.queries.Tables.tokens(col(textCol)), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("docId"), graft.queries.MinHashLsh.signature(col("sh")).as("sig"))
+      .select(col("docId"),
+        graft.queries.MinHashLsh.signature(col("sh"), scheme.numHashes).as("sig"))
     sigs.select(col("docId"), col("sig"),
-        explode(graft.queries.MinHashLsh.bandBuckets(col("sig"))).as("bb"))
+        explode(graft.queries.MinHashLsh
+          .bandBuckets(col("sig"), scheme.bands, scheme.rows)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("docId"), col("sig"))
       .as[BandDoc]
