@@ -27,7 +27,10 @@ object AmplifiedBench {
   def amplify(spark: SparkSession, srcDir: String, outDir: String,
               docsX: Int, embX: Int): Unit = {
     val src = new org.apache.hadoop.fs.Path(srcDir)
-    val fs = src.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    // the session is in scope — use ITS conf (the thread-ambient helper
+    // could resolve a different session's credentials than the reads
+    // below); builtWith keeps the helper, it has no session param
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
     val tables = fs.listStatus(src).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
     def replicate(name: String, idCol: String, x: Int): Unit = {

@@ -228,7 +228,17 @@ object LlmQueries {
       val fp = embeddingsFingerprint(s, d)
       val committed = graft.operators.ModelIO.readManifest(s, store)
         .exists(_.get("fp").contains(fp))
-      (if (committed) load(s, store) else None)
+      // SELF-HEALING load: plain-FS stores cannot fully serialize
+      // concurrent savers (delete-marker-first shrinks but cannot
+      // close the window where one saver's committed manifest lands
+      // over another's half-rewritten payload), so a manifest that
+      // looks committed but whose payload fails to load is treated as
+      // ABSENT — retrain and re-commit — instead of failing every
+      // later session until someone deletes the dir by hand.
+      (if (committed)
+        try load(s, store)
+        catch { case scala.util.control.NonFatal(_) => None }
+      else None)
         .getOrElse { val m = train; save(s, store, m, Map("fp" -> fp)); m }
     }).asInstanceOf[T]
   }

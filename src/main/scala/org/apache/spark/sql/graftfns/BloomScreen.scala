@@ -60,11 +60,20 @@ object BloomScreen {
     // lifetime. (The caps are captured when THIS aggregate is analyzed,
     // inside the raised window — the finished filter is unaffected by
     // the restore.)
-    // synchronized: the raise/build/restore window is not safe under
-    // concurrent same-session builders (one could restore the caps out
-    // from under another's analysis, or capture a raised value as its
-    // "prior") — same shape as Tables.eventsRawSchema's guard
-    val row = BloomScreen.synchronized {
+    // synchronized over the PLANNING window only: the raise/restore is
+    // not safe under concurrent same-session builders (one could
+    // restore the caps out from under another's analysis, or capture a
+    // raised value as its "prior"), but the caps are captured when the
+    // aggregate is planned — so force the physical plan inside the
+    // lock and run the (potentially long) distributed job OUTSIDE it,
+    // on the cached QueryExecution. Serializing whole builds under a
+    // JVM lock would block independent sessions' builders for the full
+    // job runtime.
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(ExpressionUtils.expression(key))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val out = df.select(ExpressionUtils.column(agg).as("bf"))
+    BloomScreen.synchronized {
       val conf = df.sparkSession.conf
       val caps = Seq(
         ("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L, numBits),
@@ -74,16 +83,13 @@ object BloomScreen {
         if (needed > before.map(_.toLong).getOrElse(default)) conf.set(k, needed.toString)
         k -> before
       }
-      try {
-        val agg = new BloomFilterAggregate(
-          new XxHash64(Seq(ExpressionUtils.expression(key))),
-          Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-        df.select(ExpressionUtils.column(agg).as("bf")).head()
-      } finally prior.foreach {
+      try { out.queryExecution.executedPlan; () }
+      finally prior.foreach {
         case (k, Some(v)) => conf.set(k, v)
         case (k, None)    => conf.unset(k)
       }
     }
+    val row = out.head()
     // null only when df is empty: return an empty filter of the right
     // size so mightContain is all-false (the semantically right answer)
     if (row.isNullAt(0)) {
