@@ -2,9 +2,9 @@ package org.apache.spark.sql.graftfns
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter screening for semi-join-shaped pipelines — the
   * decontamination / membership primitive at 100 TB.
@@ -20,12 +20,25 @@ import org.apache.spark.sql.types.BinaryType
   * returns IDENTICAL results to the plain join at a fraction of the
   * shuffle volume.
   *
-  * Built on Spark's own runtime-filter primitives (the engine uses the
-  * same pair for join pushdown): [[BloomFilterAggregate]] builds the
-  * filter DISTRIBUTED — map-side partial filters OR-merged in one
-  * aggregation, never a driver-side loop over items — and
-  * [[BloomFilterMightContain]] probes it codegen'd. Both sides key on
-  * xxhash64 of the value, so build and probe agree on any input type.
+  * The BUILD side constructs per-partition [[BloomFilter]]s and
+  * OR-merges them in a treeAggregate — map-side partials, log-depth
+  * merge, never a driver-side loop over items. We deliberately do NOT
+  * use Spark's [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+  * here: it silently clamps its sizing inputs to the session confs
+  * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits/maxNumItems`,
+  * and it reads those confs via `SQLConf.get` at JOB-SUBMISSION time
+  * (executor-side `createAggregationBuffer`), not at planning — so a
+  * raise-plan-restore window around the build does not stick (measured
+  * on Spark 4.1.2: a 479M-bit request came back clamped to the 64M-bit
+  * default, i.e. a filter that saturates toward all-true on a large
+  * insert). Building the sketch directly makes the geometry exact by
+  * construction, with no session-conf mutation and no lock.
+  *
+  * The PROBE side stays on Spark's codegen'd
+  * [[BloomFilterMightContain]]. Wire compatibility: both sides key on
+  * xxhash64 of the value — the build inserts `putLong(xxhash64(key))`,
+  * exactly what `BloomFilterAggregate.update` does, and the probe
+  * calls `mightContainLong(xxhash64(key))` on the deserialized sketch.
   * The finished filter is a model-sized driver value (numBits/8 bytes,
   * a few MB for hundreds of millions of items) embedded as a binary
   * literal — same lifecycle as broadcast-join hash maps and the
@@ -45,59 +58,37 @@ object BloomScreen {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    // BloomFilterAggregate silently clamps BOTH sizing inputs:
-    // numBits to spark.sql.optimizer.runtime.bloomFilter.maxNumBits
-    // (default 64M bits ≈ 8 MB) and estimatedNumItems to
-    // ...bloomFilter.maxNumItems (default 4M). A clamped item count is
-    // the nastier failure: BloomFilter.create derives the HASH COUNT
-    // from bits/items, so 4M claimed items against a raised bit budget
-    // picks far too many hash functions and a large real insert
-    // saturates the filter toward all-true — pass-through with the fpp
-    // "honored" on paper. Raise both session caps for the duration of
-    // the build, then RESTORE the prior values: Spark's own runtime
-    // bloom-join filters in unrelated queries read the same confs, and
-    // a permanent raise would silently inflate them for the session's
-    // lifetime. (The caps are captured when THIS aggregate is analyzed,
-    // inside the raised window — the finished filter is unaffected by
-    // the restore.)
-    // synchronized over the PLANNING window only: the raise/restore is
-    // not safe under concurrent same-session builders (one could
-    // restore the caps out from under another's analysis, or capture a
-    // raised value as its "prior"), but the caps are captured when the
-    // aggregate is planned — so force the physical plan inside the
-    // lock and run the (potentially long) distributed job OUTSIDE it,
-    // on the cached QueryExecution. Serializing whole builds under a
-    // JVM lock would block independent sessions' builders for the full
-    // job runtime.
-    val agg = new BloomFilterAggregate(
-      new XxHash64(Seq(ExpressionUtils.expression(key))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val out = df.select(ExpressionUtils.column(agg).as("bf"))
-    BloomScreen.synchronized {
-      val conf = df.sparkSession.conf
-      val caps = Seq(
-        ("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L, numBits),
-        ("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L, expectedItems))
-      val prior = caps.map { case (k, default, needed) =>
-        val before = conf.getOption(k)
-        if (needed > before.map(_.toLong).getOrElse(default)) conf.set(k, needed.toString)
-        k -> before
-      }
-      try { out.queryExecution.executedPlan; () }
-      finally prior.foreach {
-        case (k, Some(v)) => conf.set(k, v)
-        case (k, None)    => conf.unset(k)
+    val hashed = df.select(
+      ExpressionUtils.column(new XxHash64(Seq(ExpressionUtils.expression(key)))).as("h"))
+    // toRdd keeps the optimized physical plan (pruning/pushdown intact)
+    // and avoids a row-deserialization pass; each partition folds its
+    // hashes into a local sketch, empty partitions contribute nothing.
+    val items = expectedItems
+    val bits = numBits
+    val partials = hashed.queryExecution.toRdd.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val bf = BloomFilter.create(items, bits)
+        while (rows.hasNext) bf.putLong(rows.next().getLong(0))
+        Iterator.single(bf)
       }
     }
-    val row = out.head()
-    // null only when df is empty: return an empty filter of the right
-    // size so mightContain is all-false (the semantically right answer)
-    if (row.isNullAt(0)) {
-      val empty = org.apache.spark.util.sketch.BloomFilter.create(expectedItems, numBits)
-      val bos = new java.io.ByteArrayOutputStream()
-      empty.writeTo(bos)
-      bos.toByteArray
-    } else row.getAs[Array[Byte]](0)
+    // log-depth OR-merge: at 1000 executors the driver receives
+    // ~sqrt(P) partials, not P. null stands in for "no rows seen".
+    val merged = partials.treeAggregate(null: BloomFilter)(
+      (a, b) => if (a == null) b else { a.mergeInPlace(b); a },
+      (a, b) => if (a == null) b else if (b == null) a else { a.mergeInPlace(b); a },
+      depth = 2)
+    // merged == null only when df is empty: an empty filter of the
+    // right size makes mightContain all-false, the semantically right
+    // answer for "no probe set".
+    serialize(if (merged == null) BloomFilter.create(items, bits) else merged)
+  }
+
+  private def serialize(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
   }
 
   /** Codegen'd membership probe against a built filter. True means

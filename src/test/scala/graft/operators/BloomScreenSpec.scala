@@ -53,10 +53,12 @@ class BloomScreenSpec extends SparkTestBase {
     }
   }
 
-  test("build restores the session bloom-filter caps it raised") {
-    // an oversized build must raise the caps only for its own window —
-    // Spark's runtime bloom-join filters read the same confs, and a
-    // permanent raise would inflate them for every later query
+  test("above-cap build is not clamped and leaves the session bloom confs untouched") {
+    // BloomFilterAggregate clamps sizing to these session confs at
+    // job-submission time, so the build path must not depend on them
+    // at all — an oversized build gets its exact geometry and the
+    // confs stay exactly as they were (Spark's own runtime bloom-join
+    // filters in unrelated queries read the same keys)
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val before = (spark.conf.getOption(bitsKey), spark.conf.getOption(itemsKey))
@@ -64,7 +66,17 @@ class BloomScreenSpec extends SparkTestBase {
     val bf = BloomScreen.build(
       (0 until 1000).map(i => s"k$i").toDF("s"), col("s"),
       expectedItems = 50000000L, fpp = 0.01)
-    assert(bf.length * 8L > 67108864L, "filter was clamped to the default bit cap")
+    // exact-geometry check, not `> cap`: the serialized form carries a
+    // ~16-byte header, so a filter clamped to the 64M-bit default still
+    // has length*8 > 64M — the loose inequality cannot catch clamping.
+    val wantBits = math.ceil(-50000000L * math.log(0.01) / (math.log(2) * math.log(2))).toLong
+    val expectedLen = {
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(50000000L, wantBits)
+      val bos = new java.io.ByteArrayOutputStream()
+      empty.writeTo(bos); bos.toByteArray.length
+    }
+    assert(bf.length == expectedLen,
+      s"filter was clamped: ${bf.length} bytes, expected $expectedLen (${wantBits} bits)")
     assert((spark.conf.getOption(bitsKey), spark.conf.getOption(itemsKey)) == before,
       "session bloom caps were not restored after build")
     // and the filter built inside the window still works
