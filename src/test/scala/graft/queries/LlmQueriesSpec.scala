@@ -13,15 +13,31 @@ class LlmQueriesSpec extends SparkTestBase {
 
   private def run(name: String) = LlmQueries.all(name)(spark, sf)
 
-  test("q28 checked gate: every exact pair row carries lsh_found=true (100% recall here)") {
+  test("q28 checked gate: per-pair lsh_ok and aggregate recall_ok hold (100% recall here)") {
     val exact = run("q27_ngram_jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val rows = run("q28_minhash_lsh").collect()
     assert(rows.nonEmpty, "fixture should contain planted near-dup pairs")
     // rows ARE the exact pair graph (the DuckDB-checkable reference)...
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == exact)
-    // ...and the per-pair gate records full LSH recall on this corpus
+    // ...the per-pair gate holds (planted pairs are deep in the
+    // S-curve's ~1 region, so they are hard-gated, not waved through)
     rows.foreach(r => assert(r.getBoolean(3), s"LSH missed pair $r"))
+    // ...and the aggregate recall gate holds
+    rows.foreach(r => assert(r.getBoolean(4), "aggregate recall below scheme floor"))
+  }
+
+  test("exactCosPairs sampleMod slices to Lehmer-sampled endpoints of the full graph") {
+    // the q60 gate-sampling mechanism: the sampled reference must be
+    // EXACTLY the full exact graph restricted to sampled endpoints
+    val m = 3L
+    def sampled(id: Long): Boolean = ((id * 48271L) % 2147483647L) % m == 0
+    val full = LlmQueries.exactCosPairs(spark, sf, 0.40).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slice = LlmQueries.exactCosPairs(spark, sf, 0.40, sampleMod = m).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(slice == full.filter(p => sampled(p._1) && sampled(p._2)))
+    assert(slice != full, "m=3 should actually shrink the graph at fixture scale")
   }
 
   test("minhash recall is preserved across the corpus-derived banding schemes") {
