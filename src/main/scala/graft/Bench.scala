@@ -58,10 +58,18 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // a failed query must NOT masquerade as a fast one
-      (name, if (err.isDefined) -1.0 else median(times), err)
+      (name, if (err.isDefined) -1.0 else median(times), err, times)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query min/median/max across the runs: lets the artifact
+    // itself distinguish co-tenant noise (wide spread, stable median)
+    // from a real plan change (shifted min) — cross-round wall-clock
+    // on this box swings up to ~4x, so a bare median can't.
+    val spread = results.map { case (k, v, _, times) =>
+      "\"" + k + "\":{\"min\":" + times.min + ",\"med\":" + v +
+        ",\"max\":" + times.max + "}"
+    }.mkString("{", ",", "}")
     val warmJson = warm.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a failed warm build re-attributes its cost to the first consuming
@@ -70,12 +78,13 @@ object Bench {
     val warmErrs = warm.collect { case (k, v) if v < 0 =>
       "\"warm:" + k + "\":\"shared cache build failed\"" }
     val errs = (warmErrs ++ results.collect {
-        case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" })
+        case (k, _, Some(m), _) => "\"" + k + "\":\"" + esc(m) + "\"" })
       .mkString("{", ",", "}")
     val warmTotal = warm.collect { case (_, v) if v > 0 => v }.sum
-    val total = results.collect { case (_, v, None) => v }.sum + warmTotal
+    val total = results.collect { case (_, v, None, _) => v }.sum + warmTotal
     val fields = s""""value":$total,"unit":"sec","runs":$runs,""" +
-      s""""warm_sec":$warmTotal,"warm":$warmJson,"errors":$errs,"queries":$qs"""
+      s""""warm_sec":$warmTotal,"warm":$warmJson,"errors":$errs,""" +
+      s""""queries":$qs,"spread":$spread"""
     (fields, results.exists(_._3.isDefined) || warm.exists(_._2 < 0))
   }
 

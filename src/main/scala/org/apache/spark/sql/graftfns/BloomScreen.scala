@@ -82,7 +82,12 @@ object BloomScreen {
     // merged == null only when df is empty: an empty filter of the
     // right size makes mightContain all-false, the semantically right
     // answer for "no probe set".
-    serialize(if (merged == null) BloomFilter.create(items, bits) else merged)
+    val out = if (merged == null) BloomFilter.create(items, bits) else merged
+    // loud geometry check: a filter smaller than requested saturates
+    // toward all-true on a large insert and silently stops screening
+    require(out.bitSize() >= bits,
+      s"bloom filter geometry clamped: got ${out.bitSize()} bits, requested $bits")
+    serialize(out)
   }
 
   private def serialize(bf: BloomFilter): Array[Byte] = {
