@@ -62,8 +62,9 @@ object LlmQueries {
   private[graft] def docToks(s: SparkSession, d: String): DataFrame = {
     docToksCache.keySet.removeIf(_._1.sparkContext.isStopped)
     docToksCache.computeIfAbsent((s, d), _ =>
-      spread(documents(s, d), col("doc_id"))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      staged(s, d, "docToks")(
+        spread(documents(s, d), col("doc_id"))
+          .select(col("doc_id"), tokens(col("text")).as("toks")))
         .persist())
   }
 
@@ -146,6 +147,7 @@ object LlmQueries {
     simhashCache.clear()
     modelCache.clear()
     corpusFpCache.clear()
+    docsFpCache.clear()
   }
 
   /** Force-build every shared derivation (tokenized corpus, shingle
@@ -196,10 +198,11 @@ object LlmQueries {
   private def simhashes(s: SparkSession, d: String): DataFrame = {
     simhashCache.keySet.removeIf(_._1.sparkContext.isStopped)
     simhashCache.computeIfAbsent((s, d), _ =>
-      docToks(s, d)
-        .select(col("doc_id"),
-          org.apache.spark.sql.graftfns.TextFunctions.simhash64(col("toks")).as("simhash"))
-        .filter(col("simhash").isNotNull)
+      staged(s, d, "simhashes")(
+        docToks(s, d)
+          .select(col("doc_id"),
+            org.apache.spark.sql.graftfns.TextFunctions.simhash64(col("toks")).as("simhash"))
+          .filter(col("simhash").isNotNull))
         .persist())
   }
 
@@ -248,6 +251,66 @@ object LlmQueries {
       s"${r.getLong(0)}x${if (r.isNullAt(1)) 0L else r.getLong(1)}"
     })
   }
+  /** Cheap corpus identity for the staged TEXT derivations (docToks
+    * and everything derived from it): row count + order-free checksum
+    * of (doc_id, text), one map-side aggregate. Same role as
+    * embeddingsFingerprint for the ANN models.
+    */
+  private val docsFpCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private[graft] def documentsFingerprint(s: SparkSession, d: String): String = {
+    docsFpCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    docsFpCache.computeIfAbsent((s, d), _ => {
+      val r = documents(s, d)
+        .agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+      s"${r.getLong(0)}x${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    })
+  }
+
+  /** Cross-session persistence for the shared text derivations
+    * (docToks, shingleSets, simhashes, the 0.5-Jaccard pair graph) —
+    * the ModelIO commit protocol generalized from model-sized values
+    * to staged RELATIONS. The whole value proposition of the engine is
+    * "convert once, query many times": the tokenized corpus and the
+    * pair graph are exactly such conversion artifacts, and before this
+    * every fresh session re-derived them (the amplified pair graph
+    * alone was ~2 minutes of warm time, paid per session).
+    *
+    * Protocol (same as the ANN model store, same root dir): a
+    * committed stage is `<store>/data` parquet plus a `_model.json`
+    * manifest carrying the documents-corpus fingerprint, written
+    * LAST. Load serves the stage only when the manifest's fingerprint
+    * matches the current corpus; a mid-write crash leaves no manifest
+    * and reads as absent; a committed-but-unreadable payload
+    * (concurrent-saver race) self-heals by rebuilding. A store that
+    * cannot be written (read-only root) degrades to the in-session
+    * derivation — staging is an optimization, never a correctness
+    * dependency. Builders write the staged parquet ONCE and the
+    * session then reads it back, so the persisted lineage downstream
+    * queries see is a plain columnar scan either way.
+    */
+  private def staged(s: SparkSession, d: String, stage: String)(
+      build: => DataFrame): DataFrame = {
+    val store = modelStoreDir(d, s"stage_$stage")
+    val data = s"$store/data"
+    val fp = documentsFingerprint(s, d)
+    val committed = graft.operators.ModelIO.readManifest(s, store)
+      .exists(_.get("fp").contains(fp))
+    (if (committed)
+      try Some(s.read.parquet(data))
+      catch { case scala.util.control.NonFatal(_) => None }
+    else None)
+      .getOrElse {
+        try {
+          graft.operators.ModelIO.deleteManifest(s, store)
+          build.write.mode("overwrite").parquet(data)
+          graft.operators.ModelIO.writeManifest(s, store,
+            Map("fp" -> fp, "stage" -> stage, "type" -> "stage"))
+          s.read.parquet(data)
+        } catch { case scala.util.control.NonFatal(_) => build }
+      }
+  }
+
   private def cachedModel[T <: AnyRef](s: SparkSession, d: String, scheme: String)(
       train: => T,
       save: (SparkSession, String, T, Map[String, String]) => Unit,
@@ -291,8 +354,9 @@ object LlmQueries {
     // same shingle sets — one derivation + one persisted copy serves
     // the whole dedup family, exactly as a real pipeline would run it
     shingleCache.computeIfAbsent((s, d), _ =>
-      docToks(s, d)
-        .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
+      staged(s, d, "shingleSets")(
+        docToks(s, d)
+          .select(col("doc_id"), shingles(col("toks"), 3).as("sh")))
         .persist())
   }
 
@@ -310,7 +374,9 @@ object LlmQueries {
     // pipeline computes the pair graph once)
     pairsCache.keySet.removeIf(_._1.sparkContext.isStopped)
     pairsCache.computeIfAbsent((s, d, thresh), _ =>
-      jaccardPairsUncached(s, d, thresh).persist())
+      staged(s, d, s"jaccardPairs_$thresh")(
+        jaccardPairsUncached(s, d, thresh))
+        .persist())
   }
   private def jaccardPairsUncached(s: SparkSession, d: String, thresh: Double): DataFrame = {
     // explode_outer, NOT explode: InferFiltersFromGenerate would add

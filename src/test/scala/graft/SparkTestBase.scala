@@ -25,6 +25,17 @@ object SparkTestBase {
   }
 
   lazy val session: SparkSession = {
+    // Pin the model/stage store to a fresh per-JVM tempdir: the default
+    // store under java.io.tmpdir OUTLIVES the JVM, so a second test run
+    // would load staged text derivations the first run wrote and
+    // plan-shape/timing expectations would depend on run history.
+    // Suites that need their own cold store (the persistence specs)
+    // still override the property around their bodies.
+    if (!sys.props.contains("graft.model.dir")) {
+      sys.props.put("graft.model.dir",
+        java.nio.file.Files.createTempDirectory("graft_models_test").toString)
+      ()
+    }
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

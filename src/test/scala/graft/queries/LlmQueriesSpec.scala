@@ -40,6 +40,59 @@ class LlmQueriesSpec extends SparkTestBase {
     assert(slice != full, "m=3 should actually shrink the graph at fixture scale")
   }
 
+  test("staged text derivations persist: a fresh session reads the stage store") {
+    val store = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val prior = sys.props.put("graft.model.dir", store)
+    try {
+      // session 1 is FRESH (the suite's own session has warm in-memory
+      // caches that would short-circuit the disk tier) — it finds an
+      // empty store, derives, and commits the stages.
+      val s1 = spark.newSession()
+      val pairs1 = LlmQueries.all("q27_ngram_jaccard")(s1, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val fp = LlmQueries.documentsFingerprint(s1, sf)
+      for (st <- Seq("stage_docToks", "stage_shingleSets", "stage_jaccardPairs_0.5")) {
+        val dir = LlmQueries.modelStoreDir(sf, st)
+        assert(dir.startsWith(store))
+        assert(graft.operators.ModelIO.readManifest(s1, dir)
+          .exists(_.get("fp").contains(fp)), s"$st not committed")
+      }
+      // a FRESH session must serve the staged store, reproducing the
+      // derived result exactly
+      val s2 = spark.newSession()
+      val pairs2 = LlmQueries.all("q27_ngram_jaccard")(s2, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(pairs2 == pairs1, "staged pair graph diverged from the derived one")
+      // behavioral proof it READS the store rather than re-deriving
+      // (plan-level probes are blinded by cache substitution): replace
+      // the staged payload under a still-valid manifest — the next
+      // fresh session must serve the replacement, not the corpus
+      val tDir = LlmQueries.modelStoreDir(sf, "stage_docToks")
+      s2.range(1).selectExpr("id AS doc_id", "array('x') AS toks")
+        .write.mode("overwrite").parquet(s"$tDir/data")
+      val s2b = spark.newSession()
+      assert(LlmQueries.docToks(s2b, sf).count() == 1,
+        "fresh session re-derived instead of reading the stage store")
+      // stale store (corpus regenerated at the same path = fingerprint
+      // mismatch): a fresh session must rebuild and re-commit — which
+      // also heals the payload swapped in above
+      val mf = graft.operators.ModelIO.readManifest(s2, tDir).get
+      graft.operators.ModelIO.writeManifest(s2, tDir, mf + ("fp" -> "stale"))
+      val s3 = spark.newSession()
+      assert(LlmQueries.docToks(s3, sf).count() ==
+        Tables.documents(s3, sf).count())
+      assert(graft.operators.ModelIO.readManifest(s3, tDir)
+        .exists(_.get("fp").contains(fp)),
+        "stale stage was not re-committed with the current fingerprint")
+    } finally {
+      prior match {
+        case Some(v) => sys.props.put("graft.model.dir", v)
+        case None    => sys.props.remove("graft.model.dir")
+      }
+      ()
+    }
+  }
+
   test("minhash recall is preserved across the corpus-derived banding schemes") {
     // verdict item: recall properties must hold across >=2 auto-chosen
     // configs. All three LshTuning schemes must recover the full

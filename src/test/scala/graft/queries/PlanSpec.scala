@@ -148,10 +148,25 @@ class PlanSpec extends SparkTestBase {
     // row; the only aggregation allowed downstream is KeyedPairs'
     // bucket-count routing — never a 64-bit-sum aggregate over an
     // exploded token stream
-    val df = LlmQueries.simhashPairs(spark, sf, nBlocks = 4)
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("simhash64"), s"native simhash expression missing:\n$p")
-    assert(!p.contains("s63"), s"legacy 64-column bit-sum aggregate present:\n$p")
+    // run against an UNWRITABLE stage store (root points at a plain
+    // file): staged() must degrade to the in-session derivation — that
+    // keeps the compute lineage visible for the map-only assertions
+    // AND pins the store-is-an-optimization-never-a-dependency contract
+    val blocked = java.nio.file.Files.createTempFile("graft_models_blocked", "").toString
+    val prior = sys.props.put("graft.model.dir", blocked)
+    try {
+      val s = spark.newSession()
+      val df = LlmQueries.simhashPairs(s, sf, nBlocks = 4)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("simhash64"), s"native simhash expression missing:\n$p")
+      assert(!p.contains("s63"), s"legacy 64-column bit-sum aggregate present:\n$p")
+    } finally {
+      prior match {
+        case Some(v) => sys.props.put("graft.model.dir", v)
+        case None    => sys.props.remove("graft.model.dir")
+      }
+      ()
+    }
   }
 
   test("q59: bloom screen sits on the corpus side BEFORE the contamination join") {
