@@ -21,32 +21,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS, ntz), which Spark cannot read
-    * natively ([PARQUET_TYPE_ILLEGAL]). We read it as epoch-nanos Long via
-    * the legacy conf, then derive a micros-precision NTZ `ts` (floor
-    * division — matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast, which the
-    * oracle SQL applies on its side). The raw nanos stay as `ts_ns`.
+  /** events.ts has shipped in two parquet layouts: TIMESTAMP(NANOS, ntz)
+    * — which Spark cannot read natively ([PARQUET_TYPE_ILLEGAL]), so we
+    * read it as epoch-nanos Long via the legacy conf — and plain
+    * TIMESTAMP(MICROS, ntz). Dispatch on the inferred footer type so
+    * both layouts yield the same surface: a micros-precision NTZ `ts`
+    * (floor division from nanos — matches DuckDB's TIMESTAMP_NS →
+    * TIMESTAMP cast, which the oracle SQL applies on its side; a no-op
+    * from micros) plus an epoch-nanos `ts_ns` Long.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // The legacy conf is needed only for SCHEMA INFERENCE (the footer
-    // read maps TIMESTAMP(NANOS) → LongType); with an EXPLICIT schema
-    // the scan itself reads nanos-as-long without any conf. So scope
-    // the mutation to the eager footer read and restore — the returned
-    // (lazy) DataFrame carries the explicit schema and leaks no session
-    // state into co-hosted workloads. (Spark 4.1 exposes no per-read
-    // option for this; ParquetOptions has no nanosAsLong key.)
-    // FLOOR division to micros (pmod keeps it exact in the long domain):
-    // `div` truncates toward zero, which would disagree with DuckDB's
-    // flooring TIMESTAMP_NS cast for pre-epoch nanos.
-    s.read.schema(eventsRawSchema(s, d)).parquet(s"$d/events.parquet")
-      .withColumn("ts_ns", col("ts").cast("long"))
-      .withColumn("ts", ntz(timestamp_micros(
-        expr("(ts_ns - pmod(ts_ns, 1000L)) div 1000"))))
+    val raw = eventsRawSchema(s, d)
+    val df = s.read.schema(raw).parquet(s"$d/events.parquet")
+    raw("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos layout. FLOOR division to micros (pmod keeps it exact in
+        // the long domain): `div` truncates toward zero, which would
+        // disagree with DuckDB's flooring TIMESTAMP_NS cast pre-epoch.
+        df.withColumn("ts_ns", col("ts").cast("long"))
+          .withColumn("ts", ntz(timestamp_micros(
+            expr("(ts_ns - pmod(ts_ns, 1000L)) div 1000"))))
+      case _ =>
+        // micros layout: ts is directly usable; derive nanos for the
+        // ts_ns consumers (UTC session ⇒ unix_micros is wall-clock).
+        df.withColumn("ts", ntz(col("ts")))
+          .withColumn("ts_ns", us(col("ts")) * lit(1000L))
+    }
   }
-  /** The raw events.parquet read schema (ts as nanos-epoch Long) —
-    * inferred under a SCOPED nanosAsLong conf and usable by any reader
-    * (batch or file-stream) without session state. Public because the
-    * streaming path needs the same schema for readStream.schema(...).
+  /** The raw events.parquet read schema (ts as nanos-epoch Long for the
+    * NANOS layout, TimestampNTZType for the MICROS layout) — inferred
+    * under a SCOPED nanosAsLong conf (a no-op on micros footers) and
+    * usable by any reader (batch or file-stream) without session state.
+    * Public because the streaming path needs the same schema for
+    * readStream.schema(...).
     */
   def eventsRawSchema(s: SparkSession, d: String): org.apache.spark.sql.types.StructType =
     // synchronized: the set/infer/restore window is not safe under
