@@ -88,9 +88,11 @@ object AmplifiedBench {
         d
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val (fields, failed) = Bench.timeSuite(spark, outDir, runs)
-    println(s"""{"metric":"amplified_total",$fields,""" +
+    val (compact, detail, failed) = Bench.timeSuite(spark, outDir, runs)
+    // compact medians line FIRST (the driver's record), spread second
+    println(s"""{"metric":"amplified_total",$compact,""" +
       s""""src":"$srcDir","docs_x":$docsX,"emb_x":$embX,"sf":"$outDir"}""")
+    println(s"""{"metric":"amplified_detail",$detail,"sf":"$outDir"}""")
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -23,11 +23,16 @@ object Bench {
   /** The standard suite protocol, shared by Bench and AmplifiedBench:
     * warm the shared derivations (timed as their own line items), then
     * run every SparkEntry query in SORTED order, per-query median of
-    * `runs`, recording errors instead of swallowing them. Returns the
-    * inner JSON fields and whether any query failed.
+    * `runs`, recording errors instead of swallowing them. Returns
+    * (compact fields, detail fields, failed): the COMPACT fields
+    * (total/runs/warm_sec/errors/medians) go on the FIRST printed line
+    * and the bulky per-query min/med/max spread plus warm breakdown on
+    * a SECOND line — the round-7 artifact put everything on one line
+    * and the driver's capture window clipped it mid-JSON, losing
+    * q01–q47's medians entirely. The essentials must fit first.
     */
   private[graft] def timeSuite(spark: SparkSession, sfDir: String, runs: Int)
-      : (String, Boolean) = {
+      : (String, String, Boolean) = {
     require(runs >= 1, s"bench runs must be >= 1, got $runs")
     // warm up JVM/codegen/parquet-reader paths so the first timed query
     // doesn't carry one-time init (~1-3s of janino + Hadoop FS setup).
@@ -82,10 +87,10 @@ object Bench {
       .mkString("{", ",", "}")
     val warmTotal = warm.collect { case (_, v) if v > 0 => v }.sum
     val total = results.collect { case (_, v, None, _) => v }.sum + warmTotal
-    val fields = s""""value":$total,"unit":"sec","runs":$runs,""" +
-      s""""warm_sec":$warmTotal,"warm":$warmJson,"errors":$errs,""" +
-      s""""queries":$qs,"spread":$spread"""
-    (fields, results.exists(_._3.isDefined) || warm.exists(_._2 < 0))
+    val compact = s""""value":$total,"unit":"sec","runs":$runs,""" +
+      s""""warm_sec":$warmTotal,"errors":$errs,"queries":$qs"""
+    val detail = s""""warm":$warmJson,"spread":$spread"""
+    (compact, detail, results.exists(_._3.isDefined) || warm.exists(_._2 < 0))
   }
 
   private[graft] def session(cpus: String): SparkSession = {
@@ -103,8 +108,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val (fields, failed) = timeSuite(spark, sfDir, runs)
-    println(s"""{"metric":"total",$fields,"sf":"$sfDir"}""")
+    val (compact, detail, failed) = timeSuite(spark, sfDir, runs)
+    // compact medians line FIRST (the driver's record), spread second
+    println(s"""{"metric":"total",$compact,"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail",$detail,"sf":"$sfDir"}""")
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -40,6 +40,25 @@ class LlmQueriesSpec extends SparkTestBase {
     assert(slice != full, "m=3 should actually shrink the graph at fixture scale")
   }
 
+  test("lehmerSampled is a true Lehmer step for ids near 2^63 (pre-reduction)") {
+    // the gate-sample slice must follow the published generator for ANY
+    // 64-bit id: (id mod p) * 48271 mod p with p = 2^31-1, computed
+    // here in BigInt so the reference cannot itself overflow
+    val p = BigInt(2147483647L)
+    val m = 7L
+    val ids = Seq(0L, 1L, 96L, 2147483646L, 2147483647L, 2147483648L,
+      (1L << 46) - 1, 1L << 46, (1L << 62) + 12345L,
+      Long.MaxValue, Long.MaxValue - 1, Long.MaxValue - 48270L)
+    val expect = ids.filter(id => (BigInt(id).mod(p) * 48271).mod(p) % m == 0)
+    import spark.implicits._
+    val got = ids.toDF("id").filter(LlmQueries.lehmerSampled(col("id"), m))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.sorted == expect.sorted,
+      s"lehmerSampled diverged from the BigInt Lehmer reference: $got vs $expect")
+    // and m == 1 keeps every id — the full-corpus degenerate case
+    assert(ids.toDF("id").filter(LlmQueries.lehmerSampled(col("id"), 1L)).count() == ids.length)
+  }
+
   test("staged text derivations persist: a fresh session reads the stage store") {
     val store = java.nio.file.Files.createTempDirectory("graft_stage").toString
     val prior = sys.props.put("graft.model.dir", store)
