@@ -52,7 +52,7 @@ object Bench {
     // on identical plans), so one sample per query is noise.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
-      val times = (1 to runs).map { _ =>
+      def sample(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); () }
         catch {
@@ -62,6 +62,15 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val base = (1 to runs).map(_ => sample())
+      // the SUB-SECOND tier gets 2 extra samples (runs+2 total): at
+      // this box's co-tenant noise floor a 3-sample median still swings
+      // up to ~5x round-over-round (r7: q50 med 0.70 vs 3.37 across two
+      // same-plan runs) and the extra samples are cheap exactly where
+      // they're needed; second-plus queries keep `runs` — their medians
+      // are already stable and extra samples cost real wall-clock.
+      val times = if (err.isEmpty && runs > 1 && median(base) < 1.0)
+        base ++ (1 to 2).map(_ => sample()) else base
       // a failed query must NOT masquerade as a fast one
       (name, if (err.isDefined) -1.0 else median(times), err, times)
     }
@@ -73,7 +82,7 @@ object Bench {
     // on this box swings up to ~4x, so a bare median can't.
     val spread = results.map { case (k, v, _, times) =>
       "\"" + k + "\":{\"min\":" + times.min + ",\"med\":" + v +
-        ",\"max\":" + times.max + "}"
+        ",\"max\":" + times.max + ",\"n\":" + times.length + "}"
     }.mkString("{", ",", "}")
     val warmJson = warm.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -396,6 +396,285 @@ object MultimodalOps {
     res
   }
 
+  // ---- MP4 (ISO BMFF) container: pure-bytes keyframe index, public
+  // format (ISO/IEC 14496-12 box structure). No decode: the index
+  // walks `moov/trak/mdia/minf/stbl` and reads the four sample tables
+  // (stss sync samples, stsz sizes, stsc sample→chunk runs, stco/co64
+  // chunk offsets) to compute each keyframe's absolute byte range —
+  // exactly what frame-range slicing/routing needs for inter-frame
+  // codecs (H.264 etc.) whose DECODE stays behind sampleFramesStub.
+  // Reference trace: blob-dominated bags are the reference's headline
+  // output (reference README.md:89, 40 MB CompressedImage table).
+
+  private def beInt(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+
+  private def beLong(b: Array[Byte], o: Int): Long =
+    (beInt(b, o) << 32) | beInt(b, o + 4)
+
+  private[multimodal] def isMp4(blob: Array[Byte]): Boolean =
+    blob.length >= 12 && fourcc(blob, 4) == "ftyp"
+
+  /** Child boxes of the byte range [start, end): (fourcc, payloadStart,
+    * payloadEnd). Handles 64-bit largesize (size==1) and to-end boxes
+    * (size==0); a corrupt size smaller than its own header terminates
+    * the walk with the boxes found so far (same truncation tolerance as
+    * the RIFF walk above).
+    */
+  private def mp4Children(blob: Array[Byte], start: Long, end: Long): Seq[(String, Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    var o = start
+    var ok = true
+    while (ok && o + 8 <= end) {
+      val size32 = beInt(blob, o.toInt)
+      val name = fourcc(blob, o.toInt + 4)
+      var hdr = 8L
+      var size = size32
+      if (size32 == 1L && o + 16 <= end) { size = beLong(blob, o.toInt + 8); hdr = 16L }
+      else if (size32 == 0L) size = end - o
+      if (size < hdr) ok = false
+      else {
+        out += ((name, o + hdr, math.min(end, o + size)))
+        o += size
+      }
+    }
+    out.toSeq
+  }
+
+  /** Absolute byte ranges (start, end) of the KEYFRAME (sync) samples
+    * of the first video track in an MP4/ISO-BMFF blob, in sample
+    * order. With no `stss` box every sample is sync (the spec's
+    * default — true of keyframe-only codecs like MJPEG-in-MP4).
+    * Ranges are clamped to the blob, so a truncated upload yields the
+    * keyframes whose bytes are actually present.
+    */
+  private[multimodal] def mp4KeyframeRanges(blob: Array[Byte]): Seq[(Long, Long)] = {
+    require(isMp4(blob), "not an ISO-BMFF/MP4 blob")
+    val stblOpt = (for {
+      (mn, ms, me) <- mp4Children(blob, 0L, blob.length.toLong) if mn == "moov"
+      (tn, tks, tke) <- mp4Children(blob, ms, me) if tn == "trak"
+      (dn, ds, de) <- mp4Children(blob, tks, tke) if dn == "mdia"
+      // hdlr payload: version/flags @0, pre_defined @4, handler_type @8
+      if mp4Children(blob, ds, de).exists { case (hn, hs, he) =>
+        hn == "hdlr" && hs + 12 <= he && fourcc(blob, (hs + 8).toInt) == "vide" }
+      (fn, fs, fe) <- mp4Children(blob, ds, de) if fn == "minf"
+      (sn, ss, se) <- mp4Children(blob, fs, fe) if sn == "stbl"
+    } yield (ss, se)).headOption
+    stblOpt.toSeq.flatMap { case (ss, se) =>
+      val tables = mp4Children(blob, ss, se)
+      def payload(name: String): Option[(Long, Long)] =
+        tables.collectFirst { case (n, s, e) if n == name => (s, e) }
+      // all four are "full boxes": version(1)+flags(3) precede the fields
+      val sizesOpt = payload("stsz").flatMap { case (p0, pe) =>
+        if (p0 + 12 > pe) None else {
+          val fixed = beInt(blob, (p0 + 4).toInt)
+          val n = beInt(blob, (p0 + 8).toInt).toInt
+          if (fixed != 0L) Some(Array.fill(n)(fixed))
+          else if (p0 + 12 + 4L * n > pe) None
+          else Some(Array.tabulate(n)(i => beInt(blob, (p0 + 12 + 4L * i).toInt)))
+        }
+      }
+      val chunksOpt = payload("stco").flatMap { case (p0, pe) =>
+        if (p0 + 8 > pe) None else {
+        val n = beInt(blob, (p0 + 4).toInt).toInt
+        if (p0 + 8 + 4L * n > pe) None
+        else Some(Array.tabulate(n)(i => beInt(blob, (p0 + 8 + 4L * i).toInt)))
+        }
+      }.orElse(payload("co64").flatMap { case (p0, pe) =>
+        if (p0 + 8 > pe) None else {
+        val n = beInt(blob, (p0 + 4).toInt).toInt
+        if (p0 + 8 + 8L * n > pe) None
+        else Some(Array.tabulate(n)(i => beLong(blob, (p0 + 8 + 8L * i).toInt)))
+        }
+      })
+      val stscOpt = payload("stsc").flatMap { case (p0, pe) =>
+        if (p0 + 8 > pe) None else {
+        val n = beInt(blob, (p0 + 4).toInt).toInt
+        if (p0 + 8 + 12L * n > pe) None
+        else Some(Array.tabulate(n) { i =>
+          val e0 = (p0 + 8 + 12L * i).toInt
+          (beInt(blob, e0).toInt, beInt(blob, e0 + 4).toInt) // (firstChunk 1-based, samplesPerChunk)
+        })
+        }
+      }
+      (sizesOpt, chunksOpt, stscOpt) match {
+        case (Some(sizes), Some(chunkOffs), Some(stsc)) if stsc.nonEmpty =>
+          // expand chunk runs to per-sample absolute offsets
+          val offsets = new Array[Long](sizes.length)
+          var sample = 0
+          var chunk = 1
+          while (sample < sizes.length && chunk <= chunkOffs.length) {
+            // the run whose firstChunk is the largest <= this chunk
+            val spc = stsc.takeWhile(_._1 <= chunk).lastOption.map(_._2).getOrElse(0)
+            var off = chunkOffs(chunk - 1)
+            var i = 0
+            while (i < spc && sample < sizes.length) {
+              offsets(sample) = off
+              off += sizes(sample)
+              sample += 1; i += 1
+            }
+            chunk += 1
+          }
+          val sync: Seq[Int] = payload("stss") match {
+            case Some((p0, pe)) =>
+              // a table clipped by truncation yields no keyframes (the
+              // count or entries are gone) rather than fake ranges
+              val n = if (p0 + 8 > pe) -1 else beInt(blob, (p0 + 4).toInt).toInt
+              if (n < 0 || p0 + 8 + 4L * n > pe) Seq.empty
+              else (0 until n).map(i => beInt(blob, (p0 + 8 + 4L * i).toInt).toInt)
+            case None => (1 to sizes.length) // no stss ⇒ every sample is sync
+          }
+          sync.filter(s => s >= 1 && s <= sample).flatMap { s =>
+            val (a, b) = (offsets(s - 1), offsets(s - 1) + sizes(s - 1))
+            // clamp to the blob: keep only keyframes whose bytes exist
+            if (a >= blob.length) None
+            else Some((a, math.min(b, blob.length.toLong)))
+          }
+        case _ => Seq.empty
+      }
+    }
+  }
+
+  // ---- MKV/WebM (EBML) container: pure-bytes Cues index, public
+  // format (the Matroska EBML element tree). Cues list the keyframe-
+  // bearing Cluster positions — the container-level seek index — so
+  // (cue time, absolute byte offset) is the slicing handle for
+  // inter-frame video without any codec work.
+
+  private[multimodal] def isMkv(blob: Array[Byte]): Boolean =
+    blob.length >= 4 && (blob(0) & 0xFF) == 0x1A && (blob(1) & 0xFF) == 0x45 &&
+      (blob(2) & 0xFF) == 0xDF && (blob(3) & 0xFF) == 0xA3
+
+  /** EBML element id at `o`: raw bytes INCLUDING the length marker (the
+    * conventional id form, e.g. Segment = 0x18538067). Returns (id,
+    * lengthInBytes); (0, 0) on a malformed/out-of-range lead byte.
+    */
+  private def ebmlId(b: Array[Byte], o: Int): (Long, Int) = {
+    val first = b(o) & 0xFF
+    if (first == 0) return (0L, 0)
+    val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+    if (len < 1 || len > 4 || o + len > b.length) return (0L, 0)
+    var v = 0L
+    var i = 0
+    while (i < len) { v = (v << 8) | (b(o + i) & 0xFF); i += 1 }
+    (v, len)
+  }
+
+  /** EBML size vint at `o`: marker bit STRIPPED. All-ones payload means
+    * "unknown size" (live streams) → Long.MaxValue, which the caller
+    * clamps to its enclosing range. (0, 0) length on malformed input.
+    */
+  private def ebmlSize(b: Array[Byte], o: Int): (Long, Int) = {
+    val first = b(o) & 0xFF
+    if (first == 0) return (0L, 0)
+    val len = Integer.numberOfLeadingZeros(first) - 23
+    if (len < 1 || len > 8 || o + len > b.length) return (0L, 0)
+    var v = (first & (0xFF >>> len)).toLong
+    var allOnes = (first & (0xFF >>> len)) == (0xFF >>> len)
+    var i = 1
+    while (i < len) {
+      val byte = b(o + i) & 0xFF
+      allOnes &&= byte == 0xFF
+      v = (v << 8) | byte
+      i += 1
+    }
+    (if (allOnes) Long.MaxValue else v, len)
+  }
+
+  /** Big-endian unsigned int payload of an EBML element (1-8 bytes). */
+  private def ebmlUint(b: Array[Byte], start: Long, end: Long): Long = {
+    var v = 0L
+    var o = start
+    while (o < end && o < b.length) { v = (v << 8) | (b(o.toInt) & 0xFF); o += 1 }
+    v
+  }
+
+  /** Children of an EBML master element's byte range: (id, payloadStart,
+    * payloadEnd). Malformed vints or a zero-advance terminate the walk
+    * with the elements found so far (truncation tolerance, as above).
+    */
+  private def ebmlChildren(blob: Array[Byte], start: Long, end: Long): Seq[(Long, Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var o = start
+    var ok = true
+    while (ok && o + 2 <= end) {
+      val (id, idLen) = ebmlId(blob, o.toInt)
+      if (idLen == 0) ok = false
+      else {
+        val (sz, szLen) = ebmlSize(blob, (o + idLen).toInt)
+        if (szLen == 0) ok = false
+        else {
+          val data = o + idLen + szLen
+          val dataEnd = if (sz == Long.MaxValue) end else math.min(end, data + sz)
+          out += ((id, data, dataEnd))
+          o = math.max(data, dataEnd) // unknown-size/empty still advances
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** (cue time, ABSOLUTE byte offset of the target Cluster) pairs from
+    * an MKV/WebM blob's Cues element — the keyframe seek index. Cue
+    * positions are spec'd relative to the Segment data start; this
+    * resolves them to blob offsets so a slicer can route bytes
+    * directly. Empty when the blob has no Cues (e.g. a live-muxed
+    * fragment) — loud-empty, not wrong-offset.
+    */
+  private[multimodal] def mkvCuePoints(blob: Array[Byte]): Seq[(Long, Long)] = {
+    require(isMkv(blob), "not an EBML/MKV blob")
+    val Segment = 0x18538067L; val Cues = 0x1C53BB6BL; val CuePoint = 0xBBL
+    val CueTime = 0xB3L; val CueTrackPositions = 0xB7L; val CueClusterPosition = 0xF1L
+    for {
+      (sid, ss, se) <- ebmlChildren(blob, 0L, blob.length.toLong) if sid == Segment
+      (cid, cs, ce) <- ebmlChildren(blob, ss, se) if cid == Cues
+      (pid, ps, pe) <- ebmlChildren(blob, cs, ce) if pid == CuePoint
+      kids = ebmlChildren(blob, ps, pe)
+      t <- kids.collectFirst { case (id, a, b) if id == CueTime => ebmlUint(blob, a, b) }
+      pos <- kids.collect { case (id, a, b) if id == CueTrackPositions =>
+        ebmlChildren(blob, a, b).collectFirst {
+          case (id2, a2, b2) if id2 == CueClusterPosition => ebmlUint(blob, a2, b2) }
+      }.flatten.headOption
+    } yield (t, ss + pos) // ss = Segment data start: positions are relative to it
+  }
+
+  /** Container-dispatching keyframe index over a blob column: one row
+    * per keyframe with its absolute byte range — AVI (every MJPEG
+    * frame is a keyframe), MP4 (stss sync samples), MKV (Cues; end is
+    * null, a cue addresses a Cluster whose extent the index doesn't
+    * record). This is the ROUTING half of inter-frame video handling:
+    * what still needs a native codec is only the pixel decode inside a
+    * range (sampleFramesStub). Unknown containers yield zero rows
+    * rather than fake ranges. Same scale shape as the other blob ops:
+    * per-partition iteration, no driver-side bytes, output bounded by
+    * keyframe count.
+    */
+  def indexKeyframes(df: DataFrame, blobCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType, nullable = false),
+      StructField("container", StringType, nullable = false),
+      StructField("keyframe_idx", IntegerType, nullable = false),
+      StructField("byte_start", LongType, nullable = false),
+      StructField("byte_end", LongType, nullable = true)))
+    val rows = df.select(idCol, blobCol).rdd.mapPartitions(_.flatMap { r =>
+      val blob = r.getAs[Array[Byte]](1)
+      val ranged: Seq[(String, Long, Option[Long])] =
+        if (isAvi(blob))
+          aviVideoFrameRanges(blob).map { case (s, e) => ("avi", s.toLong, Some(e.toLong)) }
+        else if (isMp4(blob))
+          mp4KeyframeRanges(blob).map { case (s, e) => ("mp4", s, Some(e)) }
+        else if (isMkv(blob))
+          mkvCuePoints(blob).map { case (_, off) => ("mkv", off, None) }
+        else Seq.empty
+      ranged.zipWithIndex.map { case ((c, s, e), i) =>
+        Row(r.get(0), c, i, s, e.map(java.lang.Long.valueOf).orNull)
+      }
+    })
+    spark.createDataFrame(rows, schema)
+  }
+
   /** REAL frame sampling for MJPEG video blobs — both RAW concatenated
     * JPEG streams and AVI-contained MJPEG (`.avi` with an MJPG vids
     * stream; the RIFF walk is aviVideoFrameRanges). Each frame is a
@@ -440,9 +719,12 @@ object MultimodalOps {
     spark.createDataFrame(rows, schema)
   }
 
-  /** STUB: frame sampling for video blobs — emits one row per sampled
-    * frame index with a frame-slice blob. Real plumbing: explode
-    * cardinality, per-frame keying; fake: the "frame" is a byte slice.
+  /** STUB: the remaining gap for inter-frame video is ONLY the pixel
+    * decode — container-level keyframe location is real (indexKeyframes
+    * walks AVI RIFF, MP4 stbl, MKV Cues with pure bytes); decoding an
+    * H.264/VP9 range needs a native codec the JDK doesn't ship. This
+    * stub stands in for that decode: real plumbing (explode
+    * cardinality, per-frame keying), fake payload (a byte slice).
     */
   def sampleFramesStub(df: DataFrame, blobCol: String, idCol: String,
                        everyNth: Int = 10, maxFrames: Int = 8): DataFrame = {

@@ -41,11 +41,21 @@ object Tables {
         df.withColumn("ts_ns", col("ts").cast("long"))
           .withColumn("ts", ntz(timestamp_micros(
             expr("(ts_ns - pmod(ts_ns, 1000L)) div 1000"))))
-      case _ =>
+      case TimestampNTZType | TimestampType =>
         // micros layout: ts is directly usable; derive nanos for the
         // ts_ns consumers (UTC session ⇒ unix_micros is wall-clock).
+        // Range bound: ts_ns = micros * 1000 overflows Long past
+        // ~2262-04-11 (2^63 ns after epoch) — an ANSI error in Spark 4,
+        // not silent wrap. The nanos layout bounds the range inherently;
+        // the driver testdata stays within a few years of 2024.
         df.withColumn("ts", ntz(col("ts")))
           .withColumn("ts_ns", us(col("ts")) * lit(1000L))
+      case other =>
+        // a third layout (INT96, string, millis...) must fail loudly,
+        // not be silently decoded under the micros assumption
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported parquet-inferred type $other; " +
+            "expected nanos-as-Long or TIMESTAMP(MICROS) NTZ")
     }
   }
   /** The raw events.parquet read schema (ts as nanos-epoch Long for the

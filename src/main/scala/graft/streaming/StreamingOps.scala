@@ -110,10 +110,13 @@ object StreamingOps {
     * Production note: wire GroupStateTimeout + a watermark to expire
     * idle buckets entirely.
     */
-  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        maxPerBucket: Int = 64,
-                        scheme: graft.operators.LshTuning.MinHashScheme =
-                          graft.operators.LshTuning.MinHashScheme(16, 8, 2)): Dataset[DupCandidate] = {
+  /** Shared signature + band derivation for the streaming near-dup
+    * family (single definition with batch q28's banding via MinHashLsh;
+    * the scheme pins its shape). Works on batch AND streaming frames —
+    * the migration state builder below reuses it on the batch history.
+    */
+  private def bandDocs(docs: DataFrame, idCol: String, textCol: String,
+                       scheme: graft.operators.LshTuning.MinHashScheme): Dataset[BandDoc] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.types._
     // fail fast: a silent cast("long") would null out string/UUID ids
@@ -122,38 +125,99 @@ object StreamingOps {
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"idCol '$idCol' must be an integral type, got $idType " +
         "(hash non-numeric ids to long upstream)")
-    // signature + band derivation shared with batch q28 (MinHashLsh is
-    // the single definition of the banding; the scheme pins its shape)
-    val sigs = docs
+    docs
       .select(col(idCol).cast("long").as("docId"),
         graft.queries.LlmQueries.shingles(
           graft.queries.Tables.tokens(col(textCol)), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("docId"),
         graft.queries.MinHashLsh.signature(col("sh"), scheme.numHashes).as("sig"))
-    sigs.select(col("docId"), col("sig"),
+      .select(col("docId"), col("sig"),
         explode(graft.queries.MinHashLsh
           .bandBuckets(col("sig"), scheme.bands, scheme.rows)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("docId"), col("sig"))
       .as[BandDoc]
+  }
+
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        maxPerBucket: Int = 64,
+                        scheme: graft.operators.LshTuning.MinHashScheme =
+                          graft.operators.LshTuning.MinHashScheme(16, 8, 2),
+                        initialState: Option[Dataset[((Int, Long), Seq[(Long, Seq[Long])])]] =
+                          None): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    val grouped = bandDocs(docs, idCol, textCol, scheme)
       .groupByKey(d => (d.band, d.bucket))
-      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], DupCandidate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: (Int, Long), rows: Iterator[BandDoc],
-         state: GroupState[Seq[(Long, Seq[Long])]]) =>
-          var hist = state.getOption.getOrElse(Seq.empty)
-          val out = scala.collection.mutable.ArrayBuffer[DupCandidate]()
-          rows.toSeq.sortBy(_.docId).foreach { d =>
-            hist.foreach { case (pid, psig) =>
-              if (pid != d.docId)
-                out += DupCandidate(d.docId, pid,
-                  graft.queries.MinHashUnion.estimate(d.sig, psig))
-            }
-            hist = ((d.docId, d.sig) +: hist).take(maxPerBucket)
-          }
-          state.update(hist)
-          out.iterator
+    val step = (_: (Int, Long), rows: Iterator[BandDoc],
+                state: GroupState[Seq[(Long, Seq[Long])]]) => {
+      var hist = state.getOption.getOrElse(Seq.empty)
+      val out = scala.collection.mutable.ArrayBuffer[DupCandidate]()
+      rows.toSeq.sortBy(_.docId).foreach { d =>
+        hist.foreach { case (pid, psig) =>
+          if (pid != d.docId)
+            out += DupCandidate(d.docId, pid,
+              graft.queries.MinHashUnion.estimate(d.sig, psig))
+        }
+        hist = ((d.docId, d.sig) +: hist).take(maxPerBucket)
+      }
+      state.update(hist)
+      out.iterator
+    }
+    initialState match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState[Seq[(Long, Seq[Long])], DupCandidate](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout(),
+          init.groupByKey(_._1).mapValues(_._2))(step)
+      case None =>
+        grouped.flatMapGroupsWithState[Seq[(Long, Seq[Long])], DupCandidate](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+    }
+  }
+
+  /** SCHEME MIGRATION for the streaming near-dup: build the banded
+    * bucket state a `nearDupCandidates` stream would hold under
+    * `scheme` from the batch HISTORY of everything already ingested,
+    * to be passed as `initialState` when the stream is restarted under
+    * the new scheme (with a FRESH checkpoint — Spark pins the state
+    * schema per checkpoint).
+    *
+    * Why rebuild from history rather than re-key the drained bucket
+    * state: a wider scheme (more hashes — what a corpus outgrowing its
+    * pinned scheme needs) requires hash values the old signatures never
+    * computed; MinHash signatures are not extendable after the fact.
+    * Re-deriving from the ingested (id, text) archive — which any
+    * production ingest lands anyway (writePartitioned) — is the only
+    * transformation that is exact for every scheme change, and it is a
+    * one-shot batch job with the same map-only + single-shuffle shape
+    * as the stream itself. (A bands×rows re-split at EQUAL numHashes
+    * could re-key drained signatures directly, but it is strictly a
+    * special case of this builder.)
+    *
+    * Ring semantics match the stream exactly: per (band, bucket), the
+    * `maxPerBucket` most RECENT docs (arrival order = id order, the
+    * stream's within-batch processing order), most recent first — so a
+    * resumed stream sees the same state a from-scratch run under the
+    * new scheme would have accumulated. Bucket collection is bounded by
+    * a top-K heap, not a full sort, so a viral cluster costs O(bucket ×
+    * log K) and state size stays `maxPerBucket` everywhere.
+    */
+  def migrateNearDupState(history: DataFrame, idCol: String, textCol: String,
+                          scheme: graft.operators.LshTuning.MinHashScheme,
+                          maxPerBucket: Int = 64)
+      : Dataset[((Int, Long), Seq[(Long, Seq[Long])])] = {
+    import history.sparkSession.implicits._
+    bandDocs(history, idCol, textCol, scheme)
+      .groupByKey(d => (d.band, d.bucket))
+      .mapGroups { (k, it) =>
+        // bounded top-K by docId (recency): min-heap of size maxPerBucket
+        val heap = new scala.collection.mutable.PriorityQueue[(Long, Seq[Long])]()(
+          Ordering.by[(Long, Seq[Long]), Long](_._1).reverse) // min at head
+        it.foreach { d =>
+          if (heap.size < maxPerBucket) heap.enqueue((d.docId, d.sig))
+          else if (d.docId > heap.head._1) { heap.dequeue(); heap.enqueue((d.docId, d.sig)) }
+        }
+        (k, heap.dequeueAll.reverse.toSeq) // most recent first, like the ring
       }
   }
 

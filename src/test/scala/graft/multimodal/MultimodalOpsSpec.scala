@@ -349,4 +349,157 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(parts.rdd.getNumPartitions >= 2)   // ~2KB of blobs / 500B target
     assert(parts.count() == 20)
   }
+
+  // ---- MP4 (ISO BMFF) fixture: real box layout built byte-by-byte ----
+
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def mbox(name: String, payload: Array[Byte]*): Array[Byte] = {
+    val p = payload.flatten.toArray
+    be32(p.length + 8) ++ name.getBytes("US-ASCII") ++ p
+  }
+
+  /** version(0) + flags(0) prefix — the ISO "full box" header. */
+  private def fullBox(name: String, payload: Array[Byte]): Array[Byte] =
+    mbox(name, Array[Byte](0, 0, 0, 0), payload)
+
+  private def mp4Trak(handler: String, stbl: Option[Array[Byte]]): Array[Byte] = {
+    // hdlr payload: pre_defined(4) + handler_type(4) + reserved(12)
+    val hdlr = fullBox("hdlr",
+      be32(0) ++ handler.getBytes("US-ASCII") ++ Array.fill(12)(0.toByte))
+    mbox("trak", (Seq(mbox("mdia", (Seq(hdlr) ++
+      stbl.map(s => mbox("minf", s))): _*))): _*)
+  }
+
+  /** A structurally real MP4: ftyp, mdat (sample bytes), moov with an
+    * AUDIO trak first (track selection must skip it) and the video
+    * trak's full stbl. mdat data starts at byte 20 (ftyp=12 + header=8).
+    */
+  private def mp4Bytes(sizes: Seq[Int], stsc: Seq[(Int, Int)],
+                       chunkOffsets: Seq[Int], stss: Option[Seq[Int]]): Array[Byte] = {
+    val ftyp = mbox("ftyp", "isom".getBytes("US-ASCII"))
+    val mdat = mbox("mdat", Array.tabulate(sizes.sum)(i => (i % 251).toByte))
+    val stbl = mbox("stbl", (Seq(
+      fullBox("stsz", be32(0) ++ be32(sizes.length) ++ sizes.toArray.flatMap(be32)),
+      fullBox("stsc", be32(stsc.length) ++ stsc.toArray.flatMap { case (f, s) =>
+        be32(f) ++ be32(s) ++ be32(1) }),
+      fullBox("stco", be32(chunkOffsets.length) ++ chunkOffsets.toArray.flatMap(be32))) ++
+      stss.map(s => fullBox("stss", be32(s.length) ++ s.toArray.flatMap(be32)))): _*)
+    val moov = mbox("moov", mp4Trak("soun", None), mp4Trak("vide", Some(stbl)))
+    ftyp ++ mdat ++ moov
+  }
+
+  test("MP4 stbl walk: keyframe byte ranges across non-uniform chunk runs") {
+    // 6 samples (5,6,7,8,9,10 bytes); stsc runs: chunk1 holds 3
+    // samples, chunks 2+ hold 1 → chunks at 20, 38, 46, 55; sync
+    // samples 1, 4, 6.
+    val sizes = Seq(5, 6, 7, 8, 9, 10)
+    val blob = mp4Bytes(sizes, stsc = Seq((1, 3), (2, 1)),
+      chunkOffsets = Seq(20, 38, 46, 55), stss = Some(Seq(1, 4, 6)))
+    assert(isMp4(blob) && !isAvi(blob) && !isMkv(blob))
+    val kf = mp4KeyframeRanges(blob)
+    assert(kf == Seq((20L, 25L), (38L, 46L), (55L, 65L)), s"got $kf")
+    // the ranges address real mdat bytes: mdat payload starts at 20
+    // with (i % 251) filler, so byte_start 38 holds value 18
+    assert((blob(38) & 0xFF) == 18)
+  }
+
+  test("MP4 without stss: every sample is a keyframe (spec default)") {
+    val blob = mp4Bytes(Seq(4, 4), stsc = Seq((1, 2)),
+      chunkOffsets = Seq(20), stss = None)
+    assert(mp4KeyframeRanges(blob) == Seq((20L, 24L), (24L, 28L)))
+  }
+
+  test("MP4 walk terminates on corrupt box sizes and truncated tables") {
+    val good = mp4Bytes(Seq(5, 5), Seq((1, 2)), Seq(20), Some(Seq(1)))
+    // corrupt: size field smaller than its own header inside moov
+    val corrupt = good.clone()
+    val moovAt = good.indexOfSlice("moov".getBytes("US-ASCII")) - 4 // size precedes fourcc
+    corrupt(moovAt) = 0; corrupt(moovAt + 1) = 0; corrupt(moovAt + 2) = 0; corrupt(moovAt + 3) = 3
+    mp4KeyframeRanges(corrupt) // must not loop/throw
+    // truncated: cut mid-moov — the walk yields what it can, no throw
+    mp4KeyframeRanges(good.take(good.length - 10))
+  }
+
+  // ---- MKV (EBML) fixture: real element tree built byte-by-byte ----
+
+  private def vintSize(n: Int): Array[Byte] =
+    if (n <= 126) Array((0x80 | n).toByte)
+    else Array((0x40 | (n >> 8)).toByte, (n & 0xFF).toByte)
+
+  private def ebmlEl(id: Array[Byte], payload: Array[Byte]*): Array[Byte] = {
+    val p = payload.flatten.toArray
+    id ++ vintSize(p.length) ++ p
+  }
+
+  private def eid(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+
+  private def euint(v: Long): Array[Byte] = {
+    var out = List((v & 0xFF).toByte)
+    var rest = v >>> 8
+    while (rest != 0) { out = (rest & 0xFF).toByte :: out; rest >>>= 8 }
+    out.toArray
+  }
+
+  test("MKV Cues walk: cue points resolve to absolute Cluster offsets") {
+    val EBML = eid(0x1A, 0x45, 0xDF, 0xA3); val Segment = eid(0x18, 0x53, 0x80, 0x67)
+    val Cues = eid(0x1C, 0x53, 0xBB, 0x6B); val Cluster = eid(0x1F, 0x43, 0xB6, 0x75)
+    val CuePoint = eid(0xBB); val CueTime = eid(0xB3); val CueTrackPositions = eid(0xB7)
+    val CueTrack = eid(0xF7); val CueClusterPosition = eid(0xF1)
+    val header = ebmlEl(EBML, euint(1))
+    val void = ebmlEl(eid(0xEC), Array.fill(10)(0.toByte))
+    val cluster1 = ebmlEl(Cluster, Array.fill(6)(1.toByte))
+    val cluster2 = ebmlEl(Cluster, Array.fill(9)(2.toByte))
+    def cues(pos1: Int, pos2: Int): Array[Byte] = {
+      def point(t: Int, pos: Int) = ebmlEl(CuePoint,
+        ebmlEl(CueTime, euint(t)),
+        ebmlEl(CueTrackPositions, ebmlEl(CueTrack, euint(1)),
+          ebmlEl(CueClusterPosition, euint(pos))))
+      ebmlEl(Cues, point(0, pos1), point(40, pos2))
+    }
+    // cue positions are relative to the Segment data start and depend
+    // on the Cues element's own length — build twice; both positions
+    // stay below 255 so the element length is identical
+    val guess = cues(1, 1)
+    val rel1 = void.length + guess.length
+    val rel2 = rel1 + cluster1.length
+    val segPayload = void ++ cues(rel1, rel2) ++ cluster1 ++ cluster2
+    val blob = header ++ ebmlEl(Segment, segPayload)
+    assert(isMkv(blob) && !isMp4(blob) && !isAvi(blob))
+    val segStart = header.length + Segment.length + vintSize(segPayload.length).length
+    val cps = mkvCuePoints(blob)
+    assert(cps == Seq((0L, (segStart + rel1).toLong), (40L, (segStart + rel2).toLong)), s"got $cps")
+    // the offsets are REAL: each points at a Cluster element id
+    cps.foreach { case (_, off) =>
+      assert(Cluster.indices.forall(i => blob(off.toInt + i) == Cluster(i)),
+        s"offset $off does not address a Cluster element")
+    }
+    // truncation tolerance: cutting inside the Cues yields no throw
+    mkvCuePoints(blob.take(segStart + rel1 - 3))
+  }
+
+  test("indexKeyframes dispatches AVI / MP4 / MKV blobs in one frame") {
+    val avi = aviBytes(Seq(jpegFrame(8, 8, 0xFF0000), jpegFrame(8, 8, 0x00FF00)), 8, 8)
+    val mp4 = mp4Bytes(Seq(5, 6), Seq((1, 2)), Seq(20), Some(Seq(2)))
+    val EBML = eid(0x1A, 0x45, 0xDF, 0xA3); val Segment = eid(0x18, 0x53, 0x80, 0x67)
+    val mkv = ebmlEl(EBML, euint(1)) ++ ebmlEl(Segment,
+      ebmlEl(eid(0x1C, 0x53, 0xBB, 0x6B), ebmlEl(eid(0xBB),
+        ebmlEl(eid(0xB3), euint(7)),
+        ebmlEl(eid(0xB7), ebmlEl(eid(0xF7), euint(1)), ebmlEl(eid(0xF1), euint(2))))))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, avi), Row(2L, mp4), Row(3L, mkv),
+        Row(4L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)))), schema)
+    val idx = indexKeyframes(df, "blob", "id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq.sorted
+    assert(idx == Seq((1L, "avi", 0), (1L, "avi", 1), (2L, "mp4", 0), (3L, "mkv", 0)),
+      s"got $idx") // unknown container (id 4) yields zero rows, not fakes
+    // MKV end is null (cue addresses a cluster, extent unrecorded)
+    val mkvRow = indexKeyframes(df.filter(col("id") === 3L), "blob", "id").head()
+    assert(mkvRow.isNullAt(4))
+  }
 }

@@ -85,6 +85,55 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(cands.keys.forall { case (a, b) => a > b })
   }
 
+  test("scheme migration: migrated state equals a from-scratch run under the new scheme") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.LshTuning.MinHashScheme
+    def doc(seed: Int): String =
+      (0 until 30).map(i => s"tok${(seed * 31 + i * 7) % 97}w$i").mkString(" ")
+    // batch 1 = the already-ingested corpus (streamed under the OLD
+    // 16-hash scheme elsewhere); batch 2 = post-migration arrivals,
+    // containing a near-copy of doc 1, an exact copy of doc 3, a fresh
+    // doc, and a within-batch exact pair (8, 9).
+    val batch1 = Seq((1L, doc(1)), (2L, doc(2)), (3L, doc(3)))
+    val batch2 = Seq((5L, doc(1).replace("w7 ", "w7x ")), (6L, doc(3)),
+      (7L, doc(42)), (8L, doc(50)), (9L, doc(50)))
+    val wide = MinHashScheme(32, 16, 2) // the corpus outgrew 16 hashes
+    def collectCands(sink: String): Map[(Long, Long), Double] =
+      spark.read.parquet(sink)
+        .groupBy("docId", "priorId").agg(max("estJaccard").as("est"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def runOnce(mem: MemoryStream[(Long, String)], init: Option[
+        org.apache.spark.sql.Dataset[((Int, Long), Seq[(Long, Seq[Long])])]],
+        ck: String, sink: String): Unit = {
+      val out = nearDupCandidates(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", maxPerBucket = 64, scheme = wide, initialState = init)
+      val sq = out.writeStream.format("parquet").option("path", sink)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination(60000)
+    }
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    // FROM-SCRATCH reference: stream batch1 then batch2 under `wide`
+    val refMem = MemoryStream[(Long, String)]
+    val (refCk, refSink) = (tmp("mig_ref_ck"), tmp("mig_ref_out"))
+    refMem.addData(batch1: _*); runOnce(refMem, None, refCk, refSink)
+    refMem.addData(batch2: _*); runOnce(refMem, None, refCk, refSink)
+    val refCands = collectCands(refSink).filter { case ((a, _), _) => a >= 5L }
+    // MIGRATED: build `wide` state from the batch-1 history, resume a
+    // NEW stream (fresh checkpoint) with it, feed only batch2
+    val init = migrateNearDupState(batch1.toDF("doc_id", "text"), "doc_id", "text", wide)
+    val migMem = MemoryStream[(Long, String)]
+    val (migCk, migSink) = (tmp("mig_ck"), tmp("mig_out"))
+    migMem.addData(batch2: _*); runOnce(migMem, Some(init), migCk, migSink)
+    val migCands = collectCands(migSink)
+    assert(migCands == refCands,
+      s"migrated state diverges from from-scratch: mig=$migCands ref=$refCands")
+    // and the migration actually carried history: cross-batch pairs exist
+    assert(migCands.contains((6L, 3L)) && migCands((6L, 3L)) == 1.0, s"$migCands")
+    assert(migCands.keys.exists { case (a, b) => a == 5L && b == 1L }, s"$migCands")
+  }
+
   test("streaming dedup within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
