@@ -422,6 +422,46 @@ class MultimodalOpsSpec extends SparkTestBase {
     mp4KeyframeRanges(good.take(good.length - 10))
   }
 
+  test("MP4 table expansion matches an independent reference on random layouts") {
+    // the stbl math (stsc run expansion × stsz sizes × stco bases) is
+    // the part a fixture can't exhaust — randomize layouts and check
+    // against a straight-line reference computation
+    val rnd = new scala.util.Random(4812)
+    for (_ <- 0 until 50) {
+      val nSamples = 1 + rnd.nextInt(20)
+      val sizes = Seq.fill(nSamples)(1 + rnd.nextInt(9))
+      // random chunking: split samples into 1..nSamples chunks
+      val cuts = (Seq(0, nSamples) ++ Seq.fill(rnd.nextInt(4))(rnd.nextInt(nSamples + 1)))
+        .distinct.sorted
+      val perChunk = cuts.sliding(2).map { case Seq(a, b) => b - a }.toSeq.filter(_ > 0)
+      // reference: per-sample offsets from first principles
+      val mdatStart = 20
+      val chunkStarts = perChunk.scanLeft(0)(_ + _).dropRight(1)
+        .map(firstSample => mdatStart + sizes.take(firstSample).sum)
+      val refOffsets = {
+        var out = Vector.empty[Int]
+        var s = 0
+        perChunk.zip(chunkStarts).foreach { case (k, base) =>
+          var off = base
+          (0 until k).foreach { _ => out :+= off; off += sizes(s); s += 1 }
+        }
+        out
+      }
+      // stsc in RUN form (coalesce equal consecutive samples-per-chunk)
+      val stsc = perChunk.zipWithIndex.foldLeft(Vector.empty[(Int, Int)]) {
+        case (acc, (k, i)) =>
+          if (acc.nonEmpty && acc.last._2 == k) acc else acc :+ ((i + 1, k))
+      }
+      val sync = (1 to nSamples).filter(_ => rnd.nextBoolean())
+      val blob = mp4Bytes(sizes, stsc, chunkStarts, Some(sync))
+      val expected = sync.map(s => (refOffsets(s - 1).toLong,
+        (refOffsets(s - 1) + sizes(s - 1)).toLong))
+      val got = mp4KeyframeRanges(blob)
+      assert(got == expected,
+        s"sizes=$sizes perChunk=$perChunk stsc=$stsc sync=$sync: $got != $expected")
+    }
+  }
+
   // ---- MKV (EBML) fixture: real element tree built byte-by-byte ----
 
   private def vintSize(n: Int): Array[Byte] =
