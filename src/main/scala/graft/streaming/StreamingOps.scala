@@ -205,10 +205,18 @@ object StreamingOps {
   def migrateNearDupState(history: DataFrame, idCol: String, textCol: String,
                           scheme: graft.operators.LshTuning.MinHashScheme,
                           maxPerBucket: Int = 64)
+      : Dataset[((Int, Long), Seq[(Long, Seq[Long])])] =
+    groupRings(bandDocs(history, idCol, textCol, scheme), maxPerBucket)
+
+  /** Per-(band, bucket) bounded rings from banded docs — the state
+    * layout `nearDupCandidates` holds. Bucket collection is bounded by
+    * a top-K heap, not a full sort, so a viral cluster costs O(bucket ×
+    * log K) and state size stays `maxPerBucket` everywhere.
+    */
+  private def groupRings(bd: Dataset[BandDoc], maxPerBucket: Int)
       : Dataset[((Int, Long), Seq[(Long, Seq[Long])])] = {
-    import history.sparkSession.implicits._
-    bandDocs(history, idCol, textCol, scheme)
-      .groupByKey(d => (d.band, d.bucket))
+    import bd.sparkSession.implicits._
+    bd.groupByKey(d => (d.band, d.bucket))
       .mapGroups { (k, it) =>
         // bounded top-K by docId (recency): min-heap of size maxPerBucket
         val heap = new scala.collection.mutable.PriorityQueue[(Long, Seq[Long])]()(
@@ -219,6 +227,59 @@ object StreamingOps {
         }
         (k, heap.dequeueAll.reverse.toSeq) // most recent first, like the ring
       }
+  }
+
+  /** DRAIN a stopped `nearDupCandidates` stream's accumulated state:
+    * the distinct (docId, signature) pairs still remembered by the
+    * bucket rings, read from the checkpoint via Spark's state data
+    * source (no re-tokenization, no history scan). This is the input
+    * to `rebandNearDupState` when only the banding changes.
+    *
+    * Post-eviction semantics, stated plainly: rings keep the
+    * `maxPerBucket` most recent docs per bucket, so a drain recovers
+    * what the old stream still REMEMBERED, not the full ingest history
+    * — re-banding drained state preserves the dedup stream's effective
+    * memory exactly; use `migrateNearDupState` over the ingest archive
+    * when the migration should also RESTORE full recall (or widen the
+    * signature, which drained sigs cannot do).
+    *
+    * Sets `coordinatorReportSnapshotUploadLag=false` on the session
+    * (left set): the state READER runs in a batch session with no
+    * StateStoreCoordinator endpoint, and the provider's snapshot-lag
+    * metrics report — pure telemetry — is the only thing that touches
+    * the coordinator on this path.
+    */
+  def drainNearDupState(spark: SparkSession, checkpoint: String): Dataset[(Long, Seq[Long])] = {
+    import spark.implicits._
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag", "false")
+    spark.read.format("statestore").option("path", checkpoint).load()
+      .select(explode(col("value.groupState.value")).as("e"))
+      .select(col("e._1").as("docId"), col("e._2").as("sig"))
+      .dropDuplicates("docId") // one signature per doc; docs appear once per shared band
+      .as[(Long, Seq[Long])]
+  }
+
+  /** Re-key DRAINED signatures under a scheme with the SAME number of
+    * hashes but a different bands×rows split (e.g. 8×2 → 4×4 to raise
+    * precision as a corpus grows) — the migration special case where
+    * the old signatures are directly reusable and no text access is
+    * needed. For a WIDER scheme use `migrateNearDupState`: minhash
+    * signatures cannot be extended after the fact.
+    */
+  def rebandNearDupState(sigs: Dataset[(Long, Seq[Long])],
+                         scheme: graft.operators.LshTuning.MinHashScheme,
+                         maxPerBucket: Int = 64)
+      : Dataset[((Int, Long), Seq[(Long, Seq[Long])])] = {
+    import sigs.sparkSession.implicits._
+    val bd = sigs.toDF("docId", "sig")
+      .select(col("docId"), col("sig"),
+        explode(graft.queries.MinHashLsh
+          .bandBuckets(col("sig"), scheme.bands, scheme.rows)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("docId"), col("sig"))
+      .as[BandDoc]
+    groupRings(bd, maxPerBucket)
   }
 
   /** Streaming contamination screen: score each arriving document's

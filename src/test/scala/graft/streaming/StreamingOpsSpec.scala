@@ -134,6 +134,55 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(migCands.keys.exists { case (a, b) => a == 5L && b == 1L }, s"$migCands")
   }
 
+  test("drain + reband: equal-width banding change reuses drained signatures") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.LshTuning.MinHashScheme
+    def doc(seed: Int): String =
+      (0 until 30).map(i => s"tok${(seed * 31 + i * 7) % 97}w$i").mkString(" ")
+    val batch1 = Seq((1L, doc(1)), (2L, doc(2)), (3L, doc(3)))
+    val batch2 = Seq((5L, doc(1).replace("w3 ", "w3x ")), (6L, doc(3)), (7L, doc(9)))
+    val a = MinHashScheme(16, 8, 2)
+    val b = MinHashScheme(16, 4, 4) // same width, finer banding (higher precision)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def runOnce(mem: MemoryStream[(Long, String)], scheme: MinHashScheme, init: Option[
+        org.apache.spark.sql.Dataset[((Int, Long), Seq[(Long, Seq[Long])])]],
+        ck: String, sink: String): Unit = {
+      val out = nearDupCandidates(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", maxPerBucket = 64, scheme = scheme, initialState = init)
+      val sq = out.writeStream.format("parquet").option("path", sink)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination(60000)
+    }
+    def collectCands(sink: String): Map[(Long, Long), Double] =
+      spark.read.parquet(sink)
+        .groupBy("docId", "priorId").agg(max("estJaccard").as("est"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // OLD stream under scheme A accumulates state in its checkpoint
+    val aMem = MemoryStream[(Long, String)]
+    val (aCk, aSink) = (tmp("rb_a_ck"), tmp("rb_a_out"))
+    aMem.addData(batch1: _*); runOnce(aMem, a, None, aCk, aSink)
+    // drain its state: exactly batch1's (docId, sig) pairs, once each
+    val drained = drainNearDupState(spark, aCk)
+    val byDoc = drained.collect().toMap
+    assert(byDoc.keySet == Set(1L, 2L, 3L) && byDoc.values.forall(_.length == 16), s"$byDoc")
+    // reband to B and resume a new stream; candidates on batch2 must
+    // equal a from-scratch scheme-B run's
+    val migMem = MemoryStream[(Long, String)]
+    val (migCk, migSink) = (tmp("rb_mig_ck"), tmp("rb_mig_out"))
+    migMem.addData(batch2: _*)
+    runOnce(migMem, b, Some(rebandNearDupState(drained, b)), migCk, migSink)
+    val refMem = MemoryStream[(Long, String)]
+    val (refCk, refSink) = (tmp("rb_ref_ck"), tmp("rb_ref_out"))
+    refMem.addData(batch1: _*); runOnce(refMem, b, None, refCk, refSink)
+    refMem.addData(batch2: _*); runOnce(refMem, b, None, refCk, refSink)
+    val refCands = collectCands(refSink).filter { case ((x, _), _) => x >= 5L }
+    val migCands = collectCands(migSink)
+    assert(migCands == refCands, s"mig=$migCands ref=$refCands")
+    assert(migCands.contains((6L, 3L)) && migCands((6L, 3L)) == 1.0, s"$migCands")
+  }
+
   test("streaming dedup within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
