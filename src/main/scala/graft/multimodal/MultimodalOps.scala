@@ -719,6 +719,51 @@ object MultimodalOps {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Extract the CODED keyframe payloads by byte range — the slicing
+    * consumer of `indexKeyframes`, still zero-decode: for AVI the
+    * slice is the MJPEG frame, for MP4 the sync sample (e.g. an H.264
+    * IDR access unit), for MKV the keyframe-bearing Cluster (a cue
+    * addresses the cluster; its extent runs to the next cue target or
+    * segment end). Output rows carry the coded bytes for a downstream
+    * decoder (GPU farm, external transcoder) — the routing/shuffle
+    * layer of video processing stays fully in-engine. everyNth /
+    * maxFrames bound the explode exactly like sampleFramesMjpeg.
+    */
+  def sliceKeyframes(df: DataFrame, blobCol: String, idCol: String,
+                     everyNth: Int = 1, maxFrames: Int = 8): DataFrame = {
+    require(everyNth >= 1 && maxFrames >= 1,
+      s"need everyNth >= 1 and maxFrames >= 1, got $everyNth/$maxFrames")
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType, nullable = false),
+      StructField("container", StringType, nullable = false),
+      StructField("keyframe_idx", IntegerType, nullable = false),
+      StructField("byte_start", LongType, nullable = false),
+      StructField("frame_data", BinaryType, nullable = false)))
+    val rows = df.select(idCol, blobCol).rdd.mapPartitions(_.flatMap { r =>
+      val blob = r.getAs[Array[Byte]](1)
+      val ranges: Seq[(String, Long, Long)] =
+        if (isAvi(blob))
+          aviVideoFrameRanges(blob).map { case (s, e) => ("avi", s.toLong, e.toLong) }
+        else if (isMp4(blob))
+          mp4KeyframeRanges(blob).map { case (s, e) => ("mp4", s, e) }
+        else if (isMkv(blob)) {
+          val offs = mkvCuePoints(blob).map(_._2)
+          // cluster extent: next cue's target (or blob end) bounds it
+          offs.zip(offs.drop(1) :+ blob.length.toLong)
+            .map { case (s, e) => ("mkv", s, math.max(s, e)) }
+        } else Seq.empty
+      ranges.zipWithIndex
+        .filter { case (_, i) => i % everyNth == 0 }
+        .take(maxFrames)
+        .map { case ((c, s, e), i) =>
+          Row(r.get(0), c, i, s,
+            java.util.Arrays.copyOfRange(blob, s.toInt, math.min(e, blob.length.toLong).toInt))
+        }
+    })
+    spark.createDataFrame(rows, schema)
+  }
+
   /** STUB: the remaining gap for inter-frame video is ONLY the pixel
     * decode — container-level keyframe location is real (indexKeyframes
     * walks AVI RIFF, MP4 stbl, MKV Cues with pure bytes); decoding an

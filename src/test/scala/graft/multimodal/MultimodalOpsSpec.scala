@@ -542,4 +542,46 @@ class MultimodalOpsSpec extends SparkTestBase {
     val mkvRow = indexKeyframes(df.filter(col("id") === 3L), "blob", "id").head()
     assert(mkvRow.isNullAt(4))
   }
+
+  test("sliceKeyframes extracts the exact coded payload bytes, bounded") {
+    // MP4: sync samples 1 and 3 of sizes 5,6,7 in one chunk at 20
+    val sizes = Seq(5, 6, 7)
+    val mp4 = mp4Bytes(sizes, Seq((1, 3)), Seq(20), Some(Seq(1, 3)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, mp4))), schema)
+    val got = sliceKeyframes(df, "blob", "id").orderBy("keyframe_idx").collect()
+    assert(got.length == 2)
+    // sample 1 @20 len 5; sample 3 @31 len 7 — bytes are the (i % 251)
+    // mdat filler, so the slices are exactly predictable
+    assert(got(0).getAs[Array[Byte]]("frame_data").toSeq ==
+      (0 until 5).map(i => (i % 251).toByte))
+    assert(got(1).getAs[Array[Byte]]("frame_data").toSeq ==
+      (11 until 18).map(i => (i % 251).toByte))
+    // maxFrames bounds the explode
+    assert(sliceKeyframes(df, "blob", "id", maxFrames = 1).count() == 1)
+    // MKV: each slice runs to the next cue target; last to blob end
+    val EBML = eid(0x1A, 0x45, 0xDF, 0xA3); val Segment = eid(0x18, 0x53, 0x80, 0x67)
+    val Cues = eid(0x1C, 0x53, 0xBB, 0x6B); val Cluster = eid(0x1F, 0x43, 0xB6, 0x75)
+    val header = ebmlEl(EBML, euint(1))
+    val c1 = ebmlEl(Cluster, Array.fill(5)(3.toByte))
+    val c2 = ebmlEl(Cluster, Array.fill(4)(4.toByte))
+    def cues(p1: Int, p2: Int) = ebmlEl(Cues,
+      ebmlEl(eid(0xBB), ebmlEl(eid(0xB3), euint(0)),
+        ebmlEl(eid(0xB7), ebmlEl(eid(0xF7), euint(1)), ebmlEl(eid(0xF1), euint(p1)))),
+      ebmlEl(eid(0xBB), ebmlEl(eid(0xB3), euint(40)),
+        ebmlEl(eid(0xB7), ebmlEl(eid(0xF7), euint(1)), ebmlEl(eid(0xF1), euint(p2)))))
+    val rel1 = cues(1, 1).length
+    val rel2 = rel1 + c1.length
+    val seg = cues(rel1, rel2) ++ c1 ++ c2
+    val mkv = header ++ ebmlEl(Segment, seg)
+    val mdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, mkv))), schema)
+    val mkvGot = sliceKeyframes(mdf, "blob", "id").orderBy("keyframe_idx").collect()
+    assert(mkvGot.length == 2)
+    assert(mkvGot(0).getAs[Array[Byte]]("frame_data").toSeq == c1.toSeq)
+    assert(mkvGot(1).getAs[Array[Byte]]("frame_data").toSeq == c2.toSeq)
+  }
 }
