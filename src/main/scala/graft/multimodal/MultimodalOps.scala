@@ -748,7 +748,10 @@ object MultimodalOps {
         else if (isMp4(blob))
           mp4KeyframeRanges(blob).map { case (s, e) => ("mp4", s, e) }
         else if (isMkv(blob)) {
-          val offs = mkvCuePoints(blob).map(_._2)
+          // cues are CueTime-ordered per spec; sort by OFFSET so the
+          // next-target extent bound holds even for a muxer that cues
+          // out of byte order
+          val offs = mkvCuePoints(blob).map(_._2).sorted
           // cluster extent: next cue's target (or blob end) bounds it
           offs.zip(offs.drop(1) :+ blob.length.toLong)
             .map { case (s, e) => ("mkv", s, math.max(s, e)) }

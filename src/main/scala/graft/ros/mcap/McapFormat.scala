@@ -1,0 +1,423 @@
+package graft.ros.mcap
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, EOFException, InputStream}
+
+/** Pure-bytes reader/writer for the public MCAP container format
+  * (https://mcap.dev/spec — the ROS 2 successor of the rosbag1 format
+  * the reference converts; same role as `BagFormat` for `.bag`). An
+  * MCAP file is `magic, records..., magic` where every record is
+  * `opcode u8, length u64le, payload`; messages live either standalone
+  * in the data section or inside compressed Chunk records, and a
+  * Summary section before the Footer repeats the Schema/Channel
+  * dimension records and per-chunk index entries — the parquet-footer
+  * analog that lets a driver plan a scan without touching chunk bodies.
+  *
+  * Scope: batch read of Schema/Channel/Message/Chunk/ChunkIndex/
+  * Footer/Statistics plus a writer for test fixtures. Compressions:
+  * "" (none), "lz4" (LZ4 frame), "zstd" — both codecs ship with Spark.
+  */
+object McapFormat {
+  val Magic: Array[Byte] =
+    Array(0x89.toByte, 'M', 'C', 'A', 'P', '0', 0x0D, 0x0A)
+
+  // record opcodes (spec §records)
+  val OpHeader = 0x01; val OpFooter = 0x02; val OpSchema = 0x03
+  val OpChannel = 0x04; val OpMessage = 0x05; val OpChunk = 0x06
+  val OpMessageIndex = 0x07; val OpChunkIndex = 0x08
+  val OpStatistics = 0x0B; val OpDataEnd = 0x0F; val OpSummaryOffset = 0x0E
+
+  final case class McapSchema(id: Int, name: String, encoding: String, data: Array[Byte])
+  final case class McapChannel(id: Int, schemaId: Int, topic: String,
+                               messageEncoding: String)
+  final case class McapMessage(channelId: Int, sequence: Long, logTime: Long,
+                               publishTime: Long, data: Array[Byte])
+  /** One Chunk record's plan-time identity: where it lives, its time
+    * range (for pruning), and how to decode it.
+    */
+  final case class McapChunkRef(fileOffset: Long, recordLength: Long,
+                                messageStartTime: Long, messageEndTime: Long,
+                                compression: String, uncompressedSize: Long,
+                                uncompressedCrc: Long)
+  /** Driver-side index of one file: the dimension records, the chunk
+    * refs, and any STANDALONE (unchunked) message record locations.
+    */
+  final case class McapIndex(schemas: Map[Int, McapSchema],
+                             channels: Map[Int, McapChannel],
+                             chunks: Seq[McapChunkRef],
+                             inlineMessages: Seq[(Long, Long)]) // (offset, recordLength)
+
+  // ---- little-endian primitive readers over byte arrays ----
+
+  def leShort(b: Array[Byte], o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  def leInt(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+  def leLong(b: Array[Byte], o: Int): Long =
+    leInt(b, o) | (leInt(b, o + 4) << 32)
+
+  private def str(b: Array[Byte], o: Int): (String, Int) = {
+    val n = leInt(b, o).toInt
+    (new String(b, o + 4, n, java.nio.charset.StandardCharsets.UTF_8), o + 4 + n)
+  }
+
+  // ---- record payload parsers ----
+
+  def parseSchema(p: Array[Byte]): McapSchema = {
+    val id = leShort(p, 0)
+    val (name, o1) = str(p, 2)
+    val (enc, o2) = str(p, o1)
+    val dataLen = leInt(p, o2).toInt
+    McapSchema(id, name, enc, java.util.Arrays.copyOfRange(p, o2 + 4, o2 + 4 + dataLen))
+  }
+
+  def parseChannel(p: Array[Byte]): McapChannel = {
+    val id = leShort(p, 0)
+    val schemaId = leShort(p, 2)
+    val (topic, o1) = str(p, 4)
+    val (enc, _) = str(p, o1)
+    // the metadata map (u32 byte-length prefixed) follows; the spine
+    // read doesn't need it
+    McapChannel(id, schemaId, topic, enc)
+  }
+
+  def parseMessage(p: Array[Byte]): McapMessage =
+    McapMessage(leShort(p, 0), leInt(p, 2), leLong(p, 6), leLong(p, 14),
+      java.util.Arrays.copyOfRange(p, 22, p.length))
+
+  /** Chunk payload HEADER (everything before the compressed records
+    * bytes): returns the ref fields plus the offset of the records
+    * bytes within the payload and their compressed length.
+    */
+  def parseChunkHeader(p: Array[Byte], fileOffset: Long, recordLength: Long)
+      : (McapChunkRef, Int, Long) = {
+    val startT = leLong(p, 0); val endT = leLong(p, 8)
+    val uncSize = leLong(p, 16); val crc = leInt(p, 24)
+    val (comp, o1) = str(p, 28)
+    val recLen = leLong(p, o1)
+    (McapChunkRef(fileOffset, recordLength, startT, endT, comp, uncSize, crc),
+      o1 + 8, recLen)
+  }
+
+  /** Decompress a chunk's records bytes. Validates the chunk CRC when
+    * the writer recorded one (0 = not computed, per spec).
+    */
+  def decompress(compression: String, bytes: Array[Byte], uncompressedSize: Long,
+                 crc: Long): Array[Byte] = {
+    val out = compression match {
+      case "" => bytes
+      case "zstd" =>
+        com.github.luben.zstd.Zstd.decompress(bytes, uncompressedSize.toInt)
+      case "lz4" =>
+        val in = new net.jpountz.lz4.LZ4FrameInputStream(new ByteArrayInputStream(bytes))
+        val buf = new Array[Byte](uncompressedSize.toInt)
+        var read = 0
+        try {
+          var n = 0
+          while (read < buf.length && n >= 0) {
+            n = in.read(buf, read, buf.length - read)
+            if (n > 0) read += n
+          }
+        } finally in.close()
+        require(read == buf.length,
+          s"lz4 chunk shorter than declared: $read of ${buf.length} bytes")
+        buf
+      case other =>
+        throw new IllegalArgumentException(s"unsupported mcap chunk compression '$other'")
+    }
+    require(out.length == uncompressedSize,
+      s"chunk decompressed to ${out.length} bytes, declared $uncompressedSize")
+    if (crc != 0) {
+      val c = new java.util.zip.CRC32(); c.update(out, 0, out.length)
+      require(c.getValue == crc,
+        f"chunk crc mismatch: computed ${c.getValue}%d, recorded $crc%d")
+    }
+    out
+  }
+
+  /** Iterate the records inside a DECOMPRESSED chunk buffer, yielding
+    * (opcode, payload). Chunks legally contain Schema/Channel records
+    * interleaved with Messages.
+    */
+  def chunkRecords(buf: Array[Byte]): Iterator[(Int, Array[Byte])] = new Iterator[(Int, Array[Byte])] {
+    private var o = 0
+    override def hasNext: Boolean = o + 9 <= buf.length
+    override def next(): (Int, Array[Byte]) = {
+      val op = buf(o) & 0xFF
+      val len = leLong(buf, o + 1)
+      require(len >= 0 && o + 9 + len <= buf.length,
+        s"chunk record at $o overruns the buffer (op=$op len=$len of ${buf.length})")
+      val p = java.util.Arrays.copyOfRange(buf, o + 9, (o + 9 + len).toInt)
+      o = (o + 9 + len).toInt
+      (op, p)
+    }
+  }
+
+  /** Messages of a chunk in storage order, with any in-chunk Schema/
+    * Channel records surfaced to the caller's maps first.
+    */
+  def chunkMessages(buf: Array[Byte]): Seq[McapMessage] =
+    chunkRecords(buf).collect { case (OpMessage, p) => parseMessage(p) }.toSeq
+
+  // ---- driver-side index scan ----
+
+  /** Scan one file's index: MAGIC check, then the Summary section when
+    * the Footer points at one (Schema/Channel/ChunkIndex read without
+    * touching chunk bodies — the scalable path), plus a header-only
+    * walk of the data section for standalone Message records and, when
+    * NO summary exists (minimal writers, torn files), the chunk refs
+    * and in-chunk dimension records harvested directly. `open` is
+    * called for independent streams (seek via skip on a fresh stream).
+    */
+  def scanIndex(open: () => InputStream, fileLen: Long): McapIndex = {
+    require(fileLen >= 8 + 9 + 20 + 8, s"file too short for mcap ($fileLen bytes)")
+    val head = readAt(open, 0, 8)
+    require(head.sameElements(Magic),
+      "not an mcap file (bad leading magic); corrupt mcap input")
+    val tail = readAt(open, fileLen - 8, 8)
+    require(tail.sameElements(Magic),
+      "corrupt mcap: bad trailing magic (truncated upload?)")
+    // Footer record is FIXED SIZE (9-byte header + 20-byte payload)
+    // immediately before the trailing magic
+    val footer = readAt(open, fileLen - 8 - 29, 29)
+    require((footer(0) & 0xFF) == OpFooter && leLong(footer, 1) == 20,
+      "corrupt mcap: footer record not found before trailing magic")
+    val summaryStart = leLong(footer, 9)
+
+    val schemas = scala.collection.mutable.Map[Int, McapSchema]()
+    val channels = scala.collection.mutable.Map[Int, McapChannel]()
+    val chunksFromSummary = scala.collection.mutable.ArrayBuffer[McapChunkRef]()
+
+    if (summaryStart > 0) {
+      // summary section runs to the footer record
+      val sumLen = (fileLen - 8 - 29 - summaryStart).toInt
+      val sum = readAt(open, summaryStart, sumLen)
+      chunkRecords(sum).foreach {
+        case (OpSchema, p) => val s = parseSchema(p); schemas(s.id) = s
+        case (OpChannel, p) => val c = parseChannel(p); channels(c.id) = c
+        case (OpChunkIndex, p) =>
+          // message_start_time u64, message_end_time u64,
+          // chunk_start_offset u64, chunk_length u64, then offsets map,
+          // message_index_length u64, compression str, sizes
+          val startT = leLong(p, 0); val endT = leLong(p, 8)
+          val off = leLong(p, 16); val len = leLong(p, 24)
+          // re-read the chunk record HEADER for compression/size/crc:
+          // the index repeats them, but the chunk header is the single
+          // source the executor decodes from — one parse, no skew
+          val hdr = readAt(open, off, 9)
+          require((hdr(0) & 0xFF) == OpChunk,
+            s"chunk index points at non-chunk record (op=${hdr(0) & 0xFF}) at $off")
+          val recLen = leLong(hdr, 1)
+          require(recLen == len - 9,
+            s"chunk index length $len disagrees with chunk record ${recLen + 9} at $off")
+          // chunk header fields precede the records bytes; 64 bytes
+          // covers times+size+crc+compression strings up to 28 chars
+          val ph = readAt(open, off + 9, math.min(recLen, 64L).toInt)
+          val (ref, _, _) = parseChunkHeader(ph, off, recLen)
+          require(ref.messageStartTime == startT && ref.messageEndTime == endT,
+            s"chunk index time range disagrees with chunk header at $off")
+          chunksFromSummary += ref
+        case _ => () // Statistics / SummaryOffset: not needed for planning
+      }
+    }
+
+    // header-only walk of the data section: standalone messages always;
+    // chunks + dimension records only when there was no summary
+    val inline = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val chunksFromWalk = scala.collection.mutable.ArrayBuffer[McapChunkRef]()
+    val in = new DataInputStream(open())
+    try {
+      skipFully(in, 8)
+      var pos = 8L
+      var done = false
+      while (!done) {
+        val op = in.read()
+        if (op < 0) throw new EOFException("mcap ends without a footer record")
+        val lenBuf = new Array[Byte](8); in.readFully(lenBuf)
+        val len = leLong(lenBuf, 0)
+        require(len >= 0 && pos + 9 + len <= fileLen,
+          s"corrupt mcap: record at $pos overruns the file (op=$op len=$len)")
+        op match {
+          case OpFooter => done = true
+          case OpMessage => inline += ((pos, len)); skipFully(in, len)
+          case OpChunk if summaryStart == 0 =>
+            val ph = new Array[Byte](math.min(len, 64L).toInt)
+            in.readFully(ph)
+            val (ref, recOff, recLen) = parseChunkHeader(ph, pos, len)
+            chunksFromWalk += ref
+            // harvest in-chunk Schema/Channel for the no-summary path
+            val rest = new Array[Byte]((len - ph.length).toInt)
+            in.readFully(rest)
+            val full = ph ++ rest
+            val comp = java.util.Arrays.copyOfRange(full, recOff, (recOff + recLen).toInt)
+            chunkRecords(decompress(ref.compression, comp, ref.uncompressedSize,
+              ref.uncompressedCrc)).foreach {
+              case (OpSchema, p) => val s = parseSchema(p); schemas(s.id) = s
+              case (OpChannel, p) => val c = parseChannel(p); channels(c.id) = c
+              case _ => ()
+            }
+          case OpSchema => // standalone dimension records (unchunked files)
+            val p = new Array[Byte](len.toInt); in.readFully(p)
+            val s = parseSchema(p); schemas.getOrElseUpdate(s.id, s)
+          case OpChannel =>
+            val p = new Array[Byte](len.toInt); in.readFully(p)
+            val c = parseChannel(p); channels.getOrElseUpdate(c.id, c)
+          case _ => skipFully(in, len)
+        }
+        pos += 9 + len
+      }
+    } finally in.close()
+
+    // sorted by file offset: chunk_idx must be the stable storage order
+    // even for writers that emit ChunkIndex entries out of order
+    McapIndex(schemas.toMap, channels.toMap,
+      (if (summaryStart > 0) chunksFromSummary else chunksFromWalk)
+        .sortBy(_.fileOffset).toSeq,
+      inline.toSeq)
+  }
+
+  private def readAt(open: () => InputStream, off: Long, n: Int): Array[Byte] = {
+    val in = open()
+    try {
+      in match {
+        case s: org.apache.hadoop.fs.FSDataInputStream =>
+          s.seek(off)
+          val buf = new Array[Byte](n); s.readFully(buf); buf
+        case s =>
+          skipFully(s, off)
+          val buf = new Array[Byte](n)
+          val d = new DataInputStream(s); d.readFully(buf); buf
+      }
+    } finally in.close()
+  }
+
+  private def skipFully(in: InputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() >= 0) left -= 1
+      else throw new EOFException(s"mcap truncated while skipping ($left left)")
+    }
+  }
+
+  // ---- fixture writer (tests + demos; mirrors BagFormat.writeBag) ----
+
+  private def wLeShort(o: ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+  }
+  private def wLeInt(o: ByteArrayOutputStream, v: Long): Unit =
+    (0 until 4).foreach(i => o.write(((v >> (8 * i)) & 0xFF).toInt))
+  private def wLeLong(o: ByteArrayOutputStream, v: Long): Unit =
+    (0 until 8).foreach(i => o.write(((v >> (8 * i)) & 0xFF).toInt))
+  private def wStr(o: ByteArrayOutputStream, s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    wLeInt(o, b.length); o.write(b)
+  }
+  private def record(op: Int, payload: Array[Byte]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(op); wLeLong(o, payload.length); o.write(payload)
+    o.toByteArray
+  }
+  private def schemaRec(s: McapSchema): Array[Byte] = {
+    val p = new ByteArrayOutputStream()
+    wLeShort(p, s.id); wStr(p, s.name); wStr(p, s.encoding)
+    wLeInt(p, s.data.length); p.write(s.data)
+    record(OpSchema, p.toByteArray)
+  }
+  private def channelRec(c: McapChannel): Array[Byte] = {
+    val p = new ByteArrayOutputStream()
+    wLeShort(p, c.id); wLeShort(p, c.schemaId)
+    wStr(p, c.topic); wStr(p, c.messageEncoding)
+    wLeInt(p, 0) // empty metadata map
+    record(OpChannel, p.toByteArray)
+  }
+  private def messageRec(m: McapMessage): Array[Byte] = {
+    val p = new ByteArrayOutputStream()
+    wLeShort(p, m.channelId); wLeInt(p, m.sequence)
+    wLeLong(p, m.logTime); wLeLong(p, m.publishTime); p.write(m.data)
+    record(OpMessage, p.toByteArray)
+  }
+
+  private def compress(compression: String, bytes: Array[Byte]): Array[Byte] =
+    compression match {
+      case "" => bytes
+      case "zstd" => com.github.luben.zstd.Zstd.compress(bytes)
+      case "lz4" =>
+        val bos = new ByteArrayOutputStream()
+        val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        out.write(bytes); out.close()
+        bos.toByteArray
+      case other =>
+        throw new IllegalArgumentException(s"unsupported compression '$other'")
+    }
+
+  /** Write a complete MCAP file. `chunked=true` packs schema/channel/
+    * message records into ONE chunk per `chunkGroups` split and writes
+    * a Summary section with ChunkIndex entries (the spec-conformant
+    * layout); `chunked=false` writes standalone records and summary
+    * schema/channel copies only. `withSummary=false` omits the summary
+    * (summary_start=0) to exercise the fallback walk.
+    */
+  def writeMcap(schemas: Seq[McapSchema], channels: Seq[McapChannel],
+                messages: Seq[McapMessage], compression: String = "",
+                chunked: Boolean = true, chunkGroups: Int = 1,
+                withSummary: Boolean = true): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Magic)
+    val hdr = new ByteArrayOutputStream()
+    wStr(hdr, "ros2"); wStr(hdr, "graft-fixture")
+    out.write(record(OpHeader, hdr.toByteArray))
+    val chunkIdx = scala.collection.mutable.ArrayBuffer[(McapChunkRef, Long)]() // (ref, recordLen+9)
+    if (chunked) {
+      val groups = messages.grouped(math.max(1, math.ceil(
+        messages.size.toDouble / math.max(1, chunkGroups)).toInt)).toSeq
+      groups.zipWithIndex.foreach { case (group, gi) =>
+        val recs = new ByteArrayOutputStream()
+        if (gi == 0) { // dimension records ride the first chunk, per convention
+          schemas.foreach(s => recs.write(schemaRec(s)))
+          channels.foreach(c => recs.write(channelRec(c)))
+        }
+        group.foreach(m => recs.write(messageRec(m)))
+        val raw = recs.toByteArray
+        val crc = new java.util.zip.CRC32(); crc.update(raw, 0, raw.length)
+        val comp = compress(compression, raw)
+        val p = new ByteArrayOutputStream()
+        val startT = group.map(_.logTime).min; val endT = group.map(_.logTime).max
+        wLeLong(p, startT); wLeLong(p, endT)
+        wLeLong(p, raw.length); wLeInt(p, crc.getValue)
+        wStr(p, compression); wLeLong(p, comp.length); p.write(comp)
+        val rec = record(OpChunk, p.toByteArray)
+        val off = out.size().toLong
+        out.write(rec)
+        chunkIdx += ((McapChunkRef(off, rec.length - 9, startT, endT,
+          compression, raw.length, crc.getValue), rec.length.toLong))
+      }
+    } else {
+      schemas.foreach(s => out.write(schemaRec(s)))
+      channels.foreach(c => out.write(channelRec(c)))
+      messages.foreach(m => out.write(messageRec(m)))
+    }
+    val de = new ByteArrayOutputStream(); wLeInt(de, 0)
+    out.write(record(OpDataEnd, de.toByteArray))
+    val summaryStart = if (withSummary) out.size().toLong else 0L
+    if (withSummary) {
+      schemas.foreach(s => out.write(schemaRec(s)))
+      channels.foreach(c => out.write(channelRec(c)))
+      chunkIdx.foreach { case (ref, recLen) =>
+        val p = new ByteArrayOutputStream()
+        wLeLong(p, ref.messageStartTime); wLeLong(p, ref.messageEndTime)
+        wLeLong(p, ref.fileOffset); wLeLong(p, recLen)
+        wLeInt(p, 0) // empty message_index_offsets map
+        wLeLong(p, 0) // message_index_length
+        wStr(p, ref.compression)
+        wLeLong(p, 0); wLeLong(p, ref.uncompressedSize)
+        out.write(record(OpChunkIndex, p.toByteArray))
+      }
+    }
+    val f = new ByteArrayOutputStream()
+    wLeLong(f, summaryStart); wLeLong(f, 0); wLeInt(f, 0)
+    out.write(record(OpFooter, f.toByteArray))
+    out.write(Magic)
+    out.toByteArray
+  }
+}

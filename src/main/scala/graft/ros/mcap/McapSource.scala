@@ -1,0 +1,372 @@
+package graft.ros.mcap
+
+import java.util
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, DataSourceRegister}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 `mcap` batch source — the ROS 2 sibling of the
+  * `rosbag` source (same engine role as the reference's scan loop,
+  * reference rosbag2parquet.cpp:41-63, for the fleet format that
+  * succeeded rosbag1). One InputPartition per Chunk record (MCAP's own
+  * parallelism grain, planned from the Summary section without touching
+  * chunk bodies — the parquet-row-group analog) plus one per file for
+  * any standalone unchunked messages.
+  *
+  * Pushdown surface mirrors the rosbag source: column pruning (the
+  * `data` blob is only materialized when projected), filters on
+  * channel_id/topic/schema_name/log_time evaluated pre-row-construction
+  * with chunk-level time-range pruning and file-level path pruning,
+  * and per-partition limit.
+  *
+  * Usage: `spark.read.format("mcap").load(path)` where path is a file,
+  * directory (its *.mcap children) or glob. Channel/schema dimensions:
+  * `McapTables.channels(spark, path)`.
+  */
+class McapDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "mcap"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    McapDataSource.SpineSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new McapTable(new CaseInsensitiveStringMap(properties).get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object McapDataSource {
+  /** The message-spine schema. MCAP times are nanoseconds since epoch
+    * (u64) — kept as Long `log_time`/`publish_time` (the events table's
+    * ts_ns convention) rather than split sec/nsec like rosbag1.
+    */
+  val SpineSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    // -1 chunk_idx = the file's standalone (unchunked) message segment
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("offset", IntegerType, nullable = false), // ordinal within chunk/segment
+    StructField("log_time", LongType, nullable = false),
+    StructField("publish_time", LongType, nullable = false),
+    StructField("sequence", LongType, nullable = false),
+    StructField("size", IntegerType, nullable = false),
+    StructField("channel_id", IntegerType, nullable = false),
+    StructField("topic", StringType, nullable = false),
+    StructField("schema_name", StringType, nullable = false),
+    StructField("schema_encoding", StringType, nullable = false),
+    StructField("message_encoding", StringType, nullable = false),
+    StructField("data_crc32", LongType, nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+}
+
+class McapTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"mcap:$path"
+  override def schema(): StructType = McapDataSource.SpineSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new McapScanBuilder(path)
+}
+
+class McapScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
+  private var required: StructType = McapDataSource.SpineSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition(McapFilters.supported)
+    pushed = supported
+    residual ++ supported // conservatively keep all as residual upstream
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+  override def build(): Scan = new McapScan(path, required, pushed, limit)
+}
+
+object McapFilters {
+  private val cols = Set("channel_id", "topic", "schema_name", "log_time", "file_path")
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(c, _) => cols(c)
+    case In(c, _) => cols(c)
+    case GreaterThan(c, _) => cols(c)
+    case GreaterThanOrEqual(c, _) => cols(c)
+    case LessThan(c, _) => cols(c)
+    case LessThanOrEqual(c, _) => cols(c)
+    case _ => false
+  }
+
+  /** File-level pruning — exact against the fully-qualified URI, same
+    * contract (and same rationale) as RosbagFilters.bagMayMatch.
+    */
+  def fileMayMatch(f: Filter, path: String): Boolean = f match {
+    case EqualTo("file_path", v) => path == v
+    case In("file_path", vs) => vs.contains(path)
+    case _ => true
+  }
+
+  /** Chunk-level pruning on the chunk's [messageStartTime,
+    * messageEndTime] nanosecond range — conservative, like rosbag
+    * chunk-info pruning.
+    */
+  def chunkMayMatch(f: Filter, c: McapFormat.McapChunkRef): Boolean = {
+    def num(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue()); case _ => None
+    }
+    f match {
+      case GreaterThan("log_time", v) => num(v).forall(x => c.messageEndTime > x)
+      case GreaterThanOrEqual("log_time", v) => num(v).forall(x => c.messageEndTime >= x)
+      case LessThan("log_time", v) => num(v).forall(x => c.messageStartTime < x)
+      case LessThanOrEqual("log_time", v) => num(v).forall(x => c.messageStartTime <= x)
+      case EqualTo("log_time", v) =>
+        num(v).forall(x => c.messageStartTime <= x && x <= c.messageEndTime)
+      case _ => true
+    }
+  }
+
+  // path is REQUIRED — same omission-must-not-compile contract as
+  // RosbagFilters.eval
+  def eval(f: Filter, m: McapFormat.McapMessage, ch: McapFormat.McapChannel,
+           schemaName: String, path: String): Boolean = {
+    def v(c: String): Any = c match {
+      case "channel_id" => m.channelId
+      case "topic" => ch.topic
+      case "schema_name" => schemaName
+      case "log_time" => m.logTime
+      case "file_path" => path
+    }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Int, y: Number) => java.lang.Integer.compare(x, y.intValue())
+      case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue())
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => 0
+    }
+    f match {
+      case EqualTo(c, value) => cmp(v(c), value) == 0
+      case In(c, values) => values.exists(value => cmp(v(c), value) == 0)
+      case GreaterThan(c, value) => cmp(v(c), value) > 0
+      case GreaterThanOrEqual(c, value) => cmp(v(c), value) >= 0
+      case LessThan(c, value) => cmp(v(c), value) < 0
+      case LessThanOrEqual(c, value) => cmp(v(c), value) <= 0
+      case _ => true
+    }
+  }
+}
+
+/** chunk = Some(ref) for a chunk partition; None = the file's
+  * standalone message segment (inline offsets shipped in the partition
+  * — bounded: unchunked files are small by construction, a spec-
+  * conformant large file is fully chunked).
+  */
+final case class McapInputPartition(path: String, chunkIdx: Int,
+    chunk: Option[McapFormat.McapChunkRef], inline: Seq[(Long, Long)],
+    schemas: Map[Int, (String, String)], // schemaId -> (name, encoding)
+    channels: Map[Int, McapFormat.McapChannel]) extends InputPartition
+
+class McapScan(path: String, required: StructType, filters: Array[Filter], limit: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = McapIO.resolveFiles(path)
+      .filter(f => filters.forall(fl => McapFilters.fileMayMatch(fl, f)))
+    files.flatMap { f =>
+      val idx = McapIO.scanIndex(f)
+      val schemaInfo = idx.schemas.map { case (id, s) => id -> (s.name, s.encoding) }
+      val chunkParts = idx.chunks.zipWithIndex
+        .filter { case (c, _) => filters.forall(fl => McapFilters.chunkMayMatch(fl, c)) }
+        .map { case (c, i) =>
+          McapInputPartition(f, i, Some(c), Seq.empty, schemaInfo, idx.channels): InputPartition
+        }
+      val inlinePart =
+        if (idx.inlineMessages.nonEmpty)
+          Seq(McapInputPartition(f, -1, None, idx.inlineMessages,
+            schemaInfo, idx.channels): InputPartition)
+        else Seq.empty
+      chunkParts ++ inlinePart
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new McapReaderFactory(required, filters, limit)
+
+  override def description(): String =
+    s"mcap $path, pushedFilters=[${filters.mkString(", ")}], limit=$limit"
+}
+
+class McapReaderFactory(required: StructType, filters: Array[Filter], limit: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new McapPartitionReader(partition.asInstanceOf[McapInputPartition], required, filters, limit)
+}
+
+class McapPartitionReader(p: McapInputPartition, required: StructType,
+    filters: Array[Filter], limit: Int) extends PartitionReader[InternalRow] {
+
+  private lazy val messages: Iterator[(McapFormat.McapMessage, Int)] = {
+    val raw: Iterator[McapFormat.McapMessage] = p.chunk match {
+      case Some(ref) => McapFormat.chunkMessages(McapIO.readChunk(p.path, ref)).iterator
+      case None => McapIO.readInlineMessages(p.path, p.inline).iterator
+    }
+    val indexed = raw.zipWithIndex
+    val filtered = indexed.filter { case (m, _) =>
+      val ch = p.channels.getOrElse(m.channelId,
+        throw new IllegalStateException(
+          s"message references unknown channel ${m.channelId} in ${p.path}"))
+      val schemaName = p.schemas.get(ch.schemaId).map(_._1).getOrElse("")
+      filters.forall(f => McapFilters.eval(f, m, ch, schemaName, p.path))
+    }
+    if (limit >= 0) filtered.take(limit) else filtered
+  }
+  private var current: McapFormat.McapMessage = _
+  private var currentOffset: Int = -1
+
+  override def next(): Boolean =
+    if (messages.hasNext) {
+      val (m, i) = messages.next(); current = m; currentOffset = i; true
+    } else false
+
+  // one-time compiled extractors + per-channel interned strings — the
+  // same hot-path shape as RosbagPartitionReader
+  private val pathUtf8 = UTF8String.fromString(p.path)
+  private val topicUtf8: Map[Int, UTF8String] =
+    p.channels.map { case (id, c) => id -> UTF8String.fromString(c.topic) }
+  private val msgEncUtf8: Map[Int, UTF8String] =
+    p.channels.map { case (id, c) => id -> UTF8String.fromString(c.messageEncoding) }
+  private val schemaNameUtf8: Map[Int, UTF8String] =
+    p.channels.map { case (id, c) =>
+      id -> UTF8String.fromString(p.schemas.get(c.schemaId).map(_._1).getOrElse("")) }
+  private val schemaEncUtf8: Map[Int, UTF8String] =
+    p.channels.map { case (id, c) =>
+      id -> UTF8String.fromString(p.schemas.get(c.schemaId).map(_._2).getOrElse("")) }
+  private val extractors: Array[() => Any] = required.fields.map { f =>
+    f.name match {
+      case "file_path" => () => pathUtf8
+      case "chunk_idx" => () => p.chunkIdx
+      case "offset" => () => currentOffset
+      case "log_time" => () => current.logTime
+      case "publish_time" => () => current.publishTime
+      case "sequence" => () => current.sequence
+      case "size" => () => current.data.length
+      case "channel_id" => () => current.channelId
+      case "topic" => () => topicUtf8(current.channelId)
+      case "schema_name" => () => schemaNameUtf8(current.channelId)
+      case "schema_encoding" => () => schemaEncUtf8(current.channelId)
+      case "message_encoding" => () => msgEncUtf8(current.channelId)
+      case "data_crc32" => () => graft.ros.bag.RosbagDataSource.crc32(current.data)
+      case "data" => () => current.data
+    }
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) { vals(i) = extractors(i)(); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+  override def close(): Unit = ()
+}
+
+/** Hadoop-FS-backed IO + driver index cache (mirrors RosbagIO). */
+object McapIO {
+  private def fs(path: String) = {
+    val p = new Path(path)
+    (p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()), p)
+  }
+
+  /** file / directory (*.mcap children) / glob → sorted qualified URIs,
+    * same determinism contract as RosbagIO.resolveBags.
+    */
+  def resolveFiles(path: String): Seq[String] = {
+    val (filesystem, p) = fs(path)
+    if (path.exists(c => "*?[]{}".indexOf(c.toInt) >= 0)) {
+      val matches = Option(filesystem.globStatus(p)).getOrElse(Array.empty)
+      val out = matches.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+      require(out.nonEmpty, s"glob matches no files: $path")
+      out
+    } else {
+      val st = filesystem.getFileStatus(p)
+      if (st.isDirectory) {
+        val out = filesystem.listStatus(p)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".mcap"))
+          .map(_.getPath.toString).sorted.toSeq
+        require(out.nonEmpty, s"directory contains no .mcap files: $path")
+        out
+      } else Seq(st.getPath.toString)
+    }
+  }
+
+  // one index per path, latest (mtime, length) version — same shape and
+  // rationale as RosbagIO's cache
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Long, Long), McapFormat.McapIndex)]()
+
+  def scanIndex(path: String): McapFormat.McapIndex = {
+    val (filesystem, p) = fs(path)
+    val st = filesystem.getFileStatus(p)
+    val version = (st.getModificationTime, st.getLen)
+    indexCache.compute(path, (_, cached) =>
+      if (cached != null && cached._1 == version) cached
+      else (version, McapFormat.scanIndex(() => filesystem.open(p), st.getLen))
+    )._2
+  }
+
+  def readChunk(path: String, ref: McapFormat.McapChunkRef): Array[Byte] = {
+    val (filesystem, p) = fs(path)
+    val in = filesystem.open(p)
+    try {
+      in.seek(ref.fileOffset + 9)
+      val payload = new Array[Byte](ref.recordLength.toInt)
+      in.readFully(payload)
+      val (_, recOff, recLen) = McapFormat.parseChunkHeader(
+        payload, ref.fileOffset, ref.recordLength)
+      McapFormat.decompress(ref.compression,
+        java.util.Arrays.copyOfRange(payload, recOff, (recOff + recLen).toInt),
+        ref.uncompressedSize, ref.uncompressedCrc)
+    } finally in.close()
+  }
+
+  def readInlineMessages(path: String, locs: Seq[(Long, Long)]): Seq[McapFormat.McapMessage] = {
+    if (locs.isEmpty) return Seq.empty
+    val (filesystem, p) = fs(path)
+    val in = filesystem.open(p)
+    try locs.map { case (off, len) =>
+      in.seek(off + 9)
+      val payload = new Array[Byte](len.toInt)
+      in.readFully(payload)
+      McapFormat.parseMessage(payload)
+    } finally in.close()
+  }
+}
+
+/** Dimension tables for MCAP inputs — the Connections analog
+  * (reference FlattenedRosWriter.cpp:90-137) for the ROS 2 container.
+  */
+object McapTables {
+  import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+  def channels(spark: SparkSession, path: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("channel_id", IntegerType, nullable = false),
+      StructField("schema_id", IntegerType, nullable = false),
+      StructField("topic", StringType, nullable = false),
+      StructField("message_encoding", StringType, nullable = false),
+      StructField("schema_name", StringType, nullable = true),
+      StructField("schema_encoding", StringType, nullable = true)))
+    val rows = McapIO.resolveFiles(path).flatMap { f =>
+      val idx = McapIO.scanIndex(f)
+      idx.channels.values.toSeq.sortBy(_.id).map { c =>
+        val s = idx.schemas.get(c.schemaId)
+        Row(f, c.id, c.schemaId, c.topic, c.messageEncoding,
+          s.map(_.name).orNull, s.map(_.encoding).orNull)
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}

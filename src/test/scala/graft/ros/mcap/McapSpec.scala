@@ -1,0 +1,153 @@
+package graft.ros.mcap
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import McapFormat._
+
+class McapSpec extends SparkTestBase {
+
+  private def fixtureMessages(n: Int): Seq[McapMessage] =
+    (0 until n).map { i =>
+      McapMessage(channelId = 1 + (i % 2), sequence = i.toLong,
+        logTime = 1700000000000000000L + i * 1000000L,
+        publishTime = 1700000000000000000L + i * 1000000L + 5,
+        data = Array.tabulate(4 + i)(j => ((i * 31 + j) % 127).toByte))
+    }
+
+  private val fixtureSchemas = Seq(
+    McapSchema(1, "sensor_msgs/msg/Imu", "ros2msg", "float64 x\n".getBytes("UTF-8")),
+    McapSchema(2, "std_msgs/msg/String", "ros2msg", "string data\n".getBytes("UTF-8")))
+  private val fixtureChannels = Seq(
+    McapChannel(1, 1, "/imu", "cdr"),
+    McapChannel(2, 2, "/chatter", "cdr"))
+
+  private def writeTemp(bytes: Array[Byte], suffix: String = ".mcap"): String = {
+    val f = java.io.File.createTempFile("graft_mcap", suffix)
+    val out = new java.io.FileOutputStream(f)
+    try out.write(bytes) finally out.close()
+    f.getAbsolutePath
+  }
+
+  test("chunked mcap round-trips through the source (zstd, two chunks)") {
+    val msgs = fixtureMessages(10)
+    val path = writeTemp(writeMcap(fixtureSchemas, fixtureChannels, msgs,
+      compression = "zstd", chunked = true, chunkGroups = 2))
+    val df = spark.read.format("mcap").load(path)
+    val rows = df.orderBy("chunk_idx", "offset").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Int]("chunk_idx")).distinct.toSeq == Seq(0, 1))
+    rows.zip(msgs).foreach { case (r, m) =>
+      assert(r.getAs[Long]("log_time") == m.logTime)
+      assert(r.getAs[Long]("publish_time") == m.publishTime)
+      assert(r.getAs[Long]("sequence") == m.sequence)
+      assert(r.getAs[Int]("channel_id") == m.channelId)
+      assert(r.getAs[Array[Byte]]("data").toSeq == m.data.toSeq)
+      assert(r.getAs[Int]("size") == m.data.length)
+      assert(r.getAs[String]("topic") == (if (m.channelId == 1) "/imu" else "/chatter"))
+      assert(r.getAs[String]("schema_name") ==
+        (if (m.channelId == 1) "sensor_msgs/msg/Imu" else "std_msgs/msg/String"))
+      assert(r.getAs[String]("schema_encoding") == "ros2msg")
+      assert(r.getAs[String]("message_encoding") == "cdr")
+      assert(r.getAs[Long]("data_crc32") ==
+        graft.ros.bag.RosbagDataSource.crc32(m.data))
+    }
+  }
+
+  test("all three compressions and the summary-less walk yield identical rows") {
+    val msgs = fixtureMessages(8)
+    def rowsOf(bytes: Array[Byte]): Seq[(Long, Long, String)] =
+      spark.read.format("mcap").load(writeTemp(bytes))
+        .select("log_time", "sequence", "data").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Array[Byte]](2).map("%02x".format(_)).mkString)).toSeq.sorted
+    val none = rowsOf(writeMcap(fixtureSchemas, fixtureChannels, msgs, ""))
+    val lz4 = rowsOf(writeMcap(fixtureSchemas, fixtureChannels, msgs, "lz4"))
+    val zstd = rowsOf(writeMcap(fixtureSchemas, fixtureChannels, msgs, "zstd"))
+    val noSum = rowsOf(writeMcap(fixtureSchemas, fixtureChannels, msgs, "zstd",
+      withSummary = false))
+    assert(none == lz4 && lz4 == zstd && zstd == noSum && none.length == 8)
+  }
+
+  test("unchunked standalone messages read via the inline segment partition") {
+    val msgs = fixtureMessages(5)
+    val path = writeTemp(writeMcap(fixtureSchemas, fixtureChannels, msgs, chunked = false))
+    val df = spark.read.format("mcap").load(path)
+    val rows = df.orderBy("offset").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Int]("chunk_idx") == -1))
+    assert(rows.map(_.getAs[Long]("sequence")).toSeq == (0L until 5L))
+  }
+
+  test("chunk time-range pruning drops whole chunks from the plan") {
+    val msgs = fixtureMessages(10) // two chunks: logTime split at msg 5
+    val path = writeTemp(writeMcap(fixtureSchemas, fixtureChannels, msgs,
+      chunked = true, chunkGroups = 2))
+    val cut = msgs(5).logTime
+    // plan directly: the second chunk's range is [cut, ...], the first
+    // chunk ends before it
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val scan = new McapScan(path, McapDataSource.SpineSchema,
+      Array(GreaterThanOrEqual("log_time", cut)), -1)
+    assert(scan.planInputPartitions().length == 1, "first chunk must be pruned")
+    // and through the full query path the rows are right
+    val got = spark.read.format("mcap").load(path)
+      .filter(col("log_time") >= cut).count()
+    assert(got == 5)
+  }
+
+  test("topic filter and column pruning work through the query path") {
+    val msgs = fixtureMessages(10)
+    val path = writeTemp(writeMcap(fixtureSchemas, fixtureChannels, msgs, "lz4"))
+    val got = spark.read.format("mcap").load(path)
+      .filter(col("topic") === "/imu").select("sequence")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == msgs.filter(_.channelId == 1).map(_.sequence).sorted)
+  }
+
+  test("channels dimension table lists (channel, schema) per file") {
+    val msgs = fixtureMessages(4)
+    val path = writeTemp(writeMcap(fixtureSchemas, fixtureChannels, msgs))
+    val ch = McapTables.channels(spark, path).collect()
+      .map(r => (r.getAs[Int]("channel_id"), r.getAs[String]("topic"),
+        r.getAs[String]("schema_name"))).toSet
+    assert(ch == Set((1, "/imu", "sensor_msgs/msg/Imu"),
+      (2, "/chatter", "std_msgs/msg/String")))
+  }
+
+  test("corrupt and truncated files fail loudly") {
+    val good = writeMcap(fixtureSchemas, fixtureChannels, fixtureMessages(4))
+    val badMagic = good.clone(); badMagic(0) = 0x00
+    val e1 = intercept[Exception] {
+      spark.read.format("mcap").load(writeTemp(badMagic)).count()
+    }
+    assert(e1.getMessage.contains("mcap") ||
+      Option(e1.getCause).exists(_.getMessage.contains("mcap")))
+    val truncated = good.take(good.length - 20)
+    val e2 = intercept[Exception] {
+      spark.read.format("mcap").load(writeTemp(truncated)).count()
+    }
+    assert(e2.getMessage.contains("magic") ||
+      Option(e2.getCause).exists(_.getMessage.contains("magic")))
+  }
+
+  test("directory load resolves *.mcap children; file_path pruning plans one file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcap_dir").toFile
+    val m1 = fixtureMessages(3); val m2 = fixtureMessages(4)
+    def writeTo(name: String, msgs: Seq[McapMessage]): Unit = {
+      val out = new java.io.FileOutputStream(new java.io.File(dir, name))
+      try out.write(writeMcap(fixtureSchemas, fixtureChannels, msgs)) finally out.close()
+    }
+    writeTo("a.mcap", m1); writeTo("b.mcap", m2)
+    val df = spark.read.format("mcap").load(dir.getAbsolutePath)
+    assert(df.count() == 7)
+    val paths = df.select("file_path").distinct().collect().map(_.getString(0)).sorted
+    assert(paths.length == 2 && paths.forall(_.startsWith("file:")))
+    // file-level pruning: an exact file_path equality plans ONE file
+    import org.apache.spark.sql.sources.EqualTo
+    val scan = new McapScan(dir.getAbsolutePath, McapDataSource.SpineSchema,
+      Array(EqualTo("file_path", paths.head)), -1)
+    assert(scan.planInputPartitions().forall(
+      _.asInstanceOf[McapInputPartition].path == paths.head))
+    assert(df.filter(col("file_path") === paths.head).count() == 3)
+  }
+}
