@@ -32,10 +32,21 @@ import org.apache.spark.unsafe.types.UTF8String
 class McapDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "mcap"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    McapDataSource.SpineSchema
+    Option(options.get("schema_name")) match {
+      case Some(sn) =>
+        val t = McapTypedRead.resolveTarget(options.get("path"), sn)
+        McapTypedRead.typedSchema(Ros2Msg.bundle(t.schemaName, t.schemaText),
+          options.getBoolean("includeRaw", false))
+      case None => McapDataSource.SpineSchema
+    }
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new McapTable(new CaseInsensitiveStringMap(properties).get("path"))
+                        properties: util.Map[String, String]): Table = {
+    // case-SENSITIVE properties here vs the case-insensitive inferSchema
+    // view — same pitfall as the rosbag source; normalize first
+    val opts = new CaseInsensitiveStringMap(properties)
+    new McapTable(opts.get("path"), Option(opts.get("schema_name")),
+      opts.getBoolean("includeRaw", false))
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -62,30 +73,45 @@ object McapDataSource {
     StructField("data", BinaryType, nullable = false)))
 }
 
-class McapTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"mcap:$path"
-  override def schema(): StructType = McapDataSource.SpineSchema
+class McapTable(path: String, schemaName: Option[String] = None,
+                includeRaw: Boolean = false) extends Table with SupportsRead {
+  private lazy val target: Option[McapTypedRead.TypedTarget] =
+    schemaName.map(sn => McapTypedRead.resolveTarget(path, sn))
+  override def name(): String = s"mcap:$path${schemaName.map(":" + _).getOrElse("")}"
+  override def schema(): StructType = target match {
+    case Some(t) =>
+      McapTypedRead.typedSchema(Ros2Msg.bundle(t.schemaName, t.schemaText), includeRaw)
+    case None => McapDataSource.SpineSchema
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new McapScanBuilder(path)
+    new McapScanBuilder(path, schema(), target, includeRaw)
 }
 
-class McapScanBuilder(path: String) extends ScanBuilder
+class McapScanBuilder(path: String, fullSchema: StructType,
+    typed: Option[McapTypedRead.TypedTarget] = None, includeRaw: Boolean = false)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit {
-  private var required: StructType = McapDataSource.SpineSchema
+  private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, residual) = filters.partition(McapFilters.supported)
+    // typed reads push only meta-column filters (payload columns never
+    // reach the reader's eval), like the rosbag typed path
+    val pushable: Filter => Boolean =
+      if (typed.isDefined) f => McapFilters.supported(f) &&
+        f.references.forall(Set("channel_id", "topic", "log_time", "file_path"))
+      else McapFilters.supported
+    val (supported, residual) = filters.partition(pushable)
     pushed = supported
     residual ++ supported // conservatively keep all as residual upstream
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pushLimit(l: Int): Boolean = { limit = l; false }
-  override def build(): Scan = new McapScan(path, required, pushed, limit)
+  override def build(): Scan = new McapScan(path, required, pushed, limit, typed, includeRaw)
 }
 
 object McapFilters {
@@ -167,13 +193,15 @@ final case class McapInputPartition(path: String, chunkIdx: Int,
     schemas: Map[Int, (String, String)], // schemaId -> (name, encoding)
     channels: Map[Int, McapFormat.McapChannel]) extends InputPartition
 
-class McapScan(path: String, required: StructType, filters: Array[Filter], limit: Int)
+class McapScan(path: String, required: StructType, filters: Array[Filter], limit: Int,
+    typed: Option[McapTypedRead.TypedTarget] = None, includeRaw: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = McapIO.resolveFiles(path)
+    // typed reads plan only the files carrying the resolved schema
+    val files = typed.map(_.files).getOrElse(McapIO.resolveFiles(path))
       .filter(f => filters.forall(fl => McapFilters.fileMayMatch(fl, f)))
     files.flatMap { f =>
       val idx = McapIO.scanIndex(f)
@@ -192,11 +220,15 @@ class McapScan(path: String, required: StructType, filters: Array[Filter], limit
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new McapReaderFactory(required, filters, limit)
+  override def createReaderFactory(): PartitionReaderFactory = typed match {
+    case Some(t) => new McapTypedReaderFactory(t.schemaName, t.schemaText,
+      required, includeRaw, filters)
+    case None => new McapReaderFactory(required, filters, limit)
+  }
 
   override def description(): String =
-    s"mcap $path, pushedFilters=[${filters.mkString(", ")}], limit=$limit"
+    s"mcap $path${typed.map(t => s" typed=${t.schemaName}").getOrElse("")}, " +
+      s"pushedFilters=[${filters.mkString(", ")}], limit=$limit"
 }
 
 class McapReaderFactory(required: StructType, filters: Array[Filter], limit: Int)
@@ -342,6 +374,131 @@ object McapIO {
       McapFormat.parseMessage(payload)
     } finally in.close()
   }
+}
+
+/** Typed MCAP reads: `option("schema_name", "pkg/msg/Type")` flattens
+  * the CDR payload into columns — the ROS 2 sibling of
+  * RosbagTypedRead (reference MessageTable.cpp flattening, O5-O8, over
+  * the successor container + serialization).
+  */
+object McapTypedRead {
+  val MetaFields: Seq[StructField] = Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("offset", IntegerType, nullable = false),
+    StructField("log_time", LongType, nullable = false),
+    StructField("publish_time", LongType, nullable = false),
+    StructField("sequence", LongType, nullable = false),
+    StructField("channel_id", IntegerType, nullable = false),
+    StructField("topic", StringType, nullable = false))
+
+  private val reserved = MetaFields.map(_.name).toSet + "data"
+
+  /** ONE schema text (drift across files fails loudly — the md5-drift
+    * contract of the rosbag typed read, keyed on the schema bytes) and
+    * the files that carry it.
+    */
+  final case class TypedTarget(schemaName: String, schemaText: String, files: Seq[String])
+
+  def resolveTarget(path: String, schemaName: String): TypedTarget = {
+    val variants = McapIO.resolveFiles(path).flatMap { f =>
+      McapIO.scanIndex(f).schemas.values
+        .filter(_.name == schemaName)
+        .map { s =>
+          require(s.encoding == "ros2msg",
+            s"schema $schemaName in $f has encoding '${s.encoding}'; typed " +
+              "mcap reads support ros2msg")
+          (new String(s.data, java.nio.charset.StandardCharsets.UTF_8), f)
+        }
+    }
+    require(variants.nonEmpty, s"schema $schemaName not present in $path")
+    val byText = variants.groupBy(_._1)
+    require(byText.size == 1,
+      s"schema $schemaName has ${byText.size} definition variants across $path — " +
+        "split the load by file (schema drift must not silently mis-decode)")
+    val (text, vs) = byText.head
+    TypedTarget(schemaName, text, vs.map(_._2).distinct)
+  }
+
+  def typedSchema(bundle: graft.ros.RosMsgBundle, includeRaw: Boolean): StructType = {
+    val payload = graft.ros.RosSchemaMapper.flatSchema(bundle).fields.map(f =>
+      if (reserved(f.name)) f.copy(name = f.name + "_field") else f)
+    val raw = if (includeRaw) Seq(StructField("data", BinaryType, nullable = false)) else Nil
+    StructType(MetaFields ++ payload ++ raw)
+  }
+}
+
+class McapTypedReaderFactory(schemaName: String, schemaText: String,
+    required: StructType, includeRaw: Boolean, filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new McapTypedPartitionReader(partition.asInstanceOf[McapInputPartition],
+      schemaName, schemaText, required, includeRaw, filters)
+}
+
+class McapTypedPartitionReader(p: McapInputPartition, schemaName: String,
+    schemaText: String, required: StructType, includeRaw: Boolean,
+    filters: Array[Filter]) extends PartitionReader[InternalRow] {
+  import McapTypedRead._
+
+  private lazy val bundle = Ros2Msg.bundle(schemaName, schemaText)
+  private lazy val fullSchema = typedSchema(bundle, includeRaw)
+  private lazy val projection: Array[Int] =
+    required.fields.map(f => fullSchema.fieldIndex(f.name))
+  // channels of THIS schema; cdr is the only message encoding we decode
+  private lazy val typeChannels: Map[Int, McapFormat.McapChannel] =
+    p.channels.filter { case (_, c) =>
+      p.schemas.get(c.schemaId).exists(_._1 == schemaName) }
+  private lazy val messages: Iterator[(McapFormat.McapMessage, Int)] = {
+    val raw = p.chunk match {
+      case Some(ref) => McapFormat.chunkMessages(McapIO.readChunk(p.path, ref)).iterator
+      case None => McapIO.readInlineMessages(p.path, p.inline).iterator
+    }
+    raw.zipWithIndex
+      .filter { case (m, _) => typeChannels.contains(m.channelId) }
+      .filter { case (m, _) =>
+        filters.forall(f => McapFilters.eval(f, m, typeChannels(m.channelId),
+          schemaName, p.path))
+      }
+  }
+  private var current: McapFormat.McapMessage = _
+  private var currentOffset: Int = -1
+  private val pathUtf8 = UTF8String.fromString(p.path)
+  private lazy val topicUtf8: Map[Int, UTF8String] =
+    p.channels.map { case (id, c) => id -> UTF8String.fromString(c.topic) }
+
+  override def next(): Boolean =
+    if (messages.hasNext) {
+      val (m, i) = messages.next()
+      require(typeChannels(m.channelId).messageEncoding == "cdr",
+        s"channel ${m.channelId} encodes messages as " +
+          s"'${typeChannels(m.channelId).messageEncoding}'; typed reads decode cdr")
+      current = m; currentOffset = i; true
+    } else false
+
+  private lazy val needsPayload: Boolean =
+    projection.exists(i => i >= MetaFields.size &&
+      !(includeRaw && i == fullSchema.size - 1))
+
+  override def get(): InternalRow = {
+    val nFields = fullSchema.size
+    val full = new Array[Any](nFields)
+    full(0) = pathUtf8; full(1) = p.chunkIdx; full(2) = currentOffset
+    full(3) = current.logTime; full(4) = current.publishTime
+    full(5) = current.sequence; full(6) = current.channelId
+    full(7) = topicUtf8(current.channelId)
+    if (includeRaw) full(nFields - 1) = current.data
+    if (needsPayload) {
+      val vals = CdrCodec.decode(bundle, current.data)
+      var i = 0
+      val it = vals.iterator
+      while (it.hasNext) { full(MetaFields.size + i) = it.next(); i += 1 }
+    }
+    InternalRow.fromSeq(projection.toSeq.map { i =>
+      graft.ros.bag.RosbagTypedRead.toCatalyst(full(i), fullSchema.fields(i).dataType)
+    })
+  }
+  override def close(): Unit = ()
 }
 
 /** Dimension tables for MCAP inputs — the Connections analog

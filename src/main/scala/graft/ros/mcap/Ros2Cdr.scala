@@ -1,0 +1,308 @@
+package graft.ros.mcap
+
+import graft.ros._
+import graft.ros.RosPrimitive._
+
+/** ROS 2 message definitions + CDR serialization for MCAP typed reads.
+  *
+  * `Ros2Msg` normalizes the `ros2msg` schema text (what MCAP Schema
+  * records carry for ROS 2 bags) down to the ROS 1 msg grammar that
+  * `MsgDefParser` already reads — the two formats share the field
+  * grammar; ROS 2 adds bounded strings/sequences, inline default
+  * values, and three-segment type names (`pkg/msg/Type`), none of
+  * which change the WIRE layout. `CdrCodec` then decodes the message
+  * payload per XCDR1 ("cdr" message encoding): a 4-byte encapsulation
+  * header followed by little/big-endian primitives each aligned to
+  * their own size relative to the post-header origin — the alignment
+  * being the one rule ROS 1's packed format doesn't have.
+  *
+  * Same engine role as RosSchemaMapper.decode for rosbag1 (reference
+  * MessageTable.cpp:40-225); output is aligned with the SAME
+  * `RosSchemaMapper.flatSchema`, so every downstream layer (typed
+  * schema, ETL, queries) is shared between the two container formats.
+  */
+object Ros2Msg {
+
+  /** Rewrite one ros2msg definition (root + `===`-separated dependent
+    * blocks) into MsgDefParser's grammar:
+    *  - `pkg/msg/Type` → `pkg/Type` in MSG: headers and field types;
+    *  - bounded strings `string<=N` → `string` (CDR serializes bounded
+    *    and unbounded strings identically);
+    *  - bounded sequences `T[<=N]` → `T[]` (same reasoning);
+    *  - inline default values (`int32 x 5`, `string s "hi"`) stripped
+    *    (defaults are a codegen concern, not a wire one);
+    *  - `byte`/`char` → `uint8` (the ROS 2 semantics; ROS 1 aliased
+    *    byte to int8);
+    *  - `wstring` rejected loudly (UTF-16 payloads need a decode
+    *    policy, not a silent mojibake).
+    */
+  def normalize(definition: String): String =
+    definition.linesIterator.map { raw =>
+      val trimmed = raw.trim
+      if (trimmed.startsWith("MSG:"))
+        "MSG: " + collapseMsg(trimmed.stripPrefix("MSG:").trim)
+      else if (trimmed.isEmpty || trimmed.startsWith("#") || trimmed.matches("=+"))
+        raw
+      else {
+        // split off the comment so default-stripping can't eat it; a
+        // '#' inside a string CONSTANT stays (constants keep the rest
+        // of the line verbatim, handled below)
+        val code = trimmed
+        val sp = code.indexWhere(c => c == ' ' || c == '\t')
+        if (sp <= 0) raw
+        else {
+          val typeStr = normalizeType(code.substring(0, sp))
+          val rest = code.substring(sp).trim
+          if (rest.contains("=")) s"$typeStr $rest" // constant: keep value verbatim
+          else {
+            // field with optional default: keep only the name token
+            val name = rest.takeWhile(c => c != ' ' && c != '\t' && c != '#')
+            s"$typeStr $name"
+          }
+        }
+      }
+    }.mkString("\n")
+
+  private def collapseMsg(name: String): String =
+    name.split("/") match {
+      case Array(pkg, "msg", tpe) => s"$pkg/$tpe"
+      case _ => name
+    }
+
+  private def normalizeType(t: String): String = {
+    require(!t.startsWith("wstring"),
+      s"wstring fields are not supported (UTF-16 wire payload): $t")
+    // split base type from array suffix
+    val (base0, arr) = t.indexOf('[') match {
+      case -1 => (t, "")
+      case i => (t.substring(0, i), t.substring(i))
+    }
+    val base1 = if (base0.startsWith("string<=")) "string" else base0
+    val base2 = base1 match {
+      case "byte" | "char" => "uint8"
+      case b => collapseMsg(b)
+    }
+    // bounded sequence [<=N] → []; bounded-capacity [N] stays fixed
+    val arrNorm = if (arr.startsWith("[<=")) "[]" else arr
+    base2 + arrNorm
+  }
+
+  private val BuiltinTimeDefs =
+    """================================================================================
+      |MSG: builtin_interfaces/Time
+      |int32 sec
+      |uint32 nanosec
+      |================================================================================
+      |MSG: builtin_interfaces/Duration
+      |int32 sec
+      |uint32 nanosec""".stripMargin
+
+  /** Parse a ros2msg schema into the shared bundle form. The
+    * builtin_interfaces Time/Duration definitions are appended when the
+    * writer omitted them from the dependency closure (common: they are
+    * "well-known" to ROS 2 tooling).
+    */
+  def bundle(schemaName: String, definition: String): RosMsgBundle = {
+    val root = collapseMsg(schemaName)
+    val norm = normalize(definition)
+    val withBuiltins =
+      if (norm.contains("MSG: builtin_interfaces/Time")) norm
+      else norm + "\n" + BuiltinTimeDefs
+    MsgDefParser.parse(root, withBuiltins)
+  }
+}
+
+/** XCDR1 decode/encode against a RosMsgBundle, value-aligned with
+  * `RosSchemaMapper.flatSchema` (same contract as
+  * RosSchemaMapper.decode/encode for the ROS 1 wire format).
+  */
+object CdrCodec {
+  import org.apache.spark.sql.Row
+
+  private final class Reader(bytes: Array[Byte]) {
+    require(bytes.length >= 4, s"cdr payload shorter than its encapsulation header")
+    // {0x00, representation, options u16}: 0x00=CDR_BE, 0x01=CDR_LE
+    private val le: Boolean = (bytes(1) & 0xFF) match {
+      case 0x01 => true
+      case 0x00 => false
+      case other => throw new IllegalArgumentException(
+        f"unsupported cdr representation id 0x$other%02x (XCDR2/PL_CDR not handled)")
+    }
+    private var pos = 4
+    def align(n: Int): Unit = {
+      val rem = (pos - 4) % n
+      if (rem != 0) pos += n - rem
+    }
+    private def take(n: Int): Int = {
+      require(pos + n <= bytes.length,
+        s"cdr decode overruns the payload at $pos (+$n of ${bytes.length})")
+      val p = pos; pos += n; p
+    }
+    def u8(): Int = bytes(take(1)) & 0xFF
+    def i8(): Int = bytes(take(1)).toInt
+    def u16(): Int = { align(2); val o = take(2); bits(o, 2).toInt }
+    def i16(): Int = u16().toShort.toInt
+    def u32(): Long = { align(4); val o = take(4); bits(o, 4) }
+    def i32(): Int = u32().toInt
+    def i64(): Long = { align(8); val o = take(8); bits(o, 8) }
+    def f32(): Float = java.lang.Float.intBitsToFloat(i32())
+    def f64(): Double = java.lang.Double.longBitsToDouble(i64())
+    def blob(n: Int): Array[Byte] = {
+      val o = take(n); java.util.Arrays.copyOfRange(bytes, o, o + n)
+    }
+    def string(): String = {
+      val n = u32().toInt // length INCLUDES the null terminator
+      require(n >= 0, s"negative cdr string length $n")
+      val raw = blob(n)
+      val end = if (n > 0 && raw(n - 1) == 0) n - 1 else n
+      new String(raw, 0, end, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    private def bits(o: Int, n: Int): Long = {
+      var v = 0L
+      if (le) { var i = n - 1; while (i >= 0) { v = (v << 8) | (bytes(o + i) & 0xFFL); i -= 1 } }
+      else { var i = 0; while (i < n) { v = (v << 8) | (bytes(o + i) & 0xFFL); i += 1 } }
+      v
+    }
+    def remaining: Int = bytes.length - pos
+  }
+
+  /** Decode one CDR message payload into values aligned with
+    * `RosSchemaMapper.flatSchema(bundle)`. Trailing padding up to 3
+    * bytes is tolerated (writers pad the final primitive's alignment);
+    * anything more is a schema/payload mismatch and fails loudly.
+    */
+  def decode(bundle: RosMsgBundle, bytes: Array[Byte]): Seq[Any] = {
+    val r = new Reader(bytes)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    decodeMsg(bundle, bundle.root, r, out)
+    require(r.remaining <= 3,
+      s"cdr decode left ${r.remaining} bytes unread of ${bytes.length} — schema/payload mismatch")
+    out.toSeq
+  }
+
+  private def decodeMsg(bundle: RosMsgBundle, msg: RosMsgDef, r: Reader,
+                        out: scala.collection.mutable.ArrayBuffer[Any]): Unit =
+    msg.fields.filterNot(_.isConstant).foreach { f =>
+      f.tpe match {
+        case RTime | RDuration => out += r.i32(); out += r.i32()
+        case p: RosPrimitive => out += scalar(p, r)
+        case ref: RosMsgRef => decodeMsg(bundle, bundle.resolve(ref, msg.pkg), r, out)
+        case RosArray(RUInt8 | RByte | RChar | RInt8, fixedLen) =>
+          val n = fixedLen.getOrElse(r.u32().toInt)
+          out += r.blob(n)
+        case RosArray(RTime | RDuration, fixedLen) =>
+          val n = fixedLen.getOrElse(r.u32().toInt)
+          out += Seq.fill(n)(Row(r.i32(), r.i32()))
+        case RosArray(p: RosPrimitive, fixedLen) =>
+          val n = fixedLen.getOrElse(r.u32().toInt)
+          out += Seq.fill(n)(scalar(p, r))
+        case RosArray(ref: RosMsgRef, fixedLen) =>
+          val n = fixedLen.getOrElse(r.u32().toInt)
+          val sub = bundle.resolve(ref, msg.pkg)
+          out += Seq.fill(n) {
+            val vals = scala.collection.mutable.ArrayBuffer[Any]()
+            decodeMsg(bundle, sub, r, vals)
+            Row.fromSeq(vals.toSeq)
+          }
+        case RosArray(_: RosArray, _) =>
+          throw new IllegalArgumentException("arrays of arrays are not in the ROS IDL")
+      }
+    }
+
+  private def scalar(p: RosPrimitive, r: Reader): Any = p match {
+    case RBool => r.u8() != 0
+    case RInt8 | RByte => r.i8()
+    case RUInt8 | RChar => r.u8()
+    case RInt16 => r.i16()
+    case RUInt16 => r.u16()
+    case RInt32 => r.i32()
+    case RUInt32 => r.u32()
+    case RInt64 | RUInt64 => r.i64() // uint64 reinterpreted, as in ros1 path
+    case RFloat32 => r.f32()
+    case RFloat64 => r.f64()
+    case RString => r.string()
+    case RTime | RDuration => throw new IllegalStateException("handled by caller")
+  }
+
+  // ---- encoder (fixtures + round-trip property tests) ----
+
+  private final class Writer {
+    private val buf = new java.io.ByteArrayOutputStream()
+    buf.write(0x00); buf.write(0x01); buf.write(0x00); buf.write(0x00) // CDR_LE
+    private def pos: Int = buf.size()
+    def align(n: Int): Unit = {
+      val rem = (pos - 4) % n
+      if (rem != 0) (0 until n - rem).foreach(_ => buf.write(0))
+    }
+    def u8(v: Int): Unit = buf.write(v & 0xFF)
+    def u16(v: Int): Unit = { align(2); buf.write(v & 0xFF); buf.write((v >> 8) & 0xFF) }
+    def u32(v: Long): Unit = { align(4); (0 until 4).foreach(i => buf.write(((v >> (8 * i)) & 0xFF).toInt)) }
+    def u64(v: Long): Unit = { align(8); (0 until 8).foreach(i => buf.write(((v >> (8 * i)) & 0xFF).toInt)) }
+    def blob(b: Array[Byte]): Unit = buf.write(b)
+    def string(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      u32(b.length + 1); buf.write(b); buf.write(0)
+    }
+    def bytes: Array[Byte] = buf.toByteArray
+  }
+
+  def encode(bundle: RosMsgBundle, values: Seq[Any]): Array[Byte] = {
+    val w = new Writer
+    val it = values.iterator
+    encodeMsg(bundle, bundle.root, it, w)
+    require(!it.hasNext, s"${it.size} leftover values after encode")
+    w.bytes
+  }
+
+  private def encodeMsg(bundle: RosMsgBundle, msg: RosMsgDef, it: Iterator[Any],
+                        w: Writer): Unit =
+    msg.fields.filterNot(_.isConstant).foreach { f =>
+      f.tpe match {
+        case RTime | RDuration =>
+          w.u32(it.next().asInstanceOf[Int].toLong)
+          w.u32(it.next().asInstanceOf[Int].toLong)
+        case p: RosPrimitive => encScalar(p, it.next(), w)
+        case ref: RosMsgRef => encodeMsg(bundle, bundle.resolve(ref, msg.pkg), it, w)
+        case RosArray(RUInt8 | RByte | RChar | RInt8, fixedLen) =>
+          val b = it.next().asInstanceOf[Array[Byte]]
+          fixedLen match {
+            case Some(n) => require(b.length == n, s"fixed array ${f.name}: ${b.length} != $n")
+            case None => w.u32(b.length.toLong)
+          }
+          w.blob(b)
+        case RosArray(elem, fixedLen) =>
+          val xs = it.next().asInstanceOf[Seq[Any]]
+          fixedLen match {
+            case Some(n) => require(xs.length == n, s"fixed array ${f.name}: ${xs.length} != $n")
+            case None => w.u32(xs.length.toLong)
+          }
+          elem match {
+            case RTime | RDuration => xs.foreach { x =>
+              val row = x.asInstanceOf[Row]
+              w.u32(row.getInt(0).toLong); w.u32(row.getInt(1).toLong)
+            }
+            case p: RosPrimitive => xs.foreach(x => encScalar(p, x, w))
+            case ref: RosMsgRef =>
+              val sub = bundle.resolve(ref, msg.pkg)
+              xs.foreach(x => encodeMsg(bundle, sub, x.asInstanceOf[Row].toSeq.iterator, w))
+            case _: RosArray =>
+              throw new IllegalArgumentException("arrays of arrays are not in the ROS IDL")
+          }
+      }
+    }
+
+  // numeric values arrive as whatever box the caller had (decode emits
+  // Int for narrow types, Long for uint32 — and Rows round-tripped
+  // through catalyst can widen); accept any Number of sufficient range
+  private def encScalar(p: RosPrimitive, v: Any, w: Writer): Unit = p match {
+    case RBool => w.u8(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case RInt8 | RByte | RUInt8 | RChar => w.u8(v.asInstanceOf[Number].intValue)
+    case RInt16 | RUInt16 => w.u16(v.asInstanceOf[Number].intValue)
+    case RInt32 | RUInt32 => w.u32(v.asInstanceOf[Number].longValue)
+    case RInt64 | RUInt64 => w.u64(v.asInstanceOf[Number].longValue)
+    case RFloat32 => w.u32(java.lang.Float.floatToIntBits(v.asInstanceOf[Number].floatValue).toLong & 0xFFFFFFFFL)
+    case RFloat64 => w.u64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Number].doubleValue))
+    case RString => w.string(v.asInstanceOf[String])
+    case RTime | RDuration => throw new IllegalStateException("handled by caller")
+  }
+}

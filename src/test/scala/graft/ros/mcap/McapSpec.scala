@@ -130,6 +130,69 @@ class McapSpec extends SparkTestBase {
       Option(e2.getCause).exists(_.getMessage.contains("magic")))
   }
 
+  test("typed read flattens CDR payloads into columns") {
+    val imuSchema =
+      """std_msgs/msg/Header header
+        |float64 ax
+        |float64 ay
+        |================================================================================
+        |MSG: std_msgs/msg/Header
+        |builtin_interfaces/Time stamp
+        |string frame_id""".stripMargin
+    val bundle = Ros2Msg.bundle("sensor_msgs/msg/Imu", imuSchema)
+    val schemas = Seq(McapSchema(1, "sensor_msgs/msg/Imu", "ros2msg",
+      imuSchema.getBytes("UTF-8")), fixtureSchemas(1))
+    val channels = Seq(McapChannel(1, 1, "/imu", "cdr"), McapChannel(2, 2, "/chatter", "cdr"))
+    val msgs = (0 until 6).map { i =>
+      if (i % 3 == 2) // a /chatter message the typed read must skip
+        McapMessage(2, i.toLong, 100L + i, 100L + i, Array[Byte](0, 1, 0, 0, 5, 0, 0, 0, 'h', 'i', 'x', 'y', 0))
+      else
+        McapMessage(1, i.toLong, 100L + i, 100L + i,
+          CdrCodec.encode(bundle, Seq(10 + i, (20 + i).toLong, s"frame$i", 1.5 * i, -2.5 * i)))
+    }
+    val path = writeTemp(writeMcap(schemas, channels, msgs, "zstd"))
+    val df = spark.read.format("mcap").option("schema_name", "sensor_msgs/msg/Imu").load(path)
+    assert(df.schema.fieldNames.toSeq ==
+      McapTypedRead.MetaFields.map(_.name) ++
+        Seq("header_stamp_sec", "header_stamp_nanosec", "header_frame_id", "ax", "ay"))
+    val rows = df.orderBy("offset").collect()
+    assert(rows.length == 4) // chatter messages skipped
+    rows.foreach { r =>
+      val i = r.getAs[Long]("sequence").toInt
+      assert(r.getAs[String]("topic") == "/imu")
+      assert(r.getAs[Int]("header_stamp_sec") == 10 + i)
+      assert(r.getAs[Long]("header_stamp_nanosec") == 20L + i)
+      assert(r.getAs[String]("header_frame_id") == s"frame$i")
+      assert(r.getAs[Double]("ax") == 1.5 * i && r.getAs[Double]("ay") == -2.5 * i)
+    }
+    // meta-only projection never decodes (chatter payloads would throw)
+    assert(df.select("log_time").count() == 4)
+    // pushed meta filter pre-decode
+    assert(df.filter(col("log_time") >= 103L).count() == 2)
+  }
+
+  test("typed read fails loudly on schema drift across files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcap_drift").toFile
+    def write(name: String, text: String): Unit = {
+      val sch = Seq(McapSchema(1, "p/msg/T", "ros2msg", text.getBytes("UTF-8")))
+      val chs = Seq(McapChannel(1, 1, "/t", "cdr"))
+      val b = Ros2Msg.bundle("p/msg/T", text)
+      val ms = Seq(McapMessage(1, 0, 1L, 1L, CdrCodec.encode(b,
+        if (text.contains("int64")) Seq(1L) else Seq(1))))
+      val out = new java.io.FileOutputStream(new java.io.File(dir, name))
+      try out.write(writeMcap(sch, chs, ms)) finally out.close()
+    }
+    write("a.mcap", "int32 x")
+    write("b.mcap", "int64 x")
+    val e = intercept[Exception] {
+      spark.read.format("mcap").option("schema_name", "p/msg/T")
+        .load(dir.getAbsolutePath).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("variants")), msgs(e).mkString(" | "))
+  }
+
   test("directory load resolves *.mcap children; file_path pruning plans one file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mcap_dir").toFile
     val m1 = fixtureMessages(3); val m2 = fixtureMessages(4)
