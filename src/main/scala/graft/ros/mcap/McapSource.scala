@@ -34,7 +34,8 @@ class McapDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Option(options.get("schema_name")) match {
       case Some(sn) =>
-        val t = McapTypedRead.resolveTarget(options.get("path"), sn)
+        val t = McapTypedRead.resolveTarget(options.get("path"), sn,
+          Option(options.get("schema_md5")))
         McapTypedRead.typedSchema(Ros2Msg.bundle(t.schemaName, t.schemaText),
           options.getBoolean("includeRaw", false))
       case None => McapDataSource.SpineSchema
@@ -45,7 +46,7 @@ class McapDataSource extends TableProvider with DataSourceRegister {
     // view — same pitfall as the rosbag source; normalize first
     val opts = new CaseInsensitiveStringMap(properties)
     new McapTable(opts.get("path"), Option(opts.get("schema_name")),
-      opts.getBoolean("includeRaw", false))
+      opts.getBoolean("includeRaw", false), Option(opts.get("schema_md5")))
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -74,9 +75,10 @@ object McapDataSource {
 }
 
 class McapTable(path: String, schemaName: Option[String] = None,
-                includeRaw: Boolean = false) extends Table with SupportsRead {
+                includeRaw: Boolean = false, md5: Option[String] = None)
+    extends Table with SupportsRead {
   private lazy val target: Option[McapTypedRead.TypedTarget] =
-    schemaName.map(sn => McapTypedRead.resolveTarget(path, sn))
+    schemaName.map(sn => McapTypedRead.resolveTarget(path, sn, md5))
   override def name(): String = s"mcap:$path${schemaName.map(":" + _).getOrElse("")}"
   override def schema(): StructType = target match {
     case Some(t) =>
@@ -400,7 +402,16 @@ object McapTypedRead {
     */
   final case class TypedTarget(schemaName: String, schemaText: String, files: Seq[String])
 
-  def resolveTarget(path: String, schemaName: String): TypedTarget = {
+  def md5hex(data: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(data)
+      .map("%02x".format(_)).mkString
+
+  /** `md5` selects a definition VARIANT by md5-of-schema-bytes prefix
+    * when the name drifts across files — the mcap twin of the rosbag
+    * typed read's option("md5") contract (SURVEY §7.4.3).
+    */
+  def resolveTarget(path: String, schemaName: String,
+                    md5: Option[String] = None): TypedTarget = {
     val variants = McapIO.resolveFiles(path).flatMap { f =>
       McapIO.scanIndex(f).schemas.values
         .filter(_.name == schemaName)
@@ -408,16 +419,22 @@ object McapTypedRead {
           require(s.encoding == "ros2msg",
             s"schema $schemaName in $f has encoding '${s.encoding}'; typed " +
               "mcap reads support ros2msg")
-          (new String(s.data, java.nio.charset.StandardCharsets.UTF_8), f)
+          (md5hex(s.data), new String(s.data, java.nio.charset.StandardCharsets.UTF_8), f)
         }
     }
     require(variants.nonEmpty, s"schema $schemaName not present in $path")
-    val byText = variants.groupBy(_._1)
-    require(byText.size == 1,
-      s"schema $schemaName has ${byText.size} definition variants across $path — " +
-        "split the load by file (schema drift must not silently mis-decode)")
-    val (text, vs) = byText.head
-    TypedTarget(schemaName, text, vs.map(_._2).distinct)
+    val byMd5 = variants.groupBy(_._1)
+    val chosen = md5 match {
+      case Some(m) => byMd5.filter { case (k, _) => k.startsWith(m) }
+      case None => byMd5
+    }
+    require(chosen.size == 1,
+      s"schema $schemaName has ${byMd5.size} definition variants across $path " +
+        s"(md5s: ${byMd5.keys.toSeq.sorted.mkString(", ")})" +
+        (if (md5.isDefined) s"; md5 prefix '${md5.get}' matches ${chosen.size}"
+         else "; pass option(\"schema_md5\", <prefix>) to select one"))
+    val (_, vs) = chosen.head
+    TypedTarget(schemaName, vs.head._2, vs.map(_._3).distinct)
   }
 
   def typedSchema(bundle: graft.ros.RosMsgBundle, includeRaw: Boolean): StructType = {

@@ -193,6 +193,46 @@ class McapSpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("variants")), msgs(e).mkString(" | "))
   }
 
+  test("McapEtl routes by schema: spine + channels + per-type tables, drift namespaced") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcap_etl").toFile
+    val imuText = "float64 ax\nfloat64 ay"
+    val imuText2 = "float64 ax\nfloat64 ay\nfloat64 az" // drifted variant
+    val strText = "string data"
+    def write(name: String, imuDef: String, n: Int): Unit = {
+      val schemas = Seq(McapSchema(1, "sensor_msgs/msg/Imu", "ros2msg", imuDef.getBytes("UTF-8")),
+        McapSchema(2, "std_msgs/msg/String", "ros2msg", strText.getBytes("UTF-8")))
+      val channels = Seq(McapChannel(1, 1, "/imu", "cdr"), McapChannel(2, 2, "/chatter", "cdr"))
+      val ib = Ros2Msg.bundle("sensor_msgs/msg/Imu", imuDef)
+      val sb = Ros2Msg.bundle("std_msgs/msg/String", strText)
+      val msgs = (0 until n).map { i =>
+        if (i % 2 == 0) McapMessage(1, i.toLong, 100L + i, 100L + i, CdrCodec.encode(ib,
+          if (imuDef == imuText) Seq(1.0 * i, 2.0 * i) else Seq(1.0 * i, 2.0 * i, 3.0 * i)))
+        else McapMessage(2, i.toLong, 100L + i, 100L + i, CdrCodec.encode(sb, Seq(s"m$i")))
+      }
+      val out = new java.io.FileOutputStream(new java.io.File(dir, name))
+      try out.write(writeMcap(schemas, channels, msgs, "zstd")) finally out.close()
+    }
+    write("a.mcap", imuText, 6)   // 3 imu + 3 chatter
+    write("b.mcap", imuText2, 4)  // 2 imu (drifted) + 2 chatter
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mcap_etl_out").toString
+    val info = McapEtl.run(spark, dir.getAbsolutePath, outDir)
+    assert(info.messages == 10 && info.channels == 4)
+    // one String table (no drift), TWO namespaced Imu variant tables
+    val names = info.tables.keySet
+    assert(names.contains("std_msgs_msg_String"), s"$names")
+    val imuTables = names.filter(_.startsWith("sensor_msgs_msg_Imu__"))
+    assert(imuTables.size == 2, s"$names")
+    assert(info.tables("std_msgs_msg_String") == 5)
+    assert(imuTables.map(info.tables).toSeq.sorted == Seq(2L, 3L))
+    // the drifted variant's table carries its extra column
+    val withAz = imuTables.map(t => spark.read.parquet(s"$outDir/$t.parquet"))
+      .filter(_.schema.fieldNames.contains("az"))
+    assert(withAz.size == 1 && withAz.head.count() == 2)
+    // spine keeps every message (incl. both variants) minus the blob
+    val spine = spark.read.parquet(s"$outDir/Messages.parquet")
+    assert(spine.count() == 10 && !spine.schema.fieldNames.contains("data"))
+  }
+
   test("directory load resolves *.mcap children; file_path pruning plans one file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mcap_dir").toFile
     val m1 = fixtureMessages(3); val m2 = fixtureMessages(4)
