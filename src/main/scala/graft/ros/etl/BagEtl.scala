@@ -167,7 +167,9 @@ object BagEtl {
     */
   private def manifestFsPath(out: String) =
     new org.apache.hadoop.fs.Path(s"$out/_tables.json")
-  private[etl] def readManifest(out: String): Map[(String, String), String] = {
+  // private[ros]: McapEtl keeps the SAME manifest contract for its
+  // (schema_name, md5) table naming, so the two ETLs share one format
+  private[ros] def readManifest(out: String): Map[(String, String), String] = {
     val p = manifestFsPath(out)
     val fs = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     if (!fs.exists(p)) Map.empty
@@ -178,7 +180,7 @@ object BagEtl {
       pair.findAllMatchIn(s).map(m => (m.group(1), m.group(2)) -> m.group(3)).toMap
     }
   }
-  private def writeManifest(out: String, m: Map[(String, String), String]): Unit = {
+  private[ros] def writeManifest(out: String, m: Map[(String, String), String]): Unit = {
     val p = manifestFsPath(out)
     val fs = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     val body = m.toSeq.sortBy(t => (t._1._1, t._1._2))

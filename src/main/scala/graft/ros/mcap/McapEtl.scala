@@ -1,26 +1,58 @@
 package graft.ros.mcap
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Seqno
+import graft.ros.etl.{BagEtl, VerticaDdl}
 
 /** MCAP → parquet-tables ETL: the reference's route-by-type dataflow
   * (O4, reference FlattenedRosWriter.cpp:273-289 + README.md:108-121)
-  * over the ROS 2 container — a Messages spine, a Channels dimension,
-  * and one flattened table per message schema, with the same
-  * drift-namespacing contract as BagEtl: a schema name carrying more
-  * than one definition across the input writes one table per variant
-  * (`<table>__<md5prefix>`), never a silent mis-decode.
+  * over the ROS 2 container, at full contract parity with BagEtl:
   *
-  * Scale shape: every table is one declarative DataFrame write — the
-  * spine and each typed table scan their own pruned column set (typed
-  * scans plan only the files carrying the variant and decode only
-  * matching channels), so Catalyst/DSv2 pushdown does the routing; no
-  * driver-side message loop. Schemas whose encoding is not `ros2msg`
-  * (arbitrary-encoded channels) stay queryable in the spine's raw
-  * `data` column — same "you don't lose any data" retention as the
-  * reference (README.md:106).
+  *  - a `Messages` spine (meta only) with the DENSE GLOBAL `seqno` in
+  *    log-time order (reference FlattenedRosWriter.cpp:195,256 —
+  *    assigned by the distributed prefix-sum operator, never a
+  *    single-partition window);
+  *  - a `Channels` dimension (the Connections analog);
+  *  - one flattened parquet table per `ros2msg` schema, with the same
+  *    drift-namespacing contract as BagEtl: a schema name carrying
+  *    more than one definition across the input writes one table per
+  *    variant (`<table>__<md5prefix>`), never a silent mis-decode, and
+  *    the `_tables.json` manifest (BagEtl's format) keeps the naming
+  *    stable across incremental appends;
+  *  - a `RawMessages` table holding the payload bytes of every channel
+  *    NOT routed to a typed table (non-`ros2msg` schema encodings:
+  *    protobuf, jsonschema, schema-less) — the reference's "you don't
+  *    lose any data" retention (README.md:106). Routed payloads are
+  *    NOT duplicated there (their typed columns — plus the optional
+  *    raw blob on the typed table — are the retention);
+  *  - Vertica DDL (`vertica_load_tables.sql`, O14) for every table
+  *    created by the run;
+  *  - versioned output dirs on `run` and incremental appends via
+  *    `runIncremental` (O18), with Messages as the increment's commit
+  *    record — the same crash-ordering contract as BagEtl.
+  *
+  * Scale shape: ONE scan of the container stages (spine meta + the
+  * unrouted channels' raw bytes) to parquet; the two-pass seqno and
+  * the RawMessages write read the staging table, not the mcap files.
+  * Per-schema tables are typed source reads that plan only the files
+  * carrying the variant and decode only matching channels (the
+  * route-by-type dispatch IS predicate pushdown), running as
+  * concurrent jobs. Ros2msg channels whose message encoding is not
+  * `cdr` fail the typed read loudly (the typed reader's contract)
+  * rather than decode garbage.
+  *
+  * `BagEtl.compact` applies to this layout unchanged (tables carry
+  * `seqno`, so compaction range-partitions and sorts by it).
   */
 object McapEtl {
-  final case class Info(messages: Long, channels: Long, tables: Map[String, Long])
+  /** The reference's `info` result (rosbag2parquet.h:6-10) shape for an
+    * MCAP input, plus the per-type table row counts. `crcXor` is the
+    * bit-xor of per-message CRC32s — order-independent, any single
+    * corrupted message flips it (reference TODO rosbag2parquet.cpp:28).
+    */
+  final case class Info(name: String, messages: Long, channels: Long,
+                        sizeBytes: Long, crcXor: Long, tables: Map[String, Long])
 
   /** Table name from a schema name — the reference's sanitize rule
     * (MessageTable.cpp:315) widened to the ROS 2 three-segment names.
@@ -28,35 +60,245 @@ object McapEtl {
   def tableName(schemaName: String): String =
     schemaName.replaceAll("[^A-Za-z0-9]", "_")
 
-  def run(spark: SparkSession, path: String, outDir: String): Info = {
-    val spine = spark.read.format("mcap").load(path)
-    // spine keeps metadata only — per-type tables carry the payloads,
-    // and non-ros2msg channels keep their raw bytes there via the
-    // spine read below
-    spine.drop("data")
-      .write.mode("errorifexists").parquet(s"$outDir/Messages.parquet")
-    val channels = McapTables.channels(spark, path)
-    channels.write.mode("errorifexists").parquet(s"$outDir/Channels.parquet")
+  /** Run the conversion into a fresh (versioned) output dir.
+    * `maxMessages` mirrors --max_mbs's test-scope-limiting role
+    * (reference main.cpp:26) with row granularity; `keepRawBlob`
+    * retains the raw CDR bytes on typed tables (README.md:106);
+    * `nativeTimestamp` adds a `log_time_ts` TIMESTAMP_NTZ(micros)
+    * column to Messages (reference TODO rosbag2parquet.cpp:31-32) —
+    * floor-of-nanos, built with pure NTZ arithmetic so it is
+    * timezone-independent like BagEtl's.
+    */
+  def run(spark: SparkSession, path: String, outDir: String,
+          maxMessages: Option[Long] = None, keepRawBlob: Boolean = true,
+          nativeTimestamp: Boolean = false): Info =
+    runFiles(spark, McapIO.resolveFiles(path), new java.io.File(path).getName,
+      BagEtl.versionedOutputDir(outDir), maxMessages, keepRawBlob, nativeTimestamp)
 
-    // (name, md5-of-schema-bytes) variants across all files; >1 md5 for
-    // a name = drift -> per-variant namespaced tables
-    val variants: Seq[(String, String)] = McapIO.resolveFiles(path)
-      .flatMap(f => McapIO.scanIndex(f).schemas.values
+  /** Incremental multi-file conversion — BagEtl.runIncremental's
+    * contract over MCAP inputs: ETL only the files under `path` not yet
+    * recorded in `outDir` (done-set = Messages.file_path ∪
+    * Channels.file_path, so a zero-message file with channels is not
+    * re-converted every increment), appending rows with seqnos
+    * continuing after the existing maximum and table naming pinned by
+    * the `_tables.json` manifest. On a fresh/absent outDir this is
+    * exactly `run` without the versioned-dir redirect (a pre-created
+    * outDir must not fork the corpus into outDir.1 on every call).
+    */
+  def runIncremental(spark: SparkSession, path: String, outDir: String,
+          keepRawBlob: Boolean = true, nativeTimestamp: Boolean = false): Info = {
+    val messagesPath = new org.apache.hadoop.fs.Path(s"$outDir/Messages.parquet")
+    val fs = messagesPath.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    val dirName = new java.io.File(path).getName
+    if (!fs.exists(messagesPath))
+      return runFiles(spark, McapIO.resolveFiles(path), dirName, outDir,
+        None, keepRawBlob, nativeTimestamp)
+    val existing = spark.read.parquet(s"$outDir/Messages.parquet")
+    val chanPath = new org.apache.hadoop.fs.Path(s"$outDir/Channels.parquet")
+    val doneChans =
+      if (!fs.exists(chanPath)) Set.empty[String]
+      else spark.read.parquet(s"$outDir/Channels.parquet")
+        .select(col("file_path")).distinct().collect().map(_.getString(0)).toSet
+    val done = existing.select(col("file_path")).distinct()
+      .collect().map(_.getString(0)).toSet ++ doneChans
+    val newFiles = McapIO.resolveFiles(path).filterNot(done)
+    if (newFiles.isEmpty) return Info(dirName, 0L, 0L, 0L, 0L, Map.empty)
+    val maxRow = existing.agg(max(col("seqno"))).head()
+    val offset = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1
+    runFiles(spark, newFiles, dirName, outDir, None, keepRawBlob, nativeTimestamp,
+      seqnoOffset = offset, naming = BagEtl.readManifest(outDir), append = true)
+  }
+
+  /** Spine meta columns (everything but the payload blob). */
+  private val metaColNames = Seq("file_path", "chunk_idx", "offset", "log_time",
+    "publish_time", "sequence", "size", "channel_id", "topic", "schema_name",
+    "schema_encoding", "message_encoding", "data_crc32")
+
+  private def runFiles(spark: SparkSession, files: Seq[String], name: String,
+          out: String, maxMessages: Option[Long], keepRawBlob: Boolean,
+          nativeTimestamp: Boolean, seqnoOffset: Long = 0L,
+          naming: Map[(String, String), String] = Map.empty,
+          append: Boolean = false): Info = {
+    val channels = McapTables.channels(spark, McapDataSource.filesSpec(files))
+
+    // (name, md5-of-schema-bytes) variants across the files, with the
+    // files carrying each; table naming follows BagEtl's manifest rule:
+    // historical names win, a NEW variant of a historically-known name
+    // is always md5-namespaced (the legacy plain table is never renamed)
+    val variants: Seq[(String, String, Seq[String], String)] = {
+      val all = files.flatMap(f => McapIO.scanIndex(f).schemas.values
         .filter(_.encoding == "ros2msg")
-        .map(s => (s.name, McapTypedRead.md5hex(s.data))))
-      .distinct
-    val byName = variants.groupBy(_._1)
-    val tables = variants.map { case (name, m) =>
-      val drifted = byName(name).size > 1
-      val table = tableName(name) + (if (drifted) s"__${m.take(8)}" else "")
-      spark.read.format("mcap")
-        .option("schema_name", name).option("schema_md5", m)
-        .load(path)
-        .write.mode("errorifexists").parquet(s"$outDir/$table.parquet")
-      // row count from the written footers (metadata-only read)
-      table -> spark.read.parquet(s"$outDir/$table.parquet").count()
+        .map(s => (s.name, McapTypedRead.md5hex(s.data), f)))
+      val byName = all.groupBy(_._1)
+      byName.toSeq.sortBy(_._1).flatMap { case (nm, rows) =>
+        val base = tableName(nm)
+        val byMd5 = rows.groupBy(_._2).toSeq.sortBy(_._1)
+        byMd5.map { case (md5, vs) =>
+          val table = naming.getOrElse((nm, md5),
+            if (naming.keys.exists(_._1 == nm)) s"${base}__${md5.take(8)}"
+            else if (byMd5.size == 1) base
+            else s"${base}__${md5.take(8)}")
+          (nm, md5, vs.map(_._3).distinct, table)
+        }
+      }
+    }
+
+    // ONE scan of the container: spine meta for every message, plus the
+    // raw bytes of channels NOT routed to a typed table (nulled for
+    // routed channels, so their blobs never ride this write — the
+    // read-once economics of BagEtl's staged mode, which the mcap
+    // layout gets for free because chunk enumeration decodes the chunk
+    // body anyway).
+    val raw0 = spark.read.format("mcap")
+      .option("files", McapDataSource.filesSpec(files)).load()
+    val raw = maxMessages.map(n => raw0.limit(n.toInt).toDF()).getOrElse(raw0)
+    val stageDir = s"$out/_spine"
+    val metaCols = metaColNames.map(col)
+    raw.select(metaCols :+
+        when(col("schema_encoding") === "ros2msg", lit(null).cast("binary"))
+          .otherwise(col("data")).as("data"): _*)
+      .write.option("compression", "snappy").parquet(stageDir)
+
+    // Global seqno in log-time order with stable storage tie-break —
+    // the two-pass range-partition operator runs against the staged
+    // meta (parquet column pruning skips the raw-bytes pages), never
+    // re-reading the mcap files.
+    val spine0 = Seqno.globalSeqno(
+      spark.read.parquet(stageDir).select(metaCols: _*),
+      Seq(col("log_time"), col("file_path"), col("chunk_idx"), col("offset")))
+    val spine = if (seqnoOffset == 0L) spine0
+      else spine0.withColumn("seqno", col("seqno") + lit(seqnoOffset))
+
+    val messages0 = spine.select(col("seqno") +: metaCols: _*)
+    val messages = if (nativeTimestamp)
+      // floor nanos → micros; NTZ arithmetic (no session-timezone
+      // rendering), same construction as BagEtl's native time column.
+      // log_time is u64 nanos (never negative), so `div` floors.
+      messages0.withColumn("log_time_ts",
+        expr("timestampadd(MICROSECOND, log_time div 1000, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    else messages0
+
+    val writeMode = if (append) SaveMode.Append else SaveMode.ErrorIfExists
+
+    // (file_path, chunk_idx, offset) -> seqno map: ints + the path —
+    // blobs never ride a seqno shuffle; typed tables join on the
+    // stable storage identity.
+    val seqnoDir = s"$out/_seqno"
+    spine.select(col("file_path"), col("chunk_idx"), col("offset"), col("seqno"))
+      .write.option("compression", "snappy").parquet(seqnoDir)
+    val seqnoMap = spark.read.parquet(seqnoDir)
+
+    // typed-table frame columns that are NOT payload
+    val metaInTyped = Set("file_path", "chunk_idx", "offset", "log_time",
+      "publish_time", "sequence", "channel_id", "topic", "data")
+
+    // per-variant tables as CONCURRENT jobs (independent output dirs,
+    // shared read-only seqno map) under one job group: a failure
+    // cancels the siblings instead of racing caller teardown
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobGroup = s"graft-mcap-etl-${java.util.UUID.randomUUID()}"
+    val typeDdl = variants.map { case (nm, md5, vFiles, table) =>
+      Future { scala.concurrent.blocking {
+        spark.sparkContext.setJobGroup(jobGroup, s"per-type $table",
+          interruptOnCancel = true)
+        try {
+          val typed = spark.read.format("mcap")
+            .option("files", McapDataSource.filesSpec(vFiles))
+            .option("schema_name", nm).option("schema_md5", md5)
+            .option("includeRaw", keepRawBlob.toString)
+            .load()
+          val payload = typed.columns.filterNot(metaInTyped)
+          val frame = col("seqno") +: payload.map(col).toSeq :+
+            col("channel_id") :+ col("file_path")
+          val df = typed
+            .join(seqnoMap, Seq("file_path", "chunk_idx", "offset"))
+            .select((if (keepRawBlob) frame :+ col("data") else frame): _*)
+          val tableNew = !append || !pathExists(s"$out/$table.parquet")
+          df.write.mode(writeMode)
+            .option("compression", "snappy").parquet(s"$out/$table.parquet")
+          if (tableNew) VerticaDdl.createTable(table, df.schema) + "\n" else ""
+        } finally spark.sparkContext.clearJobGroup()
+      } }
+    }
+
+    val ddl = new StringBuilder
+    try {
+      Await.result(Future.sequence(typeDdl), Duration.Inf).foreach(ddl ++= _)
+
+      // RawMessages: unrouted channels' payloads, from the staging
+      // table (the mcap files are not re-read). Written only when such
+      // channels exist — decided from the driver-side dimension, no
+      // wasted job otherwise.
+      val hasUnrouted = files.exists { f =>
+        val idx = McapIO.scanIndex(f)
+        idx.channels.values.exists(c =>
+          !idx.schemas.get(c.schemaId).exists(_.encoding == "ros2msg"))
+      }
+      if (hasUnrouted) {
+        val rawTab = spark.read.parquet(stageDir)
+          .filter(col("schema_encoding") =!= "ros2msg")
+          .join(seqnoMap, Seq("file_path", "chunk_idx", "offset"))
+          .select(col("seqno"), col("channel_id"), col("topic"),
+            col("schema_name"), col("schema_encoding"), col("message_encoding"),
+            col("file_path"), col("data"))
+        val rawNew = !append || !pathExists(s"$out/RawMessages.parquet")
+        rawTab.write.mode(writeMode)
+          .option("compression", "snappy").parquet(s"$out/RawMessages.parquet")
+        if (rawNew) ddl ++= VerticaDdl.createTable("RawMessages", rawTab.schema) ++= "\n"
+      }
+
+      // Messages is the increment's COMMIT RECORD (runIncremental's
+      // done-set) — written only after every per-type write succeeded,
+      // same crash-ordering rationale as BagEtl.
+      messages.write.mode(writeMode)
+        .option("compression", "snappy").parquet(s"$out/Messages.parquet")
+      channels.write.mode(writeMode)
+        .option("compression", "snappy").parquet(s"$out/Channels.parquet")
+    } catch { case e: Throwable =>
+      spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
+      throw e
+    } finally {
+      Seq(seqnoDir, stageDir).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()).delete(p, true)
+      }
+    }
+
+    // DDL file (append-preserving) + naming manifest, BagEtl's formats
+    val ddlPath = new org.apache.hadoop.fs.Path(s"$out/vertica_load_tables.sql")
+    val ddlFs = ddlPath.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    val priorDdl =
+      if (append && ddlFs.exists(ddlPath)) {
+        val in = ddlFs.open(ddlPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } else ""
+    val os = ddlFs.create(ddlPath, true)
+    try os.write((priorDdl + ddl.toString)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    BagEtl.writeManifest(out, naming ++
+      variants.map { case (nm, md5, _, table) => (nm, md5) -> table })
+
+    // info from the WRITTEN tables (columnar, metadata-heavy) — not an
+    // mcap re-scan; in append mode the slice covers only this run's files
+    val msgs0 = spark.read.parquet(s"$out/Messages.parquet")
+    val msgs = if (append) msgs0.filter(col("file_path").isin(files: _*)) else msgs0
+    val Row(cnt: Long, size: Long, crc: Long) = msgs
+      .agg(count(lit(1)), coalesce(sum(col("size").cast("long")), lit(0L)),
+        coalesce(expr("bit_xor(data_crc32)"), lit(0L))).head()
+    val tables = variants.map { case (_, _, _, table) =>
+      val t = spark.read.parquet(s"$out/$table.parquet")
+      table -> (if (append) t.filter(col("file_path").isin(files: _*)) else t).count()
     }.toMap
-    Info(spark.read.parquet(s"$outDir/Messages.parquet").count(),
-      channels.count(), tables)
+    val chanCount = channels.count()
+    Info(name, cnt, chanCount, size, crc, tables)
+  }
+
+  private def pathExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()).exists(p)
   }
 }

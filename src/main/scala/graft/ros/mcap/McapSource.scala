@@ -34,7 +34,7 @@ class McapDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Option(options.get("schema_name")) match {
       case Some(sn) =>
-        val t = McapTypedRead.resolveTarget(options.get("path"), sn,
+        val t = McapTypedRead.resolveTarget(McapDataSource.pathSpec(options), sn,
           Option(options.get("schema_md5")))
         McapTypedRead.typedSchema(Ros2Msg.bundle(t.schemaName, t.schemaText),
           options.getBoolean("includeRaw", false))
@@ -45,13 +45,37 @@ class McapDataSource extends TableProvider with DataSourceRegister {
     // case-SENSITIVE properties here vs the case-insensitive inferSchema
     // view — same pitfall as the rosbag source; normalize first
     val opts = new CaseInsensitiveStringMap(properties)
-    new McapTable(opts.get("path"), Option(opts.get("schema_name")),
+    new McapTable(McapDataSource.pathSpec(opts), Option(opts.get("schema_name")),
       opts.getBoolean("includeRaw", false), Option(opts.get("schema_md5")))
   }
   override def supportsExternalMetadata(): Boolean = false
 }
 
 object McapDataSource {
+  /** Explicit-file-list spec: `option("files", filesSpec(paths))` reads
+    * exactly those already-resolved URIs — ONE scan relation over a
+    * file subset (incremental ETL's shape), not an N-way union. Same
+    * contract and separator as the rosbag source's "bags" option
+    * (RosbagSource.scala:80): newline-separated, so a path containing a
+    * newline fails loudly at construction instead of silently splitting.
+    */
+  def filesSpec(files: Seq[String]): String = {
+    files.find(_.contains('\n')).foreach { f =>
+      throw new IllegalArgumentException(
+        "mcap path contains a newline and cannot be passed via the " +
+        s"newline-separated 'files' option: ${f.replace("\n", "\\n")}")
+    }
+    files.mkString("\n")
+  }
+
+  /** The effective path spec of a read: the "files" option when present,
+    * else the load path.
+    */
+  def pathSpec(opts: CaseInsensitiveStringMap): String = {
+    val fs = opts.get("files")
+    if (fs != null && fs.nonEmpty) fs else opts.get("path")
+  }
+
   /** The message-spine schema. MCAP times are nanoseconds since epoch
     * (u64) — kept as Long `log_time`/`publish_time` (the events table's
     * ts_ns convention) rather than split sec/nsec like rosbag1.
@@ -313,10 +337,18 @@ object McapIO {
     (p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()), p)
   }
 
-  /** file / directory (*.mcap children) / glob → sorted qualified URIs,
-    * same determinism contract as RosbagIO.resolveBags.
+  /** file / directory (*.mcap children) / glob / newline-separated
+    * pre-resolved list (McapDataSource.filesSpec) → sorted qualified
+    * URIs, same determinism contract as RosbagIO.resolveBags.
     */
   def resolveFiles(path: String): Seq[String] = {
+    if (path.contains('\n')) {
+      // a filesSpec: entries are already-qualified URIs from a prior
+      // resolveFiles call; re-sort for the same determinism contract
+      val out = path.split('\n').toSeq.filter(_.nonEmpty).sorted
+      require(out.nonEmpty, "empty mcap files spec")
+      return out
+    }
     val (filesystem, p) = fs(path)
     if (path.exists(c => "*?[]{}".indexOf(c.toInt) >= 0)) {
       val matches = Option(filesystem.globStatus(p)).getOrElse(Array.empty)

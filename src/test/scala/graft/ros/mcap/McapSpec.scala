@@ -193,30 +193,36 @@ class McapSpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("variants")), msgs(e).mkString(" | "))
   }
 
-  test("McapEtl routes by schema: spine + channels + per-type tables, drift namespaced") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_mcap_etl").toFile
-    val imuText = "float64 ax\nfloat64 ay"
-    val imuText2 = "float64 ax\nfloat64 ay\nfloat64 az" // drifted variant
-    val strText = "string data"
-    def write(name: String, imuDef: String, n: Int): Unit = {
-      val schemas = Seq(McapSchema(1, "sensor_msgs/msg/Imu", "ros2msg", imuDef.getBytes("UTF-8")),
-        McapSchema(2, "std_msgs/msg/String", "ros2msg", strText.getBytes("UTF-8")))
-      val channels = Seq(McapChannel(1, 1, "/imu", "cdr"), McapChannel(2, 2, "/chatter", "cdr"))
-      val ib = Ros2Msg.bundle("sensor_msgs/msg/Imu", imuDef)
-      val sb = Ros2Msg.bundle("std_msgs/msg/String", strText)
-      val msgs = (0 until n).map { i =>
-        if (i % 2 == 0) McapMessage(1, i.toLong, 100L + i, 100L + i, CdrCodec.encode(ib,
-          if (imuDef == imuText) Seq(1.0 * i, 2.0 * i) else Seq(1.0 * i, 2.0 * i, 3.0 * i)))
-        else McapMessage(2, i.toLong, 100L + i, 100L + i, CdrCodec.encode(sb, Seq(s"m$i")))
-      }
-      val out = new java.io.FileOutputStream(new java.io.File(dir, name))
-      try out.write(writeMcap(schemas, channels, msgs, "zstd")) finally out.close()
+  private val imuText = "float64 ax\nfloat64 ay"
+  private val imuText2 = "float64 ax\nfloat64 ay\nfloat64 az" // drifted variant
+  private val strText = "string data"
+  /** A 2-channel (imu + chatter) fixture file for the ETL tests. */
+  private def writeEtlFixture(dir: java.io.File, name: String, imuDef: String,
+                              n: Int, t0: Long = 100L): Unit = {
+    val schemas = Seq(McapSchema(1, "sensor_msgs/msg/Imu", "ros2msg", imuDef.getBytes("UTF-8")),
+      McapSchema(2, "std_msgs/msg/String", "ros2msg", strText.getBytes("UTF-8")))
+    val channels = Seq(McapChannel(1, 1, "/imu", "cdr"), McapChannel(2, 2, "/chatter", "cdr"))
+    val ib = Ros2Msg.bundle("sensor_msgs/msg/Imu", imuDef)
+    val sb = Ros2Msg.bundle("std_msgs/msg/String", strText)
+    val msgs = (0 until n).map { i =>
+      if (i % 2 == 0) McapMessage(1, i.toLong, t0 + i, t0 + i, CdrCodec.encode(ib,
+        if (imuDef == imuText) Seq(1.0 * i, 2.0 * i) else Seq(1.0 * i, 2.0 * i, 3.0 * i)))
+      else McapMessage(2, i.toLong, t0 + i, t0 + i, CdrCodec.encode(sb, Seq(s"m$i")))
     }
-    write("a.mcap", imuText, 6)   // 3 imu + 3 chatter
-    write("b.mcap", imuText2, 4)  // 2 imu (drifted) + 2 chatter
-    val outDir = java.nio.file.Files.createTempDirectory("graft_mcap_etl_out").toString
+    val out = new java.io.FileOutputStream(new java.io.File(dir, name))
+    try out.write(writeMcap(schemas, channels, msgs, "zstd")) finally out.close()
+  }
+  private def freshOut(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/out"
+
+  test("McapEtl routes by schema: seqno spine + channels + per-type tables, drift namespaced") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcap_etl").toFile
+    writeEtlFixture(dir, "a.mcap", imuText, 6)   // 3 imu + 3 chatter
+    writeEtlFixture(dir, "b.mcap", imuText2, 4)  // 2 imu (drifted) + 2 chatter
+    val outDir = freshOut("graft_mcap_etl_out")
     val info = McapEtl.run(spark, dir.getAbsolutePath, outDir)
     assert(info.messages == 10 && info.channels == 4)
+    assert(info.sizeBytes > 0 && info.crcXor != 0L)
     // one String table (no drift), TWO namespaced Imu variant tables
     val names = info.tables.keySet
     assert(names.contains("std_msgs_msg_String"), s"$names")
@@ -224,13 +230,102 @@ class McapSpec extends SparkTestBase {
     assert(imuTables.size == 2, s"$names")
     assert(info.tables("std_msgs_msg_String") == 5)
     assert(imuTables.map(info.tables).toSeq.sorted == Seq(2L, 3L))
-    // the drifted variant's table carries its extra column
+    // the drifted variant's table carries its extra column, and per-type
+    // rows join back to the spine by seqno
     val withAz = imuTables.map(t => spark.read.parquet(s"$outDir/$t.parquet"))
       .filter(_.schema.fieldNames.contains("az"))
     assert(withAz.size == 1 && withAz.head.count() == 2)
-    // spine keeps every message (incl. both variants) minus the blob
+    assert(withAz.head.columns.contains("seqno") && withAz.head.columns.contains("data"))
+    // spine: meta-only, dense global seqno 0..9 in log_time order
     val spine = spark.read.parquet(s"$outDir/Messages.parquet")
     assert(spine.count() == 10 && !spine.schema.fieldNames.contains("data"))
+    val ordered = spine.orderBy("seqno")
+      .select("seqno", "log_time").collect()
+    assert(ordered.map(_.getLong(0)).toSeq == (0L until 10L))
+    assert(ordered.map(_.getLong(1)).toSeq == ordered.map(_.getLong(1)).sortBy(identity).toSeq)
+    // Vertica DDL covers every table; manifest pins the naming
+    val ddl = scala.io.Source.fromFile(s"$outDir/vertica_load_tables.sql").mkString
+    (names + "RawMessages").foreach { t =>
+      if (t != "RawMessages") assert(ddl.contains(s"CREATE TABLE $t"), t)
+    }
+    assert(new java.io.File(s"$outDir/_tables.json").exists())
+    // all-ros2msg input: no RawMessages table
+    assert(!new java.io.File(s"$outDir/RawMessages.parquet").exists())
+  }
+
+  test("McapEtl retains unrouted (non-ros2msg) payloads in RawMessages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcap_raw").toFile
+    val schemas = Seq(
+      McapSchema(1, "std_msgs/msg/String", "ros2msg", strText.getBytes("UTF-8")),
+      McapSchema(2, "foxglove.Log", "protobuf", Array[Byte](1, 2, 3)))
+    val channels = Seq(McapChannel(1, 1, "/chatter", "cdr"),
+      McapChannel(2, 2, "/log", "protobuf"))
+    val sb = Ros2Msg.bundle("std_msgs/msg/String", strText)
+    val msgs = (0 until 6).map { i =>
+      if (i % 2 == 0) McapMessage(1, i.toLong, 100L + i, 100L + i,
+        CdrCodec.encode(sb, Seq(s"m$i")))
+      else McapMessage(2, i.toLong, 100L + i, 100L + i,
+        Array.tabulate(8)(j => (i * 16 + j).toByte))
+    }
+    val out = new java.io.FileOutputStream(new java.io.File(dir, "a.mcap"))
+    try out.write(writeMcap(schemas, channels, msgs, "lz4")) finally out.close()
+    val outDir = freshOut("graft_mcap_raw_out")
+    val info = McapEtl.run(spark, dir.getAbsolutePath, outDir)
+    assert(info.messages == 6 && info.tables == Map("std_msgs_msg_String" -> 3L))
+    val rawTab = spark.read.parquet(s"$outDir/RawMessages.parquet")
+    val rows = rawTab.orderBy("seqno").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[String]("schema_encoding") == "protobuf")
+      assert(r.getAs[String]("topic") == "/log")
+    }
+    // byte-exact retention of the unrouted payloads
+    val got = rows.map(_.getAs[Array[Byte]]("data").toSeq).toSet
+    val want = msgs.filter(_.channelId == 2).map(_.data.toSeq).toSet
+    assert(got == want)
+    // and the DDL covers it
+    val ddl = scala.io.Source.fromFile(s"$outDir/vertica_load_tables.sql").mkString
+    assert(ddl.contains("CREATE TABLE RawMessages"))
+  }
+
+  test("McapEtl.runIncremental appends new files with continuing seqnos and stable naming") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcap_incr").toFile
+    val outDir = freshOut("graft_mcap_incr_out")
+    writeEtlFixture(dir, "a.mcap", imuText, 6, t0 = 100L)
+    val first = McapEtl.runIncremental(spark, dir.getAbsolutePath, outDir)
+    assert(first.messages == 6)
+    // a drifted file arrives later: its Imu variant gets a NAMESPACED
+    // table; the historical plain table is never renamed
+    writeEtlFixture(dir, "b.mcap", imuText2, 4, t0 = 200L)
+    val second = McapEtl.runIncremental(spark, dir.getAbsolutePath, outDir)
+    assert(second.messages == 4, s"$second")
+    assert(second.tables.keySet.exists(_.startsWith("sensor_msgs_msg_Imu__")))
+    assert(spark.read.parquet(s"$outDir/sensor_msgs_msg_Imu.parquet").count() == 3)
+    // spine: 10 rows, seqnos dense 0..9 across both increments
+    val spine = spark.read.parquet(s"$outDir/Messages.parquet")
+    assert(spine.count() == 10)
+    assert(spine.select("seqno").collect().map(_.getLong(0)).sorted.toSeq == (0L until 10L))
+    // third call: nothing new
+    val third = McapEtl.runIncremental(spark, dir.getAbsolutePath, outDir)
+    assert(third.messages == 0 && third.tables.isEmpty)
+  }
+
+  test("McapEtl maxMessages limits the conversion scope; nativeTimestamp adds NTZ micros") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcap_lim").toFile
+    writeEtlFixture(dir, "a.mcap", imuText, 8, t0 = 1700000000123456789L)
+    val outDir = freshOut("graft_mcap_lim_out")
+    val info = McapEtl.run(spark, dir.getAbsolutePath, outDir,
+      maxMessages = Some(3L), nativeTimestamp = true)
+    assert(info.messages == 3)
+    assert(info.tables.values.sum == 3)
+    val spine = spark.read.parquet(s"$outDir/Messages.parquet")
+    val r = spine.orderBy("seqno").head()
+    // floor(nanos/1000) micros, rendered as NTZ
+    val wantMicros = r.getAs[Long]("log_time") / 1000L
+    val ts = r.getAs[java.time.LocalDateTime]("log_time_ts")
+    val gotMicros = ts.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+      ts.getNano / 1000L
+    assert(gotMicros == wantMicros)
   }
 
   test("directory load resolves *.mcap children; file_path pruning plans one file") {
