@@ -1,7 +1,7 @@
 package graft.ros.bag
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.sources.Filter
 
@@ -20,11 +20,26 @@ final case class RosbagOffset(chunkCount: Long) extends Offset {
 
 class RosbagMicroBatchStream(path: String, required: StructType,
     filters: Array[Filter], typed: Option[(String, String)] = None,
-    includeRaw: Boolean = false) extends MicroBatchStream {
+    includeRaw: Boolean = false)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = RosbagOffset(0L)
 
+  // Trigger.AvailableNow: pin the end ONCE at query start so the run
+  // drains exactly what existed then and terminates even while the
+  // recorder keeps appending chunks.
+  private var availableNowEnd: Option[Offset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(computeLatestOffset())
+
   override def latestOffset(): Offset =
+    availableNowEnd.getOrElse(computeLatestOffset())
+
+  // admission-control form (SupportsTriggerAvailableNow extends it);
+  // chunk counts have no meaningful rate limit — serve the same end
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+
+  private def computeLatestOffset(): Offset =
     RosbagOffset(RosbagIO.scanIndex(path).chunks.size.toLong)
 
   override def deserializeOffset(json: String): Offset = {
@@ -70,7 +85,9 @@ object RosbagDirOffset {
   // stored in Spark's LINE-delimited offset log, so a raw newline in a
   // path (legal on POSIX) would split the checkpoint entry across
   // lines and brick recovery
-  private[bag] def esc(s: String): String = s.flatMap {
+  // private[ros]: the mcap dir stream reuses the same offset-JSON
+  // escaping (same line-delimited-offset-log rationale)
+  private[ros] def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -79,7 +96,7 @@ object RosbagDirOffset {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
-  private def unesc(s: String): String = {
+  private[ros] def unesc(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {
@@ -123,11 +140,23 @@ object RosbagDirOffset {
   */
 class RosbagDirMicroBatchStream(path: String, required: StructType,
     filters: Array[Filter], typed: Option[RosbagTypedRead.TypedTarget] = None,
-    includeRaw: Boolean = false) extends MicroBatchStream {
+    includeRaw: Boolean = false)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = RosbagDirOffset(Map.empty)
 
-  override def latestOffset(): Offset = {
+  // Trigger.AvailableNow: pin the end ONCE at query start (same
+  // drain-then-terminate contract as the single-file stream).
+  private var availableNowEnd: Option[Offset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(computeLatestOffset())
+
+  override def latestOffset(): Offset =
+    availableNowEnd.getOrElse(computeLatestOffset())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+
+  private def computeLatestOffset(): Offset = {
     // an empty/not-yet-created prefix is a stream with nothing to read
     // yet, not an error
     val bags = try RosbagIO.resolveBags(path) catch {

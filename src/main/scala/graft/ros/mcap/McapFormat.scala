@@ -275,6 +275,105 @@ object McapFormat {
       inline.toSeq)
   }
 
+  /** Resumable state of a TOLERANT data-section walk over a
+    * still-growing file (live recorder / mid-upload): `pos` is the
+    * offset after the last COMPLETE record consumed, `done` means the
+    * Footer record was reached (the file is closed; nothing more can
+    * legally append). The MCAP data section is append-only and records
+    * are immutable once written, so a later walk resumes from `pos`
+    * and only pays for NEW bytes — the per-trigger cost model the
+    * streaming source needs.
+    */
+  final case class McapWalkState(pos: Long, done: Boolean,
+      schemas: Map[Int, McapSchema], channels: Map[Int, McapChannel],
+      chunks: Seq[McapChunkRef], inline: Seq[(Long, Long)]) {
+    def index: McapIndex =
+      McapIndex(schemas, channels, chunks.sortBy(_.fileOffset), inline)
+  }
+
+  /** Tolerant walk: like `scanIndex`'s fallback walk, but a record
+    * whose header or body extends past `fileLen` is treated as a
+    * PARTIAL APPEND still in flight — the walk stops at the last
+    * complete record instead of throwing, and no trailing magic or
+    * Footer is required. Complete-but-corrupt records (bad chunk crc,
+    * non-mcap leading magic) still fail loudly: tolerance covers
+    * growth, not corruption. In-chunk Schema/Channel records are
+    * harvested (one decompression per NEW chunk — the same price the
+    * no-summary batch walk pays), so dimension records that ride a
+    * later chunk (a topic that starts mid-recording) are seen as soon
+    * as their chunk completes.
+    */
+  def scanTolerant(open: () => InputStream, fileLen: Long,
+                   resume: Option[McapWalkState] = None): McapWalkState = {
+    resume match {
+      case Some(s) if s.done => return s // closed file: nothing can append
+      case _ => ()
+    }
+    val startPos = resume.map(_.pos).getOrElse(8L)
+    if (resume.isEmpty) {
+      if (fileLen < 8) return McapWalkState(8L, done = false,
+        Map.empty, Map.empty, Seq.empty, Seq.empty)
+      require(readAt(open, 0, 8).sameElements(Magic),
+        "not an mcap file (bad leading magic); corrupt mcap input")
+    }
+    val schemas = scala.collection.mutable.Map[Int, McapSchema]() ++=
+      resume.map(_.schemas).getOrElse(Map.empty)
+    val channels = scala.collection.mutable.Map[Int, McapChannel]() ++=
+      resume.map(_.channels).getOrElse(Map.empty)
+    val chunks = scala.collection.mutable.ArrayBuffer[McapChunkRef]() ++=
+      resume.map(_.chunks).getOrElse(Seq.empty)
+    val inline = scala.collection.mutable.ArrayBuffer[(Long, Long)]() ++=
+      resume.map(_.inline).getOrElse(Seq.empty)
+    var pos = startPos
+    var done = false
+    val in = new DataInputStream(open())
+    try {
+      skipFully(in, pos)
+      var stop = false
+      while (!stop && !done && pos + 9 <= fileLen) {
+        val op = in.read()
+        if (op < 0) stop = true
+        else {
+          val lenBuf = new Array[Byte](8); in.readFully(lenBuf)
+          val len = leLong(lenBuf, 0)
+          if (len < 0 || pos + 9 + len > fileLen) stop = true // partial append
+          else {
+            op match {
+              case OpFooter => done = true
+              case OpMessage => inline += ((pos, len)); skipFully(in, len)
+              case OpChunk =>
+                val ph = new Array[Byte](math.min(len, 64L).toInt)
+                in.readFully(ph)
+                val (ref, recOff, recLen) = parseChunkHeader(ph, pos, len)
+                chunks += ref
+                val rest = new Array[Byte]((len - ph.length).toInt)
+                in.readFully(rest)
+                val full = ph ++ rest
+                val comp = java.util.Arrays.copyOfRange(full, recOff, (recOff + recLen).toInt)
+                chunkRecords(decompress(ref.compression, comp, ref.uncompressedSize,
+                  ref.uncompressedCrc)).foreach {
+                  case (OpSchema, p) =>
+                    val s = parseSchema(p); schemas.getOrElseUpdate(s.id, s); ()
+                  case (OpChannel, p) =>
+                    val c = parseChannel(p); channels.getOrElseUpdate(c.id, c); ()
+                  case _ => ()
+                }
+              case OpSchema =>
+                val p = new Array[Byte](len.toInt); in.readFully(p)
+                val s = parseSchema(p); schemas.getOrElseUpdate(s.id, s); ()
+              case OpChannel =>
+                val p = new Array[Byte](len.toInt); in.readFully(p)
+                val c = parseChannel(p); channels.getOrElseUpdate(c.id, c); ()
+              case _ => skipFully(in, len)
+            }
+            pos += 9 + len
+          }
+        }
+      }
+    } finally in.close()
+    McapWalkState(pos, done, schemas.toMap, channels.toMap, chunks.toSeq, inline.toSeq)
+  }
+
   private def readAt(open: () => InputStream, off: Long, n: Int): Array[Byte] = {
     val in = open()
     try {
@@ -350,6 +449,69 @@ object McapFormat {
       case other =>
         throw new IllegalArgumentException(s"unsupported compression '$other'")
     }
+
+  /** A LIVE-file fixture: the byte segments a recorder appends over
+    * time. Segment 0 is `magic + Header record`; each message group
+    * appends one Chunk record (dimension records ride the first
+    * chunk); the returned `finale` closes the file (`DataEnd + summary
+    * + Footer + magic`). Concatenating prefixes of the segments yields
+    * exactly the states a growing recording passes through — the
+    * streaming source's input shape. Concatenating everything equals a
+    * `writeMcap(chunked = true)` layout.
+    */
+  def writeMcapSegments(schemas: Seq[McapSchema], channels: Seq[McapChannel],
+      messageGroups: Seq[Seq[McapMessage]], compression: String = "")
+      : (Seq[Array[Byte]], Array[Byte]) = {
+    require(messageGroups.forall(_.nonEmpty), "empty message group")
+    val head = new ByteArrayOutputStream()
+    head.write(Magic)
+    val hdr = new ByteArrayOutputStream()
+    wStr(hdr, "ros2"); wStr(hdr, "graft-fixture")
+    head.write(record(OpHeader, hdr.toByteArray))
+    var pos = head.size().toLong
+    val chunkIdx = scala.collection.mutable.ArrayBuffer[(McapChunkRef, Long)]()
+    val segs = messageGroups.zipWithIndex.map { case (group, gi) =>
+      val recs = new ByteArrayOutputStream()
+      if (gi == 0) {
+        schemas.foreach(s => recs.write(schemaRec(s)))
+        channels.foreach(c => recs.write(channelRec(c)))
+      }
+      group.foreach(m => recs.write(messageRec(m)))
+      val raw = recs.toByteArray
+      val crc = new java.util.zip.CRC32(); crc.update(raw, 0, raw.length)
+      val comp = compress(compression, raw)
+      val p = new ByteArrayOutputStream()
+      val startT = group.map(_.logTime).min; val endT = group.map(_.logTime).max
+      wLeLong(p, startT); wLeLong(p, endT)
+      wLeLong(p, raw.length); wLeInt(p, crc.getValue)
+      wStr(p, compression); wLeLong(p, comp.length); p.write(comp)
+      val rec = record(OpChunk, p.toByteArray)
+      chunkIdx += ((McapChunkRef(pos, rec.length - 9, startT, endT,
+        compression, raw.length, crc.getValue), rec.length.toLong))
+      pos += rec.length
+      rec
+    }
+    val fin = new ByteArrayOutputStream()
+    val de = new ByteArrayOutputStream(); wLeInt(de, 0)
+    fin.write(record(OpDataEnd, de.toByteArray))
+    val summaryStart = pos + fin.size()
+    schemas.foreach(s => fin.write(schemaRec(s)))
+    channels.foreach(c => fin.write(channelRec(c)))
+    chunkIdx.foreach { case (ref, recLen) =>
+      val p = new ByteArrayOutputStream()
+      wLeLong(p, ref.messageStartTime); wLeLong(p, ref.messageEndTime)
+      wLeLong(p, ref.fileOffset); wLeLong(p, recLen)
+      wLeInt(p, 0); wLeLong(p, 0)
+      wStr(p, ref.compression)
+      wLeLong(p, 0); wLeLong(p, ref.uncompressedSize)
+      fin.write(record(OpChunkIndex, p.toByteArray))
+    }
+    val f = new ByteArrayOutputStream()
+    wLeLong(f, summaryStart); wLeLong(f, 0); wLeInt(f, 0)
+    fin.write(record(OpFooter, f.toByteArray))
+    fin.write(Magic)
+    (head.toByteArray +: segs, fin.toByteArray)
+  }
 
   /** Write a complete MCAP file. `chunked=true` packs schema/channel/
     * message records into ONE chunk per `chunkGroups` split and writes

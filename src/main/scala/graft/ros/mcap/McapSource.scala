@@ -110,7 +110,7 @@ class McapTable(path: String, schemaName: Option[String] = None,
     case None => McapDataSource.SpineSchema
   }
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new McapScanBuilder(path, schema(), target, includeRaw)
 }
@@ -212,18 +212,29 @@ object McapFilters {
 /** chunk = Some(ref) for a chunk partition; None = the file's
   * standalone message segment (inline offsets shipped in the partition
   * — bounded: unchunked files are small by construction, a spec-
-  * conformant large file is fully chunked).
+  * conformant large file is fully chunked). `ordinalBase` shifts the
+  * emitted `offset` ordinal — a STREAMING inline partition carries
+  * only the new slice of the file's standalone messages, and its
+  * ordinals must continue the batch numbering (slice start), not
+  * restart at 0.
   */
 final case class McapInputPartition(path: String, chunkIdx: Int,
     chunk: Option[McapFormat.McapChunkRef], inline: Seq[(Long, Long)],
     schemas: Map[Int, (String, String)], // schemaId -> (name, encoding)
-    channels: Map[Int, McapFormat.McapChannel]) extends InputPartition
+    channels: Map[Int, McapFormat.McapChannel],
+    ordinalBase: Int = 0) extends InputPartition
 
 class McapScan(path: String, required: StructType, filters: Array[Filter], limit: Int,
     typed: Option[McapTypedRead.TypedTarget] = None, includeRaw: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    // one stream class covers a single growing file, a directory and a
+    // glob alike: the offset is a per-file (chunks, standalone) map
+    new McapMicroBatchStream(path, required, filters, typed, includeRaw)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // typed reads plan only the files carrying the resolved schema
@@ -286,7 +297,7 @@ class McapPartitionReader(p: McapInputPartition, required: StructType,
 
   override def next(): Boolean =
     if (messages.hasNext) {
-      val (m, i) = messages.next(); current = m; currentOffset = i; true
+      val (m, i) = messages.next(); current = m; currentOffset = i + p.ordinalBase; true
     } else false
 
   // one-time compiled extractors + per-channel interned strings — the
@@ -382,6 +393,26 @@ object McapIO {
     )._2
   }
 
+  // resumable tolerant-walk cache for STREAMING reads of growing
+  // files: keyed by path alone (the data section is append-only, so a
+  // longer file extends the cached state; a SHORTER file means the
+  // path was replaced — restart). Per trigger the walk pays only for
+  // new bytes.
+  private val walkCache = new java.util.concurrent.ConcurrentHashMap[
+    String, McapFormat.McapWalkState]()
+
+  /** Tolerant index of a possibly-still-growing file (no footer /
+    * trailing magic required) — the streaming source's view.
+    */
+  def scanTolerant(path: String): McapFormat.McapIndex = {
+    val (filesystem, p) = fs(path)
+    val len = filesystem.getFileStatus(p).getLen
+    walkCache.compute(path, (_, cached) => {
+      val resume = Option(cached).filter(_.pos <= len)
+      McapFormat.scanTolerant(() => filesystem.open(p), len, resume)
+    }).index
+  }
+
   def readChunk(path: String, ref: McapFormat.McapChunkRef): Array[Byte] = {
     val (filesystem, p) = fs(path)
     val in = filesystem.open(p)
@@ -429,10 +460,12 @@ object McapTypedRead {
   private val reserved = MetaFields.map(_.name).toSet + "data"
 
   /** ONE schema text (drift across files fails loudly — the md5-drift
-    * contract of the rosbag typed read, keyed on the schema bytes) and
-    * the files that carry it.
+    * contract of the rosbag typed read, keyed on the schema bytes),
+    * its md5 (the variant identity streams pin), and the files that
+    * carry it.
     */
-  final case class TypedTarget(schemaName: String, schemaText: String, files: Seq[String])
+  final case class TypedTarget(schemaName: String, schemaText: String,
+                               files: Seq[String], md5: String)
 
   def md5hex(data: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(data)
@@ -465,8 +498,8 @@ object McapTypedRead {
         s"(md5s: ${byMd5.keys.toSeq.sorted.mkString(", ")})" +
         (if (md5.isDefined) s"; md5 prefix '${md5.get}' matches ${chosen.size}"
          else "; pass option(\"schema_md5\", <prefix>) to select one"))
-    val (_, vs) = chosen.head
-    TypedTarget(schemaName, vs.head._2, vs.map(_._3).distinct)
+    val (m, vs) = chosen.head
+    TypedTarget(schemaName, vs.head._2, vs.map(_._3).distinct, m)
   }
 
   def typedSchema(bundle: graft.ros.RosMsgBundle, includeRaw: Boolean): StructType = {
@@ -522,7 +555,7 @@ class McapTypedPartitionReader(p: McapInputPartition, schemaName: String,
       require(typeChannels(m.channelId).messageEncoding == "cdr",
         s"channel ${m.channelId} encodes messages as " +
           s"'${typeChannels(m.channelId).messageEncoding}'; typed reads decode cdr")
-      current = m; currentOffset = i; true
+      current = m; currentOffset = i + p.ordinalBase; true
     } else false
 
   private lazy val needsPayload: Boolean =
