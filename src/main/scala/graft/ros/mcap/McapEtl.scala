@@ -68,12 +68,22 @@ object McapEtl {
     * column to Messages (reference TODO rosbag2parquet.cpp:31-32) —
     * floor-of-nanos, built with pure NTZ arithmetic so it is
     * timezone-independent like BagEtl's.
+    *
+    * `stagedBySchema` is the single-pass mode (BagEtl's stagedByType
+    * twin): the ONE container scan stages ALL payload bytes to parquet
+    * partitioned by a schema-route column, and each per-variant table
+    * decodes its own partition's bytes — every chunk is read and
+    * decompressed exactly ONCE for the whole ETL, where the default
+    * re-scan mode decompresses a chunk once per schema it routes.
+    * Costs one extra write of the payload bytes; wins when files
+    * carry many schemas or compressed chunks (the fleet shape).
     */
   def run(spark: SparkSession, path: String, outDir: String,
           maxMessages: Option[Long] = None, keepRawBlob: Boolean = true,
-          nativeTimestamp: Boolean = false): Info =
+          nativeTimestamp: Boolean = false, stagedBySchema: Boolean = false): Info =
     runFiles(spark, McapIO.resolveFiles(path), new java.io.File(path).getName,
-      BagEtl.versionedOutputDir(outDir), maxMessages, keepRawBlob, nativeTimestamp)
+      BagEtl.versionedOutputDir(outDir), maxMessages, keepRawBlob, nativeTimestamp,
+      stagedBySchema)
 
   /** Incremental multi-file conversion — BagEtl.runIncremental's
     * contract over MCAP inputs: ETL only the files under `path` not yet
@@ -86,13 +96,14 @@ object McapEtl {
     * outDir must not fork the corpus into outDir.1 on every call).
     */
   def runIncremental(spark: SparkSession, path: String, outDir: String,
-          keepRawBlob: Boolean = true, nativeTimestamp: Boolean = false): Info = {
+          keepRawBlob: Boolean = true, nativeTimestamp: Boolean = false,
+          stagedBySchema: Boolean = false): Info = {
     val messagesPath = new org.apache.hadoop.fs.Path(s"$outDir/Messages.parquet")
     val fs = messagesPath.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     val dirName = new java.io.File(path).getName
     if (!fs.exists(messagesPath))
       return runFiles(spark, McapIO.resolveFiles(path), dirName, outDir,
-        None, keepRawBlob, nativeTimestamp)
+        None, keepRawBlob, nativeTimestamp, stagedBySchema)
     val existing = spark.read.parquet(s"$outDir/Messages.parquet")
     val chanPath = new org.apache.hadoop.fs.Path(s"$outDir/Channels.parquet")
     val doneChans =
@@ -106,7 +117,8 @@ object McapEtl {
     val maxRow = existing.agg(max(col("seqno"))).head()
     val offset = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1
     runFiles(spark, newFiles, dirName, outDir, None, keepRawBlob, nativeTimestamp,
-      seqnoOffset = offset, naming = BagEtl.readManifest(outDir), append = true)
+      stagedBySchema, seqnoOffset = offset, naming = BagEtl.readManifest(outDir),
+      append = true)
   }
 
   /** Spine meta columns (everything but the payload blob). */
@@ -116,19 +128,22 @@ object McapEtl {
 
   private def runFiles(spark: SparkSession, files: Seq[String], name: String,
           out: String, maxMessages: Option[Long], keepRawBlob: Boolean,
-          nativeTimestamp: Boolean, seqnoOffset: Long = 0L,
+          nativeTimestamp: Boolean, stagedBySchema: Boolean = false,
+          seqnoOffset: Long = 0L,
           naming: Map[(String, String), String] = Map.empty,
           append: Boolean = false): Info = {
     val channels = McapTables.channels(spark, McapDataSource.filesSpec(files))
 
     // (name, md5-of-schema-bytes) variants across the files, with the
-    // files carrying each; table naming follows BagEtl's manifest rule:
-    // historical names win, a NEW variant of a historically-known name
-    // is always md5-namespaced (the legacy plain table is never renamed)
-    val variants: Seq[(String, String, Seq[String], String)] = {
+    // schema text and the files carrying each; table naming follows
+    // BagEtl's manifest rule: historical names win, a NEW variant of a
+    // historically-known name is always md5-namespaced (the legacy
+    // plain table is never renamed)
+    val variants: Seq[(String, String, String, Seq[String], String)] = {
       val all = files.flatMap(f => McapIO.scanIndex(f).schemas.values
         .filter(_.encoding == "ros2msg")
-        .map(s => (s.name, McapTypedRead.md5hex(s.data), f)))
+        .map(s => (s.name, McapTypedRead.md5hex(s.data),
+          new String(s.data, java.nio.charset.StandardCharsets.UTF_8), f)))
       val byName = all.groupBy(_._1)
       byName.toSeq.sortBy(_._1).flatMap { case (nm, rows) =>
         val base = tableName(nm)
@@ -138,26 +153,37 @@ object McapEtl {
             if (naming.keys.exists(_._1 == nm)) s"${base}__${md5.take(8)}"
             else if (byMd5.size == 1) base
             else s"${base}__${md5.take(8)}")
-          (nm, md5, vs.map(_._3).distinct, table)
+          (nm, md5, vs.head._3, vs.map(_._4).distinct, table)
         }
       }
     }
 
-    // ONE scan of the container: spine meta for every message, plus the
-    // raw bytes of channels NOT routed to a typed table (nulled for
-    // routed channels, so their blobs never ride this write — the
-    // read-once economics of BagEtl's staged mode, which the mcap
-    // layout gets for free because chunk enumeration decodes the chunk
-    // body anyway).
+    // ONE scan of the container. Default mode: spine meta for every
+    // message plus the raw bytes of channels NOT routed to a typed
+    // table (nulled for routed channels, so their blobs never ride
+    // this write); typed tables then re-scan their files. Staged mode:
+    // the same single pass ALSO stages every routed payload,
+    // partitioned by a schema-route column — each chunk is read and
+    // decompressed exactly ONCE for the whole ETL.
     val raw0 = spark.read.format("mcap")
       .option("files", McapDataSource.filesSpec(files)).load()
     val raw = maxMessages.map(n => raw0.limit(n.toInt).toDF()).getOrElse(raw0)
     val stageDir = s"$out/_spine"
     val metaCols = metaColNames.map(col)
-    raw.select(metaCols :+
-        when(col("schema_encoding") === "ros2msg", lit(null).cast("binary"))
-          .otherwise(col("data")).as("data"): _*)
-      .write.option("compression", "snappy").parquet(stageDir)
+    if (stagedBySchema)
+      // `_route` rather than schema_name itself: an empty schema name
+      // (schema-less channel) is not a usable partition value (Spark
+      // reads empty partition strings back as null)
+      raw.select(metaCols :+ col("data") :+
+          when(col("schema_encoding") === "ros2msg", col("schema_name"))
+            .otherwise(lit("__raw")).as("_route"): _*)
+        .write.partitionBy("_route")
+        .option("compression", "snappy").parquet(stageDir)
+    else
+      raw.select(metaCols :+
+          when(col("schema_encoding") === "ros2msg", lit(null).cast("binary"))
+            .otherwise(col("data")).as("data"): _*)
+        .write.option("compression", "snappy").parquet(stageDir)
 
     // Global seqno in log-time order with stable storage tie-break —
     // the two-pass range-partition operator runs against the staged
@@ -200,22 +226,46 @@ object McapEtl {
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val jobGroup = s"graft-mcap-etl-${java.util.UUID.randomUUID()}"
-    val typeDdl = variants.map { case (nm, md5, vFiles, table) =>
+    val typeDdl = variants.map { case (nm, md5, schemaText, vFiles, table) =>
       Future { scala.concurrent.blocking {
         spark.sparkContext.setJobGroup(jobGroup, s"per-type $table",
           interruptOnCancel = true)
         try {
-          val typed = spark.read.format("mcap")
-            .option("files", McapDataSource.filesSpec(vFiles))
-            .option("schema_name", nm).option("schema_md5", md5)
-            .option("includeRaw", keepRawBlob.toString)
-            .load()
-          val payload = typed.columns.filterNot(metaInTyped)
-          val frame = col("seqno") +: payload.map(col).toSeq :+
-            col("channel_id") :+ col("file_path")
-          val df = typed
-            .join(seqnoMap, Seq("file_path", "chunk_idx", "offset"))
-            .select((if (keepRawBlob) frame :+ col("data") else frame): _*)
+          val df = if (stagedBySchema) {
+            // decode THIS variant's staged bytes — the container files
+            // are never re-read. The route partition holds every
+            // variant of the name; the variant's channels (a file can
+            // legally carry two same-name variants) are selected via a
+            // broadcast of the driver-known (file, channel) dimension.
+            val chanRows = vFiles.flatMap { f =>
+              val idx = McapIO.scanIndex(f)
+              idx.channels.values.collect {
+                case c if idx.schemas.get(c.schemaId).exists(s =>
+                    s.name == nm && McapTypedRead.md5hex(s.data) == md5) =>
+                  (f, c.id)
+              }
+            }
+            import spark.implicits._
+            val chanDim = chanRows.toDF("file_path", "channel_id")
+            val part = spark.read.parquet(stageDir)
+              .filter(col("_route") === nm && col("file_path").isin(vFiles: _*))
+              .join(broadcast(chanDim), Seq("file_path", "channel_id"))
+              .join(seqnoMap, Seq("file_path", "chunk_idx", "offset"))
+              .select(col("seqno"), col("channel_id"), col("file_path"), col("data"))
+            decodeRows(spark, part, Ros2Msg.bundle(nm, schemaText), keepRawBlob)
+          } else {
+            val typed = spark.read.format("mcap")
+              .option("files", McapDataSource.filesSpec(vFiles))
+              .option("schema_name", nm).option("schema_md5", md5)
+              .option("includeRaw", keepRawBlob.toString)
+              .load()
+            val payload = typed.columns.filterNot(metaInTyped)
+            val frame = col("seqno") +: payload.map(col).toSeq :+
+              col("channel_id") :+ col("file_path")
+            typed
+              .join(seqnoMap, Seq("file_path", "chunk_idx", "offset"))
+              .select((if (keepRawBlob) frame :+ col("data") else frame): _*)
+          }
           val tableNew = !append || !pathExists(s"$out/$table.parquet")
           df.write.mode(writeMode)
             .option("compression", "snappy").parquet(s"$out/$table.parquet")
@@ -239,7 +289,9 @@ object McapEtl {
       }
       if (hasUnrouted) {
         val rawTab = spark.read.parquet(stageDir)
-          .filter(col("schema_encoding") =!= "ros2msg")
+          // staged mode prunes to the __raw route partition directly
+          .filter(if (stagedBySchema) col("_route") === "__raw"
+                  else col("schema_encoding") =!= "ros2msg")
           .join(seqnoMap, Seq("file_path", "chunk_idx", "offset"))
           .select(col("seqno"), col("channel_id"), col("topic"),
             col("schema_name"), col("schema_encoding"), col("message_encoding"),
@@ -280,7 +332,7 @@ object McapEtl {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
     BagEtl.writeManifest(out, naming ++
-      variants.map { case (nm, md5, _, table) => (nm, md5) -> table })
+      variants.map { case (nm, md5, _, _, table) => (nm, md5) -> table })
 
     // info from the WRITTEN tables (columnar, metadata-heavy) — not an
     // mcap re-scan; in append mode the slice covers only this run's files
@@ -289,12 +341,41 @@ object McapEtl {
     val Row(cnt: Long, size: Long, crc: Long) = msgs
       .agg(count(lit(1)), coalesce(sum(col("size").cast("long")), lit(0L)),
         coalesce(expr("bit_xor(data_crc32)"), lit(0L))).head()
-    val tables = variants.map { case (_, _, _, table) =>
+    val tables = variants.map { case (_, _, _, _, table) =>
       val t = spark.read.parquet(s"$out/$table.parquet")
       table -> (if (append) t.filter(col("file_path").isin(files: _*)) else t).count()
     }.toMap
     val chanCount = channels.count()
     Info(name, cnt, chanCount, size, crc, tables)
+  }
+
+  /** Flattened per-variant DataFrame from staged (seqno, channel_id,
+    * file_path, data) rows — the CDR twin of BagEtl.decodeRows: seqno +
+    * flattened payload columns + channel_id + file_path (+ raw blob),
+    * the SAME frame (names, order, types) the typed-source scan mode
+    * emits, via the shared reserved-name rule (McapTypedRead.reserved).
+    */
+  private[mcap] def decodeRows(spark: SparkSession, part: org.apache.spark.sql.DataFrame,
+      bundle: graft.ros.RosMsgBundle, keepRawBlob: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val flat = graft.ros.RosSchemaMapper.flatSchema(bundle)
+    val payload = flat.fields.map(f =>
+      if (McapTypedRead.reserved(f.name)) f.copy(name = f.name + "_field") else f)
+    val base = StructField("seqno", LongType, nullable = false) +:
+      (payload.toSeq :+
+        StructField("channel_id", IntegerType, nullable = false) :+
+        StructField("file_path", StringType, nullable = false))
+    val outSchema = StructType(
+      if (keepRawBlob) base :+ StructField("data", BinaryType, nullable = false) else base)
+    val rows = part.select(col("seqno"), col("channel_id"), col("file_path"), col("data"))
+      .rdd.map { r =>
+        val bytes = r.getAs[Array[Byte]](3)
+        val vals = CdrCodec.decode(bundle, bytes)
+        val tail = Seq[Any](r.getInt(1), r.getString(2)) ++
+          (if (keepRawBlob) Seq(bytes) else Nil)
+        Row.fromSeq(r.getLong(0) +: (vals ++ tail))
+      }
+    spark.createDataFrame(rows, outSchema)
   }
 
   private def pathExists(path: String): Boolean = {

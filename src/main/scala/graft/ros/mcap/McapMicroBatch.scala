@@ -106,22 +106,17 @@ class McapMicroBatchStream(path: String, required: StructType,
             try Some(McapIO.scanTolerant(f))
             catch { case _: java.io.FileNotFoundException => None }
           idxOpt.toSeq.flatMap { idx =>
-            val schemaInfo = idx.schemas.map { case (id, sc) => id -> (sc.name, sc.encoding) }
-            val channels = typed match {
-              case Some(t) =>
-                // drop same-name channels of a DIFFERENT (drifted)
-                // definition — never decode them with this stream's pin
-                idx.channels.filter { case (_, c) =>
-                  idx.schemas.get(c.schemaId).forall(sc =>
-                    sc.name != t.schemaName || McapTypedRead.md5hex(sc.data) == t.md5)
-                }
-              case None => idx.channels
-            }
+            val schemaInfo = idx.schemas.map { case (id, sc) =>
+              id -> (sc.name, sc.encoding, McapTypedRead.md5hex(sc.data)) }
+            // the typed reader itself matches channels on (name, md5),
+            // so a drifted newcomer's channels are skipped, not
+            // mis-decoded — no partition-side map surgery needed
+            val channels = idx.channels
             // typed streams skip whole files that carry no matching
             // variant (offsets still advance over them — committed as
             // read, like filter-pruned chunks)
-            val carries = typed.forall(t => idx.schemas.values.exists(sc =>
-              sc.name == t.schemaName && McapTypedRead.md5hex(sc.data) == t.md5))
+            val carries = typed.forall(t => schemaInfo.values.exists(sc =>
+              sc._1 == t.schemaName && sc._3 == t.md5))
             if (!carries) Nil
             else {
               val chunkParts = idx.chunks.zipWithIndex
@@ -146,7 +141,7 @@ class McapMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = typed match {
-    case Some(t) => new McapTypedReaderFactory(t.schemaName, t.schemaText,
+    case Some(t) => new McapTypedReaderFactory(t.schemaName, t.schemaText, t.md5,
       required, includeRaw, filters)
     case None => new McapReaderFactory(required, filters, limit = -1)
   }

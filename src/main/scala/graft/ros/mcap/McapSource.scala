@@ -220,7 +220,7 @@ object McapFilters {
   */
 final case class McapInputPartition(path: String, chunkIdx: Int,
     chunk: Option[McapFormat.McapChunkRef], inline: Seq[(Long, Long)],
-    schemas: Map[Int, (String, String)], // schemaId -> (name, encoding)
+    schemas: Map[Int, (String, String, String)], // schemaId -> (name, encoding, md5)
     channels: Map[Int, McapFormat.McapChannel],
     ordinalBase: Int = 0) extends InputPartition
 
@@ -242,7 +242,8 @@ class McapScan(path: String, required: StructType, filters: Array[Filter], limit
       .filter(f => filters.forall(fl => McapFilters.fileMayMatch(fl, f)))
     files.flatMap { f =>
       val idx = McapIO.scanIndex(f)
-      val schemaInfo = idx.schemas.map { case (id, s) => id -> (s.name, s.encoding) }
+      val schemaInfo = idx.schemas.map { case (id, s) =>
+        id -> (s.name, s.encoding, McapTypedRead.md5hex(s.data)) }
       val chunkParts = idx.chunks.zipWithIndex
         .filter { case (c, _) => filters.forall(fl => McapFilters.chunkMayMatch(fl, c)) }
         .map { case (c, i) =>
@@ -258,7 +259,7 @@ class McapScan(path: String, required: StructType, filters: Array[Filter], limit
   }
 
   override def createReaderFactory(): PartitionReaderFactory = typed match {
-    case Some(t) => new McapTypedReaderFactory(t.schemaName, t.schemaText,
+    case Some(t) => new McapTypedReaderFactory(t.schemaName, t.schemaText, t.md5,
       required, includeRaw, filters)
     case None => new McapReaderFactory(required, filters, limit)
   }
@@ -457,7 +458,11 @@ object McapTypedRead {
     StructField("channel_id", IntegerType, nullable = false),
     StructField("topic", StringType, nullable = false))
 
-  private val reserved = MetaFields.map(_.name).toSet + "data"
+  // "seqno" included so the ETL frame (seqno + payload + ...) can never
+  // collide with a payload field of that name — the staged and
+  // per-type-scan ETL modes then emit identical column names (same
+  // rationale as RosbagTypedRead.reserved)
+  private[mcap] val reserved = MetaFields.map(_.name).toSet + "data" + "seqno"
 
   /** ONE schema text (drift across files fails loudly — the md5-drift
     * contract of the rosbag typed read, keyed on the schema bytes),
@@ -510,16 +515,16 @@ object McapTypedRead {
   }
 }
 
-class McapTypedReaderFactory(schemaName: String, schemaText: String,
+class McapTypedReaderFactory(schemaName: String, schemaText: String, md5: String,
     required: StructType, includeRaw: Boolean, filters: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new McapTypedPartitionReader(partition.asInstanceOf[McapInputPartition],
-      schemaName, schemaText, required, includeRaw, filters)
+      schemaName, schemaText, md5, required, includeRaw, filters)
 }
 
 class McapTypedPartitionReader(p: McapInputPartition, schemaName: String,
-    schemaText: String, required: StructType, includeRaw: Boolean,
+    schemaText: String, md5: String, required: StructType, includeRaw: Boolean,
     filters: Array[Filter]) extends PartitionReader[InternalRow] {
   import McapTypedRead._
 
@@ -527,10 +532,14 @@ class McapTypedPartitionReader(p: McapInputPartition, schemaName: String,
   private lazy val fullSchema = typedSchema(bundle, includeRaw)
   private lazy val projection: Array[Int] =
     required.fields.map(f => fullSchema.fieldIndex(f.name))
-  // channels of THIS schema; cdr is the only message encoding we decode
+  // channels of THIS schema VARIANT — matched on (name, md5), not name
+  // alone: one file can legally register two same-name schemas with
+  // different definitions (two schema ids), and decoding the other
+  // variant's channels with this bundle would mis-read them silently.
+  // cdr is the only message encoding we decode.
   private lazy val typeChannels: Map[Int, McapFormat.McapChannel] =
     p.channels.filter { case (_, c) =>
-      p.schemas.get(c.schemaId).exists(_._1 == schemaName) }
+      p.schemas.get(c.schemaId).exists(s => s._1 == schemaName && s._3 == md5) }
   private lazy val messages: Iterator[(McapFormat.McapMessage, Int)] = {
     val raw = p.chunk match {
       case Some(ref) => McapFormat.chunkMessages(McapIO.readChunk(p.path, ref)).iterator

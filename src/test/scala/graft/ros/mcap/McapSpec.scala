@@ -215,6 +215,38 @@ class McapSpec extends SparkTestBase {
   private def freshOut(tag: String): String =
     java.nio.file.Files.createTempDirectory(tag).toString + "/out"
 
+  test("typed read of ONE file carrying two same-name variants decodes only the selected md5") {
+    // legal mcap: two schema ids registering the same name with
+    // different definitions; channel 1 -> v1, channel 2 -> v2. A
+    // name-only channel match would decode channel 2's payloads with
+    // v1's bundle (silent garbage); the (name, md5) match must skip it.
+    val t1 = "int32 x"
+    val t2 = "int32 x\nint32 y"
+    val sch = Seq(McapSchema(1, "p/msg/T", "ros2msg", t1.getBytes("UTF-8")),
+      McapSchema(2, "p/msg/T", "ros2msg", t2.getBytes("UTF-8")))
+    val chs = Seq(McapChannel(1, 1, "/a", "cdr"), McapChannel(2, 2, "/b", "cdr"))
+    val b1 = Ros2Msg.bundle("p/msg/T", t1)
+    val b2 = Ros2Msg.bundle("p/msg/T", t2)
+    val ms = (0 until 6).map { i =>
+      if (i % 2 == 0) McapMessage(1, i.toLong, 100L + i, 100L + i,
+        CdrCodec.encode(b1, Seq(10 + i)))
+      else McapMessage(2, i.toLong, 100L + i, 100L + i,
+        CdrCodec.encode(b2, Seq(20 + i, 30 + i)))
+    }
+    val path = writeTemp(writeMcap(sch, chs, ms, "zstd"))
+    val md5v1 = McapTypedRead.md5hex(t1.getBytes("UTF-8"))
+    val df = spark.read.format("mcap")
+      .option("schema_name", "p/msg/T").option("schema_md5", md5v1.take(8))
+      .load(path)
+    val rows = df.orderBy("offset").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val i = r.getAs[Long]("sequence").toInt
+      assert(r.getAs[String]("topic") == "/a")
+      assert(r.getAs[Int]("x") == 10 + i)
+    }
+  }
+
   test("McapEtl routes by schema: seqno spine + channels + per-type tables, drift namespaced") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mcap_etl").toFile
     writeEtlFixture(dir, "a.mcap", imuText, 6)   // 3 imu + 3 chatter
@@ -308,6 +340,35 @@ class McapSpec extends SparkTestBase {
     // third call: nothing new
     val third = McapEtl.runIncremental(spark, dir.getAbsolutePath, outDir)
     assert(third.messages == 0 && third.tables.isEmpty)
+  }
+
+  test("McapEtl stagedBySchema single-pass mode emits tables identical to the re-scan mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcap_staged").toFile
+    writeEtlFixture(dir, "a.mcap", imuText, 6)
+    writeEtlFixture(dir, "b.mcap", imuText2, 4)  // drifted Imu variant
+    // plus an unrouted protobuf channel in a third file
+    val sch = Seq(McapSchema(1, "foxglove.Log", "protobuf", Array[Byte](9)))
+    val chs = Seq(McapChannel(1, 1, "/log", "protobuf"))
+    val ms = (0 until 3).map(i => McapMessage(1, i.toLong, 50L + i, 50L + i,
+      Array.tabulate(5)(j => (i * 7 + j).toByte)))
+    val out3 = new java.io.FileOutputStream(new java.io.File(dir, "c.mcap"))
+    try out3.write(writeMcap(sch, chs, ms, "zstd")) finally out3.close()
+
+    val outA = freshOut("graft_mcap_staged_a")
+    val outB = freshOut("graft_mcap_staged_b")
+    val infoA = McapEtl.run(spark, dir.getAbsolutePath, outA)
+    val infoB = McapEtl.run(spark, dir.getAbsolutePath, outB, stagedBySchema = true)
+    assert(infoA.messages == infoB.messages && infoA.messages == 13)
+    assert(infoA.crcXor == infoB.crcXor && infoA.tables == infoB.tables)
+    // every table byte-identical in rows, schema and column order
+    val tableNames = infoA.tables.keySet.toSeq :+ "Messages" :+ "Channels" :+ "RawMessages"
+    tableNames.foreach { t =>
+      val a = spark.read.parquet(s"$outA/$t.parquet")
+      val b = spark.read.parquet(s"$outB/$t.parquet")
+      assert(a.schema == b.schema, s"$t schema")
+      assert(a.count() == b.count(), s"$t count")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$t rows")
+    }
   }
 
   test("McapEtl maxMessages limits the conversion scope; nativeTimestamp adds NTZ micros") {

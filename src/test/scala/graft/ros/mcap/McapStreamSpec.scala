@@ -180,6 +180,40 @@ class McapStreamSpec extends SparkTestBase {
     assert(seqs.toSeq == Seq(0L, 1L, 2L, 3L, 200L, 201L))
   }
 
+  test("tolerant walk property: EVERY prefix of a valid file scans without throwing " +
+      "and yields a record-prefix; resume agrees with a fresh scan") {
+    val chunked = {
+      val (segs, fin) = writeMcapSegments(schemas, channels,
+        Seq(msgs(0, 2), msgs(2, 3), msgs(5, 2)), compression = "zstd")
+      segs.flatten.toArray ++ fin
+    }
+    val unchunked = writeMcap(schemas, channels, msgs(0, 7), chunked = false)
+    for (full <- Seq(chunked, unchunked)) {
+      def openOf(b: Array[Byte]) = () => new java.io.ByteArrayInputStream(b): java.io.InputStream
+      val complete = scanTolerant(openOf(full), full.length.toLong)
+      assert(complete.done)
+      val fullChunks = complete.chunks.map(_.fileOffset)
+      val fullInline = complete.inline
+      var prev = 0L
+      for (cut <- 0 to full.length) {
+        val prefix = full.take(cut)
+        val st = scanTolerant(openOf(prefix), cut.toLong)
+        // never beyond the cut, never backwards as the prefix grows
+        assert(st.pos <= math.max(cut.toLong, 8L), s"cut=$cut pos=${st.pos}")
+        assert(st.pos >= prev, s"cut=$cut pos regressed")
+        prev = st.pos
+        // records seen are exactly a prefix of the full file's records
+        assert(st.chunks.map(_.fileOffset) == fullChunks.take(st.chunks.size), s"cut=$cut")
+        assert(st.inline == fullInline.take(st.inline.size), s"cut=$cut")
+        // resuming the FULL file from this state agrees with a fresh scan
+        val resumed = scanTolerant(openOf(full), full.length.toLong, Some(st))
+        assert(resumed.done == complete.done &&
+          resumed.chunks.map(_.fileOffset) == fullChunks &&
+          resumed.inline == fullInline, s"cut=$cut resume mismatch")
+      }
+    }
+  }
+
   test("stream offset JSON round-trips, including escaped path characters") {
     val off = McapStreamOffset(Map(
       "file:/data/a.mcap" -> (3L, 0L),
