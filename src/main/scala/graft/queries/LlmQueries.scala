@@ -387,23 +387,63 @@ object LlmQueries {
         jaccardPairsUncached(s, d, thresh))
         .persist())
   }
+  /** Memoized exact-duplicate collapse of a set-valued derivation
+    * (see DupCollapse): the collapsed groups/members appear several
+    * times in each consumer's plan (within-pairs, rep pipeline, two
+    * expansion joins), and column pruning specializes each occurrence
+    * enough that exchange reuse never fires — persisting both sides
+    * once per (session, dir, derivation) makes the window shuffle a
+    * one-time cost, like the other shared text derivations. The
+    * cached frames are doc-id-and-counts metadata (plus one sorted
+    * set array per DISTINCT set in groups) — far smaller than the
+    * corpus the pair stages would otherwise re-shuffle.
+    */
+  private val collapseCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), graft.operators.DupCollapse.Collapsed]()
+  private def collapsed(s: SparkSession, d: String, key: String)(
+      build: => graft.operators.DupCollapse.Collapsed)
+      : graft.operators.DupCollapse.Collapsed = {
+    collapseCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    collapseCache.computeIfAbsent((s, d, key), _ => {
+      val c = build
+      graft.operators.DupCollapse.Collapsed(c.groups.persist(), c.members.persist())
+    })
+  }
+
   private def jaccardPairsUncached(s: SparkSession, d: String, thresh: Double): DataFrame = {
+    import graft.operators.DupCollapse
+    // exact-duplicate collapse first (same reasoning as winnowPairs):
+    // jaccard/shared/na/nb are pure functions of the two docs' shingle
+    // SETS, so the quadratic pair stage runs over one representative
+    // per distinct set. On the amplified ×10-clique corpus the raw
+    // build's (shingle, pair) volume is ×100 of this one's; the output
+    // is row-identical (within a group: shared = na = nb = n and
+    // jaccard = n/n = 1.0 exactly — the raw division's value).
+    val c = collapsed(s, d, "shingleCollapse")(
+      DupCollapse.collapse(shingleSets(s, d), "doc_id", "sh"))
+    val within = DupCollapse.withinPairs(c.members, PairCap)
+      .filter(col("n") >= 1 && lit(1.0) >= thresh)
+      .select(col("da"), col("db"), col("n").cast("long").as("shared"),
+        col("n").as("na"), col("n").as("nb"), lit(1.0).as("jaccard"))
     // explode_outer, NOT explode: InferFiltersFromGenerate would add
-    // `size(sh)>0 AND isnotnull(sh)` to a plain explode, and predicate
-    // pushdown then sinks that below the shingle cache — harmless now
-    // that the lineage is cached, but the outer variant keeps the plan
-    // inference-free if the cache is evicted.
-    val sh = shingleSets(s, d)
-      .select(col("doc_id"), size(col("sh")).as("n"), explode_outer(col("sh")).as("s"))
+    // `size(key)>0 AND isnotnull(key)` to a plain explode, and the
+    // inferred filter's pushdown reshapes the shared collapse window
+    // subtree — the outer variant keeps both consumers' subtrees
+    // identical so the window exchange is reused, not recomputed.
+    val sh = c.groups
+      .select(col("gid").as("doc_id"), col("n"), explode_outer(col("key")).as("s"))
       .filter(col("s").isNotNull)
-    graft.operators.KeyedPairs.pairs(sh, Seq("s"), struct(col("doc_id"), col("n")), PairCap)
-      .select(col("pa.doc_id").as("da"), col("pa.n").as("na"),
-              col("pb.doc_id").as("db"), col("pb.n").as("nb"))
-      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+    val repPairs = graft.operators.KeyedPairs
+      .pairs(sh, Seq("s"), struct(col("doc_id"), col("n")), PairCap)
+      .select(col("pa.doc_id").as("ga"), col("pa.n").as("na"),
+              col("pb.doc_id").as("gb"), col("pb.n").as("nb"))
+      .groupBy(col("ga"), col("gb"), col("na"), col("nb"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= thresh)
+    val cross = DupCollapse.expandPairs(repPairs, c.members, swap = Seq(("na", "nb")))
+    within.unionByName(cross)
       .select(col("da"), col("db"), col("shared"), col("na"), col("nb"), col("jaccard"))
   }
 
@@ -419,21 +459,54 @@ object LlmQueries {
     */
   private[graft] def semanticDedupPairs(s: SparkSession, d: String,
       nAssign: Int, thresh: Double): DataFrame = {
-    import graft.operators.{IvfIndex, KeyedPairs}
+    import graft.operators.{DupCollapse, IvfIndex, KeyedPairs}
     val e = spread(embeddings(s, d), col("vec_id"))
       .select(col("vec_id"), col("embedding"))
+    // model trained on the FULL corpus (identical centroids with or
+    // without duplicates MATTERS: the store fingerprints the raw
+    // corpus); the pair stage then runs over one representative per
+    // DISTINCT vector. cos(a, b) is a pure function of the two
+    // vectors, and cell assignment is a pure function of one vector —
+    // so identical vectors share every cell and every pair value, and
+    // collapse (DupCollapse, exact-key: element ORDER is the vector)
+    // is output-invisible while cutting the cell pair stage by the
+    // square of the duplication factor. The amplified corpus (×4
+    // vector cliques) is the shape real crawls have.
     val cents = cachedIvf(s, d, "ivf_k16_i2")(
       IvfIndex.train(e, "vec_id", "embedding", k = 16, iters = 2))
-    val assigned = IvfIndex.assignMulti(e, "embedding", cents, nAssign)
+    val c = collapsed(s, d, "vecCollapse")(
+      DupCollapse.collapseExact(e, "vec_id", "embedding"))
+    val reps = c.groups.select(col("gid").as("vec_id"), col("key").as("embedding"))
+    val assigned = IvfIndex.assignMulti(reps, "embedding", cents, nAssign)
       .withColumn("nrm", l2(col("embedding")))
     val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
-    val pairs = KeyedPairs.pairs(assigned, Seq("cell"), payload, PairCap)
-      .select(col("pa.vec_id").as("va"), col("pb.vec_id").as("vb"),
+    val repPairs0 = KeyedPairs.pairs(assigned, Seq("cell"), payload, PairCap)
+      .select(col("pa.vec_id").as("ga"), col("pb.vec_id").as("gb"),
         (dotd(col("pa.embedding"), col("pb.embedding")) /
           (col("pa.nrm") * col("pb.nrm"))).as("cos"))
       .filter(col("cos") >= thresh)
-      .select(col("va"), col("vb"))
-    if (nAssign == 1) pairs else pairs.distinct()
+      .select(col("ga"), col("gb"))
+    // dedupe BEFORE expansion (cheaper than after; same result set)
+    val repPairs = if (nAssign == 1) repPairs0 else repPairs0.distinct()
+    val cross = DupCollapse.expandPairs(repPairs, c.members)
+      .select(col("da").as("va"), col("db").as("vb"))
+    // within a group the pair cos is dot(v,v)/(l2·l2) — the SAME
+    // division over the same bits the raw pipeline evaluated, so the
+    // emit decision (>= thresh) is bit-identical — and identical
+    // vectors co-locate in all nAssign cells by construction, so
+    // co-location never gates a within pair. The when() guards the
+    // ANSI divide for zero-norm groups (the raw path throws on a
+    // zero-norm PAIR; the exact reference graph excludes them with
+    // nrm > 0 — dropping them here matches that contract).
+    val withinOk = c.groups
+      .filter(when(l2(col("key")) > 0,
+        (dotd(col("key"), col("key")) /
+          (l2(col("key")) * l2(col("key")))) >= thresh).otherwise(lit(false)))
+      .select(col("gid"))
+    val within = DupCollapse.withinPairs(c.members, PairCap)
+      .join(withinOk, Seq("gid"), "left_semi")
+      .select(col("da").as("va"), col("db").as("vb"))
+    within.unionByName(cross)
   }
 
   /** Exact cosine>=thresh pair graph over the embedding corpus:
@@ -525,10 +598,37 @@ object LlmQueries {
     * work). One simhash lineage feeds KeyedPairs (the round-1 shape
     * self-joined the lineage, computing the 64 bit-sums twice).
     */
-  def simhashPairs(s: SparkSession, d: String, blocks: Int, blocksPerKey: Int): DataFrame =
-    simhashPairsFrom(simhashes(s, d),
-      graft.operators.LshTuning.SimHashBlocking(blocks, blocksPerKey),
-      graft.operators.LshTuning.pairCap(corpusDocs(s, d)))
+  def simhashPairs(s: SparkSession, d: String, blocks: Int, blocksPerKey: Int): DataFrame = {
+    import graft.operators.DupCollapse
+    val bl = graft.operators.LshTuning.SimHashBlocking(blocks, blocksPerKey)
+    val cap = graft.operators.LshTuning.pairCap(corpusDocs(s, d))
+    // full-corpus path: exact-duplicate collapse by signature value
+    // (the scalar analog of the winnow/jaccard set collapse) — hamming
+    // is a pure function of (sig_a, sig_b) and identical sigs share
+    // EVERY combo bucket, so equal-sig docs are interchangeable in the
+    // pair stage: within a sig group every pair is hamming 0 (always
+    // emitted), and the banded expansion runs over one representative
+    // per distinct sig. On a clique-heavy corpus the bucket
+    // populations (the quadratic term) shrink by the duplication
+    // factor. The collapse is memoized+persisted per (session, dir);
+    // the SAMPLED gate paths (q29's ~1k-doc cross-validation) go
+    // through simhashPairsFrom raw — at bounded sample size the
+    // collapse's extra stages cost more than they save.
+    val c = collapsed(s, d, "simhashCollapse")(
+      DupCollapse.collapseExact(
+        simhashes(s, d).select(col("doc_id"), array(col("simhash")).as("sk")),
+        "doc_id", "sk"))
+    val reps = c.groups.select(col("gid").as("doc_id"),
+      col("key").getItem(0).as("simhash"))
+    val repPairs = simhashPairsCore(reps, bl, cap)
+      .select(col("da").as("ga"), col("db").as("gb"), col("hamming"))
+    val cross = DupCollapse.expandPairs(repPairs, c.members)
+    val within = DupCollapse.withinPairs(c.members, cap)
+      .select(col("da"), col("db"), lit(0).as("hamming"))
+    within.unionByName(cross)
+      .select(col("da"), col("db"), col("hamming"))
+      .orderBy(col("da"), col("db"))
+  }
 
   /** The pair generator over an explicit (doc_id, simhash) frame —
     * q29's gate runs two blocking configs over a SAMPLED sub-corpus
@@ -537,6 +637,15 @@ object LlmQueries {
     * full corpus.
     */
   private def simhashPairsFrom(sim: DataFrame,
+      bl: graft.operators.LshTuning.SimHashBlocking, cap: Int): DataFrame =
+    simhashPairsCore(sim, bl, cap).orderBy(col("da"), col("db"))
+
+  /** The banded pair kernel over an explicit (doc_id, simhash) frame:
+    * (da, db, hamming), UNSORTED. Shared by the raw sampled-gate path
+    * and the collapsed full-corpus path (which feeds representatives
+    * through it and expands the results back to members).
+    */
+  private def simhashPairsCore(sim: DataFrame,
       bl: graft.operators.LshTuning.SimHashBlocking, cap: Int): DataFrame = {
     val blocks = bl.blocks
     val blocksPerKey = bl.blocksPerKey
@@ -587,7 +696,6 @@ object LlmQueries {
       .select(col("pa.doc_id").as("da"), col("pb.doc_id").as("db"),
         bit_count(xor).as("hamming"))
       .filter(col("hamming") <= 3)
-      .orderBy(col("da"), col("db"))
   }
 
   /** simhashPairs with the corpus-derived blocking from LshTuning. */
@@ -604,9 +712,29 @@ object LlmQueries {
     * Returns (da, db, jaccard) with jaccard unrounded.
     */
   def minhashPairs(s: SparkSession, d: String,
-      scheme: graft.operators.LshTuning.MinHashScheme): DataFrame =
-    minhashPairsFrom(shingleSets(s, d), scheme,
-      graft.operators.LshTuning.pairCap(corpusDocs(s, d)))
+      scheme: graft.operators.LshTuning.MinHashScheme): DataFrame = {
+    import graft.operators.DupCollapse
+    val cap = graft.operators.LshTuning.pairCap(corpusDocs(s, d))
+    // full-corpus path through the memoized shingle-set collapse (the
+    // same groups q27/q46/q65 share): the minhash signature is an
+    // order-free pure function of the shingle SET, so identical-set
+    // docs share signature, band buckets, and confirmed jaccard —
+    // banding + confirmation run over one representative per distinct
+    // set, within-group pairs are jaccard 1.0 by identity (the raw
+    // confirm's n/n division), and rep pairs expand to member pairs.
+    // q28's sampled gate path keeps the raw minhashPairsFrom.
+    val c = collapsed(s, d, "shingleCollapse")(
+      DupCollapse.collapse(shingleSets(s, d), "doc_id", "sh"))
+    val repSets = c.groups.select(col("gid").as("doc_id"), col("key").as("sh"))
+    val repPairs = minhashPairsFrom(repSets, scheme, cap)
+      .select(col("da").as("ga"), col("db").as("gb"), col("jaccard"))
+    val cross = DupCollapse.expandPairs(repPairs, c.members)
+    val within = DupCollapse.withinPairs(c.members, cap)
+      .filter(col("n") >= 1)
+      .select(col("da"), col("db"), lit(1.0).as("jaccard"))
+    within.unionByName(cross)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
 
   /** The pair generator over an explicit (doc_id, sh) frame — q28's
     * gate runs over a SAMPLED sub-corpus through this past the gate
@@ -768,17 +896,37 @@ object LlmQueries {
     * the corpus-derived window against an explicit one.
     */
   def winnowPairs(s: SparkSession, d: String, window: Int): DataFrame = {
-    val fps = docToks(s, d)
-      .select(col("doc_id"), explode(
-        org.apache.spark.sql.graftfns.TextFunctions
-          .winnowFingerprints(col("toks"), 3, window)).as("fp"))
+    import graft.operators.{DupCollapse, KeyedPairs}
     val cap = graft.operators.LshTuning.pairCap(corpusDocs(s, d))
-    graft.operators.KeyedPairs.pairs(fps, Seq("fp"), col("doc_id"), cap)
-      .select(col("pa").as("da"), col("pb").as("db"))
-      .groupBy(col("da"), col("db"))
+    // exact-duplicate collapse first: `shared` is |fp-set ∩| — a pure
+    // function of the two docs' fingerprint SETS — so identical-set
+    // docs (exact duplicates after tokenization) are interchangeable
+    // in the pair stage. The quadratic inverted-index expansion runs
+    // over one representative per distinct set; member pairs expand
+    // back afterwards. On a duplicate-heavy corpus (the amplified
+    // bench's ×10 cliques; any real crawl) this cuts the (fp, pair)
+    // intermediate by the SQUARE of the duplication factor while
+    // producing row-identical output (DupCollapseSpec diffs the plans).
+    val c = collapsed(s, d, s"winnowCollapse_w$window")(
+      DupCollapse.collapse(
+        docToks(s, d).select(col("doc_id"),
+          org.apache.spark.sql.graftfns.TextFunctions
+            .winnowFingerprints(col("toks"), 3, window).as("fps")),
+        "doc_id", "fps"))
+    // within a group every pair shares the whole set: shared = n
+    val within = DupCollapse.withinPairs(c.members, cap)
+      .filter(col("n") >= 3)
+      .select(col("da"), col("db"), col("n").cast("long").as("shared"))
+    // across groups: the raw pipeline, over representatives only
+    val repFps = c.groups.filter(col("n") > 0)
+      .select(col("gid").as("doc_id"), explode(col("key")).as("fp"))
+    val repPairs = KeyedPairs.pairs(repFps, Seq("fp"), col("doc_id"), cap)
+      .select(col("pa").as("ga"), col("pb").as("gb"))
+      .groupBy(col("ga"), col("gb"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 3)
-      .orderBy(col("da"), col("db"))
+    val cross = DupCollapse.expandPairs(repPairs, c.members)
+    within.unionByName(cross).orderBy(col("da"), col("db"))
   }
 
   /** The checked-ANN output shape shared by q31/q42/q53: rows are the
@@ -1477,11 +1625,21 @@ object LlmQueries {
     // the size joins are broadcast.
     "q65_source_overlap" -> ((s, d) => {
       // shingle derivation comes from the shared shingleSets cache (the
-      // dedup family's staged corpus); only the doc_id -> source
-      // attribute join is new — broadcast/co-keyed, never a re-derive
-      val ss = shingleSets(s, d)
-        .join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
-        .select(col("source"), explode(col("sh")).as("sh"))
+      // dedup family's staged corpus) through its memoized duplicate
+      // collapse: the per-shingle source set only needs DISTINCT
+      // (source, shingle-set-group) combinations, so exact-duplicate
+      // docs from the same source explode once, not once per copy —
+      // on a clique-heavy corpus the explode (this query's volume
+      // term) runs at distinct-doc scale. The doc_id -> source
+      // attribute join is member-level metadata, never a re-derive.
+      val c = collapsed(s, d, "shingleCollapse")(
+        graft.operators.DupCollapse.collapse(shingleSets(s, d), "doc_id", "sh"))
+      val srcGroups = c.members
+        .join(documents(s, d).select(col("doc_id").as("id"), col("source")), "id")
+        .select(col("gid"), col("source")).distinct()
+      val ss = srcGroups
+        .join(c.groups.select(col("gid"), col("key")), "gid")
+        .select(col("source"), explode(col("key")).as("sh"))
         .groupBy(col("sh")).agg(sort_array(collect_set(col("source"))).as("ss"))
       val counts = ss
         .select(explode(flatten(transform(sequence(lit(1), size(col("ss"))), i =>
