@@ -1115,14 +1115,43 @@ object LlmQueries {
     // to the unfused dot/orderBy form) — the post-pair shuffle carries
     // 20 rows per task, never cap² pair structs with embedding copies.
     "q30_embed_neardup" -> ((s, d) => {
+      import graft.operators.DupCollapse
+      // exact-duplicate collapse first (q60's memoized vecCollapse):
+      // cos is a pure function of the two vectors, so the blocked
+      // all-pairs kernel runs over one representative per DISTINCT
+      // vector — the block grid shrinks by the SQUARE of the
+      // duplication factor. Candidates = every member pair of each
+      // task's top-20 rep pairs (a dropped rep pair is dominated by 20
+      // rep pairs strictly better on cos — exact cos ties between
+      // DISTINCT vector pairs don't occur in double arithmetic on real
+      // data; duplicate-pair ties all share one rep pair and survive
+      // or drop atomically) + all within-group pairs (cos = the
+      // kernel's own dot/(nrm*nrm) division over the same bits; zero-
+      // norm groups pair with nothing, exactly the kernel's contract).
+      // The global (cos desc, va, vb) top-20 then matches the raw
+      // all-pairs result row for row.
       val e = spread(embeddings(s, d), col("vec_id"))
         .select(col("vec_id"), col("embedding"))
+      val c = collapsed(s, d, "vecCollapse")(
+        DupCollapse.collapseExact(e, "vec_id", "embedding"))
+      val reps = c.groups
+        .select(col("gid").as("vec_id"), col("key").as("embedding"))
         .withColumn("nrm", l2(col("embedding")))
       val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
-      graft.operators.KeyedPairs.allPairsGrouped(e, payload, cap = 256)
+      val repPairs = graft.operators.KeyedPairs.allPairsGrouped(reps, payload, cap = 256)
         .select(explode(org.apache.spark.sql.graftfns.PairFunctions
           .topDotPairs(col("as_"), col("bs"), col("bi") === col("bj"), 20)).as("pr"))
-        .select(col("pr.va").as("va"), col("pr.vb").as("vb"), col("pr.cos").as("cos"))
+        .select(col("pr.va").as("ga"), col("pr.vb").as("gb"), col("pr.cos").as("cos"))
+      val cross = DupCollapse.expandPairs(repPairs, c.members)
+        .select(col("da").as("va"), col("db").as("vb"), col("cos"))
+      val within = DupCollapse.withinPairs(c.members, 256)
+        // Java `nrm > 0` is false for NaN; Spark SQL orders NaN above
+        // every double, so the isnan guard keeps the two sides equal
+        .join(c.groups.filter(l2(col("key")) > 0 && !isnan(l2(col("key"))))
+          .select(col("gid"), (dotd(col("key"), col("key")) /
+            (l2(col("key")) * l2(col("key")))).as("cos")), "gid")
+        .select(col("da").as("va"), col("db").as("vb"), col("cos"))
+      within.unionByName(cross)
         .orderBy(col("cos").desc, col("va"), col("vb")).limit(20)
         .select(col("va"), col("vb"), rk(col("cos"), 6).as("cosine"))
     }),

@@ -159,4 +159,32 @@ class DupCollapseSpec extends SparkTestBase {
     assert(q27.columns.toSeq === Seq("da", "db", "jaccard"))
     assert(q27.count() > 0)
   }
+
+  test("q30 collapsed top-20 ≡ raw all-pairs top-20 on a duplicate-amplified corpus") {
+    import graft.queries.LlmQueries.l2
+    import graft.queries.Tables.rk
+    // ×3-clique amplification of the sf0.001 embeddings: every vector
+    // appears under 3 ids, so the top-20 is dominated by exact-dup
+    // pairs (cos 1.0 ties) — the case where the collapse's candidate
+    // logic has to reproduce the raw (cos desc, va, vb) tie order.
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(40)
+    val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+    val amp = (0 until 3).map(i =>
+      base.select((col("vec_id") + lit(i * (maxId + 1))).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("dupq30").toString
+    amp.write.parquet(s"$dir/embeddings.parquet")
+    val e = amp.withColumn("nrm", l2(col("embedding")))
+    val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
+    val raw = KeyedPairs.allPairsGrouped(e, payload, cap = 256)
+      .select(explode(org.apache.spark.sql.graftfns.PairFunctions
+        .topDotPairs(col("as_"), col("bs"), col("bi") === col("bj"), 20)).as("pr"))
+      .select(col("pr.va").as("va"), col("pr.vb").as("vb"), col("pr.cos").as("cos"))
+      .orderBy(col("cos").desc, col("va"), col("vb")).limit(20)
+      .select(col("va"), col("vb"), rk(col("cos"), 6).as("cosine"))
+      .collect().toSeq
+    val got = graft.SparkEntry.queries("q30_embed_neardup")(spark, dir).collect().toSeq
+    assert(got === raw)
+  }
 }
