@@ -1859,6 +1859,66 @@ object LlmQueries {
         .orderBy(col("da"), col("db"))
     }),
 
+    // Q73 — incremental cross-corpus dedup, CHECKED: the incoming
+    // batch (odd doc_ids, modeling a new crawl snapshot) probed
+    // against the accumulated base corpus (even doc_ids) through
+    // IncrementalDedup's banded MinHash bucket index — a per-batch
+    // equi-join against a persisted, growing index, never a self-pair
+    // stage over base ∪ new. Output rows are the exact cross-corpus
+    // Jaccard>=0.5 pairs (DuckDB replicates them — q27's arithmetic
+    // restricted to parity-crossing pairs, straight off the staged
+    // pair graph); the gates mirror q28's: per-pair lsh_ok demanded
+    // only where the scheme's S-curve essentially guarantees
+    // recovery, plus the aggregate recall floor. Past the gate corpus
+    // threshold both sides run on the deterministic Lehmer sample,
+    // q28's audit-cost contract.
+    "q73_incremental_dedup" -> ((s, d) => {
+      import graft.operators.{IncrementalDedup, LshTuning}
+      val n = corpusDocs(s, d)
+      val m = gateSampleMod(n, 10000L)
+      val scheme = LshTuning.minhashScheme(n)
+      val sets0 = shingleSets(s, d)
+      val sets = if (m == 1L) sets0 else sets0.filter(lehmerSampled(col("doc_id"), m))
+      val newSets = sets.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      val baseSets = sets.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      val lsh = IncrementalDedup.newVsBase(newSets, baseSets, "doc_id", "sh", scheme, 0.5)
+        .select(least(col("new_id"), col("base_id")).as("da"),
+          greatest(col("new_id"), col("base_id")).as("db"))
+        .withColumn("hit", lit(1))
+      val exact0 = jaccardPairs(s, d, 0.5)
+        .filter(pmod(col("da"), lit(2L)) =!= pmod(col("db"), lit(2L)))
+      val exact = if (m == 1L) exact0
+        else exact0.filter(lehmerSampled(col("da"), m) && lehmerSampled(col("db"), m))
+      val joined = exact.join(lsh, Seq("da", "db"), "left").persist()
+      val missProb = pow(lit(1.0) - pow(col("jaccard"), lit(scheme.rows)), lit(scheme.bands))
+      val floor = math.max(0.5, scheme.recallAt(0.5) - 0.10)
+      val recall = joined.agg(
+        (count(lit(1)) === 0 ||
+          count(col("hit")).cast("double") / count(lit(1)) >= floor).as("recall_ok"))
+      joined
+        .select(col("da"), col("db"), rk(col("jaccard"), 6).as("jaccard"),
+          (col("hit").isNotNull || missProb > 1e-6).as("lsh_ok"))
+        .crossJoin(broadcast(recall))
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // Q74 — incremental-dedup survivors: per-source retention counts
+    // of the incoming batch (odd ids) after dropping docs with an
+    // exact Jaccard>=0.5 near-dup in the accumulated base (even ids).
+    // Pure re-aggregation of the staged pair graph — one anti-join +
+    // one groupBy; the candidate machinery is q73's, this is the keep
+    // decision a curation pipeline actually ships.
+    "q74_dedup_survivors" -> ((s, d) => {
+      val matched = jaccardPairs(s, d, 0.5)
+        .filter(pmod(col("da"), lit(2L)) =!= pmod(col("db"), lit(2L)))
+        .select(when(pmod(col("da"), lit(2L)) === 1L, col("da"))
+          .otherwise(col("db")).as("doc_id"))
+      documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .join(matched, Seq("doc_id"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+        .orderBy(col("source"))
+    }),
+
     // Q44 — TF-IDF top terms: tf = count/doc-length, idf =
     // ln((N+1)/(df+1)), top-20 (doc, term) pairs. Scale shape: two
     // shuffles of the (doc, token) pairs (tf agg, df agg + join keyed
@@ -2441,6 +2501,51 @@ object LlmQueries {
         |  FROM p WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5)
         |SELECT da, db, jaccard, split_a, split_b FROM pr
         |WHERE split_a <> split_b ORDER BY da, db""".stripMargin,
+    "q73_incremental_dedup" ->
+      """WITH mm AS (
+        |  SELECT CASE WHEN COUNT(*) <= 10000 THEN 1
+        |              ELSE greatest(1, COUNT(*) // 1000) END AS m
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |  WHERE (((doc_id % 2147483647) * 48271) % 2147483647) % (SELECT m FROM mm) = 0),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM t WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared,
+        |         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |             AND (a.doc_id % 2) <> (b.doc_id % 2)
+        |  GROUP BY 1, 2)
+        |SELECT da, db, FLOOR(CAST(shared AS DOUBLE)/(na+nb-shared) * 1000000.0 + 0.5)
+        |         / 1000000.0 AS jaccard, TRUE AS lsh_ok, TRUE AS recall_ok
+        |FROM p WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
+        |ORDER BY da, db""".stripMargin,
+    "q74_dedup_survivors" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM t WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared,
+        |         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |             AND (a.doc_id % 2) <> (b.doc_id % 2)
+        |  GROUP BY 1, 2),
+        |matched AS (
+        |  SELECT DISTINCT CASE WHEN da % 2 = 1 THEN da ELSE db END AS doc_id
+        |  FROM p WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5)
+        |SELECT source, COUNT(*) AS kept FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM matched)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q66_sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),

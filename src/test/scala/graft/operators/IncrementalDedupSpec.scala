@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class IncrementalDedupSpec extends SparkTestBase {
+  import IncrementalDedup._
+
+  private val scheme = LshTuning.minhashScheme(1000L)
+
+  private def setsOf(rows: Seq[(Long, Seq[String])]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, false),
+      StructField("sh", ArrayType(StringType), true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, s) => Row(i, s) }, 2), schema)
+  }
+
+  test("planted cross-corpus near-dups are found with exact jaccard; cross pairs only") {
+    val common = (0 until 20).map(i => s"tok$i w${i + 1} w${i + 2}")
+    val base = setsOf(Seq(
+      1000L -> common,                                    // near-dup target
+      1002L -> (0 until 20).map(i => s"other$i x y"),     // unrelated base doc
+      1004L -> Seq.empty))                                // empty set: indexes nothing
+    val nw = setsOf(Seq(
+      1L -> (common :+ "extra shingle one"),              // j = 20/21 vs 1000
+      3L -> (0 until 20).map(i => s"new$i a b"),          // unrelated new doc
+      5L -> (common :+ "extra shingle one")))             // same set as doc 1
+    val got = newVsBase(nw, base, "doc_id", "sh", scheme, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val j = 20.0 / 21.0
+    assert(got === Set((1L, 1000L, j), (5L, 1000L, j)),
+      "high-sim planted pairs are S-curve-certain for the 1k-doc scheme")
+  }
+
+  test("confirmed pairs are a subset of the exact cross-jaccard graph on sf0.001 (parity split)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), filter(split(col("t"), "\\s+"), x => x =!= "").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), graft.queries.LlmQueries.shingles(col("toks"), 3).as("sh"))
+    val nw = docs.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+    val base = docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+    val got = newVsBase(nw, base, "doc_id", "sh", scheme, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute-force exact cross pairs (test-only: the corpus is tiny)
+    val a = nw.select(col("doc_id").as("new_id"), col("sh").as("sa"))
+    val b = base.select(col("doc_id").as("base_id"), col("sh").as("sb"))
+    val exact = a.crossJoin(b)
+      .withColumn("shared", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("new_id"), col("base_id"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.subsetOf(exact), "phantom pairs are impossible: confirm is exact")
+    val certain = exact.filter { case (_, _, j) =>
+      math.pow(1.0 - math.pow(j, scheme.rows), scheme.bands) <= 1e-6 }
+    assert(certain.subsetOf(got), "S-curve-certain pairs must be recovered")
+    got.foreach { case (n, b2, _) =>
+      assert(n % 2 == 1 && b2 % 2 == 0, "cross pairs only — never new-new or base-base")
+    }
+  }
+
+  test("bucket index append ≡ rebuild: probing base+batch1 equals probing the grown index") {
+    val mk = (ids: Seq[Long]) => setsOf(ids.map(i =>
+      i -> (0 until 15).map(j => s"c${i % 7} s$j body")))    // 7 content cliques
+    val base = mk(Seq(0L, 2L, 4L))
+    val batch1 = mk(Seq(10L, 12L))
+    val batch2 = mk(Seq(21L, 23L))
+    val grown = bucketIndex(base, "doc_id", "sh", scheme)
+      .unionByName(bucketIndex(batch1, "doc_id", "sh", scheme))
+    val viaGrown = candidates(batch2, "doc_id", "sh", grown, scheme)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaRebuild = candidates(batch2, "doc_id", "sh",
+      bucketIndex(base.unionByName(batch1), "doc_id", "sh", scheme), scheme)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGrown === viaRebuild)
+    assert(viaGrown.nonEmpty, "clique-sharing batch docs must hit the index")
+  }
+}
