@@ -1902,6 +1902,49 @@ object LlmQueries {
         .orderBy(col("da"), col("db"))
     }),
 
+    // Q75 — semantic incremental dedup, CHECKED: q73's shape over
+    // embeddings — the incoming batch (odd vec_ids) assigns to its 2
+    // nearest IVF cells and equi-joins the accumulated base corpus's
+    // (even ids) cell index, cos confirmed exactly on candidates
+    // (IncrementalDedup.newVsBaseCos: bit-equal arithmetic to the
+    // exact all-pairs reference, so confirmed ⊆ exact). Centroids are
+    // the corpus-lifecycle ivf_k16_i2 model from the store — retrain
+    // cadence is policy, never a per-batch cost. Gates mirror q60's:
+    // subset (phantoms impossible), recall >= 0.60 vs the exact cross
+    // graph (Lehmer-sampled past 4k vecs).
+    "q75_semantic_incremental" -> ((s, d) => {
+      import graft.operators.{IncrementalDedup, IvfIndex}
+      val thresh = 0.40
+      val m = gateSampleMod(corpusVecs(s, d), 4000L)
+      val e0 = spread(embeddings(s, d), col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val e = if (m == 1L) e0 else e0.filter(lehmerSampled(col("vec_id"), m))
+      val cents = cachedIvf(s, d, "ivf_k16_i2")(
+        IvfIndex.train(e0, "vec_id", "embedding", k = 16, iters = 2))
+      val nw = e.filter(pmod(col("vec_id"), lit(2L)) === 1L)
+      val base = e.filter(pmod(col("vec_id"), lit(2L)) === 0L)
+      val idx = IncrementalDedup.cosIndex(base, "vec_id", "embedding", cents, 2)
+      val sem = IncrementalDedup
+        .newVsBaseCos(nw, idx, "vec_id", "embedding", cents, 2, thresh)
+        .select(least(col("new_id"), col("base_id")).as("va"),
+          greatest(col("new_id"), col("base_id")).as("vb"))
+      val exact = exactCosPairs(s, d, thresh, m)
+        .filter(pmod(col("va"), lit(2L)) =!= pmod(col("vb"), lit(2L)))
+        .select(col("va"), col("vb"))
+      val nNew = embeddings(s, d).filter(pmod(col("vec_id"), lit(2L)) === 1L)
+        .agg(count(lit(1)).as("n_new"))
+      val gates = sem.withColumn("ins", lit(1))
+        .join(exact.withColumn("ine", lit(1)), Seq("va", "vb"), "full_outer")
+        .agg(count(col("ine")).as("ne"),
+          (count(when(col("ins").isNotNull && col("ine").isNull, 1)) === 0)
+            .as("pairs_subset_ok"),
+          count(when(col("ins").isNotNull && col("ine").isNotNull, 1)).as("nf"))
+        .select(col("ne").as("n_exact_cross"), col("pairs_subset_ok"),
+          (col("ne") === 0 ||
+            col("nf").cast("double") / col("ne") >= 0.60).as("recall_ok"))
+      nNew.crossJoin(broadcast(gates))
+    }),
+
     // Q74 — incremental-dedup survivors: per-source retention counts
     // of the incoming batch (odd ids) after dropping docs with an
     // exact Jaccard>=0.5 near-dup in the accumulated base (even ids).
@@ -2525,6 +2568,28 @@ object LlmQueries {
         |         / 1000000.0 AS jaccard, TRUE AS lsh_ok, TRUE AS recall_ok
         |FROM p WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
         |ORDER BY da, db""".stripMargin,
+    "q75_semantic_incremental" ->
+      """WITH mm AS (
+        |  SELECT CASE WHEN COUNT(*) <= 4000 THEN 1
+        |              ELSE greatest(1, COUNT(*) // 1000) END AS m
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)) AS nrm
+        |  FROM embeddings
+        |  WHERE (((vec_id % 2147483647) * 48271) % 2147483647) % (SELECT m FROM mm) = 0),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding),
+        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x,y) -> x+y)
+        |         / (a.nrm * b.nrm) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |             AND (a.vec_id % 2) <> (b.vec_id % 2)
+        |  WHERE a.nrm > 0 AND b.nrm > 0)
+        |SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 1) AS n_new,
+        |       (SELECT COUNT(*) FROM p WHERE cos >= 0.40) AS n_exact_cross,
+        |       TRUE AS pairs_subset_ok, TRUE AS recall_ok""".stripMargin,
     "q74_dedup_survivors" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks

@@ -64,6 +64,40 @@ class IncrementalDedupSpec extends SparkTestBase {
     }
   }
 
+  test("semantic probe: confirmed ⊆ exact cross cos graph; identical vectors always co-cell") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val nw = emb.filter(pmod(col("vec_id"), lit(2L)) === 1L)
+    val base = emb.filter(pmod(col("vec_id"), lit(2L)) === 0L)
+    // plant: a new doc carrying an exact copy of a base vector
+    val baseRow = base.orderBy(col("vec_id")).limit(1).collect()(0)
+    val planted = nw.unionByName(base.orderBy(col("vec_id")).limit(1)
+      .select((col("vec_id") + lit(1000001L)).as("vec_id"), col("embedding")))
+    val idx = cosIndex(base, "vec_id", "embedding", cents, 2)
+    val got = newVsBaseCos(planted, idx, "vec_id", "embedding", cents, 2, 0.40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { case (n, b, _) =>
+      assert(n % 2 == 1 && b % 2 == 0, "cross pairs only")
+    }
+    // identical vectors share every assigned cell: the planted copy
+    // MUST be found, at cos exactly its self-division (1.0 for a
+    // nonzero vector)
+    val hit = got.filter(_._1 == baseRow.getLong(0) + 1000001L)
+    assert(hit.map(_._2).contains(baseRow.getLong(0)))
+    // subset: every confirmed pair is in the brute-force exact graph
+    import graft.queries.LlmQueries.{dotd, l2}
+    val a = planted.select(col("vec_id").as("na"), col("embedding").as("ea"))
+    val b = base.select(col("vec_id").as("nb"), col("embedding").as("eb"))
+    val exact = a.crossJoin(b)
+      .withColumn("la", l2(col("ea"))).withColumn("lb", l2(col("eb")))
+      .filter(col("la") > 0 && col("lb") > 0)
+      .withColumn("cos", dotd(col("ea"), col("eb")) / (col("la") * col("lb")))
+      .filter(col("cos") >= 0.40)
+      .collect().map(r => (r.getAs[Long]("na"), r.getAs[Long]("nb"))).toSet
+    assert(got.map(t => (t._1, t._2)).toSet.subsetOf(exact))
+  }
+
   test("bucket index append ≡ rebuild: probing base+batch1 equals probing the grown index") {
     val mk = (ids: Seq[Long]) => setsOf(ids.map(i =>
       i -> (0 until 15).map(j => s"c${i % 7} s$j body")))    // 7 content cliques
