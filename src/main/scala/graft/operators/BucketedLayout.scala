@@ -29,10 +29,19 @@ object BucketedLayout {
     * hundred MB (e.g. 16384 buckets for a 5 TB table).
     */
   def write(df: DataFrame, table: String, key: String, buckets: Int,
-            path: Option[String] = None): Unit = {
+            path: Option[String] = None): Unit =
+    writeKeys(df, table, Seq(key), buckets, path)
+
+  /** [[write]] over a composite bucket key (e.g. the near-dup index's
+    * (band, bucket)) — co-location requires later joins to use ALL the
+    * layout keys as equi-join keys.
+    */
+  def writeKeys(df: DataFrame, table: String, keys: Seq[String], buckets: Int,
+                path: Option[String] = None, mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
-    val w = df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key).sortBy(key)
+    require(keys.nonEmpty, "at least one bucket key required")
+    val w = df.write.mode(mode)
+      .bucketBy(buckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 

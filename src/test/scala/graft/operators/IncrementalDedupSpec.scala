@@ -98,6 +98,53 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(got.map(t => (t._1, t._2)).toSet.subsetOf(exact))
   }
 
+  test("persisted bucketed index: grow appends under the layout; probe never shuffles the index side") {
+    val mk = (ids: Seq[Long]) => setsOf(ids.map(i =>
+      i -> (0 until 15).map(j => s"c${i % 5} s$j body")))
+    val base = mk(Seq(0L, 2L, 4L, 6L))
+    val batch1 = mk(Seq(10L, 12L))
+    val batch2 = mk(Seq(21L, 23L))
+    saveIndex(bucketIndex(base, "doc_id", "sh", scheme), "inc_idx", 4)
+    grow(bucketIndex(batch1, "doc_id", "sh", scheme), "inc_idx", 4)
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = candidates(batch2, "doc_id", "sh",
+        BucketedLayout.read(spark, "inc_idx"), scheme)
+      val viaCatalog = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaRebuild = candidates(batch2, "doc_id", "sh",
+        bucketIndex(base.unionByName(batch1), "doc_id", "sh", scheme), scheme)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaCatalog === viaRebuild)
+      assert(viaCatalog.nonEmpty)
+      // plan property, asserted structurally: the scan node reading
+      // inc_idx is NOT below any Exchange (bucketed output feeds the
+      // join directly)
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def strip(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      def idxScanUnderExchange(p: SparkPlan, aboveExchange: Boolean): Boolean = p match {
+        case e: ShuffleExchangeLike =>
+          e.children.exists(c => idxScanUnderExchange(strip(c), aboveExchange = true))
+        case f: FileSourceScanExec =>
+          aboveExchange && f.toString.contains("inc_idx")
+        case other =>
+          other.children.exists(c => idxScanUnderExchange(strip(c), aboveExchange))
+      }
+      val root = strip(probe.queryExecution.executedPlan)
+      assert(!idxScanUnderExchange(root, aboveExchange = false),
+        s"index scan sits below an Exchange:\n$root")
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      spark.sql("DROP TABLE inc_idx")
+    }
+  }
+
   test("bucket index append ≡ rebuild: probing base+batch1 equals probing the grown index") {
     val mk = (ids: Seq[Long]) => setsOf(ids.map(i =>
       i -> (0 until 15).map(j => s"c${i % 7} s$j body")))    // 7 content cliques
