@@ -67,6 +67,24 @@ object IncrementalDedup {
     BucketedLayout.writeKeys(idx, table, Seq("band", "bucket"), buckets,
       None, org.apache.spark.sql.SaveMode.Append)
 
+  /** Maintenance compaction of a grown index: every [[grow]] call
+    * adds one file set, and a high-cadence ingest accumulates small
+    * files per bucket (the streaming-sink failure mode BagEtl.compact
+    * exists for). Rewrites the table under the SAME bucket spec via a
+    * shadow table + catalog rename — Spark refuses an in-place
+    * overwrite of a table being read, and the rename keeps the swap a
+    * metadata operation. Probe plans (and the no-Exchange property)
+    * are unchanged; only the file count drops.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      buckets: Int): Unit = {
+    val tmp = table + "__compacting"
+    BucketedLayout.writeKeys(BucketedLayout.read(spark, table), tmp,
+      Seq("band", "bucket"), buckets)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
   /** Candidate (new_id, base_id) pairs: the new batch's bucket rows
     * equi-joined against the base index, DISTINCT across bands.
     */

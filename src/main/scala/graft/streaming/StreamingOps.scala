@@ -362,4 +362,37 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .partitionBy(partitionCol)
       .outputMode(OutputMode.Append())
+
+  /** Stream→batch bridge for the incremental dedup index: each
+    * micro-batch's banded bucket rows — the SAME MinHashLsh derivation
+    * the streaming near-dup keys its state on, so the two can never
+    * disagree on a bucket — append to the persisted
+    * [[graft.operators.IncrementalDedup]] table (created on first
+    * batch). Stream-ingested documents thereby become probe-able by
+    * later BATCH dedup runs with no rebuild: the lambda-architecture
+    * seam, closed with one derivation.
+    *
+    * Delivery note: foreachBatch replays a batch after a crash, so
+    * duplicate bucket rows can land (at-least-once). The index is
+    * semantically a SET — `candidates` ends in DISTINCT — so replays
+    * change cost, never results; [[graft.operators.IncrementalDedup
+    * .compactIndex]] at maintenance cadence folds them away.
+    */
+  def indexSink(docs: DataFrame, idCol: String, textCol: String,
+      scheme: graft.operators.LshTuning.MinHashScheme, table: String,
+      buckets: Int, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = bandDocs(batch, idCol, textCol, scheme)
+          .select(col("band"), col("bucket"), col("docId").as("doc_id"))
+        val s = batch.sparkSession
+        if (s.catalog.tableExists(table))
+          graft.operators.IncrementalDedup.grow(rows, table, buckets)
+        else
+          graft.operators.IncrementalDedup.saveIndex(rows, table, buckets)
+      }
+      .start()
 }
