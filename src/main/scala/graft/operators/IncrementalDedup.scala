@@ -33,18 +33,32 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  /** (band, bucket, doc_id) bucket rows of a corpus under `scheme`.
-    * Empty/null shingle sets index nothing — they can near-dup
-    * nothing, exactly the self-pair pipeline's filter.
+  /** (doc_id, sig, band, bucket) — THE banded-signature derivation.
+    * The batch pair generator (LlmQueries.minhashPairsFrom), the
+    * streaming near-dup (StreamingOps.bandDocs) and this operator's
+    * index all route through it, so no two of them can ever disagree
+    * on what a bucket is — the invariant the stream→batch index
+    * bridge rests on. Empty/null shingle sets index nothing — they
+    * can near-dup nothing, the self-pair pipeline's filter.
     */
-  def bucketIndex(sets: DataFrame, idCol: String, setCol: String,
+  def bandedSignatures(sets: DataFrame, idCol: String, setCol: String,
       scheme: LshTuning.MinHashScheme): DataFrame =
     sets.filter(size(col(setCol)) > 0)
       .select(col(idCol).as("doc_id"),
         graft.queries.MinHashLsh.signature(col(setCol), scheme.numHashes).as("sig"))
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), col("sig"), explode(
         graft.queries.MinHashLsh.bandBuckets(col("sig"), scheme.bands, scheme.rows)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("doc_id"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** (band, bucket, doc_id) bucket rows of a corpus under `scheme` —
+    * [[bandedSignatures]] minus the signature payload (the persisted
+    * index doesn't need it; confirm re-reads the shingle arrays).
+    */
+  def bucketIndex(sets: DataFrame, idCol: String, setCol: String,
+      scheme: LshTuning.MinHashScheme): DataFrame =
+    bandedSignatures(sets, idCol, setCol, scheme)
+      .select(col("band"), col("bucket"), col("doc_id"))
 
   /** Persist the base index as a bucketed catalog table on
     * (band, bucket) — the layout the probe join keys on — so every
@@ -72,18 +86,58 @@ object IncrementalDedup {
     * files per bucket (the streaming-sink failure mode BagEtl.compact
     * exists for). Rewrites the table under the SAME bucket spec via a
     * shadow table + catalog rename — Spark refuses an in-place
-    * overwrite of a table being read, and the rename keeps the swap a
-    * metadata operation. Probe plans (and the no-Exchange property)
-    * are unchanged; only the file count drops.
+    * overwrite of a table being read. Probe plans (and the no-Exchange
+    * property) are unchanged; only the file count drops.
+    *
+    * Operational contract:
+    *   - STOP-THE-WORLD for writers: stop [[grow]] /
+    *     StreamingOps.indexSink during compaction. An append landing
+    *     between the shadow snapshot and the DROP is deleted with the
+    *     original table — silent loss, because the streaming
+    *     checkpoint has already committed that batch.
+    *   - Crash-safe by resume: the shadow name is deterministic, so a
+    *     process killed between DROP and RENAME leaves only the
+    *     shadow; the next call (or [[resumeCompaction]] directly)
+    *     completes the rename instead of failing on the missing
+    *     source table.
+    *   - MANAGED tables only: compacting an EXTERNAL (path-backed)
+    *     index would strand the original directory while path-based
+    *     readers keep reading it — refused loudly; compact external
+    *     indexes by writing a new location and switching readers.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, table: String,
       buckets: Int): Unit = {
-    val tmp = table + "__compacting"
+    if (resumeCompaction(spark, table)) return
+    require(spark.catalog.getTable(table).tableType == "MANAGED",
+      s"compactIndex supports MANAGED tables only; '$table' is external — " +
+        "write a compacted copy to a new location and repoint readers")
+    val tmp = shadowName(table)
     BucketedLayout.writeKeys(BucketedLayout.read(spark, table), tmp,
       Seq("band", "bucket"), buckets)
-    spark.sql(s"DROP TABLE `$table`")
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE ${quoted(table)}")
+    spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
   }
+
+  /** Finish a compaction interrupted between DROP and RENAME: if only
+    * the shadow exists, rename it into place. Returns true if a
+    * resume happened (the index is then fully compacted).
+    */
+  def resumeCompaction(spark: org.apache.spark.sql.SparkSession,
+      table: String): Boolean = {
+    val shadow = shadowName(table)
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(shadow)) {
+      spark.sql(s"ALTER TABLE ${quoted(shadow)} RENAME TO ${quoted(table)}")
+      true
+    } else false
+  }
+
+  private def shadowName(table: String): String = table + "__compacting"
+
+  /** Backtick each dot-separated part — `db.idx` must stay a two-part
+    * identifier in the SQL swap statements, not one quoted string.
+    */
+  private def quoted(table: String): String =
+    table.split('.').map(p => s"`$p`").mkString(".")
 
   /** Candidate (new_id, base_id) pairs: the new batch's bucket rows
     * equi-joined against the base index, DISTINCT across bands.
@@ -152,7 +206,13 @@ object IncrementalDedup {
     val idx = baseIndex.select(col("cell"), col("vec_id").as("base_id"),
       col("embedding").as("__id_eb"), col("nrm").as("__id_nb"))
     probe.join(idx, Seq("cell"))
-      .filter(col("__id_na") > 0 && col("__id_nb") > 0)
+      // Java `nrm > 0` is false for NaN but Spark SQL orders NaN above
+      // every double — without the isnan guard a NaN-element embedding
+      // would emit (new, base, NaN) phantom pairs the exact reference
+      // (whose kernel uses Java comparison) excludes, breaking the
+      // confirmed-⊆-exact contract (and q75's subset gate)
+      .filter(col("__id_na") > 0 && !isnan(col("__id_na")) &&
+        col("__id_nb") > 0 && !isnan(col("__id_nb")))
       .withColumn("cos",
         dot(col("__id_ea"), col("__id_eb")) / (col("__id_na") * col("__id_nb")))
       .filter(col("cos") >= thresh)

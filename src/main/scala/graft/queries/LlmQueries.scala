@@ -747,12 +747,11 @@ object LlmQueries {
     // explode+groupBy shuffle at all — and the confirmation join below
     // re-reads the same cache instead of re-running the interpreted
     // chain (the round-1 3×-recompute that made this the slowest query).
-    val sigs = sets.filter(size(col("sh")) > 0)
-      .select(col("doc_id"), MinHashLsh.signature(col("sh"), scheme.numHashes).as("sig"))
-    val exploded = sigs
-      .select(col("doc_id"),
-        explode(MinHashLsh.bandBuckets(col("sig"), scheme.bands, scheme.rows)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    // Band rows come from THE shared derivation (IncrementalDedup
+    // .bandedSignatures) so batch, streaming, and the persisted index
+    // can never disagree on a bucket.
+    val exploded = graft.operators.IncrementalDedup
+      .bucketIndex(sets, "doc_id", "sh", scheme)
     // band buckets → candidate pairs, hot buckets split into bounded
     // block-pair tasks (a viral doc cluster can put thousands of
     // near-identical docs into one bucket)
@@ -1121,15 +1120,25 @@ object LlmQueries {
       // all-pairs kernel runs over one representative per DISTINCT
       // vector — the block grid shrinks by the SQUARE of the
       // duplication factor. Candidates = every member pair of each
-      // task's top-20 rep pairs (a dropped rep pair is dominated by 20
-      // rep pairs strictly better on cos — exact cos ties between
-      // DISTINCT vector pairs don't occur in double arithmetic on real
-      // data; duplicate-pair ties all share one rep pair and survive
-      // or drop atomically) + all within-group pairs (cos = the
+      // task's top-20 rep pairs + all within-group pairs (cos = the
       // kernel's own dot/(nrm*nrm) division over the same bits; zero-
       // norm groups pair with nothing, exactly the kernel's contract).
-      // The global (cos desc, va, vb) top-20 then matches the raw
-      // all-pairs result row for row.
+      //
+      // Tie exactness (holds even for bit-equal cos from e.g.
+      // power-of-two-scaled duplicate vectors): gid is the MIN member
+      // id, so a rep pair's id pair (least(ga,gb), greatest(ga,gb)) IS
+      // the lexicographically-minimal member pair of its expansion,
+      // and every member pair of that rep is >= it in (va, vb). The
+      // kernel's per-task keep order — (cos desc, va asc, vb asc)
+      // over rep ids — therefore coincides with the global output
+      // order restricted to minimal member pairs. A member pair p of a
+      // DROPPED rep pair R is preceded globally by the 20 kept
+      // task-mates' minimal member pairs (each either strictly beats R
+      // on cos, or ties and is lex-smaller than R's minimal pair <= p)
+      // — all of which are in the candidate set — so p can never be in
+      // the true top-20. The per-task k equaling the global limit is
+      // what makes this airtight; DupCollapseSpec pins it on an
+      // all-ties corpus.
       val e = spread(embeddings(s, d), col("vec_id"))
         .select(col("vec_id"), col("embedding"))
       val c = collapsed(s, d, "vecCollapse")(

@@ -125,18 +125,15 @@ object StreamingOps {
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"idCol '$idCol' must be an integral type, got $idType " +
         "(hash non-numeric ids to long upstream)")
-    docs
-      .select(col(idCol).cast("long").as("docId"),
-        graft.queries.LlmQueries.shingles(
-          graft.queries.Tables.tokens(col(textCol)), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("docId"),
-        graft.queries.MinHashLsh.signature(col("sh"), scheme.numHashes).as("sig"))
-      .select(col("docId"), col("sig"),
-        explode(graft.queries.MinHashLsh
-          .bandBuckets(col("sig"), scheme.bands, scheme.rows)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
-        col("docId"), col("sig"))
+    // the SHARED banded-signature derivation (IncrementalDedup): the
+    // streaming state keys, the batch pair generator, and the
+    // persisted index bridge all agree on a bucket by construction
+    graft.operators.IncrementalDedup.bandedSignatures(
+        docs.select(col(idCol).cast("long").as("docId"),
+          graft.queries.LlmQueries.shingles(
+            graft.queries.Tables.tokens(col(textCol)), 3).as("sh")),
+        "docId", "sh", scheme)
+      .select(col("band"), col("bucket"), col("doc_id").as("docId"), col("sig"))
       .as[BandDoc]
   }
 

@@ -187,4 +187,39 @@ class DupCollapseSpec extends SparkTestBase {
     val got = graft.SparkEntry.queries("q30_embed_neardup")(spark, dir).collect().toSeq
     assert(got === raw)
   }
+
+  test("q30 collapsed ≡ raw when EVERY pair ties on cos (scaled duplicates)") {
+    import graft.queries.LlmQueries.l2
+    import graft.queries.Tables.rk
+    // power-of-two scalings of one base vector: every pairwise cos is
+    // the SAME double bit pattern (scaling by 2^k is exact for the
+    // dot, the norms, and the division), so all 55 member pairs tie
+    // and the top-20 is decided purely by the (va, vb) tiebreak — the
+    // regime where the per-task rep heap must agree with the global
+    // member order. Two dup groups with far-apart member ids stress
+    // the rep-id-vs-member-id distinction.
+    val v = Seq(1.5f, 2.25f, 0.5f, 3.0f)
+    val rows = (Seq(0L -> 0, 9000L -> 0) ++ (1 to 7).map(i => i.toLong -> i) ++
+        Seq(8L -> 8, 8000L -> 8))
+      .map { case (id, p) => Row(id, v.map(x => (x * (1 << p)).toFloat)) }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, false),
+      StructField("embedding", ArrayType(FloatType), true)))
+    val amp = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val dir = java.nio.file.Files.createTempDirectory("dupq30t").toString
+    amp.write.parquet(s"$dir/embeddings.parquet")
+    val e = amp.withColumn("nrm", l2(col("embedding")))
+    val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
+    val raw = KeyedPairs.allPairsGrouped(e, payload, cap = 256)
+      .select(explode(org.apache.spark.sql.graftfns.PairFunctions
+        .topDotPairs(col("as_"), col("bs"), col("bi") === col("bj"), 20)).as("pr"))
+      .select(col("pr.va").as("va"), col("pr.vb").as("vb"), col("pr.cos").as("cos"))
+      .orderBy(col("cos").desc, col("va"), col("vb")).limit(20)
+      .select(col("va"), col("vb"), rk(col("cos"), 6).as("cosine"))
+      .collect().toSeq
+    // sanity: the construction really does tie everything
+    assert(raw.map(_.getDouble(2)).distinct.size === 1)
+    val got = graft.SparkEntry.queries("q30_embed_neardup")(spark, dir).collect().toSeq
+    assert(got === raw)
+  }
 }

@@ -85,6 +85,25 @@ class IncrementalDedupSpec extends SparkTestBase {
     // nonzero vector)
     val hit = got.filter(_._1 == baseRow.getLong(0) + 1000001L)
     assert(hit.map(_._2).contains(baseRow.getLong(0)))
+    // NaN-element embeddings must pair with NOTHING (Java nrm > 0 is
+    // false for NaN; without the isnan guard Spark's NaN-greatest
+    // ordering would emit phantom (new, base, NaN) pairs)
+    val nanRow = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        999999L, Seq(Float.NaN, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), true))))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val nanVec = nanRow.select(col("vec_id"),
+      slice(concat(col("embedding"), array_repeat(lit(1.0f), dim)), 1, dim)
+        .as("embedding"))
+    val withNan = newVsBaseCos(nanVec, idx, "vec_id", "embedding", cents, 2, -10.0)
+      .collect()
+    assert(withNan.isEmpty, s"NaN-norm probe emitted phantom pairs: ${withNan.toSeq}")
     // subset: every confirmed pair is in the brute-force exact graph
     import graft.queries.LlmQueries.{dotd, l2}
     val a = planted.select(col("vec_id").as("na"), col("embedding").as("ea"))
@@ -121,23 +140,44 @@ class IncrementalDedupSpec extends SparkTestBase {
       // inc_idx is NOT below any Exchange (bucketed output feeds the
       // join directly)
       import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-      def strip(p: SparkPlan): SparkPlan = p match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case other => other
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      // the walk must pierce AQE wrapper nodes: a finalized adaptive
+      // plan hides every materialized exchange inside a LEAF
+      // ShuffleQueryStageExec (no children), so a child-only recursion
+      // silently stops at the stage boundary and the assert is vacuous
+      // — recurse through .executedPlan/.plan/.child. The property is
+      // "the index scan feeds its JOIN with no Exchange in between"
+      // (exchanges ABOVE the join — the candidate DISTINCT — are
+      // expected and fine).
+      def pierce(p: SparkPlan)(f: SparkPlan => Boolean): Boolean = p match {
+        case a: AdaptiveSparkPlanExec => f(a.executedPlan)
+        case q: QueryStageExec => f(q.plan)
+        case other => other.children.exists(f)
       }
-      def idxScanUnderExchange(p: SparkPlan, aboveExchange: Boolean): Boolean = p match {
-        case e: ShuffleExchangeLike =>
-          e.children.exists(c => idxScanUnderExchange(strip(c), aboveExchange = true))
-        case f: FileSourceScanExec =>
-          aboveExchange && f.toString.contains("inc_idx")
-        case other =>
-          other.children.exists(c => idxScanUnderExchange(strip(c), aboveExchange))
+      def idxScanNoExchangeBelow(p: SparkPlan): Boolean = p match {
+        case _: ShuffleExchangeLike => false     // path crosses a shuffle
+        case _: ReusedExchangeExec => false
+        case f: FileSourceScanExec => f.toString.contains("inc_idx")
+        case other => pierce(other)(idxScanNoExchangeBelow)
       }
-      val root = strip(probe.queryExecution.executedPlan)
-      assert(!idxScanUnderExchange(root, aboveExchange = false),
-        s"index scan sits below an Exchange:\n$root")
+      def joinFedDirectly(p: SparkPlan): Boolean = p match {
+        case j: BaseJoinExec if j.children.exists(idxScanNoExchangeBelow) => true
+        case other => pierce(other)(joinFedDirectly)
+      }
+      def seesIdxScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => f.toString.contains("inc_idx")
+        case e: ShuffleExchangeLike => e.children.exists(seesIdxScan)
+        case r: ReusedExchangeExec => seesIdxScan(r.child)
+        case other => pierce(other)(seesIdxScan)
+      }
+      val root = probe.queryExecution.executedPlan
+      // self-check the walk CAN see the index scan at all (guards
+      // against a future node type hiding it and re-vacuating the test)
+      assert(seesIdxScan(root), s"walk lost the index scan entirely:\n$root")
+      assert(joinFedDirectly(root),
+        s"no join consumes the index scan exchange-free:\n$root")
     } finally {
       prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
