@@ -751,7 +751,12 @@ object MultimodalOps {
           // cues are CueTime-ordered per spec; sort by OFFSET so the
           // next-target extent bound holds even for a muxer that cues
           // out of byte order
-          val offs = mkvCuePoints(blob).map(_._2).sorted
+          // drop cues pointing past the blob end: a truncated upload
+          // whose Cues element precedes the clusters (cues-at-front
+          // muxing) legally references bytes that are not present —
+          // slice what exists, like the MP4 path's clamp, instead of
+          // handing copyOfRange a from > to
+          val offs = mkvCuePoints(blob).map(_._2).filter(_ < blob.length).sorted
           // cluster extent: next cue's target (or blob end) bounds it
           offs.zip(offs.drop(1) :+ blob.length.toLong)
             .map { case (s, e) => ("mkv", s, math.max(s, e)) }

@@ -92,10 +92,43 @@ object McapFormat {
       : (McapChunkRef, Int, Long) = {
     val startT = leLong(p, 0); val endT = leLong(p, 8)
     val uncSize = leLong(p, 16); val crc = leInt(p, 24)
+    // callers hand a bounded header window (64 bytes); a compression
+    // identifier too long to fit must fail as what it is, not as an
+    // out-of-bounds read — the spec allows arbitrary strings but
+    // decompress() supports ""/lz4/zstd, all far inside the window
+    require(p.length >= 32, s"chunk header truncated at offset $fileOffset")
+    val compLen = leInt(p, 28)
+    require(28 + 4 + compLen + 8 <= p.length,
+      s"unsupported mcap chunk compression (identifier of $compLen bytes " +
+        s"overruns the ${p.length}-byte header window) at offset $fileOffset")
     val (comp, o1) = str(p, 28)
     val recLen = leLong(p, o1)
     (McapChunkRef(fileOffset, recordLength, startT, endT, comp, uncSize, crc),
       o1 + 8, recLen)
+  }
+
+  /** Consume a Chunk record whose first `ph.length` bytes are already
+    * read, decompress its records, and feed each in-chunk
+    * Schema/Channel to the registrars. Shared by the no-summary batch
+    * walk and the tolerant streaming walk so chunk parsing can never
+    * drift between them (the registration POLICY — overwrite vs
+    * first-wins — stays at the call site). Returns the chunk ref.
+    */
+  private def harvestChunk(in: DataInputStream, ph: Array[Byte],
+      pos: Long, len: Long,
+      onSchema: McapSchema => Unit, onChannel: McapChannel => Unit): McapChunkRef = {
+    val (ref, recOff, recLen) = parseChunkHeader(ph, pos, len)
+    val rest = new Array[Byte]((len - ph.length).toInt)
+    in.readFully(rest)
+    val full = ph ++ rest
+    val comp = java.util.Arrays.copyOfRange(full, recOff, (recOff + recLen).toInt)
+    chunkRecords(decompress(ref.compression, comp, ref.uncompressedSize,
+      ref.uncompressedCrc)).foreach {
+      case (OpSchema, p) => onSchema(parseSchema(p))
+      case (OpChannel, p) => onChannel(parseChannel(p))
+      case _ => ()
+    }
+    ref
   }
 
   /** Decompress a chunk's records bytes. Validates the chunk CRC when
@@ -242,19 +275,9 @@ object McapFormat {
           case OpChunk if summaryStart == 0 =>
             val ph = new Array[Byte](math.min(len, 64L).toInt)
             in.readFully(ph)
-            val (ref, recOff, recLen) = parseChunkHeader(ph, pos, len)
-            chunksFromWalk += ref
             // harvest in-chunk Schema/Channel for the no-summary path
-            val rest = new Array[Byte]((len - ph.length).toInt)
-            in.readFully(rest)
-            val full = ph ++ rest
-            val comp = java.util.Arrays.copyOfRange(full, recOff, (recOff + recLen).toInt)
-            chunkRecords(decompress(ref.compression, comp, ref.uncompressedSize,
-              ref.uncompressedCrc)).foreach {
-              case (OpSchema, p) => val s = parseSchema(p); schemas(s.id) = s
-              case (OpChannel, p) => val c = parseChannel(p); channels(c.id) = c
-              case _ => ()
-            }
+            chunksFromWalk += harvestChunk(in, ph, pos, len,
+              s => schemas(s.id) = s, c => channels(c.id) = c)
           case OpSchema => // standalone dimension records (unchunked files)
             val p = new Array[Byte](len.toInt); in.readFully(p)
             val s = parseSchema(p); schemas.getOrElseUpdate(s.id, s)
@@ -310,7 +333,14 @@ object McapFormat {
       case _ => ()
     }
     val startPos = resume.map(_.pos).getOrElse(8L)
-    if (resume.isEmpty) {
+    // magic gate keyed on POSITION, not on resume-vs-fresh: a file
+    // first observed at under 8 bytes returns pos=8 unvalidated, and a
+    // resume-only gate would then skip the check forever — garbage
+    // named *.mcap would parse from offset 8 instead of failing
+    // loudly. pos == 8 means nothing has been parsed yet, so the
+    // deferred first check runs here on whichever trigger first sees
+    // 8 bytes; pos > 8 implies a prior call passed this gate.
+    if (startPos == 8L) {
       if (fileLen < 8) return McapWalkState(8L, done = false,
         Map.empty, Map.empty, Seq.empty, Seq.empty)
       require(readAt(open, 0, 8).sameElements(Magic),
@@ -344,20 +374,9 @@ object McapFormat {
               case OpChunk =>
                 val ph = new Array[Byte](math.min(len, 64L).toInt)
                 in.readFully(ph)
-                val (ref, recOff, recLen) = parseChunkHeader(ph, pos, len)
-                chunks += ref
-                val rest = new Array[Byte]((len - ph.length).toInt)
-                in.readFully(rest)
-                val full = ph ++ rest
-                val comp = java.util.Arrays.copyOfRange(full, recOff, (recOff + recLen).toInt)
-                chunkRecords(decompress(ref.compression, comp, ref.uncompressedSize,
-                  ref.uncompressedCrc)).foreach {
-                  case (OpSchema, p) =>
-                    val s = parseSchema(p); schemas.getOrElseUpdate(s.id, s); ()
-                  case (OpChannel, p) =>
-                    val c = parseChannel(p); channels.getOrElseUpdate(c.id, c); ()
-                  case _ => ()
-                }
+                chunks += harvestChunk(in, ph, pos, len,
+                  s => { schemas.getOrElseUpdate(s.id, s); () },
+                  c => { channels.getOrElseUpdate(c.id, c); () })
               case OpSchema =>
                 val p = new Array[Byte](len.toInt); in.readFully(p)
                 val s = parseSchema(p); schemas.getOrElseUpdate(s.id, s); ()

@@ -53,12 +53,17 @@ object Ros2Msg {
         else {
           val typeStr = normalizeType(code.substring(0, sp))
           val rest = code.substring(sp).trim
-          if (rest.contains("=")) s"$typeStr $rest" // constant: keep value verbatim
-          else {
-            // field with optional default: keep only the name token
-            val name = rest.takeWhile(c => c != ' ' && c != '\t' && c != '#')
-            s"$typeStr $name"
-          }
+          // a CONSTANT is `NAME=VALUE` (optionally spaced '='): the
+          // '=' must follow the name token itself. Searching the whole
+          // line for '=' would misroute a FIELD whose string default
+          // or trailing comment contains '=' (`string url "a?x=1"`,
+          // `int32 x 5 # a=b`) into the constant branch — the field
+          // would then be skipped on the wire and every later column
+          // would decode misaligned.
+          val name = rest.takeWhile(c => c != ' ' && c != '\t' && c != '=' && c != '#')
+          val afterName = rest.drop(name.length).dropWhile(c => c == ' ' || c == '\t')
+          if (afterName.startsWith("=")) s"$typeStr $rest" // constant: keep value verbatim
+          else s"$typeStr $name" // field with optional default: name only
         }
       }
     }.mkString("\n")

@@ -269,7 +269,18 @@ object StreamingOps {
                          maxPerBucket: Int = 64)
       : Dataset[((Int, Long), Seq[(Long, Seq[Long])])] = {
     import sigs.sparkSession.implicits._
+    val w = scheme.bands * scheme.rows
     val bd = sigs.toDF("docId", "sig")
+      // fail fast on a too-narrow drained signature: element_at past
+      // the array end is null (non-ANSI), so xxhash64 would silently
+      // hash only the in-range slots and fully-out-of-range bands
+      // would collapse every doc into ONE bucket — garbage candidate
+      // floods with no error. The doc says "same number of hashes";
+      // this enforces it.
+      .filter(coalesce(isnull(assert_true(size(col("sig")) >= lit(w),
+        lit(s"drained signature narrower than scheme ${scheme.bands}x${scheme.rows}" +
+          s" (needs >= $w slots) — re-derive via migrateNearDupState instead"))),
+        lit(true)))
       .select(col("docId"), col("sig"),
         explode(graft.queries.MinHashLsh
           .bandBuckets(col("sig"), scheme.bands, scheme.rows)).as("bb"))

@@ -584,4 +584,23 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(mkvGot(0).getAs[Array[Byte]]("frame_data").toSeq == c1.toSeq)
     assert(mkvGot(1).getAs[Array[Byte]]("frame_data").toSeq == c2.toSeq)
   }
+
+  test("sliceKeyframes tolerates MKV cues pointing past a truncated blob") {
+    // cues-at-front muxing + truncated upload: the cue legally targets
+    // bytes that are not present; slice what exists instead of handing
+    // copyOfRange a from > to
+    val EBML = eid(0x1A, 0x45, 0xDF, 0xA3); val Segment = eid(0x18, 0x53, 0x80, 0x67)
+    val mkv = ebmlEl(EBML, euint(1)) ++ ebmlEl(Segment,
+      ebmlEl(eid(0x1C, 0x53, 0xBB, 0x6B), ebmlEl(eid(0xBB),
+        ebmlEl(eid(0xB3), euint(7)),
+        ebmlEl(eid(0xB7), ebmlEl(eid(0xF7), euint(1)), ebmlEl(eid(0xF1), euint(5000))))))
+    assert(isMkv(mkv))
+    assert(mkvCuePoints(mkv).exists(_._2 >= mkv.length), "fixture must point past the end")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, mkv))), schema)
+    assert(sliceKeyframes(df, "blob", "id").collect().isEmpty)
+  }
 }

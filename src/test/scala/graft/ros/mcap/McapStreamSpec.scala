@@ -224,4 +224,18 @@ class McapStreamSpec extends SparkTestBase {
     assert(McapStreamOffset.parse(json) == off)
     assert(McapStreamOffset.parse(McapStreamOffset(Map.empty).json()).files.isEmpty)
   }
+
+  test("garbage file first observed under 8 bytes still fails the magic check on growth") {
+    def openOf(b: Array[Byte]) = () => new java.io.ByteArrayInputStream(b): java.io.InputStream
+    val junk = "definitely-not-an-mcap-file".getBytes("UTF-8")
+    // first sighting: too short to validate -> deferred, nothing parsed
+    val s0 = McapFormat.scanTolerant(openOf(junk.take(4)), 4L)
+    assert(!s0.done && s0.pos == 8L)
+    // growth: the deferred magic check must fire on the RESUMED walk
+    // (a resume-only gate would parse garbage from offset 8 forever)
+    val e = intercept[IllegalArgumentException] {
+      McapFormat.scanTolerant(openOf(junk), junk.length.toLong, Some(s0))
+    }
+    assert(e.getMessage.contains("magic"))
+  }
 }

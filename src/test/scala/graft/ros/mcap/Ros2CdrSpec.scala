@@ -129,4 +129,22 @@ class Ros2CdrSpec extends AnyFunSuite {
     val tooShort = CdrCodec.encode(b, Seq(5L)).take(8)
     intercept[IllegalArgumentException](CdrCodec.decode(b, tooShort))
   }
+
+  test("'=' in a string default or comment does not turn a field into a constant") {
+    // misrouting any of these into the constant branch would skip a
+    // REAL wire field and misalign every later column
+    val defn =
+      """string url "http://h?a=b"
+        |int32 x 5 # a=b
+        |int32 LIM=7
+        |int32 SPACED = 9
+        |int32 w""".stripMargin
+    val b = Ros2Msg.bundle("p/msg/Eq", defn)
+    val (consts, fields) = b.root.fields.partition(_.isConstant)
+    assert(fields.map(_.name) == Seq("url", "x", "w"), fields.map(_.name))
+    assert(consts.map(_.name) == Seq("LIM", "SPACED"))
+    // and the wire layout matches the three real fields
+    val bytes = CdrCodec.encode(b, Seq("u", 3, 4))
+    assert(CdrCodec.decode(b, bytes) == Seq("u", 3, 4))
+  }
 }

@@ -333,4 +333,17 @@ class StreamingOpsSpec extends SparkTestBase {
     // the time bound actually prunes: the stale and late events match nothing
     assert(!got.exists(_._2 == "stale") && !got.exists(_._2 == "late"))
   }
+
+  test("rebandNearDupState fails fast on signatures narrower than the target scheme") {
+    import spark.implicits._
+    val sigs = Seq((1L, Seq(11L, 22L, 33L, 44L))).toDS()
+    val wide = graft.operators.LshTuning.MinHashScheme(16, 8, 2)
+    val e = intercept[Throwable] {
+      rebandNearDupState(sigs, wide).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("narrower"))),
+      s"expected the narrow-signature assert, got: $e")
+  }
 }
