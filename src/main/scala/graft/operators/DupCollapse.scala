@@ -55,8 +55,9 @@ object DupCollapse {
     * `setCol` must be array-typed with per-row-distinct elements
     * (both call sites derive distinct sets by construction); `idCol`
     * must be unique and orderable. Null and empty arrays form groups
-    * like any other value (`n` ≤ 0) — callers filter them out of the
-    * pair paths exactly as the raw pipeline's explode() did.
+    * like any other value (`n` ≤ 0) — the pair paths drop them before
+    * expansion ([[withinPairs]] `minN`; the rep explode emits nothing
+    * for them), mirroring the raw pipeline's explode().
     */
   def collapse(df: DataFrame, idCol: String, setCol: String): Collapsed =
     collapseBy(df, idCol, array_sort(col(setCol)))
@@ -87,13 +88,24 @@ object DupCollapse {
   }
 
   /** All within-group member pairs: (`da` < `db`, `gid`), one row per
-    * unordered pair of a group with ≥ 2 members. Pair stats are group
-    * constants — callers join them in from [[Collapsed.groups]] on
-    * `gid` (or filter on the carried `n`). Bounded expansion via
-    * [[KeyedPairs]]: a mega-clique splits into block-pair tasks.
+    * unordered pair of a group with ≥ 2 members whose set size clears
+    * `minN`. Pair stats are group constants — callers join them in
+    * from [[Collapsed.groups]] on `gid` (or filter on the carried
+    * `n`). Bounded expansion via [[KeyedPairs]]: a mega-clique splits
+    * into block-pair tasks.
+    *
+    * `minN` filters BEFORE the pair stage: the n = 0 clique (every
+    * doc whose text yields no shingles collapses into ONE group) and
+    * the null-set clique (n = -1) can be the largest groups in a real
+    * crawl, and the raw pipelines never paired them (explode of an
+    * empty array emits nothing) — expanding their quadratic pair set
+    * only for the caller's post-filter to drop every row would
+    * reintroduce the exact waste this operator removes. Callers whose
+    * emit threshold is a set-size bound pass it here (winnow's
+    * shared >= 3 ⇒ minN = 3).
     */
-  def withinPairs(members: DataFrame, cap: Int): DataFrame =
-    KeyedPairs.pairs(members.filter(col("m") >= 2),
+  def withinPairs(members: DataFrame, cap: Int, minN: Int = 1): DataFrame =
+    KeyedPairs.pairs(members.filter(col("m") >= 2 && col("n") >= minN),
         Seq("gid"), struct(col("id"), col("gid"), col("n")), cap)
       .select(col("pa.id").as("da"), col("pb.id").as("db"),
         col("pa.gid").as("gid"), col("pa.n").as("n"))

@@ -410,6 +410,16 @@ object LlmQueries {
     })
   }
 
+  /** THE memoized shingle-set collapse — jaccardPairs, minhashPairs
+    * and q65 all consume the same groups; one definition means the
+    * string-keyed collapseCache can never serve one call site a frame
+    * built from a different source than another's.
+    */
+  private def shingleCollapsed(s: SparkSession, d: String)
+      : graft.operators.DupCollapse.Collapsed =
+    collapsed(s, d, "shingleCollapse")(
+      graft.operators.DupCollapse.collapse(shingleSets(s, d), "doc_id", "sh"))
+
   private def jaccardPairsUncached(s: SparkSession, d: String, thresh: Double): DataFrame = {
     import graft.operators.DupCollapse
     // exact-duplicate collapse first (same reasoning as winnowPairs):
@@ -419,10 +429,9 @@ object LlmQueries {
     // build's (shingle, pair) volume is ×100 of this one's; the output
     // is row-identical (within a group: shared = na = nb = n and
     // jaccard = n/n = 1.0 exactly — the raw division's value).
-    val c = collapsed(s, d, "shingleCollapse")(
-      DupCollapse.collapse(shingleSets(s, d), "doc_id", "sh"))
+    val c = shingleCollapsed(s, d)
     val within = DupCollapse.withinPairs(c.members, PairCap)
-      .filter(col("n") >= 1 && lit(1.0) >= thresh)
+      .filter(lit(1.0) >= thresh)
       .select(col("da"), col("db"), col("n").cast("long").as("shared"),
         col("n").as("na"), col("n").as("nb"), lit(1.0).as("jaccard"))
     // explode_outer, NOT explode: InferFiltersFromGenerate would add
@@ -498,8 +507,12 @@ object LlmQueries {
     // ANSI divide for zero-norm groups (the raw path throws on a
     // zero-norm PAIR; the exact reference graph excludes them with
     // nrm > 0 — dropping them here matches that contract).
+    // l2 > 0 must carry the isnan guard: Spark SQL orders NaN above
+    // every double, so a NaN-norm clique would pass `> 0` here while
+    // the exact reference kernel's Java comparison excludes it —
+    // phantom pairs and a false pairs_subset_ok gate
     val withinOk = c.groups
-      .filter(when(l2(col("key")) > 0,
+      .filter(when(l2(col("key")) > 0 && !isnan(l2(col("key"))),
         (dotd(col("key"), col("key")) /
           (l2(col("key")) * l2(col("key")))) >= thresh).otherwise(lit(false)))
       .select(col("gid"))
@@ -723,14 +736,12 @@ object LlmQueries {
     // set, within-group pairs are jaccard 1.0 by identity (the raw
     // confirm's n/n division), and rep pairs expand to member pairs.
     // q28's sampled gate path keeps the raw minhashPairsFrom.
-    val c = collapsed(s, d, "shingleCollapse")(
-      DupCollapse.collapse(shingleSets(s, d), "doc_id", "sh"))
+    val c = shingleCollapsed(s, d)
     val repSets = c.groups.select(col("gid").as("doc_id"), col("key").as("sh"))
     val repPairs = minhashPairsFrom(repSets, scheme, cap)
       .select(col("da").as("ga"), col("db").as("gb"), col("jaccard"))
     val cross = DupCollapse.expandPairs(repPairs, c.members)
     val within = DupCollapse.withinPairs(c.members, cap)
-      .filter(col("n") >= 1)
       .select(col("da"), col("db"), lit(1.0).as("jaccard"))
     within.unionByName(cross)
       .select(col("da"), col("db"), col("jaccard"))
@@ -913,8 +924,7 @@ object LlmQueries {
             .winnowFingerprints(col("toks"), 3, window).as("fps")),
         "doc_id", "fps"))
     // within a group every pair shares the whole set: shared = n
-    val within = DupCollapse.withinPairs(c.members, cap)
-      .filter(col("n") >= 3)
+    val within = DupCollapse.withinPairs(c.members, cap, minN = 3)
       .select(col("da"), col("db"), col("n").cast("long").as("shared"))
     // across groups: the raw pipeline, over representatives only
     val repFps = c.groups.filter(col("n") > 0)
@@ -1670,8 +1680,7 @@ object LlmQueries {
       // on a clique-heavy corpus the explode (this query's volume
       // term) runs at distinct-doc scale. The doc_id -> source
       // attribute join is member-level metadata, never a re-derive.
-      val c = collapsed(s, d, "shingleCollapse")(
-        graft.operators.DupCollapse.collapse(shingleSets(s, d), "doc_id", "sh"))
+      val c = shingleCollapsed(s, d)
       val srcGroups = c.members
         .join(documents(s, d).select(col("doc_id").as("id"), col("source")), "id")
         .select(col("gid"), col("source")).distinct()

@@ -80,8 +80,11 @@ class DupCollapseSpec extends SparkTestBase {
     * bench's construction), plus short/empty docs.
     */
   private def cliqueDocs(x: Int): DataFrame = {
+    // orderBy before limit: an unordered limit is re-evaluated
+    // independently in the raw and collapsed subtrees of the equality
+    // asserts and is not guaranteed to pick the same 60 docs twice
     val base = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
-      .select(col("doc_id"), col("text")).limit(60)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(60)
     val shift = 1000000L
     (0 until x).map(k => base.withColumn("doc_id", col("doc_id") + lit(k * shift)))
       .reduce(_ union _)
@@ -158,6 +161,8 @@ class DupCollapseSpec extends SparkTestBase {
     val q27 = graft.SparkEntry.queries("q27_ngram_jaccard")(spark, d)
     assert(q27.columns.toSeq === Seq("da", "db", "jaccard"))
     assert(q27.count() > 0)
+    val q46 = graft.SparkEntry.queries("q46_dedup_clusters")(spark, d)
+    assert(q46.count() > 0, "the ConnectedComponents consumer of the collapsed graph must run")
   }
 
   test("q30 collapsed top-20 ≡ raw all-pairs top-20 on a duplicate-amplified corpus") {
