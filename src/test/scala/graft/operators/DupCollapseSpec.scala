@@ -124,6 +124,62 @@ class DupCollapseSpec extends SparkTestBase {
     assert(raw.count() >= 6L * 4 * 3 / 2, "clique corpus must produce within-clique pairs")
   }
 
+  test("randomized: collapsed jaccard graph ≡ raw on corpora with random duplication") {
+    // 6 seeded corpora over a 12-token universe: heavy set collisions,
+    // empty and null sets, random clique sizes, scattered ids — the
+    // collapse must be output-invisible on ALL of them
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(seed)
+      val nBase = 12 + rnd.nextInt(10)
+      val sets = (0 until nBase).map { _ =>
+        (0 until rnd.nextInt(6)).map(_ => s"t${rnd.nextInt(12)}").distinct
+      }
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
+      var id = 0L
+      sets.foreach { s0 =>
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          id += 1 + rnd.nextInt(7)
+          rows += ((id, if (s0.isEmpty && rnd.nextBoolean()) null else s0))
+        }
+      }
+      val df = setsDf(rnd.shuffle(rows.toSeq))
+      val thresh = 0.3
+      val ex = df.filter(size(col("s")) > 0)
+        .select(col("id"), size(col("s")).as("n"), explode(col("s")).as("t"))
+      val raw = KeyedPairs.pairs(ex, Seq("t"), struct(col("id"), col("n")), 64)
+        .select(col("pa.id").as("da"), col("pa.n").as("na"),
+          col("pb.id").as("db"), col("pb.n").as("nb"))
+        .groupBy(col("da"), col("db"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("j", col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")))
+        .filter(col("j") >= thresh)
+        .select(col("da"), col("db"), col("shared"), col("j"))
+      val c = DupCollapse.collapse(df, "id", "s")
+      val within = DupCollapse.withinPairs(c.members, 64)
+        .select(col("da"), col("db"), col("n").cast("long").as("shared"),
+          lit(1.0).as("j"))
+      val rex = c.groups.filter(col("n") > 0)
+        .select(col("gid").as("id"), col("n"), explode(col("key")).as("t"))
+      val rp = KeyedPairs.pairs(rex, Seq("t"), struct(col("id"), col("n")), 64)
+        .select(col("pa.id").as("ga"), col("pa.n").as("na"),
+          col("pb.id").as("gb"), col("pb.n").as("nb"))
+        .groupBy(col("ga"), col("gb"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("j", col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")))
+        .filter(col("j") >= thresh)
+        .drop("na", "nb")
+      val coll = within.unionByName(
+        DupCollapse.expandPairs(rp, c.members)
+          .select(col("da"), col("db"), col("shared"), col("j")))
+      val onlyRaw = raw.exceptAll(coll).count()
+      val onlyColl = coll.exceptAll(raw).count()
+      assert(onlyRaw == 0 && onlyColl == 0,
+        s"seed=$seed: rawOnly=$onlyRaw collOnly=$onlyColl")
+    }
+  }
+
   test("collapseExact groups bitwise-equal vectors only; zero-norm within pairs gate out") {
     import graft.queries.LlmQueries.{dotd, l2}
     val schema = StructType(Seq(
