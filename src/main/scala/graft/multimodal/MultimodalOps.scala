@@ -636,7 +636,13 @@ object MultimodalOps {
         ebmlChildren(blob, a, b).collectFirst {
           case (id2, a2, b2) if id2 == CueClusterPosition => ebmlUint(blob, a2, b2) }
       }.flatten.headOption
-    } yield (t, ss + pos) // ss = Segment data start: positions are relative to it
+      // ss = Segment data start: positions are relative to it. Drop
+      // targets past the blob end HERE, so every consumer (the index
+      // listing, the slicer) sees the same truncation tolerance: a
+      // cues-at-front MKV cut before its clusters legally references
+      // bytes that are not present — like the MP4 stbl clamp
+      if ss + pos < blob.length
+    } yield (t, ss + pos)
   }
 
   /** Container-dispatching keyframe index over a blob column: one row
@@ -751,12 +757,9 @@ object MultimodalOps {
           // cues are CueTime-ordered per spec; sort by OFFSET so the
           // next-target extent bound holds even for a muxer that cues
           // out of byte order
-          // drop cues pointing past the blob end: a truncated upload
-          // whose Cues element precedes the clusters (cues-at-front
-          // muxing) legally references bytes that are not present —
-          // slice what exists, like the MP4 path's clamp, instead of
-          // handing copyOfRange a from > to
-          val offs = mkvCuePoints(blob).map(_._2).filter(_ < blob.length).sorted
+          // mkvCuePoints already drops targets past the blob end
+          // (truncation tolerance centralized with the index consumer)
+          val offs = mkvCuePoints(blob).map(_._2).sorted
           // cluster extent: next cue's target (or blob end) bounds it
           offs.zip(offs.drop(1) :+ blob.length.toLong)
             .map { case (s, e) => ("mkv", s, math.max(s, e)) }

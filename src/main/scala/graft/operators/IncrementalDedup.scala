@@ -215,7 +215,9 @@ object IncrementalDedup {
         col("__id_nb") > 0 && !isnan(col("__id_nb")))
       .withColumn("cos",
         dot(col("__id_ea"), col("__id_eb")) / (col("__id_na") * col("__id_nb")))
-      .filter(col("cos") >= thresh)
+      // !isnan(cos): an Inf-norm vector clears the nrm gate but
+      // divides to NaN, which Spark's `>=` accepts and Java's rejects
+      .filter(col("cos") >= thresh && !isnan(col("cos")))
       .select(col("new_id"), col("base_id"), col("cos")).distinct()
   }
 }

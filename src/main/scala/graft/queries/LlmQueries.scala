@@ -488,12 +488,20 @@ object LlmQueries {
     val reps = c.groups.select(col("gid").as("vec_id"), col("key").as("embedding"))
     val assigned = IvfIndex.assignMulti(reps, "embedding", cents, nAssign)
       .withColumn("nrm", l2(col("embedding")))
+      // match the exact reference kernel's Java-comparison contract
+      // (ThresholdDotPairs drops nrm <= 0 and NaN at extract): a zero-
+      // norm rep in a shared cell would make cos = 0/0 = NaN, and
+      // Spark orders NaN above every double so `NaN >= thresh` passes
+      // — phantom pairs the reference never emits
+      .filter(col("nrm") > 0 && !isnan(col("nrm")))
     val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
     val repPairs0 = KeyedPairs.pairs(assigned, Seq("cell"), payload, PairCap)
       .select(col("pa.vec_id").as("ga"), col("pb.vec_id").as("gb"),
         (dotd(col("pa.embedding"), col("pb.embedding")) /
           (col("pa.nrm") * col("pb.nrm"))).as("cos"))
-      .filter(col("cos") >= thresh)
+      // !isnan(cos): Inf-norm vectors pass the nrm gate but divide to
+      // NaN; the kernel's Java `>= thresh` rejects NaN, Spark's accepts
+      .filter(col("cos") >= thresh && !isnan(col("cos")))
       .select(col("ga"), col("gb"))
     // dedupe BEFORE expansion (cheaper than after; same result set)
     val repPairs = if (nAssign == 1) repPairs0 else repPairs0.distinct()
@@ -509,12 +517,15 @@ object LlmQueries {
     // nrm > 0 — dropping them here matches that contract).
     // l2 > 0 must carry the isnan guard: Spark SQL orders NaN above
     // every double, so a NaN-norm clique would pass `> 0` here while
-    // the exact reference kernel's Java comparison excludes it —
-    // phantom pairs and a false pairs_subset_ok gate
+    // the exact reference kernel's Java comparison excludes it; the
+    // cos gate needs its own !isnan too — an Inf-norm vector passes
+    // the norm gate but divides to NaN (phantom pairs and a false
+    // pairs_subset_ok gate either way)
+    val withinCos = dotd(col("key"), col("key")) /
+      (l2(col("key")) * l2(col("key")))
     val withinOk = c.groups
       .filter(when(l2(col("key")) > 0 && !isnan(l2(col("key"))),
-        (dotd(col("key"), col("key")) /
-          (l2(col("key")) * l2(col("key")))) >= thresh).otherwise(lit(false)))
+        withinCos >= thresh && !isnan(withinCos)).otherwise(lit(false)))
       .select(col("gid"))
     val within = DupCollapse.withinPairs(c.members, PairCap)
       .join(withinOk, Seq("gid"), "left_semi")

@@ -90,13 +90,16 @@ object McapFormat {
     */
   def parseChunkHeader(p: Array[Byte], fileOffset: Long, recordLength: Long)
       : (McapChunkRef, Int, Long) = {
+    // the truncation guard must precede EVERY field read (a corrupt
+    // record declaring len < 32 reaches leLong(p, 16) otherwise and
+    // dies as a raw bounds error instead of this message); callers
+    // hand a bounded header window (64 bytes) — a compression
+    // identifier too long to fit must also fail as what it is, not as
+    // an out-of-bounds read (the spec allows arbitrary strings but
+    // decompress() supports ""/lz4/zstd, all far inside the window)
+    require(p.length >= 32, s"chunk header truncated at offset $fileOffset")
     val startT = leLong(p, 0); val endT = leLong(p, 8)
     val uncSize = leLong(p, 16); val crc = leInt(p, 24)
-    // callers hand a bounded header window (64 bytes); a compression
-    // identifier too long to fit must fail as what it is, not as an
-    // out-of-bounds read — the spec allows arbitrary strings but
-    // decompress() supports ""/lz4/zstd, all far inside the window
-    require(p.length >= 32, s"chunk header truncated at offset $fileOffset")
     val compLen = leInt(p, 28)
     require(28 + 4 + compLen + 8 <= p.length,
       s"unsupported mcap chunk compression (identifier of $compLen bytes " +

@@ -277,10 +277,11 @@ object StreamingOps {
       // would collapse every doc into ONE bucket — garbage candidate
       // floods with no error. The doc says "same number of hashes";
       // this enforces it.
-      .filter(coalesce(isnull(assert_true(size(col("sig")) >= lit(w),
+      // assert_true returns NULL (or throws), so isnull(...) is the
+      // always-true pass-through that forces the check to evaluate
+      .filter(isnull(assert_true(size(col("sig")) >= lit(w),
         lit(s"drained signature narrower than scheme ${scheme.bands}x${scheme.rows}" +
-          s" (needs >= $w slots) — re-derive via migrateNearDupState instead"))),
-        lit(true)))
+          s" (needs >= $w slots) — re-derive via migrateNearDupState instead"))))
       .select(col("docId"), col("sig"),
         explode(graft.queries.MinHashLsh
           .bandBuckets(col("sig"), scheme.bands, scheme.rows)).as("bb"))

@@ -595,7 +595,14 @@ class MultimodalOpsSpec extends SparkTestBase {
         ebmlEl(eid(0xB3), euint(7)),
         ebmlEl(eid(0xB7), ebmlEl(eid(0xF7), euint(1)), ebmlEl(eid(0xF1), euint(5000))))))
     assert(isMkv(mkv))
-    assert(mkvCuePoints(mkv).exists(_._2 >= mkv.length), "fixture must point past the end")
+    // the out-of-range cue is dropped at the source, so BOTH consumers
+    // (index listing and slicer) see the same truncation tolerance
+    assert(mkvCuePoints(mkv).isEmpty, "past-the-end cue must be dropped")
+    assert(indexKeyframes(
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(9L, mkv))),
+        StructType(Seq(StructField("id", LongType, nullable = false),
+          StructField("blob", BinaryType, nullable = false)))),
+      "blob", "id").collect().isEmpty)
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("blob", BinaryType, nullable = false)))
