@@ -305,4 +305,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"q71 plans a window:\n$p")
     assert(p.contains("Generate"), s"q71 should explode chunk indices:\n$p")
   }
+
+  test("q73: incremental probe never cross-joins; candidates come from a bucket equi-join") {
+    val p = plan("q73_incremental_dedup")
+    // the 1-row recall gate rides a broadcast nested-loop ON PURPOSE;
+    // what must never appear is a cartesian between the corpora
+    assert(!p.contains("CartesianProduct"), s"q73 cross-joins the corpora:\n$p")
+    // the bucket probe is an equi-join keyed by (band, bucket)
+    assert(p.contains("band") && p.contains("bucket"),
+      s"no banded bucket join in the plan:\n$p")
+  }
+
+  test("q75: semantic probe joins on cell — no corpus broadcast, no cartesian") {
+    val p = plan("q75_semantic_incremental")
+    assert(!p.contains("CartesianProduct"), s"q75 cross-joins the corpora:\n$p")
+    assert(p.contains("cell"), s"no cell equi-join in the plan:\n$p")
+  }
 }
