@@ -89,10 +89,14 @@ object AmplifiedBench {
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val (compact, detail, failed) = Bench.timeSuite(spark, outDir, runs)
-    // compact medians line FIRST (the driver's record), spread second
-    println(s"""{"metric":"amplified_total",$compact,""" +
-      s""""src":"$srcDir","docs_x":$docsX,"emb_x":$embX,"sf":"$outDir"}""")
-    println(s"""{"metric":"amplified_detail",$detail,"sf":"$outDir"}""")
+    val totalLine = s"""{"metric":"amplified_total",$compact,""" +
+      s""""src":"$srcDir","docs_x":$docsX,"emb_x":$embX,"sf":"$outDir"}"""
+    val detailLine = s"""{"metric":"amplified_detail",$detail,"sf":"$outDir"}"""
+    // committed file = the full record; stdout compact line LAST (the
+    // driver capture keeps the tail — see Bench.main)
+    Bench.writeArtifact("BENCH_amplified.json", Seq(totalLine, detailLine))
+    println(detailLine)
+    println(totalLine)
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -13,6 +13,29 @@ object Bench {
       case c => c.toString
     }
 
+  /** Microsecond-rounded seconds for the JSON artifacts: full nanosecond
+    * precision is noise on this box (co-tenant swings are 10^5× larger)
+    * and doubles the artifact's byte size — which matters because the
+    * driver's capture window is ~2000 chars and keeps the TAIL.
+    */
+  private[graft] def rk(v: Double): Double =
+    if (v < 0) v else math.rint(v * 1e6) / 1e6
+
+  /** Write the bench lines to an in-repo artifact file. The driver's
+    * stdout capture is tail-truncated (r8's BENCH_r08.json lost
+    * q01–q52's medians and the total); a committed file is the
+    * self-contained record — per-query regression tracking must not
+    * require a judge re-bench. Best-effort: a read-only CWD must not
+    * fail the bench itself.
+    */
+  private[graft] def writeArtifact(file: String, lines: Seq[String]): Unit =
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(file),
+        lines.mkString("", "\n", "\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch { case _: java.io.IOException => () }
+
   /** Median of N timings (mean of the middle two for even counts). */
   private[graft] def median(times: Seq[Double]): Double = {
     val s = times.sorted
@@ -24,12 +47,12 @@ object Bench {
     * warm the shared derivations (timed as their own line items), then
     * run every SparkEntry query in SORTED order, per-query median of
     * `runs`, recording errors instead of swallowing them. Returns
-    * (compact fields, detail fields, failed): the COMPACT fields
-    * (total/runs/warm_sec/errors/medians) go on the FIRST printed line
-    * and the bulky per-query min/med/max spread plus warm breakdown on
-    * a SECOND line — the round-7 artifact put everything on one line
-    * and the driver's capture window clipped it mid-JSON, losing
-    * q01–q47's medians entirely. The essentials must fit first.
+    * (compact fields, detail fields, failed): the COMPACT fields are
+    * total/runs/warm_sec/errors/medians, the detail fields the bulky
+    * per-query min/med/max spread plus the warm breakdown. The caller
+    * both prints them (compact LAST — the driver capture keeps the
+    * output's tail) and writes them whole to an in-repo file via
+    * [[writeArtifact]], the only capture that cannot truncate.
     */
   private[graft] def timeSuite(spark: SparkSession, sfDir: String, runs: Int)
       : (String, String, Boolean) = {
@@ -74,17 +97,17 @@ object Bench {
       // a failed query must NOT masquerade as a fast one
       (name, if (err.isDefined) -1.0 else median(times), err, times)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + rk(v) }
       .mkString("{", ",", "}")
     // per-query min/median/max across the runs: lets the artifact
     // itself distinguish co-tenant noise (wide spread, stable median)
     // from a real plan change (shifted min) — cross-round wall-clock
     // on this box swings up to ~4x, so a bare median can't.
     val spread = results.map { case (k, v, _, times) =>
-      "\"" + k + "\":{\"min\":" + times.min + ",\"med\":" + v +
-        ",\"max\":" + times.max + ",\"n\":" + times.length + "}"
+      "\"" + k + "\":{\"min\":" + rk(times.min) + ",\"med\":" + rk(v) +
+        ",\"max\":" + rk(times.max) + ",\"n\":" + times.length + "}"
     }.mkString("{", ",", "}")
-    val warmJson = warm.map { case (k, v) => "\"" + k + "\":" + v }
+    val warmJson = warm.map { case (k, v) => "\"" + k + "\":" + rk(v) }
       .mkString("{", ",", "}")
     // a failed warm build re-attributes its cost to the first consuming
     // query — exactly the drift this protocol pins — so it fails the
@@ -96,8 +119,8 @@ object Bench {
       .mkString("{", ",", "}")
     val warmTotal = warm.collect { case (_, v) if v > 0 => v }.sum
     val total = results.collect { case (_, v, None, _) => v }.sum + warmTotal
-    val compact = s""""value":$total,"unit":"sec","runs":$runs,""" +
-      s""""warm_sec":$warmTotal,"errors":$errs,"queries":$qs"""
+    val compact = s""""value":${rk(total)},"unit":"sec","runs":$runs,""" +
+      s""""warm_sec":${rk(warmTotal)},"errors":$errs,"queries":$qs"""
     val detail = s""""warm":$warmJson,"spread":$spread"""
     (compact, detail, results.exists(_._3.isDefined) || warm.exists(_._2 < 0))
   }
@@ -118,9 +141,15 @@ object Bench {
     val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val (compact, detail, failed) = timeSuite(spark, sfDir, runs)
-    // compact medians line FIRST (the driver's record), spread second
-    println(s"""{"metric":"total",$compact,"sf":"$sfDir"}""")
-    println(s"""{"metric":"detail",$detail,"sf":"$sfDir"}""")
+    val totalLine = s"""{"metric":"total",$compact,"sf":"$sfDir"}"""
+    val detailLine = s"""{"metric":"detail",$detail,"sf":"$sfDir"}"""
+    // the committed file is the self-contained record; stdout prints the
+    // detail line FIRST and the compact line LAST because the driver's
+    // ~2000-char capture keeps the TAIL of the output — r7 led with the
+    // compact line and r8's artifact lost q01–q52's medians and the total
+    writeArtifact("BENCH.json", Seq(totalLine, detailLine))
+    println(detailLine)
+    println(totalLine)
     spark.stop()
     if (failed) sys.exit(1)
   }
