@@ -60,6 +60,120 @@ object IncrementalDedup {
     bandedSignatures(sets, idCol, setCol, scheme)
       .select(col("band"), col("bucket"), col("doc_id"))
 
+  /** Table property carrying the MinHash scheme the index's bucket
+    * rows were derived under ("numHashes,bands,rows"). The stamp is
+    * the index's CONTRACT, not documentation: bucket keys are
+    * meaningless outside their scheme, and the production failure mode
+    * is silent — a corpus growing across an LshTuning.minhashScheme
+    * threshold (100k / 10M docs) flips the derived scheme, new probes
+    * hash into different bucket keys, the equi-join matches nothing,
+    * and candidate recall collapses with no error anywhere. Every
+    * write stamps; every stamped-table operation `require`s a match.
+    */
+  private[graft] val SchemeProp = "graft.minhash.scheme"
+
+  /** Centroid-set fingerprint of a persisted semantic index (semantic
+    * twin of [[SchemeProp]]): cell assignments are meaningless under
+    * any other centroid set, and a retrain otherwise strands every
+    * accumulated row under stale cells with nothing to catch it.
+    */
+  private[graft] val CentroidProp = "graft.ivf.centroids"
+
+  /** nAssign the semantic index rows were built with — part of the
+    * recall contract (an index holding 1 cell/vec probed as if it held
+    * 2 silently halves co-location recall), so guarded like the rest.
+    */
+  private[graft] val NAssignProp = "graft.ivf.nassign"
+
+  private def fmtScheme(s: LshTuning.MinHashScheme): String =
+    s"${s.numHashes},${s.bands},${s.rows}"
+
+  private def parseScheme(s: String): LshTuning.MinHashScheme =
+    s.split(',') match {
+      case Array(n, b, r) => LshTuning.MinHashScheme(n.trim.toInt, b.trim.toInt, r.trim.toInt)
+      case _ => throw new IllegalArgumentException(s"malformed scheme stamp '$s'")
+    }
+
+  /** Order-sensitive bit-exact fingerprint of a centroid set: MD5 over
+    * (id, floatToIntBits(vec)*) per centroid. Any retrain — even one
+    * converging to visually-identical centroids — changes at least one
+    * bit and therefore the stamp, which is the point: cell ids are only
+    * comparable under the EXACT floats that assigned them.
+    */
+  def centroidFingerprint(cents: Seq[IvfIndex.Centroid]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4)
+    def putInt(i: Int): Unit = { buf.clear(); buf.putInt(i); md.update(buf.array()) }
+    cents.foreach { c =>
+      putInt(c.id)
+      c.vec.foreach(f => putInt(java.lang.Float.floatToIntBits(f)))
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  private def catalogMeta(spark: org.apache.spark.sql.SparkSession, table: String) =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+
+  /** The persisted layout spec (bucket columns, count) — read from the
+    * catalog, never trusted from a caller argument: a wrong count
+    * silently rewrites the index under a new layout on the next
+    * maintenance op and breaks the no-Exchange probe property.
+    */
+  private def layoutSpec(spark: org.apache.spark.sql.SparkSession, table: String)
+      : org.apache.spark.sql.catalyst.catalog.BucketSpec =
+    catalogMeta(spark, table).bucketSpec.getOrElse(throw new IllegalStateException(
+      s"'$table' has no bucket spec — not a graft dedup index"))
+
+  private def stampProps(spark: org.apache.spark.sql.SparkSession, table: String,
+      props: Map[String, String]): Unit = {
+    val kv = props.toSeq.sorted.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE ${quoted(table)} SET TBLPROPERTIES ($kv)")
+    ()
+  }
+
+  private def stampOf(spark: org.apache.spark.sql.SparkSession, table: String,
+      prop: String): String =
+    catalogMeta(spark, table).properties.getOrElse(prop,
+      throw new IllegalStateException(
+        s"index '$table' carries no '$prop' stamp — it predates scheme " +
+          "stamping or is not a graft dedup index; rebuild it (or migrate " +
+          "with rebandIndex/recellIndex) before probing"))
+
+  /** The scheme a stamped index was built under. */
+  def indexScheme(spark: org.apache.spark.sql.SparkSession, table: String)
+      : LshTuning.MinHashScheme = parseScheme(stampOf(spark, table, SchemeProp))
+
+  /** Guard: the caller's scheme must be the one the index was built
+    * under — otherwise the probe's bucket keys are hashed under a
+    * different banding and the equi-join silently matches nothing.
+    */
+  private def requireScheme(spark: org.apache.spark.sql.SparkSession,
+      table: String, scheme: LshTuning.MinHashScheme): Unit = {
+    val stamped = indexScheme(spark, table)
+    require(stamped == scheme,
+      s"index '$table' was built under MinHash scheme (${fmtScheme(stamped)}) " +
+        s"but this operation derives buckets under (${fmtScheme(scheme)}); " +
+        "probing or growing across schemes silently zeroes candidate recall — " +
+        "migrate the index with rebandIndex(newScheme) first")
+  }
+
+  private def requireCentroids(spark: org.apache.spark.sql.SparkSession,
+      table: String, cents: Seq[IvfIndex.Centroid], nAssign: Int): Unit = {
+    val stamped = stampOf(spark, table, CentroidProp)
+    val now = centroidFingerprint(cents)
+    require(stamped == now,
+      s"semantic index '$table' was built under centroid set $stamped but " +
+        s"this operation assigns cells under centroid set $now (a retrain " +
+        "strands accumulated rows in stale cells); migrate with " +
+        "recellIndex(newCentroids) first")
+    val stampedN = stampOf(spark, table, NAssignProp).toInt
+    require(stampedN == nAssign,
+      s"semantic index '$table' holds nAssign=$stampedN cells per vector " +
+        s"but this operation assumes nAssign=$nAssign — recall contracts " +
+        "differ; rebuild or migrate with recellIndex")
+  }
+
   /** Persist the base index as a bucketed catalog table on
     * (band, bucket) — the layout the probe join keys on — so every
     * later batch probe plans with NO Exchange on the index side: the
@@ -67,19 +181,29 @@ object IncrementalDedup {
     * re-shuffled, only the incoming batch is. Each cleared batch's
     * bucket rows APPEND under the same layout (`grow`) — Spark writes
     * appended files into the same bucket scheme, so co-location
-    * survives growth without ever rewriting the index.
+    * survives growth without ever rewriting the index. The building
+    * scheme is stamped into table properties ([[SchemeProp]]); later
+    * grows and probes refuse a different one.
     */
   def saveIndex(idx: DataFrame, table: String, buckets: Int,
-      path: Option[String] = None): Unit =
+      scheme: LshTuning.MinHashScheme, path: Option[String] = None): Unit = {
     BucketedLayout.writeKeys(idx, table, Seq("band", "bucket"), buckets, path)
+    stampProps(idx.sparkSession, table, Map(SchemeProp -> fmtScheme(scheme)))
+  }
 
-  /** Append a cleared batch's bucket rows to a saved index — same
-    * bucket spec, Append mode (Spark validates the spec against the
-    * catalog's and distributes the new files into the same buckets).
+  /** Append a cleared batch's bucket rows to a saved index — bucket
+    * spec read from the catalog (same layout; Spark distributes the
+    * new files into the same buckets), Append mode. Refuses rows
+    * derived under a scheme other than the index's stamp.
     */
-  def grow(idx: DataFrame, table: String, buckets: Int): Unit =
-    BucketedLayout.writeKeys(idx, table, Seq("band", "bucket"), buckets,
+  def grow(idx: DataFrame, table: String,
+      scheme: LshTuning.MinHashScheme): Unit = {
+    val spark = idx.sparkSession
+    requireScheme(spark, table, scheme)
+    val spec = layoutSpec(spark, table)
+    BucketedLayout.writeKeys(idx, table, spec.bucketColumnNames, spec.numBuckets,
       None, org.apache.spark.sql.SaveMode.Append)
+  }
 
   /** Maintenance compaction of a grown index: every [[grow]] call
     * adds one file set, and a high-cadence ingest accumulates small
@@ -105,17 +229,76 @@ object IncrementalDedup {
     *     readers keep reading it — refused loudly; compact external
     *     indexes by writing a new location and switching readers.
     */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, table: String,
-      buckets: Int): Unit = {
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
     if (resumeCompaction(spark, table)) return
+    rewriteInPlace(spark, table, Map.empty)(
+      () => BucketedLayout.read(spark, table))
+  }
+
+  /** Shadow-table rewrite under the table's OWN catalog layout spec
+    * (bucket columns + count are never caller-supplied — a wrong count
+    * would silently relayout the index and break the no-Exchange probe
+    * property). The original's graft.* stamps carry over, overridden
+    * by `newProps` — and the shadow is FULLY built and stamped before
+    * the original is dropped, so a crash at any point leaves either
+    * the intact original (plus a dead shadow the next rewrite
+    * overwrites) or only the committed shadow (resumeCompaction
+    * renames it into place).
+    */
+  private def rewriteInPlace(spark: org.apache.spark.sql.SparkSession,
+      table: String, newProps: Map[String, String])(rows: () => DataFrame): Unit = {
     require(spark.catalog.getTable(table).tableType == "MANAGED",
-      s"compactIndex supports MANAGED tables only; '$table' is external — " +
-        "write a compacted copy to a new location and repoint readers")
+      s"in-place index rewrite supports MANAGED tables only; '$table' is " +
+        "external — write a rewritten copy to a new location and repoint readers")
+    val spec = layoutSpec(spark, table)
+    val stamps = catalogMeta(spark, table).properties
+      .filter { case (k, _) => k.startsWith("graft.") }
     val tmp = shadowName(table)
-    BucketedLayout.writeKeys(BucketedLayout.read(spark, table), tmp,
-      Seq("band", "bucket"), buckets)
+    BucketedLayout.writeKeys(rows(), tmp, spec.bucketColumnNames, spec.numBuckets)
+    val props = stamps ++ newProps
+    if (props.nonEmpty) stampProps(spark, tmp, props)
     spark.sql(s"DROP TABLE ${quoted(table)}")
     spark.sql(s"ALTER TABLE ${quoted(tmp)} RENAME TO ${quoted(table)}")
+    ()
+  }
+
+  /** Batch index migration across banding schemes — the growth path
+    * the incremental operator exists for: when the accumulated corpus
+    * crosses an LshTuning.minhashScheme threshold (100k / 10M docs),
+    * the right banding changes, and an index frozen on the old scheme
+    * either blocks ingestion (the stamp guard refuses mismatched
+    * grows) or — unstamped — silently loses probe recall. This is the
+    * batch twin of StreamingOps.rebandNearDupState: re-derive the
+    * bucket rows from the corpus's staged shingle sets under the new
+    * scheme and swap them in (shadow + rename, [[rewriteInPlace]]'s
+    * crash contract), restamping [[SchemeProp]]. `sets` must cover the
+    * full accumulated corpus (the same relation whose batches built
+    * the index) — the index itself holds only bucket keys, which are
+    * not invertible to signatures.
+    */
+  def rebandIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      sets: DataFrame, idCol: String, setCol: String,
+      newScheme: LshTuning.MinHashScheme): Unit = {
+    resumeCompaction(spark, table)
+    rewriteInPlace(spark, table, Map(SchemeProp -> fmtScheme(newScheme)))(
+      () => bucketIndex(sets, idCol, setCol, newScheme))
+  }
+
+  /** Semantic-index migration after a centroid retrain: re-assign the
+    * accumulated corpus's vectors under the new centroid set and swap
+    * the cell rows in, restamping [[CentroidProp]]/[[NAssignProp]].
+    * Same shadow-swap crash contract as [[rebandIndex]]; `vecs` must
+    * cover the full accumulated corpus.
+    */
+  def recellIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      vecs: DataFrame, idCol: String, vecCol: String,
+      newCents: Seq[IvfIndex.Centroid], nAssign: Int): Unit = {
+    resumeCompaction(spark, table)
+    rewriteInPlace(spark, table, Map(
+      CentroidProp -> centroidFingerprint(newCents),
+      NAssignProp -> nAssign.toString))(
+      () => cosIndex(vecs, idCol, vecCol, newCents, nAssign))
   }
 
   /** Finish a compaction interrupted between DROP and RENAME: if only
@@ -148,6 +331,18 @@ object IncrementalDedup {
       .withColumnRenamed("doc_id", "new_id")
       .join(baseIndex.withColumnRenamed("doc_id", "base_id"), Seq("band", "bucket"))
       .select(col("new_id"), col("base_id")).distinct()
+
+  /** [[candidates]] against a PERSISTED stamped index: refuses a
+    * scheme other than the table's stamp before deriving a single
+    * bucket — the guard that turns the silent-recall-collapse failure
+    * (scheme drift across a corpus-size threshold) into a loud one.
+    */
+  def candidatesIn(spark: org.apache.spark.sql.SparkSession, table: String,
+      newSets: DataFrame, idCol: String, setCol: String,
+      scheme: LshTuning.MinHashScheme): DataFrame = {
+    requireScheme(spark, table, scheme)
+    candidates(newSets, idCol, setCol, BucketedLayout.read(spark, table), scheme)
+  }
 
   /** Confirmed cross-corpus near-dups: (new_id, base_id, jaccard)
     * with exact jaccard >= thresh, candidates generated by the banded
@@ -186,6 +381,33 @@ object IncrementalDedup {
       .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
   }
 
+  /** Persist a [[cosIndex]] as a bucketed catalog table on `cell` (the
+    * probe's equi-join key, so the index side plans exchange-free like
+    * the MinHash twin), stamped with the building centroid set's
+    * fingerprint and nAssign — the cell assignments are only
+    * comparable under those exact centroids.
+    */
+  def saveCosIndex(idx: DataFrame, table: String, buckets: Int,
+      cents: Seq[IvfIndex.Centroid], nAssign: Int,
+      path: Option[String] = None): Unit = {
+    BucketedLayout.writeKeys(idx, table, Seq("cell"), buckets, path)
+    stampProps(idx.sparkSession, table, Map(
+      CentroidProp -> centroidFingerprint(cents),
+      NAssignProp -> nAssign.toString))
+  }
+
+  /** Append a cleared batch's cell rows — layout from the catalog,
+    * refused under any centroid set or nAssign other than the stamp.
+    */
+  def growCosIndex(idx: DataFrame, table: String,
+      cents: Seq[IvfIndex.Centroid], nAssign: Int): Unit = {
+    val spark = idx.sparkSession
+    requireCentroids(spark, table, cents, nAssign)
+    val spec = layoutSpec(spark, table)
+    BucketedLayout.writeKeys(idx, table, spec.bucketColumnNames, spec.numBuckets,
+      None, org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** Confirmed semantic cross near-dups (new_id, base_id, cos) with
     * exact cosine >= thresh: the new batch assigns to its nAssign
     * nearest cells and equi-joins the base index on cell — candidates
@@ -219,5 +441,17 @@ object IncrementalDedup {
       // divides to NaN, which Spark's `>=` accepts and Java's rejects
       .filter(col("cos") >= thresh && !isnan(col("cos")))
       .select(col("new_id"), col("base_id"), col("cos")).distinct()
+  }
+
+  /** [[newVsBaseCos]] against a PERSISTED stamped semantic index:
+    * refuses a centroid set or nAssign other than the table's stamp —
+    * a retrain otherwise silently probes stale cells.
+    */
+  def newVsBaseCosIn(spark: org.apache.spark.sql.SparkSession, table: String,
+      newVecs: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[IvfIndex.Centroid], nAssign: Int, thresh: Double): DataFrame = {
+    requireCentroids(spark, table, cents, nAssign)
+    newVsBaseCos(newVecs, BucketedLayout.read(spark, table), idCol, vecCol,
+      cents, nAssign, thresh)
   }
 }

@@ -399,9 +399,9 @@ object StreamingOps {
           .select(col("band"), col("bucket"), col("docId").as("doc_id"))
         val s = batch.sparkSession
         if (s.catalog.tableExists(table))
-          graft.operators.IncrementalDedup.grow(rows, table, buckets)
+          graft.operators.IncrementalDedup.grow(rows, table, scheme)
         else
-          graft.operators.IncrementalDedup.saveIndex(rows, table, buckets)
+          graft.operators.IncrementalDedup.saveIndex(rows, table, buckets, scheme)
       }
       .start()
 }

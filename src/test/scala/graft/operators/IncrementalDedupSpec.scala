@@ -123,8 +123,8 @@ class IncrementalDedupSpec extends SparkTestBase {
     val base = mk(Seq(0L, 2L, 4L, 6L))
     val batch1 = mk(Seq(10L, 12L))
     val batch2 = mk(Seq(21L, 23L))
-    saveIndex(bucketIndex(base, "doc_id", "sh", scheme), "inc_idx", 4)
-    grow(bucketIndex(batch1, "doc_id", "sh", scheme), "inc_idx", 4)
+    saveIndex(bucketIndex(base, "doc_id", "sh", scheme), "inc_idx", 4, scheme)
+    grow(bucketIndex(batch1, "doc_id", "sh", scheme), "inc_idx", scheme)
     val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -188,18 +188,21 @@ class IncrementalDedupSpec extends SparkTestBase {
   test("compactIndex folds append files; probe results and bucketed layout survive") {
     val mk = (ids: Seq[Long]) => setsOf(ids.map(i =>
       i -> (0 until 15).map(j => s"c${i % 5} s$j body")))
-    saveIndex(bucketIndex(mk(Seq(0L, 2L)), "doc_id", "sh", scheme), "cmp_idx", 4)
-    grow(bucketIndex(mk(Seq(10L, 12L)), "doc_id", "sh", scheme), "cmp_idx", 4)
-    grow(bucketIndex(mk(Seq(20L, 22L)), "doc_id", "sh", scheme), "cmp_idx", 4)
+    saveIndex(bucketIndex(mk(Seq(0L, 2L)), "doc_id", "sh", scheme), "cmp_idx", 4, scheme)
+    grow(bucketIndex(mk(Seq(10L, 12L)), "doc_id", "sh", scheme), "cmp_idx", scheme)
+    grow(bucketIndex(mk(Seq(20L, 22L)), "doc_id", "sh", scheme), "cmp_idx", scheme)
     val batch = mk(Seq(31L, 33L))
     def probe() = candidates(batch, "doc_id", "sh",
       BucketedLayout.read(spark, "cmp_idx"), scheme)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val before = probe()
     val rowsBefore = BucketedLayout.read(spark, "cmp_idx").count()
-    compactIndex(spark, "cmp_idx", 4)
+    compactIndex(spark, "cmp_idx")
     assert(probe() === before)
     assert(BucketedLayout.read(spark, "cmp_idx").count() === rowsBefore)
+    // the swap carried the scheme stamp (compaction must not strip the
+    // contract that guards probes)
+    assert(indexScheme(spark, "cmp_idx") === scheme)
     // the rename preserved the BUCKETED layout: same-spec join still
     // plans exchange-free on the index side
     val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
@@ -258,6 +261,119 @@ class IncrementalDedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cand.contains((101L, 2L)))
     spark.sql("DROP TABLE stream_idx")
+  }
+
+  test("scheme stamp guards: probing or growing a (16,8,2) index under (32,16,2) throws naming both") {
+    val mk = (ids: Seq[Long]) => setsOf(ids.map(i =>
+      i -> (0 until 15).map(j => s"c${i % 5} s$j body")))
+    val built = LshTuning.MinHashScheme(16, 8, 2)
+    val drifted = LshTuning.MinHashScheme(32, 16, 2)   // corpus crossed 100k docs
+    saveIndex(bucketIndex(mk(Seq(0L, 2L)), "doc_id", "sh", built), "stamp_idx", 4, built)
+    try {
+      assert(indexScheme(spark, "stamp_idx") === built)
+      val probeEx = intercept[IllegalArgumentException] {
+        candidatesIn(spark, "stamp_idx", mk(Seq(10L)), "doc_id", "sh", drifted)
+      }
+      assert(probeEx.getMessage.contains("16,8,2") && probeEx.getMessage.contains("32,16,2"),
+        s"mismatch error must name both schemes: ${probeEx.getMessage}")
+      assert(probeEx.getMessage.contains("rebandIndex"), "error must point at the fix")
+      val growEx = intercept[IllegalArgumentException] {
+        grow(bucketIndex(mk(Seq(20L)), "doc_id", "sh", drifted), "stamp_idx", drifted)
+      }
+      assert(growEx.getMessage.contains("16,8,2") && growEx.getMessage.contains("32,16,2"))
+      // matched-scheme probe still works — the guard costs one catalog read
+      assert(candidatesIn(spark, "stamp_idx", mk(Seq(10L)), "doc_id", "sh", built)
+        .collect().nonEmpty)
+    } finally spark.sql("DROP TABLE stamp_idx")
+  }
+
+  test("unstamped bucketed table refuses probes with a rebuild/migrate pointer") {
+    val mk = (ids: Seq[Long]) => setsOf(ids.map(i =>
+      i -> (0 until 15).map(j => s"c${i % 5} s$j body")))
+    // a pre-stamping index: bare bucket rows written without saveIndex
+    BucketedLayout.writeKeys(bucketIndex(mk(Seq(0L, 2L)), "doc_id", "sh", scheme),
+      "legacy_idx", Seq("band", "bucket"), 4)
+    try {
+      val ex = intercept[IllegalStateException] {
+        candidatesIn(spark, "legacy_idx", mk(Seq(10L)), "doc_id", "sh", scheme)
+      }
+      assert(ex.getMessage.contains("rebandIndex"), ex.getMessage)
+    } finally spark.sql("DROP TABLE legacy_idx")
+  }
+
+  test("rebandIndex migrates the persisted index: post-migration probe ≡ from-scratch new-scheme index") {
+    val mk = (ids: Seq[Long]) => setsOf(ids.map(i =>
+      i -> (0 until 15).map(j => s"c${i % 5} s$j body")))
+    val oldScheme = LshTuning.MinHashScheme(16, 8, 2)
+    val newScheme = LshTuning.MinHashScheme(32, 16, 2)
+    val corpus = mk(Seq(0L, 2L, 4L, 10L, 12L))
+    saveIndex(bucketIndex(mk(Seq(0L, 2L, 4L)), "doc_id", "sh", oldScheme),
+      "rb_idx", 4, oldScheme)
+    grow(bucketIndex(mk(Seq(10L, 12L)), "doc_id", "sh", oldScheme), "rb_idx", oldScheme)
+    try {
+      rebandIndex(spark, "rb_idx", corpus, "doc_id", "sh", newScheme)
+      assert(indexScheme(spark, "rb_idx") === newScheme, "migration restamps")
+      val batch = mk(Seq(20L, 22L))
+      val got = candidatesIn(spark, "rb_idx", batch, "doc_id", "sh", newScheme)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fromScratch = candidates(batch, "doc_id", "sh",
+        bucketIndex(corpus, "doc_id", "sh", newScheme), newScheme)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === fromScratch)
+      assert(got.nonEmpty, "clique-sharing batch docs must hit the migrated index")
+      // the old scheme is now the refused one
+      intercept[IllegalArgumentException] {
+        candidatesIn(spark, "rb_idx", batch, "doc_id", "sh", oldScheme)
+      }
+      // grows proceed under the new scheme only
+      grow(bucketIndex(mk(Seq(30L)), "doc_id", "sh", newScheme), "rb_idx", newScheme)
+    } finally spark.sql("DROP TABLE rb_idx")
+  }
+
+  test("persisted cos index: centroid stamp guards probes/grows; recellIndex migrates a retrain") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(pmod(col("vec_id"), lit(2L)) === 0L)
+    val nw = emb.filter(pmod(col("vec_id"), lit(2L)) === 1L)
+    val cents = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val retrained = IvfIndex.train(emb, "vec_id", "embedding", k = 4, iters = 3)
+    assert(centroidFingerprint(cents) !== centroidFingerprint(retrained),
+      "fingerprint must move on retrain (bit-exact over the floats)")
+    saveCosIndex(cosIndex(base, "vec_id", "embedding", cents, 2),
+      "cos_idx", 4, cents, 2)
+    try {
+      val got = newVsBaseCosIn(spark, "cos_idx", nw, "vec_id", "embedding",
+        cents, 2, 0.40).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = newVsBaseCos(nw, cosIndex(base, "vec_id", "embedding", cents, 2),
+        "vec_id", "embedding", cents, 2, 0.40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === direct)
+      // retrained centroids are refused loudly — never probed silently
+      val ex = intercept[IllegalArgumentException] {
+        newVsBaseCosIn(spark, "cos_idx", nw, "vec_id", "embedding", retrained, 2, 0.40)
+      }
+      assert(ex.getMessage.contains("recellIndex"), ex.getMessage)
+      intercept[IllegalArgumentException] {
+        growCosIndex(cosIndex(nw, "vec_id", "embedding", retrained, 2),
+          "cos_idx", retrained, 2)
+      }
+      // nAssign is part of the recall contract, guarded like the centroids
+      intercept[IllegalArgumentException] {
+        newVsBaseCosIn(spark, "cos_idx", nw, "vec_id", "embedding", cents, 1, 0.40)
+      }
+      // migrate the retrain: re-cell, then probe under the new centroids
+      recellIndex(spark, "cos_idx", base, "vec_id", "embedding", retrained, 2)
+      val migrated = newVsBaseCosIn(spark, "cos_idx", nw, "vec_id", "embedding",
+        retrained, 2, 0.40).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val scratch = newVsBaseCos(nw,
+        cosIndex(base, "vec_id", "embedding", retrained, 2),
+        "vec_id", "embedding", retrained, 2, 0.40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(migrated === scratch)
+      intercept[IllegalArgumentException] {
+        newVsBaseCosIn(spark, "cos_idx", nw, "vec_id", "embedding", cents, 2, 0.40)
+      }
+    } finally spark.sql("DROP TABLE cos_idx")
   }
 
   test("bucket index append ≡ rebuild: probing base+batch1 equals probing the grown index") {
