@@ -177,10 +177,15 @@ object ConnectedComponents {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
     // above the driver threshold the graph is genuinely large, where
     // depth is unknowable — take the O(log n)-round star contraction,
-    // not the diameter-bounded propagation
-    if (pairs.count() > driverThreshold)
+    // not the diameter-bounded propagation. One bounded job decides
+    // AND fetches: CollectLimit of threshold+1 rows — if the limit
+    // fills, the graph is over budget (a separate count() would run
+    // the edge derivation twice)
+    val es = pairs.limit(
+        math.toIntExact(math.min(driverThreshold, Int.MaxValue - 1L)) + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (es.length > driverThreshold)
       return componentsStar(edges, srcCol, dstCol, starMaxIter)
-    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
     // iterative find with path halving — a recursive find stack-overflows
     // on the O(n)-deep chains an adversarial union order can build

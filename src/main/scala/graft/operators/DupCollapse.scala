@@ -52,15 +52,29 @@ object DupCollapse {
   final case class Collapsed(groups: DataFrame, members: DataFrame)
 
   /** Collapse `df` rows whose `setCol` holds an identical set.
-    * `setCol` must be array-typed with per-row-distinct elements
-    * (both call sites derive distinct sets by construction); `idCol`
-    * must be unique and orderable. Null and empty arrays form groups
-    * like any other value (`n` ≤ 0) — the pair paths drop them before
-    * expansion ([[withinPairs]] `minN`; the rep explode emits nothing
-    * for them), mirroring the raw pipeline's explode().
+    * `setCol` must be array-typed with per-row-distinct elements —
+    * ENFORCED: the within-group stats assume set semantics (a shared
+    * count of n means n distinct shared elements), so a multiset input
+    * would return plausible-looking but wrong pair stats. A repeated
+    * element raises at execution time instead (one extra O(k) pass per
+    * row, small next to the signature/pair work downstream); multiset
+    * call sites belong on [[collapseExact]], whose verbatim key makes
+    * no set assumption. `idCol` must be unique and orderable. Null and
+    * empty arrays form groups like any other value (`n` ≤ 0) — the
+    * pair paths drop them before expansion ([[withinPairs]] `minN`;
+    * the rep explode emits nothing for them), mirroring the raw
+    * pipeline's explode().
     */
-  def collapse(df: DataFrame, idCol: String, setCol: String): Collapsed =
-    collapseBy(df, idCol, array_sort(col(setCol)))
+  def collapse(df: DataFrame, idCol: String, setCol: String): Collapsed = {
+    val c = col(setCol)
+    val guarded = when(c.isNull || size(array_distinct(c)) === size(c),
+        array_sort(c))
+      .otherwise(raise_error(concat(
+        lit(s"DupCollapse.collapse: '$setCol' holds repeated elements (row id "),
+        col(idCol).cast("string"),
+        lit(") — set semantics required; use collapseExact for multiset keys"))))
+    collapseBy(df, idCol, guarded)
+  }
 
   /** [[collapse]] with the key taken VERBATIM — for ordered arrays
     * where element position is meaningful (embedding vectors: two

@@ -180,6 +180,22 @@ class DupCollapseSpec extends SparkTestBase {
     }
   }
 
+  test("multiset input raises loudly instead of corrupting pair stats; collapseExact accepts it") {
+    val bad = setsDf(Seq(1L -> Seq("a", "b", "a"), 2L -> Seq("a", "b")))
+    val ex = intercept[Exception] {
+      DupCollapse.collapse(bad, "id", "s").groups.collect()
+    }
+    assert(ex.getMessage.contains("repeated elements") ||
+      Option(ex.getCause).exists(_.getMessage.contains("repeated elements")),
+      s"guard must name the violation: ${ex.getMessage}")
+    // the verbatim-key path makes no set assumption — multisets are legal
+    val ok = DupCollapse.collapseExact(bad, "id", "s")
+    assert(ok.groups.count() === 2)
+    // and distinct-element inputs still collapse exactly as before
+    val good = setsDf(Seq(1L -> Seq("a", "b"), 2L -> Seq("b", "a")))
+    assert(DupCollapse.collapse(good, "id", "s").groups.count() === 1)
+  }
+
   test("collapseExact groups bitwise-equal vectors only; zero-norm within pairs gate out") {
     import graft.queries.LlmQueries.{dotd, l2}
     val schema = StructType(Seq(
