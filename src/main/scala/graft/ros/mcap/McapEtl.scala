@@ -14,15 +14,16 @@ import graft.ros.etl.{BagEtl, VerticaDdl}
   *    assigned by the distributed prefix-sum operator, never a
   *    single-partition window);
   *  - a `Channels` dimension (the Connections analog);
-  *  - one flattened parquet table per `ros2msg` schema, with the same
+  *  - one flattened parquet table per typed schema (`ros2msg` and
+  *    `protobuf` encodings, McapPayload.typedEncodings), with the same
   *    drift-namespacing contract as BagEtl: a schema name carrying
   *    more than one definition across the input writes one table per
   *    variant (`<table>__<md5prefix>`), never a silent mis-decode, and
   *    the `_tables.json` manifest (BagEtl's format) keeps the naming
   *    stable across incremental appends;
   *  - a `RawMessages` table holding the payload bytes of every channel
-  *    NOT routed to a typed table (non-`ros2msg` schema encodings:
-  *    protobuf, jsonschema, schema-less) — the reference's "you don't
+  *    NOT routed to a typed table (untyped schema encodings:
+  *    jsonschema, flatbuffer, schema-less) — the reference's "you don't
   *    lose any data" retention (README.md:106). Routed payloads are
   *    NOT duplicated there (their typed columns — plus the optional
   *    raw blob on the typed table — are the retention);
@@ -38,8 +39,9 @@ import graft.ros.etl.{BagEtl, VerticaDdl}
   * Per-schema tables are typed source reads that plan only the files
   * carrying the variant and decode only matching channels (the
   * route-by-type dispatch IS predicate pushdown), running as
-  * concurrent jobs. Ros2msg channels whose message encoding is not
-  * `cdr` fail the typed read loudly (the typed reader's contract)
+  * concurrent jobs. Channels whose message encoding does not match
+  * their schema encoding's decoder (cdr for ros2msg, protobuf for
+  * protobuf) fail the typed read loudly (the typed reader's contract)
   * rather than decode garbage.
   *
   * `BagEtl.compact` applies to this layout unchanged (tables carry
@@ -139,11 +141,10 @@ object McapEtl {
     // BagEtl's manifest rule: historical names win, a NEW variant of a
     // historically-known name is always md5-namespaced (the legacy
     // plain table is never renamed)
-    val variants: Seq[(String, String, String, Seq[String], String)] = {
+    val variants: Seq[(String, String, (String, Array[Byte]), Seq[String], String)] = {
       val all = files.flatMap(f => McapIO.scanIndex(f).schemas.values
-        .filter(_.encoding == "ros2msg")
-        .map(s => (s.name, McapTypedRead.md5hex(s.data),
-          new String(s.data, java.nio.charset.StandardCharsets.UTF_8), f)))
+        .filter(s => McapPayload.typedEncodings(s.encoding))
+        .map(s => (s.name, McapTypedRead.md5hex(s.data), (s.encoding, s.data), f)))
       val byName = all.groupBy(_._1)
       byName.toSeq.sortBy(_._1).flatMap { case (nm, rows) =>
         val base = tableName(nm)
@@ -175,13 +176,15 @@ object McapEtl {
       // (schema-less channel) is not a usable partition value (Spark
       // reads empty partition strings back as null)
       raw.select(metaCols :+ col("data") :+
-          when(col("schema_encoding") === "ros2msg", col("schema_name"))
+          when(col("schema_encoding").isin(McapPayload.typedEncodings.toSeq: _*),
+              col("schema_name"))
             .otherwise(lit("__raw")).as("_route"): _*)
         .write.partitionBy("_route")
         .option("compression", "snappy").parquet(stageDir)
     else
       raw.select(metaCols :+
-          when(col("schema_encoding") === "ros2msg", lit(null).cast("binary"))
+          when(col("schema_encoding").isin(McapPayload.typedEncodings.toSeq: _*),
+              lit(null).cast("binary"))
             .otherwise(col("data")).as("data"): _*)
         .write.option("compression", "snappy").parquet(stageDir)
 
@@ -226,7 +229,7 @@ object McapEtl {
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val jobGroup = s"graft-mcap-etl-${java.util.UUID.randomUUID()}"
-    val typeDdl = variants.map { case (nm, md5, schemaText, vFiles, table) =>
+    val typeDdl = variants.map { case (nm, md5, (enc, schemaData), vFiles, table) =>
       Future { scala.concurrent.blocking {
         spark.sparkContext.setJobGroup(jobGroup, s"per-type $table",
           interruptOnCancel = true)
@@ -252,7 +255,8 @@ object McapEtl {
               .join(broadcast(chanDim), Seq("file_path", "channel_id"))
               .join(seqnoMap, Seq("file_path", "chunk_idx", "offset"))
               .select(col("seqno"), col("channel_id"), col("file_path"), col("data"))
-            decodeRows(spark, part, Ros2Msg.bundle(nm, schemaText), keepRawBlob)
+            decodeRows(spark, part, McapPayload.bundle(enc, nm, schemaData),
+              McapPayload.decoder(enc, nm, schemaData), keepRawBlob)
           } else {
             val typed = spark.read.format("mcap")
               .option("files", McapDataSource.filesSpec(vFiles))
@@ -285,13 +289,14 @@ object McapEtl {
       val hasUnrouted = files.exists { f =>
         val idx = McapIO.scanIndex(f)
         idx.channels.values.exists(c =>
-          !idx.schemas.get(c.schemaId).exists(_.encoding == "ros2msg"))
+          !idx.schemas.get(c.schemaId).exists(sc => McapPayload.typedEncodings(sc.encoding)))
       }
       if (hasUnrouted) {
         val rawTab = spark.read.parquet(stageDir)
           // staged mode prunes to the __raw route partition directly
           .filter(if (stagedBySchema) col("_route") === "__raw"
-                  else col("schema_encoding") =!= "ros2msg")
+                  else !col("schema_encoding")
+                    .isin(McapPayload.typedEncodings.toSeq: _*))
           .join(seqnoMap, Seq("file_path", "chunk_idx", "offset"))
           .select(col("seqno"), col("channel_id"), col("topic"),
             col("schema_name"), col("schema_encoding"), col("message_encoding"),
@@ -356,7 +361,8 @@ object McapEtl {
     * emits, via the shared reserved-name rule (McapTypedRead.reserved).
     */
   private[mcap] def decodeRows(spark: SparkSession, part: org.apache.spark.sql.DataFrame,
-      bundle: graft.ros.RosMsgBundle, keepRawBlob: Boolean): org.apache.spark.sql.DataFrame = {
+      bundle: graft.ros.RosMsgBundle, decode: Array[Byte] => Seq[Any],
+      keepRawBlob: Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     val flat = graft.ros.RosSchemaMapper.flatSchema(bundle)
     val payload = flat.fields.map(f =>
@@ -370,7 +376,7 @@ object McapEtl {
     val rows = part.select(col("seqno"), col("channel_id"), col("file_path"), col("data"))
       .rdd.map { r =>
         val bytes = r.getAs[Array[Byte]](3)
-        val vals = CdrCodec.decode(bundle, bytes)
+        val vals = decode(bytes)
         val tail = Seq[Any](r.getInt(1), r.getString(2)) ++
           (if (keepRawBlob) Seq(bytes) else Nil)
         Row.fromSeq(r.getLong(0) +: (vals ++ tail))

@@ -141,8 +141,8 @@ class McapMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = typed match {
-    case Some(t) => new McapTypedReaderFactory(t.schemaName, t.schemaText, t.md5,
-      required, includeRaw, filters)
+    case Some(t) => new McapTypedReaderFactory(t.schemaName, t.encoding,
+      t.schemaData, t.md5, required, includeRaw, filters)
     case None => new McapReaderFactory(required, filters, limit = -1)
   }
 

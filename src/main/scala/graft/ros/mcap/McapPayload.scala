@@ -1,0 +1,60 @@
+package graft.ros.mcap
+
+import graft.ros.RosMsgBundle
+
+/** The one place the engine maps an MCAP schema encoding onto a typed
+  * decode path. Two of the well-known registry encodings flatten to
+  * columns: `ros2msg` (schema text → MsgDefParser, payloads CDR) and
+  * `protobuf` (schema bytes → FileDescriptorSet, payloads protobuf
+  * wire format). Both route through the SAME RosMsgBundle frame, so
+  * `RosSchemaMapper.flatSchema` — and everything above it: typed
+  * reads, ETL tables, queries — is encoding-agnostic.
+  */
+object McapPayload {
+
+  /** Schema encodings the engine can flatten. Channels under any other
+    * encoding (jsonschema, flatbuffer, …) are retained as RawMessages
+    * bytes by the ETL and refused by typed reads — honest, loud.
+    */
+  val typedEncodings: Set[String] = Set("ros2msg", "protobuf")
+
+  /** The message encoding a channel must declare for its schema
+    * encoding's decoder — a mismatched pair is container drift.
+    */
+  def messageEncodingFor(schemaEncoding: String): String = schemaEncoding match {
+    case "ros2msg" => "cdr"
+    case "protobuf" => "protobuf"
+    case other => throw new IllegalArgumentException(
+      s"no typed decode for schema encoding '$other' " +
+        s"(supported: ${typedEncodings.toSeq.sorted.mkString(", ")})")
+  }
+
+  /** The flattening frame for a schema record. */
+  def bundle(schemaEncoding: String, name: String, data: Array[Byte]): RosMsgBundle =
+    schemaEncoding match {
+      case "ros2msg" =>
+        Ros2Msg.bundle(name, new String(data, java.nio.charset.StandardCharsets.UTF_8))
+      case "protobuf" =>
+        ProtoDescriptor.bundle(name, ProtoDescriptor.parseSet(data))
+      case other => throw new IllegalArgumentException(
+        s"no typed decode for schema encoding '$other'")
+    }
+
+  /** Per-message decoder aligned with `flatSchema(bundle(...))`. Built
+    * once per (schema, partition) — the parse cost is per-task, the
+    * per-message cost is the walk alone.
+    */
+  def decoder(schemaEncoding: String, name: String,
+              data: Array[Byte]): Array[Byte] => Seq[Any] =
+    schemaEncoding match {
+      case "ros2msg" =>
+        val b = bundle(schemaEncoding, name, data)
+        bytes => CdrCodec.decode(b, bytes)
+      case "protobuf" =>
+        val set = ProtoDescriptor.parseSet(data)
+        bundle(schemaEncoding, name, data) // validate flattenability up front
+        bytes => ProtoCodec.decode(set, name, bytes)
+      case other => throw new IllegalArgumentException(
+        s"no typed decode for schema encoding '$other'")
+    }
+}

@@ -36,7 +36,8 @@ class McapDataSource extends TableProvider with DataSourceRegister {
       case Some(sn) =>
         val t = McapTypedRead.resolveTarget(McapDataSource.pathSpec(options), sn,
           Option(options.get("schema_md5")))
-        McapTypedRead.typedSchema(Ros2Msg.bundle(t.schemaName, t.schemaText),
+        McapTypedRead.typedSchema(
+          McapPayload.bundle(t.encoding, t.schemaName, t.schemaData),
           options.getBoolean("includeRaw", false))
       case None => McapDataSource.SpineSchema
     }
@@ -106,7 +107,8 @@ class McapTable(path: String, schemaName: Option[String] = None,
   override def name(): String = s"mcap:$path${schemaName.map(":" + _).getOrElse("")}"
   override def schema(): StructType = target match {
     case Some(t) =>
-      McapTypedRead.typedSchema(Ros2Msg.bundle(t.schemaName, t.schemaText), includeRaw)
+      McapTypedRead.typedSchema(
+        McapPayload.bundle(t.encoding, t.schemaName, t.schemaData), includeRaw)
     case None => McapDataSource.SpineSchema
   }
   override def capabilities(): util.Set[TableCapability] =
@@ -259,8 +261,8 @@ class McapScan(path: String, required: StructType, filters: Array[Filter], limit
   }
 
   override def createReaderFactory(): PartitionReaderFactory = typed match {
-    case Some(t) => new McapTypedReaderFactory(t.schemaName, t.schemaText, t.md5,
-      required, includeRaw, filters)
+    case Some(t) => new McapTypedReaderFactory(t.schemaName, t.encoding,
+      t.schemaData, t.md5, required, includeRaw, filters)
     case None => new McapReaderFactory(required, filters, limit)
   }
 
@@ -469,8 +471,9 @@ object McapTypedRead {
     * its md5 (the variant identity streams pin), and the files that
     * carry it.
     */
-  final case class TypedTarget(schemaName: String, schemaText: String,
-                               files: Seq[String], md5: String)
+  final case class TypedTarget(schemaName: String, encoding: String,
+                               schemaData: Array[Byte], files: Seq[String],
+                               md5: String)
 
   def md5hex(data: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(data)
@@ -486,10 +489,10 @@ object McapTypedRead {
       McapIO.scanIndex(f).schemas.values
         .filter(_.name == schemaName)
         .map { s =>
-          require(s.encoding == "ros2msg",
+          require(McapPayload.typedEncodings(s.encoding),
             s"schema $schemaName in $f has encoding '${s.encoding}'; typed " +
-              "mcap reads support ros2msg")
-          (md5hex(s.data), new String(s.data, java.nio.charset.StandardCharsets.UTF_8), f)
+              s"mcap reads support ${McapPayload.typedEncodings.toSeq.sorted.mkString(", ")}")
+          (md5hex(s.data), s.encoding, s.data, f)
         }
     }
     require(variants.nonEmpty, s"schema $schemaName not present in $path")
@@ -504,7 +507,7 @@ object McapTypedRead {
         (if (md5.isDefined) s"; md5 prefix '${md5.get}' matches ${chosen.size}"
          else "; pass option(\"schema_md5\", <prefix>) to select one"))
     val (m, vs) = chosen.head
-    TypedTarget(schemaName, vs.head._2, vs.map(_._3).distinct, m)
+    TypedTarget(schemaName, vs.head._2, vs.head._3, vs.map(_._4).distinct, m)
   }
 
   def typedSchema(bundle: graft.ros.RosMsgBundle, includeRaw: Boolean): StructType = {
@@ -515,20 +518,23 @@ object McapTypedRead {
   }
 }
 
-class McapTypedReaderFactory(schemaName: String, schemaText: String, md5: String,
+class McapTypedReaderFactory(schemaName: String, encoding: String,
+    schemaData: Array[Byte], md5: String,
     required: StructType, includeRaw: Boolean, filters: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new McapTypedPartitionReader(partition.asInstanceOf[McapInputPartition],
-      schemaName, schemaText, md5, required, includeRaw, filters)
+      schemaName, encoding, schemaData, md5, required, includeRaw, filters)
 }
 
 class McapTypedPartitionReader(p: McapInputPartition, schemaName: String,
-    schemaText: String, md5: String, required: StructType, includeRaw: Boolean,
+    encoding: String, schemaData: Array[Byte], md5: String,
+    required: StructType, includeRaw: Boolean,
     filters: Array[Filter]) extends PartitionReader[InternalRow] {
   import McapTypedRead._
 
-  private lazy val bundle = Ros2Msg.bundle(schemaName, schemaText)
+  private lazy val bundle = McapPayload.bundle(encoding, schemaName, schemaData)
+  private lazy val decode = McapPayload.decoder(encoding, schemaName, schemaData)
   private lazy val fullSchema = typedSchema(bundle, includeRaw)
   private lazy val projection: Array[Int] =
     required.fields.map(f => fullSchema.fieldIndex(f.name))
@@ -536,7 +542,6 @@ class McapTypedPartitionReader(p: McapInputPartition, schemaName: String,
   // alone: one file can legally register two same-name schemas with
   // different definitions (two schema ids), and decoding the other
   // variant's channels with this bundle would mis-read them silently.
-  // cdr is the only message encoding we decode.
   private lazy val typeChannels: Map[Int, McapFormat.McapChannel] =
     p.channels.filter { case (_, c) =>
       p.schemas.get(c.schemaId).exists(s => s._1 == schemaName && s._3 == md5) }
@@ -561,9 +566,11 @@ class McapTypedPartitionReader(p: McapInputPartition, schemaName: String,
   override def next(): Boolean =
     if (messages.hasNext) {
       val (m, i) = messages.next()
-      require(typeChannels(m.channelId).messageEncoding == "cdr",
+      val want = McapPayload.messageEncodingFor(encoding)
+      require(typeChannels(m.channelId).messageEncoding == want,
         s"channel ${m.channelId} encodes messages as " +
-          s"'${typeChannels(m.channelId).messageEncoding}'; typed reads decode cdr")
+          s"'${typeChannels(m.channelId).messageEncoding}'; schema encoding " +
+          s"'$encoding' decodes '$want'")
       current = m; currentOffset = i + p.ordinalBase; true
     } else false
 
@@ -580,7 +587,7 @@ class McapTypedPartitionReader(p: McapInputPartition, schemaName: String,
     full(7) = topicUtf8(current.channelId)
     if (includeRaw) full(nFields - 1) = current.data
     if (needsPayload) {
-      val vals = CdrCodec.decode(bundle, current.data)
+      val vals = decode(current.data)
       var i = 0
       val it = vals.iterator
       while (it.hasNext) { full(MetaFields.size + i) = it.next(); i += 1 }

@@ -285,13 +285,13 @@ class McapSpec extends SparkTestBase {
     assert(!new java.io.File(s"$outDir/RawMessages.parquet").exists())
   }
 
-  test("McapEtl retains unrouted (non-ros2msg) payloads in RawMessages") {
+  test("McapEtl retains unrouted (untyped-encoding) payloads in RawMessages") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mcap_raw").toFile
     val schemas = Seq(
       McapSchema(1, "std_msgs/msg/String", "ros2msg", strText.getBytes("UTF-8")),
-      McapSchema(2, "foxglove.Log", "protobuf", Array[Byte](1, 2, 3)))
+      McapSchema(2, "foxglove.Log", "jsonschema", Array[Byte](1, 2, 3)))
     val channels = Seq(McapChannel(1, 1, "/chatter", "cdr"),
-      McapChannel(2, 2, "/log", "protobuf"))
+      McapChannel(2, 2, "/log", "json"))
     val sb = Ros2Msg.bundle("std_msgs/msg/String", strText)
     val msgs = (0 until 6).map { i =>
       if (i % 2 == 0) McapMessage(1, i.toLong, 100L + i, 100L + i,
@@ -308,7 +308,7 @@ class McapSpec extends SparkTestBase {
     val rows = rawTab.orderBy("seqno").collect()
     assert(rows.length == 3)
     rows.foreach { r =>
-      assert(r.getAs[String]("schema_encoding") == "protobuf")
+      assert(r.getAs[String]("schema_encoding") == "jsonschema")
       assert(r.getAs[String]("topic") == "/log")
     }
     // byte-exact retention of the unrouted payloads
@@ -318,6 +318,108 @@ class McapSpec extends SparkTestBase {
     // and the DDL covers it
     val ddl = scala.io.Source.fromFile(s"$outDir/vertica_load_tables.sql").mkString
     assert(ddl.contains("CREATE TABLE RawMessages"))
+  }
+
+  // ---- typed protobuf channels (MCAP well-known protobuf profile) ----
+
+  private def telemetryFixture(): (Array[Byte], ProtoDescriptor.ProtoSet, Seq[Seq[Any]]) = {
+    import ProtoDescriptor._
+    val descSet = ProtoSet(Map(
+      "FDS" -> ProtoMsgDescr("FDS", Seq(ProtoField("file", 1, true, TMessage, "FDP"))),
+      "FDP" -> ProtoMsgDescr("FDP", Seq(
+        ProtoField("name", 1, false, TString, ""),
+        ProtoField("package", 2, false, TString, ""),
+        ProtoField("message_type", 4, true, TMessage, "DP"))),
+      "DP" -> ProtoMsgDescr("DP", Seq(
+        ProtoField("name", 1, false, TString, ""),
+        ProtoField("field", 2, true, TMessage, "FLD"),
+        ProtoField("nested_type", 3, true, TMessage, "DP"))),
+      "FLD" -> ProtoMsgDescr("FLD", Seq(
+        ProtoField("name", 1, false, TString, ""),
+        ProtoField("number", 3, false, TInt32, ""),
+        ProtoField("label", 4, false, TEnum, ""),
+        ProtoField("type", 5, false, TEnum, ""),
+        ProtoField("type_name", 6, false, TString, "")))))
+    def fld(n: String, num: Int, lab: Int, t: Int, tn: String = "") =
+      org.apache.spark.sql.Row(n, num, lab, t, tn)
+    def m(n: String, fs: Seq[org.apache.spark.sql.Row]) =
+      org.apache.spark.sql.Row(n, fs, Seq.empty[org.apache.spark.sql.Row])
+    val fdsBytes = ProtoCodec.encode(descSet, "FDS", Seq(Seq(
+      org.apache.spark.sql.Row("telemetry.proto", "graft.test", Seq(
+        m("Pose", Seq(fld("x", 1, 1, TDouble), fld("y", 2, 1, TFloat))),
+        m("Telemetry", Seq(
+          fld("tag", 1, 1, TString),
+          fld("stamp", 2, 1, TInt64),
+          fld("pose", 3, 1, TMessage, ".graft.test.Pose"),
+          fld("counts", 4, 3, TInt32))))))))
+    val set = parseSet(fdsBytes)
+    val vals = (0 until 4).map(i => Seq[Any](
+      s"t$i", 1000L + i, i * 0.5, i * 0.25f, Seq(i, i + 1)))
+    (fdsBytes, set, vals)
+  }
+
+  test("typed protobuf channel: flattened columns end-to-end through the source") {
+    val (fdsBytes, set, vals) = telemetryFixture()
+    val schemas = Seq(McapSchema(1, "graft.test.Telemetry", "protobuf", fdsBytes))
+    val channels = Seq(McapChannel(1, 1, "/telemetry", "protobuf"))
+    val msgs = vals.zipWithIndex.map { case (v, i) =>
+      McapMessage(1, i.toLong, 100L + i, 100L + i,
+        ProtoCodec.encode(set, "graft.test.Telemetry", v))
+    }
+    val path = writeTemp(writeMcap(schemas, channels, msgs, "zstd"))
+    val df = spark.read.format("mcap").option("path", path)
+      .option("schema_name", "graft.test.Telemetry").load()
+    assert(df.schema.fieldNames.toSeq.drop(McapTypedRead.MetaFields.size) ===
+      Seq("tag", "stamp", "pose_x", "pose_y", "counts"))
+    val rows = df.orderBy("offset")
+      .select("tag", "stamp", "pose_x", "pose_y", "counts").collect()
+    assert(rows.length === 4)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(0) === s"t$i" && r.getLong(1) === 1000L + i)
+      assert(r.getDouble(2) === i * 0.5 && r.getFloat(3) === i * 0.25f)
+      assert(r.getSeq[Int](4) === Seq(i, i + 1))
+    }
+    // meta-only projection never touches the payload decode
+    assert(spark.read.format("mcap").option("path", path)
+      .option("schema_name", "graft.test.Telemetry").load()
+      .select("topic").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("/telemetry"))
+  }
+
+  test("McapEtl routes protobuf channels to typed tables, both scan modes; no RawMessages") {
+    val (fdsBytes, set, vals) = telemetryFixture()
+    val schemas = Seq(
+      McapSchema(1, "graft.test.Telemetry", "protobuf", fdsBytes),
+      McapSchema(2, "std_msgs/msg/String", "ros2msg", strText.getBytes("UTF-8")))
+    val channels = Seq(McapChannel(1, 1, "/telemetry", "protobuf"),
+      McapChannel(2, 2, "/chatter", "cdr"))
+    val sb = Ros2Msg.bundle("std_msgs/msg/String", strText)
+    val msgs = (0 until 8).map { i =>
+      if (i % 2 == 0) McapMessage(1, i.toLong, 100L + i, 100L + i,
+        ProtoCodec.encode(set, "graft.test.Telemetry", vals(i / 2)))
+      else McapMessage(2, i.toLong, 100L + i, 100L + i,
+        CdrCodec.encode(sb, Seq(s"m$i")))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcap_pb").toFile
+    val out = new java.io.FileOutputStream(new java.io.File(dir, "a.mcap"))
+    try out.write(writeMcap(schemas, channels, msgs, "lz4")) finally out.close()
+    Seq(false, true).foreach { staged =>
+      val outDir = freshOut(s"graft_mcap_pb_out_$staged")
+      val info = McapEtl.run(spark, dir.getAbsolutePath, outDir,
+        stagedBySchema = staged)
+      assert(info.tables === Map("graft_test_Telemetry" -> 4L,
+        "std_msgs_msg_String" -> 4L), s"staged=$staged")
+      // every channel routed: the retention table must not exist
+      assert(!new java.io.File(s"$outDir/RawMessages.parquet").exists())
+      val t = spark.read.parquet(s"$outDir/graft_test_Telemetry.parquet")
+      val got = t.orderBy("seqno")
+        .select("tag", "stamp", "pose_x", "pose_y", "counts").collect()
+        .map(r => Seq[Any](r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getFloat(3), r.getSeq[Int](4)))
+      assert(got.toSeq === vals, s"staged=$staged")
+      val ddl = scala.io.Source.fromFile(s"$outDir/vertica_load_tables.sql").mkString
+      assert(ddl.contains("graft_test_Telemetry"), s"staged=$staged")
+    }
   }
 
   test("McapEtl.runIncremental appends new files with continuing seqnos and stable naming") {
@@ -346,9 +448,9 @@ class McapSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_mcap_staged").toFile
     writeEtlFixture(dir, "a.mcap", imuText, 6)
     writeEtlFixture(dir, "b.mcap", imuText2, 4)  // drifted Imu variant
-    // plus an unrouted protobuf channel in a third file
-    val sch = Seq(McapSchema(1, "foxglove.Log", "protobuf", Array[Byte](9)))
-    val chs = Seq(McapChannel(1, 1, "/log", "protobuf"))
+    // plus an unrouted (untyped-encoding) channel in a third file
+    val sch = Seq(McapSchema(1, "foxglove.Log", "jsonschema", Array[Byte](9)))
+    val chs = Seq(McapChannel(1, 1, "/log", "json"))
     val ms = (0 until 3).map(i => McapMessage(1, i.toLong, 50L + i, 50L + i,
       Array.tabulate(5)(j => (i * 7 + j).toByte)))
     val out3 = new java.io.FileOutputStream(new java.io.File(dir, "c.mcap"))
