@@ -11,9 +11,11 @@ object SparkEntry {
     CoreQueries.all("q03_group_agg")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ graft.queries.LlmQueries.all ++ graft.queries.ExtraQueries.all
+    CoreQueries.all ++ graft.queries.LlmQueries.all ++
+      graft.queries.ExtraQueries.all ++ graft.queries.ContainerQueries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ graft.queries.LlmQueries.oracle ++ graft.queries.ExtraQueries.oracle
+    CoreQueries.oracle ++ graft.queries.LlmQueries.oracle ++
+      graft.queries.ExtraQueries.oracle ++ graft.queries.ContainerQueries.oracle
 }

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ros.mcap._
+
+/** Container-source queries under the DRIVER'S oracle gate: the MCAP
+  * source → typed decode → aggregation path, checked against DuckDB.
+  *
+  * The oracle can only see the testdata parquet tables, so the gate is
+  * a ROUND-TRIP: the first 1000 `events` rows (by event_id, a
+  * deterministic slice both engines can name) are encoded into an MCAP
+  * fixture — even ids on a protobuf channel, odd ids on a ros2msg/CDR
+  * channel, both under the engine's own wire encoders — and the query
+  * reads them back through the typed container source and aggregates.
+  * Equality with DuckDB aggregating the same slice straight off
+  * `events` proves the full chain: wire encode → container write →
+  * chunked scan → schema-dispatched typed decode → columns, for BOTH
+  * typed encodings at once (and the per-encoding channel routing, via
+  * the topic-split count).
+  *
+  * Scale note: this is a correctness gate over a fixture, not a scale
+  * probe — the fixture is bounded (1000 rows, built once per sf dir
+  * and reused) while the container source itself is the scale surface
+  * (per-chunk partitions, pushdown; BagSpec/McapSpec pin those).
+  */
+object ContainerQueries {
+  import Tables._
+  import ProtoDescriptor._
+
+  private val PbName = "graft.test.Event"
+  private val RosName = "graft_msgs/msg/Event"
+  private val RosDef =
+    "int64 event_id\nint64 ts_us\nint64 user_id\nstring event_type\nfloat64 value\nstring props"
+
+  private def fds: Array[Byte] = buildFds("graft.test", Seq("Event" -> Seq(
+    ProtoField("event_id", 1, repeated = false, TInt64, ""),
+    ProtoField("ts_us", 2, repeated = false, TInt64, ""),
+    ProtoField("user_id", 3, repeated = false, TInt64, ""),
+    ProtoField("event_type", 4, repeated = false, TString, ""),
+    ProtoField("value", 5, repeated = false, TDouble, ""),
+    ProtoField("props", 6, repeated = false, TString, ""))))
+
+  /** Build (once per sf dir) the two-channel MCAP fixture and return
+    * its path. Content keyed on the dir; a done-marker + rename makes
+    * concurrent/crashed builds safe (a half-written file is never
+    * visible under the final name).
+    */
+  private def fixture(s: SparkSession, d: String): String = synchronized {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_container_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16))
+    dir.mkdirs()
+    val f = new java.io.File(dir, "events.mcap")
+    val done = new java.io.File(dir, "_built")
+    if (!done.exists()) {
+      val rows = events(s, d).orderBy(col("event_id")).limit(1000)
+        .select(col("event_id"), us(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .collect()
+      val set = parseSet(fds)
+      val rosBundle = Ros2Msg.bundle(RosName, RosDef)
+      val schemas = Seq(
+        McapFormat.McapSchema(1, PbName, "protobuf", fds),
+        McapFormat.McapSchema(2, RosName, "ros2msg", RosDef.getBytes("UTF-8")))
+      val channels = Seq(
+        McapFormat.McapChannel(1, 1, "/events_pb", "protobuf"),
+        McapFormat.McapChannel(2, 2, "/events_ros", "cdr"))
+      val msgs = rows.map { r =>
+        val vals = Seq[Any](r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getString(5))
+        val even = r.getLong(0) % 2 == 0
+        McapFormat.McapMessage(
+          channelId = if (even) 1 else 2,
+          sequence = r.getLong(0),
+          logTime = r.getLong(1) * 1000L, // micros → nanos (bounded: testdata era)
+          publishTime = r.getLong(1) * 1000L,
+          data = if (even) ProtoCodec.encode(set, PbName, vals)
+                 else CdrCodec.encode(rosBundle, vals))
+      }.toSeq
+      val tmp = new java.io.File(dir, "events.mcap.tmp")
+      val out = new java.io.FileOutputStream(tmp)
+      try out.write(McapFormat.writeMcap(schemas, channels, msgs, "zstd"))
+      finally out.close()
+      require(tmp.renameTo(f) || f.exists(), s"fixture rename failed: $f")
+      done.createNewFile()
+      ()
+    }
+    f.getAbsolutePath
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q76 — container round-trip, CHECKED: events → MCAP (protobuf +
+    // CDR channels) → typed source → per-type aggregation. cnt_pb
+    // counts via the container TOPIC, so channel routing (not just
+    // payload fidelity) is inside the oracle equality.
+    "q76_container_roundtrip" -> ((s, d) => {
+      val path = fixture(s, d)
+      def rd(name: String) = s.read.format("mcap")
+        .option("path", path).option("schema_name", name).load()
+        .select(col("topic"), col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      rd(PbName).unionByName(rd(RosName))
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("cnt"),
+          count(when(col("topic") === "/events_pb", 1)).as("cnt_pb"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          max(col("ts_us")).as("max_ts_us"),
+          round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
+            .as("sum_value"),
+          sum(length(col("props")).cast("long")).as("props_chars"))
+        .orderBy(col("event_type"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q76_container_roundtrip" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |  FROM events ORDER BY event_id LIMIT 1000)
+        |SELECT event_type,
+        |       COUNT(*) AS cnt,
+        |       CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS cnt_pb,
+        |       MIN(event_id) AS min_id,
+        |       MAX(event_id) AS max_id,
+        |       MAX(epoch_us(ts)) AS max_ts_us,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value,
+        |       CAST(SUM(length(props)) AS BIGINT) AS props_chars
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -144,6 +144,45 @@ object ProtoDescriptor {
     ProtoField(name, number, repeated = label == 3, tpe, typeName)
   }
 
+  // descriptor.proto subset (public field numbers) used by
+  // [[buildFds]] — FileDescriptorSet / FileDescriptorProto /
+  // DescriptorProto / FieldDescriptorProto, flat declarations only
+  private lazy val DescSubset: ProtoSet = ProtoSet(Map(
+    "FDS" -> ProtoMsgDescr("FDS", Seq(
+      ProtoField("file", 1, repeated = true, TMessage, "FDP"))),
+    "FDP" -> ProtoMsgDescr("FDP", Seq(
+      ProtoField("name", 1, repeated = false, TString, ""),
+      ProtoField("package", 2, repeated = false, TString, ""),
+      ProtoField("message_type", 4, repeated = true, TMessage, "DP"))),
+    "DP" -> ProtoMsgDescr("DP", Seq(
+      ProtoField("name", 1, repeated = false, TString, ""),
+      ProtoField("field", 2, repeated = true, TMessage, "FLD"),
+      ProtoField("nested_type", 3, repeated = true, TMessage, "DP"))),
+    "FLD" -> ProtoMsgDescr("FLD", Seq(
+      ProtoField("name", 1, repeated = false, TString, ""),
+      ProtoField("number", 3, repeated = false, TInt32, ""),
+      ProtoField("label", 4, repeated = false, TEnum, ""),
+      ProtoField("type", 5, repeated = false, TEnum, ""),
+      ProtoField("type_name", 6, repeated = false, TString, "")))))
+
+  /** Serialize a real FileDescriptorSet for one package of flat
+    * (non-nested) message declarations — the fixture/tooling writer.
+    * The bytes come from [[ProtoCodec.encode]] over a descriptor-subset
+    * ProtoSet (the descriptor format IS protobuf), so every consumer
+    * cross-validates the engine's encoder against its independent
+    * descriptor parser.
+    */
+  def buildFds(pkg: String, messages: Seq[(String, Seq[ProtoField])]): Array[Byte] = {
+    import org.apache.spark.sql.Row
+    val msgRows = messages.map { case (n, fs) =>
+      Row(n, fs.map(f =>
+        Row(f.name, f.number, if (f.repeated) 3 else 1, f.tpe, f.typeName)),
+        Seq.empty[Row])
+    }
+    ProtoCodec.encode(DescSubset, "FDS",
+      Seq(Seq(Row(s"${pkg.replace('.', '_')}.proto", pkg, msgRows))))
+  }
+
   /** "pkg.sub.Msg" → the RosMsgDef fullName form "pkg.sub/Msg" (last
     * dot becomes the single pkg/name separator, so RosMsgBundle's
     * exact-full-name resolution is a straight map hit).
