@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   *     native expression) + one equi-join on (band, bucket) against
   *     the co-located index — never a self-pair stage over
   *     base ∪ new, never corpus-sized broadcast. Hot buckets (viral
-  *     boilerplate) skew the join; AQE skew-join splits them, and the
-  *     candidate DISTINCT bounds re-emits from multi-band collisions.
+  *     boilerplate) skew the join; AQE skew-join splits them when the
+  *     index derives in-query (both sides shuffle — spec-pinned), the
+  *     salted probe ([[candidatesSalted]]) bounds them against the
+  *     persisted bucketed index (whose exchange-free scan AQE cannot
+  *     split), and the candidate DISTINCT bounds re-emits from
+  *     multi-band collisions.
   *   - Confirmation joins candidates back to the two sides' shingle
   *     arrays and intersects exactly — candidates only, never the
   *     corpus product. Confirmed ⊆ exact cross pairs: misses are
@@ -324,12 +328,44 @@ object IncrementalDedup {
 
   /** Candidate (new_id, base_id) pairs: the new batch's bucket rows
     * equi-joined against the base index, DISTINCT across bands.
+    *
+    * Hot-bucket (viral boilerplate) skew, precisely: when `baseIndex`
+    * is derived IN-QUERY (both join inputs shuffle), AQE's skew-join
+    * splits an oversized (band, bucket) partition at runtime —
+    * IncrementalDedupSpec pins that with a synthetic 10⁴-member
+    * bucket. When `baseIndex` is the PERSISTED bucketed table, there
+    * is no exchange on the index side for AQE to split (that absence
+    * is the whole point of the layout), so runtime skew handling
+    * cannot engage — a known-viral corpus should probe through
+    * [[candidatesSalted]], which trades the exchange-free scan for
+    * explicitly bounded per-task key groups.
     */
   def candidates(newSets: DataFrame, idCol: String, setCol: String,
       baseIndex: DataFrame, scheme: LshTuning.MinHashScheme): DataFrame =
     bucketIndex(newSets, idCol, setCol, scheme)
       .withColumnRenamed("doc_id", "new_id")
       .join(baseIndex.withColumnRenamed("doc_id", "base_id"), Seq("band", "bucket"))
+      .select(col("new_id"), col("base_id")).distinct()
+
+  /** [[candidates]] with the hot-key concentration salted away: the
+    * index side takes a deterministic per-row salt, the (small) batch
+    * side replicates once per salt value, and the join key becomes
+    * (band, bucket, salt) — a 10⁶-member viral bucket spreads across
+    * `salts` tasks instead of landing in one. Same rows as
+    * [[candidates]] (spec-pinned). This is the explicit fallback for
+    * probing a PERSISTED bucketed index over a known-viral corpus:
+    * the salt extends the join key past the table's layout keys, so
+    * the index side DOES re-shuffle here — bounded task size is what
+    * that exchange buys.
+    */
+  def candidatesSalted(newSets: DataFrame, idCol: String, setCol: String,
+      baseIndex: DataFrame, scheme: LshTuning.MinHashScheme,
+      salts: Int): DataFrame =
+    SaltedJoin.applyKeys(
+        baseIndex.withColumnRenamed("doc_id", "base_id"),
+        bucketIndex(newSets, idCol, setCol, scheme)
+          .withColumnRenamed("doc_id", "new_id"),
+        Seq("band", "bucket"), col("base_id"), salts)
       .select(col("new_id"), col("base_id")).distinct()
 
   /** [[candidates]] against a PERSISTED stamped index: refuses a

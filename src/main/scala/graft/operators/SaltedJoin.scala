@@ -24,6 +24,13 @@ object SaltedJoin {
     * @param salts    number of salt buckets for hot keys
     */
   def apply(large: DataFrame, small: DataFrame, key: String,
+            tieBreak: Column, salts: Int, joinType: String = "inner"): DataFrame =
+    applyKeys(large, small, Seq(key), tieBreak, salts, joinType)
+
+  /** [[apply]] over a composite equi-key (e.g. the near-dup probe's
+    * (band, bucket)) — the salt extends the key tuple.
+    */
+  def applyKeys(large: DataFrame, small: DataFrame, keys: Seq[String],
             tieBreak: Column, salts: Int, joinType: String = "inner"): DataFrame = {
     // right/full outer would emit `salts` null-padded copies of every
     // unmatched small-side row (the replication has no inverse there)
@@ -31,8 +38,9 @@ object SaltedJoin {
       "leftsemi", "left_anti", "leftanti", "cross")
     require(supported(joinType.toLowerCase),
       s"SaltedJoin does not support $joinType (small side is replicated)")
+    require(keys.nonEmpty, "at least one join key required")
     val l = large.withColumn("__salt", pmod(xxhash64(tieBreak), lit(salts)).cast("int"))
     val s = small.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
-    l.join(s, Seq(key, "__salt"), joinType).drop("__salt")
+    l.join(s, keys :+ "__salt", joinType).drop("__salt")
   }
 }

@@ -376,6 +376,68 @@ class IncrementalDedupSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE cos_idx")
   }
 
+  test("viral bucket: AQE skew-join splits the in-query probe; salted probe bounds the persisted one") {
+    // 10^4 base docs with IDENTICAL shingle sets — crawl boilerplate —
+    // collapse into ONE (band, bucket) per band, the worst-case key
+    // concentration for the probe join
+    val viral = (0 until 20).map(i => s"boiler plate$i chunk")
+    val hotBase = setsOf((0 until 10000).map(i => (i * 2).toLong -> viral))
+    val batch = setsOf(Seq(100001L -> viral, 100003L -> viral,
+      100005L -> (0 until 20).map(i => s"other$i x")))
+    val idx = bucketIndex(hotBase, "doc_id", "sh", scheme)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // trip thresholds a 10^4-row bucket clears in a test-sized shuffle
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val probe = candidates(batch, "doc_id", "sh", idx, scheme)
+      val rows = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 2 viral batch docs × 10^4 base members; the unrelated doc pairs
+      // with nothing
+      assert(rows.size === 20000)
+      assert(rows.forall { case (n, _) => n == 100001L || n == 100003L })
+      // AQE split the hot partition: the finalized join reports skew
+      // handling (walk pierces the AQE wrapper nodes)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      def findSkew(p: SparkPlan): Boolean = p match {
+        case a: AdaptiveSparkPlanExec => findSkew(a.executedPlan)
+        case q: QueryStageExec => findSkew(q.plan)
+        case r: ReusedExchangeExec => findSkew(r.child)
+        case j: SortMergeJoinExec if j.isSkewJoin => true
+        case j: ShuffledHashJoinExec if j.isSkewJoin => true
+        case other => other.children.exists(findSkew)
+      }
+      assert(findSkew(probe.queryExecution.executedPlan),
+        s"no skew-handled join in:\n${probe.queryExecution.executedPlan}")
+
+      // salted fallback: identical rows, and the hot key's work is
+      // provably spread — no (band, bucket, salt) group exceeds
+      // ~hot/salts on the index side (each group is one task's input)
+      val salts = 8
+      val salted = candidatesSalted(batch, "doc_id", "sh", idx, scheme, salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(salted === rows)
+      val maxGroup = idx
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)))
+        .groupBy(col("band"), col("bucket"), col("salt"))
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      assert(maxGroup <= 2L * 10000 / salts,
+        s"salted group of $maxGroup rows — salt did not spread the hot key")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucket index append ≡ rebuild: probing base+batch1 equals probing the grown index") {
     val mk = (ids: Seq[Long]) => setsOf(ids.map(i =>
       i -> (0 until 15).map(j => s"c${i % 7} s$j body")))    // 7 content cliques
