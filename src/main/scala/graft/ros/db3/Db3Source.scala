@@ -1,0 +1,417 @@
+package graft.ros.db3
+
+import java.util
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 `db3` batch source: rosbag2's sqlite3 storage — the
+  * ROS 2 default before MCAP, still what most recorded Foxy/Galactic/
+  * Humble fleets sit on. Same engine role as the `rosbag`/`mcap`
+  * sources (reference rosbag2parquet.cpp:41-63's scan loop, over the
+  * third container), built on [[SqliteFormat]]'s pure-bytes walker —
+  * no sqlite library, no JDBC.
+  *
+  * Storage schema (rosbag2_storage_default_plugins, public):
+  * `topics(id, name, type, serialization_format, ...)`,
+  * `messages(id, topic_id, timestamp, data)`, and — Humble onward —
+  * `message_definitions(topic_type, encoding,
+  * encoded_message_definition, ...)`, which makes self-contained typed
+  * reads possible with the SAME ros2msg → flatSchema → CDR decode
+  * stack as the MCAP source.
+  *
+  * Parallelism grain: one InputPartition per (file, messages-b-tree
+  * subtree) — the root's children split a single large .db3 into
+  * independent rowid ranges ([[SqliteFormat.rootChildren]]), and
+  * rosbag2's own file-splitting provides the coarser grain. A live
+  * `-wal` sidecar means the main file is stale; refused loudly.
+  *
+  * Typed reads: `option("schema_name", "pkg/msg/Type")` resolves the
+  * definition from message_definitions (md5-drift contract of the
+  * rosbag/mcap typed reads; `option("schema_md5", prefix)` selects a
+  * variant). Pre-Humble bags carry no definitions table — pass
+  * `option("schema_text", <ros2msg definition>)` explicitly.
+  */
+class Db3DataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "db3"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Option(options.get("schema_name")) match {
+      case Some(sn) =>
+        val t = Db3TypedRead.resolveTarget(Db3DataSource.pathSpec(options), sn,
+          Option(options.get("schema_md5")), Option(options.get("schema_text")))
+        Db3TypedRead.typedSchema(t.bundle, options.getBoolean("includeRaw", false))
+      case None => Db3DataSource.SpineSchema
+    }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new Db3Table(Db3DataSource.pathSpec(opts), Option(opts.get("schema_name")),
+      opts.getBoolean("includeRaw", false), Option(opts.get("schema_md5")),
+      Option(opts.get("schema_text")))
+  }
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object Db3DataSource {
+  /** Newline-separated explicit file list (the rosbag/mcap "files"
+    * contract — see McapDataSource.filesSpec).
+    */
+  def filesSpec(files: Seq[String]): String = {
+    files.find(_.contains('\n')).foreach { f =>
+      throw new IllegalArgumentException(
+        "db3 path contains a newline and cannot be passed via the " +
+          s"newline-separated 'files' option: ${f.replace("\n", "\\n")}")
+    }
+    files.mkString("\n")
+  }
+
+  def pathSpec(opts: CaseInsensitiveStringMap): String = {
+    val fs = opts.get("files")
+    if (fs != null && fs.nonEmpty) fs else opts.get("path")
+  }
+
+  /** Message spine: rosbag2's own columns plus the file identity.
+    * `timestamp` is nanoseconds since epoch (rosbag2's convention,
+    * same as the mcap spine's log_time).
+    */
+  val SpineSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("msg_id", LongType, nullable = false), // sqlite rowid
+    StructField("topic_id", LongType, nullable = false),
+    StructField("topic", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("serialization_format", StringType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("size", IntegerType, nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+}
+
+/** File resolution + per-file metadata scans (driver side). */
+object Db3IO {
+  import SqliteFormat._
+
+  private[db3] def hadoopConf() = graft.ros.bag.RosbagIO.hadoopConf()
+
+  def resolveFiles(path: String): Seq[String] = {
+    val specs = path.split('\n').filter(_.nonEmpty).toSeq
+    val out = specs.flatMap { spec =>
+      val p = new Path(spec)
+      val fs = p.getFileSystem(hadoopConf())
+      val stats =
+        if (fs.isDirectory(p))
+          fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".db3"))
+        else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty).filter(_.isFile)
+      require(stats.nonEmpty || fs.exists(p), s"db3 path not found: $spec")
+      stats.map(_.getPath.toString)
+    }.sorted
+    require(out.nonEmpty, s"no .db3 files under $path")
+    out.foreach { f =>
+      val wal = new Path(f + "-wal")
+      require(!wal.getFileSystem(hadoopConf()).exists(wal),
+        s"$f has a live -wal sidecar: the main file may be stale. " +
+          "Close/checkpoint the recording before reading.")
+    }
+    out
+  }
+
+  /** Open a positioned page fetch over `file`. Caller must close. */
+  final class Pager(file: String) extends AutoCloseable {
+    private val p = new Path(file)
+    private val in = p.getFileSystem(hadoopConf()).open(p)
+    val header: Header = {
+      val h = new Array[Byte](100)
+      in.readFully(0L, h)
+      parseHeader(h)
+    }
+    val page: Int => Array[Byte] = { i =>
+      val b = new Array[Byte](header.pageSize)
+      in.readFully((i.toLong - 1) * header.pageSize, b)
+      b
+    }
+    override def close(): Unit = in.close()
+  }
+
+  final case class Db3Meta(
+      topics: Map[Long, (String, String, String)], // id -> (name, type, fmt)
+      definitions: Seq[(String, String, String)],  // (topic_type, encoding, text)
+      messagesRoot: Int,
+      subtrees: Seq[Int])
+
+  def scanMeta(file: String): Db3Meta = {
+    val pager = new Pager(file)
+    try {
+      val roots = tableRoots(pager.page, pager.header.usable)
+      require(roots.contains("messages") && roots.contains("topics"),
+        s"$file lacks rosbag2's messages/topics tables " +
+          s"(has: ${roots.keys.toSeq.sorted.mkString(", ")})")
+      val topics = tableRows(pager.page, pager.header.usable, roots("topics"))
+        .map { case (rowid, v) =>
+          rowid -> (v(1).asInstanceOf[String], v(2).asInstanceOf[String],
+            v(3).asInstanceOf[String])
+        }.toMap
+      val defs = roots.get("message_definitions").map { r =>
+        tableRows(pager.page, pager.header.usable, r).map { case (_, v) =>
+          (v(1).asInstanceOf[String], v(2).asInstanceOf[String],
+            v(3).asInstanceOf[String])
+        }.toSeq
+      }.getOrElse(Seq.empty)
+      Db3Meta(topics, defs, roots("messages"),
+        rootChildren(pager.page, pager.header.usable, roots("messages")))
+    } finally pager.close()
+  }
+}
+
+/** Typed-read resolution + the shared flat frame. */
+object Db3TypedRead {
+  val MetaFields: Seq[StructField] = Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("msg_id", LongType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("topic_id", LongType, nullable = false),
+    StructField("topic", StringType, nullable = false))
+
+  private[db3] val reserved = MetaFields.map(_.name).toSet + "data" + "seqno"
+
+  final case class TypedTarget(schemaName: String, schemaText: String,
+                               files: Seq[String], md5: String) {
+    def bundle: graft.ros.RosMsgBundle =
+      graft.ros.mcap.Ros2Msg.bundle(schemaName, schemaText)
+  }
+
+  /** Resolve the ros2msg definition for `schemaName` across the path's
+    * files — md5-drift contract of the rosbag/mcap typed reads. An
+    * explicit `schemaText` (pre-Humble bags without a
+    * message_definitions table) bypasses the catalog.
+    */
+  def resolveTarget(path: String, schemaName: String,
+                    md5: Option[String] = None,
+                    schemaText: Option[String] = None): TypedTarget = {
+    val files = Db3IO.resolveFiles(path)
+    schemaText match {
+      case Some(text) =>
+        return TypedTarget(schemaName, text, files,
+          graft.ros.mcap.McapTypedRead.md5hex(text.getBytes("UTF-8")))
+      case None => ()
+    }
+    val variants = files.flatMap { f =>
+      val meta = Db3IO.scanMeta(f)
+      val defs = meta.definitions.filter(_._1 == schemaName)
+      if (defs.isEmpty && meta.topics.values.exists(_._2 == schemaName))
+        throw new IllegalArgumentException(
+          s"$f records topic type $schemaName but carries no " +
+            "message_definitions table (pre-Humble rosbag2); pass the " +
+            "definition explicitly via option(\"schema_text\", ...)")
+      defs.map { case (_, enc, text) =>
+        require(enc == "ros2msg",
+          s"$schemaName in $f is defined under encoding '$enc'; typed db3 " +
+            "reads support ros2msg (ros2idl definitions need translation)")
+        (graft.ros.mcap.McapTypedRead.md5hex(text.getBytes("UTF-8")), text, f)
+      }
+    }
+    require(variants.nonEmpty, s"schema $schemaName not present in $path")
+    val byMd5 = variants.groupBy(_._1)
+    val chosen = md5 match {
+      case Some(m) => byMd5.filter { case (k, _) => k.startsWith(m) }
+      case None => byMd5
+    }
+    require(chosen.size == 1,
+      s"schema $schemaName has ${byMd5.size} definition variants across $path " +
+        s"(md5s: ${byMd5.keys.toSeq.sorted.mkString(", ")})" +
+        (if (md5.isDefined) s"; md5 prefix '${md5.get}' matches ${chosen.size}"
+         else "; pass option(\"schema_md5\", <prefix>) to select one"))
+    val (m, vs) = chosen.head
+    TypedTarget(schemaName, vs.head._2, vs.map(_._3).distinct, m)
+  }
+
+  def typedSchema(bundle: graft.ros.RosMsgBundle, includeRaw: Boolean): StructType = {
+    val payload = graft.ros.RosSchemaMapper.flatSchema(bundle).fields.map(f =>
+      if (reserved(f.name)) f.copy(name = f.name + "_field") else f)
+    val raw = if (includeRaw) Seq(StructField("data", BinaryType, nullable = false)) else Nil
+    StructType(MetaFields ++ payload ++ raw)
+  }
+}
+
+class Db3Table(path: String, schemaName: Option[String],
+               includeRaw: Boolean, md5: Option[String],
+               schemaText: Option[String])
+    extends Table with SupportsRead {
+  private lazy val target: Option[Db3TypedRead.TypedTarget] =
+    schemaName.map(sn => Db3TypedRead.resolveTarget(path, sn, md5, schemaText))
+  override def name(): String = s"db3:$path${schemaName.map(":" + _).getOrElse("")}"
+  override def schema(): StructType = target match {
+    case Some(t) => Db3TypedRead.typedSchema(t.bundle, includeRaw)
+    case None => Db3DataSource.SpineSchema
+  }
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new Db3ScanBuilder(path, schema(), target, includeRaw)
+}
+
+class Db3ScanBuilder(path: String, full: StructType,
+                     typed: Option[Db3TypedRead.TypedTarget], includeRaw: Boolean)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+  private var required: StructType = full
+  private var limit: Int = -1
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushLimit(l: Int): Boolean = { limit = l; false } // partial push
+  override def build(): Scan = new Db3Scan(path, required, typed, includeRaw, limit)
+}
+
+final case class Db3InputPartition(path: String, subtree: Int,
+    topics: Map[Long, (String, String, String)]) extends InputPartition
+
+class Db3Scan(path: String, required: StructType,
+              typed: Option[Db3TypedRead.TypedTarget], includeRaw: Boolean,
+              limit: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = typed.map(_.files).getOrElse(Db3IO.resolveFiles(path))
+    files.flatMap { f =>
+      val meta = Db3IO.scanMeta(f)
+      meta.subtrees.map(st => Db3InputPartition(f, st, meta.topics): InputPartition)
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = typed match {
+    case Some(t) => new Db3TypedReaderFactory(t.schemaName, t.schemaText,
+      required, includeRaw, limit)
+    case None => new Db3ReaderFactory(required, limit)
+  }
+  override def description(): String =
+    s"db3 $path${typed.map(t => s" typed=${t.schemaName}").getOrElse("")}, limit=$limit"
+}
+
+class Db3ReaderFactory(required: StructType, limit: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new Db3SpineReader(p.asInstanceOf[Db3InputPartition], required, limit)
+}
+
+/** Spine rows straight off the messages b-tree subtree. */
+class Db3SpineReader(p: Db3InputPartition, required: StructType, limit: Int)
+    extends PartitionReader[InternalRow] {
+  private val pager = new Db3IO.Pager(p.path)
+  private val rows = SqliteFormat.tableRows(pager.page, pager.header.usable, p.subtree)
+  private val projection: Array[Int] =
+    required.fields.map(f => Db3DataSource.SpineSchema.fieldIndex(f.name))
+  private val pathUtf8 = UTF8String.fromString(p.path)
+  private val topicUtf8 = p.topics.map { case (id, (n, t, f)) =>
+    id -> (UTF8String.fromString(n), UTF8String.fromString(t), UTF8String.fromString(f)) }
+  private var current: (Long, Seq[Any]) = _
+  private var emitted = 0
+
+  override def next(): Boolean =
+    if ((limit < 0 || emitted < limit) && rows.hasNext) {
+      current = rows.next(); emitted += 1; true
+    } else false
+
+  override def get(): InternalRow = {
+    val (rowid, v) = current
+    val tid = v(1).asInstanceOf[Long]
+    val (tn, tt, tf) = topicUtf8.getOrElse(tid, (UTF8String.fromString(""),
+      UTF8String.fromString(""), UTF8String.fromString("")))
+    val data = v(3).asInstanceOf[Array[Byte]]
+    val full = Array[Any](pathUtf8, rowid, tid, tn, tt, tf,
+      v(2).asInstanceOf[Long], data.length, data)
+    InternalRow.fromSeq(projection.toSeq.map(full))
+  }
+  override def close(): Unit = pager.close()
+}
+
+class Db3TypedReaderFactory(schemaName: String, schemaText: String,
+    required: StructType, includeRaw: Boolean, limit: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new Db3TypedReader(p.asInstanceOf[Db3InputPartition], schemaName, schemaText,
+      required, includeRaw, limit)
+}
+
+/** Typed rows: CDR payloads of the schema's topics flattened through
+  * the shared frame (same decode stack as the mcap typed reader).
+  */
+class Db3TypedReader(p: Db3InputPartition, schemaName: String, schemaText: String,
+    required: StructType, includeRaw: Boolean, limit: Int)
+    extends PartitionReader[InternalRow] {
+  import Db3TypedRead._
+
+  private lazy val bundle = graft.ros.mcap.Ros2Msg.bundle(schemaName, schemaText)
+  private lazy val fullSchema = typedSchema(bundle, includeRaw)
+  private lazy val projection: Array[Int] =
+    required.fields.map(f => fullSchema.fieldIndex(f.name))
+  // topics of THIS type; rosbag2 stores one serialization per topic
+  private val typeTopics: Map[Long, (String, String, String)] =
+    p.topics.filter { case (_, (_, t, _)) => t == schemaName }
+  private val pager = new Db3IO.Pager(p.path)
+  private val rows = SqliteFormat
+    .tableRows(pager.page, pager.header.usable, p.subtree)
+    .filter { case (_, v) => typeTopics.contains(v(1).asInstanceOf[Long]) }
+  private val pathUtf8 = UTF8String.fromString(p.path)
+  private val topicUtf8 = typeTopics.map { case (id, (n, _, _)) =>
+    id -> UTF8String.fromString(n) }
+  private var current: (Long, Seq[Any]) = _
+  private var emitted = 0
+
+  override def next(): Boolean =
+    if ((limit < 0 || emitted < limit) && rows.hasNext) {
+      current = rows.next()
+      val tid = current._2(1).asInstanceOf[Long]
+      val fmt = typeTopics(tid)._3
+      require(fmt == "cdr",
+        s"topic ${typeTopics(tid)._1} serializes as '$fmt'; typed db3 reads decode cdr")
+      emitted += 1; true
+    } else false
+
+  private lazy val needsPayload: Boolean =
+    projection.exists(i => i >= MetaFields.size &&
+      !(includeRaw && i == fullSchema.size - 1))
+
+  override def get(): InternalRow = {
+    val (rowid, v) = current
+    val tid = v(1).asInstanceOf[Long]
+    val data = v(3).asInstanceOf[Array[Byte]]
+    val nFields = fullSchema.size
+    val full = new Array[Any](nFields)
+    full(0) = pathUtf8; full(1) = rowid; full(2) = v(2).asInstanceOf[Long]
+    full(3) = tid; full(4) = topicUtf8(tid)
+    if (includeRaw) full(nFields - 1) = data
+    if (needsPayload) {
+      val vals = graft.ros.mcap.CdrCodec.decode(bundle, data)
+      var i = 0
+      val it = vals.iterator
+      while (it.hasNext) { full(MetaFields.size + i) = it.next(); i += 1 }
+    }
+    InternalRow.fromSeq(projection.toSeq.map { i =>
+      graft.ros.bag.RosbagTypedRead.toCatalyst(full(i), fullSchema.fields(i).dataType)
+    })
+  }
+  override def close(): Unit = pager.close()
+}
+
+/** Dimension tables for db3 inputs (the Connections/Channels analog). */
+object Db3Tables {
+  import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+  def topics(spark: SparkSession, path: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("topic_id", LongType, nullable = false),
+      StructField("topic", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("serialization_format", StringType, nullable = false)))
+    val rows = Db3IO.resolveFiles(path).flatMap { f =>
+      Db3IO.scanMeta(f).topics.toSeq.sortBy(_._1).map { case (id, (n, t, fmt)) =>
+        Row(f, id, n, t, fmt)
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}
