@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.ros.mcap._
 
 /** Container-source queries under the DRIVER'S oracle gate: the MCAP
-  * source → typed decode → aggregation path, checked against DuckDB.
+  * (q76) and rosbag2-sqlite (q77) source → typed decode → aggregation
+  * paths, checked against DuckDB.
   *
   * The oracle can only see the testdata parquet tables, so the gate is
   * a ROUND-TRIP: the first 1000 `events` rows (by event_id, a
@@ -112,7 +113,70 @@ object ContainerQueries {
             .as("sum_value"),
           sum(length(col("props")).cast("long")).as("props_chars"))
         .orderBy(col("event_type"))
+    }),
+
+    // Q77 — db3 round-trip, CHECKED: the same slice through the
+    // rosbag2 sqlite container instead — engine-written SQLite file
+    // (b-tree pages, overflow chains), read back via the db3 typed
+    // source (message_definitions-resolved CDR decode). max_ts_ns
+    // reads the CONTAINER's timestamp column, so rosbag2's
+    // nanosecond-time convention is inside the oracle equality.
+    "q77_db3_roundtrip" -> ((s, d) => {
+      val path = db3Fixture(s, d)
+      s.read.format("db3").option("path", path)
+        .option("schema_name", RosName).load()
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("cnt"),
+          max(col("timestamp")).as("max_ts_ns"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          sum(col("user_id")).as("sum_uid"),
+          round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
+            .as("sum_value"))
+        .orderBy(col("event_type"))
     }))
+
+  /** db3 twin of [[fixture]]: the same 1000-row slice written as a
+    * rosbag2 sqlite database (one CDR channel, Humble-style
+    * message_definitions), via the engine's own sqlite writer.
+    */
+  private def db3Fixture(s: SparkSession, d: String): String = synchronized {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_container_db3_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16))
+    dir.mkdirs()
+    val f = new java.io.File(dir, "events.db3")
+    val done = new java.io.File(dir, "_built")
+    if (!done.exists()) {
+      val rows = events(s, d).orderBy(col("event_id")).limit(1000)
+        .select(col("event_id"), us(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .collect()
+      val rosBundle = Ros2Msg.bundle(RosName, RosDef)
+      val msgRows = rows.map { r =>
+        Seq[Any](null, 1L, r.getLong(1) * 1000L, // rowid-aliased id, topic, ts ns
+          CdrCodec.encode(rosBundle, Seq[Any](r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5))))
+      }.toSeq
+      val db = graft.ros.db3.SqliteFormat.writeDb(Seq(
+        ("topics",
+          "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+          Seq(Seq[Any](null, "/events", RosName, "cdr", ""))),
+        ("messages",
+          "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)",
+          msgRows),
+        ("message_definitions",
+          "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY, topic_type TEXT, encoding TEXT, encoded_message_definition TEXT, type_hash TEXT)",
+          Seq(Seq[Any](null, RosName, "ros2msg", RosDef, "RIHS01_graft")))))
+      val tmp = new java.io.File(dir, "events.db3.tmp")
+      java.nio.file.Files.write(tmp.toPath, db)
+      require(tmp.renameTo(f) || f.exists(), s"fixture rename failed: $f")
+      done.createNewFile()
+      ()
+    }
+    f.getAbsolutePath
+  }
 
   val oracle: Map[String, String] = Map(
     "q76_container_roundtrip" ->
@@ -127,5 +191,17 @@ object ContainerQueries {
         |       MAX(epoch_us(ts)) AS max_ts_us,
         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value,
         |       CAST(SUM(length(props)) AS BIGINT) AS props_chars
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q77_db3_roundtrip" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |  FROM events ORDER BY event_id LIMIT 1000)
+        |SELECT event_type,
+        |       COUNT(*) AS cnt,
+        |       MAX(epoch_us(ts)) * 1000 AS max_ts_ns,
+        |       MIN(event_id) AS min_id,
+        |       MAX(event_id) AS max_id,
+        |       CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
