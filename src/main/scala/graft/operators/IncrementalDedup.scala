@@ -368,6 +368,20 @@ object IncrementalDedup {
         Seq("band", "bucket"), col("base_id"), salts)
       .select(col("new_id"), col("base_id")).distinct()
 
+  /** [[candidatesSalted]] against a PERSISTED stamped index — the
+    * guarded form the operator docs direct viral corpora to: the
+    * scheme stamp is checked exactly as in [[candidatesIn]] (the
+    * salted path must not reopen the silent-recall hole the stamps
+    * close).
+    */
+  def candidatesSaltedIn(spark: org.apache.spark.sql.SparkSession, table: String,
+      newSets: DataFrame, idCol: String, setCol: String,
+      scheme: LshTuning.MinHashScheme, salts: Int): DataFrame = {
+    requireScheme(spark, table, scheme)
+    candidatesSalted(newSets, idCol, setCol, BucketedLayout.read(spark, table),
+      scheme, salts)
+  }
+
   /** [[candidates]] against a PERSISTED stamped index: refuses a
     * scheme other than the table's stamp before deriving a single
     * bucket — the guard that turns the silent-recall-collapse failure

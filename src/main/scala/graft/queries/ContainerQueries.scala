@@ -42,16 +42,26 @@ object ContainerQueries {
     ProtoField("value", 5, repeated = false, TDouble, ""),
     ProtoField("props", 6, repeated = false, TString, ""))))
 
-  /** Build (once per sf dir) the two-channel MCAP fixture and return
-    * its path. Content keyed on the dir; a done-marker + rename makes
-    * concurrent/crashed builds safe (a half-written file is never
-    * visible under the final name).
+  /** Cache key for a fixture derived from `d`'s events table: the dir
+    * PLUS the events parquet's (length, mtime) — regenerated testdata
+    * under the same path must rebuild the fixture, or the oracle gate
+    * compares a stale container against fresh parquet.
+    */
+  private def cacheKey(d: String): String = {
+    val ev = new java.io.File(d, "events.parquet")
+    val sig = s"$d:${ev.length}:${ev.lastModified}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Build (once per sf-dir content) the two-channel MCAP fixture and
+    * return its path. A done-marker + rename makes concurrent/crashed
+    * builds safe (a half-written file is never visible under the final
+    * name).
     */
   private def fixture(s: SparkSession, d: String): String = synchronized {
     val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_container_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16))
+      sys.props("java.io.tmpdir"), "graft_container_" + cacheKey(d))
     dir.mkdirs()
     val f = new java.io.File(dir, "events.mcap")
     val done = new java.io.File(dir, "_built")
@@ -142,9 +152,7 @@ object ContainerQueries {
     */
   private def db3Fixture(s: SparkSession, d: String): String = synchronized {
     val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_container_db3_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16))
+      sys.props("java.io.tmpdir"), "graft_container_db3_" + cacheKey(d))
     dir.mkdirs()
     val f = new java.io.File(dir, "events.db3")
     val done = new java.io.File(dir, "_built")

@@ -116,6 +116,23 @@ object Db3IO {
       require(!wal.getFileSystem(hadoopConf()).exists(wal),
         s"$f has a live -wal sidecar: the main file may be stale. " +
           "Close/checkpoint the recording before reading.")
+      // rollback-journal mode's equivalent: a HOT journal (valid magic)
+      // means a crashed writer's partially-applied pages are sitting in
+      // the main file. A cold/zeroed journal (PERSIST mode after a
+      // clean commit) is fine — test the magic, not mere existence.
+      val jrn = new Path(f + "-journal")
+      val jfs = jrn.getFileSystem(hadoopConf())
+      if (jfs.exists(jrn) && jfs.getFileStatus(jrn).getLen >= 8) {
+        val in = jfs.open(jrn)
+        val head = new Array[Byte](8)
+        try in.readFully(0L, head) finally in.close()
+        val hotMagic = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7)
+          .map(_.toByte)
+        require(!head.sameElements(hotMagic),
+          s"$f has a HOT -journal sidecar: a writer crashed mid-transaction " +
+            "and the main file holds partially-applied pages. Let sqlite " +
+            "recover (open/close the db) before reading.")
+      }
     }
     out
   }

@@ -141,10 +141,27 @@ object McapEtl {
     // BagEtl's manifest rule: historical names win, a NEW variant of a
     // historically-known name is always md5-namespaced (the legacy
     // plain table is never renamed)
+    // A typed-encoding schema whose descriptor cannot flatten (a
+    // recursive protobuf type, repeated bytes, corrupt descriptor
+    // bytes) must not sink the whole run: its channels fall back to
+    // RawMessages retention like any untyped encoding ("you don't
+    // lose any data"). Decided per NAME — the route key is
+    // schema_name, so a name with one good and one broken variant
+    // stays raw wholesale rather than splitting one key across routes.
+    val typedSchemas = files.flatMap(f => McapIO.scanIndex(f).schemas.values
+      .filter(s => McapPayload.typedEncodings(s.encoding))
+      .map(s => (s.name, McapTypedRead.md5hex(s.data), (s.encoding, s.data), f)))
+    val flattenable: Set[String] = typedSchemas.groupBy(_._1).collect {
+      case (nm, rows) if rows.forall { case (_, _, (enc, data), _) =>
+        scala.util.Try(McapPayload.bundle(enc, nm, data)).isSuccess } => nm
+    }.toSet
+    val routed = (c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =>
+      if (flattenable.isEmpty) lit(false)
+      else c.isin(McapPayload.typedEncodings.toSeq: _*) &&
+        n.isin(flattenable.toSeq: _*)
+
     val variants: Seq[(String, String, (String, Array[Byte]), Seq[String], String)] = {
-      val all = files.flatMap(f => McapIO.scanIndex(f).schemas.values
-        .filter(s => McapPayload.typedEncodings(s.encoding))
-        .map(s => (s.name, McapTypedRead.md5hex(s.data), (s.encoding, s.data), f)))
+      val all = typedSchemas.filter(t => flattenable(t._1))
       val byName = all.groupBy(_._1)
       byName.toSeq.sortBy(_._1).flatMap { case (nm, rows) =>
         val base = tableName(nm)
@@ -176,14 +193,14 @@ object McapEtl {
       // (schema-less channel) is not a usable partition value (Spark
       // reads empty partition strings back as null)
       raw.select(metaCols :+ col("data") :+
-          when(col("schema_encoding").isin(McapPayload.typedEncodings.toSeq: _*),
+          when(routed(col("schema_encoding"), col("schema_name")),
               col("schema_name"))
             .otherwise(lit("__raw")).as("_route"): _*)
         .write.partitionBy("_route")
         .option("compression", "snappy").parquet(stageDir)
     else
       raw.select(metaCols :+
-          when(col("schema_encoding").isin(McapPayload.typedEncodings.toSeq: _*),
+          when(routed(col("schema_encoding"), col("schema_name")),
               lit(null).cast("binary"))
             .otherwise(col("data")).as("data"): _*)
         .write.option("compression", "snappy").parquet(stageDir)
@@ -289,14 +306,14 @@ object McapEtl {
       val hasUnrouted = files.exists { f =>
         val idx = McapIO.scanIndex(f)
         idx.channels.values.exists(c =>
-          !idx.schemas.get(c.schemaId).exists(sc => McapPayload.typedEncodings(sc.encoding)))
+          !idx.schemas.get(c.schemaId).exists(sc =>
+            McapPayload.typedEncodings(sc.encoding) && flattenable(sc.name)))
       }
       if (hasUnrouted) {
         val rawTab = spark.read.parquet(stageDir)
           // staged mode prunes to the __raw route partition directly
           .filter(if (stagedBySchema) col("_route") === "__raw"
-                  else !col("schema_encoding")
-                    .isin(McapPayload.typedEncodings.toSeq: _*))
+                  else !routed(col("schema_encoding"), col("schema_name")))
           .join(seqnoMap, Seq("file_path", "chunk_idx", "offset"))
           .select(col("seqno"), col("channel_id"), col("topic"),
             col("schema_name"), col("schema_encoding"), col("message_encoding"),

@@ -52,7 +52,7 @@ object McapPayload {
         bytes => CdrCodec.decode(b, bytes)
       case "protobuf" =>
         val set = ProtoDescriptor.parseSet(data)
-        bundle(schemaEncoding, name, data) // validate flattenability up front
+        ProtoDescriptor.bundle(name, set) // validate flattenability up front
         bytes => ProtoCodec.decode(set, name, bytes)
       case other => throw new IllegalArgumentException(
         s"no typed decode for schema encoding '$other'")

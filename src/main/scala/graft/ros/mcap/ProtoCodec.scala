@@ -47,7 +47,13 @@ object ProtoDescriptor {
   final case class ProtoField(name: String, number: Int, repeated: Boolean,
                               tpe: Int, typeName: String)
 
-  final case class ProtoMsgDescr(fq: String, fields: Seq[ProtoField])
+  final case class ProtoMsgDescr(fq: String, fields: Seq[ProtoField]) {
+    /** number → field, built once per descriptor (not per message —
+      * a 10M-row decode must not allocate 10M lookup maps).
+      */
+    @transient lazy val byNumber: Map[Int, ProtoField] =
+      fields.map(f => f.number -> f).toMap
+  }
 
   /** All messages of a FileDescriptorSet, keyed by fq name (no leading
     * dot): "pkg.sub.Outer.Inner" for nested declarations.
@@ -379,7 +385,7 @@ object ProtoCodec {
 
   private def decodeMsg(set: ProtoSet, msg: ProtoMsgDescr, b: Array[Byte],
       start: Int, end: Int, out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
-    val byNumber = msg.fields.map(f => f.number -> f).toMap
+    val byNumber = msg.byNumber
     // pass 1: collect occurrences per declared field (wire order is
     // free; repeated fields may interleave; last-wins for singulars)
     val occs = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Occ]]()
@@ -409,7 +415,20 @@ object ProtoCodec {
       if (f.repeated) out += repeatedValues(set, f, b, got.toSeq)
       else (f.tpe, got.lastOption) match {
         case (TMessage, Some(occ)) =>
-          decodeMsg(set, set(f.typeName), b, occ.o, occ.o + occ.l, out)
+          if (got.length == 1)
+            decodeMsg(set, set(f.typeName), b, occ.o, occ.o + occ.l, out)
+          else {
+            // spec: parsers MERGE multiple occurrences of an embedded
+            // message field — and merging serialized messages IS
+            // byte-concatenation (the inner decode's last-wins /
+            // repeated-append semantics then apply across fragments)
+            val merged = new Array[Byte](got.map(_.l).sum)
+            var off = 0
+            got.foreach { o =>
+              System.arraycopy(b, o.o, merged, off, o.l); off += o.l
+            }
+            decodeMsg(set, set(f.typeName), merged, 0, merged.length, out)
+          }
         case (TMessage, None) => // absent: all-defaults flattening
           decodeMsg(set, set(f.typeName), b, 0, 0, out)
         case (TBytes, Some(occ)) =>

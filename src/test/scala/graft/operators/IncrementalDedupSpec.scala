@@ -281,6 +281,15 @@ class IncrementalDedupSpec extends SparkTestBase {
         grow(bucketIndex(mk(Seq(20L)), "doc_id", "sh", drifted), "stamp_idx", drifted)
       }
       assert(growEx.getMessage.contains("16,8,2") && growEx.getMessage.contains("32,16,2"))
+      // the salted fallback is guarded too — the documented viral-corpus
+      // path must not reopen the silent-recall hole
+      intercept[IllegalArgumentException] {
+        candidatesSaltedIn(spark, "stamp_idx", mk(Seq(10L)), "doc_id", "sh", drifted, 4)
+      }
+      assert(candidatesSaltedIn(spark, "stamp_idx", mk(Seq(10L)), "doc_id", "sh",
+          built, 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        candidatesIn(spark, "stamp_idx", mk(Seq(10L)), "doc_id", "sh", built)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
       // matched-scheme probe still works — the guard costs one catalog read
       assert(candidatesIn(spark, "stamp_idx", mk(Seq(10L)), "doc_id", "sh", built)
         .collect().nonEmpty)

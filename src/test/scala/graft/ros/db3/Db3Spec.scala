@@ -102,6 +102,18 @@ class Db3Spec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("-wal"), ex.getMessage)
     java.nio.file.Files.delete(dir.resolve("a.db3-wal"))
+    // HOT rollback journal (valid magic) = crashed writer: refused; a
+    // cold/zeroed journal (PERSIST mode after clean commit) is fine
+    val hot = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7)
+      .map(_.toByte) ++ Array.fill[Byte](20)(0)
+    java.nio.file.Files.write(dir.resolve("a.db3-journal"), hot)
+    val exJ = intercept[Exception] {
+      spark.read.format("db3").load(cp.toString).count()
+    }
+    assert(exJ.getMessage.contains("-journal"), exJ.getMessage)
+    java.nio.file.Files.write(dir.resolve("a.db3-journal"), Array.fill[Byte](28)(0))
+    assert(spark.read.format("db3").load(cp.toString).count() === 2000)
+    java.nio.file.Files.delete(dir.resolve("a.db3-journal"))
     // directory resolution + dimension table
     val dim = Db3Tables.topics(spark, dir.toString)
     assert(dim.collect().map(r => (r.getLong(1), r.getString(2))).toSet ===

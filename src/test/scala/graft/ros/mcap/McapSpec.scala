@@ -422,6 +422,42 @@ class McapSpec extends SparkTestBase {
     }
   }
 
+  test("unflattenable protobuf schema falls back to RawMessages instead of sinking the run") {
+    import ProtoDescriptor._
+    // a recursive type (think google.protobuf.Struct) cannot flatten
+    val recFds = buildFds("t", Seq("Node" -> Seq(
+      ProtoField("next", 1, repeated = false, TMessage, ".t.Node"),
+      ProtoField("v", 2, repeated = false, TInt64, ""))))
+    val schemas = Seq(
+      McapSchema(1, "t.Node", "protobuf", recFds),
+      McapSchema(2, "std_msgs/msg/String", "ros2msg", strText.getBytes("UTF-8")))
+    val channels = Seq(McapChannel(1, 1, "/rec", "protobuf"),
+      McapChannel(2, 2, "/chatter", "cdr"))
+    val sb = Ros2Msg.bundle("std_msgs/msg/String", strText)
+    val msgs = (0 until 6).map { i =>
+      if (i % 2 == 0) McapMessage(1, i.toLong, 100L + i, 100L + i,
+        Array.tabulate(6)(j => ((2 << 3) | 0).toByte)) // arbitrary bytes, retained not decoded
+      else McapMessage(2, i.toLong, 100L + i, 100L + i,
+        CdrCodec.encode(sb, Seq(s"m$i")))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcap_unflat").toFile
+    val out = new java.io.FileOutputStream(new java.io.File(dir, "a.mcap"))
+    try out.write(writeMcap(schemas, channels, msgs, "lz4")) finally out.close()
+    Seq(false, true).foreach { staged =>
+      val outDir = freshOut(s"graft_mcap_unflat_out_$staged")
+      val info = McapEtl.run(spark, dir.getAbsolutePath, outDir,
+        stagedBySchema = staged)
+      assert(info.tables === Map("std_msgs_msg_String" -> 3L), s"staged=$staged")
+      val raw = spark.read.parquet(s"$outDir/RawMessages.parquet")
+        .orderBy("seqno").collect()
+      assert(raw.length === 3, s"staged=$staged")
+      raw.foreach(r => assert(r.getAs[String]("topic") === "/rec"))
+      val want = msgs.filter(_.channelId == 1).map(_.data.toSeq).toSet
+      assert(raw.map(_.getAs[Array[Byte]]("data").toSeq).toSet === want,
+        s"staged=$staged: byte-exact retention")
+    }
+  }
+
   test("McapEtl.runIncremental appends new files with continuing seqnos and stable naming") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mcap_incr").toFile
     val outDir = freshOut("graft_mcap_incr_out")

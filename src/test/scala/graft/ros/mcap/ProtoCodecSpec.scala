@@ -131,6 +131,36 @@ class ProtoCodecSpec extends AnyFunSuite {
           0L, false, Seq.empty, Seq.empty)))
   }
 
+  test("split embedded-message occurrences MERGE (spec), not last-wins") {
+    // a conforming writer may emit `pose` as two fragments: one
+    // carrying x, one carrying y — parsers must merge
+    val b = new java.io.ByteArrayOutputStream()
+    def varint(v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7FL) != 0L) { b.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+      b.write(x.toInt)
+    }
+    def fragment(fieldNum: Int, wt: Int)(body: java.io.ByteArrayOutputStream => Unit): Unit = {
+      val sub = new java.io.ByteArrayOutputStream()
+      body(sub)
+      varint((fieldNum.toLong << 3) | 2L); varint(sub.size().toLong)
+      sub.writeTo(b)
+    }
+    // pose fragment 1: x = 1.5 (field 1, fixed64)
+    fragment(3, 2) { sub =>
+      sub.write(((1 << 3) | 1)); val bits = java.lang.Double.doubleToLongBits(1.5)
+      (0 until 8).foreach(i => sub.write(((bits >>> (8 * i)) & 0xFF).toInt))
+    }
+    // pose fragment 2: y = 2.5f (field 2, fixed32)
+    fragment(3, 2) { sub =>
+      sub.write(((2 << 3) | 5)); val bits = java.lang.Float.floatToIntBits(2.5f)
+      (0 until 4).foreach(i => sub.write((bits >>> (8 * i)) & 0xFF))
+    }
+    val got = ProtoCodec.decode(set, FQ, b.toByteArray)
+    assert(got(2) === 1.5, "fragment 1's x must survive the merge")
+    assert(got(3) === 2.5f, "fragment 2's y must survive the merge")
+  }
+
   test("unpacked repeated scalars are accepted alongside packed (spec: parsers take both)") {
     // hand-write field 4 (counts) as three expanded varint entries
     val b = new java.io.ByteArrayOutputStream()
