@@ -5,7 +5,8 @@ given SF, for comparison with graft.Bench output. Usage:
 """
 import duckdb, json, sys, time
 sf, oracle_path = sys.argv[1], sys.argv[2]
-bench = json.load(open(sys.argv[3])) if len(sys.argv) > 3 else None
+# BENCH.json carries two lines (total, detail) since round 9 - take the first
+bench = json.loads(open(sys.argv[3]).readline()) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
