@@ -1,0 +1,286 @@
+package graft.ros.db3
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ros.etl.{BagEtl, VerticaDdl}
+import graft.operators.Seqno
+
+/** Route-by-type ETL over rosbag2 sqlite storage — the third container
+  * under the SAME contract surface as BagEtl (rosbag1) and McapEtl
+  * (MCAP):
+  *
+  *  - `Messages.parquet`: the spine — every message's metadata plus a
+  *    payload CRC32, under a DENSE GLOBAL `seqno` in timestamp order
+  *    (distributed prefix-sum, (file_path, msg_id) tie-break);
+  *  - `Topics.parquet`: the Connections/Channels dimension;
+  *  - one flattened table per (type, md5-of-definition) VARIANT from
+  *    the files' message_definitions tables, decoding CDR payloads
+  *    through the shared ros2msg → flatSchema stack; a type whose
+  *    definition drifts across files writes one table per variant
+  *    (`<table>__<md5prefix>`), never a silent mis-decode, with
+  *    `_tables.json` keeping names stable across increments;
+  *  - `RawMessages.parquet`: byte-exact retention of every message NOT
+  *    routed to a typed table (no definitions table — pre-Humble —,
+  *    ros2idl/other encodings, unflattenable definitions, non-cdr
+  *    serialization) — "you don't lose any data";
+  *  - Vertica DDL for every table created; versioned output dirs on
+  *    `run`; `runIncremental` appends new files with continuing seqnos
+  *    and Messages/Topics written LAST as the increment's commit
+  *    records (crash → redo, never silent holes).
+  *
+  * Scale shape: ONE pass over the sqlite b-trees (the `db3` source's
+  * per-subtree partitions) stages meta + payload bytes to parquet
+  * partitioned by a type-route column; the seqno passes and every
+  * typed decode read the staging table, so each database file is
+  * walked exactly once regardless of type count. (Unlike the bag/mcap
+  * ETLs there is no cheaper re-scan mode to offer: sqlite interleaves
+  * topics within shared b-tree pages, so any per-type re-scan walks
+  * every page anyway — staging is strictly better here.)
+  */
+object Db3Etl {
+
+  final case class Info(name: String, messages: Long, topics: Long,
+                        bytes: Long, crcXor: Long, tables: Map[String, Long])
+
+  def tableName(typeName: String): String =
+    typeName.replaceAll("[^A-Za-z0-9]", "_")
+
+  def run(spark: SparkSession, path: String, outDir: String,
+          maxMessages: Option[Long] = None, keepRawBlob: Boolean = true,
+          nativeTimestamp: Boolean = false): Info =
+    runFiles(spark, Db3IO.resolveFiles(path), new java.io.File(path).getName,
+      BagEtl.versionedOutputDir(outDir), maxMessages, keepRawBlob, nativeTimestamp)
+
+  /** Incremental conversion, BagEtl/McapEtl's contract: only files not
+    * recorded in the output's Messages∪Topics are converted; seqnos
+    * continue past the existing max; naming pinned by the manifest.
+    */
+  def runIncremental(spark: SparkSession, path: String, outDir: String,
+          keepRawBlob: Boolean = true, nativeTimestamp: Boolean = false): Info = {
+    val messagesPath = new org.apache.hadoop.fs.Path(s"$outDir/Messages.parquet")
+    val fs = messagesPath.getFileSystem(Db3IO.hadoopConf())
+    val dirName = new java.io.File(path).getName
+    if (!fs.exists(messagesPath))
+      return runFiles(spark, Db3IO.resolveFiles(path), dirName, outDir,
+        None, keepRawBlob, nativeTimestamp)
+    val existing = spark.read.parquet(s"$outDir/Messages.parquet")
+    val topicsPath = new org.apache.hadoop.fs.Path(s"$outDir/Topics.parquet")
+    val doneTopics =
+      if (!fs.exists(topicsPath)) Set.empty[String]
+      else spark.read.parquet(s"$outDir/Topics.parquet")
+        .select(col("file_path")).distinct().collect().map(_.getString(0)).toSet
+    val done = existing.select(col("file_path")).distinct()
+      .collect().map(_.getString(0)).toSet ++ doneTopics
+    val newFiles = Db3IO.resolveFiles(path).filterNot(done)
+    if (newFiles.isEmpty) return Info(dirName, 0L, 0L, 0L, 0L, Map.empty)
+    val maxRow = existing.agg(max(col("seqno"))).head()
+    val offset = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1
+    runFiles(spark, newFiles, dirName, outDir, None, keepRawBlob, nativeTimestamp,
+      seqnoOffset = offset, naming = BagEtl.readManifest(outDir), append = true)
+  }
+
+  private val metaColNames = Seq("file_path", "msg_id", "topic_id", "topic",
+    "type", "serialization_format", "timestamp", "size", "data_crc32")
+
+  private def runFiles(spark: SparkSession, files: Seq[String], name: String,
+          out: String, maxMessages: Option[Long], keepRawBlob: Boolean,
+          nativeTimestamp: Boolean, seqnoOffset: Long = 0L,
+          naming: Map[(String, String), String] = Map.empty,
+          append: Boolean = false): Info = {
+    val topicsDim = Db3Tables.topics(spark, Db3DataSource.filesSpec(files))
+
+    // definitions per (type, md5-of-text) variant. A type is routable
+    // only when EVERY variant is ros2msg and flattens — a split would
+    // route one md5 typed and its drifted sibling raw under one key.
+    val allDefs = files.flatMap(f => Db3IO.scanMeta(f).definitions
+      .map { case (t, enc, text) => (t, enc, text, f) })
+    val flattenable: Set[String] = allDefs.groupBy(_._1).collect {
+      case (t, rows) if rows.forall { case (_, enc, text, _) =>
+        enc == "ros2msg" &&
+          scala.util.Try(graft.ros.mcap.Ros2Msg.bundle(t, text)).isSuccess } => t
+    }.toSet
+
+    val variants: Seq[(String, String, String, Seq[String], String)] = {
+      val usable = allDefs.filter(d => flattenable(d._1))
+        .map { case (t, _, text, f) =>
+          (t, graft.ros.mcap.McapTypedRead.md5hex(text.getBytes("UTF-8")), text, f) }
+      usable.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, rows) =>
+        val base = tableName(t)
+        val byMd5 = rows.groupBy(_._2).toSeq.sortBy(_._1)
+        byMd5.map { case (md5, vs) =>
+          val table = naming.getOrElse((t, md5),
+            if (naming.keys.exists(_._1 == t)) s"${base}__${md5.take(8)}"
+            else if (byMd5.size == 1) base
+            else s"${base}__${md5.take(8)}")
+          (t, md5, vs.head._3, vs.map(_._4).distinct, table)
+        }
+      }
+    }
+
+    // ONE walk of the sqlite b-trees stages everything: meta + CRC +
+    // payload bytes, partitioned by the type route.
+    val raw0 = spark.read.format("db3")
+      .option("files", Db3DataSource.filesSpec(files)).load()
+    val raw = maxMessages.map(n => raw0.limit(n.toInt).toDF()).getOrElse(raw0)
+    val routed =
+      if (flattenable.isEmpty) lit(false)
+      else col("type").isin(flattenable.toSeq: _*) &&
+        col("serialization_format") === "cdr"
+    val stageDir = s"$out/_stage"
+    raw.withColumn("data_crc32", crc32(col("data")))
+      .select(metaColNames.map(col) :+ col("data") :+
+        when(routed, col("type")).otherwise(lit("__raw")).as("_route"): _*)
+      .write.partitionBy("_route")
+      .option("compression", "snappy").parquet(stageDir)
+
+    val metaCols = metaColNames.map(col)
+    val spine0 = Seqno.globalSeqno(
+      spark.read.parquet(stageDir).select(metaCols: _*),
+      Seq(col("timestamp"), col("file_path"), col("msg_id")))
+    val spine = if (seqnoOffset == 0L) spine0
+      else spine0.withColumn("seqno", col("seqno") + lit(seqnoOffset))
+
+    val messages0 = spine.select(col("seqno") +: metaCols: _*)
+    val messages = if (nativeTimestamp)
+      // floor nanos → micros, NTZ arithmetic (rosbag2 timestamps are
+      // u64 nanos, never negative, so `div` floors)
+      messages0.withColumn("timestamp_ts",
+        expr("timestampadd(MICROSECOND, timestamp div 1000, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    else messages0
+
+    val writeMode = if (append) SaveMode.Append else SaveMode.ErrorIfExists
+
+    val seqnoDir = s"$out/_seqno"
+    spine.select(col("file_path"), col("msg_id"), col("seqno"))
+      .write.option("compression", "snappy").parquet(seqnoDir)
+    val seqnoMap = spark.read.parquet(seqnoDir)
+
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobGroup = s"graft-db3-etl-${java.util.UUID.randomUUID()}"
+    val typeDdl = variants.map { case (t, md5, text, vFiles, table) =>
+      Future { scala.concurrent.blocking {
+        spark.sparkContext.setJobGroup(jobGroup, s"per-type $table",
+          interruptOnCancel = true)
+        try {
+          // this VARIANT's rows: the route partition holds every
+          // variant of the type; a file carries exactly one definition
+          // per type, so variant membership is per FILE
+          val part = spark.read.parquet(stageDir)
+            .filter(col("_route") === t && col("file_path").isin(vFiles: _*))
+            .join(seqnoMap, Seq("file_path", "msg_id"))
+            .select(col("seqno"), col("msg_id"), col("timestamp"),
+              col("topic_id"), col("file_path"), col("data"))
+          val df = decodeRows(spark, part,
+            graft.ros.mcap.Ros2Msg.bundle(t, text), keepRawBlob)
+          val isNew = !append || !pathExists(s"$out/$table.parquet")
+          df.write.mode(writeMode)
+            .option("compression", "snappy").parquet(s"$out/$table.parquet")
+          if (isNew) VerticaDdl.createTable(table, df.schema) + "\n" else ""
+        } finally spark.sparkContext.clearJobGroup()
+      } }
+    }
+
+    val ddl = new StringBuilder
+    try {
+      Await.result(Future.sequence(typeDdl), Duration.Inf).foreach(ddl ++= _)
+
+      val hasUnrouted = files.exists { f =>
+        val meta = Db3IO.scanMeta(f)
+        meta.topics.values.exists { case (_, t, fmt) =>
+          !(flattenable(t) && fmt == "cdr") }
+      }
+      if (hasUnrouted) {
+        val rawTab = spark.read.parquet(stageDir)
+          .filter(col("_route") === "__raw")
+          .join(seqnoMap, Seq("file_path", "msg_id"))
+          .select(col("seqno"), col("topic_id"), col("topic"), col("type"),
+            col("serialization_format"), col("file_path"), col("data"))
+        val rawNew = !append || !pathExists(s"$out/RawMessages.parquet")
+        rawTab.write.mode(writeMode)
+          .option("compression", "snappy").parquet(s"$out/RawMessages.parquet")
+        if (rawNew) ddl ++= VerticaDdl.createTable("RawMessages", rawTab.schema) ++= "\n"
+      }
+
+      // Messages/Topics are the increment's COMMIT RECORDS
+      // (runIncremental's done-set) — written only after every
+      // per-type write succeeded, BagEtl's crash ordering
+      messages.write.mode(writeMode)
+        .option("compression", "snappy").parquet(s"$out/Messages.parquet")
+      topicsDim.write.mode(writeMode)
+        .option("compression", "snappy").parquet(s"$out/Topics.parquet")
+    } catch { case e: Throwable =>
+      spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
+      throw e
+    } finally {
+      Seq(seqnoDir, stageDir).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(Db3IO.hadoopConf()).delete(p, true)
+      }
+    }
+
+    val ddlPath = new org.apache.hadoop.fs.Path(s"$out/vertica_load_tables.sql")
+    val ddlFs = ddlPath.getFileSystem(Db3IO.hadoopConf())
+    val priorDdl =
+      if (append && ddlFs.exists(ddlPath)) {
+        val in = ddlFs.open(ddlPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } else ""
+    val os = ddlFs.create(ddlPath, true)
+    try os.write((priorDdl + ddl.toString)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    BagEtl.writeManifest(out, naming ++
+      variants.map { case (t, md5, _, _, table) => (t, md5) -> table })
+
+    val msgs0 = spark.read.parquet(s"$out/Messages.parquet")
+    val msgs = if (append) msgs0.filter(col("file_path").isin(files: _*)) else msgs0
+    val Row(cnt: Long, size: Long, crc: Long) = msgs
+      .agg(count(lit(1)), coalesce(sum(col("size").cast("long")), lit(0L)),
+        coalesce(expr("bit_xor(data_crc32)"), lit(0L))).head()
+    val tables = variants.map { case (_, _, _, _, table) =>
+      val tdf = spark.read.parquet(s"$out/$table.parquet")
+      table -> (if (append) tdf.filter(col("file_path").isin(files: _*)) else tdf).count()
+    }.toMap
+    Info(name, cnt, topicsDim.count(), size, crc, tables)
+  }
+
+  /** Flattened per-variant DataFrame from staged rows: seqno +
+    * flattened payload columns + msg_id/timestamp/topic_id/file_path
+    * (+ raw blob), the db3 twin of McapEtl.decodeRows, column-collision
+    * safe via the typed read's reserved-name rule.
+    */
+  private[db3] def decodeRows(spark: SparkSession, part: DataFrame,
+      bundle: graft.ros.RosMsgBundle, keepRawBlob: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val flat = graft.ros.RosSchemaMapper.flatSchema(bundle)
+    val payload = flat.fields.map(f =>
+      if (Db3TypedRead.reserved(f.name)) f.copy(name = f.name + "_field") else f)
+    val base = StructField("seqno", LongType, nullable = false) +:
+      (payload.toSeq :+
+        StructField("msg_id", LongType, nullable = false) :+
+        StructField("timestamp", LongType, nullable = false) :+
+        StructField("topic_id", LongType, nullable = false) :+
+        StructField("file_path", StringType, nullable = false))
+    val outSchema = StructType(
+      if (keepRawBlob) base :+ StructField("data", BinaryType, nullable = false) else base)
+    val rows = part
+      .select(col("seqno"), col("msg_id"), col("timestamp"), col("topic_id"),
+        col("file_path"), col("data"))
+      .rdd.map { r =>
+        val bytes = r.getAs[Array[Byte]](5)
+        val vals = graft.ros.mcap.CdrCodec.decode(bundle, bytes)
+        val tail = Seq[Any](r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)) ++
+          (if (keepRawBlob) Seq(bytes) else Nil)
+        Row.fromSeq(r.getLong(0) +: (vals ++ tail))
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  private def pathExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(Db3IO.hadoopConf()).exists(p)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.ros.db3
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import graft.ros.mcap.{CdrCodec, Ros2Msg}
+
+class Db3EtlSpec extends SparkTestBase {
+
+  private def freshOut(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(tag).toFile
+    new java.io.File(d, "out").getAbsolutePath
+  }
+
+  private lazy val genuineDir: String = {
+    val in = getClass.getResourceAsStream("/db3/genuine_rosbag2.db3")
+    val bytes = try in.readAllBytes() finally in.close()
+    val dir = java.nio.file.Files.createTempDirectory("graft_db3etl_src")
+    java.nio.file.Files.write(dir.resolve("a.db3"), bytes)
+    dir.toString
+  }
+
+  private def writeFixture(dir: java.io.File, fname: String, imuDef: String,
+      n: Int, t0: Long): Unit = {
+    val sb = Ros2Msg.bundle("sensor_msgs/msg/Imu", imuDef)
+    val strB = Ros2Msg.bundle("std_msgs/msg/String", "string data")
+    val dims = imuDef.linesIterator.count(_.trim.nonEmpty)
+    val rows = (0 until n).map { i =>
+      val data =
+        if (i % 2 == 0) CdrCodec.encode(sb, (0 until dims).map(k => i + k / 10.0))
+        else CdrCodec.encode(strB, Seq(s"s$i"))
+      Seq[Any](null, if (i % 2 == 0) 1L else 2L, t0 + i, data)
+    }
+    val db = SqliteFormat.writeDb(Seq(
+      ("topics",
+        "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+        Seq(Seq[Any](null, "/imu", "sensor_msgs/msg/Imu", "cdr", ""),
+          Seq[Any](null, "/chatter", "std_msgs/msg/String", "cdr", ""))),
+      ("messages",
+        "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)",
+        rows),
+      ("message_definitions",
+        "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY, topic_type TEXT, encoding TEXT, encoded_message_definition TEXT, type_hash TEXT)",
+        Seq(Seq[Any](null, "sensor_msgs/msg/Imu", "ros2msg", imuDef, "h1"),
+          Seq[Any](null, "std_msgs/msg/String", "ros2msg", "string data", "h2")))))
+    java.nio.file.Files.write(new java.io.File(dir, fname).toPath, db)
+    ()
+  }
+
+  test("full run over the genuine fixture: spine, dimension, typed tables, raw retention, DDL") {
+    val out = freshOut("graft_db3etl_out")
+    val info = Db3Etl.run(spark, genuineDir, out, nativeTimestamp = true)
+    assert(info.messages === 2000 && info.topics === 3)
+    assert(info.tables === Map("sensor_msgs_msg_Imu" -> 999L,
+      "std_msgs_msg_String" -> 1000L))
+    val msgs = spark.read.parquet(s"$out/Messages.parquet")
+    // dense global seqno in timestamp order
+    val seqnos = msgs.orderBy("seqno").select("seqno", "timestamp").collect()
+    assert(seqnos.map(_.getLong(0)).toSeq === (0L until 2000L))
+    assert(seqnos.map(_.getLong(1)).toSeq === seqnos.map(_.getLong(1)).sortBy(identity).toSeq)
+    // NTZ micros floor of the nanosecond timestamps
+    val ts = msgs.orderBy("seqno").limit(1)
+      .select(unix_micros(col("timestamp_ts").cast("timestamp"))).head().getLong(0)
+    assert(ts === 1700000000000000000L / 1000L)
+    // typed values decoded through the definitions table
+    val imu = spark.read.parquet(s"$out/sensor_msgs_msg_Imu.parquet")
+    assert(imu.schema.fieldNames.contains("x") && imu.schema.fieldNames.contains("y"))
+    val first = imu.orderBy("seqno").limit(2).collect()
+    first.foreach { r =>
+      val i = r.getAs[Long]("msg_id") - 1
+      assert(r.getAs[Double]("x") === i.toDouble && r.getAs[Double]("y") === i / 2.0)
+    }
+    // the /bulk message (no definition for its type) is retained raw
+    val raw = spark.read.parquet(s"$out/RawMessages.parquet").collect()
+    assert(raw.length === 1)
+    assert(raw.head.getAs[String]("type") === "test_msgs/msg/Bulk")
+    assert(raw.head.getAs[Array[Byte]]("data").length === 20000)
+    val ddl = scala.io.Source.fromFile(s"$out/vertica_load_tables.sql").mkString
+    assert(ddl.contains("sensor_msgs_msg_Imu") && ddl.contains("RawMessages"))
+    // spine CRC folds over every payload
+    assert(info.crcXor !== 0L)
+  }
+
+  test("definition drift across files namespaces the typed tables by md5") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_db3etl_drift").toFile
+    writeFixture(dir, "a.db3", "float64 x\nfloat64 y\n", 6, 100L)
+    writeFixture(dir, "b.db3", "float64 x\nfloat64 y\nfloat64 z\n", 4, 200L)
+    val out = freshOut("graft_db3etl_drift_out")
+    val info = Db3Etl.run(spark, dir.getAbsolutePath, out)
+    // two Imu variants (namespaced) + one String table
+    val imuTables = info.tables.keys.filter(_.startsWith("sensor_msgs_msg_Imu"))
+    assert(imuTables.size === 2 && imuTables.forall(_.contains("__")))
+    assert(info.tables("std_msgs_msg_String") === 5L)
+    assert(info.tables.values.sum === 10L)
+    // the 3-field variant carries z, the 2-field one does not
+    val withZ = imuTables.find { t =>
+      spark.read.parquet(s"$out/$t.parquet").schema.fieldNames.contains("z") }
+    assert(withZ.isDefined)
+  }
+
+  test("runIncremental appends new files with continuing seqnos and stable naming; no-op when quiescent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_db3etl_incr").toFile
+    val out = freshOut("graft_db3etl_incr_out")
+    writeFixture(dir, "a.db3", "float64 x\nfloat64 y\n", 6, 100L)
+    val first = Db3Etl.runIncremental(spark, dir.getAbsolutePath, out)
+    assert(first.messages === 6)
+    writeFixture(dir, "b.db3", "float64 x\nfloat64 y\n", 4, 200L)
+    val second = Db3Etl.runIncremental(spark, dir.getAbsolutePath, out)
+    assert(second.messages === 4)
+    val msgs = spark.read.parquet(s"$out/Messages.parquet")
+    assert(msgs.count() === 10)
+    assert(msgs.select("seqno").collect().map(_.getLong(0)).sorted.toSeq === (0L until 10L))
+    // same definition → same table, grown
+    assert(spark.read.parquet(s"$out/sensor_msgs_msg_Imu.parquet").count() === 5)
+    val third = Db3Etl.runIncremental(spark, dir.getAbsolutePath, out)
+    assert(third.messages === 0L && third.tables.isEmpty)
+  }
+
+  test("maxMessages bounds the conversion scope") {
+    val out = freshOut("graft_db3etl_lim_out")
+    val info = Db3Etl.run(spark, genuineDir, out, maxMessages = Some(10L))
+    assert(info.messages === 10)
+  }
+}
