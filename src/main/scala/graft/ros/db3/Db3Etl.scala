@@ -21,8 +21,9 @@ import graft.operators.Seqno
   *    `_tables.json` keeping names stable across increments;
   *  - `RawMessages.parquet`: byte-exact retention of every message NOT
   *    routed to a typed table (no definitions table — pre-Humble —,
-  *    ros2idl/other encodings, unflattenable definitions, non-cdr
-  *    serialization) — "you don't lose any data";
+  *    unsupported encodings, unflattenable definitions, non-cdr
+  *    serialization) — "you don't lose any data". Both `ros2msg` and
+  *    `ros2idl` definitions route typed (McapPayload dispatch);
   *  - Vertica DDL for every table created; versioned output dirs on
   *    `run`; `runIncremental` appends new files with continuing seqnos
   *    and Messages/Topics written LAST as the increment's commit
@@ -96,14 +97,15 @@ object Db3Etl {
       .map { case (t, enc, text) => (t, enc, text, f) })
     val flattenable: Set[String] = allDefs.groupBy(_._1).collect {
       case (t, rows) if rows.forall { case (_, enc, text, _) =>
-        enc == "ros2msg" &&
-          scala.util.Try(graft.ros.mcap.Ros2Msg.bundle(t, text)).isSuccess } => t
+        (enc == "ros2msg" || enc == "ros2idl") &&
+          scala.util.Try(graft.ros.mcap.McapPayload.bundle(enc, t,
+            text.getBytes("UTF-8"))).isSuccess } => t
     }.toSet
 
-    val variants: Seq[(String, String, String, Seq[String], String)] = {
+    val variants: Seq[(String, String, (String, String), Seq[String], String)] = {
       val usable = allDefs.filter(d => flattenable(d._1))
-        .map { case (t, _, text, f) =>
-          (t, graft.ros.mcap.McapTypedRead.md5hex(text.getBytes("UTF-8")), text, f) }
+        .map { case (t, enc, text, f) =>
+          (t, graft.ros.mcap.McapTypedRead.md5hex(text.getBytes("UTF-8")), (enc, text), f) }
       usable.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, rows) =>
         val base = tableName(t)
         val byMd5 = rows.groupBy(_._2).toSeq.sortBy(_._1)
@@ -160,7 +162,7 @@ object Db3Etl {
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val jobGroup = s"graft-db3-etl-${java.util.UUID.randomUUID()}"
-    val typeDdl = variants.map { case (t, md5, text, vFiles, table) =>
+    val typeDdl = variants.map { case (t, md5, (enc, text), vFiles, table) =>
       Future { scala.concurrent.blocking {
         spark.sparkContext.setJobGroup(jobGroup, s"per-type $table",
           interruptOnCancel = true)
@@ -174,7 +176,8 @@ object Db3Etl {
             .select(col("seqno"), col("msg_id"), col("timestamp"),
               col("topic_id"), col("file_path"), col("data"))
           val df = decodeRows(spark, part,
-            graft.ros.mcap.Ros2Msg.bundle(t, text), keepRawBlob)
+            graft.ros.mcap.McapPayload.bundle(enc, t, text.getBytes("UTF-8")),
+            keepRawBlob)
           val isNew = !append || !pathExists(s"$out/$table.parquet")
           df.write.mode(writeMode)
             .option("compression", "snappy").parquet(s"$out/$table.parquet")

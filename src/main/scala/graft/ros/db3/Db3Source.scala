@@ -195,10 +195,12 @@ object Db3TypedRead {
 
   private[db3] val reserved = MetaFields.map(_.name).toSet + "data" + "seqno"
 
-  final case class TypedTarget(schemaName: String, schemaText: String,
-                               files: Seq[String], md5: String) {
+  final case class TypedTarget(schemaName: String, encoding: String,
+                               schemaText: String, files: Seq[String],
+                               md5: String) {
     def bundle: graft.ros.RosMsgBundle =
-      graft.ros.mcap.Ros2Msg.bundle(schemaName, schemaText)
+      graft.ros.mcap.McapPayload.bundle(encoding, schemaName,
+        schemaText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Resolve the ros2msg definition for `schemaName` across the path's
@@ -212,7 +214,7 @@ object Db3TypedRead {
     val files = Db3IO.resolveFiles(path)
     schemaText match {
       case Some(text) =>
-        return TypedTarget(schemaName, text, files,
+        return TypedTarget(schemaName, "ros2msg", text, files,
           graft.ros.mcap.McapTypedRead.md5hex(text.getBytes("UTF-8")))
       case None => ()
     }
@@ -225,10 +227,10 @@ object Db3TypedRead {
             "message_definitions table (pre-Humble rosbag2); pass the " +
             "definition explicitly via option(\"schema_text\", ...)")
       defs.map { case (_, enc, text) =>
-        require(enc == "ros2msg",
+        require(enc == "ros2msg" || enc == "ros2idl",
           s"$schemaName in $f is defined under encoding '$enc'; typed db3 " +
-            "reads support ros2msg (ros2idl definitions need translation)")
-        (graft.ros.mcap.McapTypedRead.md5hex(text.getBytes("UTF-8")), text, f)
+            "reads support ros2msg and ros2idl")
+        (graft.ros.mcap.McapTypedRead.md5hex(text.getBytes("UTF-8")), enc, text, f)
       }
     }
     require(variants.nonEmpty, s"schema $schemaName not present in $path")
@@ -243,7 +245,7 @@ object Db3TypedRead {
         (if (md5.isDefined) s"; md5 prefix '${md5.get}' matches ${chosen.size}"
          else "; pass option(\"schema_md5\", <prefix>) to select one"))
     val (m, vs) = chosen.head
-    TypedTarget(schemaName, vs.head._2, vs.map(_._3).distinct, m)
+    TypedTarget(schemaName, vs.head._2, vs.head._3, vs.map(_._4).distinct, m)
   }
 
   def typedSchema(bundle: graft.ros.RosMsgBundle, includeRaw: Boolean): StructType = {
@@ -299,8 +301,8 @@ class Db3Scan(path: String, required: StructType,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = typed match {
-    case Some(t) => new Db3TypedReaderFactory(t.schemaName, t.schemaText,
-      required, includeRaw, limit)
+    case Some(t) => new Db3TypedReaderFactory(t.schemaName, t.encoding,
+      t.schemaText, required, includeRaw, limit)
     case None => new Db3ReaderFactory(required, limit)
   }
   override def description(): String =
@@ -344,23 +346,26 @@ class Db3SpineReader(p: Db3InputPartition, required: StructType, limit: Int)
   override def close(): Unit = pager.close()
 }
 
-class Db3TypedReaderFactory(schemaName: String, schemaText: String,
+class Db3TypedReaderFactory(schemaName: String, encoding: String,
+    schemaText: String,
     required: StructType, includeRaw: Boolean, limit: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new Db3TypedReader(p.asInstanceOf[Db3InputPartition], schemaName, schemaText,
-      required, includeRaw, limit)
+    new Db3TypedReader(p.asInstanceOf[Db3InputPartition], schemaName, encoding,
+      schemaText, required, includeRaw, limit)
 }
 
 /** Typed rows: CDR payloads of the schema's topics flattened through
   * the shared frame (same decode stack as the mcap typed reader).
   */
-class Db3TypedReader(p: Db3InputPartition, schemaName: String, schemaText: String,
+class Db3TypedReader(p: Db3InputPartition, schemaName: String, encoding: String,
+    schemaText: String,
     required: StructType, includeRaw: Boolean, limit: Int)
     extends PartitionReader[InternalRow] {
   import Db3TypedRead._
 
-  private lazy val bundle = graft.ros.mcap.Ros2Msg.bundle(schemaName, schemaText)
+  private lazy val bundle = graft.ros.mcap.McapPayload.bundle(encoding,
+    schemaName, schemaText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   private lazy val fullSchema = typedSchema(bundle, includeRaw)
   private lazy val projection: Array[Int] =
     required.fields.map(f => fullSchema.fieldIndex(f.name))

@@ -16,13 +16,13 @@ object McapPayload {
     * encoding (jsonschema, flatbuffer, …) are retained as RawMessages
     * bytes by the ETL and refused by typed reads — honest, loud.
     */
-  val typedEncodings: Set[String] = Set("ros2msg", "protobuf")
+  val typedEncodings: Set[String] = Set("ros2msg", "ros2idl", "protobuf")
 
   /** The message encoding a channel must declare for its schema
     * encoding's decoder — a mismatched pair is container drift.
     */
   def messageEncodingFor(schemaEncoding: String): String = schemaEncoding match {
-    case "ros2msg" => "cdr"
+    case "ros2msg" | "ros2idl" => "cdr"
     case "protobuf" => "protobuf"
     case other => throw new IllegalArgumentException(
       s"no typed decode for schema encoding '$other' " +
@@ -34,6 +34,8 @@ object McapPayload {
     schemaEncoding match {
       case "ros2msg" =>
         Ros2Msg.bundle(name, new String(data, java.nio.charset.StandardCharsets.UTF_8))
+      case "ros2idl" =>
+        Ros2Idl.bundle(name, new String(data, java.nio.charset.StandardCharsets.UTF_8))
       case "protobuf" =>
         ProtoDescriptor.bundle(name, ProtoDescriptor.parseSet(data))
       case other => throw new IllegalArgumentException(
@@ -47,7 +49,7 @@ object McapPayload {
   def decoder(schemaEncoding: String, name: String,
               data: Array[Byte]): Array[Byte] => Seq[Any] =
     schemaEncoding match {
-      case "ros2msg" =>
+      case "ros2msg" | "ros2idl" =>
         val b = bundle(schemaEncoding, name, data)
         bytes => CdrCodec.decode(b, bytes)
       case "protobuf" =>

@@ -91,6 +91,44 @@ class Db3Spec extends SparkTestBase {
       === (0 until 30).map(i => s"old$i"))
   }
 
+  test("ros2idl message_definitions resolve through the IDL parser end-to-end") {
+    val idl =
+      """module graft_msgs { module msg { struct Pose {
+        |  double x;
+        |  double y;
+        |}; }; };""".stripMargin
+    val sb = graft.ros.mcap.Ros2Idl.bundle("graft_msgs/msg/Pose", idl)
+    val rows = (0 until 20).map { i =>
+      Seq[Any](null, 1L, 1000L + i,
+        graft.ros.mcap.CdrCodec.encode(sb, Seq(i * 1.0, i * 0.5)))
+    }
+    val db = SqliteFormat.writeDb(Seq(
+      ("topics", "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+        Seq(Seq[Any](null, "/pose", "graft_msgs/msg/Pose", "cdr", ""))),
+      ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)", rows),
+      ("message_definitions", "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY, topic_type TEXT, encoding TEXT, encoded_message_definition TEXT, type_hash TEXT)",
+        Seq(Seq[Any](null, "graft_msgs/msg/Pose", "ros2idl", idl, "h")))))
+    val f = java.nio.file.Files.createTempFile("graft_idl", ".db3")
+    java.nio.file.Files.write(f, db)
+    val typed = spark.read.format("db3").option("path", f.toString)
+      .option("schema_name", "graft_msgs/msg/Pose").load()
+    assert(typed.schema.fieldNames.toSeq.takeRight(2) === Seq("x", "y"))
+    val got = typed.orderBy("msg_id").collect()
+    assert(got.length === 20)
+    got.foreach { r =>
+      val i = r.getAs[Long]("msg_id") - 1
+      assert(r.getAs[Double]("x") === i * 1.0 && r.getAs[Double]("y") === i * 0.5)
+    }
+    // the ETL routes it typed too
+    val dir = java.nio.file.Files.createTempDirectory("graft_idl_etl")
+    java.nio.file.Files.copy(f, dir.resolve("a.db3"))
+    val out = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_idl_etl_out").toFile, "out").getAbsolutePath
+    val info = Db3Etl.run(spark, dir.toString, out)
+    assert(info.tables === Map("graft_msgs_msg_Pose" -> 20L))
+    assert(!new java.io.File(s"$out/RawMessages.parquet").exists())
+  }
+
   test("live -wal sidecar is refused; topics dimension lists per-file rows") {
     val src = java.nio.file.Paths.get(genuine)
     val dir = java.nio.file.Files.createTempDirectory("graft_walled")

@@ -458,6 +458,23 @@ class McapSpec extends SparkTestBase {
     }
   }
 
+  test("ros2idl schema encoding reads typed through the mcap source") {
+    val idl = "module graft_msgs { module msg { struct Pose { double x; double y; }; }; };"
+    val sb = Ros2Idl.bundle("graft_msgs/msg/Pose", idl)
+    val schemas = Seq(McapSchema(1, "graft_msgs/msg/Pose", "ros2idl",
+      idl.getBytes("UTF-8")))
+    val channels = Seq(McapChannel(1, 1, "/pose", "cdr"))
+    val msgs = (0 until 5).map(i => McapMessage(1, i.toLong, 100L + i, 100L + i,
+      CdrCodec.encode(sb, Seq(i * 2.0, i * 3.0))))
+    val path = writeTemp(writeMcap(schemas, channels, msgs, "zstd"))
+    val typed = spark.read.format("mcap").option("path", path)
+      .option("schema_name", "graft_msgs/msg/Pose").load()
+    assert(typed.schema.fieldNames.toSeq.takeRight(2) === Seq("x", "y"))
+    val got = typed.orderBy("offset").select("x", "y").collect()
+    assert(got.zipWithIndex.forall { case (r, i) =>
+      r.getDouble(0) == i * 2.0 && r.getDouble(1) == i * 3.0 })
+  }
+
   test("McapEtl.runIncremental appends new files with continuing seqnos and stable naming") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mcap_incr").toFile
     val outDir = freshOut("graft_mcap_incr_out")
