@@ -88,19 +88,45 @@ object Db3Etl {
           nativeTimestamp: Boolean, seqnoOffset: Long = 0L,
           naming: Map[(String, String), String] = Map.empty,
           append: Boolean = false): Info = {
-    val topicsDim = Db3Tables.topics(spark, Db3DataSource.filesSpec(files))
+    // ONE metadata scan per file serves the dimension, the definition
+    // census and the retention census alike
+    val metas: Seq[(String, Db3IO.Db3Meta)] = files.map(f => f -> Db3IO.scanMeta(f))
+    val topicsDim = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("topic_id", LongType, nullable = false),
+        StructField("topic", StringType, nullable = false),
+        StructField("type", StringType, nullable = false),
+        StructField("serialization_format", StringType, nullable = false)))
+      val rows = metas.flatMap { case (f, m) =>
+        m.topics.toSeq.sortBy(_._1).map { case (id, (n, t, fmt)) => Row(f, id, n, t, fmt) } }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    }
 
     // definitions per (type, md5-of-text) variant. A type is routable
-    // only when EVERY variant is ros2msg and flattens — a split would
-    // route one md5 typed and its drifted sibling raw under one key.
-    val allDefs = files.flatMap(f => Db3IO.scanMeta(f).definitions
-      .map { case (t, enc, text) => (t, enc, text, f) })
+    // only when EVERY variant is ros2msg/ros2idl and FLATTENS (bundle
+    // construction alone does not resolve references — flatSchema
+    // does, so an incomplete dependency closure must fail HERE, not
+    // inside a per-type job that would sink the whole run) — a split
+    // would route one md5 typed and its drifted sibling raw.
+    val allDefs = metas.flatMap { case (f, m) =>
+      m.definitions.map { case (t, enc, text) => (t, enc, text, f) } }
     val flattenable: Set[String] = allDefs.groupBy(_._1).collect {
       case (t, rows) if rows.forall { case (_, enc, text, _) =>
         (enc == "ros2msg" || enc == "ros2idl") &&
-          scala.util.Try(graft.ros.mcap.McapPayload.bundle(enc, t,
-            text.getBytes("UTF-8"))).isSuccess } => t
+          scala.util.Try(graft.ros.RosSchemaMapper.flatSchema(
+            graft.ros.mcap.McapPayload.bundle(enc, t,
+              text.getBytes("UTF-8")))).isSuccess } => t
     }.toSet
+
+    // a message routes typed only if ITS OWN FILE defines the type:
+    // a pre-Humble file can carry messages of a type another file
+    // defines, and a type-only route would stage those rows typed,
+    // exclude them from every variant's (per-file) decode, and lose
+    // them — they belong in RawMessages
+    val definedPairs: Set[String] = allDefs.collect {
+      case (t, _, _, f) if flattenable(t) => s"$f\n$t" }.toSet
 
     val variants: Seq[(String, String, (String, String), Seq[String], String)] = {
       val usable = allDefs.filter(d => flattenable(d._1))
@@ -125,14 +151,19 @@ object Db3Etl {
       .option("files", Db3DataSource.filesSpec(files)).load()
     val raw = maxMessages.map(n => raw0.limit(n.toInt).toDF()).getOrElse(raw0)
     val routed =
-      if (flattenable.isEmpty) lit(false)
-      else col("type").isin(flattenable.toSeq: _*) &&
+      if (definedPairs.isEmpty) lit(false)
+      else concat_ws("\n", col("file_path"), col("type"))
+        .isin(definedPairs.toSeq: _*) &&
         col("serialization_format") === "cdr"
     val stageDir = s"$out/_stage"
+    // staging dirs are pure scratch: Overwrite, so a hard crash that
+    // skipped the cleanup below cannot fail the redo with
+    // "path already exists" (the commit-record contract depends on
+    // redo actually working)
     raw.withColumn("data_crc32", crc32(col("data")))
       .select(metaColNames.map(col) :+ col("data") :+
         when(routed, col("type")).otherwise(lit("__raw")).as("_route"): _*)
-      .write.partitionBy("_route")
+      .write.mode(SaveMode.Overwrite).partitionBy("_route")
       .option("compression", "snappy").parquet(stageDir)
 
     val metaCols = metaColNames.map(col)
@@ -155,7 +186,8 @@ object Db3Etl {
 
     val seqnoDir = s"$out/_seqno"
     spine.select(col("file_path"), col("msg_id"), col("seqno"))
-      .write.option("compression", "snappy").parquet(seqnoDir)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy").parquet(seqnoDir)
     val seqnoMap = spark.read.parquet(seqnoDir)
 
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -190,10 +222,9 @@ object Db3Etl {
     try {
       Await.result(Future.sequence(typeDdl), Duration.Inf).foreach(ddl ++= _)
 
-      val hasUnrouted = files.exists { f =>
-        val meta = Db3IO.scanMeta(f)
-        meta.topics.values.exists { case (_, t, fmt) =>
-          !(flattenable(t) && fmt == "cdr") }
+      val hasUnrouted = metas.exists { case (f, m) =>
+        m.topics.values.exists { case (_, t, fmt) =>
+          !(definedPairs(s"$f\n$t") && fmt == "cdr") }
       }
       if (hasUnrouted) {
         val rawTab = spark.read.parquet(stageDir)

@@ -276,13 +276,16 @@ object BagEtl {
     val metaCols = Seq(col("bag_path"), col("chunk_idx"), col("offset"), col("time_sec"),
       col("time_nsec"), col("size"), col("connection_id"),
       col("header_stamp_sec"), col("header_stamp_nsec"), col("data_crc32"))
+    // staging dirs are scratch: Overwrite, so a hard crash that never
+    // reached the cleanup cannot fail the redo with "path exists"
     if (stagedByType)
       raw.select(metaCols :+ col("datatype") :+ col("data"): _*)
-        .write.partitionBy("datatype")
+        .write.mode(SaveMode.Overwrite).partitionBy("datatype")
         .option("compression", "snappy").parquet(stageDir)
     else
       raw.select(metaCols: _*)
-        .write.option("compression", "snappy").parquet(stageDir)
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "snappy").parquet(stageDir)
     lap("spine-stage-write")
 
     // Global seqno in merge-time order with storage-order tie-break —
@@ -330,7 +333,8 @@ object BagEtl {
     // pushed into the source.
     val seqnoDir = s"$out/_seqno"
     spine.select(col("bag_path"), col("chunk_idx"), col("offset"), col("seqno"))
-      .write.option("compression", "snappy").parquet(seqnoDir)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy").parquet(seqnoDir)
     lap("seqno-map-write")
     val seqnoMap = spark.read.parquet(seqnoDir)
 

@@ -151,9 +151,14 @@ object McapEtl {
     val typedSchemas = files.flatMap(f => McapIO.scanIndex(f).schemas.values
       .filter(s => McapPayload.typedEncodings(s.encoding))
       .map(s => (s.name, McapTypedRead.md5hex(s.data), (s.encoding, s.data), f)))
+    // flatSchema, not bundle alone: bundle construction does not
+    // resolve references for ros2msg/ros2idl, so an incomplete
+    // dependency closure must fail THIS gate (and fall back to raw
+    // retention), not a per-type job that would sink the whole run
     val flattenable: Set[String] = typedSchemas.groupBy(_._1).collect {
       case (nm, rows) if rows.forall { case (_, _, (enc, data), _) =>
-        scala.util.Try(McapPayload.bundle(enc, nm, data)).isSuccess } => nm
+        scala.util.Try(graft.ros.RosSchemaMapper.flatSchema(
+          McapPayload.bundle(enc, nm, data))).isSuccess } => nm
     }.toSet
     val routed = (c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =>
       if (flattenable.isEmpty) lit(false)
@@ -196,14 +201,15 @@ object McapEtl {
           when(routed(col("schema_encoding"), col("schema_name")),
               col("schema_name"))
             .otherwise(lit("__raw")).as("_route"): _*)
-        .write.partitionBy("_route")
+        .write.mode(SaveMode.Overwrite).partitionBy("_route")
         .option("compression", "snappy").parquet(stageDir)
     else
       raw.select(metaCols :+
           when(routed(col("schema_encoding"), col("schema_name")),
               lit(null).cast("binary"))
             .otherwise(col("data")).as("data"): _*)
-        .write.option("compression", "snappy").parquet(stageDir)
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "snappy").parquet(stageDir)
 
     // Global seqno in log-time order with stable storage tie-break —
     // the two-pass range-partition operator runs against the staged
@@ -232,7 +238,8 @@ object McapEtl {
     // stable storage identity.
     val seqnoDir = s"$out/_seqno"
     spine.select(col("file_path"), col("chunk_idx"), col("offset"), col("seqno"))
-      .write.option("compression", "snappy").parquet(seqnoDir)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy").parquet(seqnoDir)
     val seqnoMap = spark.read.parquet(seqnoDir)
 
     // typed-table frame columns that are NOT payload

@@ -42,22 +42,17 @@ object Ros2Idl {
 
   def bundle(schemaName: String, idlText: String): RosMsgBundle = {
     val root = collapse(schemaName)
-    // split the concatenated closure into blocks
-    val blocks = scala.collection.mutable.ArrayBuffer[(Option[String], StringBuilder)]()
-    blocks += ((None, new StringBuilder))
-    idlText.linesIterator.foreach { line =>
+    // the `===` separators and `IDL: <name>` headers of a concatenated
+    // closure are pure noise to the parser: every struct's name comes
+    // from its own module nesting, so the whole text parses as one
+    // stream (a header that disagreed with its block's modules could
+    // not change anything anyway)
+    val body = idlText.linesIterator.filterNot { line =>
       val t = line.trim
-      if (Separator.matches(t) && t.length >= 3)
-        blocks += ((None, new StringBuilder))
-      else if (t.startsWith("IDL:")) {
-        val last = blocks.last
-        blocks(blocks.size - 1) = (Some(collapse(t.stripPrefix("IDL:").trim)), last._2)
-      } else blocks.last._2.append(line).append('\n')
-    }
+      (Separator.matches(t) && t.length >= 3) || t.startsWith("IDL:")
+    }.mkString("\n")
     val defs = scala.collection.mutable.Map[String, RosMsgDef]()
-    blocks.filter(_._2.nonEmpty).foreach { case (_, text) =>
-      parseBlock(text.toString).foreach(d => defs(d.fullName) = d)
-    }
+    parseBlock(body).foreach(d => defs(d.fullName) = d)
     val rootDef = defs.getOrElse(root, throw new IllegalArgumentException(
       s"ros2idl definition does not declare $root " +
         s"(declares: ${defs.keys.toSeq.sorted.mkString(", ")})"))
@@ -274,6 +269,18 @@ object Ros2Idl {
             k += 1
           }
         }
+      } else if (c == '"') {
+        // string LITERAL (constants): one token, so braces/semicolons
+        // inside it (`const string E = ":-};"`) can never unbalance
+        // the scope math or cut a const-skip short
+        val start = k
+        k += 1
+        while (k < s.length && s(k) != '"') {
+          if (s(k) == '\\') k += 1
+          k += 1
+        }
+        k = math.min(k + 1, s.length)
+        buf += s.substring(start, k)
       } else if (c.isWhitespace) k += 1
       else if (c == ':' && k + 1 < s.length && s(k + 1) == ':') {
         buf += "::"; k += 2
@@ -281,7 +288,7 @@ object Ros2Idl {
       else {
         val start = k
         while (k < s.length && !s(k).isWhitespace &&
-          !"{}<>[];,=:@".contains(s(k))) k += 1
+          !"{}<>[];,=:@\"".contains(s(k))) k += 1
         if (k > start) buf += s.substring(start, k)
         else k += 1 // stray ':' outside '::'
       }

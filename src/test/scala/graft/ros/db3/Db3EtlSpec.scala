@@ -115,6 +115,63 @@ class Db3EtlSpec extends SparkTestBase {
     assert(third.messages === 0L && third.tables.isEmpty)
   }
 
+  test("a file carrying a type it does not define routes those rows to RawMessages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_db3etl_nodef").toFile
+    // file A: Humble-style, defines Imu; file B: pre-Humble (no
+    // message_definitions table) carrying the same type
+    writeFixture(dir, "a.db3", "float64 x\nfloat64 y\n", 4, 100L)
+    val sb = Ros2Msg.bundle("sensor_msgs/msg/Imu", "float64 x\nfloat64 y\n")
+    val rowsB = (0 until 3).map { i =>
+      Seq[Any](null, 1L, 500L + i, CdrCodec.encode(sb, Seq(i * 9.0, i * 7.0)))
+    }
+    val dbB = SqliteFormat.writeDb(Seq(
+      ("topics", "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+        Seq(Seq[Any](null, "/imu", "sensor_msgs/msg/Imu", "cdr", ""))),
+      ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)", rowsB)))
+    java.nio.file.Files.write(new java.io.File(dir, "b.db3").toPath, dbB)
+    val out = freshOut("graft_db3etl_nodef_out")
+    val info = Db3Etl.run(spark, dir.getAbsolutePath, out)
+    assert(info.messages === 7)
+    // A's Imu rows typed (2 of 4), A's String rows typed, B's 3 Imu
+    // rows retained raw — NOT silently dropped
+    assert(info.tables("sensor_msgs_msg_Imu") === 2L)
+    val raw = spark.read.parquet(s"$out/RawMessages.parquet").collect()
+    assert(raw.length === 3)
+    assert(raw.forall(_.getAs[String]("type") === "sensor_msgs/msg/Imu"))
+    val want = rowsB.map(_(3).asInstanceOf[Array[Byte]].toSeq).toSet
+    assert(raw.map(_.getAs[Array[Byte]]("data").toSeq).toSet === want)
+  }
+
+  test("a definition with an incomplete dependency closure falls back to raw, not a sunk run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_db3etl_unres").toFile
+    val badDef = "geometry_msgs/Vector3 vel\n" // closure missing Vector3
+    val rows = (0 until 3).map(i =>
+      Seq[Any](null, 1L, 100L + i, Array.tabulate(8)(j => (i * 8 + j).toByte)))
+    val db = SqliteFormat.writeDb(Seq(
+      ("topics", "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+        Seq(Seq[Any](null, "/t", "graft_msgs/msg/Broken", "cdr", ""))),
+      ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)", rows),
+      ("message_definitions", "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY, topic_type TEXT, encoding TEXT, encoded_message_definition TEXT, type_hash TEXT)",
+        Seq(Seq[Any](null, "graft_msgs/msg/Broken", "ros2msg", badDef, "h")))))
+    java.nio.file.Files.write(new java.io.File(dir, "a.db3").toPath, db)
+    val out = freshOut("graft_db3etl_unres_out")
+    val info = Db3Etl.run(spark, dir.getAbsolutePath, out)
+    assert(info.messages === 3 && info.tables.isEmpty)
+    assert(spark.read.parquet(s"$out/RawMessages.parquet").count() === 3)
+  }
+
+  test("leftover staging dirs from a hard crash do not fail the redo") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_db3etl_redo").toFile
+    writeFixture(dir, "a.db3", "float64 x\nfloat64 y\n", 4, 100L)
+    val out = freshOut("graft_db3etl_redo_out")
+    // simulate a crashed prior attempt: staging dirs exist, no Messages
+    import spark.implicits._
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$out/_stage")
+    Seq((1L, 2L)).toDF("a", "b").write.parquet(s"$out/_seqno")
+    val info = Db3Etl.runIncremental(spark, dir.getAbsolutePath, out)
+    assert(info.messages === 4)
+  }
+
   test("maxMessages bounds the conversion scope") {
     val out = freshOut("graft_db3etl_lim_out")
     val info = Db3Etl.run(spark, genuineDir, out, maxMessages = Some(10L))

@@ -139,6 +139,19 @@ class Ros2IdlSpec extends AnyFunSuite {
     assert(RosSchemaMapper.flatSchema(classic) === RosSchemaMapper.flatSchema(modern))
   }
 
+  test("string constants with braces/semicolons do not unbalance the parser") {
+    val b = Ros2Idl.bundle("p/msg/T",
+      """module p { module msg {
+        |  module T_Constants {
+        |    const string EMOTICON = ":-}";
+        |    const string TRICKY = "a;b{c}d(e)f";
+        |  };
+        |  const string TOP = "x;y}z";
+        |  struct T { int32 v; string s; };
+        |}; };""".stripMargin)
+    assert(RosSchemaMapper.flatSchema(b).fieldNames.toSeq === Seq("v", "s"))
+  }
+
   test("missing root type names what the closure declares") {
     val ex = intercept[IllegalArgumentException] {
       Ros2Idl.bundle("p/msg/Nope",
