@@ -34,6 +34,20 @@ object ContainerQueries {
   private val RosDef =
     "int64 event_id\nint64 ts_us\nint64 user_id\nstring event_type\nfloat64 value\nstring props"
 
+  /** The SAME type as generated OMG IDL — q77's db3 fixture stores
+    * THIS form, so the ros2idl parser sits inside the oracle equality
+    * (newer recordings ship IDL, not msg text).
+    */
+  private val RosIdlDef =
+    """module graft_msgs { module msg { struct Event {
+      |  int64 event_id;
+      |  int64 ts_us;
+      |  int64 user_id;
+      |  string event_type;
+      |  double value;
+      |  string props;
+      |}; }; };""".stripMargin
+
   private def fds: Array[Byte] = buildFds("graft.test", Seq("Event" -> Seq(
     ProtoField("event_id", 1, repeated = false, TInt64, ""),
     ProtoField("ts_us", 2, repeated = false, TInt64, ""),
@@ -49,7 +63,11 @@ object ContainerQueries {
     */
   private def cacheKey(d: String): String = {
     val ev = new java.io.File(d, "events.parquet")
-    val sig = s"$d:${ev.length}:${ev.lastModified}"
+    // "v2": fixture-format version salt — bump when the fixture's
+    // content changes for the same testdata (e.g. q77's move to
+    // ros2idl definitions), or stale cached containers leak into the
+    // oracle gate
+    val sig = s"v2:$d:${ev.length}:${ev.lastModified}"
     java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
@@ -128,7 +146,8 @@ object ContainerQueries {
     // Q77 — db3 round-trip, CHECKED: the same slice through the
     // rosbag2 sqlite container instead — engine-written SQLite file
     // (b-tree pages, overflow chains), read back via the db3 typed
-    // source (message_definitions-resolved CDR decode). max_ts_ns
+    // source. The stored definition is the generated-IDL form
+    // (ros2idl), so the IDL parser is inside the equality. max_ts_ns
     // reads the CONTAINER's timestamp column, so rosbag2's
     // nanosecond-time convention is inside the oracle equality.
     "q77_db3_roundtrip" -> ((s, d) => {
@@ -176,7 +195,7 @@ object ContainerQueries {
           msgRows),
         ("message_definitions",
           "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY, topic_type TEXT, encoding TEXT, encoded_message_definition TEXT, type_hash TEXT)",
-          Seq(Seq[Any](null, RosName, "ros2msg", RosDef, "RIHS01_graft")))))
+          Seq(Seq[Any](null, RosName, "ros2idl", RosIdlDef, "RIHS01_graft")))))
       val tmp = new java.io.File(dir, "events.db3.tmp")
       java.nio.file.Files.write(tmp.toPath, db)
       require(tmp.renameTo(f) || f.exists(), s"fixture rename failed: $f")

@@ -255,17 +255,7 @@ object Db3Etl {
       }
     }
 
-    val ddlPath = new org.apache.hadoop.fs.Path(s"$out/vertica_load_tables.sql")
-    val ddlFs = ddlPath.getFileSystem(Db3IO.hadoopConf())
-    val priorDdl =
-      if (append && ddlFs.exists(ddlPath)) {
-        val in = ddlFs.open(ddlPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      } else ""
-    val os = ddlFs.create(ddlPath, true)
-    try os.write((priorDdl + ddl.toString)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
+    BagEtl.writeDdlFile(out, ddl.toString, append)
     BagEtl.writeManifest(out, naming ++
       variants.map { case (t, md5, _, _, table) => (t, md5) -> table })
 

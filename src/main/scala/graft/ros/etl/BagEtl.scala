@@ -169,6 +169,23 @@ object BagEtl {
     new org.apache.hadoop.fs.Path(s"$out/_tables.json")
   // private[ros]: McapEtl keeps the SAME manifest contract for its
   // (schema_name, md5) table naming, so the two ETLs share one format
+  /** Write (or in append mode, extend) the run's Vertica DDL script —
+    * shared by all three container ETLs (O14).
+    */
+  private[ros] def writeDdlFile(out: String, ddl: String, append: Boolean): Unit = {
+    val ddlPath = new org.apache.hadoop.fs.Path(s"$out/vertica_load_tables.sql")
+    val ddlFs = ddlPath.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    val priorDdl =
+      if (append && ddlFs.exists(ddlPath)) {
+        val in = ddlFs.open(ddlPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } else ""
+    val os = ddlFs.create(ddlPath, true)
+    try os.write((priorDdl + ddl)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
   private[ros] def readManifest(out: String): Map[(String, String), String] = {
     val p = manifestFsPath(out)
     val fs = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
@@ -465,16 +482,7 @@ object BagEtl {
         p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()).delete(p, true)
       }
     }
-    val ddlPath = new org.apache.hadoop.fs.Path(s"$out/vertica_load_tables.sql")
-    val ddlFs = ddlPath.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
-    val priorDdl =
-      if (append && ddlFs.exists(ddlPath)) {
-        val in = ddlFs.open(ddlPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      } else ""
-    val os = ddlFs.create(ddlPath, true)
-    try os.write((priorDdl + ddl.toString).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
+    writeDdlFile(out, ddl.toString, append)
 
     // manifest: naming history (incl. this run's groups) for future
     // incremental appends

@@ -349,17 +349,7 @@ object McapEtl {
     }
 
     // DDL file (append-preserving) + naming manifest, BagEtl's formats
-    val ddlPath = new org.apache.hadoop.fs.Path(s"$out/vertica_load_tables.sql")
-    val ddlFs = ddlPath.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
-    val priorDdl =
-      if (append && ddlFs.exists(ddlPath)) {
-        val in = ddlFs.open(ddlPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      } else ""
-    val os = ddlFs.create(ddlPath, true)
-    try os.write((priorDdl + ddl.toString)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
+    BagEtl.writeDdlFile(out, ddl.toString, append)
     BagEtl.writeManifest(out, naming ++
       variants.map { case (nm, md5, _, _, table) => (nm, md5) -> table })
 
