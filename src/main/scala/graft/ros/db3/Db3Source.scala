@@ -35,8 +35,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * Typed reads: `option("schema_name", "pkg/msg/Type")` resolves the
   * definition from message_definitions (md5-drift contract of the
   * rosbag/mcap typed reads; `option("schema_md5", prefix)` selects a
-  * variant). Pre-Humble bags carry no definitions table — pass
+  * variant; ros2msg and ros2idl encodings both resolve). Pre-Humble
+  * bags carry no definitions table — pass
   * `option("schema_text", <ros2msg definition>)` explicitly.
+  *
+  * Compressed recordings (rosbag2 --compression zstd): file mode
+  * (`<name>.db3.zstd`, the whole database in one frame) inflates once
+  * per JVM to executor-local scratch; message mode (each payload a
+  * zstd frame) inflates transparently at read, keyed on the frame
+  * magic (unambiguous against CDR's 0x00 first byte).
+  *
+  * No streaming mode BY DESIGN: a live sqlite writer's pages are only
+  * consistent through its WAL + shared-memory index, which cannot be
+  * tailed from outside the writing process — stream live robots via
+  * the mcap source's growing-file support; db3 is the at-rest format.
   */
 class Db3DataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "db3"
@@ -98,6 +110,9 @@ object Db3IO {
 
   private[db3] def hadoopConf() = graft.ros.bag.RosbagIO.hadoopConf()
 
+  private def isDb3(name: String): Boolean =
+    name.endsWith(".db3") || name.endsWith(".db3.zstd")
+
   def resolveFiles(path: String): Seq[String] = {
     val specs = path.split('\n').filter(_.nonEmpty).toSeq
     val out = specs.flatMap { spec =>
@@ -105,7 +120,7 @@ object Db3IO {
       val fs = p.getFileSystem(hadoopConf())
       val stats =
         if (fs.isDirectory(p))
-          fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".db3"))
+          fs.listStatus(p).toSeq.filter(s => s.isFile && isDb3(s.getPath.getName))
         else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty).filter(_.isFile)
       require(stats.nonEmpty || fs.exists(p), s"db3 path not found: $spec")
       stats.map(_.getPath.toString)
@@ -137,9 +152,64 @@ object Db3IO {
     out
   }
 
+  // rosbag2 --compression-mode file wraps the WHOLE database in one
+  // zstd frame (<name>.db3.zstd). SQLite paging needs random access,
+  // so the frame is inflated ONCE per JVM to an executor-local temp
+  // file (atomic rename = completion marker; keyed on (uri, len,
+  // mtime) so a republished recording re-inflates).
+  private val inflatedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[db3] def materialize(file: String): String =
+    if (!file.endsWith(".db3.zstd")) file
+    else {
+      val p = new Path(file)
+      val fs = p.getFileSystem(hadoopConf())
+      val st = fs.getFileStatus(p)
+      val key = s"$file:${st.getLen}:${st.getModificationTime}"
+      inflatedCache.computeIfAbsent(key, { _ =>
+        val local = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft_db3_" + java.security.MessageDigest.getInstance("MD5")
+            .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(20) + ".db3")
+        if (!local.exists()) {
+          val tmp = new java.io.File(local.getAbsolutePath + ".tmp-" +
+            java.util.UUID.randomUUID().toString.take(8))
+          val in = new com.github.luben.zstd.ZstdInputStream(
+            new java.io.BufferedInputStream(fs.open(p), 1 << 20))
+          val out = new java.io.FileOutputStream(tmp)
+          try in.transferTo(out) finally { in.close(); out.close() }
+          if (!tmp.renameTo(local)) {
+            require(local.exists(), s"inflate rename failed for $file")
+            tmp.delete()
+          }
+        }
+        local.getAbsolutePath
+      })
+    }
+
+  /** Transparently inflate a message-mode compressed payload
+    * (rosbag2 --compression-mode message, zstd): a CDR payload's first
+    * byte is always 0x00 (the encapsulation header), so the zstd frame
+    * magic 0x28 B5 2F FD is unambiguous.
+    */
+  private[db3] def inflate(data: Array[Byte]): Array[Byte] =
+    if (data.length < 4 || data(0) != 0x28.toByte || data(1) != 0xB5.toByte ||
+        data(2) != 0x2F.toByte || data(3) != 0xFD.toByte) data
+    else {
+      val n = com.github.luben.zstd.Zstd.getFrameContentSize(data)
+      if (n >= 0 && n <= Int.MaxValue)
+        com.github.luben.zstd.Zstd.decompress(data, n.toInt)
+      else { // frame without content size: stream it
+        val in = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(data))
+        try in.readAllBytes() finally in.close()
+      }
+    }
+
   /** Open a positioned page fetch over `file`. Caller must close. */
   final class Pager(file: String) extends AutoCloseable {
-    private val p = new Path(file)
+    private val p = new Path(materialize(file))
     private val in = p.getFileSystem(hadoopConf()).open(p)
     val header: Header = {
       val h = new Array[Byte](100)
@@ -338,7 +408,7 @@ class Db3SpineReader(p: Db3InputPartition, required: StructType, limit: Int)
     val tid = v(1).asInstanceOf[Long]
     val (tn, tt, tf) = topicUtf8.getOrElse(tid, (UTF8String.fromString(""),
       UTF8String.fromString(""), UTF8String.fromString("")))
-    val data = v(3).asInstanceOf[Array[Byte]]
+    val data = Db3IO.inflate(v(3).asInstanceOf[Array[Byte]])
     val full = Array[Any](pathUtf8, rowid, tid, tn, tt, tf,
       v(2).asInstanceOf[Long], data.length, data)
     InternalRow.fromSeq(projection.toSeq.map(full))
@@ -399,7 +469,7 @@ class Db3TypedReader(p: Db3InputPartition, schemaName: String, encoding: String,
   override def get(): InternalRow = {
     val (rowid, v) = current
     val tid = v(1).asInstanceOf[Long]
-    val data = v(3).asInstanceOf[Array[Byte]]
+    val data = Db3IO.inflate(v(3).asInstanceOf[Array[Byte]])
     val nFields = fullSchema.size
     val full = new Array[Any](nFields)
     full(0) = pathUtf8; full(1) = rowid; full(2) = v(2).asInstanceOf[Long]

@@ -129,6 +129,54 @@ class Db3Spec extends SparkTestBase {
     assert(!new java.io.File(s"$out/RawMessages.parquet").exists())
   }
 
+  test("file-mode zstd recording (.db3.zstd) reads through executor-local inflation") {
+    val src = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(genuine))
+    val dir = java.nio.file.Files.createTempDirectory("graft_db3_zstd")
+    java.nio.file.Files.write(dir.resolve("a.db3.zstd"),
+      com.github.luben.zstd.Zstd.compress(src))
+    val df = spark.read.format("db3").load(dir.toString)
+    assert(df.count() === 2000)
+    val typed = spark.read.format("db3").option("path", dir.toString)
+      .option("schema_name", "sensor_msgs/msg/Imu").load()
+    assert(typed.count() === 999)
+    val r = typed.orderBy("msg_id").limit(1).head()
+    assert(r.getAs[Double]("x") === 0.0 && r.getAs[String]("topic") === "/imu")
+    // mixed directory: a compressed and a plain file resolve together
+    val plain = java.nio.file.Files.createTempDirectory("graft_db3_mix")
+    java.nio.file.Files.write(plain.resolve("a.db3.zstd"),
+      com.github.luben.zstd.Zstd.compress(src))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(genuine), plain.resolve("b.db3"))
+    assert(spark.read.format("db3").load(plain.toString).count() === 4000)
+  }
+
+  test("message-mode zstd payloads inflate transparently (frame magic vs CDR first byte)") {
+    val sb = graft.ros.mcap.Ros2Msg.bundle("std_msgs/msg/String", "string data")
+    val rows = (0 until 12).map { i =>
+      val cdr = graft.ros.mcap.CdrCodec.encode(sb, Seq(s"payload-$i-" + "x" * 50))
+      val data = if (i % 2 == 0) com.github.luben.zstd.Zstd.compress(cdr) else cdr
+      Seq[Any](null, 1L, 1000L + i, data)
+    }
+    val db = SqliteFormat.writeDb(Seq(
+      ("topics", "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+        Seq(Seq[Any](null, "/c", "std_msgs/msg/String", "cdr", ""))),
+      ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)", rows),
+      ("message_definitions", "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY, topic_type TEXT, encoding TEXT, encoded_message_definition TEXT, type_hash TEXT)",
+        Seq(Seq[Any](null, "std_msgs/msg/String", "ros2msg", "string data", "h")))))
+    val f = java.nio.file.Files.createTempFile("graft_msgzstd", ".db3")
+    java.nio.file.Files.write(f, db)
+    val typed = spark.read.format("db3").option("path", f.toString)
+      .option("schema_name", "std_msgs/msg/String").load()
+    val got = typed.orderBy("msg_id").collect()
+      .map(_.getAs[String]("data_field")).toSeq
+    assert(got === (0 until 12).map(i => s"payload-$i-" + "x" * 50))
+    // the spine reports the INFLATED payload (that is the message)
+    val sizes = spark.read.format("db3").load(f.toString)
+      .orderBy("msg_id").select("size").collect().map(_.getInt(0)).toSeq
+    val want = (0 until 12).map(i =>
+      graft.ros.mcap.CdrCodec.encode(sb, Seq(s"payload-$i-" + "x" * 50)).length)
+    assert(sizes === want, "spine size must be the inflated payload length")
+  }
+
   test("live -wal sidecar is refused; topics dimension lists per-file rows") {
     val src = java.nio.file.Paths.get(genuine)
     val dir = java.nio.file.Files.createTempDirectory("graft_walled")
