@@ -175,15 +175,26 @@ object Db3IO {
         if (!local.exists()) {
           val tmp = new java.io.File(local.getAbsolutePath + ".tmp-" +
             java.util.UUID.randomUUID().toString.take(8))
+          tmp.deleteOnExit() // a failed inflation must not leak scratch
           val in = new com.github.luben.zstd.ZstdInputStream(
             new java.io.BufferedInputStream(fs.open(p), 1 << 20))
           val out = new java.io.FileOutputStream(tmp)
-          try in.transferTo(out) finally { in.close(); out.close() }
+          try { in.transferTo(out); () }
+          finally {
+            in.close(); out.close()
+            () // tmp removed below on rename or by deleteOnExit on failure
+          }
           if (!tmp.renameTo(local)) {
             require(local.exists(), s"inflate rename failed for $file")
             tmp.delete()
+            ()
           }
         }
+        // JVM-lifetime executor scratch: reclaimed on exit (a
+        // per-recording TTL would add little — the cache keys on
+        // (uri, len, mtime), so only REPUBLISHED recordings create
+        // additional copies within one JVM's life)
+        local.deleteOnExit()
         local.getAbsolutePath
       })
     }
@@ -207,21 +218,34 @@ object Db3IO {
       }
     }
 
-  /** Open a positioned page fetch over `file`. Caller must close. */
+  /** Open a positioned page fetch over `file`. Caller must close.
+    * An inflated .db3.zstd reads via plain local IO — its temp path is
+    * executor-LOCAL, and a scheme-less Hadoop Path would resolve
+    * against fs.defaultFS (hdfs/s3a on a real cluster) and miss it.
+    */
   final class Pager(file: String) extends AutoCloseable {
-    private val p = new Path(materialize(file))
-    private val in = p.getFileSystem(hadoopConf()).open(p)
+    private val resolved = materialize(file)
+    private val raf: java.io.RandomAccessFile =
+      if (resolved != file) new java.io.RandomAccessFile(resolved, "r") else null
+    private val in =
+      if (raf != null) null
+      else { val p = new Path(file); p.getFileSystem(hadoopConf()).open(p) }
+    private def readAt(pos: Long, b: Array[Byte]): Unit =
+      if (raf != null) {
+        raf.seek(pos)
+        raf.readFully(b)
+      } else in.readFully(pos, b)
     val header: Header = {
       val h = new Array[Byte](100)
-      in.readFully(0L, h)
+      readAt(0L, h)
       parseHeader(h)
     }
     val page: Int => Array[Byte] = { i =>
       val b = new Array[Byte](header.pageSize)
-      in.readFully((i.toLong - 1) * header.pageSize, b)
+      readAt((i.toLong - 1) * header.pageSize, b)
       b
     }
-    override def close(): Unit = in.close()
+    override def close(): Unit = if (raf != null) raf.close() else in.close()
   }
 
   final case class Db3Meta(
@@ -392,6 +416,14 @@ class Db3SpineReader(p: Db3InputPartition, required: StructType, limit: Int)
   private val rows = SqliteFormat.tableRows(pager.page, pager.header.usable, p.subtree)
   private val projection: Array[Int] =
     required.fields.map(f => Db3DataSource.SpineSchema.fieldIndex(f.name))
+  // message-mode inflation: only for PROJECTED payload/size columns
+  // (a count/meta scan must not decompress every message) and only on
+  // cdr channels — CDR's first byte is always 0x00, so the frame
+  // magic is unambiguous THERE; other serializations are retained
+  // byte-exact (a non-cdr payload could legitimately start with the
+  // magic bytes)
+  private val needsData: Boolean =
+    projection.exists(i => i == 7 || i == 8) // size, data
   private val pathUtf8 = UTF8String.fromString(p.path)
   private val topicUtf8 = p.topics.map { case (id, (n, t, f)) =>
     id -> (UTF8String.fromString(n), UTF8String.fromString(t), UTF8String.fromString(f)) }
@@ -408,7 +440,10 @@ class Db3SpineReader(p: Db3InputPartition, required: StructType, limit: Int)
     val tid = v(1).asInstanceOf[Long]
     val (tn, tt, tf) = topicUtf8.getOrElse(tid, (UTF8String.fromString(""),
       UTF8String.fromString(""), UTF8String.fromString("")))
-    val data = Db3IO.inflate(v(3).asInstanceOf[Array[Byte]])
+    val isCdr = p.topics.get(tid).exists(_._3 == "cdr")
+    val data =
+      if (needsData && isCdr) Db3IO.inflate(v(3).asInstanceOf[Array[Byte]])
+      else v(3).asInstanceOf[Array[Byte]]
     val full = Array[Any](pathUtf8, rowid, tid, tn, tt, tf,
       v(2).asInstanceOf[Long], data.length, data)
     InternalRow.fromSeq(projection.toSeq.map(full))
@@ -469,7 +504,11 @@ class Db3TypedReader(p: Db3InputPartition, schemaName: String, encoding: String,
   override def get(): InternalRow = {
     val (rowid, v) = current
     val tid = v(1).asInstanceOf[Long]
-    val data = Db3IO.inflate(v(3).asInstanceOf[Array[Byte]])
+    // cdr-only by the reader's contract, so the magic sniff is safe;
+    // meta-only projections skip the decompression entirely
+    val data =
+      if (needsPayload || includeRaw) Db3IO.inflate(v(3).asInstanceOf[Array[Byte]])
+      else v(3).asInstanceOf[Array[Byte]]
     val nFields = fullSchema.size
     val full = new Array[Any](nFields)
     full(0) = pathUtf8; full(1) = rowid; full(2) = v(2).asInstanceOf[Long]
