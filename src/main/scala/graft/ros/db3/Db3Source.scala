@@ -531,6 +531,21 @@ class Db3TypedReader(p: Db3InputPartition, schemaName: String, encoding: String,
 object Db3Tables {
   import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
+  /** The message_definitions catalog (Humble+) as a dimension — what a
+    * schema-inventory query joins against; empty for pre-Humble files.
+    */
+  def definitions(spark: SparkSession, path: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("topic_type", StringType, nullable = false),
+      StructField("encoding", StringType, nullable = false),
+      StructField("definition", StringType, nullable = false)))
+    val rows = Db3IO.resolveFiles(path).flatMap { f =>
+      Db3IO.scanMeta(f).definitions.map { case (t, enc, text) => Row(f, t, enc, text) }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   def topics(spark: SparkSession, path: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("file_path", StringType, nullable = false),

@@ -200,9 +200,12 @@ class Db3Spec extends SparkTestBase {
     java.nio.file.Files.write(dir.resolve("a.db3-journal"), Array.fill[Byte](28)(0))
     assert(spark.read.format("db3").load(cp.toString).count() === 2000)
     java.nio.file.Files.delete(dir.resolve("a.db3-journal"))
-    // directory resolution + dimension table
+    // directory resolution + dimension tables
     val dim = Db3Tables.topics(spark, dir.toString)
     assert(dim.collect().map(r => (r.getLong(1), r.getString(2))).toSet ===
       Set((1L, "/imu"), (2L, "/chatter"), (3L, "/bulk")))
+    val defs = Db3Tables.definitions(spark, dir.toString)
+    assert(defs.collect().map(r => (r.getString(1), r.getString(2))).toSet ===
+      Set(("sensor_msgs/msg/Imu", "ros2msg"), ("std_msgs/msg/String", "ros2msg")))
   }
 }
