@@ -180,9 +180,16 @@ object ConnectedComponents {
     // not the diameter-bounded propagation. One bounded job decides
     // AND fetches: CollectLimit of threshold+1 rows — if the limit
     // fills, the graph is over budget (a separate count() would run
-    // the edge derivation twice)
-    val es = pairs.limit(
-        math.toIntExact(math.min(driverThreshold, Int.MaxValue - 1L)) + 1)
+    // the edge derivation twice). The limit clamps at Int.MaxValue, so
+    // a threshold at or past the clamp would make the over-budget
+    // check below unable to distinguish a truncated fetch from the
+    // complete edge set — refuse it up front (collecting ~2^31 rows
+    // would OOM the driver long before this mattered anyway)
+    require(driverThreshold < Int.MaxValue - 1L,
+      s"driverThreshold=$driverThreshold exceeds the CollectLimit clamp " +
+        s"(${Int.MaxValue - 2}); the over-budget guard could not tell " +
+        "truncation from completeness — use the distributed path instead")
+    val es = pairs.limit(math.toIntExact(driverThreshold) + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     if (es.length > driverThreshold)
       return componentsStar(edges, srcCol, dstCol, starMaxIter)

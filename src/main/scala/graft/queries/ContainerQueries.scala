@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.ros.mcap._
 
 /** Container-source queries under the DRIVER'S oracle gate: the MCAP
-  * (q76) and rosbag2-sqlite (q77) source → typed decode → aggregation
-  * paths, checked against DuckDB.
+  * (q76), rosbag2-sqlite (q77) and rosbag1 (q78) source → typed decode
+  * → aggregation paths, checked against DuckDB.
   *
   * The oracle can only see the testdata parquet tables, so the gate is
   * a ROUND-TRIP: the first 1000 `events` rows (by event_id, a
@@ -33,6 +33,9 @@ object ContainerQueries {
   private val RosName = "graft_msgs/msg/Event"
   private val RosDef =
     "int64 event_id\nint64 ts_us\nint64 user_id\nstring event_type\nfloat64 value\nstring props"
+  // ROS 1 twin (two-segment name; same field list — ROS1 msg text)
+  private val Ros1Name = "graft_msgs/Event"
+  private val Ros1Md5 = "d41d8cd98f00b204e9800998ecf8427e" // fixture identity, not validated
 
   /** The SAME type as generated OMG IDL — q77's db3 fixture stores
     * THIS form, so the ros2idl parser sits inside the oracle equality
@@ -163,6 +166,29 @@ object ContainerQueries {
           round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
             .as("sum_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // Q78 — rosbag1 round-trip, CHECKED: the same slice through the
+    // reference's OWN container — engine-written .bag (bz2 chunks,
+    // ROS1 message serialization), read back via the rosbag typed
+    // source. connection routing sits inside the equality (cnt_even
+    // counts via connection_id: even ids on conn 0, odd on conn 1),
+    // and max_ts_us reads the bag's RECEIPT time (time_sec/time_nsec),
+    // so the ROS1 time convention is inside the oracle equality too.
+    "q78_rosbag_roundtrip" -> ((s, d) => {
+      val path = bagFixture(s, d)
+      s.read.format("rosbag").option("datatype", Ros1Name).load(path)
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("cnt"),
+          count(when(col("connection_id") === 0, 1)).as("cnt_even"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          max(col("time_sec").cast("long") * lit(1000000L) +
+            expr("time_nsec div 1000").cast("long")).as("max_ts_us"),
+          round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
+            .as("sum_value"),
+          sum(length(col("props")).cast("long")).as("props_chars"))
+        .orderBy(col("event_type"))
     }))
 
   /** db3 twin of [[fixture]]: the same 1000-row slice written as a
@@ -205,6 +231,49 @@ object ContainerQueries {
     f.getAbsolutePath
   }
 
+  /** rosbag1 twin of [[fixture]]: the same 1000-row slice written as a
+    * classic .bag (bz2-compressed chunks) via the engine's own bag
+    * writer — two connections of the same datatype split even/odd
+    * event ids, so connection routing is part of the oracle equality.
+    */
+  private def bagFixture(s: SparkSession, d: String): String = synchronized {
+    import graft.ros.bag.BagFormat
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_container_bag_" + cacheKey(d))
+    dir.mkdirs()
+    val f = new java.io.File(dir, "events.bag")
+    val done = new java.io.File(dir, "_built")
+    if (!done.exists()) {
+      val rows = events(s, d).orderBy(col("event_id")).limit(1000)
+        .select(col("event_id"), us(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .collect()
+      val bundle = graft.ros.MsgDefParser.parse(Ros1Name, RosDef)
+      val conns = Seq(
+        BagFormat.BagConnection(0, "/events_even", Ros1Name, Ros1Md5, RosDef, "graft"),
+        BagFormat.BagConnection(1, "/events_odd", Ros1Name, Ros1Md5, RosDef, "graft"))
+      val msgs = rows.map { r =>
+        val tsUs = r.getLong(1)
+        BagFormat.WriteMessage(
+          connId = if (r.getLong(0) % 2 == 0) 0 else 1,
+          timeSec = (tsUs / 1000000L).toInt,
+          timeNsec = ((tsUs % 1000000L) * 1000L).toInt,
+          data = graft.ros.RosSchemaMapper.encode(bundle, Seq[Any](
+            r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3), r.getDouble(4), r.getString(5))))
+      }.toSeq
+      val tmp = new java.io.File(dir, "events.bag.tmp")
+      val out = new java.io.FileOutputStream(tmp)
+      try out.write(BagFormat.writeBag(conns, msgs, messagesPerChunk = 100,
+        compression = "bz2"))
+      finally out.close()
+      require(tmp.renameTo(f) || f.exists(), s"fixture rename failed: $f")
+      done.createNewFile()
+      ()
+    }
+    f.getAbsolutePath
+  }
+
   val oracle: Map[String, String] = Map(
     "q76_container_roundtrip" ->
       """WITH ev AS (
@@ -230,5 +299,18 @@ object ContainerQueries {
         |       MAX(event_id) AS max_id,
         |       CAST(SUM(user_id) AS BIGINT) AS sum_uid,
         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q78_rosbag_roundtrip" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |  FROM events ORDER BY event_id LIMIT 1000)
+        |SELECT event_type,
+        |       COUNT(*) AS cnt,
+        |       CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS cnt_even,
+        |       MIN(event_id) AS min_id,
+        |       MAX(event_id) AS max_id,
+        |       MAX(epoch_us(ts)) AS max_ts_us,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value,
+        |       CAST(SUM(length(props)) AS BIGINT) AS props_chars
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -26,8 +26,12 @@ import graft.operators.Seqno
   *    `ros2idl` definitions route typed (McapPayload dispatch);
   *  - Vertica DDL for every table created; versioned output dirs on
   *    `run`; `runIncremental` appends new files with continuing seqnos
-  *    and Messages/Topics written LAST as the increment's commit
-  *    records (crash → redo, never silent holes).
+  *    and Topics written LAST as the increment's commit record — the
+  *    done-set is Topics.file_path alone, so a crash anywhere before
+  *    the Topics write (including between the Messages and Topics
+  *    writes) redoes the file (crash → redo, never silent holes;
+  *    duplicate Messages rows from a redo share (file_path, msg_id)
+  *    identity and drop with dropDuplicates).
   *
   * Scale shape: ONE pass over the sqlite b-trees (the `db3` source's
   * per-subtree partitions) stages meta + payload bytes to parquet
@@ -65,13 +69,20 @@ object Db3Etl {
       return runFiles(spark, Db3IO.resolveFiles(path), dirName, outDir,
         None, keepRawBlob, nativeTimestamp)
     val existing = spark.read.parquet(s"$outDir/Messages.parquet")
+    // Done-set = Topics.file_path ALONE. Topics is written LAST
+    // (runFiles), so its presence implies the whole increment landed —
+    // including a zero-message file, whose Topics rows ARE its complete
+    // output. Unioning in Messages.file_path would mark a file done
+    // after a crash in the window between the Messages and Topics
+    // writes, leaving a permanent silent hole in the Topics dimension;
+    // with Topics-only, that crash redoes the file and the duplicate
+    // Messages rows are recoverable by (file_path, msg_id) identity —
+    // duplicate-over-silent-loss, BagEtl's stated principle.
     val topicsPath = new org.apache.hadoop.fs.Path(s"$outDir/Topics.parquet")
-    val doneTopics =
+    val done =
       if (!fs.exists(topicsPath)) Set.empty[String]
       else spark.read.parquet(s"$outDir/Topics.parquet")
         .select(col("file_path")).distinct().collect().map(_.getString(0)).toSet
-    val done = existing.select(col("file_path")).distinct()
-      .collect().map(_.getString(0)).toSet ++ doneTopics
     val newFiles = Db3IO.resolveFiles(path).filterNot(done)
     if (newFiles.isEmpty) return Info(dirName, 0L, 0L, 0L, 0L, Map.empty)
     val maxRow = existing.agg(max(col("seqno"))).head()
@@ -89,8 +100,8 @@ object Db3Etl {
           naming: Map[(String, String), String] = Map.empty,
           append: Boolean = false): Info = {
     // ONE metadata scan per file serves the dimension, the definition
-    // census and the retention census alike
-    val metas: Seq[(String, Db3IO.Db3Meta)] = files.map(f => f -> Db3IO.scanMeta(f))
+    // census and the retention census alike — parallel across files
+    val metas: Seq[(String, Db3IO.Db3Meta)] = Db3IO.scanMetas(files)
     val topicsDim = {
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(
@@ -238,9 +249,10 @@ object Db3Etl {
         if (rawNew) ddl ++= VerticaDdl.createTable("RawMessages", rawTab.schema) ++= "\n"
       }
 
-      // Messages/Topics are the increment's COMMIT RECORDS
-      // (runIncremental's done-set) — written only after every
-      // per-type write succeeded, BagEtl's crash ordering
+      // Topics is the increment's COMMIT RECORD (runIncremental's
+      // done-set is Topics.file_path alone) — written only after every
+      // other write succeeded, Messages included, so Topics presence
+      // implies the whole increment landed
       messages.write.mode(writeMode)
         .option("compression", "snappy").parquet(s"$out/Messages.parquet")
       topicsDim.write.mode(writeMode)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -254,6 +254,31 @@ object Db3IO {
       messagesRoot: Int,
       subtrees: Seq[Int])
 
+  /** Parallel per-file metadata scans — the plan-time twin of
+    * RosbagSource.scanIndexes: a 10k-file fleet directory must not pay
+    * 10k sequential header+schema walks on the driver before the first
+    * task launches. Bounded pool (32 readers saturate any filesystem's
+    * metadata path); results keep the input order; the ORIGINAL
+    * failure surfaces, not the pool's ExecutionException.
+    */
+  def scanMetas(files: Seq[String]): Seq[(String, Db3Meta)] = {
+    if (files.isEmpty) return Seq.empty
+    if (files.size == 1) return files.map(f => f -> scanMeta(f))
+    val par = math.min(32, files.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      val futs = files.map { f =>
+        pool.submit(new java.util.concurrent.Callable[(String, Db3Meta)] {
+          override def call(): (String, Db3Meta) = f -> scanMeta(f)
+        })
+      }
+      futs.map { fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   def scanMeta(file: String): Db3Meta = {
     val pager = new Pager(file)
     try {
@@ -275,6 +300,146 @@ object Db3IO {
       Db3Meta(topics, defs, roots("messages"),
         rootChildren(pager.page, pager.header.usable, roots("messages")))
     } finally pager.close()
+  }
+
+  /** Per-subtree (firstTs, lastTs) pruning probes over the messages
+    * b-tree: two spine descents per subtree (page-path reads only, no
+    * row walk). rosbag2's single-threaded SequentialWriter stamps
+    * `timestamp` at receive time, so rows are written in nondecreasing
+    * timestamp order and each subtree's true range IS its edge probes.
+    * That assumption is VERIFIED, not trusted: if the probe sequence
+    * across the file's subtrees (which cover ascending rowid ranges)
+    * is not nondecreasing — a drifted/foreign writer — this returns
+    * None and the caller keeps every subtree (the row-level filter
+    * still applies; pruning is a fast path, never a correctness
+    * dependency).
+    */
+  def subtreeTsRanges(file: String, subtrees: Seq[Int])
+      : Option[Seq[(Int, Long, Long)]] = {
+    val pager = new Pager(file)
+    try {
+      val probes = subtrees.flatMap { st =>
+        edgeRows(pager.page, pager.header.usable, st, 3).map {
+          case ((_, fv), (_, lv)) =>
+            (st, fv(2).asInstanceOf[Long], lv(2).asInstanceOf[Long])
+        }
+      }
+      val monotone = probes.forall { case (_, lo, hi) => lo <= hi } &&
+        probes.sliding(2).forall {
+          case Seq((_, _, hi), (_, lo, _)) => hi <= lo
+          case _ => true
+        }
+      if (monotone) Some(probes) else None
+    } finally pager.close()
+  }
+}
+
+/** Pushed-filter support for the db3 source — same contract as
+  * McapFilters/RosbagFilters: `supported` gates what the scan accepts,
+  * file/subtree `mayMatch` prune at plan time (conservative — a kept
+  * file/subtree is always re-filtered row-level), `eval` runs per row
+  * BEFORE payload inflation/decoding.
+  */
+object Db3Filters {
+  private val cols = Set("file_path", "msg_id", "topic_id", "topic",
+    "type", "serialization_format", "timestamp")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(c, _) => cols(c)
+    case In(c, _) => cols(c)
+    case GreaterThan(c, _) => cols(c)
+    case GreaterThanOrEqual(c, _) => cols(c)
+    case LessThan(c, _) => cols(c)
+    case LessThanOrEqual(c, _) => cols(c)
+    case _ => false
+  }
+
+  /** File-level pruning: exact `file_path` against the fully-qualified
+    * URI (RosbagFilters.bagMayMatch's contract), and topic-catalog
+    * membership for equality/IN over topic/type/format/topic_id — a
+    * file whose topics table cannot satisfy the filter is never
+    * planned (the single most common recording query, `topic == x`,
+    * skips whole files before any page is fetched).
+    */
+  def fileMayMatch(f: Filter, path: String,
+                   topics: Map[Long, (String, String, String)]): Boolean = {
+    def anyTopic(pred: ((String, String, String)) => Boolean): Boolean =
+      topics.values.exists(pred)
+    f match {
+      case EqualTo("file_path", v) => path == v
+      case In("file_path", vs) => vs.contains(path)
+      case EqualTo("topic_id", v: Number) => topics.contains(v.longValue())
+      case In("topic_id", vs) =>
+        vs.exists { case v: Number => topics.contains(v.longValue()); case _ => true }
+      case EqualTo("topic", v) => anyTopic(_._1 == v)
+      case In("topic", vs) => anyTopic(t => vs.contains(t._1))
+      case EqualTo("type", v) => anyTopic(_._2 == v)
+      case In("type", vs) => anyTopic(t => vs.contains(t._2))
+      case EqualTo("serialization_format", v) => anyTopic(_._3 == v)
+      case In("serialization_format", vs) => anyTopic(t => vs.contains(t._3))
+      case _ => true
+    }
+  }
+
+  /** Does any pushed filter prune on the timestamp? (Gates the
+    * plan-time probe work — no probe when nothing can use it.)
+    */
+  def prunesOnTimestamp(f: Filter): Boolean = f match {
+    case EqualTo("timestamp", _) | GreaterThan("timestamp", _) |
+         GreaterThanOrEqual("timestamp", _) | LessThan("timestamp", _) |
+         LessThanOrEqual("timestamp", _) => true
+    case In("timestamp", _) => true
+    case _ => false
+  }
+
+  /** Subtree-level pruning against the probed [lo, hi] timestamp
+    * range — conservative, like mcap chunk-info pruning.
+    */
+  def subtreeMayMatch(f: Filter, lo: Long, hi: Long): Boolean = {
+    def num(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue()); case _ => None
+    }
+    f match {
+      case GreaterThan("timestamp", v) => num(v).forall(x => hi > x)
+      case GreaterThanOrEqual("timestamp", v) => num(v).forall(x => hi >= x)
+      case LessThan("timestamp", v) => num(v).forall(x => lo < x)
+      case LessThanOrEqual("timestamp", v) => num(v).forall(x => lo <= x)
+      case EqualTo("timestamp", v) => num(v).forall(x => lo <= x && x <= hi)
+      case In("timestamp", vs) =>
+        vs.exists(v => num(v).forall(x => lo <= x && x <= hi))
+      case _ => true
+    }
+  }
+
+  /** Row-level evaluation on the pre-decode spine values — runs before
+    * any payload inflation, so a filtered row never decompresses.
+    * `path` is required (omission-must-not-compile, RosbagFilters.eval).
+    */
+  def eval(f: Filter, path: String, rowid: Long, tid: Long,
+           topic: String, tpe: String, fmt: String, ts: Long): Boolean = {
+    def v(c: String): Any = c match {
+      case "file_path" => path
+      case "msg_id" => rowid
+      case "topic_id" => tid
+      case "topic" => topic
+      case "type" => tpe
+      case "serialization_format" => fmt
+      case "timestamp" => ts
+    }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue())
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => 0
+    }
+    f match {
+      case EqualTo(c, value) => cmp(v(c), value) == 0
+      case In(c, values) => values.exists(value => cmp(v(c), value) == 0)
+      case GreaterThan(c, value) => cmp(v(c), value) > 0
+      case GreaterThanOrEqual(c, value) => cmp(v(c), value) >= 0
+      case LessThan(c, value) => cmp(v(c), value) < 0
+      case LessThanOrEqual(c, value) => cmp(v(c), value) <= 0
+      case _ => true
+    }
   }
 }
 
@@ -312,8 +477,7 @@ object Db3TypedRead {
           graft.ros.mcap.McapTypedRead.md5hex(text.getBytes("UTF-8")))
       case None => ()
     }
-    val variants = files.flatMap { f =>
-      val meta = Db3IO.scanMeta(f)
+    val variants = Db3IO.scanMetas(files).flatMap { case (f, meta) =>
       val defs = meta.definitions.filter(_._1 == schemaName)
       if (defs.isEmpty && meta.topics.values.exists(_._2 == schemaName))
         throw new IllegalArgumentException(
@@ -370,47 +534,83 @@ class Db3Table(path: String, schemaName: Option[String],
 class Db3ScanBuilder(path: String, full: StructType,
                      typed: Option[Db3TypedRead.TypedTarget], includeRaw: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // typed reads push only meta-column filters (payload columns never
+    // reach the reader's eval) — the rosbag/mcap typed contract
+    val pushable: Filter => Boolean =
+      if (typed.isDefined) f => Db3Filters.supported(f) &&
+        f.references.forall(Set("file_path", "msg_id", "timestamp",
+          "topic_id", "topic"))
+      else Db3Filters.supported
+    val (supported, residual) = filters.partition(pushable)
+    pushed = supported
+    residual ++ supported // conservatively keep all as residual upstream
+  }
+  override def pushedFilters(): Array[Filter] = pushed
   override def pushLimit(l: Int): Boolean = { limit = l; false } // partial push
-  override def build(): Scan = new Db3Scan(path, required, typed, includeRaw, limit)
+  override def build(): Scan =
+    new Db3Scan(path, required, pushed, typed, includeRaw, limit)
 }
 
 final case class Db3InputPartition(path: String, subtree: Int,
     topics: Map[Long, (String, String, String)]) extends InputPartition
 
-class Db3Scan(path: String, required: StructType,
+class Db3Scan(path: String, required: StructType, filters: Array[Filter],
               typed: Option[Db3TypedRead.TypedTarget], includeRaw: Boolean,
               limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val files = typed.map(_.files).getOrElse(Db3IO.resolveFiles(path))
-    files.flatMap { f =>
-      val meta = Db3IO.scanMeta(f)
-      meta.subtrees.map(st => Db3InputPartition(f, st, meta.topics): InputPartition)
+    val probeTs = filters.exists(Db3Filters.prunesOnTimestamp)
+    Db3IO.scanMetas(files).flatMap { case (f, meta) =>
+      if (!filters.forall(fl => Db3Filters.fileMayMatch(fl, f, meta.topics)))
+        Seq.empty
+      else {
+        // timestamp-range pruning of whole b-tree subtrees via edge
+        // probes; disabled per file when the probes refute the
+        // monotone-write assumption (Db3IO.subtreeTsRanges)
+        val keep: Seq[Int] =
+          if (!probeTs) meta.subtrees
+          else Db3IO.subtreeTsRanges(f, meta.subtrees) match {
+            case Some(ranges) => ranges.collect {
+              case (st, lo, hi)
+                if filters.forall(Db3Filters.subtreeMayMatch(_, lo, hi)) => st
+            }
+            case None => meta.subtrees
+          }
+        keep.map(st => Db3InputPartition(f, st, meta.topics): InputPartition)
+      }
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = typed match {
     case Some(t) => new Db3TypedReaderFactory(t.schemaName, t.encoding,
-      t.schemaText, required, includeRaw, limit)
-    case None => new Db3ReaderFactory(required, limit)
+      t.schemaText, required, includeRaw, filters, limit)
+    case None => new Db3ReaderFactory(required, filters, limit)
   }
   override def description(): String =
-    s"db3 $path${typed.map(t => s" typed=${t.schemaName}").getOrElse("")}, limit=$limit"
+    s"db3 $path${typed.map(t => s" typed=${t.schemaName}").getOrElse("")}, " +
+      s"pushedFilters=[${filters.mkString(", ")}], limit=$limit"
 }
 
-class Db3ReaderFactory(required: StructType, limit: Int)
+class Db3ReaderFactory(required: StructType, filters: Array[Filter], limit: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new Db3SpineReader(p.asInstanceOf[Db3InputPartition], required, limit)
+    new Db3SpineReader(p.asInstanceOf[Db3InputPartition], required, filters, limit)
 }
 
-/** Spine rows straight off the messages b-tree subtree. */
-class Db3SpineReader(p: Db3InputPartition, required: StructType, limit: Int)
+/** Spine rows straight off the messages b-tree subtree. Pushed filters
+  * evaluate on the pre-decode values in `next()` — a filtered row is
+  * never inflated, and the pushed limit counts only SURVIVING rows.
+  */
+class Db3SpineReader(p: Db3InputPartition, required: StructType,
+    filters: Array[Filter], limit: Int)
     extends PartitionReader[InternalRow] {
   private val pager = new Db3IO.Pager(p.path)
   private val rows = SqliteFormat.tableRows(pager.page, pager.header.usable, p.subtree)
@@ -430,17 +630,33 @@ class Db3SpineReader(p: Db3InputPartition, required: StructType, limit: Int)
   private var current: (Long, Seq[Any]) = _
   private var emitted = 0
 
-  override def next(): Boolean =
-    if ((limit < 0 || emitted < limit) && rows.hasNext) {
-      current = rows.next(); emitted += 1; true
-    } else false
+  private def passes(rowid: Long, v: Seq[Any]): Boolean = {
+    if (filters.isEmpty) return true
+    val tid = v(1).asInstanceOf[Long]
+    val (tn, tt, tf) = p.topics.getOrElse(tid, throw new IllegalStateException(
+      s"message row $rowid references unknown topic_id $tid in ${p.path}"))
+    val ts = v(2).asInstanceOf[Long]
+    filters.forall(f => Db3Filters.eval(f, p.path, rowid, tid, tn, tt, tf, ts))
+  }
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (rows.hasNext) {
+      val c = rows.next()
+      if (passes(c._1, c._2)) { current = c; emitted += 1; return true }
+    }
+    false
+  }
 
   override def get(): InternalRow = {
     val (rowid, v) = current
     val tid = v(1).asInstanceOf[Long]
-    val (tn, tt, tf) = topicUtf8.getOrElse(tid, (UTF8String.fromString(""),
-      UTF8String.fromString(""), UTF8String.fromString("")))
-    val isCdr = p.topics.get(tid).exists(_._3 == "cdr")
+    // loud on drift: a messages row whose topic_id has no topics row is
+    // a corrupt/foreign file — empty-string metadata would fabricate
+    // plausible rows AND silently skip cdr message-mode zstd inflation
+    val (tn, tt, tf) = topicUtf8.getOrElse(tid, throw new IllegalStateException(
+      s"message row $rowid references unknown topic_id $tid in ${p.path}"))
+    val isCdr = p.topics(tid)._3 == "cdr"
     val data =
       if (needsData && isCdr) Db3IO.inflate(v(3).asInstanceOf[Array[Byte]])
       else v(3).asInstanceOf[Array[Byte]]
@@ -453,19 +669,23 @@ class Db3SpineReader(p: Db3InputPartition, required: StructType, limit: Int)
 
 class Db3TypedReaderFactory(schemaName: String, encoding: String,
     schemaText: String,
-    required: StructType, includeRaw: Boolean, limit: Int)
+    required: StructType, includeRaw: Boolean, filters: Array[Filter],
+    limit: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new Db3TypedReader(p.asInstanceOf[Db3InputPartition], schemaName, encoding,
-      schemaText, required, includeRaw, limit)
+      schemaText, required, includeRaw, filters, limit)
 }
 
 /** Typed rows: CDR payloads of the schema's topics flattened through
   * the shared frame (same decode stack as the mcap typed reader).
+  * Pushed meta-column filters evaluate BEFORE decode, so a filtered
+  * row never pays CDR decoding or message-mode inflation.
   */
 class Db3TypedReader(p: Db3InputPartition, schemaName: String, encoding: String,
     schemaText: String,
-    required: StructType, includeRaw: Boolean, limit: Int)
+    required: StructType, includeRaw: Boolean, filters: Array[Filter],
+    limit: Int)
     extends PartitionReader[InternalRow] {
   import Db3TypedRead._
 
@@ -487,15 +707,21 @@ class Db3TypedReader(p: Db3InputPartition, schemaName: String, encoding: String,
   private var current: (Long, Seq[Any]) = _
   private var emitted = 0
 
-  override def next(): Boolean =
-    if ((limit < 0 || emitted < limit) && rows.hasNext) {
-      current = rows.next()
-      val tid = current._2(1).asInstanceOf[Long]
-      val fmt = typeTopics(tid)._3
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (rows.hasNext) {
+      val c = rows.next()
+      val tid = c._2(1).asInstanceOf[Long]
+      val (tname, _, fmt) = typeTopics(tid)
       require(fmt == "cdr",
-        s"topic ${typeTopics(tid)._1} serializes as '$fmt'; typed db3 reads decode cdr")
-      emitted += 1; true
-    } else false
+        s"topic $tname serializes as '$fmt'; typed db3 reads decode cdr")
+      val ok = filters.isEmpty || filters.forall(f => Db3Filters.eval(
+        f, p.path, c._1, tid, tname, schemaName, fmt,
+        c._2(2).asInstanceOf[Long]))
+      if (ok) { current = c; emitted += 1; return true }
+    }
+    false
+  }
 
   private lazy val needsPayload: Boolean =
     projection.exists(i => i >= MetaFields.size &&
@@ -540,8 +766,8 @@ object Db3Tables {
       StructField("topic_type", StringType, nullable = false),
       StructField("encoding", StringType, nullable = false),
       StructField("definition", StringType, nullable = false)))
-    val rows = Db3IO.resolveFiles(path).flatMap { f =>
-      Db3IO.scanMeta(f).definitions.map { case (t, enc, text) => Row(f, t, enc, text) }
+    val rows = Db3IO.scanMetas(Db3IO.resolveFiles(path)).flatMap { case (f, m) =>
+      m.definitions.map { case (t, enc, text) => Row(f, t, enc, text) }
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
@@ -553,8 +779,8 @@ object Db3Tables {
       StructField("topic", StringType, nullable = false),
       StructField("type", StringType, nullable = false),
       StructField("serialization_format", StringType, nullable = false)))
-    val rows = Db3IO.resolveFiles(path).flatMap { f =>
-      Db3IO.scanMeta(f).topics.toSeq.sortBy(_._1).map { case (id, (n, t, fmt)) =>
+    val rows = Db3IO.scanMetas(Db3IO.resolveFiles(path)).flatMap { case (f, m) =>
+      m.topics.toSeq.sortBy(_._1).map { case (id, (n, t, fmt)) =>
         Row(f, id, n, t, fmt)
       }
     }

@@ -172,6 +172,88 @@ object SqliteFormat {
     walk(root)
   }
 
+  /** Decode the first `k` values of a record from its LOCAL payload
+    * prefix only — never follows the overflow chain. Sound whenever
+    * the header plus those values fit inside the minimum local payload
+    * (~489 bytes at 4096-byte pages): rosbag2's messages rows carry
+    * (id NULL, topic_id, timestamp) in well under 30 bytes before the
+    * data blob. Bounds-checked against `avail` so a violation fails
+    * loudly instead of reading overflow bytes as record content.
+    */
+  private[db3] def recordPrefix(b: Array[Byte], off: Int, avail: Int,
+                                k: Int): Seq[Any] = {
+    val (hdrLen, n0) = varint(b, off)
+    require(hdrLen <= avail,
+      s"record header ($hdrLen bytes) exceeds the local payload ($avail)")
+    var ho = off + n0
+    val types = scala.collection.mutable.ArrayBuffer[Long]()
+    while (ho < off + hdrLen && types.length < k) {
+      val (t, n) = varint(b, ho); types += t; ho += n
+    }
+    var vo = off + hdrLen.toInt
+    types.map { t =>
+      def int(w: Int): Long = {
+        require(vo + w <= off + avail,
+          s"record prefix value overruns the local payload at $vo")
+        var acc = b(vo).toLong
+        var i = 1
+        while (i < w) { acc = (acc << 8) | (b(vo + i) & 0xFFL); i += 1 }
+        vo += w; acc
+      }
+      t match {
+        case 0 => null
+        case 1 => int(1)
+        case 2 => int(2)
+        case 3 => int(3)
+        case 4 => int(4)
+        case 5 => int(6)
+        case 6 => int(8)
+        case 7 => java.lang.Double.longBitsToDouble(int(8))
+        case 8 => 0L
+        case 9 => 1L
+        case n => throw new IllegalArgumentException(
+          s"record prefix cannot span variable-width serial type $n " +
+            "within the first fixed-width values")
+      }
+    }.toSeq
+  }
+
+  /** First and last (rowid, first-`k`-values) of the subtree rooted at
+    * `root`: two spine descents, one leaf-cell prefix decode each —
+    * the plan-time pruning probe (two page-path reads per subtree, no
+    * row walk). None for an empty subtree (only a root that is itself
+    * an empty leaf).
+    */
+  def edgeRows(page: Int => Array[Byte], usable: Int, root: Int, k: Int)
+      : Option[((Long, Seq[Any]), (Long, Seq[Any]))] = {
+    @scala.annotation.tailrec
+    def descend(pageNo: Int, last: Boolean): Option[(Long, Seq[Any])] = {
+      val b = page(pageNo)
+      val base = if (pageNo == 1) 100 else 0
+      val tpe = b(base) & 0xFF
+      val n = be16(b, base + 3)
+      tpe match {
+        case 0x0d =>
+          if (n == 0) None
+          else {
+            val co = be16(b, base + 8 + 2 * (if (last) n - 1 else 0))
+            val (payloadLen, n1) = varint(b, co)
+            val (rowid, n2) = varint(b, co + n1)
+            val local = leafLocal(usable, payloadLen)
+            Some((rowid, recordPrefix(b, co + n1 + n2, local, k)))
+          }
+        case 0x05 =>
+          val child =
+            if (last) be32(b, base + 8) else be32(b, be16(b, base + 12))
+          descend(child, last)
+        case other => throw new IllegalArgumentException(
+          f"page $pageNo is b-tree type 0x$other%02x, not a table page")
+      }
+    }
+    for (f <- descend(root, last = false); l <- descend(root, last = true))
+      yield (f, l)
+  }
+
   /** One-level partition grain of a table b-tree: the root's direct
     * children (subtree roots), or the root itself when it is a leaf.
     * Each subtree walks independently ([[tableRows]] handles either

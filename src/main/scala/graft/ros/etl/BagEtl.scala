@@ -133,23 +133,24 @@ object BagEtl {
     val existing = spark.read.parquet(s"$outDir/Messages.parquet")
     require(existing.columns.contains("bag_path"),
       s"$outDir predates the bag_path spine column — re-run the full ETL once")
-    // Done-set = Messages.bag_path ∪ Connections.bag_path: a bag with
-    // connections but ZERO messages never lands in Messages, and a
+    // Done-set = Connections.bag_path ALONE. Connections is written
+    // AFTER Messages (runBags), so its presence implies the whole
+    // increment landed: for a normal bag, Messages landed first; for a
+    // zero-message bag, Connections IS its complete output (a
     // Messages-only done-set would re-convert it every increment,
-    // appending duplicate Connections rows that multiply every msg↔conn
-    // join. Connections is written AFTER Messages (runBags), so for a
-    // normal bag Connections-presence implies Messages landed too; for
-    // a zero-message bag Connections IS its complete output — either
-    // way presence in Connections means the bag is fully converted.
+    // multiplying every msg↔conn join). Unioning in Messages.bag_path
+    // — the pre-round-10 behavior — would mark a bag done after a
+    // crash in the window between the Messages and Connections writes,
+    // leaving a permanent silent hole in Connections; Connections-only
+    // redoes that bag, and the duplicate Messages rows share
+    // (bag_path, chunk-derived) identity — duplicate-over-silent-loss.
     // (A bag with zero connections AND zero messages writes nothing and
     // is re-indexed each increment — a no-op re-read, not duplication.)
     val connPath = new org.apache.hadoop.fs.Path(s"$outDir/Connections.parquet")
-    val doneConns =
+    val done =
       if (!fs.exists(connPath)) Set.empty[String]
       else spark.read.parquet(s"$outDir/Connections.parquet")
         .select(col("bag_path")).distinct().collect().map(_.getString(0)).toSet
-    val done = existing.select(col("bag_path")).distinct()
-      .collect().map(_.getString(0)).toSet ++ doneConns
     val newBags = graft.ros.bag.RosbagIO.resolveBags(bagPath).filterNot(done)
     if (newBags.isEmpty) return Info(dirName, 0L, 0L, 0L)
     // null on a zero-row Messages table (connections-only first run):
@@ -454,16 +455,18 @@ object BagEtl {
     val ddl = new StringBuilder
     try {
       Await.result(Future.sequence(typeDdl), Duration.Inf).foreach(ddl ++= _)
-      // Messages is the increment's COMMIT RECORD: runIncremental
-      // derives its done-set from Messages.bag_path, so it must land
-      // only AFTER every per-type write succeeded — a crash mid-
-      // increment leaves per-type work unrecorded and the next
-      // increment redoes those bags. (The redo can duplicate per-type
-      // rows the crashed attempt had already appended; they carry the
-      // same (bag_path, chunk_idx-derived seqno) identity, so
-      // dropDuplicates recovers — the alternative ordering loses rows
-      // SILENTLY, which is not recoverable.) Written inside the try:
-      // the lineage reads the staging dirs the finally deletes.
+      // Connections (written last, below) is the increment's COMMIT
+      // RECORD: runIncremental derives its done-set from
+      // Connections.bag_path alone, so it must land only AFTER every
+      // other write succeeded — Messages included — and a crash mid-
+      // increment (even between the Messages and Connections writes)
+      // leaves the work unrecorded and the next increment redoes those
+      // bags. (The redo can duplicate Messages/per-type rows the
+      // crashed attempt had already appended; they carry the same
+      // (bag_path, chunk_idx-derived seqno) identity, so dropDuplicates
+      // recovers — the alternative ordering loses rows SILENTLY, which
+      // is not recoverable.) Written inside the try: the lineage reads
+      // the staging dirs the finally deletes.
       messages.write.mode(writeMode)
         .option("compression", "snappy").parquet(s"$out/Messages.parquet")
       lap("messages-write")
@@ -532,7 +535,9 @@ object BagEtl {
     *  - the `_tables.json` manifest, Vertica DDL and incremental
     *    done-set are untouched — a subsequent `runIncremental` appends
     *    exactly as before;
-    *  - Messages is compacted LAST: if compaction dies midway, the
+    *  - the incremental commit record (Connections / Channels /
+    *    Topics, per layout) is compacted LAST — belt-and-braces on top
+    *    of the per-table swap recovery: if compaction dies midway, the
     *    commit record still matches some fully-converted state.
     *
     * Crash safety: each table swaps via rename — new files land in
@@ -578,9 +583,11 @@ object BagEtl {
     val tables = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath).sortBy(_.getName)
-    val (messages, others) = tables.partition(_.getName == "Messages.parquet")
+    val commitRecordNames =
+      Set("Connections.parquet", "Channels.parquet", "Topics.parquet")
+    val (commitRecs, others) = tables.partition(p => commitRecordNames(p.getName))
     try {
-      (others ++ messages).toSeq.map { table =>
+      (others ++ commitRecs).toSeq.map { table =>
         val name = table.getName
         // a streaming parquet SINK dir is transactional (_spark_metadata
         // log lists the valid files) — rewriting files under it would

@@ -89,9 +89,12 @@ object McapEtl {
 
   /** Incremental multi-file conversion — BagEtl.runIncremental's
     * contract over MCAP inputs: ETL only the files under `path` not yet
-    * recorded in `outDir` (done-set = Messages.file_path ∪
-    * Channels.file_path, so a zero-message file with channels is not
-    * re-converted every increment), appending rows with seqnos
+    * recorded in `outDir` (done-set = Channels.file_path alone —
+    * Channels is written LAST, so its presence implies the whole
+    * increment landed, a zero-message file with channels is not
+    * re-converted every increment, and a crash between the Messages
+    * and Channels writes redoes the file instead of leaving a silent
+    * Channels hole), appending rows with seqnos
     * continuing after the existing maximum and table naming pinned by
     * the `_tables.json` manifest. On a fresh/absent outDir this is
     * exactly `run` without the versioned-dir redirect (a pre-created
@@ -107,13 +110,13 @@ object McapEtl {
       return runFiles(spark, McapIO.resolveFiles(path), dirName, outDir,
         None, keepRawBlob, nativeTimestamp, stagedBySchema)
     val existing = spark.read.parquet(s"$outDir/Messages.parquet")
+    // done-set = Channels.file_path ALONE (Channels written last):
+    // see BagEtl.runIncremental — duplicate-over-silent-loss
     val chanPath = new org.apache.hadoop.fs.Path(s"$outDir/Channels.parquet")
-    val doneChans =
+    val done =
       if (!fs.exists(chanPath)) Set.empty[String]
       else spark.read.parquet(s"$outDir/Channels.parquet")
         .select(col("file_path")).distinct().collect().map(_.getString(0)).toSet
-    val done = existing.select(col("file_path")).distinct()
-      .collect().map(_.getString(0)).toSet ++ doneChans
     val newFiles = McapIO.resolveFiles(path).filterNot(done)
     if (newFiles.isEmpty) return Info(dirName, 0L, 0L, 0L, 0L, Map.empty)
     val maxRow = existing.agg(max(col("seqno"))).head()
@@ -331,9 +334,10 @@ object McapEtl {
         if (rawNew) ddl ++= VerticaDdl.createTable("RawMessages", rawTab.schema) ++= "\n"
       }
 
-      // Messages is the increment's COMMIT RECORD (runIncremental's
-      // done-set) — written only after every per-type write succeeded,
-      // same crash-ordering rationale as BagEtl.
+      // Channels (last, below) is the increment's COMMIT RECORD
+      // (runIncremental's done-set is Channels.file_path alone) —
+      // written only after every other write succeeded, Messages
+      // included; same crash-ordering rationale as BagEtl.
       messages.write.mode(writeMode)
         .option("compression", "snappy").parquet(s"$out/Messages.parquet")
       channels.write.mode(writeMode)

@@ -125,6 +125,23 @@ class ConnectedComponentsSpec extends SparkTestBase {
     }
   }
 
+  test("driverThreshold at or past the CollectLimit clamp is refused up front") {
+    // past the clamp the over-budget guard could mistake a truncated
+    // fetch for the complete edge set — it must throw, not proceed
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    for (thresh <- Seq(Int.MaxValue - 1L, Int.MaxValue.toLong, Long.MaxValue)) {
+      val ex = intercept[IllegalArgumentException] {
+        ConnectedComponents.componentsAuto(edges, "src", "dst", thresh)
+      }
+      assert(ex.getMessage.contains("CollectLimit clamp"), ex.getMessage)
+    }
+    // the largest accepted threshold still works
+    val got = ConnectedComponents
+      .componentsAuto(edges, "src", "dst", Int.MaxValue - 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("non-integral id types route to the distributed path, not a lossy cast") {
     // string ids would cast("long") to null on the driver path; the
     // type guard must send them through the distributed rounds instead

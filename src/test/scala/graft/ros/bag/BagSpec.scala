@@ -599,8 +599,8 @@ class BagSpec extends SparkTestBase {
 
     val stats = BagEtl.compact(spark, out)   // default 128MB target → 1 file each
     assert(stats.exists(s => s.table == "Messages.parquet" && s.rewritten))
-    // Messages is compacted last (commit-record discipline)
-    assert(stats.last.table == "Messages.parquet")
+    // the commit record (Connections) is compacted last
+    assert(stats.last.table == "Connections.parquet")
     assert(parts("Messages") == 1 && parts("sensor_msgs_Imu") == 1)
 
     // rows identical both ways, seqnos still dense and unique

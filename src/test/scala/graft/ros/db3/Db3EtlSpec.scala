@@ -177,4 +177,31 @@ class Db3EtlSpec extends SparkTestBase {
     val info = Db3Etl.run(spark, genuineDir, out, maxMessages = Some(10L))
     assert(info.messages === 10)
   }
+
+  test("Topics is the commit record: a crash between the Messages and Topics writes redoes the file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_db3etl_crash").toFile
+    val out = freshOut("graft_db3etl_crash_out")
+    writeFixture(dir, "a.db3", "float64 x\nfloat64 y\n", 6, 100L)
+    val first = Db3Etl.runIncremental(spark, dir.getAbsolutePath, out)
+    assert(first.messages === 6)
+    // simulate the crash window: Messages landed, Topics did not.
+    // Pre-round-10 (done-set = Messages ∪ Topics) this file was
+    // considered done and the Topics hole was PERMANENT; Topics-only
+    // redoes it — duplicate Messages rows recoverable by identity.
+    val topicsPath = new org.apache.hadoop.fs.Path(s"$out/Topics.parquet")
+    topicsPath.getFileSystem(Db3IO.hadoopConf()).delete(topicsPath, true)
+    val redo = Db3Etl.runIncremental(spark, dir.getAbsolutePath, out)
+    // Info counts all Messages rows for the redone files — the 6 from
+    // the crashed attempt plus the 6 the redo appended
+    assert(redo.messages === 12, "the file must be redone, not silently skipped")
+    val topics = spark.read.parquet(s"$out/Topics.parquet")
+    assert(topics.count() === 2, "the Topics dimension is restored")
+    val msgs = spark.read.parquet(s"$out/Messages.parquet")
+    assert(msgs.count() === 12)
+    assert(msgs.dropDuplicates("file_path", "msg_id").count() === 6,
+      "redo duplicates share (file_path, msg_id) identity")
+    // quiescent again once Topics is present
+    val third = Db3Etl.runIncremental(spark, dir.getAbsolutePath, out)
+    assert(third.messages === 0L)
+  }
 }

@@ -91,6 +91,153 @@ class Db3Spec extends SparkTestBase {
       === (0 until 30).map(i => s"old$i"))
   }
 
+  test("timestamp range pruning drops whole b-tree subtrees from the plan") {
+    // genuine fixture: 2000 rows, ts = 1.7e18 + i*1e6, monotone in
+    // rowid — exactly the rosbag2 write order the probe relies on
+    val full = new Db3Scan(genuine, Db3DataSource.SpineSchema,
+      Array.empty, None, includeRaw = false, -1)
+    val nAll = full.planInputPartitions().length
+    assert(nAll > 1, "fixture must split into multiple subtrees")
+    val meta = Db3IO.scanMeta(genuine)
+    val ranges = Db3IO.subtreeTsRanges(genuine, meta.subtrees)
+    assert(ranges.isDefined && ranges.get.size == nAll)
+    val cut = 1700000000000000000L + 1500L * 1000000L // last 500 rows
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val pruned = new Db3Scan(genuine, Db3DataSource.SpineSchema,
+      Array(GreaterThanOrEqual("timestamp", cut)), None, includeRaw = false, -1)
+    val nKept = pruned.planInputPartitions().length
+    assert(nKept < nAll, s"expected subtree pruning, kept $nKept of $nAll")
+    // and the query path returns exactly the right rows
+    val got = spark.read.format("db3").load(genuine)
+      .filter(col("timestamp") >= cut)
+    assert(got.count() === 500)
+    assert(got.agg(min(col("msg_id"))).head().getLong(0) === 1501L)
+  }
+
+  test("pruned read equals full-scan-then-filter on every pushable predicate") {
+    val df = spark.read.format("db3").load(genuine)
+    val baseline = df.collect()
+    def filteredBaseline(p: org.apache.spark.sql.Row => Boolean) =
+      baseline.filter(p).map(r => (r.getLong(1), r.getLong(6))).sortBy(identity).toSeq
+    val cut = 1700000000000000000L + 777L * 1000000L
+    val cases: Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.Row => Boolean)] = Seq(
+      (df.filter(col("topic") === "/imu"), r => r.getString(3) == "/imu"),
+      (df.filter(col("topic").isin("/imu", "/bulk")),
+        r => Set("/imu", "/bulk")(r.getString(3))),
+      (df.filter(col("timestamp") < cut), r => r.getLong(6) < cut),
+      (df.filter(col("timestamp") >= cut && col("topic") === "/chatter"),
+        r => r.getLong(6) >= cut && r.getString(3) == "/chatter"),
+      (df.filter(col("msg_id") <= 10), r => r.getLong(1) <= 10L),
+      (df.filter(col("type") === "std_msgs/msg/String"),
+        r => r.getString(4) == "std_msgs/msg/String"))
+    cases.foreach { case (q, p) =>
+      val got = q.collect().map(r => (r.getLong(1), r.getLong(6))).sortBy(identity).toSeq
+      assert(got === filteredBaseline(p))
+    }
+  }
+
+  test("topic filter prunes whole files via the topics catalog; file_path plans one file") {
+    // two files, disjoint topics
+    val sb = graft.ros.mcap.Ros2Msg.bundle("std_msgs/msg/String", "string data")
+    def mkFile(dir: java.io.File, name: String, topic: String): Unit = {
+      val rows = (0 until 10).map { i =>
+        Seq[Any](null, 1L, 1000L + i, graft.ros.mcap.CdrCodec.encode(sb, Seq(s"$topic$i")))
+      }
+      val db = SqliteFormat.writeDb(Seq(
+        ("topics", "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+          Seq(Seq[Any](null, topic, "std_msgs/msg/String", "cdr", ""))),
+        ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)", rows)))
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, db)
+      ()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_db3_prune").toFile
+    mkFile(dir, "a.db3", "/alpha"); mkFile(dir, "b.db3", "/beta")
+    val df = spark.read.format("db3").load(dir.getAbsolutePath)
+    val paths = df.select("file_path").distinct().collect().map(_.getString(0)).sorted
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    // topic equality prunes the file that cannot carry it
+    val byTopic = new Db3Scan(dir.getAbsolutePath, Db3DataSource.SpineSchema,
+      Array(EqualTo("topic", "/alpha")), None, includeRaw = false, -1)
+    val kept = byTopic.planInputPartitions()
+      .map(_.asInstanceOf[Db3InputPartition].path).distinct
+    assert(kept.length === 1 && kept.head.endsWith("a.db3"))
+    // file_path equality plans exactly one file
+    val byPath = new Db3Scan(dir.getAbsolutePath, Db3DataSource.SpineSchema,
+      Array(In("file_path", Array[Any](paths.head))), None, includeRaw = false, -1)
+    assert(byPath.planInputPartitions()
+      .forall(_.asInstanceOf[Db3InputPartition].path == paths.head))
+    // query-path equality
+    assert(df.filter(col("topic") === "/alpha").count() === 10)
+    assert(df.filter(col("file_path") === paths.head).count() === 10)
+    // the scan advertises its pushed filters (plan-visible pushdown)
+    val plan = df.filter(col("topic") === "/alpha").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("pushedFilters=[EqualTo(topic,/alpha)]"), plan)
+  }
+
+  test("non-monotone timestamps disable subtree pruning but never correctness") {
+    // a writer that interleaves timestamps out of order across the
+    // file refutes the monotone probe check → prune disabled, rows
+    // still exact through the row-level filter
+    val sb = graft.ros.mcap.Ros2Msg.bundle("std_msgs/msg/String", "string data")
+    val n = 400
+    val pad = "x" * 256 // widen rows so the b-tree needs interior pages
+    val rows = (0 until n).map { i =>
+      val ts = if (i % 2 == 0) 1000L + i else 5000L - i // zigzag
+      Seq[Any](null, 1L, ts, graft.ros.mcap.CdrCodec.encode(sb, Seq(s"$pad$i")))
+    }
+    val db = SqliteFormat.writeDb(Seq(
+      ("topics", "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+        Seq(Seq[Any](null, "/zig", "std_msgs/msg/String", "cdr", ""))),
+      ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)", rows)))
+    val f = java.nio.file.Files.createTempFile("graft_zigzag", ".db3")
+    java.nio.file.Files.write(f, db)
+    val meta = Db3IO.scanMeta(f.toString)
+    assert(meta.subtrees.length > 1, "fixture must split into subtrees")
+    assert(Db3IO.subtreeTsRanges(f.toString, meta.subtrees).isEmpty,
+      "zigzag timestamps must refute the monotone assumption")
+    import org.apache.spark.sql.sources.LessThan
+    val scan = new Db3Scan(f.toString, Db3DataSource.SpineSchema,
+      Array(LessThan("timestamp", 1100L)), None, includeRaw = false, -1)
+    assert(scan.planInputPartitions().length === meta.subtrees.length,
+      "no subtree may be pruned when probes are non-monotone")
+    val got = spark.read.format("db3").load(f.toString)
+      .filter(col("timestamp") < 1100L).count()
+    assert(got === rows.count(_(2).asInstanceOf[Long] < 1100L))
+  }
+
+  test("typed read pushes meta filters: rows skip before CDR decode") {
+    val typed = spark.read.format("db3")
+      .option("path", genuine).option("schema_name", "sensor_msgs/msg/Imu").load()
+    val cut = 1700000000000000000L + 1000L * 1000000L
+    val got = typed.filter(col("timestamp") >= cut && col("msg_id") <= 1200)
+      .select("msg_id").collect().map(_.getLong(0)).sorted.toSeq
+    // imu rows are the even indices (msg_id odd: i%2==0 → msg_id=i+1)
+    val expect = (0 until 2000).filter(i => i % 2 == 0 && i != 500)
+      .map(_ + 1L).filter(id => (id - 1) * 1000000L + 1700000000000000000L >= cut && id <= 1200)
+    assert(got === expect.sorted)
+  }
+
+  test("a message row with a dangling topic_id fails loudly, not with empty metadata") {
+    // a corrupt/drifted file whose messages reference a topic_id absent
+    // from topics must not yield plausible rows with empty topic/type
+    // (which would also silently skip cdr message-mode zstd inflation)
+    val sb = graft.ros.mcap.Ros2Msg.bundle("std_msgs/msg/String", "string data")
+    val db = SqliteFormat.writeDb(Seq(
+      ("topics", "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+        Seq(Seq[Any](null, "/ok", "std_msgs/msg/String", "cdr", ""))),
+      ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)",
+        Seq(Seq[Any](null, 1L, 1000L, graft.ros.mcap.CdrCodec.encode(sb, Seq("fine"))),
+          Seq[Any](null, 7L, 1001L, graft.ros.mcap.CdrCodec.encode(sb, Seq("orphan")))))))
+    val f = java.nio.file.Files.createTempFile("graft_dangling", ".db3")
+    java.nio.file.Files.write(f, db)
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("db3").load(f.toString).collect()
+    }
+    val msg = Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
+    assert(msg.contains("unknown topic_id 7"), msg)
+  }
+
   test("ros2idl message_definitions resolve through the IDL parser end-to-end") {
     val idl =
       """module graft_msgs { module msg { struct Pose {
