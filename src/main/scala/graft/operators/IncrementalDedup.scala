@@ -236,8 +236,20 @@ object IncrementalDedup {
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     if (resumeCompaction(spark, table)) return
+    // Read the table's FILES as a bare parquet path, not the catalog
+    // table: the catalog scan advertises the bucket partitioning, so
+    // EnsureRequirements drops the shadow write's aligning repartition
+    // as redundant — while the bucketed scan itself is independently
+    // reverted to bin-packed file splits (nothing downstream "needs"
+    // the partitioning once the exchange is gone), leaving the rewrite
+    // misaligned (~6 buckets per task = ~6x the post-compact file
+    // count). A path read carries no partitioning claim, so the
+    // repartition survives and compaction lands at O(buckets) files —
+    // the whole point of the operation. (IndexBench: 288 grown files
+    // compacted to 190 via the catalog read, 32 via the path read.)
+    val location = catalogMeta(spark, table).location.toString
     rewriteInPlace(spark, table, Map.empty)(
-      () => BucketedLayout.read(spark, table))
+      () => spark.read.parquet(location))
   }
 
   /** Shadow-table rewrite under the table's OWN catalog layout spec

@@ -1,0 +1,96 @@
+package graft.ros
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mixed-container dataset read: one call over a directory (or
+  * explicit list) holding any mix of `.bag`, `.mcap` and
+  * `.db3`/`.db3.zstd` recordings — the shape a real fleet's archive
+  * takes after migrating rosbag1 → rosbag2-sqlite → MCAP mid-life.
+  * Without this, a mixed directory needs three reads and a hand-built
+  * union; with it, `MixedRead.spine(spark, dir)` returns ONE DataFrame
+  * under a shared normalized contract:
+  *
+  *   file_path, container ("rosbag"|"mcap"|"db3"), topic,
+  *   type, timestamp (ns since epoch), size, data
+  *
+  * Each container contributes through its own DSv2 source, so per-file
+  * parallelism (chunks / b-tree subtrees), column pruning and filter
+  * pushdown all apply per branch — `topic` and `type` filters reach
+  * every source's row skip, `timestamp` ranges push into the mcap
+  * (log_time chunk pruning) and db3 (subtree probes) branches; the
+  * rosbag branch's receive time is COMPUTED from (time_sec, time_nsec)
+  * so a timestamp range degrades to a post-scan filter there (push
+  * `time_sec` directly when targeting bags alone).
+  *
+  * Timestamp semantics per container: rosbag receive time, mcap
+  * log_time, db3 timestamp — each container's own message-time
+  * convention, all in nanoseconds.
+  */
+object MixedRead {
+
+  private def classify(name: String): Option[String] =
+    if (name.endsWith(".bag")) Some("rosbag")
+    else if (name.endsWith(".mcap")) Some("mcap")
+    else if (name.endsWith(".db3") || name.endsWith(".db3.zstd")) Some("db3")
+    else None
+
+  /** Resolve `path` (newline-separated specs; each a file, directory
+    * or glob) into container → files. A directory listing skips
+    * non-container files (rosbag2 dirs carry metadata.yaml); an
+    * EXPLICITLY named file of unknown extension fails loudly.
+    */
+  def resolve(path: String): Map[String, Seq[String]] = {
+    val conf = graft.ros.bag.RosbagIO.hadoopConf()
+    val out = path.split('\n').filter(_.nonEmpty).toSeq.flatMap { spec =>
+      val p = new org.apache.hadoop.fs.Path(spec)
+      val fs = p.getFileSystem(conf)
+      if (fs.isDirectory(p))
+        fs.listStatus(p).toSeq.filter(_.isFile)
+          .flatMap(s => classify(s.getPath.getName).map(_ -> s.getPath.toString))
+      else {
+        val stats = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(_.isFile)
+        require(stats.nonEmpty || fs.exists(p), s"path not found: $spec")
+        stats.map { s =>
+          val kind = classify(s.getPath.getName).getOrElse(throw
+            new IllegalArgumentException(
+              s"${s.getPath}: not a recognized container " +
+                "(.bag / .mcap / .db3 / .db3.zstd)"))
+          kind -> s.getPath.toString
+        }
+      }
+    }
+    val grouped = out.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    require(grouped.nonEmpty, s"no container files under $path")
+    grouped
+  }
+
+  /** The unified message spine over every container under `path`. */
+  def spine(spark: SparkSession, path: String): DataFrame = {
+    val branches = resolve(path).toSeq.sortBy(_._1).map {
+      case ("rosbag", files) =>
+        spark.read.format("rosbag")
+          .option("bags", files.mkString("\n")).load()
+          .select(col("bag_path").as("file_path"),
+            lit("rosbag").as("container"), col("topic"),
+            col("datatype").as("type"),
+            (col("time_sec").cast("long") * lit(1000000000L) +
+              col("time_nsec").cast("long")).as("timestamp"),
+            col("size"), col("data"))
+      case ("mcap", files) =>
+        spark.read.format("mcap")
+          .option("files", files.mkString("\n")).load()
+          .select(col("file_path"), lit("mcap").as("container"), col("topic"),
+            col("schema_name").as("type"), col("log_time").as("timestamp"),
+            col("size"), col("data"))
+      case ("db3", files) =>
+        spark.read.format("db3")
+          .option("files", files.mkString("\n")).load()
+          .select(col("file_path"), lit("db3").as("container"), col("topic"),
+            col("type"), col("timestamp"), col("size"), col("data"))
+      case (other, _) => throw new IllegalStateException(s"unreachable: $other")
+    }
+    branches.reduce(_ unionByName _)
+  }
+}

@@ -435,30 +435,38 @@ object SqliteFormat {
       rowid += cs.length
       (no, rowid) // (leaf page, largest rowid in it)
     }
-    if (leafInfo.length == 1) leafInfo.head._1
-    else {
-      // one interior level carries hundreds of children — plenty for
-      // fixtures (a second level would need recursive splitting)
-      val no = alloc.alloc()
-      val b = alloc(no)
-      b(0) = 0x05
-      val inner = leafInfo.init
-      setBe16(b, 3, inner.length)
-      setBe32(b, 8, leafInfo.last._1)
-      var contentEnd = usable
-      inner.zipWithIndex.foreach { case ((child, maxRow), i) =>
-        val cell = new java.io.ByteArrayOutputStream()
-        val cb = new Array[Byte](4)
-        setBe32(cb, 0, child); cell.write(cb)
-        putVarint(cell, maxRow)
-        contentEnd -= cell.size()
-        System.arraycopy(cell.toByteArray, 0, b, contentEnd, cell.size())
-        setBe16(b, 12 + 2 * i, contentEnd)
-      }
-      setBe16(b, 5, contentEnd)
-      require(contentEnd >= 12 + 2 * inner.length, "fixture interior page overflow")
-      no
+    // interior levels built bottom-up until one page holds the rest —
+    // a 100 MB blob table needs thousands of leaves, i.e. two levels
+    // (the reader's tableRows walks any depth; rootChildren's
+    // partition grain stays the root's direct children either way).
+    // Conservative per-page child cap: cell = 2B ptr + 4B child +
+    // ≤9B rowid varint = 15B against (usable - 12) header budget.
+    val maxKids = math.max(2, (usable - 12) / 15)
+    var level: Seq[(Int, Long)] = leafInfo.toSeq // (page, max rowid in subtree)
+    while (level.length > 1) {
+      level = level.grouped(maxKids).map { group =>
+        val no = alloc.alloc()
+        val b = alloc(no)
+        b(0) = 0x05
+        val inner = group.init
+        setBe16(b, 3, inner.length)
+        setBe32(b, 8, group.last._1)
+        var contentEnd = usable
+        inner.zipWithIndex.foreach { case ((child, maxRow), i) =>
+          val cell = new java.io.ByteArrayOutputStream()
+          val cb = new Array[Byte](4)
+          setBe32(cb, 0, child); cell.write(cb)
+          putVarint(cell, maxRow)
+          contentEnd -= cell.size()
+          System.arraycopy(cell.toByteArray, 0, b, contentEnd, cell.size())
+          setBe16(b, 12 + 2 * i, contentEnd)
+        }
+        setBe16(b, 5, contentEnd)
+        require(contentEnd >= 12 + 2 * inner.length, "fixture interior page overflow")
+        (no, group.last._2)
+      }.toSeq
     }
+    level.head._1
   }
 
   /** Write a complete single-file database: page 1 schema + one b-tree

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench protocol's pure helpers — the parts whose failure would
+  * silently corrupt the committed artifact rather than any query.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("median: odd, even, single") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
+    assert(Bench.median(Seq(7.5)) === 7.5)
+  }
+
+  test("dispersed: flags the r9 contamination shapes, passes stable sets") {
+    // outlier max (one sample took a load spike)
+    assert(Bench.dispersed(Seq(0.27, 0.30, 6.2)))
+    // contaminated median (two of three samples rode the spike;
+    // the min is the plan's true cost)
+    assert(Bench.dispersed(Seq(0.27, 4.7, 6.2)))
+    // stable multi-second set — must NOT escalate
+    assert(!Bench.dispersed(Seq(1.9, 2.0, 2.1)))
+    // mild noise within 3x stays untouched
+    assert(!Bench.dispersed(Seq(0.5, 0.9, 1.2)))
+  }
+
+  test("loadavg renders a three-element JSON array on linux") {
+    val s = Bench.loadavg()
+    assert(s == "null" || s.matches("""\[[0-9.]+,[0-9.]+,[0-9.]+\]"""), s)
+  }
+
+  test("esc escapes JSON-hostile characters") {
+    assert(Bench.esc("a\"b\\c\nd") === "a\\\"b\\\\c\\nd")
+    assert(Bench.esc("\u0001") === "\\u0001")
+  }
+}

@@ -197,9 +197,23 @@ class IncrementalDedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val before = probe()
     val rowsBefore = BucketedLayout.read(spark, "cmp_idx").count()
+    def dataFiles(): Int = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("cmp_idx")).location
+      new java.io.File(loc).listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    }
+    val filesBefore = dataFiles()
     compactIndex(spark, "cmp_idx")
     assert(probe() === before)
     assert(BucketedLayout.read(spark, "cmp_idx").count() === rowsBefore)
+    // compaction's point: the file count drops to O(buckets), never
+    // O(grows x buckets) — the aligned write must survive the rewrite
+    // (a catalog-table read here silently loses the aligning
+    // repartition; compactIndex reads the table's files by path)
+    assert(dataFiles() <= 4 && dataFiles() < filesBefore,
+      s"compact left ${dataFiles()} files (before: $filesBefore)")
     // the swap carried the scheme stamp (compaction must not strip the
     // contract that guards probes)
     assert(indexScheme(spark, "cmp_idx") === scheme)

@@ -1,0 +1,92 @@
+package graft.ros
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import graft.ros.mcap.{CdrCodec, McapFormat, Ros2Msg}
+import graft.ros.db3.SqliteFormat
+
+/** One directory holding all three containers reads as one spine. */
+class MixedReadSpec extends SparkTestBase {
+
+  private val strDef = "string data"
+
+  private lazy val mixedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixed").toFile
+
+    // rosbag1: 5 messages on /bag_topic, receive times t=100..104 s
+    import graft.ros.bag.BagFormat
+    val r1Bundle = MsgDefParser.parse("std_msgs/String", strDef)
+    val bagMsgs = (0 until 5).map { i =>
+      BagFormat.WriteMessage(0, 100 + i, 500, RosSchemaMapper.encode(r1Bundle, Seq(s"b$i")))
+    }
+    java.nio.file.Files.write(new java.io.File(dir, "a.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/bag_topic", "std_msgs/String", "m", strDef, "c")),
+        bagMsgs))
+
+    // mcap: 4 messages on /mcap_topic, log times 200e9..203e9
+    val r2Bundle = Ros2Msg.bundle("std_msgs/msg/String", strDef)
+    val mcapMsgs = (0 until 4).map { i =>
+      val t = 200000000000L + i * 1000000000L
+      McapFormat.McapMessage(1, i.toLong, t, t, CdrCodec.encode(r2Bundle, Seq(s"m$i")))
+    }
+    java.nio.file.Files.write(new java.io.File(dir, "b.mcap").toPath,
+      McapFormat.writeMcap(
+        Seq(McapFormat.McapSchema(1, "std_msgs/msg/String", "ros2msg", strDef.getBytes("UTF-8"))),
+        Seq(McapFormat.McapChannel(1, 1, "/mcap_topic", "cdr")), mcapMsgs))
+
+    // db3: 3 messages on /db3_topic, timestamps 300e9..302e9
+    val db3Rows = (0 until 3).map { i =>
+      Seq[Any](null, 1L, 300000000000L + i * 1000000000L,
+        CdrCodec.encode(r2Bundle, Seq(s"d$i")))
+    }
+    java.nio.file.Files.write(new java.io.File(dir, "c.db3").toPath,
+      SqliteFormat.writeDb(Seq(
+        ("topics", "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+          Seq(Seq[Any](null, "/db3_topic", "std_msgs/msg/String", "cdr", ""))),
+        ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)", db3Rows))))
+
+    // fleet noise the directory listing must skip
+    java.nio.file.Files.write(new java.io.File(dir, "metadata.yaml").toPath,
+      "rosbag2_bagfile_information: {}".getBytes("UTF-8"))
+    dir.getAbsolutePath
+  }
+
+  test("a mixed directory reads as one spine; counts, types and timestamps per container") {
+    val df = MixedRead.spine(spark, mixedDir)
+    assert(df.schema.fieldNames.toSeq === Seq("file_path", "container", "topic",
+      "type", "timestamp", "size", "data"))
+    val byContainer = df.groupBy("container").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byContainer === Map("rosbag" -> 5L, "mcap" -> 4L, "db3" -> 3L))
+    val byTopic = df.groupBy("topic", "type").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(byTopic === Set(
+      ("/bag_topic", "std_msgs/String", 5L),
+      ("/mcap_topic", "std_msgs/msg/String", 4L),
+      ("/db3_topic", "std_msgs/msg/String", 3L)))
+    // nanosecond timestamps under each container's own convention
+    val ts = df.groupBy("container").agg(min(col("timestamp"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ts("rosbag") === 100L * 1000000000L + 500L)
+    assert(ts("mcap") === 200000000000L)
+    assert(ts("db3") === 300000000000L)
+  }
+
+  test("filters narrow each branch; payloads arrive whole; explicit unknown file is loud") {
+    val df = MixedRead.spine(spark, mixedDir)
+    assert(df.filter(col("topic") === "/mcap_topic").count() === 4)
+    assert(df.filter(col("timestamp") >= 300000000000L).count() === 3)
+    assert(df.filter(col("container") === "rosbag" && col("topic") === "/bag_topic")
+      .count() === 5)
+    // the shared `data` column still decodes per branch
+    val one = df.filter(col("container") === "db3")
+      .orderBy("timestamp").limit(1).collect().head
+    assert(CdrCodec.decode(Ros2Msg.bundle("std_msgs/msg/String", strDef),
+      one.getAs[Array[Byte]]("data")) === Seq("d0"))
+    val ex = intercept[IllegalArgumentException] {
+      MixedRead.resolve(s"$mixedDir/metadata.yaml")
+    }
+    assert(ex.getMessage.contains("not a recognized container"), ex.getMessage)
+  }
+}

@@ -89,6 +89,36 @@ class SqliteFormatSpec extends AnyFunSuite {
     assert(tableRows(page, h.usable, roots("empty")).isEmpty)
   }
 
+  test("writer builds multi-LEVEL interior trees; edge probes and subtree walks agree") {
+    // 512-byte pages force many leaves and two interior levels (child
+    // cap ≈ 33/page) — the shape a 100 MB recording produces at 4096
+    val rows = (0 until 3000).map { i =>
+      Seq[Any](null, 1L, 1000L + i, Array.tabulate(40)(j => ((i + j) % 127).toByte))
+    }
+    val db = writeDb(Seq(
+      ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)", rows)),
+      pageSize = 512)
+    val h = parseHeader(db)
+    val page = pager(db, h.pageSize)
+    val root = tableRoots(page, h.usable)("messages")
+    // full walk: every row, in rowid order
+    val got = tableRows(page, h.usable, root).toSeq
+    assert(got.length === 3000 && got.map(_._1) === (1L to 3000L))
+    assert(got.map(_._2(2).asInstanceOf[Long]) === (0 until 3000).map(1000L + _))
+    // root children are interior pages (two levels); each subtree walks
+    // independently and they partition the rowids in order
+    val subs = rootChildren(page, h.usable, root)
+    assert(subs.length > 1)
+    val bySub = subs.map(st => tableRows(page, h.usable, st).map(_._1).toSeq)
+    assert(bySub.flatten === (1L to 3000L))
+    // edge probes agree with each subtree's true first/last rows
+    subs.zip(bySub).foreach { case (st, ids) =>
+      val Some(((fid, fv), (lid, lv))) = edgeRows(page, h.usable, st, 3)
+      assert(fid === ids.head && lid === ids.last)
+      assert(fv(2) === 1000L + fid - 1 && lv(2) === 1000L + lid - 1)
+    }
+  }
+
   test("extreme integer widths and serial-type specials survive the record codec") {
     val vals = Seq[Any](null, 0L, 1L, -1L, 127L, -128L, 32767L, -32768L,
       (1L << 23) - 1, -(1L << 23), Int.MaxValue.toLong, Int.MinValue.toLong,
