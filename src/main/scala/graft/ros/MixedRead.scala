@@ -70,8 +70,10 @@ object MixedRead {
   def spine(spark: SparkSession, path: String): DataFrame = {
     val branches = resolve(path).toSeq.sortBy(_._1).map {
       case ("rosbag", files) =>
+        // the *Spec helpers fail loudly on newline-bearing paths the
+        // newline-separated option encoding cannot carry
         spark.read.format("rosbag")
-          .option("bags", files.mkString("\n")).load()
+          .option("bags", graft.ros.bag.RosbagDataSource.bagsSpec(files)).load()
           .select(col("bag_path").as("file_path"),
             lit("rosbag").as("container"), col("topic"),
             col("datatype").as("type"),
@@ -80,13 +82,13 @@ object MixedRead {
             col("size"), col("data"))
       case ("mcap", files) =>
         spark.read.format("mcap")
-          .option("files", files.mkString("\n")).load()
+          .option("files", graft.ros.mcap.McapDataSource.filesSpec(files)).load()
           .select(col("file_path"), lit("mcap").as("container"), col("topic"),
             col("schema_name").as("type"), col("log_time").as("timestamp"),
             col("size"), col("data"))
       case ("db3", files) =>
         spark.read.format("db3")
-          .option("files", files.mkString("\n")).load()
+          .option("files", graft.ros.db3.Db3DataSource.filesSpec(files)).load()
           .select(col("file_path"), lit("db3").as("container"), col("topic"),
             col("type"), col("timestamp"), col("size"), col("data"))
       case (other, _) => throw new IllegalStateException(s"unreachable: $other")

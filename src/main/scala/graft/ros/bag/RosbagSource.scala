@@ -533,7 +533,9 @@ object RosbagIO {
         try f.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       }.filter(_ != null)
-    } finally pool.shutdown()
+      // shutdownNow: on the failure path plain shutdown would drain
+      // the remaining queued scans after the caller already rethrew
+    } finally { pool.shutdownNow(); () }
   }
 
   // Index cache: every Spark action re-plans the scan, and an uncached

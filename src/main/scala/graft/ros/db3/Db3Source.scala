@@ -39,6 +39,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * bags carry no definitions table — pass
   * `option("schema_text", <ros2msg definition>)` explicitly.
   *
+  * Pushed filters prune files via exact `file_path` URIs and the
+  * topics catalog; timestamp ranges additionally prune whole b-tree
+  * subtrees via per-subtree edge probes, assuming rosbag2's
+  * single-writer receive-time order (boundary-checked per file; for
+  * foreign/merged files set `option("timestamp_pruning", "false")`).
+  *
   * Compressed recordings (rosbag2 --compression zstd): file mode
   * (`<name>.db3.zstd`, the whole database in one frame) inflates once
   * per JVM to executor-local scratch; message mode (each payload a
@@ -65,7 +71,8 @@ class Db3DataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new Db3Table(Db3DataSource.pathSpec(opts), Option(opts.get("schema_name")),
       opts.getBoolean("includeRaw", false), Option(opts.get("schema_md5")),
-      Option(opts.get("schema_text")))
+      Option(opts.get("schema_text")),
+      opts.getBoolean("timestamp_pruning", true))
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -276,7 +283,11 @@ object Db3IO {
         try fu.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       }
-    } finally pool.shutdown()
+      // shutdownNow, not shutdown: on the failure path plain shutdown
+      // would let the workers drain thousands of queued metadata scans
+      // AFTER the caller has already rethrown (on success the queue is
+      // empty and this is equivalent)
+    } finally { pool.shutdownNow(); () }
   }
 
   def scanMeta(file: String): Db3Meta = {
@@ -307,12 +318,19 @@ object Db3IO {
     * row walk). rosbag2's single-threaded SequentialWriter stamps
     * `timestamp` at receive time, so rows are written in nondecreasing
     * timestamp order and each subtree's true range IS its edge probes.
-    * That assumption is VERIFIED, not trusted: if the probe sequence
-    * across the file's subtrees (which cover ascending rowid ranges)
-    * is not nondecreasing — a drifted/foreign writer — this returns
-    * None and the caller keeps every subtree (the row-level filter
-    * still applies; pruning is a fast path, never a correctness
-    * dependency).
+    *
+    * The probe sequence check below is a NECESSARY condition for that
+    * assumption, not a proof: a non-monotone sequence across the
+    * file's subtrees (ascending rowid ranges) refutes it — this
+    * returns None and the caller keeps every subtree — but interior
+    * disorder that happens to look ordered at every subtree boundary
+    * would pass and could prune a subtree holding matching rows. Two
+    * probes per subtree cannot see interior rows; only a full walk
+    * could, which would defeat plan-time pruning. Genuine rosbag2
+    * recordings cannot hit this (sqlite rowid = single-writer
+    * insertion order = receive-time order); for foreign or merged
+    * files, `option("timestamp_pruning", "false")` disables subtree
+    * pruning entirely (row-level filters still apply).
     */
   def subtreeTsRanges(file: String, subtrees: Seq[Int])
       : Option[Seq[(Int, Long, Long)]] = {
@@ -331,6 +349,32 @@ object Db3IO {
         }
       if (monotone) Some(probes) else None
     } finally pager.close()
+  }
+
+  /** [[subtreeTsRanges]] across many files on the bounded pool —
+    * plan-time probes must not serialize over a fleet directory any
+    * more than the metadata scans do.
+    */
+  def subtreeTsRangesAll(files: Seq[(String, Seq[Int])])
+      : Map[String, Option[Seq[(Int, Long, Long)]]] = {
+    if (files.isEmpty) return Map.empty
+    if (files.size == 1)
+      return files.map { case (f, st) => f -> subtreeTsRanges(f, st) }.toMap
+    val par = math.min(32, files.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      val futs = files.map { case (f, st) =>
+        pool.submit(new java.util.concurrent.Callable[
+            (String, Option[Seq[(Int, Long, Long)]])] {
+          override def call(): (String, Option[Seq[(Int, Long, Long)]]) =
+            f -> subtreeTsRanges(f, st)
+        })
+      }
+      futs.map { fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }.toMap
+    } finally { pool.shutdownNow(); () }
   }
 }
 
@@ -516,7 +560,8 @@ object Db3TypedRead {
 
 class Db3Table(path: String, schemaName: Option[String],
                includeRaw: Boolean, md5: Option[String],
-               schemaText: Option[String])
+               schemaText: Option[String],
+               tsPruning: Boolean = true)
     extends Table with SupportsRead {
   private lazy val target: Option[Db3TypedRead.TypedTarget] =
     schemaName.map(sn => Db3TypedRead.resolveTarget(path, sn, md5, schemaText))
@@ -528,11 +573,12 @@ class Db3Table(path: String, schemaName: Option[String],
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new Db3ScanBuilder(path, schema(), target, includeRaw)
+    new Db3ScanBuilder(path, schema(), target, includeRaw, tsPruning)
 }
 
 class Db3ScanBuilder(path: String, full: StructType,
-                     typed: Option[Db3TypedRead.TypedTarget], includeRaw: Boolean)
+                     typed: Option[Db3TypedRead.TypedTarget], includeRaw: Boolean,
+                     tsPruning: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
@@ -555,7 +601,7 @@ class Db3ScanBuilder(path: String, full: StructType,
   override def pushedFilters(): Array[Filter] = pushed
   override def pushLimit(l: Int): Boolean = { limit = l; false } // partial push
   override def build(): Scan =
-    new Db3Scan(path, required, pushed, typed, includeRaw, limit)
+    new Db3Scan(path, required, pushed, typed, includeRaw, limit, tsPruning)
 }
 
 final case class Db3InputPartition(path: String, subtree: Int,
@@ -563,30 +609,33 @@ final case class Db3InputPartition(path: String, subtree: Int,
 
 class Db3Scan(path: String, required: StructType, filters: Array[Filter],
               typed: Option[Db3TypedRead.TypedTarget], includeRaw: Boolean,
-              limit: Int) extends Scan with Batch {
+              limit: Int, tsPruning: Boolean = true) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val files = typed.map(_.files).getOrElse(Db3IO.resolveFiles(path))
-    val probeTs = filters.exists(Db3Filters.prunesOnTimestamp)
-    Db3IO.scanMetas(files).flatMap { case (f, meta) =>
-      if (!filters.forall(fl => Db3Filters.fileMayMatch(fl, f, meta.topics)))
-        Seq.empty
-      else {
-        // timestamp-range pruning of whole b-tree subtrees via edge
-        // probes; disabled per file when the probes refute the
-        // monotone-write assumption (Db3IO.subtreeTsRanges)
-        val keep: Seq[Int] =
-          if (!probeTs) meta.subtrees
-          else Db3IO.subtreeTsRanges(f, meta.subtrees) match {
-            case Some(ranges) => ranges.collect {
-              case (st, lo, hi)
-                if filters.forall(Db3Filters.subtreeMayMatch(_, lo, hi)) => st
-            }
-            case None => meta.subtrees
+    val probeTs = tsPruning && filters.exists(Db3Filters.prunesOnTimestamp)
+    val metas = Db3IO.scanMetas(files).filter { case (f, meta) =>
+      filters.forall(fl => Db3Filters.fileMayMatch(fl, f, meta.topics)) }
+    // timestamp-range pruning of whole b-tree subtrees via edge
+    // probes (parallel across files, like the metadata scans);
+    // disabled per file when the probes refute the monotone-write
+    // assumption (Db3IO.subtreeTsRanges), or entirely via
+    // option("timestamp_pruning", "false")
+    val ranges: Map[String, Option[Seq[(Int, Long, Long)]]] =
+      if (!probeTs) Map.empty
+      else Db3IO.subtreeTsRangesAll(metas.map { case (f, m) => f -> m.subtrees })
+    metas.flatMap { case (f, meta) =>
+      val keep: Seq[Int] =
+        if (!probeTs) meta.subtrees
+        else ranges(f) match {
+          case Some(rs) => rs.collect {
+            case (st, lo, hi)
+              if filters.forall(Db3Filters.subtreeMayMatch(_, lo, hi)) => st
           }
-        keep.map(st => Db3InputPartition(f, st, meta.topics): InputPartition)
-      }
+          case None => meta.subtrees
+        }
+      keep.map(st => Db3InputPartition(f, st, meta.topics): InputPartition)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = typed match {

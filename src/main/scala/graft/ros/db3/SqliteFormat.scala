@@ -243,8 +243,12 @@ object SqliteFormat {
             Some((rowid, recordPrefix(b, co + n1 + n2, local, k)))
           }
         case 0x05 =>
+          // n == 0: a cell-less interior page (rightmost pointer only)
+          // — the engine's writer never emits one, but a foreign file
+          // may; the rightmost child IS its whole subtree
           val child =
-            if (last) be32(b, base + 8) else be32(b, be16(b, base + 12))
+            if (last || n == 0) be32(b, base + 8)
+            else be32(b, be16(b, base + 12))
           descend(child, last)
         case other => throw new IllegalArgumentException(
           f"page $pageNo is b-tree type 0x$other%02x, not a table page")
@@ -444,7 +448,19 @@ object SqliteFormat {
     val maxKids = math.max(2, (usable - 12) / 15)
     var level: Seq[(Int, Long)] = leafInfo.toSeq // (page, max rowid in subtree)
     while (level.length > 1) {
-      level = level.grouped(maxKids).map { group =>
+      // a trailing group of ONE child would build a zero-cell interior
+      // page (inner = group.init = empty) whose leftmost-descent reads
+      // a nonexistent cell pointer — rebalance the last two groups so
+      // every interior page has >= 2 children (the previous group is
+      // full with maxKids >= 3 children, so both halves end up >= 2)
+      val groups0 = level.grouped(maxKids).toSeq
+      val groups =
+        if (groups0.length > 1 && groups0.last.length == 1) {
+          val merged = groups0(groups0.length - 2) ++ groups0.last
+          val (a, b) = merged.splitAt(merged.length / 2)
+          groups0.dropRight(2) :+ a :+ b
+        } else groups0
+      level = groups.map { group =>
         val no = alloc.alloc()
         val b = alloc(no)
         b(0) = 0x05

@@ -41,9 +41,11 @@ object ContainerEtlBench {
     val blobBundle = Ros2Msg.bundle(BlobName, BlobDef)
     val readingBundle = Ros2Msg.bundle(ReadingName, ReadingDef)
     val rng = new scala.util.Random(42)
+    require(targetMB > 0 && targetMB <= 4096,
+      s"targetMB out of range: $targetMB (fixture built in driver memory)")
     val blob = new Array[Byte](4096)
     val perPair = 4096 + 120
-    val nPairs = (targetMB.toLong << 20).toInt / perPair
+    val nPairs = ((targetMB.toLong << 20) / perPair).toInt
     System.err.println(s"generating $nPairs blob + $nPairs reading messages...")
 
     def blobPayload(i: Int): Array[Byte] = {

@@ -112,6 +112,14 @@ class Db3Spec extends SparkTestBase {
       .filter(col("timestamp") >= cut)
     assert(got.count() === 500)
     assert(got.agg(min(col("msg_id"))).head().getLong(0) === 1501L)
+    // the escape hatch for foreign/merged writers: pruning off keeps
+    // every subtree in the plan; rows still exact via the row filter
+    val unpruned = new Db3Scan(genuine, Db3DataSource.SpineSchema,
+      Array(GreaterThanOrEqual("timestamp", cut)), None, includeRaw = false,
+      -1, tsPruning = false)
+    assert(unpruned.planInputPartitions().length === nAll)
+    assert(spark.read.format("db3").option("timestamp_pruning", "false")
+      .load(genuine).filter(col("timestamp") >= cut).count() === 500)
   }
 
   test("pruned read equals full-scan-then-filter on every pushable predicate") {

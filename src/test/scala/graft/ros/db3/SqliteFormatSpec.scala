@@ -119,6 +119,32 @@ class SqliteFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-level grouping never builds a zero-cell interior page (row-count sweep)") {
+    // a trailing group of one child (level size ≡ 1 mod the per-page
+    // child cap) used to emit an interior page with zero cells, whose
+    // first-edge descent read a nonexistent cell pointer; sweep row
+    // counts across several page-boundary shapes and require walks +
+    // edge probes to agree everywhere
+    for (n <- Seq(260, 270, 280, 290, 297, 298, 299, 300, 310, 330, 350, 400)) {
+      val rows = (0 until n).map { i =>
+        Seq[Any](null, 1L, 1000L + i, Array.tabulate(40)(j => ((i + j) % 127).toByte))
+      }
+      val db = writeDb(Seq(
+        ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)", rows)),
+        pageSize = 512)
+      val h = parseHeader(db)
+      val page = pager(db, h.pageSize)
+      val root = tableRoots(page, h.usable)("messages")
+      assert(tableRows(page, h.usable, root).map(_._1).toSeq === (1L to n.toLong), s"n=$n")
+      rootChildren(page, h.usable, root).foreach { st =>
+        val e = edgeRows(page, h.usable, st, 3)
+        assert(e.isDefined, s"n=$n subtree $st")
+        val ((fid, _), (lid, _)) = e.get
+        assert(fid <= lid, s"n=$n subtree $st")
+      }
+    }
+  }
+
   test("extreme integer widths and serial-type specials survive the record codec") {
     val vals = Seq[Any](null, 0L, 1L, -1L, 127L, -128L, 32767L, -32768L,
       (1L << 23) - 1, -(1L << 23), Int.MaxValue.toLong, Int.MinValue.toLong,
