@@ -189,6 +189,25 @@ object ContainerQueries {
             .as("sum_value"),
           sum(length(col("props")).cast("long")).as("props_chars"))
         .orderBy(col("event_type"))
+    }),
+
+    // Q79 — mixed-container dataset read, CHECKED: one directory
+    // holding the q76/q77/q78 fixtures (all three container formats),
+    // read through MixedRead.spine's per-extension dispatch. Counts,
+    // per-container topic cardinality (the channel/connection/topic
+    // dimensions) and the nanosecond min/max timestamps under each
+    // container's own time convention all sit inside the DuckDB
+    // equality (each fixture stamps message time from the same ts_us,
+    // so all three converge on epoch_us(ts)*1000).
+    "q79_mixed_spine" -> ((s, d) => {
+      val dir = mixedFixture(s, d)
+      graft.ros.MixedRead.spine(s, dir)
+        .groupBy(col("container")).agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("topic")).as("n_topics"),
+          min(col("timestamp")).as("min_ts_ns"),
+          max(col("timestamp")).as("max_ts_ns"))
+        .orderBy(col("container"))
     }))
 
   /** db3 twin of [[fixture]]: the same 1000-row slice written as a
@@ -274,6 +293,29 @@ object ContainerQueries {
     f.getAbsolutePath
   }
 
+  /** One directory holding all three container fixtures — q79's
+    * input. Builds (or reuses) the per-format fixtures, then copies
+    * them in; done-marker + fresh-dir discipline like the others.
+    */
+  private def mixedFixture(s: SparkSession, d: String): String = synchronized {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_container_mixed_" + cacheKey(d))
+    dir.mkdirs()
+    val done = new java.io.File(dir, "_built")
+    if (!done.exists()) {
+      val srcs = Seq(fixture(s, d), db3Fixture(s, d), bagFixture(s, d))
+      srcs.foreach { src =>
+        val f = new java.io.File(src)
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dir, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      done.createNewFile()
+      ()
+    }
+    dir.getAbsolutePath
+  }
+
   val oracle: Map[String, String] = Map(
     "q76_container_roundtrip" ->
       """WITH ev AS (
@@ -312,5 +354,21 @@ object ContainerQueries {
         |       MAX(epoch_us(ts)) AS max_ts_us,
         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value,
         |       CAST(SUM(length(props)) AS BIGINT) AS props_chars
-        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q79_mixed_spine" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |  FROM events ORDER BY event_id LIMIT 1000),
+        |a AS (
+        |  SELECT COUNT(*) AS cnt,
+        |         MIN(epoch_us(ts)) * 1000 AS min_ts_ns,
+        |         MAX(epoch_us(ts)) * 1000 AS max_ts_ns
+        |  FROM ev)
+        |SELECT 'db3' AS container, cnt, CAST(1 AS BIGINT) AS n_topics,
+        |       min_ts_ns, max_ts_ns FROM a
+        |UNION ALL
+        |SELECT 'mcap', cnt, CAST(2 AS BIGINT), min_ts_ns, max_ts_ns FROM a
+        |UNION ALL
+        |SELECT 'rosbag', cnt, CAST(2 AS BIGINT), min_ts_ns, max_ts_ns FROM a
+        |ORDER BY container""".stripMargin)
 }
