@@ -226,6 +226,25 @@ object RosbagFilters {
     case _ => true
   }
 
+  /** Connection-catalog pruning: once a bag's index is read, a
+    * topic/datatype/connection_id equality/IN filter no connection can
+    * satisfy drops the WHOLE bag's chunks from the plan (the db3
+    * topics-catalog / mcap channel-catalog analog).
+    */
+  def bagMayMatchConns(f: Filter,
+      conns: Iterable[BagFormat.BagConnection]): Boolean = f match {
+    case EqualTo("topic", v) => conns.exists(_.topic == v)
+    case In("topic", vs) => conns.exists(c => vs.contains(c.topic))
+    case EqualTo("datatype", v) => conns.exists(_.datatype == v)
+    case In("datatype", vs) => conns.exists(c => vs.contains(c.datatype))
+    case EqualTo("connection_id", v: Number) =>
+      conns.exists(_.connId == v.intValue())
+    case In("connection_id", vs) =>
+      vs.exists { case v: Number => conns.exists(_.connId == v.intValue())
+                  case _ => true }
+    case _ => true
+  }
+
   /** Chunk-level pruning: can this chunk possibly contain a row
     * passing `f`, given its chunk-info time range? Conservative —
     * chunks without ranges (foreign writers) are never pruned.
@@ -292,10 +311,49 @@ final case class RosbagInputPartition(path: String, chunkIdx: Int,
     chunk: BagFormat.BagChunk, conns: Map[Int, BagFormat.BagConnection])
   extends InputPartition
 
-class RosbagScan(path: String, required: StructType, filters: Array[Filter], limit: Int,
+class RosbagScan(path: String, required: StructType, pushed: Array[Filter], limit: Int,
     typed: Option[RosbagTypedRead.TypedTarget] = None, includeRaw: Boolean = false)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  // Runtime (DPP-style) filters from joins against selective
+  // dimensions (RosbagTables.connections, a fleet manifest):
+  // BatchScanExec re-plans partitions after filter(), so whole bags
+  // prune via bag_path and the connection catalog at execution time.
+  // Typed reads accept only the columns their eval context carries
+  // (the pushFilters contract).
+  private var runtime: Array[Filter] = Array.empty
+  private def filters: Array[Filter] = pushed ++ runtime
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns the (pruned) output carries: Spark resolves these
+    // against the scan's output and FAILS on a projected-away column
+    (if (typed.isDefined) Array("bag_path", "connection_id")
+     else Array("bag_path", "topic", "datatype", "connection_id"))
+      .filter(required.fieldNames.contains(_))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(fs: Array[Filter]): Unit =
+    runtime = fs.filter { f =>
+      RosbagFilters.supported(f) && (typed.isEmpty ||
+        f.references.forall(Set("connection_id", "time_sec", "bag_path")))
+    }
+
+  // bz2/lz4 chunk bodies make this an UNDER-estimate of row bytes —
+  // fine for join-side sizing; row count unknowable without indexes
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private lazy val bytes: Long = graft.ros.DriverPool.totalBytes(
+        typed.map(_.bags).getOrElse(RosbagIO.resolveBags(path)),
+        RosbagIO.hadoopConf())
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -325,6 +383,8 @@ class RosbagScan(path: String, required: StructType, filters: Array[Filter], lim
     val bagPaths = typed.map(_.bags).getOrElse(RosbagIO.resolveBags(path))
     val surviving = bagPaths.filter(b => filters.forall(f => RosbagFilters.bagMayMatch(f, b)))
     RosbagIO.scanIndexes(surviving)
+      .filter { case (_, index) =>
+        filters.forall(f => RosbagFilters.bagMayMatchConns(f, index.connections)) }
       .flatMap { case (bag, index) =>
         val conns0 = index.connections.map(c => c.connId -> c).toMap
         // typed reads pin ONE (datatype, md5) variant: a bag carrying

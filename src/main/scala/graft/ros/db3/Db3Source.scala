@@ -268,27 +268,8 @@ object Db3IO {
     * metadata path); results keep the input order; the ORIGINAL
     * failure surfaces, not the pool's ExecutionException.
     */
-  def scanMetas(files: Seq[String]): Seq[(String, Db3Meta)] = {
-    if (files.isEmpty) return Seq.empty
-    if (files.size == 1) return files.map(f => f -> scanMeta(f))
-    val par = math.min(32, files.size)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-    try {
-      val futs = files.map { f =>
-        pool.submit(new java.util.concurrent.Callable[(String, Db3Meta)] {
-          override def call(): (String, Db3Meta) = f -> scanMeta(f)
-        })
-      }
-      futs.map { fu =>
-        try fu.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-      }
-      // shutdownNow, not shutdown: on the failure path plain shutdown
-      // would let the workers drain thousands of queued metadata scans
-      // AFTER the caller has already rethrown (on success the queue is
-      // empty and this is equivalent)
-    } finally { pool.shutdownNow(); () }
-  }
+  def scanMetas(files: Seq[String]): Seq[(String, Db3Meta)] =
+    graft.ros.DriverPool.parMap(files)(f => f -> scanMeta(f))
 
   def scanMeta(file: String): Db3Meta = {
     val pager = new Pager(file)
@@ -356,26 +337,10 @@ object Db3IO {
     * more than the metadata scans do.
     */
   def subtreeTsRangesAll(files: Seq[(String, Seq[Int])])
-      : Map[String, Option[Seq[(Int, Long, Long)]]] = {
-    if (files.isEmpty) return Map.empty
-    if (files.size == 1)
-      return files.map { case (f, st) => f -> subtreeTsRanges(f, st) }.toMap
-    val par = math.min(32, files.size)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-    try {
-      val futs = files.map { case (f, st) =>
-        pool.submit(new java.util.concurrent.Callable[
-            (String, Option[Seq[(Int, Long, Long)]])] {
-          override def call(): (String, Option[Seq[(Int, Long, Long)]]) =
-            f -> subtreeTsRanges(f, st)
-        })
-      }
-      futs.map { fu =>
-        try fu.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-      }.toMap
-    } finally { pool.shutdownNow(); () }
-  }
+      : Map[String, Option[Seq[(Int, Long, Long)]]] =
+    graft.ros.DriverPool.parMap(files) { case (f, st) =>
+      f -> subtreeTsRanges(f, st)
+    }.toMap
 }
 
 /** Pushed-filter support for the db3 source — same contract as
@@ -607,10 +572,42 @@ class Db3ScanBuilder(path: String, full: StructType,
 final case class Db3InputPartition(path: String, subtree: Int,
     topics: Map[Long, (String, String, String)]) extends InputPartition
 
-class Db3Scan(path: String, required: StructType, filters: Array[Filter],
+class Db3Scan(path: String, required: StructType, pushed: Array[Filter],
               typed: Option[Db3TypedRead.TypedTarget], includeRaw: Boolean,
-              limit: Int, tsPruning: Boolean = true) extends Scan with Batch {
+              limit: Int, tsPruning: Boolean = true) extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  // Runtime (DPP-style) filters: a join against a selective dimension
+  // (Db3Tables.topics, a file manifest) materializes IN-filters on
+  // these columns at execution time; BatchScanExec then re-plans the
+  // partitions — whole files prune via the topics catalog exactly
+  // like compile-time pushed filters. The typed read's eval context
+  // carries the same meta columns, so the attribute set is shared.
+  private var runtime: Array[Filter] = Array.empty
+  private def filters: Array[Filter] = pushed ++ runtime
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns the (pruned) output carries: Spark resolves these
+    // against the scan's output and FAILS on a projected-away column
+    Array("file_path", "topic", "topic_id")
+      .filter(required.fieldNames.contains(_))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(fs: Array[Filter]): Unit =
+    runtime = fs.filter(Db3Filters.supported)
+
+  // size from the files themselves (decompressed payloads can exceed
+  // it for zstd recordings — an estimate, like any scan statistic);
+  // row count unknowable without walking the b-trees
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes: Long = graft.ros.DriverPool.totalBytes(
+      typed.map(_.files).getOrElse(Db3IO.resolveFiles(path)), Db3IO.hadoopConf())
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val files = typed.map(_.files).getOrElse(Db3IO.resolveFiles(path))

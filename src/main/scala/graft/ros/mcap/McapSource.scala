@@ -163,6 +163,30 @@ object McapFilters {
     case _ => true
   }
 
+  /** Channel-catalog pruning: once a file's index is read, a
+    * topic/channel/schema equality/IN filter that no channel can
+    * satisfy drops the WHOLE file's partitions (the db3 topics-catalog
+    * pruning, over the mcap channel dimension).
+    */
+  def fileMayMatchChannels(f: Filter,
+      channels: Map[Int, McapFormat.McapChannel],
+      schemaNames: Map[Int, String]): Boolean = {
+    def anyChannel(pred: McapFormat.McapChannel => Boolean): Boolean =
+      channels.values.exists(pred)
+    f match {
+      case EqualTo("channel_id", v: Number) => channels.contains(v.intValue())
+      case In("channel_id", vs) =>
+        vs.exists { case v: Number => channels.contains(v.intValue()); case _ => true }
+      case EqualTo("topic", v) => anyChannel(_.topic == v)
+      case In("topic", vs) => anyChannel(c => vs.contains(c.topic))
+      case EqualTo("schema_name", v) =>
+        anyChannel(c => schemaNames.get(c.schemaId).contains(v))
+      case In("schema_name", vs) =>
+        anyChannel(c => schemaNames.get(c.schemaId).exists(vs.contains))
+      case _ => true
+    }
+  }
+
   /** Chunk-level pruning on the chunk's [messageStartTime,
     * messageEndTime] nanosecond range — conservative, like rosbag
     * chunk-info pruning.
@@ -226,10 +250,41 @@ final case class McapInputPartition(path: String, chunkIdx: Int,
     channels: Map[Int, McapFormat.McapChannel],
     ordinalBase: Int = 0) extends InputPartition
 
-class McapScan(path: String, required: StructType, filters: Array[Filter], limit: Int,
+class McapScan(path: String, required: StructType, pushed: Array[Filter], limit: Int,
     typed: Option[McapTypedRead.TypedTarget] = None, includeRaw: Boolean = false)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  // Runtime (DPP-style) filters from joins against selective
+  // dimensions (McapTables.channels, a file manifest): BatchScanExec
+  // re-plans partitions after filter(), so whole files/chunks prune
+  // at execution time exactly like compile-time pushed filters. The
+  // typed reader's eval context carries these columns too.
+  private var runtime: Array[Filter] = Array.empty
+  private def filters: Array[Filter] = pushed ++ runtime
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns the (pruned) output carries: Spark resolves these
+    // against the scan's output and FAILS on a projected-away column
+    Array("file_path", "topic", "channel_id")
+      .filter(required.fieldNames.contains(_))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(fs: Array[Filter]): Unit =
+    runtime = fs.filter(McapFilters.supported)
+
+  // compressed chunk bodies make this an UNDER-estimate of row bytes —
+  // fine for join-side sizing; row count unknowable without a walk
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes: Long = graft.ros.DriverPool.totalBytes(
+      typed.map(_.files).getOrElse(McapIO.resolveFiles(path)),
+      graft.ros.bag.RosbagIO.hadoopConf())
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -239,25 +294,35 @@ class McapScan(path: String, required: StructType, filters: Array[Filter], limit
     new McapMicroBatchStream(path, required, filters, typed, includeRaw)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // typed reads plan only the files carrying the resolved schema
+    // typed reads plan only the files carrying the resolved schema;
+    // index scans fan out on the bounded driver pool (a fleet
+    // directory must not pay sequential summary walks), and a file
+    // whose CHANNEL catalog cannot satisfy a topic/channel/schema
+    // filter contributes no partitions at all
     val files = typed.map(_.files).getOrElse(McapIO.resolveFiles(path))
       .filter(f => filters.forall(fl => McapFilters.fileMayMatch(fl, f)))
-    files.flatMap { f =>
-      val idx = McapIO.scanIndex(f)
-      val schemaInfo = idx.schemas.map { case (id, s) =>
-        id -> (s.name, s.encoding, McapTypedRead.md5hex(s.data)) }
-      val chunkParts = idx.chunks.zipWithIndex
-        .filter { case (c, _) => filters.forall(fl => McapFilters.chunkMayMatch(fl, c)) }
-        .map { case (c, i) =>
-          McapInputPartition(f, i, Some(c), Seq.empty, schemaInfo, idx.channels): InputPartition
+    graft.ros.DriverPool.parMap(files)(f => f -> McapIO.scanIndex(f))
+      .flatMap { case (f, idx) =>
+        val schemaInfo = idx.schemas.map { case (id, s) =>
+          id -> (s.name, s.encoding, McapTypedRead.md5hex(s.data)) }
+        val schemaNames = schemaInfo.map { case (id, (n, _, _)) => id -> n }
+        if (!filters.forall(fl =>
+            McapFilters.fileMayMatchChannels(fl, idx.channels, schemaNames)))
+          Seq.empty
+        else {
+          val chunkParts = idx.chunks.zipWithIndex
+            .filter { case (c, _) => filters.forall(fl => McapFilters.chunkMayMatch(fl, c)) }
+            .map { case (c, i) =>
+              McapInputPartition(f, i, Some(c), Seq.empty, schemaInfo, idx.channels): InputPartition
+            }
+          val inlinePart =
+            if (idx.inlineMessages.nonEmpty)
+              Seq(McapInputPartition(f, -1, None, idx.inlineMessages,
+                schemaInfo, idx.channels): InputPartition)
+            else Seq.empty
+          chunkParts ++ inlinePart
         }
-      val inlinePart =
-        if (idx.inlineMessages.nonEmpty)
-          Seq(McapInputPartition(f, -1, None, idx.inlineMessages,
-            schemaInfo, idx.channels): InputPartition)
-        else Seq.empty
-      chunkParts ++ inlinePart
-    }.toArray
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = typed match {

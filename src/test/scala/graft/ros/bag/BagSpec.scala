@@ -654,6 +654,44 @@ class BagSpec extends SparkTestBase {
     assert(e.getMessage.contains("_spark_metadata"))
   }
 
+  test("runtime filters prune bags via the connection catalog; stats report bytes") {
+    // two bags with disjoint topics — a topic filter (static or
+    // runtime via the DPP path) must drop the other bag's chunks
+    val dir = Files.createTempDirectory("graft_bag_rt").toFile
+    def writeTopic(name: String, topic: String): Unit = {
+      val conn = BagConnection(0, topic, "sensor_msgs/Imu", Fixtures.imuMd5,
+        Fixtures.imuDef, "/n")
+      val msgs = (0 until 4).map { i =>
+        WriteMessage(0, 1700000000 + i, 0, imuBytes(i.toLong, 1700000000 + i,
+          0, s"f$i", i * 1.0))
+      }
+      Files.write(new java.io.File(dir, name).toPath,
+        BagFormat.writeBag(Seq(conn), msgs, messagesPerChunk = 2))
+      ()
+    }
+    writeTopic("a.bag", "/alpha"); writeTopic("b.bag", "/beta")
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    def scan(fs: org.apache.spark.sql.sources.Filter*) =
+      new RosbagScan(dir.getAbsolutePath, RosbagDataSource.SpineSchema, fs.toArray, -1)
+    val all = scan().planInputPartitions()
+    val static = scan(EqualTo("topic", "/alpha")).planInputPartitions()
+    assert(static.nonEmpty && static.length < all.length)
+    assert(static.map(_.asInstanceOf[RosbagInputPartition].path).distinct
+      .forall(_.endsWith("a.bag")))
+    val rt = scan()
+    assert(rt.filterAttributes().map(_.describe()).toSet ===
+      Set("bag_path", "topic", "datatype", "connection_id"))
+    rt.filter(Array[org.apache.spark.sql.sources.Filter](In("topic", Array[Any]("/beta"))))
+    val pruned = rt.planInputPartitions()
+    assert(pruned.nonEmpty && pruned.length < all.length)
+    assert(pruned.map(_.asInstanceOf[RosbagInputPartition].path).distinct
+      .forall(_.endsWith("b.bag")))
+    val bytes = dir.listFiles().filter(_.getName.endsWith(".bag")).map(_.length).sum
+    assert(scan().estimateStatistics().sizeInBytes().getAsLong === bytes)
+    assert(spark.read.format("rosbag").load(dir.getAbsolutePath)
+      .filter(col("topic") === "/alpha").count() === 4)
+  }
+
   test("bagsSpec rejects a bag path containing a newline instead of splitting it") {
     val e = intercept[IllegalArgumentException] {
       RosbagDataSource.bagsSpec(Seq("/ok/a.bag", "/bad/with\nnewline.bag"))

@@ -181,6 +181,21 @@ class Db3Spec extends SparkTestBase {
     val plan = df.filter(col("topic") === "/alpha").queryExecution
       .executedPlan.toString
     assert(plan.contains("pushedFilters=[EqualTo(topic,/alpha)]"), plan)
+    // runtime (DPP-path) filters re-plan the partitions the same way
+    val rt = new Db3Scan(dir.getAbsolutePath, Db3DataSource.SpineSchema,
+      Array.empty, None, includeRaw = false, -1)
+    assert(rt.filterAttributes().map(_.describe()).toSet ===
+      Set("file_path", "topic", "topic_id"))
+    val all = rt.planInputPartitions().length
+    rt.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("topic", Array[Any]("/beta"))))
+    val prunedRt = rt.planInputPartitions()
+      .map(_.asInstanceOf[Db3InputPartition].path).distinct
+    assert(prunedRt.length === 1 && prunedRt.head.endsWith("b.db3"))
+    assert(rt.planInputPartitions().length < all)
+    // reported statistics = the files' byte size
+    val bytes = dir.listFiles().filter(_.getName.endsWith(".db3")).map(_.length).sum
+    assert(rt.estimateStatistics().sizeInBytes().getAsLong === bytes)
   }
 
   test("non-monotone timestamps disable subtree pruning but never correctness") {

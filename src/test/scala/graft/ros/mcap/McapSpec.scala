@@ -544,6 +544,81 @@ class McapSpec extends SparkTestBase {
     assert(gotMicros == wantMicros)
   }
 
+  test("runtime filters re-plan partitions; channel catalog prunes files; stats report bytes") {
+    // two files with DISJOINT topics: a topic filter (static or
+    // runtime) must drop the other file's partitions entirely
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcap_rt").toFile
+    def writeTopic(name: String, chan: String): Unit = {
+      val schemas = Seq(McapSchema(1, "std_msgs/msg/String", "ros2msg",
+        "string data\n".getBytes("UTF-8")))
+      val channels = Seq(McapChannel(1, 1, chan, "cdr"))
+      val msgs = (0 until 6).map(i => McapMessage(1, i.toLong,
+        1700000000000000000L + i, 1700000000000000000L + i,
+        Array[Byte](0, 1, 0, 0, 2, 0, 0, 0, 'x'.toByte, 0)))
+      val out = new java.io.FileOutputStream(new java.io.File(dir, name))
+      try out.write(writeMcap(schemas, channels, msgs, chunkGroups = 2)) finally out.close()
+    }
+    writeTopic("a.mcap", "/alpha"); writeTopic("b.mcap", "/beta")
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    def scan(fs: org.apache.spark.sql.sources.Filter*) =
+      new McapScan(dir.getAbsolutePath, McapDataSource.SpineSchema, fs.toArray, -1)
+    val all = scan().planInputPartitions()
+    // static topic filter: only /alpha's file plans
+    val static = scan(EqualTo("topic", "/alpha")).planInputPartitions()
+    assert(static.length < all.length && static.nonEmpty)
+    assert(static.map(_.asInstanceOf[McapInputPartition].path).distinct
+      .forall(_.endsWith("a.mcap")))
+    // runtime filter (the DPP path): same pruning via filter() after build
+    val rt = scan()
+    assert(rt.filterAttributes().map(_.describe()).toSet ===
+      Set("file_path", "topic", "channel_id"))
+    rt.filter(Array[org.apache.spark.sql.sources.Filter](In("topic", Array[Any]("/beta"))))
+    val pruned = rt.planInputPartitions()
+    assert(pruned.length < all.length && pruned.nonEmpty)
+    assert(pruned.map(_.asInstanceOf[McapInputPartition].path).distinct
+      .forall(_.endsWith("b.mcap")))
+    // reported statistics = the files' byte size (join-side sizing)
+    val bytes = dir.listFiles().filter(_.getName.endsWith(".mcap")).map(_.length).sum
+    assert(scan().estimateStatistics().sizeInBytes().getAsLong === bytes)
+    // and the full query path is unaffected
+    assert(spark.read.format("mcap").load(dir.getAbsolutePath)
+      .filter(col("topic") === "/alpha").count() === 6)
+  }
+
+  test("a broadcast join against a selective dimension runtime-prunes the scan (DPP)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcap_dpp").toFile
+    def writeTopic(name: String, chan: String): Unit = {
+      val schemas = Seq(McapSchema(1, "std_msgs/msg/String", "ros2msg",
+        "string data\n".getBytes("UTF-8")))
+      val channels = Seq(McapChannel(1, 1, chan, "cdr"))
+      val msgs = (0 until 6).map(i => McapMessage(1, i.toLong,
+        1700000000000000000L + i, 1700000000000000000L + i,
+        Array[Byte](0, 1, 0, 0, 2, 0, 0, 0, 'x'.toByte, 0)))
+      val out = new java.io.FileOutputStream(new java.io.File(dir, name))
+      try out.write(writeMcap(schemas, channels, msgs, chunkGroups = 2)) finally out.close()
+    }
+    writeTopic("a.mcap", "/alpha"); writeTopic("b.mcap", "/beta")
+    import spark.implicits._
+    // DPP requires a SELECTIVE predicate on the filtering side — and
+    // the predicate must SURVIVE optimization, so the dimension is
+    // parquet-backed (a filter over a local relation constant-folds
+    // away and the rule sees no selective filter)
+    val dimPath = new java.io.File(dir, "dim.parquet").getAbsolutePath
+    Seq(("/alpha", 1), ("/beta", 2)).toDF("topic", "id")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("id") === 1)
+    val joined = spark.read.format("mcap").load(dir.getAbsolutePath)
+      .join(dim, "topic")
+    assert(joined.collect().length === 6)
+    // the FINALIZED plan (adaptive plans print the real tree only
+    // after execution) carries a dynamic-pruning runtime filter on the
+    // scan: PartitionPruning resolved our filterAttributes, inserted
+    // the subquery, and BatchScanExec re-planned partitions when it
+    // fired
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+  }
+
   test("directory load resolves *.mcap children; file_path pruning plans one file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mcap_dir").toFile
     val m1 = fixtureMessages(3); val m2 = fixtureMessages(4)
