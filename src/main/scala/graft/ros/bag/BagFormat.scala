@@ -59,7 +59,11 @@ object BagFormat {
   final case class BagChunk(pos: Long, compression: String, uncompressedSize: Int,
                             dataOffset: Long, dataLength: Int,
                             startTime: Option[(Int, Int)] = None,
-                            endTime: Option[(Int, Int)] = None)
+                            endTime: Option[(Int, Int)] = None,
+                            // chunk-info per-connection message counts
+                            // ((connId, n); None = no chunk-info record,
+                            // metadata-only counting unavailable)
+                            connCounts: Option[Seq[(Int, Int)]] = None)
 
   final case class BagIndex(connections: Seq[BagConnection], chunks: Seq[BagChunk])
 
@@ -135,7 +139,8 @@ object BagFormat {
       var pos: Long = Magic.length
       val conns = scala.collection.mutable.LinkedHashMap[Int, BagConnection]()
       val chunks = scala.collection.mutable.ArrayBuffer[BagChunk]()
-      val chunkTimes = scala.collection.mutable.HashMap[Long, ((Int, Int), (Int, Int))]()
+      val chunkTimes = scala.collection.mutable.HashMap[Long,
+        ((Int, Int), (Int, Int), Option[Seq[(Int, Int)]])]()
       // A bag being actively appended may end mid-record; treat that as
       // "no more complete records" (the next scan sees the finished
       // record) rather than failing the whole index scan.
@@ -160,8 +165,20 @@ object BagFormat {
           case OpConnection => addConnection(r, conns)
           case OpChunkInfo =>
             // per-chunk time range — the stats readers use to skip
-            // chunks (reference README.md:8)
-            chunkTimes += r.u64("chunk_pos") -> (r.time("start_time"), r.time("end_time"))
+            // chunks (reference README.md:8) — plus the per-connection
+            // message counts, which metadata-only count(*) pushdown
+            // sums without ever reading a chunk body
+            val n = r.u32("count")
+            val counts =
+              if (r.data.length >= n * 8)
+                Some((0 until n).map { i =>
+                  val bb = java.nio.ByteBuffer.wrap(r.data, i * 8, 8)
+                    .order(ByteOrder.LITTLE_ENDIAN)
+                  (bb.getInt(), bb.getInt())
+                })
+              else None // truncated/foreign chunk-info: no counts
+            chunkTimes += r.u64("chunk_pos") ->
+              ((r.time("start_time"), r.time("end_time"), counts))
           case _ => ()
         }
         pos += r.wireLen
@@ -169,7 +186,8 @@ object BagFormat {
       }
       val withTimes = chunks.map { c =>
         chunkTimes.get(c.pos) match {
-          case Some((st, et)) => c.copy(startTime = Some(st), endTime = Some(et))
+          case Some((st, et, counts)) =>
+            c.copy(startTime = Some(st), endTime = Some(et), connCounts = counts)
           case None => c
         }
       }

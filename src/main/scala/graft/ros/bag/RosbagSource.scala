@@ -179,10 +179,50 @@ class RosbagTable(path: String, datatype: Option[String] = None,
 class RosbagScanBuilder(path: String, fullSchema: StructType,
     typed: Option[RosbagTypedRead.TypedTarget] = None, includeRaw: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var agg: Option[(StructType, Seq[Seq[Any]])] = None
+
+  /** Metadata-only count pushdown (graft.ros.MetadataAgg): `count(*)`
+    * and `groupBy(topic/datatype/connection_id/bag_path).count()` sum
+    * the chunk-info records' per-connection counts — no chunk body is
+    * ever read. Refused (normal scan) when any chunk lacks chunk-info
+    * counts or counts a connection absent from the catalog.
+    */
+  override def pushAggregation(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (typed.isDefined || pushed.nonEmpty || limit >= 0) return false
+    graft.ros.MetadataAgg.groupCols(a,
+        Set("bag_path", "topic", "datatype", "connection_id")) match {
+      case None => false
+      case Some(cols) =>
+        val idx = RosbagIO.scanIndexes(RosbagIO.resolveBags(path))
+        val sound = idx.forall { case (_, index) =>
+          val connIds = index.connections.map(_.connId).toSet
+          index.chunks.forall(ch => ch.connCounts.exists(
+            _.forall { case (id, _) => connIds.contains(id) }))
+        }
+        if (!sound) false
+        else {
+          val units = idx.flatMap { case (bag, index) =>
+            val conns = index.connections.map(c => c.connId -> c).toMap
+            index.chunks.flatMap(_.connCounts.get).map { case (id, n) =>
+              val c = conns(id)
+              (Map[String, Any]("bag_path" -> bag, "topic" -> c.topic,
+                "datatype" -> c.datatype, "connection_id" -> id), n.toLong)
+            }
+          }
+          val nCounts = a.aggregateExpressions.length
+          agg = Some((graft.ros.MetadataAgg.schema(cols,
+            RosbagDataSource.SpineSchema, nCounts),
+            graft.ros.MetadataAgg.rows(cols, nCounts, units)))
+          true
+        }
+    }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -202,7 +242,11 @@ class RosbagScanBuilder(path: String, fullSchema: StructType,
 
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
-  override def build(): Scan = new RosbagScan(path, required, pushed, limit, typed, includeRaw)
+  override def build(): Scan = agg match {
+    case Some((sch, rows)) =>
+      new graft.ros.MetadataAggScan(sch, rows, s"rosbag $path")
+    case None => new RosbagScan(path, required, pushed, limit, typed, includeRaw)
+  }
 }
 
 object RosbagFilters {

@@ -38,13 +38,22 @@ object McapFormat {
                                 messageStartTime: Long, messageEndTime: Long,
                                 compression: String, uncompressedSize: Long,
                                 uncompressedCrc: Long)
+  /** The summary Statistics record's count fields — what metadata-only
+    * aggregate pushdown answers `count(*)` / per-channel counts from
+    * (the parquet-row-count trust level: writer-stamped file metadata).
+    */
+  final case class McapStatistics(messageCount: Long,
+                                  channelMessageCounts: Map[Int, Long])
+
   /** Driver-side index of one file: the dimension records, the chunk
-    * refs, and any STANDALONE (unchunked) message record locations.
+    * refs, any STANDALONE (unchunked) message record locations, and
+    * the summary Statistics when the writer emitted them.
     */
   final case class McapIndex(schemas: Map[Int, McapSchema],
                              channels: Map[Int, McapChannel],
                              chunks: Seq[McapChunkRef],
-                             inlineMessages: Seq[(Long, Long)]) // (offset, recordLength)
+                             inlineMessages: Seq[(Long, Long)], // (offset, recordLength)
+                             stats: Option[McapStatistics] = None)
 
   // ---- little-endian primitive readers over byte arrays ----
 
@@ -222,6 +231,7 @@ object McapFormat {
     val schemas = scala.collection.mutable.Map[Int, McapSchema]()
     val channels = scala.collection.mutable.Map[Int, McapChannel]()
     val chunksFromSummary = scala.collection.mutable.ArrayBuffer[McapChunkRef]()
+    var statistics: Option[McapStatistics] = None
 
     if (summaryStart > 0) {
       // summary section runs to the footer record
@@ -252,7 +262,25 @@ object McapFormat {
           require(ref.messageStartTime == startT && ref.messageEndTime == endT,
             s"chunk index time range disagrees with chunk header at $off")
           chunksFromSummary += ref
-        case _ => () // Statistics / SummaryOffset: not needed for planning
+        case (OpStatistics, p) =>
+          // message_count u64, schema_count u16, channel_count u32,
+          // attachment_count u32, metadata_count u32, chunk_count u32,
+          // message_start_time u64, message_end_time u64,
+          // channel_message_counts: u32 byteLen + (u16 id, u64 count)*
+          // offsets: message_count@0, schema_count@8, channel_count@10,
+          // attachment_count@14, metadata_count@18, chunk_count@22,
+          // message_start_time@26, message_end_time@34, map byteLen@42
+          val messageCount = leLong(p, 0)
+          val mapLen = leInt(p, 42).toInt
+          val counts = scala.collection.mutable.Map[Int, Long]()
+          var o = 46
+          val end = 46 + mapLen
+          while (o + 10 <= end) {
+            counts(leShort(p, o)) = leLong(p, o + 2)
+            o += 10
+          }
+          statistics = Some(McapStatistics(messageCount, counts.toMap))
+        case _ => () // SummaryOffset: not needed for planning
       }
     }
 
@@ -298,7 +326,7 @@ object McapFormat {
     McapIndex(schemas.toMap, channels.toMap,
       (if (summaryStart > 0) chunksFromSummary else chunksFromWalk)
         .sortBy(_.fileOffset).toSeq,
-      inline.toSeq)
+      inline.toSeq, statistics)
   }
 
   /** Resumable state of a TOLERANT data-section walk over a
@@ -587,6 +615,21 @@ object McapFormat {
     if (withSummary) {
       schemas.foreach(s => out.write(schemaRec(s)))
       channels.foreach(c => out.write(channelRec(c)))
+      // Statistics record (spec §Statistics): message counts per
+      // channel — what metadata-only count(*) pushdown reads
+      val st = new ByteArrayOutputStream()
+      wLeLong(st, messages.size.toLong)
+      wLeShort(st, schemas.size)
+      wLeInt(st, channels.size.toLong)
+      wLeInt(st, 0L); wLeInt(st, 0L) // attachments, metadata
+      wLeInt(st, chunkIdx.size.toLong)
+      wLeLong(st, if (messages.isEmpty) 0L else messages.map(_.logTime).min)
+      wLeLong(st, if (messages.isEmpty) 0L else messages.map(_.logTime).max)
+      val byChan = messages.groupBy(_.channelId).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      wLeInt(st, byChan.size * 10L)
+      byChan.foreach { case (id, n) => wLeShort(st, id); wLeLong(st, n) }
+      out.write(record(OpStatistics, st.toByteArray))
       chunkIdx.foreach { case (ref, recLen) =>
         val p = new ByteArrayOutputStream()
         wLeLong(p, ref.messageStartTime); wLeLong(p, ref.messageEndTime)

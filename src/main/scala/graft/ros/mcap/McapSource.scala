@@ -121,10 +121,52 @@ class McapScanBuilder(path: String, fullSchema: StructType,
     typed: Option[McapTypedRead.TypedTarget] = None, includeRaw: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var agg: Option[(StructType, Seq[Seq[Any]])] = None
+
+  /** Metadata-only count pushdown (graft.ros.MetadataAgg): `count(*)`
+    * and `groupBy(topic/schema_name/channel_id/file_path).count()`
+    * read the summary Statistics record's per-channel counts — no
+    * chunk is ever decompressed. Refused (normal scan) when a file
+    * lacks Statistics, its counts disagree with message_count, or a
+    * counted channel is absent from the catalog.
+    */
+  override def pushAggregation(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (typed.isDefined || pushed.nonEmpty || limit >= 0) return false
+    graft.ros.MetadataAgg.groupCols(a,
+        Set("file_path", "topic", "schema_name", "channel_id")) match {
+      case None => false
+      case Some(cols) =>
+        val idx = graft.ros.DriverPool.parMap(McapIO.resolveFiles(path))(
+          f => f -> McapIO.scanIndex(f))
+        val sound = idx.forall { case (_, i) =>
+          i.stats.exists { st =>
+            st.channelMessageCounts.values.sum == st.messageCount &&
+              st.channelMessageCounts.keys.forall(i.channels.contains)
+          }
+        }
+        if (!sound) false
+        else {
+          val units = idx.flatMap { case (f, i) =>
+            i.stats.get.channelMessageCounts.toSeq.map { case (id, n) =>
+              val ch = i.channels(id)
+              val schemaName = i.schemas.get(ch.schemaId).map(_.name).getOrElse("")
+              (Map[String, Any]("file_path" -> f, "topic" -> ch.topic,
+                "schema_name" -> schemaName, "channel_id" -> id), n)
+            }
+          }
+          val nCounts = a.aggregateExpressions.length
+          agg = Some((graft.ros.MetadataAgg.schema(cols,
+            McapDataSource.SpineSchema, nCounts),
+            graft.ros.MetadataAgg.rows(cols, nCounts, units)))
+          true
+        }
+    }
+  }
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // typed reads push only meta-column filters (payload columns never
@@ -139,7 +181,11 @@ class McapScanBuilder(path: String, fullSchema: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pushLimit(l: Int): Boolean = { limit = l; false }
-  override def build(): Scan = new McapScan(path, required, pushed, limit, typed, includeRaw)
+  override def build(): Scan = agg match {
+    case Some((sch, rows)) =>
+      new graft.ros.MetadataAggScan(sch, rows, s"mcap $path")
+    case None => new McapScan(path, required, pushed, limit, typed, includeRaw)
+  }
 }
 
 object McapFilters {

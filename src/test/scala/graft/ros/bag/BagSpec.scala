@@ -654,6 +654,36 @@ class BagSpec extends SparkTestBase {
     assert(e.getMessage.contains("_spark_metadata"))
   }
 
+  test("count(*) and groupBy(topic).count() answer from chunk-info counts (agg pushdown)") {
+    val dir = Files.createTempDirectory("graft_bag_agg").toFile
+    val strDef = "string data"
+    val strBundle = MsgDefParser.parse("std_msgs/String", strDef)
+    val conns = Seq(
+      BagConnection(0, "/a", "std_msgs/String", "m1", strDef, "c"),
+      BagConnection(1, "/b", "std_msgs/String", "m1", strDef, "c"))
+    val msgs = (0 until 9).map { i =>
+      WriteMessage(i % 2, 1700000000 + i, 0,
+        RosSchemaMapper.encode(strBundle, Seq(s"v$i")))
+    }
+    Files.write(new java.io.File(dir, "x.bag").toPath,
+      BagFormat.writeBag(conns, msgs, messagesPerChunk = 4))
+    val df = spark.read.format("rosbag").load(dir.getAbsolutePath)
+    assert(df.count() === 9)
+    val agg = df.groupBy("topic").count()
+    assert(agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("/a" -> 5L, "/b" -> 4L))
+    // plan-visible: served from chunk-info counts, no chunk read
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("metadataAgg=true"), plan)
+    // grouping by connection_id and bag_path both push
+    val byConn = df.groupBy("connection_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byConn === Map(0 -> 5L, 1 -> 4L))
+    // a filter blocks the metadata path; the normal scan answers
+    val filtered = df.filter(col("connection_id") === 0).count()
+    assert(filtered === 5)
+  }
+
   test("runtime filters prune bags via the connection catalog; stats report bytes") {
     // two bags with disjoint topics — a topic filter (static or
     // runtime via the DPP path) must drop the other bag's chunks

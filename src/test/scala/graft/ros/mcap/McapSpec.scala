@@ -585,6 +585,38 @@ class McapSpec extends SparkTestBase {
       .filter(col("topic") === "/alpha").count() === 6)
   }
 
+  test("count(*) and groupBy(topic).count() answer from summary Statistics (agg pushdown)") {
+    val msgs = fixtureMessages(10)
+    val path = writeTemp(writeMcap(fixtureSchemas, fixtureChannels, msgs,
+      chunkGroups = 2))
+    val df = spark.read.format("mcap").load(path)
+    assert(df.count() === 10)
+    val agg = df.groupBy("topic").count()
+    assert(agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("/imu" -> 5L, "/chatter" -> 5L))
+    // plan-visible: the metadata-agg scan served it — no chunk was read
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("metadataAgg=true"), plan)
+    // per-schema grouping too
+    val bySchema = df.groupBy("schema_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySchema === Map("sensor_msgs/msg/Imu" -> 5L, "std_msgs/msg/String" -> 5L))
+    // a filter blocks the metadata path (counts can't see filters);
+    // results stay exact through the normal scan
+    val filtered = df.filter(col("sequence") < 4).groupBy("topic").count()
+    assert(!filtered.queryExecution.executedPlan.toString.contains("metadataAgg"))
+    assert(filtered.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("/imu" -> 2L, "/chatter" -> 2L))
+    // a summary-less writer cannot push — normal scan, same answer
+    val noSum = writeTemp(writeMcap(fixtureSchemas, fixtureChannels, msgs,
+      withSummary = false))
+    val df2 = spark.read.format("mcap").load(noSum)
+    val agg2 = df2.groupBy("topic").count()
+    assert(agg2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("/imu" -> 5L, "/chatter" -> 5L))
+    assert(!agg2.queryExecution.executedPlan.toString.contains("metadataAgg"))
+  }
+
   test("a broadcast join against a selective dimension runtime-prunes the scan (DPP)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mcap_dpp").toFile
     def writeTopic(name: String, chan: String): Unit = {
