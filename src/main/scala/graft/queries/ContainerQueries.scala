@@ -208,6 +208,26 @@ object ContainerQueries {
           min(col("timestamp")).as("min_ts_ns"),
           max(col("timestamp")).as("max_ts_ns"))
         .orderBy(col("container"))
+    }),
+
+    // Q80 — metadata-count aggregation, CHECKED: the "rosbag info"
+    // query class over the q76/q78 fixtures. groupBy(topic).count()
+    // over the bag reads the chunk-info per-connection counts and over
+    // the mcap file the summary Statistics record — the aggregate
+    // pushdown path (no chunk body read) sits inside the DuckDB
+    // equality, since the fixtures route even event ids to one
+    // topic/channel and odd to the other.
+    "q80_metadata_counts" -> ((s, d) => {
+      val bag = bagFixture(s, d)
+      val mc = fixture(s, d)
+      val a = s.read.format("rosbag").load(bag)
+        .groupBy(col("topic")).agg(count(lit(1)).as("cnt"))
+        .withColumn("container", lit("rosbag"))
+      val b = s.read.format("mcap").load(mc)
+        .groupBy(col("topic")).agg(count(lit(1)).as("cnt"))
+        .withColumn("container", lit("mcap"))
+      a.unionByName(b).select(col("container"), col("topic"), col("cnt"))
+        .orderBy(col("container"), col("topic"))
     }))
 
   /** db3 twin of [[fixture]]: the same 1000-row slice written as a
@@ -370,5 +390,18 @@ object ContainerQueries {
         |SELECT 'mcap', cnt, CAST(2 AS BIGINT), min_ts_ns, max_ts_ns FROM a
         |UNION ALL
         |SELECT 'rosbag', cnt, CAST(2 AS BIGINT), min_ts_ns, max_ts_ns FROM a
-        |ORDER BY container""".stripMargin)
+        |ORDER BY container""".stripMargin,
+    "q80_metadata_counts" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |  FROM events ORDER BY event_id LIMIT 1000),
+        |c AS (
+        |  SELECT COUNT(*) FILTER (WHERE event_id % 2 = 0) AS ev_cnt,
+        |         COUNT(*) FILTER (WHERE event_id % 2 <> 0) AS od_cnt
+        |  FROM ev)
+        |SELECT 'mcap' AS container, '/events_pb' AS topic, ev_cnt AS cnt FROM c
+        |UNION ALL SELECT 'mcap', '/events_ros', od_cnt FROM c
+        |UNION ALL SELECT 'rosbag', '/events_even', ev_cnt FROM c
+        |UNION ALL SELECT 'rosbag', '/events_odd', od_cnt FROM c
+        |ORDER BY container, topic""".stripMargin)
 }

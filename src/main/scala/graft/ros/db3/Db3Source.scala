@@ -545,10 +545,30 @@ class Db3ScanBuilder(path: String, full: StructType,
                      typed: Option[Db3TypedRead.TypedTarget], includeRaw: Boolean,
                      tsPruning: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var countPushed: Boolean = false
+
+  /** `count(*)` pushdown from b-tree page headers: sqlite has no
+    * writer-stamped counts (unlike chunk-info / MCAP Statistics), but
+    * each leaf page header carries its cell count — the distributed
+    * count scan walks page headers per subtree and never parses a
+    * record, follows an overflow chain, or inflates a payload.
+    * Ungrouped only: grouping needs per-row record reads.
+    */
+  override def pushAggregation(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (typed.isDefined || pushed.nonEmpty || limit >= 0) return false
+    graft.ros.MetadataAgg.groupCols(a, Set.empty) match {
+      case Some(cols) if cols.isEmpty =>
+        countPushed = true
+        true
+      case _ => false
+    }
+  }
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -566,7 +586,41 @@ class Db3ScanBuilder(path: String, full: StructType,
   override def pushedFilters(): Array[Filter] = pushed
   override def pushLimit(l: Int): Boolean = { limit = l; false } // partial push
   override def build(): Scan =
-    new Db3Scan(path, required, pushed, typed, includeRaw, limit, tsPruning)
+    if (countPushed) new Db3CountScan(path)
+    else new Db3Scan(path, required, pushed, typed, includeRaw, limit, tsPruning)
+}
+
+/** The pushed-count scan: the normal per-subtree partitions, but each
+  * reader emits ONE row — the subtree's page-header row count
+  * ([[SqliteFormat.countRows]]). Spark's final aggregate sums the
+  * partials.
+  */
+class Db3CountScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(Seq(
+    StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Db3IO.scanMetas(Db3IO.resolveFiles(path)).flatMap { case (f, meta) =>
+      meta.subtrees.map(st =>
+        Db3InputPartition(f, st, meta.topics): InputPartition)
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val part = p.asInstanceOf[Db3InputPartition]
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow = {
+            val pager = new Db3IO.Pager(part.path)
+            try InternalRow(SqliteFormat.countRows(
+              pager.page, pager.header.usable, part.subtree))
+            finally pager.close()
+          }
+          override def close(): Unit = ()
+        }
+    }
+  override def description(): String = s"db3 $path metadataAgg=true"
 }
 
 final case class Db3InputPartition(path: String, subtree: Int,

@@ -258,6 +258,30 @@ object SqliteFormat {
       yield (f, l)
   }
 
+  /** Row count of the subtree rooted at `root` from page HEADERS
+    * alone: interior pages are descended, leaf pages contribute their
+    * cell count — no record parse, no overflow chain, no payload
+    * bytes. The count comes from the tree itself (not writer-stamped
+    * metadata), so it is exact by construction; what it saves is
+    * everything that makes a blob-heavy scan expensive.
+    */
+  def countRows(page: Int => Array[Byte], usable: Int, root: Int): Long = {
+    def walk(pageNo: Int): Long = {
+      val b = page(pageNo)
+      val base = if (pageNo == 1) 100 else 0
+      val n = be16(b, base + 3)
+      (b(base) & 0xFF) match {
+        case 0x0d => n.toLong
+        case 0x05 =>
+          (0 until n).map(i => walk(be32(b, be16(b, base + 12 + 2 * i)))).sum +
+            walk(be32(b, base + 8))
+        case other => throw new IllegalArgumentException(
+          f"page $pageNo is b-tree type 0x$other%02x, not a table page")
+      }
+    }
+    walk(root)
+  }
+
   /** One-level partition grain of a table b-tree: the root's direct
     * children (subtree roots), or the root itself when it is a leaf.
     * Each subtree walks independently ([[tableRows]] handles either

@@ -91,6 +91,23 @@ class Db3Spec extends SparkTestBase {
       === (0 until 30).map(i => s"old$i"))
   }
 
+  test("count(*) pushes down to a page-header walk; groupings and filters fall back") {
+    val df = spark.read.format("db3").load(genuine)
+    assert(df.count() === 2000)
+    // plan-visible: the count scan served it (one row per subtree,
+    // no record parse / overflow / inflation)
+    val cq = df.groupBy().count()
+    assert(cq.collect().head.getLong(0) === 2000L)
+    assert(cq.queryExecution.executedPlan.toString.contains("metadataAgg=true"))
+    // grouping needs per-row reads — normal scan, same answer
+    val byTopic = df.groupBy("topic").count()
+    assert(!byTopic.queryExecution.executedPlan.toString.contains("metadataAgg"))
+    assert(byTopic.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("/imu" -> 999L, "/chatter" -> 1000L, "/bulk" -> 1L))
+    // filtered counts fall back too
+    assert(df.filter(col("topic") === "/imu").count() === 999)
+  }
+
   test("timestamp range pruning drops whole b-tree subtrees from the plan") {
     // genuine fixture: 2000 rows, ts = 1.7e18 + i*1e6, monotone in
     // rowid — exactly the rosbag2 write order the probe relies on
