@@ -1991,6 +1991,24 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // Q81 — exact substring dedup (Lee et al. 2022): per-document
+    // duplicated-SPAN profile — maximal runs of tokens covered by
+    // 15-token windows that occur 2+ times anywhere in the corpus.
+    // The span-level complement of the doc-level near-dup family:
+    // q24/q28/q29 decide whole documents, this finds the boilerplate
+    // REGIONS a curation pipeline strips. Scale shape (see
+    // SubstringDedup): codegen'd window emit off the cached token
+    // arrays, ONE count shuffle (hashed=false here so the DuckDB
+    // oracle replicates the key; the 100 TB path flips to 8-byte
+    // xxhash64 keys, spec-pinned equal), AQE-sized join-back, per-doc
+    // gaps-and-islands windows.
+    "q81_substring_dedup" -> ((s, d) =>
+      graft.operators.SubstringDedup
+        .profile(docToks(s, d), "doc_id", "toks", window = 15)
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"),
+          col("dup_tokens"), rk(col("dup_frac"), 6).as("dup_frac"))
+        .orderBy(col("doc_id"))),
+
     // Q44 — TF-IDF top terms: tf = count/doc-length, idf =
     // ln((N+1)/(df+1)), top-20 (doc, term) pairs. Scale shape: two
     // shuffles of the (doc, token) pairs (tf agg, df agg + join keyed
@@ -2664,6 +2682,39 @@ object LlmQueries {
         |  FLOOR(CAST(toks AS DOUBLE) / tot_toks * 1000000.0 + 0.5) / 1000000.0 AS share,
         |  FLOOR(CAST(tot_toks AS DOUBLE) / (n_src * toks) * 1000000.0 + 0.5) / 1000000.0 AS weight
         |FROM s, g ORDER BY source""".stripMargin,
+    "q81_substring_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+14], ' ') AS win
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 13)) AS i)
+        |  WHERE len(toks) >= 15),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+        |occ AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)),
+        |fl AS (
+        |  SELECT doc_id, pos,
+        |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM occ),
+        |grp AS (
+        |  SELECT doc_id, pos,
+        |         SUM(CASE WHEN prev IS NULL OR pos > prev + 15 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM fl),
+        |sp AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + 14 AS e
+        |       FROM grp GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_dup_spans,
+        |         CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+        |  FROM sp GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+        |       COALESCE(a.dup_tokens, 0) AS dup_tokens,
+        |       FLOOR(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(t.toks)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+        |FROM t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q61_percentile_gate" ->
       """WITH b AS (
         |  SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
