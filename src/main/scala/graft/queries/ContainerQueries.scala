@@ -228,6 +228,41 @@ object ContainerQueries {
         .withColumn("container", lit("mcap"))
       a.unionByName(b).select(col("container"), col("topic"), col("cnt"))
         .orderBy(col("container"), col("topic"))
+    }),
+
+    // Q82 — metadata-range aggregation, CHECKED: the full "rosbag
+    // info" scalar block (count + min/max timestamp) over all three
+    // container fixtures, answered from each container's OWN metadata
+    // — rosbag chunk-info start/end times, the MCAP Statistics
+    // record's message_start/end_time, and the db3 leaf-cell prefix
+    // walk (count + timestamp, no blob bytes) — inside the DuckDB
+    // equality. Each container reports in its own time unit (rosbag
+    // whole seconds, the ROS 2 containers nanoseconds), so the unit
+    // conversions sit inside the gate too. McapSpec/BagSpec/Db3Spec
+    // pin that these plans really ARE the metadata path
+    // (metadataAgg=true) and that refusal cases fall back.
+    "q82_metadata_ranges" -> ((s, d) => {
+      val bag = bagFixture(s, d)
+      val mc = fixture(s, d)
+      val db = db3Fixture(s, d)
+      val a = s.read.format("rosbag").load(bag)
+        .agg(count(lit(1)).as("cnt"),
+          min(col("time_sec")).cast("long").as("min_v"),
+          max(col("time_sec")).cast("long").as("max_v"))
+        .withColumn("container", lit("rosbag"))
+      val b = s.read.format("mcap").load(mc)
+        .agg(count(lit(1)).as("cnt"),
+          min(col("log_time")).as("min_v"),
+          max(col("log_time")).as("max_v"))
+        .withColumn("container", lit("mcap"))
+      val c = s.read.format("db3").option("path", db).load()
+        .agg(count(lit(1)).as("cnt"),
+          min(col("timestamp")).as("min_v"),
+          max(col("timestamp")).as("max_v"))
+        .withColumn("container", lit("db3"))
+      a.unionByName(b).unionByName(c)
+        .select(col("container"), col("cnt"), col("min_v"), col("max_v"))
+        .orderBy(col("container"))
     }))
 
   /** db3 twin of [[fixture]]: the same 1000-row slice written as a
@@ -403,5 +438,21 @@ object ContainerQueries {
         |UNION ALL SELECT 'mcap', '/events_ros', od_cnt FROM c
         |UNION ALL SELECT 'rosbag', '/events_even', ev_cnt FROM c
         |UNION ALL SELECT 'rosbag', '/events_odd', od_cnt FROM c
-        |ORDER BY container, topic""".stripMargin)
+        |ORDER BY container, topic""".stripMargin,
+    "q82_metadata_ranges" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |  FROM events ORDER BY event_id LIMIT 1000),
+        |a AS (
+        |  SELECT COUNT(*) AS cnt,
+        |         MIN(epoch_us(ts)) AS min_us,
+        |         MAX(epoch_us(ts)) AS max_us
+        |  FROM ev)
+        |SELECT 'db3' AS container, cnt,
+        |       min_us * 1000 AS min_v, max_us * 1000 AS max_v FROM a
+        |UNION ALL
+        |SELECT 'mcap', cnt, min_us * 1000, max_us * 1000 FROM a
+        |UNION ALL
+        |SELECT 'rosbag', cnt, min_us // 1000000, max_us // 1000000 FROM a
+        |ORDER BY container""".stripMargin)
 }

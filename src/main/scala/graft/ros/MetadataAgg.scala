@@ -2,7 +2,7 @@ package graft.ros
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -58,6 +58,92 @@ object MetadataAgg {
         val n = units.map(_._2).sum
         key ++ Seq.fill(nCounts)(n)
       }.toSeq
+
+  /** One requested aggregate of a pushed "rosbag info" aggregation:
+    * `count(*)`, or min/max over a timestamp column the container's
+    * metadata carries a range for.
+    */
+  sealed trait AggSpec
+  case object CountStarSpec extends AggSpec
+  final case class MinSpec(col: String) extends AggSpec
+  final case class MaxSpec(col: String) extends AggSpec
+
+  /** Parse an Aggregation into (group columns, agg specs) iff every
+    * piece is answerable from container metadata:
+    *
+    *   - aggregates: COUNT(*) always; MIN/MAX only over `minMaxCols`
+    *     (the timestamp column whose range the format's writer stamps
+    *     — chunk-info start/end, MCAP Statistics start/end);
+    *   - grouping: plain columns from `groupable`, and ONLY when every
+    *     aggregate is COUNT(*) — per-connection/channel counts exist
+    *     in the metadata, per-group time ranges do not.
+    *
+    * None = not pushable, run the normal scan.
+    */
+  def parse(agg: Aggregation, groupable: Set[String],
+            minMaxCols: Set[String]): Option[(Seq[String], Seq[AggSpec])] = {
+    def named(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        Some(f.fieldNames.head)
+      case _ => None
+    }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => CountStarSpec
+      case m: Min =>
+        named(m.column).filter(minMaxCols) match {
+          case Some(c) => MinSpec(c)
+          case None => return None
+        }
+      case m: Max =>
+        named(m.column).filter(minMaxCols) match {
+          case Some(c) => MaxSpec(c)
+          case None => return None
+        }
+      case _ => return None
+    }
+    if (specs.isEmpty) return None
+    val cols = agg.groupByExpressions.toSeq.map {
+      case f: NamedReference if f.fieldNames.length == 1 => f.fieldNames.head
+      case _ => return None
+    }
+    if (!cols.forall(groupable)) return None
+    if (cols.nonEmpty && !specs.forall(_ == CountStarSpec)) return None
+    Some((cols, specs))
+  }
+
+  /** Pushed-aggregate output schema for an [[AggSpec]] list (ungrouped
+    * min/max path): counts are non-null longs; min/max columns carry
+    * the spine column's own type, nullable because a file with zero
+    * messages contributes a (0, null, null) partial row.
+    */
+  def schemaFor(specs: Seq[AggSpec], spine: StructType): StructType =
+    StructType(specs.zipWithIndex.map {
+      case (CountStarSpec, i) =>
+        StructField(s"count_$i", LongType, nullable = false)
+      case (MinSpec(c), i) =>
+        StructField(s"min_$i", spine(spine.fieldIndex(c)).dataType,
+          nullable = true)
+      case (MaxSpec(c), i) =>
+        StructField(s"max_$i", spine(spine.fieldIndex(c)).dataType,
+          nullable = true)
+    })
+
+  /** Partial rows for the ungrouped min/max path: one row per file —
+    * (total count, min-by-column, max-by-column); Spark's final
+    * aggregate sums the counts and re-min/maxes the ranges (nulls from
+    * empty files are ignored by min/max, counted as 0 by sum).
+    */
+  def fileRows(specs: Seq[AggSpec],
+               perFile: Seq[(Long, Map[String, Any], Map[String, Any])])
+      : Seq[Seq[Any]] =
+    perFile.map { case (n, mins, maxs) =>
+      specs.map {
+        case CountStarSpec => n
+        case MinSpec(c) => mins.getOrElse(c, null)
+        case MaxSpec(c) => maxs.getOrElse(c, null)
+      }
+    }
 }
 
 /** A Scan serving precomputed metadata-aggregate rows: one partition,

@@ -186,27 +186,58 @@ class RosbagScanBuilder(path: String, fullSchema: StructType,
   private var limit: Int = -1
   private var agg: Option[(StructType, Seq[Seq[Any]])] = None
 
-  /** Metadata-only count pushdown (graft.ros.MetadataAgg): `count(*)`
-    * and `groupBy(topic/datatype/connection_id/bag_path).count()` sum
-    * the chunk-info records' per-connection counts — no chunk body is
-    * ever read. Refused (normal scan) when any chunk lacks chunk-info
-    * counts or counts a connection absent from the catalog.
+  /** Metadata-only aggregate pushdown (graft.ros.MetadataAgg):
+    * `count(*)` and `groupBy(topic/datatype/connection_id/bag_path)
+    * .count()` sum the chunk-info records' per-connection counts;
+    * ungrouped `min/max(time_sec)` reads the chunk-info start/end
+    * times (start_time = the chunk's earliest (sec,nsec) receive
+    * stamp, so its SEC is the minimum time_sec — sec is the
+    * high-order component of the lexicographic order; likewise the
+    * max). No chunk body is ever read. Refused (normal scan) when any
+    * chunk lacks chunk-info counts/times or counts a connection
+    * absent from the catalog. min/max(time_nsec) is NOT answerable
+    * from metadata (the nsec of the extreme message is not the
+    * extreme nsec) and falls back.
     */
   override def pushAggregation(
       a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import graft.ros.MetadataAgg
     if (typed.isDefined || pushed.nonEmpty || limit >= 0) return false
-    graft.ros.MetadataAgg.groupCols(a,
-        Set("bag_path", "topic", "datatype", "connection_id")) match {
+    MetadataAgg.parse(a,
+        Set("bag_path", "topic", "datatype", "connection_id"),
+        Set("time_sec")) match {
       case None => false
-      case Some(cols) =>
+      case Some((cols, specs)) =>
         val idx = RosbagIO.scanIndexes(RosbagIO.resolveBags(path))
+        val needTimes = specs.exists(_ != MetadataAgg.CountStarSpec)
         val sound = idx.forall { case (_, index) =>
           val connIds = index.connections.map(_.connId).toSet
-          index.chunks.forall(ch => ch.connCounts.exists(
-            _.forall { case (id, _) => connIds.contains(id) }))
+          index.chunks.forall(ch =>
+            ch.connCounts.exists(
+              _.forall { case (id, _) => connIds.contains(id) }) &&
+              (!needTimes || (ch.startTime.isDefined && ch.endTime.isDefined)))
         }
         if (!sound) false
-        else {
+        else if (needTimes) {
+          val perFile = idx.map { case (_, index) =>
+            // message-bearing chunks only: an empty chunk's info times
+            // (a foreign writer may stamp them 0) must not pollute min
+            val full = index.chunks.filter(
+              _.connCounts.get.map(_._2.toLong).sum > 0L)
+            val n = full.flatMap(_.connCounts.get).map(_._2.toLong).sum
+            if (full.isEmpty)
+              (0L, Map.empty[String, Any], Map.empty[String, Any])
+            else
+              (n,
+                Map[String, Any](
+                  "time_sec" -> full.map(_.startTime.get._1).min),
+                Map[String, Any](
+                  "time_sec" -> full.map(_.endTime.get._1).max))
+          }
+          agg = Some((MetadataAgg.schemaFor(specs, RosbagDataSource.SpineSchema),
+            MetadataAgg.fileRows(specs, perFile)))
+          true
+        } else {
           val units = idx.flatMap { case (bag, index) =>
             val conns = index.connections.map(c => c.connId -> c).toMap
             index.chunks.flatMap(_.connCounts.get).map { case (id, n) =>
@@ -216,9 +247,9 @@ class RosbagScanBuilder(path: String, fullSchema: StructType,
             }
           }
           val nCounts = a.aggregateExpressions.length
-          agg = Some((graft.ros.MetadataAgg.schema(cols,
+          agg = Some((MetadataAgg.schema(cols,
             RosbagDataSource.SpineSchema, nCounts),
-            graft.ros.MetadataAgg.rows(cols, nCounts, units)))
+            MetadataAgg.rows(cols, nCounts, units)))
           true
         }
     }

@@ -550,21 +550,26 @@ class Db3ScanBuilder(path: String, full: StructType,
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
-  private var countPushed: Boolean = false
+  private var aggSpecs: Option[Seq[graft.ros.MetadataAgg.AggSpec]] = None
 
-  /** `count(*)` pushdown from b-tree page headers: sqlite has no
-    * writer-stamped counts (unlike chunk-info / MCAP Statistics), but
-    * each leaf page header carries its cell count — the distributed
-    * count scan walks page headers per subtree and never parses a
-    * record, follows an overflow chain, or inflates a payload.
-    * Ungrouped only: grouping needs per-row record reads.
+  /** `count(*)` and `min/max(timestamp)` pushdown from the b-tree
+    * itself: sqlite has no writer-stamped counts or time ranges
+    * (unlike chunk-info / MCAP Statistics), but each leaf page header
+    * carries its cell count, and the timestamp sits in the first ~20
+    * bytes of each record — before the blob. The distributed agg scan
+    * walks page headers per subtree (count) plus, when min/max is
+    * requested, a prefix decode per leaf cell
+    * ([[SqliteFormat.countMinMax]]) — never a full record parse, an
+    * overflow chain, or a payload inflation. Exact on ANY file (no
+    * write-order assumption, unlike the edge-probe pruning).
+    * Ungrouped only: grouping needs per-row topic reads.
     */
   override def pushAggregation(
       a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (typed.isDefined || pushed.nonEmpty || limit >= 0) return false
-    graft.ros.MetadataAgg.groupCols(a, Set.empty) match {
-      case Some(cols) if cols.isEmpty =>
-        countPushed = true
+    graft.ros.MetadataAgg.parse(a, Set.empty, Set("timestamp")) match {
+      case Some((cols, specs)) if cols.isEmpty =>
+        aggSpecs = Some(specs)
         true
       case _ => false
     }
@@ -585,26 +590,34 @@ class Db3ScanBuilder(path: String, full: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pushLimit(l: Int): Boolean = { limit = l; false } // partial push
-  override def build(): Scan =
-    if (countPushed) new Db3CountScan(path)
-    else new Db3Scan(path, required, pushed, typed, includeRaw, limit, tsPruning)
+  override def build(): Scan = aggSpecs match {
+    case Some(specs) => new Db3MetaAggScan(path, specs)
+    case None =>
+      new Db3Scan(path, required, pushed, typed, includeRaw, limit, tsPruning)
+  }
 }
 
-/** The pushed-count scan: the normal per-subtree partitions, but each
-  * reader emits ONE row — the subtree's page-header row count
-  * ([[SqliteFormat.countRows]]). Spark's final aggregate sums the
-  * partials.
+/** The pushed-aggregate scan: the normal per-subtree partitions, but
+  * each reader emits ONE partial row — the subtree's page-header row
+  * count, plus its timestamp min/max from leaf-cell prefix decodes
+  * when requested ([[SqliteFormat.countRows]]/[[SqliteFormat
+  * .countMinMax]]). Spark's final aggregate sums the counts and
+  * re-min/maxes the ranges (an empty subtree's nulls drop out).
   */
-class Db3CountScan(path: String) extends Scan with Batch {
-  override def readSchema(): StructType = StructType(Seq(
-    StructField("count", LongType, nullable = false)))
+class Db3MetaAggScan(path: String,
+                     specs: Seq[graft.ros.MetadataAgg.AggSpec])
+    extends Scan with Batch {
+  import graft.ros.MetadataAgg
+  override def readSchema(): StructType =
+    MetadataAgg.schemaFor(specs, Db3DataSource.SpineSchema)
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Db3IO.scanMetas(Db3IO.resolveFiles(path)).flatMap { case (f, meta) =>
       meta.subtrees.map(st =>
         Db3InputPartition(f, st, meta.topics): InputPartition)
     }.toArray
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val sp = specs // serializable capture, not the Scan
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
@@ -613,13 +626,28 @@ class Db3CountScan(path: String) extends Scan with Batch {
           override def next(): Boolean = !emitted && { emitted = true; true }
           override def get(): InternalRow = {
             val pager = new Db3IO.Pager(part.path)
-            try InternalRow(SqliteFormat.countRows(
-              pager.page, pager.header.usable, part.subtree))
-            finally pager.close()
+            try {
+              val needMinMax = sp.exists(_ != MetadataAgg.CountStarSpec)
+              val (n, mn, mx) =
+                if (needMinMax)
+                  SqliteFormat.countMinMax(pager.page, pager.header.usable,
+                    part.subtree, valueIdx = 2) // (id, topic_id, TIMESTAMP, data)
+                else
+                  (SqliteFormat.countRows(pager.page, pager.header.usable,
+                    part.subtree), None, None)
+              InternalRow.fromSeq(sp.map {
+                case MetadataAgg.CountStarSpec => n
+                case MetadataAgg.MinSpec(_) =>
+                  mn.map(java.lang.Long.valueOf).orNull
+                case MetadataAgg.MaxSpec(_) =>
+                  mx.map(java.lang.Long.valueOf).orNull
+              })
+            } finally pager.close()
           }
           override def close(): Unit = ()
         }
     }
+  }
   override def description(): String = s"db3 $path metadataAgg=true"
 }
 

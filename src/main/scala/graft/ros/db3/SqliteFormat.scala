@@ -282,6 +282,66 @@ object SqliteFormat {
     walk(root)
   }
 
+  /** (row count, min, max) of the `valueIdx`-th record value (0-based,
+    * fixed-width integer) over the subtree rooted at `root` — the
+    * metadata-aggregate walk behind pushed `min/max(timestamp)`. Leaf
+    * cells are PREFIX-decoded only ([[recordPrefix]]): enough of the
+    * record header to reach the value, never the blob bytes, never an
+    * overflow chain — so the walk prices like [[countRows]] plus one
+    * small varint parse per row, not like a scan. Unlike the edge-probe
+    * pruning (two probes per subtree, sound only under write-order
+    * monotonicity), this reads EVERY row's value: exact on any file,
+    * foreign or merged, no order assumption. NULL values (serial type
+    * 0) are skipped, matching SQL min/max. Returns (n, None, None)
+    * for an empty or all-NULL subtree.
+    */
+  def countMinMax(page: Int => Array[Byte], usable: Int, root: Int,
+                  valueIdx: Int): (Long, Option[Long], Option[Long]) = {
+    var n = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var seen = false
+    def walk(pageNo: Int): Unit = {
+      val b = page(pageNo)
+      val base = if (pageNo == 1) 100 else 0
+      val nCells = be16(b, base + 3)
+      (b(base) & 0xFF) match {
+        case 0x0d =>
+          val ptrBase = base + 8
+          var i = 0
+          while (i < nCells) {
+            val co = be16(b, ptrBase + 2 * i)
+            val (payloadLen, n1) = varint(b, co)
+            val (_, n2) = varint(b, co + n1)
+            val local = leafLocal(usable, payloadLen)
+            n += 1L
+            recordPrefix(b, co + n1 + n2, local, valueIdx + 1)
+              .lift(valueIdx).flatMap(Option(_)) match {
+              case Some(v: Long) =>
+                seen = true
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+              case Some(other) => throw new IllegalArgumentException(
+                s"record value $valueIdx is ${other.getClass.getSimpleName}, " +
+                  "not an integer — min/max walk misconfigured")
+              case None => () // SQL NULL: min/max skip it
+            }
+            i += 1
+          }
+        case 0x05 =>
+          var i = 0
+          while (i < nCells) {
+            walk(be32(b, be16(b, base + 12 + 2 * i))); i += 1
+          }
+          walk(be32(b, base + 8))
+        case other => throw new IllegalArgumentException(
+          f"page $pageNo is b-tree type 0x$other%02x, not a table page")
+      }
+    }
+    walk(root)
+    (n, if (seen) Some(mn) else None, if (seen) Some(mx) else None)
+  }
+
   /** One-level partition grain of a table b-tree: the root's direct
     * children (subtree roots), or the root itself when it is a leaf.
     * Each subtree walks independently ([[tableRows]] handles either

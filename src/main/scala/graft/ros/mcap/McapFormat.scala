@@ -43,7 +43,9 @@ object McapFormat {
     * (the parquet-row-count trust level: writer-stamped file metadata).
     */
   final case class McapStatistics(messageCount: Long,
-                                  channelMessageCounts: Map[Int, Long])
+                                  channelMessageCounts: Map[Int, Long],
+                                  messageStartTime: Long = 0L,
+                                  messageEndTime: Long = 0L)
 
   /** Driver-side index of one file: the dimension records, the chunk
     * refs, any STANDALONE (unchunked) message record locations, and
@@ -271,6 +273,7 @@ object McapFormat {
           // attachment_count@14, metadata_count@18, chunk_count@22,
           // message_start_time@26, message_end_time@34, map byteLen@42
           val messageCount = leLong(p, 0)
+          val startT = leLong(p, 26); val endT = leLong(p, 34)
           val mapLen = leInt(p, 42).toInt
           val counts = scala.collection.mutable.Map[Int, Long]()
           var o = 46
@@ -279,7 +282,8 @@ object McapFormat {
             counts(leShort(p, o)) = leLong(p, o + 2)
             o += 10
           }
-          statistics = Some(McapStatistics(messageCount, counts.toMap))
+          statistics = Some(McapStatistics(messageCount, counts.toMap,
+            startT, endT))
         case _ => () // SummaryOffset: not needed for planning
       }
     }

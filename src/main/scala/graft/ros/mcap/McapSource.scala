@@ -127,30 +127,55 @@ class McapScanBuilder(path: String, fullSchema: StructType,
   private var limit: Int = -1
   private var agg: Option[(StructType, Seq[Seq[Any]])] = None
 
-  /** Metadata-only count pushdown (graft.ros.MetadataAgg): `count(*)`
-    * and `groupBy(topic/schema_name/channel_id/file_path).count()`
-    * read the summary Statistics record's per-channel counts — no
-    * chunk is ever decompressed. Refused (normal scan) when a file
-    * lacks Statistics, its counts disagree with message_count, or a
-    * counted channel is absent from the catalog.
+  /** Metadata-only aggregate pushdown (graft.ros.MetadataAgg):
+    * `count(*)` and `groupBy(topic/schema_name/channel_id/file_path)
+    * .count()` read the summary Statistics record's per-channel
+    * counts; ungrouped `min/max(log_time)` reads its
+    * message_start_time/message_end_time (spec-defined as the min/max
+    * log_time across ALL messages, chunked and inline) — no chunk is
+    * ever decompressed. Refused (normal scan) when a file lacks
+    * Statistics, its counts disagree with message_count, a counted
+    * channel is absent from the catalog, or (min/max only) a
+    * non-empty file stamps a degenerate 0/0 time range.
+    * `publish_time` has no metadata range and falls back.
     */
   override def pushAggregation(
       a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import graft.ros.MetadataAgg
     if (typed.isDefined || pushed.nonEmpty || limit >= 0) return false
-    graft.ros.MetadataAgg.groupCols(a,
-        Set("file_path", "topic", "schema_name", "channel_id")) match {
+    MetadataAgg.parse(a,
+        Set("file_path", "topic", "schema_name", "channel_id"),
+        Set("log_time")) match {
       case None => false
-      case Some(cols) =>
+      case Some((cols, specs)) =>
         val idx = graft.ros.DriverPool.parMap(McapIO.resolveFiles(path))(
           f => f -> McapIO.scanIndex(f))
+        val needTimes = specs.exists(_ != MetadataAgg.CountStarSpec)
         val sound = idx.forall { case (_, i) =>
           i.stats.exists { st =>
             st.channelMessageCounts.values.sum == st.messageCount &&
-              st.channelMessageCounts.keys.forall(i.channels.contains)
+              st.channelMessageCounts.keys.forall(i.channels.contains) &&
+              // a writer that stamps counts but not times (both-zero
+              // range under a non-empty count) is not a range source
+              (!needTimes || st.messageCount == 0L ||
+                st.messageStartTime != 0L || st.messageEndTime != 0L)
           }
         }
         if (!sound) false
-        else {
+        else if (needTimes) {
+          val perFile = idx.map { case (_, i) =>
+            val st = i.stats.get
+            if (st.messageCount == 0L)
+              (0L, Map.empty[String, Any], Map.empty[String, Any])
+            else
+              (st.messageCount,
+                Map[String, Any]("log_time" -> st.messageStartTime),
+                Map[String, Any]("log_time" -> st.messageEndTime))
+          }
+          agg = Some((MetadataAgg.schemaFor(specs, McapDataSource.SpineSchema),
+            MetadataAgg.fileRows(specs, perFile)))
+          true
+        } else {
           val units = idx.flatMap { case (f, i) =>
             i.stats.get.channelMessageCounts.toSeq.map { case (id, n) =>
               val ch = i.channels(id)
@@ -160,9 +185,9 @@ class McapScanBuilder(path: String, fullSchema: StructType,
             }
           }
           val nCounts = a.aggregateExpressions.length
-          agg = Some((graft.ros.MetadataAgg.schema(cols,
+          agg = Some((MetadataAgg.schema(cols,
             McapDataSource.SpineSchema, nCounts),
-            graft.ros.MetadataAgg.rows(cols, nCounts, units)))
+            MetadataAgg.rows(cols, nCounts, units)))
           true
         }
     }

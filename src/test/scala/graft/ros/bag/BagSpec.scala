@@ -682,6 +682,25 @@ class BagSpec extends SparkTestBase {
     // a filter blocks the metadata path; the normal scan answers
     val filtered = df.filter(col("connection_id") === 0).count()
     assert(filtered === 5)
+
+    // ungrouped min/max(time_sec) answers from chunk-info start/end
+    // times — the full "rosbag info" scalar block from metadata
+    val mm = df.agg(count(lit(1)).as("n"),
+      min(col("time_sec")).as("mn"), max(col("time_sec")).as("mx"))
+    val mmPlan = mm.queryExecution.executedPlan.toString
+    assert(mmPlan.contains("metadataAgg=true"), mmPlan)
+    val r = mm.collect().head
+    assert((r.getLong(0), r.getInt(1), r.getInt(2)) ===
+      ((9L, 1700000000, 1700000008)))
+    // time_nsec's extreme is NOT the extreme message's nsec — refuse
+    val nsec = df.agg(min(col("time_nsec")))
+    assert(!nsec.queryExecution.executedPlan.toString.contains("metadataAgg"))
+    assert(nsec.collect().head.getInt(0) === 0)
+    // grouped min/max has no per-connection range metadata — refuse
+    val grouped = df.groupBy("topic").agg(min(col("time_sec")).as("mn"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("metadataAgg"))
+    assert(grouped.collect().map(x => x.getString(0) -> x.getInt(1)).toMap ===
+      Map("/a" -> 1700000000, "/b" -> 1700000001))
   }
 
   test("runtime filters prune bags via the connection catalog; stats report bytes") {

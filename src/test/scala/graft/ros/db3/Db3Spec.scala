@@ -106,6 +106,26 @@ class Db3Spec extends SparkTestBase {
       Map("/imu" -> 999L, "/chatter" -> 1000L, "/bulk" -> 1L))
     // filtered counts fall back too
     assert(df.filter(col("topic") === "/imu").count() === 999)
+
+    // ungrouped min/max(timestamp) pushes to the leaf-cell prefix walk
+    // (SqliteFormat.countMinMax): every row's timestamp read, no blob
+    // bytes, no overflow chains — exact with NO write-order assumption
+    // (unlike edge-probe pruning), so it also holds on merged files.
+    // Reference computed via the normal scan's collected column.
+    val ts = df.select(col("timestamp")).collect().map(_.getLong(0))
+    val mm = df.agg(count(lit(1)).as("n"),
+      min(col("timestamp")).as("mn"), max(col("timestamp")).as("mx"))
+    assert(mm.queryExecution.executedPlan.toString.contains("metadataAgg=true"))
+    val r = mm.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((2000L, ts.min, ts.max)))
+    // min on a non-timestamp column refuses (the prefix walk is wired
+    // to the schema's timestamp position only)
+    val mid = df.agg(min(col("msg_id")))
+    assert(!mid.queryExecution.executedPlan.toString.contains("metadataAgg"))
+    // grouped min/max refuses — per-topic ranges need per-row reads
+    val gm = df.groupBy("topic").agg(max(col("timestamp")))
+    assert(!gm.queryExecution.executedPlan.toString.contains("metadataAgg"))
   }
 
   test("timestamp range pruning drops whole b-tree subtrees from the plan") {

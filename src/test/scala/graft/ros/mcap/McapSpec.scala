@@ -615,6 +615,26 @@ class McapSpec extends SparkTestBase {
     assert(agg2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
       Map("/imu" -> 5L, "/chatter" -> 5L))
     assert(!agg2.queryExecution.executedPlan.toString.contains("metadataAgg"))
+
+    // ungrouped min/max(log_time) answers from the Statistics record's
+    // message_start_time/message_end_time — no chunk decompressed
+    val mm = df.agg(count(lit(1)).as("n"),
+      min(col("log_time")).as("mn"), max(col("log_time")).as("mx"))
+    assert(mm.queryExecution.executedPlan.toString.contains("metadataAgg=true"))
+    val r = mm.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((10L, 1700000000000000000L, 1700000000000000000L + 9L * 1000000L)))
+    // publish_time has no metadata range — refuse, normal scan answers
+    val pub = df.agg(min(col("publish_time")))
+    assert(!pub.queryExecution.executedPlan.toString.contains("metadataAgg"))
+    assert(pub.collect().head.getLong(0) === 1700000000000000005L)
+    // grouped min/max refuses (Statistics has only per-channel counts)
+    val gmm = df.groupBy("topic").agg(min(col("log_time")))
+    assert(!gmm.queryExecution.executedPlan.toString.contains("metadataAgg"))
+    // the summary-less file refuses min/max like it refuses counts
+    val mm2 = df2.agg(min(col("log_time")).as("mn"))
+    assert(!mm2.queryExecution.executedPlan.toString.contains("metadataAgg"))
+    assert(mm2.collect().head.getLong(0) === 1700000000000000000L)
   }
 
   test("a broadcast join against a selective dimension runtime-prunes the scan (DPP)") {
