@@ -8,35 +8,24 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Metadata-only aggregate pushdown for the container sources: the
-  * "rosbag info" query class — `count(*)` and
-  * `groupBy(topic/…).count()` — answered from each container's OWN
-  * count metadata (rosbag chunk-info per-connection counts, MCAP
-  * summary Statistics) without reading a single chunk body. At fleet
-  * scale that turns a full-archive scan into a per-file index read.
+  * "rosbag info" query class — `count(*)`, `groupBy(topic/…).count()`
+  * and ungrouped `min/max(timestamp)` — answered from each
+  * container's OWN metadata (rosbag chunk-info per-connection counts
+  * and start/end times, MCAP summary Statistics, the db3 b-tree
+  * itself) without reading a single chunk body. At fleet scale that
+  * turns a full-archive scan into a per-file index read.
   *
   * Scope is deliberately narrow and sound: untyped scans, no pushed
   * filters (Spark only offers aggregate pushdown when every filter was
   * fully consumed, and these sources always retain residuals), no
-  * limit, COUNT(*) aggregates only, grouping only by catalog columns
-  * whose values the metadata carries. `supportCompletePushDown` stays
+  * limit, COUNT(*)/MIN/MAX aggregates only ([[parse]]), grouping only
+  * by catalog columns whose values the metadata carries — and only
+  * under pure counts, since the metadata has per-channel counts but
+  * not per-channel time ranges. `supportCompletePushDown` stays
   * false: the scan returns PARTIAL per-file rows and Spark's final
-  * aggregate sums them — correct under every grouping.
+  * aggregate combines them — correct under every grouping.
   */
 object MetadataAgg {
-
-  /** The group-by column names iff `agg` is pushable over `allowed`
-    * (all aggregates COUNT(*), all groupings plain columns from the
-    * allowed set); None otherwise.
-    */
-  def groupCols(agg: Aggregation, allowed: Set[String]): Option[Seq[String]] = {
-    if (agg.aggregateExpressions.isEmpty ||
-        !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])) return None
-    val cols = agg.groupByExpressions.toSeq.map {
-      case f: NamedReference if f.fieldNames.length == 1 => f.fieldNames.head
-      case _ => return None
-    }
-    if (cols.forall(allowed)) Some(cols) else None
-  }
 
   /** The pushed-aggregate output schema: group columns (spine types)
     * then one non-null LongType per COUNT(*).
@@ -74,14 +63,18 @@ object MetadataAgg {
     *   - aggregates: COUNT(*) always; MIN/MAX only over `minMaxCols`
     *     (the timestamp column whose range the format's writer stamps
     *     — chunk-info start/end, MCAP Statistics start/end);
-    *   - grouping: plain columns from `groupable`, and ONLY when every
-    *     aggregate is COUNT(*) — per-connection/channel counts exist
-    *     in the metadata, per-group time ranges do not.
+    *   - grouping: plain columns from `groupable`. By default grouped
+    *     MIN/MAX is refused — writer-stamped metadata (chunk-info, MCAP
+    *     Statistics) has per-connection/channel counts but not
+    *     per-group time ranges. A source whose metadata walk CAN see
+    *     per-group values (db3's leaf-prefix walk reads topic_id and
+    *     timestamp together) passes `groupedMinMax = true`.
     *
     * None = not pushable, run the normal scan.
     */
   def parse(agg: Aggregation, groupable: Set[String],
-            minMaxCols: Set[String]): Option[(Seq[String], Seq[AggSpec])] = {
+            minMaxCols: Set[String], groupedMinMax: Boolean = false)
+      : Option[(Seq[String], Seq[AggSpec])] = {
     def named(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case f: NamedReference if f.fieldNames.length == 1 =>
@@ -108,9 +101,19 @@ object MetadataAgg {
       case _ => return None
     }
     if (!cols.forall(groupable)) return None
-    if (cols.nonEmpty && !specs.forall(_ == CountStarSpec)) return None
+    if (cols.nonEmpty && !groupedMinMax &&
+      !specs.forall(_ == CountStarSpec)) return None
     Some((cols, specs))
   }
+
+  /** Pushed-aggregate output schema for the grouped min/max path:
+    * the group columns (spine types) followed by [[schemaFor]]'s agg
+    * columns.
+    */
+  def schemaGrouped(cols: Seq[String], spine: StructType,
+                    specs: Seq[AggSpec]): StructType =
+    StructType(cols.map(c => spine(spine.fieldIndex(c))) ++
+      schemaFor(specs, spine).fields)
 
   /** Pushed-aggregate output schema for an [[AggSpec]] list (ungrouped
     * min/max path): counts are non-null longs; min/max columns carry

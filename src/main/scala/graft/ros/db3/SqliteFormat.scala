@@ -290,10 +290,15 @@ object SqliteFormat {
     * overflow chain — so the walk prices like [[countRows]] plus one
     * small varint parse per row, not like a scan. Unlike the edge-probe
     * pruning (two probes per subtree, sound only under write-order
-    * monotonicity), this reads EVERY row's value: exact on any file,
-    * foreign or merged, no order assumption. NULL values (serial type
-    * 0) are skipped, matching SQL min/max. Returns (n, None, None)
-    * for an empty or all-NULL subtree.
+    * monotonicity), this reads EVERY row's value: exact on any file
+    * whose rows carry an INTEGER value at `valueIdx`, foreign or
+    * merged, no order assumption. Drift fails LOUDLY (the db3
+    * contract): a missing column (short record), a NULL, or a
+    * non-integer serial type throws rather than skewing min/max —
+    * rosbag2's messages.timestamp is declared NOT NULL, so any of
+    * those is a corrupt or foreign-schema file, and the normal scan
+    * would fail on it too instead of agreeing with a silent skip.
+    * Returns (0, None, None) for an empty subtree.
     */
   def countMinMax(page: Int => Array[Byte], usable: Int, root: Int,
                   valueIdx: Int): (Long, Option[Long], Option[Long]) = {
@@ -315,16 +320,21 @@ object SqliteFormat {
             val (_, n2) = varint(b, co + n1)
             val local = leafLocal(usable, payloadLen)
             n += 1L
-            recordPrefix(b, co + n1 + n2, local, valueIdx + 1)
-              .lift(valueIdx).flatMap(Option(_)) match {
-              case Some(v: Long) =>
+            val prefix = recordPrefix(b, co + n1 + n2, local, valueIdx + 1)
+            require(prefix.length > valueIdx,
+              s"record has only ${prefix.length} values, none at " +
+                s"index $valueIdx — foreign schema, refusing min/max")
+            prefix(valueIdx) match {
+              case v: Long =>
                 seen = true
                 if (v < mn) mn = v
                 if (v > mx) mx = v
-              case Some(other) => throw new IllegalArgumentException(
+              case null => throw new IllegalArgumentException(
+                s"NULL at record value $valueIdx — rosbag2 declares " +
+                  "timestamp NOT NULL; refusing a silently skewed min/max")
+              case other => throw new IllegalArgumentException(
                 s"record value $valueIdx is ${other.getClass.getSimpleName}, " +
-                  "not an integer — min/max walk misconfigured")
-              case None => () // SQL NULL: min/max skip it
+                  "not an integer — refusing min/max over a foreign schema")
             }
             i += 1
           }

@@ -53,45 +53,57 @@ object MetaAggBench {
       CdrCodec.encode(blobBundle, Seq(i.toLong, "jpeg", blob))
     }
     val t0ns = 1700000000000000000L
-    val mcapMsgs = (0 until nMsgs).map { i =>
-      McapFormat.McapMessage(1, i.toLong, t0ns + i * 50000000L,
-        t0ns + i * 50000000L, cdrPayload(i))
-    }
+    // each fixture's message vector + serialized bytes build and
+    // release inside its own scope: peak driver retention stays ~1×
+    // target, not 3× (the targetMB<=1024 guard assumes this)
     val mcapPath = dir.resolve("bench.mcap")
-    java.nio.file.Files.write(mcapPath, McapFormat.writeMcap(
-      Seq(McapFormat.McapSchema(1, BlobName, "ros2msg", BlobDef.getBytes("UTF-8"))),
-      Seq(McapFormat.McapChannel(1, 1, "/cam0/blob", "cdr")),
-      mcapMsgs, "zstd", chunkGroups = math.max(1, nMsgs / 256)))
+    locally {
+      val mcapMsgs = (0 until nMsgs).map { i =>
+        McapFormat.McapMessage(1, i.toLong, t0ns + i * 50000000L,
+          t0ns + i * 50000000L, cdrPayload(i))
+      }
+      java.nio.file.Files.write(mcapPath, McapFormat.writeMcap(
+        Seq(McapFormat.McapSchema(1, BlobName, "ros2msg", BlobDef.getBytes("UTF-8"))),
+        Seq(McapFormat.McapChannel(1, 1, "/cam0/blob", "cdr")),
+        mcapMsgs, "zstd", chunkGroups = math.max(1, nMsgs / 256)))
+      ()
+    }
 
     // --- rosbag1 (lz4 chunks, chunk-info records) ---
-    val bagBundle = MsgDefParser.parse(Blob1Name, BlobDef)
-    val bagMsgs = (0 until nMsgs).map { i =>
-      rng.nextBytes(blob)
-      BagFormat.WriteMessage(0, 1700000000 + i / 20, (i % 20) * 50000000,
-        RosSchemaMapper.encode(bagBundle, Seq(i.toLong, "jpeg", blob)))
-    }
     val bagPath = dir.resolve("bench.bag")
-    java.nio.file.Files.write(bagPath, BagFormat.writeBag(
-      Seq(BagFormat.BagConnection(0, "/cam0/blob", Blob1Name, "m1", BlobDef, "c")),
-      bagMsgs, messagesPerChunk = 256, compression = "lz4"))
+    locally {
+      val bagBundle = MsgDefParser.parse(Blob1Name, BlobDef)
+      val bagMsgs = (0 until nMsgs).map { i =>
+        rng.nextBytes(blob)
+        BagFormat.WriteMessage(0, 1700000000 + i / 20, (i % 20) * 50000000,
+          RosSchemaMapper.encode(bagBundle, Seq(i.toLong, "jpeg", blob)))
+      }
+      java.nio.file.Files.write(bagPath, BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/cam0/blob", Blob1Name, "m1", BlobDef, "c")),
+        bagMsgs, messagesPerChunk = 256, compression = "lz4"))
+      ()
+    }
 
     // --- db3 (plain sqlite pages, count+minmax from the tree) ---
-    val db3Msgs = (0 until nMsgs).map { i =>
-      rng.nextBytes(blob)
-      Seq[Any](null, 1L, t0ns + i * 50000000L,
-        CdrCodec.encode(blobBundle, Seq(i.toLong, "jpeg", blob)))
-    }
     val db3Path = dir.resolve("bench.db3")
-    java.nio.file.Files.write(db3Path, graft.ros.db3.SqliteFormat.writeDb(Seq(
-      ("topics",
-        "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
-        Seq(Seq[Any](null, "/cam0/blob", BlobName, "cdr", ""))),
-      ("messages",
-        "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)",
-        db3Msgs),
-      ("message_definitions",
-        "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY, topic_type TEXT, encoding TEXT, encoded_message_definition TEXT, type_hash TEXT)",
-        Seq(Seq[Any](null, BlobName, "ros2msg", BlobDef, "h"))))))
+    locally {
+      val db3Msgs = (0 until nMsgs).map { i =>
+        rng.nextBytes(blob)
+        Seq[Any](null, 1L, t0ns + i * 50000000L,
+          CdrCodec.encode(blobBundle, Seq(i.toLong, "jpeg", blob)))
+      }
+      java.nio.file.Files.write(db3Path, graft.ros.db3.SqliteFormat.writeDb(Seq(
+        ("topics",
+          "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+          Seq(Seq[Any](null, "/cam0/blob", BlobName, "cdr", ""))),
+        ("messages",
+          "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)",
+          db3Msgs),
+        ("message_definitions",
+          "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY, topic_type TEXT, encoding TEXT, encoded_message_definition TEXT, type_hash TEXT)",
+          Seq(Seq[Any](null, BlobName, "ros2msg", BlobDef, "h"))))))
+      ()
+    }
 
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def time3(body: => Unit): Double =

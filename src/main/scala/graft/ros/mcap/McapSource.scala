@@ -155,10 +155,14 @@ class McapScanBuilder(path: String, fullSchema: StructType,
           i.stats.exists { st =>
             st.channelMessageCounts.values.sum == st.messageCount &&
               st.channelMessageCounts.keys.forall(i.channels.contains) &&
-              // a writer that stamps counts but not times (both-zero
-              // range under a non-empty count) is not a range source
+              // a writer that stamps counts but not times is not a
+              // range source: BOTH bounds must be present and ordered
+              // (a half-stamped record — start=0 under a non-empty
+              // count — would push a silently wrong min). Conservative
+              // cost: an epoch-0 sim-time file falls back to the scan.
               (!needTimes || st.messageCount == 0L ||
-                st.messageStartTime != 0L || st.messageEndTime != 0L)
+                (st.messageStartTime != 0L && st.messageEndTime != 0L &&
+                  st.messageStartTime <= st.messageEndTime))
           }
         }
         if (!sound) false

@@ -153,6 +153,51 @@ class SqliteFormatSpec extends AnyFunSuite {
     assert(record(writeRecord(vals)) === vals)
   }
 
+  test("countMinMax: exact over writer + genuine trees; drift fails loudly") {
+    // writer-built multi-page tree with shuffled timestamps
+    val ts = (1 to 500).map(i => 1000L + ((i.toLong * 37) % 211) * 13)
+    val rows = ts.map(t => Seq[Any](null, 1L, t, Array.fill(40)(t.toByte)))
+    val db = writeDb(Seq(("messages",
+      "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)",
+      rows)))
+    val h = parseHeader(java.util.Arrays.copyOfRange(db, 0, 100))
+    val pg = pager(db, h.pageSize)
+    val root = tableRoots(pg, h.usable)("messages")
+    assert(countMinMax(pg, h.usable, root, 2) ===
+      ((500L, Some(ts.min), Some(ts.max))))
+    // genuine sqlite3 bytes (incl. the multi-page overflow blob row:
+    // the prefix walk must never follow that chain)
+    val gen = load("/db3/genuine_rosbag2.db3")
+    val gh = parseHeader(java.util.Arrays.copyOfRange(gen, 0, 100))
+    val gp = pager(gen, gh.pageSize)
+    val groot = tableRoots(gp, gh.usable)("messages")
+    val full = tableRows(gp, gh.usable, groot).map(_._2(2).asInstanceOf[Long]).toSeq
+    assert(countMinMax(gp, gh.usable, groot, 2) ===
+      ((full.size.toLong, Some(full.min), Some(full.max))))
+
+    def oneRowDb(row: Seq[Any], ddl: String): (Int => Array[Byte], Int, Int) = {
+      val d = writeDb(Seq(("t", ddl, Seq(row))))
+      val hh = parseHeader(java.util.Arrays.copyOfRange(d, 0, 100))
+      val pp = pager(d, hh.pageSize)
+      (pp, hh.usable, tableRoots(pp, hh.usable)("t"))
+    }
+    // short record: no value at index 2 — foreign schema, loud
+    val (p1, u1, r1) = oneRowDb(Seq[Any](null, 7L),
+      "CREATE TABLE t(a INTEGER PRIMARY KEY, b INTEGER)")
+    val e1 = intercept[IllegalArgumentException] { countMinMax(p1, u1, r1, 2) }
+    assert(e1.getMessage.contains("foreign schema"))
+    // NULL timestamp — rosbag2 declares NOT NULL, loud
+    val (p2, u2, r2) = oneRowDb(Seq[Any](null, 1L, null, Array[Byte](1)),
+      "CREATE TABLE t(a INTEGER PRIMARY KEY, b INTEGER, c INTEGER, d BLOB)")
+    val e2 = intercept[IllegalArgumentException] { countMinMax(p2, u2, r2, 2) }
+    assert(e2.getMessage.contains("NOT NULL"))
+    // REAL timestamp — non-integer serial type, loud
+    val (p3, u3, r3) = oneRowDb(Seq[Any](null, 1L, 3.5, Array[Byte](1)),
+      "CREATE TABLE t(a INTEGER PRIMARY KEY, b INTEGER, c REAL, d BLOB)")
+    val e3 = intercept[IllegalArgumentException] { countMinMax(p3, u3, r3, 2) }
+    assert(e3.getMessage.contains("not an integer"))
+  }
+
   test("corrupt input fails loudly: bad magic, index page, truncated overflow") {
     val bad = new Array[Byte](100)
     intercept[IllegalArgumentException] { parseHeader(bad) }

@@ -635,6 +635,31 @@ class McapSpec extends SparkTestBase {
     val mm2 = df2.agg(min(col("log_time")).as("mn"))
     assert(!mm2.queryExecution.executedPlan.toString.contains("metadataAgg"))
     assert(mm2.collect().head.getLong(0) === 1700000000000000000L)
+
+    // a HALF-stamped Statistics record (counts present, start=0 under
+    // a non-empty count — a nonconforming foreign writer) must refuse
+    // min/max (a both-bounds gate), while counts still push
+    val patched = writeMcap(fixtureSchemas, fixtureChannels, msgs,
+      chunkGroups = 2)
+    var pos = 8 // after the leading magic; records are op + u64 len
+    var found = false
+    while (!found && pos < patched.length - 8) {
+      val op = patched(pos) & 0xFF
+      val len = McapFormat.leLong(patched, pos + 1)
+      if (op == McapFormat.OpStatistics) {
+        java.util.Arrays.fill(patched, pos + 9 + 26, pos + 9 + 34, 0.toByte)
+        found = true
+      }
+      pos += 9 + len.toInt
+    }
+    assert(found, "fixture has no Statistics record to patch")
+    val df3 = spark.read.format("mcap").load(writeTemp(patched))
+    val c3 = df3.groupBy().count()
+    assert(c3.queryExecution.executedPlan.toString.contains("metadataAgg=true"))
+    assert(c3.collect().head.getLong(0) === 10L)
+    val mm3 = df3.agg(min(col("log_time")).as("mn"))
+    assert(!mm3.queryExecution.executedPlan.toString.contains("metadataAgg"))
+    assert(mm3.collect().head.getLong(0) === 1700000000000000000L)
   }
 
   test("a broadcast join against a selective dimension runtime-prunes the scan (DPP)") {
