@@ -124,7 +124,10 @@ object SubstringDedup {
       .select(col(idCol), col("n_tokens"),
         coalesce(col("__ssd_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("__ssd_toks"), lit(0L)).as("dup_tokens"),
-        (coalesce(col("__ssd_toks"), lit(0L)).cast("double") /
-          col("n_tokens")).as("dup_frac"))
+        // 0/0 guard: an empty token array is a CLEAN document
+        // (dup_frac 0.0), not NaN poisoning the curation filter
+        when(col("n_tokens") > 0,
+          coalesce(col("__ssd_toks"), lit(0L)).cast("double") /
+            col("n_tokens")).otherwise(lit(0.0)).as("dup_frac"))
   }
 }

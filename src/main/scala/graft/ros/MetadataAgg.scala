@@ -42,11 +42,20 @@ object MetadataAgg {
     */
   def rows(cols: Seq[String], nCounts: Int,
            perUnit: Seq[(Map[String, Any], Long)]): Seq[Seq[Any]] =
-    perUnit.groupBy { case (vals, _) => cols.map(vals) }
-      .map { case (key, units) =>
-        val n = units.map(_._2).sum
-        key ++ Seq.fill(nCounts)(n)
-      }.toSeq
+    if (perUnit.isEmpty && cols.isEmpty)
+      // Ungrouped COUNT(*) over a fleet with zero count units (bags
+      // with no chunks, mcap Statistics with an empty channel map):
+      // Spark rewrites the final COUNT as SUM over the partials, and
+      // SUM over an empty ungrouped input is NULL — one explicit zero
+      // partial keeps df.count() == 0. Grouped counts correctly stay
+      // empty (no groups).
+      Seq(Seq.fill(nCounts)(0L))
+    else
+      perUnit.groupBy { case (vals, _) => cols.map(vals) }
+        .map { case (key, units) =>
+          val n = units.map(_._2).sum
+          key ++ Seq.fill(nCounts)(n)
+        }.toSeq
 
   /** One requested aggregate of a pushed "rosbag info" aggregation:
     * `count(*)`, or min/max over a timestamp column the container's

@@ -68,25 +68,27 @@ object Db3Etl {
     if (!fs.exists(messagesPath))
       return runFiles(spark, Db3IO.resolveFiles(path), dirName, outDir,
         None, keepRawBlob, nativeTimestamp)
-    val existing = spark.read.parquet(s"$outDir/Messages.parquet")
     // Done-set = Topics.file_path ALONE. Topics is written LAST
     // (runFiles), so its presence implies the whole increment landed —
     // including a zero-message file, whose Topics rows ARE its complete
     // output. Unioning in Messages.file_path would mark a file done
     // after a crash in the window between the Messages and Topics
     // writes, leaving a permanent silent hole in the Topics dimension;
-    // with Topics-only, that crash redoes the file and the duplicate
-    // Messages rows are recoverable by (file_path, msg_id) identity —
-    // duplicate-over-silent-loss, BagEtl's stated principle.
+    // with Topics-only, that crash redoes the file after
+    // repairCrashedIncrement purges the dead attempt's rows —
+    // exactly-once output, no consumer-side dedup contract.
     val topicsPath = new org.apache.hadoop.fs.Path(s"$outDir/Topics.parquet")
     val done =
       if (!fs.exists(topicsPath)) Set.empty[String]
       else spark.read.parquet(s"$outDir/Topics.parquet")
         .select(col("file_path")).distinct().collect().map(_.getString(0)).toSet
+    // crash repair + committed seqno max (BagEtl.repairCrashedIncrement:
+    // redo after a crash is exactly-once, dead rows purged first)
+    val maxClean = BagEtl.repairCrashedIncrement(spark, outDir, "file_path",
+      done, dimension = "Topics")
     val newFiles = Db3IO.resolveFiles(path).filterNot(done)
     if (newFiles.isEmpty) return Info(dirName, 0L, 0L, 0L, 0L, Map.empty)
-    val maxRow = existing.agg(max(col("seqno"))).head()
-    val offset = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1
+    val offset = maxClean + 1
     runFiles(spark, newFiles, dirName, outDir, None, keepRawBlob, nativeTimestamp,
       seqnoOffset = offset, naming = BagEtl.readManifest(outDir), append = true)
   }

@@ -72,7 +72,8 @@ class Db3DataSource extends TableProvider with DataSourceRegister {
     new Db3Table(Db3DataSource.pathSpec(opts), Option(opts.get("schema_name")),
       opts.getBoolean("includeRaw", false), Option(opts.get("schema_md5")),
       Option(opts.get("schema_text")),
-      opts.getBoolean("timestamp_pruning", true))
+      opts.getBoolean("timestamp_pruning", true),
+      opts.getLong("timestamp_jitter_ns", 100000000L))
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -341,6 +342,70 @@ object Db3IO {
     graft.ros.DriverPool.parMap(files) { case (f, st) =>
       f -> subtreeTsRanges(f, st)
     }.toMap
+
+  /** Keep/drop per subtree under a timestamp-range predicate, with two
+    * defenses on top of the raw edge probes (the boundary-monotonicity
+    * check alone cannot see interior disorder):
+    *
+    *   1. every probed range is WIDENED by `jitterNs` before the
+    *      may-match test — receive-stamp inversions from concurrent
+    *      subscription callbacks (multithreaded executors, composed
+    *      recorders) are bounded by callback latency — microseconds
+    *      to low milliseconds — far under the default 100 ms margin
+    *      (`option("timestamp_jitter_ns", n)` to widen for exotic
+    *      recorders), so the margin costs little pruning even on
+    *      high-rate topics whose subtrees span well under a second;
+    *   2. every subtree the widened probes would DROP that sits
+    *      adjacent (rowid order) to a kept one — the only place
+    *      disorder beyond the margin could silently hide matching
+    *      rows — is re-checked EXACTLY with
+    *      [[SqliteFormat.countMinMax]] (every leaf cell's timestamp
+    *      prefix; no write-order assumption, no blob/overflow reads).
+    *      An exact range escaping its widened probe range refutes the
+    *      write-order assumption for the whole FILE → all subtrees
+    *      are kept, same as a failed monotonicity probe.
+    *
+    * Cost: the exact re-check touches only the O(#filter-cuts)
+    * boundary subtrees per file, not the pruned interior — at fleet
+    * scale the narrow-time-window query still skips almost every
+    * page. `option("timestamp_pruning", "false")` remains the escape
+    * hatch for arbitrarily disordered foreign files.
+    */
+  def pruneSubtrees(file: String, rs: Seq[(Int, Long, Long)],
+                    mayMatch: (Long, Long) => Boolean,
+                    jitterNs: Long): Seq[Int] = {
+    def wLo(lo: Long): Long =
+      if (lo < Long.MinValue + jitterNs) Long.MinValue else lo - jitterNs
+    def wHi(hi: Long): Long =
+      if (hi > Long.MaxValue - jitterNs) Long.MaxValue else hi + jitterNs
+    val flags: Seq[(Int, Boolean)] =
+      rs.map { case (st, lo, hi) => (st, mayMatch(wLo(lo), wHi(hi))) }
+    val boundary = flags.indices.filter { i =>
+      !flags(i)._2 && ((i > 0 && flags(i - 1)._2) ||
+        (i + 1 < flags.size && flags(i + 1)._2))
+    }
+    if (boundary.isEmpty) return flags.collect { case (st, true) => st }
+    val pager = new Pager(file)
+    try {
+      var refuted = false
+      val verified = boundary.map { i =>
+        val (st, lo, hi) = rs(i)
+        val (_, mn, mx) = SqliteFormat.countMinMax(
+          pager.page, pager.header.usable, st, valueIdx = 2)
+        val keep = (mn, mx) match {
+          case (Some(a), Some(b)) =>
+            if (a < wLo(lo) || b > wHi(hi)) refuted = true
+            mayMatch(a, b)
+          case _ => false // empty subtree matches nothing
+        }
+        i -> keep
+      }.toMap
+      if (refuted) rs.map(_._1)
+      else flags.zipWithIndex.collect {
+        case ((st, k), i) if k || verified.getOrElse(i, false) => st
+      }
+    } finally pager.close()
+  }
 }
 
 /** Pushed-filter support for the db3 source — same contract as
@@ -435,18 +500,24 @@ object Db3Filters {
       case "serialization_format" => fmt
       case "timestamp" => ts
     }
-    def cmp(a: Any, b: Any): Int = (a, b) match {
-      case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue())
-      case (x: String, y: String) => x.compareTo(y)
-      case _ => 0
+    // None = unrecognized (value, literal) type pair → KEEP the row
+    // (conservative true, the num(v).forall contract subtreeMayMatch
+    // uses). A drop here is unrecoverable: Spark's retained residual
+    // only re-filters rows that survive the source, so comparing an
+    // unknown pair "equal" (the old `case _ => 0`) turned a pushed
+    // GreaterThan into a silent false negative.
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue()))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
     }
     f match {
-      case EqualTo(c, value) => cmp(v(c), value) == 0
-      case In(c, values) => values.exists(value => cmp(v(c), value) == 0)
-      case GreaterThan(c, value) => cmp(v(c), value) > 0
-      case GreaterThanOrEqual(c, value) => cmp(v(c), value) >= 0
-      case LessThan(c, value) => cmp(v(c), value) < 0
-      case LessThanOrEqual(c, value) => cmp(v(c), value) <= 0
+      case EqualTo(c, value) => cmp(v(c), value).forall(_ == 0)
+      case In(c, values) => values.exists(value => cmp(v(c), value).forall(_ == 0))
+      case GreaterThan(c, value) => cmp(v(c), value).forall(_ > 0)
+      case GreaterThanOrEqual(c, value) => cmp(v(c), value).forall(_ >= 0)
+      case LessThan(c, value) => cmp(v(c), value).forall(_ < 0)
+      case LessThanOrEqual(c, value) => cmp(v(c), value).forall(_ <= 0)
       case _ => true
     }
   }
@@ -526,7 +597,8 @@ object Db3TypedRead {
 class Db3Table(path: String, schemaName: Option[String],
                includeRaw: Boolean, md5: Option[String],
                schemaText: Option[String],
-               tsPruning: Boolean = true)
+               tsPruning: Boolean = true,
+               tsJitterNs: Long = 100000000L)
     extends Table with SupportsRead {
   private lazy val target: Option[Db3TypedRead.TypedTarget] =
     schemaName.map(sn => Db3TypedRead.resolveTarget(path, sn, md5, schemaText))
@@ -538,12 +610,13 @@ class Db3Table(path: String, schemaName: Option[String],
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new Db3ScanBuilder(path, schema(), target, includeRaw, tsPruning)
+    new Db3ScanBuilder(path, schema(), target, includeRaw, tsPruning, tsJitterNs)
 }
 
 class Db3ScanBuilder(path: String, full: StructType,
                      typed: Option[Db3TypedRead.TypedTarget], includeRaw: Boolean,
-                     tsPruning: Boolean = true)
+                     tsPruning: Boolean = true,
+                     tsJitterNs: Long = 100000000L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -593,7 +666,8 @@ class Db3ScanBuilder(path: String, full: StructType,
   override def build(): Scan = aggSpecs match {
     case Some(specs) => new Db3MetaAggScan(path, specs)
     case None =>
-      new Db3Scan(path, required, pushed, typed, includeRaw, limit, tsPruning)
+      new Db3Scan(path, required, pushed, typed, includeRaw, limit,
+        tsPruning, tsJitterNs)
   }
 }
 
@@ -656,7 +730,8 @@ final case class Db3InputPartition(path: String, subtree: Int,
 
 class Db3Scan(path: String, required: StructType, pushed: Array[Filter],
               typed: Option[Db3TypedRead.TypedTarget], includeRaw: Boolean,
-              limit: Int, tsPruning: Boolean = true) extends Scan with Batch
+              limit: Int, tsPruning: Boolean = true,
+              tsJitterNs: Long = 100000000L) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
 
@@ -704,18 +779,19 @@ class Db3Scan(path: String, required: StructType, pushed: Array[Filter],
     val ranges: Map[String, Option[Seq[(Int, Long, Long)]]] =
       if (!probeTs) Map.empty
       else Db3IO.subtreeTsRangesAll(metas.map { case (f, m) => f -> m.subtrees })
-    metas.flatMap { case (f, meta) =>
+    // keep/drop decisions need plan-time page IO (the cut-boundary
+    // exact re-check in pruneSubtrees) → bounded pool, like the probes
+    graft.ros.DriverPool.parMap(metas) { case (f, meta) =>
       val keep: Seq[Int] =
         if (!probeTs) meta.subtrees
         else ranges(f) match {
-          case Some(rs) => rs.collect {
-            case (st, lo, hi)
-              if filters.forall(Db3Filters.subtreeMayMatch(_, lo, hi)) => st
-          }
+          case Some(rs) => Db3IO.pruneSubtrees(f, rs,
+            (lo, hi) => filters.forall(Db3Filters.subtreeMayMatch(_, lo, hi)),
+            tsJitterNs)
           case None => meta.subtrees
         }
       keep.map(st => Db3InputPartition(f, st, meta.topics): InputPartition)
-    }.toArray
+    }.flatten.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = typed match {
     case Some(t) => new Db3TypedReaderFactory(t.schemaName, t.encoding,

@@ -142,8 +142,8 @@ object BagEtl {
     // — the pre-round-10 behavior — would mark a bag done after a
     // crash in the window between the Messages and Connections writes,
     // leaving a permanent silent hole in Connections; Connections-only
-    // redoes that bag, and the duplicate Messages rows share
-    // (bag_path, chunk-derived) identity — duplicate-over-silent-loss.
+    // redoes that bag after repairCrashedIncrement purges the dead
+    // attempt's rows — exactly-once output, no consumer-side dedup.
     // (A bag with zero connections AND zero messages writes nothing and
     // is re-indexed each increment — a no-op re-read, not duplication.)
     val connPath = new org.apache.hadoop.fs.Path(s"$outDir/Connections.parquet")
@@ -151,12 +151,15 @@ object BagEtl {
       if (!fs.exists(connPath)) Set.empty[String]
       else spark.read.parquet(s"$outDir/Connections.parquet")
         .select(col("bag_path")).distinct().collect().map(_.getString(0)).toSet
+    // crash repair + committed seqno max: a redo after a crash in the
+    // data→commit-record window is exactly-once — the dead increment's
+    // rows are purged part-file-granular before reconversion, and its
+    // seqno range is re-used (dense, collision-free)
+    val maxClean = repairCrashedIncrement(spark, outDir, "bag_path", done,
+      dimension = "Connections")
     val newBags = graft.ros.bag.RosbagIO.resolveBags(bagPath).filterNot(done)
     if (newBags.isEmpty) return Info(dirName, 0L, 0L, 0L)
-    // null on a zero-row Messages table (connections-only first run):
-    // nothing to continue from, start the dense numbering at 0
-    val maxRow = existing.agg(max(col("seqno"))).head()
-    val offset = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1
+    val offset = maxClean + 1
     runBags(spark, newBags, dirName, outDir, None, keepRawBlob, blobSideTable,
       blobThreshold, stagedByType, nativeTimestamp,
       seqnoOffset = offset, naming = readManifest(outDir), append = true)._1
@@ -207,6 +210,74 @@ object BagEtl {
     val os = fs.create(p, true)
     try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
+  }
+
+  /** Crash repair for the incremental ETLs (all three containers),
+    * run at the START of every incremental append: an increment that
+    * died between its data writes and its dimension commit record
+    * (Connections / Channels / Topics, written LAST) left rows for
+    * undone files in Messages / RawMessages / the per-type tables /
+    * the blob side tables. Purging them BEFORE the redo makes the
+    * redo exactly-once — no consumer-side dropDuplicates contract.
+    *
+    * The purge key is `seqno`, which every data table carries
+    * (including the (seqno, data) blob side tables the path column
+    * cannot reach): repair runs before every append, so at most ONE
+    * dead increment exists, and its seqnos all exceed `maxClean` —
+    * the committed maximum (dead offset was maxClean+1 at its run).
+    * Granularity is the part FILE: a dead increment's append jobs
+    * wrote part files holding only its own rows, so files with
+    * min(seqno) > maxClean drop outright; a mixed file (possible only
+    * if a foreign compaction rewrote the table between crash and
+    * redo) falls back to rewriting that table's surviving rows.
+    *
+    * `done` = the dimension's committed file set; `undone` = files
+    * seen in Messages but not committed. Returns maxClean — the redo
+    * continues seqnos at maxClean+1, re-using the dead increment's
+    * range (dense, collision-free: its old rows are gone).
+    */
+  private[ros] def repairCrashedIncrement(spark: SparkSession, outDir: String,
+      pathCol: String, done: Set[String], dimension: String): Long = {
+    val conf = graft.ros.bag.RosbagIO.hadoopConf()
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(conf)
+    val messages = spark.read.parquet(s"$outDir/Messages.parquet")
+    val msgFiles = messages.select(col(pathCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    val undone = msgFiles -- done
+    val maxClean: Long = {
+      val clean =
+        if (undone.isEmpty) messages
+        else messages.filter(!col(pathCol).isin(undone.toSeq.sorted: _*))
+      val r = clean.agg(max(col("seqno"))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+    val dataDirs = fs.listStatus(outPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.endsWith(".parquet") &&
+        s.getPath.getName != s"$dimension.parquet")
+      .map(_.getPath.toString).sorted
+    dataDirs.foreach { dir =>
+      val t = spark.read.parquet(dir)
+      if (t.columns.contains("seqno")) {
+        val parts = t.groupBy(input_file_name().as("__part"))
+          .agg(min(col("seqno")).as("__mn"), max(col("seqno")).as("__mx"))
+          .collect()
+        val dead = parts.filter(_.getAs[Long]("__mn") > maxClean)
+        val mixed = parts.exists(r =>
+          r.getAs[Long]("__mn") <= maxClean && r.getAs[Long]("__mx") > maxClean)
+        if (mixed) {
+          val tmp = new org.apache.hadoop.fs.Path(dir + "__repair")
+          t.filter(col("seqno") <= maxClean).write.mode(SaveMode.Overwrite)
+            .option("compression", "snappy").parquet(tmp.toString)
+          val dp = new org.apache.hadoop.fs.Path(dir)
+          fs.delete(dp, true)
+          fs.rename(tmp, dp)
+        } else dead.foreach { r =>
+          fs.delete(new org.apache.hadoop.fs.Path(r.getString(0)), false)
+        }
+      }
+    }
+    maxClean
   }
 
   /** The conversion core over an explicit bag list. `seqnoOffset`

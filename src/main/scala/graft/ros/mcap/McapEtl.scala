@@ -109,7 +109,6 @@ object McapEtl {
     if (!fs.exists(messagesPath))
       return runFiles(spark, McapIO.resolveFiles(path), dirName, outDir,
         None, keepRawBlob, nativeTimestamp, stagedBySchema)
-    val existing = spark.read.parquet(s"$outDir/Messages.parquet")
     // done-set = Channels.file_path ALONE (Channels written last):
     // see BagEtl.runIncremental — duplicate-over-silent-loss
     val chanPath = new org.apache.hadoop.fs.Path(s"$outDir/Channels.parquet")
@@ -117,10 +116,13 @@ object McapEtl {
       if (!fs.exists(chanPath)) Set.empty[String]
       else spark.read.parquet(s"$outDir/Channels.parquet")
         .select(col("file_path")).distinct().collect().map(_.getString(0)).toSet
+    // crash repair + committed seqno max (BagEtl.repairCrashedIncrement:
+    // redo after a crash is exactly-once, dead rows purged first)
+    val maxClean = BagEtl.repairCrashedIncrement(spark, outDir, "file_path",
+      done, dimension = "Channels")
     val newFiles = McapIO.resolveFiles(path).filterNot(done)
     if (newFiles.isEmpty) return Info(dirName, 0L, 0L, 0L, 0L, Map.empty)
-    val maxRow = existing.agg(max(col("seqno"))).head()
-    val offset = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1
+    val offset = maxClean + 1
     runFiles(spark, newFiles, dirName, outDir, None, keepRawBlob, nativeTimestamp,
       stagedBySchema, seqnoOffset = offset, naming = BagEtl.readManifest(outDir),
       append = true)

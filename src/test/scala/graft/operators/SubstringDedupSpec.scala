@@ -89,6 +89,15 @@ class SubstringDedupSpec extends SparkTestBase {
     }
   }
 
+  test("profile: an empty token array is a clean doc (dup_frac 0.0, not NaN)") {
+    val r = SubstringDedup.profile(toksDf(corpus :+ (9L -> "")),
+        "doc_id", "toks", 4)
+      .filter(col("doc_id") === 9L).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 0L, "n_tokens")
+    assert(r.head.getDouble(4) === 0.0, "dup_frac must be 0.0, not 0/0 NaN")
+  }
+
   test("hashed scale mode is row-identical to exact mode") {
     val l = 4
     val exact = SubstringDedup.profile(toksDf(corpus), "doc_id", "toks", l)

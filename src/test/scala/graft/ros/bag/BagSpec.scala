@@ -703,6 +703,22 @@ class BagSpec extends SparkTestBase {
       Map("/a" -> 1700000000, "/b" -> 1700000001))
   }
 
+  test("count(*) pushdown over a fleet with zero count units returns 0, not null") {
+    // ADVICE r10: a bag with a connection but no chunks contributes no
+    // count units; zero partial rows made Spark's final SUM null
+    val dir = Files.createTempDirectory("graft_bag_zero_agg").toFile
+    Files.write(new java.io.File(dir, "e.bag").toPath, BagFormat.writeBag(
+      Seq(BagConnection(0, "/silent", "std_msgs/String", "m1", "string data", "c")),
+      Seq.empty, messagesPerChunk = 2))
+    val df = spark.read.format("rosbag").load(dir.getAbsolutePath)
+    val cnt = df.agg(count(lit(1)).as("n"))
+    assert(cnt.queryExecution.executedPlan.toString.contains("metadataAgg=true"))
+    assert(cnt.collect().head.getLong(0) === 0L)
+    assert(df.count() === 0L)
+    // grouped count: no groups, still pushed
+    assert(df.groupBy("topic").count().collect().isEmpty)
+  }
+
   test("runtime filters prune bags via the connection catalog; stats report bytes") {
     // two bags with disjoint topics — a topic filter (static or
     // runtime via the DPP path) must drop the other bag's chunks

@@ -187,21 +187,49 @@ class Db3EtlSpec extends SparkTestBase {
     // simulate the crash window: Messages landed, Topics did not.
     // Pre-round-10 (done-set = Messages ∪ Topics) this file was
     // considered done and the Topics hole was PERMANENT; Topics-only
-    // redoes it — duplicate Messages rows recoverable by identity.
+    // redoes it, and repairCrashedIncrement purges the dead attempt's
+    // rows first — the redo is exactly-once (ADVICE r10: no
+    // consumer-side dropDuplicates contract).
     val topicsPath = new org.apache.hadoop.fs.Path(s"$out/Topics.parquet")
     topicsPath.getFileSystem(Db3IO.hadoopConf()).delete(topicsPath, true)
     val redo = Db3Etl.runIncremental(spark, dir.getAbsolutePath, out)
-    // Info counts all Messages rows for the redone files — the 6 from
-    // the crashed attempt plus the 6 the redo appended
-    assert(redo.messages === 12, "the file must be redone, not silently skipped")
+    assert(redo.messages === 6, "the file must be redone, not silently skipped")
     val topics = spark.read.parquet(s"$out/Topics.parquet")
     assert(topics.count() === 2, "the Topics dimension is restored")
     val msgs = spark.read.parquet(s"$out/Messages.parquet")
-    assert(msgs.count() === 12)
-    assert(msgs.dropDuplicates("file_path", "msg_id").count() === 6,
-      "redo duplicates share (file_path, msg_id) identity")
+    assert(msgs.count() === 6, "the dead attempt's rows are purged, not duplicated")
+    assert(msgs.select("seqno").distinct().count() === 6)
+    assert(msgs.agg(max(col("seqno"))).head().getLong(0) === 5L,
+      "the dead increment's seqno range is re-used — dense, no gap")
+    // per-type tables repaired to exactly-once as well
+    assert(spark.read.parquet(s"$out/sensor_msgs_msg_Imu.parquet").count() === 3)
+    assert(spark.read.parquet(s"$out/std_msgs_msg_String.parquet").count() === 3)
     // quiescent again once Topics is present
     val third = Db3Etl.runIncremental(spark, dir.getAbsolutePath, out)
     assert(third.messages === 0L)
+  }
+
+  test("crash BEFORE the Messages write: orphan per-type rows are purged on redo") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_db3etl_crash2").toFile
+    val out = freshOut("graft_db3etl_crash2_out")
+    writeFixture(dir, "a.db3", "float64 x\nfloat64 y\n", 6, 100L)
+    assert(Db3Etl.runIncremental(spark, dir.getAbsolutePath, out).messages === 6)
+    // second increment dies after its per-type writes, before Messages
+    // and Topics: simulate by appending a counterfeit orphan batch to
+    // one per-type table with seqnos past the committed max
+    writeFixture(dir, "b.db3", "float64 x\nfloat64 y\n", 4, 200L)
+    import spark.implicits._
+    val imu = s"$out/sensor_msgs_msg_Imu.parquet"
+    val before = spark.read.parquet(imu)
+    val orphan = before.limit(2).withColumn("seqno", col("seqno") + lit(100L))
+    orphan.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(imu)
+    val redo = Db3Etl.runIncremental(spark, dir.getAbsolutePath, out)
+    assert(redo.messages === 4)
+    val after = spark.read.parquet(imu)
+    assert(after.count() === 5, "orphan per-type rows purged, b.db3's 2 appended")
+    assert(after.agg(max(col("seqno"))).head().getLong(0) < 100L + 6L,
+      "orphan seqnos are gone; redo continues densely after the committed max")
+    val msgs = spark.read.parquet(s"$out/Messages.parquet")
+    assert(msgs.select("seqno").distinct().count() === msgs.count())
   }
 }

@@ -266,6 +266,72 @@ class Db3Spec extends SparkTestBase {
     assert(got === rows.count(_(2).asInstanceOf[Long] < 1100L))
   }
 
+  test("interior timestamp disorder cannot silently drop matching rows (cut-boundary exact verify)") {
+    // ADVICE r10: boundary-monotone edge probes cannot see a row
+    // INSIDE a subtree whose timestamp jumped past the filter cut.
+    // The fix re-checks every dropped subtree adjacent to a kept one
+    // with SqliteFormat.countMinMax (exact, no order assumption).
+    val sb = graft.ros.mcap.Ros2Msg.bundle("std_msgs/msg/String", "string data")
+    val t0 = 1700000000000000000L
+    val step = 2000000L // 2 ms per row
+    val n = 2000
+    val pad = "x" * 200
+    def mkRows(outlier: Option[(Int, Long)]) = (0 until n).map { i =>
+      val ts = outlier match {
+        case Some((j, v)) if j == i => v
+        case _ => t0 + i * step
+      }
+      Seq[Any](null, 1L, ts, graft.ros.mcap.CdrCodec.encode(sb, Seq(s"$pad$i")))
+    }
+    def writeF(rows: Seq[Seq[Any]]): String = {
+      val db = SqliteFormat.writeDb(Seq(
+        ("topics", "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+          Seq(Seq[Any](null, "/t", "std_msgs/msg/String", "cdr", ""))),
+        ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)", rows)))
+      val f = java.nio.file.Files.createTempFile("graft_disorder", ".db3")
+      java.nio.file.Files.write(f, db)
+      f.toString
+    }
+    // shape probe: identical row sizes (all timestamps 8-byte ints) →
+    // the outlier file has the SAME b-tree shape
+    val probe = writeF(mkRows(None))
+    val meta = Db3IO.scanMeta(probe)
+    val ranges = Db3IO.subtreeTsRanges(probe, meta.subtrees).get
+    assert(ranges.size > 3, "fixture must split into several subtrees")
+    val jitter = 100000000L // the default timestamp_jitter_ns
+    val cut = ranges.last._3 // the global max timestamp
+    // victim: the LAST subtree whose widened probes still miss the cut
+    // — dropped by probes, adjacent to a kept subtree
+    val victimIdx = ranges.lastIndexWhere { case (_, _, hi) => hi + jitter < cut }
+    assert(victimIdx >= 0 && victimIdx < ranges.size - 1,
+      "need a dropped subtree adjacent to a kept one")
+    val (_, vlo, vhi) = ranges(victimIdx)
+    val j = (((vlo + vhi) / 2 - t0) / step).toInt
+    assert(t0 + j * step > vlo && t0 + j * step < vhi, "outlier must be interior")
+    val f2 = writeF(mkRows(Some((j, cut))))
+    assert(Db3IO.subtreeTsRanges(f2, Db3IO.scanMeta(f2).subtrees).isDefined,
+      "interior disorder is invisible to the boundary probes")
+    val got = spark.read.format("db3").load(f2).filter(col("timestamp") >= cut)
+    assert(got.count() === 2, "the interior outlier row must survive pruning")
+    assert(got.select("msg_id").collect().map(_.getLong(0)).toSet ===
+      Set(j + 1L, n.toLong))
+  }
+
+  test("pushed comparisons with unrecognized literal types keep rows (conservative)") {
+    import org.apache.spark.sql.sources.{GreaterThan, In, LessThan}
+    // an uncomparable (value, literal) pair must KEEP the row for the
+    // retained residual filter — a source-side drop is unrecoverable
+    assert(Db3Filters.eval(GreaterThan("timestamp", "oops"),
+      "p", 1L, 1L, "/t", "T", "cdr", 5L))
+    assert(Db3Filters.eval(LessThan("msg_id", new Object),
+      "p", 1L, 1L, "/t", "T", "cdr", 5L))
+    assert(Db3Filters.eval(In("timestamp", Array[Any]("x")),
+      "p", 1L, 1L, "/t", "T", "cdr", 5L))
+    // recognized pairs still filter exactly
+    assert(!Db3Filters.eval(GreaterThan("timestamp", java.lang.Long.valueOf(9L)),
+      "p", 1L, 1L, "/t", "T", "cdr", 5L))
+  }
+
   test("typed read pushes meta filters: rows skip before CDR decode") {
     val typed = spark.read.format("db3")
       .option("path", genuine).option("schema_name", "sensor_msgs/msg/Imu").load()

@@ -662,6 +662,22 @@ class McapSpec extends SparkTestBase {
     assert(mm3.collect().head.getLong(0) === 1700000000000000000L)
   }
 
+  test("count(*) pushdown over a file with an empty Statistics channel map returns 0, not null") {
+    // ADVICE r10: zero count units used to emit ZERO partial rows, and
+    // Spark's final SUM over an empty ungrouped input is NULL
+    val path = writeTemp(writeMcap(fixtureSchemas, fixtureChannels, Seq.empty))
+    val df = spark.read.format("mcap").load(path)
+    val cnt = df.agg(count(lit(1)).as("n"))
+    assert(cnt.queryExecution.executedPlan.toString.contains("metadataAgg=true"))
+    assert(cnt.collect().head.getLong(0) === 0L)
+    assert(df.count() === 0L)
+    // grouped count over the empty fleet: no groups, still pushed
+    assert(df.groupBy("topic").count().collect().isEmpty)
+    // ungrouped min over no messages: SQL null, via the per-file
+    // (0, null, null) partial row
+    assert(df.agg(min(col("log_time"))).collect().head.isNullAt(0))
+  }
+
   test("a broadcast join against a selective dimension runtime-prunes the scan (DPP)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mcap_dpp").toFile
     def writeTopic(name: String, chan: String): Unit = {
