@@ -191,7 +191,10 @@ object LlmQueries {
         cachedPq(s, d, "pq_m8_k16_i2")(
           graft.operators.PqIndex.train(embIn, "vec_id", "embedding", m = 8, k = 16, iters = 2))
         ()
-      })
+      },
+      // q31's served index (12-table hyperplane signatures)
+      timed("lshIndex") { lshIndex(s, d, tables = 12, bits = 10,
+        seed = 42, dim = 64).count(); () })
   }
 
   /** (doc_id, simhash) memoized per (session, dir) — 16 bytes/doc. The
@@ -299,10 +302,17 @@ object LlmQueries {
     * queries see is a plain columnar scan either way.
     */
   private def staged(s: SparkSession, d: String, stage: String)(
+      build: => DataFrame): DataFrame =
+    stagedRel(s, d, stage, documentsFingerprint(s, d))(build)
+
+  /** [[staged]] with an explicit corpus fingerprint — embedding-derived
+    * stages (the LSH ANN index) key staleness on the EMBEDDINGS
+    * corpus, not the documents one.
+    */
+  private def stagedRel(s: SparkSession, d: String, stage: String, fp: String)(
       build: => DataFrame): DataFrame = {
     val store = modelStoreDir(d, s"stage_$stage")
     val data = s"$store/data"
-    val fp = documentsFingerprint(s, d)
     val committed = graft.operators.ModelIO.readManifest(s, store)
       .exists(_.get("fp").contains(fp))
     (if (committed)
@@ -825,25 +835,55 @@ object LlmQueries {
     * scaladoc of q31; the S-curve math is the same family as
     * LshTuning.minhashScheme).
     */
+  /** Flat layout planes[(t*bits + j)*dim + i] — the SAME Gaussian draw
+    * sequence as the nested fill it replaced, consumed by the fused
+    * HyperplaneSigs kernel (one native loop per row computing all L
+    * buckets; the composed form built tables×bits DotProduct nodes in
+    * one Generate projection). Deterministic in the seed, so the
+    * persisted index needs no plane payload — probes re-derive them.
+    */
+  private def lshPlanes(tables: Int, bits: Int, seed: Long,
+      dim: Int): Array[Float] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables * bits * dim)(rnd.nextGaussian().toFloat)
+  }
+
+  /** The multi-table LSH ANN index — (vec_id, tbl, bucket) ×L, 16
+    * bytes/row before encoding — memoized per (session, dir, scheme)
+    * and persisted through the staged-relation store (manifest keyed
+    * on the EMBEDDINGS-corpus fingerprint): a fresh JVM loads the
+    * parquet instead of re-running the ×L signature pass over the
+    * corpus, and staleness follows the same contract as IVF/PQ.
+    */
+  private val lshIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private def lshIndex(s: SparkSession, d: String, tables: Int, bits: Int,
+      seed: Long, dim: Int): DataFrame = {
+    val scheme = s"lshann_t${tables}_b${bits}_s$seed"
+    lshIdxCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    lshIdxCache.computeIfAbsent((s, d, scheme), _ =>
+      stagedRel(s, d, scheme, embeddingsFingerprint(s, d))(
+        spread(embeddings(s, d), col("vec_id"))
+          .select(col("vec_id"),
+            posexplode(org.apache.spark.sql.graftfns.VectorFunctions
+              .hyperplaneSigs(col("embedding"),
+                lshPlanes(tables, bits, seed, dim), tables, bits, dim)))
+          .toDF("vec_id", "tbl", "bucket"))
+        .persist())
+  }
+
   def annLshTopK(s: SparkSession, d: String, tables: Int, bits: Int,
       radius: Int, seed: Long, k: Int): DataFrame = {
     require(bits <= 30 && radius >= 0 && radius <= 3)
     val dim = 64
-    val rnd = new scala.util.Random(seed)
-    // flat layout planes[(t*bits + j)*dim + i] — the SAME Gaussian draw
-    // sequence as the nested fill it replaced, consumed by the fused
-    // HyperplaneSigs kernel (one native loop per row computing all L
-    // buckets; the composed form built tables×bits DotProduct nodes in
-    // one Generate projection)
-    val planes: Array[Float] =
-      Array.fill(tables * bits * dim)(rnd.nextGaussian().toFloat)
+    val planes = lshPlanes(tables, bits, seed, dim)
     val e = spread(embeddings(s, d), col("vec_id"))
       .select(col("vec_id"), col("embedding"))
-    // narrow index: (vec_id, tbl, bucket) ×L — no embedding copies
-    val index = e.select(col("vec_id"),
-        posexplode(org.apache.spark.sql.graftfns.VectorFunctions
-          .hyperplaneSigs(col("embedding"), planes, tables, bits, dim)))
-      .toDF("vec_id", "tbl", "bucket")
+    // narrow index: (vec_id, tbl, bucket) ×L — served from the model
+    // store (built once per corpus, like IVF/PQ), never rebuilt per
+    // query; the ×L signature pass over the corpus was the one ANN
+    // path still paying its index inside every probe (VERDICT r10)
+    val index = lshIndex(s, d, tables, bits, seed, dim)
     val qv = embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
     def sigOf(t: Int): Int =
