@@ -263,15 +263,39 @@ object ContainerQueries {
       a.unionByName(b).unionByName(c)
         .select(col("container"), col("cnt"), col("min_v"), col("max_v"))
         .orderBy(col("container"))
+    }),
+
+    // Q83 — GROUPED metadata aggregation over db3, CHECKED: the
+    // reference's own per-connection stats TODO (rosbag2parquet
+    // .cpp:22-24 — per connection: min/max timestamp, total messages)
+    // answered from pure container metadata on the one format where
+    // grouped ranges are exact with no write-order assumption — the
+    // b-tree leaf-prefix walk reads (topic_id, timestamp) together
+    // (SqliteFormat.groupedCountMinMax), no blob byte touched. The
+    // fixture splits even/odd event ids across two topics, so real
+    // groups (counts AND disjoint-step ranges) sit inside the DuckDB
+    // equality; Db3Spec pins the plan (metadataAgg=true) and the
+    // fallback cases (filters, typed reads, non-catalog groupings).
+    "q83_db3_grouped_info" -> ((s, d) => {
+      val db = db3Fixture(s, d)
+      s.read.format("db3").option("path", db).load()
+        .groupBy(col("topic")).agg(
+          count(lit(1)).as("cnt"),
+          min(col("timestamp")).as("min_ts_ns"),
+          max(col("timestamp")).as("max_ts_ns"))
+        .orderBy(col("topic"))
     }))
 
   /** db3 twin of [[fixture]]: the same 1000-row slice written as a
-    * rosbag2 sqlite database (one CDR channel, Humble-style
-    * message_definitions), via the engine's own sqlite writer.
+    * rosbag2 sqlite database (two CDR topics of the same type splitting
+    * even/odd event ids — q83's grouped-metadata gate needs real
+    * groups — Humble-style message_definitions), via the engine's own
+    * sqlite writer. Dir salt "db3v3": the two-topic layout must not
+    * reuse a cached one-topic fixture.
     */
   private def db3Fixture(s: SparkSession, d: String): String = synchronized {
     val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_container_db3_" + cacheKey(d))
+      sys.props("java.io.tmpdir"), "graft_container_db3v3_" + cacheKey(d))
     dir.mkdirs()
     val f = new java.io.File(dir, "events.db3")
     val done = new java.io.File(dir, "_built")
@@ -282,14 +306,16 @@ object ContainerQueries {
         .collect()
       val rosBundle = Ros2Msg.bundle(RosName, RosDef)
       val msgRows = rows.map { r =>
-        Seq[Any](null, 1L, r.getLong(1) * 1000L, // rowid-aliased id, topic, ts ns
+        Seq[Any](null, if (r.getLong(0) % 2 == 0) 1L else 2L,
+          r.getLong(1) * 1000L, // rowid-aliased id, topic, ts ns
           CdrCodec.encode(rosBundle, Seq[Any](r.getLong(0), r.getLong(1),
             r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5))))
       }.toSeq
       val db = graft.ros.db3.SqliteFormat.writeDb(Seq(
         ("topics",
           "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
-          Seq(Seq[Any](null, "/events", RosName, "cdr", ""))),
+          Seq(Seq[Any](null, "/events_even", RosName, "cdr", ""),
+            Seq[Any](null, "/events_odd", RosName, "cdr", ""))),
         ("messages",
           "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)",
           msgRows),
@@ -419,7 +445,7 @@ object ContainerQueries {
         |         MIN(epoch_us(ts)) * 1000 AS min_ts_ns,
         |         MAX(epoch_us(ts)) * 1000 AS max_ts_ns
         |  FROM ev)
-        |SELECT 'db3' AS container, cnt, CAST(1 AS BIGINT) AS n_topics,
+        |SELECT 'db3' AS container, cnt, CAST(2 AS BIGINT) AS n_topics,
         |       min_ts_ns, max_ts_ns FROM a
         |UNION ALL
         |SELECT 'mcap', cnt, CAST(2 AS BIGINT), min_ts_ns, max_ts_ns FROM a
@@ -454,5 +480,15 @@ object ContainerQueries {
         |SELECT 'mcap', cnt, min_us * 1000, max_us * 1000 FROM a
         |UNION ALL
         |SELECT 'rosbag', cnt, min_us // 1000000, max_us // 1000000 FROM a
-        |ORDER BY container""".stripMargin)
+        |ORDER BY container""".stripMargin,
+    "q83_db3_grouped_info" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |  FROM events ORDER BY event_id LIMIT 1000)
+        |SELECT CASE WHEN event_id % 2 = 0
+        |            THEN '/events_even' ELSE '/events_odd' END AS topic,
+        |       COUNT(*) AS cnt,
+        |       MIN(epoch_us(ts)) * 1000 AS min_ts_ns,
+        |       MAX(epoch_us(ts)) * 1000 AS max_ts_ns
+        |FROM ev GROUP BY 1 ORDER BY topic""".stripMargin)
 }

@@ -623,28 +623,34 @@ class Db3ScanBuilder(path: String, full: StructType,
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
-  private var aggSpecs: Option[Seq[graft.ros.MetadataAgg.AggSpec]] = None
+  private var aggSpecs: Option[(Seq[String], Seq[graft.ros.MetadataAgg.AggSpec])] = None
 
   /** `count(*)` and `min/max(timestamp)` pushdown from the b-tree
-    * itself: sqlite has no writer-stamped counts or time ranges
-    * (unlike chunk-info / MCAP Statistics), but each leaf page header
-    * carries its cell count, and the timestamp sits in the first ~20
-    * bytes of each record — before the blob. The distributed agg scan
-    * walks page headers per subtree (count) plus, when min/max is
-    * requested, a prefix decode per leaf cell
-    * ([[SqliteFormat.countMinMax]]) — never a full record parse, an
-    * overflow chain, or a payload inflation. Exact on ANY file (no
-    * write-order assumption, unlike the edge-probe pruning).
-    * Ungrouped only: grouping needs per-row topic reads.
+    * itself — grouped or not: sqlite has no writer-stamped counts or
+    * time ranges (unlike chunk-info / MCAP Statistics), but each leaf
+    * page header carries its cell count, and (topic_id, timestamp)
+    * sit in the first ~20 bytes of each record — before the blob. The
+    * distributed agg scan walks page headers per subtree (ungrouped
+    * count) or prefix-decodes leaf cells ([[SqliteFormat.countMinMax]]
+    * / [[SqliteFormat.groupedCountMinMax]]) — never a full record
+    * parse, an overflow chain, or a payload inflation. Exact on ANY
+    * file (no write-order assumption, unlike the edge-probe pruning).
+    * db3 is the one container where GROUPED min/max is exact from
+    * metadata (the walk reads key and value together), completing the
+    * reference's per-connection stats TODO (rosbag2parquet.cpp:22-24)
+    * from pure metadata; grouping columns are the catalog-derivable
+    * five (file_path + topic_id → topic/type/format).
     */
   override def pushAggregation(
       a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (typed.isDefined || pushed.nonEmpty || limit >= 0) return false
-    graft.ros.MetadataAgg.parse(a, Set.empty, Set("timestamp")) match {
-      case Some((cols, specs)) if cols.isEmpty =>
-        aggSpecs = Some(specs)
+    graft.ros.MetadataAgg.parse(a,
+        Set("file_path", "topic_id", "topic", "type", "serialization_format"),
+        Set("timestamp"), groupedMinMax = true) match {
+      case Some((cols, specs)) =>
+        aggSpecs = Some((cols, specs))
         true
-      case _ => false
+      case None => false
     }
   }
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -664,7 +670,7 @@ class Db3ScanBuilder(path: String, full: StructType,
   override def pushedFilters(): Array[Filter] = pushed
   override def pushLimit(l: Int): Boolean = { limit = l; false } // partial push
   override def build(): Scan = aggSpecs match {
-    case Some(specs) => new Db3MetaAggScan(path, specs)
+    case Some((cols, specs)) => new Db3MetaAggScan(path, cols, specs)
     case None =>
       new Db3Scan(path, required, pushed, typed, includeRaw, limit,
         tsPruning, tsJitterNs)
@@ -672,18 +678,23 @@ class Db3ScanBuilder(path: String, full: StructType,
 }
 
 /** The pushed-aggregate scan: the normal per-subtree partitions, but
-  * each reader emits ONE partial row — the subtree's page-header row
-  * count, plus its timestamp min/max from leaf-cell prefix decodes
-  * when requested ([[SqliteFormat.countRows]]/[[SqliteFormat
-  * .countMinMax]]). Spark's final aggregate sums the counts and
-  * re-min/maxes the ranges (an empty subtree's nulls drop out).
+  * each reader emits PARTIAL rows — ungrouped: one row with the
+  * subtree's page-header count plus its timestamp min/max from
+  * leaf-cell prefix decodes when requested ([[SqliteFormat.countRows]]
+  * / [[SqliteFormat.countMinMax]]); grouped: one row per topic_id in
+  * the subtree with per-group count/min/max
+  * ([[SqliteFormat.groupedCountMinMax]]), group columns resolved from
+  * the topics catalog the partition already carries. Spark's final
+  * aggregate re-groups the partials, sums the counts and re-min/maxes
+  * the ranges (an empty subtree's nulls drop out).
   */
-class Db3MetaAggScan(path: String,
+class Db3MetaAggScan(path: String, cols: Seq[String],
                      specs: Seq[graft.ros.MetadataAgg.AggSpec])
     extends Scan with Batch {
   import graft.ros.MetadataAgg
   override def readSchema(): StructType =
-    MetadataAgg.schemaFor(specs, Db3DataSource.SpineSchema)
+    if (cols.isEmpty) MetadataAgg.schemaFor(specs, Db3DataSource.SpineSchema)
+    else MetadataAgg.schemaGrouped(cols, Db3DataSource.SpineSchema, specs)
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Db3IO.scanMetas(Db3IO.resolveFiles(path)).flatMap { case (f, meta) =>
@@ -691,33 +702,61 @@ class Db3MetaAggScan(path: String,
         Db3InputPartition(f, st, meta.topics): InputPartition)
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory = {
-    val sp = specs // serializable capture, not the Scan
+    val sp = specs // serializable captures, not the Scan
+    val gCols = cols
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
           private val part = p.asInstanceOf[Db3InputPartition]
-          private var emitted = false
-          override def next(): Boolean = !emitted && { emitted = true; true }
-          override def get(): InternalRow = {
+          private val needMinMax = sp.exists(_ != MetadataAgg.CountStarSpec)
+          // materialized eagerly (tiny: ≤ one row per topic per
+          // subtree) so the pager never outlives next()
+          private lazy val rows: Iterator[InternalRow] = {
             val pager = new Db3IO.Pager(part.path)
             try {
-              val needMinMax = sp.exists(_ != MetadataAgg.CountStarSpec)
-              val (n, mn, mx) =
-                if (needMinMax)
-                  SqliteFormat.countMinMax(pager.page, pager.header.usable,
-                    part.subtree, valueIdx = 2) // (id, topic_id, TIMESTAMP, data)
-                else
-                  (SqliteFormat.countRows(pager.page, pager.header.usable,
-                    part.subtree), None, None)
-              InternalRow.fromSeq(sp.map {
-                case MetadataAgg.CountStarSpec => n
-                case MetadataAgg.MinSpec(_) =>
-                  mn.map(java.lang.Long.valueOf).orNull
-                case MetadataAgg.MaxSpec(_) =>
-                  mx.map(java.lang.Long.valueOf).orNull
-              })
+              if (gCols.isEmpty) {
+                val (n, mn, mx) =
+                  if (needMinMax)
+                    SqliteFormat.countMinMax(pager.page, pager.header.usable,
+                      part.subtree, valueIdx = 2) // (id, topic_id, TIMESTAMP, data)
+                  else
+                    (SqliteFormat.countRows(pager.page, pager.header.usable,
+                      part.subtree), None, None)
+                Iterator.single(InternalRow.fromSeq(sp.map {
+                  case MetadataAgg.CountStarSpec => n
+                  case MetadataAgg.MinSpec(_) =>
+                    mn.map(java.lang.Long.valueOf).orNull
+                  case MetadataAgg.MaxSpec(_) =>
+                    mx.map(java.lang.Long.valueOf).orNull
+                }))
+              } else {
+                val grouped = SqliteFormat.groupedCountMinMax(
+                  pager.page, pager.header.usable, part.subtree,
+                  keyIdx = 1, valueIdx = 2, needValue = needMinMax)
+                grouped.toSeq.map { case (tid, slot) =>
+                  val (tn, tt, tf) = part.topics.getOrElse(tid,
+                    throw new IllegalStateException(
+                      s"message rows reference unknown topic_id $tid in ${part.path}"))
+                  val groupVals: Seq[Any] = gCols.map {
+                    case "file_path" => UTF8String.fromString(part.path)
+                    case "topic_id" => tid
+                    case "topic" => UTF8String.fromString(tn)
+                    case "type" => UTF8String.fromString(tt)
+                    case "serialization_format" => UTF8String.fromString(tf)
+                  }
+                  InternalRow.fromSeq(groupVals ++ sp.map {
+                    case MetadataAgg.CountStarSpec => slot(0)
+                    case MetadataAgg.MinSpec(_) => slot(1)
+                    case MetadataAgg.MaxSpec(_) => slot(2)
+                  })
+                }.iterator
+              }
             } finally pager.close()
           }
+          private var current: InternalRow = _
+          override def next(): Boolean =
+            rows.hasNext && { current = rows.next(); true }
+          override def get(): InternalRow = current
           override def close(): Unit = ()
         }
     }

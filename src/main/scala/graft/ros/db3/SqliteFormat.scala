@@ -352,6 +352,85 @@ object SqliteFormat {
     (n, if (seen) Some(mn) else None, if (seen) Some(mx) else None)
   }
 
+  /** Per-key (count, min, max) of the `valueIdx`-th record value over
+    * the subtree rooted at `root`, keyed by the `keyIdx`-th value —
+    * the GROUPED twin of [[countMinMax]], behind pushed
+    * `groupBy(topic…).agg(count + min/max(timestamp))`: the same
+    * leaf-cell PREFIX decode (never blob bytes, never an overflow
+    * chain), one extra small varint per row for the key. db3 is the
+    * one container where grouped ranges are exact from metadata —
+    * the walk reads (topic_id, timestamp) together per cell, which
+    * chunk-info / MCAP Statistics cannot offer. `needValue = false`
+    * (grouped counts alone) stops the prefix at the key. Same
+    * loud-drift contract as countMinMax: a short record, a NULL, or
+    * a non-integer at either index throws rather than skewing the
+    * aggregate. Values are Array(count, min, max) per key; min/max
+    * are untouched Long.MaxValue/MinValue when `needValue = false`.
+    */
+  def groupedCountMinMax(page: Int => Array[Byte], usable: Int, root: Int,
+      keyIdx: Int, valueIdx: Int, needValue: Boolean)
+      : scala.collection.mutable.LinkedHashMap[Long, Array[Long]] = {
+    val acc = scala.collection.mutable.LinkedHashMap[Long, Array[Long]]()
+    val nVals = (if (needValue) math.max(keyIdx, valueIdx) else keyIdx) + 1
+    def walk(pageNo: Int): Unit = {
+      val b = page(pageNo)
+      val base = if (pageNo == 1) 100 else 0
+      val nCells = be16(b, base + 3)
+      (b(base) & 0xFF) match {
+        case 0x0d =>
+          val ptrBase = base + 8
+          var i = 0
+          while (i < nCells) {
+            val co = be16(b, ptrBase + 2 * i)
+            val (payloadLen, n1) = varint(b, co)
+            val (_, n2) = varint(b, co + n1)
+            val local = leafLocal(usable, payloadLen)
+            val prefix = recordPrefix(b, co + n1 + n2, local, nVals)
+            require(prefix.length > keyIdx,
+              s"record has only ${prefix.length} values, none at " +
+                s"index $keyIdx — foreign schema, refusing grouped agg")
+            val key = prefix(keyIdx) match {
+              case v: Long => v
+              case other => throw new IllegalArgumentException(
+                s"record value $keyIdx is " +
+                  s"${if (other == null) "NULL" else other.getClass.getSimpleName}, " +
+                  "not an integer — refusing grouped agg over a foreign schema")
+            }
+            val slot = acc.getOrElseUpdate(key,
+              Array(0L, Long.MaxValue, Long.MinValue))
+            slot(0) += 1L
+            if (needValue) {
+              require(prefix.length > valueIdx,
+                s"record has only ${prefix.length} values, none at " +
+                  s"index $valueIdx — foreign schema, refusing min/max")
+              prefix(valueIdx) match {
+                case v: Long =>
+                  if (v < slot(1)) slot(1) = v
+                  if (v > slot(2)) slot(2) = v
+                case null => throw new IllegalArgumentException(
+                  s"NULL at record value $valueIdx — rosbag2 declares " +
+                    "timestamp NOT NULL; refusing a silently skewed min/max")
+                case other => throw new IllegalArgumentException(
+                  s"record value $valueIdx is ${other.getClass.getSimpleName}, " +
+                    "not an integer — refusing min/max over a foreign schema")
+              }
+            }
+            i += 1
+          }
+        case 0x05 =>
+          var i = 0
+          while (i < nCells) {
+            walk(be32(b, be16(b, base + 12 + 2 * i))); i += 1
+          }
+          walk(be32(b, base + 8))
+        case other => throw new IllegalArgumentException(
+          f"page $pageNo is b-tree type 0x$other%02x, not a table page")
+      }
+    }
+    walk(root)
+    acc
+  }
+
   /** One-level partition grain of a table b-tree: the root's direct
     * children (subtree roots), or the root itself when it is a leaf.
     * Each subtree walks independently ([[tableRows]] handles either

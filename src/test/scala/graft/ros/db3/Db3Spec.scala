@@ -99,12 +99,14 @@ class Db3Spec extends SparkTestBase {
     val cq = df.groupBy().count()
     assert(cq.collect().head.getLong(0) === 2000L)
     assert(cq.queryExecution.executedPlan.toString.contains("metadataAgg=true"))
-    // grouping needs per-row reads — normal scan, same answer
+    // GROUPED counts push too: the leaf-prefix walk reads topic_id per
+    // cell (SqliteFormat.groupedCountMinMax) — per-connection stats
+    // from pure metadata, the reference's TODO block
     val byTopic = df.groupBy("topic").count()
-    assert(!byTopic.queryExecution.executedPlan.toString.contains("metadataAgg"))
+    assert(byTopic.queryExecution.executedPlan.toString.contains("metadataAgg=true"))
     assert(byTopic.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
       Map("/imu" -> 999L, "/chatter" -> 1000L, "/bulk" -> 1L))
-    // filtered counts fall back too
+    // filtered counts fall back
     assert(df.filter(col("topic") === "/imu").count() === 999)
 
     // ungrouped min/max(timestamp) pushes to the leaf-cell prefix walk
@@ -123,9 +125,36 @@ class Db3Spec extends SparkTestBase {
     // to the schema's timestamp position only)
     val mid = df.agg(min(col("msg_id")))
     assert(!mid.queryExecution.executedPlan.toString.contains("metadataAgg"))
-    // grouped min/max refuses — per-topic ranges need per-row reads
-    val gm = df.groupBy("topic").agg(max(col("timestamp")))
-    assert(!gm.queryExecution.executedPlan.toString.contains("metadataAgg"))
+
+    // GROUPED min/max pushes — db3 is the one container where grouped
+    // ranges are exact from metadata (the walk reads topic_id and
+    // timestamp together); reference via the normal scan's columns
+    val want = df.select(col("topic"), col("timestamp")).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        val vs = rs.map(_.getLong(1))
+        t -> ((rs.length.toLong, vs.min, vs.max))
+      }
+    val gm = df.groupBy("topic").agg(count(lit(1)).as("n"),
+      min(col("timestamp")).as("mn"), max(col("timestamp")).as("mx"))
+    assert(gm.queryExecution.executedPlan.toString.contains("metadataAgg=true"))
+    assert(gm.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap === want)
+    // grouping by every catalog column pushes; non-catalog grouping
+    // (msg_id is per-row, not catalog-derivable) falls back
+    for (c <- Seq("topic_id", "type", "serialization_format", "file_path")) {
+      val g = df.groupBy(col(c)).count()
+      assert(g.queryExecution.executedPlan.toString.contains("metadataAgg=true"), c)
+      assert(g.collect().map(_.getLong(1)).sum === 2000L, c)
+    }
+    val byMsg = df.groupBy("msg_id").count()
+    assert(!byMsg.queryExecution.executedPlan.toString.contains("metadataAgg"))
+    // typed reads never push the metadata agg
+    val typed = spark.read.format("db3").option("path", genuine)
+      .option("schema_name", "sensor_msgs/msg/Imu").load()
+    val tg = typed.groupBy("topic").count()
+    assert(!tg.queryExecution.executedPlan.toString.contains("metadataAgg"))
+    assert(tg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("/imu" -> 999L))
   }
 
   test("timestamp range pruning drops whole b-tree subtrees from the plan") {
