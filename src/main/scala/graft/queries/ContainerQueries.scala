@@ -377,14 +377,24 @@ object ContainerQueries {
   /** One directory holding all three container fixtures — q79's
     * input. Builds (or reuses) the per-format fixtures, then copies
     * them in; done-marker + fresh-dir discipline like the others.
+    *
+    * The cache key is derived from the COMPONENT fixture paths (which
+    * embed their own version salts, e.g. db3Fixture's "db3v3"), so a
+    * component-layout change can never serve a stale composite: round
+    * 11 re-salted the db3 fixture to a two-topic layout but this dir's
+    * independent key kept a `_built` marker over the old one-topic
+    * `events.db3`, failing q79's oracle (n_topics 1 vs 2).
     */
   private def mixedFixture(s: SparkSession, d: String): String = synchronized {
+    val srcs = Seq(fixture(s, d), db3Fixture(s, d), bagFixture(s, d))
+    val mixedKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(srcs.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
     val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_container_mixed_" + cacheKey(d))
+      sys.props("java.io.tmpdir"), "graft_container_mixed_" + mixedKey)
     dir.mkdirs()
     val done = new java.io.File(dir, "_built")
     if (!done.exists()) {
-      val srcs = Seq(fixture(s, d), db3Fixture(s, d), bagFixture(s, d))
       srcs.foreach { src =>
         val f = new java.io.File(src)
         java.nio.file.Files.copy(f.toPath,
