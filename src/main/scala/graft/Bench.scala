@@ -58,6 +58,28 @@ object Bench {
       s"[${parts(0).toDouble},${parts(1).toDouble},${parts(2).toDouble}]"
     } catch { case _: Throwable => "null" }
 
+  /** First (1-minute) load average from a [[loadavg]] JSON array
+    * string; 0.0 when unavailable (never flags).
+    */
+  private[graft] def load1(j: String): Double =
+    try j.stripPrefix("[").split(",")(0).toDouble
+    catch { case _: Throwable => 0.0 }
+
+  /** Was this run co-tenant contaminated? The r10/r11 artifacts were
+    * both taken under heavy foreign load (1-min loadavg 9.3 / 15.9 on
+    * 32 cpus) and the judge had to argue the regressions away from
+    * sample shapes; with the flag IN the artifact a loaded run
+    * self-labels and the perf gate can cite only clean ones. The
+    * BEFORE sample is foreign load by definition (threshold cpus/4);
+    * the AFTER sample includes the bench's own just-finished threads,
+    * so it gets a self-load allowance of the session's parallelism.
+    */
+  private[graft] def loadContaminated(before: String, after: String,
+      benchThreads: Int): Boolean = {
+    val cpus = Runtime.getRuntime.availableProcessors
+    load1(before) > cpus / 4.0 || load1(after) > benchThreads + cpus / 4.0
+  }
+
   /** Is a timing sample set too dispersed to trust its median?
     * max/med > 3 = an outlier sample (load spike during one run);
     * med/min > 3 = the MEDIAN itself likely sits on contaminated
@@ -158,9 +180,13 @@ object Bench {
       .mkString("{", ",", "}")
     val warmTotal = warm.collect { case (_, v) if v > 0 => v }.sum
     val total = results.collect { case (_, v, None, _) => v }.sum + warmTotal
+    val loadAfter = loadavg()
+    val contaminated = loadContaminated(loadBefore, loadAfter,
+      spark.sparkContext.defaultParallelism)
     val compact = s""""value":${rk(total)},"unit":"sec","runs":$runs,""" +
+      s""""load_contaminated":$contaminated,""" +
       s""""warm_sec":${rk(warmTotal)},"errors":$errs,"queries":$qs"""
-    val detail = s""""loadavg":{"before":$loadBefore,"after":${loadavg()}},""" +
+    val detail = s""""loadavg":{"before":$loadBefore,"after":$loadAfter},""" +
       s""""warm":$warmJson,"spread":$spread"""
     (compact, detail, results.exists(_._3.isDefined) || warm.exists(_._2 < 0))
   }

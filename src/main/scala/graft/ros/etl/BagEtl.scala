@@ -212,31 +212,311 @@ object BagEtl {
     finally os.close()
   }
 
+  /** Incremental commit record `<out>/_commit.json`:
+    * `{"committed": M, "inflight": [files...]}`. `committed` is the
+    * max seqno of the last COMMITTED increment; `inflight` is the file
+    * set of an increment currently writing (recorded BEFORE its first
+    * data write, cleared -- with the new max -- only AFTER its dimension
+    * commit landed). [[repairCrashedIncrement]] reads it to make the
+    * steady-state append metadata-only: without it, knowing the
+    * committed max required a seqno scan of Messages on EVERY append
+    * (driver cost growing with total corpus size -- VERDICT r11 #2).
+    * Same regex-parsed flat format as the `_tables.json` manifest.
+    */
+  private def commitRecordFsPath(out: String) =
+    new org.apache.hadoop.fs.Path(s"$out/_commit.json")
+  private[ros] def readCommitRecord(out: String): Option[(Long, Seq[String])] =
+    try {
+      val p = commitRecordFsPath(out)
+      val fs = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val com = """"committed"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s)
+          .map(_.group(1).toLong)
+        val flight = """"inflight"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(s)
+          .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+            .map(f => unescapeJson(f.group(1))).toSeq)
+        // a half-written/corrupt record must NOT be trusted: None sends
+        // the caller down the exact legacy-scan path
+        for (c <- com; fl <- flight) yield (c, fl)
+      }
+    } catch { case _: Throwable => None }
+  private[ros] def writeCommitRecord(out: String, committed: Long,
+      inflight: Seq[String]): Unit = {
+    val p = commitRecordFsPath(out)
+    val fs = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    val body = s"""{"committed":$committed,"inflight":[""" +
+      inflight.map(f => "\"" + escapeJson(f) + "\"").mkString(",") + "]}"
+    val os = fs.create(p, true)
+    try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+  private def escapeJson(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  private def unescapeJson(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Per-part-file (path, min seqno, max seqno) of a table directory,
+    * read DRIVER-SIDE from the parquet footers on the bounded
+    * [[graft.ros.DriverPool]] -- O(#files) metadata reads, zero row
+    * scans, no Spark jobs. Parquet footers store exact min/max column
+    * statistics per row group; seqno is a never-null INT64, so the
+    * stats are authoritative. Returns None when the table has no
+    * seqno column (dimension-shaped table -- nothing to purge) and
+    * Left when any footer lacks usable statistics (caller falls back
+    * to an exact Spark scan for that table). Zero-row-group files
+    * (the empty schema-preserving part written when a purge empties a
+    * table) contribute no range.
+    */
+  private[ros] def footerSeqnoRanges(dir: String)
+      : Option[Either[Unit, Seq[(String, Long, Long)]]] = {
+    import scala.jdk.CollectionConverters._
+    import scala.language.existentials  // parquet's Statistics[_ <: Comparable[_]]
+    val conf = graft.ros.bag.RosbagIO.hadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val parts = fs.listStatus(p).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (parts.isEmpty) return Some(Right(Seq.empty))
+    // per file: None = no seqno field; Some(Left) = stats missing;
+    // Some(Right(None)) = zero rows; Some(Right(Some(range)))
+    val perFile = graft.ros.DriverPool.parMap(parts) { st =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try {
+        val md = rd.getFooter
+        if (!md.getFileMetaData.getSchema.containsField("seqno")) None
+        else {
+          val ranges = md.getBlocks.asScala.filter(_.getRowCount > 0).map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == "seqno")
+              .flatMap { c =>
+                val s = c.getStatistics
+                if (s == null || s.isEmpty || !s.hasNonNullValue) None
+                else Some((s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                  s.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+              }
+          }
+          if (ranges.exists(_.isEmpty))
+            Some(Left(())): Option[Either[Unit, Option[(String, Long, Long)]]]
+          else if (ranges.isEmpty) Some(Right(None))
+          else Some(Right(Some((st.getPath.toString,
+            ranges.map(_.get._1).min, ranges.map(_.get._2).max))))
+        }
+      } finally rd.close()
+    }
+    if (perFile.forall(_.isEmpty)) None          // no seqno column anywhere
+    else if (perFile.exists(_.exists(_.isLeft))) Some(Left(()))
+    else Some(Right(perFile.flatten.collect { case Right(Some(r)) => r }))
+  }
+
   /** Crash repair for the incremental ETLs (all three containers),
     * run at the START of every incremental append: an increment that
     * died between its data writes and its dimension commit record
     * (Connections / Channels / Topics, written LAST) left rows for
     * undone files in Messages / RawMessages / the per-type tables /
     * the blob side tables. Purging them BEFORE the redo makes the
-    * redo exactly-once — no consumer-side dropDuplicates contract.
+    * redo exactly-once -- no consumer-side dropDuplicates contract.
     *
     * The purge key is `seqno`, which every data table carries
     * (including the (seqno, data) blob side tables the path column
     * cannot reach): repair runs before every append, so at most ONE
-    * dead increment exists, and its seqnos all exceed `maxClean` —
-    * the committed maximum (dead offset was maxClean+1 at its run).
-    * Granularity is the part FILE: a dead increment's append jobs
-    * wrote part files holding only its own rows, so files with
-    * min(seqno) > maxClean drop outright; a mixed file (possible only
-    * if a foreign compaction rewrote the table between crash and
-    * redo) falls back to rewriting that table's surviving rows.
+    * dead increment exists, and its seqnos all exceed the committed
+    * maximum (the dead offset was committed+1 at its run). Granularity
+    * is the part FILE: a dead increment's append jobs wrote part files
+    * holding only its own rows, so files with min(seqno) > committed
+    * drop outright; a mixed file (possible only if a foreign
+    * compaction rewrote the table between crash and redo) falls back
+    * to rewriting that table's surviving rows.
     *
-    * `done` = the dimension's committed file set; `undone` = files
-    * seen in Messages but not committed. Returns maxClean — the redo
-    * continues seqnos at maxClean+1, re-using the dead increment's
-    * range (dense, collision-free: its old rows are gone).
+    * Steady state is METADATA-ONLY (VERDICT r11 #2): the `_commit.json`
+    * record supplies the committed max, and debris detection reads
+    * per-file seqno min/max from parquet FOOTERS driver-side
+    * ([[footerSeqnoRanges]]) -- a no-crash append launches no Spark job
+    * over any historical table. The exact Spark-scan path survives for
+    * dirs predating the record, for footers without statistics, and
+    * for two inconsistent states the record cannot resolve (dimension
+    * table wiped externally; a partially-visible dimension commit).
+    * A crash AFTER the dimension write but BEFORE the record finalize
+    * shows `inflight` fully inside `done`: that increment committed,
+    * so its end is recovered from the Messages footer max and stamped.
+    *
+    * Returns the committed max -- the redo continues seqnos at max+1,
+    * re-using a dead increment's range (dense, collision-free: its
+    * old rows are gone).
     */
   private[ros] def repairCrashedIncrement(spark: SparkSession, outDir: String,
+      pathCol: String, done: Set[String], dimension: String): Long = {
+    recoverRenameAside(outDir)
+    readCommitRecord(outDir) match {
+      case Some((committed, _)) if done.isEmpty && committed >= 0 =>
+        // inconsistent: committed rows imply a non-empty dimension
+        // (every message row has a connection). The dimension was
+        // wiped outside the protocol -- fall back to the exact scan,
+        // which purges everything uncommitted-by-done and lets the
+        // caller redo it.
+        legacyRepair(spark, outDir, pathCol, done, dimension)
+      case Some((committed, inflight)) =>
+        val inDone = inflight.count(done)
+        if (inflight.nonEmpty && inDone == inflight.size) {
+          // crash between the dimension write and the record finalize:
+          // the increment landed whole. Its end is the Messages footer
+          // max (repair ran before it started, so no older debris).
+          val m = footerSeqnoRanges(s"$outDir/Messages.parquet") match {
+            case Some(Right(rs)) if rs.nonEmpty => rs.map(_._3).max
+            case Some(Right(_)) => -1L
+            case _ =>
+              val r = spark.read.parquet(s"$outDir/Messages.parquet")
+                .agg(max(col("seqno"))).head()
+              if (r.isNullAt(0)) -1L else r.getLong(0)
+          }
+          writeCommitRecord(outDir, m, Nil)
+          m
+        } else if (inflight.nonEmpty && inDone > 0) {
+          // partially-visible dimension commit (non-atomic multi-file
+          // commit observed mid-window) -- exact scan resolves it
+          legacyRepair(spark, outDir, pathCol, done, dimension)
+        } else {
+          // steady state (inflight empty) or a dead increment
+          // (inflight fully absent from done): any row above
+          // `committed` is debris. Footer-verified on every append --
+          // metadata-only when clean.
+          purgeAbove(spark, outDir, dimension, committed)
+          writeCommitRecord(outDir, committed, Nil)
+          committed
+        }
+      case None =>
+        legacyRepair(spark, outDir, pathCol, done, dimension)
+    }
+  }
+
+  /** The data-table directories of an ETL output (everything but the
+    * dimension commit record).
+    */
+  private def dataTableDirs(fs: org.apache.hadoop.fs.FileSystem,
+      outPath: org.apache.hadoop.fs.Path, dimension: String): Seq[String] =
+    fs.listStatus(outPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.endsWith(".parquet") &&
+        s.getPath.getName != s"$dimension.parquet")
+      .map(_.getPath.toString).sorted
+
+  /** Delete dead part files / rewrite a mixed table so no row with
+    * seqno > maxClean survives, given the per-file (path, min, max)
+    * ranges. A purge that would empty the table preserves its SCHEMA
+    * (one empty part file) instead: a bare directory bricks every
+    * later `spark.read.parquet` with "unable to infer schema"
+    * (ADVICE r11), and in incremental mode the dimension may still
+    * list done files, so a silent directory delete would send the
+    * next run down the bootstrap path into an ErrorIfExists failure.
+    */
+  private def purgeWithRanges(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, maxClean: Long,
+      ranges: Seq[(String, Long, Long)]): Unit = {
+    val dead = ranges.filter(_._2 > maxClean)
+    val mixed = ranges.exists(r => r._2 <= maxClean && r._3 > maxClean)
+    if (mixed) rewriteTableBelow(spark, fs, dir, maxClean)
+    else if (dead.nonEmpty) {
+      val emptied = dead.size == ranges.size
+      val schema = if (emptied) Some(spark.read.parquet(dir).schema) else None
+      dead.foreach { r =>
+        fs.delete(new org.apache.hadoop.fs.Path(r._1), false); ()
+      }
+      schema.foreach { sc =>
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(Seq.empty[Row], 1), sc)
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", "snappy").parquet(dir)
+      }
+    }
+  }
+
+  /** Rewrite a table keeping only rows with seqno <= maxClean -- the
+    * mixed-file fallback. Promotion is rename-ASIDE, never
+    * delete-then-rename: a crash between a delete and the promoting
+    * rename would lose the whole table (ADVICE r11); with the aside
+    * dance every crash window leaves either the original or the
+    * rewrite recoverable ([[recoverRenameAside]]).
+    */
+  private def rewriteTableBelow(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, maxClean: Long): Unit = {
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__repair")
+    val aside = new org.apache.hadoop.fs.Path(dir + "__old")
+    spark.read.parquet(dir).filter(col("seqno") <= maxClean)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy").parquet(tmp.toString)
+    fs.delete(aside, true)
+    require(fs.rename(dp, aside), s"repair: rename aside failed for $dir")
+    require(fs.rename(tmp, dp), s"repair: promote failed for $dir")
+    fs.delete(aside, true)
+    ()
+  }
+
+  /** Recover from a crash inside [[rewriteTableBelow]]'s swap: a
+    * `X.parquet__old` with no `X.parquet` means the promote rename
+    * never ran -- restore the original (the rewrite is a pure filter of
+    * it, so redoing the repair is idempotent). Leftover `__repair` /
+    * `__old` dirs next to a live table are stale scratch and drop.
+    */
+  private def recoverRenameAside(outDir: String): Unit = {
+    val conf = graft.ros.bag.RosbagIO.hadoopConf()
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(conf)
+    if (!fs.exists(outPath)) return
+    fs.listStatus(outPath).toSeq.filter(_.getPath.getName.endsWith("__old"))
+      .foreach { s =>
+        val base = new org.apache.hadoop.fs.Path(
+          s.getPath.toString.stripSuffix("__old"))
+        if (!fs.exists(base)) { fs.rename(s.getPath, base); () }
+        else { fs.delete(s.getPath, true); () }
+      }
+    fs.listStatus(outPath).toSeq.filter(_.getPath.getName.endsWith("__repair"))
+      .foreach { s => fs.delete(s.getPath, true); () }
+  }
+
+  /** Metadata-only debris purge: every data table's per-file seqno
+    * ranges come from parquet footers; rows above `maxClean` are
+    * purged. Tables whose footers lack statistics fall back to an
+    * exact per-table Spark scan.
+    */
+  private def purgeAbove(spark: SparkSession, outDir: String,
+      dimension: String, maxClean: Long): Unit = {
+    val conf = graft.ros.bag.RosbagIO.hadoopConf()
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(conf)
+    dataTableDirs(fs, outPath, dimension).foreach { dir =>
+      footerSeqnoRanges(dir) match {
+        case None => ()                        // no seqno column: skip
+        case Some(Right(ranges)) =>
+          purgeWithRanges(spark, fs, dir, maxClean, ranges)
+        case Some(Left(_)) =>                  // stats missing: exact scan
+          purgeWithRanges(spark, fs, dir, maxClean, scanSeqnoRanges(spark, dir))
+      }
+    }
+  }
+
+  /** Exact per-file seqno ranges via a Spark scan -- the fallback when
+    * footers carry no statistics, and the legacy path's workhorse.
+    */
+  private def scanSeqnoRanges(spark: SparkSession, dir: String)
+      : Seq[(String, Long, Long)] =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("__part"))
+      .agg(min(col("seqno")).as("__mn"), max(col("seqno")).as("__mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("__mn"), r.getAs[Long]("__mx")))
+      .toSeq
+
+  /** The pre-record exact repair: derives the committed max from the
+    * dimension's done-set with full scans (the r10 behavior), then
+    * stamps a commit record so the NEXT append takes the metadata-only
+    * path. Also the escape hatch for the record-inconsistent states.
+    */
+  private def legacyRepair(spark: SparkSession, outDir: String,
       pathCol: String, done: Set[String], dimension: String): Long = {
     val conf = graft.ros.bag.RosbagIO.hadoopConf()
     val outPath = new org.apache.hadoop.fs.Path(outDir)
@@ -252,31 +532,12 @@ object BagEtl {
       val r = clean.agg(max(col("seqno"))).head()
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }
-    val dataDirs = fs.listStatus(outPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.endsWith(".parquet") &&
-        s.getPath.getName != s"$dimension.parquet")
-      .map(_.getPath.toString).sorted
-    dataDirs.foreach { dir =>
+    dataTableDirs(fs, outPath, dimension).foreach { dir =>
       val t = spark.read.parquet(dir)
-      if (t.columns.contains("seqno")) {
-        val parts = t.groupBy(input_file_name().as("__part"))
-          .agg(min(col("seqno")).as("__mn"), max(col("seqno")).as("__mx"))
-          .collect()
-        val dead = parts.filter(_.getAs[Long]("__mn") > maxClean)
-        val mixed = parts.exists(r =>
-          r.getAs[Long]("__mn") <= maxClean && r.getAs[Long]("__mx") > maxClean)
-        if (mixed) {
-          val tmp = new org.apache.hadoop.fs.Path(dir + "__repair")
-          t.filter(col("seqno") <= maxClean).write.mode(SaveMode.Overwrite)
-            .option("compression", "snappy").parquet(tmp.toString)
-          val dp = new org.apache.hadoop.fs.Path(dir)
-          fs.delete(dp, true)
-          fs.rename(tmp, dp)
-        } else dead.foreach { r =>
-          fs.delete(new org.apache.hadoop.fs.Path(r.getString(0)), false)
-        }
-      }
+      if (t.columns.contains("seqno"))
+        purgeWithRanges(spark, fs, dir, maxClean, scanSeqnoRanges(spark, dir))
     }
+    writeCommitRecord(outDir, maxClean, Nil)
     maxClean
   }
 
@@ -296,6 +557,11 @@ object BagEtl {
           append: Boolean = false): (Info, Seq[(String, String, String)]) = {
     require(!blobSideTable || keepRawBlob,
       "blobSideTable requires keepRawBlob=true (there is no blob column to externalize)")
+    // commit-record protocol, step 1: declare the increment in-flight
+    // BEFORE any data write. A crash anywhere below leaves the record
+    // naming this increment's files, so repairCrashedIncrement can
+    // purge its debris from footer metadata alone.
+    writeCommitRecord(out, seqnoOffset - 1, bags)
     // opt-in phase timing for throughput work (GRAFT_ETL_TIMING=1)
     val timing = sys.env.contains("GRAFT_ETL_TIMING")
     var tLast = System.nanoTime()
@@ -567,9 +833,17 @@ object BagEtl {
     // re-scan; in append mode the slice covers only THIS run's bags
     val msgs0 = spark.read.parquet(s"$out/Messages.parquet")
     val msgs = if (append) msgs0.filter(col("bag_path").isin(bags: _*)) else msgs0
-    val Row(cnt: Long, size: Long, crc: Long) = msgs
+    val r = msgs
       .agg(count(lit(1)), coalesce(sum(col("size").cast("long")), lit(0L)),
-        coalesce(expr("bit_xor(data_crc32)"), lit(0L))).head()
+        coalesce(expr("bit_xor(data_crc32)"), lit(0L)), max(col("seqno"))).head()
+    val (cnt, size, crc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // commit-record protocol, step 2: the dimension landed above, so
+    // the increment is committed — finalize the record with the new
+    // max. (A crash before this line resolves via inflight ⊆ done:
+    // repair recovers the max from the Messages footers.)
+    writeCommitRecord(out,
+      if (r.isNullAt(3)) seqnoOffset - 1
+      else math.max(seqnoOffset - 1, r.getLong(3)), Nil)
     (Info(bagName, cnt, size, crc),
       typeGroups.map { case (dt, md5, _, _, name) => (dt, md5, name) })
   }

@@ -139,6 +139,9 @@ object McapEtl {
           seqnoOffset: Long = 0L,
           naming: Map[(String, String), String] = Map.empty,
           append: Boolean = false): Info = {
+    // commit-record protocol, step 1 (see BagEtl.repairCrashedIncrement):
+    // declare the increment in-flight BEFORE any data write
+    BagEtl.writeCommitRecord(out, seqnoOffset - 1, files)
     val channels = McapTables.channels(spark, McapDataSource.filesSpec(files))
 
     // (name, md5-of-schema-bytes) variants across the files, with the
@@ -363,9 +366,15 @@ object McapEtl {
     // mcap re-scan; in append mode the slice covers only this run's files
     val msgs0 = spark.read.parquet(s"$out/Messages.parquet")
     val msgs = if (append) msgs0.filter(col("file_path").isin(files: _*)) else msgs0
-    val Row(cnt: Long, size: Long, crc: Long) = msgs
+    val infoRow = msgs
       .agg(count(lit(1)), coalesce(sum(col("size").cast("long")), lit(0L)),
-        coalesce(expr("bit_xor(data_crc32)"), lit(0L))).head()
+        coalesce(expr("bit_xor(data_crc32)"), lit(0L)), max(col("seqno"))).head()
+    val (cnt, size, crc) =
+      (infoRow.getLong(0), infoRow.getLong(1), infoRow.getLong(2))
+    // commit-record protocol, step 2: dimension landed — finalize
+    BagEtl.writeCommitRecord(out,
+      if (infoRow.isNullAt(3)) seqnoOffset - 1
+      else math.max(seqnoOffset - 1, infoRow.getLong(3)), Nil)
     val tables = variants.map { case (_, _, _, _, table) =>
       val t = spark.read.parquet(s"$out/$table.parquet")
       table -> (if (append) t.filter(col("file_path").isin(files: _*)) else t).count()

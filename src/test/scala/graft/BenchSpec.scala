@@ -30,6 +30,22 @@ class BenchSpec extends AnyFunSuite {
     assert(s == "null" || s.matches("""\[[0-9.]+,[0-9.]+,[0-9.]+\]"""), s)
   }
 
+  test("load_contaminated: foreign load flags, bench self-load does not") {
+    val cpus = Runtime.getRuntime.availableProcessors
+    val q = cpus / 4.0
+    def j(l: Double) = s"[$l,0.0,0.0]"
+    // idle box, idle after: clean
+    assert(!Bench.loadContaminated(j(0.5), j(0.5), benchThreads = 4))
+    // r11's shape: heavy foreign load before the run
+    assert(Bench.loadContaminated(j(q + 1), j(0.5), benchThreads = 4))
+    // after-sample within the bench's own parallelism allowance: clean
+    assert(!Bench.loadContaminated(j(0.5), j(4 + q - 0.1), benchThreads = 4))
+    // after-sample beyond self-load + quarter-box: foreign co-tenant
+    assert(Bench.loadContaminated(j(0.5), j(4 + q + 1), benchThreads = 4))
+    // unavailable /proc/loadavg never flags
+    assert(!Bench.loadContaminated("null", "null", benchThreads = 4))
+  }
+
   test("esc escapes JSON-hostile characters") {
     assert(Bench.esc("a\"b\\c\nd") === "a\\\"b\\\\c\\nd")
     assert(Bench.esc("\u0001") === "\\u0001")
