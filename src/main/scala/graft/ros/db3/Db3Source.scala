@@ -355,21 +355,42 @@ object Db3IO {
     *      (`option("timestamp_jitter_ns", n)` to widen for exotic
     *      recorders), so the margin costs little pruning even on
     *      high-rate topics whose subtrees span well under a second;
-    *   2. every subtree the widened probes would DROP that sits
-    *      adjacent (rowid order) to a kept one — the only place
-    *      disorder beyond the margin could silently hide matching
-    *      rows — is re-checked EXACTLY with
-    *      [[SqliteFormat.countMinMax]] (every leaf cell's timestamp
-    *      prefix; no write-order assumption, no blob/overflow reads).
+    *   2. every dropped subtree at a FILTER CUT is re-checked EXACTLY
+    *      with [[SqliteFormat.countMinMax]] (every leaf cell's
+    *      timestamp prefix; no write-order assumption, no
+    *      blob/overflow reads). A cut is anywhere the filter's
+    *      accepted region meets dropped coverage: a dropped subtree
+    *      adjacent (rowid order) to a kept one, BOTH subtrees around
+    *      an interior gap the filter may match (a window landing in a
+    *      recording pause keeps nothing, yet its stray rows would sit
+    *      in the gap's neighbors), and the first/last subtree when
+    *      the filter may match before/after the probed global range.
     *      An exact range escaping its widened probe range refutes the
     *      write-order assumption for the whole FILE → all subtrees
     *      are kept, same as a failed monotonicity probe.
     *
+    * Residual (stated plainly): two edge probes per subtree cannot
+    * see interior rows, so a timestamp inversion LARGER than
+    * `jitterNs` whose stray row lands in a dropped subtree that is
+    * not at any filter cut remains undetectable — only a full leaf
+    * walk of every dropped subtree could find it, which would defeat
+    * plan-time pruning. The margin default (100 ms) is sized against
+    * the mechanism that produces inversions in genuine rosbag2
+    * recordings — receive-stamped messages from concurrent
+    * subscription callbacks racing into the single SequentialWriter
+    * queue, a window bounded by executor callback-to-enqueue latency
+    * (microseconds to low milliseconds on a loaded host; see the ROS 2
+    * executor-latency literature, e.g. Casini et al., ECRTS 2019) —
+    * leaving ~2 orders of magnitude of headroom. It is NOT a bound on
+    * arbitrary disorder: for foreign, merged, or clock-stepped files
+    * use `option("timestamp_jitter_ns", n)` to widen, or
+    * `option("timestamp_pruning", "false")` to disable subtree
+    * pruning entirely (row-level filters still apply).
+    *
     * Cost: the exact re-check touches only the O(#filter-cuts)
-    * boundary subtrees per file, not the pruned interior — at fleet
+    * candidate subtrees per file, not the pruned interior — at fleet
     * scale the narrow-time-window query still skips almost every
-    * page. `option("timestamp_pruning", "false")` remains the escape
-    * hatch for arbitrarily disordered foreign files.
+    * page.
     */
   def pruneSubtrees(file: String, rs: Seq[(Int, Long, Long)],
                     mayMatch: (Long, Long) => Boolean,
@@ -380,10 +401,30 @@ object Db3IO {
       if (hi > Long.MaxValue - jitterNs) Long.MaxValue else hi + jitterNs
     val flags: Seq[(Int, Boolean)] =
       rs.map { case (st, lo, hi) => (st, mayMatch(wLo(lo), wHi(hi))) }
-    val boundary = flags.indices.filter { i =>
+    // dropped subtrees at a filter cut (scaladoc above): kept-adjacent,
+    // around a may-matching interior gap, or at a file edge the filter
+    // may reach past. Gap test: if both neighbors dropped yet their
+    // widened ranges don't cover the space between them, a window in
+    // that space matches neither subtree but its stray rows would sit
+    // in one of the two — exact-verify both.
+    val keptAdj = flags.indices.filter { i =>
       !flags(i)._2 && ((i > 0 && flags(i - 1)._2) ||
         (i + 1 < flags.size && flags(i + 1)._2))
     }
+    val gapAdj = (0 until rs.size - 1).flatMap { i =>
+      val gLo = wHi(rs(i)._3); val gHi = wLo(rs(i + 1)._2)
+      if (!flags(i)._2 && !flags(i + 1)._2 && gLo < gHi &&
+        mayMatch(gLo, gHi)) Seq(i, i + 1)
+      else Nil
+    }
+    val edgeAdj =
+      (if (rs.nonEmpty && !flags.head._2 &&
+        Long.MinValue < wLo(rs.head._2) &&
+        mayMatch(Long.MinValue, wLo(rs.head._2))) Seq(0) else Nil) ++
+      (if (rs.nonEmpty && !flags.last._2 &&
+        wHi(rs.last._3) < Long.MaxValue &&
+        mayMatch(wHi(rs.last._3), Long.MaxValue)) Seq(rs.size - 1) else Nil)
+    val boundary = (keptAdj ++ gapAdj ++ edgeAdj).distinct.sorted
     if (boundary.isEmpty) return flags.collect { case (st, true) => st }
     val pager = new Pager(file)
     try {

@@ -346,6 +346,69 @@ class Db3Spec extends SparkTestBase {
       Set(j + 1L, n.toLong))
   }
 
+  test("filter cut in a recording gap / past the file range still exact-verifies (ADVICE r11)") {
+    // Previously the exact re-check only covered dropped subtrees
+    // ADJACENT TO A KEPT one: a window landing in a recording gap (or
+    // past the probed global range) kept nothing, skipped verification
+    // entirely, and silently dropped a stray interior row. Now gap
+    // neighbors and file-edge subtrees are cut candidates too.
+    val sb = graft.ros.mcap.Ros2Msg.bundle("std_msgs/msg/String", "string data")
+    val t0 = 1700000000000000000L
+    val step = 2000000L // 2 ms per row
+    val n = 2000
+    val pad = "x" * 200
+    val gapNs = 10000000000L // a 10 s recording pause
+    def writeF(ts: Int => Long): String = {
+      val rows = (0 until n).map { i =>
+        Seq[Any](null, 1L, ts(i), graft.ros.mcap.CdrCodec.encode(sb, Seq(s"$pad$i")))
+      }
+      val db = SqliteFormat.writeDb(Seq(
+        ("topics", "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+          Seq(Seq[Any](null, "/t", "std_msgs/msg/String", "cdr", ""))),
+        ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)", rows)))
+      val f = java.nio.file.Files.createTempFile("graft_gapcut", ".db3")
+      java.nio.file.Files.write(f, db)
+      f.toString
+    }
+    // shape probe (identical row sizes → identical b-tree shape)
+    val probe = writeF(i => t0 + i * step)
+    val meta = Db3IO.scanMeta(probe)
+    val ranges = Db3IO.subtreeTsRanges(probe, meta.subtrees).get
+    assert(ranges.size > 3, "fixture must split into several subtrees")
+    // open the recording gap exactly at the boundary of subtrees k|k+1
+    val k = ranges.size / 2
+    val gapRow = ((ranges(k + 1)._2 - t0) / step).toInt
+    val boundaryTs = t0 + gapRow * step
+    def gapped(i: Int): Long = t0 + i * step + (if (i >= gapRow) gapNs else 0L)
+    // stray row: interior to subtree k, stamped INTO the gap window
+    val (_, klo, khi) = ranges(k)
+    val j = (((klo + khi) / 2 - t0) / step).toInt
+    val strayTs = boundaryTs + 3000000000L // gap start + 3 s
+    val winLo = boundaryTs + 2000000000L
+    val winHi = boundaryTs + 4000000000L
+    val f2 = writeF(i => if (i == j) strayTs else gapped(i))
+    val rs2 = Db3IO.subtreeTsRanges(f2, Db3IO.scanMeta(f2).subtrees)
+    assert(rs2.isDefined, "a stray interior row is invisible to the edge probes")
+    assert(!rs2.get.exists { case (_, lo, hi) =>
+      lo - 100000000L <= winHi && hi + 100000000L >= winLo },
+      "no widened subtree range may cover the gap window (the old code kept nothing)")
+    val got = spark.read.format("db3").load(f2)
+      .filter(col("timestamp") >= winLo && col("timestamp") <= winHi)
+    assert(got.count() === 1, "the stray row in the gap window must survive pruning")
+    assert(got.select("msg_id").head().getLong(0) === j + 1L)
+    // and past the probed global range: stray interior row in the LAST
+    // subtree, filter entirely above the file's probed max
+    val (_, llo, lhi) = ranges.last
+    val jl = (((llo + lhi) / 2 - t0) / step).toInt
+    val fileMax = gapped(n - 1)
+    val f3 = writeF(i => if (i == jl) fileMax + 7000000000L else gapped(i))
+    assert(Db3IO.subtreeTsRanges(f3, Db3IO.scanMeta(f3).subtrees).isDefined)
+    val got3 = spark.read.format("db3").load(f3)
+      .filter(col("timestamp") >= fileMax + 5000000000L)
+    assert(got3.count() === 1, "a stray row past the probed range must survive")
+    assert(got3.select("msg_id").head().getLong(0) === jl + 1L)
+  }
+
   test("pushed comparisons with unrecognized literal types keep rows (conservative)") {
     import org.apache.spark.sql.sources.{GreaterThan, In, LessThan}
     // an uncomparable (value, literal) pair must KEEP the row for the
