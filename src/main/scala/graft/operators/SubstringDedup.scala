@@ -74,6 +74,22 @@ object SubstringDedup {
     */
   def spans(toks: DataFrame, idCol: String, toksCol: String, window: Int,
             minCount: Int = 2, hashed: Boolean = false): DataFrame = {
+    val occ = dupOccurrences(toks, idCol, toksCol, window, minCount, hashed)
+      .select(col("__ssd_id"), col("__ssd_pos"))
+    mergeRuns(occ, window).select(
+      col("__ssd_id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Duplicated-window occurrences (__ssd_id, __ssd_pos, __ssd_first)
+    * — stages 1–3 of the class doc, shared by [[spans]] and [[strip]].
+    * `__ssd_first` marks the corpus-FIRST occurrence of the window's
+    * key under (id, pos) ordering, computed as `min(struct)` inside
+    * the SAME count shuffle (no extra corpus-wide window function, no
+    * hot-key partition: viral windows aggregate map-side like any
+    * other key).
+    */
+  private def dupOccurrences(toks: DataFrame, idCol: String, toksCol: String,
+      window: Int, minCount: Int, hashed: Boolean): DataFrame = {
     require(window >= 2, s"window must be >= 2 tokens, got $window")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val wins = toks.select(
@@ -85,11 +101,21 @@ object SubstringDedup {
         xxhash64(col("__ssd_win")).as("__ssd_key"))
       else wins.withColumnRenamed("__ssd_win", "__ssd_key")
     val dup = keyed.groupBy(col("__ssd_key"))
-      .agg(count(lit(1)).as("__ssd_n"))
+      .agg(count(lit(1)).as("__ssd_n"),
+        min(struct(col("__ssd_id"), col("__ssd_pos"))).as("__ssd_min"))
       .filter(col("__ssd_n") >= minCount)
-      .select(col("__ssd_key"))
-    val occ = keyed.join(dup, "__ssd_key")
-      .select(col("__ssd_id"), col("__ssd_pos"))
+      .select(col("__ssd_key"), col("__ssd_min"))
+    keyed.join(dup, "__ssd_key")
+      .select(col("__ssd_id"), col("__ssd_pos"),
+        (struct(col("__ssd_id"), col("__ssd_pos")) === col("__ssd_min"))
+          .as("__ssd_first"))
+  }
+
+  /** Gaps-and-islands merge of window positions into maximal covered
+    * runs — (__ssd_id, span_start, span_end), 0-based inclusive. The
+    * window partition is ONE document's positions, never corpus-wide.
+    */
+  private def mergeRuns(occ: DataFrame, window: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("__ssd_id")).orderBy(col("__ssd_pos"))
     occ
       .withColumn("__ssd_prev", lag(col("__ssd_pos"), 1).over(byDoc))
@@ -103,7 +129,57 @@ object SubstringDedup {
       .groupBy(col("__ssd_id"), col("__ssd_grp"))
       .agg(min(col("__ssd_pos")).as("span_start"),
         (max(col("__ssd_pos")) + lit(window - 1)).as("span_end"))
-      .select(col("__ssd_id").as(idCol), col("span_start"), col("span_end"))
+      .select(col("__ssd_id"), col("span_start"), col("span_end"))
+  }
+
+  /** The REMOVAL pass over [[spans]]' detection (Lee et al. 2022 strip
+    * duplicated spans from the corpus rather than just profiling them):
+    * every input document comes back with the tokens of its removable
+    * spans deleted (order preserved), as `toks_clean`.
+    *
+    * `keepFirst = true` (the default, and Lee et al.'s semantics —
+    * the content must survive SOMEWHERE) exempts the corpus-first
+    * occurrence of each duplicated window (minimal (id, pos)): the
+    * first document to carry a boilerplate block keeps it, every later
+    * carrier loses it, and a window repeated only inside one document
+    * keeps its first repeat. `keepFirst = false` strips every
+    * duplicated occurrence (the aggressive variant for boilerplate
+    * that should survive nowhere).
+    *
+    * Removable spans are the maximal runs of removable window
+    * positions — the same merge as [[spans]] — so partially-unique
+    * edges survive: a window straddling the boundary of duplicated
+    * and unique content occurs once corpus-wide and never strips its
+    * tokens.
+    *
+    * Scale shape: identical to [[spans]] (the first-occurrence mark
+    * rides the existing count shuffle as a `min(struct)`), plus one
+    * doc-keyed join of the strip spans back to the corpus; the token
+    * rewrite is a per-row array `filter` bounded by the document's
+    * own length — no extra shuffle, no driver state.
+    *
+    * In `hashed` mode a 2⁻⁶⁴ key collision can REMOVE a span that
+    * only collided into duplication (unlike [[spans]], where
+    * collisions merely over-report) — the spec pins hashed ≡ exact on
+    * real corpora; flip to exact mode where even that is too much.
+    */
+  def strip(toks: DataFrame, idCol: String, toksCol: String, window: Int,
+            minCount: Int = 2, hashed: Boolean = false,
+            keepFirst: Boolean = true): DataFrame = {
+    val occ = dupOccurrences(toks, idCol, toksCol, window, minCount, hashed)
+    val removable =
+      (if (keepFirst) occ.filter(!col("__ssd_first")) else occ)
+        .select(col("__ssd_id"), col("__ssd_pos"))
+    val sp = mergeRuns(removable, window)
+      .groupBy(col("__ssd_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__ssd_sp"))
+    toks.join(sp, toks(idCol) === sp("__ssd_id"), "left")
+      .select(col(idCol),
+        when(col("__ssd_sp").isNull, col(toksCol)).otherwise(
+          filter(col(toksCol), (t, i) =>
+            !exists(col("__ssd_sp"),
+              s => i >= s("s") && i <= s("e")))).as("toks_clean"))
   }
 
   /** Per-document duplication profile over [[spans]] — EVERY input

@@ -2049,6 +2049,24 @@ object LlmQueries {
           col("dup_tokens"), rk(col("dup_frac"), 6).as("dup_frac"))
         .orderBy(col("doc_id"))),
 
+    // Q84 — the REMOVAL pass over q81's detection (Lee et al. 2022
+    // strip the duplicated spans, they don't just report them):
+    // every document comes back with its removable spans deleted,
+    // keep-first-occurrence — the corpus-first carrier of a
+    // boilerplate block keeps it, every later carrier loses it. Same
+    // scale shape as q81 (the first-occurrence mark rides the count
+    // shuffle as a min(struct)) plus one doc-keyed join of strip
+    // spans back to the corpus; the token rewrite is per-row,
+    // bounded by the document's own length. Composes with q54: the
+    // cleaned relation is a drop-in replacement for its input.
+    "q84_substring_strip" -> ((s, d) =>
+      graft.operators.SubstringDedup
+        .strip(docToks(s, d), "doc_id", "toks", window = 15)
+        .select(col("doc_id"),
+          size(col("toks_clean")).cast("long").as("n_kept"),
+          array_join(col("toks_clean"), " ").as("clean_text"))
+        .orderBy(col("doc_id"))),
+
     // Q44 — TF-IDF top terms: tf = count/doc-length, idf =
     // ln((N+1)/(df+1)), top-20 (doc, term) pairs. Scale shape: two
     // shuffles of the (doc, token) pairs (tf agg, df agg + join keyed
@@ -2753,6 +2771,48 @@ object LlmQueries {
         |       COALESCE(a.dup_tokens, 0) AS dup_tokens,
         |       FLOOR(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(t.toks)
         |             * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+        |FROM t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q84_substring_strip" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |           x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+14], ' ') AS win
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 13)) AS i)
+        |  WHERE len(toks) >= 15),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+        |occ AS (
+        |  SELECT w.doc_id, w.pos,
+        |         row_number() OVER (PARTITION BY w.win ORDER BY w.doc_id, w.pos) AS rn
+        |  FROM w JOIN dup USING (win)),
+        |rem AS (SELECT doc_id, pos FROM occ WHERE rn >= 2),
+        |fl AS (
+        |  SELECT doc_id, pos,
+        |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM rem),
+        |grp AS (
+        |  SELECT doc_id, pos,
+        |         SUM(CASE WHEN prev IS NULL OR pos > prev + 15 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM fl),
+        |sp AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + 14 AS e
+        |       FROM grp GROUP BY 1, 2),
+        |tok AS (
+        |  SELECT t.doc_id, i - 1 AS pos, toks[i] AS tok
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+        |kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |                    WHERE sp.doc_id = k.doc_id
+        |                      AND k.pos BETWEEN sp.s AND sp.e)),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |       COALESCE(a.clean_text, '') AS clean_text
         |FROM t LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q61_percentile_gate" ->

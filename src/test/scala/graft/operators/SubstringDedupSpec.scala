@@ -135,6 +135,84 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(got.sorted === want.toSeq.sorted)
   }
 
+  /** Brute-force strip: removable = duplicated window occurrences
+    * minus (keepFirst) each window's corpus-first (id, pos); cleaned
+    * doc = tokens outside the union of removable window coverages.
+    */
+  private def bruteStrip(docs: Seq[(Long, String)], l: Int, minCount: Int,
+                         keepFirst: Boolean): Map[Long, Seq[String]] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val wins = for {
+      (id, ts) <- toks
+      p <- 0 to ts.length - l
+    } yield (id, p, ts.slice(p, p + l).mkString(" "))
+    val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val dup = wins.filter(w => counts(w._3) >= minCount)
+    val firstOf = dup.groupBy(_._3).view
+      .mapValues(_.minBy(o => (o._1, o._2))).toMap
+    val removable =
+      if (keepFirst) dup.filter(o => firstOf(o._3) != o) else dup
+    val cov = removable.groupBy(_._1).view
+      .mapValues(_.flatMap(o => o._2 until o._2 + l).toSet).toMap
+    toks.map { case (id, ts) =>
+      id -> ts.zipWithIndex.collect {
+        case (t, i) if !cov.getOrElse(id, Set.empty[Int]).contains(i) => t
+      }
+    }.toMap
+  }
+
+  // corpus plus a doc ENDING in the shared run (span-at-end) and an
+  // empty doc
+  private val stripCorpus = corpus ++ Seq[(Long, String)](
+    6L -> "xyzzy plugh the quick brown fox jumps over the dog",
+    7L -> "")
+
+  private def runStrip(l: Int, minCount: Int = 2, hashed: Boolean = false,
+                       keepFirst: Boolean = true): Map[Long, Seq[String]] =
+    SubstringDedup.strip(toksDf(stripCorpus), "doc_id", "toks", l,
+        minCount, hashed, keepFirst)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+
+  test("strip matches brute force (keep-first and strip-all, L=4)") {
+    val l = 4
+    assert(runStrip(l) === bruteStrip(stripCorpus, l, 2, keepFirst = true))
+    assert(runStrip(l, keepFirst = false) ===
+      bruteStrip(stripCorpus, l, 2, keepFirst = false))
+  }
+
+  test("strip: span-at-0 keeper, span-at-end, whole-doc, within-doc keep-first") {
+    val got = runStrip(4)
+    def t(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    // doc 0 carries the corpus-FIRST occurrence of the shared run at
+    // position 0 — keep-first leaves it whole (span-at-0 exemption)
+    assert(got(0L) === t(stripCorpus.head._2))
+    // doc 5 duplicates doc 0 entirely: every window non-first, the
+    // merged span covers the WHOLE doc -> empty
+    assert(got(5L) === Seq.empty)
+    // doc 6 ends in the shared run: the strip span reaches the last
+    // token, the unique prefix survives
+    assert(got(6L) === Seq("xyzzy", "plugh"))
+    // doc 2 repeats a phrase internally: the FIRST repeat survives,
+    // the second strips (within-doc keep-first); unique tail survives
+    val d2 = t(stripCorpus(2)._2)
+    assert(got(2L) === (d2.take(8) ++ d2.drop(14)))
+    // doc 1 strips the shared run from its middle
+    val d1 = t(stripCorpus(1)._2)
+    assert(got(1L) === (d1.take(4) ++ d1.drop(12)))
+    // clean, short, and empty docs come back untouched
+    assert(got(3L) === t(stripCorpus(3)._2))
+    assert(got(4L) === t(stripCorpus(4)._2))
+    assert(got(7L) === Seq.empty)
+  }
+
+  test("hashed strip is row-identical to exact strip") {
+    assert(runStrip(4, hashed = true) === runStrip(4))
+    assert(runStrip(4, hashed = true, keepFirst = false) ===
+      runStrip(4, keepFirst = false))
+  }
+
   test("caller columns colliding with working names are rejected-safe") {
     // a caller id column literally named like a working column must not
     // corrupt grouping — the operator only references __ssd_* columns
