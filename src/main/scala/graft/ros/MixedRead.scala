@@ -66,6 +66,44 @@ object MixedRead {
     grouped
   }
 
+  /** The STREAMING unified spine over a fleet-upload prefix receiving
+    * any mix of `.bag`, `.mcap` and `.db3(.zstd)` — the live
+    * counterpart of [[spine]], same normalized columns. Spark-first
+    * composition: each container contributes through its own
+    * micro-batch source and Structured Streaming checkpoints each
+    * source's offsets INDEPENDENTLY in the union — there is no
+    * composite offset to invent, and each format keeps its native
+    * granularity: rosbag and mcap streams tail still-GROWING files at
+    * chunk grain (plus discover new ones), the db3 stream discovers
+    * newly LANDED complete recordings at file grain (at-rest format —
+    * live sidecars / truncated uploads defer, never refuse; see
+    * Db3MicroBatchStream).
+    *
+    * `path` must be a directory (or per-source glob base): unlike
+    * [[spine]], nothing is resolved eagerly — an empty or not-yet
+    * created prefix is a stream with nothing to read yet, and files
+    * of all three formats may land at any time. Works with any sink /
+    * trigger incl. `Trigger.AvailableNow` (each source pins its own
+    * drain point).
+    */
+  def stream(spark: SparkSession, path: String): DataFrame = {
+    val bag = spark.readStream.format("rosbag").load(path)
+      .select(col("bag_path").as("file_path"),
+        lit("rosbag").as("container"), col("topic"),
+        col("datatype").as("type"),
+        (col("time_sec").cast("long") * lit(1000000000L) +
+          col("time_nsec").cast("long")).as("timestamp"),
+        col("size"), col("data"))
+    val mcap = spark.readStream.format("mcap").load(path)
+      .select(col("file_path"), lit("mcap").as("container"), col("topic"),
+        col("schema_name").as("type"), col("log_time").as("timestamp"),
+        col("size"), col("data"))
+    val db3 = spark.readStream.format("db3").load(path)
+      .select(col("file_path"), lit("db3").as("container"), col("topic"),
+        col("type"), col("timestamp"), col("size"), col("data"))
+    bag.unionByName(mcap).unionByName(db3)
+  }
+
   /** The unified message spine over every container under `path`. */
   def spine(spark: SparkSession, path: String): DataFrame = {
     val branches = resolve(path).toSeq.sortBy(_._1).map {

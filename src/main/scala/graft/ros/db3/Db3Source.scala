@@ -51,10 +51,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * zstd frame) inflates transparently at read, keyed on the frame
   * magic (unambiguous against CDR's 0x00 first byte).
   *
-  * No streaming mode BY DESIGN: a live sqlite writer's pages are only
-  * consistent through its WAL + shared-memory index, which cannot be
-  * tailed from outside the writing process — stream live robots via
+  * No LIVE-file tailing BY DESIGN: a live sqlite writer's pages are
+  * only consistent through its WAL + shared-memory index, which cannot
+  * be tailed from outside the writing process — stream live robots via
   * the mcap source's growing-file support; db3 is the at-rest format.
+  * `readStream` over a db3 path IS supported at FILE granularity
+  * ([[Db3MicroBatchStream]]): each trigger discovers newly LANDED
+  * complete files (fleet uploads into a prefix) and reads each exactly
+  * once; files still being written (live sidecar, truncated header
+  * range) are deferred to a later trigger, never refused.
   */
 class Db3DataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "db3"
@@ -118,7 +123,7 @@ object Db3IO {
 
   private[db3] def hadoopConf() = graft.ros.bag.RosbagIO.hadoopConf()
 
-  private def isDb3(name: String): Boolean =
+  private[db3] def isDb3(name: String): Boolean =
     name.endsWith(".db3") || name.endsWith(".db3.zstd")
 
   def resolveFiles(path: String): Seq[String] = {
@@ -134,30 +139,40 @@ object Db3IO {
       stats.map(_.getPath.toString)
     }.sorted
     require(out.nonEmpty, s"no .db3 files under $path")
-    out.foreach { f =>
-      val wal = new Path(f + "-wal")
-      require(!wal.getFileSystem(hadoopConf()).exists(wal),
-        s"$f has a live -wal sidecar: the main file may be stale. " +
-          "Close/checkpoint the recording before reading.")
-      // rollback-journal mode's equivalent: a HOT journal (valid magic)
-      // means a crashed writer's partially-applied pages are sitting in
-      // the main file. A cold/zeroed journal (PERSIST mode after a
-      // clean commit) is fine — test the magic, not mere existence.
-      val jrn = new Path(f + "-journal")
-      val jfs = jrn.getFileSystem(hadoopConf())
-      if (jfs.exists(jrn) && jfs.getFileStatus(jrn).getLen >= 8) {
-        val in = jfs.open(jrn)
-        val head = new Array[Byte](8)
-        try in.readFully(0L, head) finally in.close()
-        val hotMagic = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7)
-          .map(_.toByte)
-        require(!head.sameElements(hotMagic),
-          s"$f has a HOT -journal sidecar: a writer crashed mid-transaction " +
-            "and the main file holds partially-applied pages. Let sqlite " +
-            "recover (open/close the db) before reading.")
-      }
-    }
+    out.foreach(f => sidecarProblem(f).foreach(m =>
+      throw new IllegalArgumentException(m)))
     out
+  }
+
+  /** Is the file unsafe to read because a writer's sidecar says its
+    * pages are not yet consistent? Batch reads THROW the returned
+    * message (an at-rest corpus should never carry one); the
+    * discovery stream DEFERS the file to a later trigger instead
+    * (the recorder just hasn't closed it yet).
+    */
+  private[db3] def sidecarProblem(f: String): Option[String] = {
+    val wal = new Path(f + "-wal")
+    if (wal.getFileSystem(hadoopConf()).exists(wal))
+      return Some(s"$f has a live -wal sidecar: the main file may be " +
+        "stale. Close/checkpoint the recording before reading.")
+    // rollback-journal mode's equivalent: a HOT journal (valid magic)
+    // means a crashed writer's partially-applied pages are sitting in
+    // the main file. A cold/zeroed journal (PERSIST mode after a
+    // clean commit) is fine — test the magic, not mere existence.
+    val jrn = new Path(f + "-journal")
+    val jfs = jrn.getFileSystem(hadoopConf())
+    if (jfs.exists(jrn) && jfs.getFileStatus(jrn).getLen >= 8) {
+      val in = jfs.open(jrn)
+      val head = new Array[Byte](8)
+      try in.readFully(0L, head) finally in.close()
+      val hotMagic = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7)
+        .map(_.toByte)
+      if (head.sameElements(hotMagic))
+        return Some(s"$f has a HOT -journal sidecar: a writer crashed " +
+          "mid-transaction and the main file holds partially-applied " +
+          "pages. Let sqlite recover (open/close the db) before reading.")
+    }
+    None
   }
 
   // rosbag2 --compression-mode file wraps the WHOLE database in one
@@ -649,7 +664,7 @@ class Db3Table(path: String, schemaName: Option[String],
     case None => Db3DataSource.SpineSchema
   }
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new Db3ScanBuilder(path, schema(), target, includeRaw, tsPruning, tsJitterNs)
 }
@@ -846,6 +861,11 @@ class Db3Scan(path: String, required: StructType, pushed: Array[Filter],
   }
 
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    // at-rest FILE discovery (landed uploads), not live tailing — see
+    // the class scaladoc and Db3MicroBatchStream
+    new Db3MicroBatchStream(path, required, filters, typed, includeRaw)
   override def planInputPartitions(): Array[InputPartition] = {
     val files = typed.map(_.files).getOrElse(Db3IO.resolveFiles(path))
     val probeTs = tsPruning && filters.exists(Db3Filters.prunesOnTimestamp)

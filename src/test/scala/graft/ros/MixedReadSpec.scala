@@ -89,4 +89,74 @@ class MixedReadSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("not a recognized container"), ex.getMessage)
   }
+
+  test("mixed stream equals the batch spine, all three formats landing mid-stream") {
+    import graft.ros.bag.BagFormat
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixed_stream")
+    val ck = dir.resolve("ck").toString
+    val out = dir.resolve("out").toString
+    val data = dir.resolve("data")
+    java.nio.file.Files.createDirectories(data)
+
+    val r1Bundle = MsgDefParser.parse("std_msgs/String", strDef)
+    val r2Bundle = Ros2Msg.bundle("std_msgs/msg/String", strDef)
+    def bagBytes(n: Int): Array[Byte] = BagFormat.writeBag(
+      Seq(BagFormat.BagConnection(0, "/bag_topic", "std_msgs/String", "m",
+        strDef, "c")),
+      (0 until n).map(i => BagFormat.WriteMessage(0, 100 + i, 500,
+        RosSchemaMapper.encode(r1Bundle, Seq(s"b$i")))),
+      messagesPerChunk = 2)
+    def mcapBytes(n: Int): Array[Byte] = McapFormat.writeMcap(
+      Seq(McapFormat.McapSchema(1, "std_msgs/msg/String", "ros2msg",
+        strDef.getBytes("UTF-8"))),
+      Seq(McapFormat.McapChannel(1, 1, "/mcap_topic", "cdr")),
+      (0 until n).map { i =>
+        val t = 200000000000L + i * 1000000000L
+        McapFormat.McapMessage(1, i.toLong, t, t,
+          CdrCodec.encode(r2Bundle, Seq(s"m$i")))
+      })
+    def db3Bytes(name: String, n: Int): Array[Byte] = SqliteFormat.writeDb(Seq(
+      ("topics", "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+        Seq(Seq[Any](null, s"/db3_$name", "std_msgs/msg/String", "cdr", ""))),
+      ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)",
+        (0 until n).map(i => Seq[Any](null, 1L, 300000000000L + i,
+          CdrCodec.encode(r2Bundle, Seq(s"$name-$i")))))))
+    def land(name: String, bytes: Array[Byte]): Unit = {
+      java.nio.file.Files.write(data.resolve(name), bytes); ()
+    }
+
+    val stream = MixedRead.stream(spark, data.toString)
+    assert(stream.isStreaming)
+    def runOnce(): Long = {
+      val q = stream.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(out).count()
+    }
+
+    // trigger 1: only a bag exists (the prefix just went live)
+    land("a.bag", bagBytes(4))
+    assert(runOnce() === 4)
+    // trigger 2: an mcap and a db3 land mid-stream; the bag GROWS
+    // (chunks are immutable, the stream pays only the new ones)
+    land("b.mcap", mcapBytes(3))
+    land("c.db3", db3Bytes("c", 3))
+    land("a.bag", bagBytes(8))
+    assert(runOnce() === 4 + 4 + 3 + 3)
+    // trigger 3: one more of each format lands; fleet noise is skipped
+    land("d.bag", bagBytes(2))
+    land("e.mcap", mcapBytes(2))
+    land("f.db3", db3Bytes("f", 2))
+    java.nio.file.Files.write(data.resolve("metadata.yaml"),
+      "rosbag2_bagfile_information: {}".getBytes("UTF-8"))
+    assert(runOnce() === 14 + 6)
+
+    // the drained stream IS the batch read of the final directory
+    val streamed = spark.read.parquet(out)
+    val batch = MixedRead.spine(spark, data.toString)
+    assert(streamed.schema.fieldNames.toSeq === batch.schema.fieldNames.toSeq)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
