@@ -115,11 +115,12 @@ class Db3MicroBatchStream(path: String, required: StructType,
   }
 
   /** The file's subtree count if it has LANDED (scaladoc checks), else
-    * None = defer to a later trigger.
+    * None = defer to a later trigger. `siblings` = the directory
+    * listing's name set (one listing answers every sidecar check).
     */
-  private def offer(f: String): Option[Long] =
+  private def offer(f: String, siblings: Set[String]): Option[Long] =
     try {
-      if (Db3IO.sidecarProblem(f).isDefined) None
+      if (Db3IO.sidecarProblem(f, siblings).isDefined) None
       else {
         if (f.endsWith(".db3")) {
           val p = new Path(f)
@@ -134,10 +135,13 @@ class Db3MicroBatchStream(path: String, required: StructType,
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def computeLatestOffset(): Offset =
-    Db3StreamOffset(graft.ros.DriverPool.parMap(listCandidates()) { f =>
-      f -> offer(f)
+  private def computeLatestOffset(): Offset = {
+    val cands = listCandidates()
+    val siblings = Db3IO.siblingNames(cands)
+    Db3StreamOffset(graft.ros.DriverPool.parMap(cands) { f =>
+      f -> offer(f, siblings)
     }.collect { case (f, Some(n)) => f -> n }.toMap)
+  }
 
   override def deserializeOffset(json: String): Offset = Db3StreamOffset.parse(json)
 

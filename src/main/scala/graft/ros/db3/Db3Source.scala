@@ -139,38 +139,59 @@ object Db3IO {
       stats.map(_.getPath.toString)
     }.sorted
     require(out.nonEmpty, s"no .db3 files under $path")
-    out.foreach(f => sidecarProblem(f).foreach(m =>
+    // sidecar presence from ONE listing per parent directory, not two
+    // fs.exists per file: each miss constructs a stack-traced
+    // FileNotFoundException inside the local filesystem — ~0.5 s per
+    // 1200-file plan before this (FleetBench)
+    val siblings = siblingNames(out)
+    out.foreach(f => sidecarProblem(f, siblings).foreach(m =>
       throw new IllegalArgumentException(m)))
     out
   }
+
+  /** Every file path under the parent directories of `files` — ONE
+    * listStatus per distinct parent, the shared existence oracle for
+    * the per-file sidecar checks.
+    */
+  private[db3] def siblingNames(files: Seq[String]): Set[String] =
+    files.map(f => new Path(f).getParent).distinct.flatMap { par =>
+      val fs = par.getFileSystem(hadoopConf())
+      try fs.listStatus(par).toSeq.filter(_.isFile).map(_.getPath.toString)
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    }.toSet
 
   /** Is the file unsafe to read because a writer's sidecar says its
     * pages are not yet consistent? Batch reads THROW the returned
     * message (an at-rest corpus should never carry one); the
     * discovery stream DEFERS the file to a later trigger instead
-    * (the recorder just hasn't closed it yet).
+    * (the recorder just hasn't closed it yet). `siblings`
+    * ([[siblingNames]]) answers existence from directory listings —
+    * the qualified-URI name set the listing produced must match how
+    * `f` itself was produced (both come from the same listings here).
     */
-  private[db3] def sidecarProblem(f: String): Option[String] = {
-    val wal = new Path(f + "-wal")
-    if (wal.getFileSystem(hadoopConf()).exists(wal))
+  private[db3] def sidecarProblem(f: String, siblings: Set[String])
+      : Option[String] = {
+    if (siblings.contains(f + "-wal"))
       return Some(s"$f has a live -wal sidecar: the main file may be " +
         "stale. Close/checkpoint the recording before reading.")
     // rollback-journal mode's equivalent: a HOT journal (valid magic)
     // means a crashed writer's partially-applied pages are sitting in
     // the main file. A cold/zeroed journal (PERSIST mode after a
     // clean commit) is fine — test the magic, not mere existence.
-    val jrn = new Path(f + "-journal")
-    val jfs = jrn.getFileSystem(hadoopConf())
-    if (jfs.exists(jrn) && jfs.getFileStatus(jrn).getLen >= 8) {
-      val in = jfs.open(jrn)
-      val head = new Array[Byte](8)
-      try in.readFully(0L, head) finally in.close()
-      val hotMagic = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7)
-        .map(_.toByte)
-      if (head.sameElements(hotMagic))
-        return Some(s"$f has a HOT -journal sidecar: a writer crashed " +
-          "mid-transaction and the main file holds partially-applied " +
-          "pages. Let sqlite recover (open/close the db) before reading.")
+    if (siblings.contains(f + "-journal")) {
+      val jrn = new Path(f + "-journal")
+      val jfs = jrn.getFileSystem(hadoopConf())
+      if (jfs.getFileStatus(jrn).getLen >= 8) {
+        val in = jfs.open(jrn)
+        val head = new Array[Byte](8)
+        try in.readFully(0L, head) finally in.close()
+        val hotMagic = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7)
+          .map(_.toByte)
+        if (head.sameElements(hotMagic))
+          return Some(s"$f has a HOT -journal sidecar: a writer crashed " +
+            "mid-transaction and the main file holds partially-applied " +
+            "pages. Let sqlite recover (open/close the db) before reading.")
+      }
     }
     None
   }
@@ -287,7 +308,25 @@ object Db3IO {
   def scanMetas(files: Seq[String]): Seq[(String, Db3Meta)] =
     graft.ros.DriverPool.parMap(files)(f => f -> scanMeta(f))
 
+  // one meta per path, latest (mtime, length) version — same shape and
+  // rationale as RosbagIO/McapIO's index caches: at fleet scale every
+  // re-plan otherwise re-walks every file's catalog b-trees
+  // (FleetBench measured warm db3 plans ≈ cold before this cache;
+  // rosbag/mcap warm plans were 3-7× cheaper than cold)
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Long, Long), Db3Meta)]()
+
   def scanMeta(file: String): Db3Meta = {
+    val p = new Path(file)
+    val st = p.getFileSystem(hadoopConf()).getFileStatus(p)
+    val version = (st.getModificationTime, st.getLen)
+    metaCache.compute(file, (_, cached) =>
+      if (cached != null && cached._1 == version) cached
+      else (version, scanMetaUncached(file))
+    )._2
+  }
+
+  private def scanMetaUncached(file: String): Db3Meta = {
     val pager = new Pager(file)
     try {
       val roots = tableRoots(pager.page, pager.header.usable)
