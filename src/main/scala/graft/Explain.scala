@@ -27,7 +27,14 @@ object Explain {
     df.explain("formatted")
     val t0 = System.nanoTime()
     val n = df.count()
-    println(f"EXPLAIN_RESULT name=$name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f buildSec=$buildSec%.2f")
+    val coldSec = (System.nanoTime() - t0) / 1e9
+    // second run with every shared cache materialized — the number
+    // comparable to Bench's post-warm medians
+    val t1 = System.nanoTime()
+    df.count()
+    val warmSec = (System.nanoTime() - t1) / 1e9
+    println(f"EXPLAIN_RESULT name=$name rows=$n sec=$coldSec%.2f " +
+      f"warmSec=$warmSec%.2f buildSec=$buildSec%.2f")
     spark.stop()
   }
 }

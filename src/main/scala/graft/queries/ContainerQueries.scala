@@ -284,6 +284,23 @@ object ContainerQueries {
           min(col("timestamp")).as("min_ts_ns"),
           max(col("timestamp")).as("max_ts_ns"))
         .orderBy(col("topic"))
+    }),
+
+    // Q85 — the SQL catalog surface, CHECKED: `CREATE TABLE ... USING
+    // mcap` makes the recording a first-class catalog table and the
+    // whole "rosbag info" class runs through PLAIN spark.sql — the
+    // reference README's query-enablement thesis (README.md:16-18)
+    // end-to-end with zero DataFrame code. The grouped count rides the
+    // metadata-aggregate pushdown exactly like q80 (SqlCatalogSpec
+    // pins metadataAgg=true through the SQL path); the per-topic
+    // even/odd routing sits inside the DuckDB equality.
+    "q85_sql_catalog" -> ((s, d) => {
+      val path = fixture(s, d)
+      s.sql("DROP TABLE IF EXISTS graft_fleet_sql")
+      s.sql(s"CREATE TABLE graft_fleet_sql USING mcap OPTIONS (path '$path')")
+      s.sql("""SELECT topic, count(*) AS cnt,
+              |       min(log_time) AS min_ts_ns, max(log_time) AS max_ts_ns
+              |FROM graft_fleet_sql GROUP BY topic ORDER BY topic""".stripMargin)
     }))
 
   /** db3 twin of [[fixture]]: the same 1000-row slice written as a
@@ -497,6 +514,16 @@ object ContainerQueries {
         |  FROM events ORDER BY event_id LIMIT 1000)
         |SELECT CASE WHEN event_id % 2 = 0
         |            THEN '/events_even' ELSE '/events_odd' END AS topic,
+        |       COUNT(*) AS cnt,
+        |       MIN(epoch_us(ts)) * 1000 AS min_ts_ns,
+        |       MAX(epoch_us(ts)) * 1000 AS max_ts_ns
+        |FROM ev GROUP BY 1 ORDER BY topic""".stripMargin,
+    "q85_sql_catalog" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |  FROM events ORDER BY event_id LIMIT 1000)
+        |SELECT CASE WHEN event_id % 2 = 0
+        |            THEN '/events_pb' ELSE '/events_ros' END AS topic,
         |       COUNT(*) AS cnt,
         |       MIN(epoch_us(ts)) * 1000 AS min_ts_ns,
         |       MAX(epoch_us(ts)) * 1000 AS max_ts_ns

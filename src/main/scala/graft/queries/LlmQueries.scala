@@ -425,7 +425,7 @@ object LlmQueries {
     * string-keyed collapseCache can never serve one call site a frame
     * built from a different source than another's.
     */
-  private def shingleCollapsed(s: SparkSession, d: String)
+  private[graft] def shingleCollapsed(s: SparkSession, d: String)
       : graft.operators.DupCollapse.Collapsed =
     collapsed(s, d, "shingleCollapse")(
       graft.operators.DupCollapse.collapse(shingleSets(s, d), "doc_id", "sh"))
@@ -1735,9 +1735,15 @@ object LlmQueries {
       val srcGroups = c.members
         .join(documents(s, d).select(col("doc_id").as("id"), col("source")), "id")
         .select(col("gid"), col("source")).distinct()
+      // the shuffle keys on the 8-byte portable polynomial hash of the
+      // shingle, not the shingle string (3× the byte volume at corpus
+      // scale); DuckDB replicates the same hash (q63's precedent), so
+      // the oracle equality is exact — including the ~2^-30-density
+      // collisions, identical on both engines
       val ss = srcGroups
         .join(c.groups.select(col("gid"), col("key")), "gid")
-        .select(col("source"), explode(col("key")).as("sh"))
+        .select(col("source"), explode(org.apache.spark.sql.graftfns
+          .TextFunctions.polyHashes(col("key"))).as("sh"))
         .groupBy(col("sh")).agg(sort_array(collect_set(col("source"))).as("ss"))
       val counts = ss
         .select(explode(flatten(transform(sequence(lit(1), size(col("ss"))), i =>
@@ -1747,6 +1753,11 @@ object LlmQueries {
                 .otherwise(lit(null).cast("string")).as("sb")))))).as("p"))
         .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
         .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("cnt"))
+        // three consumers (ov + both broadcast sizes sides) would
+        // re-execute the whole explode→collect_set→pair chain 3×
+        // without this pin; the relation is ≤ |sources|² + |sources|
+        // rows — tiny at ANY corpus scale (provenance tags are few)
+        .persist()
       val sizes = counts.filter(col("sb").isNull)
         .select(col("sa").as("source"), col("cnt").as("n_sh"))
       val ov = counts.filter(col("sb").isNotNull)
@@ -2525,10 +2536,16 @@ object LlmQueries {
         |  SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '\s+'),
         |           x -> x <> '') AS toks
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT source, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
         |  FROM t WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(g, ''), c -> CAST(ord(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000007) AS s
+        |  FROM sh0),
         |sz AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY 1),
         |ov AS (
         |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared

@@ -246,6 +246,11 @@ object WinnowFingerprints {
   /** Polynomial fold acc = (acc*31 + codePoint) % Mod over s's UTF-8
     * code points (Spark `ascii` ≡ DuckDB `ord` per char of `split`).
     */
+  /** The portable per-string hash, start accumulator 0 — shared with
+    * [[PolyHashes]].
+    */
+  private[graftfns] def polyHash(s: UTF8String): Long = hashCodePoints(0L, s)
+
   private def hashCodePoints(acc0: Long, s: UTF8String): Long = {
     var acc = acc0
     val n = s.numBytes
@@ -320,6 +325,55 @@ object WinnowFingerprints {
   * yields an all-null signature. All preserved exactly; callers filter
   * on size > 0 as before.
   */
+/** Element-wise engine-portable polynomial hash over a string array:
+  * each element folds `acc = (acc*31 + codePoint) % 1000000007` (the
+  * q35/q63 hash — DuckDB replicates it exactly with
+  * `list_reduce(list_transform(string_split(s,''), ord), ...)`), so a
+  * downstream shuffle can key on 8-byte longs instead of the strings
+  * (q65: the shingle-keyed collect_set's dominant byte volume at
+  * corpus scale). Collisions (~2⁻³⁰ density) are ENGINE-IDENTICAL —
+  * oracle equality is unaffected; the report is perturbed equally and
+  * negligibly on both sides.
+  */
+case class PolyHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "poly_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHashes.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = PolyHashes.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyHashes {
+  /** Row kernel, shared verbatim by eval and codegen. A null element
+    * hashes like the empty string (accumulator 0) — shingle arrays
+    * are containsNull=false in practice, this just keeps the kernel
+    * total.
+    */
+  def compute(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val s = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      out(i) = if (s == null) 0L else WinnowFingerprints.polyHash(s)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 case class MinHashSig(child: Expression, numHashes: Int)
     extends Expression with ExpectsInputTypes {
 
@@ -419,4 +473,10 @@ object TextFunctions {
   def minhashSig(sh: Column, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashSig(ExpressionUtils.expression(sh), numHashes))
+
+  /** Column API for element-wise portable polynomial hashes (string
+    * array -> long array; the q35/q63 hash, DuckDB-replicable).
+    */
+  def polyHashes(arr: Column): Column =
+    ExpressionUtils.column(PolyHashes(ExpressionUtils.expression(arr)))
 }

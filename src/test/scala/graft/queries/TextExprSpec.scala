@@ -168,6 +168,26 @@ class TextExprSpec extends SparkTestBase {
       .otherwise(array().cast("array<long>"))
   }
 
+  test("PolyHashes matches the interpreted per-element polynomial chain") {
+    val rng = new scala.util.Random(31)
+    val alphabet = Seq("a", "bb", "query word", "", "ñü", "héllo", "日本語", "😀ok")
+    val rows = (0 until 200).map { _ =>
+      Row(Seq.fill(rng.nextInt(9))(alphabet(rng.nextInt(alphabet.size))))
+    } ++ Seq(Row(null), Row(Seq[String]()))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    def interp(arr: org.apache.spark.sql.Column) =
+      transform(arr, s =>
+        aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
+          lit(0L), (acc, c) => pmod(acc * 31 + c, lit(1000000007L))))
+    val out = df.select(TextFunctions.polyHashes(col("toks")).as("native"),
+      interp(col("toks")).as("interp")).collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"row=$i: native=${r.getSeq[Long](0)} interp=${r.getSeq[Long](1)}")
+    }
+  }
+
   test("WinnowFingerprints matches the interpreted gram/hash/window chain") {
     val rng = new scala.util.Random(29)
     // non-ASCII entries exercise the code-point hash (ascii == ord ==
