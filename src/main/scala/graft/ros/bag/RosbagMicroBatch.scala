@@ -36,8 +36,15 @@ class RosbagMicroBatchStream(path: String, required: StructType,
     availableNowEnd.getOrElse(computeLatestOffset())
 
   // admission-control form (SupportsTriggerAvailableNow extends it);
-  // chunk counts have no meaningful rate limit — serve the same end
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+  // chunk counts have no meaningful rate limit — serve the current end,
+  // floored at `start`: a truncated/replaced file (outside the
+  // append-only contract) must not regress the offset, or the next
+  // trigger would re-plan already-committed chunk indexes against the
+  // new bytes and emit duplicate rows
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = latestOffset().asInstanceOf[RosbagOffset].chunkCount
+    RosbagOffset(math.max(cur, start.asInstanceOf[RosbagOffset].chunkCount))
+  }
 
   private def computeLatestOffset(): Offset =
     RosbagOffset(RosbagIO.scanIndex(path).chunks.size.toLong)
@@ -154,7 +161,19 @@ class RosbagDirMicroBatchStream(path: String, required: StructType,
   override def latestOffset(): Offset =
     availableNowEnd.getOrElse(computeLatestOffset())
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+  // The served end is the current listing UNIONED with `start` (per-bag
+  // max): a bag that transiently drops out of the listing (deleted and
+  // re-uploaded, or its index scan fails this trigger) must keep its
+  // committed chunk count in the offset chain — if it were simply
+  // omitted, the next start would no longer contain it and its
+  // reappearance would re-plan every chunk from 0, duplicating rows.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = latestOffset().asInstanceOf[RosbagDirOffset].bags
+    val base = start.asInstanceOf[RosbagDirOffset].bags
+    RosbagDirOffset(base.foldLeft(cur) { case (acc, (p, n)) =>
+      acc.updated(p, math.max(n, acc.getOrElse(p, 0L)))
+    })
+  }
 
   private def computeLatestOffset(): Offset = {
     // an empty/not-yet-created prefix is a stream with nothing to read

@@ -87,7 +87,20 @@ class Db3MicroBatchStream(path: String, required: StructType,
   override def latestOffset(): Offset =
     availableNowEnd.getOrElse(computeLatestOffset())
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+  // The served end is the current listing UNIONED with `start` (start
+  // wins on conflict — the offered count is the replay contract): a
+  // file that transiently drops out of offer() after its batch
+  // committed (a tool briefly opens a -wal sidecar, a transient IO
+  // error, delete + re-upload under the same name) must keep its entry
+  // in the offset chain — if simply omitted, the next start would no
+  // longer contain it and its reappearance would re-plan every
+  // subtree, duplicating rows ("a file appears in the offset exactly
+  // once").
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = latestOffset().asInstanceOf[Db3StreamOffset].files
+    val base = start.asInstanceOf[Db3StreamOffset].files
+    Db3StreamOffset(cur ++ base)
+  }
 
   /** Candidate files under the path — `Db3IO.resolveFiles`' listing
     * semantics (dir / glob / explicit newline-separated list) made

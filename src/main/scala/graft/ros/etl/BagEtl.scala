@@ -236,8 +236,12 @@ object BagEtl {
           finally in.close()
         val com = """"committed"\s*:\s*(-?\d+)""".r.findFirstMatchIn(s)
           .map(_.group(1).toLong)
-        val flight = """"inflight"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(s)
-          .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+        // the array body must be cut at the UNQUOTED ']' -- a ']' is
+        // legal inside a file path, and `[^\]]*` would truncate there,
+        // parsing a non-empty inflight set as empty (a crashed
+        // increment would then be mis-repaired as steady state)
+        val flight = extractInflightBody(s)
+          .map(body => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body)
             .map(f => unescapeJson(f.group(1))).toSeq)
         // a half-written/corrupt record must NOT be trusted: None sends
         // the caller down the exact legacy-scan path
@@ -254,10 +258,37 @@ object BagEtl {
     try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
   }
+  /** Substring between `"inflight":[` and its matching UNQUOTED `]`,
+    * tracking in-string/escape state so bracket characters inside
+    * quoted file paths don't terminate the scan. None when the key is
+    * absent or the array is unterminated (half-written record).
+    */
+  private[ros] def extractInflightBody(s: String): Option[String] = {
+    """"inflight"\s*:\s*\[""".r.findFirstMatchIn(s).flatMap { m =>
+      var i = m.end
+      var inStr = false
+      var escaped = false
+      var end = -1
+      while (i < s.length && end < 0) {
+        val c = s.charAt(i)
+        if (inStr) {
+          if (escaped) escaped = false
+          else if (c == '\\') escaped = true
+          else if (c == '"') inStr = false
+        } else if (c == '"') inStr = true
+        else if (c == ']') end = i
+        i += 1
+      }
+      if (end < 0) None else Some(s.substring(m.end, end))
+    }
+  }
+  // full JSON string escaping incl. control characters (shared with the
+  // streaming offset logs) -- the minimal quote/backslash pair would
+  // emit invalid JSON for a path containing a raw newline
   private def escapeJson(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    graft.ros.bag.RosbagDirOffset.esc(s)
   private def unescapeJson(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+    graft.ros.bag.RosbagDirOffset.unesc(s)
 
   /** Per-part-file (path, min seqno, max seqno) of a table directory,
     * read DRIVER-SIDE from the parquet footers on the bounded
@@ -423,7 +454,10 @@ object BagEtl {
       val emptied = dead.size == ranges.size
       val schema = if (emptied) Some(spark.read.parquet(dir).schema) else None
       dead.foreach { r =>
-        fs.delete(new org.apache.hadoop.fs.Path(r._1), false); ()
+        // a silent delete no-op would leave dead seqnos to collide with
+        // the redo's range -- fail loudly like rewriteTableBelow's renames
+        require(fs.delete(new org.apache.hadoop.fs.Path(r._1), false),
+          s"repair: delete failed for ${r._1}")
       }
       schema.foreach { sc =>
         spark.createDataFrame(
@@ -508,8 +542,19 @@ object BagEtl {
       .groupBy(input_file_name().as("__part"))
       .agg(min(col("seqno")).as("__mn"), max(col("seqno")).as("__mx"))
       .collect()
-      .map(r => (r.getString(0), r.getAs[Long]("__mn"), r.getAs[Long]("__mx")))
+      .map(r => (decodeFileName(r.getString(0)),
+        r.getAs[Long]("__mn"), r.getAs[Long]("__mx")))
       .toSeq
+
+  /** `input_file_name()` yields a URI-ENCODED string (space as `%20`,
+    * `%` as `%25`...); `new Path(string)` does NOT decode percent
+    * escapes, so deleting by the raw value targets a non-existent
+    * literal path. Round-trip through java.net.URI to recover the
+    * filesystem path the footers/listings would report.
+    */
+  private def decodeFileName(name: String): String =
+    try new org.apache.hadoop.fs.Path(new java.net.URI(name)).toString
+    catch { case _: java.net.URISyntaxException => name }
 
   /** The pre-record exact repair: derives the committed max from the
     * dimension's done-set with full scans (the r10 behavior), then

@@ -70,8 +70,20 @@ class McapMicroBatchStream(path: String, required: StructType,
     availableNowEnd.getOrElse(computeLatestOffset())
 
   // admission-control form (SupportsTriggerAvailableNow extends it);
-  // chunk counts have no meaningful rate limit — serve the same end
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+  // chunk counts have no meaningful rate limit — serve the current end
+  // UNIONED with `start` (per-file, per-count max): a file that
+  // transiently drops out (deleted and re-uploaded, or its walk fails
+  // this trigger) must keep its committed counts in the offset chain —
+  // if simply omitted, the next start would no longer contain it and
+  // its reappearance would re-plan from (0,0), duplicating rows.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = latestOffset().asInstanceOf[McapStreamOffset].files
+    val base = start.asInstanceOf[McapStreamOffset].files
+    McapStreamOffset(base.foldLeft(cur) { case (acc, (p, (c, i))) =>
+      val (c0, i0) = acc.getOrElse(p, (0L, 0L))
+      acc.updated(p, (math.max(c, c0), math.max(i, i0)))
+    })
+  }
 
   private def computeLatestOffset(): Offset = {
     // an empty/not-yet-created prefix is a stream with nothing to read

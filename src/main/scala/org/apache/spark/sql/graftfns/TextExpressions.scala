@@ -243,14 +243,14 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 object WinnowFingerprints {
   private val Mod = 1000000007L
 
-  /** Polynomial fold acc = (acc*31 + codePoint) % Mod over s's UTF-8
-    * code points (Spark `ascii` ≡ DuckDB `ord` per char of `split`).
-    */
   /** The portable per-string hash, start accumulator 0 — shared with
     * [[PolyHashes]].
     */
   private[graftfns] def polyHash(s: UTF8String): Long = hashCodePoints(0L, s)
 
+  /** Polynomial fold acc = (acc*31 + codePoint) % Mod over s's UTF-8
+    * code points (Spark `ascii` ≡ DuckDB `ord` per char of `split`).
+    */
   private def hashCodePoints(acc0: Long, s: UTF8String): Long = {
     var acc = acc0
     val n = s.numBytes
@@ -308,23 +308,6 @@ object WinnowFingerprints {
   }
 }
 
-/** Native MinHash signature over a shingle array: sig[i] = min over
-  * shingles of xxhash64(i, shingle), for i in 0 until numHashes — ONE
-  * walk of the array computing all minima, replacing numHashes
-  * separate interpreted `array_min(transform(sh, x => xxhash64(lit(i),
-  * x)))` passes (16 lambda evaluations and 16 intermediate arrays per
-  * row; at corpus scale the signature pass is the map-side cost of the
-  * whole MinHash dedup path).
-  *
-  * Bit-identical to the HOF form: Spark's multi-arg xxhash64 chains
-  * args through the seed, so `xxhash64(lit(i), x)` is
-  * `hashUTF8String(x, hashInt(i, 42))` — the per-i seeds are
-  * precomputed once. Null shingles contribute the bare seed (a null
-  * arg leaves the running hash unchanged); an EMPTY array — and a NULL
-  * one, which the HOF chain turns into array_min(null) per slot —
-  * yields an all-null signature. All preserved exactly; callers filter
-  * on size > 0 as before.
-  */
 /** Element-wise engine-portable polynomial hash over a string array:
   * each element folds `acc = (acc*31 + codePoint) % 1000000007` (the
   * q35/q63 hash — DuckDB replicates it exactly with
@@ -374,6 +357,23 @@ object PolyHashes {
   }
 }
 
+/** Native MinHash signature over a shingle array: sig[i] = min over
+  * shingles of xxhash64(i, shingle), for i in 0 until numHashes — ONE
+  * walk of the array computing all minima, replacing numHashes
+  * separate interpreted `array_min(transform(sh, x => xxhash64(lit(i),
+  * x)))` passes (16 lambda evaluations and 16 intermediate arrays per
+  * row; at corpus scale the signature pass is the map-side cost of the
+  * whole MinHash dedup path).
+  *
+  * Bit-identical to the HOF form: Spark's multi-arg xxhash64 chains
+  * args through the seed, so `xxhash64(lit(i), x)` is
+  * `hashUTF8String(x, hashInt(i, 42))` — the per-i seeds are
+  * precomputed once. Null shingles contribute the bare seed (a null
+  * arg leaves the running hash unchanged); an EMPTY array — and a NULL
+  * one, which the HOF chain turns into array_min(null) per slot —
+  * yields an all-null signature. All preserved exactly; callers filter
+  * on size > 0 as before.
+  */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends Expression with ExpectsInputTypes {
 

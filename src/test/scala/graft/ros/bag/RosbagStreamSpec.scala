@@ -127,6 +127,31 @@ class RosbagStreamSpec extends SparkTestBase {
       .forall(_.endsWith("keep.bag")))
   }
 
+  test("a committed bag that transiently drops out of the listing keeps its offset entry") {
+    // Delete + re-upload under the same name: if the served end simply
+    // omitted the vanished bag, the next start would no longer contain
+    // it and its reappearance would re-plan every chunk from 0,
+    // duplicating rows. The end must stay a superset of start.
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = Files.createTempDirectory("bag_dir_keep")
+    val bags = root.resolve("bags"); Files.createDirectory(bags)
+    Files.write(bags.resolve("a.bag"), bagBytes(4))     // 2 chunks
+    val stream = new RosbagDirMicroBatchStream(
+      bags.toString, RosbagDataSource.SpineSchema, Array.empty)
+    val first = stream.latestOffset(RosbagDirOffset(Map.empty),
+      ReadLimit.allAvailable()).asInstanceOf[RosbagDirOffset]
+    assert(first.bags.size == 1 && first.bags.values.head == 2L)
+    Files.delete(bags.resolve("a.bag"))
+    val second = stream.latestOffset(first, ReadLimit.allAvailable())
+      .asInstanceOf[RosbagDirOffset]
+    assert(second == first, "committed entry must survive the dropout")
+    // reappearance at the same size: nothing below the committed count re-plans
+    Files.write(bags.resolve("a.bag"), bagBytes(4))
+    val third = stream.latestOffset(second, ReadLimit.allAvailable())
+      .asInstanceOf[RosbagDirOffset]
+    assert(stream.planInputPartitions(second, third).isEmpty)
+  }
+
   test("dir offset JSON round-trips, including escaped path characters") {
     val off = RosbagDirOffset(Map(
       "file:/data/a.bag" -> 3L, "file:/we\"ird\\path.bag" -> 7L,

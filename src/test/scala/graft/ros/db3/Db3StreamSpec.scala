@@ -87,6 +87,30 @@ class Db3StreamSpec extends SparkTestBase {
     assert(ghost.latestOffset().asInstanceOf[Db3StreamOffset].files.isEmpty)
   }
 
+  test("a committed file transiently unofferable keeps its offset entry (no re-read)") {
+    // A tool briefly opens the db with a live -wal AFTER the file's
+    // batch committed: offer() defers it, but the served end must keep
+    // the committed entry — omitting it would drop the file from the
+    // next start and its re-offer would duplicate every row.
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("db3_stream_keep")
+    land(dir, "a.db3", "/a", 1000L, 3)
+    val st = new Db3MicroBatchStream(dir.toString,
+      Db3DataSource.SpineSchema, Array.empty)
+    val first = st.latestOffset(Db3StreamOffset(Map.empty),
+      ReadLimit.allAvailable()).asInstanceOf[Db3StreamOffset]
+    assert(first.files.size === 1)
+    Files.write(dir.resolve("a.db3-wal"), Array[Byte](1, 2, 3))
+    val second = st.latestOffset(first, ReadLimit.allAvailable())
+      .asInstanceOf[Db3StreamOffset]
+    assert(second === first, "committed entry must survive the unofferable window")
+    Files.delete(dir.resolve("a.db3-wal"))
+    val third = st.latestOffset(second, ReadLimit.allAvailable())
+      .asInstanceOf[Db3StreamOffset]
+    assert(st.planInputPartitions(second, third).isEmpty,
+      "an at-rest file is never re-planned after its one offer")
+  }
+
   test("a file deleted after being offered skips instead of wedging the replay") {
     val dir = Files.createTempDirectory("db3_stream_del")
     land(dir, "a.db3", "/a", 1000L, 3)

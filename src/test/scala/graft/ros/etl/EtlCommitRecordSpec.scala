@@ -177,6 +177,25 @@ class EtlCommitRecordSpec extends SparkTestBase {
     assert(spark.read.parquet(imu.toString).count() === 3)
   }
 
+  test("commit record round-trips paths with ']', quotes, backslashes, newlines") {
+    // ']' is the hostile one: a naive `[^\]]*` array regex truncates at
+    // the bracket INSIDE the path, parsing a non-empty inflight set as
+    // empty — a crashed increment would then be mis-repaired as steady
+    // state and its committed rows silently purged
+    val out = freshOut("graft_cr_esc_out")
+    val hostile = Seq(
+      "/data/rec[2].bag", "/data/a]b.bag", "/d/x\"y.bag",
+      "/d/back\\slash.bag", "/d/new\nline.bag", "/d/plain.bag")
+    BagEtl.writeCommitRecord(out, 7L, hostile)
+    assert(BagEtl.readCommitRecord(out).contains((7L, hostile)))
+    // the record stays one line (offset-log-grade escaping)
+    val body = new String(Files.readAllBytes(Paths.get(s"$out/_commit.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(!body.contains('\n'))
+    // unterminated array (half-written record) is rejected, not misread
+    assert(BagEtl.extractInflightBody("""{"committed":1,"inflight":["/a""").isEmpty)
+  }
+
   test("footer ranges: per-file min/max match a Spark scan") {
     val dir = Files.createTempDirectory("graft_cr_foot")
     addBag(dir, "a.bag", 1700000000)

@@ -214,6 +214,31 @@ class McapStreamSpec extends SparkTestBase {
     }
   }
 
+  test("a committed file that transiently drops out of the listing keeps its offset entry") {
+    // Delete + re-upload under the same name: the served end must stay
+    // a per-file superset of start, or the reappearing file would be
+    // re-planned from (0,0) and duplicate every committed row.
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("mcap_dir_keep")
+    val p = dir.resolve("a.mcap")
+    Files.write(p, writeMcap(schemas, channels, msgs(0, 6)))
+    val st = new McapMicroBatchStream(dir.toString,
+      McapDataSource.SpineSchema, Array.empty)
+    val first = st.latestOffset(McapStreamOffset(Map.empty),
+      ReadLimit.allAvailable()).asInstanceOf[McapStreamOffset]
+    assert(first.files.size == 1)
+    Files.delete(p)
+    val second = st.latestOffset(first, ReadLimit.allAvailable())
+      .asInstanceOf[McapStreamOffset]
+    assert(second == first, "committed entry must survive the dropout")
+    // reappearance with identical content: nothing below the committed
+    // counts re-plans
+    Files.write(p, writeMcap(schemas, channels, msgs(0, 6)))
+    val third = st.latestOffset(second, ReadLimit.allAvailable())
+      .asInstanceOf[McapStreamOffset]
+    assert(st.planInputPartitions(second, third).isEmpty)
+  }
+
   test("stream offset JSON round-trips, including escaped path characters") {
     val off = McapStreamOffset(Map(
       "file:/data/a.mcap" -> (3L, 0L),
