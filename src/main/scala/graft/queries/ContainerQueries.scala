@@ -301,7 +301,62 @@ object ContainerQueries {
       s.sql("""SELECT topic, count(*) AS cnt,
               |       min(log_time) AS min_ts_ns, max(log_time) AS max_ts_ns
               |FROM graft_fleet_sql GROUP BY topic ORDER BY topic""".stripMargin)
+    }),
+
+    // Q86 — the EXPORT direction, CHECKED: events → McapExport.prepare
+    // → the DSv2 mcap SINK (one incrementally-written container file
+    // per partition, `rosbag filter`'s re-emit half — the direction the
+    // reference leaves to external tooling) → read back through the
+    // mcap source → per-topic aggregation against DuckDB on the raw
+    // parquet. Topic routing (one channel per event_type), nanosecond
+    // log_time stamping, sequence preservation and payload byte
+    // fidelity all sit inside the equality; McapSinkSpec covers the
+    // writer mechanics (chunking, summary statistics, overwrite,
+    // typed re-read via schema_defs_from).
+    "q86_mcap_export" -> ((s, d) => {
+      val out = exportFixture(s, d)
+      s.read.format("mcap").load(out)
+        .groupBy(col("topic")).agg(
+          count(lit(1)).as("cnt"),
+          min(col("sequence")).as("min_id"),
+          max(col("sequence")).as("max_id"),
+          min(col("log_time")).as("min_ts_ns"),
+          max(col("log_time")).as("max_ts_ns"),
+          sum(length(col("data")).cast("long")).as("data_bytes"))
+        .orderBy(col("topic"))
     }))
+
+  /** Sink-built fixture for q86: the same 1000-row slice EXPORTED as
+    * MCAP through the DSv2 write path itself (two partitions — the
+    * multi-file fleet layout), one topic per event_type, payload =
+    * props UTF-8 bytes. Cached like the other fixtures; "sinkv1" salt.
+    */
+  private def exportFixture(s: SparkSession, d: String): String = synchronized {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_container_sinkv1_" + cacheKey(d))
+    dir.mkdirs()
+    val out = new java.io.File(dir, "export")
+    val done = new java.io.File(dir, "_built")
+    if (!done.exists()) {
+      val ev = events(s, d).orderBy(col("event_id")).limit(1000)
+        .select(col("event_id"), us(col("ts")).as("ts_us"),
+          col("event_type"), col("props"))
+      val prepared = graft.ros.mcap.McapExport.prepare(
+        ev.withColumn("payload", encode(col("props"), "UTF-8")),
+        topic = concat(lit("/"), col("event_type")),
+        logTimeNs = col("ts_us") * lit(1000L),
+        data = col("payload"),
+        schemaName = lit("graft/Props"),
+        sequence = col("event_id"))
+      // overwrite: a crashed previous attempt's files are replaced
+      // only after this job's tasks all committed
+      prepared.repartition(2).write.format("mcap").mode("overwrite")
+        .save(out.getAbsolutePath)
+      done.createNewFile()
+      ()
+    }
+    out.getAbsolutePath
+  }
 
   /** db3 twin of [[fixture]]: the same 1000-row slice written as a
     * rosbag2 sqlite database (two CDR topics of the same type splitting
@@ -527,5 +582,17 @@ object ContainerQueries {
         |       COUNT(*) AS cnt,
         |       MIN(epoch_us(ts)) * 1000 AS min_ts_ns,
         |       MAX(epoch_us(ts)) * 1000 AS max_ts_ns
+        |FROM ev GROUP BY 1 ORDER BY topic""".stripMargin,
+    "q86_mcap_export" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |  FROM events ORDER BY event_id LIMIT 1000)
+        |SELECT '/' || event_type AS topic,
+        |       COUNT(*) AS cnt,
+        |       MIN(event_id) AS min_id,
+        |       MAX(event_id) AS max_id,
+        |       MIN(epoch_us(ts)) * 1000 AS min_ts_ns,
+        |       MAX(epoch_us(ts)) * 1000 AS max_ts_ns,
+        |       CAST(SUM(strlen(props)) AS BIGINT) AS data_bytes
         |FROM ev GROUP BY 1 ORDER BY topic""".stripMargin)
 }

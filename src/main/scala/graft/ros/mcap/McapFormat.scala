@@ -455,43 +455,43 @@ object McapFormat {
 
   // ---- fixture writer (tests + demos; mirrors BagFormat.writeBag) ----
 
-  private def wLeShort(o: ByteArrayOutputStream, v: Int): Unit = {
+  private[mcap] def wLeShort(o: ByteArrayOutputStream, v: Int): Unit = {
     o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
   }
-  private def wLeInt(o: ByteArrayOutputStream, v: Long): Unit =
+  private[mcap] def wLeInt(o: ByteArrayOutputStream, v: Long): Unit =
     (0 until 4).foreach(i => o.write(((v >> (8 * i)) & 0xFF).toInt))
-  private def wLeLong(o: ByteArrayOutputStream, v: Long): Unit =
+  private[mcap] def wLeLong(o: ByteArrayOutputStream, v: Long): Unit =
     (0 until 8).foreach(i => o.write(((v >> (8 * i)) & 0xFF).toInt))
-  private def wStr(o: ByteArrayOutputStream, s: String): Unit = {
+  private[mcap] def wStr(o: ByteArrayOutputStream, s: String): Unit = {
     val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     wLeInt(o, b.length); o.write(b)
   }
-  private def record(op: Int, payload: Array[Byte]): Array[Byte] = {
+  private[mcap] def record(op: Int, payload: Array[Byte]): Array[Byte] = {
     val o = new ByteArrayOutputStream()
     o.write(op); wLeLong(o, payload.length); o.write(payload)
     o.toByteArray
   }
-  private def schemaRec(s: McapSchema): Array[Byte] = {
+  private[mcap] def schemaRec(s: McapSchema): Array[Byte] = {
     val p = new ByteArrayOutputStream()
     wLeShort(p, s.id); wStr(p, s.name); wStr(p, s.encoding)
     wLeInt(p, s.data.length); p.write(s.data)
     record(OpSchema, p.toByteArray)
   }
-  private def channelRec(c: McapChannel): Array[Byte] = {
+  private[mcap] def channelRec(c: McapChannel): Array[Byte] = {
     val p = new ByteArrayOutputStream()
     wLeShort(p, c.id); wLeShort(p, c.schemaId)
     wStr(p, c.topic); wStr(p, c.messageEncoding)
     wLeInt(p, 0) // empty metadata map
     record(OpChannel, p.toByteArray)
   }
-  private def messageRec(m: McapMessage): Array[Byte] = {
+  private[mcap] def messageRec(m: McapMessage): Array[Byte] = {
     val p = new ByteArrayOutputStream()
     wLeShort(p, m.channelId); wLeInt(p, m.sequence)
     wLeLong(p, m.logTime); wLeLong(p, m.publishTime); p.write(m.data)
     record(OpMessage, p.toByteArray)
   }
 
-  private def compress(compression: String, bytes: Array[Byte]): Array[Byte] =
+  private[mcap] def compress(compression: String, bytes: Array[Byte]): Array[Byte] =
     compression match {
       case "" => bytes
       case "zstd" => com.github.luben.zstd.Zstd.compress(bytes)

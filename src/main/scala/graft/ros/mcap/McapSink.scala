@@ -1,0 +1,391 @@
+package graft.ros.mcap
+
+import java.io.{ByteArrayOutputStream, OutputStream}
+import java.util
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
+
+/** MCAP export sink — the write half of the `mcap` DataSource: the
+  * `rosbag filter` / `ros2 bag convert` query class (read an archive,
+  * filter/transform relationally, re-emit a container a ROS tool can
+  * play back), which the reference leaves to external tooling (its
+  * pipeline is one-way bag→parquet, reference rosbag2parquet.cpp:41).
+  *
+  * Layout at scale: ONE MCAP file per Spark partition (`part-<p>-<t>-
+  * <job>.mcap`), written INCREMENTALLY — the task buffers only the
+  * current chunk (`chunk_bytes`, default 4 MiB raw), never the
+  * partition — so a 100 TB export is `repartition(n)` for file-count
+  * control plus embarrassingly parallel encode, no driver collect and
+  * no task-memory dependence on partition size. Tasks write to dotted
+  * in-progress names and rename on task commit (Spark's commit
+  * coordinator guarantees one winner per partition); job abort deletes
+  * whatever committed.
+  *
+  * Usage: `df.write.format("mcap").mode("append").save(dir)` where df
+  * carries the message-spine columns (a round-tripped
+  * `spark.read.format("mcap")` frame does; [[McapExport.prepare]]
+  * conforms arbitrary frames). `mode("overwrite")` replaces the
+  * directory's previous `*.mcap` files atomically-per-file (old files
+  * are deleted only after every task committed). Options:
+  * `compression` (zstd | lz4 | none; default zstd), `chunk_bytes`
+  * (raw bytes per chunk, default 4 MiB), `schema_defs_from` (an
+  * existing mcap path whose Schema records — the message DEFINITIONS —
+  * are harvested driver-side and embedded, so typed readers can decode
+  * the export; without it schemas carry empty definition bytes and
+  * only spine reads are possible).
+  *
+  * Column contract (spine names): `topic`, `schema_name`,
+  * `schema_encoding`, `message_encoding`, `log_time`, `publish_time`,
+  * `sequence`, `data` drive the output; `file_path`/`chunk_idx`/
+  * `offset`/`size`/`channel_id`/`data_crc32` are read-derived and
+  * ignored (the writer re-derives layout and ids).
+  */
+object McapSinkWrite {
+  private[mcap] val Ignored =
+    Set("file_path", "chunk_idx", "offset", "size", "channel_id", "data_crc32")
+
+  /** Harvest (schema_name -> (encoding, definition bytes)) from an
+    * existing mcap path, driver-side on the bounded pool — the
+    * dimension is tiny (distinct message types), the files are many.
+    */
+  private[mcap] def harvestDefs(path: String): Map[String, (String, Array[Byte])] =
+    graft.ros.DriverPool.parMap(McapIO.resolveFiles(path)) { f =>
+      McapIO.scanIndex(f).schemas.values.toSeq
+    }.flatten.map(s => s.name -> (s.encoding, s.data)).toMap
+}
+
+/** Incremental single-file MCAP writer: magic+header up front, then
+  * one Chunk record per ~`chunkBytesTarget` raw bytes (schema/channel
+  * records are interleaved into the chunk stream the first time a row
+  * references them — defined-before-use, the recorder convention), and
+  * on close the DataEnd + Summary section (Schema/Channel repeats,
+  * Statistics with per-channel counts, ChunkIndex entries) + Footer
+  * that lets [[McapIO.scanIndex]] — and the metadata-aggregate
+  * pushdown — plan the file without touching chunk bodies. Memory is
+  * O(current chunk + distinct schemas/channels + chunk count), never
+  * O(messages).
+  */
+final class McapStreamingWriter(out: OutputStream, compression: String,
+    chunkBytesTarget: Int,
+    schemaDefs: Map[String, (String, Array[Byte])] = Map.empty) {
+  import McapFormat._
+
+  private var pos = 0L
+  private def emit(bytes: Array[Byte]): Unit = {
+    out.write(bytes); pos += bytes.length
+  }
+
+  emit(Magic)
+  locally {
+    val h = new ByteArrayOutputStream()
+    wStr(h, "ros2"); wStr(h, "graft")
+    emit(record(OpHeader, h.toByteArray))
+  }
+
+  // registries: discovered in row order, ids assigned 1..n
+  private val schemas =
+    scala.collection.mutable.LinkedHashMap[(String, String), McapSchema]()
+  private val channels =
+    scala.collection.mutable.LinkedHashMap[(String, Int, String), McapChannel]()
+  // (ref, full record length, compressed payload length)
+  private val chunkRefs =
+    scala.collection.mutable.ArrayBuffer[(McapChunkRef, Long, Long)]()
+  private val chanCounts = scala.collection.mutable.LinkedHashMap[Int, Long]()
+  private var total = 0L
+  private var minT = Long.MaxValue
+  private var maxT = Long.MinValue
+
+  private var chunk = new ByteArrayOutputStream()
+  private var chunkMin = Long.MaxValue
+  private var chunkMax = Long.MinValue
+
+  def write(topic: String, schemaName: String, schemaEncoding: String,
+      messageEncoding: String, sequence: Long, logTime: Long,
+      publishTime: Long, data: Array[Byte]): Unit = {
+    val sch = schemas.getOrElseUpdate((schemaName, schemaEncoding), {
+      // the defs side-channel wins on definition bytes; its encoding
+      // too when the row left schema_encoding empty (prepared frames)
+      val (enc, defBytes) = schemaDefs.get(schemaName) match {
+        case Some((e, b)) =>
+          (if (schemaEncoding.nonEmpty) schemaEncoding else e, b)
+        case None => (schemaEncoding, Array.emptyByteArray)
+      }
+      val s = McapSchema(schemas.size + 1, schemaName, enc, defBytes)
+      chunk.write(schemaRec(s))
+      s
+    })
+    val ch = channels.getOrElseUpdate((topic, sch.id, messageEncoding), {
+      val c = McapChannel(channels.size + 1, sch.id, topic, messageEncoding)
+      chunk.write(channelRec(c))
+      c
+    })
+    chunk.write(messageRec(McapMessage(ch.id, sequence, logTime, publishTime, data)))
+    chanCounts(ch.id) = chanCounts.getOrElse(ch.id, 0L) + 1L
+    total += 1
+    if (logTime < minT) minT = logTime
+    if (logTime > maxT) maxT = logTime
+    if (logTime < chunkMin) chunkMin = logTime
+    if (logTime > chunkMax) chunkMax = logTime
+    if (chunk.size() >= chunkBytesTarget) flushChunk()
+  }
+
+  private def flushChunk(): Unit = {
+    if (chunk.size() == 0) return
+    val raw = chunk.toByteArray
+    val crc = new java.util.zip.CRC32(); crc.update(raw, 0, raw.length)
+    val comp = compress(compression, raw)
+    val p = new ByteArrayOutputStream()
+    val st = if (chunkMin == Long.MaxValue) 0L else chunkMin
+    val en = if (chunkMax == Long.MinValue) 0L else chunkMax
+    wLeLong(p, st); wLeLong(p, en)
+    wLeLong(p, raw.length); wLeInt(p, crc.getValue)
+    wStr(p, compression); wLeLong(p, comp.length); p.write(comp)
+    val rec = record(OpChunk, p.toByteArray)
+    chunkRefs += ((McapChunkRef(pos, rec.length - 9, st, en, compression,
+      raw.length, crc.getValue), rec.length.toLong, comp.length.toLong))
+    emit(rec)
+    chunk = new ByteArrayOutputStream()
+    chunkMin = Long.MaxValue
+    chunkMax = Long.MinValue
+  }
+
+  /** Seal the file: last chunk, DataEnd, summary, footer. Does NOT
+    * close the underlying stream (the caller owns it).
+    */
+  def finish(): Unit = {
+    flushChunk()
+    val de = new ByteArrayOutputStream(); wLeInt(de, 0)
+    emit(record(OpDataEnd, de.toByteArray))
+    val summaryStart = pos
+    schemas.values.foreach(s => emit(schemaRec(s)))
+    channels.values.foreach(c => emit(channelRec(c)))
+    val st = new ByteArrayOutputStream()
+    wLeLong(st, total)
+    wLeShort(st, schemas.size)
+    wLeInt(st, channels.size.toLong)
+    wLeInt(st, 0L); wLeInt(st, 0L) // attachments, metadata
+    wLeInt(st, chunkRefs.size.toLong)
+    wLeLong(st, if (total == 0L) 0L else minT)
+    wLeLong(st, if (total == 0L) 0L else maxT)
+    val byChan = chanCounts.toSeq.sortBy(_._1)
+    wLeInt(st, byChan.size * 10L)
+    byChan.foreach { case (id, n) => wLeShort(st, id); wLeLong(st, n) }
+    emit(record(OpStatistics, st.toByteArray))
+    chunkRefs.foreach { case (ref, recLen, compLen) =>
+      val p = new ByteArrayOutputStream()
+      wLeLong(p, ref.messageStartTime); wLeLong(p, ref.messageEndTime)
+      wLeLong(p, ref.fileOffset); wLeLong(p, recLen)
+      wLeInt(p, 0)  // empty message_index_offsets map
+      wLeLong(p, 0) // message_index_length
+      wStr(p, ref.compression)
+      wLeLong(p, compLen); wLeLong(p, ref.uncompressedSize)
+      emit(record(OpChunkIndex, p.toByteArray))
+    }
+    val f = new ByteArrayOutputStream()
+    wLeLong(f, summaryStart); wLeLong(f, 0); wLeInt(f, 0)
+    emit(record(OpFooter, f.toByteArray))
+    emit(Magic)
+  }
+
+  def rowCount: Long = total
+}
+
+class McapWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
+    with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = {
+    val schema = info.schema()
+    def need(name: String, dt: org.apache.spark.sql.types.DataType): Int = {
+      val i = schema.fieldNames.indexOf(name)
+      require(i >= 0, s"mcap write needs a '$name' column " +
+        "(McapExport.prepare conforms arbitrary frames)")
+      require(schema.fields(i).dataType == dt,
+        s"mcap write column '$name' must be $dt, got ${schema.fields(i).dataType}")
+      i
+    }
+    val ords = McapWriteOrdinals(
+      topic = need("topic", StringType),
+      schemaName = need("schema_name", StringType),
+      schemaEncoding = need("schema_encoding", StringType),
+      messageEncoding = need("message_encoding", StringType),
+      sequence = need("sequence", LongType),
+      logTime = need("log_time", LongType),
+      publishTime = need("publish_time", LongType),
+      data = need("data", BinaryType))
+    val opts = info.options()
+    val compression = Option(opts.get("compression")).getOrElse("zstd") match {
+      case "none" => ""
+      case c => c
+    }
+    val chunkBytes = Option(opts.get("chunk_bytes")).map(_.toInt)
+      .getOrElse(4 * 1024 * 1024)
+    val defs = Option(opts.get("schema_defs_from"))
+      .map(McapSinkWrite.harvestDefs).getOrElse(Map.empty)
+    new McapWrite(path, ords, compression, chunkBytes, defs, truncateFirst)
+  }
+}
+
+private[mcap] final case class McapWriteOrdinals(topic: Int, schemaName: Int,
+    schemaEncoding: Int, messageEncoding: Int, sequence: Int, logTime: Int,
+    publishTime: Int, data: Int)
+
+class McapWrite(path: String, ords: McapWriteOrdinals, compression: String,
+    chunkBytes: Int, defs: Map[String, (String, Array[Byte])],
+    truncateFirst: Boolean) extends Write {
+  override def toBatch: BatchWrite =
+    new McapBatchWrite(path, ords, compression, chunkBytes, defs, truncateFirst)
+}
+
+private[mcap] final case class McapFileCommit(path: String, rows: Long)
+  extends WriterCommitMessage
+
+class McapBatchWrite(dir: String, ords: McapWriteOrdinals, compression: String,
+    chunkBytes: Int, defs: Map[String, (String, Array[Byte])],
+    truncateFirst: Boolean) extends BatchWrite {
+
+  private val jobId = java.util.UUID.randomUUID().toString.take(8)
+
+  // captured BEFORE any task writes: overwrite deletes exactly the
+  // files that pre-existed this job, after every task committed — a
+  // crash mid-job leaves the old generation fully readable
+  private val preExisting: Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    if (truncateFirst && fs.exists(p))
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".mcap"))
+        .map(_.getPath.toString)
+    else {
+      if (!fs.exists(p)) { fs.mkdirs(p); () }
+      Seq.empty
+    }
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    McapWriterFactory(dir, jobId, ords, compression, chunkBytes, defs)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    preExisting.foreach { f =>
+      require(fs.delete(new Path(f), false), s"mcap overwrite: delete failed for $f")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    messages.foreach {
+      case McapFileCommit(p, _) if p != null =>
+        fs.delete(new Path(p), false); ()
+      case _ => ()
+    }
+  }
+}
+
+private[mcap] final case class McapWriterFactory(dir: String, jobId: String,
+    ords: McapWriteOrdinals, compression: String, chunkBytes: Int,
+    defs: Map[String, (String, Array[Byte])]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new McapDataWriter(dir, jobId, partitionId, taskId, ords, compression,
+      chunkBytes, defs)
+}
+
+class McapDataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
+    ords: McapWriteOrdinals, compression: String, chunkBytes: Int,
+    defs: Map[String, (String, Array[Byte])]) extends DataWriter[InternalRow] {
+
+  private val fs = new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+  private val finalPath =
+    new Path(dir, f"part-$partitionId%05d-$taskId-$jobId.mcap")
+  private val tmpPath =
+    new Path(dir, f".part-$partitionId%05d-$taskId-$jobId.mcap.inprogress")
+
+  // lazy: an empty partition leaves no file (fleet exports repartition
+  // by key — empty shards are routine, zero-row containers are debris)
+  private var stream: java.io.OutputStream = null
+  private var writer: McapStreamingWriter = null
+
+  private def nonNull(row: InternalRow, ord: Int, name: String): Unit =
+    require(!row.isNullAt(ord), s"mcap write: null '$name' " +
+      s"(partition $partitionId); filter or default nulls before writing")
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      stream = new java.io.BufferedOutputStream(fs.create(tmpPath, true), 1 << 16)
+      writer = new McapStreamingWriter(stream, compression, chunkBytes, defs)
+    }
+    nonNull(row, ords.topic, "topic")
+    nonNull(row, ords.logTime, "log_time")
+    nonNull(row, ords.data, "data")
+    writer.write(
+      topic = row.getUTF8String(ords.topic).toString,
+      schemaName = if (row.isNullAt(ords.schemaName)) ""
+        else row.getUTF8String(ords.schemaName).toString,
+      schemaEncoding = if (row.isNullAt(ords.schemaEncoding)) ""
+        else row.getUTF8String(ords.schemaEncoding).toString,
+      messageEncoding = if (row.isNullAt(ords.messageEncoding)) "cdr"
+        else row.getUTF8String(ords.messageEncoding).toString,
+      sequence = if (row.isNullAt(ords.sequence)) 0L else row.getLong(ords.sequence),
+      logTime = row.getLong(ords.logTime),
+      publishTime = if (row.isNullAt(ords.publishTime)) row.getLong(ords.logTime)
+        else row.getLong(ords.publishTime),
+      data = row.getBinary(ords.data))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer == null) return McapFileCommit(null, 0L)
+    writer.finish()
+    stream.close()
+    require(fs.rename(tmpPath, finalPath),
+      s"mcap write: rename $tmpPath -> $finalPath failed")
+    McapFileCommit(finalPath.toString, writer.rowCount)
+  }
+
+  override def abort(): Unit = {
+    if (stream != null) {
+      try stream.close() catch { case _: java.io.IOException => () }
+      fs.delete(tmpPath, false); ()
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Conform an arbitrary frame to the mcap write spine. Only `topic`,
+  * `logTimeNs` and `data` are semantically required; everything else
+  * defaults (publish_time = log_time, sequence 0 = unknown per the
+  * spec, message_encoding "cdr"). Read-derived spine columns are
+  * filled with placeholders the writer ignores. Null handling:
+  * sourced columns are coalesced with their defaults so the output
+  * schema is non-nullable (the write table's columns are).
+  */
+object McapExport {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  def prepare(df: DataFrame, topic: Column, logTimeNs: Column, data: Column,
+      schemaName: Column = lit(""), schemaEncoding: Column = lit(""),
+      messageEncoding: Column = lit("cdr"), publishTimeNs: Column = null,
+      sequence: Column = null): DataFrame = {
+    val lt = coalesce(logTimeNs.cast("long"), lit(0L))
+    df.select(
+      lit("").as("file_path"),
+      lit(-1).as("chunk_idx"),
+      lit(-1).as("offset"),
+      lt.as("log_time"),
+      coalesce(Option(publishTimeNs).map(_.cast("long")).getOrElse(lt), lt)
+        .as("publish_time"),
+      coalesce(Option(sequence).map(_.cast("long")).getOrElse(lit(0L)), lit(0L))
+        .as("sequence"),
+      coalesce(length(data).cast("int"), lit(0)).as("size"),
+      lit(0).as("channel_id"),
+      coalesce(topic.cast("string"), lit("")).as("topic"),
+      coalesce(schemaName.cast("string"), lit("")).as("schema_name"),
+      coalesce(schemaEncoding.cast("string"), lit("")).as("schema_encoding"),
+      coalesce(messageEncoding.cast("string"), lit("cdr")).as("message_encoding"),
+      lit(0L).as("data_crc32"),
+      coalesce(data.cast("binary"), lit(Array.emptyByteArray)).as("data"))
+  }
+}

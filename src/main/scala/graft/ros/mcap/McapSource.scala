@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.LogicalWriteInfo
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, DataSourceRegister}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -101,7 +102,8 @@ object McapDataSource {
 
 class McapTable(path: String, schemaName: Option[String] = None,
                 includeRaw: Boolean = false, md5: Option[String] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private lazy val target: Option[McapTypedRead.TypedTarget] =
     schemaName.map(sn => McapTypedRead.resolveTarget(path, sn, md5))
   override def name(): String = s"mcap:$path${schemaName.map(":" + _).getOrElse("")}"
@@ -112,9 +114,16 @@ class McapTable(path: String, schemaName: Option[String] = None,
     case None => McapDataSource.SpineSchema
   }
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new McapScanBuilder(path, schema(), target, includeRaw)
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(schemaName.isEmpty,
+      "mcap write goes through the spine shape — drop the schema_name read option")
+    new McapWriteBuilder(path, info)
+  }
 }
 
 class McapScanBuilder(path: String, fullSchema: StructType,
