@@ -324,6 +324,35 @@ object ContainerQueries {
           max(col("log_time")).as("max_ts_ns"),
           sum(length(col("data")).cast("long")).as("data_bytes"))
         .orderBy(col("topic"))
+    }),
+
+    // Q87 — the bag + db3 EXPORT directions, CHECKED: the same slice
+    // through the other two sinks (`df.write.format("rosbag")` — one
+    // locally-built, header-patched bag per partition; `df.write
+    // .format("db3")` — rolled engine-written sqlite files) and back
+    // through their sources, per-topic counts + each container's own
+    // time convention (bag receipt seconds, db3 nanoseconds) + payload
+    // byte fidelity inside the DuckDB equality. BagSinkSpec/
+    // Db3SinkSpec cover writer mechanics (chunking, index back-patch,
+    // rolling, typed re-read, overwrite).
+    "q87_export_roundtrip" -> ((s, d) => {
+      val (bagDir, db3Dir) = exportFixture2(s, d)
+      val a = s.read.format("rosbag").load(bagDir)
+        .groupBy(col("topic")).agg(
+          count(lit(1)).as("cnt"),
+          max(col("time_sec").cast("long")).as("max_ts"),
+          sum(length(col("data")).cast("long")).as("data_bytes"))
+        .withColumn("container", lit("rosbag"))
+      val b = s.read.format("db3").load(db3Dir)
+        .groupBy(col("topic")).agg(
+          count(lit(1)).as("cnt"),
+          max(col("timestamp")).as("max_ts"),
+          sum(length(col("data")).cast("long")).as("data_bytes"))
+        .withColumn("container", lit("db3"))
+      a.unionByName(b)
+        .select(col("container"), col("topic"), col("cnt"), col("max_ts"),
+          col("data_bytes"))
+        .orderBy(col("container"), col("topic"))
     }))
 
   /** Sink-built fixture for q86: the same 1000-row slice EXPORTED as
@@ -357,6 +386,43 @@ object ContainerQueries {
     }
     out.getAbsolutePath
   }
+
+  /** q87's twin fixture: the same slice exported through the rosbag
+    * and db3 sinks (two partitions each; db3 rolls at 300 rows so the
+    * multi-file path is inside the gate). Returns (bagDir, db3Dir).
+    */
+  private def exportFixture2(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_container_sink2v1_" + cacheKey(d))
+      dir.mkdirs()
+      val bagOut = new java.io.File(dir, "bag_export")
+      val db3Out = new java.io.File(dir, "db3_export")
+      val done = new java.io.File(dir, "_built")
+      if (!done.exists()) {
+        val ev = events(s, d).orderBy(col("event_id")).limit(1000)
+          .select(col("event_id"), us(col("ts")).as("ts_us"),
+            col("event_type"), col("props"))
+          .withColumn("payload", encode(col("props"), "UTF-8"))
+        val bag = graft.ros.bag.BagExport.prepare(ev,
+          topic = concat(lit("/"), col("event_type")),
+          timeNs = col("ts_us") * lit(1000L),
+          data = col("payload"),
+          datatype = lit("graft/Props"))
+        bag.repartition(2).write.format("rosbag").mode("overwrite")
+          .save(bagOut.getAbsolutePath)
+        val db3 = graft.ros.db3.Db3Export.prepare(ev,
+          topic = concat(lit("/"), col("event_type")),
+          timestampNs = col("ts_us") * lit(1000L),
+          data = col("payload"),
+          tpe = lit("graft/Props"))
+        db3.repartition(2).write.format("db3").mode("overwrite")
+          .option("rows_per_file", "300").save(db3Out.getAbsolutePath)
+        done.createNewFile()
+        ()
+      }
+      (bagOut.getAbsolutePath, db3Out.getAbsolutePath)
+    }
 
   /** db3 twin of [[fixture]]: the same 1000-row slice written as a
     * rosbag2 sqlite database (two CDR topics of the same type splitting
@@ -594,5 +660,20 @@ object ContainerQueries {
         |       MIN(epoch_us(ts)) * 1000 AS min_ts_ns,
         |       MAX(epoch_us(ts)) * 1000 AS max_ts_ns,
         |       CAST(SUM(strlen(props)) AS BIGINT) AS data_bytes
-        |FROM ev GROUP BY 1 ORDER BY topic""".stripMargin)
+        |FROM ev GROUP BY 1 ORDER BY topic""".stripMargin,
+    "q87_export_roundtrip" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |  FROM events ORDER BY event_id LIMIT 1000),
+        |g AS (
+        |  SELECT '/' || event_type AS topic,
+        |         COUNT(*) AS cnt,
+        |         MAX(epoch_us(ts)) AS max_us,
+        |         CAST(SUM(strlen(props)) AS BIGINT) AS data_bytes
+        |  FROM ev GROUP BY 1)
+        |SELECT 'db3' AS container, topic, cnt,
+        |       max_us * 1000 AS max_ts, data_bytes FROM g
+        |UNION ALL
+        |SELECT 'rosbag', topic, cnt, max_us // 1000000, data_bytes FROM g
+        |ORDER BY container, topic""".stripMargin)
 }

@@ -281,7 +281,7 @@ object BagFormat {
         s"unsupported chunk compression '$other' (supported: none, bz2, lz4)")
   }
 
-  private def compressChunk(compression: String, body: Array[Byte]): Array[Byte] =
+  private[bag] def compressChunk(compression: String, body: Array[Byte]): Array[Byte] =
     compression match {
       case "none" => body
       case "bz2" =>
@@ -363,12 +363,12 @@ object BagFormat {
     out.toByteArray
   }
 
-  private def writeRecord(out: ByteArrayOutputStream, header: Array[Byte], data: Array[Byte]): Unit = {
+  private[bag] def writeRecord(out: ByteArrayOutputStream, header: Array[Byte], data: Array[Byte]): Unit = {
     out.write(le32(header.length)); out.write(header)
     out.write(le32(data.length)); out.write(data)
   }
 
-  private def fields(fs: (String, Array[Byte])*): Array[Byte] = {
+  private[bag] def fields(fs: (String, Array[Byte])*): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     fs.foreach { case (name, value) =>
       val nb = name.getBytes(StandardCharsets.UTF_8)
@@ -378,10 +378,10 @@ object BagFormat {
     out.toByteArray
   }
 
-  private def le32(v: Int): Array[Byte] =
+  private[bag] def le32(v: Int): Array[Byte] =
     ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
-  private def le64(v: Long): Array[Byte] =
+  private[bag] def le64(v: Long): Array[Byte] =
     ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
-  private def time(sec: Int, nsec: Int): Array[Byte] =
+  private[bag] def time(sec: Int, nsec: Int): Array[Byte] =
     ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putInt(sec).putInt(nsec).array()
 }

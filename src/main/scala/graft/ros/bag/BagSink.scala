@@ -1,0 +1,359 @@
+package graft.ros.bag
+
+import java.io.ByteArrayOutputStream
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, StringType}
+
+/** rosbag1 export sink — the write half of the `rosbag` DataSource:
+  * `df.write.format("rosbag").mode("append").save(dir)`, the classic
+  * `rosbag filter` re-emit for the v2.0 container (read an archive,
+  * transform relationally, write a bag `rosbag play` can consume).
+  * One bag per Spark partition, CHUNK-bounded task memory.
+  *
+  * The bag header record (file offset 13) carries `index_pos` /
+  * `conn_count` / `chunk_count`, knowable only at close — remote
+  * FS streams cannot seek back, so each task builds its bag on LOCAL
+  * scratch disk (the shuffle-spill trust level), back-patches the
+  * header, and uploads to the destination FS on task commit (dotted
+  * in-progress name, rename after upload — same exactly-once shape as
+  * the mcap sink). Task memory stays O(current chunk); disk O(one
+  * partition's bag).
+  *
+  * Column contract (spine names): `topic`, `datatype`, `time_sec`,
+  * `time_nsec`, `data` drive the output; other spine columns are
+  * read-derived and ignored. Connection records carry md5sum/
+  * message_definition when `conn_defs_from` points at an existing bag
+  * path to harvest them from (driver-side, bounded pool) — without it
+  * they export as `"*"`/empty (valid for spine-level consumers;
+  * `rosbag` tooling treats `*` as unknown-md5). Options: `compression`
+  * (none | bz2 | lz4; default lz4), `chunk_bytes` (raw bytes per
+  * chunk, default 768 KiB — rosbag's own default chunk size).
+  */
+object BagSinkWrite {
+  /** datatype -> (md5sum, message_definition) harvested from a bag
+    * path's connection records.
+    */
+  private[bag] def harvestConnDefs(path: String): Map[String, (String, String)] = {
+    val bags = RosbagIO.resolveBags(path)
+    RosbagIO.scanIndexesTolerant(bags).flatMap { case (_, idx) =>
+      idx.connections.map(c => c.datatype -> (c.md5sum, c.msgDef))
+    }.toMap
+  }
+}
+
+/** Incremental single-bag writer over a local scratch file: magic +
+  * placeholder bag header up front; connection records are written
+  * into the chunk stream the first time a (topic, datatype) appears
+  * (defined-before-use); one Chunk record per ~`chunkBytesTarget` raw
+  * bytes; `finish()` writes the trailing index section (connection
+  * records + per-chunk ChunkInfo), then back-patches the header's
+  * index_pos/conn_count/chunk_count. Memory is O(current chunk +
+  * distinct connections + chunk count).
+  */
+final class BagStreamingWriter(local: java.io.File, compression: String,
+    chunkBytesTarget: Int,
+    connDefs: Map[String, (String, String)] = Map.empty) {
+  import BagFormat._
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private val out = new java.io.BufferedOutputStream(
+    new java.io.FileOutputStream(local), 1 << 16)
+  private var pos = 0L
+  private def emit(b: Array[Byte]): Unit = { out.write(b); pos += b.length }
+  private def emitRecord(header: Array[Byte], data: Array[Byte]): Unit = {
+    emit(le32(header.length)); emit(header); emit(le32(data.length)); emit(data)
+  }
+
+  emit(Magic.getBytes(UTF_8))
+  // placeholder header — same fixed-width fields finish() patches
+  private val HeaderFieldsLen =
+    fields("op" -> Array(OpBagHeader), "index_pos" -> le64(0L),
+      "conn_count" -> le32(0), "chunk_count" -> le32(0)).length
+  locally {
+    val h = fields("op" -> Array(OpBagHeader), "index_pos" -> le64(0L),
+      "conn_count" -> le32(0), "chunk_count" -> le32(0))
+    emitRecord(h, Array.fill(4096 - 8 - h.length)(' '.toByte))
+  }
+
+  // (topic, datatype) -> connection; record bytes emitted on discovery
+  private val conns =
+    scala.collection.mutable.LinkedHashMap[(String, String), BagConnection]()
+  // (chunkPos, start (s,ns), end (s,ns), per-conn counts)
+  private val chunkInfos = scala.collection.mutable.ArrayBuffer[
+    (Long, (Int, Int), (Int, Int), Seq[(Int, Int)])]()
+  private var total = 0L
+
+  private var chunk = new ByteArrayOutputStream()
+  private def chunkRecord(header: Array[Byte], data: Array[Byte]): Unit = {
+    chunk.write(le32(header.length)); chunk.write(header)
+    chunk.write(le32(data.length)); chunk.write(data)
+  }
+  private var chunkStart: (Int, Int) = (Int.MaxValue, Int.MaxValue)
+  private var chunkEnd: (Int, Int) = (Int.MinValue, Int.MinValue)
+  private val chunkConnCounts = scala.collection.mutable.LinkedHashMap[Int, Int]()
+
+  private def connRecord(c: BagConnection): (Array[Byte], Array[Byte]) = {
+    val ch = fields(
+      "topic" -> c.topic.getBytes(UTF_8),
+      "type" -> c.datatype.getBytes(UTF_8),
+      "md5sum" -> c.md5sum.getBytes(UTF_8),
+      "message_definition" -> c.msgDef.getBytes(UTF_8),
+      "callerid" -> c.callerid.getBytes(UTF_8))
+    (fields("op" -> Array(OpConnection), "conn" -> le32(c.connId),
+      "topic" -> c.topic.getBytes(UTF_8)), ch)
+  }
+
+  def write(topic: String, datatype: String, timeSec: Int, timeNsec: Int,
+      data: Array[Byte]): Unit = {
+    val c = conns.getOrElseUpdate((topic, datatype), {
+      val (md5, mdef) = connDefs.getOrElse(datatype, ("*", ""))
+      val nc = BagConnection(conns.size, topic, datatype, md5, mdef, "")
+      val (h, d) = connRecord(nc)
+      chunkRecord(h, d)
+      nc
+    })
+    val h = fields("op" -> Array(OpMessageData), "conn" -> le32(c.connId),
+      "time" -> time(timeSec, timeNsec))
+    chunkRecord(h, data)
+    chunkConnCounts(c.connId) = chunkConnCounts.getOrElse(c.connId, 0) + 1
+    total += 1
+    val t = (timeSec, timeNsec)
+    import scala.math.Ordering.Implicits._
+    if (t < chunkStart) chunkStart = t
+    if (t > chunkEnd) chunkEnd = t
+    if (chunk.size() >= chunkBytesTarget) flushChunk()
+  }
+
+  private def flushChunk(): Unit = {
+    if (chunk.size() == 0) return
+    val body = chunk.toByteArray
+    val h = fields("op" -> Array(OpChunk),
+      "compression" -> compression.getBytes(UTF_8),
+      "size" -> le32(body.length))
+    val chunkPos = pos
+    emitRecord(h, compressChunk(compression, body))
+    chunkInfos += ((chunkPos, chunkStart, chunkEnd,
+      chunkConnCounts.toSeq.sortBy(_._1)))
+    chunk = new ByteArrayOutputStream()
+    chunkStart = (Int.MaxValue, Int.MaxValue)
+    chunkEnd = (Int.MinValue, Int.MinValue)
+    chunkConnCounts.clear()
+  }
+
+  /** Seal the bag: last chunk, trailing index section, header patch. */
+  def finish(): Unit = {
+    flushChunk()
+    val indexPos = pos
+    conns.values.foreach { c =>
+      val (h, d) = connRecord(c); emitRecord(h, d)
+    }
+    chunkInfos.foreach { case (chunkPos, st, en, perConn) =>
+      val h = fields("op" -> Array(OpChunkInfo), "ver" -> le32(1),
+        "chunk_pos" -> le64(chunkPos),
+        "start_time" -> time(st._1, st._2), "end_time" -> time(en._1, en._2),
+        "count" -> le32(perConn.size))
+      val d = new ByteArrayOutputStream()
+      perConn.foreach { case (conn, n) => d.write(le32(conn)); d.write(le32(n)) }
+      emitRecord(h, d.toByteArray)
+    }
+    out.close()
+    // back-patch the header: same field order and fixed-width values,
+    // so the byte length is identical by construction
+    val patched = fields("op" -> Array(OpBagHeader),
+      "index_pos" -> le64(indexPos),
+      "conn_count" -> le32(conns.size),
+      "chunk_count" -> le32(chunkInfos.size))
+    require(patched.length == HeaderFieldsLen, "bag header length drift")
+    val raf = new java.io.RandomAccessFile(local, "rw")
+    try {
+      raf.seek(Magic.length.toLong + 4L) // past magic + header-length prefix
+      raf.write(patched)
+    } finally raf.close()
+  }
+
+  def rowCount: Long = total
+}
+
+class BagWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
+    with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = {
+    val schema = info.schema()
+    def need(name: String, dt: org.apache.spark.sql.types.DataType): Int = {
+      val i = schema.fieldNames.indexOf(name)
+      require(i >= 0, s"rosbag write needs a '$name' column " +
+        "(BagExport.prepare conforms arbitrary frames)")
+      require(schema.fields(i).dataType == dt,
+        s"rosbag write column '$name' must be $dt, got ${schema.fields(i).dataType}")
+      i
+    }
+    val ords = BagWriteOrdinals(
+      topic = need("topic", StringType),
+      datatype = need("datatype", StringType),
+      timeSec = need("time_sec", IntegerType),
+      timeNsec = need("time_nsec", IntegerType),
+      data = need("data", BinaryType))
+    val opts = info.options()
+    val compression = Option(opts.get("compression")).getOrElse("lz4")
+    val chunkBytes = Option(opts.get("chunk_bytes")).map(_.toInt)
+      .getOrElse(768 * 1024)
+    val defs = Option(opts.get("conn_defs_from"))
+      .map(BagSinkWrite.harvestConnDefs).getOrElse(Map.empty)
+    new BagWrite(path, ords, compression, chunkBytes, defs, truncateFirst)
+  }
+}
+
+private[bag] final case class BagWriteOrdinals(topic: Int, datatype: Int,
+    timeSec: Int, timeNsec: Int, data: Int)
+
+class BagWrite(path: String, ords: BagWriteOrdinals, compression: String,
+    chunkBytes: Int, defs: Map[String, (String, String)],
+    truncateFirst: Boolean) extends Write {
+  override def toBatch: BatchWrite =
+    new BagBatchWrite(path, ords, compression, chunkBytes, defs, truncateFirst)
+}
+
+private[bag] final case class BagFileCommit(path: String, rows: Long)
+  extends WriterCommitMessage
+
+class BagBatchWrite(dir: String, ords: BagWriteOrdinals, compression: String,
+    chunkBytes: Int, defs: Map[String, (String, String)],
+    truncateFirst: Boolean) extends BatchWrite {
+
+  private val jobId = java.util.UUID.randomUUID().toString.take(8)
+
+  private val preExisting: Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(RosbagIO.hadoopConf())
+    if (truncateFirst && fs.exists(p))
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".bag"))
+        .map(_.getPath.toString)
+    else {
+      if (!fs.exists(p)) { fs.mkdirs(p); () }
+      Seq.empty
+    }
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    BagWriterFactory(dir, jobId, ords, compression, chunkBytes, defs)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(RosbagIO.hadoopConf())
+    preExisting.foreach { f =>
+      require(fs.delete(new Path(f), false), s"rosbag overwrite: delete failed for $f")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(RosbagIO.hadoopConf())
+    messages.foreach {
+      case BagFileCommit(p, _) if p != null =>
+        fs.delete(new Path(p), false); ()
+      case _ => ()
+    }
+  }
+}
+
+private[bag] final case class BagWriterFactory(dir: String, jobId: String,
+    ords: BagWriteOrdinals, compression: String, chunkBytes: Int,
+    defs: Map[String, (String, String)]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new BagDataWriter(dir, jobId, partitionId, taskId, ords, compression,
+      chunkBytes, defs)
+}
+
+class BagDataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
+    ords: BagWriteOrdinals, compression: String, chunkBytes: Int,
+    defs: Map[String, (String, String)]) extends DataWriter[InternalRow] {
+
+  private val fs = new Path(dir).getFileSystem(RosbagIO.hadoopConf())
+  private val finalPath =
+    new Path(dir, f"part-$partitionId%05d-$taskId-$jobId.bag")
+  private val tmpPath =
+    new Path(dir, f".part-$partitionId%05d-$taskId-$jobId.bag.inprogress")
+
+  // built on local scratch (header back-patch needs a seekable file),
+  // uploaded on commit; lazy so an empty partition leaves no file
+  private var local: java.io.File = null
+  private var writer: BagStreamingWriter = null
+
+  private def nonNull(row: InternalRow, ord: Int, name: String): Unit =
+    require(!row.isNullAt(ord), s"rosbag write: null '$name' " +
+      s"(partition $partitionId); filter or default nulls before writing")
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      local = java.io.File.createTempFile(s"graft_bag_sink_$jobId", ".bag")
+      writer = new BagStreamingWriter(local, compression, chunkBytes, defs)
+    }
+    nonNull(row, ords.topic, "topic")
+    nonNull(row, ords.datatype, "datatype")
+    nonNull(row, ords.timeSec, "time_sec")
+    nonNull(row, ords.timeNsec, "time_nsec")
+    nonNull(row, ords.data, "data")
+    writer.write(
+      topic = row.getUTF8String(ords.topic).toString,
+      datatype = row.getUTF8String(ords.datatype).toString,
+      timeSec = row.getInt(ords.timeSec),
+      timeNsec = row.getInt(ords.timeNsec),
+      data = row.getBinary(ords.data))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer == null) return BagFileCommit(null, 0L)
+    writer.finish()
+    val in = new java.io.FileInputStream(local)
+    val out = fs.create(tmpPath, true)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally { in.close(); out.close() }
+    local.delete()
+    require(fs.rename(tmpPath, finalPath),
+      s"rosbag write: rename $tmpPath -> $finalPath failed")
+    BagFileCommit(finalPath.toString, writer.rowCount)
+  }
+
+  override def abort(): Unit = {
+    if (local != null) { local.delete(); () }
+    fs.delete(tmpPath, false)
+    ()
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Conform an arbitrary frame to the rosbag write spine: only `topic`,
+  * `datatype`, receipt time and `data` matter; read-derived spine
+  * columns are filled with placeholders the writer ignores. Receipt
+  * time arrives as one nanosecond column and splits into the bag's
+  * (sec, nsec) pair here.
+  */
+object BagExport {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  def prepare(df: DataFrame, topic: Column, timeNs: Column, data: Column,
+      datatype: Column = lit("graft/Blob")): DataFrame = {
+    val ns = coalesce(timeNs.cast("long"), lit(0L))
+    df.select(
+      lit("").as("bag_path"),
+      lit(-1).as("chunk_idx"),
+      lit(-1).as("offset"),
+      (ns / lit(1000000000L)).cast("int").as("time_sec"),
+      (ns % lit(1000000000L)).cast("int").as("time_nsec"),
+      coalesce(length(data).cast("int"), lit(0)).as("size"),
+      lit(0).as("connection_id"),
+      coalesce(topic.cast("string"), lit("")).as("topic"),
+      coalesce(datatype.cast("string"), lit("")).as("datatype"),
+      lit(null).cast("int").as("header_stamp_sec"),
+      lit(null).cast("int").as("header_stamp_nsec"),
+      lit(0L).as("data_crc32"),
+      coalesce(data.cast("binary"), lit(Array.emptyByteArray)).as("data"))
+  }
+}

@@ -158,7 +158,8 @@ object RosbagDataSource {
 
 class RosbagTable(path: String, datatype: Option[String] = None,
                   includeRaw: Boolean = false, md5: Option[String] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   // typed reads resolve (datatype, md5 variant) -> one msg def + the
   // bags that carry it, ONCE per table (multi-bag loads with schema
   // drift pick a variant via option("md5", prefix))
@@ -171,9 +172,17 @@ class RosbagTable(path: String, datatype: Option[String] = None,
     case None => RosbagDataSource.SpineSchema
   }
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RosbagScanBuilder(path, schema(), target, includeRaw)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(datatype.isEmpty,
+      "rosbag write goes through the spine shape — drop the datatype read option")
+    new BagWriteBuilder(path, info)
+  }
 }
 
 class RosbagScanBuilder(path: String, fullSchema: StructType,

@@ -1,0 +1,247 @@
+package graft.ros.db3
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+
+/** rosbag2 `.db3` export sink — the write half of the `db3`
+  * DataSource: `df.write.format("db3").mode("append").save(dir)`, the
+  * `ros2 bag convert` re-emit toward the sqlite container, written by
+  * the engine's own b-tree writer (`SqliteFormat.writeDb`, the one
+  * cross-validated against genuine sqlite3 `PRAGMA integrity_check`).
+  *
+  * A sqlite file is a page TREE — it cannot stream record-by-record
+  * the way bag/mcap chunks can — so the task ROLLS files instead:
+  * rows buffer up to `rows_per_file` (default 100k) or `file_bytes`
+  * (default 64 MiB of payload), then one `part-<p>-<t>-<job>-<n>.db3`
+  * is built and uploaded. Task memory is O(one rolled file's rows),
+  * set by the options, independent of partition size — the same split
+  * behavior rosbag2's own recorder uses (`--max-bag-size`). Dotted
+  * in-progress names rename on task commit; job abort deletes
+  * committed files; overwrite replaces the previous `*.db3`
+  * generation only after every task committed.
+  *
+  * Column contract (spine names): `topic`, `type`,
+  * `serialization_format`, `timestamp`, `data` drive the output;
+  * `file_path`/`msg_id`/`topic_id`/`size` are read-derived and
+  * ignored (rowids and topic ids are re-assigned per file).
+  * `schema_defs_from` harvests a `message_definitions` table
+  * (topic_type, encoding, text) from an existing db3 path so typed
+  * readers can decode the export; [[Db3Export.prepare]] conforms
+  * arbitrary frames.
+  */
+object Db3SinkWrite {
+  /** topic_type -> (encoding, definition text) harvested from a db3
+    * path's message_definitions tables, driver-side on the bounded
+    * pool.
+    */
+  private[db3] def harvestDefs(path: String): Map[String, (String, String)] =
+    Db3IO.scanMetas(Db3IO.resolveFiles(path)).flatMap { case (_, meta) =>
+      meta.definitions.map { case (tp, enc, text) => tp -> (enc, text) }
+    }.toMap
+}
+
+class Db3WriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
+    with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = {
+    val schema = info.schema()
+    def need(name: String, dt: org.apache.spark.sql.types.DataType): Int = {
+      val i = schema.fieldNames.indexOf(name)
+      require(i >= 0, s"db3 write needs a '$name' column " +
+        "(Db3Export.prepare conforms arbitrary frames)")
+      require(schema.fields(i).dataType == dt,
+        s"db3 write column '$name' must be $dt, got ${schema.fields(i).dataType}")
+      i
+    }
+    val ords = Db3WriteOrdinals(
+      topic = need("topic", StringType),
+      tpe = need("type", StringType),
+      fmt = need("serialization_format", StringType),
+      timestamp = need("timestamp", LongType),
+      data = need("data", BinaryType))
+    val opts = info.options()
+    val rowsPerFile = Option(opts.get("rows_per_file")).map(_.toInt)
+      .getOrElse(100000)
+    val fileBytes = Option(opts.get("file_bytes")).map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+    val defs = Option(opts.get("schema_defs_from"))
+      .map(Db3SinkWrite.harvestDefs).getOrElse(Map.empty)
+    new Db3WriteImpl(path, ords, rowsPerFile, fileBytes, defs, truncateFirst)
+  }
+}
+
+private[db3] final case class Db3WriteOrdinals(topic: Int, tpe: Int, fmt: Int,
+    timestamp: Int, data: Int)
+
+class Db3WriteImpl(path: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
+    fileBytes: Long, defs: Map[String, (String, String)],
+    truncateFirst: Boolean) extends Write {
+  override def toBatch: BatchWrite =
+    new Db3BatchWrite(path, ords, rowsPerFile, fileBytes, defs, truncateFirst)
+}
+
+private[db3] final case class Db3FilesCommit(paths: Seq[String], rows: Long)
+  extends WriterCommitMessage
+
+class Db3BatchWrite(dir: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
+    fileBytes: Long, defs: Map[String, (String, String)],
+    truncateFirst: Boolean) extends BatchWrite {
+
+  private val jobId = java.util.UUID.randomUUID().toString.take(8)
+
+  private val preExisting: Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(Db3IO.hadoopConf())
+    if (truncateFirst && fs.exists(p))
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && Db3IO.isDb3(s.getPath.getName))
+        .map(_.getPath.toString)
+    else {
+      if (!fs.exists(p)) { fs.mkdirs(p); () }
+      Seq.empty
+    }
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    Db3WriterFactory(dir, jobId, ords, rowsPerFile, fileBytes, defs)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
+    preExisting.foreach { f =>
+      require(fs.delete(new Path(f), false), s"db3 overwrite: delete failed for $f")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
+    messages.foreach {
+      case Db3FilesCommit(ps, _) => ps.foreach(p => fs.delete(new Path(p), false))
+      case _ => ()
+    }
+  }
+}
+
+private[db3] final case class Db3WriterFactory(dir: String, jobId: String,
+    ords: Db3WriteOrdinals, rowsPerFile: Int, fileBytes: Long,
+    defs: Map[String, (String, String)]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new Db3DataWriter(dir, jobId, partitionId, taskId, ords, rowsPerFile,
+      fileBytes, defs)
+}
+
+class Db3DataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
+    ords: Db3WriteOrdinals, rowsPerFile: Int, fileBytes: Long,
+    defs: Map[String, (String, String)]) extends DataWriter[InternalRow] {
+
+  private val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
+
+  // current batch: (topic, type, fmt, timestamp, data); flushed to one
+  // rolled .db3 when either budget trips
+  private val batch =
+    scala.collection.mutable.ArrayBuffer[(String, String, String, Long, Array[Byte])]()
+  private var batchBytes = 0L
+  private var fileSeq = 0
+  private var total = 0L
+  // (in-progress path, final path) per rolled file; renamed on commit
+  private val rolled = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
+
+  private def nonNull(row: InternalRow, ord: Int, name: String): Unit =
+    require(!row.isNullAt(ord), s"db3 write: null '$name' " +
+      s"(partition $partitionId); filter or default nulls before writing")
+
+  override def write(row: InternalRow): Unit = {
+    nonNull(row, ords.topic, "topic")
+    nonNull(row, ords.timestamp, "timestamp")
+    nonNull(row, ords.data, "data")
+    val data = row.getBinary(ords.data)
+    batch += ((row.getUTF8String(ords.topic).toString,
+      if (row.isNullAt(ords.tpe)) "" else row.getUTF8String(ords.tpe).toString,
+      if (row.isNullAt(ords.fmt)) "cdr" else row.getUTF8String(ords.fmt).toString,
+      row.getLong(ords.timestamp), data))
+    batchBytes += data.length
+    total += 1
+    if (batch.size >= rowsPerFile || batchBytes >= fileBytes) flushFile()
+  }
+
+  private def flushFile(): Unit = {
+    if (batch.isEmpty) return
+    // topic ids 1..n in order of appearance within this file
+    val topicIds = scala.collection.mutable.LinkedHashMap[(String, String, String), Long]()
+    batch.foreach { case (t, tp, f, _, _) =>
+      topicIds.getOrElseUpdate((t, tp, f), topicIds.size + 1L); ()
+    }
+    val topicRows = topicIds.keys.map { case (t, tp, f) =>
+      Seq[Any](null, t, tp, f, "")
+    }.toSeq
+    val msgRows = batch.map { case (t, tp, f, ts, d) =>
+      Seq[Any](null, topicIds((t, tp, f)), ts, d)
+    }.toSeq
+    val defRows = topicIds.keys.map(_._2).toSeq.distinct
+      .flatMap(tp => defs.get(tp).map { case (enc, text) =>
+        Seq[Any](null, tp, enc, text, "")
+      })
+    val tables = Seq(
+      ("topics",
+        "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+        topicRows),
+      ("messages",
+        "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)",
+        msgRows)) ++
+      (if (defRows.nonEmpty) Seq(("message_definitions",
+        "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY, topic_type TEXT, encoding TEXT, encoded_message_definition TEXT, type_hash TEXT)",
+        defRows)) else Seq.empty)
+    val bytes = SqliteFormat.writeDb(tables)
+    val fin =
+      new Path(dir, f"part-$partitionId%05d-$taskId-$jobId-$fileSeq%04d.db3")
+    val tmp = new Path(dir,
+      f".part-$partitionId%05d-$taskId-$jobId-$fileSeq%04d.db3.inprogress")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    rolled += ((tmp, fin))
+    fileSeq += 1
+    batch.clear()
+    batchBytes = 0L
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushFile()
+    rolled.foreach { case (tmp, fin) =>
+      require(fs.rename(tmp, fin), s"db3 write: rename $tmp -> $fin failed")
+    }
+    Db3FilesCommit(rolled.map(_._2.toString).toSeq, total)
+  }
+
+  override def abort(): Unit =
+    rolled.foreach { case (tmp, fin) =>
+      fs.delete(tmp, false); fs.delete(fin, false); ()
+    }
+
+  override def close(): Unit = ()
+}
+
+/** Conform an arbitrary frame to the db3 write spine: `topic`,
+  * nanosecond `timestampNs` and `data` are required; `type` defaults
+  * empty and `serialization_format` to "cdr"; read-derived spine
+  * columns are filled with placeholders the writer ignores.
+  */
+object Db3Export {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  def prepare(df: DataFrame, topic: Column, timestampNs: Column, data: Column,
+      tpe: Column = lit(""), serializationFormat: Column = lit("cdr")): DataFrame =
+    df.select(
+      lit("").as("file_path"),
+      lit(0L).as("msg_id"),
+      lit(0L).as("topic_id"),
+      coalesce(topic.cast("string"), lit("")).as("topic"),
+      coalesce(tpe.cast("string"), lit("")).as("type"),
+      coalesce(serializationFormat.cast("string"), lit("cdr"))
+        .as("serialization_format"),
+      coalesce(timestampNs.cast("long"), lit(0L)).as("timestamp"),
+      coalesce(length(data).cast("int"), lit(0)).as("size"),
+      coalesce(data.cast("binary"), lit(Array.emptyByteArray)).as("data"))
+}

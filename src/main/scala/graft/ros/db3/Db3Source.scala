@@ -694,7 +694,8 @@ class Db3Table(path: String, schemaName: Option[String],
                schemaText: Option[String],
                tsPruning: Boolean = true,
                tsJitterNs: Long = 100000000L)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private lazy val target: Option[Db3TypedRead.TypedTarget] =
     schemaName.map(sn => Db3TypedRead.resolveTarget(path, sn, md5, schemaText))
   override def name(): String = s"db3:$path${schemaName.map(":" + _).getOrElse("")}"
@@ -703,9 +704,17 @@ class Db3Table(path: String, schemaName: Option[String],
     case None => Db3DataSource.SpineSchema
   }
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new Db3ScanBuilder(path, schema(), target, includeRaw, tsPruning, tsJitterNs)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(schemaName.isEmpty && schemaText.isEmpty,
+      "db3 write goes through the spine shape — drop the schema_name/schema_text read options")
+    new Db3WriteBuilder(path, info)
+  }
 }
 
 class Db3ScanBuilder(path: String, full: StructType,
