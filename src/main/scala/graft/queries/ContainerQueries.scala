@@ -361,12 +361,7 @@ object ContainerQueries {
     * props UTF-8 bytes. Cached like the other fixtures; "sinkv1" salt.
     */
   private def exportFixture(s: SparkSession, d: String): String = synchronized {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_container_sinkv1_" + cacheKey(d))
-    dir.mkdirs()
-    val out = new java.io.File(dir, "export")
-    val done = new java.io.File(dir, "_built")
-    if (!done.exists()) {
+    publishStaged("graft_container_sinkv2_" + cacheKey(d)) { stage =>
       val ev = events(s, d).orderBy(col("event_id")).limit(1000)
         .select(col("event_id"), us(col("ts")).as("ts_us"),
           col("event_type"), col("props"))
@@ -377,14 +372,39 @@ object ContainerQueries {
         data = col("payload"),
         schemaName = lit("graft/Props"),
         sequence = col("event_id"))
-      // overwrite: a crashed previous attempt's files are replaced
-      // only after this job's tasks all committed
       prepared.repartition(2).write.format("mcap").mode("overwrite")
-        .save(out.getAbsolutePath)
-      done.createNewFile()
-      ()
+        .save(new java.io.File(stage, "export").getAbsolutePath)
+    } + "/export"
+  }
+
+  /** Cross-process-safe fixture publish: build into a process-unique
+    * STAGING dir (the `_built` marker included), then one atomic
+    * directory rename publishes a complete fixture — two concurrent
+    * harness JVMs can never interleave their Spark part files in the
+    * final dir (the sink's overwrite protocol protects one JOB, not
+    * two jobs from different processes; the loser deletes its stage).
+    * Returns the published dir's absolute path.
+    */
+  private def publishStaged(name: String)
+      (build: java.io.File => Unit): String = {
+    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmpRoot, name)
+    val done = new java.io.File(dir, "_built")
+    if (!done.exists()) {
+      val stage = new java.io.File(tmpRoot,
+        name + ".stage-" + java.util.UUID.randomUUID().toString.take(8))
+      build(stage)
+      new java.io.File(stage, "_built").createNewFile()
+      // a crashed pre-publish attempt can leave a markerless final dir
+      if (dir.exists() && !done.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      if (!stage.renameTo(dir)) {
+        // another process published first; ours is redundant
+        require(done.exists(), s"fixture publish failed: $dir")
+        org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      }
     }
-    out.getAbsolutePath
+    dir.getAbsolutePath
   }
 
   /** q87's twin fixture: the same slice exported through the rosbag
@@ -393,13 +413,7 @@ object ContainerQueries {
     */
   private def exportFixture2(s: SparkSession, d: String): (String, String) =
     synchronized {
-      val dir = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_container_sink2v1_" + cacheKey(d))
-      dir.mkdirs()
-      val bagOut = new java.io.File(dir, "bag_export")
-      val db3Out = new java.io.File(dir, "db3_export")
-      val done = new java.io.File(dir, "_built")
-      if (!done.exists()) {
+      val dir = publishStaged("graft_container_sink2v2_" + cacheKey(d)) { stage =>
         val ev = events(s, d).orderBy(col("event_id")).limit(1000)
           .select(col("event_id"), us(col("ts")).as("ts_us"),
             col("event_type"), col("props"))
@@ -410,18 +424,17 @@ object ContainerQueries {
           data = col("payload"),
           datatype = lit("graft/Props"))
         bag.repartition(2).write.format("rosbag").mode("overwrite")
-          .save(bagOut.getAbsolutePath)
+          .save(new java.io.File(stage, "bag_export").getAbsolutePath)
         val db3 = graft.ros.db3.Db3Export.prepare(ev,
           topic = concat(lit("/"), col("event_type")),
           timestampNs = col("ts_us") * lit(1000L),
           data = col("payload"),
           tpe = lit("graft/Props"))
         db3.repartition(2).write.format("db3").mode("overwrite")
-          .option("rows_per_file", "300").save(db3Out.getAbsolutePath)
-        done.createNewFile()
-        ()
+          .option("rows_per_file", "300")
+          .save(new java.io.File(stage, "db3_export").getAbsolutePath)
       }
-      (bagOut.getAbsolutePath, db3Out.getAbsolutePath)
+      (dir + "/bag_export", dir + "/db3_export")
     }
 
   /** db3 twin of [[fixture]]: the same 1000-row slice written as a

@@ -37,7 +37,11 @@ object BagSinkWrite {
     */
   private[bag] def harvestConnDefs(path: String): Map[String, (String, String)] = {
     val bags = RosbagIO.resolveBags(path)
-    RosbagIO.scanIndexesTolerant(bags).flatMap { case (_, idx) =>
+    // strict scan: the user NAMED this path as the definitions source —
+    // an unreadable bag must fail the write loudly, not silently export
+    // every connection with md5 "*" (the tolerant variant is for
+    // discovery paths like a stream's listing)
+    RosbagIO.scanIndexes(bags).flatMap { case (_, idx) =>
       idx.connections.map(c => c.datatype -> (c.md5sum, c.msgDef))
     }.toMap
   }
@@ -68,13 +72,11 @@ final class BagStreamingWriter(local: java.io.File, compression: String,
 
   emit(Magic.getBytes(UTF_8))
   // placeholder header — same fixed-width fields finish() patches
-  private val HeaderFieldsLen =
-    fields("op" -> Array(OpBagHeader), "index_pos" -> le64(0L),
-      "conn_count" -> le32(0), "chunk_count" -> le32(0)).length
-  locally {
+  private val HeaderFieldsLen = {
     val h = fields("op" -> Array(OpBagHeader), "index_pos" -> le64(0L),
       "conn_count" -> le32(0), "chunk_count" -> le32(0))
     emitRecord(h, Array.fill(4096 - 8 - h.length)(' '.toByte))
+    h.length
   }
 
   // (topic, datatype) -> connection; record bytes emitted on discovery
@@ -93,6 +95,12 @@ final class BagStreamingWriter(local: java.io.File, compression: String,
   private var chunkStart: (Int, Int) = (Int.MaxValue, Int.MaxValue)
   private var chunkEnd: (Int, Int) = (Int.MinValue, Int.MinValue)
   private val chunkConnCounts = scala.collection.mutable.LinkedHashMap[Int, Int]()
+  // per-connection (time, chunk-relative offset) entries for the
+  // IndexData records that must follow each chunk (rosbag 2.0 readers
+  // build the message index from them — a bag without them demands
+  // `rosbag reindex`); bounded by the messages of ONE chunk
+  private val chunkMsgIndex = scala.collection.mutable.LinkedHashMap[
+    Int, scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]]()
 
   private def connRecord(c: BagConnection): (Array[Byte], Array[Byte]) = {
     val ch = fields(
@@ -107,6 +115,9 @@ final class BagStreamingWriter(local: java.io.File, compression: String,
 
   def write(topic: String, datatype: String, timeSec: Int, timeNsec: Int,
       data: Array[Byte]): Unit = {
+    require(timeSec >= 0 && timeNsec >= 0,
+      s"bag receipt time is unsigned (got sec=$timeSec nsec=$timeNsec); " +
+        "pre-1970 / negative times cannot be represented in a rosbag")
     val c = conns.getOrElseUpdate((topic, datatype), {
       val (md5, mdef) = connDefs.getOrElse(datatype, ("*", ""))
       val nc = BagConnection(conns.size, topic, datatype, md5, mdef, "")
@@ -116,7 +127,11 @@ final class BagStreamingWriter(local: java.io.File, compression: String,
     })
     val h = fields("op" -> Array(OpMessageData), "conn" -> le32(c.connId),
       "time" -> time(timeSec, timeNsec))
+    val offsetInChunk = chunk.size()
     chunkRecord(h, data)
+    chunkMsgIndex.getOrElseUpdate(c.connId,
+      scala.collection.mutable.ArrayBuffer.empty) +=
+      ((timeSec, timeNsec, offsetInChunk))
     chunkConnCounts(c.connId) = chunkConnCounts.getOrElse(c.connId, 0) + 1
     total += 1
     val t = (timeSec, timeNsec)
@@ -134,12 +149,25 @@ final class BagStreamingWriter(local: java.io.File, compression: String,
       "size" -> le32(body.length))
     val chunkPos = pos
     emitRecord(h, compressChunk(compression, body))
+    // IndexData (op 0x04) records directly after the chunk — one per
+    // connection, (time, chunk-relative offset) per message — the
+    // record rosbag's own readers require to index the chunk
+    chunkMsgIndex.foreach { case (connId, entries) =>
+      val ih = fields("op" -> Array(OpIndexData), "ver" -> le32(1),
+        "conn" -> le32(connId), "count" -> le32(entries.size))
+      val id = new ByteArrayOutputStream()
+      entries.foreach { case (s, ns, off) =>
+        id.write(time(s, ns)); id.write(le32(off))
+      }
+      emitRecord(ih, id.toByteArray)
+    }
     chunkInfos += ((chunkPos, chunkStart, chunkEnd,
       chunkConnCounts.toSeq.sortBy(_._1)))
     chunk = new ByteArrayOutputStream()
     chunkStart = (Int.MaxValue, Int.MaxValue)
     chunkEnd = (Int.MinValue, Int.MinValue)
     chunkConnCounts.clear()
+    chunkMsgIndex.clear()
   }
 
   /** Seal the bag: last chunk, trailing index section, header patch. */
@@ -312,7 +340,12 @@ class BagDataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } finally { in.close(); out.close() }
+    } finally {
+      // independent closes: a throwing in.close() must not leak the
+      // remote stream (an unclosed object-store stream can leave a
+      // pending multipart upload)
+      try in.close() finally out.close()
+    }
     local.delete()
     require(fs.rename(tmpPath, finalPath),
       s"rosbag write: rename $tmpPath -> $finalPath failed")
@@ -341,12 +374,19 @@ object BagExport {
   def prepare(df: DataFrame, topic: Column, timeNs: Column, data: Column,
       datatype: Column = lit("graft/Blob")): DataFrame = {
     val ns = coalesce(timeNs.cast("long"), lit(0L))
+    // the (sec, nsec) split must be EXACT long arithmetic: Spark's `/`
+    // on longs is double division, which rounds ns > 2^53 (every
+    // real ns-precision epoch timestamp) and can land time_sec a full
+    // second off near second boundaries. pmod gives the exact nsec;
+    // subtracting it makes the numerator an exact multiple of 1e9, so
+    // the integral `div` is exact (and floor-consistent for any sign).
+    val nsec = pmod(ns, lit(1000000000L))
     df.select(
       lit("").as("bag_path"),
       lit(-1).as("chunk_idx"),
       lit(-1).as("offset"),
-      (ns / lit(1000000000L)).cast("int").as("time_sec"),
-      (ns % lit(1000000000L)).cast("int").as("time_nsec"),
+      call_function("div", ns - nsec, lit(1000000000L)).cast("int").as("time_sec"),
+      nsec.cast("int").as("time_nsec"),
       coalesce(length(data).cast("int"), lit(0)).as("size"),
       lit(0).as("connection_id"),
       coalesce(topic.cast("string"), lit("")).as("topic"),

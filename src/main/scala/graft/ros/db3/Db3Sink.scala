@@ -83,8 +83,124 @@ class Db3WriteImpl(path: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
     new Db3BatchWrite(path, ords, rowsPerFile, fileBytes, defs, truncateFirst)
 }
 
-private[db3] final case class Db3FilesCommit(paths: Seq[String], rows: Long)
+private[db3] final case class Db3FilesCommit(paths: Seq[String], rows: Long,
+    topicCounts: Seq[((String, String, String), Long)],
+    minTs: Long, maxTs: Long)
   extends WriterCommitMessage
+
+/** The bag-directory `metadata.yaml` rosbag2 tooling locates storage
+  * files through — without it `ros2 bag info` / `ros2 bag play
+  * <exportDir>` cannot consume the export at all. Written on JOB
+  * commit from the tasks' commit-message stats (per-topic counts, time
+  * range — no file re-scan); an append job merges with the previous
+  * graft-written metadata.yaml so successive appends stay accurate
+  * (overwrite resets). Foreign `.db3` files placed in the directory
+  * outside this sink are not reflected.
+  */
+private[db3] object Db3BagMetadata {
+  final case class Stats(counts: Map[(String, String, String), Long],
+      minTs: Long, maxTs: Long)
+  val Empty: Stats = Stats(Map.empty, Long.MaxValue, Long.MinValue)
+
+  def merge(a: Stats, b: Stats): Stats = Stats(
+    (a.counts.keySet ++ b.counts.keySet).map { k =>
+      k -> (a.counts.getOrElse(k, 0L) + b.counts.getOrElse(k, 0L))
+    }.toMap,
+    math.min(a.minTs, b.minTs), math.max(a.maxTs, b.maxTs))
+
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { sb += s.charAt(i + 1); i += 2 }
+      else { sb += c; i += 1 }
+    }
+    sb.result()
+  }
+
+  def render(relPaths: Seq[String], st: Stats): String = {
+    val total = st.counts.valuesIterator.sum
+    val start = if (total == 0L) 0L else st.minTs
+    val dur = if (total == 0L) 0L else st.maxTs - st.minTs
+    val sb = new StringBuilder
+    sb ++= "rosbag2_bagfile_information:\n"
+    sb ++= "  version: 4\n"
+    sb ++= "  storage_identifier: sqlite3\n"
+    if (relPaths.isEmpty) sb ++= "  relative_file_paths: []\n"
+    else {
+      sb ++= "  relative_file_paths:\n"
+      relPaths.sorted.foreach(p => sb ++= s"    - ${q(p)}\n")
+    }
+    sb ++= "  duration:\n"
+    sb ++= s"    nanoseconds: $dur\n"
+    sb ++= "  starting_time:\n"
+    sb ++= s"    nanoseconds_since_epoch: $start\n"
+    sb ++= s"  message_count: $total\n"
+    if (st.counts.isEmpty) sb ++= "  topics_with_message_count: []\n"
+    else {
+      sb ++= "  topics_with_message_count:\n"
+      st.counts.toSeq.sortBy(_._1).foreach { case ((t, tp, f), n) =>
+        sb ++= "    - topic_metadata:\n"
+        sb ++= s"        name: ${q(t)}\n"
+        sb ++= s"        type: ${q(tp)}\n"
+        sb ++= s"        serialization_format: ${q(f)}\n"
+        sb ++= "        offered_qos_profiles: \"\"\n"
+        sb ++= s"      message_count: $n\n"
+      }
+    }
+    sb ++= "  compression_format: \"\"\n"
+    sb ++= "  compression_mode: \"\"\n"
+    sb.result()
+  }
+
+  /** Parse OUR OWN emission (append-merge only — a hand-edited or
+    * foreign metadata.yaml fails loudly; delete it to reset).
+    */
+  def parse(text: String): (Seq[String], Stats) = {
+    val Quoted = """"(.*)"""".r
+    def unq(raw: String): String = raw.trim match {
+      case Quoted(inner) => unescape(inner)
+      case other => throw new IllegalArgumentException(
+        s"metadata.yaml merge: expected a quoted string, got '$other' " +
+          "(hand-edited? delete metadata.yaml to reset)")
+    }
+    val lines = text.linesIterator.toVector
+    val paths = lines.filter(_.startsWith("    - \""))
+      .map(l => unq(l.stripPrefix("    - ")))
+    def long(prefix: String): Long = lines.find(_.startsWith(prefix)) match {
+      case Some(l) => l.stripPrefix(prefix).trim.toLong
+      case None => throw new IllegalArgumentException(
+        s"metadata.yaml merge: missing '$prefix' (delete metadata.yaml to reset)")
+    }
+    val total = long("  message_count:")
+    val start = long("    nanoseconds_since_epoch:")
+    val dur = long("    nanoseconds:")
+    val counts = scala.collection.mutable.ArrayBuffer[((String, String, String), Long)]()
+    var i = 0
+    while (i < lines.length) {
+      if (lines(i).startsWith("    - topic_metadata:")) {
+        require(i + 5 < lines.length &&
+          lines(i + 1).startsWith("        name:") &&
+          lines(i + 2).startsWith("        type:") &&
+          lines(i + 3).startsWith("        serialization_format:") &&
+          lines(i + 5).startsWith("      message_count:"),
+          "metadata.yaml merge: unexpected topic block shape " +
+            "(hand-edited? delete metadata.yaml to reset)")
+        counts += (((unq(lines(i + 1).stripPrefix("        name:")),
+          unq(lines(i + 2).stripPrefix("        type:")),
+          unq(lines(i + 3).stripPrefix("        serialization_format:"))),
+          lines(i + 5).stripPrefix("      message_count:").trim.toLong))
+        i += 6
+      } else i += 1
+    }
+    val st =
+      if (total == 0L) Empty
+      else Stats(counts.toMap, start, start + dur)
+    (paths, st)
+  }
+}
 
 class Db3BatchWrite(dir: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
     fileBytes: Long, defs: Map[String, (String, String)],
@@ -113,12 +229,36 @@ class Db3BatchWrite(dir: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
     preExisting.foreach { f =>
       require(fs.delete(new Path(f), false), s"db3 overwrite: delete failed for $f")
     }
+    // metadata.yaml — the handle rosbag2 tooling opens the directory
+    // through; derived from the tasks' stats, merged with the previous
+    // graft-written metadata on append (overwrite starts fresh)
+    val commits = messages.collect { case c: Db3FilesCommit => c }
+    val jobStats = commits.foldLeft(Db3BagMetadata.Empty) { (acc, c) =>
+      Db3BagMetadata.merge(acc,
+        Db3BagMetadata.Stats(c.topicCounts.toMap, c.minTs, c.maxTs))
+    }
+    val jobPaths = commits.flatMap(_.paths).map(p => new Path(p).getName).toSeq
+    val metaPath = new Path(dir, "metadata.yaml")
+    val (prevPaths, prevStats) =
+      if (!truncateFirst && fs.exists(metaPath)) {
+        val in = fs.open(metaPath)
+        val text =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        Db3BagMetadata.parse(text)
+      } else (Seq.empty[String], Db3BagMetadata.Empty)
+    val yaml = Db3BagMetadata.render((prevPaths ++ jobPaths).distinct,
+      Db3BagMetadata.merge(prevStats, jobStats))
+    val out = fs.create(metaPath, true)
+    try out.write(yaml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
     messages.foreach {
-      case Db3FilesCommit(ps, _) => ps.foreach(p => fs.delete(new Path(p), false))
+      case c: Db3FilesCommit => c.paths.foreach(p => fs.delete(new Path(p), false))
       case _ => ()
     }
   }
@@ -145,6 +285,12 @@ class Db3DataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
   private var batchBytes = 0L
   private var fileSeq = 0
   private var total = 0L
+  // metadata.yaml inputs, carried on the commit message: per-topic
+  // counts (tiny dimension) + the task's time range
+  private val topicStats =
+    scala.collection.mutable.LinkedHashMap[(String, String, String), Long]()
+  private var tsMin = Long.MaxValue
+  private var tsMax = Long.MinValue
   // (in-progress path, final path) per rolled file; renamed on commit
   private val rolled = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
 
@@ -157,12 +303,16 @@ class Db3DataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
     nonNull(row, ords.timestamp, "timestamp")
     nonNull(row, ords.data, "data")
     val data = row.getBinary(ords.data)
-    batch += ((row.getUTF8String(ords.topic).toString,
+    val key = (row.getUTF8String(ords.topic).toString,
       if (row.isNullAt(ords.tpe)) "" else row.getUTF8String(ords.tpe).toString,
-      if (row.isNullAt(ords.fmt)) "cdr" else row.getUTF8String(ords.fmt).toString,
-      row.getLong(ords.timestamp), data))
+      if (row.isNullAt(ords.fmt)) "cdr" else row.getUTF8String(ords.fmt).toString)
+    val ts = row.getLong(ords.timestamp)
+    batch += ((key._1, key._2, key._3, ts, data))
     batchBytes += data.length
     total += 1
+    topicStats(key) = topicStats.getOrElse(key, 0L) + 1L
+    if (ts < tsMin) tsMin = ts
+    if (ts > tsMax) tsMax = ts
     if (batch.size >= rowsPerFile || batchBytes >= fileBytes) flushFile()
   }
 
@@ -211,7 +361,8 @@ class Db3DataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
     rolled.foreach { case (tmp, fin) =>
       require(fs.rename(tmp, fin), s"db3 write: rename $tmp -> $fin failed")
     }
-    Db3FilesCommit(rolled.map(_._2.toString).toSeq, total)
+    Db3FilesCommit(rolled.map(_._2.toString).toSeq, total,
+      topicStats.toSeq, tsMin, tsMax)
   }
 
   override def abort(): Unit =

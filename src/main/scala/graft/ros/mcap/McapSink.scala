@@ -43,9 +43,6 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
   * ignored (the writer re-derives layout and ids).
   */
 object McapSinkWrite {
-  private[mcap] val Ignored =
-    Set("file_path", "chunk_idx", "offset", "size", "channel_id", "data_crc32")
-
   /** Harvest (schema_name -> (encoding, definition bytes)) from an
     * existing mcap path, driver-side on the bounded pool — the
     * dimension is tiny (distinct message types), the files are many.
@@ -104,7 +101,16 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
   def write(topic: String, schemaName: String, schemaEncoding: String,
       messageEncoding: String, sequence: Long, logTime: Long,
       publishTime: Long, data: Array[Byte]): Unit = {
+    // wire-width guards, LOUD: schema/channel ids serialize as uint16
+    // and sequence as uint32 — silent wrap would re-attribute messages
+    // to the wrong topic (ids) or corrupt the sequence round-trip
+    require(sequence >= 0L && sequence <= 0xFFFFFFFFL,
+      s"mcap sequence is uint32, got $sequence (pmod or zero it before writing)")
+    require(logTime >= 0L && publishTime >= 0L,
+      s"mcap timestamps are unsigned, got log_time=$logTime publish_time=$publishTime")
     val sch = schemas.getOrElseUpdate((schemaName, schemaEncoding), {
+      require(schemas.size < 0xFFFF,
+        s"mcap schema ids are uint16: partition exceeds 65534 distinct schemas")
       // the defs side-channel wins on definition bytes; its encoding
       // too when the row left schema_encoding empty (prepared frames)
       val (enc, defBytes) = schemaDefs.get(schemaName) match {
@@ -117,6 +123,9 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
       s
     })
     val ch = channels.getOrElseUpdate((topic, sch.id, messageEncoding), {
+      require(channels.size < 0xFFFF,
+        s"mcap channel ids are uint16: partition exceeds 65534 distinct " +
+          "(topic, schema, encoding) channels — repartition by topic first")
       val c = McapChannel(channels.size + 1, sch.id, topic, messageEncoding)
       chunk.write(channelRec(c))
       c

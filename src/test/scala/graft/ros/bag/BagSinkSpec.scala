@@ -86,6 +86,87 @@ class BagSinkSpec extends SparkTestBase {
     assert(counts === Map("/chat" -> 6L, "/log" -> 6L))
   }
 
+  test("prepare splits nanoseconds exactly (long arithmetic, not double division)") {
+    import spark.implicits._
+    // 1699999999999999999 ns: double division rounds the quotient to
+    // 1700000000.0, landing time_sec a full second late; the exact
+    // split must give (1699999999, 999999999)
+    val df = Seq((1699999999999999999L, "x")).toDF("t", "v")
+    val prepared = BagExport.prepare(df, topic = lit("/t"),
+      timeNs = col("t"), data = encode(col("v"), "UTF-8"))
+    val r = prepared.select("time_sec", "time_nsec").head()
+    assert(r.getInt(0) === 1699999999)
+    assert(r.getInt(1) === 999999999)
+  }
+
+  test("each chunk is followed by the IndexData records ROS readers require") {
+    val src = sourceDir(20)
+    val out = Files.createTempDirectory("bag_sink_idx").toString + "/export"
+    spark.read.format("rosbag").load(src).coalesce(1)
+      .write.format("rosbag").mode("append")
+      .option("chunk_bytes", "160").option("compression", "none").save(out)
+    val f = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".bag") && !f.getName.startsWith(".")).head
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(f)))
+    try {
+      in.skipBytes(Magic.length)
+      var chunks = 0
+      var indexedMessages = 0L
+      // walk top-level records: every OpChunk must be directly followed
+      // by OpIndexData records whose (conn, offset) entries point at
+      // exactly the chunk body's MessageData records
+      var pending: Map[Int, Seq[Int]] = Map.empty // conn -> expected offsets
+      var rec = readRecord(in)
+      while (rec.isDefined) {
+        val r = rec.get
+        r.op match {
+          case OpChunk =>
+            assert(pending.isEmpty, "chunk not fully covered by IndexData")
+            chunks += 1
+            // offset-tracked walk of the uncompressed chunk body
+            val exp = scala.collection.mutable.Map[Int, Vector[Int]]()
+            val body = r.data
+            var pos = 0
+            while (pos < body.length) {
+              val bb = java.nio.ByteBuffer.wrap(body, pos, 4)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              val hlen = bb.getInt()
+              val h = parseHeader(
+                java.util.Arrays.copyOfRange(body, pos + 4, pos + 4 + hlen))
+              val dlenOff = pos + 4 + hlen
+              val dlen = java.nio.ByteBuffer.wrap(body, dlenOff, 4)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+              if (h("op")(0) == OpMessageData) {
+                val inner = new Record(h, Array.emptyByteArray, 0L)
+                val conn = inner.u32("conn")
+                exp(conn) = exp.getOrElse(conn, Vector.empty) :+ pos
+              }
+              pos = dlenOff + 4 + dlen
+            }
+            pending = exp.toMap
+          case OpIndexData =>
+            val conn = r.u32("conn")
+            val n = r.u32("count")
+            assert(r.data.length === n * 12, "IndexData entries are 12 bytes")
+            val offsets = (0 until n).map { i =>
+              java.nio.ByteBuffer.wrap(r.data, i * 12 + 8, 4)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+            }
+            assert(pending.get(conn).map(_.toSeq) === Some(offsets),
+              s"IndexData offsets for conn $conn must match the chunk's messages")
+            indexedMessages += n
+            pending -= conn
+          case _ => ()
+        }
+        rec = readRecord(in)
+      }
+      assert(pending.isEmpty)
+      assert(chunks > 1, "small chunk_bytes must yield several chunks")
+      assert(indexedMessages === 20L)
+    } finally in.close()
+  }
+
   test("conn_defs_from embeds definitions: the export decodes under the typed reader") {
     val src = sourceDir(8)
     val out = Files.createTempDirectory("bag_sink_typed").toString + "/export"

@@ -43,7 +43,8 @@ class Db3SinkSpec extends SparkTestBase {
     val all = new java.io.File(out).listFiles().toSeq.map(_.getName)
     assert(!all.exists(_.contains("inprogress")), s"debris in $all")
     val files = all.filterNot(_.startsWith("."))
-    assert(files.forall(f => f.endsWith(".db3") && f.startsWith("part-")))
+    assert(files.forall(f =>
+      (f.endsWith(".db3") && f.startsWith("part-")) || f == "metadata.yaml"))
 
     val back = spark.read.format("db3").load(out)
     val a = filtered.select(spineCols.map(col): _*)
@@ -94,6 +95,47 @@ class Db3SinkSpec extends SparkTestBase {
     df.filter(col("timestamp") < 1700000000000005000L).coalesce(1)
       .write.format("db3").mode("overwrite").save(out)
     assert(spark.read.format("db3").load(out).count() === 5)
+  }
+
+  test("metadata.yaml makes the export a rosbag2 bag dir: counts, times, append merge, overwrite reset") {
+    val src = sourceDir(12) // ts = 1700000000000000000 + i*1000, i in 0..11
+    val out = Files.createTempDirectory("db3_sink_meta").toString + "/export"
+    val df = spark.read.format("db3").load(src)
+    df.write.format("db3").mode("append").save(out)
+
+    def yaml(): String = new String(
+      Files.readAllBytes(new java.io.File(out, "metadata.yaml").toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def db3Names(): Set[String] = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".db3") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+
+    val y1 = yaml()
+    assert(y1.contains("storage_identifier: sqlite3"))
+    assert(y1.contains("message_count: 12"))
+    assert(y1.contains("nanoseconds_since_epoch: 1700000000000000000"))
+    assert(y1.contains("nanoseconds: 11000")) // duration = max - min
+    db3Names().foreach(n => assert(y1.contains("\"" + n + "\"")))
+    // per-topic blocks round-trip through the parser
+    val (paths1, st1) = Db3BagMetadata.parse(y1)
+    assert(paths1.toSet === db3Names())
+    assert(st1.counts === Map(("/chat", strName, "cdr") -> 6L,
+      ("/log", strName, "cdr") -> 6L))
+
+    // append merges: 6 more /chat rows extend counts, not replace them
+    df.filter(col("topic") === "/chat").coalesce(1)
+      .write.format("db3").mode("append").save(out)
+    val (paths2, st2) = Db3BagMetadata.parse(yaml())
+    assert(paths2.toSet === db3Names())
+    assert(st2.counts(("/chat", strName, "cdr")) === 12L)
+    assert(st2.counts(("/log", strName, "cdr")) === 6L)
+
+    // overwrite resets to the new generation only
+    df.filter(col("topic") === "/log").coalesce(1)
+      .write.format("db3").mode("overwrite").save(out)
+    val (paths3, st3) = Db3BagMetadata.parse(yaml())
+    assert(paths3.toSet === db3Names())
+    assert(st3.counts === Map(("/log", strName, "cdr") -> 6L))
   }
 
   test("Db3Export.prepare conforms an arbitrary frame; events round-trip as db3") {

@@ -131,6 +131,20 @@ class McapSinkSpec extends SparkTestBase {
     assert(aSum === bSum)
   }
 
+  test("a sequence beyond uint32 fails loudly instead of silently wrapping") {
+    val out = Files.createTempDirectory("mcap_sink_seq").toString + "/export"
+    val bad = McapExport.prepare(
+      spark.range(3).toDF("event_id"),
+      topic = lit("/t"), logTimeNs = col("event_id"), data = lit(Array[Byte](1)),
+      sequence = col("event_id") + lit(4294967295L))
+    val e = intercept[Exception] {
+      bad.coalesce(1).write.format("mcap").mode("append").save(out)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("uint32")))
+  }
+
   test("a null required column fails loudly with the column name") {
     val out = Files.createTempDirectory("mcap_sink_null").toString + "/export"
     val bad = McapExport.prepare(
