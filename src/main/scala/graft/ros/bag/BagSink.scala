@@ -230,7 +230,8 @@ class BagWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
       .getOrElse(768 * 1024)
     val defs = Option(opts.get("conn_defs_from"))
       .map(BagSinkWrite.harvestConnDefs).getOrElse(Map.empty)
-    new BagWrite(path, ords, compression, chunkBytes, defs, truncateFirst)
+    new BagWrite(path, ords, compression, chunkBytes, defs, truncateFirst,
+      info.queryId())
   }
 }
 
@@ -239,9 +240,55 @@ private[bag] final case class BagWriteOrdinals(topic: Int, datatype: Int,
 
 class BagWrite(path: String, ords: BagWriteOrdinals, compression: String,
     chunkBytes: Int, defs: Map[String, (String, String)],
-    truncateFirst: Boolean) extends Write {
+    truncateFirst: Boolean, queryId: String) extends Write {
   override def toBatch: BatchWrite =
     new BagBatchWrite(path, ords, compression, chunkBytes, defs, truncateFirst)
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncateFirst,
+      "rosbag streaming write supports the Append output mode only " +
+        "(a container directory cannot be truncated per epoch)")
+    new BagStreamingSinkWrite(path, ords, compression, chunkBytes, defs, queryId)
+  }
+}
+
+/** Streaming half of the rosbag sink — same deterministic
+  * `part-<p>-q<queryId8>-e<epoch>.bag` naming as the mcap stream sink:
+  * an epoch replay replaces its previous attempt's file (the task
+  * commit's delete+rename), so the directory holds each epoch's rows
+  * exactly once. Epoch abort deletes that epoch's committed files.
+  */
+class BagStreamingSinkWrite(dir: String, ords: BagWriteOrdinals,
+    compression: String, chunkBytes: Int, defs: Map[String, (String, String)],
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  locally {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(RosbagIO.hadoopConf())
+    if (!fs.exists(p)) { fs.mkdirs(p); () }
+  }
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    BagStreamWriterFactory(dir, queryId.take(8), ords, compression,
+      chunkBytes, defs)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(RosbagIO.hadoopConf())
+    messages.foreach {
+      case BagFileCommit(p, _) if p != null =>
+        fs.delete(new Path(p), false); ()
+      case _ => ()
+    }
+  }
+}
+
+private[bag] final case class BagStreamWriterFactory(dir: String, qid: String,
+    ords: BagWriteOrdinals, compression: String, chunkBytes: Int,
+    defs: Map[String, (String, String)])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new BagDataWriter(dir, f"part-$partitionId%05d-q$qid-e$epochId", ords,
+      compression, chunkBytes, defs, partitionId)
 }
 
 private[bag] final case class BagFileCommit(path: String, rows: Long)
@@ -290,19 +337,23 @@ private[bag] final case class BagWriterFactory(dir: String, jobId: String,
     ords: BagWriteOrdinals, compression: String, chunkBytes: Int,
     defs: Map[String, (String, String)]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BagDataWriter(dir, jobId, partitionId, taskId, ords, compression,
-      chunkBytes, defs)
+    new BagDataWriter(dir, f"part-$partitionId%05d-$taskId-$jobId", ords,
+      compression, chunkBytes, defs, partitionId)
 }
 
-class BagDataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
+/** One task's bag: `<stem>.bag`. Batch stems carry (partition, task,
+  * job) and never collide; streaming stems carry (partition, query,
+  * epoch) deliberately — an epoch replay replaces its previous
+  * attempt's file on the task commit's delete+rename.
+  */
+class BagDataWriter(dir: String, stem: String,
     ords: BagWriteOrdinals, compression: String, chunkBytes: Int,
-    defs: Map[String, (String, String)]) extends DataWriter[InternalRow] {
+    defs: Map[String, (String, String)], partitionId: Int)
+    extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(RosbagIO.hadoopConf())
-  private val finalPath =
-    new Path(dir, f"part-$partitionId%05d-$taskId-$jobId.bag")
-  private val tmpPath =
-    new Path(dir, f".part-$partitionId%05d-$taskId-$jobId.bag.inprogress")
+  private val finalPath = new Path(dir, s"$stem.bag")
+  private val tmpPath = new Path(dir, s".$stem.bag.inprogress")
 
   // built on local scratch (header back-patch needs a seekable file),
   // uploaded on commit; lazy so an empty partition leaves no file
@@ -315,7 +366,7 @@ class BagDataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
 
   override def write(row: InternalRow): Unit = {
     if (writer == null) {
-      local = java.io.File.createTempFile(s"graft_bag_sink_$jobId", ".bag")
+      local = java.io.File.createTempFile("graft_bag_sink_", ".bag")
       writer = new BagStreamingWriter(local, compression, chunkBytes, defs)
     }
     nonNull(row, ords.topic, "topic")
@@ -347,6 +398,9 @@ class BagDataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
       try in.close() finally out.close()
     }
     local.delete()
+    // streaming epoch replays re-commit the same deterministic name —
+    // replace the previous attempt's file
+    if (fs.exists(finalPath)) fs.delete(finalPath, false)
     require(fs.rename(tmpPath, finalPath),
       s"rosbag write: rename $tmpPath -> $finalPath failed")
     BagFileCommit(finalPath.toString, writer.rowCount)

@@ -69,7 +69,8 @@ class Db3WriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
       .getOrElse(64L * 1024 * 1024)
     val defs = Option(opts.get("schema_defs_from"))
       .map(Db3SinkWrite.harvestDefs).getOrElse(Map.empty)
-    new Db3WriteImpl(path, ords, rowsPerFile, fileBytes, defs, truncateFirst)
+    new Db3WriteImpl(path, ords, rowsPerFile, fileBytes, defs, truncateFirst,
+      info.queryId())
   }
 }
 
@@ -78,9 +79,61 @@ private[db3] final case class Db3WriteOrdinals(topic: Int, tpe: Int, fmt: Int,
 
 class Db3WriteImpl(path: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
     fileBytes: Long, defs: Map[String, (String, String)],
-    truncateFirst: Boolean) extends Write {
+    truncateFirst: Boolean, queryId: String) extends Write {
   override def toBatch: BatchWrite =
     new Db3BatchWrite(path, ords, rowsPerFile, fileBytes, defs, truncateFirst)
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncateFirst,
+      "db3 streaming write supports the Append output mode only " +
+        "(a container directory cannot be truncated per epoch)")
+    new Db3StreamingSinkWrite(path, ords, rowsPerFile, fileBytes, defs, queryId)
+  }
+}
+
+/** Streaming half of the db3 sink: deterministic
+  * `part-<p>-q<queryId8>-e<epoch>-<n>.db3` names (an epoch replay
+  * replaces its previous attempt's files), and metadata.yaml is
+  * re-rendered on every EPOCH commit with a `# graft_epochs` ledger —
+  * an epoch whose stats were already merged (sink committed, but the
+  * checkpoint's commit-log write crashed before recording it) is
+  * skipped, so counts stay exact across replays.
+  */
+class Db3StreamingSinkWrite(dir: String, ords: Db3WriteOrdinals,
+    rowsPerFile: Int, fileBytes: Long, defs: Map[String, (String, String)],
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  locally {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(Db3IO.hadoopConf())
+    if (!fs.exists(p)) { fs.mkdirs(p); () }
+  }
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    Db3StreamWriterFactory(dir, queryId.take(8), ords, rowsPerFile,
+      fileBytes, defs)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
+    val commits = messages.collect { case c: Db3FilesCommit => c }
+    Db3BatchWrite.mergeMetadata(fs, dir, commits, truncate = false,
+      epoch = Some(epochId))
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
+    messages.foreach {
+      case c: Db3FilesCommit => c.paths.foreach(p => fs.delete(new Path(p), false))
+      case _ => ()
+    }
+  }
+}
+
+private[db3] final case class Db3StreamWriterFactory(dir: String, qid: String,
+    ords: Db3WriteOrdinals, rowsPerFile: Int, fileBytes: Long,
+    defs: Map[String, (String, String)])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new Db3DataWriter(dir, f"part-$partitionId%05d-q$qid-e$epochId", ords,
+      rowsPerFile, fileBytes, defs, partitionId)
 }
 
 private[db3] final case class Db3FilesCommit(paths: Seq[String], rows: Long,
@@ -120,7 +173,7 @@ private[db3] object Db3BagMetadata {
     sb.result()
   }
 
-  def render(relPaths: Seq[String], st: Stats): String = {
+  def render(relPaths: Seq[String], st: Stats, epochs: Seq[Long] = Nil): String = {
     val total = st.counts.valuesIterator.sum
     val start = if (total == 0L) 0L else st.minTs
     val dur = if (total == 0L) 0L else st.maxTs - st.minTs
@@ -152,6 +205,13 @@ private[db3] object Db3BagMetadata {
     }
     sb ++= "  compression_format: \"\"\n"
     sb ++= "  compression_mode: \"\"\n"
+    // streaming-sink ledger: epochs whose stats are already merged — a
+    // YAML comment, invisible to rosbag2's parser, so a replayed epoch
+    // (sink committed, checkpoint commit-log write crashed) cannot
+    // double-count. Kept in THIS file so ledger and stats publish
+    // atomically together.
+    if (epochs.nonEmpty)
+      sb ++= s"# graft_epochs: ${epochs.sorted.mkString(",")}\n"
     sb.result()
   }
 
@@ -159,6 +219,10 @@ private[db3] object Db3BagMetadata {
     * foreign metadata.yaml fails loudly; delete it to reset).
     */
   def parse(text: String): (Seq[String], Stats) = {
+    val (p, s, _) = parseWithEpochs(text); (p, s)
+  }
+
+  def parseWithEpochs(text: String): (Seq[String], Stats, Seq[Long]) = {
     val Quoted = """"(.*)"""".r
     def unq(raw: String): String = raw.trim match {
       case Quoted(inner) => unescape(inner)
@@ -198,7 +262,46 @@ private[db3] object Db3BagMetadata {
     val st =
       if (total == 0L) Empty
       else Stats(counts.toMap, start, start + dur)
-    (paths, st)
+    val epochs = lines.find(_.startsWith("# graft_epochs:"))
+      .map(_.stripPrefix("# graft_epochs:").trim.split(",").toSeq
+        .filter(_.nonEmpty).map(_.toLong))
+      .getOrElse(Seq.empty)
+    (paths, st, epochs)
+  }
+}
+
+object Db3BatchWrite {
+  /** metadata.yaml — the handle rosbag2 tooling opens the directory
+    * through; derived from the tasks' commit-message stats (no file
+    * re-scan), merged with the previous graft-written metadata on
+    * append (`truncate` resets). `epoch` (streaming): an id already in
+    * the yaml's ledger means this is a replay of a committed epoch —
+    * its stats are already counted, skip.
+    */
+  private[db3] def mergeMetadata(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, commits: Seq[Db3FilesCommit], truncate: Boolean,
+      epoch: Option[Long]): Unit = {
+    val metaPath = new Path(dir, "metadata.yaml")
+    val (prevPaths, prevStats, prevEpochs) =
+      if (!truncate && fs.exists(metaPath)) {
+        val in = fs.open(metaPath)
+        val text =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        Db3BagMetadata.parseWithEpochs(text)
+      } else (Seq.empty[String], Db3BagMetadata.Empty, Seq.empty[Long])
+    if (epoch.exists(prevEpochs.contains)) return
+    val jobStats = commits.foldLeft(Db3BagMetadata.Empty) { (acc, c) =>
+      Db3BagMetadata.merge(acc,
+        Db3BagMetadata.Stats(c.topicCounts.toMap, c.minTs, c.maxTs))
+    }
+    val jobPaths = commits.flatMap(_.paths).map(p => new Path(p).getName)
+    val yaml = Db3BagMetadata.render((prevPaths ++ jobPaths).distinct,
+      Db3BagMetadata.merge(prevStats, jobStats), prevEpochs ++ epoch.toSeq)
+    val out = fs.create(metaPath, true)
+    try out.write(yaml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }
 
@@ -229,30 +332,9 @@ class Db3BatchWrite(dir: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
     preExisting.foreach { f =>
       require(fs.delete(new Path(f), false), s"db3 overwrite: delete failed for $f")
     }
-    // metadata.yaml — the handle rosbag2 tooling opens the directory
-    // through; derived from the tasks' stats, merged with the previous
-    // graft-written metadata on append (overwrite starts fresh)
-    val commits = messages.collect { case c: Db3FilesCommit => c }
-    val jobStats = commits.foldLeft(Db3BagMetadata.Empty) { (acc, c) =>
-      Db3BagMetadata.merge(acc,
-        Db3BagMetadata.Stats(c.topicCounts.toMap, c.minTs, c.maxTs))
-    }
-    val jobPaths = commits.flatMap(_.paths).map(p => new Path(p).getName).toSeq
-    val metaPath = new Path(dir, "metadata.yaml")
-    val (prevPaths, prevStats) =
-      if (!truncateFirst && fs.exists(metaPath)) {
-        val in = fs.open(metaPath)
-        val text =
-          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        Db3BagMetadata.parse(text)
-      } else (Seq.empty[String], Db3BagMetadata.Empty)
-    val yaml = Db3BagMetadata.render((prevPaths ++ jobPaths).distinct,
-      Db3BagMetadata.merge(prevStats, jobStats))
-    val out = fs.create(metaPath, true)
-    try out.write(yaml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    Db3BatchWrite.mergeMetadata(fs, dir,
+      messages.collect { case c: Db3FilesCommit => c }.toSeq,
+      truncate = truncateFirst, epoch = None)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -268,13 +350,19 @@ private[db3] final case class Db3WriterFactory(dir: String, jobId: String,
     ords: Db3WriteOrdinals, rowsPerFile: Int, fileBytes: Long,
     defs: Map[String, (String, String)]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new Db3DataWriter(dir, jobId, partitionId, taskId, ords, rowsPerFile,
-      fileBytes, defs)
+    new Db3DataWriter(dir, f"part-$partitionId%05d-$taskId-$jobId", ords,
+      rowsPerFile, fileBytes, defs, partitionId)
 }
 
-class Db3DataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
+/** One task's rolled files: `<stem>-<n>.db3`. Batch stems carry
+  * (partition, task, job) and never collide; streaming stems carry
+  * (partition, query, epoch) deliberately — an epoch replay replaces
+  * its previous attempt's files on the task commit's delete+rename.
+  */
+class Db3DataWriter(dir: String, stem: String,
     ords: Db3WriteOrdinals, rowsPerFile: Int, fileBytes: Long,
-    defs: Map[String, (String, String)]) extends DataWriter[InternalRow] {
+    defs: Map[String, (String, String)], partitionId: Int)
+    extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
 
@@ -344,10 +432,8 @@ class Db3DataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
         "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY, topic_type TEXT, encoding TEXT, encoded_message_definition TEXT, type_hash TEXT)",
         defRows)) else Seq.empty)
     val bytes = SqliteFormat.writeDb(tables)
-    val fin =
-      new Path(dir, f"part-$partitionId%05d-$taskId-$jobId-$fileSeq%04d.db3")
-    val tmp = new Path(dir,
-      f".part-$partitionId%05d-$taskId-$jobId-$fileSeq%04d.db3.inprogress")
+    val fin = new Path(dir, f"$stem-$fileSeq%04d.db3")
+    val tmp = new Path(dir, f".$stem-$fileSeq%04d.db3.inprogress")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     rolled += ((tmp, fin))
@@ -359,6 +445,8 @@ class Db3DataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
   override def commit(): WriterCommitMessage = {
     flushFile()
     rolled.foreach { case (tmp, fin) =>
+      // streaming epoch replays re-commit the same deterministic names
+      if (fs.exists(fin)) fs.delete(fin, false)
       require(fs.rename(tmp, fin), s"db3 write: rename $tmp -> $fin failed")
     }
     Db3FilesCommit(rolled.map(_._2.toString).toSeq, total,

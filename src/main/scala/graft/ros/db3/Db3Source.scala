@@ -705,7 +705,8 @@ class Db3Table(path: String, schemaName: Option[String],
   }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new Db3ScanBuilder(path, schema(), target, includeRaw, tsPruning, tsJitterNs)
   override def newWriteBuilder(

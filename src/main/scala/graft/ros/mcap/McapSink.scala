@@ -233,7 +233,8 @@ class McapWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilde
       .getOrElse(4 * 1024 * 1024)
     val defs = Option(opts.get("schema_defs_from"))
       .map(McapSinkWrite.harvestDefs).getOrElse(Map.empty)
-    new McapWrite(path, ords, compression, chunkBytes, defs, truncateFirst)
+    new McapWrite(path, ords, compression, chunkBytes, defs, truncateFirst,
+      info.queryId())
   }
 }
 
@@ -243,9 +244,59 @@ private[mcap] final case class McapWriteOrdinals(topic: Int, schemaName: Int,
 
 class McapWrite(path: String, ords: McapWriteOrdinals, compression: String,
     chunkBytes: Int, defs: Map[String, (String, Array[Byte])],
-    truncateFirst: Boolean) extends Write {
+    truncateFirst: Boolean, queryId: String) extends Write {
   override def toBatch: BatchWrite =
     new McapBatchWrite(path, ords, compression, chunkBytes, defs, truncateFirst)
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncateFirst,
+      "mcap streaming write supports the Append output mode only " +
+        "(a container directory cannot be truncated per epoch)")
+    new McapStreamingSinkWrite(path, ords, compression, chunkBytes, defs, queryId)
+  }
+}
+
+/** Streaming half of the mcap sink: `df.writeStream.format("mcap")` —
+  * the continuous re-emit (fleet stream in → transform → playable
+  * container archive out). One file per (epoch, partition), named
+  * `part-<p>-q<queryId8>-e<epoch>.mcap` — DETERMINISTIC, so a replayed
+  * epoch (failure before the checkpoint's commit log recorded it)
+  * regenerates the same names and the task commit's delete+rename
+  * replaces rather than duplicates: the directory holds each epoch's
+  * rows exactly once. Empty epochs/partitions leave no file. Epoch
+  * abort deletes that epoch's committed files.
+  */
+class McapStreamingSinkWrite(dir: String, ords: McapWriteOrdinals,
+    compression: String, chunkBytes: Int,
+    defs: Map[String, (String, Array[Byte])], queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  locally {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    if (!fs.exists(p)) { fs.mkdirs(p); () }
+  }
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    McapStreamWriterFactory(dir, queryId.take(8), ords, compression,
+      chunkBytes, defs)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    messages.foreach {
+      case McapFileCommit(p, _) if p != null =>
+        fs.delete(new Path(p), false); ()
+      case _ => ()
+    }
+  }
+}
+
+private[mcap] final case class McapStreamWriterFactory(dir: String, qid: String,
+    ords: McapWriteOrdinals, compression: String, chunkBytes: Int,
+    defs: Map[String, (String, Array[Byte])])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new McapDataWriter(dir, f"part-$partitionId%05d-q$qid-e$epochId", ords,
+      compression, chunkBytes, defs, partitionId)
 }
 
 private[mcap] final case class McapFileCommit(path: String, rows: Long)
@@ -297,19 +348,24 @@ private[mcap] final case class McapWriterFactory(dir: String, jobId: String,
     ords: McapWriteOrdinals, compression: String, chunkBytes: Int,
     defs: Map[String, (String, Array[Byte])]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new McapDataWriter(dir, jobId, partitionId, taskId, ords, compression,
-      chunkBytes, defs)
+    new McapDataWriter(dir, f"part-$partitionId%05d-$taskId-$jobId", ords,
+      compression, chunkBytes, defs, partitionId)
 }
 
-class McapDataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
+/** One task's file: `<stem>.mcap`, written to a dotted in-progress
+  * name, promoted by delete+rename on task commit. Batch stems carry
+  * (partition, task, job) and never collide; streaming stems carry
+  * (partition, query, epoch) DELIBERATELY — an epoch replay replaces
+  * its previous attempt's file instead of duplicating it.
+  */
+class McapDataWriter(dir: String, stem: String,
     ords: McapWriteOrdinals, compression: String, chunkBytes: Int,
-    defs: Map[String, (String, Array[Byte])]) extends DataWriter[InternalRow] {
+    defs: Map[String, (String, Array[Byte])], partitionId: Int)
+    extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
-  private val finalPath =
-    new Path(dir, f"part-$partitionId%05d-$taskId-$jobId.mcap")
-  private val tmpPath =
-    new Path(dir, f".part-$partitionId%05d-$taskId-$jobId.mcap.inprogress")
+  private val finalPath = new Path(dir, s"$stem.mcap")
+  private val tmpPath = new Path(dir, s".$stem.mcap.inprogress")
 
   // lazy: an empty partition leaves no file (fleet exports repartition
   // by key — empty shards are routine, zero-row containers are debris)
@@ -347,6 +403,10 @@ class McapDataWriter(dir: String, jobId: String, partitionId: Int, taskId: Long,
     if (writer == null) return McapFileCommit(null, 0L)
     writer.finish()
     stream.close()
+    // a streaming epoch replay re-commits the same deterministic name;
+    // replace the previous attempt's file (commit coordination
+    // guarantees one live committer per (partition, epoch))
+    if (fs.exists(finalPath)) fs.delete(finalPath, false)
     require(fs.rename(tmpPath, finalPath),
       s"mcap write: rename $tmpPath -> $finalPath failed")
     McapFileCommit(finalPath.toString, writer.rowCount)

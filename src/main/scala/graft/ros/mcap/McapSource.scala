@@ -115,7 +115,8 @@ class McapTable(path: String, schemaName: Option[String] = None,
   }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new McapScanBuilder(path, schema(), target, includeRaw)
   override def newWriteBuilder(info: LogicalWriteInfo)

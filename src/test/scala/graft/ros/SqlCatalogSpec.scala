@@ -109,6 +109,29 @@ class SqlCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("INSERT INTO / INSERT OVERWRITE a container SQL table: the write half through plain SQL") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sqlins").toString + "/export"
+    spark.sql(s"CREATE TABLE fleet_ins USING mcap OPTIONS (path '$out')")
+    try {
+      graft.ros.mcap.McapExport.prepare(
+        spark.range(8).toDF("id"),
+        topic = concat(lit("/t"), col("id") % 2),
+        logTimeNs = col("id") * lit(1000L) + lit(1700000000000000000L),
+        data = encode(concat(lit("p-"), col("id")), "UTF-8"),
+        schemaName = lit("graft/T")).createOrReplaceTempView("ins_src")
+      spark.sql("INSERT INTO fleet_ins SELECT * FROM ins_src")
+      assert(spark.sql("SELECT count(*) AS n FROM fleet_ins").head().getLong(0) === 8L)
+      // append accumulates
+      spark.sql("INSERT INTO fleet_ins SELECT * FROM ins_src WHERE topic = '/t0'")
+      assert(spark.sql("SELECT count(*) AS n FROM fleet_ins").head().getLong(0) === 12L)
+      // overwrite truncates to the new rows only
+      spark.sql("INSERT OVERWRITE fleet_ins SELECT * FROM ins_src WHERE topic = '/t1'")
+      assert(spark.sql("SELECT topic, count(*) AS n FROM fleet_ins GROUP BY topic")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        === Map("/t1" -> 4L))
+    } finally spark.sql("DROP TABLE fleet_ins")
+  }
+
   test("typed SQL table: schema_name option decodes payload columns through SQL") {
     // the fixture is pre-Humble-shaped (no message_definitions table),
     // so the definition arrives through the SQL OPTIONS passthrough
