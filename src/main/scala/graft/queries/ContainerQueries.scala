@@ -393,16 +393,29 @@ object ContainerQueries {
     if (!done.exists()) {
       val stage = new java.io.File(tmpRoot,
         name + ".stage-" + java.util.UUID.randomUUID().toString.take(8))
-      build(stage)
-      new java.io.File(stage, "_built").createNewFile()
-      // a crashed pre-publish attempt can leave a markerless final dir
-      if (dir.exists() && !done.exists())
-        org.apache.commons.io.FileUtils.deleteDirectory(dir)
-      if (!stage.renameTo(dir)) {
-        // another process published first; ours is redundant
-        require(done.exists(), s"fixture publish failed: $dir")
-        org.apache.commons.io.FileUtils.deleteDirectory(stage)
-      }
+      try {
+        build(stage)
+        new java.io.File(stage, "_built").createNewFile()
+        if (!stage.renameTo(dir) && !done.exists()) {
+          // the name is occupied by a markerless crash leftover: move
+          // it ASIDE (an atomic whole-dir rename — if a valid fixture
+          // was published in this window it merely swaps for our
+          // byte-identical one, never a delete-under-a-reader), free
+          // the name, retry
+          val aside = new java.io.File(tmpRoot,
+            name + ".crashed-" + java.util.UUID.randomUUID().toString.take(8))
+          if (dir.renameTo(aside))
+            org.apache.commons.io.FileUtils.deleteQuietly(aside)
+          require(stage.renameTo(dir) || done.exists(),
+            s"fixture publish failed: $dir")
+        }
+      } finally
+        // covers the loser (another process won the rename) AND a
+        // build() failure — no stage debris accumulates in tmp
+        if (stage.exists()) {
+          org.apache.commons.io.FileUtils.deleteQuietly(stage)
+          ()
+        }
     }
     dir.getAbsolutePath
   }

@@ -156,7 +156,11 @@ final class BagStreamingWriter(local: java.io.File, compression: String,
       val ih = fields("op" -> Array(OpIndexData), "ver" -> le32(1),
         "conn" -> le32(connId), "count" -> le32(entries.size))
       val id = new ByteArrayOutputStream()
-      entries.foreach { case (s, ns, off) =>
+      // chronological, as rosbag's own writer emits them — python
+      // rosbag's bisect-based seeks assume each connection's index is
+      // time-sorted (frames arriving time-unsorted within a partition
+      // are legal input)
+      entries.sortBy(e => (e._1, e._2)).foreach { case (s, ns, off) =>
         id.write(time(s, ns)); id.write(le32(off))
       }
       emitRecord(ih, id.toByteArray)
@@ -266,11 +270,19 @@ class BagStreamingSinkWrite(dir: String, ords: BagWriteOrdinals,
     val fs = p.getFileSystem(RosbagIO.hadoopConf())
     if (!fs.exists(p)) { fs.mkdirs(p); () }
   }
+  private val qid = queryId.take(8)
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    BagStreamWriterFactory(dir, queryId.take(8), ords, compression,
-      chunkBytes, defs)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    BagStreamWriterFactory(dir, qid, ords, compression, chunkBytes, defs)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    // reconcile: a replay with fewer partitions than the crashed
+    // attempt must not leave the extra per-partition files behind
+    graft.ros.ContainerStreamReconcile.sweep(
+      new Path(dir).getFileSystem(RosbagIO.hadoopConf()), dir,
+      ("part-\\d{5}-q" + java.util.regex.Pattern.quote(qid) +
+        "-e" + epochId + "\\.bag").r,
+      messages.collect { case BagFileCommit(p, _) if p != null =>
+        new Path(p).getName }.toSet)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(RosbagIO.hadoopConf())
     messages.foreach {
@@ -288,7 +300,7 @@ private[bag] final case class BagStreamWriterFactory(dir: String, qid: String,
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new BagDataWriter(dir, f"part-$partitionId%05d-q$qid-e$epochId", ords,
-      compression, chunkBytes, defs, partitionId)
+      compression, chunkBytes, defs, partitionId, attemptTag = s"-t$taskId")
 }
 
 private[bag] final case class BagFileCommit(path: String, rows: Long)
@@ -348,12 +360,16 @@ private[bag] final case class BagWriterFactory(dir: String, jobId: String,
   */
 class BagDataWriter(dir: String, stem: String,
     ords: BagWriteOrdinals, compression: String, chunkBytes: Int,
-    defs: Map[String, (String, String)], partitionId: Int)
+    defs: Map[String, (String, String)], partitionId: Int,
+    attemptTag: String = "")
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(RosbagIO.hadoopConf())
   private val finalPath = new Path(dir, s"$stem.bag")
-  private val tmpPath = new Path(dir, s".$stem.bag.inprogress")
+  // the tmp name carries the attempt tag: two live attempts of the
+  // same (partition, epoch) — speculation, a zombie executor — must
+  // never interleave writes into one in-progress file
+  private val tmpPath = new Path(dir, s".$stem$attemptTag.bag.inprogress")
 
   // built on local scratch (header back-patch needs a seekable file),
   // uploaded on commit; lazy so an empty partition leaves no file

@@ -111,15 +111,44 @@ class Db3StreamingSinkWrite(dir: String, ords: Db3WriteOrdinals,
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     Db3StreamWriterFactory(dir, queryId.take(8), ords, rowsPerFile,
       fileBytes, defs)
+  private val qid = queryId.take(8)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
     val commits = messages.collect { case c: Db3FilesCommit => c }
+    // reconcile: a replay that rolled FEWER files (or ran with fewer
+    // partitions) than the crashed attempt must not leave the extras
+    // behind as duplicates — delete this (query, epoch)'s files that
+    // this commit did not produce. Runs BEFORE the ledger skip so a
+    // replayed already-merged epoch still reconciles.
+    val committed = commits.flatMap(_.paths).map(p => new Path(p).getName).toSet
+    val pat = ("part-\\d{5}-q" + java.util.regex.Pattern.quote(qid) +
+      "-e" + epochId + "-\\d{4}\\.db3").r
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && pat.matches(s.getPath.getName) &&
+        !committed.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, false))
     Db3BatchWrite.mergeMetadata(fs, dir, commits, truncate = false,
-      epoch = Some(epochId))
+      epoch = Some((qid, epochId)))
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
-    messages.foreach {
+    // a replay of an already-MERGED epoch re-commits the same names
+    // over identical bytes — aborting such a replay must not delete
+    // them (they are the committed epoch's current data)
+    val merged = {
+      val metaPath = new Path(dir, "metadata.yaml")
+      fs.exists(metaPath) && {
+        val in = fs.open(metaPath)
+        val text =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        scala.util.Try(Db3BagMetadata.parseWithEpochs(text)._3)
+          .getOrElse(Map.empty[String, Long])
+          .get(queryId.take(8)).exists(_ >= epochId)
+      }
+    }
+    if (!merged) messages.foreach {
       case c: Db3FilesCommit => c.paths.foreach(p => fs.delete(new Path(p), false))
       case _ => ()
     }
@@ -133,7 +162,7 @@ private[db3] final case class Db3StreamWriterFactory(dir: String, qid: String,
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new Db3DataWriter(dir, f"part-$partitionId%05d-q$qid-e$epochId", ords,
-      rowsPerFile, fileBytes, defs, partitionId)
+      rowsPerFile, fileBytes, defs, partitionId, attemptTag = s"-t$taskId")
 }
 
 private[db3] final case class Db3FilesCommit(paths: Seq[String], rows: Long,
@@ -173,7 +202,8 @@ private[db3] object Db3BagMetadata {
     sb.result()
   }
 
-  def render(relPaths: Seq[String], st: Stats, epochs: Seq[Long] = Nil): String = {
+  def render(relPaths: Seq[String], st: Stats,
+      ledger: Map[String, Long] = Map.empty): String = {
     val total = st.counts.valuesIterator.sum
     val start = if (total == 0L) 0L else st.minTs
     val dur = if (total == 0L) 0L else st.maxTs - st.minTs
@@ -205,13 +235,16 @@ private[db3] object Db3BagMetadata {
     }
     sb ++= "  compression_format: \"\"\n"
     sb ++= "  compression_mode: \"\"\n"
-    // streaming-sink ledger: epochs whose stats are already merged — a
-    // YAML comment, invisible to rosbag2's parser, so a replayed epoch
-    // (sink committed, checkpoint commit-log write crashed) cannot
-    // double-count. Kept in THIS file so ledger and stats publish
-    // atomically together.
-    if (epochs.nonEmpty)
-      sb ++= s"# graft_epochs: ${epochs.sorted.mkString(",")}\n"
+    // streaming-sink ledger: per QUERY id, the max epoch whose stats
+    // are already merged — a YAML comment, invisible to rosbag2's
+    // parser, so a replayed epoch (sink committed, checkpoint
+    // commit-log write crashed) cannot double-count. Epoch ids are
+    // monotone per query, so the max is sufficient AND the ledger
+    // stays O(#queries), not O(#epochs). Kept in THIS file so ledger
+    // and stats publish together.
+    if (ledger.nonEmpty)
+      sb ++= s"# graft_epochs: ${ledger.toSeq.sorted
+        .map { case (q, e) => s"$q:$e" }.mkString(",")}\n"
     sb.result()
   }
 
@@ -222,7 +255,7 @@ private[db3] object Db3BagMetadata {
     val (p, s, _) = parseWithEpochs(text); (p, s)
   }
 
-  def parseWithEpochs(text: String): (Seq[String], Stats, Seq[Long]) = {
+  def parseWithEpochs(text: String): (Seq[String], Stats, Map[String, Long]) = {
     val Quoted = """"(.*)"""".r
     def unq(raw: String): String = raw.trim match {
       case Quoted(inner) => unescape(inner)
@@ -262,46 +295,69 @@ private[db3] object Db3BagMetadata {
     val st =
       if (total == 0L) Empty
       else Stats(counts.toMap, start, start + dur)
-    val epochs = lines.find(_.startsWith("# graft_epochs:"))
+    val ledger = lines.find(_.startsWith("# graft_epochs:"))
       .map(_.stripPrefix("# graft_epochs:").trim.split(",").toSeq
-        .filter(_.nonEmpty).map(_.toLong))
-      .getOrElse(Seq.empty)
-    (paths, st, epochs)
+        .filter(_.nonEmpty).map { tok =>
+          val i = tok.lastIndexOf(':')
+          tok.take(i) -> tok.drop(i + 1).toLong
+        }.toMap)
+      .getOrElse(Map.empty[String, Long])
+    (paths, st, ledger)
   }
 }
 
 object Db3BatchWrite {
   /** metadata.yaml — the handle rosbag2 tooling opens the directory
-    * through; derived from the tasks' commit-message stats (no file
+    * through; stats come from the tasks' commit-message stats (no file
     * re-scan), merged with the previous graft-written metadata on
-    * append (`truncate` resets). `epoch` (streaming): an id already in
-    * the yaml's ledger means this is a replay of a committed epoch —
-    * its stats are already counted, skip.
+    * append (`truncate` resets); `relative_file_paths` is re-derived
+    * from the ACTUAL directory listing every commit (self-healing
+    * against replaced replay files). `epoch` (streaming): a
+    * (queryId, epochId) at or below the ledger's max for that query is
+    * a replay of a committed epoch — its stats are already counted,
+    * skip the merge. The yaml publishes via a `.next` sidecar +
+    * delete/rename, so a crash mid-rewrite never leaves a truncated
+    * file (the read path recovers from `.next` when the rename itself
+    * was the casualty). Concurrency contract: one metadata-writing JOB
+    * per directory at a time (data files tolerate concurrent jobs via
+    * unique names; the yaml read-modify-write does not).
     */
   private[db3] def mergeMetadata(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, commits: Seq[Db3FilesCommit], truncate: Boolean,
-      epoch: Option[Long]): Unit = {
+      epoch: Option[(String, Long)]): Unit = {
     val metaPath = new Path(dir, "metadata.yaml")
-    val (prevPaths, prevStats, prevEpochs) =
-      if (!truncate && fs.exists(metaPath)) {
-        val in = fs.open(metaPath)
-        val text =
-          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        Db3BagMetadata.parseWithEpochs(text)
-      } else (Seq.empty[String], Db3BagMetadata.Empty, Seq.empty[Long])
-    if (epoch.exists(prevEpochs.contains)) return
+    val nextPath = new Path(dir, ".metadata.yaml.next")
+    def readText(p: Path): String = {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val (_, prevStats, prevLedger) =
+      if (truncate) (Seq.empty[String], Db3BagMetadata.Empty, Map.empty[String, Long])
+      else if (fs.exists(metaPath)) Db3BagMetadata.parseWithEpochs(readText(metaPath))
+      else if (fs.exists(nextPath))
+        // a crash landed between "delete metadata.yaml" and "rename
+        // .next into place": .next IS the complete committed state
+        Db3BagMetadata.parseWithEpochs(readText(nextPath))
+      else (Seq.empty[String], Db3BagMetadata.Empty, Map.empty[String, Long])
+    if (epoch.exists { case (q, e) => prevLedger.get(q).exists(_ >= e) }) return
     val jobStats = commits.foldLeft(Db3BagMetadata.Empty) { (acc, c) =>
       Db3BagMetadata.merge(acc,
         Db3BagMetadata.Stats(c.topicCounts.toMap, c.minTs, c.maxTs))
     }
-    val jobPaths = commits.flatMap(_.paths).map(p => new Path(p).getName)
-    val yaml = Db3BagMetadata.render((prevPaths ++ jobPaths).distinct,
-      Db3BagMetadata.merge(prevStats, jobStats), prevEpochs ++ epoch.toSeq)
-    val out = fs.create(metaPath, true)
+    val dirPaths = fs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && Db3IO.isDb3(s.getPath.getName))
+      .map(_.getPath.getName)
+    val ledger = epoch.fold(prevLedger) { case (q, e) => prevLedger + (q -> e) }
+    val yaml = Db3BagMetadata.render(dirPaths,
+      Db3BagMetadata.merge(prevStats, jobStats), ledger)
+    val out = fs.create(nextPath, true)
     try out.write(yaml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(metaPath)) fs.delete(metaPath, false)
+    require(fs.rename(nextPath, metaPath),
+      s"db3 write: metadata.yaml publish failed in $dir")
   }
 }
 
@@ -361,7 +417,8 @@ private[db3] final case class Db3WriterFactory(dir: String, jobId: String,
   */
 class Db3DataWriter(dir: String, stem: String,
     ords: Db3WriteOrdinals, rowsPerFile: Int, fileBytes: Long,
-    defs: Map[String, (String, String)], partitionId: Int)
+    defs: Map[String, (String, String)], partitionId: Int,
+    attemptTag: String = "")
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
@@ -433,7 +490,11 @@ class Db3DataWriter(dir: String, stem: String,
         defRows)) else Seq.empty)
     val bytes = SqliteFormat.writeDb(tables)
     val fin = new Path(dir, f"$stem-$fileSeq%04d.db3")
-    val tmp = new Path(dir, f".$stem-$fileSeq%04d.db3.inprogress")
+    // the tmp name carries the attempt tag: two live attempts of the
+    // same (partition, epoch) — speculation, a zombie executor — must
+    // never interleave writes into one in-progress file (final names
+    // stay deterministic; only the commit-coordinated winner renames)
+    val tmp = new Path(dir, f".$stem-$fileSeq%04d$attemptTag%s.db3.inprogress")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     rolled += ((tmp, fin))
@@ -442,21 +503,27 @@ class Db3DataWriter(dir: String, stem: String,
     batchBytes = 0L
   }
 
+  // fins renamed by THIS attempt — abort may clean these up, but never
+  // a fin this attempt didn't touch (under streaming's deterministic
+  // names, that fin is a PREVIOUS attempt's committed epoch file)
+  private val renamed = scala.collection.mutable.ArrayBuffer[Path]()
+
   override def commit(): WriterCommitMessage = {
     flushFile()
     rolled.foreach { case (tmp, fin) =>
       // streaming epoch replays re-commit the same deterministic names
       if (fs.exists(fin)) fs.delete(fin, false)
       require(fs.rename(tmp, fin), s"db3 write: rename $tmp -> $fin failed")
+      renamed += fin
     }
     Db3FilesCommit(rolled.map(_._2.toString).toSeq, total,
       topicStats.toSeq, tsMin, tsMax)
   }
 
-  override def abort(): Unit =
-    rolled.foreach { case (tmp, fin) =>
-      fs.delete(tmp, false); fs.delete(fin, false); ()
-    }
+  override def abort(): Unit = {
+    rolled.foreach { case (tmp, _) => fs.delete(tmp, false); () }
+    renamed.foreach(fin => fs.delete(fin, false))
+  }
 
   override def close(): Unit = ()
 }

@@ -274,11 +274,20 @@ class McapStreamingSinkWrite(dir: String, ords: McapWriteOrdinals,
     val fs = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     if (!fs.exists(p)) { fs.mkdirs(p); () }
   }
+  private val qid = queryId.take(8)
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    McapStreamWriterFactory(dir, queryId.take(8), ords, compression,
-      chunkBytes, defs)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    McapStreamWriterFactory(dir, qid, ords, compression, chunkBytes, defs)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    // reconcile: a replay with fewer partitions than the crashed
+    // attempt must not leave the extra per-partition files behind as
+    // duplicates — delete this (query, epoch)'s files not re-committed
+    graft.ros.ContainerStreamReconcile.sweep(
+      new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()), dir,
+      ("part-\\d{5}-q" + java.util.regex.Pattern.quote(qid) +
+        "-e" + epochId + "\\.mcap").r,
+      messages.collect { case McapFileCommit(p, _) if p != null =>
+        new Path(p).getName }.toSet)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     messages.foreach {
@@ -296,7 +305,7 @@ private[mcap] final case class McapStreamWriterFactory(dir: String, qid: String,
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new McapDataWriter(dir, f"part-$partitionId%05d-q$qid-e$epochId", ords,
-      compression, chunkBytes, defs, partitionId)
+      compression, chunkBytes, defs, partitionId, attemptTag = s"-t$taskId")
 }
 
 private[mcap] final case class McapFileCommit(path: String, rows: Long)
@@ -360,12 +369,16 @@ private[mcap] final case class McapWriterFactory(dir: String, jobId: String,
   */
 class McapDataWriter(dir: String, stem: String,
     ords: McapWriteOrdinals, compression: String, chunkBytes: Int,
-    defs: Map[String, (String, Array[Byte])], partitionId: Int)
+    defs: Map[String, (String, Array[Byte])], partitionId: Int,
+    attemptTag: String = "")
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
   private val finalPath = new Path(dir, s"$stem.mcap")
-  private val tmpPath = new Path(dir, s".$stem.mcap.inprogress")
+  // the tmp name carries the attempt tag: two live attempts of the
+  // same (partition, epoch) — speculation, a zombie executor — must
+  // never interleave writes into one in-progress file
+  private val tmpPath = new Path(dir, s".$stem$attemptTag.mcap.inprogress")
 
   // lazy: an empty partition leaves no file (fleet exports repartition
   // by key — empty shards are routine, zero-row containers are debris)

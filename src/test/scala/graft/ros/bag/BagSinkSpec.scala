@@ -167,6 +167,34 @@ class BagSinkSpec extends SparkTestBase {
     } finally in.close()
   }
 
+  test("IndexData entries are time-sorted even when rows arrive out of order") {
+    val local = java.io.File.createTempFile("bag_idx_sort", ".bag")
+    val w = new BagStreamingWriter(local, "none", 1 << 20)
+    // one chunk, deliberately unsorted receipt times
+    Seq(105, 101, 103, 102).foreach(s =>
+      w.write("/t", "x/Y", s, 0, Array[Byte](1)))
+    w.finish()
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(local)))
+    try {
+      in.skipBytes(Magic.length)
+      var times: Seq[Int] = Nil
+      var rec = readRecord(in)
+      while (rec.isDefined) {
+        val r = rec.get
+        if (r.op == OpIndexData) {
+          val n = r.u32("count")
+          times = (0 until n).map { i =>
+            java.nio.ByteBuffer.wrap(r.data, i * 12, 4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+          }
+        }
+        rec = readRecord(in)
+      }
+      assert(times === Seq(101, 102, 103, 105))
+    } finally { in.close(); local.delete(); () }
+  }
+
   test("conn_defs_from embeds definitions: the export decodes under the typed reader") {
     val src = sourceDir(8)
     val out = Files.createTempDirectory("bag_sink_typed").toString + "/export"

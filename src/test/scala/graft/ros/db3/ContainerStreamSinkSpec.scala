@@ -92,22 +92,38 @@ class ContainerStreamSinkSpec extends SparkTestBase {
     val yaml = new String(Files.readAllBytes(
       new java.io.File(out, "metadata.yaml").toPath),
       java.nio.charset.StandardCharsets.UTF_8)
-    val (paths, st, epochs) = Db3BagMetadata.parseWithEpochs(yaml)
+    val (paths, st, ledger) = Db3BagMetadata.parseWithEpochs(yaml)
     assert(st.counts.values.sum === 10L)
     assert(st.counts(("/t0", "graft/T", "cdr")) === 5L)
-    assert(epochs.size === 2, s"two merged epochs expected, got $epochs")
+    // ledger: one query, max merged epoch >= 1 (two epochs ran)
+    assert(ledger.size === 1 && ledger.values.head >= 1L,
+      s"per-query max-epoch ledger expected, got $ledger")
     assert(paths.toSet === names(out, ".db3").toSet)
-    // a replayed epoch commit merges nothing: counts stay exact
+    // a replayed epoch commit (id <= the ledger max) merges nothing:
+    // counts stay exact
     val fsys = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(Db3IO.hadoopConf())
+    val (qid, maxE) = ledger.head
     Db3BatchWrite.mergeMetadata(fsys, out,
       Seq(Db3FilesCommit(Seq.empty, 5L,
         Seq((("/t0", "graft/T", "cdr"), 5L)), baseNs, baseNs)),
-      truncate = false, epoch = Some(epochs.head))
+      truncate = false, epoch = Some((qid, maxE)))
     val (_, st2, _) = Db3BagMetadata.parseWithEpochs(
       new String(Files.readAllBytes(
         new java.io.File(out, "metadata.yaml").toPath),
         java.nio.charset.StandardCharsets.UTF_8))
     assert(st2.counts === st.counts, "replayed epoch must not double-count")
+    // a DIFFERENT query's epoch 0 is NOT a replay: its stats merge
+    Db3BatchWrite.mergeMetadata(fsys, out,
+      Seq(Db3FilesCommit(Seq.empty, 2L,
+        Seq((("/t0", "graft/T", "cdr"), 2L)), baseNs, baseNs)),
+      truncate = false, epoch = Some(("otherqid", 0L)))
+    val (_, st3, ledger3) = Db3BagMetadata.parseWithEpochs(
+      new String(Files.readAllBytes(
+        new java.io.File(out, "metadata.yaml").toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+    assert(st3.counts(("/t0", "graft/T", "cdr")) === 7L,
+      "another query's epoch 0 must merge, not be mistaken for a replay")
+    assert(ledger3 === ledger + ("otherqid" -> 0L))
   }
 }
