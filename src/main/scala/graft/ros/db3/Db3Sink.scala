@@ -69,8 +69,21 @@ class Db3WriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
       .getOrElse(64L * 1024 * 1024)
     val defs = Option(opts.get("schema_defs_from"))
       .map(Db3SinkWrite.harvestDefs).getOrElse(Map.empty)
+    // rosbag2's own compression axes (--compression-format zstd,
+    // --compression-mode file|message); the read side already inflates
+    // both modes transparently
+    val cfmt = Option(opts.get("compression_format")).getOrElse("none")
+    val cmode = Option(opts.get("compression_mode")).getOrElse("file")
+    val compression = (cfmt, cmode) match {
+      case ("none", _) => "none"
+      case ("zstd", "file") => "zstd_file"
+      case ("zstd", "message") => "zstd_message"
+      case (f0, m0) => throw new IllegalArgumentException(
+        s"db3 write: unsupported compression_format '$f0' / compression_mode " +
+          s"'$m0' (supported: none; zstd with file|message)")
+    }
     new Db3WriteImpl(path, ords, rowsPerFile, fileBytes, defs, truncateFirst,
-      info.queryId())
+      info.queryId(), compression)
   }
 }
 
@@ -79,14 +92,17 @@ private[db3] final case class Db3WriteOrdinals(topic: Int, tpe: Int, fmt: Int,
 
 class Db3WriteImpl(path: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
     fileBytes: Long, defs: Map[String, (String, String)],
-    truncateFirst: Boolean, queryId: String) extends Write {
+    truncateFirst: Boolean, queryId: String,
+    compression: String = "none") extends Write {
   override def toBatch: BatchWrite =
-    new Db3BatchWrite(path, ords, rowsPerFile, fileBytes, defs, truncateFirst)
+    new Db3BatchWrite(path, ords, rowsPerFile, fileBytes, defs, truncateFirst,
+      compression)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!truncateFirst,
       "db3 streaming write supports the Append output mode only " +
         "(a container directory cannot be truncated per epoch)")
-    new Db3StreamingSinkWrite(path, ords, rowsPerFile, fileBytes, defs, queryId)
+    new Db3StreamingSinkWrite(path, ords, rowsPerFile, fileBytes, defs, queryId,
+      compression)
   }
 }
 
@@ -100,7 +116,7 @@ class Db3WriteImpl(path: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
   */
 class Db3StreamingSinkWrite(dir: String, ords: Db3WriteOrdinals,
     rowsPerFile: Int, fileBytes: Long, defs: Map[String, (String, String)],
-    queryId: String)
+    queryId: String, compression: String = "none")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   locally {
     val p = new Path(dir)
@@ -110,7 +126,7 @@ class Db3StreamingSinkWrite(dir: String, ords: Db3WriteOrdinals,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     Db3StreamWriterFactory(dir, queryId.take(8), ords, rowsPerFile,
-      fileBytes, defs)
+      fileBytes, defs, compression)
   private val qid = queryId.take(8)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
@@ -122,13 +138,13 @@ class Db3StreamingSinkWrite(dir: String, ords: Db3WriteOrdinals,
     // replayed already-merged epoch still reconciles.
     val committed = commits.flatMap(_.paths).map(p => new Path(p).getName).toSet
     val pat = ("part-\\d{5}-q" + java.util.regex.Pattern.quote(qid) +
-      "-e" + epochId + "-\\d{4}\\.db3").r
+      "-e" + epochId + "-\\d{4}\\.db3(\\.zstd)?").r
     fs.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && pat.matches(s.getPath.getName) &&
         !committed.contains(s.getPath.getName))
       .foreach(s => fs.delete(s.getPath, false))
     Db3BatchWrite.mergeMetadata(fs, dir, commits, truncate = false,
-      epoch = Some((qid, epochId)))
+      epoch = Some((qid, epochId)), compression = compression)
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
@@ -157,12 +173,13 @@ class Db3StreamingSinkWrite(dir: String, ords: Db3WriteOrdinals,
 
 private[db3] final case class Db3StreamWriterFactory(dir: String, qid: String,
     ords: Db3WriteOrdinals, rowsPerFile: Int, fileBytes: Long,
-    defs: Map[String, (String, String)])
+    defs: Map[String, (String, String)], compression: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new Db3DataWriter(dir, f"part-$partitionId%05d-q$qid-e$epochId", ords,
-      rowsPerFile, fileBytes, defs, partitionId, attemptTag = s"-t$taskId")
+      rowsPerFile, fileBytes, defs, partitionId, attemptTag = s"-t$taskId",
+      compression = compression)
 }
 
 private[db3] final case class Db3FilesCommit(paths: Seq[String], rows: Long,
@@ -203,7 +220,13 @@ private[db3] object Db3BagMetadata {
   }
 
   def render(relPaths: Seq[String], st: Stats,
-      ledger: Map[String, Long] = Map.empty): String = {
+      ledger: Map[String, Long] = Map.empty,
+      compression: String = "none"): String = {
+    val (cfmt, cmode) = compression match {
+      case "zstd_file" => ("zstd", "FILE")
+      case "zstd_message" => ("zstd", "MESSAGE")
+      case _ => ("", "")
+    }
     val total = st.counts.valuesIterator.sum
     val start = if (total == 0L) 0L else st.minTs
     val dur = if (total == 0L) 0L else st.maxTs - st.minTs
@@ -233,8 +256,8 @@ private[db3] object Db3BagMetadata {
         sb ++= s"      message_count: $n\n"
       }
     }
-    sb ++= "  compression_format: \"\"\n"
-    sb ++= "  compression_mode: \"\"\n"
+    sb ++= s"  compression_format: ${q(cfmt)}\n"
+    sb ++= s"  compression_mode: ${q(cmode)}\n"
     // streaming-sink ledger: per QUERY id, the max epoch whose stats
     // are already merged — a YAML comment, invisible to rosbag2's
     // parser, so a replayed epoch (sink committed, checkpoint
@@ -324,7 +347,7 @@ object Db3BatchWrite {
     */
   private[db3] def mergeMetadata(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, commits: Seq[Db3FilesCommit], truncate: Boolean,
-      epoch: Option[(String, Long)]): Unit = {
+      epoch: Option[(String, Long)], compression: String = "none"): Unit = {
     val metaPath = new Path(dir, "metadata.yaml")
     val nextPath = new Path(dir, ".metadata.yaml.next")
     def readText(p: Path): String = {
@@ -351,7 +374,7 @@ object Db3BatchWrite {
       .map(_.getPath.getName)
     val ledger = epoch.fold(prevLedger) { case (q, e) => prevLedger + (q -> e) }
     val yaml = Db3BagMetadata.render(dirPaths,
-      Db3BagMetadata.merge(prevStats, jobStats), ledger)
+      Db3BagMetadata.merge(prevStats, jobStats), ledger, compression)
     val out = fs.create(nextPath, true)
     try out.write(yaml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -363,7 +386,7 @@ object Db3BatchWrite {
 
 class Db3BatchWrite(dir: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
     fileBytes: Long, defs: Map[String, (String, String)],
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean, compression: String = "none") extends BatchWrite {
 
   private val jobId = java.util.UUID.randomUUID().toString.take(8)
 
@@ -381,7 +404,7 @@ class Db3BatchWrite(dir: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    Db3WriterFactory(dir, jobId, ords, rowsPerFile, fileBytes, defs)
+    Db3WriterFactory(dir, jobId, ords, rowsPerFile, fileBytes, defs, compression)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
@@ -390,7 +413,7 @@ class Db3BatchWrite(dir: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
     }
     Db3BatchWrite.mergeMetadata(fs, dir,
       messages.collect { case c: Db3FilesCommit => c }.toSeq,
-      truncate = truncateFirst, epoch = None)
+      truncate = truncateFirst, epoch = None, compression = compression)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -404,10 +427,11 @@ class Db3BatchWrite(dir: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
 
 private[db3] final case class Db3WriterFactory(dir: String, jobId: String,
     ords: Db3WriteOrdinals, rowsPerFile: Int, fileBytes: Long,
-    defs: Map[String, (String, String)]) extends DataWriterFactory {
+    defs: Map[String, (String, String)], compression: String)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new Db3DataWriter(dir, f"part-$partitionId%05d-$taskId-$jobId", ords,
-      rowsPerFile, fileBytes, defs, partitionId)
+      rowsPerFile, fileBytes, defs, partitionId, compression = compression)
 }
 
 /** One task's rolled files: `<stem>-<n>.db3`. Batch stems carry
@@ -418,7 +442,7 @@ private[db3] final case class Db3WriterFactory(dir: String, jobId: String,
 class Db3DataWriter(dir: String, stem: String,
     ords: Db3WriteOrdinals, rowsPerFile: Int, fileBytes: Long,
     defs: Map[String, (String, String)], partitionId: Int,
-    attemptTag: String = "")
+    attemptTag: String = "", compression: String = "none")
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
@@ -472,7 +496,12 @@ class Db3DataWriter(dir: String, stem: String,
       Seq[Any](null, t, tp, f, "")
     }.toSeq
     val msgRows = batch.map { case (t, tp, f, ts, d) =>
-      Seq[Any](null, topicIds((t, tp, f)), ts, d)
+      // message mode: each payload its own zstd frame (rosbag2
+      // --compression-mode message); the reader sniffs per-message
+      val payload =
+        if (compression == "zstd_message") com.github.luben.zstd.Zstd.compress(d)
+        else d
+      Seq[Any](null, topicIds((t, tp, f)), ts, payload)
     }.toSeq
     val defRows = topicIds.keys.map(_._2).toSeq.distinct
       .flatMap(tp => defs.get(tp).map { case (enc, text) =>
@@ -488,13 +517,20 @@ class Db3DataWriter(dir: String, stem: String,
       (if (defRows.nonEmpty) Seq(("message_definitions",
         "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY, topic_type TEXT, encoding TEXT, encoded_message_definition TEXT, type_hash TEXT)",
         defRows)) else Seq.empty)
-    val bytes = SqliteFormat.writeDb(tables)
-    val fin = new Path(dir, f"$stem-$fileSeq%04d.db3")
+    val raw = SqliteFormat.writeDb(tables)
+    // file mode: the whole database as one zstd frame, rosbag2's
+    // <name>.db3.zstd convention — the read side inflates it once per
+    // plan and pages the inflation
+    val (bytes, ext) =
+      if (compression == "zstd_file")
+        (com.github.luben.zstd.Zstd.compress(raw), ".db3.zstd")
+      else (raw, ".db3")
+    val fin = new Path(dir, f"$stem-$fileSeq%04d$ext%s")
     // the tmp name carries the attempt tag: two live attempts of the
     // same (partition, epoch) — speculation, a zombie executor — must
     // never interleave writes into one in-progress file (final names
     // stay deterministic; only the commit-coordinated winner renames)
-    val tmp = new Path(dir, f".$stem-$fileSeq%04d$attemptTag%s.db3.inprogress")
+    val tmp = new Path(dir, f".$stem-$fileSeq%04d$attemptTag%s$ext%s.inprogress")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     rolled += ((tmp, fin))

@@ -138,6 +138,43 @@ class Db3SinkSpec extends SparkTestBase {
     assert(st3.counts === Map(("/log", strName, "cdr") -> 6L))
   }
 
+  test("compression_format zstd: file and message modes round-trip through the reader") {
+    val src = sourceDir(12)
+    val df = spark.read.format("db3").load(src)
+
+    // FILE mode: rosbag2's <name>.db3.zstd — whole db as one frame
+    val outF = Files.createTempDirectory("db3_sink_zf").toString + "/export"
+    df.coalesce(1).write.format("db3").mode("append")
+      .option("compression_format", "zstd").option("compression_mode", "file")
+      .option("rows_per_file", "5").save(outF)
+    val filesF = new java.io.File(outF).listFiles()
+      .filter(f => !f.getName.startsWith(".") && f.getName != "metadata.yaml")
+    assert(filesF.nonEmpty && filesF.forall(_.getName.endsWith(".db3.zstd")),
+      filesF.map(_.getName).toSeq.toString)
+    val backF = spark.read.format("db3").load(outF)
+    assert(backF.count() === 12)
+    val a = df.select(spineCols.map(col): _*)
+    val bF = backF.select(spineCols.map(col): _*)
+    assert(a.exceptAll(bF).isEmpty && bF.exceptAll(a).isEmpty)
+    val yamlF = new String(Files.readAllBytes(
+      new java.io.File(outF, "metadata.yaml").toPath), "UTF-8")
+    assert(yamlF.contains("compression_format: \"zstd\"")
+      && yamlF.contains("compression_mode: \"FILE\""), yamlF)
+
+    // MESSAGE mode: each payload its own zstd frame, sniffed at read
+    val outM = Files.createTempDirectory("db3_sink_zm").toString + "/export"
+    df.coalesce(1).write.format("db3").mode("append")
+      .option("compression_format", "zstd").option("compression_mode", "message")
+      .save(outM)
+    val backM = spark.read.format("db3").load(outM)
+    val bM = backM.select(spineCols.map(col): _*)
+    assert(a.exceptAll(bM).isEmpty && bM.exceptAll(a).isEmpty,
+      "message-mode payloads must inflate transparently at read")
+    val yamlM = new String(Files.readAllBytes(
+      new java.io.File(outM, "metadata.yaml").toPath), "UTF-8")
+    assert(yamlM.contains("compression_mode: \"MESSAGE\""), yamlM)
+  }
+
   test("Db3Export.prepare conforms an arbitrary frame; events round-trip as db3") {
     val dir = "/root/testdata/sf0.001"
     val ev = spark.read.parquet(s"$dir/events.parquet")
