@@ -262,7 +262,10 @@ object BagFormat {
         if (compression == "bz2")
           new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(raw)
         else
-          new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorInputStream(raw)
+          // roslz4 is the standard LZ4 frame format; lz4-java's JNI
+          // decoder reads it ~an order of magnitude faster than
+          // commons-compress's pure-Java one (measured in SinkBench)
+          new net.jpountz.lz4.LZ4FrameInputStream(raw)
       try {
         val out = new Array[Byte](uncompressedSize)
         var off = 0
@@ -289,8 +292,13 @@ object BagFormat {
         val cs = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos)
         cs.write(body); cs.close(); bos.toByteArray
       case "lz4" =>
+        // lz4-java (JNI): the commons-compress pure-Java frame encoder
+        // cost 10x the whole write at sink scale (100k messages: 4.35 s
+        // vs 0.42 s with this codec, 0.25 s uncompressed — SinkBench);
+        // the wire format is the same standard LZ4 frame roslz4 speaks
+        // (interop spec pins both directions)
         val bos = new ByteArrayOutputStream()
-        val cs = new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream(bos)
+        val cs = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
         cs.write(body); cs.close(); bos.toByteArray
       case other => throw new IllegalArgumentException(s"unsupported compression '$other'")
     }

@@ -195,6 +195,26 @@ class BagSinkSpec extends SparkTestBase {
     } finally { in.close(); local.delete(); () }
   }
 
+  test("lz4 chunks interop across frame implementations (roslz4 = standard LZ4 frame)") {
+    // the codec moved to lz4-java (JNI) for speed; the wire format must
+    // stay the standard LZ4 frame that roslz4 and commons-compress
+    // speak — cross-decode both directions to pin it
+    val body = Array.tabulate[Byte](50000)(i => (i * 31 % 251).toByte)
+    val ours = BagFormat.compressChunk("lz4", body)
+    val ccIn = new org.apache.commons.compress.compressors.lz4
+      .FramedLZ4CompressorInputStream(new java.io.ByteArrayInputStream(ours))
+    val viaCc = org.apache.commons.io.IOUtils.toByteArray(ccIn)
+    assert(java.util.Arrays.equals(viaCc, body),
+      "commons-compress must decode lz4-java frames")
+    val ccOut = new java.io.ByteArrayOutputStream()
+    val cs = new org.apache.commons.compress.compressors.lz4
+      .FramedLZ4CompressorOutputStream(ccOut)
+    cs.write(body); cs.close()
+    val back = BagFormat.decompressChunk("lz4", ccOut.toByteArray, body.length)
+    assert(java.util.Arrays.equals(back, body),
+      "our reader must decode commons-compress (roslz4-equivalent) frames")
+  }
+
   test("conn_defs_from embeds definitions: the export decodes under the typed reader") {
     val src = sourceDir(8)
     val out = Files.createTempDirectory("bag_sink_typed").toString + "/export"
