@@ -69,41 +69,82 @@ object SinkBench {
       ("db3_zstd_file", "db3",
         Map("compression_format" -> "zstd", "compression_mode" -> "file")))
 
+    // BYTE-bound axis: the events payloads average ~9 bytes, so the
+    // rows above measure per-message overhead. Real robotics payloads
+    // are KB-scale — a second group exports 25k rows of deterministic
+    // 4 KiB payloads (~100 MB) so the MB/s figure reflects the encode
+    // path, not record framing.
+    val fat = spark.read.parquet(s"$dir/events.parquet")
+      .orderBy(col("event_id")).limit(25000)
+      .select(col("event_id"),
+        (unix_micros(col("ts").cast("timestamp")) * lit(1000L)).as("ts_ns"),
+        col("event_type"),
+        encode(repeat(md5(col("event_id").cast("string")), 128), "UTF-8")
+          .as("payload"))
+      .persist()
+    val fatRows = fat.count()
+    val fatMb = fat.agg(sum(length(col("payload")))).head().getLong(0) / 1e6
+
+    val preparedFat: Map[String, DataFrame] = Map(
+      "mcap" -> graft.ros.mcap.McapExport.prepare(fat,
+        topic = concat(lit("/"), col("event_type")),
+        logTimeNs = col("ts_ns"), data = col("payload"),
+        schemaName = lit("graft/Props"), sequence = col("event_id")),
+      "rosbag" -> graft.ros.bag.BagExport.prepare(fat,
+        topic = concat(lit("/"), col("event_type")),
+        timeNs = col("ts_ns"), data = col("payload"),
+        datatype = lit("graft/Props")),
+      "db3" -> graft.ros.db3.Db3Export.prepare(fat,
+        topic = concat(lit("/"), col("event_type")),
+        timestampNs = col("ts_ns"), data = col("payload"),
+        tpe = lit("graft/Props")))
+
+    val fatVariants: Seq[(String, String, Map[String, String])] = Seq(
+      ("mcap_zstd_fat", "mcap", Map.empty),
+      ("rosbag_lz4_fat", "rosbag", Map.empty),
+      ("db3_plain_fat", "db3", Map.empty))
+
     val parts = cpus.toInt
     val root = java.nio.file.Files.createTempDirectory("graft_sink_bench")
     def cleanup(p: java.io.File): Unit = {
       org.apache.commons.io.FileUtils.deleteQuietly(p); ()
     }
 
-    val results = variants.map { case (label, fmt, opts) =>
-      val writes = (0 until 3).map { i =>
-        val out = new java.io.File(root.toFile, s"$label-$i")
-        val s = timed {
-          val w = prepared(fmt).repartition(parts)
-            .write.format(fmt).mode("append")
-          opts.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
-            .save(out.getAbsolutePath)
+    def measure(group: Map[String, DataFrame], nRows: Long,
+        vs: Seq[(String, String, Map[String, String])]) =
+      vs.map { case (label, fmt, opts) =>
+        val writes = (0 until 3).map { i =>
+          val out = new java.io.File(root.toFile, s"$label-$i")
+          val s = timed {
+            val w = group(fmt).repartition(parts)
+              .write.format(fmt).mode("append")
+            opts.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
+              .save(out.getAbsolutePath)
+          }
+          (s, out)
         }
-        (s, out)
+        val med = Bench.median(writes.map(_._1))
+        // read-back: the sink's own output serves the grouped "info"
+        // aggregate (metadata-agg pushdown where the format supports it)
+        val readBack = timed {
+          val n = spark.read.format(fmt).load(writes.last._2.getAbsolutePath)
+            .groupBy("topic").count().collect().map(_.getLong(1)).sum
+          require(n == nRows, s"$label read-back: $n != $nRows")
+        }
+        writes.foreach(w => cleanup(w._2))
+        (label, med, readBack)
       }
-      val med = Bench.median(writes.map(_._1))
-      // read-back: the sink's own output serves the grouped "info"
-      // aggregate (metadata-agg pushdown where the format supports it)
-      val readBack = timed {
-        val n = spark.read.format(fmt).load(writes.last._2.getAbsolutePath)
-          .groupBy("topic").count().collect().map(_.getLong(1)).sum
-        require(n == rows, s"$label read-back: $n != $rows")
-      }
-      writes.foreach(w => cleanup(w._2))
-      (label, med, readBack)
-    }
+
+    val results = measure(prepared, rows, variants)
+    val fatResults = measure(preparedFat, fatRows, fatVariants)
     cleanup(root.toFile)
 
-    val detail = results.map { case (label, w, r) =>
-      f""""$label":{"write_sec":${math.rint(w * 1e6) / 1e6}%s,"rows_per_sec":${math.rint(rows / w).toLong}%s,"mb_per_sec":${math.rint(mb / w * 10) / 10}%s,"readback_sec":${math.rint(r * 1e6) / 1e6}%s}"""
-    }.mkString(",")
+    def detailOf(rs: Seq[(String, Double, Double)], nRows: Long, nMb: Double) =
+      rs.map { case (label, w, r) =>
+        f""""$label":{"write_sec":${math.rint(w * 1e6) / 1e6}%s,"rows_per_sec":${math.rint(nRows / w).toLong}%s,"mb_per_sec":${math.rint(nMb / w * 10) / 10}%s,"readback_sec":${math.rint(r * 1e6) / 1e6}%s}"""
+      }.mkString(",")
     val line =
-      s"""{"metric":"sink_throughput","unit":"sec","sf_dir":"$dir","rows":$rows,"payload_mb":${math.rint(mb * 10) / 10},"cpus":$cpus,"runs":3,$detail,"loadavg":{"before":$loadBefore,"after":${Bench.loadavg()}}}"""
+      s"""{"metric":"sink_throughput","unit":"sec","sf_dir":"$dir","rows":$rows,"payload_mb":${math.rint(mb * 10) / 10},"fat_rows":$fatRows,"fat_payload_mb":${math.rint(fatMb * 10) / 10},"cpus":$cpus,"runs":3,${detailOf(results, rows, mb)},${detailOf(fatResults, fatRows, fatMb)},"loadavg":{"before":$loadBefore,"after":${Bench.loadavg()}}}"""
     Bench.writeArtifact("BENCH_sink.json", Seq(line))
     println(line)
     spark.stop()
