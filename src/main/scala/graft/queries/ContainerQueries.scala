@@ -353,6 +353,25 @@ object ContainerQueries {
         .select(col("container"), col("topic"), col("cnt"), col("max_ts"),
           col("data_bytes"))
         .orderBy(col("container"), col("topic"))
+    }),
+
+    // Q88 — fleet-scale CONVERT, CHECKED: the q79 mixed directory
+    // (all three container formats) normalized into ONE mcap archive
+    // through `Convert.run` (MixedRead.spine → prepare → the mcap
+    // sink), read back, per-topic counts and ns timestamps against
+    // DuckDB on the raw parquet. The bag and db3 fixtures share topic
+    // names, so the convert MERGES them (2× the even/odd counts on
+    // /events_even|odd) while the mcap fixture's /events_pb|ros pass
+    // through — topic fidelity, cross-dialect merge, and each source's
+    // time-convention normalization all sit inside the equality.
+    "q88_convert_mixed" -> ((s, d) => {
+      val out = convertFixture(s, d)
+      s.read.format("mcap").load(out)
+        .groupBy(col("topic")).agg(
+          count(lit(1)).as("cnt"),
+          min(col("log_time")).as("min_ts_ns"),
+          max(col("log_time")).as("max_ts_ns"))
+        .orderBy(col("topic"))
     }))
 
   /** Sink-built fixture for q86: the same 1000-row slice EXPORTED as
@@ -448,6 +467,23 @@ object ContainerQueries {
           .save(new java.io.File(stage, "db3_export").getAbsolutePath)
       }
       (dir + "/bag_export", dir + "/db3_export")
+    }
+
+  /** q88's fixture: the q79 mixed directory converted to one mcap
+    * archive through the public API. Cache key derives from the mixed
+    * dir's path (itself salted by every component fixture's path —
+    * the q79 lesson), so a component layout change rebuilds this too.
+    */
+  private def convertFixture(s: SparkSession, d: String): String =
+    synchronized {
+      val mixed = mixedFixture(s, d)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(mixed.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      publishStaged("graft_container_convertv1_" + key) { stage =>
+        graft.ros.Convert.run(s, mixed,
+          new java.io.File(stage, "export").getAbsolutePath,
+          "mcap", partitions = 2)
+      } + "/export"
     }
 
   /** db3 twin of [[fixture]]: the same 1000-row slice written as a
@@ -701,5 +737,23 @@ object ContainerQueries {
         |       max_us * 1000 AS max_ts, data_bytes FROM g
         |UNION ALL
         |SELECT 'rosbag', topic, cnt, max_us // 1000000, data_bytes FROM g
-        |ORDER BY container, topic""".stripMargin)
+        |ORDER BY container, topic""".stripMargin,
+    "q88_convert_mixed" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |  FROM events ORDER BY event_id LIMIT 1000),
+        |e AS (
+        |  SELECT COUNT(*) AS cnt, MIN(epoch_us(ts)) * 1000 AS mn,
+        |         MAX(epoch_us(ts)) * 1000 AS mx
+        |  FROM ev WHERE event_id % 2 = 0),
+        |o AS (
+        |  SELECT COUNT(*) AS cnt, MIN(epoch_us(ts)) * 1000 AS mn,
+        |         MAX(epoch_us(ts)) * 1000 AS mx
+        |  FROM ev WHERE event_id % 2 <> 0)
+        |SELECT '/events_even' AS topic, 2 * e.cnt AS cnt,
+        |       e.mn AS min_ts_ns, e.mx AS max_ts_ns FROM e
+        |UNION ALL SELECT '/events_odd', 2 * o.cnt, o.mn, o.mx FROM o
+        |UNION ALL SELECT '/events_pb', e.cnt, e.mn, e.mx FROM e
+        |UNION ALL SELECT '/events_ros', o.cnt, o.mn, o.mx FROM o
+        |ORDER BY topic""".stripMargin)
 }
