@@ -46,19 +46,20 @@ object SinkBench {
     val bytes = ev.agg(sum(length(col("payload")))).head().getLong(0)
     val mb = bytes / 1e6
 
-    val prepared: Map[String, DataFrame] = Map(
-      "mcap" -> graft.ros.mcap.McapExport.prepare(ev,
+    def prepareAll(df: DataFrame): Map[String, DataFrame] = Map(
+      "mcap" -> graft.ros.mcap.McapExport.prepare(df,
         topic = concat(lit("/"), col("event_type")),
         logTimeNs = col("ts_ns"), data = col("payload"),
         schemaName = lit("graft/Props"), sequence = col("event_id")),
-      "rosbag" -> graft.ros.bag.BagExport.prepare(ev,
+      "rosbag" -> graft.ros.bag.BagExport.prepare(df,
         topic = concat(lit("/"), col("event_type")),
         timeNs = col("ts_ns"), data = col("payload"),
         datatype = lit("graft/Props")),
-      "db3" -> graft.ros.db3.Db3Export.prepare(ev,
+      "db3" -> graft.ros.db3.Db3Export.prepare(df,
         topic = concat(lit("/"), col("event_type")),
         timestampNs = col("ts_ns"), data = col("payload"),
         tpe = lit("graft/Props")))
+    val prepared = prepareAll(ev)
 
     // variants: (label, format, extra write options)
     val variants: Seq[(String, String, Map[String, String])] = Seq(
@@ -85,19 +86,7 @@ object SinkBench {
     val fatRows = fat.count()
     val fatMb = fat.agg(sum(length(col("payload")))).head().getLong(0) / 1e6
 
-    val preparedFat: Map[String, DataFrame] = Map(
-      "mcap" -> graft.ros.mcap.McapExport.prepare(fat,
-        topic = concat(lit("/"), col("event_type")),
-        logTimeNs = col("ts_ns"), data = col("payload"),
-        schemaName = lit("graft/Props"), sequence = col("event_id")),
-      "rosbag" -> graft.ros.bag.BagExport.prepare(fat,
-        topic = concat(lit("/"), col("event_type")),
-        timeNs = col("ts_ns"), data = col("payload"),
-        datatype = lit("graft/Props")),
-      "db3" -> graft.ros.db3.Db3Export.prepare(fat,
-        topic = concat(lit("/"), col("event_type")),
-        timestampNs = col("ts_ns"), data = col("payload"),
-        tpe = lit("graft/Props")))
+    val preparedFat = prepareAll(fat)
 
     val fatVariants: Seq[(String, String, Map[String, String])] = Seq(
       ("mcap_zstd_fat", "mcap", Map.empty),

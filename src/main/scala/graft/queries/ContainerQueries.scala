@@ -70,10 +70,12 @@ object ContainerQueries {
     // content changes for the same testdata (e.g. q77's move to
     // ros2idl definitions), or stale cached containers leak into the
     // oracle gate
-    val sig = s"v2:$d:${ev.length}:${ev.lastModified}"
+    md5Key(s"v2:$d:${ev.length}:${ev.lastModified}")
+  }
+
+  private def md5Key(sig: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-  }
 
   /** Build (once per sf-dir content) the two-channel MCAP fixture and
     * return its path. A done-marker + rename makes concurrent/crashed
@@ -477,9 +479,8 @@ object ContainerQueries {
   private def convertFixture(s: SparkSession, d: String): String =
     synchronized {
       val mixed = mixedFixture(s, d)
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(mixed.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-      publishStaged("graft_container_convertv1_" + key) { stage =>
+      val key = md5Key(mixed)
+      publishStaged("graft_container_convertv2_" + key) { stage =>
         graft.ros.Convert.run(s, mixed,
           new java.io.File(stage, "export").getAbsolutePath,
           "mcap", partitions = 2)
@@ -587,9 +588,7 @@ object ContainerQueries {
     */
   private def mixedFixture(s: SparkSession, d: String): String = synchronized {
     val srcs = Seq(fixture(s, d), db3Fixture(s, d), bagFixture(s, d))
-    val mixedKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(srcs.mkString("|").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
+    val mixedKey = md5Key(srcs.mkString("|"))
     val dir = new java.io.File(
       sys.props("java.io.tmpdir"), "graft_container_mixed_" + mixedKey)
     dir.mkdirs()

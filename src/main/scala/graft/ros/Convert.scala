@@ -27,19 +27,29 @@ import org.apache.spark.sql.functions._
   * when typed re-reads of the output are needed.
   */
 object Convert {
-  /** Conform a mixed-spine frame to `format`'s write spine. */
+  /** Conform a mixed-spine frame to `format`'s write spine. The
+    * spine's `encoding` column (each source dialect's wire
+    * serialization — "cdr", "protobuf", "ros1") labels the target's
+    * channels so typed consumers dispatch correctly; rosbag1 has no
+    * per-connection encoding field (everything is ros1 serialization
+    * there — converting CDR payloads INTO a .bag produces a container
+    * only spine-level consumers can decode, which `run` leaves to the
+    * caller's judgment).
+    */
   def prepare(df: DataFrame, format: String): DataFrame = {
     def c(n: String): Column = col(n)
+    val enc: Column =
+      if (df.columns.contains("encoding")) c("encoding") else lit("cdr")
     format match {
       case "mcap" => mcap.McapExport.prepare(df,
         topic = c("topic"), logTimeNs = c("timestamp"), data = c("data"),
-        schemaName = c("type"))
+        schemaName = c("type"), messageEncoding = enc)
       case "rosbag" => bag.BagExport.prepare(df,
         topic = c("topic"), timeNs = c("timestamp"), data = c("data"),
         datatype = c("type"))
       case "db3" => db3.Db3Export.prepare(df,
         topic = c("topic"), timestampNs = c("timestamp"), data = c("data"),
-        tpe = c("type"))
+        tpe = c("type"), serializationFormat = enc)
       case other => throw new IllegalArgumentException(
         s"unknown target container format '$other' (mcap | rosbag | db3)")
     }

@@ -90,17 +90,20 @@ object MixedRead {
     val bag = spark.readStream.format("rosbag").load(path)
       .select(col("bag_path").as("file_path"),
         lit("rosbag").as("container"), col("topic"),
-        col("datatype").as("type"),
+        col("datatype").as("type"), lit("ros1").as("encoding"),
         (col("time_sec").cast("long") * lit(1000000000L) +
           col("time_nsec").cast("long")).as("timestamp"),
         col("size"), col("data"))
     val mcap = spark.readStream.format("mcap").load(path)
       .select(col("file_path"), lit("mcap").as("container"), col("topic"),
-        col("schema_name").as("type"), col("log_time").as("timestamp"),
+        col("schema_name").as("type"),
+        col("message_encoding").as("encoding"),
+        col("log_time").as("timestamp"),
         col("size"), col("data"))
     val db3 = spark.readStream.format("db3").load(path)
       .select(col("file_path"), lit("db3").as("container"), col("topic"),
-        col("type"), col("timestamp"), col("size"), col("data"))
+        col("type"), col("serialization_format").as("encoding"),
+        col("timestamp"), col("size"), col("data"))
     bag.unionByName(mcap).unionByName(db3)
   }
 
@@ -115,6 +118,8 @@ object MixedRead {
           .select(col("bag_path").as("file_path"),
             lit("rosbag").as("container"), col("topic"),
             col("datatype").as("type"),
+            // rosbag1 has exactly one wire serialization
+            lit("ros1").as("encoding"),
             (col("time_sec").cast("long") * lit(1000000000L) +
               col("time_nsec").cast("long")).as("timestamp"),
             col("size"), col("data"))
@@ -122,13 +127,16 @@ object MixedRead {
         spark.read.format("mcap")
           .option("files", graft.ros.mcap.McapDataSource.filesSpec(files)).load()
           .select(col("file_path"), lit("mcap").as("container"), col("topic"),
-            col("schema_name").as("type"), col("log_time").as("timestamp"),
+            col("schema_name").as("type"),
+            col("message_encoding").as("encoding"),
+            col("log_time").as("timestamp"),
             col("size"), col("data"))
       case ("db3", files) =>
         spark.read.format("db3")
           .option("files", graft.ros.db3.Db3DataSource.filesSpec(files)).load()
           .select(col("file_path"), lit("db3").as("container"), col("topic"),
-            col("type"), col("timestamp"), col("size"), col("data"))
+            col("type"), col("serialization_format").as("encoding"),
+            col("timestamp"), col("size"), col("data"))
       case (other, _) => throw new IllegalStateException(s"unreachable: $other")
     }
     branches.reduce(_ unionByName _)

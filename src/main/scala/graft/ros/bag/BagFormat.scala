@@ -20,9 +20,12 @@ import java.nio.charset.StandardCharsets
   * bz2 chunks are plain bzip2 streams (commons-compress, already on
   * Spark's classpath); its lz4 chunks are written by roslz4, which
   * emits the standard LZ4 Frame format (magic 0x184D2204 — the same
-  * framing the `lz4` CLI reads), so commons-compress's FramedLZ4
-  * decoder reads them. Unknown compressions still fail loudly, not
-  * wrongly.
+  * framing the `lz4` CLI reads). lz4 goes through lz4-java's JNI
+  * streams (10x the pure-Java codec, measured in SinkBench), with a
+  * commons-compress fallback for block-LINKED frames a foreign
+  * re-compressor may emit (lz4-java refuses those; roslz4 always
+  * writes independent blocks). Unknown compressions still fail
+  * loudly, not wrongly.
   */
 object BagFormat {
   val Magic = "#ROSBAG V2.0\n"
@@ -261,11 +264,18 @@ object BagFormat {
       val in: InputStream =
         if (compression == "bz2")
           new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(raw)
-        else
+        else {
           // roslz4 is the standard LZ4 frame format; lz4-java's JNI
           // decoder reads it ~an order of magnitude faster than
-          // commons-compress's pure-Java one (measured in SinkBench)
-          new net.jpountz.lz4.LZ4FrameInputStream(raw)
+          // commons-compress's pure-Java one (measured in SinkBench).
+          // lz4-java refuses block-LINKED frames (FLG bit 5 clear —
+          // roslz4 always writes independent blocks, but a foreign
+          // re-compressor like `lz4 -BD` may not); sniff the FLG byte
+          // and keep the pure-Java decoder for that rare shape.
+          val independent = data.length > 4 && (data(4) & 0x20) != 0
+          if (independent) new net.jpountz.lz4.LZ4FrameInputStream(raw)
+          else new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorInputStream(raw)
+        }
       try {
         val out = new Array[Byte](uncompressedSize)
         var off = 0

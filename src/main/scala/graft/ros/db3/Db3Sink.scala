@@ -72,15 +72,19 @@ class Db3WriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
     // rosbag2's own compression axes (--compression-format zstd,
     // --compression-mode file|message); the read side already inflates
     // both modes transparently
-    val cfmt = Option(opts.get("compression_format")).getOrElse("none")
-    val cmode = Option(opts.get("compression_mode")).getOrElse("file")
-    val compression = (cfmt, cmode) match {
-      case ("none", _) => "none"
-      case ("zstd", "file") => "zstd_file"
-      case ("zstd", "message") => "zstd_message"
+    val cfmtOpt = Option(opts.get("compression_format"))
+    val cmodeOpt = Option(opts.get("compression_mode"))
+    val compression = (cfmtOpt.getOrElse("none"), cmodeOpt) match {
+      case ("none", Some(m)) => throw new IllegalArgumentException(
+        s"db3 write: compression_mode '$m' without compression_format " +
+          "(rosbag2 rejects mode-without-format too; the write would " +
+          "silently be uncompressed)")
+      case ("none", None) => "none"
+      case ("zstd", None | Some("file")) => "zstd_file"
+      case ("zstd", Some("message")) => "zstd_message"
       case (f0, m0) => throw new IllegalArgumentException(
         s"db3 write: unsupported compression_format '$f0' / compression_mode " +
-          s"'$m0' (supported: none; zstd with file|message)")
+          s"'${m0.getOrElse("")}' (supported: none; zstd with file|message)")
     }
     new Db3WriteImpl(path, ords, rowsPerFile, fileBytes, defs, truncateFirst,
       info.queryId(), compression)
@@ -136,13 +140,10 @@ class Db3StreamingSinkWrite(dir: String, ords: Db3WriteOrdinals,
     // behind as duplicates — delete this (query, epoch)'s files that
     // this commit did not produce. Runs BEFORE the ledger skip so a
     // replayed already-merged epoch still reconciles.
-    val committed = commits.flatMap(_.paths).map(p => new Path(p).getName).toSet
-    val pat = ("part-\\d{5}-q" + java.util.regex.Pattern.quote(qid) +
-      "-e" + epochId + "-\\d{4}\\.db3(\\.zstd)?").r
-    fs.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && pat.matches(s.getPath.getName) &&
-        !committed.contains(s.getPath.getName))
-      .foreach(s => fs.delete(s.getPath, false))
+    graft.ros.ContainerStreamReconcile.sweep(fs, dir,
+      ("part-\\d{5}-q" + java.util.regex.Pattern.quote(qid) +
+        "-e" + epochId + "-\\d{4}\\.db3(\\.zstd)?").r,
+      commits.flatMap(_.paths).map(p => new Path(p).getName).toSet)
     Db3BatchWrite.mergeMetadata(fs, dir, commits, truncate = false,
       epoch = Some((qid, epochId)), compression = compression)
   }
@@ -278,6 +279,17 @@ private[db3] object Db3BagMetadata {
     val (p, s, _) = parseWithEpochs(text); (p, s)
   }
 
+  /** The (compression_format, compression_mode) a previous emission
+    * recorded — the append-mismatch guard's input.
+    */
+  def compressionOf(text: String): (String, String) = {
+    def field(prefix: String): String =
+      text.linesIterator.find(_.startsWith(prefix))
+        .map(l => l.stripPrefix(prefix).trim.stripPrefix("\"").stripSuffix("\""))
+        .getOrElse("")
+    (field("  compression_format:"), field("  compression_mode:"))
+  }
+
   def parseWithEpochs(text: String): (Seq[String], Stats, Map[String, Long]) = {
     val Quoted = """"(.*)"""".r
     def unq(raw: String): String = raw.trim match {
@@ -356,14 +368,34 @@ object Db3BatchWrite {
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     }
-    val (_, prevStats, prevLedger) =
-      if (truncate) (Seq.empty[String], Db3BagMetadata.Empty, Map.empty[String, Long])
-      else if (fs.exists(metaPath)) Db3BagMetadata.parseWithEpochs(readText(metaPath))
+    val prevText: Option[String] =
+      if (truncate) None
+      else if (fs.exists(metaPath)) Some(readText(metaPath))
       else if (fs.exists(nextPath))
         // a crash landed between "delete metadata.yaml" and "rename
         // .next into place": .next IS the complete committed state
-        Db3BagMetadata.parseWithEpochs(readText(nextPath))
-      else (Seq.empty[String], Db3BagMetadata.Empty, Map.empty[String, Long])
+        Some(readText(nextPath))
+      else None
+    val (prevPaths, prevStats, prevLedger) =
+      prevText.map(Db3BagMetadata.parseWithEpochs).getOrElse(
+        (Seq.empty[String], Db3BagMetadata.Empty, Map.empty[String, Long]))
+    // a rosbag2 bag dir has ONE compression (metadata v4 records a
+    // single format/mode pair for every listed file) — an append with
+    // a different setting would mislabel one generation or the other
+    // for ros2 tooling; refuse loudly
+    val jobComp = compression match {
+      case "zstd_file" => ("zstd", "FILE")
+      case "zstd_message" => ("zstd", "MESSAGE")
+      case _ => ("", "")
+    }
+    prevText.foreach { t =>
+      val prevComp = Db3BagMetadata.compressionOf(t)
+      require(prevPaths.isEmpty || prevComp == jobComp,
+        s"db3 write: directory already holds a generation with " +
+          s"compression_format='${prevComp._1}' mode='${prevComp._2}', this " +
+          s"job writes '${jobComp._1}'/'${jobComp._2}' — a rosbag2 bag dir " +
+          "has one compression; use mode('overwrite') or a new directory")
+    }
     if (epoch.exists { case (q, e) => prevLedger.get(q).exists(_ >= e) }) return
     val jobStats = commits.foldLeft(Db3BagMetadata.Empty) { (acc, c) =>
       Db3BagMetadata.merge(acc,

@@ -56,6 +56,13 @@ class ConvertSpec extends SparkTestBase {
       col("log_time").as("timestamp"), col("data"))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "payloads, topics, types and ns timestamps must survive the convert")
+    // each source dialect's wire encoding labels the output channels —
+    // a typed consumer dispatches on it (cdr payloads from mcap/db3,
+    // ros1 from the bag)
+    val encs = back.select(col("topic"), col("message_encoding"))
+      .distinct().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(encs === Map("/bag_topic" -> "ros1", "/mcap_topic" -> "cdr",
+      "/db3_topic" -> "cdr"))
   }
 
   test("transform in the middle: filter + target rosbag's (sec, nsec) convention") {

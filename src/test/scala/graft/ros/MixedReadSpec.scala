@@ -55,7 +55,7 @@ class MixedReadSpec extends SparkTestBase {
   test("a mixed directory reads as one spine; counts, types and timestamps per container") {
     val df = MixedRead.spine(spark, mixedDir)
     assert(df.schema.fieldNames.toSeq === Seq("file_path", "container", "topic",
-      "type", "timestamp", "size", "data"))
+      "type", "encoding", "timestamp", "size", "data"))
     val byContainer = df.groupBy("container").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byContainer === Map("rosbag" -> 5L, "mcap" -> 4L, "db3" -> 3L))

@@ -175,6 +175,33 @@ class Db3SinkSpec extends SparkTestBase {
     assert(yamlM.contains("compression_mode: \"MESSAGE\""), yamlM)
   }
 
+  test("compression guards: mode-without-format and mixed-compression appends fail loudly") {
+    val src = sourceDir(6)
+    val df = spark.read.format("db3").load(src)
+    // rosbag2 rejects --compression-mode without --compression-format
+    val e1 = intercept[Exception] {
+      df.write.format("db3").mode("append")
+        .option("compression_mode", "message")
+        .save(Files.createTempDirectory("db3_g1").toString + "/export")
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("compression_mode"))
+    // a bag dir has ONE compression: appending a different setting
+    // would mislabel one generation in metadata.yaml
+    val out = Files.createTempDirectory("db3_g2").toString + "/export"
+    df.write.format("db3").mode("append")
+      .option("compression_format", "zstd").option("compression_mode", "file")
+      .save(out)
+    val e2 = intercept[Exception] {
+      df.write.format("db3").mode("append").save(out)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Seq(Option(t.getMessage).getOrElse("")) ++ chain(t.getCause)
+    assert(chain(e2).exists(_.contains("one compression")), chain(e2).toString)
+    // overwrite resets the compression legitimately
+    df.write.format("db3").mode("overwrite").save(out)
+    assert(spark.read.format("db3").load(out).count() === 6)
+  }
+
   test("Db3Export.prepare conforms an arbitrary frame; events round-trip as db3") {
     val dir = "/root/testdata/sf0.001"
     val ev = spark.read.parquet(s"$dir/events.parquet")
