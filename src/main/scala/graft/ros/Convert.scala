@@ -72,4 +72,29 @@ object Convert {
       case (w, (k, v)) => w.option(k, v)
     }.save(outPath)
   }
+
+  /** The CONTINUOUS convert: a fleet-upload prefix receiving `.bag` +
+    * `.mcap` + `.db3` at any time ([[MixedRead.stream]]) normalizes
+    * into an ever-growing `format` archive through the streaming sink
+    * — exactly-once per the sinks' deterministic (query, epoch,
+    * partition) naming, resumable from `checkpoint`. Returns the
+    * started query; pass `Trigger.AvailableNow()` for a drain-and-stop
+    * catch-up run, or a processing-time trigger for a standing
+    * normalizer.
+    */
+  def runStream(spark: SparkSession, inPath: String, outPath: String,
+      format: String, checkpoint: String,
+      transform: DataFrame => DataFrame = identity,
+      options: Map[String, String] = Map.empty,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val prepared = prepare(transform(MixedRead.stream(spark, inPath)), format)
+    options.foldLeft(
+      prepared.writeStream.format(format)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append").trigger(trigger)) {
+      case (w, (k, v)) => w.option(k, v)
+    }.start(outPath)
+  }
 }

@@ -81,6 +81,33 @@ class ConvertSpec extends SparkTestBase {
     assert(back.agg(sum(length(col("data")))).head().getLong(0) === aBytes)
   }
 
+  test("runStream: files landing mid-stream normalize into one growing archive, exactly-once") {
+    val in = java.nio.file.Files.createTempDirectory("graft_convstream_in").toString
+    def land(name: String): Unit = {
+      java.nio.file.Files.copy(
+        new java.io.File(mixedDir, name).toPath,
+        new java.io.File(in, name).toPath)
+      ()
+    }
+    val o = out("stream")
+    val ck = java.nio.file.Files.createTempDirectory("graft_convstream_ck").toString
+    land("a.bag")
+    Convert.runStream(spark, in, o, "mcap", ck).awaitTermination(120000)
+    assert(spark.read.format("mcap").load(o).count() === 5)
+    // more fleet uploads arrive — all three formats now present
+    land("b.mcap"); land("c.db3")
+    Convert.runStream(spark, in, o, "mcap", ck).awaitTermination(120000)
+    val back = spark.read.format("mcap").load(o)
+    assert(back.count() === 12)
+    // the resumed stream re-planned nothing: the archive equals a
+    // batch convert of the full directory, no duplicates
+    val a = MixedRead.spine(spark, in)
+      .select(col("topic"), col("type"), col("timestamp"), col("data"))
+    val b = back.select(col("topic"), col("schema_name").as("type"),
+      col("log_time").as("timestamp"), col("data"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("-> db3: rolled sqlite files plus metadata.yaml (a rosbag2 bag dir)") {
     val o = out("db3")
     Convert.run(spark, mixedDir, o, "db3", partitions = 1,
