@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * under a shared normalized contract:
   *
   *   file_path, container ("rosbag"|"mcap"|"db3"), topic,
-  *   type, timestamp (ns since epoch), size, data
+  *   type, encoding ("cdr"|"protobuf"|...; "ros1" for rosbag1),
+  *   timestamp (ns since epoch), size, data
   *
   * Each container contributes through its own DSv2 source, so per-file
   * parallelism (chunks / b-tree subtrees), column pruning and filter

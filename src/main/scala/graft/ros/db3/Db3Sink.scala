@@ -126,6 +126,7 @@ class Db3StreamingSinkWrite(dir: String, ords: Db3WriteOrdinals,
     val p = new Path(dir)
     val fs = p.getFileSystem(Db3IO.hadoopConf())
     if (!fs.exists(p)) { fs.mkdirs(p); () }
+    Db3BatchWrite.preflightCompression(fs, dir, truncate = false, compression)
   }
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
@@ -220,14 +221,19 @@ private[db3] object Db3BagMetadata {
     sb.result()
   }
 
+  /** Internal compression mode -> metadata.yaml's (format, MODE) enum
+    * pair — one mapping for the renderer AND the append-mismatch guard.
+    */
+  def yamlComp(compression: String): (String, String) = compression match {
+    case "zstd_file" => ("zstd", "FILE")
+    case "zstd_message" => ("zstd", "MESSAGE")
+    case _ => ("", "")
+  }
+
   def render(relPaths: Seq[String], st: Stats,
       ledger: Map[String, Long] = Map.empty,
       compression: String = "none"): String = {
-    val (cfmt, cmode) = compression match {
-      case "zstd_file" => ("zstd", "FILE")
-      case "zstd_message" => ("zstd", "MESSAGE")
-      case _ => ("", "")
-    }
+    val (cfmt, cmode) = yamlComp(compression)
     val total = st.counts.valuesIterator.sum
     val start = if (total == 0L) 0L else st.minTs
     val dur = if (total == 0L) 0L else st.maxTs - st.minTs
@@ -342,6 +348,40 @@ private[db3] object Db3BagMetadata {
 }
 
 object Db3BatchWrite {
+  /** The append-mismatch guard (a rosbag2 bag dir records ONE
+    * format/mode pair for every listed file). Called EARLY — at write
+    * construction on the driver, before any task runs — and again at
+    * commit (cheap, covers a racing writer).
+    */
+  private[db3] def requireCompatibleCompression(prevYaml: String,
+      compression: String, prevHasFiles: Boolean): Unit = {
+    val jobComp = Db3BagMetadata.yamlComp(compression)
+    val prevComp = Db3BagMetadata.compressionOf(prevYaml)
+    require(!prevHasFiles || prevComp == jobComp,
+      s"db3 write: directory already holds a generation with " +
+        s"compression_format='${prevComp._1}' mode='${prevComp._2}', this " +
+        s"job writes '${jobComp._1}'/'${jobComp._2}' — a rosbag2 bag dir " +
+        "has one compression; use mode('overwrite') or a new directory")
+  }
+
+  /** Driver-side pre-flight for the guard above: fail BEFORE tasks
+    * launch, not after a multi-GB write lands and has to be aborted.
+    */
+  private[db3] def preflightCompression(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, truncate: Boolean, compression: String): Unit = {
+    if (truncate) return
+    val metaPath = new Path(dir, "metadata.yaml")
+    if (!fs.exists(metaPath)) return
+    val in = fs.open(metaPath)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val hasFiles = scala.util.Try(Db3BagMetadata.parse(text)._1.nonEmpty)
+      .getOrElse(false)
+    requireCompatibleCompression(text, compression, hasFiles)
+  }
+
   /** metadata.yaml — the handle rosbag2 tooling opens the directory
     * through; stats come from the tasks' commit-message stats (no file
     * re-scan), merged with the previous graft-written metadata on
@@ -383,19 +423,9 @@ object Db3BatchWrite {
     // single format/mode pair for every listed file) — an append with
     // a different setting would mislabel one generation or the other
     // for ros2 tooling; refuse loudly
-    val jobComp = compression match {
-      case "zstd_file" => ("zstd", "FILE")
-      case "zstd_message" => ("zstd", "MESSAGE")
-      case _ => ("", "")
-    }
-    prevText.foreach { t =>
-      val prevComp = Db3BagMetadata.compressionOf(t)
-      require(prevPaths.isEmpty || prevComp == jobComp,
-        s"db3 write: directory already holds a generation with " +
-          s"compression_format='${prevComp._1}' mode='${prevComp._2}', this " +
-          s"job writes '${jobComp._1}'/'${jobComp._2}' — a rosbag2 bag dir " +
-          "has one compression; use mode('overwrite') or a new directory")
-    }
+    prevText.foreach(t =>
+      Db3BatchWrite.requireCompatibleCompression(t, compression,
+        prevPaths.nonEmpty))
     if (epoch.exists { case (q, e) => prevLedger.get(q).exists(_ >= e) }) return
     val jobStats = commits.foldLeft(Db3BagMetadata.Empty) { (acc, c) =>
       Db3BagMetadata.merge(acc,
@@ -433,6 +463,12 @@ class Db3BatchWrite(dir: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
       if (!fs.exists(p)) { fs.mkdirs(p); () }
       Seq.empty
     }
+  }
+
+  locally {
+    Db3BatchWrite.preflightCompression(
+      new Path(dir).getFileSystem(Db3IO.hadoopConf()), dir, truncateFirst,
+      compression)
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =

@@ -92,11 +92,13 @@ class ConvertSpec extends SparkTestBase {
     val o = out("stream")
     val ck = java.nio.file.Files.createTempDirectory("graft_convstream_ck").toString
     land("a.bag")
-    Convert.runStream(spark, in, o, "mcap", ck).awaitTermination(120000)
+    assert(Convert.runStream(spark, in, o, "mcap", ck).awaitTermination(120000),
+      "first drain must terminate inside the timeout")
     assert(spark.read.format("mcap").load(o).count() === 5)
     // more fleet uploads arrive — all three formats now present
     land("b.mcap"); land("c.db3")
-    Convert.runStream(spark, in, o, "mcap", ck).awaitTermination(120000)
+    assert(Convert.runStream(spark, in, o, "mcap", ck).awaitTermination(120000),
+      "second drain must terminate inside the timeout")
     val back = spark.read.format("mcap").load(o)
     assert(back.count() === 12)
     // the resumed stream re-planned nothing: the archive equals a

@@ -213,6 +213,24 @@ class BagSinkSpec extends SparkTestBase {
     val back = BagFormat.decompressChunk("lz4", ccOut.toByteArray, body.length)
     assert(java.util.Arrays.equals(back, body),
       "our reader must decode commons-compress (roslz4-equivalent) frames")
+
+    // block-LINKED frames (FLG bit 5 clear — `lz4 -BD`-style foreign
+    // re-compressions; lz4-java refuses them) must route to the
+    // pure-Java fallback and still decode
+    val linkedOut = new java.io.ByteArrayOutputStream()
+    val lcs = new org.apache.commons.compress.compressors.lz4
+      .FramedLZ4CompressorOutputStream(linkedOut,
+        new org.apache.commons.compress.compressors.lz4
+          .FramedLZ4CompressorOutputStream.Parameters(
+            org.apache.commons.compress.compressors.lz4
+              .FramedLZ4CompressorOutputStream.BlockSize.K64,
+            true, false, true)) // content checksum, no block checksum, DEPENDENT
+    lcs.write(body); lcs.close()
+    val linked = linkedOut.toByteArray
+    assert((linked(4) & 0x20) === 0, "fixture must be a block-linked frame")
+    val backLinked = BagFormat.decompressChunk("lz4", linked, body.length)
+    assert(java.util.Arrays.equals(backLinked, body),
+      "block-linked frames must decode via the fallback path")
   }
 
   test("conn_defs_from embeds definitions: the export decodes under the typed reader") {
