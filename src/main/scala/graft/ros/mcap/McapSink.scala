@@ -97,6 +97,16 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
   private var chunk = new ByteArrayOutputStream()
   private var chunkMin = Long.MaxValue
   private var chunkMax = Long.MinValue
+  // per-channel (log_time, offset-in-uncompressed-chunk) entries for
+  // the MessageIndex (op 0x07) records after each chunk — the
+  // seek-within-chunk index external mcap readers use; bounded by one
+  // chunk's messages
+  private val chunkMsgIndex = scala.collection.mutable.LinkedHashMap[
+    Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+  // per flushed chunk: (channel -> MessageIndex record file offset,
+  // total MessageIndex bytes) for the ChunkIndex summary fields
+  private val msgIndexRefs =
+    scala.collection.mutable.ArrayBuffer[(Seq[(Int, Long)], Long)]()
 
   def write(topic: String, schemaName: String, schemaEncoding: String,
       messageEncoding: String, sequence: Long, logTime: Long,
@@ -130,7 +140,10 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
       chunk.write(channelRec(c))
       c
     })
+    val offsetInChunk = chunk.size().toLong
     chunk.write(messageRec(McapMessage(ch.id, sequence, logTime, publishTime, data)))
+    chunkMsgIndex.getOrElseUpdate(ch.id,
+      scala.collection.mutable.ArrayBuffer.empty) += ((logTime, offsetInChunk))
     chanCounts(ch.id) = chanCounts.getOrElse(ch.id, 0L) + 1L
     total += 1
     if (logTime < minT) minT = logTime
@@ -155,6 +168,24 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
     chunkRefs += ((McapChunkRef(pos, rec.length - 9, st, en, compression,
       raw.length, crc.getValue), rec.length.toLong, comp.length.toLong))
     emit(rec)
+    // MessageIndex (op 0x07) records directly after the chunk — one
+    // per channel, (log_time, uncompressed-chunk offset) entries in
+    // chronological order (frames arriving time-unsorted within a
+    // partition are legal input); ChunkIndex references them
+    val idxStart = pos
+    val offsets = chunkMsgIndex.toSeq.map { case (chanId, entries) =>
+      val mi = new ByteArrayOutputStream()
+      wLeShort(mi, chanId)
+      wLeInt(mi, entries.size * 16L)
+      entries.sortBy(e => (e._1, e._2)).foreach { case (t, off) =>
+        wLeLong(mi, t); wLeLong(mi, off)
+      }
+      val at = pos
+      emit(record(OpMessageIndex, mi.toByteArray))
+      chanId -> at
+    }
+    msgIndexRefs += ((offsets, pos - idxStart))
+    chunkMsgIndex.clear()
     chunk = new ByteArrayOutputStream()
     chunkMin = Long.MaxValue
     chunkMax = Long.MinValue
@@ -182,15 +213,19 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
     wLeInt(st, byChan.size * 10L)
     byChan.foreach { case (id, n) => wLeShort(st, id); wLeLong(st, n) }
     emit(record(OpStatistics, st.toByteArray))
-    chunkRefs.foreach { case (ref, recLen, compLen) =>
-      val p = new ByteArrayOutputStream()
-      wLeLong(p, ref.messageStartTime); wLeLong(p, ref.messageEndTime)
-      wLeLong(p, ref.fileOffset); wLeLong(p, recLen)
-      wLeInt(p, 0)  // empty message_index_offsets map
-      wLeLong(p, 0) // message_index_length
-      wStr(p, ref.compression)
-      wLeLong(p, compLen); wLeLong(p, ref.uncompressedSize)
-      emit(record(OpChunkIndex, p.toByteArray))
+    chunkRefs.zip(msgIndexRefs).foreach {
+      case ((ref, recLen, compLen), (idxOffsets, idxLen)) =>
+        val p = new ByteArrayOutputStream()
+        wLeLong(p, ref.messageStartTime); wLeLong(p, ref.messageEndTime)
+        wLeLong(p, ref.fileOffset); wLeLong(p, recLen)
+        wLeInt(p, idxOffsets.size * 10L) // message_index_offsets map
+        idxOffsets.foreach { case (chan, off) =>
+          wLeShort(p, chan); wLeLong(p, off)
+        }
+        wLeLong(p, idxLen) // message_index_length
+        wStr(p, ref.compression)
+        wLeLong(p, compLen); wLeLong(p, ref.uncompressedSize)
+        emit(record(OpChunkIndex, p.toByteArray))
     }
     val f = new ByteArrayOutputStream()
     wLeLong(f, summaryStart); wLeLong(f, 0); wLeInt(f, 0)

@@ -104,6 +104,88 @@ class McapSinkSpec extends SparkTestBase {
     assert(half.count() === 15)
   }
 
+  test("MessageIndex records follow each chunk; ChunkIndex references them") {
+    import McapFormat._
+    val src = sourceDir(20)
+    val out = Files.createTempDirectory("mcap_sink_mi").toString + "/export"
+    spark.read.format("mcap").load(src).coalesce(1)
+      .write.format("mcap").mode("append")
+      .option("chunk_bytes", "256").option("compression", "none").save(out)
+    val f = new java.io.File(out).listFiles()
+      .filter(x => x.getName.endsWith(".mcap") && !x.getName.startsWith(".")).head
+    val bytes = Files.readAllBytes(f.toPath)
+    def leLongAt(o: Int) = java.nio.ByteBuffer.wrap(bytes, o, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    def leShortAt(o: Int) = java.nio.ByteBuffer.wrap(bytes, o, 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort & 0xFFFF
+    def leIntAt(o: Int) = java.nio.ByteBuffer.wrap(bytes, o, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+
+    // walk records: collect chunk payload offsets + every MessageIndex
+    var pos = 8L // magic
+    var chunks = Vector.empty[(Long, Long)] // (record offset, records-field offset)
+    var miAt = Map.empty[Long, (Int, Seq[(Long, Long)])] // file offset -> (chan, entries)
+    var chunkIdxMaps = Vector.empty[Map[Int, Long]]
+    var indexed = 0L
+    while (pos + 9 <= bytes.length - 8) {
+      val op = bytes(pos.toInt) & 0xFF
+      val len = leLongAt(pos.toInt + 1)
+      val body = pos.toInt + 9
+      op match {
+        case OpChunk =>
+          // uncompressed-records field starts after times(16) + size(8)
+          // + crc(4) + compression string(4 + n) + records byteLen(8)
+          val compLen = leIntAt(body + 28)
+          chunks :+= ((pos, (body + 28 + 4 + compLen + 8).toLong))
+        case OpMessageIndex =>
+          val chan = leShortAt(body)
+          val n = leIntAt(body + 2) / 16
+          val entries = (0 until n).map { i =>
+            (leLongAt(body + 6 + i * 16), leLongAt(body + 6 + i * 16 + 8))
+          }
+          miAt += pos -> ((chan, entries))
+          indexed += n
+        case OpChunkIndex =>
+          val mapLen = leIntAt(body + 32)
+          chunkIdxMaps :+= (0 until mapLen / 10).map { i =>
+            leShortAt(body + 36 + i * 10) -> leLongAt(body + 36 + i * 10 + 2)
+          }.toMap
+        case _ => ()
+      }
+      pos += 9 + len
+    }
+    assert(chunks.size > 1 && indexed === 20L)
+    // every ChunkIndex map points at real MessageIndex records whose
+    // channel matches the map key
+    assert(chunkIdxMaps.size === chunks.size)
+    chunkIdxMaps.foreach { m =>
+      assert(m.nonEmpty)
+      m.foreach { case (chan, off) =>
+        assert(miAt.get(off).exists(_._1 == chan),
+          s"ChunkIndex offset $off must be channel $chan's MessageIndex")
+      }
+    }
+    // entries point at Message records inside the uncompressed chunk,
+    // in chronological order
+    miAt.values.foreach { case (_, entries) =>
+      assert(entries.map(_._1) === entries.map(_._1).sorted)
+    }
+    chunks.foreach { case (chunkPos, recordsAt) =>
+      // the MessageIndexes directly following this chunk describe it
+      miAt.filter { case (o, _) => o > chunkPos &&
+        !chunks.exists(c => c._1 > chunkPos && c._1 < o) }
+        .values.foreach { case (chan, entries) =>
+          entries.foreach { case (_, off) =>
+            val abs = (recordsAt + off).toInt
+            assert((bytes(abs) & 0xFF) === OpMessage,
+              s"MessageIndex offset $off must land on a Message record")
+            assert(leShortAt(abs + 9) === chan,
+              "the Message record's channel must match the index's")
+          }
+        }
+    }
+  }
+
   test("McapExport.prepare conforms an arbitrary frame; events round-trip as a container") {
     val dir = "/root/testdata/sf0.001"
     val ev = spark.read.parquet(s"$dir/events.parquet")
