@@ -382,7 +382,7 @@ object ContainerQueries {
     * props UTF-8 bytes. Cached like the other fixtures; "sinkv1" salt.
     */
   private def exportFixture(s: SparkSession, d: String): String = synchronized {
-    publishStaged("graft_container_sinkv2_" + cacheKey(d)) { stage =>
+    publishStaged("graft_container_sinkv3_" + cacheKey(d)) { stage =>
       val ev = events(s, d).orderBy(col("event_id")).limit(1000)
         .select(col("event_id"), us(col("ts")).as("ts_us"),
           col("event_type"), col("props"))
@@ -480,7 +480,7 @@ object ContainerQueries {
     synchronized {
       val mixed = mixedFixture(s, d)
       val key = md5Key(mixed)
-      publishStaged("graft_container_convertv2_" + key) { stage =>
+      publishStaged("graft_container_convertv3_" + key) { stage =>
         graft.ros.Convert.run(s, mixed,
           new java.io.File(stage, "export").getAbsolutePath,
           "mcap", partitions = 2)
