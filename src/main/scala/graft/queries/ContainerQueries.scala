@@ -379,7 +379,9 @@ object ContainerQueries {
   /** Sink-built fixture for q86: the same 1000-row slice EXPORTED as
     * MCAP through the DSv2 write path itself (two partitions — the
     * multi-file fleet layout), one topic per event_type, payload =
-    * props UTF-8 bytes. Cached like the other fixtures; "sinkv1" salt.
+    * props UTF-8 bytes. Cached like the other
+    * fixtures; salt currently "sinkv3" (bumped whenever the mcap
+    * writer's output bytes change — see the cache key below).
     */
   private def exportFixture(s: SparkSession, d: String): String = synchronized {
     publishStaged("graft_container_sinkv3_" + cacheKey(d)) { stage =>

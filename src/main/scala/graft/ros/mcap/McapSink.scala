@@ -86,9 +86,10 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
     scala.collection.mutable.LinkedHashMap[(String, String), McapSchema]()
   private val channels =
     scala.collection.mutable.LinkedHashMap[(String, Int, String), McapChannel]()
-  // (ref, full record length, compressed payload length)
-  private val chunkRefs =
-    scala.collection.mutable.ArrayBuffer[(McapChunkRef, Long, Long)]()
+  // (ref, full record length, compressed payload length,
+  //  channel -> MessageIndex record file offset, MessageIndex bytes)
+  private val chunkRefs = scala.collection.mutable.ArrayBuffer[
+    (McapChunkRef, Long, Long, Seq[(Int, Long)], Long)]()
   private val chanCounts = scala.collection.mutable.LinkedHashMap[Int, Long]()
   private var total = 0L
   private var minT = Long.MaxValue
@@ -103,10 +104,6 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
   // chunk's messages
   private val chunkMsgIndex = scala.collection.mutable.LinkedHashMap[
     Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
-  // per flushed chunk: (channel -> MessageIndex record file offset,
-  // total MessageIndex bytes) for the ChunkIndex summary fields
-  private val msgIndexRefs =
-    scala.collection.mutable.ArrayBuffer[(Seq[(Int, Long)], Long)]()
 
   def write(topic: String, schemaName: String, schemaEncoding: String,
       messageEncoding: String, sequence: Long, logTime: Long,
@@ -165,8 +162,8 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
     wLeLong(p, raw.length); wLeInt(p, crc.getValue)
     wStr(p, compression); wLeLong(p, comp.length); p.write(comp)
     val rec = record(OpChunk, p.toByteArray)
-    chunkRefs += ((McapChunkRef(pos, rec.length - 9, st, en, compression,
-      raw.length, crc.getValue), rec.length.toLong, comp.length.toLong))
+    val ref = McapChunkRef(pos, rec.length - 9, st, en, compression,
+      raw.length, crc.getValue)
     emit(rec)
     // MessageIndex (op 0x07) records directly after the chunk — one
     // per channel, (log_time, uncompressed-chunk offset) entries in
@@ -184,7 +181,8 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
       emit(record(OpMessageIndex, mi.toByteArray))
       chanId -> at
     }
-    msgIndexRefs += ((offsets, pos - idxStart))
+    chunkRefs += ((ref, rec.length.toLong, comp.length.toLong,
+      offsets, pos - idxStart))
     chunkMsgIndex.clear()
     chunk = new ByteArrayOutputStream()
     chunkMin = Long.MaxValue
@@ -213,8 +211,8 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
     wLeInt(st, byChan.size * 10L)
     byChan.foreach { case (id, n) => wLeShort(st, id); wLeLong(st, n) }
     emit(record(OpStatistics, st.toByteArray))
-    chunkRefs.zip(msgIndexRefs).foreach {
-      case ((ref, recLen, compLen), (idxOffsets, idxLen)) =>
+    chunkRefs.foreach {
+      case (ref, recLen, compLen, idxOffsets, idxLen) =>
         val p = new ByteArrayOutputStream()
         wLeLong(p, ref.messageStartTime); wLeLong(p, ref.messageEndTime)
         wLeLong(p, ref.fileOffset); wLeLong(p, recLen)
