@@ -36,6 +36,27 @@ object Bench {
       ()
     } catch { case _: java.io.IOException => () }
 
+  /** The committed artifact's line contract — one JSON object per
+    * line, each with a unique "metric" key: "total" + "detail" from
+    * [[writeArtifact]], and (after `tools/duckdb_bench.py` merges the
+    * same-box pairing) "duckdb_total", so the ONE file carries both
+    * sides of the perf gate. Returns the metric names in order;
+    * throws on an unparseable line or a duplicate metric — the shapes
+    * that would silently corrupt the committed record.
+    */
+  private[graft] def artifactMetrics(text: String): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metrics = text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val node = mapper.readTree(line)
+        require(node.hasNonNull("metric"), s"artifact line lacks a metric: $line")
+        node.get("metric").asText()
+      }
+    require(metrics.distinct.size == metrics.size,
+      s"duplicate metric lines in artifact: ${metrics.mkString(", ")}")
+    metrics
+  }
+
   /** Median of N timings (mean of the middle two for even counts). */
   private[graft] def median(times: Seq[Double]): Double = {
     val s = times.sorted

@@ -46,6 +46,26 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.loadContaminated("null", "null", benchThreads = 4))
   }
 
+  test("merged artifact format: total + detail + duckdb_total, one JSON line each") {
+    // the shape the round protocol commits: graft.Bench writes the
+    // first two lines, tools/duckdb_bench.py appends the third —
+    // PERF.md cites only this file, so its format is under test
+    val merged =
+      """{"metric":"total","value":23.96,"unit":"sec","runs":3,"load_contaminated":false,"queries":{"q01":0.2}}
+        |{"metric":"detail","loadavg":{"before":[0.1,0.2,0.3],"after":[4.0,1.0,0.5]},"spread":{"q01":{"min":0.19,"med":0.2,"max":0.21,"n":3}}}
+        |{"metric":"duckdb_total","value":34.46,"unit":"sec","sf":"/root/testdata/sf0.1","spark_total":23.96,"ratio":0.6953,"loadavg":[0.1,0.2,0.3],"queries":{"q01":0.3}}
+        |""".stripMargin
+    assert(Bench.artifactMetrics(merged) === Seq("total", "detail", "duckdb_total"))
+    // duplicate metric lines (a double merge) must fail loudly
+    assertThrows[IllegalArgumentException] {
+      Bench.artifactMetrics(merged + """{"metric":"duckdb_total","value":1}""")
+    }
+    // an unparseable line must fail loudly, not pass silently
+    assertThrows[Exception] {
+      Bench.artifactMetrics("""{"metric":"total",""")
+    }
+  }
+
   test("esc escapes JSON-hostile characters") {
     assert(Bench.esc("a\"b\\c\nd") === "a\\\"b\\\\c\\nd")
     assert(Bench.esc("\u0001") === "\\u0001")

@@ -1,11 +1,18 @@
 #!/usr/bin/env python3
-"""Time each oracle SQL in DuckDB (single-threaded and default) at a
-given SF, for comparison with graft.Bench output. Usage:
-  python3 tools/duckdb_bench.py /root/testdata/sf0.1 /tmp/verify_out_01/oracle_sql.json [bench.json]
+"""Time each oracle SQL in DuckDB at a given SF, for comparison with
+graft.Bench output, and MERGE the result into the bench artifact so
+one committed file proves the ratio. Usage:
+  python3 tools/duckdb_bench.py /root/testdata/sf0.1 /tmp/verify_out_01/oracle_sql.json [BENCH.json]
+
+With the third argument, a {"metric":"duckdb_total",...} line is
+appended to the artifact (replacing any previous duckdb_total line):
+total + per-query DuckDB seconds, the Spark total it paired against,
+the ratio, and the loadavg at merge time — the self-contained record
+the round protocol commits (PERF.md cites only this file).
 """
-import duckdb, json, sys, time
+import duckdb, json, os, sys, time
 sf, oracle_path = sys.argv[1], sys.argv[2]
-# BENCH.json carries two lines (total, detail) since round 9 - take the first
+# BENCH.json leads with the compact total line (round-9 contract)
 bench = json.loads(open(sys.argv[3]).readline()) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
@@ -24,3 +31,17 @@ for name, d, s in rows:
     r = f"{s/d:5.1f}x" if s else "  -"
     print(f"{name:30s} {d:8.2f} {s if s else 0:8.2f} {r}")
 print(f"{'TOTAL (oracle-checked)':30s} {tot_d:8.2f} {tot_s:8.2f}")
+if len(sys.argv) > 3:
+    kept = [l for l in open(sys.argv[3]).read().splitlines()
+            if l.strip() and json.loads(l).get("metric") != "duckdb_total"]
+    line = json.dumps({
+        "metric": "duckdb_total", "value": round(tot_d, 6), "unit": "sec",
+        "sf": sf, "spark_total": round(tot_s, 6),
+        "ratio": round(tot_s / tot_d, 4) if tot_d > 0 else None,
+        "loadavg": [round(v, 2) for v in os.getloadavg()],
+        "queries": {n: round(d, 6) for n, d, _ in rows}},
+        separators=(",", ":"))
+    with open(sys.argv[3], "w") as f:
+        f.write("\n".join(kept + [line]) + "\n")
+    print(f"merged duckdb_total into {sys.argv[3]} "
+          f"(ratio spark/duckdb = {tot_s/tot_d:.2f}x)")
