@@ -374,6 +374,32 @@ object ContainerQueries {
           min(col("log_time")).as("min_ts_ns"),
           max(col("log_time")).as("max_ts_ns"))
         .orderBy(col("topic"))
+    }),
+
+    // Q89 — convert carries DEFINITIONS, CHECKED: the q88 archive's
+    // ros2-dialect channels decode under the TYPED mcap reader with
+    // no manual defs options — `Convert.run` auto-harvested the
+    // definitions from the source containers (db3
+    // message_definitions rows as ros2idl, the mcap fixture's own
+    // ros2msg Schema record) and embedded them as Schema records in
+    // the output. /events_even + /events_odd are the db3-sourced
+    // rows (IDL-defined CDR), /events_ros the mcap-sourced ones; the
+    // bag-sourced ros1 channels and the protobuf channel carry other
+    // schema names and stay out of this typed read. Decoded field
+    // values (ids, user ids, doubles) sit inside the DuckDB equality,
+    // so definition fidelity — not just presence — is gated.
+    "q89_convert_typed" -> ((s, d) => {
+      val out = convertFixture(s, d)
+      s.read.format("mcap").option("path", out)
+        .option("schema_name", RosName).load()
+        .groupBy(col("topic")).agg(
+          count(lit(1)).as("cnt"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          sum(col("user_id")).as("sum_uid"),
+          round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
+            .as("sum_value"))
+        .orderBy(col("topic"))
     }))
 
   /** Sink-built fixture for q86: the same 1000-row slice EXPORTED as
@@ -482,7 +508,10 @@ object ContainerQueries {
     synchronized {
       val mixed = mixedFixture(s, d)
       val key = md5Key(mixed)
-      publishStaged("graft_container_convertv3_" + key) { stage =>
+      // salt v4: r13 changed the writer's emission — time-clustered
+      // layout (repartitionByRange + sortWithinPartitions) and
+      // auto-carried schema definitions — so v3 caches are stale
+      publishStaged("graft_container_convertv4_" + key) { stage =>
         graft.ros.Convert.run(s, mixed,
           new java.io.File(stage, "export").getAbsolutePath,
           "mcap", partitions = 2)
@@ -756,5 +785,23 @@ object ContainerQueries {
         |UNION ALL SELECT '/events_odd', 2 * o.cnt, o.mn, o.mx FROM o
         |UNION ALL SELECT '/events_pb', e.cnt, e.mn, e.mx FROM e
         |UNION ALL SELECT '/events_ros', o.cnt, o.mn, o.mx FROM o
+        |ORDER BY topic""".stripMargin,
+    "q89_convert_typed" ->
+      """WITH ev AS (
+        |  SELECT * FROM events ORDER BY event_id LIMIT 1000),
+        |e AS (
+        |  SELECT COUNT(*) AS cnt, MIN(event_id) AS mn, MAX(event_id) AS mx,
+        |         CAST(SUM(user_id) AS BIGINT) AS su,
+        |         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sv
+        |  FROM ev WHERE event_id % 2 = 0),
+        |o AS (
+        |  SELECT COUNT(*) AS cnt, MIN(event_id) AS mn, MAX(event_id) AS mx,
+        |         CAST(SUM(user_id) AS BIGINT) AS su,
+        |         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sv
+        |  FROM ev WHERE event_id % 2 <> 0)
+        |SELECT '/events_even' AS topic, e.cnt AS cnt, e.mn AS min_id,
+        |       e.mx AS max_id, e.su AS sum_uid, e.sv AS sum_value FROM e
+        |UNION ALL SELECT '/events_odd', o.cnt, o.mn, o.mx, o.su, o.sv FROM o
+        |UNION ALL SELECT '/events_ros', o.cnt, o.mn, o.mx, o.su, o.sv FROM o
         |ORDER BY topic""".stripMargin)
 }

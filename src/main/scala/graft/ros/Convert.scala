@@ -17,36 +17,70 @@ import org.apache.spark.sql.functions._
   * The read side is [[MixedRead.spine]] (catalog pruning, filter
   * pushdown and metadata aggregation intact per format); the write
   * side is the target's DSv2 sink, so the plan is scan → optional
-  * transform → repartition → embarrassingly-parallel encode, no
-  * shuffle beyond the one the caller asks for with `partitions`.
+  * transform → one layout exchange → embarrassingly-parallel encode.
   * Message payloads pass through byte-exact; the TIMESTAMP convention
   * is normalized to nanoseconds by the spine and re-encoded per
-  * target ((sec, nsec) receipt pairs for rosbag1). Schema/connection
-  * DEFINITIONS do not cross container dialects automatically — pass
-  * the target sink's `schema_defs_from`/`conn_defs_from` in `options`
-  * when typed re-reads of the output are needed.
+  * target ((sec, nsec) receipt pairs for rosbag1).
+  *
+  * Output LAYOUT: the default (`layout = "time"`) range-partitions on
+  * the message timestamp and sorts within partitions, so each output
+  * file — and each chunk inside it — covers a tight, disjoint time
+  * range. That is what makes the sinks' own index artifacts (mcap
+  * ChunkIndex, rosbag ChunkInfo, db3 metadata.yaml ranges) PRUNE on
+  * the converted archive: a time-range query over a 100 TB normalized
+  * fleet reads only the overlapping chunks. `layout = "roundrobin"`
+  * (`repartition(n)`) balances bytes perfectly but smears every
+  * chunk's min/max across the whole corpus — time-range reads then
+  * re-scan everything; use it only when downstream never filters on
+  * time.
+  *
+  * Schema/connection DEFINITIONS are harvested from the SOURCE
+  * containers automatically (mcap Schema records, db3
+  * `message_definitions` rows, bag connection records — see
+  * [[DefsHarvest]]) and embedded in the target, so typed readers can
+  * decode the converted archive with no extra options for same-dialect
+  * transfers. Pass the sink's `schema_defs_from`/`conn_defs_from`
+  * explicitly to override (explicit paths harvest STRICTLY: a
+  * definition the target dialect cannot represent fails loudly;
+  * the automatic harvest carries the representable subset).
   */
 object Convert {
   /** Conform a mixed-spine frame to `format`'s write spine. The
     * spine's `encoding` column (each source dialect's wire
     * serialization — "cdr", "protobuf", "ros1") labels the target's
-    * channels so typed consumers dispatch correctly; rosbag1 has no
-    * per-connection encoding field (everything is ros1 serialization
-    * there — converting CDR payloads INTO a .bag produces a container
-    * only spine-level consumers can decode, which `run` leaves to the
-    * caller's judgment).
+    * channels so typed consumers dispatch correctly.
+    *
+    * rosbag1 has no per-connection encoding field — everything in a
+    * `.bag` is ros1 serialization. Converting cdr/protobuf payloads
+    * INTO a bag therefore produces a container rosbag tooling can
+    * list but never decode; `prepare` refuses such rows loudly unless
+    * `allowForeignEncoding` opts in (spine-level consumers can still
+    * read the bytes back).
     */
-  def prepare(df: DataFrame, format: String): DataFrame = {
+  def prepare(df: DataFrame, format: String,
+      allowForeignEncoding: Boolean = false): DataFrame = {
     def c(n: String): Column = col(n)
-    val enc: Column =
-      if (df.columns.contains("encoding")) c("encoding") else lit("cdr")
+    val hasEnc = df.columns.contains("encoding")
+    val enc: Column = if (hasEnc) c("encoding") else lit("cdr")
     format match {
       case "mcap" => mcap.McapExport.prepare(df,
         topic = c("topic"), logTimeNs = c("timestamp"), data = c("data"),
         schemaName = c("type"), messageEncoding = enc)
-      case "rosbag" => bag.BagExport.prepare(df,
-        topic = c("topic"), timeNs = c("timestamp"), data = c("data"),
-        datatype = c("type"))
+      case "rosbag" =>
+        val payload =
+          if (!hasEnc || allowForeignEncoding) c("data")
+          else when(c("encoding") === lit("ros1"), c("data"))
+            .otherwise(raise_error(concat(
+              lit("rosbag is a ros1-serialization container but this row " +
+                "carries a '"), c("encoding"),
+              lit("'-encoded payload (topic "), c("topic"),
+              lit("): rosbag tooling could not decode the output and this " +
+                "engine does not re-serialize across dialects — set " +
+                "allow_foreign_encoding=true to embed the bytes anyway " +
+                "(spine-level reads only)"))))
+        bag.BagExport.prepare(df,
+          topic = c("topic"), timeNs = c("timestamp"), data = payload,
+          datatype = c("type"))
       case "db3" => db3.Db3Export.prepare(df,
         topic = c("topic"), timestampNs = c("timestamp"), data = c("data"),
         tpe = c("type"), serializationFormat = enc)
@@ -55,20 +89,95 @@ object Convert {
     }
   }
 
+  /** The prepared frame's message-time columns, in sort-significance
+    * order — what the "time" layout ranges and sorts on.
+    */
+  private def timeCols(format: String): Seq[Column] = format match {
+    case "mcap" => Seq(col("log_time"))
+    case "rosbag" => Seq(col("time_sec"), col("time_nsec"))
+    case "db3" => Seq(col("timestamp"))
+    case other => throw new IllegalArgumentException(
+      s"unknown target container format '$other' (mcap | rosbag | db3)")
+  }
+
+  private def applyLayout(prepared: DataFrame, format: String,
+      partitions: Int, layout: String): DataFrame = layout match {
+    case "time" =>
+      val ts = timeCols(format)
+      val ranged =
+        if (partitions > 0) prepared.repartitionByRange(partitions, ts: _*)
+        else prepared
+      ranged.sortWithinPartitions(ts: _*)
+    case "roundrobin" =>
+      if (partitions > 0) prepared.repartition(partitions) else prepared
+    case other => throw new IllegalArgumentException(
+      s"unknown layout '$other' (time | roundrobin)")
+  }
+
+  private[ros] def defsOptionName(format: String): String =
+    if (format == "rosbag") "conn_defs_from" else "schema_defs_from"
+
+  /** The Convert-consumed options (not forwarded to the sink). */
+  private val ConvertOnly = Set("allow_foreign_encoding")
+
+  private def boolOpt(options: Map[String, String], name: String): Boolean =
+    options.exists { case (k, v) =>
+      k.equalsIgnoreCase(name) && java.lang.Boolean.parseBoolean(v)
+    }
+
+  /** Auto-wire the target sink's definitions channel to the SOURCE
+    * path when the caller did not: the sources already carry the
+    * definitions, and a converted archive only spine-level consumers
+    * can decode typed is a day-one defect for every typed consumer.
+    * The automatic harvest is best-effort (`foreign_defs=skip`): a
+    * definition the target dialect cannot represent is dropped, never
+    * fatal — an EXPLICIT defs path keeps the strict default.
+    */
+  private def autoDefs(options: Map[String, String], format: String,
+      inPath: String): Map[String, String] = {
+    val optName = defsOptionName(format)
+    if (options.keys.exists(_.equalsIgnoreCase(optName))) Map.empty
+    else Map(optName -> inPath, "foreign_defs" -> "skip")
+  }
+
+  /** The mcap header profile, derived from the SOURCES' message
+    * encodings when the caller didn't pick one: "ros2" is only
+    * conformant when every channel is cdr, so a corpus carrying
+    * protobuf or ros1 payloads exports under the spec's "" (no
+    * profile) instead — conformance checkers would reject a
+    * ros2-profile file with non-cdr channels.
+    */
+  private def autoProfile(options: Map[String, String], format: String,
+      inPath: String): Map[String, String] =
+    if (format != "mcap" || options.keys.exists(_.equalsIgnoreCase("profile")))
+      Map.empty
+    else {
+      val encs = DefsHarvest.messageEncodings(inPath)
+      Map("profile" -> (if (encs.nonEmpty && encs.forall(_ == "cdr")) "ros2"
+        else ""))
+    }
+
   /** Read `inPath` as a mixed spine, apply `transform`, write
     * `format` containers to `outPath`. `partitions` > 0 controls the
     * output file count (one container file per partition — size for
-    * the target filesystem, not for the input's layout).
+    * the target filesystem, not for the input's layout); `layout`
+    * picks how rows land in those files ("time", the default,
+    * clusters and sorts by message time so the output's own chunk
+    * indexes prune time-range reads; "roundrobin" balances bytes but
+    * destroys time locality).
     */
   def run(spark: SparkSession, inPath: String, outPath: String,
       format: String, partitions: Int = 0,
       transform: DataFrame => DataFrame = identity,
       options: Map[String, String] = Map.empty,
-      mode: String = "append"): Unit = {
+      mode: String = "append", layout: String = "time"): Unit = {
     val spine = transform(MixedRead.spine(spark, inPath))
-    val prepared = prepare(spine, format)
-    val sized = if (partitions > 0) prepared.repartition(partitions) else prepared
-    options.foldLeft(sized.write.format(format).mode(mode)) {
+    val prepared = prepare(spine, format,
+      allowForeignEncoding = boolOpt(options, "allow_foreign_encoding"))
+    val sized = applyLayout(prepared, format, partitions, layout)
+    val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase)) ++
+      autoDefs(options, format, inPath) ++ autoProfile(options, format, inPath)
+    sinkOpts.foldLeft(sized.write.format(format).mode(mode)) {
       case (w, (k, v)) => w.option(k, v)
     }.save(outPath)
   }
@@ -81,6 +190,15 @@ object Convert {
     * started query; pass `Trigger.AvailableNow()` for a drain-and-stop
     * catch-up run, or a processing-time trigger for a standing
     * normalizer.
+    *
+    * Definitions auto-wire like [[run]] when files are already present
+    * under `inPath` at START (the harvest is a query-construction-time
+    * scan; types first landing mid-stream export with empty
+    * definitions until the next restart — pass `schema_defs_from`
+    * explicitly to pin a definitive source). Layout: each epoch's
+    * files hold only that epoch's time window, so time locality is
+    * already micro-batch-granular; Structured Streaming forbids
+    * per-partition sorts, so no further clustering applies.
     */
   def runStream(spark: SparkSession, inPath: String, outPath: String,
       format: String, checkpoint: String,
@@ -89,8 +207,16 @@ object Convert {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val prepared = prepare(transform(MixedRead.stream(spark, inPath)), format)
-    options.foldLeft(
+    val prepared = prepare(transform(MixedRead.stream(spark, inPath)), format,
+      allowForeignEncoding = boolOpt(options, "allow_foreign_encoding"))
+    // an empty / not-yet-created prefix is a legal stream start — skip
+    // the defs auto-wire rather than fail (nothing to harvest yet)
+    val auto =
+      if (scala.util.Try(MixedRead.resolve(inPath)).isSuccess)
+        autoDefs(options, format, inPath) ++ autoProfile(options, format, inPath)
+      else Map.empty[String, String]
+    val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase)) ++ auto
+    sinkOpts.foldLeft(
       prepared.writeStream.format(format)
         .option("checkpointLocation", checkpoint)
         .outputMode("append").trigger(trigger)) {

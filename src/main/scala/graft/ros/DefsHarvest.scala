@@ -1,0 +1,90 @@
+package graft.ros
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Driver-side harvest of message-type DEFINITIONS from any container
+  * path — the unified feed for the sinks' `schema_defs_from` /
+  * `conn_defs_from` channels. Every container format already carries
+  * its types' definitions (mcap Schema records, rosbag2 `.db3`
+  * `message_definitions` rows, rosbag1 connection records); this
+  * reads them through the same cached metadata scans the planners use
+  * (McapIO.scanIndex / Db3IO.scanMeta / RosbagIO.scanIndexes — bounded
+  * parallel pools, (mtime, length)-versioned caches), so a
+  * 10k-file fleet path costs one metadata sweep, amortized with the
+  * read side's own planning.
+  *
+  * Dialects: `encoding` is the SCHEMA encoding — "ros1msg" (rosbag1
+  * connections), "ros2msg"/"ros2idl" (rosbag2 + mcap ros2 profile),
+  * "protobuf" (mcap). What a TARGET can represent differs: an mcap
+  * Schema record carries any of them verbatim; a `.db3`
+  * message_definitions table is ros2msg/ros2idl by definition; a
+  * `.bag` connection record is ros1msg (with an md5sum only rosbag1
+  * sources know). The sinks' mappers enforce those rules — this
+  * object only collects.
+  */
+object DefsHarvest {
+  /** One harvested definition. `md5sum` is the rosbag1 connection
+    * checksum where the source knows it ("*" = unknown elsewhere —
+    * the value rosbag tooling itself uses for unknown types).
+    */
+  final case class TypeDef(name: String, encoding: String,
+      data: Array[Byte], md5sum: String)
+
+  /** ros2-dialect schema encodings — what a db3 message_definitions
+    * table (and a cdr payload's typed decode) can carry.
+    */
+  def isRos2(encoding: String): Boolean =
+    encoding == "ros2msg" || encoding == "ros2idl"
+
+  /** Collect every definition under `path` (a file, directory, glob
+    * or newline-separated spec holding any mix of `.bag` / `.mcap` /
+    * `.db3(.zstd)`). Unnamed or empty definitions are skipped (an
+    * export written without defs carries empty Schema bytes — nothing
+    * to harvest). Order is deterministic: container kind
+    * alphabetically, files sorted within, record order within a file.
+    */
+  def fromPath(path: String): Seq[TypeDef] =
+    MixedRead.resolve(path).toSeq.sortBy(_._1).flatMap {
+      case ("mcap", files) =>
+        DriverPool.parMap(files)(f =>
+          mcap.McapIO.scanIndex(f).schemas.toSeq.sortBy(_._1).map(_._2))
+          .flatten.map(s => TypeDef(s.name, s.encoding, s.data, "*"))
+      case ("db3", files) =>
+        db3.Db3IO.scanMetas(files).flatMap(_._2.definitions).map {
+          case (tp, enc, text) => TypeDef(tp, enc, text.getBytes(UTF_8), "*")
+        }
+      case ("rosbag", files) =>
+        bag.RosbagIO.scanIndexes(files).flatMap(_._2.connections)
+          .map(c => TypeDef(c.datatype, "ros1msg", c.msgDef.getBytes(UTF_8),
+            c.md5sum))
+      case _ => Seq.empty
+    }.filter(d => d.name.nonEmpty && d.data.nonEmpty)
+
+  /** First definition per type name wins (deterministic under
+    * [[fromPath]]'s ordering) — duplicate names across files are the
+    * same recorder's repeats; duplicate names across DIALECTS would be
+    * a naming collision no automatic choice can fix, so the stable
+    * pick + the target dialect filter decide.
+    */
+  def dedupe(defs: Seq[TypeDef]): Seq[TypeDef] = {
+    val seen = scala.collection.mutable.HashSet[String]()
+    defs.filter(d => seen.add(d.name))
+  }
+
+  /** The wire (MESSAGE) encodings present under `path`, from metadata
+    * alone: "ros1" for every rosbag1 file, mcap channel
+    * message_encodings, db3 topic serialization_formats. Drives e.g.
+    * the mcap sink's profile conformance choice.
+    */
+  def messageEncodings(path: String): Set[String] =
+    MixedRead.resolve(path).toSeq.flatMap {
+      case ("mcap", files) =>
+        DriverPool.parMap(files)(f =>
+          mcap.McapIO.scanIndex(f).channels.values.map(_.messageEncoding).toSeq)
+          .flatten
+      case ("db3", files) =>
+        db3.Db3IO.scanMetas(files).flatMap(_._2.topics.values.map(_._3))
+      case ("rosbag", _) => Seq("ros1")
+      case _ => Seq.empty
+    }.toSet
+}

@@ -32,18 +32,31 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, StringType}
   * chunk, default 768 KiB — rosbag's own default chunk size).
   */
 object BagSinkWrite {
-  /** datatype -> (md5sum, message_definition) harvested from a bag
-    * path's connection records.
+  /** datatype -> (md5sum, message_definition) harvested from ANY
+    * container path: bag connection records verbatim (md5sum
+    * included), plus mcap Schemas already carrying "ros1msg" encoding
+    * (a bag→mcap convert's schemas — md5 exports as "*", rosbag
+    * tooling's own unknown marker). The scans are strict: the user
+    * NAMED this path as the definitions source — an unreadable file
+    * must fail the write loudly, not silently export every connection
+    * with md5 "*". A ros2msg/ros2idl/protobuf definition is a genuine
+    * cross-dialect type translation: `foreign` = "error" (the default
+    * for an explicitly named path) fails loudly; "skip"
+    * ([[graft.ros.Convert]]'s best-effort auto-wire) carries the ros1
+    * subset.
     */
-  private[bag] def harvestConnDefs(path: String): Map[String, (String, String)] = {
-    val bags = RosbagIO.resolveBags(path)
-    // strict scan: the user NAMED this path as the definitions source —
-    // an unreadable bag must fail the write loudly, not silently export
-    // every connection with md5 "*" (the tolerant variant is for
-    // discovery paths like a stream's listing)
-    RosbagIO.scanIndexes(bags).flatMap { case (_, idx) =>
-      idx.connections.map(c => c.datatype -> (c.md5sum, c.msgDef))
-    }.toMap
+  private[bag] def harvestConnDefs(path: String,
+      foreign: String = "error"): Map[String, (String, String)] = {
+    val all = graft.ros.DefsHarvest.dedupe(graft.ros.DefsHarvest.fromPath(path))
+    val (ok, bad) = all.partition(_.encoding == "ros1msg")
+    if (bad.nonEmpty && foreign != "skip") throw new IllegalArgumentException(
+      "rosbag write: conn_defs_from harvested non-ros1 definitions (" +
+        bad.map(d => s"${d.name}: ${d.encoding}").distinct.take(5).mkString(", ") +
+        ") — a bag connection record carries ros1msg text, and translating " +
+        "ros2msg/ros2idl/protobuf definitions is a cross-dialect type " +
+        "translation; set foreign_defs=skip to carry the ros1 subset")
+    ok.map(d => d.name -> (d.md5sum,
+      new String(d.data, java.nio.charset.StandardCharsets.UTF_8))).toMap
   }
 }
 
@@ -206,6 +219,16 @@ final class BagStreamingWriter(local: java.io.File, compression: String,
   }
 
   def rowCount: Long = total
+
+  /** Abort-path cleanup: close the underlying stream WITHOUT sealing
+    * (the file is about to be deleted — no index, no header patch).
+    * Safe after `finish()` too (closing a closed stream is a no-op),
+    * so abort can always call it; without this an aborted task leaks
+    * the scratch file's fd until GC — slow fd exhaustion on a
+    * long-lived executor surviving many speculative aborts.
+    */
+  def closeQuietly(): Unit =
+    try out.close() catch { case _: java.io.IOException => () }
 }
 
 class BagWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
@@ -233,7 +256,9 @@ class BagWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
     val chunkBytes = Option(opts.get("chunk_bytes")).map(_.toInt)
       .getOrElse(768 * 1024)
     val defs = Option(opts.get("conn_defs_from"))
-      .map(BagSinkWrite.harvestConnDefs).getOrElse(Map.empty)
+      .map(BagSinkWrite.harvestConnDefs(_,
+        Option(opts.get("foreign_defs")).getOrElse("error")))
+      .getOrElse(Map.empty)
     new BagWrite(path, ords, compression, chunkBytes, defs, truncateFirst,
       info.queryId())
   }
@@ -279,7 +304,10 @@ class BagStreamingSinkWrite(dir: String, ords: BagWriteOrdinals,
     // attempt must not leave the extra per-partition files behind
     graft.ros.ContainerStreamReconcile.sweep(
       new Path(dir).getFileSystem(RosbagIO.hadoopConf()), dir,
-      ("part-\\d{5}-q" + java.util.regex.Pattern.quote(qid) +
+      // \d{5,}: the %05d stems WIDEN past five digits at >=100k
+      // partitions — a fixed {5} would leave those files invisible to
+      // the sweep, silently keeping duplicates after a shrunken replay
+      ("part-\\d{5,}-q" + java.util.regex.Pattern.quote(qid) +
         "-e" + epochId + "\\.bag").r,
       messages.collect { case BagFileCommit(p, _) if p != null =>
         new Path(p).getName }.toSet)
@@ -423,6 +451,7 @@ class BagDataWriter(dir: String, stem: String,
   }
 
   override def abort(): Unit = {
+    if (writer != null) writer.closeQuietly()
     if (local != null) { local.delete(); () }
     fs.delete(tmpPath, false)
     ()

@@ -32,14 +32,32 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
   * arbitrary frames.
   */
 object Db3SinkWrite {
-  /** topic_type -> (encoding, definition text) harvested from a db3
-    * path's message_definitions tables, driver-side on the bounded
-    * pool.
+  /** topic_type -> (encoding, definition text) harvested from ANY
+    * container path (db3 message_definitions rows verbatim; mcap
+    * Schema records of ros2msg/ros2idl encoding), driver-side on the
+    * bounded pool. A rosbag2 message_definitions table is
+    * ros2-dialect BY DEFINITION — a harvested ros1msg/protobuf
+    * definition is a genuine cross-dialect type translation this
+    * engine does not guess at: `foreign` = "error" (the default for
+    * an explicitly named path) fails loudly; "skip" (what
+    * [[graft.ros.Convert]]'s best-effort auto-wire passes) carries
+    * the ros2 subset and drops the rest.
     */
-  private[db3] def harvestDefs(path: String): Map[String, (String, String)] =
-    Db3IO.scanMetas(Db3IO.resolveFiles(path)).flatMap { case (_, meta) =>
-      meta.definitions.map { case (tp, enc, text) => tp -> (enc, text) }
-    }.toMap
+  private[db3] def harvestDefs(path: String,
+      foreign: String = "error"): Map[String, (String, String)] = {
+    val all = graft.ros.DefsHarvest.dedupe(graft.ros.DefsHarvest.fromPath(path))
+    val (ok, bad) = all.partition(d => graft.ros.DefsHarvest.isRos2(d.encoding))
+    if (bad.nonEmpty && foreign != "skip") throw new IllegalArgumentException(
+      "db3 write: schema_defs_from harvested non-ros2 definitions (" +
+        bad.map(d => s"${d.name}: ${d.encoding}").distinct.take(5).mkString(", ") +
+        ") — a rosbag2 message_definitions table carries ros2msg/ros2idl " +
+        "only, and translating ros1msg/protobuf definitions is a " +
+        "cross-dialect type translation; set foreign_defs=skip to carry " +
+        "the ros2 subset")
+    ok.map(d => d.name ->
+      (d.encoding, new String(d.data, java.nio.charset.StandardCharsets.UTF_8)))
+      .toMap
+  }
 }
 
 class Db3WriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
@@ -68,7 +86,9 @@ class Db3WriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
     val fileBytes = Option(opts.get("file_bytes")).map(_.toLong)
       .getOrElse(64L * 1024 * 1024)
     val defs = Option(opts.get("schema_defs_from"))
-      .map(Db3SinkWrite.harvestDefs).getOrElse(Map.empty)
+      .map(Db3SinkWrite.harvestDefs(_,
+        Option(opts.get("foreign_defs")).getOrElse("error")))
+      .getOrElse(Map.empty)
     // rosbag2's own compression axes (--compression-format zstd,
     // --compression-mode file|message); the read side already inflates
     // both modes transparently
@@ -142,8 +162,12 @@ class Db3StreamingSinkWrite(dir: String, ords: Db3WriteOrdinals,
     // this commit did not produce. Runs BEFORE the ledger skip so a
     // replayed already-merged epoch still reconciles.
     graft.ros.ContainerStreamReconcile.sweep(fs, dir,
-      ("part-\\d{5}-q" + java.util.regex.Pattern.quote(qid) +
-        "-e" + epochId + "-\\d{4}\\.db3(\\.zstd)?").r,
+      // \d{5,} / \d{4,}: the %05d partition and %04d rolled-file stems
+      // WIDEN past their field widths (>=100k partitions, >=10k rolled
+      // files) — fixed counts would leave those files invisible to the
+      // sweep, silently keeping duplicates after a shrunken replay
+      ("part-\\d{5,}-q" + java.util.regex.Pattern.quote(qid) +
+        "-e" + epochId + "-\\d{4,}\\.db3(\\.zstd)?").r,
       commits.flatMap(_.paths).map(p => new Path(p).getName).toSet)
     Db3BatchWrite.mergeMetadata(fs, dir, commits, truncate = false,
       epoch = Some((qid, epochId)), compression = compression)

@@ -312,7 +312,13 @@ object Db3IO {
   // rationale as RosbagIO/McapIO's index caches: at fleet scale every
   // re-plan otherwise re-walks every file's catalog b-trees
   // (FleetBench measured warm db3 plans ≈ cold before this cache;
-  // rosbag/mcap warm plans were 3-7× cheaper than cold)
+  // rosbag/mcap warm plans were 3-7× cheaper than cold).
+  // Freshness contract (shared with those caches): a file REPLACED
+  // in place with different content but identical length inside the
+  // filesystem's mtime granularity window would serve stale metadata
+  // — at-rest container files must land via temp+rename (which
+  // refreshes mtime), the convention every writer in this engine and
+  // rosbag2's own recorder follow
   private val metaCache = new java.util.concurrent.ConcurrentHashMap[
     String, ((Long, Long), Db3Meta)]()
 

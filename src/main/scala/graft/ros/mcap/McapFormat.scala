@@ -24,6 +24,8 @@ object McapFormat {
   val OpHeader = 0x01; val OpFooter = 0x02; val OpSchema = 0x03
   val OpChannel = 0x04; val OpMessage = 0x05; val OpChunk = 0x06
   val OpMessageIndex = 0x07; val OpChunkIndex = 0x08
+  val OpAttachment = 0x09; val OpAttachmentIndex = 0x0A
+  val OpMetadata = 0x0C; val OpMetadataIndex = 0x0D
   val OpStatistics = 0x0B; val OpDataEnd = 0x0F; val OpSummaryOffset = 0x0E
 
   final case class McapSchema(id: Int, name: String, encoding: String, data: Array[Byte])
@@ -55,7 +57,20 @@ object McapFormat {
                              channels: Map[Int, McapChannel],
                              chunks: Seq[McapChunkRef],
                              inlineMessages: Seq[(Long, Long)], // (offset, recordLength)
-                             stats: Option[McapStatistics] = None)
+                             stats: Option[McapStatistics] = None,
+                             // Attachment (0x09) / Metadata (0x0C)
+                             // record locations as (offset, payloadLen)
+                             // — bodies stay unread at plan time
+                             // (attachments are calibration-blob-sized)
+                             attachmentRefs: Seq[(Long, Long)] = Seq.empty,
+                             metadataRefs: Seq[(Long, Long)] = Seq.empty)
+
+  /** A robotics archive's side payload (op 0x09): calibration blobs,
+    * URDFs, firmware dumps — named, media-typed, timestamped.
+    */
+  final case class McapAttachment(logTime: Long, createTime: Long,
+                                  name: String, mediaType: String,
+                                  data: Array[Byte], crc: Long)
 
   // ---- little-endian primitive readers over byte arrays ----
 
@@ -89,6 +104,47 @@ object McapFormat {
     // the metadata map (u32 byte-length prefixed) follows; the spine
     // read doesn't need it
     McapChannel(id, schemaId, topic, enc)
+  }
+
+  /** Attachment payload (spec §attachment): log_time u64, create_time
+    * u64, name str, media_type str, data (u64 length-prefixed), crc
+    * u32 over everything preceding it (0 = not computed).
+    */
+  def parseAttachment(p: Array[Byte]): McapAttachment = {
+    val logTime = leLong(p, 0)
+    val createTime = leLong(p, 8)
+    val (name, o1) = str(p, 16)
+    val (mediaType, o2) = str(p, o1)
+    val dataLen = leLong(p, o2)
+    require(dataLen >= 0 && o2 + 8 + dataLen + 4 <= p.length,
+      s"corrupt mcap attachment: data length $dataLen overruns the record")
+    val data = java.util.Arrays.copyOfRange(p, o2 + 8, (o2 + 8 + dataLen).toInt)
+    val crc = leInt(p, (o2 + 8 + dataLen).toInt)
+    if (crc != 0L) {
+      val c = new java.util.zip.CRC32()
+      c.update(p, 0, (o2 + 8 + dataLen).toInt)
+      require(c.getValue == crc,
+        f"corrupt mcap attachment '$name%s': crc 0x$crc%08x != computed 0x${c.getValue}%08x")
+    }
+    McapAttachment(logTime, createTime, name, mediaType, data, crc)
+  }
+
+  /** Metadata payload (spec §metadata): name str + a string→string
+    * map (u32 byte-length prefixed), in record order.
+    */
+  def parseMetadata(p: Array[Byte]): (String, Seq[(String, String)]) = {
+    val (name, o1) = str(p, 0)
+    val mapLen = leInt(p, o1).toInt
+    val end = o1 + 4 + mapLen
+    val kv = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var o = o1 + 4
+    while (o < end) {
+      val (k, o2) = str(p, o)
+      val (v, o3) = str(p, o2)
+      kv += ((k, v))
+      o = o3
+    }
+    (name, kv.toSeq)
   }
 
   def parseMessage(p: Array[Byte]): McapMessage =
@@ -291,6 +347,8 @@ object McapFormat {
     // header-only walk of the data section: standalone messages always;
     // chunks + dimension records only when there was no summary
     val inline = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val attachRefs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val metaRefs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     val chunksFromWalk = scala.collection.mutable.ArrayBuffer[McapChunkRef]()
     val in = new DataInputStream(open())
     try {
@@ -319,6 +377,12 @@ object McapFormat {
           case OpChannel =>
             val p = new Array[Byte](len.toInt); in.readFully(p)
             val c = parseChannel(p); channels.getOrElseUpdate(c.id, c)
+          case OpAttachment =>
+            // location only — bodies are read by the side table's
+            // executor-side scan, never at plan time
+            attachRefs += ((pos, len)); skipFully(in, len)
+          case OpMetadata =>
+            metaRefs += ((pos, len)); skipFully(in, len)
           case _ => skipFully(in, len)
         }
         pos += 9 + len
@@ -330,7 +394,7 @@ object McapFormat {
     McapIndex(schemas.toMap, channels.toMap,
       (if (summaryStart > 0) chunksFromSummary else chunksFromWalk)
         .sortBy(_.fileOffset).toSeq,
-      inline.toSeq, statistics)
+      inline.toSeq, statistics, attachRefs.toSeq, metaRefs.toSeq)
   }
 
   /** Resumable state of a TOLERANT data-section walk over a

@@ -43,15 +43,31 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
   * ignored (the writer re-derives layout and ids).
   */
 object McapSinkWrite {
-  /** Harvest (schema_name -> (encoding, definition bytes)) from an
-    * existing mcap path, driver-side on the bounded pool — the
-    * dimension is tiny (distinct message types), the files are many.
+  /** Harvest (schema_name -> (encoding, definition bytes)) from ANY
+    * container path — mcap Schema records verbatim, db3
+    * message_definitions as ros2msg/ros2idl schemas, rosbag1
+    * connection records as ros1msg schemas (all registered MCAP
+    * schema encodings, so nothing here is cross-dialect). Driver-side
+    * on the bounded pool — the dimension is tiny (distinct message
+    * types), the files are many.
     */
   private[mcap] def harvestDefs(path: String): Map[String, (String, Array[Byte])] =
-    graft.ros.DriverPool.parMap(McapIO.resolveFiles(path)) { f =>
-      McapIO.scanIndex(f).schemas.values.toSeq
-    }.flatten.map(s => s.name -> (s.encoding, s.data)).toMap
+    graft.ros.DefsHarvest.dedupe(graft.ros.DefsHarvest.fromPath(path))
+      .map(d => d.name -> (d.encoding, d.data)).toMap
 }
+
+/** The write-side knobs, threaded once from the builder to every
+  * task. `profile` lands in the header record: "ros2" (the default —
+  * ros2 recordings are the dominant producer) is only CONFORMANT when
+  * every channel is cdr/ros2msg-shaped, so writers of protobuf or
+  * mixed-dialect archives should pass "" (the spec's "no profile") or
+  * their own profile string via `option("profile", ...)` —
+  * [[graft.ros.Convert]] sets this automatically from the sources'
+  * message encodings.
+  */
+private[mcap] final case class McapSinkConf(compression: String,
+    chunkBytes: Int, defs: Map[String, (String, Array[Byte])],
+    profile: String)
 
 /** Incremental single-file MCAP writer: magic+header up front, then
   * one Chunk record per ~`chunkBytesTarget` raw bytes (schema/channel
@@ -66,7 +82,8 @@ object McapSinkWrite {
   */
 final class McapStreamingWriter(out: OutputStream, compression: String,
     chunkBytesTarget: Int,
-    schemaDefs: Map[String, (String, Array[Byte])] = Map.empty) {
+    schemaDefs: Map[String, (String, Array[Byte])] = Map.empty,
+    profile: String = "ros2") {
   import McapFormat._
 
   private var pos = 0L
@@ -77,7 +94,7 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
   emit(Magic)
   locally {
     val h = new ByteArrayOutputStream()
-    wStr(h, "ros2"); wStr(h, "graft")
+    wStr(h, profile); wStr(h, "graft")
     emit(record(OpHeader, h.toByteArray))
   }
 
@@ -115,25 +132,31 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
       s"mcap sequence is uint32, got $sequence (pmod or zero it before writing)")
     require(logTime >= 0L && publishTime >= 0L,
       s"mcap timestamps are unsigned, got log_time=$logTime publish_time=$publishTime")
-    val sch = schemas.getOrElseUpdate((schemaName, schemaEncoding), {
-      require(schemas.size < 0xFFFF,
-        s"mcap schema ids are uint16: partition exceeds 65534 distinct schemas")
-      // the defs side-channel wins on definition bytes; its encoding
-      // too when the row left schema_encoding empty (prepared frames)
-      val (enc, defBytes) = schemaDefs.get(schemaName) match {
-        case Some((e, b)) =>
-          (if (schemaEncoding.nonEmpty) schemaEncoding else e, b)
-        case None => (schemaEncoding, Array.emptyByteArray)
-      }
-      val s = McapSchema(schemas.size + 1, schemaName, enc, defBytes)
-      chunk.write(schemaRec(s))
-      s
-    })
-    val ch = channels.getOrElseUpdate((topic, sch.id, messageEncoding), {
+    // the MCAP spec requires Schema.name non-empty; a schema-less row
+    // (McapExport.prepare's default, Convert inputs with empty type)
+    // uses the spec's schema_id 0 "no schema" convention instead of
+    // registering an invalid empty-named Schema record
+    val schemaId: Int =
+      if (schemaName.isEmpty) 0
+      else schemas.getOrElseUpdate((schemaName, schemaEncoding), {
+        require(schemas.size < 0xFFFF,
+          s"mcap schema ids are uint16: partition exceeds 65534 distinct schemas")
+        // the defs side-channel wins on definition bytes; its encoding
+        // too when the row left schema_encoding empty (prepared frames)
+        val (enc, defBytes) = schemaDefs.get(schemaName) match {
+          case Some((e, b)) =>
+            (if (schemaEncoding.nonEmpty) schemaEncoding else e, b)
+          case None => (schemaEncoding, Array.emptyByteArray)
+        }
+        val s = McapSchema(schemas.size + 1, schemaName, enc, defBytes)
+        chunk.write(schemaRec(s))
+        s
+      }).id
+    val ch = channels.getOrElseUpdate((topic, schemaId, messageEncoding), {
       require(channels.size < 0xFFFF,
         s"mcap channel ids are uint16: partition exceeds 65534 distinct " +
           "(topic, schema, encoding) channels — repartition by topic first")
-      val c = McapChannel(channels.size + 1, sch.id, topic, messageEncoding)
+      val c = McapChannel(channels.size + 1, schemaId, topic, messageEncoding)
       chunk.write(channelRec(c))
       c
     })
@@ -148,6 +171,40 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
     if (logTime < chunkMin) chunkMin = logTime
     if (logTime > chunkMax) chunkMax = logTime
     if (chunk.size() >= chunkBytesTarget) flushChunk()
+  }
+
+  private var attachCount = 0L
+  private var metaCount = 0L
+
+  /** Write an Attachment record (op 0x09) — a calibration blob, URDF,
+    * firmware dump riding along with the messages. Top-level records:
+    * the current chunk flushes first (attachments may never live
+    * inside a chunk). The crc field is computed per spec (CRC32 of
+    * the record fields preceding it).
+    */
+  def writeAttachment(logTime: Long, createTime: Long, name: String,
+      mediaType: String, data: Array[Byte]): Unit = {
+    flushChunk()
+    val p = new ByteArrayOutputStream()
+    wLeLong(p, logTime); wLeLong(p, createTime)
+    wStr(p, name); wStr(p, mediaType)
+    wLeLong(p, data.length.toLong); p.write(data)
+    val body = p.toByteArray
+    val crc = new java.util.zip.CRC32(); crc.update(body, 0, body.length)
+    wLeInt(p, crc.getValue)
+    emit(record(OpAttachment, p.toByteArray))
+    attachCount += 1
+  }
+
+  /** Write a Metadata record (op 0x0C): a named string→string map. */
+  def writeMetadata(name: String, kv: Seq[(String, String)]): Unit = {
+    flushChunk()
+    val m = new ByteArrayOutputStream()
+    kv.foreach { case (k, v) => wStr(m, k); wStr(m, v) }
+    val p = new ByteArrayOutputStream()
+    wStr(p, name); wLeInt(p, m.size.toLong); p.write(m.toByteArray)
+    emit(record(OpMetadata, p.toByteArray))
+    metaCount += 1
   }
 
   private def flushChunk(): Unit = {
@@ -203,7 +260,7 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
     wLeLong(st, total)
     wLeShort(st, schemas.size)
     wLeInt(st, channels.size.toLong)
-    wLeInt(st, 0L); wLeInt(st, 0L) // attachments, metadata
+    wLeInt(st, attachCount); wLeInt(st, metaCount)
     wLeInt(st, chunkRefs.size.toLong)
     wLeLong(st, if (total == 0L) 0L else minT)
     wLeLong(st, if (total == 0L) 0L else maxT)
@@ -266,7 +323,9 @@ class McapWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilde
       .getOrElse(4 * 1024 * 1024)
     val defs = Option(opts.get("schema_defs_from"))
       .map(McapSinkWrite.harvestDefs).getOrElse(Map.empty)
-    new McapWrite(path, ords, compression, chunkBytes, defs, truncateFirst,
+    val profile = Option(opts.get("profile")).getOrElse("ros2")
+    new McapWrite(path, ords,
+      McapSinkConf(compression, chunkBytes, defs, profile), truncateFirst,
       info.queryId())
   }
 }
@@ -275,16 +334,15 @@ private[mcap] final case class McapWriteOrdinals(topic: Int, schemaName: Int,
     schemaEncoding: Int, messageEncoding: Int, sequence: Int, logTime: Int,
     publishTime: Int, data: Int)
 
-class McapWrite(path: String, ords: McapWriteOrdinals, compression: String,
-    chunkBytes: Int, defs: Map[String, (String, Array[Byte])],
+class McapWrite(path: String, ords: McapWriteOrdinals, conf: McapSinkConf,
     truncateFirst: Boolean, queryId: String) extends Write {
   override def toBatch: BatchWrite =
-    new McapBatchWrite(path, ords, compression, chunkBytes, defs, truncateFirst)
+    new McapBatchWrite(path, ords, conf, truncateFirst)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!truncateFirst,
       "mcap streaming write supports the Append output mode only " +
         "(a container directory cannot be truncated per epoch)")
-    new McapStreamingSinkWrite(path, ords, compression, chunkBytes, defs, queryId)
+    new McapStreamingSinkWrite(path, ords, conf, queryId)
   }
 }
 
@@ -299,8 +357,7 @@ class McapWrite(path: String, ords: McapWriteOrdinals, compression: String,
   * abort deletes that epoch's committed files.
   */
 class McapStreamingSinkWrite(dir: String, ords: McapWriteOrdinals,
-    compression: String, chunkBytes: Int,
-    defs: Map[String, (String, Array[Byte])], queryId: String)
+    conf: McapSinkConf, queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   locally {
     val p = new Path(dir)
@@ -310,14 +367,17 @@ class McapStreamingSinkWrite(dir: String, ords: McapWriteOrdinals,
   private val qid = queryId.take(8)
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    McapStreamWriterFactory(dir, qid, ords, compression, chunkBytes, defs)
+    McapStreamWriterFactory(dir, qid, ords, conf)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     // reconcile: a replay with fewer partitions than the crashed
     // attempt must not leave the extra per-partition files behind as
     // duplicates — delete this (query, epoch)'s files not re-committed
     graft.ros.ContainerStreamReconcile.sweep(
       new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()), dir,
-      ("part-\\d{5}-q" + java.util.regex.Pattern.quote(qid) +
+      // \d{5,}: the %05d stems widen past five digits at >=100k
+      // partitions — a fixed {5} would leave those files invisible to
+      // the sweep, silently keeping duplicates after a shrunken replay
+      ("part-\\d{5,}-q" + java.util.regex.Pattern.quote(qid) +
         "-e" + epochId + "\\.mcap").r,
       messages.collect { case McapFileCommit(p, _) if p != null =>
         new Path(p).getName }.toSet)
@@ -332,21 +392,19 @@ class McapStreamingSinkWrite(dir: String, ords: McapWriteOrdinals,
 }
 
 private[mcap] final case class McapStreamWriterFactory(dir: String, qid: String,
-    ords: McapWriteOrdinals, compression: String, chunkBytes: Int,
-    defs: Map[String, (String, Array[Byte])])
+    ords: McapWriteOrdinals, conf: McapSinkConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new McapDataWriter(dir, f"part-$partitionId%05d-q$qid-e$epochId", ords,
-      compression, chunkBytes, defs, partitionId, attemptTag = s"-t$taskId")
+      conf, partitionId, attemptTag = s"-t$taskId")
 }
 
 private[mcap] final case class McapFileCommit(path: String, rows: Long)
   extends WriterCommitMessage
 
-class McapBatchWrite(dir: String, ords: McapWriteOrdinals, compression: String,
-    chunkBytes: Int, defs: Map[String, (String, Array[Byte])],
-    truncateFirst: Boolean) extends BatchWrite {
+class McapBatchWrite(dir: String, ords: McapWriteOrdinals,
+    conf: McapSinkConf, truncateFirst: Boolean) extends BatchWrite {
 
   private val jobId = java.util.UUID.randomUUID().toString.take(8)
 
@@ -367,7 +425,7 @@ class McapBatchWrite(dir: String, ords: McapWriteOrdinals, compression: String,
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    McapWriterFactory(dir, jobId, ords, compression, chunkBytes, defs)
+    McapWriterFactory(dir, jobId, ords, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
@@ -387,11 +445,10 @@ class McapBatchWrite(dir: String, ords: McapWriteOrdinals, compression: String,
 }
 
 private[mcap] final case class McapWriterFactory(dir: String, jobId: String,
-    ords: McapWriteOrdinals, compression: String, chunkBytes: Int,
-    defs: Map[String, (String, Array[Byte])]) extends DataWriterFactory {
+    ords: McapWriteOrdinals, conf: McapSinkConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new McapDataWriter(dir, f"part-$partitionId%05d-$taskId-$jobId", ords,
-      compression, chunkBytes, defs, partitionId)
+      conf, partitionId)
 }
 
 /** One task's file: `<stem>.mcap`, written to a dotted in-progress
@@ -401,8 +458,7 @@ private[mcap] final case class McapWriterFactory(dir: String, jobId: String,
   * its previous attempt's file instead of duplicating it.
   */
 class McapDataWriter(dir: String, stem: String,
-    ords: McapWriteOrdinals, compression: String, chunkBytes: Int,
-    defs: Map[String, (String, Array[Byte])], partitionId: Int,
+    ords: McapWriteOrdinals, conf: McapSinkConf, partitionId: Int,
     attemptTag: String = "")
     extends DataWriter[InternalRow] {
 
@@ -425,7 +481,8 @@ class McapDataWriter(dir: String, stem: String,
   override def write(row: InternalRow): Unit = {
     if (writer == null) {
       stream = new java.io.BufferedOutputStream(fs.create(tmpPath, true), 1 << 16)
-      writer = new McapStreamingWriter(stream, compression, chunkBytes, defs)
+      writer = new McapStreamingWriter(stream, conf.compression,
+        conf.chunkBytes, conf.defs, conf.profile)
     }
     nonNull(row, ords.topic, "topic")
     nonNull(row, ords.logTime, "log_time")

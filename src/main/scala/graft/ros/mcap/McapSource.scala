@@ -33,22 +33,30 @@ import org.apache.spark.unsafe.types.UTF8String
 class McapDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "mcap"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Option(options.get("schema_name")) match {
-      case Some(sn) =>
+    (Option(options.get("table")), Option(options.get("schema_name"))) match {
+      case (Some(t), _) =>
+        McapSideTables.tableFor(t, McapDataSource.pathSpec(options)).schema()
+      case (None, Some(sn)) =>
         val t = McapTypedRead.resolveTarget(McapDataSource.pathSpec(options), sn,
           Option(options.get("schema_md5")))
         McapTypedRead.typedSchema(
           McapPayload.bundle(t.encoding, t.schemaName, t.schemaData),
           options.getBoolean("includeRaw", false))
-      case None => McapDataSource.SpineSchema
+      case (None, None) => McapDataSource.SpineSchema
     }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     // case-SENSITIVE properties here vs the case-insensitive inferSchema
     // view — same pitfall as the rosbag source; normalize first
     val opts = new CaseInsensitiveStringMap(properties)
-    new McapTable(McapDataSource.pathSpec(opts), Option(opts.get("schema_name")),
-      opts.getBoolean("includeRaw", false), Option(opts.get("schema_md5")))
+    Option(opts.get("table")) match {
+      case Some(t) =>
+        // non-message payloads: attachments / metadata side tables
+        McapSideTables.tableFor(t, McapDataSource.pathSpec(opts))
+      case None =>
+        new McapTable(McapDataSource.pathSpec(opts), Option(opts.get("schema_name")),
+          opts.getBoolean("includeRaw", false), Option(opts.get("schema_md5")))
+    }
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -501,6 +509,21 @@ object McapIO {
     (p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()), p)
   }
 
+  /** One record's PAYLOAD bytes at a known location — the side-table
+    * scans' executor-side read (attachment/metadata refs carry
+    * (recordOffset, payloadLen); the 9-byte record header is skipped).
+    */
+  def readPayload(path: String, recordOffset: Long, payloadLen: Long): Array[Byte] = {
+    val (filesystem, p) = fs(path)
+    val in = filesystem.open(p)
+    try {
+      in.seek(recordOffset + 9)
+      val b = new Array[Byte](payloadLen.toInt)
+      in.readFully(b)
+      b
+    } finally in.close()
+  }
+
   /** file / directory (*.mcap children) / glob / newline-separated
     * pre-resolved list (McapDataSource.filesSpec) → sorted qualified
     * URIs, same determinism contract as RosbagIO.resolveBags.
@@ -774,4 +797,15 @@ object McapTables {
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /** Attachment records as a DataFrame (executor-side body reads —
+    * see [[McapSideTables]]); equivalent to
+    * `spark.read.format("mcap").option("table", "attachments")`.
+    */
+  def attachments(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("mcap").option("table", "attachments").load(path)
+
+  /** Metadata records exploded to (file_path, name, key, value). */
+  def metadata(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("mcap").option("table", "metadata").load(path)
 }

@@ -38,7 +38,9 @@ class ConvertSpec extends SparkTestBase {
           Seq(Seq[Any](null, "/db3_topic", "std_msgs/msg/String", "cdr", ""))),
         ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)",
           (0 until 3).map(i => Seq[Any](null, 1L, 300000000000L + i * 1000000000L,
-            CdrCodec.encode(r2, Seq(s"d$i"))))))))
+            CdrCodec.encode(r2, Seq(s"d$i"))))),
+        ("message_definitions", "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY, topic_type TEXT, encoding TEXT, encoded_message_definition TEXT, type_hash TEXT)",
+          Seq(Seq[Any](null, "std_msgs/msg/String", "ros2msg", strDef, ""))))))
     dir.getAbsolutePath
   }
 
@@ -67,8 +69,11 @@ class ConvertSpec extends SparkTestBase {
 
   test("transform in the middle: filter + target rosbag's (sec, nsec) convention") {
     val o = out("bag")
+    // the mcap rows are cdr — embedding them in a .bag needs the
+    // explicit foreign-encoding opt-in (guard test below)
     Convert.run(spark, mixedDir, o, "rosbag", partitions = 1,
-      transform = _.filter(col("container") =!= "db3"))
+      transform = _.filter(col("container") =!= "db3"),
+      options = Map("allow_foreign_encoding" -> "true"))
     val back = spark.read.format("rosbag").load(o)
     assert(back.count() === 9) // 5 bag + 4 mcap, db3 filtered out
     // ns -> (sec, nsec): the mcap rows' 200e9.. land at time_sec 200..
@@ -120,5 +125,143 @@ class ConvertSpec extends SparkTestBase {
     val grouped = back.groupBy("topic").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(grouped === Map("/bag_topic" -> 5L, "/mcap_topic" -> 4L, "/db3_topic" -> 3L))
+  }
+
+  test("foreign-encoding guard: cdr payloads into a .bag fail loudly without the opt-in") {
+    val o = out("guard")
+    val ex = intercept[Exception] {
+      Convert.run(spark, mixedDir, o, "rosbag", partitions = 1,
+        transform = _.filter(col("container") === "mcap"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val all = messages(ex).mkString("\n")
+    assert(all.contains("allow_foreign_encoding"),
+      s"expected the foreign-encoding guard, got: $all")
+    // ros1-only inputs pass with no opt-in
+    val o2 = out("guard_ok")
+    Convert.run(spark, mixedDir, o2, "rosbag", partitions = 1,
+      transform = _.filter(col("container") === "rosbag"))
+    assert(spark.read.format("rosbag").load(o2).count() === 5)
+  }
+
+  test("time layout (default): disjoint file ranges and chunk pruning on the converted archive") {
+    val oT = out("laytime")
+    val oR = out("layrr")
+    Convert.run(spark, mixedDir, oT, "mcap", partitions = 2,
+      options = Map("chunk_bytes" -> "256"))
+    Convert.run(spark, mixedDir, oR, "mcap", partitions = 2,
+      options = Map("chunk_bytes" -> "256"), layout = "roundrobin")
+    def fileRanges(o: String): Seq[(Long, Long)] =
+      new java.io.File(o).listFiles().toSeq
+        .filter(f => f.getName.endsWith(".mcap") && !f.getName.startsWith("."))
+        .map { f =>
+          val st = graft.ros.mcap.McapIO.scanIndex(f.getPath).stats.get
+          (st.messageStartTime, st.messageEndTime)
+        }.sortBy(_._1)
+    // time layout: the two files cover DISJOINT time ranges, and each
+    // file's chunks are internally disjoint too (sorted within the
+    // partition) — the layout the sinks' chunk indexes can prune
+    val rT = fileRanges(oT)
+    assert(rT.size === 2)
+    assert(rT(0)._2 < rT(1)._1, s"time-layout files must be disjoint: $rT")
+    new java.io.File(oT).listFiles()
+      .filter(f => f.getName.endsWith(".mcap") && !f.getName.startsWith("."))
+      .foreach { f =>
+        val chunks = graft.ros.mcap.McapIO.scanIndex(f.getPath).chunks
+          .sortBy(_.messageStartTime)
+        chunks.sliding(2).foreach {
+          case Seq(a, b) => assert(a.messageEndTime <= b.messageStartTime,
+            s"chunks must be time-disjoint in ${f.getName}")
+          case _ => ()
+        }
+      }
+    // round-robin: every output file spans the whole corpus range
+    val rR = fileRanges(oR)
+    assert(rR.size === 2)
+    assert(rR(0)._2 > rR(1)._1, s"round-robin files overlap by construction: $rR")
+    // and pruning FIRES on the time layout: a db3-era time filter
+    // plans strictly fewer chunk partitions than the full read
+    def parts(o: String, cut: Boolean): Int = {
+      val df = spark.read.format("mcap").load(o)
+      (if (cut) df.filter(col("log_time") >= 300000000000L) else df)
+        .rdd.getNumPartitions
+    }
+    assert(parts(oT, cut = true) < parts(oT, cut = false),
+      "time-range read of a time-laid-out convert must prune chunks")
+    assert(spark.read.format("mcap").load(oT)
+      .filter(col("log_time") >= 300000000000L).count() === 3)
+  }
+
+  test("definitions auto-carry: typed re-reads of converted output need no manual options") {
+    // bag -> bag: connection records (md5 + msg text) travel
+    val oBag = out("defs_bag")
+    Convert.run(spark, mixedDir, oBag, "rosbag", partitions = 1,
+      transform = _.filter(col("container") === "rosbag"))
+    val bagTyped = spark.read.format("rosbag")
+      .option("datatype", "std_msgs/String").load(oBag)
+    assert(bagTyped.select("data_field").collect().map(_.getString(0)).toSet
+      === (0 until 5).map(i => s"b$i").toSet)
+
+    // mcap -> mcap: Schema records travel
+    val oM = out("defs_mcap")
+    Convert.run(spark, mixedDir, oM, "mcap", partitions = 1,
+      transform = _.filter(col("container") === "mcap"))
+    val mcapTyped = spark.read.format("mcap")
+      .option("schema_name", "std_msgs/msg/String").load(oM)
+    assert(mcapTyped.select("data_field").collect().map(_.getString(0)).toSet
+      === (0 until 4).map(i => s"m$i").toSet)
+
+    // db3 -> mcap: ros2msg defs cross containers within the dialect
+    val oX = out("defs_x")
+    Convert.run(spark, mixedDir, oX, "mcap", partitions = 1,
+      transform = _.filter(col("container") === "db3"))
+    val xTyped = spark.read.format("mcap")
+      .option("schema_name", "std_msgs/msg/String").load(oX)
+    assert(xTyped.select("data_field").collect().map(_.getString(0)).toSet
+      === (0 until 3).map(i => s"d$i").toSet)
+  }
+
+  test("mcap profile auto-conforms to the sources: mixed dialects -> no-profile, cdr-only -> ros2") {
+    import graft.ros.mcap.McapFormat
+    def profileOf(o: String): String = {
+      val f = new java.io.File(o).listFiles()
+        .filter(x => x.getName.endsWith(".mcap") && !x.getName.startsWith("."))
+        .head
+      val b = java.nio.file.Files.readAllBytes(f.toPath)
+      val off = McapFormat.Magic.length + 9 // magic + op + record length
+      new String(b, off + 4, McapFormat.leInt(b, off).toInt, "UTF-8")
+    }
+    // the mixed dir carries ros1 + cdr payloads: a "ros2" profile
+    // would violate the profile's cdr-only channel requirement
+    val oMixed = out("prof_mixed")
+    Convert.run(spark, mixedDir, oMixed, "mcap", partitions = 1)
+    assert(profileOf(oMixed) === "")
+    // a cdr-only source keeps the conformant ros2 profile
+    val oCdr = out("prof_cdr")
+    Convert.run(spark, mixedDir + "/c.db3", oCdr, "mcap", partitions = 1)
+    assert(profileOf(oCdr) === "ros2")
+  }
+
+  test("explicit cross-dialect defs fail loudly; foreign_defs=skip carries the subset") {
+    // naming the mixed dir as a db3 defs source harvests the bag's
+    // ros1msg definition too — a translation the engine refuses
+    val o = out("defs_strict")
+    val ex = intercept[Exception] {
+      Convert.run(spark, mixedDir, o, "db3", partitions = 1,
+        options = Map("schema_defs_from" -> mixedDir))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).mkString("\n").contains("foreign_defs=skip"))
+    // the auto-wire (no explicit option) skips the foreign subset and
+    // the ros2 definitions still land: typed db3 read decodes
+    val o2 = out("defs_skip")
+    Convert.run(spark, mixedDir, o2, "db3", partitions = 1,
+      transform = _.filter(col("container") === "db3"))
+    val typed = spark.read.format("db3")
+      .option("path", o2).option("schema_name", "std_msgs/msg/String").load()
+    assert(typed.select("data_field").collect().map(_.getString(0)).toSet
+      === (0 until 3).map(i => s"d$i").toSet)
   }
 }

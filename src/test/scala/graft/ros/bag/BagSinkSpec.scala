@@ -245,6 +245,27 @@ class BagSinkSpec extends SparkTestBase {
     assert(vals === (0 until 8).map(i => s"m-$i").toSet)
   }
 
+  test("task abort closes the scratch writer: no fd leaked to the deleted temp file") {
+    val src = sourceDir(8)
+    val out = Files.createTempDirectory("bag_sink_abortfd").toString + "/export"
+    // rows 0..5 write fine (the scratch writer opens), then a null
+    // topic fails the task -> abort must CLOSE the scratch stream
+    // before deleting the file, or the executor keeps an fd to a
+    // deleted file until GC (slow fd exhaustion under speculation)
+    val poisoned = spark.read.format("rosbag").load(src)
+      .withColumn("topic",
+        when(col("time_sec") >= lit(1700000006), lit(null).cast("string"))
+          .otherwise(col("topic")))
+    intercept[Exception] {
+      poisoned.coalesce(1).write.format("rosbag").mode("append").save(out)
+    }
+    val leaked = new java.io.File("/proc/self/fd").listFiles().toSeq
+      .flatMap(f => scala.util.Try(
+        java.nio.file.Files.readSymbolicLink(f.toPath).toString).toOption)
+      .filter(_.contains("graft_bag_sink_"))
+    assert(leaked.isEmpty, s"aborted bag task leaked scratch fds: $leaked")
+  }
+
   test("mode overwrite replaces previous files") {
     val src = sourceDir(12)
     val out = Files.createTempDirectory("bag_sink_ow").toString + "/export"

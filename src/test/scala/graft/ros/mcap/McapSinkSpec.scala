@@ -71,6 +71,50 @@ class McapSinkSpec extends SparkTestBase {
     assert(vals === (0 until 8).map(i => s"m-$i").toSet)
   }
 
+  test("empty schema_name exports as schema_id 0, never an empty-named Schema record") {
+    // the MCAP spec requires Schema.name non-empty and reserves
+    // schema_id 0 for "no schema" — strict linters reject the former
+    val out = Files.createTempDirectory("mcap_sink_schema0").toString + "/export"
+    val df = spark.range(4).select(
+      concat(lit("raw-"), col("id").cast("string")).cast("binary").as("payload"),
+      (lit(1700000000000000000L) + col("id")).as("ts"))
+    McapExport.prepare(df, topic = lit("/blob"), logTimeNs = col("ts"),
+      data = col("payload")).coalesce(1)
+      .write.format("mcap").mode("append").save(out)
+    val f = new java.io.File(out).listFiles()
+      .filter(x => x.getName.endsWith(".mcap") && !x.getName.startsWith(".")).head
+    val idx = McapIO.scanIndex(f.getPath)
+    assert(idx.schemas.isEmpty, "no Schema record may carry an empty name")
+    assert(idx.channels.values.forall(_.schemaId == 0))
+    val back = spark.read.format("mcap").load(out)
+    assert(back.count() === 4)
+    assert(back.select("schema_name").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq(""))
+  }
+
+  private def profileOf(path: String): String = {
+    val b = java.nio.file.Files.readAllBytes(new java.io.File(path).toPath)
+    var o = Magic.length
+    assert(b(o) === OpHeader.toByte)
+    o += 9 // op byte + 8-byte record length
+    val n = leInt(b, o).toInt
+    new String(b, o + 4, n, "UTF-8")
+  }
+
+  test("profile is a write option: ros2 by default, '' = the spec's no-profile") {
+    val src = sourceDir(4)
+    val outDefault = Files.createTempDirectory("mcap_sink_prof1").toString + "/export"
+    val outNone = Files.createTempDirectory("mcap_sink_prof2").toString + "/export"
+    val df = spark.read.format("mcap").load(src).coalesce(1)
+    df.write.format("mcap").mode("append").save(outDefault)
+    df.write.format("mcap").mode("append").option("profile", "").save(outNone)
+    def firstMcap(o: String): String = new java.io.File(o).listFiles()
+      .filter(x => x.getName.endsWith(".mcap") && !x.getName.startsWith("."))
+      .head.getPath
+    assert(profileOf(firstMcap(outDefault)) === "ros2")
+    assert(profileOf(firstMcap(outNone)) === "")
+  }
+
   test("mode overwrite replaces previous files; metadata pushdown reads the new summary") {
     val src = sourceDir(12)
     val out = Files.createTempDirectory("mcap_sink_ow").toString + "/export"
