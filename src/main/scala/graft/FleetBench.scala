@@ -217,6 +217,51 @@ object FleetBench {
       "mixed spine count")
     results += "mixed_spine_sec" -> Bench.rk(mixSec).toString
 
+    // CONVERT at fleet scale — the headline feature's end-to-end
+    // lifecycle: the whole 3-format directory normalized into one
+    // time-clustered mcap archive (defs auto-carried), then the
+    // layout claim measured: a time-range read of the converted
+    // archive must plan fewer chunk partitions AND cost less than the
+    // full scan, because the sink's ChunkIndex ranges are tight under
+    // layout=time (round-robin would smear every chunk across the
+    // corpus and prune nothing).
+    val convOut = new java.io.File(dir.getParentFile,
+      s"graft_fleet_convert_$n").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(convOut))
+    val inBytes = new java.io.File(path).listFiles()
+      .filter(_.isFile).map(_.length()).sum
+    val (convSec, _) = timed(graft.ros.Convert.run(spark, path, convOut,
+      "mcap", partitions = cpus.toInt))
+    val outFiles = new java.io.File(convOut).listFiles()
+      .filter(f => f.getName.endsWith(".mcap") && !f.getName.startsWith("."))
+    val outChunks = outFiles.map(f =>
+      graft.ros.mcap.McapIO.scanIndex(f.getPath).chunks.size).sum
+    results += "convert_sec" -> Bench.rk(convSec).toString
+    results += "convert_mb_s" -> Bench.rk(inBytes / 1e6 / convSec).toString
+    results += "convert_out_files" -> outFiles.length.toString
+    results += "convert_out_chunks" -> outChunks.toString
+
+    // pruned vs unpruned read of the converted archive: scan cost is
+    // forced through the data column (a bare count() would answer
+    // from the Statistics records and time nothing)
+    def convRead = spark.read.format("mcap").load(convOut)
+    def scanCost(df: DataFrame): Long =
+      df.agg(sum(length(col("data")))).head().getLong(0)
+    val cut = 1700000000000000000L + (n.toLong / 10) * 1000000L
+    val (convPlanSec, fullPartsN) = medianOf3(convRead.rdd.partitions.length)
+    val prunedPartsN =
+      convRead.filter(col("log_time") < cut).rdd.partitions.length
+    require(prunedPartsN < fullPartsN,
+      s"converted archive must prune: $prunedPartsN !< $fullPartsN")
+    val (fullScanSec, _) = medianOf3(scanCost(convRead))
+    val (rangeScanSec, _) = medianOf3(
+      scanCost(convRead.filter(col("log_time") < cut)))
+    results += "convert_full_partitions" -> fullPartsN.toString
+    results += "convert_range_partitions" -> prunedPartsN.toString
+    results += "convert_full_scan_sec" -> Bench.rk(fullScanSec).toString
+    results += "convert_range_scan_sec" -> Bench.rk(rangeScanSec).toString
+    results += "convert_plan_sec" -> Bench.rk(convPlanSec).toString
+
     val kv = results.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val line = s"""{"metric":"fleet_bench","files":${3 * n},""" +
       s""""per_format":$n,"gen_sec":${Bench.rk(genSec)},$kv,""" +

@@ -299,7 +299,8 @@ class BagStreamingSinkWrite(dir: String, ords: BagWriteOrdinals,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     BagStreamWriterFactory(dir, qid, ords, compression, chunkBytes, defs)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val commits = messages.collect { case c: BagFileCommit if c.path != null => c }
     // reconcile: a replay with fewer partitions than the crashed
     // attempt must not leave the extra per-partition files behind
     graft.ros.ContainerStreamReconcile.sweep(
@@ -309,13 +310,15 @@ class BagStreamingSinkWrite(dir: String, ords: BagWriteOrdinals,
       // the sweep, silently keeping duplicates after a shrunken replay
       ("part-\\d{5,}-q" + java.util.regex.Pattern.quote(qid) +
         "-e" + epochId + "\\.bag").r,
-      messages.collect { case BagFileCommit(p, _) if p != null =>
-        new Path(p).getName }.toSet)
+      commits.map(c => new Path(c.path).getName).toSet)
+    graft.ros.SinkEpochMetrics.record(qid, epochId,
+      commits.map(_.rows).sum, commits.length.toLong, commits.map(_.bytes).sum)
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(RosbagIO.hadoopConf())
     messages.foreach {
-      case BagFileCommit(p, _) if p != null =>
-        fs.delete(new Path(p), false); ()
+      case c: BagFileCommit if c.path != null =>
+        fs.delete(new Path(c.path), false); ()
       case _ => ()
     }
   }
@@ -331,7 +334,8 @@ private[bag] final case class BagStreamWriterFactory(dir: String, qid: String,
       compression, chunkBytes, defs, partitionId, attemptTag = s"-t$taskId")
 }
 
-private[bag] final case class BagFileCommit(path: String, rows: Long)
+private[bag] final case class BagFileCommit(path: String, rows: Long,
+    bytes: Long = 0L)
   extends WriterCommitMessage
 
 class BagBatchWrite(dir: String, ords: BagWriteOrdinals, compression: String,
@@ -366,8 +370,8 @@ class BagBatchWrite(dir: String, ords: BagWriteOrdinals, compression: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(RosbagIO.hadoopConf())
     messages.foreach {
-      case BagFileCommit(p, _) if p != null =>
-        fs.delete(new Path(p), false); ()
+      case c: BagFileCommit if c.path != null =>
+        fs.delete(new Path(c.path), false); ()
       case _ => ()
     }
   }
@@ -427,14 +431,15 @@ class BagDataWriter(dir: String, stem: String,
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer == null) return BagFileCommit(null, 0L)
+    if (writer == null) return BagFileCommit(null, 0L, 0L)
     writer.finish()
+    var uploaded = 0L
     val in = new java.io.FileInputStream(local)
     val out = fs.create(tmpPath, true)
     try {
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0) { out.write(buf, 0, n); uploaded += n; n = in.read(buf) }
     } finally {
       // independent closes: a throwing in.close() must not leak the
       // remote stream (an unclosed object-store stream can leave a
@@ -447,7 +452,7 @@ class BagDataWriter(dir: String, stem: String,
     if (fs.exists(finalPath)) fs.delete(finalPath, false)
     require(fs.rename(tmpPath, finalPath),
       s"rosbag write: rename $tmpPath -> $finalPath failed")
-    BagFileCommit(finalPath.toString, writer.rowCount)
+    BagFileCommit(finalPath.toString, writer.rowCount, uploaded)
   }
 
   override def abort(): Unit = {

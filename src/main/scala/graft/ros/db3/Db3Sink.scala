@@ -171,6 +171,9 @@ class Db3StreamingSinkWrite(dir: String, ords: Db3WriteOrdinals,
       commits.flatMap(_.paths).map(p => new Path(p).getName).toSet)
     Db3BatchWrite.mergeMetadata(fs, dir, commits, truncate = false,
       epoch = Some((qid, epochId)), compression = compression)
+    graft.ros.SinkEpochMetrics.record(qid, epochId,
+      commits.map(_.rows).sum, commits.map(_.paths.size.toLong).sum,
+      commits.map(_.bytes).sum)
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(Db3IO.hadoopConf())
@@ -210,7 +213,7 @@ private[db3] final case class Db3StreamWriterFactory(dir: String, qid: String,
 
 private[db3] final case class Db3FilesCommit(paths: Seq[String], rows: Long,
     topicCounts: Seq[((String, String, String), Long)],
-    minTs: Long, maxTs: Long)
+    minTs: Long, maxTs: Long, bytes: Long = 0L)
   extends WriterCommitMessage
 
 /** The bag-directory `metadata.yaml` rosbag2 tooling locates storage
@@ -546,6 +549,7 @@ class Db3DataWriter(dir: String, stem: String,
   private var batchBytes = 0L
   private var fileSeq = 0
   private var total = 0L
+  private var bytesOut = 0L
   // metadata.yaml inputs, carried on the commit message: per-topic
   // counts (tiny dimension) + the task's time range
   private val topicStats =
@@ -625,6 +629,7 @@ class Db3DataWriter(dir: String, stem: String,
     val tmp = new Path(dir, f".$stem-$fileSeq%04d$attemptTag%s$ext%s.inprogress")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
+    bytesOut += bytes.length
     rolled += ((tmp, fin))
     fileSeq += 1
     batch.clear()
@@ -645,7 +650,7 @@ class Db3DataWriter(dir: String, stem: String,
       renamed += fin
     }
     Db3FilesCommit(rolled.map(_._2.toString).toSeq, total,
-      topicStats.toSeq, tsMin, tsMax)
+      topicStats.toSeq, tsMin, tsMax, bytesOut)
   }
 
   override def abort(): Unit = {

@@ -289,6 +289,8 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
   }
 
   def rowCount: Long = total
+  /** Bytes emitted so far (the whole file after `finish()`). */
+  def bytesWritten: Long = pos
 }
 
 class McapWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
@@ -368,7 +370,8 @@ class McapStreamingSinkWrite(dir: String, ords: McapWriteOrdinals,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     McapStreamWriterFactory(dir, qid, ords, conf)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val commits = messages.collect { case c: McapFileCommit if c.path != null => c }
     // reconcile: a replay with fewer partitions than the crashed
     // attempt must not leave the extra per-partition files behind as
     // duplicates — delete this (query, epoch)'s files not re-committed
@@ -379,13 +382,15 @@ class McapStreamingSinkWrite(dir: String, ords: McapWriteOrdinals,
       // the sweep, silently keeping duplicates after a shrunken replay
       ("part-\\d{5,}-q" + java.util.regex.Pattern.quote(qid) +
         "-e" + epochId + "\\.mcap").r,
-      messages.collect { case McapFileCommit(p, _) if p != null =>
-        new Path(p).getName }.toSet)
+      commits.map(c => new Path(c.path).getName).toSet)
+    graft.ros.SinkEpochMetrics.record(qid, epochId,
+      commits.map(_.rows).sum, commits.length.toLong, commits.map(_.bytes).sum)
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     messages.foreach {
-      case McapFileCommit(p, _) if p != null =>
-        fs.delete(new Path(p), false); ()
+      case c: McapFileCommit if c.path != null =>
+        fs.delete(new Path(c.path), false); ()
       case _ => ()
     }
   }
@@ -400,7 +405,8 @@ private[mcap] final case class McapStreamWriterFactory(dir: String, qid: String,
       conf, partitionId, attemptTag = s"-t$taskId")
 }
 
-private[mcap] final case class McapFileCommit(path: String, rows: Long)
+private[mcap] final case class McapFileCommit(path: String, rows: Long,
+    bytes: Long = 0L)
   extends WriterCommitMessage
 
 class McapBatchWrite(dir: String, ords: McapWriteOrdinals,
@@ -437,8 +443,8 @@ class McapBatchWrite(dir: String, ords: McapWriteOrdinals,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     messages.foreach {
-      case McapFileCommit(p, _) if p != null =>
-        fs.delete(new Path(p), false); ()
+      case c: McapFileCommit if c.path != null =>
+        fs.delete(new Path(c.path), false); ()
       case _ => ()
     }
   }
@@ -503,7 +509,7 @@ class McapDataWriter(dir: String, stem: String,
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer == null) return McapFileCommit(null, 0L)
+    if (writer == null) return McapFileCommit(null, 0L, 0L)
     writer.finish()
     stream.close()
     // a streaming epoch replay re-commits the same deterministic name;
@@ -512,7 +518,7 @@ class McapDataWriter(dir: String, stem: String,
     if (fs.exists(finalPath)) fs.delete(finalPath, false)
     require(fs.rename(tmpPath, finalPath),
       s"mcap write: rename $tmpPath -> $finalPath failed")
-    McapFileCommit(finalPath.toString, writer.rowCount)
+    McapFileCommit(finalPath.toString, writer.rowCount, writer.bytesWritten)
   }
 
   override def abort(): Unit = {
