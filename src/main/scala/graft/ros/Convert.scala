@@ -137,6 +137,10 @@ object Convert {
       inPath: String): Map[String, String] = {
     val optName = defsOptionName(format)
     if (options.keys.exists(_.equalsIgnoreCase(optName))) Map.empty
+    else if (options.keys.exists(_.equalsIgnoreCase("foreign_defs")))
+      // the user pinned the dialect policy (e.g. foreign_defs=error to
+      // make even the automatic harvest strict) — honor it
+      Map(optName -> inPath)
     else Map(optName -> inPath, "foreign_defs" -> "skip")
   }
 

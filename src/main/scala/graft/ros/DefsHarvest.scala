@@ -60,15 +60,25 @@ object DefsHarvest {
       case _ => Seq.empty
     }.filter(d => d.name.nonEmpty && d.data.nonEmpty)
 
-  /** First definition per type name wins (deterministic under
-    * [[fromPath]]'s ordering) — duplicate names across files are the
-    * same recorder's repeats; duplicate names across DIALECTS would be
-    * a naming collision no automatic choice can fix, so the stable
-    * pick + the target dialect filter decide.
+  /** One definition per type name, preferring an entry with a KNOWN
+    * md5sum over "*" (a bag connection's genuine checksum must not be
+    * shadowed by the same type harvested from an mcap Schema record,
+    * which never carries one); otherwise first-wins under
+    * [[fromPath]]'s deterministic ordering. Callers should filter to
+    * their target dialect FIRST — deduping across dialects would let
+    * a same-named foreign definition shadow a representable one.
     */
   def dedupe(defs: Seq[TypeDef]): Seq[TypeDef] = {
-    val seen = scala.collection.mutable.HashSet[String]()
-    defs.filter(d => seen.add(d.name))
+    val chosen = scala.collection.mutable.LinkedHashMap[String, TypeDef]()
+    defs.foreach { d =>
+      chosen.get(d.name) match {
+        case None => chosen(d.name) = d
+        case Some(prev) if prev.md5sum == "*" && d.md5sum != "*" =>
+          chosen(d.name) = d
+        case _ => ()
+      }
+    }
+    chosen.values.toSeq
   }
 
   /** The wire (MESSAGE) encodings present under `path`, from metadata

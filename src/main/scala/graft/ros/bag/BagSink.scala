@@ -47,8 +47,12 @@ object BagSinkWrite {
     */
   private[bag] def harvestConnDefs(path: String,
       foreign: String = "error"): Map[String, (String, String)] = {
-    val all = graft.ros.DefsHarvest.dedupe(graft.ros.DefsHarvest.fromPath(path))
-    val (ok, bad) = all.partition(_.encoding == "ros1msg")
+    // dialect filter BEFORE dedupe (a same-named ros2 definition must
+    // not shadow the ros1 one); dedupe itself prefers a genuine
+    // md5sum over an mcap-carried "*"
+    val (ok0, bad) = graft.ros.DefsHarvest.fromPath(path)
+      .partition(_.encoding == "ros1msg")
+    val ok = graft.ros.DefsHarvest.dedupe(ok0)
     if (bad.nonEmpty && foreign != "skip") throw new IllegalArgumentException(
       "rosbag write: conn_defs_from harvested non-ros1 definitions (" +
         bad.map(d => s"${d.name}: ${d.encoding}").distinct.take(5).mkString(", ") +

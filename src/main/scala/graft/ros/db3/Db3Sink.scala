@@ -45,8 +45,11 @@ object Db3SinkWrite {
     */
   private[db3] def harvestDefs(path: String,
       foreign: String = "error"): Map[String, (String, String)] = {
-    val all = graft.ros.DefsHarvest.dedupe(graft.ros.DefsHarvest.fromPath(path))
-    val (ok, bad) = all.partition(d => graft.ros.DefsHarvest.isRos2(d.encoding))
+    // dialect filter BEFORE dedupe: a same-named foreign definition
+    // must not shadow the representable ros2 one
+    val (ok0, bad) = graft.ros.DefsHarvest.fromPath(path)
+      .partition(d => graft.ros.DefsHarvest.isRos2(d.encoding))
+    val ok = graft.ros.DefsHarvest.dedupe(ok0)
     if (bad.nonEmpty && foreign != "skip") throw new IllegalArgumentException(
       "db3 write: schema_defs_from harvested non-ros2 definitions (" +
         bad.map(d => s"${d.name}: ${d.encoding}").distinct.take(5).mkString(", ") +

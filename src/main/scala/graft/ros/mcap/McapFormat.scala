@@ -106,6 +106,24 @@ object McapFormat {
     McapChannel(id, schemaId, topic, enc)
   }
 
+  /** Header payload (op 0x01): (profile, library). */
+  def parseHeader(p: Array[Byte]): (String, String) = {
+    val (profile, o1) = str(p, 0)
+    val (library, _) = str(p, o1)
+    (profile, library)
+  }
+
+  /** The (profile, library) of whole-file bytes — the first record
+    * after the leading magic must be the Header (spec §structure).
+    */
+  def headerOf(b: Array[Byte]): (String, String) = {
+    require(b.length >= Magic.length + 9 && (b(Magic.length) & 0xFF) == OpHeader,
+      "not an mcap file: no header record after the leading magic")
+    val len = leLong(b, Magic.length + 1).toInt
+    parseHeader(java.util.Arrays.copyOfRange(b,
+      Magic.length + 9, Magic.length + 9 + len))
+  }
+
   /** Attachment payload (spec §attachment): log_time u64, create_time
     * u64, name str, media_type str, data (u64 length-prefixed), crc
     * u32 over everything preceding it (0 = not computed).
@@ -136,6 +154,8 @@ object McapFormat {
     val (name, o1) = str(p, 0)
     val mapLen = leInt(p, o1).toInt
     val end = o1 + 4 + mapLen
+    require(mapLen >= 0 && end <= p.length,
+      s"corrupt mcap metadata '$name': map length $mapLen overruns the record")
     val kv = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var o = o1 + 4
     while (o < end) {

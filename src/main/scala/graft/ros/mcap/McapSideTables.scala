@@ -73,11 +73,13 @@ class McapAttachmentsScan(path: String) extends Scan with Batch {
   // maps, firmware), so per-file batching could stack gigabytes into
   // one task while per-attachment keeps task memory = one blob
   override def planInputPartitions(): Array[InputPartition] =
-    McapIO.resolveFiles(path).flatMap { f =>
+    // bounded-pool index scans, like the message-spine planner: a
+    // fleet directory must not pay sequential summary walks
+    graft.ros.DriverPool.parMap(McapIO.resolveFiles(path)) { f =>
       McapIO.scanIndex(f).attachmentRefs.map {
         case (off, len) => McapSideRef(f, off, len): InputPartition
       }
-    }.toArray
+    }.flatten.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     McapAttachmentsReaderFactory()
 }
@@ -119,11 +121,11 @@ class McapMetadataScan(path: String) extends Scan with Batch {
   // metadata records are small string maps: one partition per FILE
   // (files without metadata records plan nothing)
   override def planInputPartitions(): Array[InputPartition] =
-    McapIO.resolveFiles(path).flatMap { f =>
+    graft.ros.DriverPool.parMap(McapIO.resolveFiles(path)) { f =>
       val refs = McapIO.scanIndex(f).metadataRefs
       if (refs.isEmpty) None
       else Some(McapMetadataFilePartition(f, refs): InputPartition)
-    }.toArray
+    }.flatten.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     McapMetadataReaderFactory()
 }

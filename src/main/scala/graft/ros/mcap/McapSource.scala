@@ -34,7 +34,10 @@ class McapDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "mcap"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     (Option(options.get("table")), Option(options.get("schema_name"))) match {
-      case (Some(t), _) =>
+      case (Some(t), Some(sn)) => throw new IllegalArgumentException(
+        s"options table='$t' and schema_name='$sn' contradict: side " +
+          "tables carry no message payloads to decode — pick one")
+      case (Some(t), None) =>
         McapSideTables.tableFor(t, McapDataSource.pathSpec(options)).schema()
       case (None, Some(sn)) =>
         val t = McapTypedRead.resolveTarget(McapDataSource.pathSpec(options), sn,
@@ -51,6 +54,9 @@ class McapDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     Option(opts.get("table")) match {
       case Some(t) =>
+        require(opts.get("schema_name") == null,
+          s"options table='$t' and schema_name contradict: side tables " +
+            "carry no message payloads to decode — pick one")
         // non-message payloads: attachments / metadata side tables
         McapSideTables.tableFor(t, McapDataSource.pathSpec(opts))
       case None =>
@@ -514,6 +520,11 @@ object McapIO {
     * (recordOffset, payloadLen); the 9-byte record header is skipped).
     */
   def readPayload(path: String, recordOffset: Long, payloadLen: Long): Array[Byte] = {
+    // loud, not NegativeArraySizeException: a single record payload
+    // beyond the JVM array bound cannot be one byte[] column value
+    require(payloadLen >= 0 && payloadLen <= Int.MaxValue - 16,
+      s"mcap record at $path:$recordOffset is $payloadLen bytes — beyond " +
+        "the JVM's 2 GiB array limit for a single binary cell")
     val (filesystem, p) = fs(path)
     val in = filesystem.open(p)
     try {

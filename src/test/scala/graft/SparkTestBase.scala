@@ -8,6 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestBase.session
 
+  /** Every message down a throwable's cause chain, newline-joined —
+    * Spark wraps task failures several layers deep, so asserting on
+    * the top-level message alone misses the real error.
+    */
+  protected def causeMessages(t: Throwable): String =
+    Option(t).map(e => Option(e.getMessage).getOrElse("") + "\n" +
+      causeMessages(e.getCause)).getOrElse("")
+
   override def afterAll(): Unit = super.afterAll()
 }
 

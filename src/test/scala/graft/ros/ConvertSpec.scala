@@ -133,9 +133,7 @@ class ConvertSpec extends SparkTestBase {
       Convert.run(spark, mixedDir, o, "rosbag", partitions = 1,
         transform = _.filter(col("container") === "mcap"))
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
-    val all = messages(ex).mkString("\n")
+    val all = causeMessages(ex)
     assert(all.contains("allow_foreign_encoding"),
       s"expected the foreign-encoding guard, got: $all")
     // ros1-only inputs pass with no opt-in
@@ -223,14 +221,11 @@ class ConvertSpec extends SparkTestBase {
   }
 
   test("mcap profile auto-conforms to the sources: mixed dialects -> no-profile, cdr-only -> ros2") {
-    import graft.ros.mcap.McapFormat
     def profileOf(o: String): String = {
       val f = new java.io.File(o).listFiles()
         .filter(x => x.getName.endsWith(".mcap") && !x.getName.startsWith("."))
         .head
-      val b = java.nio.file.Files.readAllBytes(f.toPath)
-      val off = McapFormat.Magic.length + 9 // magic + op + record length
-      new String(b, off + 4, McapFormat.leInt(b, off).toInt, "UTF-8")
+      McapFormat.headerOf(java.nio.file.Files.readAllBytes(f.toPath))._1
     }
     // the mixed dir carries ros1 + cdr payloads: a "ros2" profile
     // would violate the profile's cdr-only channel requirement
@@ -251,9 +246,15 @@ class ConvertSpec extends SparkTestBase {
       Convert.run(spark, mixedDir, o, "db3", partitions = 1,
         options = Map("schema_defs_from" -> mixedDir))
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
-    assert(messages(ex).mkString("\n").contains("foreign_defs=skip"))
+    assert(causeMessages(ex).contains("foreign_defs=skip"))
+    // foreign_defs=error WITHOUT a defs path makes even the automatic
+    // harvest strict — the auto-wire must not override the user's policy
+    val oStrict = out("defs_strict_auto")
+    val ex2 = intercept[Exception] {
+      Convert.run(spark, mixedDir, oStrict, "db3", partitions = 1,
+        options = Map("foreign_defs" -> "error"))
+    }
+    assert(causeMessages(ex2).contains("foreign_defs=skip"))
     // the auto-wire (no explicit option) skips the foreign subset and
     // the ros2 definitions still land: typed db3 read decodes
     val o2 = out("defs_skip")

@@ -114,9 +114,15 @@ class McapAttachmentsSpec extends SparkTestBase {
       spark.read.format("mcap").option("table", "attachments")
         .load(dir.toString).collect()
     }
-    def msgs(t: Throwable): String =
-      Option(t).map(e => Option(e.getMessage).getOrElse("") + "\n" +
-        msgs(e.getCause)).getOrElse("")
-    assert(msgs(ex).contains("crc"), s"expected a crc failure, got: ${msgs(ex)}")
+    assert(causeMessages(ex).contains("crc"),
+      s"expected a crc failure, got: ${causeMessages(ex)}")
+  }
+
+  test("table + schema_name options contradict and fail loudly") {
+    val ex = intercept[Exception] {
+      spark.read.format("mcap").option("table", "attachments")
+        .option("schema_name", "std_msgs/msg/String").load(srcDir).collect()
+    }
+    assert(causeMessages(ex).contains("contradict"))
   }
 }

@@ -92,14 +92,9 @@ class McapSinkSpec extends SparkTestBase {
       .map(_.getString(0)).toSeq === Seq(""))
   }
 
-  private def profileOf(path: String): String = {
-    val b = java.nio.file.Files.readAllBytes(new java.io.File(path).toPath)
-    var o = Magic.length
-    assert(b(o) === OpHeader.toByte)
-    o += 9 // op byte + 8-byte record length
-    val n = leInt(b, o).toInt
-    new String(b, o + 4, n, "UTF-8")
-  }
+  private def profileOf(path: String): String =
+    McapFormat.headerOf(
+      java.nio.file.Files.readAllBytes(new java.io.File(path).toPath))._1
 
   test("profile is a write option: ros2 by default, '' = the spec's no-profile") {
     val src = sourceDir(4)

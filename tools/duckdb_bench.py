@@ -41,7 +41,12 @@ if len(sys.argv) > 3:
         "loadavg": [round(v, 2) for v in os.getloadavg()],
         "queries": {n: round(d, 6) for n, d, _ in rows}},
         separators=(",", ":"))
-    with open(sys.argv[3], "w") as f:
+    # temp + atomic replace: a crash mid-write must not destroy the
+    # bench run's total/detail lines (same convention as the engine's
+    # own at-rest writers)
+    tmp = sys.argv[3] + ".tmp"
+    with open(tmp, "w") as f:
         f.write("\n".join(kept + [line]) + "\n")
+    os.replace(tmp, sys.argv[3])
     print(f"merged duckdb_total into {sys.argv[3]} "
           f"(ratio spark/duckdb = {tot_s/tot_d:.2f}x)")
