@@ -173,14 +173,20 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
     if (chunk.size() >= chunkBytesTarget) flushChunk()
   }
 
-  private var attachCount = 0L
-  private var metaCount = 0L
+  // summary AttachmentIndex/MetadataIndex inputs:
+  // (recordOffset, fullRecordLen, logTime, createTime, dataSize, name, mediaType)
+  private val attachIndex = scala.collection.mutable.ArrayBuffer[
+    (Long, Long, Long, Long, Long, String, String)]()
+  private val metaIndex = scala.collection.mutable.ArrayBuffer[
+    (Long, Long, String)]()
 
   /** Write an Attachment record (op 0x09) — a calibration blob, URDF,
     * firmware dump riding along with the messages. Top-level records:
     * the current chunk flushes first (attachments may never live
     * inside a chunk). The crc field is computed per spec (CRC32 of
-    * the record fields preceding it).
+    * the record fields preceding it); an AttachmentIndex entry lands
+    * in the summary so external tooling lists attachments without a
+    * data-section walk.
     */
   def writeAttachment(logTime: Long, createTime: Long, name: String,
       mediaType: String, data: Array[Byte]): Unit = {
@@ -192,19 +198,24 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
     val body = p.toByteArray
     val crc = new java.util.zip.CRC32(); crc.update(body, 0, body.length)
     wLeInt(p, crc.getValue)
-    emit(record(OpAttachment, p.toByteArray))
-    attachCount += 1
+    val rec = record(OpAttachment, p.toByteArray)
+    attachIndex += ((pos, rec.length.toLong, logTime, createTime,
+      data.length.toLong, name, mediaType))
+    emit(rec)
   }
 
-  /** Write a Metadata record (op 0x0C): a named string→string map. */
+  /** Write a Metadata record (op 0x0C): a named string→string map,
+    * with a MetadataIndex summary entry.
+    */
   def writeMetadata(name: String, kv: Seq[(String, String)]): Unit = {
     flushChunk()
     val m = new ByteArrayOutputStream()
     kv.foreach { case (k, v) => wStr(m, k); wStr(m, v) }
     val p = new ByteArrayOutputStream()
     wStr(p, name); wLeInt(p, m.size.toLong); p.write(m.toByteArray)
-    emit(record(OpMetadata, p.toByteArray))
-    metaCount += 1
+    val rec = record(OpMetadata, p.toByteArray)
+    metaIndex += ((pos, rec.length.toLong, name))
+    emit(rec)
   }
 
   private def flushChunk(): Unit = {
@@ -260,7 +271,7 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
     wLeLong(st, total)
     wLeShort(st, schemas.size)
     wLeInt(st, channels.size.toLong)
-    wLeInt(st, attachCount); wLeInt(st, metaCount)
+    wLeInt(st, attachIndex.size.toLong); wLeInt(st, metaIndex.size.toLong)
     wLeInt(st, chunkRefs.size.toLong)
     wLeLong(st, if (total == 0L) 0L else minT)
     wLeLong(st, if (total == 0L) 0L else maxT)
@@ -281,6 +292,21 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
         wStr(p, ref.compression)
         wLeLong(p, compLen); wLeLong(p, ref.uncompressedSize)
         emit(record(OpChunkIndex, p.toByteArray))
+    }
+    // AttachmentIndex (op 0x0A) / MetadataIndex (op 0x0D): the summary
+    // locators external readers (mcap CLI `attachments`/`metadata`)
+    // use instead of walking the data section
+    attachIndex.foreach { case (off, len, lt, ct, ds, name, mt) =>
+      val p = new ByteArrayOutputStream()
+      wLeLong(p, off); wLeLong(p, len)
+      wLeLong(p, lt); wLeLong(p, ct); wLeLong(p, ds)
+      wStr(p, name); wStr(p, mt)
+      emit(record(OpAttachmentIndex, p.toByteArray))
+    }
+    metaIndex.foreach { case (off, len, name) =>
+      val p = new ByteArrayOutputStream()
+      wLeLong(p, off); wLeLong(p, len); wStr(p, name)
+      emit(record(OpMetadataIndex, p.toByteArray))
     }
     val f = new ByteArrayOutputStream()
     wLeLong(f, summaryStart); wLeLong(f, 0); wLeInt(f, 0)

@@ -91,6 +91,41 @@ class McapAttachmentsSpec extends SparkTestBase {
     assert(idx.stats.exists(_.messageCount === 6L))
   }
 
+  test("summary carries AttachmentIndex/MetadataIndex records locating the data records") {
+    val f = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.endsWith(".mcap")).head
+    val b = java.nio.file.Files.readAllBytes(f.toPath)
+    // footer record (fixed 29 bytes before trailing magic): summaryStart at +9
+    val summaryStart = leLong(b, b.length - 8 - 29 + 9).toInt
+    val sum = java.util.Arrays.copyOfRange(b, summaryStart, b.length - 8 - 29)
+    def recs(op: Int): Seq[Array[Byte]] =
+      chunkRecords(sum).collect { case (o, p) if o == op => p }.toSeq
+    def strAt(p: Array[Byte], o: Int): String =
+      new String(p, o + 4, leInt(p, o).toInt, "UTF-8")
+
+    val ai = recs(OpAttachmentIndex)
+    assert(ai.size === 2)
+    val names = ai.map { p =>
+      val off = leLong(p, 0).toInt
+      val len = leLong(p, 8)
+      // the index points at a genuine Attachment record of that length
+      assert((b(off) & 0xFF) === OpAttachment)
+      assert(leLong(b, off + 1) === len - 9)
+      val att = McapFormat.parseAttachment(
+        java.util.Arrays.copyOfRange(b, off + 9, off + 9 + (len - 9).toInt))
+      assert(att.data.length.toLong === leLong(p, 32), "data_size field")
+      assert(att.name === strAt(p, 40), "index name = record name")
+      att.name
+    }.toSet
+    assert(names === Set("camera_front.calib", "lidar.calib"))
+
+    val mi = recs(OpMetadataIndex)
+    assert(mi.size === 1)
+    val off = leLong(mi.head, 0).toInt
+    assert((b(off) & 0xFF) === OpMetadata)
+    assert(strAt(mi.head, 16) === "run_info")
+  }
+
   test("a corrupt attachment crc fails loudly, not with silent garbage bytes") {
     val dir = Files.createTempDirectory("mcap_attach_bad")
     val f = dir.resolve("bad.mcap").toFile
