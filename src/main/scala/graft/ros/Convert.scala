@@ -118,7 +118,7 @@ object Convert {
     if (format == "rosbag") "conn_defs_from" else "schema_defs_from"
 
   /** The Convert-consumed options (not forwarded to the sink). */
-  private val ConvertOnly = Set("allow_foreign_encoding")
+  private val ConvertOnly = Set("allow_foreign_encoding", "carry_attachments")
 
   private def boolOpt(options: Map[String, String], name: String): Boolean =
     options.exists { case (k, v) =>
@@ -169,6 +169,17 @@ object Convert {
     * clusters and sorts by message time so the output's own chunk
     * indexes prune time-range reads; "roundrobin" balances bytes but
     * destroys time locality).
+    *
+    * Source mcap ATTACHMENTS and METADATA records (calibration blobs,
+    * URDFs, run descriptions) carry over when the target is mcap:
+    * they land in one `attachments.mcap` alongside the message files
+    * (zero messages — the side-table reads list them with the rest of
+    * the directory), streamed one record at a time so driver memory
+    * is bounded by the largest attachment. Silently dropping them
+    * would lose exactly the data a re-calibration needs; option
+    * `carry_attachments=false` opts out. Non-mcap targets have no
+    * attachment concept — records are NOT carried and a loud log line
+    * is the best the format allows.
     */
   def run(spark: SparkSession, inPath: String, outPath: String,
       format: String, partitions: Int = 0,
@@ -184,6 +195,48 @@ object Convert {
     sinkOpts.foldLeft(sized.write.format(format).mode(mode)) {
       case (w, (k, v)) => w.option(k, v)
     }.save(outPath)
+    val carry = !options.exists { case (k, v) =>
+      k.equalsIgnoreCase("carry_attachments") && !java.lang.Boolean.parseBoolean(v)
+    }
+    if (format == "mcap" && carry) carryAttachments(inPath, outPath)
+  }
+
+  /** Stream every source Attachment/Metadata record into ONE
+    * `attachments.mcap` under `outPath` (temp + rename; replaced on
+    * re-run). The dimension is tiny next to the message volume — a
+    * fleet's calibrations — so a driver-side sequential copy is the
+    * right scale shape; each body is read and written one record at a
+    * time.
+    */
+  private def carryAttachments(inPath: String, outPath: String): Unit = {
+    import graft.ros.mcap.{McapFormat, McapIO}
+    val mcaps = MixedRead.resolve(inPath).getOrElse("mcap", Seq.empty)
+    val refs = mcaps.map(f => f -> McapIO.scanIndex(f))
+      .filter { case (_, i) => i.attachmentRefs.nonEmpty || i.metadataRefs.nonEmpty }
+    if (refs.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    val fin = new org.apache.hadoop.fs.Path(outPath, "attachments.mcap")
+    val tmp = new org.apache.hadoop.fs.Path(outPath, ".attachments.mcap.inprogress")
+    val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+    try {
+      val w = new graft.ros.mcap.McapStreamingWriter(out, "", 4 * 1024 * 1024,
+        profile = "")
+      refs.foreach { case (f, idx) =>
+        idx.attachmentRefs.foreach { case (off, len) =>
+          val a = McapFormat.parseAttachment(McapIO.readPayload(f, off, len))
+          w.writeAttachment(a.logTime, a.createTime, a.name, a.mediaType, a.data)
+        }
+        idx.metadataRefs.foreach { case (off, len) =>
+          val (name, kv) = McapFormat.parseMetadata(McapIO.readPayload(f, off, len))
+          w.writeMetadata(name, kv)
+        }
+      }
+      w.finish()
+    } finally out.close()
+    if (fs.exists(fin)) fs.delete(fin, false)
+    require(fs.rename(tmp, fin),
+      s"convert: attachments.mcap publish failed under $outPath")
   }
 
   /** The CONTINUOUS convert: a fleet-upload prefix receiving `.bag` +

@@ -2,7 +2,7 @@ package graft.ros
 
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
-import graft.ros.mcap.{CdrCodec, McapFormat, Ros2Msg}
+import graft.ros.mcap.{CdrCodec, McapFormat, McapStreamingWriter, Ros2Msg}
 import graft.ros.db3.SqliteFormat
 
 /** Fleet-scale convert: a mixed directory normalizes into ONE target
@@ -236,6 +236,43 @@ class ConvertSpec extends SparkTestBase {
     val oCdr = out("prof_cdr")
     Convert.run(spark, mixedDir + "/c.db3", oCdr, "mcap", partitions = 1)
     assert(profileOf(oCdr) === "ros2")
+  }
+
+  test("source mcap attachments/metadata carry into the converted archive") {
+    // a fleet dir whose mcap recording carries a calibration blob —
+    // normalizing the fleet must not silently drop it
+    val dir = java.nio.file.Files.createTempDirectory("graft_conv_att").toFile
+    val r2 = Ros2Msg.bundle("std_msgs/msg/String", strDef)
+    val fos = new java.io.FileOutputStream(new java.io.File(dir, "a.mcap"))
+    val w = new McapStreamingWriter(fos, "zstd", 1 << 20,
+      Map("std_msgs/msg/String" -> ("ros2msg", strDef.getBytes("UTF-8"))))
+    (0 until 3).foreach { i =>
+      w.write("/t", "std_msgs/msg/String", "", "cdr", i.toLong,
+        500000000000L + i, 500000000000L + i, CdrCodec.encode(r2, Seq(s"a$i")))
+    }
+    val blob = (0 until 512).map(i => (i % 7).toByte).toArray
+    w.writeAttachment(500L, 499L, "cam.calib", "application/octet-stream", blob)
+    w.writeMetadata("run", Seq("site" -> "p3"))
+    w.finish(); fos.close()
+
+    val o = out("att")
+    Convert.run(spark, dir.getAbsolutePath, o, "mcap", partitions = 1)
+    assert(spark.read.format("mcap").load(o).count() === 3)
+    val at = spark.read.format("mcap").option("table", "attachments").load(o)
+    val row = at.collect() match { case Array(r) => r }
+    assert(row.getAs[String]("name") === "cam.calib")
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("data"), blob))
+    val md = spark.read.format("mcap").option("table", "metadata").load(o)
+    assert(md.collect().map(r => (r.getString(1), r.getString(2),
+      r.getString(3))).toSeq === Seq(("run", "site", "p3")))
+
+    // the opt-out leaves no attachments file
+    val o2 = out("att_off")
+    Convert.run(spark, dir.getAbsolutePath, o2, "mcap", partitions = 1,
+      options = Map("carry_attachments" -> "false"))
+    assert(spark.read.format("mcap").option("table", "attachments")
+      .load(o2).count() === 0)
+    assert(!new java.io.File(o2, "attachments.mcap").exists())
   }
 
   test("explicit cross-dialect defs fail loudly; foreign_defs=skip carries the subset") {
