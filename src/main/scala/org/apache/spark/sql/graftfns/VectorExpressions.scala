@@ -287,6 +287,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorFunctions.minhashBuilder(exprs)))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => SplitTimeBounds)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftplans.AsOfJoinStrategy)
   }
 }

@@ -90,6 +90,40 @@ class MixedReadSpec extends SparkTestBase {
     assert(ex.getMessage.contains("not a recognized container"), ex.getMessage)
   }
 
+  test("timestamp ranges over the spine prune BAG chunks via the inferred time_sec bound") {
+    // the bag branch's timestamp is COMPUTED (sec*1e9 + nsec) — raw
+    // DSv2 pushdown can't see it; the SplitTimeBounds optimizer rule
+    // must derive the pushable time_sec conjunct so chunk-info pruning
+    // fires (with its documented ±2-3 s conservative slack)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixed_tsb").toFile
+    import graft.ros.bag.BagFormat
+    val b = MsgDefParser.parse("std_msgs/String", strDef)
+    val msgs = (0 until 40).map(i => BagFormat.WriteMessage(0, 1000 + i,
+      123456789, RosSchemaMapper.encode(b, Seq(s"x$i"))))
+    java.nio.file.Files.write(new java.io.File(dir, "t.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/t", "std_msgs/String", "m", strDef, "c")),
+        msgs, messagesPerChunk = 4)) // 10 chunks, 4 s each
+    def spine = MixedRead.spine(spark, dir.getAbsolutePath)
+    val all = spine.rdd.getNumPartitions
+    assert(all === 10, s"fixture should plan one partition per chunk, got $all")
+
+    val lo = 1030L * 1000000000L
+    val tail = spine.filter(col("timestamp") >= lo)
+    assert(tail.rdd.getNumPartitions < all,
+      "a lower timestamp bound must prune leading bag chunks")
+    assert(tail.count() === 10) // rows exact: the original filter still applies
+    assert(tail.agg(min(col("timestamp"))).head().getLong(0)
+      === lo + 123456789L)
+
+    val window = spine.filter(
+      col("timestamp") >= 1010L * 1000000000L &&
+        col("timestamp") <= 1015L * 1000000000L)
+    assert(window.rdd.getNumPartitions < all,
+      "a two-sided window must prune both ends")
+    assert(window.count() === 5) // sec 1010..1014 (1015*1e9 < 1015e9+nsec)
+  }
+
   test("mixed stream equals the batch spine, all three formats landing mid-stream") {
     import graft.ros.bag.BagFormat
     import org.apache.spark.sql.streaming.Trigger
