@@ -120,10 +120,13 @@ object Convert {
   /** The Convert-consumed options (not forwarded to the sink). */
   private val ConvertOnly = Set("allow_foreign_encoding", "carry_attachments")
 
-  private def boolOpt(options: Map[String, String], name: String): Boolean =
-    options.exists { case (k, v) =>
-      k.equalsIgnoreCase(name) && java.lang.Boolean.parseBoolean(v)
-    }
+  private def boolOpt(options: Map[String, String], name: String,
+      default: Boolean = false): Boolean =
+    options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => java.lang.Boolean.parseBoolean(v)
+    }.getOrElse(default)
+
+  private val logger = org.slf4j.LoggerFactory.getLogger(Convert.getClass)
 
   /** Auto-wire the target sink's definitions channel to the SOURCE
     * path when the caller did not: the sources already carry the
@@ -195,18 +198,30 @@ object Convert {
     sinkOpts.foldLeft(sized.write.format(format).mode(mode)) {
       case (w, (k, v)) => w.option(k, v)
     }.save(outPath)
-    val carry = !options.exists { case (k, v) =>
-      k.equalsIgnoreCase("carry_attachments") && !java.lang.Boolean.parseBoolean(v)
-    }
+    val carry = boolOpt(options, "carry_attachments", default = true)
     if (format == "mcap" && carry) carryAttachments(inPath, outPath)
+    else if (format != "mcap" && carry) {
+      // the target format has no attachment concept — a loud line is
+      // the best it allows (metadata scans are cached; this is cheap)
+      val carriers = MixedRead.resolve(inPath).getOrElse("mcap", Seq.empty)
+        .count(f => mcap.McapIO.scanIndex(f).attachmentRefs.nonEmpty)
+      if (carriers > 0) logger.warn(
+        s"convert: $carriers source mcap file(s) under $inPath carry " +
+          s"attachments that a '$format' target cannot represent — " +
+          "they are NOT carried (convert to mcap to keep them)")
+    }
   }
 
   /** Stream every source Attachment/Metadata record into ONE
-    * `attachments.mcap` under `outPath` (temp + rename; replaced on
-    * re-run). The dimension is tiny next to the message volume — a
-    * fleet's calibrations — so a driver-side sequential copy is the
-    * right scale shape; each body is read and written one record at a
-    * time.
+    * `attachments.mcap` under `outPath` (temp + rename). Append-mode
+    * re-runs MERGE by record identity — the archive's messages
+    * accumulate across appends, so its attachment dimension must too
+    * (a previous run's calibrations stay with their messages; a
+    * re-run of the same sources adds nothing twice); an overwrite's
+    * sink commit already deleted the previous file. The dimension is
+    * tiny next to the message volume — a fleet's calibrations — so a
+    * driver-side sequential copy is the right scale shape; each body
+    * is read and written one record at a time.
     */
   private def carryAttachments(inPath: String, outPath: String): Unit = {
     import graft.ros.mcap.{McapFormat, McapIO}
@@ -218,22 +233,41 @@ object Convert {
       .getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     val fin = new org.apache.hadoop.fs.Path(outPath, "attachments.mcap")
     val tmp = new org.apache.hadoop.fs.Path(outPath, ".attachments.mcap.inprogress")
+    // prior generation first (so a merged re-write keeps its records),
+    // then the sources; identity keys dedupe re-runs
+    val sources: Seq[(String, McapFormat.McapIndex)] =
+      (if (fs.exists(fin)) {
+        val p = fin.toString
+        Seq(p -> McapIO.scanIndex(p))
+      } else Seq.empty) ++ refs
+    val seenAtt = scala.collection.mutable.HashSet[(Long, Long, String, String, Long)]()
+    val seenMeta = scala.collection.mutable.HashSet[(String, Seq[(String, String)])]()
     val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
     try {
       val w = new graft.ros.mcap.McapStreamingWriter(out, "", 4 * 1024 * 1024,
         profile = "")
-      refs.foreach { case (f, idx) =>
+      sources.foreach { case (f, idx) =>
         idx.attachmentRefs.foreach { case (off, len) =>
           val a = McapFormat.parseAttachment(McapIO.readPayload(f, off, len))
-          w.writeAttachment(a.logTime, a.createTime, a.name, a.mediaType, a.data)
+          if (seenAtt.add((a.logTime, a.createTime, a.name, a.mediaType,
+              a.data.length.toLong)))
+            w.writeAttachment(a.logTime, a.createTime, a.name, a.mediaType, a.data)
         }
         idx.metadataRefs.foreach { case (off, len) =>
           val (name, kv) = McapFormat.parseMetadata(McapIO.readPayload(f, off, len))
-          w.writeMetadata(name, kv)
+          if (seenMeta.add((name, kv))) w.writeMetadata(name, kv)
         }
       }
       w.finish()
-    } finally out.close()
+      out.close()
+    } catch {
+      case t: Throwable =>
+        // no .inprogress debris on a failed carry (corrupt source crc,
+        // I/O error mid-copy) — mirror the sinks' abort hygiene
+        try out.close() catch { case _: java.io.IOException => () }
+        fs.delete(tmp, false)
+        throw t
+    }
     if (fs.exists(fin)) fs.delete(fin, false)
     require(fs.rename(tmp, fin),
       s"convert: attachments.mcap publish failed under $outPath")

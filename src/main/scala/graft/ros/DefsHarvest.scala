@@ -60,20 +60,26 @@ object DefsHarvest {
       case _ => Seq.empty
     }.filter(d => d.name.nonEmpty && d.data.nonEmpty)
 
-  /** One definition per type name, preferring an entry with a KNOWN
-    * md5sum over "*" (a bag connection's genuine checksum must not be
-    * shadowed by the same type harvested from an mcap Schema record,
-    * which never carries one); otherwise first-wins under
-    * [[fromPath]]'s deterministic ordering. Callers should filter to
-    * their target dialect FIRST — deduping across dialects would let
-    * a same-named foreign definition shadow a representable one.
+  /** One definition per type name. With `preferKnownMd5` (the BAG
+    * sink's mode, used AFTER filtering to ros1msg), an entry with a
+    * genuine md5sum displaces a "*" one — a bag connection's checksum
+    * must not be shadowed by the same type harvested from an mcap
+    * Schema record, which never carries one. Without it (the mcap
+    * sink, which dedupes ACROSS dialects because every dialect is
+    * representable there), plain first-wins under [[fromPath]]'s
+    * deterministic ordering — the md5 preference would otherwise let
+    * a bag's ros1msg definition displace a same-named ros2 one and
+    * mislabel a cdr channel's schema. Single-dialect callers should
+    * still filter to their target dialect FIRST.
     */
-  def dedupe(defs: Seq[TypeDef]): Seq[TypeDef] = {
+  def dedupe(defs: Seq[TypeDef],
+      preferKnownMd5: Boolean = true): Seq[TypeDef] = {
     val chosen = scala.collection.mutable.LinkedHashMap[String, TypeDef]()
     defs.foreach { d =>
       chosen.get(d.name) match {
         case None => chosen(d.name) = d
-        case Some(prev) if prev.md5sum == "*" && d.md5sum != "*" =>
+        case Some(prev)
+          if preferKnownMd5 && prev.md5sum == "*" && d.md5sum != "*" =>
           chosen(d.name) = d
         case _ => ()
       }

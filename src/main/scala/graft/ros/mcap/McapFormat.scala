@@ -119,9 +119,13 @@ object McapFormat {
   def headerOf(b: Array[Byte]): (String, String) = {
     require(b.length >= Magic.length + 9 && (b(Magic.length) & 0xFF) == OpHeader,
       "not an mcap file: no header record after the leading magic")
-    val len = leLong(b, Magic.length + 1).toInt
+    val len = leLong(b, Magic.length + 1)
+    // explicit bound: copyOfRange would zero-PAD past the array end
+    // and a truncated header would silently parse as profile ""
+    require(len >= 0 && Magic.length + 9 + len <= b.length,
+      s"corrupt mcap: header record of $len bytes overruns the file")
     parseHeader(java.util.Arrays.copyOfRange(b,
-      Magic.length + 9, Magic.length + 9 + len))
+      Magic.length + 9, Magic.length + 9 + len.toInt))
   }
 
   /** Attachment payload (spec §attachment): log_time u64, create_time

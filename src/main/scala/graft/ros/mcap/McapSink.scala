@@ -52,7 +52,12 @@ object McapSinkWrite {
     * types), the files are many.
     */
   private[mcap] def harvestDefs(path: String): Map[String, (String, Array[Byte])] =
-    graft.ros.DefsHarvest.dedupe(graft.ros.DefsHarvest.fromPath(path))
+    // first-wins, NOT md5-preferring: this dedupe runs across dialects
+    // (all are representable in an mcap Schema), and the md5 preference
+    // would let a bag's ros1msg definition displace a same-named ros2
+    // one — mislabeling a cdr channel's schema on converted archives
+    graft.ros.DefsHarvest.dedupe(graft.ros.DefsHarvest.fromPath(path),
+      preferKnownMd5 = false)
       .map(d => d.name -> (d.encoding, d.data)).toMap
 }
 

@@ -266,6 +266,13 @@ class ConvertSpec extends SparkTestBase {
     assert(md.collect().map(r => (r.getString(1), r.getString(2),
       r.getString(3))).toSeq === Seq(("run", "site", "p3")))
 
+    // append-mode re-run: messages accumulate (append semantics), the
+    // attachment dimension merges by identity — nothing duplicates
+    Convert.run(spark, dir.getAbsolutePath, o, "mcap", partitions = 1)
+    assert(spark.read.format("mcap").load(o).count() === 6)
+    assert(spark.read.format("mcap").option("table", "attachments")
+      .load(o).count() === 1)
+
     // the opt-out leaves no attachments file
     val o2 = out("att_off")
     Convert.run(spark, dir.getAbsolutePath, o2, "mcap", partitions = 1,

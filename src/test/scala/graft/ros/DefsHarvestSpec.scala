@@ -26,6 +26,11 @@ class DefsHarvestSpec extends AnyFunSuite {
     // distinct names all survive, order preserved
     val other = td("pkg/U", "ros2msg", "defU")
     assert(DefsHarvest.dedupe(Seq(a, other, real)) === Seq(real, other))
+    // the mcap sink's cross-dialect mode: plain first-wins — a bag's
+    // genuine md5 must NOT displace a same-named ros2 definition there
+    val ros2 = td("pkg/T", "ros2msg", "defM")
+    assert(DefsHarvest.dedupe(Seq(ros2, real), preferKnownMd5 = false)
+      === Seq(ros2))
   }
 
   test("isRos2 covers exactly the rosbag2 definition encodings") {
