@@ -508,10 +508,11 @@ object ContainerQueries {
     synchronized {
       val mixed = mixedFixture(s, d)
       val key = md5Key(mixed)
-      // salt v4: r13 changed the writer's emission — time-clustered
-      // layout (repartitionByRange + sortWithinPartitions) and
-      // auto-carried schema definitions — so v3 caches are stale
-      publishStaged("graft_container_convertv4_" + key) { stage =>
+      // salt v5: r13 changed the writer's emission twice — time-
+      // clustered layout + auto-carried definitions (v4), then
+      // sequence/publish_time carried through the spine (v5) — stale
+      // caches must rebuild
+      publishStaged("graft_container_convertv5_" + key) { stage =>
         graft.ros.Convert.run(s, mixed,
           new java.io.File(stage, "export").getAbsolutePath,
           "mcap", partitions = 2)

@@ -65,7 +65,13 @@ object Convert {
     format match {
       case "mcap" => mcap.McapExport.prepare(df,
         topic = c("topic"), logTimeNs = c("timestamp"), data = c("data"),
-        schemaName = c("type"), messageEncoding = enc)
+        schemaName = c("type"), messageEncoding = enc,
+        // the spine carries mcap's second clock and per-channel
+        // counter (null for bag/db3 sources) — an mcap→mcap convert
+        // must not flatten them into log_time / 0
+        publishTimeNs =
+          if (df.columns.contains("publish_time")) c("publish_time") else null,
+        sequence = if (df.columns.contains("sequence")) c("sequence") else null)
       case "rosbag" =>
         val payload =
           if (!hasEnc || allowForeignEncoding) c("data")

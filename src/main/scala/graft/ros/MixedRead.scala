@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *
   *   file_path, container ("rosbag"|"mcap"|"db3"), topic,
   *   type, encoding ("cdr"|"protobuf"|...; "ros1" for rosbag1),
-  *   timestamp (ns since epoch), size, data
+  *   timestamp (ns since epoch), publish_time (mcap's publish clock;
+  *   null where the container has no second clock), sequence (mcap's
+  *   per-channel counter; null elsewhere), size, data
   *
   * Each container contributes through its own DSv2 source, so per-file
   * parallelism (chunks / b-tree subtrees), column pruning and filter
@@ -94,17 +96,23 @@ object MixedRead {
         col("datatype").as("type"), lit("ros1").as("encoding"),
         (col("time_sec").cast("long") * lit(1000000000L) +
           col("time_nsec").cast("long")).as("timestamp"),
+        lit(null).cast("long").as("publish_time"),
+        lit(null).cast("long").as("sequence"),
         col("size"), col("data"))
     val mcap = spark.readStream.format("mcap").load(path)
       .select(col("file_path"), lit("mcap").as("container"), col("topic"),
         col("schema_name").as("type"),
         col("message_encoding").as("encoding"),
         col("log_time").as("timestamp"),
+        col("publish_time"), col("sequence"),
         col("size"), col("data"))
     val db3 = spark.readStream.format("db3").load(path)
       .select(col("file_path"), lit("db3").as("container"), col("topic"),
         col("type"), col("serialization_format").as("encoding"),
-        col("timestamp"), col("size"), col("data"))
+        col("timestamp"),
+        lit(null).cast("long").as("publish_time"),
+        lit(null).cast("long").as("sequence"),
+        col("size"), col("data"))
     bag.unionByName(mcap).unionByName(db3)
   }
 
@@ -123,6 +131,8 @@ object MixedRead {
             lit("ros1").as("encoding"),
             (col("time_sec").cast("long") * lit(1000000000L) +
               col("time_nsec").cast("long")).as("timestamp"),
+            lit(null).cast("long").as("publish_time"),
+            lit(null).cast("long").as("sequence"),
             col("size"), col("data"))
       case ("mcap", files) =>
         spark.read.format("mcap")
@@ -131,13 +141,17 @@ object MixedRead {
             col("schema_name").as("type"),
             col("message_encoding").as("encoding"),
             col("log_time").as("timestamp"),
+            col("publish_time"), col("sequence"),
             col("size"), col("data"))
       case ("db3", files) =>
         spark.read.format("db3")
           .option("files", graft.ros.db3.Db3DataSource.filesSpec(files)).load()
           .select(col("file_path"), lit("db3").as("container"), col("topic"),
             col("type"), col("serialization_format").as("encoding"),
-            col("timestamp"), col("size"), col("data"))
+            col("timestamp"),
+            lit(null).cast("long").as("publish_time"),
+            lit(null).cast("long").as("sequence"),
+            col("size"), col("data"))
       case (other, _) => throw new IllegalStateException(s"unreachable: $other")
     }
     branches.reduce(_ unionByName _)

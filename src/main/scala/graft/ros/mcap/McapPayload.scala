@@ -3,10 +3,13 @@ package graft.ros.mcap
 import graft.ros.RosMsgBundle
 
 /** The one place the engine maps an MCAP schema encoding onto a typed
-  * decode path. Two of the well-known registry encodings flatten to
-  * columns: `ros2msg` (schema text → MsgDefParser, payloads CDR) and
-  * `protobuf` (schema bytes → FileDescriptorSet, payloads protobuf
-  * wire format). Both route through the SAME RosMsgBundle frame, so
+  * decode path. Three of the well-known registry encodings flatten to
+  * columns: `ros2msg`/`ros2idl` (schema text → MsgDefParser/IDL,
+  * payloads CDR), `protobuf` (schema bytes → FileDescriptorSet,
+  * payloads protobuf wire format), and `ros1msg` (ROS1 .msg text,
+  * payloads ros1 serialization — the channels a bag→mcap convert
+  * produces, so a normalized fleet archive's ros1-era recordings stay
+  * typed-readable). All route through the SAME RosMsgBundle frame, so
   * `RosSchemaMapper.flatSchema` — and everything above it: typed
   * reads, ETL tables, queries — is encoding-agnostic.
   */
@@ -16,13 +19,15 @@ object McapPayload {
     * encoding (jsonschema, flatbuffer, …) are retained as RawMessages
     * bytes by the ETL and refused by typed reads — honest, loud.
     */
-  val typedEncodings: Set[String] = Set("ros2msg", "ros2idl", "protobuf")
+  val typedEncodings: Set[String] =
+    Set("ros1msg", "ros2msg", "ros2idl", "protobuf")
 
   /** The message encoding a channel must declare for its schema
     * encoding's decoder — a mismatched pair is container drift.
     */
   def messageEncodingFor(schemaEncoding: String): String = schemaEncoding match {
     case "ros2msg" | "ros2idl" => "cdr"
+    case "ros1msg" => "ros1"
     case "protobuf" => "protobuf"
     case other => throw new IllegalArgumentException(
       s"no typed decode for schema encoding '$other' " +
@@ -36,6 +41,9 @@ object McapPayload {
         Ros2Msg.bundle(name, new String(data, java.nio.charset.StandardCharsets.UTF_8))
       case "ros2idl" =>
         Ros2Idl.bundle(name, new String(data, java.nio.charset.StandardCharsets.UTF_8))
+      case "ros1msg" =>
+        graft.ros.MsgDefParser.parse(name,
+          new String(data, java.nio.charset.StandardCharsets.UTF_8))
       case "protobuf" =>
         ProtoDescriptor.bundle(name, ProtoDescriptor.parseSet(data))
       case other => throw new IllegalArgumentException(
@@ -52,6 +60,9 @@ object McapPayload {
       case "ros2msg" | "ros2idl" =>
         val b = bundle(schemaEncoding, name, data)
         bytes => CdrCodec.decode(b, bytes)
+      case "ros1msg" =>
+        val b = bundle(schemaEncoding, name, data)
+        bytes => graft.ros.RosSchemaMapper.decode(b, bytes)
       case "protobuf" =>
         val set = ProtoDescriptor.parseSet(data)
         ProtoDescriptor.bundle(name, set) // validate flattenability up front

@@ -65,6 +65,13 @@ class ConvertSpec extends SparkTestBase {
       .distinct().collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(encs === Map("/bag_topic" -> "ros1", "/mcap_topic" -> "cdr",
       "/db3_topic" -> "cdr"))
+    // mcap's own sequence counter and publish clock survive the
+    // round-trip (the spine carries them; bag/db3 rows default)
+    val seqs = back.filter(col("topic") === "/mcap_topic")
+      .select("sequence", "publish_time", "log_time").collect()
+    assert(seqs.map(_.getLong(0)).sorted.toSeq === (0L until 4L))
+    assert(seqs.forall(r => r.getLong(1) === r.getLong(2)),
+      "fixture publish_time = log_time must survive, not be zeroed")
   }
 
   test("transform in the middle: filter + target rosbag's (sec, nsec) convention") {
@@ -209,6 +216,17 @@ class ConvertSpec extends SparkTestBase {
       .option("schema_name", "std_msgs/msg/String").load(oM)
     assert(mcapTyped.select("data_field").collect().map(_.getString(0)).toSet
       === (0 until 4).map(i => s"m$i").toSet)
+
+    // bag -> mcap: ros1msg defs travel AND the mcap typed reader
+    // decodes the ros1-serialized channels — the normalized archive's
+    // ros1-era recordings stay typed-readable
+    val oB2M = out("defs_b2m")
+    Convert.run(spark, mixedDir, oB2M, "mcap", partitions = 1,
+      transform = _.filter(col("container") === "rosbag"))
+    val b2m = spark.read.format("mcap")
+      .option("schema_name", "std_msgs/String").load(oB2M)
+    assert(b2m.select("data_field").collect().map(_.getString(0)).toSet
+      === (0 until 5).map(i => s"b$i").toSet)
 
     // db3 -> mcap: ros2msg defs cross containers within the dialect
     val oX = out("defs_x")

@@ -55,7 +55,12 @@ class MixedReadSpec extends SparkTestBase {
   test("a mixed directory reads as one spine; counts, types and timestamps per container") {
     val df = MixedRead.spine(spark, mixedDir)
     assert(df.schema.fieldNames.toSeq === Seq("file_path", "container", "topic",
-      "type", "encoding", "timestamp", "size", "data"))
+      "type", "encoding", "timestamp", "publish_time", "sequence",
+      "size", "data"))
+    // the mcap-only clocks/counters ride along; other containers null
+    val seqs = df.groupBy("container").agg(count(col("sequence"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seqs === Map("rosbag" -> 0L, "mcap" -> 4L, "db3" -> 0L))
     val byContainer = df.groupBy("container").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byContainer === Map("rosbag" -> 5L, "mcap" -> 4L, "db3" -> 3L))
