@@ -206,16 +206,22 @@ object Convert {
     }.save(outPath)
     val carry = boolOpt(options, "carry_attachments", default = true)
     if (format == "mcap" && carry) carryAttachments(inPath, outPath)
-    else if (format != "mcap" && carry) {
-      // the target format has no attachment concept — a loud line is
-      // the best it allows (metadata scans are cached; this is cheap)
-      val carriers = MixedRead.resolve(inPath).getOrElse("mcap", Seq.empty)
-        .count(f => mcap.McapIO.scanIndex(f).attachmentRefs.nonEmpty)
-      if (carriers > 0) logger.warn(
-        s"convert: $carriers source mcap file(s) under $inPath carry " +
-          s"attachments that a '$format' target cannot represent — " +
-          "they are NOT carried (convert to mcap to keep them)")
-    }
+    else if (format != "mcap" && carry) warnDroppedAttachments(inPath, format)
+  }
+
+  /** The loud line for targets that cannot represent mcap side
+    * records (metadata scans are cached; this is cheap).
+    */
+  private def warnDroppedAttachments(inPath: String, format: String): Unit = {
+    val carriers = MixedRead.resolve(inPath).getOrElse("mcap", Seq.empty)
+      .count { f =>
+        val i = mcap.McapIO.scanIndex(f)
+        i.attachmentRefs.nonEmpty || i.metadataRefs.nonEmpty
+      }
+    if (carriers > 0) logger.warn(
+      s"convert: $carriers source mcap file(s) under $inPath carry " +
+        s"attachment/metadata records that a '$format' target cannot " +
+        "represent — they are NOT carried (convert to mcap to keep them)")
   }
 
   /** Stream every source Attachment/Metadata record into ONE
@@ -246,7 +252,18 @@ object Convert {
         val p = fin.toString
         Seq(p -> McapIO.scanIndex(p))
       } else Seq.empty) ++ refs
-    val seenAtt = scala.collection.mutable.HashSet[(Long, Long, String, String, Long)]()
+    // identity includes a CONTENT crc: two distinct same-named
+    // same-size blobs (two robots' fixed-size calibrations) must both
+    // survive the merge
+    def contentCrc(a: McapFormat.McapAttachment): Long =
+      if (a.crc != 0L) a.crc
+      else {
+        val c = new java.util.zip.CRC32()
+        c.update(a.data, 0, a.data.length)
+        c.getValue
+      }
+    val seenAtt =
+      scala.collection.mutable.HashSet[(Long, Long, String, String, Long, Long)]()
     val seenMeta = scala.collection.mutable.HashSet[(String, Seq[(String, String)])]()
     val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
     try {
@@ -256,7 +273,7 @@ object Convert {
         idx.attachmentRefs.foreach { case (off, len) =>
           val a = McapFormat.parseAttachment(McapIO.readPayload(f, off, len))
           if (seenAtt.add((a.logTime, a.createTime, a.name, a.mediaType,
-              a.data.length.toLong)))
+              a.data.length.toLong, contentCrc(a))))
             w.writeAttachment(a.logTime, a.createTime, a.name, a.mediaType, a.data)
         }
         idx.metadataRefs.foreach { case (off, len) =>
@@ -292,10 +309,14 @@ object Convert {
     * under `inPath` at START (the harvest is a query-construction-time
     * scan; types first landing mid-stream export with empty
     * definitions until the next restart — pass `schema_defs_from`
-    * explicitly to pin a definitive source). Layout: each epoch's
-    * files hold only that epoch's time window, so time locality is
-    * already micro-batch-granular; Structured Streaming forbids
-    * per-partition sorts, so no further clustering applies.
+    * explicitly to pin a definitive source). Attachments/metadata
+    * carry the same way for mcap targets: records present at start
+    * merge into `attachments.mcap` now, later-landing ones on the
+    * next (re)start — the identity merge makes restarts idempotent.
+    * Layout: each epoch's files hold only that epoch's time window,
+    * so time locality is already micro-batch-granular; Structured
+    * Streaming forbids per-partition sorts, so no further clustering
+    * applies.
     */
   def runStream(spark: SparkSession, inPath: String, outPath: String,
       format: String, checkpoint: String,
@@ -308,10 +329,15 @@ object Convert {
       allowForeignEncoding = boolOpt(options, "allow_foreign_encoding"))
     // an empty / not-yet-created prefix is a legal stream start — skip
     // the defs auto-wire rather than fail (nothing to harvest yet)
+    val resolvable = scala.util.Try(MixedRead.resolve(inPath)).isSuccess
     val auto =
-      if (scala.util.Try(MixedRead.resolve(inPath)).isSuccess)
+      if (resolvable)
         autoDefs(options, format, inPath) ++ autoProfile(options, format, inPath)
       else Map.empty[String, String]
+    if (resolvable && boolOpt(options, "carry_attachments", default = true)) {
+      if (format == "mcap") carryAttachments(inPath, outPath)
+      else warnDroppedAttachments(inPath, format)
+    }
     val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase)) ++ auto
     sinkOpts.foldLeft(
       prepared.writeStream.format(format)

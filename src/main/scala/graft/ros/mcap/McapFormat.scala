@@ -121,8 +121,9 @@ object McapFormat {
       "not an mcap file: no header record after the leading magic")
     val len = leLong(b, Magic.length + 1)
     // explicit bound: copyOfRange would zero-PAD past the array end
-    // and a truncated header would silently parse as profile ""
-    require(len >= 0 && Magic.length + 9 + len <= b.length,
+    // and a truncated header would silently parse as profile "".
+    // Subtraction form — `off + len` would wrap for adversarial lens
+    require(len >= 0 && len <= b.length - Magic.length - 9L,
       s"corrupt mcap: header record of $len bytes overruns the file")
     parseHeader(java.util.Arrays.copyOfRange(b,
       Magic.length + 9, Magic.length + 9 + len.toInt))

@@ -22,17 +22,25 @@ object McapPayload {
   val typedEncodings: Set[String] =
     Set("ros1msg", "ros2msg", "ros2idl", "protobuf")
 
+  /** The message encoding a schema encoding's decoder consumes, None
+    * for encodings the engine cannot flatten.
+    */
+  def messageEncodingOpt(schemaEncoding: String): Option[String] =
+    schemaEncoding match {
+      case "ros2msg" | "ros2idl" => Some("cdr")
+      case "ros1msg" => Some("ros1")
+      case "protobuf" => Some("protobuf")
+      case _ => None
+    }
+
   /** The message encoding a channel must declare for its schema
     * encoding's decoder — a mismatched pair is container drift.
     */
-  def messageEncodingFor(schemaEncoding: String): String = schemaEncoding match {
-    case "ros2msg" | "ros2idl" => "cdr"
-    case "ros1msg" => "ros1"
-    case "protobuf" => "protobuf"
-    case other => throw new IllegalArgumentException(
-      s"no typed decode for schema encoding '$other' " +
-        s"(supported: ${typedEncodings.toSeq.sorted.mkString(", ")})")
-  }
+  def messageEncodingFor(schemaEncoding: String): String =
+    messageEncodingOpt(schemaEncoding).getOrElse(throw
+      new IllegalArgumentException(
+        s"no typed decode for schema encoding '$schemaEncoding' " +
+          s"(supported: ${typedEncodings.toSeq.sorted.mkString(", ")})"))
 
   /** The flattening frame for a schema record. */
   def bundle(schemaEncoding: String, name: String, data: Array[Byte]): RosMsgBundle =

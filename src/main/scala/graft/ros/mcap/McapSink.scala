@@ -51,14 +51,19 @@ object McapSinkWrite {
     * on the bounded pool — the dimension is tiny (distinct message
     * types), the files are many.
     */
-  private[mcap] def harvestDefs(path: String): Map[String, (String, Array[Byte])] =
-    // first-wins, NOT md5-preferring: this dedupe runs across dialects
-    // (all are representable in an mcap Schema), and the md5 preference
-    // would let a bag's ros1msg definition displace a same-named ros2
-    // one — mislabeling a cdr channel's schema on converted archives
-    graft.ros.DefsHarvest.dedupe(graft.ros.DefsHarvest.fromPath(path),
-      preferKnownMd5 = false)
-      .map(d => d.name -> (d.encoding, d.data)).toMap
+  private[mcap] def harvestDefs(path: String)
+      : Map[String, Seq[(String, Array[Byte])]] = {
+    // one definition per (name, ENCODING) — mcap supports multiple
+    // Schema records, so a type name defined in two dialects (a bag's
+    // ros1msg pkg/T and a db3's ros2msg pkg/T) keeps BOTH variants;
+    // the writer picks per channel by its message encoding. Deduping
+    // by bare name would make one dialect's channels unreadable.
+    val seen = scala.collection.mutable.HashSet[(String, String)]()
+    graft.ros.DefsHarvest.fromPath(path)
+      .filter(d => seen.add((d.name, d.encoding)))
+      .groupBy(_.name).view
+      .mapValues(_.map(d => (d.encoding, d.data))).toMap
+  }
 }
 
 /** The write-side knobs, threaded once from the builder to every
@@ -71,7 +76,7 @@ object McapSinkWrite {
   * message encodings.
   */
 private[mcap] final case class McapSinkConf(compression: String,
-    chunkBytes: Int, defs: Map[String, (String, Array[Byte])],
+    chunkBytes: Int, defs: Map[String, Seq[(String, Array[Byte])]],
     profile: String)
 
 /** Incremental single-file MCAP writer: magic+header up front, then
@@ -87,7 +92,7 @@ private[mcap] final case class McapSinkConf(compression: String,
   */
 final class McapStreamingWriter(out: OutputStream, compression: String,
     chunkBytesTarget: Int,
-    schemaDefs: Map[String, (String, Array[Byte])] = Map.empty,
+    schemaDefs: Map[String, Seq[(String, Array[Byte])]] = Map.empty,
     profile: String = "ros2") {
   import McapFormat._
 
@@ -103,7 +108,11 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
     emit(record(OpHeader, h.toByteArray))
   }
 
-  // registries: discovered in row order, ids assigned 1..n
+  // registries: discovered in row order, ids assigned 1..n; the
+  // schemaIdCache memoizes the per-(row-shape) variant resolution so
+  // the hot path stays one hash probe per message
+  private val schemaIdCache =
+    scala.collection.mutable.HashMap[(String, String, String), Int]()
   private val schemas =
     scala.collection.mutable.LinkedHashMap[(String, String), McapSchema]()
   private val channels =
@@ -143,20 +152,35 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
     // registering an invalid empty-named Schema record
     val schemaId: Int =
       if (schemaName.isEmpty) 0
-      else schemas.getOrElseUpdate((schemaName, schemaEncoding), {
-        require(schemas.size < 0xFFFF,
-          s"mcap schema ids are uint16: partition exceeds 65534 distinct schemas")
+      else schemaIdCache.getOrElseUpdate(
+        (schemaName, schemaEncoding, messageEncoding), {
+        // defs VARIANT for this channel: the row's explicit schema
+        // encoding first, else the variant whose dialect decodes this
+        // message encoding (ros1 → ros1msg, cdr → ros2msg/ros2idl,
+        // protobuf → protobuf — a type name defined in two dialects
+        // must not attach one dialect's definition to the other's
+        // channels), else the first harvested
+        val variants = schemaDefs.getOrElse(schemaName, Seq.empty)
+        val chosen = variants
+          .find(v => schemaEncoding.nonEmpty && v._1 == schemaEncoding)
+          .orElse(variants.find(v =>
+            McapPayload.messageEncodingOpt(v._1).contains(messageEncoding)))
+          .orElse(variants.headOption)
         // the defs side-channel wins on definition bytes; its encoding
         // too when the row left schema_encoding empty (prepared frames)
-        val (enc, defBytes) = schemaDefs.get(schemaName) match {
+        val (enc, defBytes) = chosen match {
           case Some((e, b)) =>
             (if (schemaEncoding.nonEmpty) schemaEncoding else e, b)
           case None => (schemaEncoding, Array.emptyByteArray)
         }
-        val s = McapSchema(schemas.size + 1, schemaName, enc, defBytes)
-        chunk.write(schemaRec(s))
-        s
-      }).id
+        schemas.getOrElseUpdate((schemaName, enc), {
+          require(schemas.size < 0xFFFF,
+            s"mcap schema ids are uint16: partition exceeds 65534 distinct schemas")
+          val s = McapSchema(schemas.size + 1, schemaName, enc, defBytes)
+          chunk.write(schemaRec(s))
+          s
+        }).id
+      })
     val ch = channels.getOrElseUpdate((topic, schemaId, messageEncoding), {
       require(channels.size < 0xFFFF,
         s"mcap channel ids are uint16: partition exceeds 65534 distinct " +

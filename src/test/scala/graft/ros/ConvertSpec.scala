@@ -263,7 +263,7 @@ class ConvertSpec extends SparkTestBase {
     val r2 = Ros2Msg.bundle("std_msgs/msg/String", strDef)
     val fos = new java.io.FileOutputStream(new java.io.File(dir, "a.mcap"))
     val w = new McapStreamingWriter(fos, "zstd", 1 << 20,
-      Map("std_msgs/msg/String" -> ("ros2msg", strDef.getBytes("UTF-8"))))
+      Map("std_msgs/msg/String" -> Seq(("ros2msg", strDef.getBytes("UTF-8")))))
     (0 until 3).foreach { i =>
       w.write("/t", "std_msgs/msg/String", "", "cdr", i.toLong,
         500000000000L + i, 500000000000L + i, CdrCodec.encode(r2, Seq(s"a$i")))
@@ -298,6 +298,55 @@ class ConvertSpec extends SparkTestBase {
     assert(spark.read.format("mcap").option("table", "attachments")
       .load(o2).count() === 0)
     assert(!new java.io.File(o2, "attachments.mcap").exists())
+  }
+
+  test("a type name defined in two dialects keeps BOTH schema variants in the convert") {
+    import graft.ros.mcap.{McapIO, McapPayload, McapTypedRead}
+    val dir = java.nio.file.Files.createTempDirectory("graft_conv_dual").toFile
+    // bag: pkg/T under ros1msg with field `a`
+    import graft.ros.bag.BagFormat
+    val ros1 = MsgDefParser.parse("pkg/T", "string a")
+    java.nio.file.Files.write(new java.io.File(dir, "a.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/legacy", "pkg/T", "m", "string a", "c")),
+        (0 until 2).map(i => BagFormat.WriteMessage(0, 100 + i, 0,
+          RosSchemaMapper.encode(ros1, Seq(s"r$i"))))))
+    // db3: the SAME name under ros2msg with field `b`
+    val ros2 = Ros2Msg.bundle("pkg/T", "string b")
+    java.nio.file.Files.write(new java.io.File(dir, "c.db3").toPath,
+      SqliteFormat.writeDb(Seq(
+        ("topics", "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
+          Seq(Seq[Any](null, "/modern", "pkg/T", "cdr", ""))),
+        ("messages", "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)",
+          (0 until 3).map(i => Seq[Any](null, 1L, 200000000000L + i,
+            CdrCodec.encode(ros2, Seq(s"c$i"))))),
+        ("message_definitions", "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY, topic_type TEXT, encoding TEXT, encoded_message_definition TEXT, type_hash TEXT)",
+          Seq(Seq[Any](null, "pkg/T", "ros2msg", "string b", ""))))))
+
+    val o = out("dual")
+    Convert.run(spark, dir.getAbsolutePath, o, "mcap", partitions = 1)
+    val f = new java.io.File(o).listFiles()
+      .filter(x => x.getName.endsWith(".mcap") && !x.getName.startsWith(".")).head
+    val idx = McapIO.scanIndex(f.getPath)
+    // both dialects' definitions survive as separate Schema records...
+    assert(idx.schemas.values.filter(_.name == "pkg/T")
+      .map(_.encoding).toSet === Set("ros1msg", "ros2msg"))
+    // ...and every channel points at the schema of ITS dialect
+    idx.channels.values.foreach { c =>
+      val s = idx.schemas(c.schemaId)
+      assert(McapPayload.messageEncodingFor(s.encoding) === c.messageEncoding,
+        s"channel ${c.topic} mislabeled: ${s.encoding} vs ${c.messageEncoding}")
+    }
+    // typed reads disambiguate by definition md5 and decode per dialect
+    def typed(defText: String) = spark.read.format("mcap")
+      .option("schema_name", "pkg/T")
+      .option("schema_md5",
+        McapTypedRead.md5hex(defText.getBytes("UTF-8")).take(8))
+      .load(o)
+    assert(typed("string b").select("b").collect()
+      .map(_.getString(0)).toSet === Set("c0", "c1", "c2"))
+    assert(typed("string a").select("a").collect()
+      .map(_.getString(0)).toSet === Set("r0", "r1"))
   }
 
   test("explicit cross-dialect defs fail loudly; foreign_defs=skip carries the subset") {

@@ -28,7 +28,7 @@ class McapAttachmentsSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("mcap_attach")
     val out = new java.io.FileOutputStream(dir.resolve("a.mcap").toFile)
     val w = new McapStreamingWriter(out, "zstd", 1 << 20,
-      Map("std_msgs/msg/String" -> ("ros2msg", strDef.getBytes("UTF-8"))))
+      Map("std_msgs/msg/String" -> Seq(("ros2msg", strDef.getBytes("UTF-8")))))
     w.writeMetadata("run_info",
       Seq("robot_id" -> "r7", "site" -> "plant-3"))
     (0 until 6).foreach { i =>
