@@ -400,6 +400,29 @@ object ContainerQueries {
           round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
             .as("sum_value"))
         .orderBy(col("topic"))
+    }),
+
+    // Q90 — time-range query over the MIXED spine, CHECKED: the
+    // upper-half window per container. The mcap/db3 branches push the
+    // `timestamp` bound natively; the rosbag branch's timestamp is
+    // COMPUTED (sec*1e9 + nsec), so this row gates the
+    // SplitTimeBounds optimizer rule — the derived raw `time_sec`
+    // conjunct is what lets the bag source prune chunks (plan-level
+    // pruning is pinned in MixedReadSpec; the VALUE equality with
+    // DuckDB is gated here). The threshold is computed driver-side
+    // with the same integer arithmetic DuckDB's `//` applies, so the
+    // boundary row lands identically on both sides.
+    "q90_mixed_timerange" -> ((s, d) => {
+      val dir = mixedFixture(s, d)
+      def spine = graft.ros.MixedRead.spine(s, dir)
+      val bounds = spine.agg(min(col("timestamp")), max(col("timestamp"))).head()
+      val lo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+      spine.filter(col("timestamp") >= lo)
+        .groupBy(col("container")).agg(
+          count(lit(1)).as("cnt"),
+          min(col("timestamp")).as("min_ts_ns"),
+          max(col("timestamp")).as("max_ts_ns"))
+        .orderBy(col("container"))
     }))
 
   /** Sink-built fixture for q86: the same 1000-row slice EXPORTED as
@@ -804,5 +827,17 @@ object ContainerQueries {
         |       e.mx AS max_id, e.su AS sum_uid, e.sv AS sum_value FROM e
         |UNION ALL SELECT '/events_odd', o.cnt, o.mn, o.mx, o.su, o.sv FROM o
         |UNION ALL SELECT '/events_ros', o.cnt, o.mn, o.mx, o.su, o.sv FROM o
-        |ORDER BY topic""".stripMargin)
+        |ORDER BY topic""".stripMargin,
+    "q90_mixed_timerange" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS ts_ns
+        |  FROM events ORDER BY event_id LIMIT 1000),
+        |b AS (SELECT MIN(ts_ns) AS mn, MAX(ts_ns) AS mx FROM ev),
+        |k AS (SELECT ts_ns FROM ev, b WHERE ts_ns >= b.mn + (b.mx - b.mn) // 2),
+        |g AS (SELECT COUNT(*) AS cnt, MIN(ts_ns) AS min_ts_ns,
+        |             MAX(ts_ns) AS max_ts_ns FROM k)
+        |SELECT 'db3' AS container, cnt, min_ts_ns, max_ts_ns FROM g
+        |UNION ALL SELECT 'mcap', cnt, min_ts_ns, max_ts_ns FROM g
+        |UNION ALL SELECT 'rosbag', cnt, min_ts_ns, max_ts_ns FROM g
+        |ORDER BY container""".stripMargin)
 }
