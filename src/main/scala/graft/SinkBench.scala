@@ -126,6 +126,25 @@ object SinkBench {
 
     val results = measure(prepared, rows, variants)
     val fatResults = measure(preparedFat, fatRows, fatVariants)
+
+    // END-TO-END convert at BYTE scale: FleetBench's convert axis is
+    // file-count-bound (3,600 tiny files); this one feeds the ~100 MB
+    // fat archive through Convert.run (mixed-spine read → time-range
+    // layout → mcap re-encode) — the normalize-a-fleet MB/s when
+    // bytes, not file opens, dominate.
+    val convSrc = new java.io.File(root.toFile, "conv_src")
+    preparedFat("mcap").repartition(parts).write.format("mcap")
+      .mode("append").save(convSrc.getAbsolutePath)
+    val convSecs = (0 until 3).map { i =>
+      val out = new java.io.File(root.toFile, s"conv_out-$i")
+      val s = timed {
+        graft.ros.Convert.run(spark, convSrc.getAbsolutePath,
+          out.getAbsolutePath, "mcap", partitions = parts)
+      }
+      cleanup(out)
+      s
+    }
+    val convMed = Bench.median(convSecs)
     cleanup(root.toFile)
 
     def detailOf(rs: Seq[(String, Double, Double)], nRows: Long, nMb: Double) =
@@ -133,7 +152,7 @@ object SinkBench {
         f""""$label":{"write_sec":${math.rint(w * 1e6) / 1e6}%s,"rows_per_sec":${math.rint(nRows / w).toLong}%s,"mb_per_sec":${math.rint(nMb / w * 10) / 10}%s,"readback_sec":${math.rint(r * 1e6) / 1e6}%s}"""
       }.mkString(",")
     val line =
-      s"""{"metric":"sink_throughput","unit":"sec","sf_dir":"$dir","rows":$rows,"payload_mb":${math.rint(mb * 10) / 10},"fat_rows":$fatRows,"fat_payload_mb":${math.rint(fatMb * 10) / 10},"cpus":$cpus,"runs":3,${detailOf(results, rows, mb)},${detailOf(fatResults, fatRows, fatMb)},"loadavg":{"before":$loadBefore,"after":${Bench.loadavg()}}}"""
+      s"""{"metric":"sink_throughput","unit":"sec","sf_dir":"$dir","rows":$rows,"payload_mb":${math.rint(mb * 10) / 10},"fat_rows":$fatRows,"fat_payload_mb":${math.rint(fatMb * 10) / 10},"cpus":$cpus,"runs":3,${detailOf(results, rows, mb)},${detailOf(fatResults, fatRows, fatMb)},"convert_fat":{"sec":${Bench.rk(convMed)},"mb_per_sec":${math.rint(fatMb / convMed * 10) / 10}},"loadavg":{"before":$loadBefore,"after":${Bench.loadavg()}}}"""
     Bench.writeArtifact("BENCH_sink.json", Seq(line))
     println(line)
     spark.stop()
