@@ -124,7 +124,8 @@ object Convert {
     if (format == "rosbag") "conn_defs_from" else "schema_defs_from"
 
   /** The Convert-consumed options (not forwarded to the sink). */
-  private val ConvertOnly = Set("allow_foreign_encoding", "carry_attachments")
+  private val ConvertOnly =
+    Set("allow_foreign_encoding", "carry_attachments", "target_file_mb")
 
   private def boolOpt(options: Map[String, String], name: String,
       default: Boolean = false): Boolean =
@@ -173,11 +174,16 @@ object Convert {
   /** Read `inPath` as a mixed spine, apply `transform`, write
     * `format` containers to `outPath`. `partitions` > 0 controls the
     * output file count (one container file per partition — size for
-    * the target filesystem, not for the input's layout); `layout`
-    * picks how rows land in those files ("time", the default,
-    * clusters and sorts by message time so the output's own chunk
-    * indexes prune time-range reads; "roundrobin" balances bytes but
-    * destroys time locality).
+    * the target filesystem, not for the input's layout); with
+    * `partitions = 0`, option `target_file_mb` derives the count from
+    * the SOURCE bytes (ceil(inputBytes / target) — a 100 TB corpus
+    * with target_file_mb=512 plans ~200k files without the caller
+    * pre-counting bytes; compression makes actual files smaller, a
+    * conservative direction for file-count limits). `layout` picks
+    * how rows land in those files ("time", the default, clusters and
+    * sorts by message time so the output's own chunk indexes prune
+    * time-range reads; "roundrobin" balances bytes but destroys time
+    * locality).
     *
     * Source mcap ATTACHMENTS and METADATA records (calibration blobs,
     * URDFs, run descriptions) carry over when the target is mcap:
@@ -198,7 +204,20 @@ object Convert {
     val spine = transform(MixedRead.spine(spark, inPath))
     val prepared = prepare(spine, format,
       allowForeignEncoding = boolOpt(options, "allow_foreign_encoding"))
-    val sized = applyLayout(prepared, format, partitions, layout)
+    val effParts =
+      if (partitions > 0) partitions
+      else options.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("target_file_mb") => v.toLong
+      }.map { mb =>
+        require(mb > 0, s"target_file_mb must be positive, got $mb")
+        val conf = graft.ros.bag.RosbagIO.hadoopConf()
+        val inputBytes = MixedRead.resolve(inPath).values.flatten.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+        math.max(1L, (inputBytes + mb * 1000000L - 1) / (mb * 1000000L)).toInt
+      }.getOrElse(0)
+    val sized = applyLayout(prepared, format, effParts, layout)
     val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase)) ++
       autoDefs(options, format, inPath) ++ autoProfile(options, format, inPath)
     sinkOpts.foldLeft(sized.write.format(format).mode(mode)) {

@@ -134,6 +134,25 @@ class ConvertSpec extends SparkTestBase {
     assert(grouped === Map("/bag_topic" -> 5L, "/mcap_topic" -> 4L, "/db3_topic" -> 3L))
   }
 
+  test("target_file_mb sizes the output from the SOURCE bytes when partitions is unset") {
+    // the mixed fixture is a few KB; a tiny target forces multiple
+    // output files, and the time layout keeps them range-disjoint
+    val o = out("sized")
+    Convert.run(spark, mixedDir, o, "mcap",
+      options = Map("target_file_mb" -> "1"))
+    // sources are < 1 MB total -> exactly one file
+    val one = new java.io.File(o).listFiles()
+      .filter(f => f.getName.endsWith(".mcap") && !f.getName.startsWith(".")
+        && f.getName != "attachments.mcap")
+    assert(one.length === 1, s"sub-target input must land in one file, got ${one.length}")
+    assert(spark.read.format("mcap").load(o).count() === 12)
+    val ex = intercept[Exception] {
+      Convert.run(spark, mixedDir, out("sized_bad"), "mcap",
+        options = Map("target_file_mb" -> "0"))
+    }
+    assert(causeMessages(ex).contains("target_file_mb"))
+  }
+
   test("foreign-encoding guard: cdr payloads into a .bag fail loudly without the opt-in") {
     val o = out("guard")
     val ex = intercept[Exception] {
