@@ -127,6 +127,29 @@ object Convert {
   private val ConvertOnly =
     Set("allow_foreign_encoding", "carry_attachments", "target_file_mb")
 
+  /** Parse `target_file_mb`, naming the option in every failure. */
+  private def targetFileMb(options: Map[String, String]): Option[Long] =
+    options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("target_file_mb") =>
+        val mb = try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"target_file_mb must be a positive integer MB count, got '$v'")
+        }
+        require(mb > 0, s"target_file_mb must be positive, got $mb")
+        mb
+    }
+
+  /** ceil(inputBytes / target), clamped LOUDLY: a count past Int range
+    * would wrap and silently skip the repartition.
+    */
+  private[ros] def partitionsFor(inputBytes: Long, mb: Long): Int = {
+    val n = math.max(1L, (inputBytes + mb * 1000000L - 1) / (mb * 1000000L))
+    require(n <= Int.MaxValue,
+      s"target_file_mb=$mb on $inputBytes input bytes needs $n output " +
+        "files — beyond Spark's partition count; raise target_file_mb")
+    n.toInt
+  }
+
   private def boolOpt(options: Map[String, String], name: String,
       default: Boolean = false): Boolean =
     options.collectFirst {
@@ -206,16 +229,11 @@ object Convert {
       allowForeignEncoding = boolOpt(options, "allow_foreign_encoding"))
     val effParts =
       if (partitions > 0) partitions
-      else options.collectFirst {
-        case (k, v) if k.equalsIgnoreCase("target_file_mb") => v.toLong
-      }.map { mb =>
-        require(mb > 0, s"target_file_mb must be positive, got $mb")
-        val conf = graft.ros.bag.RosbagIO.hadoopConf()
-        val inputBytes = MixedRead.resolve(inPath).values.flatten.map { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          p.getFileSystem(conf).getFileStatus(p).getLen
-        }.sum
-        math.max(1L, (inputBytes + mb * 1000000L - 1) / (mb * 1000000L)).toInt
+      else targetFileMb(options).map { mb =>
+        val inputBytes = DriverPool.totalBytes(
+          MixedRead.resolve(inPath).values.flatten.toSeq,
+          graft.ros.bag.RosbagIO.hadoopConf())
+        partitionsFor(inputBytes, mb)
       }.getOrElse(0)
     val sized = applyLayout(prepared, format, effParts, layout)
     val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase)) ++
@@ -344,6 +362,13 @@ object Convert {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // streaming output files are per (epoch, partition) — an epoch's
+    // volume varies with arrival, so a bytes-per-file target cannot be
+    // honored; refuse loudly rather than silently ignore it (size a
+    // standing normalizer via the trigger interval + source options)
+    require(targetFileMb(options).isEmpty,
+      "target_file_mb applies to batch Convert.run only: streaming " +
+        "epochs size by arrival, not by a per-file byte target")
     val prepared = prepare(transform(MixedRead.stream(spark, inPath)), format,
       allowForeignEncoding = boolOpt(options, "allow_foreign_encoding"))
     // an empty / not-yet-created prefix is a legal stream start — skip

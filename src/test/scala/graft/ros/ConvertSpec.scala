@@ -135,22 +135,71 @@ class ConvertSpec extends SparkTestBase {
   }
 
   test("target_file_mb sizes the output from the SOURCE bytes when partitions is unset") {
-    // the mixed fixture is a few KB; a tiny target forces multiple
-    // output files, and the time layout keeps them range-disjoint
+    // the sizing formula itself: ceil, floor at 1, loud Int clamp
+    assert(Convert.partitionsFor(500000L, 1) === 1)
+    assert(Convert.partitionsFor(1000000L, 1) === 1)
+    assert(Convert.partitionsFor(1000001L, 1) === 2)
+    assert(Convert.partitionsFor(2600000L, 1) === 3)
+    assert(Convert.partitionsFor(0L, 7) === 1)
+    val big = intercept[IllegalArgumentException] {
+      Convert.partitionsFor(Long.MaxValue / 2, 1)
+    }
+    assert(big.getMessage.contains("target_file_mb"))
+
+    // end-to-end multi-file case: a ~2.5 MB source against a 1 MB
+    // target must land in ceil(bytes/1MB) range-disjoint files
+    val dir = java.nio.file.Files.createTempDirectory("graft_conv_sized").toFile
+    val r2 = Ros2Msg.bundle("std_msgs/msg/String", strDef)
+    val fill = "x" * 1000
+    java.nio.file.Files.write(new java.io.File(dir, "big.mcap").toPath,
+      McapFormat.writeMcap(
+        Seq(McapFormat.McapSchema(1, "std_msgs/msg/String", "ros2msg",
+          strDef.getBytes("UTF-8"))),
+        Seq(McapFormat.McapChannel(1, 1, "/big", "cdr")),
+        (0 until 2500).map { i =>
+          val t = 100000000000L + i * 1000000L
+          McapFormat.McapMessage(1, i.toLong, t, t,
+            CdrCodec.encode(r2, Seq(s"$fill-$i")))
+        }, compression = "")) // uncompressed: on-disk bytes ≈ payload bytes
+    val srcBytes = new java.io.File(dir, "big.mcap").length()
+    val expected = ((srcBytes + 999999L) / 1000000L).toInt
+    assert(expected >= 2, s"fixture must exceed the 1 MB target, got $srcBytes B")
     val o = out("sized")
-    Convert.run(spark, mixedDir, o, "mcap",
+    Convert.run(spark, dir.getAbsolutePath, o, "mcap",
       options = Map("target_file_mb" -> "1"))
-    // sources are < 1 MB total -> exactly one file
-    val one = new java.io.File(o).listFiles()
+    val files = new java.io.File(o).listFiles()
       .filter(f => f.getName.endsWith(".mcap") && !f.getName.startsWith(".")
         && f.getName != "attachments.mcap")
-    assert(one.length === 1, s"sub-target input must land in one file, got ${one.length}")
-    assert(spark.read.format("mcap").load(o).count() === 12)
+    assert(files.length === expected,
+      s"expected $expected sized files, got ${files.length}")
+    assert(spark.read.format("mcap").load(o).count() === 2500)
+    // time layout holds under auto-sizing: file ranges are disjoint
+    val ranges = files.toSeq.map { f =>
+      val st = graft.ros.mcap.McapIO.scanIndex(f.getPath).stats.get
+      (st.messageStartTime, st.messageEndTime)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1, s"sized files must be disjoint: $ranges")
+      case _ => ()
+    }
+
     val ex = intercept[Exception] {
-      Convert.run(spark, mixedDir, out("sized_bad"), "mcap",
+      Convert.run(spark, dir.getAbsolutePath, out("sized_bad"), "mcap",
         options = Map("target_file_mb" -> "0"))
     }
     assert(causeMessages(ex).contains("target_file_mb"))
+    val exParse = intercept[Exception] {
+      Convert.run(spark, dir.getAbsolutePath, out("sized_nan"), "mcap",
+        options = Map("target_file_mb" -> "512mb"))
+    }
+    assert(causeMessages(exParse).contains("target_file_mb"))
+    // streaming refuses the option loudly instead of ignoring it
+    val exStream = intercept[Exception] {
+      Convert.runStream(spark, dir.getAbsolutePath, out("sized_stream"),
+        "mcap", java.nio.file.Files.createTempDirectory("ck").toString,
+        options = Map("target_file_mb" -> "1"))
+    }
+    assert(causeMessages(exStream).contains("batch Convert.run only"))
   }
 
   test("foreign-encoding guard: cdr payloads into a .bag fail loudly without the opt-in") {
