@@ -368,6 +368,36 @@ class ConvertSpec extends SparkTestBase {
     assert(!new java.io.File(o2, "attachments.mcap").exists())
   }
 
+  test("runStream carries start-time attachments; a restart re-merges without duplicates") {
+    val in = java.nio.file.Files.createTempDirectory("graft_convstr_att").toFile
+    val r2 = Ros2Msg.bundle("std_msgs/msg/String", strDef)
+    val fos = new java.io.FileOutputStream(new java.io.File(in, "a.mcap"))
+    val w = new McapStreamingWriter(fos, "zstd", 1 << 20,
+      Map("std_msgs/msg/String" -> Seq(("ros2msg", strDef.getBytes("UTF-8")))))
+    (0 until 3).foreach { i =>
+      w.write("/t", "std_msgs/msg/String", "", "cdr", i.toLong,
+        900000000000L + i, 900000000000L + i, CdrCodec.encode(r2, Seq(s"s$i")))
+    }
+    w.writeAttachment(900L, 899L, "imu.calib", "text/plain",
+      "bias=0.01".getBytes("UTF-8"))
+    w.finish(); fos.close()
+
+    val o = out("str_att")
+    val ck = java.nio.file.Files.createTempDirectory("graft_convstr_ck").toString
+    assert(Convert.runStream(spark, in.getAbsolutePath, o, "mcap", ck)
+      .awaitTermination(120000))
+    def attachments() = spark.read.format("mcap")
+      .option("table", "attachments").load(o)
+    assert(attachments().count() === 1)
+    assert(new String(attachments().head().getAs[Array[Byte]]("data"),
+      "UTF-8") === "bias=0.01")
+    // restart: the identity merge keeps the carry idempotent
+    assert(Convert.runStream(spark, in.getAbsolutePath, o, "mcap", ck)
+      .awaitTermination(120000))
+    assert(attachments().count() === 1)
+    assert(spark.read.format("mcap").load(o).count() === 3)
+  }
+
   test("a type name defined in two dialects keeps BOTH schema variants in the convert") {
     import graft.ros.mcap.{McapIO, McapPayload, McapTypedRead}
     val dir = java.nio.file.Files.createTempDirectory("graft_conv_dual").toFile
