@@ -423,6 +423,32 @@ object ContainerQueries {
           min(col("timestamp")).as("min_ts_ns"),
           max(col("timestamp")).as("max_ts_ns"))
         .orderBy(col("container"))
+    }),
+
+    // Q91 — typed CROSS-DIALECT transcode, CHECKED: the mixed
+    // directory converted with `transcode=auto`, so the bag's ros1
+    // rows re-encode as CDR under the TRANSLATED ros2msg definition
+    // (decode(ros1) → encode(cdr), graft_msgs/Event renamed to the
+    // ros2 namespace). The bag's /events_even|odd rows now join the
+    // db3-sourced ones under ONE typed read of the renamed type —
+    // those topics double while /events_ros (mcap-sourced, already
+    // cdr) stays — and the bag rows' decoded FIELD VALUES (ids, user
+    // ids, doubles) sit inside the DuckDB equality, so re-encode
+    // fidelity across the dialect boundary — not just row routing —
+    // is what this row gates (the q89 pattern pointed across
+    // dialects).
+    "q91_transcode_typed" -> ((s, d) => {
+      val out = transcodeFixture(s, d)
+      s.read.format("mcap").option("path", out)
+        .option("schema_name", RosName).load()
+        .groupBy(col("topic")).agg(
+          count(lit(1)).as("cnt"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          sum(col("user_id")).as("sum_uid"),
+          round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
+            .as("sum_value"))
+        .orderBy(col("topic"))
     }))
 
   /** Sink-built fixture for q86: the same 1000-row slice EXPORTED as
@@ -539,6 +565,20 @@ object ContainerQueries {
         graft.ros.Convert.run(s, mixed,
           new java.io.File(stage, "export").getAbsolutePath,
           "mcap", partitions = 2)
+      } + "/export"
+    }
+
+  /** q91's fixture: the q79 mixed directory converted with
+    * `transcode=auto` — the bag rows cross the dialect boundary
+    * (ros1 → CDR) through the public API. Salt v1.
+    */
+  private def transcodeFixture(s: SparkSession, d: String): String =
+    synchronized {
+      val mixed = mixedFixture(s, d)
+      publishStaged("graft_container_transcodev1_" + md5Key(mixed)) { stage =>
+        graft.ros.Convert.run(s, mixed,
+          new java.io.File(stage, "export").getAbsolutePath,
+          "mcap", partitions = 2, options = Map("transcode" -> "auto"))
       } + "/export"
     }
 
@@ -839,5 +879,28 @@ object ContainerQueries {
         |SELECT 'db3' AS container, cnt, min_ts_ns, max_ts_ns FROM g
         |UNION ALL SELECT 'mcap', cnt, min_ts_ns, max_ts_ns FROM g
         |UNION ALL SELECT 'rosbag', cnt, min_ts_ns, max_ts_ns FROM g
-        |ORDER BY container""".stripMargin)
+        |ORDER BY container""".stripMargin,
+    // the bag's even/odd rows transcode and DOUBLE the db3-sourced
+    // topics (decimal sums double exactly before the one rounding)
+    "q91_transcode_typed" ->
+      """WITH ev AS (
+        |  SELECT * FROM events ORDER BY event_id LIMIT 1000),
+        |e AS (
+        |  SELECT COUNT(*) AS cnt, MIN(event_id) AS mn, MAX(event_id) AS mx,
+        |         CAST(SUM(user_id) AS BIGINT) AS su,
+        |         SUM(CAST(value AS DECIMAL(28,10))) AS s
+        |  FROM ev WHERE event_id % 2 = 0),
+        |o AS (
+        |  SELECT COUNT(*) AS cnt, MIN(event_id) AS mn, MAX(event_id) AS mx,
+        |         CAST(SUM(user_id) AS BIGINT) AS su,
+        |         SUM(CAST(value AS DECIMAL(28,10))) AS s
+        |  FROM ev WHERE event_id % 2 <> 0)
+        |SELECT '/events_even' AS topic, e.cnt * 2 AS cnt, e.mn AS min_id,
+        |       e.mx AS max_id, e.su * 2 AS sum_uid,
+        |       CAST(ROUND(e.s * 2, 2) AS DOUBLE) AS sum_value FROM e
+        |UNION ALL SELECT '/events_odd', o.cnt * 2, o.mn, o.mx, o.su * 2,
+        |       CAST(ROUND(o.s * 2, 2) AS DOUBLE) FROM o
+        |UNION ALL SELECT '/events_ros', o.cnt, o.mn, o.mx, o.su,
+        |       CAST(ROUND(o.s, 2) AS DOUBLE) FROM o
+        |ORDER BY topic""".stripMargin)
 }

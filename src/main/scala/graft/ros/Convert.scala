@@ -125,7 +125,62 @@ object Convert {
 
   /** The Convert-consumed options (not forwarded to the sink). */
   private val ConvertOnly =
-    Set("allow_foreign_encoding", "carry_attachments", "target_file_mb")
+    Set("allow_foreign_encoding", "carry_attachments", "target_file_mb",
+      "transcode")
+
+  /** Parse the `transcode` option: "off" (default — payloads pass
+    * through byte-exact), "strict" (alias "true" — every ros1 row
+    * re-encodes as CDR, untranslatable definitions fail loudly) or
+    * "auto" (translatable rows re-encode, the rest byte-embed under
+    * their original encoding).
+    */
+  private def transcodeMode(options: Map[String, String]): String =
+    options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("transcode") => v.toLowerCase
+    } match {
+      case None | Some("false") | Some("off") => "off"
+      case Some("true") | Some("strict") => "strict"
+      case Some("auto") => "auto"
+      case Some(other) => throw new IllegalArgumentException(
+        s"transcode must be off | auto | strict (true), got '$other'")
+    }
+
+  /** Resolve the transcode plan for `inPath` and rewrite `spine`'s
+    * ros1 rows to CDR ([[Transcode.toCdr]]). Returns the rewritten
+    * frame plus the sink options feeding the TRANSLATED definitions
+    * into the target's defs channel, and whether every harvested ros1
+    * definition translated (drives the mcap profile choice).
+    */
+  private def applyTranscode(spine: DataFrame, mode: String, format: String,
+      inPath: String, options: Map[String, String] = Map.empty)
+      : (DataFrame, Map[String, String], Boolean) = {
+    if (mode == "off") return (spine, Map.empty, false)
+    require(format == "mcap" || format == "db3",
+      s"transcode re-encodes toward CDR containers (mcap | db3), not '$format'")
+    val (entries, failures) = Transcode.plan(inPath)
+    if (failures.nonEmpty) {
+      val detail = failures.toSeq.sortBy(_._1).take(5)
+        .map { case (n, m) => s"$n: $m" }.mkString("; ")
+      if (mode == "strict") throw new IllegalArgumentException(
+        s"transcode: ${failures.size} ros1msg definition(s) under $inPath " +
+          s"do not translate to ros2msg ($detail) — fix the definitions " +
+          "or pass transcode=auto to embed those rows as ros1 bytes")
+      logger.warn(s"transcode: ${failures.size} ros1msg definition(s) " +
+        s"under $inPath do not translate and will byte-embed ($detail)")
+    }
+    val defsOpt =
+      if (entries.isEmpty) Map.empty[String, String]
+      else {
+        // merge with (never override) a caller-passed inline channel
+        val mine = DefsHarvest.encodeInline(Transcode.inlineDefs(entries.values))
+        val user = options.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("schema_defs_inline") => v
+        }
+        Map("schema_defs_inline" -> user.map(u => u + "\n" + mine).getOrElse(mine))
+      }
+    (Transcode.toCdr(spine, entries, strict = mode == "strict"),
+      defsOpt, failures.isEmpty)
+  }
 
   /** Parse `target_file_mb`, naming the option in every failure. */
   private def targetFileMb(options: Map[String, String]): Option[Long] =
@@ -182,14 +237,25 @@ object Convert {
     * conformant when every channel is cdr, so a corpus carrying
     * protobuf or ros1 payloads exports under the spec's "" (no
     * profile) instead — conformance checkers would reject a
-    * ros2-profile file with non-cdr channels.
+    * ros2-profile file with non-cdr channels. With `ros1Transcoded`
+    * (every harvested ros1 definition translated and transcode is
+    * on), "ros1" counts as cdr — those rows re-encode before the sink
+    * sees them.
+    *
+    * Derivation is METADATA-ONLY (one cached index sweep, no data
+    * scan), so it reflects the SOURCES, not the `transform`'s output:
+    * a transform that unions in rows of another encoding must pass
+    * `profile` explicitly or the header may overclaim.
     */
   private def autoProfile(options: Map[String, String], format: String,
-      inPath: String): Map[String, String] =
+      inPath: String, ros1Transcoded: Boolean = false): Map[String, String] =
     if (format != "mcap" || options.keys.exists(_.equalsIgnoreCase("profile")))
       Map.empty
     else {
-      val encs = DefsHarvest.messageEncodings(inPath)
+      val encs0 = DefsHarvest.messageEncodings(inPath)
+      val encs =
+        if (ros1Transcoded) encs0.map(e => if (e == "ros1") "cdr" else e)
+        else encs0
       Map("profile" -> (if (encs.nonEmpty && encs.forall(_ == "cdr")) "ros2"
         else ""))
     }
@@ -224,7 +290,9 @@ object Convert {
       transform: DataFrame => DataFrame = identity,
       options: Map[String, String] = Map.empty,
       mode: String = "append", layout: String = "time"): Unit = {
-    val spine = transform(MixedRead.spine(spark, inPath))
+    val spine0 = transform(MixedRead.spine(spark, inPath))
+    val (spine, transcodeDefs, ros1Transcoded) =
+      applyTranscode(spine0, transcodeMode(options), format, inPath, options)
     val prepared = prepare(spine, format,
       allowForeignEncoding = boolOpt(options, "allow_foreign_encoding"))
     val effParts =
@@ -237,7 +305,8 @@ object Convert {
       }.getOrElse(0)
     val sized = applyLayout(prepared, format, effParts, layout)
     val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase)) ++
-      autoDefs(options, format, inPath) ++ autoProfile(options, format, inPath)
+      autoDefs(options, format, inPath) ++
+      autoProfile(options, format, inPath, ros1Transcoded) ++ transcodeDefs
     sinkOpts.foldLeft(sized.write.format(format).mode(mode)) {
       case (w, (k, v)) => w.option(k, v)
     }.save(outPath)
@@ -369,14 +438,28 @@ object Convert {
     require(targetFileMb(options).isEmpty,
       "target_file_mb applies to batch Convert.run only: streaming " +
         "epochs size by arrival, not by a per-file byte target")
-    val prepared = prepare(transform(MixedRead.stream(spark, inPath)), format,
-      allowForeignEncoding = boolOpt(options, "allow_foreign_encoding"))
     // an empty / not-yet-created prefix is a legal stream start — skip
     // the defs auto-wire rather than fail (nothing to harvest yet)
     val resolvable = scala.util.Try(MixedRead.resolve(inPath)).isSuccess
+    val spine0 = transform(MixedRead.stream(spark, inPath))
+    val mode = transcodeMode(options)
+    val (spine, transcodeDefs, ros1Transcoded) =
+      if (mode == "off") (spine0, Map.empty[String, String], false)
+      else if (resolvable) applyTranscode(spine0, mode, format, inPath, options)
+      else {
+        // nothing to plan from yet: the per-file fallback inside the
+        // transcode UDF harvests definitions as files land
+        require(format == "mcap" || format == "db3",
+          s"transcode re-encodes toward CDR containers (mcap | db3), not '$format'")
+        (Transcode.toCdr(spine0, Map.empty, strict = mode == "strict"),
+          Map.empty[String, String], false)
+      }
+    val prepared = prepare(spine, format,
+      allowForeignEncoding = boolOpt(options, "allow_foreign_encoding"))
     val auto =
       if (resolvable)
-        autoDefs(options, format, inPath) ++ autoProfile(options, format, inPath)
+        autoDefs(options, format, inPath) ++
+          autoProfile(options, format, inPath, ros1Transcoded) ++ transcodeDefs
       else Map.empty[String, String]
     if (resolvable && boolOpt(options, "carry_attachments", default = true)) {
       if (format == "mcap") carryAttachments(inPath, outPath)

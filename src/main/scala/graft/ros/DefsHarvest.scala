@@ -87,6 +87,29 @@ object DefsHarvest {
     chosen.values.toSeq
   }
 
+  /** Serialize definitions for the sinks' `schema_defs_inline` option
+    * — the channel [[graft.ros.Transcode]] uses to hand TRANSLATED
+    * definitions (which exist in no source container) to a sink.
+    * One line per definition: `name \t encoding \t md5 \t base64(data)`
+    * (type names and encodings never carry tabs/newlines).
+    */
+  def encodeInline(defs: Seq[TypeDef]): String =
+    defs.map(d => s"${d.name}\t${d.encoding}\t${d.md5sum}\t" +
+      java.util.Base64.getEncoder.encodeToString(d.data)).mkString("\n")
+
+  /** Inverse of [[encodeInline]]; blank lines tolerated (option-merge
+    * concatenation).
+    */
+  def decodeInline(s: String): Seq[TypeDef] =
+    s.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        case Array(name, enc, md5, b64) =>
+          TypeDef(name, enc, java.util.Base64.getDecoder.decode(b64), md5)
+        case _ => throw new IllegalArgumentException(
+          s"malformed schema_defs_inline line: '${line.take(80)}'")
+      }
+    }
+
   /** The wire (MESSAGE) encodings present under `path`, from metadata
     * alone: "ros1" for every rosbag1 file, mcap channel
     * message_encodings, db3 topic serialization_formats. Drives e.g.

@@ -88,10 +88,19 @@ class Db3WriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
       .getOrElse(100000)
     val fileBytes = Option(opts.get("file_bytes")).map(_.toLong)
       .getOrElse(64L * 1024 * 1024)
+    // inline entries (graft.ros.Transcode's translations — ros2msg by
+    // construction) win over the path harvest: they exist in no
+    // source container
+    val inlineDefs = Option(opts.get("schema_defs_inline")).toSeq
+      .flatMap(graft.ros.DefsHarvest.decodeInline)
+      .filter(d => graft.ros.DefsHarvest.isRos2(d.encoding))
+      .map(d => d.name -> (d.encoding,
+        new String(d.data, java.nio.charset.StandardCharsets.UTF_8)))
+      .toMap
     val defs = Option(opts.get("schema_defs_from"))
       .map(Db3SinkWrite.harvestDefs(_,
         Option(opts.get("foreign_defs")).getOrElse("error")))
-      .getOrElse(Map.empty)
+      .getOrElse(Map.empty) ++ inlineDefs
     // rosbag2's own compression axes (--compression-format zstd,
     // --compression-mode file|message); the read side already inflates
     // both modes transparently

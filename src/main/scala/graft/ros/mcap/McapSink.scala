@@ -52,6 +52,21 @@ object McapSinkWrite {
     * types), the files are many.
     */
   private[mcap] def harvestDefs(path: String)
+      : Map[String, Seq[(String, Array[Byte])]] =
+    variantMap(graft.ros.DefsHarvest.fromPath(path))
+
+  /** The full defs channel: `schema_defs_inline` entries FIRST (they
+    * carry definitions no source container holds — e.g.
+    * [[graft.ros.Transcode]]'s translations — and win the per-channel
+    * variant choice), then the `schema_defs_from` harvest.
+    */
+  private[mcap] def resolveDefs(inline: Option[String], from: Option[String])
+      : Map[String, Seq[(String, Array[Byte])]] =
+    variantMap(
+      inline.map(graft.ros.DefsHarvest.decodeInline).getOrElse(Seq.empty) ++
+        from.map(graft.ros.DefsHarvest.fromPath).getOrElse(Seq.empty))
+
+  private def variantMap(defs: Seq[graft.ros.DefsHarvest.TypeDef])
       : Map[String, Seq[(String, Array[Byte])]] = {
     // one definition per (name, ENCODING) — mcap supports multiple
     // Schema records, so a type name defined in two dialects (a bag's
@@ -59,8 +74,7 @@ object McapSinkWrite {
     // the writer picks per channel by its message encoding. Deduping
     // by bare name would make one dialect's channels unreadable.
     val seen = scala.collection.mutable.HashSet[(String, String)]()
-    graft.ros.DefsHarvest.fromPath(path)
-      .filter(d => seen.add((d.name, d.encoding)))
+    defs.filter(d => seen.add((d.name, d.encoding)))
       .groupBy(_.name).view
       .mapValues(_.map(d => (d.encoding, d.data))).toMap
   }
@@ -378,8 +392,9 @@ class McapWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilde
     }
     val chunkBytes = Option(opts.get("chunk_bytes")).map(_.toInt)
       .getOrElse(4 * 1024 * 1024)
-    val defs = Option(opts.get("schema_defs_from"))
-      .map(McapSinkWrite.harvestDefs).getOrElse(Map.empty)
+    val defs = McapSinkWrite.resolveDefs(
+      Option(opts.get("schema_defs_inline")),
+      Option(opts.get("schema_defs_from")))
     val profile = Option(opts.get("profile")).getOrElse("ros2")
     new McapWrite(path, ords,
       McapSinkConf(compression, chunkBytes, defs, profile), truncateFirst,

@@ -474,4 +474,121 @@ class ConvertSpec extends SparkTestBase {
     assert(typed.select("data_field").collect().map(_.getString(0)).toSet
       === (0 until 3).map(i => s"d$i").toSet)
   }
+
+  // ---- typed cross-dialect transcode ----
+
+  private def profileOf(o: String): String = {
+    val f = new java.io.File(o).listFiles()
+      .filter(x => x.getName.endsWith(".mcap") && !x.getName.startsWith("."))
+      .head
+    McapFormat.headerOf(java.nio.file.Files.readAllBytes(f.toPath))._1
+  }
+
+  private val sampleDef =
+    """Header header
+      |time stamp
+      |byte b
+      |float64 v
+      |string note
+      |uint8[] blob
+      |================================================================================
+      |MSG: std_msgs/Header
+      |uint32 seq
+      |time stamp
+      |string frame_id""".stripMargin
+
+  private lazy val richBagDir: String = {
+    import graft.ros.bag.BagFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft_tc_bag").toFile
+    val b1 = MsgDefParser.parse("graft_msgs/Sample", sampleDef)
+    java.nio.file.Files.write(new java.io.File(dir, "rich.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/samples", "graft_msgs/Sample", "*",
+          sampleDef, "c")),
+        (0 until 5).map { i =>
+          BagFormat.WriteMessage(0, 100 + i, 0,
+            RosSchemaMapper.encode(b1, Seq[Any](
+              i.toLong, i, 2 * i, s"f$i",      // header: seq, stamp, frame_id
+              10 + i, 20 + i,                  // stamp
+              -i, i * 1.5, s"n$i",             // byte, float64, string
+              Array[Byte](i.toByte, (i + 1).toByte))))
+        }))
+    dir.getAbsolutePath
+  }
+
+  test("transcode: a ros1 bag normalizes into a genuine ros2-profile mcap, typed-readable") {
+    val o = out("tc_strict")
+    Convert.run(spark, richBagDir, o, "mcap", partitions = 1,
+      options = Map("transcode" -> "strict"))
+    // every channel is CDR under the renamed type; the header claims ros2
+    val back = spark.read.format("mcap").load(o)
+    assert(back.select("message_encoding").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("cdr"))
+    assert(back.select("schema_name").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("graft_msgs/msg/Sample"))
+    assert(profileOf(o) === "ros2")
+    // the TRANSLATED definition travels in the archive: a typed read
+    // needs no options and decodes every field — values identical to
+    // what the ros1 encoder wrote (time → builtin_interfaces/Time
+    // renames nsec → nanosec; uint32 widens to long)
+    val typed = spark.read.format("mcap").option("path", o)
+      .option("schema_name", "graft_msgs/msg/Sample").load()
+      .orderBy(col("header_seq"))
+    val rows = typed.select("header_seq", "header_stamp_sec",
+      "header_stamp_nanosec", "header_frame_id", "stamp_sec",
+      "stamp_nanosec", "b", "v", "note", "blob").collect()
+    assert(rows.length === 5)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i.toLong)
+      assert(r.getInt(1) === i && r.getLong(2) === 2L * i)
+      assert(r.getString(3) === s"f$i")
+      assert(r.getInt(4) === 10 + i && r.getLong(5) === 20L + i)
+      assert(r.getInt(6) === -i, "ROS1 byte is signed int8")
+      assert(r.getDouble(7) === i * 1.5)
+      assert(r.getString(8) === s"n$i")
+      assert(r.getAs[Array[Byte]](9).toSeq === Seq(i.toByte, (i + 1).toByte))
+    }
+  }
+
+  test("transcode=auto on a mixed dir: all dialects land cdr and one typed read merges them") {
+    val o = out("tc_auto")
+    Convert.run(spark, mixedDir, o, "mcap", partitions = 2,
+      options = Map("transcode" -> "auto"))
+    val back = spark.read.format("mcap").load(o)
+    assert(back.select("message_encoding").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("cdr"),
+      "the bag rows re-encode; mcap/db3 rows were already cdr")
+    assert(profileOf(o) === "ros2",
+      "with every ros1 definition translated the archive is conformant ros2")
+    // std_msgs/String from all three eras merges under ONE typed read
+    val typed = spark.read.format("mcap").option("path", o)
+      .option("schema_name", "std_msgs/msg/String").load()
+    assert(typed.select("data_field").collect().map(_.getString(0)).toSet ===
+      ((0 until 5).map(i => s"b$i") ++ (0 until 4).map(i => s"m$i") ++
+        (0 until 3).map(i => s"d$i")).toSet)
+  }
+
+  test("transcode=strict fails loudly on untranslatable definitions; auto byte-embeds them") {
+    import graft.ros.bag.BagFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft_tc_bad").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "bad.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/junk", "graft_msgs/Bad", "*",
+          "not a definition", "c")),
+        Seq(BagFormat.WriteMessage(0, 1, 0, Array[Byte](1, 2, 3)))))
+    val ex = intercept[Exception] {
+      Convert.run(spark, dir.getAbsolutePath, out("tc_bad"), "mcap",
+        partitions = 1, options = Map("transcode" -> "strict"))
+    }
+    assert(causeMessages(ex).contains("transcode=auto"))
+    val o = out("tc_bad_auto")
+    Convert.run(spark, dir.getAbsolutePath, o, "mcap", partitions = 1,
+      options = Map("transcode" -> "auto"))
+    val back = spark.read.format("mcap").load(o)
+    assert(back.select("message_encoding").collect().map(_.getString(0)).toSeq
+      === Seq("ros1"), "untranslatable rows byte-embed under auto")
+    assert(profileOf(o) === "", "a ros1-bearing archive must not claim ros2")
+    assert(back.select("data").head().getAs[Array[Byte]](0).toSeq ===
+      Seq[Byte](1, 2, 3))
+  }
 }

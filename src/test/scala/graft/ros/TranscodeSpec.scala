@@ -1,0 +1,257 @@
+package graft.ros
+
+import org.scalacheck.{Arbitrary, Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.ros.mcap.{CdrCodec, Ros2Msg}
+import RosPrimitive._
+
+/** Cross-dialect transcode: ros1msg definitions translate to ros2msg
+  * and payloads re-encode decode(ros1) → encode(cdr) with VALUE
+  * identity — the unit half of the Convert `transcode` option
+  * (ConvertSpec holds the end-to-end archive round-trips).
+  */
+class TranscodeSpec extends AnyFunSuite {
+
+  // ---- definition translation ----
+
+  test("field-type mapping: time/duration/byte/char/Header rename, rest verbatim") {
+    val src =
+      """# a sensor sample
+        |Header header
+        |time stamp
+        |duration age
+        |byte b
+        |char c
+        |uint8 FLAG=7
+        |float64[9] cov
+        |geometry_msgs/Point[] pts
+        |string note
+        |================================================================================
+        |MSG: std_msgs/Header
+        |uint32 seq
+        |time stamp
+        |string frame_id
+        |================================================================================
+        |MSG: geometry_msgs/Point
+        |float64 x
+        |float64 y
+        |float64 z""".stripMargin
+    val out = Transcode.translateDefText(src)
+    val lines = out.linesIterator.toSeq
+    assert(lines.contains("std_msgs/Header header"))
+    assert(lines.contains("builtin_interfaces/Time stamp"))
+    assert(lines.contains("builtin_interfaces/Duration age"))
+    assert(lines.contains("int8 b"), "ROS1 byte aliases int8")
+    assert(lines.contains("uint8 c"), "ROS1 char aliases uint8")
+    assert(lines.contains("uint8 FLAG=7"), "constants pass through")
+    assert(lines.contains("float64[9] cov"), "fixed arrays keep their bound")
+    assert(lines.contains("geometry_msgs/Point[] pts"))
+    assert(lines.contains("# a sensor sample"), "comments pass through")
+    assert(lines.contains("MSG: std_msgs/msg/Header"),
+      "dependent block headers take the ROS 2 namespace")
+    assert(lines.contains("MSG: builtin_interfaces/Time") &&
+      lines.contains("MSG: builtin_interfaces/Duration"),
+      "builtin blocks are appended when time/duration was used")
+  }
+
+  test("translate validates the value stream and renames pkg/Type -> pkg/msg/Type") {
+    val e = Transcode.translate("graft_msgs/Event",
+      "int64 event_id\nstring event_type\nfloat64 value")
+    assert(e.dstName === "graft_msgs/msg/Event")
+    // the translated definition parses under the ros2msg reader
+    val b2 = Ros2Msg.bundle(e.dstName, e.dstDef)
+    assert(RosSchemaMapper.flatSchema(b2).fieldNames.toSeq ===
+      Seq("event_id", "event_type", "value"))
+  }
+
+  test("valueShape distinguishes incompatible walks and floats by width") {
+    def shape(name: String, d: String) =
+      Transcode.valueShape(MsgDefParser.parse(name, d))
+    assert(shape("t/A", "int32 a\nint64 b") === shape("t/B", "uint32 a\nuint64 b"),
+      "integer widths box through Number — one token")
+    assert(shape("t/A", "float32 a") !== shape("t/B", "float64 a"),
+      "float widths stay distinct (cross-width would lose precision)")
+    assert(shape("t/A", "uint8[] a") !== shape("t/B", "uint16[] a"),
+      "binary-materialized arrays differ from boxed ones")
+    assert(shape("t/A", "time t") === "NN")
+    assert(shape("t/A", "time[2] t") === "[2{NN}]")
+  }
+
+  // ---- value fidelity through decode(ros1) -> encode(cdr) ----
+
+  private def norm(v: Any): Any = v match {
+    case a: Array[Byte] => a.toSeq
+    case f: Float if f.isNaN => "NaN-f"
+    case d: Double if d.isNaN => "NaN-d"
+    case n: java.lang.Long => n.longValue
+    case n: java.lang.Integer => n.longValue
+    case n: java.lang.Short => n.longValue
+    case n: java.lang.Byte => n.longValue
+    case r: Row => r.toSeq.map(norm)
+    case s: Seq[_] => s.map(norm)
+    case x => x
+  }
+
+  private def transcodeRoundTrip(name: String, defText: String,
+      values: Seq[Any]): Seq[Any] = {
+    val e = Transcode.translate(name, defText)
+    val b1 = MsgDefParser.parse(name, defText)
+    val ros1 = RosSchemaMapper.encode(b1, values)
+    val cdr = Transcode.codec(e)(ros1)
+    // the encapsulation header marks the payload CDR
+    assert(cdr(0) === 0x00.toByte && cdr(1) === 0x01.toByte)
+    CdrCodec.decode(Ros2Msg.bundle(e.dstName, e.dstDef), cdr)
+  }
+
+  test("rich type: Header + nested msgs + time arrays + byte/char survive byte-for-value") {
+    val defText =
+      """Header header
+        |time stamp
+        |duration age
+        |byte b
+        |char c
+        |bool ok
+        |uint8[] blob
+        |int8[3] trio
+        |float32 f
+        |float64[2] pair
+        |time[2] marks
+        |geometry_msgs/Point[] pts
+        |string note
+        |uint16 STATUS=3
+        |================================================================================
+        |MSG: std_msgs/Header
+        |uint32 seq
+        |time stamp
+        |string frame_id
+        |================================================================================
+        |MSG: geometry_msgs/Point
+        |float64 x
+        |float64 y
+        |float64 z""".stripMargin
+    val values = Seq[Any](
+      42L,                  // header.seq (uint32 decodes Long)
+      100, 200,             // header.stamp sec/nsec
+      "base_link",          // header.frame_id
+      7, 8,                 // stamp
+      -1, 2,                // age (duration, int32 pair)
+      -5,                   // byte (signed)
+      200,                  // char (unsigned)
+      true,
+      Array[Byte](1, 2, -3),
+      Array[Byte](9, 8, 7),
+      1.5f,
+      Seq[Any](2.5, -3.5),
+      Seq(Row(1, 2), Row(3, 4)),
+      Seq(Row(1.0, 2.0, 3.0), Row(4.0, 5.0, 6.0)),
+      "hello # not a comment",
+      // STATUS is a constant: no value
+    )
+    val decoded = transcodeRoundTrip("graft_msgs/Sample", defText, values)
+    assert(norm(decoded) === norm(values))
+  }
+
+  test("empty arrays and empty strings transcode") {
+    val decoded = transcodeRoundTrip("t/Edge",
+      "uint8[] blob\nstring s\nfloat64[] xs\ntime[] ts",
+      Seq[Any](Array.emptyByteArray, "", Seq.empty[Any], Seq.empty[Row]))
+    assert(norm(decoded) === norm(Seq[Any](
+      Array.emptyByteArray, "", Seq.empty[Any], Seq.empty[Row])))
+  }
+
+  test("plan harvests from a bag and reports untranslatable definitions") {
+    import graft.ros.bag.BagFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft_tc_plan").toFile
+    val good = "int64 id\ntime t"
+    val goodB = MsgDefParser.parse("graft_msgs/Ok", good)
+    java.nio.file.Files.write(new java.io.File(dir, "a.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/ok", "graft_msgs/Ok", "*", good, "c"),
+          BagFormat.BagConnection(1, "/bad", "graft_msgs/Bad", "*",
+            "this-is-not-a-msg-def", "c")),
+        Seq(BagFormat.WriteMessage(0, 1, 0,
+          RosSchemaMapper.encode(goodB, Seq[Any](5L, 1, 2))),
+          BagFormat.WriteMessage(1, 1, 0, Array[Byte](0)))))
+    val (entries, failures) = Transcode.plan(dir.getAbsolutePath)
+    assert(entries.keySet === Set("graft_msgs/Ok"))
+    assert(entries("graft_msgs/Ok").dstName === "graft_msgs/msg/Ok")
+    assert(failures.keySet === Set("graft_msgs/Bad"))
+  }
+
+  // ---- property: random primitive defs round-trip through the codec ----
+
+  private val prims: Seq[RosPrimitive] = Seq(
+    RBool, RInt8, RUInt8, RByte, RChar, RInt16, RUInt16, RInt32, RUInt32,
+    RInt64, RFloat32, RFloat64, RString, RTime, RDuration)
+
+  private def genValue(p: RosPrimitive): Gen[Any] = p match {
+    case RBool    => Gen.oneOf(true, false)
+    case RInt8 | RByte => Gen.choose(-128, 127)
+    case RUInt8 | RChar => Gen.choose(0, 255)
+    case RInt16   => Gen.choose(-32768, 32767)
+    case RUInt16  => Gen.choose(0, 65535)
+    case RInt32   => Arbitrary.arbitrary[Int]
+    case RUInt32  => Gen.choose(0L, 0xFFFFFFFFL)
+    case RInt64   => Arbitrary.arbitrary[Long]
+    case RFloat32 => Arbitrary.arbitrary[Float]
+    case RFloat64 => Arbitrary.arbitrary[Double]
+    case RString  => Gen.alphaNumStr.map(_.take(30))
+    case RTime | RDuration => Gen.choose(0, Int.MaxValue)
+    case other    => throw new IllegalArgumentException(other.toString)
+  }
+
+  private val genFieldLine: Gen[(String, RosPrimitive, Option[Option[Int]])] = for {
+    p <- Gen.oneOf(prims)
+    arr <- Gen.frequency(3 -> Gen.const(None),
+      1 -> Gen.option(Gen.choose(0, 4)).map(Some(_)))
+  } yield (p.name, p, arr)
+
+  private def genValuesFor(p: RosPrimitive, arr: Option[Option[Int]]): Gen[List[Any]] =
+    arr match {
+      case None => p match {
+        case RTime | RDuration =>
+          Gen.zip(genValue(p), genValue(p)).map(t => List(t._1, t._2))
+        case _ => genValue(p).map(List(_))
+      }
+      case Some(fixed) =>
+        val len = fixed.map(Gen.const).getOrElse(Gen.choose(0, 5))
+        len.flatMap { n =>
+          if (Seq(RUInt8, RByte, RChar, RInt8).contains(p))
+            Gen.listOfN(n, Gen.choose(-128, 127))
+              .map(bs => List(bs.map(_.toByte).toArray))
+          else if (p == RTime || p == RDuration)
+            Gen.listOfN(n, Gen.zip(genValue(p), genValue(p)))
+              .map(ts => List(ts.map(t => Row(t._1, t._2)): Seq[Any]))
+          else Gen.listOfN(n, genValue(p)).map(vs => List(vs: Seq[Any]))
+        }
+    }
+
+  test("property: random ros1 defs + values transcode value-identically") {
+    val genCase = for {
+      n <- Gen.choose(1, 8)
+      fields <- Gen.listOfN(n, genFieldLine)
+      values <- Gen.sequence[List[List[Any]], List[Any]](
+        fields.map { case (_, p, arr) => genValuesFor(p, arr) })
+    } yield {
+      val defText = fields.zipWithIndex.map { case ((tn, _, arr), i) =>
+        val suffix = arr match {
+          case None => ""
+          case Some(None) => "[]"
+          case Some(Some(k)) => s"[$k]"
+        }
+        s"$tn$suffix f_$i"
+      }.mkString("\n")
+      (defText, values.flatten)
+    }
+    val prop = Prop.forAll(genCase) { case (defText: String, values: List[Any]) =>
+      val decoded = transcodeRoundTrip("graft_msgs/P", defText, values)
+      val ok = norm(decoded) == norm(values)
+      if (!ok) println(s"MISMATCH def=\n$defText\n in=${norm(values)}\n out=${norm(decoded)}")
+      ok
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
