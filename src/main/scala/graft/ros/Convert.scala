@@ -71,7 +71,12 @@ object Convert {
         // must not flatten them into log_time / 0
         publishTimeNs =
           if (df.columns.contains("publish_time")) c("publish_time") else null,
-        sequence = if (df.columns.contains("sequence")) c("sequence") else null)
+        sequence = if (df.columns.contains("sequence")) c("sequence") else null,
+        // the row's source file feeds the sink's late-binding defs
+        // fallback: a type first landing MID-STREAM still exports with
+        // its real definition (SourceDefs)
+        sourcePath =
+          if (df.columns.contains("file_path")) c("file_path") else null)
       case "rosbag" =>
         val payload =
           if (!hasEnc || allowForeignEncoding) c("data")
@@ -275,15 +280,16 @@ object Convert {
     * locality).
     *
     * Source mcap ATTACHMENTS and METADATA records (calibration blobs,
-    * URDFs, run descriptions) carry over when the target is mcap:
-    * they land in one `attachments.mcap` alongside the message files
-    * (zero messages — the side-table reads list them with the rest of
-    * the directory), streamed one record at a time so driver memory
-    * is bounded by the largest attachment. Silently dropping them
-    * would lose exactly the data a re-calibration needs; option
-    * `carry_attachments=false` opts out. Non-mcap targets have no
-    * attachment concept — records are NOT carried and a loud log line
-    * is the best the format allows.
+    * URDFs, run descriptions) carry over into one `attachments.mcap`
+    * alongside the converted files (zero messages — the side-table
+    * reads list it with the rest of the directory), streamed one
+    * record at a time so driver memory is bounded by the largest
+    * attachment. Silently dropping them would lose exactly the data a
+    * re-calibration needs, so non-mcap targets get the SAME file as a
+    * SIDECAR next to the `.bag`/`.db3` output (their own formats
+    * cannot represent the records; `option("table", "attachments")`
+    * on the output directory reads them back). Option
+    * `carry_attachments=false` opts out.
     */
   def run(spark: SparkSession, inPath: String, outPath: String,
       format: String, partitions: Int = 0,
@@ -310,67 +316,166 @@ object Convert {
     sinkOpts.foldLeft(sized.write.format(format).mode(mode)) {
       case (w, (k, v)) => w.option(k, v)
     }.save(outPath)
-    val carry = boolOpt(options, "carry_attachments", default = true)
-    if (format == "mcap" && carry) carryAttachments(inPath, outPath)
-    else if (format != "mcap" && carry) warnDroppedAttachments(inPath, format)
+    if (boolOpt(options, "carry_attachments", default = true)) {
+      val n = carryAttachments(inPath, outPath)
+      if (n > 0 && format != "mcap") logger.info(
+        s"convert: a '$format' container cannot represent the sources' " +
+          s"$n attachment/metadata record(s) — carried into the sidecar " +
+          s"$outPath/attachments.mcap instead " +
+          "(option(\"table\", \"attachments\") reads it back)")
+    }
   }
 
-  /** The loud line for targets that cannot represent mcap side
-    * records (metadata scans are cached; this is cheap).
+  // ---- attachment / metadata carry ----
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Identity of one attachment, computed the SAME way regardless of
+    * whether the source record stored a spec crc: the content crc is
+    * always over the data bytes alone, so the same logical attachment
+    * harvested from a crc'd file and a non-crc'd one dedupes to one
+    * copy.
     */
-  private def warnDroppedAttachments(inPath: String, format: String): Unit = {
-    val carriers = MixedRead.resolve(inPath).getOrElse("mcap", Seq.empty)
-      .count { f =>
-        val i = mcap.McapIO.scanIndex(f)
-        i.attachmentRefs.nonEmpty || i.metadataRefs.nonEmpty
-      }
-    if (carriers > 0) logger.warn(
-      s"convert: $carriers source mcap file(s) under $inPath carry " +
-        s"attachment/metadata records that a '$format' target cannot " +
-        "represent — they are NOT carried (convert to mcap to keep them)")
+  private def attachmentKey(a: mcap.McapFormat.McapAttachment): String = {
+    val c = new java.util.zip.CRC32()
+    c.update(a.data, 0, a.data.length)
+    Seq("A", a.logTime, a.createTime, a.data.length, c.getValue,
+      b64(a.name), b64(a.mediaType)).mkString("\t")
+  }
+
+  private def metadataKey(name: String, kv: Seq[(String, String)]): String =
+    ("M" +: b64(name) +: kv.flatMap(p => Seq(b64(p._1), b64(p._2))))
+      .mkString("\t")
+
+  /** The merge ledger next to `attachments.mcap`: which SOURCE files
+    * are fully merged (so an append re-run skips them without reading
+    * a byte of their bodies) and which record identities the archive
+    * holds. A cache, not truth — absent or stale (`attachments.mcap`
+    * missing), the identities re-derive from the archive itself.
+    */
+  private final case class CarryLedger(files: Set[String], keys: Set[String])
+
+  private def fileFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): String = {
+    val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(path))
+    s"${b64(path)}\t${st.getModificationTime}\t${st.getLen}"
+  }
+
+  private val LedgerHeader = "graft-attachments-idx v1"
+
+  private def readLedger(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[CarryLedger] =
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      val text = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 1 << 16, false)
+        new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      val lines = text.linesIterator.toSeq
+      require(lines.headOption.contains(LedgerHeader), "ledger version drift")
+      CarryLedger(
+        lines.filter(_.startsWith("F\t")).map(_.stripPrefix("F\t")).toSet,
+        lines.filter(l => l.startsWith("A\t") || l.startsWith("M\t")).toSet)
+    }.toOption
+
+  private def writeLedger(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, l: CarryLedger): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (LedgerHeader +: (l.files.toSeq.sorted.map("F\t" + _) ++
+        l.keys.toSeq.sorted)).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"convert: ledger publish failed at $p")
   }
 
   /** Stream every source Attachment/Metadata record into ONE
-    * `attachments.mcap` under `outPath` (temp + rename). Append-mode
-    * re-runs MERGE by record identity — the archive's messages
-    * accumulate across appends, so its attachment dimension must too
-    * (a previous run's calibrations stay with their messages; a
-    * re-run of the same sources adds nothing twice); an overwrite's
-    * sink commit already deleted the previous file. The dimension is
-    * tiny next to the message volume — a fleet's calibrations — so a
-    * driver-side sequential copy is the right scale shape; each body
-    * is read and written one record at a time.
+    * `attachments.mcap` under `outPath`. Append-mode re-runs MERGE by
+    * record identity — the archive's messages accumulate across
+    * appends, so its attachment dimension must too. Append cost is
+    * O(new work), not O(archive history): a ledger of merged source
+    * fingerprints short-circuits unchanged sources without reading a
+    * body; sources with new bytes have their identities checked
+    * against the ledger (or, ledger lost, against the archive's own
+    * records) and a no-new-identity run touches `attachments.mcap`
+    * not at all. Only a genuine addition re-writes the merge — the
+    * dimension is tiny next to the message volume (a fleet's
+    * calibrations), so the driver-side record-at-a-time copy is the
+    * right shape for THAT path. Publish keeps the previous generation
+    * as a `.bak` until the new one is in place: a failed rename never
+    * removes the last good archive. Returns the number of records now
+    * represented (0 = no sources carry side records).
     */
-  private def carryAttachments(inPath: String, outPath: String): Unit = {
+  private[ros] def carryAttachments(inPath: String, outPath: String): Long = {
     import graft.ros.mcap.{McapFormat, McapIO}
-    val mcaps = MixedRead.resolve(inPath).getOrElse("mcap", Seq.empty)
-    val refs = mcaps.map(f => f -> McapIO.scanIndex(f))
+    val allMcaps = MixedRead.resolve(inPath).getOrElse("mcap", Seq.empty)
+    val refs = allMcaps.map(f => f -> McapIO.scanIndex(f))
       .filter { case (_, i) => i.attachmentRefs.nonEmpty || i.metadataRefs.nonEmpty }
-    if (refs.isEmpty) return
+    if (refs.isEmpty) return 0L
     val fs = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     val fin = new org.apache.hadoop.fs.Path(outPath, "attachments.mcap")
+    val bak = new org.apache.hadoop.fs.Path(outPath, ".attachments.mcap.bak")
     val tmp = new org.apache.hadoop.fs.Path(outPath, ".attachments.mcap.inprogress")
-    // prior generation first (so a merged re-write keeps its records),
-    // then the sources; identity keys dedupe re-runs
+    val ledgerPath = new org.apache.hadoop.fs.Path(outPath, ".attachments.idx")
+    // crash window recovery: fin was moved aside but the new
+    // generation never landed — the backup IS the archive
+    if (!fs.exists(fin) && fs.exists(bak))
+      require(fs.rename(bak, fin), s"convert: backup recovery failed at $fin")
+    val ledger =
+      if (fs.exists(fin)) readLedger(fs, ledgerPath) else None
+    val fps = refs.map { case (f, idx) => (f, idx, fileFingerprint(fs, f)) }
+    val newFiles = ledger match {
+      case Some(l) => fps.filterNot { case (_, _, fp) => l.files.contains(fp) }
+      case None => fps
+    }
+    if (ledger.isDefined && newFiles.isEmpty)
+      return ledger.get.keys.size.toLong // fast path: zero body reads
+    // prior identities: ledger, else re-derived from the archive
+    val priorKeys: Set[String] = ledger.map(_.keys).getOrElse {
+      if (!fs.exists(fin)) Set.empty
+      else {
+        val p = fin.toString
+        val idx = McapIO.scanIndex(p)
+        (idx.attachmentRefs.map { case (off, len) =>
+          attachmentKey(McapFormat.parseAttachment(McapIO.readPayload(p, off, len)))
+        } ++ idx.metadataRefs.map { case (off, len) =>
+          val (n, kv) = McapFormat.parseMetadata(McapIO.readPayload(p, off, len))
+          metadataKey(n, kv)
+        }).toSet
+      }
+    }
+    // identities contributed by the not-yet-merged sources
+    val newKeys = newFiles.flatMap { case (f, idx, _) =>
+      idx.attachmentRefs.map { case (off, len) =>
+        attachmentKey(McapFormat.parseAttachment(McapIO.readPayload(f, off, len)))
+      } ++ idx.metadataRefs.map { case (off, len) =>
+        val (n, kv) = McapFormat.parseMetadata(McapIO.readPayload(f, off, len))
+        metadataKey(n, kv)
+      }
+    }.toSet
+    val mergedLedger = CarryLedger(fps.map(_._3).toSet, priorKeys ++ newKeys)
+    if (newKeys.subsetOf(priorKeys)) {
+      // nothing genuinely new: record the fingerprints so the next
+      // run's fast path skips these sources, leave the archive alone
+      writeLedger(fs, ledgerPath, mergedLedger)
+      return mergedLedger.keys.size.toLong
+    }
+    // genuine additions: merge re-write (prior generation first so a
+    // re-write keeps its records, then every contributing source;
+    // identity keys dedupe)
     val sources: Seq[(String, McapFormat.McapIndex)] =
       (if (fs.exists(fin)) {
         val p = fin.toString
         Seq(p -> McapIO.scanIndex(p))
-      } else Seq.empty) ++ refs
-    // identity includes a CONTENT crc: two distinct same-named
-    // same-size blobs (two robots' fixed-size calibrations) must both
-    // survive the merge
-    def contentCrc(a: McapFormat.McapAttachment): Long =
-      if (a.crc != 0L) a.crc
-      else {
-        val c = new java.util.zip.CRC32()
-        c.update(a.data, 0, a.data.length)
-        c.getValue
-      }
-    val seenAtt =
-      scala.collection.mutable.HashSet[(Long, Long, String, String, Long, Long)]()
-    val seenMeta = scala.collection.mutable.HashSet[(String, Seq[(String, String)])]()
+      } else Seq.empty) ++ refs.map { case (f, i) => (f, i) }
+    val seen = scala.collection.mutable.HashSet[String]()
     val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
     try {
       val w = new graft.ros.mcap.McapStreamingWriter(out, "", 4 * 1024 * 1024,
@@ -378,13 +483,12 @@ object Convert {
       sources.foreach { case (f, idx) =>
         idx.attachmentRefs.foreach { case (off, len) =>
           val a = McapFormat.parseAttachment(McapIO.readPayload(f, off, len))
-          if (seenAtt.add((a.logTime, a.createTime, a.name, a.mediaType,
-              a.data.length.toLong, contentCrc(a))))
+          if (seen.add(attachmentKey(a)))
             w.writeAttachment(a.logTime, a.createTime, a.name, a.mediaType, a.data)
         }
         idx.metadataRefs.foreach { case (off, len) =>
           val (name, kv) = McapFormat.parseMetadata(McapIO.readPayload(f, off, len))
-          if (seenMeta.add((name, kv))) w.writeMetadata(name, kv)
+          if (seen.add(metadataKey(name, kv))) w.writeMetadata(name, kv)
         }
       }
       w.finish()
@@ -397,9 +501,20 @@ object Convert {
         fs.delete(tmp, false)
         throw t
     }
-    if (fs.exists(fin)) fs.delete(fin, false)
-    require(fs.rename(tmp, fin),
-      s"convert: attachments.mcap publish failed under $outPath")
+    // publish: previous generation steps aside (never deleted) until
+    // the new one holds the name
+    if (fs.exists(bak)) fs.delete(bak, false)
+    if (fs.exists(fin)) require(fs.rename(fin, bak),
+      s"convert: could not step the previous attachments.mcap aside under $outPath")
+    if (!fs.rename(tmp, fin)) {
+      if (fs.exists(bak)) fs.rename(bak, fin)
+      throw new IllegalStateException(
+        s"convert: attachments.mcap publish failed under $outPath " +
+          "(previous generation restored)")
+    }
+    fs.delete(bak, false)
+    writeLedger(fs, ledgerPath, mergedLedger)
+    seen.size.toLong
   }
 
   /** The CONTINUOUS convert: a fleet-upload prefix receiving `.bag` +
@@ -412,17 +527,18 @@ object Convert {
     * normalizer.
     *
     * Definitions auto-wire like [[run]] when files are already present
-    * under `inPath` at START (the harvest is a query-construction-time
-    * scan; types first landing mid-stream export with empty
-    * definitions until the next restart — pass `schema_defs_from`
-    * explicitly to pin a definitive source). Attachments/metadata
-    * carry the same way for mcap targets: records present at start
-    * merge into `attachments.mcap` now, later-landing ones on the
-    * next (re)start — the identity merge makes restarts idempotent.
-    * Layout: each epoch's files hold only that epoch's time window,
-    * so time locality is already micro-batch-granular; Structured
-    * Streaming forbids per-partition sorts, so no further clustering
-    * applies.
+    * under `inPath` at START (a query-construction-time scan), and
+    * types FIRST LANDING MID-STREAM late-bind per row from their
+    * source file inside the write tasks ([[SourceDefs]]) — a new robot
+    * model's recordings export with real definitions, no restart
+    * (pass `schema_defs_from` explicitly to pin a definitive source
+    * instead). Attachments/metadata merge into `attachments.mcap` at
+    * start AND after every trigger (a progress/idle listener runs the
+    * identity merge, whose ledger makes a no-new-work check
+    * O(listing)); restarts stay idempotent. Layout: each epoch's files
+    * hold only that epoch's time window, so time locality is already
+    * micro-batch-granular; Structured Streaming forbids per-partition
+    * sorts, so no further clustering applies.
     */
   def runStream(spark: SparkSession, inPath: String, outPath: String,
       format: String, checkpoint: String,
@@ -462,15 +578,49 @@ object Convert {
           autoProfile(options, format, inPath, ros1Transcoded) ++ transcodeDefs
       else Map.empty[String, String]
     if (resolvable && boolOpt(options, "carry_attachments", default = true)) {
-      if (format == "mcap") carryAttachments(inPath, outPath)
-      else warnDroppedAttachments(inPath, format)
+      carryAttachments(inPath, outPath)
+      ()
     }
     val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase)) ++ auto
-    sinkOpts.foldLeft(
+    val query = sinkOpts.foldLeft(
       prepared.writeStream.format(format)
         .option("checkpointLocation", checkpoint)
         .outputMode("append").trigger(trigger)) {
       case (w, (k, v)) => w.option(k, v)
     }.start(outPath)
+    if (boolOpt(options, "carry_attachments", default = true)) {
+      // per-EPOCH carry: attachments landing mid-stream merge after
+      // the next trigger (progress or idle), not only at restart —
+      // [[carryAttachments]]' ledger fast path makes the per-epoch
+      // check O(directory listing + cached index scans)
+      val streams = spark.streams
+      val qid = query.id
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      val listener = new StreamingQueryListener {
+        import StreamingQueryListener._
+        private def carry(): Unit =
+          try { carryAttachments(inPath, outPath); () } catch {
+            case e: Exception => logger.warn(
+              "convert: per-epoch attachment carry failed (retries next " +
+                s"trigger): ${e.getMessage}")
+          }
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          if (e.progress.id == qid) carry()
+        override def onQueryIdle(e: QueryIdleEvent): Unit =
+          if (e.id == qid) carry()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == qid) streams.removeListener(this)
+      }
+      streams.addListener(listener)
+      if (!query.isActive) {
+        // a drain trigger can terminate before the listener landed —
+        // don't leak it, and close the window with one final carry
+        streams.removeListener(listener)
+        try { carryAttachments(inPath, outPath); () }
+        catch { case _: Exception => () }
+      }
+    }
+    query
   }
 }

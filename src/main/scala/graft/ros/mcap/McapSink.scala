@@ -152,7 +152,7 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
 
   def write(topic: String, schemaName: String, schemaEncoding: String,
       messageEncoding: String, sequence: Long, logTime: Long,
-      publishTime: Long, data: Array[Byte]): Unit = {
+      publishTime: Long, data: Array[Byte], sourcePath: String = ""): Unit = {
     // wire-width guards, LOUD: schema/channel ids serialize as uint16
     // and sequence as uint32 — silent wrap would re-attribute messages
     // to the wrong topic (ids) or corrupt the sequence round-trip
@@ -173,8 +173,13 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
         // message encoding (ros1 → ros1msg, cdr → ros2msg/ros2idl,
         // protobuf → protobuf — a type name defined in two dialects
         // must not attach one dialect's definition to the other's
-        // channels), else the first harvested
-        val variants = schemaDefs.getOrElse(schemaName, Seq.empty)
+        // channels), else the first harvested. A type OUTSIDE the
+        // harvest (first landed mid-stream) late-binds from the row's
+        // own source file — one cached scan per (executor, file)
+        val harvested = schemaDefs.getOrElse(schemaName, Seq.empty)
+        val variants =
+          if (harvested.nonEmpty) harvested
+          else graft.ros.SourceDefs.variantsFor(sourcePath, schemaName)
         val chosen = variants
           .find(v => schemaEncoding.nonEmpty && v._1 == schemaEncoding)
           .orElse(variants.find(v =>
@@ -376,6 +381,12 @@ class McapWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilde
         s"mcap write column '$name' must be $dt, got ${schema.fields(i).dataType}")
       i
     }
+    // OPTIONAL source-file column: feeds the writer's late-binding
+    // defs fallback (SourceDefs) — absent or empty is fine
+    def opt(name: String, dt: org.apache.spark.sql.types.DataType): Int = {
+      val i = schema.fieldNames.indexOf(name)
+      if (i >= 0 && schema.fields(i).dataType == dt) i else -1
+    }
     val ords = McapWriteOrdinals(
       topic = need("topic", StringType),
       schemaName = need("schema_name", StringType),
@@ -384,7 +395,8 @@ class McapWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilde
       sequence = need("sequence", LongType),
       logTime = need("log_time", LongType),
       publishTime = need("publish_time", LongType),
-      data = need("data", BinaryType))
+      data = need("data", BinaryType),
+      filePath = opt("file_path", StringType))
     val opts = info.options()
     val compression = Option(opts.get("compression")).getOrElse("zstd") match {
       case "none" => ""
@@ -404,7 +416,7 @@ class McapWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilde
 
 private[mcap] final case class McapWriteOrdinals(topic: Int, schemaName: Int,
     schemaEncoding: Int, messageEncoding: Int, sequence: Int, logTime: Int,
-    publishTime: Int, data: Int)
+    publishTime: Int, data: Int, filePath: Int = -1)
 
 class McapWrite(path: String, ords: McapWriteOrdinals, conf: McapSinkConf,
     truncateFirst: Boolean, queryId: String) extends Write {
@@ -575,7 +587,9 @@ class McapDataWriter(dir: String, stem: String,
       logTime = row.getLong(ords.logTime),
       publishTime = if (row.isNullAt(ords.publishTime)) row.getLong(ords.logTime)
         else row.getLong(ords.publishTime),
-      data = row.getBinary(ords.data))
+      data = row.getBinary(ords.data),
+      sourcePath = if (ords.filePath < 0 || row.isNullAt(ords.filePath)) ""
+        else row.getUTF8String(ords.filePath).toString)
   }
 
   override def commit(): WriterCommitMessage = {
@@ -616,10 +630,11 @@ object McapExport {
   def prepare(df: DataFrame, topic: Column, logTimeNs: Column, data: Column,
       schemaName: Column = lit(""), schemaEncoding: Column = lit(""),
       messageEncoding: Column = lit("cdr"), publishTimeNs: Column = null,
-      sequence: Column = null): DataFrame = {
+      sequence: Column = null, sourcePath: Column = null): DataFrame = {
     val lt = coalesce(logTimeNs.cast("long"), lit(0L))
     df.select(
-      lit("").as("file_path"),
+      coalesce(Option(sourcePath).map(_.cast("string")).getOrElse(lit("")),
+        lit("")).as("file_path"),
       lit(-1).as("chunk_idx"),
       lit(-1).as("offset"),
       lt.as("log_time"),
@@ -636,4 +651,23 @@ object McapExport {
       lit(0L).as("data_crc32"),
       coalesce(data.cast("binary"), lit(Array.emptyByteArray)).as("data"))
   }
+
+  /** Conform an arbitrary frame to the attachments side-table write
+    * spine (`option("table", "attachments")`): only `name` and `data`
+    * are semantically required; times default to 0 (the spec's
+    * "unknown") and the media type to octet-stream. `file_path`/`size`
+    * are read-derived placeholders the writer ignores.
+    */
+  def prepareAttachments(df: DataFrame, name: Column, data: Column,
+      mediaType: Column = lit("application/octet-stream"),
+      logTimeNs: Column = lit(0L), createTimeNs: Column = lit(0L)): DataFrame =
+    df.select(
+      lit("").as("file_path"),
+      coalesce(logTimeNs.cast("long"), lit(0L)).as("log_time"),
+      coalesce(createTimeNs.cast("long"), lit(0L)).as("create_time"),
+      coalesce(name.cast("string"), lit("")).as("name"),
+      coalesce(mediaType.cast("string"), lit("application/octet-stream"))
+        .as("media_type"),
+      coalesce(length(data).cast("long"), lit(0L)).as("size"),
+      coalesce(data.cast("binary"), lit(Array.emptyByteArray)).as("data"))
 }

@@ -475,6 +475,148 @@ class ConvertSpec extends SparkTestBase {
       === (0 until 3).map(i => s"d$i").toSet)
   }
 
+  test("runStream: types and attachments landing mid-stream bind without a restart") {
+    val in = java.nio.file.Files.createTempDirectory("graft_convstr_mid").toFile
+    def mcapWith(name: String, tpe: String, defText: String,
+        topic: String, vals: Seq[String], t0: Long): Unit = {
+      val b = Ros2Msg.bundle(tpe, defText)
+      java.nio.file.Files.write(new java.io.File(in, name).toPath,
+        McapFormat.writeMcap(
+          Seq(McapFormat.McapSchema(1, tpe, "ros2msg", defText.getBytes("UTF-8"))),
+          Seq(McapFormat.McapChannel(1, 1, topic, "cdr")),
+          vals.zipWithIndex.map { case (v, i) =>
+            McapFormat.McapMessage(1, i.toLong, t0 + i, t0 + i,
+              CdrCodec.encode(b, Seq(v)))
+          }))
+      ()
+    }
+    mcapWith("a.mcap", "graft_msgs/msg/TA", strDef, "/ta",
+      Seq("a0", "a1"), 100000000000L)
+    val o = out("mid")
+    val ck = java.nio.file.Files.createTempDirectory("graft_convstr_midck").toString
+    val q = Convert.runStream(spark, in.getAbsolutePath, o, "mcap", ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(250))
+    try {
+      q.processAllAvailable()
+      // a NEW TYPE lands mid-stream: its definition was not in the
+      // start-time harvest — the write tasks late-bind it from the
+      // row's source file, so the export typed-decodes with NO restart
+      mcapWith("b.mcap", "graft_msgs/msg/TB", strDef, "/tb",
+        Seq("t0", "t1"), 200000000000L)
+      q.processAllAvailable()
+      val typed = spark.read.format("mcap").option("path", o)
+        .option("schema_name", "graft_msgs/msg/TB").load()
+      assert(typed.select("data_field").collect().map(_.getString(0)).toSet
+        === Set("t0", "t1"),
+        "a mid-stream type must export with its real definition")
+      // an ATTACHMENT lands mid-stream: the per-trigger listener
+      // merges it into attachments.mcap — again no restart
+      attachmentOnlyMcap(in, "cal.mcap", "mid.calib", Array[Byte](3, 1, 4))
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def attCount(): Long = spark.read.format("mcap")
+        .option("table", "attachments").load(o).count()
+      while (attCount() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(250)
+      assert(attCount() === 1,
+        "a mid-stream attachment must merge after the next trigger")
+    } finally q.stop()
+  }
+
+  // ---- attachment carry: O(new work) appends, identity, sidecars ----
+
+  private def attachmentOnlyMcap(dir: java.io.File, fileName: String,
+      name: String, data: Array[Byte], meta: Option[(String, Seq[(String, String)])] = None): java.io.File = {
+    val f = new java.io.File(dir, fileName)
+    val fos = new java.io.FileOutputStream(f)
+    val w = new McapStreamingWriter(fos, "", 1 << 20)
+    w.writeAttachment(700L, 699L, name, "application/octet-stream", data)
+    meta.foreach { case (n, kv) => w.writeMetadata(n, kv) }
+    w.finish(); fos.close()
+    f
+  }
+
+  test("attachment-carry appends are O(new work): unchanged re-runs never touch the archive") {
+    val in = java.nio.file.Files.createTempDirectory("graft_att_onw").toFile
+    attachmentOnlyMcap(in, "a.mcap", "cal.a", Array[Byte](1, 2, 3),
+      meta = Some(("run", Seq("site" -> "x"))))
+    val o = out("att_onw")
+    Convert.run(spark, in.getAbsolutePath, o, "mcap", partitions = 1)
+    val fin = new java.io.File(o, "attachments.mcap")
+    assert(fin.exists())
+    val (m0, l0) = (fin.lastModified, fin.length)
+    Thread.sleep(20)
+    // same sources: the ledger fast path returns without reading a body
+    Convert.run(spark, in.getAbsolutePath, o, "mcap", partitions = 1)
+    assert(fin.lastModified === m0 && fin.length === l0,
+      "a no-new-source re-run must perform zero writes on attachments.mcap")
+    // a NEW file whose records are all already merged: ledger grows,
+    // archive still untouched
+    java.nio.file.Files.copy(new java.io.File(in, "a.mcap").toPath,
+      new java.io.File(in, "a_copy.mcap").toPath)
+    Thread.sleep(20)
+    Convert.run(spark, in.getAbsolutePath, o, "mcap", partitions = 1)
+    assert(fin.lastModified === m0 && fin.length === l0,
+      "already-merged identities from a new file must not rewrite the archive")
+    // ledger lost: identities re-derive from the archive itself — the
+    // run reads, but still does not rewrite
+    assert(new java.io.File(o, ".attachments.idx").delete())
+    Thread.sleep(20)
+    Convert.run(spark, in.getAbsolutePath, o, "mcap", partitions = 1)
+    assert(fin.lastModified === m0 && fin.length === l0,
+      "without the ledger the archive's own records are the identity truth")
+    // a genuinely new attachment DOES merge — and the prior records stay
+    attachmentOnlyMcap(in, "b.mcap", "cal.b", Array[Byte](9, 9))
+    Convert.run(spark, in.getAbsolutePath, o, "mcap", partitions = 1)
+    val at = spark.read.format("mcap").option("table", "attachments").load(o)
+    assert(at.select("name").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("cal.a", "cal.b"))
+    assert(spark.read.format("mcap").option("table", "metadata").load(o)
+      .count() === 1)
+  }
+
+  test("the same logical attachment from crc'd and crc-less sources merges to one copy") {
+    val in = java.nio.file.Files.createTempDirectory("graft_att_crc").toFile
+    val blob = Array[Byte](5, 4, 3, 2, 1)
+    attachmentOnlyMcap(in, "a.mcap", "cal.same", blob)
+    val b = attachmentOnlyMcap(in, "b.mcap", "cal.same", blob)
+    // zero out b's stored attachment crc (spec: 0 = not computed) —
+    // the identity merge must not key on crc PRESENCE
+    val (off, len) = graft.ros.mcap.McapIO
+      .scanIndex(b.getAbsolutePath).attachmentRefs.head
+    val raf = new java.io.RandomAccessFile(b, "rw")
+    try { raf.seek(off + len - 4); raf.write(Array[Byte](0, 0, 0, 0)) }
+    finally raf.close()
+    val o = out("att_crc")
+    Convert.run(spark, in.getAbsolutePath, o, "mcap", partitions = 1)
+    val at = spark.read.format("mcap").option("table", "attachments").load(o)
+    assert(at.count() === 1,
+      "crc'd and crc-less copies of one logical attachment must dedupe")
+    assert(at.head().getAs[Array[Byte]]("data").toSeq === blob.toSeq)
+  }
+
+  test("non-mcap targets keep attachments in a sidecar attachments.mcap") {
+    val in = java.nio.file.Files.createTempDirectory("graft_att_side").toFile
+    import graft.ros.bag.BagFormat
+    val r1 = MsgDefParser.parse("std_msgs/String", strDef)
+    java.nio.file.Files.write(new java.io.File(in, "m.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/t", "std_msgs/String", "m", strDef, "c")),
+        (0 until 3).map(i => BagFormat.WriteMessage(0, 50 + i, 0,
+          RosSchemaMapper.encode(r1, Seq(s"x$i"))))))
+    attachmentOnlyMcap(in, "cal.mcap", "lidar.calib", Array[Byte](7, 7, 7))
+    val o = out("att_side")
+    Convert.run(spark, in.getAbsolutePath, o, "rosbag", partitions = 1)
+    // the bag archive reads back; the calibration survived as a sidecar
+    assert(spark.read.format("rosbag").option("bags", o + "/*.bag").load()
+      .count() === 3)
+    val at = spark.read.format("mcap").option("table", "attachments").load(o)
+    assert(at.select("name").collect().map(_.getString(0)).toSeq ===
+      Seq("lidar.calib"))
+    // the sidecar carries zero messages — a spine read of the output
+    // dir sees only the bag rows
+    assert(MixedRead.spine(spark, o).count() === 3)
+  }
+
   // ---- typed cross-dialect transcode ----
 
   private def profileOf(o: String): String = {

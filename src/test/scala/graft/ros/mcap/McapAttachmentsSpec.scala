@@ -160,4 +160,44 @@ class McapAttachmentsSpec extends SparkTestBase {
     }
     assert(causeMessages(ex).contains("contradict"))
   }
+
+  test("relational attachments write: df.write round-trips through the side table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mcap_attach_w").toString
+    val frame = Seq(
+      ("imu.calib", "bias=0.02"),
+      ("camera_rear.calib", "fx=2.5")).toDF("n", "body")
+    McapExport.prepareAttachments(frame,
+      name = col("n"), data = encode(col("body"), "UTF-8"),
+      mediaType = lit("text/plain"), logTimeNs = lit(3000L))
+      .write.format("mcap").option("table", "attachments")
+      .mode("append").save(dir)
+    val at = spark.read.format("mcap").option("table", "attachments").load(dir)
+    assert(at.select("name", "media_type", "log_time").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ===
+      Set(("imu.calib", "text/plain", 3000L),
+        ("camera_rear.calib", "text/plain", 3000L)))
+    assert(at.filter(col("name") === "imu.calib").select("data").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSeq ===
+      Seq("bias=0.02"))
+    // append accumulates — the dimension grows, nothing is replaced
+    McapExport.prepareAttachments(Seq(("urdf", "xml")).toDF("n", "body"),
+      name = col("n"), data = encode(col("body"), "UTF-8"))
+      .write.format("mcap").option("table", "attachments")
+      .mode("append").save(dir)
+    assert(spark.read.format("mcap").option("table", "attachments").load(dir)
+      .count() === 3)
+    // a directory shared with message files stays consistent: the
+    // message spine ignores attachment-only files
+    assert(spark.read.format("mcap").load(dir).count() === 0)
+    // overwrite is refused: attachments are an accumulating dimension
+    val ex = intercept[Exception] {
+      McapExport.prepareAttachments(Seq(("x", "y")).toDF("n", "body"),
+        name = col("n"), data = encode(col("body"), "UTF-8"))
+        .write.format("mcap").option("table", "attachments")
+        .mode("overwrite").save(dir)
+    }
+    assert(causeMessages(ex).toLowerCase.contains("truncate") ||
+      causeMessages(ex).toLowerCase.contains("overwrite"))
+  }
 }
