@@ -262,6 +262,35 @@ object FleetBench {
     results += "convert_range_scan_sec" -> Bench.rk(rangeScanSec).toString
     results += "convert_plan_sec" -> Bench.rk(convPlanSec).toString
 
+    // COMPACT: a standing normalizer emits one file per (partition,
+    // epoch) — file COUNT is what drives plan cost at fleet scale.
+    // Simulate an epoch-fragmented archive (many small files over the
+    // same rows), measure plan cost, compact, re-measure: same rows,
+    // cpus files, cheaper planning.
+    val epochOut = new java.io.File(dir.getParentFile,
+      s"graft_fleet_epochs_$n").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(epochOut))
+    graft.ros.Convert.run(spark, path, epochOut, "mcap", partitions = 256)
+    def mcapFiles(d: String): Int = new java.io.File(d).listFiles()
+      .count(f => f.getName.endsWith(".mcap") && !f.getName.startsWith("."))
+    val epochFiles = mcapFiles(epochOut)
+    val (epochPlanSec, _) = medianOf3(
+      spark.read.format("mcap").load(epochOut).rdd.partitions.length)
+    val (compactSec, _) = timed(
+      graft.ros.Convert.compact(spark, epochOut, partitions = cpus.toInt))
+    val compactFiles = mcapFiles(epochOut)
+    require(compactFiles < epochFiles,
+      s"compact must collapse files: $compactFiles !< $epochFiles")
+    val (compactPlanSec, _) = medianOf3(
+      spark.read.format("mcap").load(epochOut).rdd.partitions.length)
+    require(spark.read.format("mcap").load(epochOut).count() == 3 * (n * 20L) + 60L,
+      "compaction must preserve every row")
+    results += "compact_files_before" -> epochFiles.toString
+    results += "compact_files_after" -> compactFiles.toString
+    results += "compact_sec" -> Bench.rk(compactSec).toString
+    results += "compact_plan_sec_before" -> Bench.rk(epochPlanSec).toString
+    results += "compact_plan_sec_after" -> Bench.rk(compactPlanSec).toString
+
     val kv = results.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val line = s"""{"metric":"fleet_bench","files":${3 * n},""" +
       s""""per_format":$n,"gen_sec":${Bench.rk(genSec)},$kv,""" +

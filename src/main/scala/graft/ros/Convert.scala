@@ -517,6 +517,145 @@ object Convert {
     seen.size.toLong
   }
 
+  /** COMPACT a (streaming-)converted mcap archive: a standing
+    * normalizer emits one file per (partition, epoch) —
+    * `part-*-e<epoch>.mcap` accumulates 10⁴–10⁵ small files per year,
+    * and file COUNT is what drives plan time at fleet scale
+    * (FleetBench's axis). `compact` reads the archive's own message
+    * spine, re-layouts it time-ranged (the `layout = "time"` machinery
+    * — the compacted files' chunk indexes prune again) and atomically
+    * swaps the new generation in:
+    *
+    *  - definitions carry per row (the write tasks late-bind each
+    *    row's schema from its pre-compact source file — [[SourceDefs]]);
+    *  - `attachments.mcap`, its ledger and every dotted file stay
+    *    untouched (the sidecar is already one file — nothing to
+    *    compact);
+    *  - sequence, publish_time and schema encodings survive (the
+    *    full mcap read spine feeds the sink, not the reduced mixed
+    *    spine);
+    *  - the swap is journaled (`.compact.journal` written before any
+    *    rename): a crash mid-swap self-heals on the next `compact`
+    *    call, and the old generation is deleted only after every
+    *    compacted file holds its final name;
+    *  - a later stream RESTART is unaffected: compacted stems
+    *    (`compact-<tag>-…`) never collide with the sink's epoch stems
+    *    or its replay reconcile sweep.
+    *
+    * Run it while the standing normalizer is stopped or quiescent: an
+    * epoch REPLAYED from before the compaction (crash before its
+    * checkpoint commit) would re-emit rows the compaction already
+    * folded in. `partitions` > 0 pins the output file count; 0 sizes
+    * from the archive bytes via `target_file_mb` (default 512 MB).
+    */
+  def compact(spark: SparkSession, outPath: String, partitions: Int = 0,
+      options: Map[String, String] = Map.empty): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    recoverCompact(fs, outPath)
+    val dir = new org.apache.hadoop.fs.Path(outPath)
+    val files = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".mcap") &&
+        !s.getPath.getName.startsWith(".") &&
+        s.getPath.getName != "attachments.mcap")
+      .map(_.getPath.toString).sorted
+    val foreign = fs.listStatus(dir).exists(s => s.isFile && {
+      val n = s.getPath.getName
+      (n.endsWith(".bag") || n.endsWith(".db3") || n.endsWith(".db3.zstd")) &&
+        !n.startsWith(".")
+    })
+    require(!foreign, s"compact targets mcap archives; $outPath also holds " +
+      "bag/db3 files — compact the formats separately")
+    if (files.size <= 1) return // nothing to collapse
+    val spec = graft.ros.mcap.McapDataSource.filesSpec(files)
+    val df = spark.read.format("mcap").option("files", spec).load()
+    val prepared = mcap.McapExport.prepare(df,
+      topic = col("topic"), logTimeNs = col("log_time"), data = col("data"),
+      schemaName = col("schema_name"), schemaEncoding = col("schema_encoding"),
+      messageEncoding = col("message_encoding"),
+      publishTimeNs = col("publish_time"), sequence = col("sequence"),
+      sourcePath = col("file_path"))
+    val effParts =
+      if (partitions > 0) partitions
+      else {
+        val bytes = DriverPool.totalBytes(files,
+          graft.ros.bag.RosbagIO.hadoopConf())
+        partitionsFor(bytes, targetFileMb(options).getOrElse(512L))
+      }
+    val sized = applyLayout(prepared, "mcap", effParts, "time")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val stagePath = new org.apache.hadoop.fs.Path(outPath, s".compact-$tag")
+    val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase)) ++
+      autoProfile(options, "mcap", spec)
+    try {
+      sinkOpts.foldLeft(sized.write.format("mcap").mode("append")) {
+        case (w, (k, v)) => w.option(k, v)
+      }.save(stagePath.toString)
+      val staged = fs.listStatus(stagePath).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".mcap"))
+        .map(_.getPath.getName).sorted
+      // journal BEFORE any rename: a crash mid-swap self-heals
+      val journal = new org.apache.hadoop.fs.Path(outPath, ".compact.journal")
+      val plan =
+        staged.map(n => s"MV\t.compact-$tag/$n\tcompact-$tag-$n") ++
+          files.map(f =>
+            s"RM\t${new org.apache.hadoop.fs.Path(f).getName}")
+      val jout = fs.create(journal, true)
+      try jout.write(plan.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally jout.close()
+      executeCompactJournal(fs, outPath, plan)
+      fs.delete(journal, false)
+      ()
+    } finally {
+      if (fs.exists(stagePath)) { fs.delete(stagePath, true); () }
+    }
+  }
+
+  /** Complete a crashed swap: re-apply the journal (renames are
+    * idempotent — a staged file already promoted is gone from the
+    * stage; deletes of already-deleted files no-op).
+    */
+  private def recoverCompact(fs: org.apache.hadoop.fs.FileSystem,
+      outPath: String): Unit = {
+    val journal = new org.apache.hadoop.fs.Path(outPath, ".compact.journal")
+    if (!fs.exists(journal)) return
+    val in = fs.open(journal)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 1 << 16, false)
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    executeCompactJournal(fs, outPath, text.linesIterator.toSeq)
+    fs.delete(journal, false)
+    ()
+  }
+
+  private def executeCompactJournal(fs: org.apache.hadoop.fs.FileSystem,
+      outPath: String, plan: Seq[String]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(outPath)
+    // every promotion first (the new generation must be fully in
+    // place), deletions of the old generation only after
+    plan.foreach {
+      case line if line.startsWith("MV\t") =>
+        val Array(_, from, to) = line.split('\t')
+        val src = new org.apache.hadoop.fs.Path(dir, from)
+        val dst = new org.apache.hadoop.fs.Path(dir, to)
+        if (fs.exists(src)) {
+          if (fs.exists(dst)) fs.delete(dst, false)
+          require(fs.rename(src, dst), s"compact: rename $src -> $dst failed")
+        }
+      case _ => ()
+    }
+    plan.foreach {
+      case line if line.startsWith("RM\t") =>
+        val name = line.substring(3)
+        fs.delete(new org.apache.hadoop.fs.Path(dir, name), false)
+        ()
+      case _ => ()
+    }
+  }
+
   /** The CONTINUOUS convert: a fleet-upload prefix receiving `.bag` +
     * `.mcap` + `.db3` at any time ([[MixedRead.stream]]) normalizes
     * into an ever-growing `format` archive through the streaming sink

@@ -617,6 +617,67 @@ class ConvertSpec extends SparkTestBase {
     assert(MixedRead.spine(spark, o).count() === 3)
   }
 
+  test("compact collapses an epoch-file archive: row identity, fewer files, pruning, stream resumes") {
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_in").toFile
+    def land(name: String): Unit = {
+      java.nio.file.Files.copy(new java.io.File(mixedDir, name).toPath,
+        new java.io.File(in, name).toPath)
+      ()
+    }
+    val o = out("compact")
+    val ck = java.nio.file.Files.createTempDirectory("graft_compact_ck").toString
+    land("a.bag")
+    assert(Convert.runStream(spark, in.getAbsolutePath, o, "mcap", ck,
+      options = Map("chunk_bytes" -> "256")).awaitTermination(120000))
+    land("b.mcap"); land("c.db3")
+    attachmentOnlyMcap(in, "cal.mcap", "keep.calib", Array[Byte](1, 2))
+    assert(Convert.runStream(spark, in.getAbsolutePath, o, "mcap", ck,
+      options = Map("chunk_bytes" -> "256")).awaitTermination(120000))
+    def msgFiles(): Seq[String] = new java.io.File(o).listFiles().toSeq
+      .map(_.getName)
+      .filter(n => n.endsWith(".mcap") && !n.startsWith(".") &&
+        n != "attachments.mcap")
+    val nBefore = msgFiles().size
+    assert(nBefore >= 2, s"epoch files expected, got ${msgFiles()}")
+    def snapshot(): Set[(String, String, String, Long, Long, Long, Seq[Byte])] =
+      spark.read.format("mcap").load(o)
+        .select("topic", "schema_name", "message_encoding", "sequence",
+          "log_time", "publish_time", "data")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getAs[Array[Byte]](6).toSeq)).toSet
+    val before = snapshot()
+    assert(before.size === 12)
+
+    Convert.compact(spark, o, partitions = 1,
+      options = Map("chunk_bytes" -> "256"))
+    assert(msgFiles().size === 1, "compaction must collapse the epoch files")
+    assert(msgFiles().head.startsWith("compact-"))
+    assert(snapshot() === before, "row identity must survive compaction")
+    assert(!new java.io.File(o, ".compact.journal").exists())
+    // the attachment sidecar and its ledger stay untouched
+    assert(spark.read.format("mcap").option("table", "attachments").load(o)
+      .select("name").head().getString(0) === "keep.calib")
+    // definitions still travel: typed reads decode the compacted file
+    val typed = spark.read.format("mcap").option("path", o)
+      .option("schema_name", "std_msgs/msg/String").load()
+    assert(typed.select("data_field").collect().map(_.getString(0)).toSet ===
+      ((0 until 4).map(i => s"m$i") ++ (0 until 3).map(i => s"d$i")).toSet)
+    // time pruning fires on the compacted layout (chunk grain)
+    val full = spark.read.format("mcap").load(o)
+    val cut = full.filter(col("log_time") >= 300000000000L)
+    assert(cut.rdd.getNumPartitions < full.rdd.getNumPartitions,
+      "a time-range read of the compacted archive must prune chunks")
+    assert(cut.count() === 3)
+    // the standing normalizer RESUMES on its checkpoint: a new upload
+    // lands and exactly its rows append — no replays of compacted data
+    java.nio.file.Files.copy(new java.io.File(mixedDir, "a.bag").toPath,
+      new java.io.File(in, "a2.bag").toPath)
+    assert(Convert.runStream(spark, in.getAbsolutePath, o, "mcap", ck,
+      options = Map("chunk_bytes" -> "256")).awaitTermination(120000))
+    assert(spark.read.format("mcap").load(o).count() === 17)
+  }
+
   // ---- typed cross-dialect transcode ----
 
   private def profileOf(o: String): String = {
