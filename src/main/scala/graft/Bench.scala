@@ -90,15 +90,28 @@ object Bench {
     * both taken under heavy foreign load (1-min loadavg 9.3 / 15.9 on
     * 32 cpus) and the judge had to argue the regressions away from
     * sample shapes; with the flag IN the artifact a loaded run
-    * self-labels and the perf gate can cite only clean ones. The
-    * BEFORE sample is foreign load by definition (threshold cpus/4);
-    * the AFTER sample includes the bench's own just-finished threads,
-    * so it gets a self-load allowance of the session's parallelism.
+    * self-labels and the perf gate can cite only clean ones.
+    *
+    * Three signals, any one flags:
+    *  - BEFORE load is foreign by definition, but the 1-min average
+    *    also carries this process's own sbt/JVM/session startup —
+    *    threshold min(2, cpus/4), floored at 1: the r13 driver run
+    *    started at 3.03 and its medians quietly drifted ~40% while the
+    *    old cpus/4=8 threshold said clean; idle runs start ≤ ~1.5;
+    *  - AFTER gets a self-load allowance of the bench's own
+    *    just-finished threads on top;
+    *  - PERSISTENT DISPERSAL: any query whose samples stay dispersed
+    *    after the escalation rounds means the medians themselves sit
+    *    on contaminated samples — downstream readers should not have
+    *    to re-derive that from the spread.
     */
   private[graft] def loadContaminated(before: String, after: String,
-      benchThreads: Int): Boolean = {
+      benchThreads: Int, dispersedAfterEscalation: Int = 0): Boolean = {
     val cpus = Runtime.getRuntime.availableProcessors
-    load1(before) > cpus / 4.0 || load1(after) > benchThreads + cpus / 4.0
+    val beforeThreshold = math.max(1.0, math.min(2.0, cpus / 4.0))
+    load1(before) > beforeThreshold ||
+      load1(after) > benchThreads + cpus / 4.0 ||
+      dispersedAfterEscalation > 0
   }
 
   /** Is a timing sample set too dispersed to trust its median?
@@ -202,10 +215,14 @@ object Bench {
     val warmTotal = warm.collect { case (_, v) if v > 0 => v }.sum
     val total = results.collect { case (_, v, None, _) => v }.sum + warmTotal
     val loadAfter = loadavg()
+    val stillDispersed = results.count { case (_, _, e, times) =>
+      e.isEmpty && runs > 1 && dispersed(times)
+    }
     val contaminated = loadContaminated(loadBefore, loadAfter,
-      spark.sparkContext.defaultParallelism)
+      spark.sparkContext.defaultParallelism, stillDispersed)
     val compact = s""""value":${rk(total)},"unit":"sec","runs":$runs,""" +
       s""""load_contaminated":$contaminated,""" +
+      s""""dispersed_after_escalation":$stillDispersed,""" +
       s""""warm_sec":${rk(warmTotal)},"errors":$errs,"queries":$qs"""
     val detail = s""""loadavg":{"before":$loadBefore,"after":$loadAfter},""" +
       s""""warm":$warmJson,"spread":$spread"""

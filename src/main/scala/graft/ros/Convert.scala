@@ -273,7 +273,11 @@ object Convert {
     * the SOURCE bytes (ceil(inputBytes / target) — a 100 TB corpus
     * with target_file_mb=512 plans ~200k files without the caller
     * pre-counting bytes; compression makes actual files smaller, a
-    * conservative direction for file-count limits). `layout` picks
+    * conservative direction for file-count limits). The estimate is
+    * PRE-`transform`: a selective transform (keep 1% of rows) still
+    * plans the full-source file count, each file near-empty — callers
+    * filtering heavily should pass `partitions` explicitly (and
+    * [[compact]] repairs an archive after the fact). `layout` picks
     * how rows land in those files ("time", the default, clusters and
     * sorts by message time so the output's own chunk indexes prune
     * time-range reads; "roundrobin" balances bytes but destroys time

@@ -86,8 +86,13 @@ final class SinkMetricsListener
     val stats = SinkEpochMetrics.forQuery(p.id.toString)
       .get(p.batchId)
       .orElse(SinkEpochMetrics.forQuery(p.runId.toString).get(p.batchId))
+    // triggerExecution already CONTAINS the sub-phase durations
+    // (addBatch, getBatch, walCommit, ...) — summing every entry
+    // would roughly double-count wall clock; the sum is only the
+    // fallback when a source omits the total
     buf.add(EpochReport(p.id.toString, p.batchId,
-      p.durationMs.values.stream.mapToLong(_.longValue).sum,
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue)
+        .getOrElse(p.durationMs.values.stream.mapToLong(_.longValue).sum),
       p.numInputRows, stats))
     while (buf.size > 256) { buf.poll(); () }
   }

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftfns
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Optimizer rule: infer pushable SECONDS bounds from range predicates
   * over a split-timestamp reconstruction
@@ -82,33 +82,102 @@ object SplitTimeBounds extends Rule[LogicalPlan] {
   private def le(sec: Attribute, v: Int): Expression =
     LessThanOrEqual(sec, Literal(v, IntegerType))
 
-  /** The sec conjuncts implied by one comparison conjunct, if any. */
-  private def derived(conjunct: Expression): Seq[Expression] = conjunct match {
-    case GreaterThanOrEqual(SplitTs(sec, _), Literal(a: Long, LongType)) =>
-      lowerSecBound(a).map(ge(sec, _)).toSeq
-    case GreaterThan(SplitTs(sec, _), Literal(a: Long, LongType)) =>
-      lowerSecBound(a).map(ge(sec, _)).toSeq
-    case LessThanOrEqual(SplitTs(sec, _), Literal(b: Long, LongType)) =>
-      upperSecBound(b).map(le(sec, _)).toSeq
-    case LessThan(SplitTs(sec, _), Literal(b: Long, LongType)) =>
-      upperSecBound(b).map(le(sec, _)).toSeq
-    case EqualTo(SplitTs(sec, _), Literal(v: Long, LongType)) =>
-      lowerSecBound(v).map(ge(sec, _)).toSeq ++
-        upperSecBound(v).map(le(sec, _)).toSeq
-    // literal-on-the-left spellings, mirrored
-    case GreaterThanOrEqual(Literal(b: Long, LongType), SplitTs(sec, _)) =>
-      upperSecBound(b).map(le(sec, _)).toSeq
-    case GreaterThan(Literal(b: Long, LongType), SplitTs(sec, _)) =>
-      upperSecBound(b).map(le(sec, _)).toSeq
-    case LessThanOrEqual(Literal(a: Long, LongType), SplitTs(sec, _)) =>
-      lowerSecBound(a).map(ge(sec, _)).toSeq
-    case LessThan(Literal(a: Long, LongType), SplitTs(sec, _)) =>
-      lowerSecBound(a).map(ge(sec, _)).toSeq
-    case EqualTo(Literal(v: Long, LongType), SplitTs(sec, _)) =>
-      lowerSecBound(v).map(ge(sec, _)).toSeq ++
-        upperSecBound(v).map(le(sec, _)).toSeq
-    case _ => Seq.empty
+  /** A user SPELLING of the split timestamp — the raw reconstruction,
+    * its double widening (`timestamp >= 1.7e18` coerces the long
+    * column to double), a double division (`timestamp / 1e9 >= T`,
+    * epoch seconds) or an integral division (`timestamp div 1000000000`).
+    * Each maps a comparison literal back into sound NANOSECOND bounds;
+    * the double paths widen by [[FpSlack]] (covers the ≤3 roundings —
+    * cast, divide, product — each ≤2⁻⁵³ relative, ≤ ~3·10³ ns absolute
+    * at the long range's edge), negligible next to the ±2-3 s the
+    * sec-bound derivation already concedes.
+    */
+  private sealed trait TsShape { def sec: Attribute }
+  private final case class TsDirect(sec: Attribute) extends TsShape
+  private final case class TsDouble(sec: Attribute) extends TsShape
+  private final case class TsDivDouble(sec: Attribute, den: Double) extends TsShape
+  private final case class TsDivIntegral(sec: Attribute, den: Long) extends TsShape
+
+  private val FpSlack = 1L << 14 // 16384 ns
+
+  private object Shape {
+    def unapply(e: Expression): Option[TsShape] = e match {
+      case SplitTs(sec, _) => Some(TsDirect(sec))
+      case Cast(SplitTs(sec, _), DoubleType, _, _) => Some(TsDouble(sec))
+      case Divide(Cast(SplitTs(sec, _), DoubleType, _, _),
+          Literal(d: Double, DoubleType), _)
+        if d > 0 && java.lang.Double.isFinite(d) => Some(TsDivDouble(sec, d))
+      case IntegralDivide(SplitTs(sec, _), Literal(d: Long, LongType), _)
+        if d > 0 => Some(TsDivIntegral(sec, d))
+      case _ => None
+    }
   }
+
+  /** A finite double safely into the long range, else None (a bound
+    * past ±2^63 constrains nothing expressible).
+    */
+  private def toNsLong(v: Double): Option[Long] =
+    if (!java.lang.Double.isFinite(v) || v > 9.2e18 || v < -9.2e18) None
+    else Some(v.toLong)
+
+  /** The implied ns-domain LOWER bound of `shape >= lit` (and, weaker
+    * but sound, of the strict form).
+    */
+  private def lowerNs(shape: TsShape, lit: Any): Option[Long] =
+    (shape, lit) match {
+      case (TsDirect(_), a: Long) => Some(a)
+      case (TsDouble(_), t: Double) => toNsLong(t).map(_ - FpSlack)
+      case (TsDivDouble(_, den), t: Double) => toNsLong(t * den).map(_ - FpSlack)
+      case (TsDivIntegral(_, den), s: Long) =>
+        // trunc(x / den) >= S implies x > (S - 1) * den, both signs
+        try Some(Math.addExact(Math.multiplyExact(
+          Math.subtractExact(s, 1L), den), 1L))
+        catch { case _: ArithmeticException => None }
+      case _ => None
+    }
+
+  /** The implied ns-domain UPPER bound of `shape <= lit`. */
+  private def upperNs(shape: TsShape, lit: Any): Option[Long] =
+    (shape, lit) match {
+      case (TsDirect(_), b: Long) => Some(b)
+      case (TsDouble(_), t: Double) => toNsLong(t).map(_ + FpSlack)
+      case (TsDivDouble(_, den), t: Double) => toNsLong(t * den).map(_ + FpSlack)
+      case (TsDivIntegral(_, den), s: Long) =>
+        // trunc(x / den) <= S implies x < (S + 1) * den, both signs
+        try Some(Math.subtractExact(Math.multiplyExact(
+          Math.addExact(s, 1L), den), 1L))
+        catch { case _: ArithmeticException => None }
+      case _ => None
+    }
+
+  /** Canonicalize literal-on-the-left comparisons so `derived` matches
+    * one orientation.
+    */
+  private def flipLiteralLeft(e: Expression): Expression = e match {
+    case GreaterThan(l: Literal, r) => LessThan(r, l)
+    case GreaterThanOrEqual(l: Literal, r) => LessThanOrEqual(r, l)
+    case LessThan(l: Literal, r) => GreaterThan(r, l)
+    case LessThanOrEqual(l: Literal, r) => GreaterThanOrEqual(r, l)
+    case EqualTo(l: Literal, r) => EqualTo(r, l)
+    case other => other
+  }
+
+  /** The sec conjuncts implied by one comparison conjunct, if any. */
+  private def derived(conjunct: Expression): Seq[Expression] =
+    flipLiteralLeft(conjunct) match {
+      case GreaterThanOrEqual(Shape(s), Literal(v, _)) =>
+        lowerNs(s, v).flatMap(lowerSecBound).map(ge(s.sec, _)).toSeq
+      case GreaterThan(Shape(s), Literal(v, _)) =>
+        lowerNs(s, v).flatMap(lowerSecBound).map(ge(s.sec, _)).toSeq
+      case LessThanOrEqual(Shape(s), Literal(v, _)) =>
+        upperNs(s, v).flatMap(upperSecBound).map(le(s.sec, _)).toSeq
+      case LessThan(Shape(s), Literal(v, _)) =>
+        upperNs(s, v).flatMap(upperSecBound).map(le(s.sec, _)).toSeq
+      case EqualTo(Shape(s), Literal(v, _)) =>
+        lowerNs(s, v).flatMap(lowerSecBound).map(ge(s.sec, _)).toSeq ++
+          upperNs(s, v).flatMap(upperSecBound).map(le(s.sec, _)).toSeq
+      case _ => Seq.empty
+    }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)

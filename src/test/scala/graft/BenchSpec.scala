@@ -33,17 +33,31 @@ class BenchSpec extends AnyFunSuite {
   test("load_contaminated: foreign load flags, bench self-load does not") {
     val cpus = Runtime.getRuntime.availableProcessors
     val q = cpus / 4.0
+    val beforeT = math.max(1.0, math.min(2.0, q))
     def j(l: Double) = s"[$l,0.0,0.0]"
     // idle box, idle after: clean
     assert(!Bench.loadContaminated(j(0.5), j(0.5), benchThreads = 4))
     // r11's shape: heavy foreign load before the run
     assert(Bench.loadContaminated(j(q + 1), j(0.5), benchThreads = 4))
+    // r13's shape: before-load 3.03 said "clean" under the old cpus/4
+    // threshold while the medians drifted ~40% — must flag now
+    assert(Bench.loadContaminated(j(3.03), j(0.5), benchThreads = 4))
+    // the bench's OWN sbt/JVM startup tail (<= threshold) stays clean
+    assert(!Bench.loadContaminated(j(beforeT - 0.1), j(0.5), benchThreads = 4))
     // after-sample within the bench's own parallelism allowance: clean
     assert(!Bench.loadContaminated(j(0.5), j(4 + q - 0.1), benchThreads = 4))
     // after-sample beyond self-load + quarter-box: foreign co-tenant
     assert(Bench.loadContaminated(j(0.5), j(4 + q + 1), benchThreads = 4))
     // unavailable /proc/loadavg never flags
     assert(!Bench.loadContaminated("null", "null", benchThreads = 4))
+    // PERSISTENT DISPERSAL: a query whose samples stay dispersed after
+    // escalation means the medians sit on contaminated samples — the
+    // artifact self-labels even when the loadavg snapshots missed the
+    // spike
+    assert(Bench.loadContaminated(j(0.5), j(0.5), benchThreads = 4,
+      dispersedAfterEscalation = 1))
+    assert(!Bench.loadContaminated(j(0.5), j(0.5), benchThreads = 4,
+      dispersedAfterEscalation = 0))
   }
 
   test("merged artifact format: total + detail + duckdb_total, one JSON line each") {

@@ -127,6 +127,35 @@ class MixedReadSpec extends SparkTestBase {
     assert(window.rdd.getNumPartitions < all,
       "a two-sided window must prune both ends")
     assert(window.count() === 5) // sec 1010..1014 (1015*1e9 < 1015e9+nsec)
+
+    // the equally natural user SPELLINGS derive the same bounds:
+    // epoch-seconds double division
+    val divD = spine.filter(col("timestamp") / 1e9 >= 1030.0)
+    assert(divD.rdd.getNumPartitions < all,
+      "timestamp/1e9 >= T (double division) must prune")
+    assert(divD.count() === 10)
+    // integral division (SQL `div`)
+    val divI = spine.filter(
+      call_function("div", col("timestamp"), lit(1000000000L)) >= lit(1030L))
+    assert(divI.rdd.getNumPartitions < all,
+      "div(timestamp, 1e9) >= S must prune")
+    assert(divI.count() === 10)
+    // a bare double literal coerces the long column to double
+    val dblLit = spine.filter(col("timestamp") >= 1.030e12)
+    assert(dblLit.rdd.getNumPartitions < all,
+      "timestamp >= <double literal> must prune through the cast")
+    assert(dblLit.count() === 10)
+    // SQL BETWEEN folds to the two-sided conjuncts
+    spine.createOrReplaceTempView("tsb_spine")
+    val between = spark.sql(
+      "SELECT * FROM tsb_spine WHERE timestamp BETWEEN 1010000000000 AND 1015000000000")
+    assert(between.rdd.getNumPartitions < all, "BETWEEN must prune both ends")
+    assert(between.count() === 5)
+    // literal-on-the-left mirrors
+    val mirrored = spine.filter(lit(1030L * 1000000000L) <= col("timestamp"))
+    assert(mirrored.rdd.getNumPartitions < all,
+      "lit <= timestamp must prune like timestamp >= lit")
+    assert(mirrored.count() === 10)
   }
 
   test("mixed stream equals the batch spine, all three formats landing mid-stream") {
