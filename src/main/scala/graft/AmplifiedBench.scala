@@ -93,8 +93,13 @@ object AmplifiedBench {
       s""""src":"$srcDir","docs_x":$docsX,"emb_x":$embX,"sf":"$outDir"}"""
     val detailLine = s"""{"metric":"amplified_detail",$detail,"sf":"$outDir"}"""
     // committed file = the full record; stdout compact line LAST (the
-    // driver capture keeps the tail — see Bench.main)
-    Bench.writeArtifact("BENCH_amplified.json", Seq(totalLine, detailLine))
+    // driver capture keeps the tail — see Bench.main). Non-default
+    // factors land in their OWN artifact: a one-off ×100 scale probe
+    // must not overwrite the standing ×10 record.
+    val artifact =
+      if (docsX == 10 && embX == 4) "BENCH_amplified.json"
+      else s"BENCH_amplified_x${docsX}_e$embX.json"
+    Bench.writeArtifact(artifact, Seq(totalLine, detailLine))
     println(detailLine)
     println(totalLine)
     spark.stop()

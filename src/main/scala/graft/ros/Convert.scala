@@ -314,7 +314,12 @@ object Convert {
         partitionsFor(inputBytes, mb)
       }.getOrElse(0)
     val sized = applyLayout(prepared, format, effParts, layout)
-    val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase)) ++
+    // a user-spelled schema_defs_inline was MERGED into transcodeDefs
+    // — its original key must not survive alongside (case-insensitive
+    // last-wins at the sink would let the unmerged value shadow it)
+    val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase) ||
+        (transcodeDefs.nonEmpty &&
+          kv._1.equalsIgnoreCase("schema_defs_inline"))) ++
       autoDefs(options, format, inPath) ++
       autoProfile(options, format, inPath, ros1Transcoded) ++ transcodeDefs
     sinkOpts.foldLeft(sized.write.format(format).mode(mode)) {
@@ -416,22 +421,36 @@ object Convert {
     * removes the last good archive. Returns the number of records now
     * represented (0 = no sources carry side records).
     */
-  private[ros] def carryAttachments(inPath: String, outPath: String): Long = {
+  private val carryLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[ros] def carryAttachments(inPath: String, outPath: String): Long =
+    // one carry per archive per JVM at a time: the per-trigger stream
+    // listener and a batch backfill to the same outPath share fixed
+    // tmp/bak/ledger names — interleaved publishes could drop a
+    // generation (cross-PROCESS writers remain the caller's contract,
+    // as for every sink directory)
+    carryLocks.computeIfAbsent(outPath, _ => new Object).synchronized {
+      carryAttachmentsLocked(inPath, outPath)
+    }
+
+  private def carryAttachmentsLocked(inPath: String, outPath: String): Long = {
     import graft.ros.mcap.{McapFormat, McapIO}
-    val allMcaps = MixedRead.resolve(inPath).getOrElse("mcap", Seq.empty)
-    val refs = allMcaps.map(f => f -> McapIO.scanIndex(f))
-      .filter { case (_, i) => i.attachmentRefs.nonEmpty || i.metadataRefs.nonEmpty }
-    if (refs.isEmpty) return 0L
     val fs = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     val fin = new org.apache.hadoop.fs.Path(outPath, "attachments.mcap")
     val bak = new org.apache.hadoop.fs.Path(outPath, ".attachments.mcap.bak")
     val tmp = new org.apache.hadoop.fs.Path(outPath, ".attachments.mcap.inprogress")
     val ledgerPath = new org.apache.hadoop.fs.Path(outPath, ".attachments.idx")
-    // crash window recovery: fin was moved aside but the new
-    // generation never landed — the backup IS the archive
+    // crash window recovery FIRST — even when the current sources
+    // carry nothing (a rotated upload prefix), a backup from a failed
+    // publish is still the archive and must come back
     if (!fs.exists(fin) && fs.exists(bak))
       require(fs.rename(bak, fin), s"convert: backup recovery failed at $fin")
+    val allMcaps = MixedRead.resolve(inPath).getOrElse("mcap", Seq.empty)
+    val refs = allMcaps.map(f => f -> McapIO.scanIndex(f))
+      .filter { case (_, i) => i.attachmentRefs.nonEmpty || i.metadataRefs.nonEmpty }
+    if (refs.isEmpty) return 0L
     val ledger =
       if (fs.exists(fin)) readLedger(fs, ledgerPath) else None
     val fps = refs.map { case (f, idx) => (f, idx, fileFingerprint(fs, f)) }
@@ -560,9 +579,17 @@ object Convert {
     val dir = new org.apache.hadoop.fs.Path(outPath)
     val files = fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".mcap") &&
-        !s.getPath.getName.startsWith(".") &&
-        s.getPath.getName != "attachments.mcap")
+        !s.getPath.getName.startsWith("."))
       .map(_.getPath.toString).sorted
+      // attachment/metadata CARRIERS are excluded wholesale — the
+      // message-spine rewrite cannot represent their side records, so
+      // compacting one (attachments.mcap, an att-* relational write,
+      // a raw recording copied in) would silently delete calibrations;
+      // they stay as-is (each is one file already)
+      .filterNot { f =>
+        val i = mcap.McapIO.scanIndex(f)
+        i.attachmentRefs.nonEmpty || i.metadataRefs.nonEmpty
+      }
     val foreign = fs.listStatus(dir).exists(s => s.isFile && {
       val n = s.getPath.getName
       (n.endsWith(".bag") || n.endsWith(".db3") || n.endsWith(".db3.zstd")) &&
@@ -598,21 +625,38 @@ object Convert {
       val staged = fs.listStatus(stagePath).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".mcap"))
         .map(_.getPath.getName).sorted
-      // journal BEFORE any rename: a crash mid-swap self-heals
+      // journal BEFORE any rename: a crash mid-swap self-heals. The
+      // journal itself publishes via temp + rename — the recovery
+      // mechanism must never replay a TRUNCATED plan (promote-without-
+      // delete would duplicate every row of the old generation)
       val journal = new org.apache.hadoop.fs.Path(outPath, ".compact.journal")
+      val jtmp = new org.apache.hadoop.fs.Path(outPath, ".compact.journal.tmp")
       val plan =
         staged.map(n => s"MV\t.compact-$tag/$n\tcompact-$tag-$n") ++
           files.map(f =>
             s"RM\t${new org.apache.hadoop.fs.Path(f).getName}")
-      val jout = fs.create(journal, true)
+      val jout = fs.create(jtmp, true)
       try jout.write(plan.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally jout.close()
+      require(fs.rename(jtmp, journal),
+        s"compact: journal publish failed under $outPath")
       executeCompactJournal(fs, outPath, plan)
       fs.delete(journal, false)
+      fs.delete(stagePath, true)
       ()
-    } finally {
-      if (fs.exists(stagePath)) { fs.delete(stagePath, true); () }
+    } catch {
+      case t: Throwable =>
+        // staged files are debris ONLY while no journal exists; once
+        // the journal is published they are the recovery's inputs —
+        // deleting them here would let the replay delete the old
+        // generation without fully promoting the new one
+        if (!fs.exists(new org.apache.hadoop.fs.Path(outPath,
+            ".compact.journal")) && fs.exists(stagePath)) {
+          fs.delete(stagePath, true)
+          ()
+        }
+        throw t
     }
   }
 
@@ -632,6 +676,14 @@ object Convert {
     } finally in.close()
     executeCompactJournal(fs, outPath, text.linesIterator.toSeq)
     fs.delete(journal, false)
+    // the replay consumed the staged files — their dirs (and a journal
+    // tmp from a crash before its publish rename) are now debris
+    fs.listStatus(new org.apache.hadoop.fs.Path(outPath)).foreach { s =>
+      if (s.isDirectory && s.getPath.getName.startsWith(".compact-"))
+        fs.delete(s.getPath, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(outPath, ".compact.journal.tmp"),
+      false)
     ()
   }
 
@@ -642,9 +694,13 @@ object Convert {
     // place), deletions of the old generation only after
     plan.foreach {
       case line if line.startsWith("MV\t") =>
-        val Array(_, from, to) = line.split('\t')
-        val src = new org.apache.hadoop.fs.Path(dir, from)
-        val dst = new org.apache.hadoop.fs.Path(dir, to)
+        // the journal is published atomically, so a malformed line is
+        // corruption, not truncation — fail loudly rather than replay
+        // a partial swap
+        val parts = line.split('\t')
+        require(parts.length == 3, s"compact: malformed journal line '$line'")
+        val src = new org.apache.hadoop.fs.Path(dir, parts(1))
+        val dst = new org.apache.hadoop.fs.Path(dir, parts(2))
         if (fs.exists(src)) {
           if (fs.exists(dst)) fs.delete(dst, false)
           require(fs.rename(src, dst), s"compact: rename $src -> $dst failed")
@@ -724,7 +780,9 @@ object Convert {
       carryAttachments(inPath, outPath)
       ()
     }
-    val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase)) ++ auto
+    val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase) ||
+      (transcodeDefs.nonEmpty &&
+        kv._1.equalsIgnoreCase("schema_defs_inline"))) ++ auto
     val query = sinkOpts.foldLeft(
       prepared.writeStream.format(format)
         .option("checkpointLocation", checkpoint)

@@ -20,17 +20,58 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object SourceDefs {
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, Map[String, Seq[(String, Array[Byte])]]]()
+  private final case class CachedDefs(fingerprint: String,
+      lastStatNanos: Long, defs: Map[String, Seq[(String, Array[Byte])]])
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedDefs]()
+
+  /** Re-validate a NEGATIVE answer against the filesystem at most this
+    * often per file — a per-lookup stat would put a remote-FS call on
+    * the row path for absent types, while never re-checking would miss
+    * definitions a tailed file gained after the first scan. Sysprop
+    * `graft.sourcedefs.recheck.nanos` overrides (tests set 0).
+    */
+  private[ros] def recheckNanos: Long =
+    sys.props.get("graft.sourcedefs.recheck.nanos").map(_.toLong)
+      .getOrElse(10L * 1000 * 1000 * 1000)
+
+  private def fingerprint(f: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(bag.RosbagIO.hadoopConf()).getFileStatus(p)
+      s"${st.getModificationTime}:${st.getLen}"
+    } catch { case _: Exception => "unavailable" }
 
   /** The (schema encoding, definition bytes) variants file `path`
     * defines for type `name`; empty when the file defines none (or the
     * path is empty / unreadable — the writer then falls back to an
     * empty-definition Schema record, the pre-existing behavior).
+    *
+    * Freshness: streams TAIL still-growing containers, so a cached
+    * scan can predate the Schema record a later chunk introduced.
+    * Positive answers serve from cache (definitions are immutable per
+    * schema record); a MISS re-stats the file — throttled to once per
+    * [[RecheckNanos]] — and reloads only when its (mtime, length)
+    * changed.
     */
-  def variantsFor(path: String, name: String): Seq[(String, Array[Byte])] =
-    if (path == null || path.isEmpty) Seq.empty
-    else cache.computeIfAbsent(path, load(_)).getOrElse(name, Seq.empty)
+  def variantsFor(path: String, name: String): Seq[(String, Array[Byte])] = {
+    if (path == null || path.isEmpty) return Seq.empty
+    val now = System.nanoTime()
+    val cur = cache.get(path)
+    if (cur != null) {
+      val hit = cur.defs.get(name)
+      if (hit.exists(_.nonEmpty)) return hit.get
+      if (hit.isDefined && now - cur.lastStatNanos < recheckNanos)
+        return Seq.empty
+    }
+    val fp = fingerprint(path)
+    val base =
+      if (cur != null && cur.fingerprint == fp) cur.defs else load(path)
+    val vs = base.getOrElse(name, Seq.empty)
+    cache.put(path, CachedDefs(fp, now, base + (name -> vs)))
+    vs
+  }
 
   private def load(path: String): Map[String, Seq[(String, Array[Byte])]] = {
     val raw: Seq[DefsHarvest.TypeDef] = try {

@@ -167,7 +167,11 @@ object Transcode {
 
   /** Harvest every ros1msg definition under `inPath` and translate.
     * Returns (translatable entries by ros1 type name, failures by
-    * name → reason).
+    * name → reason). A ros1 type whose every harvested definition is
+    * EMPTY (recorders do ship them) counts as a failure too —
+    * otherwise `failures.isEmpty` would claim full transcodability
+    * and the mcap profile would stamp "ros2" on an archive whose
+    * def-less rows byte-embed as ros1 channels.
     */
   def plan(inPath: String): (Map[String, Entry], Map[String, String]) = {
     val ros1 = DefsHarvest.dedupe(
@@ -178,8 +182,21 @@ object Transcode {
         case e: Exception => Left(e.getMessage)
       })
     }
-    (attempts.collect { case (n, Right(e)) => n -> e }.toMap,
-      attempts.collect { case (n, Left(m)) => n -> m }.toMap)
+    val entries = attempts.collect { case (n, Right(e)) => n -> e }.toMap
+    val resolved = MixedRead.resolve(inPath)
+    val defless = (
+      resolved.getOrElse("rosbag", Seq.empty)
+        .flatMap(f => bag.RosbagIO.scanIndexes(Seq(f)).flatMap(_._2.connections))
+        .filter(c => c.datatype.nonEmpty && c.msgDef.trim.isEmpty)
+        .map(_.datatype) ++
+      resolved.getOrElse("mcap", Seq.empty)
+        .flatMap(f => mcap.McapIO.scanIndex(f).schemas.values)
+        .filter(s => s.encoding == "ros1msg" && s.name.nonEmpty && s.data.isEmpty)
+        .map(_.name)
+    ).distinct.filterNot(entries.contains)
+      .map(_ -> "empty message definition in source").toMap
+    (entries,
+      attempts.collect { case (n, Left(m)) => n -> m }.toMap ++ defless)
   }
 
   /** The translated definitions as sink-side defs-channel entries. */
@@ -204,41 +221,78 @@ object Transcode {
         RosSchemaMapper.decode(src, bytes))
     })
 
-  /** Per-JVM fallback harvest for types FIRST SEEN mid-job (a
-    * streaming convert's new robot model, a file outside the
-    * plan-time harvest): the row's own `file_path` carries the
-    * connection definitions; one cached index scan per file resolves
-    * them. `None` (cached too) = the file defines no translatable
-    * ros1msg for this type.
+  /** Per-JVM per-FILE definition resolution — consulted FIRST, before
+    * the plan-time broadcast: two files may define the SAME type name
+    * with divergent (schema-evolved) definitions, and decoding a row
+    * under the other file's definition is silent corruption; the
+    * row's own `file_path` is the authority. Cache entries carry the
+    * file's (mtime, length) fingerprint: a type-miss re-stats the file
+    * (streams TAIL still-growing containers, so a type appended after
+    * the first scan must be found), reloads only when the bytes
+    * changed, and caches the negative otherwise so later rows stop
+    * stat'ing. `None` = the file defines no translatable ros1msg for
+    * this type.
     */
-  private val fileDefs =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Option[Entry]]]()
+  private final case class CachedEntries(fingerprint: String,
+      lastStatNanos: Long, entries: Map[String, Option[Entry]])
 
-  private def fileFallback(filePath: String, tpe: String): Option[Entry] =
-    fileDefs.computeIfAbsent(filePath, { f =>
-      val conns = try {
-        if (f.endsWith(".bag"))
-          bag.RosbagIO.scanIndexes(Seq(f)).flatMap(_._2.connections)
-            .map(c => (c.datatype, c.msgDef))
-        else if (f.endsWith(".mcap"))
-          mcap.McapIO.scanIndex(f).schemas.values.toSeq
-            .filter(_.encoding == "ros1msg")
-            .map(s => (s.name,
-              new String(s.data, java.nio.charset.StandardCharsets.UTF_8)))
-        else Seq.empty
-      } catch { case _: Exception => Seq.empty }
-      conns.groupBy(_._1).map { case (name, ds) =>
-        name -> (try Some(translate(name, ds.head._2)) catch {
-          case _: Exception => None
-        })
-      }
-    }).getOrElse(tpe, None)
+  private val fileDefs =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedEntries]()
+
+  private def fingerprint(f: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(bag.RosbagIO.hadoopConf()).getFileStatus(p)
+      s"${st.getModificationTime}:${st.getLen}"
+    } catch { case _: Exception => "unavailable" }
+
+  private def loadFileDefs(f: String): Map[String, Option[Entry]] = {
+    val conns = try {
+      if (f.endsWith(".bag"))
+        bag.RosbagIO.scanIndexes(Seq(f)).flatMap(_._2.connections)
+          .map(c => (c.datatype, c.msgDef))
+      else if (f.endsWith(".mcap"))
+        mcap.McapIO.scanIndex(f).schemas.values.toSeq
+          .filter(_.encoding == "ros1msg")
+          .map(s => (s.name,
+            new String(s.data, java.nio.charset.StandardCharsets.UTF_8)))
+      else Seq.empty
+    } catch { case _: Exception => Seq.empty }
+    conns.filter(_._2.trim.nonEmpty).groupBy(_._1).map { case (name, ds) =>
+      name -> (try Some(translate(name, ds.head._2)) catch {
+        case _: Exception => None
+      })
+    }
+  }
+
+  private def fileFallback(filePath: String, tpe: String): Option[Entry] = {
+    if (filePath == null || filePath.isEmpty) return None
+    val now = System.nanoTime()
+    val cur = fileDefs.get(filePath)
+    if (cur != null) {
+      val hit = cur.entries.get(tpe)
+      // positives serve from cache (a connection's definition is
+      // immutable); a cached NEGATIVE re-validates at most once per
+      // throttle window — this sits on the ROW path for unknown types
+      if (hit.exists(_.isDefined)) return hit.get
+      if (hit.isDefined && now - cur.lastStatNanos < SourceDefs.recheckNanos)
+        return None
+    }
+    val fp = fingerprint(filePath)
+    val base =
+      if (cur != null && cur.fingerprint == fp) cur.entries
+      else loadFileDefs(filePath)
+    val entry = base.getOrElse(tpe, None)
+    fileDefs.put(filePath, CachedEntries(fp, now, base + (tpe -> entry)))
+    entry
+  }
 
   /** Rewrite a mixed-spine frame's "ros1" rows to CDR: `data`
     * re-encoded, `type` renamed to the ROS 2 convention, `encoding` →
-    * "cdr", `size` recomputed. Plan-time `entries` resolve first; a
-    * type outside the plan falls back to a per-file harvest (new
-    * types landing mid-stream). `strict` controls the remainder: true
+    * "cdr", `size` recomputed. The row's own file resolves its
+    * definition first (divergent same-named definitions, types landing
+    * mid-stream); plan-time `entries` are the fallback for unscannable
+    * files. `strict` controls the remainder: true
     * fails the row loudly, false passes it through unchanged (the
     * byte-embed path — still a valid mcap, not a ros2-profile one).
     *
@@ -249,8 +303,12 @@ object Transcode {
   def toCdr(spine: DataFrame, entries: Map[String, Entry],
       strict: Boolean): DataFrame = {
     val bc = spine.sparkSession.sparkContext.broadcast(entries)
+    // the row's own FILE resolves first (same-named types can carry
+    // divergent definitions across a fleet's files — decoding under
+    // the other file's definition would be silent corruption); the
+    // plan-time broadcast covers rows whose file cannot be scanned
     val tcodeUdf = udf { (tpe: String, data: Array[Byte], filePath: String) =>
-      bc.value.get(tpe).orElse(fileFallback(filePath, tpe)) match {
+      fileFallback(filePath, tpe).orElse(bc.value.get(tpe)) match {
         case Some(e) => (e.dstName, codec(e)(data))
         case None if strict => throw new IllegalArgumentException(
           s"transcode: no translatable ros1msg definition for type '$tpe' " +

@@ -648,16 +648,29 @@ class ConvertSpec extends SparkTestBase {
           r.getAs[Array[Byte]](6).toSeq)).toSet
     val before = snapshot()
     assert(before.size === 12)
+    // a relationally-written attachment (att-*.mcap) shares the dir —
+    // compaction must leave attachment CARRIERS alone, not fold their
+    // zero messages into the rewrite and delete the calibrations
+    import spark.implicits._
+    graft.ros.mcap.McapExport.prepareAttachments(
+      Seq(("rel.calib", "k=1")).toDF("n", "b"),
+      name = col("n"), data = encode(col("b"), "UTF-8"))
+      .write.format("mcap").option("table", "attachments")
+      .mode("append").save(o)
 
     Convert.compact(spark, o, partitions = 1,
       options = Map("chunk_bytes" -> "256"))
-    assert(msgFiles().size === 1, "compaction must collapse the epoch files")
-    assert(msgFiles().head.startsWith("compact-"))
+    assert(msgFiles().count(_.startsWith("compact-")) === 1,
+      "compaction must collapse the epoch files")
+    assert(msgFiles().count(_.startsWith("att-")) === 1,
+      "relational attachment files must survive compaction")
     assert(snapshot() === before, "row identity must survive compaction")
     assert(!new java.io.File(o, ".compact.journal").exists())
-    // the attachment sidecar and its ledger stay untouched
+    // the attachment sidecar, the relational write and the ledger all
+    // stay untouched
     assert(spark.read.format("mcap").option("table", "attachments").load(o)
-      .select("name").head().getString(0) === "keep.calib")
+      .select("name").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("keep.calib", "rel.calib"))
     // definitions still travel: typed reads decode the compacted file
     val typed = spark.read.format("mcap").option("path", o)
       .option("schema_name", "std_msgs/msg/String").load()
@@ -769,6 +782,62 @@ class ConvertSpec extends SparkTestBase {
     assert(typed.select("data_field").collect().map(_.getString(0)).toSet ===
       ((0 until 5).map(i => s"b$i") ++ (0 until 4).map(i => s"m$i") ++
         (0 until 3).map(i => s"d$i")).toSet)
+  }
+
+  test("transcode: divergent same-named definitions decode under their OWN file's definition") {
+    import graft.ros.bag.BagFormat
+    val in = java.nio.file.Files.createTempDirectory("graft_tc_evo").toFile
+    // schema evolution across a fleet: two bags define graft_msgs/Evo
+    // with different field lists — each file's rows must transcode
+    // under that file's definition, never the other's
+    val defV1 = "int64 a"
+    val defV2 = "int64 a\nstring b"
+    val b1 = MsgDefParser.parse("graft_msgs/Evo", defV1)
+    val b2 = MsgDefParser.parse("graft_msgs/Evo", defV2)
+    java.nio.file.Files.write(new java.io.File(in, "old.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/evo", "graft_msgs/Evo", "m1", defV1, "c")),
+        Seq(BagFormat.WriteMessage(0, 10, 0,
+          RosSchemaMapper.encode(b1, Seq[Any](1L))))))
+    java.nio.file.Files.write(new java.io.File(in, "new.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/evo", "graft_msgs/Evo", "m2", defV2, "c")),
+        Seq(BagFormat.WriteMessage(0, 20, 0,
+          RosSchemaMapper.encode(b2, Seq[Any](2L, "evolved"))))))
+    val o = out("tc_evo")
+    // before per-file resolution this CRASHED: the plan's single
+    // per-name definition misdecoded the other file's payload (strict
+    // buffer-consumption check)
+    Convert.run(spark, in.getAbsolutePath, o, "mcap", partitions = 1,
+      options = Map("transcode" -> "strict"))
+    val rows = spark.read.format("mcap").load(o)
+      .select("log_time", "data").collect().sortBy(_.getLong(0))
+    val e1 = Transcode.translate("graft_msgs/Evo", defV1)
+    val e2 = Transcode.translate("graft_msgs/Evo", defV2)
+    assert(CdrCodec.decode(Ros2Msg.bundle(e1.dstName, e1.dstDef),
+      rows(0).getAs[Array[Byte]](1)) === Seq(1L))
+    assert(CdrCodec.decode(Ros2Msg.bundle(e2.dstName, e2.dstDef),
+      rows(1).getAs[Array[Byte]](1)) === Seq(2L, "evolved"))
+  }
+
+  test("a crashed attachment publish recovers even when sources rotated away") {
+    val o = out("att_recover")
+    // build an archive with one attachment, then simulate the crash
+    // window: fin was stepped aside, the new generation never landed
+    val in1 = java.nio.file.Files.createTempDirectory("graft_att_rot1").toFile
+    attachmentOnlyMcap(in1, "a.mcap", "cal.rot", Array[Byte](9))
+    Convert.run(spark, in1.getAbsolutePath, o, "mcap", partitions = 1)
+    val fin = new java.io.File(o, "attachments.mcap")
+    assert(fin.renameTo(new java.io.File(o, ".attachments.mcap.bak")))
+    // the upload prefix ROTATED: the new source dir carries no side
+    // records at all — recovery must still restore the backup
+    val in2 = java.nio.file.Files.createTempDirectory("graft_att_rot2").toFile
+    java.nio.file.Files.copy(new java.io.File(mixedDir, "b.mcap").toPath,
+      new java.io.File(in2, "b.mcap").toPath)
+    assert(Convert.carryAttachments(in2.getAbsolutePath, o) === 0L)
+    assert(fin.exists(), "the backup is the archive — it must come back")
+    assert(spark.read.format("mcap").option("table", "attachments").load(o)
+      .count() === 1)
   }
 
   test("transcode=strict fails loudly on untranslatable definitions; auto byte-embeds them") {

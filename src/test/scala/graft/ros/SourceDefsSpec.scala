@@ -1,0 +1,60 @@
+package graft.ros
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ros.mcap.{CdrCodec, McapFormat, Ros2Msg}
+
+/** Executor-side per-file definition harvest: late binding for types
+  * first seen mid-stream, with freshness against GROWING files (the
+  * streaming sources tail still-open containers).
+  */
+class SourceDefsSpec extends AnyFunSuite {
+
+  private val defText = "string data"
+
+  private def writeMcap(f: java.io.File, types: Seq[String]): Unit = {
+    val schemas = types.zipWithIndex.map { case (t, i) =>
+      McapFormat.McapSchema(i + 1, t, "ros2msg", defText.getBytes("UTF-8"))
+    }
+    val channels = types.zipWithIndex.map { case (_, i) =>
+      McapFormat.McapChannel(i + 1, i + 1, s"/t$i", "cdr")
+    }
+    val b = Ros2Msg.bundle(types.head, defText)
+    java.nio.file.Files.write(f.toPath, McapFormat.writeMcap(schemas, channels,
+      Seq(McapFormat.McapMessage(1, 0L, 1L, 1L, CdrCodec.encode(b, Seq("x"))))))
+    ()
+  }
+
+  test("a type appended after the first scan is found on a later miss") {
+    // negatives re-validate on a throttle; tests want immediacy
+    sys.props("graft.sourcedefs.recheck.nanos") = "0"
+    try sourceDefsBody()
+    finally { sys.props.remove("graft.sourcedefs.recheck.nanos"); () }
+  }
+
+  private def sourceDefsBody(): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcdefs").toFile
+    val f = new java.io.File(dir, "grow.mcap")
+    writeMcap(f, Seq("graft_msgs/msg/TA"))
+    val p = f.getAbsolutePath
+    assert(SourceDefs.variantsFor(p, "graft_msgs/msg/TA").nonEmpty)
+    // a genuine miss caches the negative...
+    assert(SourceDefs.variantsFor(p, "graft_msgs/msg/TB").isEmpty)
+    // ...but the file GROWS (a tailed stream introduced TB): the next
+    // miss re-stats, sees new bytes, and finds the definition
+    writeMcap(f, Seq("graft_msgs/msg/TA", "graft_msgs/msg/TB"))
+    assert(SourceDefs.variantsFor(p, "graft_msgs/msg/TB").nonEmpty,
+      "a definition landing after the first scan must be found")
+    assert(SourceDefs.variantsFor(p, "graft_msgs/msg/TA").nonEmpty)
+    // ros1msg definitions also register under their transcode rename
+    val bag = new java.io.File(dir, "b.bag")
+    val b1 = MsgDefParser.parse("graft_msgs/R", "int64 x")
+    java.nio.file.Files.write(bag.toPath, graft.ros.bag.BagFormat.writeBag(
+      Seq(graft.ros.bag.BagFormat.BagConnection(0, "/r", "graft_msgs/R", "*",
+        "int64 x", "c")),
+      Seq(graft.ros.bag.BagFormat.WriteMessage(0, 1, 0,
+        RosSchemaMapper.encode(b1, Seq[Any](1L))))))
+    val vs = SourceDefs.variantsFor(bag.getAbsolutePath, "graft_msgs/msg/R")
+    assert(vs.map(_._1) === Seq("ros2msg"),
+      "the translated shadow entry must serve the renamed type")
+  }
+}

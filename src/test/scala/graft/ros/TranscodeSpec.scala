@@ -179,6 +179,21 @@ class TranscodeSpec extends AnyFunSuite {
     assert(failures.keySet === Set("graft_msgs/Bad"))
   }
 
+  test("plan counts EMPTY-definition ros1 types as failures (profile honesty)") {
+    import graft.ros.bag.BagFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft_tc_empty").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/nodefs", "graft_msgs/NoDef", "*",
+          "", "c")),
+        Seq(BagFormat.WriteMessage(0, 1, 0, Array[Byte](1)))))
+    val (entries, failures) = Transcode.plan(dir.getAbsolutePath)
+    assert(entries.isEmpty)
+    assert(failures.keySet === Set("graft_msgs/NoDef"),
+      "a def-less type cannot transcode — failures.isEmpty must not " +
+        "let autoProfile stamp ros2 on an archive keeping ros1 channels")
+  }
+
   // ---- property: random primitive defs round-trip through the codec ----
 
   private val prims: Seq[RosPrimitive] = Seq(
