@@ -430,6 +430,42 @@ object LlmQueries {
     collapsed(s, d, "shingleCollapse")(
       graft.operators.DupCollapse.collapse(shingleSets(s, d), "doc_id", "sh"))
 
+  /** The REPRESENTATIVE-level jaccard pair graph (one node per
+    * distinct shingle set) — the small graph everything else derives
+    * from: jaccardPairs expands it to member pairs (q27's report
+    * contract), q46 runs connected components directly on it (clique
+    * expansion would multiply the edge list by Σ clique² for zero
+    * information). Memoized + persisted like the other shared
+    * derivations.
+    */
+  private val repPairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double), DataFrame]()
+  private def jaccardRepPairs(s: SparkSession, d: String,
+      thresh: Double): DataFrame = {
+    repPairsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    repPairsCache.computeIfAbsent((s, d, thresh), _ => {
+      val c = shingleCollapsed(s, d)
+      // explode_outer, NOT explode: InferFiltersFromGenerate would add
+      // `size(key)>0 AND isnotnull(key)` to a plain explode, and the
+      // inferred filter's pushdown reshapes the shared collapse window
+      // subtree — the outer variant keeps both consumers' subtrees
+      // identical so the window exchange is reused, not recomputed.
+      val sh = c.groups
+        .select(col("gid").as("doc_id"), col("n"), explode_outer(col("key")).as("s"))
+        .filter(col("s").isNotNull)
+      graft.operators.KeyedPairs
+        .pairs(sh, Seq("s"), struct(col("doc_id"), col("n")), PairCap)
+        .select(col("pa.doc_id").as("ga"), col("pa.n").as("na"),
+                col("pb.doc_id").as("gb"), col("pb.n").as("nb"))
+        .groupBy(col("ga"), col("gb"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+        .filter(col("jaccard") >= thresh)
+        .persist()
+    })
+  }
+
   private def jaccardPairsUncached(s: SparkSession, d: String, thresh: Double): DataFrame = {
     import graft.operators.DupCollapse
     // exact-duplicate collapse first (same reasoning as winnowPairs):
@@ -444,23 +480,7 @@ object LlmQueries {
       .filter(lit(1.0) >= thresh)
       .select(col("da"), col("db"), col("n").cast("long").as("shared"),
         col("n").as("na"), col("n").as("nb"), lit(1.0).as("jaccard"))
-    // explode_outer, NOT explode: InferFiltersFromGenerate would add
-    // `size(key)>0 AND isnotnull(key)` to a plain explode, and the
-    // inferred filter's pushdown reshapes the shared collapse window
-    // subtree — the outer variant keeps both consumers' subtrees
-    // identical so the window exchange is reused, not recomputed.
-    val sh = c.groups
-      .select(col("gid").as("doc_id"), col("n"), explode_outer(col("key")).as("s"))
-      .filter(col("s").isNotNull)
-    val repPairs = graft.operators.KeyedPairs
-      .pairs(sh, Seq("s"), struct(col("doc_id"), col("n")), PairCap)
-      .select(col("pa.doc_id").as("ga"), col("pa.n").as("na"),
-              col("pb.doc_id").as("gb"), col("pb.n").as("nb"))
-      .groupBy(col("ga"), col("gb"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jaccard") >= thresh)
+    val repPairs = jaccardRepPairs(s, d, thresh)
     val cross = DupCollapse.expandPairs(repPairs, c.members, swap = Seq(("na", "nb")))
     within.unionByName(cross)
       .select(col("da"), col("db"), col("shared"), col("na"), col("nb"), col("jaccard"))
@@ -1350,10 +1370,28 @@ object LlmQueries {
     // C), keep_id = min doc of each cluster. The step that turns pair
     // EMITTERS into an actual dedup decision. Oracle: DuckDB recursive
     // CTE over the identical pair graph.
+    //
+    // SCALE SHAPE: components run on the COLLAPSED graph (one node per
+    // distinct shingle set) and expand to members afterwards — the
+    // clique-expanded edge list is Σ clique² rows carrying zero extra
+    // connectivity (the ×100 amplified probe measured the expanded
+    // form at 60× the ×10 cost; this form scales with DISTINCT sets).
+    // Equivalence: gid = min member id (DupCollapse), so the expanded
+    // graph's min-doc component label equals the collapsed graph's
+    // min-gid label; a group outside the rep graph still clusters on
+    // its own when it has ≥2 members and a non-empty set (its within-
+    // clique pairs), keep_id = its gid.
     "q46_dedup_clusters" -> ((s, d) => {
-      val pairs = jaccardPairs(s, d, 0.5).select(col("da"), col("db"))
-      graft.operators.ConnectedComponents.componentsAuto(pairs, "da", "db")
-        .select(col("id").as("doc_id"), col("comp").as("keep_id"))
+      val c = shingleCollapsed(s, d)
+      val rep = jaccardRepPairs(s, d, 0.5).select(col("ga"), col("gb"))
+      val repComp = graft.operators.ConnectedComponents
+        .componentsAuto(rep, "ga", "gb")
+        .select(col("id").as("gid"), col("comp"))
+      c.members
+        .select(col("gid"), col("id").as("doc_id"), col("m"), col("n"))
+        .join(repComp, Seq("gid"), "left")
+        .filter(col("comp").isNotNull || (col("m") >= 2 && col("n") >= 1))
+        .select(col("doc_id"), coalesce(col("comp"), col("gid")).as("keep_id"))
         .orderBy(col("doc_id"))
     }),
 
