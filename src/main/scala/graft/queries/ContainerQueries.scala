@@ -449,6 +449,36 @@ object ContainerQueries {
           round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
             .as("sum_value"))
         .orderBy(col("topic"))
+    }),
+
+    // Q92 — the REVERSE transcode, CHECKED: the mixed directory
+    // (protobuf channel filtered out — no ros1 rendering exists for
+    // it) converted INTO a rosbag archive with `transcode=auto`, so
+    // the db3/mcap CDR rows re-encode as ros1 serialization under the
+    // reverse-translated definition (renamed graft_msgs/msg/Event →
+    // graft_msgs/Event, connection records carrying the GENUINE
+    // genmsg md5). One typed bag read then decodes all three eras —
+    // the same doubled-topic shape as q91, pointed the other way
+    // across the dialect boundary.
+    "q92_transcode_rosbag" -> ((s, d) => {
+      val out = transcodeBagFixture(s, d)
+      // the typed bag read exposes (bag_path, connection_id) + payload
+      // columns; topic comes from the connections DIMENSION via the
+      // O11 broadcast join
+      val typed = s.read.format("rosbag").option("bags", out + "/*.bag")
+        .option("datatype", Ros1Name).load()
+      val conns = broadcast(graft.ros.bag.RosbagTables
+        .connections(s, out + "/*.bag")
+        .select(col("bag_path"), col("connection_id"), col("topic")))
+      typed.join(conns, Seq("bag_path", "connection_id"))
+        .groupBy(col("topic")).agg(
+          count(lit(1)).as("cnt"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          sum(col("user_id")).as("sum_uid"),
+          round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
+            .as("sum_value"))
+        .orderBy(col("topic"))
     }))
 
   /** Sink-built fixture for q86: the same 1000-row slice EXPORTED as
@@ -579,6 +609,22 @@ object ContainerQueries {
         graft.ros.Convert.run(s, mixed,
           new java.io.File(stage, "export").getAbsolutePath,
           "mcap", partitions = 2, options = Map("transcode" -> "auto"))
+      } + "/export"
+    }
+
+  /** q92's fixture: the q79 mixed directory converted INTO a rosbag
+    * archive with `transcode=auto` (protobuf filtered — the one
+    * dialect with no ros1 rendering). Salt v1.
+    */
+  private def transcodeBagFixture(s: SparkSession, d: String): String =
+    synchronized {
+      val mixed = mixedFixture(s, d)
+      publishStaged("graft_container_tcbagv1_" + md5Key(mixed)) { stage =>
+        graft.ros.Convert.run(s, mixed,
+          new java.io.File(stage, "export").getAbsolutePath,
+          "rosbag", partitions = 2,
+          transform = _.filter(col("encoding") =!= "protobuf"),
+          options = Map("transcode" -> "auto"))
       } + "/export"
     }
 
@@ -883,6 +929,28 @@ object ContainerQueries {
     // the bag's even/odd rows transcode and DOUBLE the db3-sourced
     // topics (decimal sums double exactly before the one rounding)
     "q91_transcode_typed" ->
+      """WITH ev AS (
+        |  SELECT * FROM events ORDER BY event_id LIMIT 1000),
+        |e AS (
+        |  SELECT COUNT(*) AS cnt, MIN(event_id) AS mn, MAX(event_id) AS mx,
+        |         CAST(SUM(user_id) AS BIGINT) AS su,
+        |         SUM(CAST(value AS DECIMAL(28,10))) AS s
+        |  FROM ev WHERE event_id % 2 = 0),
+        |o AS (
+        |  SELECT COUNT(*) AS cnt, MIN(event_id) AS mn, MAX(event_id) AS mx,
+        |         CAST(SUM(user_id) AS BIGINT) AS su,
+        |         SUM(CAST(value AS DECIMAL(28,10))) AS s
+        |  FROM ev WHERE event_id % 2 <> 0)
+        |SELECT '/events_even' AS topic, e.cnt * 2 AS cnt, e.mn AS min_id,
+        |       e.mx AS max_id, e.su * 2 AS sum_uid,
+        |       CAST(ROUND(e.s * 2, 2) AS DOUBLE) AS sum_value FROM e
+        |UNION ALL SELECT '/events_odd', o.cnt * 2, o.mn, o.mx, o.su * 2,
+        |       CAST(ROUND(o.s * 2, 2) AS DOUBLE) FROM o
+        |UNION ALL SELECT '/events_ros', o.cnt, o.mn, o.mx, o.su,
+        |       CAST(ROUND(o.s, 2) AS DOUBLE) FROM o
+        |ORDER BY topic""".stripMargin,
+    // same doubled-topic shape as q91, across the reverse boundary
+    "q92_transcode_rosbag" ->
       """WITH ev AS (
         |  SELECT * FROM events ORDER BY event_id LIMIT 1000),
         |e AS (

@@ -150,41 +150,70 @@ object Convert {
         s"transcode must be off | auto | strict (true), got '$other'")
     }
 
+  /** Merge our inline defs with (never override) a caller-passed
+    * channel of the same name.
+    */
+  private def mergedInline(optName: String,
+      mine: Seq[DefsHarvest.TypeDef],
+      options: Map[String, String]): Map[String, String] =
+    if (mine.isEmpty) Map.empty
+    else {
+      val encoded = DefsHarvest.encodeInline(mine)
+      val user = options.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(optName) => v
+      }
+      Map(optName -> user.map(u => u + "\n" + encoded).getOrElse(encoded))
+    }
+
+  private def reportFailures(failures: Map[String, String], mode: String,
+      inPath: String, toDialect: String, embedHint: String): Unit =
+    if (failures.nonEmpty) {
+      val detail = failures.toSeq.sortBy(_._1).take(5)
+        .map { case (n, m) => s"$n: $m" }.mkString("; ")
+      if (mode == "strict") throw new IllegalArgumentException(
+        s"transcode: ${failures.size} definition(s) under $inPath " +
+          s"do not translate to $toDialect ($detail) — fix the " +
+          s"definitions or pass transcode=auto$embedHint")
+      logger.warn(s"transcode: ${failures.size} definition(s) under " +
+        s"$inPath do not translate to $toDialect and pass through ($detail)")
+    }
+
   /** Resolve the transcode plan for `inPath` and rewrite `spine`'s
-    * ros1 rows to CDR ([[Transcode.toCdr]]). Returns the rewritten
-    * frame plus the sink options feeding the TRANSLATED definitions
-    * into the target's defs channel, and whether every harvested ros1
-    * definition translated (drives the mcap profile choice).
+    * foreign-dialect rows toward the TARGET's serialization:
+    * ros1 → CDR for mcap/db3 targets ([[Transcode.toCdr]]),
+    * cdr → ros1 for rosbag targets ([[Transcode.toRos1]] — what turns
+    * the bag's foreign-encoding refusal into a fallback; the
+    * translated definitions carry GENUINE genmsg md5sums). Returns the
+    * rewritten frame, the sink options feeding the translated
+    * definitions into the target's defs channel, and (mcap targets)
+    * whether every harvested ros1 definition translated — the profile
+    * choice.
     */
   private def applyTranscode(spine: DataFrame, mode: String, format: String,
       inPath: String, options: Map[String, String] = Map.empty)
       : (DataFrame, Map[String, String], Boolean) = {
     if (mode == "off") return (spine, Map.empty, false)
-    require(format == "mcap" || format == "db3",
-      s"transcode re-encodes toward CDR containers (mcap | db3), not '$format'")
-    val (entries, failures) = Transcode.plan(inPath)
-    if (failures.nonEmpty) {
-      val detail = failures.toSeq.sortBy(_._1).take(5)
-        .map { case (n, m) => s"$n: $m" }.mkString("; ")
-      if (mode == "strict") throw new IllegalArgumentException(
-        s"transcode: ${failures.size} ros1msg definition(s) under $inPath " +
-          s"do not translate to ros2msg ($detail) — fix the definitions " +
-          "or pass transcode=auto to embed those rows as ros1 bytes")
-      logger.warn(s"transcode: ${failures.size} ros1msg definition(s) " +
-        s"under $inPath do not translate and will byte-embed ($detail)")
+    format match {
+      case "mcap" | "db3" =>
+        val (entries, failures) = Transcode.plan(inPath)
+        reportFailures(failures, mode, inPath, "ros2msg",
+          " to embed those rows as ros1 bytes")
+        (Transcode.toCdr(spine, entries, strict = mode == "strict"),
+          mergedInline("schema_defs_inline",
+            Transcode.inlineDefs(entries.values), options),
+          failures.isEmpty)
+      case "rosbag" =>
+        val (entries, failures) = Transcode.planToRos1(inPath)
+        reportFailures(failures, mode, inPath, "ros1msg",
+          " (with allow_foreign_encoding=true) to embed those rows " +
+            "as foreign bytes")
+        (Transcode.toRos1(spine, entries, strict = mode == "strict"),
+          mergedInline("conn_defs_inline",
+            Transcode.inlineRos1Defs(entries.values), options),
+          false)
+      case other => throw new IllegalArgumentException(
+        s"transcode targets mcap | db3 | rosbag, not '$other'")
     }
-    val defsOpt =
-      if (entries.isEmpty) Map.empty[String, String]
-      else {
-        // merge with (never override) a caller-passed inline channel
-        val mine = DefsHarvest.encodeInline(Transcode.inlineDefs(entries.values))
-        val user = options.collectFirst {
-          case (k, v) if k.equalsIgnoreCase("schema_defs_inline") => v
-        }
-        Map("schema_defs_inline" -> user.map(u => u + "\n" + mine).getOrElse(mine))
-      }
-    (Transcode.toCdr(spine, entries, strict = mode == "strict"),
-      defsOpt, failures.isEmpty)
   }
 
   /** Parse `target_file_mb`, naming the option in every failure. */
@@ -314,12 +343,11 @@ object Convert {
         partitionsFor(inputBytes, mb)
       }.getOrElse(0)
     val sized = applyLayout(prepared, format, effParts, layout)
-    // a user-spelled schema_defs_inline was MERGED into transcodeDefs
+    // a user-spelled inline-defs option was MERGED into transcodeDefs
     // — its original key must not survive alongside (case-insensitive
     // last-wins at the sink would let the unmerged value shadow it)
     val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase) ||
-        (transcodeDefs.nonEmpty &&
-          kv._1.equalsIgnoreCase("schema_defs_inline"))) ++
+        transcodeDefs.keys.exists(_.equalsIgnoreCase(kv._1))) ++
       autoDefs(options, format, inPath) ++
       autoProfile(options, format, inPath, ros1Transcoded) ++ transcodeDefs
     sinkOpts.foldLeft(sized.write.format(format).mode(mode)) {
@@ -761,13 +789,17 @@ object Convert {
     val (spine, transcodeDefs, ros1Transcoded) =
       if (mode == "off") (spine0, Map.empty[String, String], false)
       else if (resolvable) applyTranscode(spine0, mode, format, inPath, options)
-      else {
+      else format match {
         // nothing to plan from yet: the per-file fallback inside the
         // transcode UDF harvests definitions as files land
-        require(format == "mcap" || format == "db3",
-          s"transcode re-encodes toward CDR containers (mcap | db3), not '$format'")
-        (Transcode.toCdr(spine0, Map.empty, strict = mode == "strict"),
-          Map.empty[String, String], false)
+        case "mcap" | "db3" =>
+          (Transcode.toCdr(spine0, Map.empty, strict = mode == "strict"),
+            Map.empty[String, String], false)
+        case "rosbag" =>
+          (Transcode.toRos1(spine0, Map.empty, strict = mode == "strict"),
+            Map.empty[String, String], false)
+        case other => throw new IllegalArgumentException(
+          s"transcode targets mcap | db3 | rosbag, not '$other'")
       }
     val prepared = prepare(spine, format,
       allowForeignEncoding = boolOpt(options, "allow_foreign_encoding"))
@@ -781,8 +813,7 @@ object Convert {
       ()
     }
     val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase) ||
-      (transcodeDefs.nonEmpty &&
-        kv._1.equalsIgnoreCase("schema_defs_inline"))) ++ auto
+      transcodeDefs.keys.exists(_.equalsIgnoreCase(kv._1))) ++ auto
     val query = sinkOpts.foldLeft(
       prepared.writeStream.format(format)
         .option("checkpointLocation", checkpoint)

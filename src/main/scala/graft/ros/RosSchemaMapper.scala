@@ -176,8 +176,11 @@ object RosSchemaMapper {
     msg.fields.filterNot(_.isConstant).foreach { f =>
       f.tpe match {
         case RTime | RDuration =>
-          writeLE(bos, 4, it.next().asInstanceOf[Int].toLong)
-          writeLE(bos, 4, it.next().asInstanceOf[Int].toLong)
+          // Number, not Int: values may arrive from the CDR decoder
+          // (builtin_interfaces/Time's uint32 nanosec boxes as Long)
+          // or catalyst-widened Rows — same tolerance as CdrCodec
+          writeLE(bos, 4, it.next().asInstanceOf[Number].longValue)
+          writeLE(bos, 4, it.next().asInstanceOf[Number].longValue)
         case p: RosPrimitive => encodeScalar(p, it.next(), bos)
         case ref: RosMsgRef  => encodeMsg(bundle, bundle.resolve(ref, msg.pkg), it, bos)
         case RosArray(RUInt8 | RByte | RChar | RInt8, fixedLen) =>
@@ -187,7 +190,10 @@ object RosSchemaMapper {
         case RosArray(RTime | RDuration, fixedLen) =>
           val rows = it.next().asInstanceOf[Seq[Row]]
           if (fixedLen.isEmpty) writeLE(bos, 4, rows.length.toLong)
-          rows.foreach { r => writeLE(bos, 4, r.getInt(0).toLong); writeLE(bos, 4, r.getInt(1).toLong) }
+          rows.foreach { r =>
+            writeLE(bos, 4, r.get(0).asInstanceOf[Number].longValue)
+            writeLE(bos, 4, r.get(1).asInstanceOf[Number].longValue)
+          }
         case RosArray(p: RosPrimitive, fixedLen) =>
           val vals = it.next().asInstanceOf[Seq[Any]]
           if (fixedLen.isEmpty) writeLE(bos, 4, vals.length.toLong)
@@ -202,15 +208,19 @@ object RosSchemaMapper {
       }
     }
 
+  // numeric values arrive as whatever box the caller had (the CDR
+  // decoder emits Long for uint32, Int for narrow types; catalyst
+  // Rows can widen) — accept any Number of sufficient range, exactly
+  // as CdrCodec.encScalar does
   private def encodeScalar(p: RosPrimitive, v: Any, bos: java.io.ByteArrayOutputStream): Unit = p match {
     case RBool    => bos.write(if (v.asInstanceOf[Boolean]) 1 else 0)
-    case RInt8 | RByte | RUInt8 | RChar => writeLE(bos, 1, v.asInstanceOf[Int].toLong)
-    case RInt16 | RUInt16 => writeLE(bos, 2, v.asInstanceOf[Int].toLong)
-    case RInt32   => writeLE(bos, 4, v.asInstanceOf[Int].toLong)
-    case RUInt32  => writeLE(bos, 4, v.asInstanceOf[Long])
-    case RInt64 | RUInt64 => writeLE(bos, 8, v.asInstanceOf[Long])
-    case RFloat32 => writeLE(bos, 4, java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong & 0xFFFFFFFFL)
-    case RFloat64 => writeLE(bos, 8, java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+    case RInt8 | RByte | RUInt8 | RChar => writeLE(bos, 1, v.asInstanceOf[Number].longValue)
+    case RInt16 | RUInt16 => writeLE(bos, 2, v.asInstanceOf[Number].longValue)
+    case RInt32   => writeLE(bos, 4, v.asInstanceOf[Number].longValue)
+    case RUInt32  => writeLE(bos, 4, v.asInstanceOf[Number].longValue)
+    case RInt64 | RUInt64 => writeLE(bos, 8, v.asInstanceOf[Number].longValue)
+    case RFloat32 => writeLE(bos, 4, java.lang.Float.floatToIntBits(v.asInstanceOf[Number].floatValue).toLong & 0xFFFFFFFFL)
+    case RFloat64 => writeLE(bos, 8, java.lang.Double.doubleToLongBits(v.asInstanceOf[Number].doubleValue))
     case RString  =>
       val b = v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
       writeLE(bos, 4, b.length.toLong); bos.write(b)

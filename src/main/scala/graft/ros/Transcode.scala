@@ -233,18 +233,45 @@ object Transcode {
     * stat'ing. `None` = the file defines no translatable ros1msg for
     * this type.
     */
-  private final case class CachedEntries(fingerprint: String,
-      lastStatNanos: Long, entries: Map[String, Option[Entry]])
+  /** Per-JVM per-FILE translation cache, shared shape for both
+    * directions. Positives serve from cache (a connection's/schema's
+    * definition is immutable); a cached NEGATIVE re-validates against
+    * the file's (mtime, length) fingerprint at most once per
+    * [[SourceDefs.recheckNanos]] — this sits on the ROW path for
+    * unknown types, and streams tail still-growing files.
+    */
+  private final class FileDefCache[E](load: String => Map[String, Option[E]]) {
+    private final case class Cached(fingerprint: String,
+        lastStatNanos: Long, entries: Map[String, Option[E]])
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Cached]()
 
-  private val fileDefs =
-    new java.util.concurrent.ConcurrentHashMap[String, CachedEntries]()
+    private def fingerprint(f: String): String =
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(bag.RosbagIO.hadoopConf()).getFileStatus(p)
+        s"${st.getModificationTime}:${st.getLen}"
+      } catch { case _: Exception => "unavailable" }
 
-  private def fingerprint(f: String): String =
-    try {
-      val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(bag.RosbagIO.hadoopConf()).getFileStatus(p)
-      s"${st.getModificationTime}:${st.getLen}"
-    } catch { case _: Exception => "unavailable" }
+    def get(filePath: String, tpe: String): Option[E] = {
+      if (filePath == null || filePath.isEmpty) return None
+      val now = System.nanoTime()
+      val cur = cache.get(filePath)
+      if (cur != null) {
+        val hit = cur.entries.get(tpe)
+        if (hit.exists(_.isDefined)) return hit.get
+        if (hit.isDefined && now - cur.lastStatNanos < SourceDefs.recheckNanos)
+          return None
+      }
+      val fp = fingerprint(filePath)
+      val base =
+        if (cur != null && cur.fingerprint == fp) cur.entries
+        else load(filePath)
+      val entry = base.getOrElse(tpe, None)
+      cache.put(filePath, Cached(fp, now, base + (tpe -> entry)))
+      entry
+    }
+  }
 
   private def loadFileDefs(f: String): Map[String, Option[Entry]] = {
     val conns = try {
@@ -265,27 +292,10 @@ object Transcode {
     }
   }
 
-  private def fileFallback(filePath: String, tpe: String): Option[Entry] = {
-    if (filePath == null || filePath.isEmpty) return None
-    val now = System.nanoTime()
-    val cur = fileDefs.get(filePath)
-    if (cur != null) {
-      val hit = cur.entries.get(tpe)
-      // positives serve from cache (a connection's definition is
-      // immutable); a cached NEGATIVE re-validates at most once per
-      // throttle window — this sits on the ROW path for unknown types
-      if (hit.exists(_.isDefined)) return hit.get
-      if (hit.isDefined && now - cur.lastStatNanos < SourceDefs.recheckNanos)
-        return None
-    }
-    val fp = fingerprint(filePath)
-    val base =
-      if (cur != null && cur.fingerprint == fp) cur.entries
-      else loadFileDefs(filePath)
-    val entry = base.getOrElse(tpe, None)
-    fileDefs.put(filePath, CachedEntries(fp, now, base + (tpe -> entry)))
-    entry
-  }
+  private val fileDefs = new FileDefCache[Entry](loadFileDefs)
+
+  private def fileFallback(filePath: String, tpe: String): Option[Entry] =
+    fileDefs.get(filePath, tpe)
 
   /** Rewrite a mixed-spine frame's "ros1" rows to CDR: `data`
     * re-encoded, `type` renamed to the ROS 2 convention, `encoding` →
@@ -317,18 +327,195 @@ object Transcode {
         case None => null
       }
     }.asNondeterministic()
-    val isRos1 = col("encoding") === lit("ros1")
+    rewrite(spine, col("encoding") === lit("ros1"), tcodeUdf, "cdr")
+  }
+
+  /** Shared column-rewrite half of both directions: apply `tcodeUdf`
+    * ((type, data, file_path) → nullable (newType, newData)) to rows
+    * matching `cond`, rewrite type/encoding/size/data where it
+    * returned non-null.
+    */
+  private def rewrite(spine: DataFrame, cond: Column,
+      tcodeUdf: org.apache.spark.sql.expressions.UserDefinedFunction,
+      newEncoding: String): DataFrame = {
     val sizeType = spine.schema("size").dataType
     spine
       .withColumn("__tc",
-        when(isRos1, tcodeUdf(col("type"), col("data"), col("file_path"))))
+        when(cond, tcodeUdf(col("type"), col("data"), col("file_path"))))
       .withColumn("type", coalesce(col("__tc._1"), col("type")))
       .withColumn("encoding",
-        when(col("__tc").isNotNull, lit("cdr")).otherwise(col("encoding")))
+        when(col("__tc").isNotNull, lit(newEncoding)).otherwise(col("encoding")))
       .withColumn("size",
         when(col("__tc").isNotNull, length(col("__tc._2")).cast(sizeType))
           .otherwise(col("size")))
       .withColumn("data", coalesce(col("__tc._2"), col("data")))
       .drop("__tc")
+  }
+
+  // ---- the REVERSE direction: cdr → ros1 (rosbag targets) ----
+
+  /** One translatable ros2-dialect type and its ros1msg rendering.
+    * `md5` is the GENUINE genmsg checksum of the translated definition
+    * ([[RosMd5]]) — rosbag tooling validates it on play.
+    */
+  final case class Ros1Entry(srcName: String, srcEncoding: String,
+      srcDef: String, dstName: String, dstDef: String, md5: String)
+
+  /** `pkg/msg/Type` → `pkg/Type` (the ROS 1 two-segment convention). */
+  def ros1TypeName(ros2Name: String): String = ros2Name.split("/") match {
+    case Array(p, "msg", t) => s"$p/$t"
+    case _ => ros2Name
+  }
+
+  private def ros1TypeText(t: RosType): String = t match {
+    case p: RosPrimitive => p.name
+    case RosMsgRef(Some("builtin_interfaces"), "Time") => "time"
+    case RosMsgRef(Some("builtin_interfaces"), "Duration") => "duration"
+    case r: RosMsgRef => r.fullName
+    case RosArray(elem, Some(n)) => s"${ros1TypeText(elem)}[$n]"
+    case RosArray(elem, None) => s"${ros1TypeText(elem)}[]"
+  }
+
+  /** Render a (normalized ros2) bundle as ros1msg definition text:
+    * root block + `===`-separated dependent blocks, builtin
+    * Time/Duration references lowered to the ros1 primitives (their
+    * blocks omitted). Bounded strings/sequences and inline defaults
+    * were already normalized away when the ros2 text parsed.
+    */
+  private[ros] def renderRos1(bundle: RosMsgBundle): String = {
+    def block(m: RosMsgDef): String = m.fields.map { f =>
+      f.constantValue match {
+        case Some(v) => s"${ros1TypeText(f.tpe)} ${f.name}=$v"
+        case None => s"${ros1TypeText(f.tpe)} ${f.name}"
+      }
+    }.mkString("\n")
+    val deps = bundle.deps.values.toSeq
+      .filterNot(_.fullName.startsWith("builtin_interfaces/"))
+      .sortBy(_.fullName)
+    (block(bundle.root) +: deps.map(d =>
+      ("=" * 80) + "\nMSG: " + d.fullName + "\n" + block(d))).mkString("\n")
+  }
+
+  /** Translate and VALIDATE one ros2msg/ros2idl definition into
+    * ros1msg — same contract as [[translate]], pointed the other way.
+    */
+  def translateToRos1(srcName: String, srcEncoding: String,
+      defText: String): Ros1Entry = {
+    require(DefsHarvest.isRos2(srcEncoding),
+      s"transcode to ros1 consumes ros2msg/ros2idl definitions, " +
+        s"got '$srcEncoding' for $srcName")
+    val src = mcap.McapPayload.bundle(srcEncoding, srcName,
+      defText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val dstName = ros1TypeName(srcName)
+    val dstDef = renderRos1(src)
+    val dst = MsgDefParser.parse(dstName, dstDef)
+    val (s2, s1) = (valueShape(src), valueShape(dst))
+    require(s2 == s1,
+      s"transcode: ros1 rendering of $srcName walks a different value " +
+        s"stream (ros2 $s2 vs ros1 $s1) — refusing to re-encode")
+    Ros1Entry(srcName, srcEncoding, defText, dstName, dstDef,
+      RosMd5.compute(dst))
+  }
+
+  /** Harvest every ros2-dialect definition under `inPath` and
+    * translate to ros1msg. A cdr TOPIC with no harvestable definition
+    * (db3 topics without a message_definitions row, empty mcap
+    * schemas) counts as a failure — its rows cannot re-encode.
+    */
+  def planToRos1(inPath: String)
+      : (Map[String, Ros1Entry], Map[String, String]) = {
+    val ros2 = DefsHarvest.dedupe(
+      DefsHarvest.fromPath(inPath).filter(d => DefsHarvest.isRos2(d.encoding)),
+      preferKnownMd5 = false)
+    val attempts = ros2.map { d =>
+      val text = new String(d.data, java.nio.charset.StandardCharsets.UTF_8)
+      d.name -> (try Right(translateToRos1(d.name, d.encoding, text)) catch {
+        case e: Exception => Left(e.getMessage)
+      })
+    }
+    val entries = attempts.collect { case (n, Right(e)) => n -> e }.toMap
+    val resolved = MixedRead.resolve(inPath)
+    val defless = (
+      resolved.getOrElse("db3", Seq.empty)
+        .flatMap(f => db3.Db3IO.scanMetas(Seq(f)))
+        .flatMap { case (_, m) =>
+          val defined = m.definitions.map(_._1).toSet
+          m.topics.values.collect {
+            case (_, tpe, "cdr") if tpe.nonEmpty && !defined.contains(tpe) => tpe
+          }
+        } ++
+      resolved.getOrElse("mcap", Seq.empty)
+        .flatMap(f => mcap.McapIO.scanIndex(f).schemas.values)
+        .filter(s => DefsHarvest.isRos2(s.encoding) && s.name.nonEmpty &&
+          s.data.isEmpty)
+        .map(_.name)
+    ).distinct.filterNot(entries.contains)
+      .map(_ -> "no/empty message definition in source").toMap
+    (entries,
+      attempts.collect { case (n, Left(m)) => n -> m }.toMap ++ defless)
+  }
+
+  /** The translated definitions as the BAG sink's defs-channel
+    * entries, genuine md5s included.
+    */
+  def inlineRos1Defs(entries: Iterable[Ros1Entry]): Seq[DefsHarvest.TypeDef] =
+    entries.toSeq.sortBy(_.dstName).map(e => DefsHarvest.TypeDef(
+      e.dstName, "ros1msg",
+      e.dstDef.getBytes(java.nio.charset.StandardCharsets.UTF_8), e.md5))
+
+  private val ros1Codecs = new java.util.concurrent.ConcurrentHashMap[
+    Ros1Entry, Array[Byte] => Array[Byte]]()
+
+  private[ros] def codecToRos1(e: Ros1Entry): Array[Byte] => Array[Byte] =
+    ros1Codecs.computeIfAbsent(e, { entry =>
+      val src = mcap.McapPayload.bundle(entry.srcEncoding, entry.srcName,
+        entry.srcDef.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val dst = MsgDefParser.parse(entry.dstName, entry.dstDef)
+      bytes => RosSchemaMapper.encode(dst,
+        graft.ros.mcap.CdrCodec.decode(src, bytes))
+    })
+
+  private def loadFileDefsToRos1(f: String): Map[String, Option[Ros1Entry]] = {
+    val defs: Seq[(String, String, String)] = try {
+      if (f.endsWith(".mcap"))
+        mcap.McapIO.scanIndex(f).schemas.values.toSeq
+          .filter(s => DefsHarvest.isRos2(s.encoding))
+          .map(s => (s.name, s.encoding,
+            new String(s.data, java.nio.charset.StandardCharsets.UTF_8)))
+      else if (f.endsWith(".db3") || f.endsWith(".db3.zstd"))
+        db3.Db3IO.scanMetas(Seq(f)).flatMap(_._2.definitions)
+      else Seq.empty
+    } catch { case _: Exception => Seq.empty }
+    defs.filter(_._3.trim.nonEmpty).groupBy(_._1).map { case (name, ds) =>
+      name -> (try Some(translateToRos1(name, ds.head._2, ds.head._3)) catch {
+        case _: Exception => None
+      })
+    }
+  }
+
+  private val ros1FileDefs = new FileDefCache[Ros1Entry](loadFileDefsToRos1)
+
+  /** Rewrite a mixed-spine frame's "cdr" rows to ros1 serialization:
+    * the reverse of [[toCdr]], for rosbag targets — what turns the
+    * bag sink's foreign-encoding refusal into a fallback. Protobuf
+    * rows are NOT translatable and pass through untouched (the
+    * rosbag prepare guard still fires on them unless the caller opts
+    * into byte-embedding or filters them out).
+    */
+  def toRos1(spine: DataFrame, entries: Map[String, Ros1Entry],
+      strict: Boolean): DataFrame = {
+    val bc = spine.sparkSession.sparkContext.broadcast(entries)
+    val tcodeUdf = udf { (tpe: String, data: Array[Byte], filePath: String) =>
+      ros1FileDefs.get(filePath, tpe).orElse(bc.value.get(tpe)) match {
+        case Some(e) => (e.dstName, codecToRos1(e)(data))
+        case None if strict => throw new IllegalArgumentException(
+          s"transcode: no translatable ros2 definition for type '$tpe' " +
+            s"(file $filePath) — fix the source definition or pass " +
+            "transcode=auto (with allow_foreign_encoding=true) to embed " +
+            "untranslatable rows as foreign bytes")
+        case None => null
+      }
+    }.asNondeterministic()
+    rewrite(spine, col("encoding") === lit("cdr"), tcodeUdf, "ros1")
   }
 }

@@ -259,10 +259,19 @@ class BagWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
     val compression = Option(opts.get("compression")).getOrElse("lz4")
     val chunkBytes = Option(opts.get("chunk_bytes")).map(_.toInt)
       .getOrElse(768 * 1024)
+    // inline entries (graft.ros.Transcode's ros1 renderings, genuine
+    // genmsg md5s included) win over the path harvest: they exist in
+    // no source container
+    val inlineDefs = Option(opts.get("conn_defs_inline")).toSeq
+      .flatMap(graft.ros.DefsHarvest.decodeInline)
+      .filter(_.encoding == "ros1msg")
+      .map(d => d.name -> (d.md5sum,
+        new String(d.data, java.nio.charset.StandardCharsets.UTF_8)))
+      .toMap
     val defs = Option(opts.get("conn_defs_from"))
       .map(BagSinkWrite.harvestConnDefs(_,
         Option(opts.get("foreign_defs")).getOrElse("error")))
-      .getOrElse(Map.empty)
+      .getOrElse(Map.empty) ++ inlineDefs
     new BagWrite(path, ords, compression, chunkBytes, defs, truncateFirst,
       info.queryId())
   }

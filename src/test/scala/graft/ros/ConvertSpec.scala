@@ -840,6 +840,38 @@ class ConvertSpec extends SparkTestBase {
       .count() === 1)
   }
 
+  test("transcode to rosbag: cdr rows re-encode as ros1 with GENUINE md5 connections") {
+    val o = out("tc_bag")
+    // the mixed dir holds ros1 + cdr rows; with transcode the cdr
+    // rows (mcap + db3) re-encode as ros1 serialization — the
+    // foreign-encoding refusal becomes a fallback, no opt-in needed
+    Convert.run(spark, mixedDir, o, "rosbag", partitions = 1,
+      options = Map("transcode" -> "strict"))
+    val back = spark.read.format("rosbag").option("bags", o + "/*.bag").load()
+    assert(back.count() === 12)
+    // one typed read decodes ALL eras: bag rows were std_msgs/String
+    // already, the transcoded rows renamed std_msgs/msg/String ->
+    // std_msgs/String
+    val typed = spark.read.format("rosbag").option("bags", o + "/*.bag")
+      .option("datatype", "std_msgs/String").load()
+    assert(typed.select("data_field").collect().map(_.getString(0)).toSet ===
+      ((0 until 5).map(i => s"b$i") ++ (0 until 4).map(i => s"m$i") ++
+        (0 until 3).map(i => s"d$i")).toSet)
+    // the connection records carry the REAL genmsg checksum — for
+    // "string data" that is std_msgs/String's famous md5, which real
+    // rosbag tooling validates on play
+    val conns = graft.ros.bag.RosbagIO.scanIndexes(
+      new java.io.File(o).listFiles().filter(_.getName.endsWith(".bag"))
+        .map(_.getAbsolutePath).toSeq).flatMap(_._2.connections)
+    assert(conns.nonEmpty)
+    conns.foreach { c =>
+      assert(c.datatype === "std_msgs/String")
+      assert(c.md5sum === "992ce8a1687cec8c8bd883ec73ca41d1",
+        "transcoded connections must carry the genuine genmsg md5")
+      assert(c.msgDef === strDef)
+    }
+  }
+
   test("transcode=strict fails loudly on untranslatable definitions; auto byte-embeds them") {
     import graft.ros.bag.BagFormat
     val dir = java.nio.file.Files.createTempDirectory("graft_tc_bad").toFile

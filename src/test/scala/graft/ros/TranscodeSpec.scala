@@ -194,6 +194,104 @@ class TranscodeSpec extends AnyFunSuite {
         "let autoProfile stamp ros2 on an archive keeping ros1 channels")
   }
 
+  // ---- reverse direction: cdr → ros1 ----
+
+  test("reverse: ros2msg renders valid ros1 text and values survive cdr→ros1") {
+    val ros2Def =
+      """std_msgs/Header header
+        |builtin_interfaces/Time stamp
+        |uint8 b
+        |string<=20 note
+        |float64[<=4] xs
+        |geometry_msgs/Point[2] pts
+        |================================================================================
+        |MSG: std_msgs/msg/Header
+        |uint32 seq
+        |builtin_interfaces/Time stamp
+        |string frame_id
+        |================================================================================
+        |MSG: geometry_msgs/msg/Point
+        |float64 x
+        |float64 y""".stripMargin
+    val e = Transcode.translateToRos1("graft_msgs/msg/RSample", "ros2msg", ros2Def)
+    assert(e.dstName === "graft_msgs/RSample")
+    val lines = e.dstDef.linesIterator.toSeq
+    assert(lines.contains("time stamp"), "builtin Time lowers to the primitive")
+    assert(lines.contains("string note"), "bounded strings unbound")
+    assert(lines.contains("float64[] xs"), "bounded sequences unbound")
+    assert(lines.contains("geometry_msgs/Point[2] pts"))
+    assert(lines.contains("MSG: std_msgs/Header"),
+      "dependent headers take the two-segment ros1 convention")
+    assert(!e.dstDef.contains("builtin_interfaces"),
+      "no builtin blocks in ros1 text")
+    assert(e.md5 === RosMd5.compute(e.dstName, e.dstDef))
+    // value fidelity: encode CDR under the ros2 bundle, transcode,
+    // decode under the rendered ros1 definition
+    val b2 = Ros2Msg.bundle("graft_msgs/msg/RSample", ros2Def)
+    val values = Seq[Any](
+      42L, 9, 10, "frame",       // header: seq(uint32), stamp, frame_id
+      100, 200,                  // stamp
+      250,                       // uint8
+      "note text",
+      Seq[Any](1.5, -2.5),
+      Seq(Row(1.0, 2.0), Row(3.0, 4.0)))
+    val cdr = CdrCodec.encode(b2, values)
+    val ros1 = Transcode.codecToRos1(e)(cdr)
+    val decoded = RosSchemaMapper.decode(
+      MsgDefParser.parse(e.dstName, e.dstDef), ros1)
+    assert(norm(decoded) === norm(values))
+  }
+
+  test("reverse: ros2idl definitions translate too") {
+    val idl =
+      """module graft_msgs { module msg { struct Ev {
+        |  int64 id;
+        |  string tag;
+        |  double v;
+        |}; }; };""".stripMargin
+    val e = Transcode.translateToRos1("graft_msgs/msg/Ev", "ros2idl", idl)
+    assert(e.dstName === "graft_msgs/Ev")
+    val b2 = graft.ros.mcap.Ros2Idl.bundle("graft_msgs/msg/Ev", idl)
+    val cdr = CdrCodec.encode(b2, Seq[Any](7L, "x", 2.5))
+    val decoded = RosSchemaMapper.decode(
+      MsgDefParser.parse(e.dstName, e.dstDef), Transcode.codecToRos1(e)(cdr))
+    assert(norm(decoded) === norm(Seq[Any](7L, "x", 2.5)))
+  }
+
+  test("property: the full circle ros1 → cdr → ros1 is value-identity") {
+    val genCase = for {
+      n <- Gen.choose(1, 6)
+      fields <- Gen.listOfN(n, genFieldLine)
+      values <- Gen.sequence[List[List[Any]], List[Any]](
+        fields.map { case (_, p, arr) => genValuesFor(p, arr) })
+    } yield {
+      val defText = fields.zipWithIndex.map { case ((tn, _, arr), i) =>
+        val suffix = arr match {
+          case None => ""
+          case Some(None) => "[]"
+          case Some(Some(k)) => s"[$k]"
+        }
+        s"$tn$suffix f_$i"
+      }.mkString("\n")
+      (defText, values.flatten)
+    }
+    val prop = Prop.forAll(genCase) { case (defText: String, values: List[Any]) =>
+      val fwd = Transcode.translate("graft_msgs/C", defText)
+      val rev = Transcode.translateToRos1(fwd.dstName, "ros2msg", fwd.dstDef)
+      val b1 = MsgDefParser.parse("graft_msgs/C", defText)
+      val ros1 = RosSchemaMapper.encode(b1, values)
+      val back = Transcode.codecToRos1(rev)(Transcode.codec(fwd)(ros1))
+      val decoded = RosSchemaMapper.decode(
+        MsgDefParser.parse(rev.dstName, rev.dstDef), back)
+      val ok = norm(decoded) == norm(values) && rev.dstName == "graft_msgs/C"
+      if (!ok) println(s"CIRCLE MISMATCH def=\n$defText\n in=${norm(values)}\n out=${norm(decoded)}")
+      ok
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(150), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---- property: random primitive defs round-trip through the codec ----
 
   private val prims: Seq[RosPrimitive] = Seq(
