@@ -59,8 +59,19 @@ object BagSinkWrite {
         ") — a bag connection record carries ros1msg text, and translating " +
         "ros2msg/ros2idl/protobuf definitions is a cross-dialect type " +
         "translation; set foreign_defs=skip to carry the ros1 subset")
-    ok.map(d => d.name -> (d.md5sum,
-      new String(d.data, java.nio.charset.StandardCharsets.UTF_8))).toMap
+    ok.map { d =>
+      val text = new String(d.data, java.nio.charset.StandardCharsets.UTF_8)
+      // a definition harvested from an mcap Schema record carries no
+      // checksum ("*") — COMPUTE the genuine genmsg md5 from the text
+      // so a bag→mcap→bag round trip yields connections real rosbag
+      // tooling validates (an unparseable definition keeps "*": the
+      // bytes still carry, the checksum stays honestly unknown)
+      val md5 =
+        if (d.md5sum != "*") d.md5sum
+        else try graft.ros.RosMd5.compute(d.name, text)
+        catch { case _: Exception => "*" }
+      d.name -> (md5, text)
+    }.toMap
   }
 }
 

@@ -872,6 +872,53 @@ class ConvertSpec extends SparkTestBase {
     }
   }
 
+  test("transcode to db3: a ros1 bag lands as a typed-readable rosbag2 dir") {
+    val o = out("tc_db3")
+    Convert.run(spark, richBagDir, o, "db3", partitions = 1,
+      options = Map("transcode" -> "strict"))
+    val back = spark.read.format("db3").load(o)
+    assert(back.select("serialization_format").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("cdr"))
+    // the translated ros2msg definition landed in message_definitions
+    // via the inline channel — the typed db3 read needs no options
+    val typed = spark.read.format("db3").option("path", o)
+      .option("schema_name", "graft_msgs/msg/Sample").load()
+      .orderBy(col("header_seq"))
+    val rows = typed.select("header_seq", "stamp_sec", "stamp_nanosec",
+      "b", "v", "note").collect()
+    assert(rows.length === 5)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i.toLong)
+      assert(r.getInt(1) === 10 + i && r.getLong(2) === 20L + i)
+      assert(r.getInt(3) === -i && r.getDouble(4) === i * 1.5)
+      assert(r.getString(5) === s"n$i")
+    }
+  }
+
+  test("bag-sink harvests compute genuine md5s for checksum-less ros1 definitions") {
+    // an mcap carrying a ros1msg Schema record (a bag→mcap convert's
+    // output) has no md5 — re-exporting to a bag must COMPUTE it, not
+    // write "*"
+    val dir = java.nio.file.Files.createTempDirectory("graft_md5_rt").toFile
+    val fos = new java.io.FileOutputStream(new java.io.File(dir, "a.mcap"))
+    val w = new McapStreamingWriter(fos, "", 1 << 20,
+      Map("std_msgs/String" -> Seq(("ros1msg", strDef.getBytes("UTF-8")))),
+      profile = "")
+    val r1 = MsgDefParser.parse("std_msgs/String", strDef)
+    w.write("/t", "std_msgs/String", "", "ros1", 0L, 1000L, 1000L,
+      RosSchemaMapper.encode(r1, Seq("hello")))
+    w.finish(); fos.close()
+    val o = out("md5_rt")
+    Convert.run(spark, dir.getAbsolutePath, o, "rosbag", partitions = 1,
+      options = Map("allow_foreign_encoding" -> "true"))
+    val conns = graft.ros.bag.RosbagIO.scanIndexes(
+      new java.io.File(o).listFiles().filter(_.getName.endsWith(".bag"))
+        .map(_.getAbsolutePath).toSeq).flatMap(_._2.connections)
+    assert(conns.map(_.md5sum).distinct.toSeq ===
+      Seq("992ce8a1687cec8c8bd883ec73ca41d1"),
+      "a checksum-less harvested definition must export with the computed md5")
+  }
+
   test("transcode=strict fails loudly on untranslatable definitions; auto byte-embeds them") {
     import graft.ros.bag.BagFormat
     val dir = java.nio.file.Files.createTempDirectory("graft_tc_bad").toFile
