@@ -33,9 +33,13 @@ object ContainerQueries {
   private val RosName = "graft_msgs/msg/Event"
   private val RosDef =
     "int64 event_id\nint64 ts_us\nint64 user_id\nstring event_type\nfloat64 value\nstring props"
-  // ROS 1 twin (two-segment name; same field list — ROS1 msg text)
+  // ROS 1 twin (two-segment name; same field list — ROS1 msg text).
+  // The md5 is the GENUINE genmsg checksum, as real recorders write —
+  // the sinks preserve each file's own (md5, definition) truth per
+  // connection, so a junk fixture md5 would split typed reads into
+  // two variants after a transcode.
   private val Ros1Name = "graft_msgs/Event"
-  private val Ros1Md5 = "d41d8cd98f00b204e9800998ecf8427e" // fixture identity, not validated
+  private lazy val Ros1Md5 = graft.ros.RosMd5.compute(Ros1Name, RosDef)
 
   /** The SAME type as generated OMG IDL — q77's db3 fixture stores
     * THIS form, so the ros2idl parser sits inside the oracle equality
@@ -681,7 +685,7 @@ object ContainerQueries {
   private def bagFixture(s: SparkSession, d: String): String = synchronized {
     import graft.ros.bag.BagFormat
     val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_container_bag_" + cacheKey(d))
+      sys.props("java.io.tmpdir"), "graft_container_bagv2_" + cacheKey(d)) // v2: genuine md5
     dir.mkdirs()
     val f = new java.io.File(dir, "events.bag")
     val done = new java.io.File(dir, "_built")
@@ -927,48 +931,32 @@ object ContainerQueries {
         |UNION ALL SELECT 'rosbag', cnt, min_ts_ns, max_ts_ns FROM g
         |ORDER BY container""".stripMargin,
     // the bag's even/odd rows transcode and DOUBLE the db3-sourced
-    // topics (decimal sums double exactly before the one rounding)
-    "q91_transcode_typed" ->
-      """WITH ev AS (
-        |  SELECT * FROM events ORDER BY event_id LIMIT 1000),
-        |e AS (
-        |  SELECT COUNT(*) AS cnt, MIN(event_id) AS mn, MAX(event_id) AS mx,
-        |         CAST(SUM(user_id) AS BIGINT) AS su,
-        |         SUM(CAST(value AS DECIMAL(28,10))) AS s
-        |  FROM ev WHERE event_id % 2 = 0),
-        |o AS (
-        |  SELECT COUNT(*) AS cnt, MIN(event_id) AS mn, MAX(event_id) AS mx,
-        |         CAST(SUM(user_id) AS BIGINT) AS su,
-        |         SUM(CAST(value AS DECIMAL(28,10))) AS s
-        |  FROM ev WHERE event_id % 2 <> 0)
-        |SELECT '/events_even' AS topic, e.cnt * 2 AS cnt, e.mn AS min_id,
-        |       e.mx AS max_id, e.su * 2 AS sum_uid,
-        |       CAST(ROUND(e.s * 2, 2) AS DOUBLE) AS sum_value FROM e
-        |UNION ALL SELECT '/events_odd', o.cnt * 2, o.mn, o.mx, o.su * 2,
-        |       CAST(ROUND(o.s * 2, 2) AS DOUBLE) FROM o
-        |UNION ALL SELECT '/events_ros', o.cnt, o.mn, o.mx, o.su,
-        |       CAST(ROUND(o.s, 2) AS DOUBLE) FROM o
-        |ORDER BY topic""".stripMargin,
-    // same doubled-topic shape as q91, across the reverse boundary
-    "q92_transcode_rosbag" ->
-      """WITH ev AS (
-        |  SELECT * FROM events ORDER BY event_id LIMIT 1000),
-        |e AS (
-        |  SELECT COUNT(*) AS cnt, MIN(event_id) AS mn, MAX(event_id) AS mx,
-        |         CAST(SUM(user_id) AS BIGINT) AS su,
-        |         SUM(CAST(value AS DECIMAL(28,10))) AS s
-        |  FROM ev WHERE event_id % 2 = 0),
-        |o AS (
-        |  SELECT COUNT(*) AS cnt, MIN(event_id) AS mn, MAX(event_id) AS mx,
-        |         CAST(SUM(user_id) AS BIGINT) AS su,
-        |         SUM(CAST(value AS DECIMAL(28,10))) AS s
-        |  FROM ev WHERE event_id % 2 <> 0)
-        |SELECT '/events_even' AS topic, e.cnt * 2 AS cnt, e.mn AS min_id,
-        |       e.mx AS max_id, e.su * 2 AS sum_uid,
-        |       CAST(ROUND(e.s * 2, 2) AS DOUBLE) AS sum_value FROM e
-        |UNION ALL SELECT '/events_odd', o.cnt * 2, o.mn, o.mx, o.su * 2,
-        |       CAST(ROUND(o.s * 2, 2) AS DOUBLE) FROM o
-        |UNION ALL SELECT '/events_ros', o.cnt, o.mn, o.mx, o.su,
-        |       CAST(ROUND(o.s, 2) AS DOUBLE) FROM o
-        |ORDER BY topic""".stripMargin)
+    // topics (decimal sums double exactly before the one rounding);
+    // q92 is the SAME shape pointed the other way across the dialect
+    // boundary, so both keys share one oracle text
+    "q91_transcode_typed" -> DoubledTopicOracle,
+    "q92_transcode_rosbag" -> DoubledTopicOracle)
+
+  // lazy: referenced from the `oracle` map initializer above
+  private lazy val DoubledTopicOracle =
+    """WITH ev AS (
+      |  SELECT * FROM events ORDER BY event_id LIMIT 1000),
+      |e AS (
+      |  SELECT COUNT(*) AS cnt, MIN(event_id) AS mn, MAX(event_id) AS mx,
+      |         CAST(SUM(user_id) AS BIGINT) AS su,
+      |         SUM(CAST(value AS DECIMAL(28,10))) AS s
+      |  FROM ev WHERE event_id % 2 = 0),
+      |o AS (
+      |  SELECT COUNT(*) AS cnt, MIN(event_id) AS mn, MAX(event_id) AS mx,
+      |         CAST(SUM(user_id) AS BIGINT) AS su,
+      |         SUM(CAST(value AS DECIMAL(28,10))) AS s
+      |  FROM ev WHERE event_id % 2 <> 0)
+      |SELECT '/events_even' AS topic, e.cnt * 2 AS cnt, e.mn AS min_id,
+      |       e.mx AS max_id, e.su * 2 AS sum_uid,
+      |       CAST(ROUND(e.s * 2, 2) AS DOUBLE) AS sum_value FROM e
+      |UNION ALL SELECT '/events_odd', o.cnt * 2, o.mn, o.mx, o.su * 2,
+      |       CAST(ROUND(o.s * 2, 2) AS DOUBLE) FROM o
+      |UNION ALL SELECT '/events_ros', o.cnt, o.mn, o.mx, o.su,
+      |       CAST(ROUND(o.s, 2) AS DOUBLE) FROM o
+      |ORDER BY topic""".stripMargin
 }

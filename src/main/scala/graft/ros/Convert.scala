@@ -91,7 +91,12 @@ object Convert {
                 "(spine-level reads only)"))))
         bag.BagExport.prepare(df,
           topic = c("topic"), timeNs = c("timestamp"), data = payload,
-          datatype = c("type"))
+          datatype = c("type"),
+          // the row's source file feeds the sink's late-binding conn
+          // defs (SourceDefs.ros1ConnFor): types first landing
+          // MID-STREAM export with a real definition + genuine md5
+          sourcePath =
+            if (df.columns.contains("file_path")) c("file_path") else null)
       case "db3" => db3.Db3Export.prepare(df,
         topic = c("topic"), timestampNs = c("timestamp"), data = c("data"),
         tpe = c("type"), serializationFormat = enc)

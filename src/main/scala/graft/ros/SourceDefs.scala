@@ -20,12 +20,6 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object SourceDefs {
 
-  private final case class CachedDefs(fingerprint: String,
-      lastStatNanos: Long, defs: Map[String, Seq[(String, Array[Byte])]])
-
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, CachedDefs]()
-
   /** Re-validate a NEGATIVE answer against the filesystem at most this
     * often per file — a per-lookup stat would put a remote-FS call on
     * the row path for absent types, while never re-checking would miss
@@ -36,41 +30,108 @@ object SourceDefs {
     sys.props.get("graft.sourcedefs.recheck.nanos").map(_.toLong)
       .getOrElse(10L * 1000 * 1000 * 1000)
 
-  private def fingerprint(f: String): String =
-    try {
-      val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(bag.RosbagIO.hadoopConf()).getFileStatus(p)
-      s"${st.getModificationTime}:${st.getLen}"
-    } catch { case _: Exception => "unavailable" }
+  /** Per-JVM per-FILE lookup cache, THE freshness contract for every
+    * late-binding definition consumer (this object and both
+    * [[Transcode]] directions): positives serve from cache (a
+    * schema's/connection's definition is immutable once written); a
+    * MISS re-stats the file — throttled to [[recheckNanos]], it sits
+    * on the row path — and reloads only when the (mtime, length)
+    * fingerprint changed (streams tail still-growing files), caching
+    * the negative otherwise.
+    */
+  private[ros] final class FileDefCache[E](
+      load: String => Map[String, Option[E]]) {
+    private final case class Cached(fingerprint: String,
+        lastStatNanos: Long, entries: Map[String, Option[E]])
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Cached]()
+
+    private def fingerprint(f: String): String =
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(bag.RosbagIO.hadoopConf()).getFileStatus(p)
+        s"${st.getModificationTime}:${st.getLen}"
+      } catch { case _: Exception => "unavailable" }
+
+    def get(filePath: String, tpe: String): Option[E] = {
+      if (filePath == null || filePath.isEmpty) return None
+      val now = System.nanoTime()
+      val cur = cache.get(filePath)
+      if (cur != null) {
+        val hit = cur.entries.get(tpe)
+        if (hit.exists(_.isDefined)) return hit.get
+        if (hit.isDefined && now - cur.lastStatNanos < recheckNanos)
+          return None
+      }
+      val fp = fingerprint(filePath)
+      val base =
+        if (cur != null && cur.fingerprint == fp) cur.entries
+        else load(filePath)
+      val entry = base.getOrElse(tpe, None)
+      cache.put(filePath, Cached(fp, now, base + (tpe -> entry)))
+      entry
+    }
+  }
+
+  private val cache = new FileDefCache[Seq[(String, Array[Byte])]](
+    p => load(p).view.mapValues(Option(_)).toMap)
 
   /** The (schema encoding, definition bytes) variants file `path`
     * defines for type `name`; empty when the file defines none (or the
     * path is empty / unreadable — the writer then falls back to an
     * empty-definition Schema record, the pre-existing behavior).
-    *
-    * Freshness: streams TAIL still-growing containers, so a cached
-    * scan can predate the Schema record a later chunk introduced.
-    * Positive answers serve from cache (definitions are immutable per
-    * schema record); a MISS re-stats the file — throttled to once per
-    * [[RecheckNanos]] — and reloads only when its (mtime, length)
-    * changed.
     */
-  def variantsFor(path: String, name: String): Seq[(String, Array[Byte])] = {
-    if (path == null || path.isEmpty) return Seq.empty
-    val now = System.nanoTime()
-    val cur = cache.get(path)
-    if (cur != null) {
-      val hit = cur.defs.get(name)
-      if (hit.exists(_.nonEmpty)) return hit.get
-      if (hit.isDefined && now - cur.lastStatNanos < recheckNanos)
-        return Seq.empty
+  def variantsFor(path: String, name: String): Seq[(String, Array[Byte])] =
+    cache.get(path, name).getOrElse(Seq.empty)
+
+  private val ros1Conns = new FileDefCache[(String, String)](loadRos1Conns(_))
+
+  /** The bag-connection (md5sum, definition text) file `path` provides
+    * for `datatype` — its own ros1msg definition directly (md5
+    * computed per [[RosMd5]] when the source stored none), or the ros1
+    * RENDERING of the file's ros2 schema whose translated name matches
+    * (the reverse-transcode case) with the rendering's genuine md5.
+    */
+  def ros1ConnFor(path: String, datatype: String): Option[(String, String)] =
+    ros1Conns.get(path, datatype)
+
+  private def loadRos1Conns(f: String)
+      : Map[String, Option[(String, String)]] = {
+    val defs: Seq[DefsHarvest.TypeDef] = try {
+      if (f.endsWith(".bag"))
+        bag.RosbagIO.scanIndexes(Seq(f)).flatMap(_._2.connections)
+          .filter(_.msgDef.trim.nonEmpty)
+          .map(c => DefsHarvest.TypeDef(c.datatype, "ros1msg",
+            c.msgDef.getBytes(UTF_8), c.md5sum))
+      else if (f.endsWith(".mcap"))
+        mcap.McapIO.scanIndex(f).schemas.values.toSeq.filter(_.data.nonEmpty)
+          .map(s => DefsHarvest.TypeDef(s.name, s.encoding, s.data, "*"))
+      else if (f.endsWith(".db3") || f.endsWith(".db3.zstd"))
+        db3.Db3IO.scanMetas(Seq(f)).flatMap(_._2.definitions)
+          .filter(_._3.trim.nonEmpty)
+          .map { case (tp, enc, text) =>
+            DefsHarvest.TypeDef(tp, enc, text.getBytes(UTF_8), "*")
+          }
+      else Seq.empty
+    } catch { case _: Exception => Seq.empty }
+    val direct = defs.filter(_.encoding == "ros1msg").map { d =>
+      val text = new String(d.data, UTF_8)
+      val md5 =
+        if (d.md5sum != "*") d.md5sum
+        else try RosMd5.compute(d.name, text) catch { case _: Exception => "*" }
+      d.name -> (md5, text)
     }
-    val fp = fingerprint(path)
-    val base =
-      if (cur != null && cur.fingerprint == fp) cur.defs else load(path)
-    val vs = base.getOrElse(name, Seq.empty)
-    cache.put(path, CachedDefs(fp, now, base + (name -> vs)))
-    vs
+    val translated = defs
+      .filter(d => DefsHarvest.isRos2(d.encoding)).flatMap { d =>
+        try {
+          val e = Transcode.translateToRos1(d.name, d.encoding,
+            new String(d.data, UTF_8))
+          Seq(e.dstName -> (e.md5, e.dstDef))
+        } catch { case _: Exception => Seq.empty }
+      }
+    // the file's own ros1 text wins over a translated rendering
+    (translated ++ direct).groupBy(_._1).view
+      .mapValues(vs => Option(vs.last._2)).toMap
   }
 
   private def load(path: String): Map[String, Seq[(String, Array[Byte])]] = {

@@ -233,46 +233,6 @@ object Transcode {
     * stat'ing. `None` = the file defines no translatable ros1msg for
     * this type.
     */
-  /** Per-JVM per-FILE translation cache, shared shape for both
-    * directions. Positives serve from cache (a connection's/schema's
-    * definition is immutable); a cached NEGATIVE re-validates against
-    * the file's (mtime, length) fingerprint at most once per
-    * [[SourceDefs.recheckNanos]] — this sits on the ROW path for
-    * unknown types, and streams tail still-growing files.
-    */
-  private final class FileDefCache[E](load: String => Map[String, Option[E]]) {
-    private final case class Cached(fingerprint: String,
-        lastStatNanos: Long, entries: Map[String, Option[E]])
-    private val cache =
-      new java.util.concurrent.ConcurrentHashMap[String, Cached]()
-
-    private def fingerprint(f: String): String =
-      try {
-        val p = new org.apache.hadoop.fs.Path(f)
-        val st = p.getFileSystem(bag.RosbagIO.hadoopConf()).getFileStatus(p)
-        s"${st.getModificationTime}:${st.getLen}"
-      } catch { case _: Exception => "unavailable" }
-
-    def get(filePath: String, tpe: String): Option[E] = {
-      if (filePath == null || filePath.isEmpty) return None
-      val now = System.nanoTime()
-      val cur = cache.get(filePath)
-      if (cur != null) {
-        val hit = cur.entries.get(tpe)
-        if (hit.exists(_.isDefined)) return hit.get
-        if (hit.isDefined && now - cur.lastStatNanos < SourceDefs.recheckNanos)
-          return None
-      }
-      val fp = fingerprint(filePath)
-      val base =
-        if (cur != null && cur.fingerprint == fp) cur.entries
-        else load(filePath)
-      val entry = base.getOrElse(tpe, None)
-      cache.put(filePath, Cached(fp, now, base + (tpe -> entry)))
-      entry
-    }
-  }
-
   private def loadFileDefs(f: String): Map[String, Option[Entry]] = {
     val conns = try {
       if (f.endsWith(".bag"))
@@ -292,7 +252,7 @@ object Transcode {
     }
   }
 
-  private val fileDefs = new FileDefCache[Entry](loadFileDefs)
+  private val fileDefs = new SourceDefs.FileDefCache[Entry](loadFileDefs)
 
   private def fileFallback(filePath: String, tpe: String): Option[Entry] =
     fileDefs.get(filePath, tpe)
@@ -439,7 +399,10 @@ object Transcode {
       resolved.getOrElse("db3", Seq.empty)
         .flatMap(f => db3.Db3IO.scanMetas(Seq(f)))
         .flatMap { case (_, m) =>
-          val defined = m.definitions.map(_._1).toSet
+          // an EMPTY definition text counts as undefined, like the
+          // mcap branch's s.data.isEmpty
+          val defined = m.definitions
+            .filter(_._3.trim.nonEmpty).map(_._1).toSet
           m.topics.values.collect {
             case (_, tpe, "cdr") if tpe.nonEmpty && !defined.contains(tpe) => tpe
           }
@@ -493,7 +456,7 @@ object Transcode {
     }
   }
 
-  private val ros1FileDefs = new FileDefCache[Ros1Entry](loadFileDefsToRos1)
+  private val ros1FileDefs = new SourceDefs.FileDefCache[Ros1Entry](loadFileDefsToRos1)
 
   /** Rewrite a mixed-spine frame's "cdr" rows to ros1 serialization:
     * the reverse of [[toCdr]], for rosbag targets — what turns the

@@ -107,9 +107,17 @@ final class BagStreamingWriter(local: java.io.File, compression: String,
     h.length
   }
 
-  // (topic, datatype) -> connection; record bytes emitted on discovery
-  private val conns =
-    scala.collection.mutable.LinkedHashMap[(String, String), BagConnection]()
+  // (topic, datatype, md5, definition) -> connection; record bytes
+  // emitted on discovery. The key carries the DEFINITION so two source
+  // files with divergent (schema-evolved) same-named definitions keep
+  // separate connections, each advertising the checksum its payloads
+  // were written with — identical definitions share one connection.
+  private val conns = scala.collection.mutable.LinkedHashMap[
+    (String, String, String, String), BagConnection]()
+  // (topic, datatype, source file) -> resolved connection; the
+  // per-row fast path (one hash probe) in front of the defs lookup
+  private val connBySource = scala.collection.mutable.HashMap[
+    (String, String, String), BagConnection]()
   // (chunkPos, start (s,ns), end (s,ns), per-conn counts)
   private val chunkInfos = scala.collection.mutable.ArrayBuffer[
     (Long, (Int, Int), (Int, Int), Seq[(Int, Int)])]()
@@ -142,16 +150,25 @@ final class BagStreamingWriter(local: java.io.File, compression: String,
   }
 
   def write(topic: String, datatype: String, timeSec: Int, timeNsec: Int,
-      data: Array[Byte]): Unit = {
+      data: Array[Byte], sourcePath: String = ""): Unit = {
     require(timeSec >= 0 && timeNsec >= 0,
       s"bag receipt time is unsigned (got sec=$timeSec nsec=$timeNsec); " +
         "pre-1970 / negative times cannot be represented in a rosbag")
-    val c = conns.getOrElseUpdate((topic, datatype), {
-      val (md5, mdef) = connDefs.getOrElse(datatype, ("*", ""))
-      val nc = BagConnection(conns.size, topic, datatype, md5, mdef, "")
-      val (h, d) = connRecord(nc)
-      chunkRecord(h, d)
-      nc
+    val c = connBySource.getOrElseUpdate((topic, datatype, sourcePath), {
+      // the row's OWN source file resolves first — its definition
+      // (ros1msg directly, or the ros1 rendering of its ros2 schema
+      // under transcode) is what these payloads carry, so a type
+      // first landing MID-STREAM exports with a real definition and
+      // genuine md5 instead of ("*", ""); the plan-time defs channel
+      // covers prepared frames without a file
+      val (md5, mdef) = graft.ros.SourceDefs.ros1ConnFor(sourcePath, datatype)
+        .orElse(connDefs.get(datatype)).getOrElse(("*", ""))
+      conns.getOrElseUpdate((topic, datatype, md5, mdef), {
+        val nc = BagConnection(conns.size, topic, datatype, md5, mdef, "")
+        val (h, d) = connRecord(nc)
+        chunkRecord(h, d)
+        nc
+      })
     })
     val h = fields("op" -> Array(OpMessageData), "conn" -> le32(c.connId),
       "time" -> time(timeSec, timeNsec))
@@ -260,12 +277,20 @@ class BagWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
         s"rosbag write column '$name' must be $dt, got ${schema.fields(i).dataType}")
       i
     }
+    // OPTIONAL source-file column: feeds the writer's late-binding
+    // defs resolution (SourceDefs.ros1ConnFor) — absent or empty is
+    // fine
+    def opt(name: String, dt: org.apache.spark.sql.types.DataType): Int = {
+      val i = schema.fieldNames.indexOf(name)
+      if (i >= 0 && schema.fields(i).dataType == dt) i else -1
+    }
     val ords = BagWriteOrdinals(
       topic = need("topic", StringType),
       datatype = need("datatype", StringType),
       timeSec = need("time_sec", IntegerType),
       timeNsec = need("time_nsec", IntegerType),
-      data = need("data", BinaryType))
+      data = need("data", BinaryType),
+      filePath = opt("bag_path", StringType))
     val opts = info.options()
     val compression = Option(opts.get("compression")).getOrElse("lz4")
     val chunkBytes = Option(opts.get("chunk_bytes")).map(_.toInt)
@@ -289,7 +314,7 @@ class BagWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
 }
 
 private[bag] final case class BagWriteOrdinals(topic: Int, datatype: Int,
-    timeSec: Int, timeNsec: Int, data: Int)
+    timeSec: Int, timeNsec: Int, data: Int, filePath: Int = -1)
 
 class BagWrite(path: String, ords: BagWriteOrdinals, compression: String,
     chunkBytes: Int, defs: Map[String, (String, String)],
@@ -451,6 +476,8 @@ class BagDataWriter(dir: String, stem: String,
       datatype = row.getUTF8String(ords.datatype).toString,
       timeSec = row.getInt(ords.timeSec),
       timeNsec = row.getInt(ords.timeNsec),
+      sourcePath = if (ords.filePath < 0 || row.isNullAt(ords.filePath)) ""
+        else row.getUTF8String(ords.filePath).toString,
       data = row.getBinary(ords.data))
   }
 
@@ -500,7 +527,8 @@ object BagExport {
   import org.apache.spark.sql.functions._
 
   def prepare(df: DataFrame, topic: Column, timeNs: Column, data: Column,
-      datatype: Column = lit("graft/Blob")): DataFrame = {
+      datatype: Column = lit("graft/Blob"),
+      sourcePath: Column = null): DataFrame = {
     val ns = coalesce(timeNs.cast("long"), lit(0L))
     // the (sec, nsec) split must be EXACT long arithmetic: Spark's `/`
     // on longs is double division, which rounds ns > 2^53 (every
@@ -510,7 +538,8 @@ object BagExport {
     // the integral `div` is exact (and floor-consistent for any sign).
     val nsec = pmod(ns, lit(1000000000L))
     df.select(
-      lit("").as("bag_path"),
+      coalesce(Option(sourcePath).map(_.cast("string")).getOrElse(lit("")),
+        lit("")).as("bag_path"),
       lit(-1).as("chunk_idx"),
       lit(-1).as("offset"),
       call_function("div", ns - nsec, lit(1000000000L)).cast("int").as("time_sec"),

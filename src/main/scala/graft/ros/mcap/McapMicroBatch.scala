@@ -128,7 +128,7 @@ class McapMicroBatchStream(path: String, required: StructType,
             // variant (offsets still advance over them — committed as
             // read, like filter-pruned chunks)
             val carries = typed.forall(t => schemaInfo.values.exists(sc =>
-              sc._1 == t.schemaName && sc._3 == t.md5))
+              sc._1 == t.schemaName && t.md5s(sc._3)))
             if (!carries) Nil
             else {
               val chunkParts = idx.chunks.zipWithIndex
@@ -154,7 +154,7 @@ class McapMicroBatchStream(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = typed match {
     case Some(t) => new McapTypedReaderFactory(t.schemaName, t.encoding,
-      t.schemaData, t.md5, required, includeRaw, filters)
+      t.schemaData, t.md5s, required, includeRaw, filters)
     case None => new McapReaderFactory(required, filters, limit = -1)
   }
 

@@ -58,6 +58,43 @@ object McapPayload {
         s"no typed decode for schema encoding '$other'")
     }
 
+  /** The exact WIRE layout of a bundle's walk — primitive widths,
+    * array bounds, nesting — with the ros1 aliases normalized
+    * (byte≡int8, char≡uint8 on the wire). Two bundles with equal
+    * signatures (and the same decoder family) decode each other's
+    * payloads byte-for-byte: what lets a typed read auto-merge
+    * semantically equivalent definition VARIANTS (the same type
+    * carried as ros2msg text in one file and generated IDL in
+    * another). NOT sufficient for protobuf (field numbers live in the
+    * descriptor, not the walk).
+    */
+  def wireSignature(bundle: RosMsgBundle): String = {
+    import graft.ros._
+    import graft.ros.RosPrimitive._
+    val sb = new StringBuilder
+    def prim(p: RosPrimitive): String = p match {
+      case RByte => "int8"
+      case RChar => "uint8"
+      case other => other.name
+    }
+    def walk(msg: RosMsgDef, depth: Int): Unit = {
+      require(depth < 64, s"message nesting too deep in ${msg.fullName}")
+      msg.fields.filterNot(_.isConstant).foreach { f =>
+        def one(t: RosType): Unit = t match {
+          case p: RosPrimitive => sb.append(prim(p)).append(';')
+          case ref: RosMsgRef =>
+            sb.append('{'); walk(bundle.resolve(ref, msg.pkg), depth + 1)
+            sb.append('}')
+          case RosArray(elem, fl) =>
+            sb.append('[').append(fl.getOrElse(-1)); one(elem); sb.append(']')
+        }
+        one(f.tpe)
+      }
+    }
+    walk(bundle.root, 0)
+    sb.toString
+  }
+
   /** Per-message decoder aligned with `flatSchema(bundle(...))`. Built
     * once per (schema, partition) — the parse cost is per-task, the
     * per-message cost is the walk alone.

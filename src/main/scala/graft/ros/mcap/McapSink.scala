@@ -123,12 +123,17 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
   }
 
   // registries: discovered in row order, ids assigned 1..n; the
-  // schemaIdCache memoizes the per-(row-shape) variant resolution so
-  // the hot path stays one hash probe per message
+  // schemaIdCache memoizes the per-(row-shape, source-file) variant
+  // resolution so the hot path stays one hash probe per message. The
+  // schemas registry keys a DEFINITION digest: two files defining the
+  // same name with divergent (schema-evolved) definitions keep BOTH
+  // Schema records (mcap allows same-name schemas under distinct ids),
+  // each channel pointing at the definition its payloads were written
+  // with — identical definitions still share one record
   private val schemaIdCache =
-    scala.collection.mutable.HashMap[(String, String, String), Int]()
+    scala.collection.mutable.HashMap[(String, String, String, String), Int]()
   private val schemas =
-    scala.collection.mutable.LinkedHashMap[(String, String), McapSchema]()
+    scala.collection.mutable.LinkedHashMap[(String, String, String), McapSchema]()
   private val channels =
     scala.collection.mutable.LinkedHashMap[(String, Int, String), McapChannel]()
   // (ref, full record length, compressed payload length,
@@ -167,32 +172,37 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
     val schemaId: Int =
       if (schemaName.isEmpty) 0
       else schemaIdCache.getOrElseUpdate(
-        (schemaName, schemaEncoding, messageEncoding), {
-        // defs VARIANT for this channel: the row's explicit schema
-        // encoding first, else the variant whose dialect decodes this
-        // message encoding (ros1 → ros1msg, cdr → ros2msg/ros2idl,
-        // protobuf → protobuf — a type name defined in two dialects
-        // must not attach one dialect's definition to the other's
-        // channels), else the first harvested. A type OUTSIDE the
-        // harvest (first landed mid-stream) late-binds from the row's
-        // own source file — one cached scan per (executor, file)
-        val harvested = schemaDefs.getOrElse(schemaName, Seq.empty)
+        (schemaName, schemaEncoding, messageEncoding, sourcePath), {
+        // defs VARIANT for this channel: the row's OWN source file
+        // first — its definition is the one these payloads were
+        // written (or transcoded) with, so divergent same-named
+        // definitions across a fleet's files each keep their truth —
+        // then the defs side-channel (harvest/inline), which also
+        // covers prepared frames without a file. Within the variants:
+        // the row's explicit schema encoding first, else the variant
+        // whose dialect decodes this message encoding (ros1 → ros1msg,
+        // cdr → ros2msg/ros2idl, protobuf → protobuf — a type name
+        // defined in two dialects must not attach one dialect's
+        // definition to the other's channels), else the first.
+        val fromFile = graft.ros.SourceDefs.variantsFor(sourcePath, schemaName)
         val variants =
-          if (harvested.nonEmpty) harvested
-          else graft.ros.SourceDefs.variantsFor(sourcePath, schemaName)
+          if (fromFile.nonEmpty) fromFile
+          else schemaDefs.getOrElse(schemaName, Seq.empty)
         val chosen = variants
           .find(v => schemaEncoding.nonEmpty && v._1 == schemaEncoding)
           .orElse(variants.find(v =>
             McapPayload.messageEncodingOpt(v._1).contains(messageEncoding)))
           .orElse(variants.headOption)
-        // the defs side-channel wins on definition bytes; its encoding
+        // the resolved variant wins on definition bytes; its encoding
         // too when the row left schema_encoding empty (prepared frames)
         val (enc, defBytes) = chosen match {
           case Some((e, b)) =>
             (if (schemaEncoding.nonEmpty) schemaEncoding else e, b)
           case None => (schemaEncoding, Array.emptyByteArray)
         }
-        schemas.getOrElseUpdate((schemaName, enc), {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(defBytes).map("%02x".format(_)).mkString
+        schemas.getOrElseUpdate((schemaName, enc, digest), {
           require(schemas.size < 0xFFFF,
             s"mcap schema ids are uint16: partition exceeds 65534 distinct schemas")
           val s = McapSchema(schemas.size + 1, schemaName, enc, defBytes)

@@ -426,7 +426,7 @@ class McapScan(path: String, required: StructType, pushed: Array[Filter], limit:
 
   override def createReaderFactory(): PartitionReaderFactory = typed match {
     case Some(t) => new McapTypedReaderFactory(t.schemaName, t.encoding,
-      t.schemaData, t.md5, required, includeRaw, filters)
+      t.schemaData, t.md5s, required, includeRaw, filters)
     case None => new McapReaderFactory(required, filters, limit)
   }
 
@@ -657,7 +657,7 @@ object McapTypedRead {
     */
   final case class TypedTarget(schemaName: String, encoding: String,
                                schemaData: Array[Byte], files: Seq[String],
-                               md5: String)
+                               md5: String, md5s: Set[String])
 
   def md5hex(data: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(data)
@@ -685,13 +685,35 @@ object McapTypedRead {
       case Some(m) => byMd5.filter { case (k, _) => k.startsWith(m) }
       case None => byMd5
     }
-    require(chosen.size == 1,
+    if (chosen.size == 1) {
+      val (m, vs) = chosen.head
+      return TypedTarget(schemaName, vs.head._2, vs.head._3,
+        vs.map(_._4).distinct, m, Set(m))
+    }
+    // multiple byte-distinct variants: auto-MERGE when they are
+    // semantically equivalent — identical flattened schema, identical
+    // wire walk, one cdr/ros1 decoder family (never protobuf: field
+    // numbers live in the descriptor, not the walk) — the shape a
+    // faithful convert produces when one type arrives as ros2msg text
+    // from one source and generated IDL from another. Genuinely
+    // DIVERGENT definitions still refuse and take the md5 contract.
+    val parsed = chosen.toSeq.sortBy(_._1).map { case (k, vs) =>
+      val b = McapPayload.bundle(vs.head._2, schemaName, vs.head._3)
+      (k, vs, b, McapPayload.messageEncodingFor(vs.head._2))
+    }
+    val equivalent = chosen.nonEmpty && parsed.map { case (_, _, b, fam) =>
+      (graft.ros.RosSchemaMapper.flatSchema(b),
+        McapPayload.wireSignature(b), fam)
+    }.distinct.size == 1 && parsed.head._4 != "protobuf"
+    require(equivalent,
       s"schema $schemaName has ${byMd5.size} definition variants across $path " +
         s"(md5s: ${byMd5.keys.toSeq.sorted.mkString(", ")})" +
         (if (md5.isDefined) s"; md5 prefix '${md5.get}' matches ${chosen.size}"
          else "; pass option(\"schema_md5\", <prefix>) to select one"))
-    val (m, vs) = chosen.head
-    TypedTarget(schemaName, vs.head._2, vs.head._3, vs.map(_._4).distinct, m)
+    val first = parsed.head
+    TypedTarget(schemaName, first._2.head._2, first._2.head._3,
+      parsed.flatMap(_._2.map(_._4)).distinct, first._1,
+      parsed.map(_._1).toSet)
   }
 
   def typedSchema(bundle: graft.ros.RosMsgBundle, includeRaw: Boolean): StructType = {
@@ -703,16 +725,16 @@ object McapTypedRead {
 }
 
 class McapTypedReaderFactory(schemaName: String, encoding: String,
-    schemaData: Array[Byte], md5: String,
+    schemaData: Array[Byte], md5s: Set[String],
     required: StructType, includeRaw: Boolean, filters: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new McapTypedPartitionReader(partition.asInstanceOf[McapInputPartition],
-      schemaName, encoding, schemaData, md5, required, includeRaw, filters)
+      schemaName, encoding, schemaData, md5s, required, includeRaw, filters)
 }
 
 class McapTypedPartitionReader(p: McapInputPartition, schemaName: String,
-    encoding: String, schemaData: Array[Byte], md5: String,
+    encoding: String, schemaData: Array[Byte], md5s: Set[String],
     required: StructType, includeRaw: Boolean,
     filters: Array[Filter]) extends PartitionReader[InternalRow] {
   import McapTypedRead._
@@ -722,13 +744,15 @@ class McapTypedPartitionReader(p: McapInputPartition, schemaName: String,
   private lazy val fullSchema = typedSchema(bundle, includeRaw)
   private lazy val projection: Array[Int] =
     required.fields.map(f => fullSchema.fieldIndex(f.name))
-  // channels of THIS schema VARIANT — matched on (name, md5), not name
-  // alone: one file can legally register two same-name schemas with
-  // different definitions (two schema ids), and decoding the other
-  // variant's channels with this bundle would mis-read them silently.
+  // channels of THIS schema VARIANT set — matched on (name, md5), not
+  // name alone: one file can legally register two same-name schemas
+  // with different definitions (two schema ids), and decoding a
+  // non-equivalent variant's channels with this bundle would mis-read
+  // them silently. md5s holds several variants only when resolveTarget
+  // proved them wire-equivalent (or the caller's prefix matched one).
   private lazy val typeChannels: Map[Int, McapFormat.McapChannel] =
     p.channels.filter { case (_, c) =>
-      p.schemas.get(c.schemaId).exists(s => s._1 == schemaName && s._3 == md5) }
+      p.schemas.get(c.schemaId).exists(s => s._1 == schemaName && md5s(s._3)) }
   private lazy val messages: Iterator[(McapFormat.McapMessage, Int)] = {
     val raw = p.chunk match {
       case Some(ref) => McapFormat.chunkMessages(McapIO.readChunk(p.path, ref)).iterator

@@ -19,7 +19,10 @@ class ConvertSpec extends SparkTestBase {
     val r1 = MsgDefParser.parse("std_msgs/String", strDef)
     java.nio.file.Files.write(new java.io.File(dir, "a.bag").toPath,
       BagFormat.writeBag(
-        Seq(BagFormat.BagConnection(0, "/bag_topic", "std_msgs/String", "m", strDef, "c")),
+        // genuine md5, as real recorders write: the sinks now preserve
+        // each file's own (md5, definition) truth per connection
+        Seq(BagFormat.BagConnection(0, "/bag_topic", "std_msgs/String",
+          RosMd5.compute("std_msgs/String", strDef), strDef, "c")),
         (0 until 5).map(i => BagFormat.WriteMessage(0, 100 + i, 500,
           RosSchemaMapper.encode(r1, Seq(s"b$i"))))))
     val r2 = Ros2Msg.bundle("std_msgs/msg/String", strDef)
@@ -818,6 +821,65 @@ class ConvertSpec extends SparkTestBase {
       rows(0).getAs[Array[Byte]](1)) === Seq(1L))
     assert(CdrCodec.decode(Ros2Msg.bundle(e2.dstName, e2.dstDef),
       rows(1).getAs[Array[Byte]](1)) === Seq(2L, "evolved"))
+    // the archive's OWN Schema records carry both variants (same
+    // name, distinct ids), each channel pointing at the definition
+    // its payloads were transcoded with — typed reads disambiguate
+    // via the existing schema_md5 contract
+    val schemaDefs = new java.io.File(o).listFiles()
+      .filter(f => f.getName.endsWith(".mcap") && !f.getName.startsWith("."))
+      .flatMap(f => graft.ros.mcap.McapIO.scanIndex(f.getPath).schemas.values)
+      .filter(_.name == "graft_msgs/msg/Evo")
+      .map(s => new String(s.data, "UTF-8")).toSet
+    assert(schemaDefs === Set(e1.dstDef, e2.dstDef),
+      "divergent definitions must BOTH land as Schema records")
+    def typed(defText: String) = spark.read.format("mcap")
+      .option("path", o).option("schema_name", "graft_msgs/msg/Evo")
+      .option("schema_md5",
+        graft.ros.mcap.McapTypedRead.md5hex(defText.getBytes("UTF-8")).take(8))
+      .load()
+    assert(typed(e1.dstDef).select("a").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    assert(typed(e2.dstDef).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "evolved")))
+  }
+
+  test("transcode to rosbag keeps divergent same-named definitions as separate connections") {
+    import graft.ros.bag.BagFormat
+    val in = java.nio.file.Files.createTempDirectory("graft_tc_evobag").toFile
+    val defV1 = "int64 a"
+    val defV2 = "int64 a\nstring b"
+    def mcapOf(name: String, defText: String, v: Seq[Any], t: Long): Unit = {
+      val b = Ros2Msg.bundle("graft_msgs/msg/Evo", defText)
+      java.nio.file.Files.write(new java.io.File(in, name).toPath,
+        McapFormat.writeMcap(
+          Seq(McapFormat.McapSchema(1, "graft_msgs/msg/Evo", "ros2msg",
+            defText.getBytes("UTF-8"))),
+          Seq(McapFormat.McapChannel(1, 1, "/evo", "cdr")),
+          Seq(McapFormat.McapMessage(1, 0L, t, t, CdrCodec.encode(b, v)))))
+      ()
+    }
+    mcapOf("old.mcap", defV1, Seq[Any](1L), 10L)
+    mcapOf("new.mcap", defV2, Seq[Any](2L, "evolved"), 20L)
+    val o = out("tc_evobag")
+    Convert.run(spark, in.getAbsolutePath, o, "rosbag", partitions = 1,
+      options = Map("transcode" -> "strict"))
+    val conns = graft.ros.bag.RosbagIO.scanIndexes(
+      new java.io.File(o).listFiles().filter(_.getName.endsWith(".bag"))
+        .map(_.getAbsolutePath).toSeq).flatMap(_._2.connections)
+    assert(conns.length === 2, "divergent definitions need two connections")
+    assert(conns.map(_.msgDef).toSet === Set(defV1, defV2))
+    assert(conns.map(c => c.md5sum ->
+      RosMd5.compute(c.datatype, c.msgDef)).forall(p => p._1 == p._2),
+      "each connection advertises the md5 of ITS definition")
+    // typed reads disambiguate per the drifted-datatype md5 contract
+    def typed(defText: String) = spark.read.format("rosbag")
+      .option("bags", o + "/*.bag").option("datatype", "graft_msgs/Evo")
+      .option("md5", RosMd5.compute("graft_msgs/Evo", defText).take(8))
+      .load()
+    assert(typed(defV1).select("a").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    assert(typed(defV2).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "evolved")))
   }
 
   test("a crashed attachment publish recovers even when sources rotated away") {
