@@ -263,12 +263,21 @@ object Convert {
   private def autoDefs(options: Map[String, String], format: String,
       inPath: String): Map[String, String] = {
     val optName = defsOptionName(format)
+    // the AUTO-wired channel is a convenience, not a user pin — each
+    // row's own source file stays the definition authority (divergent
+    // same-named definitions across a fleet keep their per-file
+    // truth); an EXPLICIT defs path keeps the sinks' channel-first
+    // default, and a user-set defs_priority always wins
+    val priority =
+      if (options.keys.exists(_.equalsIgnoreCase("defs_priority")))
+        Map.empty[String, String]
+      else Map("defs_priority" -> "file")
     if (options.keys.exists(_.equalsIgnoreCase(optName))) Map.empty
     else if (options.keys.exists(_.equalsIgnoreCase("foreign_defs")))
       // the user pinned the dialect policy (e.g. foreign_defs=error to
       // make even the automatic harvest strict) — honor it
-      Map(optName -> inPath)
-    else Map(optName -> inPath, "foreign_defs" -> "skip")
+      Map(optName -> inPath) ++ priority
+    else Map(optName -> inPath, "foreign_defs" -> "skip") ++ priority
   }
 
   /** The mcap header profile, derived from the SOURCES' message

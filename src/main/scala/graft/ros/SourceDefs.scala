@@ -129,9 +129,17 @@ object SourceDefs {
           Seq(e.dstName -> (e.md5, e.dstDef))
         } catch { case _: Exception => Seq.empty }
       }
-    // the file's own ros1 text wins over a translated rendering
-    (translated ++ direct).groupBy(_._1).view
-      .mapValues(vs => Option(vs.last._2)).toMap
+    (direct.map(_._1) ++ translated.map(_._1)).distinct.map { n =>
+      // the file's own ros1 text wins over a translated rendering; a
+      // file carrying DIVERGENT definitions for one datatype (two
+      // same-type connections with different layouts) cannot be
+      // attributed per row here — an honest ("*", "") beats a
+      // confidently wrong genuine-looking checksum
+      val d = direct.collect { case (`n`, v) => v }.distinct
+      val t = translated.collect { case (`n`, v) => v }.distinct
+      val chosen = if (d.nonEmpty) d else t
+      n -> Option(if (chosen.size == 1) chosen.head else ("*", ""))
+    }.toMap
   }
 
   private def load(path: String): Map[String, Seq[(String, Array[Byte])]] = {

@@ -246,9 +246,13 @@ object Transcode {
       else Seq.empty
     } catch { case _: Exception => Seq.empty }
     conns.filter(_._2.trim.nonEmpty).groupBy(_._1).map { case (name, ds) =>
-      name -> (try Some(translate(name, ds.head._2)) catch {
-        case _: Exception => None
-      })
+      // a file carrying DIVERGENT definitions for one type cannot be
+      // attributed per row — None (strict fails loudly, auto embeds)
+      val texts = ds.map(_._2).distinct
+      name -> (if (texts.size > 1) None
+        else try Some(translate(name, texts.head)) catch {
+          case _: Exception => None
+        })
     }
   }
 
@@ -450,9 +454,13 @@ object Transcode {
       else Seq.empty
     } catch { case _: Exception => Seq.empty }
     defs.filter(_._3.trim.nonEmpty).groupBy(_._1).map { case (name, ds) =>
-      name -> (try Some(translateToRos1(name, ds.head._2, ds.head._3)) catch {
-        case _: Exception => None
-      })
+      // divergence rule as in loadFileDefs
+      val variants = ds.map(d => (d._2, d._3)).distinct
+      name -> (if (variants.size > 1) None
+        else try Some(translateToRos1(name, variants.head._1,
+          variants.head._2)) catch {
+          case _: Exception => None
+        })
     }
   }
 

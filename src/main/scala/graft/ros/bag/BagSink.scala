@@ -86,7 +86,8 @@ object BagSinkWrite {
   */
 final class BagStreamingWriter(local: java.io.File, compression: String,
     chunkBytesTarget: Int,
-    connDefs: Map[String, (String, String)] = Map.empty) {
+    connDefs: Map[String, (String, String)] = Map.empty,
+    fileFirstDefs: Boolean = true) {
   import BagFormat._
   import java.nio.charset.StandardCharsets.UTF_8
 
@@ -161,8 +162,16 @@ final class BagStreamingWriter(local: java.io.File, compression: String,
       // first landing MID-STREAM exports with a real definition and
       // genuine md5 instead of ("*", ""); the plan-time defs channel
       // covers prepared frames without a file
-      val (md5, mdef) = graft.ros.SourceDefs.ros1ConnFor(sourcePath, datatype)
-        .orElse(connDefs.get(datatype)).getOrElse(("*", ""))
+      val (md5, mdef) =
+        (if (fileFirstDefs)
+          graft.ros.SourceDefs.ros1ConnFor(sourcePath, datatype)
+            .orElse(connDefs.get(datatype))
+        else
+          // an EXPLICITLY pinned defs channel is definitive; the
+          // row's file only covers types the channel lacks
+          connDefs.get(datatype)
+            .orElse(graft.ros.SourceDefs.ros1ConnFor(sourcePath, datatype)))
+          .getOrElse(("*", ""))
       conns.getOrElseUpdate((topic, datatype, md5, mdef), {
         val nc = BagConnection(conns.size, topic, datatype, md5, mdef, "")
         val (h, d) = connRecord(nc)
@@ -308,8 +317,18 @@ class BagWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
       .map(BagSinkWrite.harvestConnDefs(_,
         Option(opts.get("foreign_defs")).getOrElse("error")))
       .getOrElse(Map.empty) ++ inlineDefs
+    // "file" = the row's own source file outranks the defs channel
+    // (Convert's auto-wiring); "channel" (default) = an explicitly
+    // pinned defs source is definitive
+    val defsFileFirst =
+      Option(opts.get("defs_priority")).getOrElse("channel") match {
+        case "file" => true
+        case "channel" => false
+        case other => throw new IllegalArgumentException(
+          s"defs_priority must be file | channel, got '$other'")
+      }
     new BagWrite(path, ords, compression, chunkBytes, defs, truncateFirst,
-      info.queryId())
+      info.queryId(), defsFileFirst)
   }
 }
 
@@ -318,14 +337,17 @@ private[bag] final case class BagWriteOrdinals(topic: Int, datatype: Int,
 
 class BagWrite(path: String, ords: BagWriteOrdinals, compression: String,
     chunkBytes: Int, defs: Map[String, (String, String)],
-    truncateFirst: Boolean, queryId: String) extends Write {
+    truncateFirst: Boolean, queryId: String,
+    defsFileFirst: Boolean = false) extends Write {
   override def toBatch: BatchWrite =
-    new BagBatchWrite(path, ords, compression, chunkBytes, defs, truncateFirst)
+    new BagBatchWrite(path, ords, compression, chunkBytes, defs,
+      truncateFirst, defsFileFirst)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!truncateFirst,
       "rosbag streaming write supports the Append output mode only " +
         "(a container directory cannot be truncated per epoch)")
-    new BagStreamingSinkWrite(path, ords, compression, chunkBytes, defs, queryId)
+    new BagStreamingSinkWrite(path, ords, compression, chunkBytes, defs,
+      queryId, defsFileFirst)
   }
 }
 
@@ -337,7 +359,7 @@ class BagWrite(path: String, ords: BagWriteOrdinals, compression: String,
   */
 class BagStreamingSinkWrite(dir: String, ords: BagWriteOrdinals,
     compression: String, chunkBytes: Int, defs: Map[String, (String, String)],
-    queryId: String)
+    queryId: String, defsFileFirst: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   locally {
     val p = new Path(dir)
@@ -347,7 +369,8 @@ class BagStreamingSinkWrite(dir: String, ords: BagWriteOrdinals,
   private val qid = queryId.take(8)
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    BagStreamWriterFactory(dir, qid, ords, compression, chunkBytes, defs)
+    BagStreamWriterFactory(dir, qid, ords, compression, chunkBytes, defs,
+      defsFileFirst)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.collect { case c: BagFileCommit if c.path != null => c }
     // reconcile: a replay with fewer partitions than the crashed
@@ -375,12 +398,13 @@ class BagStreamingSinkWrite(dir: String, ords: BagWriteOrdinals,
 
 private[bag] final case class BagStreamWriterFactory(dir: String, qid: String,
     ords: BagWriteOrdinals, compression: String, chunkBytes: Int,
-    defs: Map[String, (String, String)])
+    defs: Map[String, (String, String)], defsFileFirst: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new BagDataWriter(dir, f"part-$partitionId%05d-q$qid-e$epochId", ords,
-      compression, chunkBytes, defs, partitionId, attemptTag = s"-t$taskId")
+      compression, chunkBytes, defs, partitionId, attemptTag = s"-t$taskId",
+      defsFileFirst = defsFileFirst)
 }
 
 private[bag] final case class BagFileCommit(path: String, rows: Long,
@@ -389,7 +413,7 @@ private[bag] final case class BagFileCommit(path: String, rows: Long,
 
 class BagBatchWrite(dir: String, ords: BagWriteOrdinals, compression: String,
     chunkBytes: Int, defs: Map[String, (String, String)],
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean, defsFileFirst: Boolean = false) extends BatchWrite {
 
   private val jobId = java.util.UUID.randomUUID().toString.take(8)
 
@@ -407,7 +431,8 @@ class BagBatchWrite(dir: String, ords: BagWriteOrdinals, compression: String,
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    BagWriterFactory(dir, jobId, ords, compression, chunkBytes, defs)
+    BagWriterFactory(dir, jobId, ords, compression, chunkBytes, defs,
+      defsFileFirst)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(RosbagIO.hadoopConf())
@@ -428,10 +453,12 @@ class BagBatchWrite(dir: String, ords: BagWriteOrdinals, compression: String,
 
 private[bag] final case class BagWriterFactory(dir: String, jobId: String,
     ords: BagWriteOrdinals, compression: String, chunkBytes: Int,
-    defs: Map[String, (String, String)]) extends DataWriterFactory {
+    defs: Map[String, (String, String)],
+    defsFileFirst: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new BagDataWriter(dir, f"part-$partitionId%05d-$taskId-$jobId", ords,
-      compression, chunkBytes, defs, partitionId)
+      compression, chunkBytes, defs, partitionId,
+      defsFileFirst = defsFileFirst)
 }
 
 /** One task's bag: `<stem>.bag`. Batch stems carry (partition, task,
@@ -442,7 +469,7 @@ private[bag] final case class BagWriterFactory(dir: String, jobId: String,
 class BagDataWriter(dir: String, stem: String,
     ords: BagWriteOrdinals, compression: String, chunkBytes: Int,
     defs: Map[String, (String, String)], partitionId: Int,
-    attemptTag: String = "")
+    attemptTag: String = "", defsFileFirst: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(RosbagIO.hadoopConf())
@@ -464,7 +491,8 @@ class BagDataWriter(dir: String, stem: String,
   override def write(row: InternalRow): Unit = {
     if (writer == null) {
       local = java.io.File.createTempFile("graft_bag_sink_", ".bag")
-      writer = new BagStreamingWriter(local, compression, chunkBytes, defs)
+      writer = new BagStreamingWriter(local, compression, chunkBytes, defs,
+        defsFileFirst)
     }
     nonNull(row, ords.topic, "topic")
     nonNull(row, ords.datatype, "datatype")

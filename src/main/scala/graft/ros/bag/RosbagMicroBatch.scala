@@ -19,7 +19,7 @@ final case class RosbagOffset(chunkCount: Long) extends Offset {
 }
 
 class RosbagMicroBatchStream(path: String, required: StructType,
-    filters: Array[Filter], typed: Option[(String, String)] = None,
+    filters: Array[Filter], typed: Option[(String, String, String)] = None,
     includeRaw: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
@@ -60,14 +60,23 @@ class RosbagMicroBatchStream(path: String, required: StructType,
     val e = end.asInstanceOf[RosbagOffset].chunkCount.toInt
     if (e <= s) return Array.empty
     val index = RosbagIO.scanIndex(path)
-    val conns = index.connections.map(c => c.connId -> c).toMap
+    val conns0 = index.connections.map(c => c.connId -> c).toMap
+    // drop mismatched same-datatype connections — the md5-variant
+    // filter the batch scan and the directory stream already apply;
+    // without it a divergent bag's other variant decodes under the
+    // wrong bundle
+    val conns = typed match {
+      case Some((dt, _, md5)) => conns0.filter { case (_, c) =>
+        c.datatype != dt || c.md5sum == md5 }
+      case None => conns0
+    }
     index.chunks.zipWithIndex.slice(s, e).map { case (c, i) =>
       RosbagInputPartition(path, i, c, conns): InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = typed match {
-    case Some((dt, msgDef)) =>
+    case Some((dt, msgDef, _)) =>
       new RosbagTypedReaderFactory(dt, msgDef, required, includeRaw, filters)
     case None => new RosbagReaderFactory(required, filters, limit = -1)
   }

@@ -455,7 +455,7 @@ class RosbagScan(path: String, required: StructType, pushed: Array[Filter], limi
     }
     if (isSingleFile)
       new RosbagMicroBatchStream(path, required, filters,
-        typed.map(t => (t.datatype, t.msgDef)), includeRaw)
+        typed.map(t => (t.datatype, t.msgDef, t.md5)), includeRaw)
     else
       new RosbagDirMicroBatchStream(path, required, filters, typed, includeRaw)
   }

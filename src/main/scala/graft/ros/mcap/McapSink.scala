@@ -91,7 +91,7 @@ object McapSinkWrite {
   */
 private[mcap] final case class McapSinkConf(compression: String,
     chunkBytes: Int, defs: Map[String, Seq[(String, Array[Byte])]],
-    profile: String)
+    profile: String, defsFileFirst: Boolean = false)
 
 /** Incremental single-file MCAP writer: magic+header up front, then
   * one Chunk record per ~`chunkBytesTarget` raw bytes (schema/channel
@@ -107,7 +107,7 @@ private[mcap] final case class McapSinkConf(compression: String,
 final class McapStreamingWriter(out: OutputStream, compression: String,
     chunkBytesTarget: Int,
     schemaDefs: Map[String, Seq[(String, Array[Byte])]] = Map.empty,
-    profile: String = "ros2") {
+    profile: String = "ros2", fileFirstDefs: Boolean = true) {
   import McapFormat._
 
   private var pos = 0L
@@ -184,24 +184,52 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
         // cdr → ros2msg/ros2idl, protobuf → protobuf — a type name
         // defined in two dialects must not attach one dialect's
         // definition to the other's channels), else the first.
-        val fromFile = graft.ros.SourceDefs.variantsFor(sourcePath, schemaName)
         val variants =
-          if (fromFile.nonEmpty) fromFile
-          else schemaDefs.getOrElse(schemaName, Seq.empty)
-        val chosen = variants
-          .find(v => schemaEncoding.nonEmpty && v._1 == schemaEncoding)
-          .orElse(variants.find(v =>
-            McapPayload.messageEncodingOpt(v._1).contains(messageEncoding)))
-          .orElse(variants.headOption)
+          if (fileFirstDefs) {
+            val f = graft.ros.SourceDefs.variantsFor(sourcePath, schemaName)
+            if (f.nonEmpty) f else schemaDefs.getOrElse(schemaName, Seq.empty)
+          } else {
+            // an EXPLICITLY pinned defs channel is definitive; the
+            // row's file only covers types the channel lacks
+            val c = schemaDefs.getOrElse(schemaName, Seq.empty)
+            if (c.nonEmpty) c
+            else graft.ros.SourceDefs.variantsFor(sourcePath, schemaName)
+          }
+        // candidate POOL per the narrowest matching criterion
+        val byExplicit =
+          variants.filter(v => schemaEncoding.nonEmpty && v._1 == schemaEncoding)
+        val byMsgEnc = variants.filter(v =>
+          McapPayload.messageEncodingOpt(v._1).contains(messageEncoding))
+        val pool =
+          if (byExplicit.nonEmpty) byExplicit
+          else if (byMsgEnc.nonEmpty) byMsgEnc
+          else variants
+        val distinctDefs = pool.map(v => (v._1, v._2.toSeq)).distinct
+        // several byte-distinct candidates survive the criteria: keep
+        // the first only when they are provably WIRE-EQUIVALENT (the
+        // ros2msg-text + generated-IDL shape of one type) — otherwise
+        // the rows cannot be attributed per variant here and an honest
+        // empty definition beats a confidently wrong one
+        val unambiguous = distinctDefs.size <= 1 || (try {
+          val sigs = distinctDefs.map { case (e, b) =>
+            val bd = McapPayload.bundle(e, schemaName, b.toArray)
+            (graft.ros.RosSchemaMapper.flatSchema(bd),
+              McapPayload.wireSignature(bd),
+              McapPayload.messageEncodingFor(e))
+          }
+          sigs.distinct.size == 1 && sigs.head._3 != "protobuf"
+        } catch { case _: Exception => false })
         // the resolved variant wins on definition bytes; its encoding
         // too when the row left schema_encoding empty (prepared frames)
-        val (enc, defBytes) = chosen match {
-          case Some((e, b)) =>
+        val (enc, defBytes) = pool.headOption match {
+          case Some((e, b)) if unambiguous =>
             (if (schemaEncoding.nonEmpty) schemaEncoding else e, b)
+          case Some((e, _)) =>
+            (if (schemaEncoding.nonEmpty) schemaEncoding else e,
+              Array.emptyByteArray)
           case None => (schemaEncoding, Array.emptyByteArray)
         }
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(defBytes).map("%02x".format(_)).mkString
+        val digest = McapTypedRead.md5hex(defBytes)
         schemas.getOrElseUpdate((schemaName, enc, digest), {
           require(schemas.size < 0xFFFF,
             s"mcap schema ids are uint16: partition exceeds 65534 distinct schemas")
@@ -418,9 +446,20 @@ class McapWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilde
       Option(opts.get("schema_defs_inline")),
       Option(opts.get("schema_defs_from")))
     val profile = Option(opts.get("profile")).getOrElse("ros2")
+    // "file" = the row's own source file outranks the defs channel
+    // (Convert's auto-wiring — per-file truth for divergent fleets);
+    // "channel" (default) = an explicitly pinned defs source is
+    // definitive, files only cover types the channel lacks
+    val defsFileFirst =
+      Option(opts.get("defs_priority")).getOrElse("channel") match {
+        case "file" => true
+        case "channel" => false
+        case other => throw new IllegalArgumentException(
+          s"defs_priority must be file | channel, got '$other'")
+      }
     new McapWrite(path, ords,
-      McapSinkConf(compression, chunkBytes, defs, profile), truncateFirst,
-      info.queryId())
+      McapSinkConf(compression, chunkBytes, defs, profile, defsFileFirst),
+      truncateFirst, info.queryId())
   }
 }
 
@@ -580,7 +619,7 @@ class McapDataWriter(dir: String, stem: String,
     if (writer == null) {
       stream = new java.io.BufferedOutputStream(fs.create(tmpPath, true), 1 << 16)
       writer = new McapStreamingWriter(stream, conf.compression,
-        conf.chunkBytes, conf.defs, conf.profile)
+        conf.chunkBytes, conf.defs, conf.profile, conf.defsFileFirst)
     }
     nonNull(row, ords.topic, "topic")
     nonNull(row, ords.logTime, "log_time")

@@ -657,7 +657,7 @@ object McapTypedRead {
     */
   final case class TypedTarget(schemaName: String, encoding: String,
                                schemaData: Array[Byte], files: Seq[String],
-                               md5: String, md5s: Set[String])
+                               md5s: Set[String])
 
   def md5hex(data: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(data)
@@ -688,7 +688,7 @@ object McapTypedRead {
     if (chosen.size == 1) {
       val (m, vs) = chosen.head
       return TypedTarget(schemaName, vs.head._2, vs.head._3,
-        vs.map(_._4).distinct, m, Set(m))
+        vs.map(_._4).distinct, Set(m))
     }
     // multiple byte-distinct variants: auto-MERGE when they are
     // semantically equivalent — identical flattened schema, identical
@@ -697,14 +697,20 @@ object McapTypedRead {
     // faithful convert produces when one type arrives as ros2msg text
     // from one source and generated IDL from another. Genuinely
     // DIVERGENT definitions still refuse and take the md5 contract.
+    // Try per variant: one corrupt definition must degrade to the
+    // actionable variants error (selecting the healthy variant by
+    // schema_md5 prefix still works), not an opaque parse exception
     val parsed = chosen.toSeq.sortBy(_._1).map { case (k, vs) =>
-      val b = McapPayload.bundle(vs.head._2, schemaName, vs.head._3)
-      (k, vs, b, McapPayload.messageEncodingFor(vs.head._2))
+      (k, vs, scala.util.Try {
+        val b = McapPayload.bundle(vs.head._2, schemaName, vs.head._3)
+        (graft.ros.RosSchemaMapper.flatSchema(b),
+          McapPayload.wireSignature(b),
+          McapPayload.messageEncodingFor(vs.head._2))
+      })
     }
-    val equivalent = chosen.nonEmpty && parsed.map { case (_, _, b, fam) =>
-      (graft.ros.RosSchemaMapper.flatSchema(b),
-        McapPayload.wireSignature(b), fam)
-    }.distinct.size == 1 && parsed.head._4 != "protobuf"
+    val equivalent = chosen.nonEmpty && parsed.forall(_._3.isSuccess) &&
+      parsed.map(_._3.get).distinct.size == 1 &&
+      parsed.head._3.get._3 != "protobuf"
     require(equivalent,
       s"schema $schemaName has ${byMd5.size} definition variants across $path " +
         s"(md5s: ${byMd5.keys.toSeq.sorted.mkString(", ")})" +
@@ -712,8 +718,7 @@ object McapTypedRead {
          else "; pass option(\"schema_md5\", <prefix>) to select one"))
     val first = parsed.head
     TypedTarget(schemaName, first._2.head._2, first._2.head._3,
-      parsed.flatMap(_._2.map(_._4)).distinct, first._1,
-      parsed.map(_._1).toSet)
+      parsed.flatMap(_._2.map(_._4)).distinct, parsed.map(_._1).toSet)
   }
 
   def typedSchema(bundle: graft.ros.RosMsgBundle, includeRaw: Boolean): StructType = {
