@@ -115,14 +115,27 @@ object Bench {
   }
 
   /** Is a timing sample set too dispersed to trust its median?
-    * max/med > 3 = an outlier sample (load spike during one run);
+    * max/med > 3 = an outlier sample (load spike during one run, or a
+    * one-time shared-cache build landing on the first sample);
     * med/min > 3 = the MEDIAN itself likely sits on contaminated
     * samples (the min is the plan's true cost). Either way more
     * samples are warranted before the median goes in the artifact.
     */
   private[graft] def dispersed(times: Seq[Double]): Boolean = {
     val m = median(times)
-    m > 0 && (times.max / m > 3.0 || m / math.max(times.min, 1e-9) > 3.0)
+    m > 0 && (times.max / m > 3.0 || medianSuspect(times))
+  }
+
+  /** The CONTAMINATION half of dispersal: only a median sitting on
+    * inflated samples (med/min > 3) impeaches the artifact — a single
+    * max outlier over a tight (min ≈ med) cluster is a one-time cache
+    * build or one load spike that the median already absorbed, and
+    * flagging it would mark every idle sf0.1 run contaminated
+    * (8 queries show exactly that shape at idle).
+    */
+  private[graft] def medianSuspect(times: Seq[Double]): Boolean = {
+    val m = median(times)
+    m > 0 && m / math.max(times.min, 1e-9) > 3.0
   }
 
   /** The standard suite protocol, shared by Bench and AmplifiedBench:
@@ -216,7 +229,7 @@ object Bench {
     val total = results.collect { case (_, v, None, _) => v }.sum + warmTotal
     val loadAfter = loadavg()
     val stillDispersed = results.count { case (_, _, e, times) =>
-      e.isEmpty && runs > 1 && dispersed(times)
+      e.isEmpty && runs > 1 && medianSuspect(times)
     }
     val contaminated = loadContaminated(loadBefore, loadAfter,
       spark.sparkContext.defaultParallelism, stillDispersed)

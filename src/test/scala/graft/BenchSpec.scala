@@ -58,6 +58,15 @@ class BenchSpec extends AnyFunSuite {
       dispersedAfterEscalation = 1))
     assert(!Bench.loadContaminated(j(0.5), j(0.5), benchThreads = 4,
       dispersedAfterEscalation = 0))
+    // ...but only a SUSPECT MEDIAN counts as dispersal-contamination:
+    // a tight (min ≈ med) cluster with one first-sample cache-build
+    // max still escalates, yet must not impeach the artifact
+    assert(!Bench.medianSuspect(Seq(0.15, 0.17, 3.4)),
+      "max outlier over a tight cluster: median trustworthy")
+    assert(Bench.medianSuspect(Seq(0.27, 4.7, 6.2)),
+      "median sitting on inflated samples must flag")
+    assert(Bench.dispersed(Seq(0.15, 0.17, 3.4)),
+      "the same shape still warrants MORE SAMPLES (escalation)")
   }
 
   test("merged artifact format: total + detail + duckdb_total, one JSON line each") {
