@@ -123,7 +123,7 @@ object Bench {
     */
   private[graft] def dispersed(times: Seq[Double]): Boolean = {
     val m = median(times)
-    m > 0 && (times.max / m > 3.0 || medianSuspect(times))
+    m > 0 && (times.max / m > 3.0 || suspect(m, times))
   }
 
   /** The CONTAMINATION half of dispersal: only a median sitting on
@@ -133,10 +133,11 @@ object Bench {
     * flagging it would mark every idle sf0.1 run contaminated
     * (8 queries show exactly that shape at idle).
     */
-  private[graft] def medianSuspect(times: Seq[Double]): Boolean = {
-    val m = median(times)
+  private[graft] def medianSuspect(times: Seq[Double]): Boolean =
+    suspect(median(times), times)
+
+  private def suspect(m: Double, times: Seq[Double]): Boolean =
     m > 0 && m / math.max(times.min, 1e-9) > 3.0
-  }
 
   /** The standard suite protocol, shared by Bench and AmplifiedBench:
     * warm the shared derivations (timed as their own line items), then

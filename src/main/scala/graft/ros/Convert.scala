@@ -267,9 +267,12 @@ object Convert {
     // row's own source file stays the definition authority (divergent
     // same-named definitions across a fleet keep their per-file
     // truth); an EXPLICIT defs path keeps the sinks' channel-first
-    // default, and a user-set defs_priority always wins
+    // default, and a user-set defs_priority always wins. db3 has no
+    // per-row late binding (its message_definitions table is
+    // plan-level per type) — don't emit an inert option there
     val priority =
-      if (options.keys.exists(_.equalsIgnoreCase("defs_priority")))
+      if (format == "db3" ||
+          options.keys.exists(_.equalsIgnoreCase("defs_priority")))
         Map.empty[String, String]
       else Map("defs_priority" -> "file")
     if (options.keys.exists(_.equalsIgnoreCase(optName))) Map.empty

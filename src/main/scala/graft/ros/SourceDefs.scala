@@ -38,6 +38,14 @@ object SourceDefs {
     * on the row path — and reloads only when the (mtime, length)
     * fingerprint changed (streams tail still-growing files), caching
     * the negative otherwise.
+    *
+    * KNOWN LIMIT: a positive never re-validates, so a type that turns
+    * DIVERGENT mid-tail (a later-appended same-name connection with a
+    * different layout) keeps its first resolution until the JVM (or
+    * stream) restarts — and the sinks' own per-(topic, datatype, file)
+    * result caches would pin it anyway. Per-row re-validation would
+    * put a stat on every row; a restart re-reads the divergence
+    * honestly.
     */
   private[ros] final class FileDefCache[E](
       load: String => Map[String, Option[E]]) {

@@ -247,14 +247,25 @@ object Transcode {
     } catch { case _: Exception => Seq.empty }
     conns.filter(_._2.trim.nonEmpty).groupBy(_._1).map { case (name, ds) =>
       // a file carrying DIVERGENT definitions for one type cannot be
-      // attributed per row — None (strict fails loudly, auto embeds)
+      // attributed per row — the SENTINEL (not None) so resolution
+      // never falls through to the plan-level single definition,
+      // which would be the exact corruption per-file truth prevents
       val texts = ds.map(_._2).distinct
-      name -> (if (texts.size > 1) None
+      name -> (if (texts.size > 1) Some(DivergentEntry)
         else try Some(translate(name, texts.head)) catch {
           case _: Exception => None
         })
     }
   }
+
+  /** Marker: the row's file defines this type DIVERGENTLY (several
+    * layouts under one name) — per-row attribution is impossible, and
+    * falling through to a plan-level definition would silently
+    * re-encode half the rows wrong. Compared by reference (executor-
+    * local object).
+    */
+  private[ros] val DivergentEntry = Entry("", "", "", "")
+  private[ros] val DivergentRos1Entry = Ros1Entry("", "", "", "", "", "")
 
   private val fileDefs = new SourceDefs.FileDefCache[Entry](loadFileDefs)
 
@@ -283,6 +294,13 @@ object Transcode {
     // plan-time broadcast covers rows whose file cannot be scanned
     val tcodeUdf = udf { (tpe: String, data: Array[Byte], filePath: String) =>
       fileFallback(filePath, tpe).orElse(bc.value.get(tpe)) match {
+        case Some(e) if e eq DivergentEntry =>
+          if (strict) throw new IllegalArgumentException(
+            s"transcode: $filePath defines '$tpe' DIVERGENTLY (several " +
+              "layouts under one name) — rows cannot be attributed to a " +
+              "definition; split the source or pass transcode=auto to " +
+              "embed them as ros1 bytes")
+          else null
         case Some(e) => (e.dstName, codec(e)(data))
         case None if strict => throw new IllegalArgumentException(
           s"transcode: no translatable ros1msg definition for type '$tpe' " +
@@ -456,7 +474,7 @@ object Transcode {
     defs.filter(_._3.trim.nonEmpty).groupBy(_._1).map { case (name, ds) =>
       // divergence rule as in loadFileDefs
       val variants = ds.map(d => (d._2, d._3)).distinct
-      name -> (if (variants.size > 1) None
+      name -> (if (variants.size > 1) Some(DivergentRos1Entry)
         else try Some(translateToRos1(name, variants.head._1,
           variants.head._2)) catch {
           case _: Exception => None
@@ -478,6 +496,13 @@ object Transcode {
     val bc = spine.sparkSession.sparkContext.broadcast(entries)
     val tcodeUdf = udf { (tpe: String, data: Array[Byte], filePath: String) =>
       ros1FileDefs.get(filePath, tpe).orElse(bc.value.get(tpe)) match {
+        case Some(e) if e eq DivergentRos1Entry =>
+          if (strict) throw new IllegalArgumentException(
+            s"transcode: $filePath defines '$tpe' DIVERGENTLY (several " +
+              "layouts under one name) — rows cannot be attributed to a " +
+              "definition; split the source or pass transcode=auto (with " +
+              "allow_foreign_encoding=true) to embed them as foreign bytes")
+          else null
         case Some(e) => (e.dstName, codecToRos1(e)(data))
         case None if strict => throw new IllegalArgumentException(
           s"transcode: no translatable ros2 definition for type '$tpe' " +

@@ -184,17 +184,31 @@ final class McapStreamingWriter(out: OutputStream, compression: String,
         // cdr → ros2msg/ros2idl, protobuf → protobuf — a type name
         // defined in two dialects must not attach one dialect's
         // definition to the other's channels), else the first.
+        // can a variant set actually SERVE this channel's dialect?
+        def serves(vs: Seq[(String, Array[Byte])]): Boolean =
+          if (schemaEncoding.nonEmpty) vs.exists(_._1 == schemaEncoding)
+          else vs.exists(v =>
+            McapPayload.messageEncodingOpt(v._1).contains(messageEncoding))
+        // the priority side wins when it can serve the dialect (or
+        // neither side can — historic head-variant fallback applies to
+        // the priority side then); a channel pinned without the row's
+        // dialect must not displace the file's dialect-correct
+        // definition, and vice versa
+        def choose(primary: Seq[(String, Array[Byte])],
+            secondary: => Seq[(String, Array[Byte])])
+            : Seq[(String, Array[Byte])] =
+          if (primary.isEmpty) secondary
+          else if (serves(primary)) primary
+          else { val s = secondary; if (serves(s)) s else primary }
         val variants =
-          if (fileFirstDefs) {
-            val f = graft.ros.SourceDefs.variantsFor(sourcePath, schemaName)
-            if (f.nonEmpty) f else schemaDefs.getOrElse(schemaName, Seq.empty)
-          } else {
+          if (fileFirstDefs)
+            choose(graft.ros.SourceDefs.variantsFor(sourcePath, schemaName),
+              schemaDefs.getOrElse(schemaName, Seq.empty))
+          else
             // an EXPLICITLY pinned defs channel is definitive; the
-            // row's file only covers types the channel lacks
-            val c = schemaDefs.getOrElse(schemaName, Seq.empty)
-            if (c.nonEmpty) c
-            else graft.ros.SourceDefs.variantsFor(sourcePath, schemaName)
-          }
+            // row's file covers types/dialects the channel lacks
+            choose(schemaDefs.getOrElse(schemaName, Seq.empty),
+              graft.ros.SourceDefs.variantsFor(sourcePath, schemaName))
         // candidate POOL per the narrowest matching criterion
         val byExplicit =
           variants.filter(v => schemaEncoding.nonEmpty && v._1 == schemaEncoding)

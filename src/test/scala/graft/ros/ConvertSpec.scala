@@ -843,6 +843,41 @@ class ConvertSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "evolved")))
   }
 
+  test("a SINGLE file defining one type divergently refuses strictly, embeds under auto") {
+    import graft.ros.bag.BagFormat
+    val in = java.nio.file.Files.createTempDirectory("graft_tc_onediv").toFile
+    val defV1 = "int64 a"
+    val defV2 = "int64 a\nstring b"
+    val b1 = MsgDefParser.parse("graft_msgs/Evo", defV1)
+    val b2 = MsgDefParser.parse("graft_msgs/Evo", defV2)
+    // one bag, two same-name connections with DIVERGENT layouts: rows
+    // cannot be attributed per definition at (file, type) grain — the
+    // plan-level single def must never be used as a fallback here
+    java.nio.file.Files.write(new java.io.File(in, "both.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/a", "graft_msgs/Evo",
+          RosMd5.compute("graft_msgs/Evo", defV1), defV1, "c"),
+          BagFormat.BagConnection(1, "/b", "graft_msgs/Evo",
+            RosMd5.compute("graft_msgs/Evo", defV2), defV2, "c")),
+        Seq(BagFormat.WriteMessage(0, 10, 0,
+          RosSchemaMapper.encode(b1, Seq[Any](1L))),
+          BagFormat.WriteMessage(1, 20, 0,
+            RosSchemaMapper.encode(b2, Seq[Any](2L, "x"))))))
+    val ex = intercept[Exception] {
+      Convert.run(spark, in.getAbsolutePath, out("onediv_strict"), "mcap",
+        partitions = 1, options = Map("transcode" -> "strict"))
+    }
+    assert(causeMessages(ex).contains("DIVERGENTLY"))
+    // auto: byte-embed, payloads intact under their original encoding
+    val o = out("onediv_auto")
+    Convert.run(spark, in.getAbsolutePath, o, "mcap", partitions = 1,
+      options = Map("transcode" -> "auto"))
+    val back = spark.read.format("mcap").load(o)
+    assert(back.select("message_encoding").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("ros1"))
+    assert(back.count() === 2)
+  }
+
   test("transcode to rosbag keeps divergent same-named definitions as separate connections") {
     import graft.ros.bag.BagFormat
     val in = java.nio.file.Files.createTempDirectory("graft_tc_evobag").toFile
