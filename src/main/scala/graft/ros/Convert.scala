@@ -99,7 +99,10 @@ object Convert {
             if (df.columns.contains("file_path")) c("file_path") else null)
       case "db3" => db3.Db3Export.prepare(df,
         topic = c("topic"), timestampNs = c("timestamp"), data = c("data"),
-        tpe = c("type"), serializationFormat = enc)
+        tpe = c("type"), serializationFormat = enc,
+        // late-binding defs for types first landing mid-stream
+        sourcePath =
+          if (df.columns.contains("file_path")) c("file_path") else null)
       case other => throw new IllegalArgumentException(
         s"unknown target container format '$other' (mcap | rosbag | db3)")
     }

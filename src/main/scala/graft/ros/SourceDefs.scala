@@ -103,6 +103,53 @@ object SourceDefs {
   def ros1ConnFor(path: String, datatype: String): Option[(String, String)] =
     ros1Conns.get(path, datatype)
 
+  private val ros2Defs = new FileDefCache[(String, String)](loadRos2Defs(_))
+
+  /** The ros2-dialect (schema encoding, definition text) file `path`
+    * provides for type `tpe` — its own ros2msg/ros2idl definition, or
+    * the [[Transcode]] translation of its ros1msg definition under the
+    * renamed type (the forward-transcode case). None when the file
+    * defines the type divergently (honest absent — the db3 defs table
+    * holds one row per type).
+    */
+  def ros2DefFor(path: String, tpe: String): Option[(String, String)] =
+    ros2Defs.get(path, tpe)
+
+  private def loadRos2Defs(f: String)
+      : Map[String, Option[(String, String)]] = {
+    val defs: Seq[DefsHarvest.TypeDef] = try {
+      if (f.endsWith(".mcap"))
+        mcap.McapIO.scanIndex(f).schemas.values.toSeq.filter(_.data.nonEmpty)
+          .map(s => DefsHarvest.TypeDef(s.name, s.encoding, s.data, "*"))
+      else if (f.endsWith(".db3") || f.endsWith(".db3.zstd"))
+        db3.Db3IO.scanMetas(Seq(f)).flatMap(_._2.definitions)
+          .filter(_._3.trim.nonEmpty)
+          .map { case (tp, enc, text) =>
+            DefsHarvest.TypeDef(tp, enc, text.getBytes(UTF_8), "*")
+          }
+      else if (f.endsWith(".bag"))
+        bag.RosbagIO.scanIndexes(Seq(f)).flatMap(_._2.connections)
+          .filter(_.msgDef.trim.nonEmpty)
+          .map(c => DefsHarvest.TypeDef(c.datatype, "ros1msg",
+            c.msgDef.getBytes(UTF_8), c.md5sum))
+      else Seq.empty
+    } catch { case _: Exception => Seq.empty }
+    val direct = defs.filter(d => DefsHarvest.isRos2(d.encoding))
+      .map(d => d.name -> (d.encoding, new String(d.data, UTF_8)))
+    val translated = defs.filter(_.encoding == "ros1msg").flatMap { d =>
+      try {
+        val e = Transcode.translate(d.name, new String(d.data, UTF_8))
+        Seq(e.dstName -> ("ros2msg", e.dstDef))
+      } catch { case _: Exception => Seq.empty }
+    }
+    (direct.map(_._1) ++ translated.map(_._1)).distinct.map { n =>
+      val d = direct.collect { case (`n`, v) => v }.distinct
+      val t = translated.collect { case (`n`, v) => v }.distinct
+      val chosen = if (d.nonEmpty) d else t
+      n -> (if (chosen.size == 1) Some(chosen.head) else None)
+    }.toMap
+  }
+
   private def loadRos1Conns(f: String)
       : Map[String, Option[(String, String)]] = {
     val defs: Seq[DefsHarvest.TypeDef] = try {

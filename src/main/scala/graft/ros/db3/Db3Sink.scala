@@ -77,12 +77,19 @@ class Db3WriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
         s"db3 write column '$name' must be $dt, got ${schema.fields(i).dataType}")
       i
     }
+    // OPTIONAL source-file column: feeds the late-binding defs
+    // lookup (SourceDefs.ros2DefFor) — absent or empty is fine
+    def opt(name: String, dt: org.apache.spark.sql.types.DataType): Int = {
+      val i = schema.fieldNames.indexOf(name)
+      if (i >= 0 && schema.fields(i).dataType == dt) i else -1
+    }
     val ords = Db3WriteOrdinals(
       topic = need("topic", StringType),
       tpe = need("type", StringType),
       fmt = need("serialization_format", StringType),
       timestamp = need("timestamp", LongType),
-      data = need("data", BinaryType))
+      data = need("data", BinaryType),
+      filePath = opt("file_path", StringType))
     val opts = info.options()
     val rowsPerFile = Option(opts.get("rows_per_file")).map(_.toInt)
       .getOrElse(100000)
@@ -124,7 +131,7 @@ class Db3WriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
 }
 
 private[db3] final case class Db3WriteOrdinals(topic: Int, tpe: Int, fmt: Int,
-    timestamp: Int, data: Int)
+    timestamp: Int, data: Int, filePath: Int = -1)
 
 class Db3WriteImpl(path: String, ords: Db3WriteOrdinals, rowsPerFile: Int,
     fileBytes: Long, defs: Map[String, (String, String)],
@@ -564,6 +571,7 @@ class Db3DataWriter(dir: String, stem: String,
   private var bytesOut = 0L
   // metadata.yaml inputs, carried on the commit message: per-topic
   // counts (tiny dimension) + the task's time range
+  private val typeSrc = scala.collection.mutable.HashMap[String, String]()
   private val topicStats =
     scala.collection.mutable.LinkedHashMap[(String, String, String), Long]()
   private var tsMin = Long.MaxValue
@@ -583,6 +591,15 @@ class Db3DataWriter(dir: String, stem: String,
     val key = (row.getUTF8String(ords.topic).toString,
       if (row.isNullAt(ords.tpe)) "" else row.getUTF8String(ords.tpe).toString,
       if (row.isNullAt(ords.fmt)) "cdr" else row.getUTF8String(ords.fmt).toString)
+    // remember ONE source file per type for the late-binding defs
+    // lookup at flush (a type missing from the plan-time channel —
+    // first landed mid-stream — still exports with its definition)
+    if (key._2.nonEmpty && !defs.contains(key._2) &&
+        !typeSrc.contains(key._2) && ords.filePath >= 0 &&
+        !row.isNullAt(ords.filePath)) {
+      val f = row.getUTF8String(ords.filePath).toString
+      if (f.nonEmpty) typeSrc(key._2) = f
+    }
     val ts = row.getLong(ords.timestamp)
     batch += ((key._1, key._2, key._3, ts, data))
     batchBytes += data.length
@@ -612,9 +629,12 @@ class Db3DataWriter(dir: String, stem: String,
       Seq[Any](null, topicIds((t, tp, f)), ts, payload)
     }.toSeq
     val defRows = topicIds.keys.map(_._2).toSeq.distinct
-      .flatMap(tp => defs.get(tp).map { case (enc, text) =>
-        Seq[Any](null, tp, enc, text, "")
-      })
+      .flatMap(tp => defs.get(tp)
+        .orElse(typeSrc.get(tp)
+          .flatMap(graft.ros.SourceDefs.ros2DefFor(_, tp)))
+        .map { case (enc, text) =>
+          Seq[Any](null, tp, enc, text, "")
+        })
     val tables = Seq(
       ("topics",
         "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
@@ -683,9 +703,11 @@ object Db3Export {
   import org.apache.spark.sql.functions._
 
   def prepare(df: DataFrame, topic: Column, timestampNs: Column, data: Column,
-      tpe: Column = lit(""), serializationFormat: Column = lit("cdr")): DataFrame =
+      tpe: Column = lit(""), serializationFormat: Column = lit("cdr"),
+      sourcePath: Column = null): DataFrame =
     df.select(
-      lit("").as("file_path"),
+      coalesce(Option(sourcePath).map(_.cast("string")).getOrElse(lit("")),
+        lit("")).as("file_path"),
       lit(0L).as("msg_id"),
       lit(0L).as("topic_id"),
       coalesce(topic.cast("string"), lit("")).as("topic"),

@@ -525,6 +525,41 @@ class ConvertSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("runStream to db3: a type landing mid-stream exports with its definition") {
+    val in = java.nio.file.Files.createTempDirectory("graft_convdb3_mid").toFile
+    def mcapWith(name: String, tpe: String, topic: String,
+        vals: Seq[String], t0: Long): Unit = {
+      val b = Ros2Msg.bundle(tpe, strDef)
+      java.nio.file.Files.write(new java.io.File(in, name).toPath,
+        McapFormat.writeMcap(
+          Seq(McapFormat.McapSchema(1, tpe, "ros2msg", strDef.getBytes("UTF-8"))),
+          Seq(McapFormat.McapChannel(1, 1, topic, "cdr")),
+          vals.zipWithIndex.map { case (v, i) =>
+            McapFormat.McapMessage(1, i.toLong, t0 + i, t0 + i,
+              CdrCodec.encode(b, Seq(v)))
+          }))
+      ()
+    }
+    mcapWith("a.mcap", "graft_msgs/msg/DA", "/da", Seq("a0"), 100000000000L)
+    val o = out("db3mid")
+    val ck = java.nio.file.Files.createTempDirectory("graft_convdb3_ck").toString
+    val q = Convert.runStream(spark, in.getAbsolutePath, o, "db3", ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(250))
+    try {
+      q.processAllAvailable()
+      // the NEW type's definition was not in the start-time harvest —
+      // the writer late-binds it from the row's source file
+      mcapWith("b.mcap", "graft_msgs/msg/DB", "/db", Seq("b0", "b1"),
+        200000000000L)
+      q.processAllAvailable()
+      val typed = spark.read.format("db3").option("path", o)
+        .option("schema_name", "graft_msgs/msg/DB").load()
+      assert(typed.select("data_field").collect().map(_.getString(0)).toSet
+        === Set("b0", "b1"),
+        "a mid-stream type must export with its real definition")
+    } finally q.stop()
+  }
+
   // ---- attachment carry: O(new work) appends, identity, sidecars ----
 
   private def attachmentOnlyMcap(dir: java.io.File, fileName: String,
