@@ -88,10 +88,12 @@ object AmplifiedBench {
         d
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val (compact, detail, failed) = Bench.timeSuite(spark, outDir, runs)
+    val (compact, detail, failed, minimal) = Bench.timeSuite(spark, outDir, runs)
     val totalLine = s"""{"metric":"amplified_total",$compact,""" +
       s""""src":"$srcDir","docs_x":$docsX,"emb_x":$embX,"sf":"$outDir"}"""
     val detailLine = s"""{"metric":"amplified_detail",$detail,"sf":"$outDir"}"""
+    val minLine = s"""{"metric":"amplified_total_min",$minimal,""" +
+      s""""docs_x":$docsX,"emb_x":$embX,"sf":"$outDir"}"""
     // committed file = the full record; stdout compact line LAST (the
     // driver capture keeps the tail — see Bench.main). Non-default
     // factors land in their OWN artifact: a one-off ×100 scale probe
@@ -102,6 +104,8 @@ object AmplifiedBench {
     Bench.writeArtifact(artifact, Seq(totalLine, detailLine))
     println(detailLine)
     println(totalLine)
+    // size-bounded minimal total LAST — see Bench.main
+    println(minLine)
     spark.stop()
     if (failed) sys.exit(1)
   }

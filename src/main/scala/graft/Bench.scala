@@ -151,7 +151,7 @@ object Bench {
     * [[writeArtifact]], the only capture that cannot truncate.
     */
   private[graft] def timeSuite(spark: SparkSession, sfDir: String, runs: Int)
-      : (String, String, Boolean) = {
+      : (String, String, Boolean, String) = {
     require(runs >= 1, s"bench runs must be >= 1, got $runs")
     val loadBefore = loadavg()
     // warm up JVM/codegen/parquet-reader paths so the first timed query
@@ -240,8 +240,26 @@ object Bench {
       s""""warm_sec":${rk(warmTotal)},"errors":$errs,"queries":$qs"""
     val detail = s""""loadavg":{"before":$loadBefore,"after":$loadAfter},""" +
       s""""warm":$warmJson,"spread":$spread"""
-    (compact, detail, results.exists(_._3.isDefined) || warm.exists(_._2 < 0))
+    val minimal = minimalFields(total, runs, contaminated, stillDispersed,
+      results.size, results.count(_._3.isDefined))
+    (compact, detail,
+      results.exists(_._3.isDefined) || warm.exists(_._2 < 0), minimal)
   }
+
+  /** The MINIMAL total fields: bounded size at ANY suite size — the
+    * driver's ~2000-char stdout capture keeps the tail, and at 92
+    * queries the compact line alone overflows it, scrolling the
+    * leading "total" field out (BENCH_r14.json parsed null). The
+    * mains print this as the LAST line so the one line the capture is
+    * guaranteed to keep whole is parseable.
+    */
+  private[graft] def minimalFields(total: Double, runs: Int,
+      contaminated: Boolean, stillDispersed: Int, nq: Int,
+      nerr: Int): String =
+    s""""value":${rk(total)},"unit":"sec","runs":$runs,""" +
+      s""""load_contaminated":$contaminated,""" +
+      s""""dispersed_after_escalation":$stillDispersed,""" +
+      s""""nq":$nq,"nerr":$nerr"""
 
   private[graft] def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -258,16 +276,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val (compact, detail, failed) = timeSuite(spark, sfDir, runs)
+    val (compact, detail, failed, minimal) = timeSuite(spark, sfDir, runs)
     val totalLine = s"""{"metric":"total",$compact,"sf":"$sfDir"}"""
     val detailLine = s"""{"metric":"detail",$detail,"sf":"$sfDir"}"""
+    val minLine = s"""{"metric":"total_min",$minimal,"sf":"$sfDir"}"""
     // the committed file is the self-contained record; stdout prints the
-    // detail line FIRST and the compact line LAST because the driver's
-    // ~2000-char capture keeps the TAIL of the output — r7 led with the
-    // compact line and r8's artifact lost q01–q52's medians and the total
+    // detail line FIRST and the compact line toward the end because the
+    // driver's ~2000-char capture keeps the TAIL of the output — r7 led
+    // with the compact line and r8's artifact lost q01–q52's medians and
+    // the total. The LAST line is the size-bounded minimal total: at 92
+    // queries the compact line alone overflows the window (r14's driver
+    // artifact parsed null), the minimal line cannot.
     writeArtifact("BENCH.json", Seq(totalLine, detailLine))
     println(detailLine)
     println(totalLine)
+    println(minLine)
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -89,6 +89,23 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("minimal total line: parseable JSON, size-bounded at any suite size") {
+    // the LAST stdout line: the driver's ~2000-char tail capture must
+    // always keep it whole, so the fields are fixed-count (no per-query
+    // map) and the whole line stays far under the window even with
+    // extreme values
+    val fields = Bench.minimalFields(123456.789012, 9,
+      contaminated = true, stillDispersed = 99, nq = 9999, nerr = 9999)
+    val line = s"""{"metric":"total_min",$fields,"sf":"/root/testdata/sf0.1"}"""
+    assert(line.length < 512, s"minimal line too long: ${line.length}")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("metric").asText() === "total_min")
+    assert(node.get("value").asDouble() === 123456.789012)
+    assert(node.get("runs").asInt() === 9)
+    assert(node.get("load_contaminated").asBoolean())
+    assert(node.get("nq").asInt() === 9999)
+  }
+
   test("esc escapes JSON-hostile characters") {
     assert(Bench.esc("a\"b\\c\nd") === "a\\\"b\\\\c\\nd")
     assert(Bench.esc("\u0001") === "\\u0001")
