@@ -201,23 +201,46 @@ object Convert {
       inPath: String, options: Map[String, String] = Map.empty)
       : (DataFrame, Map[String, String], Boolean) = {
     if (mode == "off") return (spine, Map.empty, false)
+    // a USER-pinned defs channel (explicit schema_defs_from /
+    // conn_defs_from) is channel-first by the sinks' contract unless
+    // defs_priority=file — the transcode re-encode path honors the
+    // same pin instead of always resolving per-file (a file carrying
+    // a stale definition must not override the pinned truth)
+    val pinnedPath = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(defsOptionName(format)) => v
+    }
+    val channelFirst = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("defs_priority") => v.toLowerCase
+    } match {
+      case Some("file") => false
+      case Some("channel") => true
+      case _ => pinnedPath.isDefined
+    }
     format match {
       case "mcap" | "db3" =>
         val (entries, failures) = Transcode.plan(inPath)
         reportFailures(failures, mode, inPath, "ros2msg",
           " to embed those rows as ros1 bytes")
-        (Transcode.toCdr(spine, entries, strict = mode == "strict"),
+        val pinned =
+          if (channelFirst)
+            pinnedPath.map(Transcode.pinnedEntries).getOrElse(Map.empty)
+          else Map.empty[String, Transcode.Entry]
+        (Transcode.toCdr(spine, entries, strict = mode == "strict", pinned),
           mergedInline("schema_defs_inline",
-            Transcode.inlineDefs(entries.values), options),
+            Transcode.inlineDefs((entries ++ pinned).values), options),
           failures.isEmpty)
       case "rosbag" =>
         val (entries, failures) = Transcode.planToRos1(inPath)
         reportFailures(failures, mode, inPath, "ros1msg",
           " (with allow_foreign_encoding=true) to embed those rows " +
             "as foreign bytes")
-        (Transcode.toRos1(spine, entries, strict = mode == "strict"),
+        val pinned =
+          if (channelFirst)
+            pinnedPath.map(Transcode.pinnedRos1Entries).getOrElse(Map.empty)
+          else Map.empty[String, Transcode.Ros1Entry]
+        (Transcode.toRos1(spine, entries, strict = mode == "strict", pinned),
           mergedInline("conn_defs_inline",
-            Transcode.inlineRos1Defs(entries.values), options),
+            Transcode.inlineRos1Defs((entries ++ pinned).values), options),
           false)
       case other => throw new IllegalArgumentException(
         s"transcode targets mcap | db3 | rosbag, not '$other'")
@@ -588,30 +611,43 @@ object Convert {
     seen.size.toLong
   }
 
-  /** COMPACT a (streaming-)converted mcap archive: a standing
-    * normalizer emits one file per (partition, epoch) —
-    * `part-*-e<epoch>.mcap` accumulates 10⁴–10⁵ small files per year,
-    * and file COUNT is what drives plan time at fleet scale
-    * (FleetBench's axis). `compact` reads the archive's own message
-    * spine, re-layouts it time-ranged (the `layout = "time"` machinery
-    * — the compacted files' chunk indexes prune again) and atomically
-    * swaps the new generation in:
+  /** COMPACT a (streaming-)converted archive — ANY of the three target
+    * formats: a standing normalizer emits one file per (partition,
+    * epoch), accumulating 10⁴–10⁵ small files per year, and file COUNT
+    * is what drives plan time at fleet scale (FleetBench's axis).
+    * `compact` reads the archive's own full-fidelity spine, re-layouts
+    * it time-ranged (the `layout = "time"` machinery — the compacted
+    * files' own indexes prune again) and atomically swaps the new
+    * generation in ([[CompactJournal]]):
     *
+    *  - the format is DETECTED from the directory's data files; a dir
+    *    holding several container formats refuses loudly (sink outputs
+    *    are single-format by construction);
     *  - definitions carry per row (the write tasks late-bind each
-    *    row's schema from its pre-compact source file — [[SourceDefs]]);
-    *  - `attachments.mcap`, its ledger and every dotted file stay
-    *    untouched (the sidecar is already one file — nothing to
-    *    compact);
-    *  - sequence, publish_time and schema encodings survive (the
-    *    full mcap read spine feeds the sink, not the reduced mixed
-    *    spine);
+    *    row's schema/connection/defs-table entry from its pre-compact
+    *    source file — [[SourceDefs]]);
+    *  - mcap: `attachments.mcap`, its ledger, every att-* carrier and
+    *    every dotted file stay untouched (a carrier is one file
+    *    already, and the message-spine rewrite cannot represent its
+    *    side records); sequence, publish_time and schema encodings
+    *    survive (the full mcap read spine feeds the sink);
+    *  - rosbag: each compacted `.bag` carries its own IndexData
+    *    records and connections with their genuine md5s;
+    *  - db3: `metadata.yaml` is REGENERATED for the new generation in
+    *    the same swap (its relative paths take the compacted names;
+    *    the streaming epoch LEDGER carries over so a later stream
+    *    restart keeps its replay protection), and the archive's own
+    *    compression setting is inherited by the rewrite unless the
+    *    caller overrides it;
     *  - the swap is journaled (`.compact.journal` written before any
     *    rename): a crash mid-swap self-heals on the next `compact`
-    *    call, and the old generation is deleted only after every
-    *    compacted file holds its final name;
+    *    call, every batch directory listing serves ONE consistent
+    *    generation meanwhile ([[CompactJournal.maskedNames]]), and the
+    *    old generation is deleted only after every compacted file
+    *    holds its final name;
     *  - a later stream RESTART is unaffected: compacted stems
-    *    (`compact-<tag>-…`) never collide with the sink's epoch stems
-    *    or its replay reconcile sweep.
+    *    (`compact-<tag>-…`) never collide with the sinks' epoch stems
+    *    or their replay reconcile sweeps.
     *
     * Run it while the standing normalizer is stopped or quiescent: an
     * epoch REPLAYED from before the compaction (crash before its
@@ -623,37 +659,64 @@ object Convert {
       options: Map[String, String] = Map.empty): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
-    recoverCompact(fs, outPath)
+    CompactJournal.recover(fs, outPath)
     val dir = new org.apache.hadoop.fs.Path(outPath)
-    val files = fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".mcap") &&
-        !s.getPath.getName.startsWith("."))
+    def kindOf(n: String): Option[String] =
+      if (n.endsWith(".mcap")) Some("mcap")
+      else if (n.endsWith(".bag")) Some("rosbag")
+      else if (n.endsWith(".db3") || n.endsWith(".db3.zstd")) Some("db3")
+      else None
+    val listing = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+    val kinds = listing.flatMap(s => kindOf(s.getPath.getName)).distinct.sorted
+    if (kinds.isEmpty) return
+    require(kinds.size == 1, s"compact works per format; $outPath holds " +
+      s"${kinds.mkString(" + ")} files — compact the formats separately")
+    val format = kinds.head
+    val files = listing
+      .filter(s => kindOf(s.getPath.getName).contains(format))
       .map(_.getPath.toString).sorted
-      // attachment/metadata CARRIERS are excluded wholesale — the
+      // mcap attachment/metadata CARRIERS are excluded wholesale — the
       // message-spine rewrite cannot represent their side records, so
       // compacting one (attachments.mcap, an att-* relational write,
       // a raw recording copied in) would silently delete calibrations;
       // they stay as-is (each is one file already)
-      .filterNot { f =>
+      .filterNot(f => format == "mcap" && {
         val i = mcap.McapIO.scanIndex(f)
         i.attachmentRefs.nonEmpty || i.metadataRefs.nonEmpty
-      }
-    val foreign = fs.listStatus(dir).exists(s => s.isFile && {
-      val n = s.getPath.getName
-      (n.endsWith(".bag") || n.endsWith(".db3") || n.endsWith(".db3.zstd")) &&
-        !n.startsWith(".")
-    })
-    require(!foreign, s"compact targets mcap archives; $outPath also holds " +
-      "bag/db3 files — compact the formats separately")
+      })
     if (files.size <= 1) return // nothing to collapse
-    val spec = graft.ros.mcap.McapDataSource.filesSpec(files)
-    val df = spark.read.format("mcap").option("files", spec).load()
-    val prepared = mcap.McapExport.prepare(df,
-      topic = col("topic"), logTimeNs = col("log_time"), data = col("data"),
-      schemaName = col("schema_name"), schemaEncoding = col("schema_encoding"),
-      messageEncoding = col("message_encoding"),
-      publishTimeNs = col("publish_time"), sequence = col("sequence"),
-      sourcePath = col("file_path"))
+    // each format reads through its OWN full spine (not the reduced
+    // mixed spine) so format-specific columns survive the rewrite
+    val prepared = format match {
+      case "mcap" =>
+        val df = spark.read.format("mcap")
+          .option("files", mcap.McapDataSource.filesSpec(files)).load()
+        mcap.McapExport.prepare(df,
+          topic = col("topic"), logTimeNs = col("log_time"),
+          data = col("data"), schemaName = col("schema_name"),
+          schemaEncoding = col("schema_encoding"),
+          messageEncoding = col("message_encoding"),
+          publishTimeNs = col("publish_time"), sequence = col("sequence"),
+          sourcePath = col("file_path"))
+      case "rosbag" =>
+        val df = spark.read.format("rosbag")
+          .option("bags", bag.RosbagDataSource.bagsSpec(files)).load()
+        bag.BagExport.prepare(df, topic = col("topic"),
+          timeNs = col("time_sec").cast("long") * lit(1000000000L) +
+            col("time_nsec").cast("long"),
+          data = col("data"), datatype = col("datatype"),
+          sourcePath = col("bag_path"))
+      case "db3" =>
+        val df = spark.read.format("db3")
+          .option("files", db3.Db3DataSource.filesSpec(files)).load()
+        db3.Db3Export.prepare(df, topic = col("topic"),
+          timestampNs = col("timestamp"), data = col("data"),
+          tpe = col("type"),
+          serializationFormat = col("serialization_format"),
+          sourcePath = col("file_path"))
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
     val effParts =
       if (partitions > 0) partitions
       else {
@@ -661,36 +724,43 @@ object Convert {
           graft.ros.bag.RosbagIO.hadoopConf())
         partitionsFor(bytes, targetFileMb(options).getOrElse(512L))
       }
-    val sized = applyLayout(prepared, "mcap", effParts, "time")
+    val sized = applyLayout(prepared, format, effParts, "time")
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val stagePath = new org.apache.hadoop.fs.Path(outPath, s".compact-$tag")
-    val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase)) ++
-      autoProfile(options, "mcap", spec)
+    val auto = format match {
+      case "mcap" =>
+        autoProfile(options, "mcap", mcap.McapDataSource.filesSpec(files))
+      case "db3" =>
+        db3.Db3BatchWrite.compactCompressionOptions(fs, outPath, options)
+      case _ => Map.empty[String, String]
+    }
+    val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase)) ++ auto
     try {
-      sinkOpts.foldLeft(sized.write.format("mcap").mode("append")) {
+      sinkOpts.foldLeft(sized.write.format(format).mode("append")) {
         case (w, (k, v)) => w.option(k, v)
       }.save(stagePath.toString)
       val staged = fs.listStatus(stagePath).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".mcap"))
+        .filter(s => s.isFile && kindOf(s.getPath.getName).contains(format))
         .map(_.getPath.getName).sorted
       // journal BEFORE any rename: a crash mid-swap self-heals. The
       // journal itself publishes via temp + rename — the recovery
       // mechanism must never replay a TRUNCATED plan (promote-without-
       // delete would duplicate every row of the old generation)
-      val journal = new org.apache.hadoop.fs.Path(outPath, ".compact.journal")
-      val jtmp = new org.apache.hadoop.fs.Path(outPath, ".compact.journal.tmp")
-      val plan =
-        staged.map(n => s"MV\t.compact-$tag/$n\tcompact-$tag-$n") ++
-          files.map(f =>
-            s"RM\t${new org.apache.hadoop.fs.Path(f).getName}")
-      val jout = fs.create(jtmp, true)
-      try jout.write(plan.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally jout.close()
-      require(fs.rename(jtmp, journal),
-        s"compact: journal publish failed under $outPath")
-      executeCompactJournal(fs, outPath, plan)
-      fs.delete(journal, false)
+      val dataMvs = staged.map(n => s"MV\t.compact-$tag/$n\tcompact-$tag-$n")
+      val metaMvs =
+        if (format == "db3") {
+          // the staged metadata.yaml lists STAGE-relative names; swap
+          // in a rendering for the final names (epoch ledger carried
+          // over) as one more journaled promotion
+          db3.Db3BatchWrite.regenCompactMetadata(fs, outPath,
+            stagePath.toString, staged.map(n => s"compact-$tag-$n"))
+          Seq(s"MV\t.compact-$tag/metadata.yaml\tmetadata.yaml")
+        } else Seq.empty
+      val plan = dataMvs ++ metaMvs ++
+        files.map(f => s"RM\t${new org.apache.hadoop.fs.Path(f).getName}")
+      CompactJournal.write(fs, outPath, plan)
+      CompactJournal.execute(fs, outPath, plan)
+      fs.delete(CompactJournal.journalPath(outPath), false)
       fs.delete(stagePath, true)
       ()
     } catch {
@@ -699,68 +769,12 @@ object Convert {
         // the journal is published they are the recovery's inputs —
         // deleting them here would let the replay delete the old
         // generation without fully promoting the new one
-        if (!fs.exists(new org.apache.hadoop.fs.Path(outPath,
-            ".compact.journal")) && fs.exists(stagePath)) {
+        if (!fs.exists(CompactJournal.journalPath(outPath)) &&
+            fs.exists(stagePath)) {
           fs.delete(stagePath, true)
           ()
         }
         throw t
-    }
-  }
-
-  /** Complete a crashed swap: re-apply the journal (renames are
-    * idempotent — a staged file already promoted is gone from the
-    * stage; deletes of already-deleted files no-op).
-    */
-  private def recoverCompact(fs: org.apache.hadoop.fs.FileSystem,
-      outPath: String): Unit = {
-    val journal = new org.apache.hadoop.fs.Path(outPath, ".compact.journal")
-    if (!fs.exists(journal)) return
-    val in = fs.open(journal)
-    val text = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 1 << 16, false)
-      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-    executeCompactJournal(fs, outPath, text.linesIterator.toSeq)
-    fs.delete(journal, false)
-    // the replay consumed the staged files — their dirs (and a journal
-    // tmp from a crash before its publish rename) are now debris
-    fs.listStatus(new org.apache.hadoop.fs.Path(outPath)).foreach { s =>
-      if (s.isDirectory && s.getPath.getName.startsWith(".compact-"))
-        fs.delete(s.getPath, true)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(outPath, ".compact.journal.tmp"),
-      false)
-    ()
-  }
-
-  private def executeCompactJournal(fs: org.apache.hadoop.fs.FileSystem,
-      outPath: String, plan: Seq[String]): Unit = {
-    val dir = new org.apache.hadoop.fs.Path(outPath)
-    // every promotion first (the new generation must be fully in
-    // place), deletions of the old generation only after
-    plan.foreach {
-      case line if line.startsWith("MV\t") =>
-        // the journal is published atomically, so a malformed line is
-        // corruption, not truncation — fail loudly rather than replay
-        // a partial swap
-        val parts = line.split('\t')
-        require(parts.length == 3, s"compact: malformed journal line '$line'")
-        val src = new org.apache.hadoop.fs.Path(dir, parts(1))
-        val dst = new org.apache.hadoop.fs.Path(dir, parts(2))
-        if (fs.exists(src)) {
-          if (fs.exists(dst)) fs.delete(dst, false)
-          require(fs.rename(src, dst), s"compact: rename $src -> $dst failed")
-        }
-      case _ => ()
-    }
-    plan.foreach {
-      case line if line.startsWith("RM\t") =>
-        val name = line.substring(3)
-        fs.delete(new org.apache.hadoop.fs.Path(dir, name), false)
-        ()
-      case _ => ()
     }
   }
 

@@ -48,9 +48,14 @@ object MixedRead {
     val out = path.split('\n').filter(_.nonEmpty).toSeq.flatMap { spec =>
       val p = new org.apache.hadoop.fs.Path(spec)
       val fs = p.getFileSystem(conf)
-      if (fs.isDirectory(p))
+      if (fs.isDirectory(p)) {
+        // a pending compact journal (crash window) leaves BOTH
+        // generations on disk — serve one consistent view
+        val masked = CompactJournal.maskedNames(fs, p)
         fs.listStatus(p).toSeq.filter(_.isFile)
+          .filterNot(s => masked.contains(s.getPath.getName))
           .flatMap(s => classify(s.getPath.getName).map(_ -> s.getPath.toString))
+      }
       else {
         val stats = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
           .filter(_.isFile)

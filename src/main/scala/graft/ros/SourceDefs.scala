@@ -32,20 +32,18 @@ object SourceDefs {
 
   /** Per-JVM per-FILE lookup cache, THE freshness contract for every
     * late-binding definition consumer (this object and both
-    * [[Transcode]] directions): positives serve from cache (a
-    * schema's/connection's definition is immutable once written); a
-    * MISS re-stats the file — throttled to [[recheckNanos]], it sits
-    * on the row path — and reloads only when the (mtime, length)
-    * fingerprint changed (streams tail still-growing files), caching
-    * the negative otherwise.
-    *
-    * KNOWN LIMIT: a positive never re-validates, so a type that turns
-    * DIVERGENT mid-tail (a later-appended same-name connection with a
-    * different layout) keeps its first resolution until the JVM (or
-    * stream) restarts — and the sinks' own per-(topic, datatype, file)
-    * result caches would pin it anyway. Per-row re-validation would
-    * put a stat on every row; a restart re-reads the divergence
-    * honestly.
+    * [[Transcode]] directions): cached answers — positive AND negative
+    * — serve straight from memory inside the [[recheckNanos]] window;
+    * once the window expires, the next lookup re-stats the file and
+    * reloads only when the (mtime, length) fingerprint changed
+    * (streams tail still-growing files). Cost is one stat per file per
+    * window, never per row — but a type that turns DIVERGENT mid-tail
+    * (a later-appended same-name connection with a different layout)
+    * now flips to its honest divergence answer within one window
+    * instead of keeping the stale resolution until restart. NOTE:
+    * the sinks' own per-(topic, datatype, file) result caches may
+    * still pin an earlier answer within one task; across tasks and
+    * epochs the recheck is authoritative.
     */
   private[ros] final class FileDefCache[E](
       load: String => Map[String, Option[E]]) {
@@ -65,11 +63,11 @@ object SourceDefs {
       if (filePath == null || filePath.isEmpty) return None
       val now = System.nanoTime()
       val cur = cache.get(filePath)
-      if (cur != null) {
+      if (cur != null && now - cur.lastStatNanos < recheckNanos) {
+        // inside the throttle window both answers serve from cache; a
+        // type never asked about falls through (one stat, then cached)
         val hit = cur.entries.get(tpe)
-        if (hit.exists(_.isDefined)) return hit.get
-        if (hit.isDefined && now - cur.lastStatNanos < recheckNanos)
-          return None
+        if (hit.isDefined) return hit.get
       }
       val fp = fingerprint(filePath)
       val base =
@@ -105,15 +103,33 @@ object SourceDefs {
 
   private val ros2Defs = new FileDefCache[(String, String)](loadRos2Defs(_))
 
+  /** Sentinel: the file defines the type DIVERGENTLY (several layouts
+    * under one name) — cached as a positive so lookups stop reloading,
+    * but distinguishable from plain absence so the db3 sink can
+    * surface a diagnostic instead of a silent honest-empty. The empty
+    * pair cannot collide with a real definition: loads filter empty
+    * texts out.
+    */
+  private[ros] val DivergentRos2Def: (String, String) = ("", "")
+
   /** The ros2-dialect (schema encoding, definition text) file `path`
     * provides for type `tpe` — its own ros2msg/ros2idl definition, or
     * the [[Transcode]] translation of its ros1msg definition under the
     * renamed type (the forward-transcode case). None when the file
     * defines the type divergently (honest absent — the db3 defs table
-    * holds one row per type).
+    * holds one row per type; [[ros2DefDivergent]] tells the two
+    * absences apart).
     */
   def ros2DefFor(path: String, tpe: String): Option[(String, String)] =
-    ros2Defs.get(path, tpe)
+    ros2Defs.get(path, tpe).filter(_ != DivergentRos2Def)
+
+  /** Does `path` define `tpe` DIVERGENTLY (several distinct layouts
+    * under one name — per-row attribution impossible)? Serves from the
+    * same cache as [[ros2DefFor]]; drives the db3 sink's divergence
+    * diagnostic.
+    */
+  def ros2DefDivergent(path: String, tpe: String): Boolean =
+    ros2Defs.get(path, tpe).contains(DivergentRos2Def)
 
   private def loadRos2Defs(f: String)
       : Map[String, Option[(String, String)]] = {
@@ -146,7 +162,11 @@ object SourceDefs {
       val d = direct.collect { case (`n`, v) => v }.distinct
       val t = translated.collect { case (`n`, v) => v }.distinct
       val chosen = if (d.nonEmpty) d else t
-      n -> (if (chosen.size == 1) Some(chosen.head) else None)
+      // several distinct layouts under one name = divergent — the
+      // SENTINEL (not None) so consumers can tell "file defines it
+      // ambiguously" apart from "file doesn't define it" and surface
+      // a diagnostic instead of a silent honest-empty
+      n -> Some(if (chosen.size == 1) chosen.head else DivergentRos2Def)
     }.toMap
   }
 

@@ -173,6 +173,27 @@ object Transcode {
     * and the mcap profile would stamp "ros2" on an archive whose
     * def-less rows byte-embed as ros1 channels.
     */
+  /** Type names some single file defines DIVERGENTLY (several distinct
+    * variant keys under one name within ONE file — the per-row
+    * attribution the execution-time sentinel refuses). These must
+    * count as PLAN-TIME failures: strict then fails before writing a
+    * byte, and auto's profile claim falls back honestly — otherwise
+    * `failures.isEmpty` would stamp a "ros2" profile on an archive
+    * whose divergent rows pass through under their original encoding.
+    */
+  private def divergentNames(perFile: Seq[(String, Seq[(String, String)])])
+      : Map[String, String] =
+    perFile.flatMap { case (f, defs) =>
+      defs.groupBy(_._1).collect {
+        case (n, ds) if ds.map(_._2).distinct.size > 1 => (n, f)
+      }
+    }.groupBy(_._1).map { case (n, hits) =>
+      n -> ("defined DIVERGENTLY within " +
+        hits.map(_._2).distinct.sorted.mkString(", ") +
+        " (several layouts under one name — rows cannot be attributed " +
+        "to a definition)")
+    }
+
   def plan(inPath: String): (Map[String, Entry], Map[String, String]) = {
     val ros1 = DefsHarvest.dedupe(
       DefsHarvest.fromPath(inPath).filter(_.encoding == "ros1msg"))
@@ -184,20 +205,64 @@ object Transcode {
     }
     val entries = attempts.collect { case (n, Right(e)) => n -> e }.toMap
     val resolved = MixedRead.resolve(inPath)
+    val bagIdx = bag.RosbagIO.scanIndexes(resolved.getOrElse("rosbag", Seq.empty))
+    val mcapIdx = DriverPool.parMap(resolved.getOrElse("mcap", Seq.empty))(
+      f => f -> mcap.McapIO.scanIndex(f))
     val defless = (
-      resolved.getOrElse("rosbag", Seq.empty)
-        .flatMap(f => bag.RosbagIO.scanIndexes(Seq(f)).flatMap(_._2.connections))
+      bagIdx.flatMap(_._2.connections)
         .filter(c => c.datatype.nonEmpty && c.msgDef.trim.isEmpty)
         .map(_.datatype) ++
-      resolved.getOrElse("mcap", Seq.empty)
-        .flatMap(f => mcap.McapIO.scanIndex(f).schemas.values)
+      mcapIdx.flatMap(_._2.schemas.values)
         .filter(s => s.encoding == "ros1msg" && s.name.nonEmpty && s.data.isEmpty)
         .map(_.name)
     ).distinct.filterNot(entries.contains)
       .map(_ -> "empty message definition in source").toMap
+    // within-file divergence = plan-time failure (see divergentNames);
+    // divergence ACROSS files stays translatable — per-file resolution
+    // decodes each file's rows under its own truth
+    val divergent = divergentNames(
+      bagIdx.map { case (f, idx) => f -> idx.connections
+        .filter(c => c.datatype.nonEmpty && c.msgDef.trim.nonEmpty)
+        .map(c => (c.datatype, c.msgDef)) } ++
+      mcapIdx.map { case (f, idx) => f -> idx.schemas.values.toSeq
+        .filter(s => s.encoding == "ros1msg" && s.name.nonEmpty && s.data.nonEmpty)
+        .map(s => (s.name,
+          new String(s.data, java.nio.charset.StandardCharsets.UTF_8))) })
     (entries,
-      attempts.collect { case (n, Left(m)) => n -> m }.toMap ++ defless)
+      attempts.collect { case (n, Left(m)) => n -> m }.toMap ++ defless ++
+        divergent)
   }
+
+  /** Harvest + translate the ros1msg definitions under an explicitly
+    * PINNED defs channel path — the entries [[toCdr]] consults BEFORE
+    * any per-file resolution when `defs_priority` is channel-first
+    * (the sinks' contract for a user-pinned definitive source). A name
+    * the pinned channel defines divergently or untranslatably is
+    * simply absent here (resolution falls through to file-then-plan).
+    */
+  def pinnedEntries(path: String): Map[String, Entry] =
+    DefsHarvest.fromPath(path).filter(_.encoding == "ros1msg")
+      .groupBy(_.name).flatMap { case (n, ds) =>
+        val texts = ds.map(d =>
+          new String(d.data, java.nio.charset.StandardCharsets.UTF_8)).distinct
+        if (texts.size != 1) None
+        else try Some(n -> translate(n, texts.head))
+        catch { case _: Exception => None }
+      }
+
+  /** [[pinnedEntries]] for the reverse direction: ros2-dialect
+    * definitions under the pinned path, translated to ros1msg, keyed
+    * by the ros2 type name [[toRos1]] sees on the rows.
+    */
+  def pinnedRos1Entries(path: String): Map[String, Ros1Entry] =
+    DefsHarvest.fromPath(path).filter(d => DefsHarvest.isRos2(d.encoding))
+      .groupBy(_.name).flatMap { case (n, ds) =>
+        val variants = ds.map(d => (d.encoding,
+          new String(d.data, java.nio.charset.StandardCharsets.UTF_8))).distinct
+        if (variants.size != 1) None
+        else try Some(n -> translateToRos1(n, variants.head._1, variants.head._2))
+        catch { case _: Exception => None }
+      }
 
   /** The translated definitions as sink-side defs-channel entries. */
   def inlineDefs(entries: Iterable[Entry]): Seq[DefsHarvest.TypeDef] =
@@ -274,10 +339,13 @@ object Transcode {
 
   /** Rewrite a mixed-spine frame's "ros1" rows to CDR: `data`
     * re-encoded, `type` renamed to the ROS 2 convention, `encoding` →
-    * "cdr", `size` recomputed. The row's own file resolves its
-    * definition first (divergent same-named definitions, types landing
-    * mid-stream); plan-time `entries` are the fallback for unscannable
-    * files. `strict` controls the remainder: true
+    * "cdr", `size` recomputed. Resolution order: `pinned` (a USER's
+    * explicitly pinned defs channel under channel-first priority —
+    * the sinks' `defs_priority` contract, mirrored here) wins over
+    * everything; otherwise the row's own file resolves first
+    * (divergent same-named definitions, types landing mid-stream);
+    * plan-time `entries` are the fallback for unscannable files.
+    * `strict` controls the remainder: true
     * fails the row loudly, false passes it through unchanged (the
     * byte-embed path — still a valid mcap, not a ros2-profile one).
     *
@@ -286,14 +354,17 @@ object Transcode {
     * duplicates the decode+encode into sibling projections.
     */
   def toCdr(spine: DataFrame, entries: Map[String, Entry],
-      strict: Boolean): DataFrame = {
+      strict: Boolean, pinned: Map[String, Entry] = Map.empty): DataFrame = {
     val bc = spine.sparkSession.sparkContext.broadcast(entries)
+    val bcPinned = spine.sparkSession.sparkContext.broadcast(pinned)
+    // a user-PINNED channel wins (defs_priority=channel); otherwise
     // the row's own FILE resolves first (same-named types can carry
     // divergent definitions across a fleet's files — decoding under
     // the other file's definition would be silent corruption); the
     // plan-time broadcast covers rows whose file cannot be scanned
     val tcodeUdf = udf { (tpe: String, data: Array[Byte], filePath: String) =>
-      fileFallback(filePath, tpe).orElse(bc.value.get(tpe)) match {
+      bcPinned.value.get(tpe).orElse(fileFallback(filePath, tpe))
+        .orElse(bc.value.get(tpe)) match {
         case Some(e) if e eq DivergentEntry =>
           if (strict) throw new IllegalArgumentException(
             s"transcode: $filePath defines '$tpe' DIVERGENTLY (several " +
@@ -417,10 +488,11 @@ object Transcode {
     }
     val entries = attempts.collect { case (n, Right(e)) => n -> e }.toMap
     val resolved = MixedRead.resolve(inPath)
+    val db3Metas = db3.Db3IO.scanMetas(resolved.getOrElse("db3", Seq.empty))
+    val mcapIdx = DriverPool.parMap(resolved.getOrElse("mcap", Seq.empty))(
+      f => f -> mcap.McapIO.scanIndex(f))
     val defless = (
-      resolved.getOrElse("db3", Seq.empty)
-        .flatMap(f => db3.Db3IO.scanMetas(Seq(f)))
-        .flatMap { case (_, m) =>
+      db3Metas.flatMap { case (_, m) =>
           // an EMPTY definition text counts as undefined, like the
           // mcap branch's s.data.isEmpty
           val defined = m.definitions
@@ -429,15 +501,26 @@ object Transcode {
             case (_, tpe, "cdr") if tpe.nonEmpty && !defined.contains(tpe) => tpe
           }
         } ++
-      resolved.getOrElse("mcap", Seq.empty)
-        .flatMap(f => mcap.McapIO.scanIndex(f).schemas.values)
+      mcapIdx.flatMap(_._2.schemas.values)
         .filter(s => DefsHarvest.isRos2(s.encoding) && s.name.nonEmpty &&
           s.data.isEmpty)
         .map(_.name)
     ).distinct.filterNot(entries.contains)
       .map(_ -> "no/empty message definition in source").toMap
+    // within-file divergence = plan-time failure, as in [[plan]];
+    // variant key (encoding, text) matches loadFileDefsToRos1's rule
+    val divergent = divergentNames(
+      db3Metas.map { case (f, m) => f -> m.definitions
+        .filter(_._3.trim.nonEmpty)
+        .map(d => (d._1, d._2 + " " + d._3)) } ++
+      mcapIdx.map { case (f, idx) => f -> idx.schemas.values.toSeq
+        .filter(s => DefsHarvest.isRos2(s.encoding) && s.name.nonEmpty &&
+          s.data.nonEmpty)
+        .map(s => (s.name, s.encoding + " " +
+          new String(s.data, java.nio.charset.StandardCharsets.UTF_8))) })
     (entries,
-      attempts.collect { case (n, Left(m)) => n -> m }.toMap ++ defless)
+      attempts.collect { case (n, Left(m)) => n -> m }.toMap ++ defless ++
+        divergent)
   }
 
   /** The translated definitions as the BAG sink's defs-channel
@@ -492,10 +575,12 @@ object Transcode {
     * into byte-embedding or filters them out).
     */
   def toRos1(spine: DataFrame, entries: Map[String, Ros1Entry],
-      strict: Boolean): DataFrame = {
+      strict: Boolean, pinned: Map[String, Ros1Entry] = Map.empty): DataFrame = {
     val bc = spine.sparkSession.sparkContext.broadcast(entries)
+    val bcPinned = spine.sparkSession.sparkContext.broadcast(pinned)
     val tcodeUdf = udf { (tpe: String, data: Array[Byte], filePath: String) =>
-      ros1FileDefs.get(filePath, tpe).orElse(bc.value.get(tpe)) match {
+      bcPinned.value.get(tpe).orElse(ros1FileDefs.get(filePath, tpe))
+        .orElse(bc.value.get(tpe)) match {
         case Some(e) if e eq DivergentRos1Entry =>
           if (strict) throw new IllegalArgumentException(
             s"transcode: $filePath defines '$tpe' DIVERGENTLY (several " +

@@ -629,8 +629,12 @@ object RosbagIO {
     } else {
       val st = filesystem.getFileStatus(p)
       if (st.isDirectory) {
+        // a pending compact journal (crash window) leaves BOTH
+        // generations on disk — serve one consistent view
+        val masked = graft.ros.CompactJournal.maskedNames(filesystem, p)
         val bags = filesystem.listStatus(p)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".bag"))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".bag") &&
+            !masked.contains(s.getPath.getName))
           .map(_.getPath.toString).sorted.toSeq
         require(bags.nonEmpty, s"directory contains no .bag files: $path")
         bags

@@ -232,7 +232,8 @@ private[db3] final case class Db3StreamWriterFactory(dir: String, qid: String,
 
 private[db3] final case class Db3FilesCommit(paths: Seq[String], rows: Long,
     topicCounts: Seq[((String, String, String), Long)],
-    minTs: Long, maxTs: Long, bytes: Long = 0L)
+    minTs: Long, maxTs: Long, bytes: Long = 0L,
+    divergent: Seq[(String, Seq[String])] = Seq.empty)
   extends WriterCommitMessage
 
 /** The bag-directory `metadata.yaml` rosbag2 tooling locates storage
@@ -394,6 +395,127 @@ private[db3] object Db3BagMetadata {
 }
 
 object Db3BatchWrite {
+  private val logger = org.slf4j.LoggerFactory.getLogger(Db3BatchWrite.getClass)
+
+  /** Surface DIVERGENT definitions loudly: a db3 message_definitions
+    * table holds one row per type, so a type whose source files define
+    * it with several distinct layouts lands honest-EMPTY — correct,
+    * but a user reading the export then hits undecodable rows with no
+    * pointer. `_divergent.json` in the bag dir names each such type
+    * and the source files carrying the divergence (underscore-prefixed:
+    * invisible to rosbag2 tooling and to data-file counts), and the
+    * commit logs a warning. Append merges with the previous sidecar;
+    * truncate resets it. No divergence anywhere = no sidecar (a stale
+    * one from a replaced generation is deleted on truncate).
+    */
+  private[db3] def writeDivergent(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, fresh: Seq[(String, Seq[String])], truncate: Boolean): Unit = {
+    val p = new Path(dir, "_divergent.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val prev: Map[String, Seq[String]] =
+      if (truncate || !fs.exists(p)) Map.empty
+      else try {
+        val in = fs.open(p)
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        val node = mapper.readTree(text)
+        val it = node.properties().iterator()
+        val b = Map.newBuilder[String, Seq[String]]
+        while (it.hasNext) {
+          val e = it.next()
+          val files = (0 until e.getValue.size()).map(e.getValue.get(_).asText())
+          b += e.getKey -> files
+        }
+        b.result()
+      } catch { case _: Exception => Map.empty }
+    val merged = (prev.keySet ++ fresh.map(_._1)).toSeq.sorted.map { tp =>
+      tp -> (prev.getOrElse(tp, Seq.empty) ++
+        fresh.collect { case (`tp`, fls) => fls }.flatten).distinct.sorted
+    }.filter(_._2.nonEmpty)
+    if (merged.isEmpty) {
+      if (truncate && fs.exists(p)) { fs.delete(p, false); () }
+      return
+    }
+    val root = mapper.createObjectNode()
+    merged.foreach { case (tp, fls) =>
+      val arr = root.putArray(tp)
+      fls.foreach(arr.add)
+    }
+    val tmp = new Path(dir, "._divergent.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"db3 write: _divergent.json publish failed in $dir")
+    logger.warn(s"db3 write: ${merged.size} type(s) carry DIVERGENT " +
+      "definitions across their source files — their message_definitions " +
+      s"rows are omitted (undecodable without the original sources); see " +
+      s"$dir/_divergent.json (" +
+      merged.take(5).map(_._1).mkString(", ") + ")")
+  }
+
+  private def readText(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** The compression options a COMPACT rewrite must inherit from the
+    * archive's own metadata.yaml — a zstd archive must not silently
+    * decompress just because the caller didn't repeat the setting. A
+    * caller-passed compression_format still wins.
+    */
+  private[ros] def compactCompressionOptions(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      user: Map[String, String]): Map[String, String] = {
+    if (user.keys.exists(_.equalsIgnoreCase("compression_format")))
+      return Map.empty
+    val metaPath = new Path(dir, "metadata.yaml")
+    if (!fs.exists(metaPath)) return Map.empty
+    Db3BagMetadata.compressionOf(readText(fs, metaPath)) match {
+      case ("zstd", "FILE") =>
+        Map("compression_format" -> "zstd", "compression_mode" -> "file")
+      case ("zstd", "MESSAGE") =>
+        Map("compression_format" -> "zstd", "compression_mode" -> "message")
+      case _ => Map.empty
+    }
+  }
+
+  /** Rewrite the STAGED metadata.yaml for a compact promotion: the
+    * stats and compression come from the stage write's own emission,
+    * the relative paths take the FINAL (post-rename) compacted names,
+    * and the streaming epoch LEDGER carries over from the live
+    * metadata.yaml — a stream restarting after the compact must keep
+    * its replay protection. Written back into the stage dir, where the
+    * compact journal promotes it with the data files.
+    */
+  private[ros] def regenCompactMetadata(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, stageDir: String, finalNames: Seq[String]): Unit = {
+    val stagedPath = new Path(stageDir, "metadata.yaml")
+    require(fs.exists(stagedPath),
+      s"compact: the db3 stage write left no metadata.yaml under $stageDir")
+    val stagedText = readText(fs, stagedPath)
+    val (_, stats, _) = Db3BagMetadata.parseWithEpochs(stagedText)
+    val compression = Db3BagMetadata.compressionOf(stagedText) match {
+      case ("zstd", "FILE") => "zstd_file"
+      case ("zstd", "MESSAGE") => "zstd_message"
+      case _ => "none"
+    }
+    val livePath = new Path(dir, "metadata.yaml")
+    val ledger =
+      if (fs.exists(livePath))
+        scala.util.Try(
+          Db3BagMetadata.parseWithEpochs(readText(fs, livePath))._3)
+          .getOrElse(Map.empty[String, Long])
+      else Map.empty[String, Long]
+    val yaml = Db3BagMetadata.render(finalNames, stats, ledger, compression)
+    val out = fs.create(stagedPath, true)
+    try out.write(yaml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** The append-mismatch guard (a rosbag2 bag dir records ONE
     * format/mode pair for every listed file). Called EARLY — at write
     * construction on the driver, before any task runs — and again at
@@ -472,6 +594,10 @@ object Db3BatchWrite {
     prevText.foreach(t =>
       Db3BatchWrite.requireCompatibleCompression(t, compression,
         prevPaths.nonEmpty))
+    // divergence diagnostic BEFORE the epoch-ledger skip (a replayed
+    // epoch's sidecar merge is idempotent, and the pointer must not be
+    // lost to a crashed checkpoint commit)
+    writeDivergent(fs, dir, commits.flatMap(_.divergent), truncate)
     if (epoch.exists { case (q, e) => prevLedger.get(q).exists(_ >= e) }) return
     val jobStats = commits.foldLeft(Db3BagMetadata.Empty) { (acc, c) =>
       Db3BagMetadata.merge(acc,
@@ -570,8 +696,21 @@ class Db3DataWriter(dir: String, stem: String,
   private var total = 0L
   private var bytesOut = 0L
   // metadata.yaml inputs, carried on the commit message: per-topic
-  // counts (tiny dimension) + the task's time range
-  private val typeSrc = scala.collection.mutable.HashMap[String, String]()
+  // counts (tiny dimension) + the task's time range.
+  // typeSrc keeps a SMALL SET of source files per type (not just the
+  // first): a mixed stream can route a type's first row through a file
+  // that does NOT define it (the definition lives in a sibling
+  // container of the same type) — the flush-time lookup tries each
+  // observed file until one resolves
+  private val typeSrc =
+    scala.collection.mutable.HashMap[String, scala.collection.mutable.LinkedHashSet[String]]()
+  private val TypeSrcMax = 8
+  // divergence diagnostic: type -> source files that define it with
+  // SEVERAL distinct layouts (per-row attribution impossible, so the
+  // defs table honestly omits the row) — surfaced via _divergent.json
+  // at commit so a reader of undecodable rows has a pointer
+  private val divergentSrc =
+    scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
   private val topicStats =
     scala.collection.mutable.LinkedHashMap[(String, String, String), Long]()
   private var tsMin = Long.MaxValue
@@ -591,14 +730,18 @@ class Db3DataWriter(dir: String, stem: String,
     val key = (row.getUTF8String(ords.topic).toString,
       if (row.isNullAt(ords.tpe)) "" else row.getUTF8String(ords.tpe).toString,
       if (row.isNullAt(ords.fmt)) "cdr" else row.getUTF8String(ords.fmt).toString)
-    // remember ONE source file per type for the late-binding defs
-    // lookup at flush (a type missing from the plan-time channel —
-    // first landed mid-stream — still exports with its definition)
-    if (key._2.nonEmpty && !defs.contains(key._2) &&
-        !typeSrc.contains(key._2) && ords.filePath >= 0 &&
+    // remember up to TypeSrcMax source files per type for the
+    // late-binding defs lookup at flush (a type missing from the
+    // plan-time channel — first landed mid-stream — still exports with
+    // its definition, even when the first row's file doesn't carry it)
+    if (key._2.nonEmpty && !defs.contains(key._2) && ords.filePath >= 0 &&
         !row.isNullAt(ords.filePath)) {
       val f = row.getUTF8String(ords.filePath).toString
-      if (f.nonEmpty) typeSrc(key._2) = f
+      if (f.nonEmpty) {
+        val set = typeSrc.getOrElseUpdate(key._2,
+          scala.collection.mutable.LinkedHashSet[String]())
+        if (set.size < TypeSrcMax) { set += f; () }
+      }
     }
     val ts = row.getLong(ords.timestamp)
     batch += ((key._1, key._2, key._3, ts, data))
@@ -629,12 +772,22 @@ class Db3DataWriter(dir: String, stem: String,
       Seq[Any](null, topicIds((t, tp, f)), ts, payload)
     }.toSeq
     val defRows = topicIds.keys.map(_._2).toSeq.distinct
-      .flatMap(tp => defs.get(tp)
-        .orElse(typeSrc.get(tp)
-          .flatMap(graft.ros.SourceDefs.ros2DefFor(_, tp)))
-        .map { case (enc, text) =>
-          Seq[Any](null, tp, enc, text, "")
-        })
+      .flatMap { tp =>
+        val files = typeSrc.getOrElse(tp, Nil)
+        val resolved = defs.get(tp).orElse(files.iterator
+          .map(graft.ros.SourceDefs.ros2DefFor(_, tp))
+          .collectFirst { case Some(v) => v })
+        if (resolved.isEmpty) {
+          // unresolvable: if any observed file defines the type
+          // DIVERGENTLY, record it for the _divergent.json diagnostic
+          // (the defs row is honestly omitted either way)
+          val div = files.iterator
+            .filter(graft.ros.SourceDefs.ros2DefDivergent(_, tp)).toSeq
+          if (div.nonEmpty)
+            divergentSrc(tp) = (divergentSrc.getOrElse(tp, Seq.empty) ++ div).distinct
+        }
+        resolved.map { case (enc, text) => Seq[Any](null, tp, enc, text, "") }
+      }
     val tables = Seq(
       ("topics",
         "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)",
@@ -682,7 +835,7 @@ class Db3DataWriter(dir: String, stem: String,
       renamed += fin
     }
     Db3FilesCommit(rolled.map(_._2.toString).toSeq, total,
-      topicStats.toSeq, tsMin, tsMax, bytesOut)
+      topicStats.toSeq, tsMin, tsMax, bytesOut, divergentSrc.toSeq)
   }
 
   override def abort(): Unit = {

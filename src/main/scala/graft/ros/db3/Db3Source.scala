@@ -132,8 +132,13 @@ object Db3IO {
       val p = new Path(spec)
       val fs = p.getFileSystem(hadoopConf())
       val stats =
-        if (fs.isDirectory(p))
-          fs.listStatus(p).toSeq.filter(s => s.isFile && isDb3(s.getPath.getName))
+        if (fs.isDirectory(p)) {
+          // a pending compact journal (crash window) leaves BOTH
+          // generations on disk — serve one consistent view
+          val masked = graft.ros.CompactJournal.maskedNames(fs, p)
+          fs.listStatus(p).toSeq.filter(s => s.isFile &&
+            isDb3(s.getPath.getName) && !masked.contains(s.getPath.getName))
+        }
         else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty).filter(_.isFile)
       require(stats.nonEmpty || fs.exists(p), s"db3 path not found: $spec")
       stats.map(_.getPath.toString)
@@ -962,6 +967,14 @@ class Db3ReaderFactory(required: StructType, filters: Array[Filter], limit: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new Db3SpineReader(p.asInstanceOf[Db3InputPartition], required, filters, limit)
+
+  // every spine column vectorizes (longs / interned strings / binary),
+  // so the untyped scan is always columnar — like the bag/mcap spines
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new Db3SpineColumnarReader(p.asInstanceOf[Db3InputPartition], required,
+      filters, limit)
 }
 
 /** Spine rows straight off the messages b-tree subtree. Pushed filters
@@ -1034,6 +1047,18 @@ class Db3TypedReaderFactory(schemaName: String, encoding: String,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new Db3TypedReader(p.asInstanceOf[Db3InputPartition], schemaName, encoding,
       schemaText, required, includeRaw, filters, limit)
+
+  // vectorized path: db3 typed payloads are CDR by contract, so the
+  // shared aligned op program applies whenever every required column
+  // has a columnar-supported shape (same rules as the bag/mcap typed
+  // columnar readers); array-of-struct projections fall back to the
+  // row reader above
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    graft.ros.bag.RosbagColumnarRead.supportsColumnar(required)
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new Db3TypedColumnarReader(p.asInstanceOf[Db3InputPartition], schemaName,
+      encoding, schemaText, required, includeRaw, filters, limit)
 }
 
 /** Typed rows: CDR payloads of the schema's topics flattened through

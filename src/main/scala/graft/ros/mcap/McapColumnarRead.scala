@@ -1,0 +1,434 @@
+package graft.ros.mcap
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+import graft.ros._
+import graft.ros.RosPrimitive._
+import graft.ros.bag.RosbagColumnarRead
+
+/** Vectorized typed MCAP reads over CDR payloads — the XCDR1 twin of
+  * [[graft.ros.bag.RosbagColumnarRead]] (SURVEY §1.1's named
+  * optimization path, extended to the ROS 2-era container a growing
+  * fleet share records in). The wire walk decodes each message
+  * DIRECTLY into `OnHeapColumnVector`s through a per-leaf op program
+  * compiled once per partition: no per-row `Seq[Any]`, no boxing, no
+  * `InternalRow.fromSeq`, no `String` intermediates. Columns pruned by
+  * Catalyst become skip ops that advance (and align) the cursor
+  * without materializing anything.
+  *
+  * The ONE rule CDR adds over the packed ros1 walk is alignment: each
+  * primitive of width w aligns to w relative to the post-encapsulation
+  * origin (payload offset 4) — [[CdrCodec]]'s Reader, compiled. Both
+  * endiannesses decode (the 4-byte header's representation id selects
+  * the `ByteBuffer` order per message). Alignment only advances the
+  * cursor when a read actually happens, so empty arrays leave the
+  * position untouched exactly like the row decoder.
+  *
+  * Supported column shapes match the rosbag columnar path: scalars,
+  * strings, uint8[] blobs, arrays of primitives/strings. A REQUIRED
+  * array-of-struct column falls back to the row reader for the scan.
+  */
+object CdrColumnarRead {
+
+  type Op = ByteBuffer => Unit
+
+  private def align(buf: ByteBuffer, n: Int): Unit = {
+    val rem = (buf.position() - 4) % n
+    if (rem != 0) buf.position(buf.position() + n - rem)
+  }
+  private def skip(buf: ByteBuffer, n: Int): Unit =
+    buf.position(buf.position() + n)
+
+  /** Aligned u32 count/length read (array counts, string lengths). */
+  private def readLen(buf: ByteBuffer): Int = {
+    align(buf, 4)
+    val n = buf.getInt()
+    require(n >= 0, s"negative cdr array/string length $n")
+    n
+  }
+
+  private def scalarWidth(p: RosPrimitive): Int = p match {
+    case RBool | RInt8 | RByte | RUInt8 | RChar => 1
+    case RInt16 | RUInt16 => 2
+    case RInt32 | RUInt32 | RFloat32 => 4
+    case RInt64 | RUInt64 | RFloat64 => 8
+    case RTime | RDuration => -1 // two i32 columns, handled by caller
+    case RString => -1 // dynamic
+  }
+
+  /** Skip one scalar (align, then advance). */
+  private def skipScalar(p: RosPrimitive): Op = p match {
+    case RString => buf => skip(buf, readLen(buf))
+    case other =>
+      val w = scalarWidth(other)
+      require(w > 0, s"unexpected scalar $other")
+      buf => { align(buf, w); skip(buf, w) }
+  }
+
+  /** Append one scalar into `v` — the same type widenings as
+    * [[CdrCodec.decode]] / RosSchemaMapper.flatSchema, aligned reads.
+    */
+  private def writeScalar(p: RosPrimitive, v: WritableColumnVector): Op = p match {
+    case RBool    => buf => v.appendBoolean(buf.get() != 0)
+    case RInt8 | RByte => buf => v.appendInt(buf.get().toInt)
+    case RUInt8 | RChar => buf => v.appendInt(java.lang.Byte.toUnsignedInt(buf.get()))
+    case RInt16   => buf => { align(buf, 2); v.appendInt(buf.getShort().toInt) }
+    case RUInt16  => buf => { align(buf, 2)
+      v.appendInt(java.lang.Short.toUnsignedInt(buf.getShort())) }
+    case RInt32   => buf => { align(buf, 4); v.appendInt(buf.getInt()) }
+    case RUInt32  => buf => { align(buf, 4)
+      v.appendLong(java.lang.Integer.toUnsignedLong(buf.getInt())) }
+    case RInt64 | RUInt64 => buf => { align(buf, 8); v.appendLong(buf.getLong()) }
+    case RFloat32 => buf => { align(buf, 4); v.appendFloat(buf.getFloat()) }
+    case RFloat64 => buf => { align(buf, 8); v.appendDouble(buf.getDouble()) }
+    case RString  => buf => {
+      val n = readLen(buf) // length INCLUDES the null terminator
+      val arr = buf.array(); val off = buf.arrayOffset() + buf.position()
+      val end = if (n > 0 && arr(off + n - 1) == 0) n - 1 else n
+      // parity with the row path (CdrCodec.string goes through
+      // new String(..., UTF_8), which substitutes U+FFFD): valid UTF-8
+      // appends zero-copy, invalid bytes take the round trip
+      if (org.apache.spark.unsafe.types.UTF8String.fromBytes(arr, off, end).isValid) {
+        v.appendByteArray(arr, off, end)
+      } else {
+        val fixed = new String(arr, off, end, java.nio.charset.StandardCharsets.UTF_8)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        v.appendByteArray(fixed, 0, fixed.length)
+      }
+      skip(buf, n)
+    }
+    case RTime | RDuration =>
+      throw new IllegalStateException("time handled by caller (two columns)")
+  }
+
+  /** Compile the CDR op program for `msg` — one op per leaf, a writer
+    * when the leaf's flattened column is in `colFor`, an aligned skip
+    * otherwise. Mirrors [[CdrCodec.decodeMsg]] exactly so wire order
+    * and column order stay aligned.
+    */
+  def compile(bundle: RosMsgBundle, msg: RosMsgDef, prefix: String,
+              colFor: String => Option[WritableColumnVector]): Seq[Op] = {
+    def join(p: String, n: String) = if (p.isEmpty) n else s"${p}_$n"
+    msg.fields.filterNot(_.isConstant).flatMap { f =>
+      val col = join(prefix, f.name)
+      f.tpe match {
+        case RTime | RDuration =>
+          Seq(colFor(s"${col}_sec") match {
+            case Some(v) => (buf: ByteBuffer) => { align(buf, 4); v.appendInt(buf.getInt()) }
+            case None    => (buf: ByteBuffer) => { align(buf, 4); skip(buf, 4) }
+          }, colFor(s"${col}_nsec") match {
+            case Some(v) => (buf: ByteBuffer) => v.appendInt(buf.getInt())
+            case None    => (buf: ByteBuffer) => skip(buf, 4)
+          })
+        case p: RosPrimitive =>
+          Seq(colFor(col).map(writeScalar(p, _)).getOrElse(skipScalar(p)))
+        case ref: RosMsgRef =>
+          compile(bundle, bundle.resolve(ref, msg.pkg), col, colFor)
+        case RosArray(RUInt8 | RByte | RChar | RInt8, fixedLen) =>
+          Seq(colFor(col) match {
+            case Some(v) => (buf: ByteBuffer) => {
+              val n = fixedLen.getOrElse(readLen(buf))
+              v.appendByteArray(buf.array(), buf.arrayOffset() + buf.position(), n)
+              skip(buf, n)
+            }
+            case None => (buf: ByteBuffer) =>
+              skip(buf, fixedLen.getOrElse(readLen(buf)))
+          })
+        case RosArray(RTime | RDuration, fixedLen) =>
+          // array-of-struct columns are never writers (supportsColumnar
+          // rejects them from the projection); 8 bytes per element
+          // after the first element's 4-alignment
+          Seq((buf: ByteBuffer) => {
+            val n = fixedLen.getOrElse(readLen(buf))
+            if (n > 0) { align(buf, 4); skip(buf, 8 * n) }
+          })
+        case RosArray(p: RosPrimitive, fixedLen) =>
+          Seq(colFor(col) match {
+            case Some(v) =>
+              val elemWriter = writeScalar(p, v.arrayData())
+              (buf: ByteBuffer) => {
+                val n = fixedLen.getOrElse(readLen(buf))
+                // appendArray FIRST: it records the child's current
+                // elementsAppended as this row's offset (see the
+                // rosbag columnar reader's comment)
+                v.appendArray(n)
+                var i = 0
+                while (i < n) { elemWriter(buf); i += 1 }
+              }
+            case None =>
+              val w = scalarWidth(p)
+              if (w > 0) (buf: ByteBuffer) => {
+                val n = fixedLen.getOrElse(readLen(buf))
+                if (n > 0) { align(buf, w); skip(buf, w * n) }
+              }
+              else {
+                val elemSkip = skipScalar(p)
+                (buf: ByteBuffer) => {
+                  val n = fixedLen.getOrElse(readLen(buf))
+                  var i = 0
+                  while (i < n) { elemSkip(buf); i += 1 }
+                }
+              }
+          })
+        case RosArray(ref: RosMsgRef, fixedLen) =>
+          // element skip program (no writers inside by construction)
+          val elemOps = compile(bundle, bundle.resolve(ref, msg.pkg), col,
+            _ => None)
+          Seq((buf: ByteBuffer) => {
+            val n = fixedLen.getOrElse(readLen(buf))
+            var i = 0
+            while (i < n) { elemOps.foreach(_(buf)); i += 1 }
+          })
+        case RosArray(_: RosArray, _) =>
+          throw new IllegalArgumentException("arrays of arrays are not in the ROS IDL")
+      }
+    }
+  }
+
+  /** Run the compiled op program over ONE CDR message: honor the
+    * 4-byte encapsulation header's endianness, start the walk at the
+    * post-header origin, and verify full consumption (up to 3 bytes of
+    * final-alignment padding tolerated — [[CdrCodec.decode]]'s rule).
+    * Shared by the mcap and db3 columnar readers.
+    */
+  def walkMessage(ops: Array[Op], data: Array[Byte]): Unit = {
+    require(data.length >= 4, "cdr payload shorter than its encapsulation header")
+    val buf = ByteBuffer.wrap(data)
+    buf.order((data(1) & 0xFF) match {
+      case 0x01 => ByteOrder.LITTLE_ENDIAN
+      case 0x00 => ByteOrder.BIG_ENDIAN
+      case other => throw new IllegalArgumentException(
+        f"unsupported cdr representation id 0x$other%02x (XCDR2/PL_CDR not handled)")
+    })
+    buf.position(4)
+    var j = 0
+    while (j < ops.length) { ops(j)(buf); j += 1 }
+    require(buf.remaining <= 3,
+      s"cdr decode left ${buf.remaining} bytes unread of ${data.length} — " +
+        "schema/payload mismatch")
+  }
+}
+
+/** Batch-at-a-time columnar reader for the UNTYPED (spine) mcap scan —
+  * what Convert/compact rewrites, ETL meta passes and query-in-place
+  * meta projections run through. Every spine column vectorizes
+  * trivially: ints/longs from the message record, per-channel interned
+  * UTF-8 bytes for the string dimensions, the raw blob by byte append
+  * (the mcap twin of RosbagMetaColumnarReader).
+  */
+class McapMetaColumnarReader(p: McapInputPartition, required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter], limit: Int,
+    batchSize: Int = 4096, batchBytes: Long = 32L << 20)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(batchSize, required)
+  private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val pathBytes = utf8(p.path)
+  private val topicBytes: Map[Int, Array[Byte]] =
+    p.channels.map { case (id, c) => id -> utf8(c.topic) }
+  private val msgEncBytes: Map[Int, Array[Byte]] =
+    p.channels.map { case (id, c) => id -> utf8(c.messageEncoding) }
+  private val schemaNameBytes: Map[Int, Array[Byte]] =
+    p.channels.map { case (id, c) =>
+      id -> utf8(p.schemas.get(c.schemaId).map(_._1).getOrElse("")) }
+  private val schemaEncBytes: Map[Int, Array[Byte]] =
+    p.channels.map { case (id, c) =>
+      id -> utf8(p.schemas.get(c.schemaId).map(_._2).getOrElse("")) }
+
+  private var currentOffset: Int = -1
+  private val writers: Array[McapFormat.McapMessage => Unit] =
+    required.fields.zipWithIndex.map { case (f, i) =>
+      val v = vectors(i)
+      f.name match {
+        case "file_path" => (_: McapFormat.McapMessage) =>
+          v.appendByteArray(pathBytes, 0, pathBytes.length)
+        case "chunk_idx" => (_: McapFormat.McapMessage) => v.appendInt(p.chunkIdx)
+        case "offset" => (_: McapFormat.McapMessage) => v.appendInt(currentOffset)
+        case "log_time" => (m: McapFormat.McapMessage) => v.appendLong(m.logTime)
+        case "publish_time" => (m: McapFormat.McapMessage) => v.appendLong(m.publishTime)
+        case "sequence" => (m: McapFormat.McapMessage) => v.appendLong(m.sequence)
+        case "size" => (m: McapFormat.McapMessage) => v.appendInt(m.data.length)
+        case "channel_id" => (m: McapFormat.McapMessage) => v.appendInt(m.channelId)
+        case "topic" => (m: McapFormat.McapMessage) => {
+          val b = topicBytes(m.channelId); v.appendByteArray(b, 0, b.length) }
+        case "schema_name" => (m: McapFormat.McapMessage) => {
+          val b = schemaNameBytes(m.channelId); v.appendByteArray(b, 0, b.length) }
+        case "schema_encoding" => (m: McapFormat.McapMessage) => {
+          val b = schemaEncBytes(m.channelId); v.appendByteArray(b, 0, b.length) }
+        case "message_encoding" => (m: McapFormat.McapMessage) => {
+          val b = msgEncBytes(m.channelId); v.appendByteArray(b, 0, b.length) }
+        case "data_crc32" => (m: McapFormat.McapMessage) =>
+          v.appendLong(graft.ros.bag.RosbagDataSource.crc32(m.data))
+        case "data" => (m: McapFormat.McapMessage) =>
+          v.appendByteArray(m.data, 0, m.data.length)
+      }
+    }
+  private val dataRequired = required.fieldNames.contains("data")
+
+  private lazy val messages: Iterator[(McapFormat.McapMessage, Int)] = {
+    val raw: Iterator[McapFormat.McapMessage] = p.chunk match {
+      case Some(ref) => McapFormat.chunkMessages(McapIO.readChunk(p.path, ref)).iterator
+      case None => McapIO.readInlineMessages(p.path, p.inline).iterator
+    }
+    val filtered = raw.zipWithIndex.filter { case (m, _) =>
+      val ch = p.channels.getOrElse(m.channelId,
+        throw new IllegalStateException(
+          s"message references unknown channel ${m.channelId} in ${p.path}"))
+      val schemaName = p.schemas.get(ch.schemaId).map(_._1).getOrElse("")
+      filters.forall(f => McapFilters.eval(f, m, ch, schemaName, p.path))
+    }
+    if (limit >= 0) filtered.take(limit) else filtered
+  }
+
+  override def next(): Boolean = {
+    if (!messages.hasNext) return false
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    var bytes = 0L
+    while (n < batchSize && bytes < batchBytes && messages.hasNext) {
+      val (m, idx) = messages.next()
+      currentOffset = idx + p.ordinalBase
+      if (dataRequired) bytes += m.data.length
+      var j = 0
+      while (j < writers.length) { writers(j)(m); j += 1 }
+      n += 1
+    }
+    batch.setNumRows(n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = batch.close()
+}
+
+/** Batch-at-a-time columnar reader for typed mcap scans — dispatches
+  * the wire walk per schema encoding: ros2msg/ros2idl payloads through
+  * [[CdrColumnarRead]], ros1msg channels (what a bag→mcap convert
+  * produces) through the packed-ros1 [[RosbagColumnarRead]] program.
+  * protobuf stays on the row reader (field numbers live in the
+  * descriptor, not a linear walk).
+  */
+class McapTypedColumnarReader(p: McapInputPartition, schemaName: String,
+    encoding: String, schemaData: Array[Byte], md5s: Set[String],
+    required: StructType, includeRaw: Boolean,
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    batchSize: Int = 4096, batchBytes: Long = 32L << 20)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val bundle = McapPayload.bundle(encoding, schemaName, schemaData)
+  private val isCdr = encoding != "ros1msg"
+  private val wantMsgEncoding = McapPayload.messageEncodingFor(encoding)
+
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(batchSize, required)
+  private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+
+  private val colIdx: Map[String, Int] = required.fieldNames.zipWithIndex.toMap
+  private def vec(name: String): Option[WritableColumnVector] =
+    colIdx.get(name).map(vectors(_))
+
+  // meta + raw columns are written outside the wire walk; payload
+  // fields colliding with reserved names carry the `_field` suffix in
+  // the typed schema (McapTypedRead.typedSchema)
+  private val metaNames = Set("file_path", "chunk_idx", "offset", "log_time",
+    "publish_time", "sequence", "channel_id", "topic", "data")
+  private def payloadVec(name: String): Option[WritableColumnVector] =
+    vec(if (McapTypedRead.reserved(name)) name + "_field" else name)
+  private val ops: Array[ByteBuffer => Unit] =
+    (if (isCdr) CdrColumnarRead.compile(bundle, bundle.root, "", payloadVec)
+     else RosbagColumnarRead.compile(bundle, bundle.root, "", payloadVec)).toArray
+  private val needsWalk: Boolean =
+    required.fieldNames.exists(n => !metaNames(n))
+
+  // channels of THIS schema variant set, (name, md5)-matched — same
+  // contract as McapTypedPartitionReader
+  private val typeChannels: Map[Int, McapFormat.McapChannel] =
+    p.channels.filter { case (_, c) =>
+      p.schemas.get(c.schemaId).exists(s => s._1 == schemaName && md5s(s._3)) }
+  private lazy val messages: Iterator[(McapFormat.McapMessage, Int)] = {
+    val raw = p.chunk match {
+      case Some(ref) => McapFormat.chunkMessages(McapIO.readChunk(p.path, ref)).iterator
+      case None => McapIO.readInlineMessages(p.path, p.inline).iterator
+    }
+    raw.zipWithIndex
+      .filter { case (m, _) => typeChannels.contains(m.channelId) }
+      .filter { case (m, _) =>
+        filters.forall(f => McapFilters.eval(f, m, typeChannels(m.channelId),
+          schemaName, p.path))
+      }
+  }
+
+  private val pathBytes = p.path.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val topicBytes: Map[Int, Array[Byte]] = typeChannels.map { case (id, c) =>
+    id -> c.topic.getBytes(java.nio.charset.StandardCharsets.UTF_8) }
+
+  private val filePathV = vec("file_path").orNull
+  private val chunkIdxV = vec("chunk_idx").orNull
+  private val offsetV = vec("offset").orNull
+  private val logTimeV = vec("log_time").orNull
+  private val publishTimeV = vec("publish_time").orNull
+  private val sequenceV = vec("sequence").orNull
+  private val channelIdV = vec("channel_id").orNull
+  private val topicV = vec("topic").orNull
+  private val rawV = if (includeRaw) vec("data").orNull else null
+
+  private def walk(data: Array[Byte]): Unit =
+    if (isCdr) CdrColumnarRead.walkMessage(ops, data)
+    else {
+      // the packed ros1 walk: no header, LE, must consume everything
+      val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+      var j = 0
+      while (j < ops.length) { ops(j)(buf); j += 1 }
+      require(!buf.hasRemaining,
+        s"decode left ${buf.remaining} bytes unread of ${data.length} — " +
+          "schema/payload mismatch")
+    }
+
+  override def next(): Boolean = {
+    if (!messages.hasNext) return false
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    var bytes = 0L
+    // row AND byte budget, exactly like RosbagTypedColumnarReader:
+    // blob-dominated types stop each batch at batchBytes of payload;
+    // meta-only scans materialize nothing and keep full batches
+    val payloadMaterialized = needsWalk || rawV != null
+    while (n < batchSize && bytes < batchBytes && messages.hasNext) {
+      val (m, idx) = messages.next()
+      val ch = typeChannels(m.channelId)
+      require(ch.messageEncoding == wantMsgEncoding,
+        s"channel ${m.channelId} encodes messages as '${ch.messageEncoding}'; " +
+          s"schema encoding '$encoding' decodes '$wantMsgEncoding'")
+      if (payloadMaterialized) bytes += m.data.length
+      if (filePathV != null) filePathV.appendByteArray(pathBytes, 0, pathBytes.length)
+      if (chunkIdxV != null) chunkIdxV.appendInt(p.chunkIdx)
+      if (offsetV != null) offsetV.appendInt(idx + p.ordinalBase)
+      if (logTimeV != null) logTimeV.appendLong(m.logTime)
+      if (publishTimeV != null) publishTimeV.appendLong(m.publishTime)
+      if (sequenceV != null) sequenceV.appendLong(m.sequence)
+      if (channelIdV != null) channelIdV.appendInt(m.channelId)
+      if (topicV != null) {
+        val b = topicBytes(m.channelId); topicV.appendByteArray(b, 0, b.length)
+      }
+      if (rawV != null) rawV.appendByteArray(m.data, 0, m.data.length)
+      if (needsWalk) walk(m.data)
+      n += 1
+    }
+    batch.setNumRows(n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = batch.close()
+}

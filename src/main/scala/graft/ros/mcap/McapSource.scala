@@ -439,6 +439,15 @@ class McapReaderFactory(required: StructType, filters: Array[Filter], limit: Int
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new McapPartitionReader(partition.asInstanceOf[McapInputPartition], required, filters, limit)
+
+  // every spine column vectorizes (ints/longs / interned strings /
+  // binary), so the untyped scan is always columnar — the mcap twin of
+  // RosbagReaderFactory
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new McapMetaColumnarReader(partition.asInstanceOf[McapInputPartition],
+      required, filters, limit)
 }
 
 class McapPartitionReader(p: McapInputPartition, required: StructType,
@@ -556,8 +565,12 @@ object McapIO {
     } else {
       val st = filesystem.getFileStatus(p)
       if (st.isDirectory) {
+        // a pending compact journal (crash window) leaves BOTH
+        // generations on disk — serve one consistent view
+        val masked = graft.ros.CompactJournal.maskedNames(filesystem, p)
         val out = filesystem.listStatus(p)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".mcap"))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".mcap") &&
+            !masked.contains(s.getPath.getName))
           .map(_.getPath.toString).sorted.toSeq
         require(out.nonEmpty, s"directory contains no .mcap files: $path")
         out
@@ -735,6 +748,21 @@ class McapTypedReaderFactory(schemaName: String, encoding: String,
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new McapTypedPartitionReader(partition.asInstanceOf[McapInputPartition],
+      schemaName, encoding, schemaData, md5s, required, includeRaw, filters)
+
+  // vectorized path: decode straight into column vectors whenever the
+  // walk is linear (cdr / packed ros1 — never protobuf: field numbers
+  // live in the descriptor) and every required column has a
+  // columnar-supported shape; array-of-struct projections fall back to
+  // the row reader above (Scan.columnarSupportMode PARTITION_DEFINED
+  // routes on this per-partition answer). Shape rules are shared with
+  // the rosbag columnar path — both flatten through flatSchema.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    encoding != "protobuf" &&
+      graft.ros.bag.RosbagColumnarRead.supportsColumnar(required)
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new McapTypedColumnarReader(partition.asInstanceOf[McapInputPartition],
       schemaName, encoding, schemaData, md5s, required, includeRaw, filters)
 }
 

@@ -729,6 +729,140 @@ class ConvertSpec extends SparkTestBase {
     assert(spark.read.format("mcap").load(o).count() === 17)
   }
 
+  test("compact: rosbag-target archives collapse with connections + typed reads intact") {
+    val o = out("compact_bag")
+    Convert.run(spark, mixedDir, o, "rosbag", partitions = 3,
+      transform = _.filter(col("container") === "rosbag"))
+    def bagFiles(): Seq[String] = new java.io.File(o).listFiles().toSeq
+      .map(_.getName).filter(n => n.endsWith(".bag") && !n.startsWith("."))
+    val nBefore = bagFiles().size
+    assert(nBefore >= 2, s"need multiple files to collapse, got ${bagFiles()}")
+    def snapshot(): Set[(String, String, Int, Int, Seq[Byte])] =
+      spark.read.format("rosbag").load(o)
+        .select("topic", "datatype", "time_sec", "time_nsec", "data")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          r.getInt(3), r.getAs[Array[Byte]](4).toSeq)).toSet
+    val before = snapshot()
+    assert(before.size === 5)
+    Convert.compact(spark, o, partitions = 1)
+    assert(bagFiles().size === 1 && bagFiles().head.startsWith("compact-"),
+      s"compaction must collapse the bag files: ${bagFiles()}")
+    assert(snapshot() === before, "row identity must survive compaction")
+    assert(!new java.io.File(o, ".compact.journal").exists())
+    // connections carry their definitions + GENUINE md5s through the
+    // rewrite (late-bound per row from the pre-compact files)
+    val conns = graft.ros.bag.RosbagIO.scanIndexes(
+      bagFiles().map(n => new java.io.File(o, n).getAbsolutePath))
+      .flatMap(_._2.connections)
+    assert(conns.nonEmpty && conns.forall(c => c.msgDef.trim.nonEmpty &&
+      c.md5sum == RosMd5.compute(c.datatype, c.msgDef)),
+      s"compacted connections must keep genuine defs/md5s: $conns")
+    val typed = spark.read.format("rosbag")
+      .option("datatype", "std_msgs/String").load(o)
+    assert(typed.select("data_field").collect().map(_.getString(0)).toSet
+      === (0 until 5).map(i => s"b$i").toSet)
+  }
+
+  test("compact: db3-target archives regenerate metadata.yaml and keep the epoch ledger") {
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_db3in").toFile
+    def land(src: String, as: String): Unit = {
+      java.nio.file.Files.copy(new java.io.File(mixedDir, src).toPath,
+        new java.io.File(in, as).toPath)
+      ()
+    }
+    val o = out("compact_db3")
+    val ck = java.nio.file.Files.createTempDirectory("graft_compact_db3ck").toString
+    land("c.db3", "c.db3")
+    assert(Convert.runStream(spark, in.getAbsolutePath, o, "db3", ck)
+      .awaitTermination(120000))
+    land("b.mcap", "b.mcap")
+    assert(Convert.runStream(spark, in.getAbsolutePath, o, "db3", ck)
+      .awaitTermination(120000))
+    def db3Files(): Seq[String] = new java.io.File(o).listFiles().toSeq
+      .map(_.getName).filter(n => n.endsWith(".db3") && !n.startsWith("."))
+    assert(db3Files().size >= 2, s"epoch files expected: ${db3Files()}")
+    def snapshot(): Set[(String, String, String, Long, Seq[Byte])] =
+      spark.read.format("db3").load(o)
+        .select("topic", "type", "serialization_format", "timestamp", "data")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getAs[Array[Byte]](4).toSeq)).toSet
+    val before = snapshot()
+    assert(before.size === 7)
+    Convert.compact(spark, o, partitions = 1)
+    assert(db3Files().size === 1 && db3Files().head.startsWith("compact-"),
+      s"compaction must collapse the db3 files: ${db3Files()}")
+    assert(snapshot() === before, "row identity must survive compaction")
+    // metadata.yaml regenerated IN the swap: lists exactly the new
+    // generation, stats intact — rosbag2 tooling keeps working
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(o, "metadata.yaml").toPath), "UTF-8")
+    assert(yaml.contains(db3Files().head), s"yaml must list the compacted file: $yaml")
+    assert(!yaml.linesIterator.exists(_.trim.startsWith("- \"part-")),
+      s"yaml must not list deleted files: $yaml")
+    assert(yaml.contains("message_count: 7"), yaml)
+    // typed decode still works: definitions late-bound from the
+    // pre-compact files landed in the compacted message_definitions
+    val typed = spark.read.format("db3")
+      .option("schema_name", "std_msgs/msg/String").load(o)
+    assert(typed.select("data_field").collect().map(_.getString(0)).toSet
+      === ((0 until 3).map(i => s"d$i") ++ (0 until 4).map(i => s"m$i")).toSet)
+    // the streaming LEDGER survived the regeneration: the standing
+    // normalizer resumes and exactly the new rows append (no replay
+    // of compacted epochs, counts stay exact)
+    land("c.db3", "c2.db3")
+    assert(Convert.runStream(spark, in.getAbsolutePath, o, "db3", ck)
+      .awaitTermination(120000))
+    assert(spark.read.format("db3").load(o).count() === 10)
+    val yaml2 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(o, "metadata.yaml").toPath), "UTF-8")
+    assert(yaml2.contains("message_count: 10"),
+      s"post-compact epochs must merge exactly: $yaml2")
+  }
+
+  test("a pending compact journal masks listings to ONE consistent generation") {
+    import graft.ros.bag.BagFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft_cj_mask").toFile
+    val d = MsgDefParser.parse("graft_msgs/M", "int64 v")
+    def bagOf(name: String, v: Long): Unit = {
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        BagFormat.writeBag(
+          Seq(BagFormat.BagConnection(0, "/m", "graft_msgs/M", "*", "int64 v", "c")),
+          Seq(BagFormat.WriteMessage(0, v.toInt, 0,
+            RosSchemaMapper.encode(d, Seq[Any](v))))))
+      ()
+    }
+    bagOf("old1.bag", 1L); bagOf("old2.bag", 2L)
+    def names(): Set[String] =
+      graft.ros.bag.RosbagIO.resolveBags(dir.getAbsolutePath)
+        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    assert(names() === Set("old1.bag", "old2.bag"))
+    val plan = Seq(
+      "MV\t.compact-x/s1.bag\tcompact-x-s1.bag",
+      "MV\t.compact-x/s2.bag\tcompact-x-s2.bag",
+      "RM\told1.bag", "RM\told2.bag")
+    val fs = new org.apache.hadoop.fs.Path(dir.getAbsolutePath)
+      .getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    // PHASE A: promotion incomplete (one target promoted, one not) —
+    // the old generation is still whole; serve it, hide the new
+    bagOf("compact-x-s1.bag", 10L)
+    CompactJournal.write(fs, dir.getAbsolutePath, plan)
+    assert(names() === Set("old1.bag", "old2.bag"),
+      "mid-promotion reads must serve the (complete) old generation")
+    // PHASE B: promotion complete, deletes pending — both generations
+    // on disk (up to 2x every message); serve the new, hide the old
+    bagOf("compact-x-s2.bag", 20L)
+    assert(names() === Set("compact-x-s1.bag", "compact-x-s2.bag"),
+      "post-promotion reads must serve the new generation only")
+    // MixedRead.resolve applies the same mask
+    assert(MixedRead.resolve(dir.getAbsolutePath)("rosbag")
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+      === Set("compact-x-s1.bag", "compact-x-s2.bag"))
+    // no journal: the masked names serve again (nothing pending)
+    fs.delete(CompactJournal.journalPath(dir.getAbsolutePath), false)
+    assert(names() === Set("old1.bag", "old2.bag",
+      "compact-x-s1.bag", "compact-x-s2.bag"))
+  }
+
   // ---- typed cross-dialect transcode ----
 
   private def profileOf(o: String): String = {
@@ -898,11 +1032,17 @@ class ConvertSpec extends SparkTestBase {
           RosSchemaMapper.encode(b1, Seq[Any](1L))),
           BagFormat.WriteMessage(1, 20, 0,
             RosSchemaMapper.encode(b2, Seq[Any](2L, "x"))))))
+    val strictOut = out("onediv_strict")
     val ex = intercept[Exception] {
-      Convert.run(spark, in.getAbsolutePath, out("onediv_strict"), "mcap",
+      Convert.run(spark, in.getAbsolutePath, strictOut, "mcap",
         partitions = 1, options = Map("transcode" -> "strict"))
     }
     assert(causeMessages(ex).contains("DIVERGENTLY"))
+    // ...and strict fails at PLAN time, before a byte lands
+    val strictFiles = Option(new java.io.File(strictOut).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+    assert(!strictFiles.exists(_.getName.endsWith(".mcap")),
+      s"strict must refuse before writing: $strictFiles")
     // auto: byte-embed, payloads intact under their original encoding
     val o = out("onediv_auto")
     Convert.run(spark, in.getAbsolutePath, o, "mcap", partitions = 1,
@@ -911,6 +1051,61 @@ class ConvertSpec extends SparkTestBase {
     assert(back.select("message_encoding").distinct().collect()
       .map(_.getString(0)).toSeq === Seq("ros1"))
     assert(back.count() === 2)
+    // profile HONESTY: the divergent type's rows stayed ros1, so the
+    // auto profile must NOT overclaim "ros2" (the plan counts
+    // within-file divergence as a failure)
+    assert(profileOf(o) === "",
+      "a ros2-profile header over non-cdr channels is non-conformant")
+  }
+
+  test("a user-pinned defs channel overrides per-file resolution on the re-encode path") {
+    import graft.ros.bag.BagFormat
+    val staleDef = "int64 a"
+    val pinDef = "int64 area"   // wire-identical, the DEFINITIVE spelling
+    val tpe = "graft_msgs/Pin"
+    val in = java.nio.file.Files.createTempDirectory("graft_tc_pin_in").toFile
+    java.nio.file.Files.write(new java.io.File(in, "rows.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/p", tpe,
+          RosMd5.compute(tpe, staleDef), staleDef, "c")),
+        Seq(BagFormat.WriteMessage(0, 10, 0, RosSchemaMapper.encode(
+          MsgDefParser.parse(tpe, staleDef), Seq[Any](7L))))))
+    val pin = java.nio.file.Files.createTempDirectory("graft_tc_pin_defs").toFile
+    java.nio.file.Files.write(new java.io.File(pin, "defs.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/p", tpe,
+          RosMd5.compute(tpe, pinDef), pinDef, "c")),
+        Seq(BagFormat.WriteMessage(0, 10, 0, RosSchemaMapper.encode(
+          MsgDefParser.parse(tpe, pinDef), Seq[Any](1L))))))
+    def schemaTextOf(o: String): String = {
+      val f = new java.io.File(o).listFiles()
+        .filter(x => x.getName.endsWith(".mcap") && !x.getName.startsWith("."))
+        .head
+      mcap.McapIO.scanIndex(f.getAbsolutePath).schemas.values
+        .find(_.name == "graft_msgs/msg/Pin").map(s =>
+          new String(s.data, "UTF-8")).getOrElse("")
+    }
+    // explicit schema_defs_from = channel-first by the sinks' contract:
+    // the transcode re-encodes under the PINNED definition, not the
+    // row's file's stale one
+    val oPin = out("tc_pin_channel")
+    Convert.run(spark, in.getAbsolutePath, oPin, "mcap", partitions = 1,
+      options = Map("transcode" -> "strict",
+        "schema_defs_from" -> pin.getAbsolutePath))
+    assert(schemaTextOf(oPin).contains("int64 area"),
+      "the pinned channel's definition must win on the re-encode path")
+    val typed = spark.read.format("mcap")
+      .option("schema_name", "graft_msgs/msg/Pin").load(oPin)
+    assert(typed.select("area").collect().map(_.getLong(0)).toSeq === Seq(7L))
+    // defs_priority=file restores per-file truth even with the pin
+    val oFile = out("tc_pin_file")
+    Convert.run(spark, in.getAbsolutePath, oFile, "mcap", partitions = 1,
+      options = Map("transcode" -> "strict",
+        "schema_defs_from" -> pin.getAbsolutePath,
+        "defs_priority" -> "file"))
+    assert(schemaTextOf(oFile).contains("int64 a") &&
+      !schemaTextOf(oFile).contains("int64 area"),
+      "defs_priority=file must keep the row's own file authoritative")
   }
 
   test("transcode to rosbag keeps divergent same-named definitions as separate connections") {

@@ -57,4 +57,40 @@ class SourceDefsSpec extends AnyFunSuite {
     assert(vs.map(_._1) === Seq("ros2msg"),
       "the translated shadow entry must serve the renamed type")
   }
+
+  private def writeMcapDefs(f: java.io.File, defs: Seq[(String, String)]): Unit = {
+    val schemas = defs.zipWithIndex.map { case ((t, d), i) =>
+      McapFormat.McapSchema(i + 1, t, "ros2msg", d.getBytes("UTF-8"))
+    }
+    val channels = defs.zipWithIndex.map { case (_, i) =>
+      McapFormat.McapChannel(i + 1, i + 1, s"/t$i", "cdr")
+    }
+    val b = Ros2Msg.bundle(defs.head._1, defs.head._2)
+    java.nio.file.Files.write(f.toPath, McapFormat.writeMcap(schemas, channels,
+      Seq(McapFormat.McapMessage(1, 0L, 1L, 1L, CdrCodec.encode(b, Seq("x"))))))
+    ()
+  }
+
+  test("a POSITIVE answer re-validates: a type turning divergent " +
+      "mid-tail flips within one recheck window") {
+    sys.props("graft.sourcedefs.recheck.nanos") = "0"
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_srcdefs2").toFile
+      val f = new java.io.File(dir, "tail.mcap")
+      val tp = "graft_msgs/msg/TD"
+      writeMcapDefs(f, Seq(tp -> "string data"))
+      val p = f.getAbsolutePath
+      assert(SourceDefs.ros2DefFor(p, tp).exists(_._2 == "string data"))
+      assert(!SourceDefs.ros2DefDivergent(p, tp))
+      // the tailed file gains a SECOND, different-layout definition for
+      // the same name: with positives re-validating at the throttle,
+      // the stale resolution flips to the honest divergence answer —
+      // the old behavior kept serving "string data" until JVM restart
+      writeMcapDefs(f, Seq(tp -> "string data", tp -> "int64 x\nstring data"))
+      assert(SourceDefs.ros2DefFor(p, tp).isEmpty,
+        "a divergent type must stop resolving after the recheck window")
+      assert(SourceDefs.ros2DefDivergent(p, tp),
+        "the divergence must be distinguishable from plain absence")
+    } finally { sys.props.remove("graft.sourcedefs.recheck.nanos"); () }
+  }
 }

@@ -194,6 +194,59 @@ class TranscodeSpec extends AnyFunSuite {
         "let autoProfile stamp ros2 on an archive keeping ros1 channels")
   }
 
+  test("plan: WITHIN-file divergence fails at plan time; ACROSS files stays translatable") {
+    import graft.ros.bag.BagFormat
+    val defV1 = "int64 a"
+    val defV2 = "int64 a\nstring b"
+    def bagBytes(conns: Seq[(String, String)]): Array[Byte] =
+      BagFormat.writeBag(
+        conns.zipWithIndex.map { case ((tp, d), i) =>
+          BagFormat.BagConnection(i, s"/t$i", tp, "*", d, "c") },
+        conns.zipWithIndex.map { case ((tp, d), i) =>
+          BagFormat.WriteMessage(i, 1, 0, RosSchemaMapper.encode(
+            MsgDefParser.parse(tp, d),
+            if (d == defV1) Seq[Any](1L) else Seq[Any](1L, "x"))) })
+    // across files: each file's rows attribute to its own definition —
+    // per-file resolution handles this, NOT a plan failure
+    val across = java.nio.file.Files.createTempDirectory("graft_tc_across").toFile
+    java.nio.file.Files.write(new java.io.File(across, "a.bag").toPath,
+      bagBytes(Seq("graft_msgs/Evo" -> defV1)))
+    java.nio.file.Files.write(new java.io.File(across, "b.bag").toPath,
+      bagBytes(Seq("graft_msgs/Evo" -> defV2)))
+    val (entriesA, failuresA) = Transcode.plan(across.getAbsolutePath)
+    assert(failuresA.isEmpty,
+      "cross-file divergence transcodes under per-file truth — flagging " +
+        "it would drop the ros2 profile from a fully-transcodable fleet")
+    assert(entriesA.contains("graft_msgs/Evo"))
+    // within one file: rows cannot be attributed — plan-time failure,
+    // so strict refuses before writing and auto's profile claim is
+    // honest (the execution sentinel null-passes these rows as ros1)
+    val within = java.nio.file.Files.createTempDirectory("graft_tc_within").toFile
+    java.nio.file.Files.write(new java.io.File(within, "both.bag").toPath,
+      bagBytes(Seq("graft_msgs/Evo" -> defV1, "graft_msgs/Evo" -> defV2)))
+    val (_, failuresW) = Transcode.plan(within.getAbsolutePath)
+    assert(failuresW.keySet === Set("graft_msgs/Evo"))
+    assert(failuresW("graft_msgs/Evo").contains("DIVERGENTLY"))
+    assert(failuresW("graft_msgs/Evo").contains("both.bag"),
+      "the failure must name the offending file")
+  }
+
+  test("pinnedEntries: unique defs translate; divergent names are absent") {
+    import graft.ros.bag.BagFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft_tc_pinned").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "p.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/a", "graft_msgs/Ok", "*", "int64 v", "c"),
+          BagFormat.BagConnection(1, "/b", "graft_msgs/Dup", "*", "int64 x", "c"),
+          BagFormat.BagConnection(2, "/c", "graft_msgs/Dup", "*", "int64 y", "c")),
+        Seq(BagFormat.WriteMessage(0, 1, 0, RosSchemaMapper.encode(
+          MsgDefParser.parse("graft_msgs/Ok", "int64 v"), Seq[Any](1L))))))
+    val pinned = Transcode.pinnedEntries(dir.getAbsolutePath)
+    assert(pinned.keySet === Set("graft_msgs/Ok"),
+      "a divergently-pinned name must fall through to file resolution")
+    assert(pinned("graft_msgs/Ok").dstName === "graft_msgs/msg/Ok")
+  }
+
   // ---- reverse direction: cdr → ros1 ----
 
   test("reverse: ros2msg renders valid ros1 text and values survive cdr→ros1") {

@@ -225,4 +225,65 @@ class Db3SinkSpec extends SparkTestBase {
     val bSum = back.agg(sum(length(col("data")))).head().getLong(0)
     assert(aSum === bSum)
   }
+
+  test("late-binding defs try EVERY observed source file per type; " +
+      "divergent sources surface _divergent.json") {
+    val dir = Files.createTempDirectory("db3_sink_div")
+    val topicsDdl = "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)"
+    val msgsDdl = "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, timestamp INTEGER, data BLOB)"
+    val defsDdl = "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY, topic_type TEXT, encoding TEXT, encoded_message_definition TEXT, type_hash TEXT)"
+    val payload = CdrCodec.encode(bundle, Seq("x"))
+    def db(defs: Seq[Seq[Any]]): Array[Byte] = SqliteFormat.writeDb(Seq(
+      ("topics", topicsDdl, Seq(Seq[Any](null, "/chat", strName, "cdr", ""))),
+      ("messages", msgsDdl, Seq(Seq[Any](null, 1L, 1L, payload)))) ++
+      (if (defs.nonEmpty) Seq(("message_definitions", defsDdl, defs))
+       else Seq.empty))
+    // a.db3 carries rows of the type but NO definition; b.db3 defines
+    // it; c.db3 defines a second type DIVERGENTLY (two layouts)
+    val a = dir.resolve("a.db3"); Files.write(a, db(Seq.empty))
+    val b = dir.resolve("b.db3")
+    Files.write(b, db(Seq(Seq[Any](null, strName, "ros2msg", strDef, ""))))
+    val divName = "graft_msgs/msg/Drifty"
+    val c = dir.resolve("c.db3")
+    Files.write(c, db(Seq(
+      Seq[Any](null, divName, "ros2msg", "string data", ""),
+      Seq[Any](null, divName, "ros2msg", "int64 x\nstring data", ""))))
+    import spark.implicits._
+    val raw = Seq(
+      // the type's FIRST row routes through the def-less file — the
+      // single-file typeSrc would remember only a.db3 and silently
+      // omit the message_definitions row
+      ("/chat", strName, "cdr", 1L, payload, a.toString),
+      ("/chat", strName, "cdr", 2L, payload, b.toString),
+      ("/div", divName, "cdr", 3L, payload, c.toString))
+      .toDF("topic", "type", "serialization_format", "timestamp", "data", "src")
+    val rows = Db3Export.prepare(raw, topic = col("topic"),
+      timestampNs = col("timestamp"), data = col("data"), tpe = col("type"),
+      serializationFormat = col("serialization_format"),
+      sourcePath = col("src"))
+    val out = Files.createTempDirectory("db3_sink_div_out").toString + "/export"
+    rows.coalesce(1).write.format("db3").mode("append").save(out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".db3") && !f.getName.startsWith("."))
+    val defsOut = parts.flatMap(f => Db3IO.scanMeta(f.getPath).definitions)
+    assert(defsOut.exists(d => d._1 == strName && d._3 == strDef),
+      s"the definition living in the SECOND observed file must export: $defsOut")
+    assert(!defsOut.exists(_._1 == divName),
+      "a divergent type's defs row must stay honestly omitted")
+    val sidecar = new java.io.File(out, "_divergent.json")
+    assert(sidecar.exists(), "divergence must surface a _divergent.json")
+    val json = new String(Files.readAllBytes(sidecar.toPath), "UTF-8")
+    assert(json.contains(divName) && json.contains("c.db3"),
+      s"sidecar must name the type and its source files: $json")
+    assert(!json.contains(strName), s"resolved types must not appear: $json")
+    // append with no divergence merges, never loses the pointer
+    rows.filter(col("type") === strName).coalesce(1)
+      .write.format("db3").mode("append").save(out)
+    val json2 = new String(Files.readAllBytes(sidecar.toPath), "UTF-8")
+    assert(json2.contains(divName), "append must keep the sidecar")
+    // overwrite resets the generation AND the diagnostic
+    rows.filter(col("type") === strName).coalesce(1)
+      .write.format("db3").mode("overwrite").save(out)
+    assert(!sidecar.exists(), "overwrite must reset the sidecar")
+  }
 }
