@@ -28,6 +28,15 @@ import graft.ros.RosPrimitive._
   */
 object RosbagColumnarRead {
 
+  /** Kill switch for same-session A/B measurement (TypedReadBench) and
+    * triage: sysprop `graft.columnar.disable=true` routes every scan
+    * through the row readers. Read per supportColumnarReads call
+    * (driver-side, plan time), so one session can flip it between
+    * queries. Shared by all six reader factories (bag/mcap/db3 ×
+    * spine/typed).
+    */
+  def enabled: Boolean = !java.lang.Boolean.getBoolean("graft.columnar.disable")
+
   /** Can every required column be decoded vectorized? */
   def supportsColumnar(required: StructType): Boolean =
     required.fields.forall { f =>

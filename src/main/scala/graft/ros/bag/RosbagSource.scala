@@ -507,7 +507,8 @@ class RosbagReaderFactory(required: StructType, filters: Array[Filter], limit: I
 
   // every spine column vectorizes (ints / interned strings / nullable
   // stamps / binary), so the untyped scan is always columnar
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    RosbagColumnarRead.enabled
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[RosbagInputPartition]
@@ -593,12 +594,26 @@ object RosbagIO {
     * non-session channel). getDefaultSession covers driver background
     * threads (the parallel index-scan pool) where the thread-local
     * active session is unset.
+    *
+    * CACHED per session (weak keys — a stopped session must not pin
+    * its conf): `sessionState.newHadoopConf()` clones the full Spark
+    * conf into a fresh Configuration, several MILLISECONDS per call,
+    * and this helper sits on per-chunk/per-lookup paths — the uncached
+    * version made McapIO.readChunk 6 ms/chunk (10 MB/s single-thread,
+    * measured) with the clone 97% of it. Callers must treat the
+    * returned conf as READ-ONLY.
     */
+  private val confCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.hadoop.conf.Configuration]())
+  private lazy val fallbackConf = new org.apache.hadoop.conf.Configuration()
   private[graft] def hadoopConf(): org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        confCache.computeIfAbsent(s, _.sessionState.newHadoopConf())
+      case None => fallbackConf
+    }
 
   private def fs(path: String) = {
     val p = new Path(path)

@@ -108,7 +108,7 @@ class RosbagTypedReaderFactory(datatype: String, msgDef: String,
   // to the row reader above (Scan.columnarSupportMode PARTITION_DEFINED
   // routes on this per-partition answer)
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    RosbagColumnarRead.supportsColumnar(required)
+    RosbagColumnarRead.enabled && RosbagColumnarRead.supportsColumnar(required)
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[RosbagInputPartition]

@@ -970,7 +970,8 @@ class Db3ReaderFactory(required: StructType, filters: Array[Filter], limit: Int)
 
   // every spine column vectorizes (longs / interned strings / binary),
   // so the untyped scan is always columnar — like the bag/mcap spines
-  override def supportColumnarReads(p: InputPartition): Boolean = true
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    graft.ros.bag.RosbagColumnarRead.enabled
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new Db3SpineColumnarReader(p.asInstanceOf[Db3InputPartition], required,
@@ -1054,7 +1055,8 @@ class Db3TypedReaderFactory(schemaName: String, encoding: String,
   // columnar readers); array-of-struct projections fall back to the
   // row reader above
   override def supportColumnarReads(p: InputPartition): Boolean =
-    graft.ros.bag.RosbagColumnarRead.supportsColumnar(required)
+    graft.ros.bag.RosbagColumnarRead.enabled &&
+      graft.ros.bag.RosbagColumnarRead.supportsColumnar(required)
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new Db3TypedColumnarReader(p.asInstanceOf[Db3InputPartition], schemaName,

@@ -443,7 +443,8 @@ class McapReaderFactory(required: StructType, filters: Array[Filter], limit: Int
   // every spine column vectorizes (ints/longs / interned strings /
   // binary), so the untyped scan is always columnar — the mcap twin of
   // RosbagReaderFactory
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    graft.ros.bag.RosbagColumnarRead.enabled
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new McapMetaColumnarReader(partition.asInstanceOf[McapInputPartition],
@@ -758,7 +759,7 @@ class McapTypedReaderFactory(schemaName: String, encoding: String,
   // routes on this per-partition answer). Shape rules are shared with
   // the rosbag columnar path — both flatten through flatSchema.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    encoding != "protobuf" &&
+    graft.ros.bag.RosbagColumnarRead.enabled && encoding != "protobuf" &&
       graft.ros.bag.RosbagColumnarRead.supportsColumnar(required)
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
