@@ -483,6 +483,31 @@ object ContainerQueries {
           round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
             .as("sum_value"))
         .orderBy(col("topic"))
+    }),
+
+    // Q93 — the PROTOBUF crossing, CHECKED: the same transcoded
+    // archive as q91, read under the RENDERED ros2msg name
+    // (graft.test.Event's FileDescriptorSet → graft_test/msg/Event).
+    // The /events_pb rows were protobuf on the wire in the source;
+    // `transcode=auto` decoded them through the descriptor walk and
+    // re-encoded as CDR, embedding the rendered definition as the
+    // archive's own Schema record — so this typed read needs no
+    // manual options and the decoded FIELD VALUES (even event ids,
+    // user ids, decimal sums) sit inside the DuckDB equality. With
+    // all three dialects now crossing, q91's fixture is a genuinely
+    // all-cdr ros2-profile archive.
+    "q93_transcode_proto" -> ((s, d) => {
+      val out = transcodeFixture(s, d)
+      s.read.format("mcap").option("path", out)
+        .option("schema_name", "graft_test/msg/Event").load()
+        .groupBy(col("topic")).agg(
+          count(lit(1)).as("cnt"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          sum(col("user_id")).as("sum_uid"),
+          round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
+            .as("sum_value"))
+        .orderBy(col("topic"))
     }))
 
   /** Sink-built fixture for q86: the same 1000-row slice EXPORTED as
@@ -602,14 +627,16 @@ object ContainerQueries {
       } + "/export"
     }
 
-  /** q91's fixture: the q79 mixed directory converted with
+  /** q91/q93's fixture: the q79 mixed directory converted with
     * `transcode=auto` — the bag rows cross the dialect boundary
-    * (ros1 → CDR) through the public API. Salt v1.
+    * (ros1 → CDR) and, since round 15, the protobuf channel does too
+    * (descriptor → rendered ros2msg → CDR). Salt v2: the r15 protobuf
+    * crossing changes the archive's bytes for the same inputs.
     */
   private def transcodeFixture(s: SparkSession, d: String): String =
     synchronized {
       val mixed = mixedFixture(s, d)
-      publishStaged("graft_container_transcodev1_" + md5Key(mixed)) { stage =>
+      publishStaged("graft_container_transcodev2_" + md5Key(mixed)) { stage =>
         graft.ros.Convert.run(s, mixed,
           new java.io.File(stage, "export").getAbsolutePath,
           "mcap", partitions = 2, options = Map("transcode" -> "auto"))
@@ -935,7 +962,17 @@ object ContainerQueries {
     // q92 is the SAME shape pointed the other way across the dialect
     // boundary, so both keys share one oracle text
     "q91_transcode_typed" -> DoubledTopicOracle,
-    "q92_transcode_rosbag" -> DoubledTopicOracle)
+    "q92_transcode_rosbag" -> DoubledTopicOracle,
+    // the mcap fixture's protobuf channel carries the EVEN event ids
+    "q93_transcode_proto" ->
+      """WITH ev AS (
+        |  SELECT * FROM events ORDER BY event_id LIMIT 1000)
+        |SELECT '/events_pb' AS topic, COUNT(*) AS cnt,
+        |       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        |       CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
+        |         AS sum_value
+        |FROM ev WHERE event_id % 2 = 0""".stripMargin)
 
   // lazy: referenced from the `oracle` map initializer above
   private lazy val DoubledTopicOracle =

@@ -219,16 +219,24 @@ object Convert {
     format match {
       case "mcap" | "db3" =>
         val (entries, failures) = Transcode.plan(inPath)
-        reportFailures(failures, mode, inPath, "ros2msg",
-          " to embed those rows as ros1 bytes")
+        val (pEntries, pFailures) = Transcode.planProto(inPath)
+        reportFailures(failures ++ pFailures, mode, inPath, "ros2msg",
+          " to embed those rows under their original encoding")
         val pinned =
           if (channelFirst)
             pinnedPath.map(Transcode.pinnedEntries).getOrElse(Map.empty)
           else Map.empty[String, Transcode.Entry]
-        (Transcode.toCdr(spine, entries, strict = mode == "strict", pinned),
+        val pinnedProto =
+          if (channelFirst)
+            pinnedPath.map(Transcode.pinnedProtoEntries).getOrElse(Map.empty)
+          else Map.empty[String, Transcode.ProtoEntry]
+        (Transcode.toCdr(spine, entries, strict = mode == "strict", pinned,
+          pEntries, pinnedProto),
           mergedInline("schema_defs_inline",
-            Transcode.inlineDefs((entries ++ pinned).values), options),
-          failures.isEmpty)
+            Transcode.inlineDefs((entries ++ pinned).values) ++
+              Transcode.inlineProtoDefs((pEntries ++ pinnedProto).values),
+            options),
+          failures.isEmpty && pFailures.isEmpty)
       case "rosbag" =>
         val (entries, failures) = Transcode.planToRos1(inPath)
         reportFailures(failures, mode, inPath, "ros1msg",
@@ -314,10 +322,10 @@ object Convert {
     * conformant when every channel is cdr, so a corpus carrying
     * protobuf or ros1 payloads exports under the spec's "" (no
     * profile) instead — conformance checkers would reject a
-    * ros2-profile file with non-cdr channels. With `ros1Transcoded`
-    * (every harvested ros1 definition translated and transcode is
-    * on), "ros1" counts as cdr — those rows re-encode before the sink
-    * sees them.
+    * ros2-profile file with non-cdr channels. With `transcoded`
+    * (every harvested ros1 AND protobuf definition translated and
+    * transcode is on), both count as cdr — those rows re-encode
+    * before the sink sees them.
     *
     * Derivation is METADATA-ONLY (one cached index sweep, no data
     * scan), so it reflects the SOURCES, not the `transform`'s output:
@@ -325,13 +333,14 @@ object Convert {
     * `profile` explicitly or the header may overclaim.
     */
   private def autoProfile(options: Map[String, String], format: String,
-      inPath: String, ros1Transcoded: Boolean = false): Map[String, String] =
+      inPath: String, transcoded: Boolean = false): Map[String, String] =
     if (format != "mcap" || options.keys.exists(_.equalsIgnoreCase("profile")))
       Map.empty
     else {
       val encs0 = DefsHarvest.messageEncodings(inPath)
       val encs =
-        if (ros1Transcoded) encs0.map(e => if (e == "ros1") "cdr" else e)
+        if (transcoded)
+          encs0.map(e => if (e == "ros1" || e == "protobuf") "cdr" else e)
         else encs0
       Map("profile" -> (if (encs.nonEmpty && encs.forall(_ == "cdr")) "ros2"
         else ""))
@@ -373,7 +382,7 @@ object Convert {
       options: Map[String, String] = Map.empty,
       mode: String = "append", layout: String = "time"): Unit = {
     val spine0 = transform(MixedRead.spine(spark, inPath))
-    val (spine, transcodeDefs, ros1Transcoded) =
+    val (spine, transcodeDefs, allTranscoded) =
       applyTranscode(spine0, transcodeMode(options), format, inPath, options)
     val prepared = prepare(spine, format,
       allowForeignEncoding = boolOpt(options, "allow_foreign_encoding"))
@@ -392,7 +401,7 @@ object Convert {
     val sinkOpts = options.filterNot(kv => ConvertOnly(kv._1.toLowerCase) ||
         transcodeDefs.keys.exists(_.equalsIgnoreCase(kv._1))) ++
       autoDefs(options, format, inPath) ++
-      autoProfile(options, format, inPath, ros1Transcoded) ++ transcodeDefs
+      autoProfile(options, format, inPath, allTranscoded) ++ transcodeDefs
     sinkOpts.foldLeft(sized.write.format(format).mode(mode)) {
       case (w, (k, v)) => w.option(k, v)
     }.save(outPath)
@@ -820,7 +829,7 @@ object Convert {
     val resolvable = scala.util.Try(MixedRead.resolve(inPath)).isSuccess
     val spine0 = transform(MixedRead.stream(spark, inPath))
     val mode = transcodeMode(options)
-    val (spine, transcodeDefs, ros1Transcoded) =
+    val (spine, transcodeDefs, allTranscoded) =
       if (mode == "off") (spine0, Map.empty[String, String], false)
       else if (resolvable) applyTranscode(spine0, mode, format, inPath, options)
       else format match {
@@ -840,7 +849,7 @@ object Convert {
     val auto =
       if (resolvable)
         autoDefs(options, format, inPath) ++
-          autoProfile(options, format, inPath, ros1Transcoded) ++ transcodeDefs
+          autoProfile(options, format, inPath, allTranscoded) ++ transcodeDefs
       else Map.empty[String, String]
     if (resolvable && boolOpt(options, "carry_attachments", default = true)) {
       carryAttachments(inPath, outPath)

@@ -337,12 +337,12 @@ object Transcode {
   private def fileFallback(filePath: String, tpe: String): Option[Entry] =
     fileDefs.get(filePath, tpe)
 
-  /** Rewrite a mixed-spine frame's "ros1" rows to CDR: `data`
-    * re-encoded, `type` renamed to the ROS 2 convention, `encoding` →
-    * "cdr", `size` recomputed. Resolution order: `pinned` (a USER's
-    * explicitly pinned defs channel under channel-first priority —
-    * the sinks' `defs_priority` contract, mirrored here) wins over
-    * everything; otherwise the row's own file resolves first
+  /** Rewrite a mixed-spine frame's "ros1" and "protobuf" rows to CDR:
+    * `data` re-encoded, `type` renamed to the ROS 2 convention,
+    * `encoding` → "cdr", `size` recomputed. Resolution order: `pinned`
+    * (a USER's explicitly pinned defs channel under channel-first
+    * priority — the sinks' `defs_priority` contract, mirrored here)
+    * wins over everything; otherwise the row's own file resolves first
     * (divergent same-named definitions, types landing mid-stream);
     * plan-time `entries` are the fallback for unscannable files.
     * `strict` controls the remainder: true
@@ -354,16 +354,38 @@ object Transcode {
     * duplicates the decode+encode into sibling projections.
     */
   def toCdr(spine: DataFrame, entries: Map[String, Entry],
-      strict: Boolean, pinned: Map[String, Entry] = Map.empty): DataFrame = {
+      strict: Boolean, pinned: Map[String, Entry] = Map.empty,
+      protoEntries: Map[String, ProtoEntry] = Map.empty,
+      pinnedProto: Map[String, ProtoEntry] = Map.empty): DataFrame = {
     val bc = spine.sparkSession.sparkContext.broadcast(entries)
     val bcPinned = spine.sparkSession.sparkContext.broadcast(pinned)
+    val bcProto = spine.sparkSession.sparkContext.broadcast(protoEntries)
+    val bcPinnedProto = spine.sparkSession.sparkContext.broadcast(pinnedProto)
     // a user-PINNED channel wins (defs_priority=channel); otherwise
     // the row's own FILE resolves first (same-named types can carry
     // divergent definitions across a fleet's files — decoding under
     // the other file's definition would be silent corruption); the
     // plan-time broadcast covers rows whose file cannot be scanned
-    val tcodeUdf = udf { (tpe: String, data: Array[Byte], filePath: String) =>
-      bcPinned.value.get(tpe).orElse(fileFallback(filePath, tpe))
+    val tcodeUdf = udf {
+      (enc: String, tpe: String, data: Array[Byte], filePath: String) =>
+      if (enc == "protobuf")
+        bcPinnedProto.value.get(tpe).orElse(protoFileDefs.get(filePath, tpe))
+          .orElse(bcProto.value.get(tpe)) match {
+          case Some(e) if e eq DivergentProtoEntry =>
+            if (strict) throw new IllegalArgumentException(
+              s"transcode: $filePath defines '$tpe' DIVERGENTLY (several " +
+                "descriptor sets under one name) — rows cannot be " +
+                "attributed to a definition; split the source or pass " +
+                "transcode=auto to embed them as protobuf bytes")
+            else null
+          case Some(e) => (e.dstName, codecProto(e)(data))
+          case None if strict => throw new IllegalArgumentException(
+            s"transcode: no translatable protobuf descriptor for type " +
+              s"'$tpe' (file $filePath) — fix the source schema or pass " +
+              "transcode=auto to embed untranslatable rows as protobuf bytes")
+          case None => null
+        }
+      else bcPinned.value.get(tpe).orElse(fileFallback(filePath, tpe))
         .orElse(bc.value.get(tpe)) match {
         case Some(e) if e eq DivergentEntry =>
           if (strict) throw new IllegalArgumentException(
@@ -380,21 +402,21 @@ object Transcode {
         case None => null
       }
     }.asNondeterministic()
-    rewrite(spine, col("encoding") === lit("ros1"), tcodeUdf, "cdr")
+    rewrite(spine, col("encoding").isin("ros1", "protobuf"),
+      tcodeUdf(col("encoding"), col("type"), col("data"), col("file_path")),
+      "cdr")
   }
 
-  /** Shared column-rewrite half of both directions: apply `tcodeUdf`
-    * ((type, data, file_path) → nullable (newType, newData)) to rows
-    * matching `cond`, rewrite type/encoding/size/data where it
+  /** Shared column-rewrite half of both directions: `tc` (the applied
+    * transcode UDF, nullable (newType, newData)) evaluated on rows
+    * matching `cond`, type/encoding/size/data rewritten where it
     * returned non-null.
     */
-  private def rewrite(spine: DataFrame, cond: Column,
-      tcodeUdf: org.apache.spark.sql.expressions.UserDefinedFunction,
+  private def rewrite(spine: DataFrame, cond: Column, tc: Column,
       newEncoding: String): DataFrame = {
     val sizeType = spine.schema("size").dataType
     spine
-      .withColumn("__tc",
-        when(cond, tcodeUdf(col("type"), col("data"), col("file_path"))))
+      .withColumn("__tc", when(cond, tc))
       .withColumn("type", coalesce(col("__tc._1"), col("type")))
       .withColumn("encoding",
         when(col("__tc").isNotNull, lit(newEncoding)).otherwise(col("encoding")))
@@ -597,6 +619,185 @@ object Transcode {
         case None => null
       }
     }.asNondeterministic()
-    rewrite(spine, col("encoding") === lit("cdr"), tcodeUdf, "ros1")
+    rewrite(spine, col("encoding") === lit("cdr"),
+      tcodeUdf(col("type"), col("data"), col("file_path")), "ros1")
   }
+
+  // ---- the THIRD dialect crossing: protobuf → ros2msg / CDR ----
+
+  /** One translatable protobuf type: the root message's fq name, its
+    * serialized FileDescriptorSet (base64 — value equality for
+    * broadcast and codec-cache keys; the raw bytes have identity
+    * equality only), and the RENDERED ros2msg translation. Unlike the
+    * ros1 crossing the source definition is BINARY (descriptor.proto),
+    * so translation is a real re-expression, not a line rewrite: the
+    * descriptor maps onto the shared [[RosMsgBundle]] flat frame
+    * ([[graft.ros.mcap.ProtoDescriptor.bundle]] — recursive types,
+    * proto1 groups and repeated-bytes fields keep their loud refusals
+    * there) and the bundle renders back out as ros2msg text
+    * ([[renderRos2]]). A foxglove/protobuf-profile fleet normalizing
+    * into a ros2-profile archive is the user path; the composition is
+    * the same one q91 ships for ros1 (decode to the flat value stream,
+    * re-encode through [[graft.ros.mcap.CdrCodec.encode]]).
+    */
+  final case class ProtoEntry(srcName: String, srcFdsB64: String,
+      dstName: String, dstDef: String)
+
+  /** Bundle fullName ("a.b.c.Outer/Inner") → ros2 schema name
+    * ("a_b_c_Outer/msg/Inner"): proto packages and nesting paths allow
+    * dots, ros2 package names don't. Package-less protos are refused —
+    * no ros2 package name exists to render the translation into.
+    */
+  private def ros2NameOfProto(bundleName: String): String =
+    bundleName.split("/") match {
+      case Array(pkg, name) => pkg.replace('.', '_') + "/msg/" + name
+      case _ => throw new IllegalArgumentException(
+        s"protobuf type '$bundleName' has no package — no ros2 package " +
+          "name exists to render its translation into")
+    }
+
+  private def ros2TypeText(t: RosType, msg: RosMsgDef,
+      bundle: RosMsgBundle, names: Map[String, String]): String = t match {
+    case p: RosPrimitive => p.name
+    case r: RosMsgRef => names(bundle.resolve(r, msg.pkg).fullName)
+    case RosArray(elem, Some(n)) =>
+      s"${ros2TypeText(elem, msg, bundle, names)}[$n]"
+    case RosArray(elem, None) =>
+      s"${ros2TypeText(elem, msg, bundle, names)}[]"
+  }
+
+  /** Render a protobuf-derived bundle as (ros2 schema name, ros2msg
+    * definition text): root block + `===`-separated dependent blocks.
+    * The '.'→'_' package mapping is checked INJECTIVE over the
+    * bundle's closure — two distinct proto packages collapsing onto
+    * one ros2 name would cross-wire the dependency references.
+    */
+  private[ros] def renderRos2(bundle: RosMsgBundle): (String, String) = {
+    val msgs = bundle.root +: bundle.deps.values.toSeq.sortBy(_.fullName)
+    val names = msgs.map(m => m.fullName -> ros2NameOfProto(m.fullName)).toMap
+    val collisions = names.groupBy(_._2).filter(_._2.size > 1)
+    require(collisions.isEmpty,
+      "protobuf type names collide after the ros2 renaming: " +
+        collisions.map { case (n, srcs) =>
+          s"$n <- ${srcs.keys.toSeq.sorted.mkString(", ")}"
+        }.mkString("; "))
+    def block(m: RosMsgDef): String =
+      m.fields.map(f => s"${ros2TypeText(f.tpe, m, bundle, names)} ${f.name}")
+        .mkString("\n")
+    (names(bundle.root.fullName),
+      (block(bundle.root) +: msgs.tail.map(d =>
+        ("=" * 80) + "\nMSG: " + names(d.fullName) + "\n" + block(d)))
+        .mkString("\n"))
+  }
+
+  /** Translate and VALIDATE one protobuf schema (fq root name +
+    * serialized FileDescriptorSet) into ros2msg — same contract as
+    * [[translate]]: the proto decode walk and the rendered ros2 encode
+    * walk must consume the identical value stream, so a rendering bug
+    * fails loudly at plan time, never as silent payload corruption.
+    */
+  def translateProto(fq: String, fds: Array[Byte]): ProtoEntry = {
+    val set = mcap.ProtoDescriptor.parseSet(fds)
+    val src = mcap.ProtoDescriptor.bundle(fq, set)
+    val (dstName, dstDef) = renderRos2(src)
+    val dst = mcap.Ros2Msg.bundle(dstName, dstDef)
+    val (sp, s2) = (valueShape(src), valueShape(dst))
+    require(sp == s2,
+      s"transcode: ros2msg rendering of $fq walks a different value " +
+        s"stream (proto $sp vs ros2 $s2) — refusing to re-encode")
+    ProtoEntry(fq, java.util.Base64.getEncoder.encodeToString(fds),
+      dstName, dstDef)
+  }
+
+  /** Harvest every protobuf schema under `inPath` and translate to
+    * ros2msg — the protobuf half of [[plan]]: failures cover
+    * untranslatable shapes (recursion, groups, repeated bytes,
+    * package-less types), empty descriptor sets, and names one file
+    * defines divergently.
+    */
+  def planProto(inPath: String)
+      : (Map[String, ProtoEntry], Map[String, String]) = {
+    val protos = DefsHarvest.dedupe(
+      DefsHarvest.fromPath(inPath).filter(_.encoding == "protobuf"),
+      preferKnownMd5 = false)
+    val attempts = protos.map { d =>
+      d.name -> (try Right(translateProto(d.name, d.data)) catch {
+        case e: Exception => Left(e.getMessage)
+      })
+    }
+    val entries = attempts.collect { case (n, Right(e)) => n -> e }.toMap
+    val mcapIdx = DriverPool.parMap(
+      MixedRead.resolve(inPath).getOrElse("mcap", Seq.empty))(
+      f => f -> mcap.McapIO.scanIndex(f))
+    val defless = mcapIdx.flatMap(_._2.schemas.values)
+      .filter(s => s.encoding == "protobuf" && s.name.nonEmpty && s.data.isEmpty)
+      .map(_.name)
+      .distinct.filterNot(entries.contains)
+      .map(_ -> "empty FileDescriptorSet in source").toMap
+    val divergent = divergentNames(
+      mcapIdx.map { case (f, idx) => f -> idx.schemas.values.toSeq
+        .filter(s => s.encoding == "protobuf" && s.name.nonEmpty &&
+          s.data.nonEmpty)
+        .map(s => (s.name,
+          java.util.Base64.getEncoder.encodeToString(s.data))) })
+    (entries,
+      attempts.collect { case (n, Left(m)) => n -> m }.toMap ++ defless ++
+        divergent)
+  }
+
+  /** [[pinnedEntries]] for protobuf: descriptor sets under the pinned
+    * path, translated, keyed by the proto fq name [[toCdr]] sees on
+    * the rows.
+    */
+  def pinnedProtoEntries(path: String): Map[String, ProtoEntry] =
+    DefsHarvest.fromPath(path).filter(_.encoding == "protobuf")
+      .groupBy(_.name).flatMap { case (n, ds) =>
+        val variants = ds.map(d =>
+          java.util.Base64.getEncoder.encodeToString(d.data)).distinct
+        if (variants.size != 1) None
+        else try Some(n -> translateProto(n, ds.head.data))
+        catch { case _: Exception => None }
+      }
+
+  /** The translated definitions as sink-side defs-channel entries. */
+  def inlineProtoDefs(entries: Iterable[ProtoEntry]): Seq[DefsHarvest.TypeDef] =
+    entries.toSeq.sortBy(_.dstName).map(e => DefsHarvest.TypeDef(
+      e.dstName, "ros2msg",
+      e.dstDef.getBytes(java.nio.charset.StandardCharsets.UTF_8), "*"))
+
+  private val protoCodecs = new java.util.concurrent.ConcurrentHashMap[
+    ProtoEntry, Array[Byte] => Array[Byte]]()
+
+  private[ros] def codecProto(e: ProtoEntry): Array[Byte] => Array[Byte] =
+    protoCodecs.computeIfAbsent(e, { entry =>
+      val set = mcap.ProtoDescriptor.parseSet(
+        java.util.Base64.getDecoder.decode(entry.srcFdsB64))
+      val dst = mcap.Ros2Msg.bundle(entry.dstName, entry.dstDef)
+      bytes => graft.ros.mcap.CdrCodec.encode(dst,
+        graft.ros.mcap.ProtoCodec.decode(set, entry.srcName, bytes))
+    })
+
+  private[ros] val DivergentProtoEntry = ProtoEntry("", "", "", "")
+
+  private def loadFileProtoDefs(f: String): Map[String, Option[ProtoEntry]] = {
+    val schemas: Seq[(String, Array[Byte])] = try {
+      if (f.endsWith(".mcap"))
+        mcap.McapIO.scanIndex(f).schemas.values.toSeq
+          .filter(s => s.encoding == "protobuf" && s.data.nonEmpty)
+          .map(s => (s.name, s.data))
+      else Seq.empty
+    } catch { case _: Exception => Seq.empty }
+    schemas.groupBy(_._1).map { case (name, ds) =>
+      // divergence rule as in loadFileDefs (variant key = the bytes)
+      val variants = ds.map(d =>
+        java.util.Base64.getEncoder.encodeToString(d._2)).distinct
+      name -> (if (variants.size > 1) Some(DivergentProtoEntry)
+        else try Some(translateProto(name, ds.head._2)) catch {
+          case _: Exception => None
+        })
+    }
+  }
+
+  private val protoFileDefs =
+    new SourceDefs.FileDefCache[ProtoEntry](loadFileProtoDefs)
 }

@@ -1269,4 +1269,72 @@ class ConvertSpec extends SparkTestBase {
     assert(back.select("data").head().getAs[Array[Byte]](0).toSeq ===
       Seq[Byte](1, 2, 3))
   }
+
+  // ---- the protobuf crossing (Transcode.translateProto) ----
+
+  private lazy val protoDir: String = {
+    import graft.ros.mcap.{ProtoCodec, ProtoDescriptor}
+    import ProtoDescriptor._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tc_proto").toFile
+    val fds = buildFds("graft.test", Seq("Ev" -> Seq(
+      ProtoField("id", 1, repeated = false, TInt64, ""),
+      ProtoField("tag", 2, repeated = false, TString, ""))))
+    val set = parseSet(fds)
+    val r2 = Ros2Msg.bundle("std_msgs/msg/String", strDef)
+    java.nio.file.Files.write(new java.io.File(dir, "p.mcap").toPath,
+      McapFormat.writeMcap(
+        Seq(McapFormat.McapSchema(1, "graft.test.Ev", "protobuf", fds),
+          McapFormat.McapSchema(2, "std_msgs/msg/String", "ros2msg",
+            strDef.getBytes("UTF-8"))),
+        Seq(McapFormat.McapChannel(1, 1, "/pb_topic", "protobuf"),
+          McapFormat.McapChannel(2, 2, "/cdr_topic", "cdr")),
+        (0 until 6).map { i =>
+          val t = 400000000000L + i * 1000000000L
+          if (i % 2 == 0)
+            McapFormat.McapMessage(1, i.toLong, t, t,
+              ProtoCodec.encode(set, "graft.test.Ev",
+                Seq[Any](100L + i, s"p$i")))
+          else
+            McapFormat.McapMessage(2, i.toLong, t, t,
+              CdrCodec.encode(r2, Seq(s"c$i")))
+        }))
+    dir.getAbsolutePath
+  }
+
+  test("transcode: protobuf channels re-encode as CDR under the RENDERED ros2msg") {
+    val o = out("tc_proto")
+    // strict: every definition (ros2msg + protobuf) must translate or
+    // pass through cdr — a failure would throw at plan time
+    Convert.run(spark, protoDir, o, "mcap", partitions = 1,
+      options = Map("transcode" -> "strict"))
+    val back = spark.read.format("mcap").load(o)
+    assert(back.select("message_encoding").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("cdr"),
+      "the protobuf rows re-encode; cdr rows pass through")
+    assert(profileOf(o) === "ros2",
+      "with every protobuf descriptor translated the archive is conformant ros2")
+    // typed read under the rendered name needs NO manual defs options:
+    // Convert embedded the translated ros2msg as a Schema record
+    val typed = spark.read.format("mcap").option("path", o)
+      .option("schema_name", "graft_test/msg/Ev").load()
+      .select(col("topic"), col("id"), col("tag")).collect()
+    assert(typed.map(_.getString(0)).toSet === Set("/pb_topic"))
+    assert(typed.map(r => (r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+      === Seq((100L, "p0"), (102L, "p2"), (104L, "p4")))
+    // the untouched cdr channel still typed-reads
+    val cdrBack = spark.read.format("mcap").option("path", o)
+      .option("schema_name", "std_msgs/msg/String").load()
+    assert(cdrBack.select("data_field").collect().map(_.getString(0)).toSet
+      === Set("c1", "c3", "c5"))
+  }
+
+  test("transcode to rosbag: protobuf rows still refuse (no ros1 rendering exists)") {
+    val ex = intercept[Exception] {
+      Convert.run(spark, protoDir, out("tc_proto_bag"), "rosbag",
+        partitions = 1, options = Map("transcode" -> "auto"))
+    }
+    val all = causeMessages(ex)
+    assert(all.contains("allow_foreign_encoding"),
+      s"expected the foreign-encoding guard on the protobuf rows, got: $all")
+  }
 }

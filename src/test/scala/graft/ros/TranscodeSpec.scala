@@ -420,4 +420,71 @@ class TranscodeSpec extends AnyFunSuite {
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ---- the protobuf crossing ----
+
+  test("protobuf: descriptor renders ros2msg and values survive proto→cdr byte-for-value") {
+    import graft.ros.mcap.{ProtoCodec, ProtoDescriptor}
+    import ProtoDescriptor._
+    val fds = buildFds("graft.test", Seq(
+      "Point" -> Seq(
+        ProtoField("x", 1, repeated = false, TDouble, ""),
+        ProtoField("y", 2, repeated = false, TFloat, "")),
+      "Sample" -> Seq(
+        ProtoField("id", 1, repeated = false, TInt64, ""),
+        ProtoField("flags", 2, repeated = false, TUInt32, ""),
+        ProtoField("name", 3, repeated = false, TString, ""),
+        ProtoField("blob", 4, repeated = false, TBytes, ""),
+        ProtoField("origin", 5, repeated = false, TMessage, "graft.test.Point"),
+        ProtoField("pts", 6, repeated = true, TMessage, "graft.test.Point"),
+        ProtoField("vals", 7, repeated = true, TSInt32, ""),
+        ProtoField("tags", 8, repeated = true, TString, ""),
+        ProtoField("ok", 9, repeated = false, TBool, ""))))
+    val e = Transcode.translateProto("graft.test.Sample", fds)
+    assert(e.dstName === "graft_test/msg/Sample",
+      "proto package dots map to underscores, /msg/ namespace inserted")
+    val lines = e.dstDef.linesIterator.toSeq
+    assert(lines.contains("int64 id"))
+    assert(lines.contains("uint32 flags"))
+    assert(lines.contains("uint8[] blob"), "bytes fields render as uint8[]")
+    assert(lines.contains("graft_test/msg/Point origin"))
+    assert(lines.contains("graft_test/msg/Point[] pts"))
+    assert(lines.contains("int32[] vals"), "sint32 and int32 share a wire value")
+    assert(lines.contains("string[] tags"))
+    assert(lines.contains("MSG: graft_test/msg/Point"),
+      "dependent blocks carry the renamed header")
+    // value fidelity across the wire boundary: proto encode → codec →
+    // cdr decode under the RENDERED definition
+    val set = parseSet(fds)
+    val values = Seq[Any](
+      42L, 4294967295L, "n", Array[Byte](1, 2, 3),
+      1.5, 2.5f, // origin, inlined by the shared flat frame
+      Seq(Row(-1.0, 0.5f), Row(3.0, -4.5f)),
+      Seq(-7, 8),
+      Seq("a", "b"),
+      true)
+    val pb = ProtoCodec.encode(set, "graft.test.Sample", values)
+    val cdr = Transcode.codecProto(e)(pb)
+    val decoded = CdrCodec.decode(Ros2Msg.bundle(e.dstName, e.dstDef), cdr)
+    assert(norm(decoded) === norm(values))
+  }
+
+  test("protobuf: repeated-bytes, recursion and package-less types refuse loudly") {
+    import graft.ros.mcap.ProtoDescriptor._
+    val rb = buildFds("graft.test", Seq("R" -> Seq(
+      ProtoField("chunks", 1, repeated = true, TBytes, ""))))
+    val e1 = intercept[IllegalArgumentException](
+      Transcode.translateProto("graft.test.R", rb))
+    assert(e1.getMessage.contains("repeated bytes"))
+    val noPkg = buildFds("", Seq("P" -> Seq(
+      ProtoField("x", 1, repeated = false, TInt32, ""))))
+    val e2 = intercept[IllegalArgumentException](
+      Transcode.translateProto("P", noPkg))
+    assert(e2.getMessage.contains("no ros2 package"))
+    val rec = buildFds("graft.test", Seq("Node" -> Seq(
+      ProtoField("next", 1, repeated = false, TMessage, "graft.test.Node"))))
+    val e3 = intercept[IllegalArgumentException](
+      Transcode.translateProto("graft.test.Node", rec))
+    assert(e3.getMessage.contains("recursive"))
+  }
 }
