@@ -1337,4 +1337,97 @@ class ConvertSpec extends SparkTestBase {
     assert(all.contains("allow_foreign_encoding"),
       s"expected the foreign-encoding guard on the protobuf rows, got: $all")
   }
+
+  // ---- transcode symmetry: the two translations compose losslessly ----
+
+  test("transcode symmetry: bag -> mcap -> bag round-trip is typed-value identity") {
+    import graft.ros.bag.BagFormat
+    // a rich ros1 type exercising the translatable surface: Header
+    // shorthand, time/duration primitives, the byte/char aliases,
+    // blobs, fixed + dynamic arrays, nested messages
+    val richDef =
+      """Header header
+        |time stamp
+        |duration age
+        |byte b
+        |char c
+        |uint8[] blob
+        |float32 f
+        |float64[3] cov
+        |string note
+        |graft_msgs/Pt[] pts
+        |uint32 n
+        |int64 big
+        |================================================================================
+        |MSG: std_msgs/Header
+        |uint32 seq
+        |time stamp
+        |string frame_id
+        |================================================================================
+        |MSG: graft_msgs/Pt
+        |float64 x
+        |float64 y""".stripMargin
+    val tpe = "graft_msgs/Rich"
+    val bundle = MsgDefParser.parse(tpe, richDef)
+    val rnd = new scala.util.Random(42)
+    def values(i: Int): Seq[Any] = Seq[Any](
+      i.toLong, 500 + i, 7 * i, s"frame$i", // header: seq, stamp, frame_id
+      600 + i, rnd.nextInt(1000000000),     // stamp
+      1 + i, rnd.nextInt(1000000000),       // age
+      rnd.nextInt(256) - 128,               // byte (ros1: int8)
+      rnd.nextInt(256),                     // char (ros1: uint8)
+      Array.fill(rnd.nextInt(8))(rnd.nextInt().toByte), // blob
+      rnd.nextFloat(),
+      Seq.fill(3)(rnd.nextDouble()),
+      s"note ${rnd.nextLong()}",
+      Seq.fill(rnd.nextInt(3))(
+        org.apache.spark.sql.Row(rnd.nextDouble(), rnd.nextDouble())),
+      rnd.nextLong() & 0xFFFFFFFFL,         // uint32 (widened Long)
+      rnd.nextLong())
+    val dir = java.nio.file.Files.createTempDirectory("graft_tc_sym").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "r.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/rich", tpe,
+          RosMd5.compute(tpe, richDef), richDef, "c")),
+        (0 until 25).map(i => BagFormat.WriteMessage(0, 500 + i,
+          1000 * i, RosSchemaMapper.encode(bundle, values(i))))))
+    val o1 = out("tc_sym_mcap")
+    Convert.run(spark, dir.getAbsolutePath, o1, "mcap", partitions = 1,
+      options = Map("transcode" -> "strict"))
+    val o2 = out("tc_sym_bag")
+    Convert.run(spark, o1, o2, "rosbag", partitions = 1,
+      options = Map("transcode" -> "strict"))
+    def typed(path: String) = spark.read.format("rosbag")
+      .option("datatype", tpe).load(path)
+    val a = typed(dir.getAbsolutePath)
+    val b = typed(o2)
+    // storage identity (file, chunk, byte offset) is layout, not
+    // value: the re-rendered definition TEXT is 9 chars longer
+    // ("std_msgs/Header" for the bare "Header" shorthand), shifting
+    // every record's offset. Everything else — payload fields, size,
+    // crc, receipt time, topic, datatype — must match exactly.
+    val cols = a.columns.toSet.intersect(b.columns.toSet)
+      .diff(Set("bag_path", "chunk_idx", "offset", "connection_id"))
+      .toSeq.sorted
+    def norm(v: Any): Any = v match {
+      case x: Array[Byte] => x.toSeq
+      case r: org.apache.spark.sql.Row => r.toSeq.map(norm)
+      case s: Seq[_] => s.map(norm)
+      case x => x
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => r.toSeq.map(norm)).sortBy(_.toString)
+    assert(cols.size > 10, s"expected the full flattened frame, got $cols")
+    assert(rows(a).toSeq === rows(b).toSeq,
+      "ros1 -> cdr -> ros1 must compose to typed-value identity")
+    // and the final bag's connection carries a GENUINE md5 for the
+    // re-rendered definition (rosbag tooling validates it on play)
+    val conn = graft.ros.bag.RosbagTables
+      .connections(spark, o2 + "/*.bag")
+      .select("datatype", "md5sum", "msg_def").head()
+    assert(conn.getString(0) === tpe)
+    assert(conn.getString(1) ===
+      RosMd5.compute(tpe, conn.getString(2)))
+  }
 }
