@@ -157,6 +157,14 @@ object SourceDefs {
         val e = Transcode.translate(d.name, new String(d.data, UTF_8))
         Seq(e.dstName -> ("ros2msg", e.dstDef))
       } catch { case _: Exception => Seq.empty }
+    } ++ defs.filter(_.encoding == "protobuf").flatMap { d =>
+      // transcoded protobuf rows carry the RENAMED ros2 type, whose
+      // ros2msg rendering exists in no container — register it so a
+      // mid-stream protobuf file late-binds like the ros1 crossing
+      try {
+        val e = Transcode.translateProto(d.name, d.data)
+        Seq(e.dstName -> ("ros2msg", e.dstDef))
+      } catch { case _: Exception => Seq.empty }
     }
     (direct.map(_._1) ++ translated.map(_._1)).distinct.map { n =>
       val d = direct.collect { case (`n`, v) => v }.distinct
@@ -245,6 +253,15 @@ object SourceDefs {
           Seq(DefsHarvest.TypeDef(e.dstName, "ros2msg",
             e.dstDef.getBytes(UTF_8), "*"))
         else Seq.empty
+      } catch { case _: Exception => Seq.empty }
+    } ++ raw.filter(_.encoding == "protobuf").flatMap { d =>
+      // the protobuf crossing renames too (graft.test.Ev →
+      // graft_test/msg/Ev) — the renamed type's ros2msg rendering must
+      // late-bind for mid-stream protobuf files, like the ros1 case
+      try {
+        val e = Transcode.translateProto(d.name, d.data)
+        Seq(DefsHarvest.TypeDef(e.dstName, "ros2msg",
+          e.dstDef.getBytes(UTF_8), "*"))
       } catch { case _: Exception => Seq.empty }
     }
     (raw ++ translated).filter(d => d.name.nonEmpty && d.data.nonEmpty)

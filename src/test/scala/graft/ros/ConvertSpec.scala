@@ -1338,6 +1338,61 @@ class ConvertSpec extends SparkTestBase {
       s"expected the foreign-encoding guard on the protobuf rows, got: $all")
   }
 
+  test("runStream + transcode: a protobuf file landing MID-STREAM re-encodes and late-binds") {
+    import graft.ros.mcap.{ProtoCodec, ProtoDescriptor}
+    import ProtoDescriptor._
+    val in = java.nio.file.Files.createTempDirectory("graft_tcstr_pb").toFile
+    // stream starts on a plain cdr file — the protobuf type is NOT in
+    // the start-time transcode plan or defs harvest
+    val r2 = Ros2Msg.bundle("std_msgs/msg/String", strDef)
+    java.nio.file.Files.write(new java.io.File(in, "a.mcap").toPath,
+      McapFormat.writeMcap(
+        Seq(McapFormat.McapSchema(1, "std_msgs/msg/String", "ros2msg",
+          strDef.getBytes("UTF-8"))),
+        Seq(McapFormat.McapChannel(1, 1, "/plain", "cdr")),
+        (0 until 2).map { i =>
+          val t = 100000000000L + i
+          McapFormat.McapMessage(1, i.toLong, t, t, CdrCodec.encode(r2, Seq(s"a$i")))
+        }))
+    val o = out("tcstr_pb")
+    val ck = java.nio.file.Files.createTempDirectory("graft_tcstr_pbck").toString
+    val q = Convert.runStream(spark, in.getAbsolutePath, o, "mcap", ck,
+      options = Map("transcode" -> "auto"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(250))
+    try {
+      q.processAllAvailable()
+      // the protobuf fleet joins mid-stream: the transcode UDF's
+      // per-file descriptor fallback re-encodes its rows as CDR, and
+      // the sink's late-binding defs lookup registers the RENDERED
+      // ros2msg under the renamed type — no restart, typed-decodable
+      val fds = buildFds("graft.stream", Seq("Ev" -> Seq(
+        ProtoField("id", 1, repeated = false, TInt64, ""),
+        ProtoField("tag", 2, repeated = false, TString, ""))))
+      val set = parseSet(fds)
+      java.nio.file.Files.write(new java.io.File(in, "p.mcap").toPath,
+        McapFormat.writeMcap(
+          Seq(McapFormat.McapSchema(1, "graft.stream.Ev", "protobuf", fds)),
+          Seq(McapFormat.McapChannel(1, 1, "/pb", "protobuf")),
+          (0 until 3).map { i =>
+            val t = 200000000000L + i
+            McapFormat.McapMessage(1, i.toLong, t, t,
+              ProtoCodec.encode(set, "graft.stream.Ev", Seq[Any](10L + i, s"p$i")))
+          }))
+      q.processAllAvailable()
+      val back = spark.read.format("mcap").load(o)
+      assert(back.select("message_encoding").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("cdr"),
+        "mid-stream protobuf rows re-encode as cdr")
+      val typed = spark.read.format("mcap").option("path", o)
+        .option("schema_name", "graft_stream/msg/Ev").load()
+        .select(col("id"), col("tag")).collect()
+      assert(typed.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+        === Seq((10L, "p0"), (11L, "p1"), (12L, "p2")),
+        "the renamed type must typed-decode — its rendered ros2msg " +
+          "definition late-binds from the row's source file")
+    } finally q.stop()
+  }
+
   // ---- transcode symmetry: the two translations compose losslessly ----
 
   test("transcode symmetry: bag -> mcap -> bag round-trip is typed-value identity") {
