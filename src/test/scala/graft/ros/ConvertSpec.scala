@@ -1328,6 +1328,23 @@ class ConvertSpec extends SparkTestBase {
       === Set("c1", "c3", "c5"))
   }
 
+  test("transcode to db3: protobuf channels land as typed-readable rosbag2 rows") {
+    val o = out("tc_proto_db3")
+    Convert.run(spark, protoDir, o, "db3", partitions = 1,
+      options = Map("transcode" -> "strict"))
+    val back = spark.read.format("db3").load(o)
+    assert(back.select("serialization_format").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("cdr"),
+      "protobuf rows re-encode as cdr for the db3 target too")
+    // the rendered ros2msg landed in message_definitions via the
+    // inline channel — the typed db3 read needs no options
+    val typed = spark.read.format("db3").option("path", o)
+      .option("schema_name", "graft_test/msg/Ev").load()
+      .select(col("id"), col("tag")).collect()
+    assert(typed.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      === Seq((100L, "p0"), (102L, "p2"), (104L, "p4")))
+  }
+
   test("transcode to rosbag: protobuf rows still refuse (no ros1 rendering exists)") {
     val ex = intercept[Exception] {
       Convert.run(spark, protoDir, out("tc_proto_bag"), "rosbag",
