@@ -467,7 +467,7 @@ class RosbagScan(path: String, required: StructType, pushed: Array[Filter], limi
     // time ranges prune chunks within each surviving bag.
     val bagPaths = typed.map(_.bags).getOrElse(RosbagIO.resolveBags(path))
     val surviving = bagPaths.filter(b => filters.forall(f => RosbagFilters.bagMayMatch(f, b)))
-    RosbagIO.scanIndexes(surviving)
+    val perChunk = RosbagIO.scanIndexes(surviving)
       .filter { case (_, index) =>
         filters.forall(f => RosbagFilters.bagMayMatchConns(f, index.connections)) }
       .flatMap { case (bag, index) =>
@@ -484,8 +484,16 @@ class RosbagScan(path: String, required: StructType, pushed: Array[Filter], limi
         }
         index.chunks.zipWithIndex
           .filter { case (c, _) => filters.forall(f => RosbagFilters.chunkMayMatch(f, c)) }
-          .map { case (c, i) => RosbagInputPartition(bag, i, c, conns): InputPartition }
-      }.toArray
+          .map { case (c, i) =>
+            (RosbagInputPartition(bag, i, c, conns): InputPartition,
+              c.uncompressedSize.toLong)
+          }
+      }
+    // rosbag1's DEFAULT chunk threshold is 768 KB — one task per
+    // chunk plans millions of partitions on a real fleet; pack
+    // consecutive chunks to Spark's file-split budget (see
+    // graft.ros.PartitionPacking); pruning above ran per chunk
+    graft.ros.PartitionPacking.packPartitions(perChunk)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = typed match {
@@ -500,20 +508,26 @@ class RosbagScan(path: String, required: StructType, pushed: Array[Filter], limi
 
 class RosbagReaderFactory(required: StructType, filters: Array[Filter], limit: Int)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[RosbagInputPartition]
-    new RosbagPartitionReader(p, required, filters, limit)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: graft.ros.PackedPartition =>
+        graft.ros.ConcatPartitionReader.rows(p, createReader)
+      case p => new RosbagPartitionReader(p.asInstanceOf[RosbagInputPartition],
+        required, filters, limit)
+    }
 
   // every spine column vectorizes (ints / interned strings / nullable
   // stamps / binary), so the untyped scan is always columnar
   override def supportColumnarReads(partition: InputPartition): Boolean =
     RosbagColumnarRead.enabled
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[RosbagInputPartition]
-    new RosbagMetaColumnarReader(p, required, filters, limit)
-  }
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case p: graft.ros.PackedPartition =>
+        graft.ros.ConcatPartitionReader.batches(p, createColumnarReader)
+      case p => new RosbagMetaColumnarReader(
+        p.asInstanceOf[RosbagInputPartition], required, filters, limit)
+    }
 }
 
 class RosbagPartitionReader(p: RosbagInputPartition, required: StructType,

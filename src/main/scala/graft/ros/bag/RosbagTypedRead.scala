@@ -97,10 +97,14 @@ class RosbagTypedReaderFactory(datatype: String, msgDef: String,
     required: StructType, includeRaw: Boolean,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[RosbagInputPartition]
-    new RosbagTypedPartitionReader(p, datatype, msgDef, required, includeRaw, filters)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: graft.ros.PackedPartition =>
+        graft.ros.ConcatPartitionReader.rows(p, createReader)
+      case p => new RosbagTypedPartitionReader(
+        p.asInstanceOf[RosbagInputPartition], datatype, msgDef, required,
+        includeRaw, filters)
+    }
 
   // vectorized path: decode straight into column vectors whenever every
   // required column has a columnar-supported shape (scalars, strings,
@@ -110,10 +114,14 @@ class RosbagTypedReaderFactory(datatype: String, msgDef: String,
   override def supportColumnarReads(partition: InputPartition): Boolean =
     RosbagColumnarRead.enabled && RosbagColumnarRead.supportsColumnar(required)
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[RosbagInputPartition]
-    new RosbagTypedColumnarReader(p, datatype, msgDef, required, includeRaw, filters)
-  }
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case p: graft.ros.PackedPartition =>
+        graft.ros.ConcatPartitionReader.batches(p, createColumnarReader)
+      case p => new RosbagTypedColumnarReader(
+        p.asInstanceOf[RosbagInputPartition], datatype, msgDef, required,
+        includeRaw, filters)
+    }
 }
 
 class RosbagTypedPartitionReader(p: RosbagInputPartition, datatype: String,

@@ -400,7 +400,7 @@ class McapScan(path: String, required: StructType, pushed: Array[Filter], limit:
     // filter contributes no partitions at all
     val files = typed.map(_.files).getOrElse(McapIO.resolveFiles(path))
       .filter(f => filters.forall(fl => McapFilters.fileMayMatch(fl, f)))
-    graft.ros.DriverPool.parMap(files)(f => f -> McapIO.scanIndex(f))
+    val perChunk = graft.ros.DriverPool.parMap(files)(f => f -> McapIO.scanIndex(f))
       .flatMap { case (f, idx) =>
         val schemaInfo = idx.schemas.map { case (id, s) =>
           id -> (s.name, s.encoding, McapTypedRead.md5hex(s.data)) }
@@ -412,16 +412,22 @@ class McapScan(path: String, required: StructType, pushed: Array[Filter], limit:
           val chunkParts = idx.chunks.zipWithIndex
             .filter { case (c, _) => filters.forall(fl => McapFilters.chunkMayMatch(fl, c)) }
             .map { case (c, i) =>
-              McapInputPartition(f, i, Some(c), Seq.empty, schemaInfo, idx.channels): InputPartition
+              (McapInputPartition(f, i, Some(c), Seq.empty, schemaInfo,
+                idx.channels): InputPartition, c.uncompressedSize)
             }
           val inlinePart =
             if (idx.inlineMessages.nonEmpty)
-              Seq(McapInputPartition(f, -1, None, idx.inlineMessages,
-                schemaInfo, idx.channels): InputPartition)
+              Seq((McapInputPartition(f, -1, None, idx.inlineMessages,
+                schemaInfo, idx.channels): InputPartition,
+                idx.inlineMessages.map(_._2).sum))
             else Seq.empty
           chunkParts ++ inlinePart
         }
-      }.toArray
+      }
+    // small-chunk archives must not plan one TASK per chunk — pack
+    // consecutive chunks to Spark's file-split budget (see
+    // graft.ros.PartitionPacking); pruning above ran per chunk
+    graft.ros.PartitionPacking.packPartitions(perChunk)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = typed match {
@@ -438,7 +444,12 @@ class McapScan(path: String, required: StructType, pushed: Array[Filter], limit:
 class McapReaderFactory(required: StructType, filters: Array[Filter], limit: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new McapPartitionReader(partition.asInstanceOf[McapInputPartition], required, filters, limit)
+    partition match {
+      case p: graft.ros.PackedPartition =>
+        graft.ros.ConcatPartitionReader.rows(p, createReader)
+      case p => new McapPartitionReader(p.asInstanceOf[McapInputPartition],
+        required, filters, limit)
+    }
 
   // every spine column vectorizes (ints/longs / interned strings /
   // binary), so the untyped scan is always columnar — the mcap twin of
@@ -447,8 +458,12 @@ class McapReaderFactory(required: StructType, filters: Array[Filter], limit: Int
     graft.ros.bag.RosbagColumnarRead.enabled
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new McapMetaColumnarReader(partition.asInstanceOf[McapInputPartition],
-      required, filters, limit)
+    partition match {
+      case p: graft.ros.PackedPartition =>
+        graft.ros.ConcatPartitionReader.batches(p, createColumnarReader)
+      case p => new McapMetaColumnarReader(p.asInstanceOf[McapInputPartition],
+        required, filters, limit)
+    }
 }
 
 class McapPartitionReader(p: McapInputPartition, required: StructType,
@@ -748,8 +763,12 @@ class McapTypedReaderFactory(schemaName: String, encoding: String,
     required: StructType, includeRaw: Boolean, filters: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new McapTypedPartitionReader(partition.asInstanceOf[McapInputPartition],
-      schemaName, encoding, schemaData, md5s, required, includeRaw, filters)
+    partition match {
+      case p: graft.ros.PackedPartition =>
+        graft.ros.ConcatPartitionReader.rows(p, createReader)
+      case p => new McapTypedPartitionReader(p.asInstanceOf[McapInputPartition],
+        schemaName, encoding, schemaData, md5s, required, includeRaw, filters)
+    }
 
   // vectorized path: decode straight into column vectors whenever the
   // walk is linear (cdr / packed ros1 — never protobuf: field numbers
@@ -763,8 +782,12 @@ class McapTypedReaderFactory(schemaName: String, encoding: String,
       graft.ros.bag.RosbagColumnarRead.supportsColumnar(required)
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new McapTypedColumnarReader(partition.asInstanceOf[McapInputPartition],
-      schemaName, encoding, schemaData, md5s, required, includeRaw, filters)
+    partition match {
+      case p: graft.ros.PackedPartition =>
+        graft.ros.ConcatPartitionReader.batches(p, createColumnarReader)
+      case p => new McapTypedColumnarReader(p.asInstanceOf[McapInputPartition],
+        schemaName, encoding, schemaData, md5s, required, includeRaw, filters)
+    }
 }
 
 class McapTypedPartitionReader(p: McapInputPartition, schemaName: String,
