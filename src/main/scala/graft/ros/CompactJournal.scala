@@ -104,11 +104,18 @@ private[ros] object CompactJournal {
   /** File names a directory LISTING must exclude while a journal is
     * pending, chosen so the view is one complete generation:
     *
-    *  - promotion incomplete (some MV target missing): the old
+    *  - promotion incomplete (some MV SOURCE still staged): the old
     *    generation is untouched (deletes run strictly after all
     *    promotes) — hide the MV targets, serve the old files;
-    *  - promotion complete: the new generation is fully in place —
-    *    hide the RM names (whatever the interrupted delete phase left).
+    *  - promotion complete (every staged source consumed by its
+    *    rename): the new generation is fully in place — hide the RM
+    *    names (whatever the interrupted delete phase left).
+    *
+    * The phase test checks MV SOURCES, not targets: a target name may
+    * legally PRE-EXIST in the old generation (db3's `metadata.yaml`
+    * is renamed over), so target-presence would flip the view to
+    * "promoted" one step early and serve new data files under the old
+    * generation's metadata.
     *
     * Cost on the happy path is one existence check for the journal.
     * This is a VIEW fix only — recovery stays with the next compact()
@@ -120,19 +127,38 @@ private[ros] object CompactJournal {
       if (!fs.exists(journal)) Set.empty
       else {
         val plan = readPlan(fs, journal)
-        val mvTargets = plan.collect {
+        val mvs = plan.collect {
           case l if l.startsWith("MV\t") && l.split('\t').length == 3 =>
-            l.split('\t')(2)
+            val parts = l.split('\t')
+            (parts(1), parts(2)) // (stage-relative source, final name)
         }
         val rmNames = plan.collect {
           case l if l.startsWith("RM\t") => l.substring(3)
         }
-        val promoted = mvTargets.forall(n => fs.exists(new Path(dir, n)))
-        if (promoted) rmNames.toSet else mvTargets.toSet
+        val promoted = mvs.forall { case (src, _) =>
+          !fs.exists(new Path(dir, src)) }
+        if (promoted) rmNames.toSet else mvs.map(_._2).toSet
       }
     } catch {
       // an unreadable journal (listing raced its deletion at the end
       // of a healthy compact) = nothing pending
       case _: java.io.IOException => Set.empty
+    }
+
+  /** Apply [[maskedNames]] to GLOB results: a glob over an archive
+    * with a pending journal matches BOTH generations just like a
+    * listing does, so the same single-generation view must filter it —
+    * grouped by parent directory, one journal existence check per
+    * distinct parent (the happy-path cost stays one `exists`).
+    */
+  def maskGlobbed(fs: FileSystem,
+      matches: Seq[org.apache.hadoop.fs.FileStatus])
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    matches.groupBy(s => Option(s.getPath.getParent)).toSeq.flatMap {
+      case (None, sts) => sts
+      case (Some(dir), sts) =>
+        val masked = maskedNames(fs, dir)
+        if (masked.isEmpty) sts
+        else sts.filterNot(s => masked.contains(s.getPath.getName))
     }
 }

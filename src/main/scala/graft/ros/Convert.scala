@@ -220,8 +220,11 @@ object Convert {
       case "mcap" | "db3" =>
         val (entries, failures) = Transcode.plan(inPath)
         val (pEntries, pFailures) = Transcode.planProto(inPath)
-        reportFailures(failures ++ pFailures, mode, inPath, "ros2msg",
-          " to embed those rows under their original encoding")
+        // a user-PINNED channel resolves names the archive itself
+        // cannot (divergent/empty definitions) — that is what pinning
+        // is FOR, so a pin-covered name is not a plan failure: strict
+        // must not refuse it and auto's profile claim counts it as
+        // translated (the UDF consults the pin before everything)
         val pinned =
           if (channelFirst)
             pinnedPath.map(Transcode.pinnedEntries).getOrElse(Map.empty)
@@ -230,22 +233,26 @@ object Convert {
           if (channelFirst)
             pinnedPath.map(Transcode.pinnedProtoEntries).getOrElse(Map.empty)
           else Map.empty[String, Transcode.ProtoEntry]
+        val unresolved = (failures -- pinned.keys) ++
+          (pFailures -- pinnedProto.keys)
+        reportFailures(unresolved, mode, inPath, "ros2msg",
+          " to embed those rows under their original encoding")
         (Transcode.toCdr(spine, entries, strict = mode == "strict", pinned,
           pEntries, pinnedProto),
           mergedInline("schema_defs_inline",
             Transcode.inlineDefs((entries ++ pinned).values) ++
               Transcode.inlineProtoDefs((pEntries ++ pinnedProto).values),
             options),
-          failures.isEmpty && pFailures.isEmpty)
+          unresolved.isEmpty)
       case "rosbag" =>
         val (entries, failures) = Transcode.planToRos1(inPath)
-        reportFailures(failures, mode, inPath, "ros1msg",
-          " (with allow_foreign_encoding=true) to embed those rows " +
-            "as foreign bytes")
         val pinned =
           if (channelFirst)
             pinnedPath.map(Transcode.pinnedRos1Entries).getOrElse(Map.empty)
           else Map.empty[String, Transcode.Ros1Entry]
+        reportFailures(failures -- pinned.keys, mode, inPath, "ros1msg",
+          " (with allow_foreign_encoding=true) to embed those rows " +
+            "as foreign bytes")
         (Transcode.toRos1(spine, entries, strict = mode == "strict", pinned),
           mergedInline("conn_defs_inline",
             Transcode.inlineRos1Defs((entries ++ pinned).values), options),
@@ -765,7 +772,21 @@ object Convert {
             stagePath.toString, staged.map(n => s"compact-$tag-$n"))
           Seq(s"MV\t.compact-$tag/metadata.yaml\tmetadata.yaml")
         } else Seq.empty
-      val plan = dataMvs ++ metaMvs ++
+      // the _divergent.json diagnostic must survive the swap with the
+      // GENERATION it describes: promote the stage write's sidecar
+      // (fresh divergent-type list) when one exists, else remove a
+      // stale old-generation sidecar that would otherwise keep naming
+      // part files the swap deletes
+      val sidecarMvs =
+        if (format != "db3") Seq.empty
+        else if (fs.exists(new org.apache.hadoop.fs.Path(stagePath,
+          "_divergent.json")))
+          Seq(s"MV\t.compact-$tag/_divergent.json\t_divergent.json")
+        else if (fs.exists(new org.apache.hadoop.fs.Path(outPath,
+          "_divergent.json")))
+          Seq("RM\t_divergent.json")
+        else Seq.empty
+      val plan = dataMvs ++ metaMvs ++ sidecarMvs ++
         files.map(f => s"RM\t${new org.apache.hadoop.fs.Path(f).getName}")
       CompactJournal.write(fs, outPath, plan)
       CompactJournal.execute(fs, outPath, plan)

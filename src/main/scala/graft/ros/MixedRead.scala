@@ -57,8 +57,9 @@ object MixedRead {
           .flatMap(s => classify(s.getPath.getName).map(_ -> s.getPath.toString))
       }
       else {
-        val stats = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-          .filter(_.isFile)
+        val stats = CompactJournal.maskGlobbed(fs,
+          Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+            .filter(_.isFile))
         require(stats.nonEmpty || fs.exists(p), s"path not found: $spec")
         stats.map { s =>
           val kind = classify(s.getPath.getName).getOrElse(throw

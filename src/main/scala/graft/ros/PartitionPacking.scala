@@ -54,14 +54,25 @@ object PartitionPacking {
     * parallelism 8).
     */
   def budgetBytes(totalBytes: Long): (Long, Long) = {
-    val (maxPartition, openCost, parallelism) =
-      try {
-        val s = SparkSession.active
-        (s.sessionState.conf.filesMaxPartitionBytes,
-          s.conf.get("spark.graft.chunkOpenCostBytes", (128L << 10).toString)
-            .toLong,
+    // only the SESSION lookup is guarded (executors and sessionless
+    // tools fall back to defaults); a malformed user conf fails LOUDLY
+    // — swallowing it would silently change partitioning shape
+    val session =
+      try Some(SparkSession.active) catch { case _: Exception => None }
+    val (maxPartition, openCost, parallelism) = session match {
+      case Some(s) =>
+        val raw = s.conf.get("spark.graft.chunkOpenCostBytes",
+          (128L << 10).toString)
+        val oc = try raw.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.chunkOpenCostBytes must be a byte count, got '$raw'")
+        }
+        require(oc >= 0,
+          s"spark.graft.chunkOpenCostBytes must be non-negative, got $oc")
+        (s.sessionState.conf.filesMaxPartitionBytes, oc,
           s.sparkContext.defaultParallelism.toLong.max(1L))
-      } catch { case _: Exception => (128L << 20, 128L << 10, 8L) }
+      case None => (128L << 20, 128L << 10, 8L)
+    }
     val bytesPerCore = totalBytes / parallelism + openCost
     (math.min(maxPartition, math.max(openCost, bytesPerCore)), openCost)
   }

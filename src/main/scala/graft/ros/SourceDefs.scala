@@ -70,6 +70,14 @@ object SourceDefs {
         if (hit.isDefined) return hit.get
       }
       val fp = fingerprint(filePath)
+      if (fp == "unavailable" && cur != null) {
+        // a TRANSIENT stat failure must not clobber known-good answers
+        // with a failed reload's empty map (rows written during an FS
+        // hiccup would degrade permanently) — keep serving the cached
+        // entries, re-arm the throttle, retry next window
+        cache.put(filePath, cur.copy(lastStatNanos = now))
+        return cur.entries.getOrElse(tpe, None)
+      }
       val base =
         if (cur != null && cur.fingerprint == fp) cur.entries
         else load(filePath)

@@ -652,7 +652,11 @@ object RosbagIO {
     val (filesystem, p) = fs(path)
     if (path.exists(c => "*?[]{}".indexOf(c.toInt) >= 0)) {
       val matches = Option(filesystem.globStatus(p)).getOrElse(Array.empty)
-      val bags = matches.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+      // a glob sees both generations during a pending compact journal
+      // exactly like a listing - serve the same consistent view
+      val bags = graft.ros.CompactJournal
+        .maskGlobbed(filesystem, matches.filter(_.isFile).toSeq)
+        .map(_.getPath.toString).sorted
       require(bags.nonEmpty, s"glob matches no files: $path")
       bags
     } else {

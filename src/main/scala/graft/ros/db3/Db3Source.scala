@@ -139,7 +139,9 @@ object Db3IO {
           fs.listStatus(p).toSeq.filter(s => s.isFile &&
             isDb3(s.getPath.getName) && !masked.contains(s.getPath.getName))
         }
-        else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty).filter(_.isFile)
+        else graft.ros.CompactJournal.maskGlobbed(fs,
+          Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+            .filter(_.isFile))
       require(stats.nonEmpty || fs.exists(p), s"db3 path not found: $spec")
       stats.map(_.getPath.toString)
     }.sorted

@@ -788,9 +788,16 @@ class ConvertSpec extends SparkTestBase {
           r.getLong(3), r.getAs[Array[Byte]](4).toSeq)).toSet
     val before = snapshot()
     assert(before.size === 7)
+    // a STALE divergence sidecar (naming pre-compact part files) must
+    // not survive the swap pointing at deleted files
+    java.nio.file.Files.write(new java.io.File(o, "_divergent.json").toPath,
+      """{"fake/Type":["part-0-e1.db3"]}""".getBytes("UTF-8"))
     Convert.compact(spark, o, partitions = 1)
     assert(db3Files().size === 1 && db3Files().head.startsWith("compact-"),
       s"compaction must collapse the db3 files: ${db3Files()}")
+    assert(!new java.io.File(o, "_divergent.json").exists(),
+      "a stale sidecar naming deleted part files must go with them " +
+        "(a fresh one is promoted only when the rewrite still diverges)")
     assert(snapshot() === before, "row identity must survive compaction")
     // metadata.yaml regenerated IN the swap: lists exactly the new
     // generation, stats intact — rosbag2 tooling keeps working
@@ -835,24 +842,40 @@ class ConvertSpec extends SparkTestBase {
     def names(): Set[String] =
       graft.ros.bag.RosbagIO.resolveBags(dir.getAbsolutePath)
         .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    def globNames(): Set[String] =
+      graft.ros.bag.RosbagIO.resolveBags(dir.getAbsolutePath + "/*.bag")
+        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
     assert(names() === Set("old1.bag", "old2.bag"))
+    val stage = new java.io.File(dir, ".compact-x")
+    stage.mkdirs()
+    bagOf(".compact-x/s1.bag", 10L); bagOf(".compact-x/s2.bag", 20L)
     val plan = Seq(
       "MV\t.compact-x/s1.bag\tcompact-x-s1.bag",
       "MV\t.compact-x/s2.bag\tcompact-x-s2.bag",
       "RM\told1.bag", "RM\told2.bag")
     val fs = new org.apache.hadoop.fs.Path(dir.getAbsolutePath)
       .getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
-    // PHASE A: promotion incomplete (one target promoted, one not) —
-    // the old generation is still whole; serve it, hide the new
-    bagOf("compact-x-s1.bag", 10L)
+    def promote(n: String): Unit = {
+      assert(fs.rename(
+        new org.apache.hadoop.fs.Path(stage.getAbsolutePath, n),
+        new org.apache.hadoop.fs.Path(dir.getAbsolutePath, s"compact-x-$n")))
+      ()
+    }
+    // PHASE A: promotion incomplete (one staged source consumed, one
+    // not) — the old generation is still whole; serve it, hide the new
     CompactJournal.write(fs, dir.getAbsolutePath, plan)
+    promote("s1.bag")
     assert(names() === Set("old1.bag", "old2.bag"),
       "mid-promotion reads must serve the (complete) old generation")
+    assert(globNames() === Set("old1.bag", "old2.bag"),
+      "a GLOB over the same archive must serve the same view")
     // PHASE B: promotion complete, deletes pending — both generations
     // on disk (up to 2x every message); serve the new, hide the old
-    bagOf("compact-x-s2.bag", 20L)
+    promote("s2.bag")
     assert(names() === Set("compact-x-s1.bag", "compact-x-s2.bag"),
       "post-promotion reads must serve the new generation only")
+    assert(globNames() === Set("compact-x-s1.bag", "compact-x-s2.bag"),
+      "the glob view flips with the listing view")
     // MixedRead.resolve applies the same mask
     assert(MixedRead.resolve(dir.getAbsolutePath)("rosbag")
       .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
@@ -861,6 +884,46 @@ class ConvertSpec extends SparkTestBase {
     fs.delete(CompactJournal.journalPath(dir.getAbsolutePath), false)
     assert(names() === Set("old1.bag", "old2.bag",
       "compact-x-s1.bag", "compact-x-s2.bag"))
+  }
+
+  test("journal phase detection survives MV targets that pre-exist (db3 metadata.yaml)") {
+    // db3 compacts rename the staged metadata.yaml OVER the old one:
+    // target-presence would call the swap 'promoted' while the staged
+    // metadata still waits, serving NEW data files under OLD metadata.
+    // Source-absence is the exact test.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cj_meta").toFile
+    def touch(rel: String): Unit = {
+      val f = new java.io.File(dir, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, rel.getBytes("UTF-8"))
+      ()
+    }
+    touch("old1.db3"); touch("metadata.yaml")
+    touch(".compact-x/s1.db3"); touch(".compact-x/metadata.yaml")
+    val fs = new org.apache.hadoop.fs.Path(dir.getAbsolutePath)
+      .getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    val plan = Seq(
+      "MV\t.compact-x/s1.db3\tcompact-x-s1.db3",
+      "MV\t.compact-x/metadata.yaml\tmetadata.yaml",
+      "RM\told1.db3")
+    CompactJournal.write(fs, dir.getAbsolutePath, plan)
+    val p = new org.apache.hadoop.fs.Path(dir.getAbsolutePath)
+    // data file promoted, metadata.yaml MV still pending — its TARGET
+    // exists (the stale old copy), but its staged SOURCE does too:
+    // the view must stay on the old generation
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p, ".compact-x/s1.db3"),
+      new org.apache.hadoop.fs.Path(p, "compact-x-s1.db3")))
+    assert(CompactJournal.maskedNames(fs, p)
+      === Set("compact-x-s1.db3", "metadata.yaml"),
+      "a pre-existing MV target must not flip the view to promoted")
+    // the metadata promote completes (delete-dst-then-rename, as
+    // CompactJournal.execute does): every staged source consumed
+    fs.delete(new org.apache.hadoop.fs.Path(p, "metadata.yaml"), false)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(p, ".compact-x/metadata.yaml"),
+      new org.apache.hadoop.fs.Path(p, "metadata.yaml")))
+    assert(CompactJournal.maskedNames(fs, p) === Set("old1.db3"),
+      "all sources consumed = promoted; hide the pending deletes")
   }
 
   // ---- typed cross-dialect transcode ----
@@ -1106,6 +1169,60 @@ class ConvertSpec extends SparkTestBase {
     assert(schemaTextOf(oFile).contains("int64 a") &&
       !schemaTextOf(oFile).contains("int64 area"),
       "defs_priority=file must keep the row's own file authoritative")
+  }
+
+  test("a pinned channel RESOLVES plan-time divergence: strict passes, profile stays honest") {
+    import graft.ros.bag.BagFormat
+    val tpe = "graft_msgs/Pin2"
+    val defA = "int64 a"
+    val defB = "int64 area" // wire-identical text variant of the same layout
+    val in = java.nio.file.Files.createTempDirectory("graft_tc_pindiv").toFile
+    // ONE file defines the type DIVERGENTLY (two text variants) — a
+    // plan-time failure no per-file resolution can attribute
+    java.nio.file.Files.write(new java.io.File(in, "rows.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/p", tpe,
+          RosMd5.compute(tpe, defA), defA, "c"),
+          BagFormat.BagConnection(1, "/p", tpe,
+            RosMd5.compute(tpe, defB), defB, "c")),
+        Seq(BagFormat.WriteMessage(0, 10, 0, RosSchemaMapper.encode(
+          MsgDefParser.parse(tpe, defA), Seq[Any](7L))),
+          BagFormat.WriteMessage(1, 11, 0, RosSchemaMapper.encode(
+            MsgDefParser.parse(tpe, defB), Seq[Any](9L))))))
+    // without a pin, strict refuses at plan time
+    val ex = intercept[Exception] {
+      Convert.run(spark, in.getAbsolutePath, out("tc_pindiv_none"), "mcap",
+        partitions = 1, options = Map("transcode" -> "strict"))
+    }
+    assert(causeMessages(ex).contains("DIVERGENTLY"))
+    // a user-pinned definitive channel is exactly the fix for this
+    // archive: the pin resolves the name BEFORE per-file resolution,
+    // so strict must not refuse and the profile counts it translated
+    val pin = java.nio.file.Files.createTempDirectory("graft_tc_pindiv_d").toFile
+    java.nio.file.Files.write(new java.io.File(pin, "defs.bag").toPath,
+      BagFormat.writeBag(
+        Seq(BagFormat.BagConnection(0, "/p", tpe,
+          RosMd5.compute(tpe, defB), defB, "c")),
+        Seq(BagFormat.WriteMessage(0, 10, 0, RosSchemaMapper.encode(
+          MsgDefParser.parse(tpe, defB), Seq[Any](1L))))))
+    val o = out("tc_pindiv")
+    Convert.run(spark, in.getAbsolutePath, o, "mcap", partitions = 1,
+      options = Map("transcode" -> "strict",
+        "schema_defs_from" -> pin.getAbsolutePath))
+    val back = spark.read.format("mcap").load(o)
+    assert(back.select("message_encoding").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("cdr"))
+    val f = new java.io.File(o).listFiles()
+      .filter(x => x.getName.endsWith(".mcap") && !x.getName.startsWith("."))
+      .head
+    assert(McapFormat.headerOf(
+      java.nio.file.Files.readAllBytes(f.toPath))._1 === "ros2",
+      "a pin-resolved divergence leaves no untranslated channel — the " +
+        "profile claim must count it")
+    val typed = spark.read.format("mcap")
+      .option("schema_name", "graft_msgs/msg/Pin2").load(o)
+    assert(typed.select("area").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(7L, 9L), "both divergent-text cohorts decode under the pin")
   }
 
   test("transcode to rosbag keeps divergent same-named definitions as separate connections") {

@@ -71,6 +71,28 @@ class SourceDefsSpec extends AnyFunSuite {
     ()
   }
 
+  test("a TRANSIENT stat failure must not clobber known-good answers") {
+    sys.props("graft.sourcedefs.recheck.nanos") = "0"
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_srcdefs_tr").toFile
+      val f = new java.io.File(dir, "gone.mcap")
+      writeMcap(f, Seq("graft_msgs/msg/TT"))
+      val p = f.getAbsolutePath
+      assert(SourceDefs.variantsFor(p, "graft_msgs/msg/TT").nonEmpty)
+      // the file vanishes (FS hiccup / rotation race): the recheck's
+      // stat fails - the cached positive must keep serving instead of
+      // being replaced by the failed reload's empty map (rows written
+      // during the outage would degrade permanently)
+      assert(f.delete())
+      assert(SourceDefs.variantsFor(p, "graft_msgs/msg/TT").nonEmpty,
+        "a transient stat failure must serve the cached answer")
+      // the file comes back with MORE types: the next recheck sees a
+      // real fingerprint again and reloads
+      writeMcap(f, Seq("graft_msgs/msg/TT", "graft_msgs/msg/TU"))
+      assert(SourceDefs.variantsFor(p, "graft_msgs/msg/TU").nonEmpty)
+    } finally { sys.props.remove("graft.sourcedefs.recheck.nanos"); () }
+  }
+
   test("a POSITIVE answer re-validates: a type turning divergent " +
       "mid-tail flips within one recheck window") {
     sys.props("graft.sourcedefs.recheck.nanos") = "0"
