@@ -469,6 +469,94 @@ class TranscodeSpec extends AnyFunSuite {
     assert(norm(decoded) === norm(values))
   }
 
+  test("property: random proto descriptors + values transcode value-identically") {
+    import graft.ros.mcap.{ProtoCodec, ProtoDescriptor}
+    import ProtoDescriptor._
+    // scalar types whose proto decode boxing survives the CDR round
+    // trip (groups/repeated-bytes are refusals, fixed/zigzag share
+    // wire values with these)
+    val scalars = Seq(TInt64, TUInt64, TInt32, TUInt32, TBool, TString,
+      TDouble, TFloat, TSInt32, TSInt64)
+    def genScalarValue(t: Int): Gen[Any] = t match {
+      case TInt64 | TSInt64 => Arbitrary.arbitrary[Long]
+      case TUInt64 => Arbitrary.arbitrary[Long]
+      case TInt32 | TSInt32 => Arbitrary.arbitrary[Int]
+      case TUInt32 => Gen.choose(0L, 0xFFFFFFFFL)
+      case TBool => Arbitrary.arbitrary[Boolean]
+      case TString => Gen.alphaNumStr.map(_.take(12))
+      case TDouble => Arbitrary.arbitrary[Double].suchThat(!_.isNaN)
+      case TFloat => Arbitrary.arbitrary[Float].suchThat(!_.isNaN)
+    }
+    // message shapes: each message may reference PRIOR messages only
+    // (no recursion by construction); fields mix scalars, bytes,
+    // repeated scalars, singular + repeated message refs
+    final case class FieldShape(tpe: Int, typeName: String, repeated: Boolean)
+    val genCase: Gen[(Seq[(String, Seq[ProtoField])], Seq[Any])] = for {
+      nMsgs <- Gen.choose(1, 3)
+      shapes <- Gen.sequence[List[List[FieldShape]], List[FieldShape]](
+        (0 until nMsgs).toList.map { mi =>
+          for {
+            nf <- Gen.choose(1, 5)
+            fs <- Gen.listOfN(nf, {
+              val base = Seq(
+                6 -> Gen.oneOf(scalars).map(t =>
+                  FieldShape(t, "", repeated = false)),
+                2 -> Gen.oneOf(scalars).map(t =>
+                  FieldShape(t, "", repeated = true)),
+                1 -> Gen.const(FieldShape(TBytes, "", repeated = false)))
+              val all = if (mi == 0) base else base :+ (2 ->
+                Gen.choose(0, mi - 1).flatMap(r => Gen.oneOf(false, true)
+                  .map(rep => FieldShape(TMessage, s"graft.prop.M$r", rep))))
+              Gen.frequency(all: _*)
+            })
+          } yield fs
+        })
+      values <- {
+        def valuesOf(fs: List[FieldShape]): Gen[List[Any]] =
+          Gen.sequence[List[List[Any]], List[Any]](fs.map { f =>
+            def msgIdx(tn: String) = tn.stripPrefix("graft.prop.M").toInt
+            (f.tpe, f.repeated) match {
+              case (TMessage, false) => valuesOf(shapes(msgIdx(f.typeName)))
+              case (TMessage, true) => for {
+                k <- Gen.choose(0, 2)
+                rows <- Gen.listOfN(k, valuesOf(shapes(msgIdx(f.typeName))))
+              } yield List(rows.map(r => Row.fromSeq(r)))
+              case (TBytes, false) =>
+                Gen.choose(0, 6).flatMap(k => Gen.listOfN(k,
+                  Arbitrary.arbitrary[Byte])).map(bs => List(bs.toArray))
+              case (t, false) => genScalarValue(t).map(List(_))
+              case (t, true) => Gen.choose(0, 3).flatMap(k =>
+                Gen.listOfN(k, genScalarValue(t))).map(vs => List(vs))
+            }
+          }).map(_.flatten)
+        valuesOf(shapes.last)
+      }
+    } yield {
+      val messages = shapes.zipWithIndex.map { case (fs, mi) =>
+        s"M$mi" -> fs.zipWithIndex.map { case (f, fi) =>
+          ProtoField(s"f$fi", fi + 1, f.repeated, f.tpe, f.typeName)
+        }
+      }
+      (messages, values)
+    }
+    val prop = Prop.forAll(genCase) { case (messages, values) =>
+      val fds = buildFds("graft.prop", messages)
+      val rootFq = s"graft.prop.M${messages.size - 1}"
+      val set = parseSet(fds)
+      val pb = ProtoCodec.encode(set, rootFq, values)
+      val e = Transcode.translateProto(rootFq, fds)
+      val decoded = CdrCodec.decode(Ros2Msg.bundle(e.dstName, e.dstDef),
+        Transcode.codecProto(e)(pb))
+      val ok = norm(decoded) == norm(values)
+      if (!ok) println(s"MISMATCH msgs=$messages\n in=${norm(values)}\n " +
+        s"out=${norm(decoded)}")
+      ok
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(150), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("protobuf: repeated-bytes, recursion and package-less types refuse loudly") {
     import graft.ros.mcap.ProtoDescriptor._
     val rb = buildFds("graft.test", Seq("R" -> Seq(
