@@ -116,6 +116,13 @@ final case class PackedPartition(parts: Array[InputPartition])
 /** Sequential concatenation of per-chunk readers — readers are created
   * LAZILY (one open chunk at a time) and closed as soon as they drain,
   * so a packed partition holds at most one chunk's decode state.
+  *
+  * Each sub-reader performs its own ranged read (open + seek + read
+  * per chunk). That is deliberate: packs are disk-contiguous, and on
+  * object stores a ranged GET per chunk is the native access pattern
+  * (what Spark's parquet reader issues per column chunk); a shared
+  * long-lived stream would add fd-lifetime risk for a metadata round
+  * trip saved only on hierarchical filesystems.
   */
 final class ConcatPartitionReader[T](parts: Array[InputPartition],
     mk: InputPartition => PartitionReader[T]) extends PartitionReader[T] {
