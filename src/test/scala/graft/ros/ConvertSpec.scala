@@ -1462,6 +1462,56 @@ class ConvertSpec extends SparkTestBase {
       === Seq((100L, "p0"), (102L, "p2"), (104L, "p4")))
   }
 
+  test("a pinned channel resolves DIVERGENT protobuf descriptors too") {
+    import graft.ros.mcap.{ProtoCodec, ProtoDescriptor}
+    import ProtoDescriptor._
+    // ONE file defines graft.test.DV with TWO distinct descriptor
+    // sets (field renamed across schema records) — per-row attribution
+    // is impossible, a plan-time failure
+    val fdsA = buildFds("graft.test", Seq("DV" -> Seq(
+      ProtoField("id", 1, repeated = false, TInt64, ""))))
+    val fdsB = buildFds("graft.test", Seq("DV" -> Seq(
+      ProtoField("ident", 1, repeated = false, TInt64, ""))))
+    val setA = parseSet(fdsA)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tc_pdiv").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "d.mcap").toPath,
+      McapFormat.writeMcap(
+        Seq(McapFormat.McapSchema(1, "graft.test.DV", "protobuf", fdsA),
+          McapFormat.McapSchema(2, "graft.test.DV", "protobuf", fdsB)),
+        Seq(McapFormat.McapChannel(1, 1, "/dv", "protobuf"),
+          McapFormat.McapChannel(2, 2, "/dv", "protobuf")),
+        Seq(
+          McapFormat.McapMessage(1, 0L, 1000L, 1000L,
+            ProtoCodec.encode(setA, "graft.test.DV", Seq[Any](7L))),
+          McapFormat.McapMessage(2, 1L, 2000L, 2000L,
+            ProtoCodec.encode(parseSet(fdsB), "graft.test.DV",
+              Seq[Any](9L))))))
+    val ex = intercept[Exception] {
+      Convert.run(spark, dir.getAbsolutePath, out("tc_pdiv_none"), "mcap",
+        partitions = 1, options = Map("transcode" -> "strict"))
+    }
+    assert(causeMessages(ex).contains("DIVERGENTLY"))
+    // the pinned channel (the definitive descriptor — the two variants
+    // share the wire layout) resolves it: strict passes, both rows
+    // re-encode as CDR under the pin's rendering
+    val pin = java.nio.file.Files.createTempDirectory("graft_tc_pdiv_d").toFile
+    java.nio.file.Files.write(new java.io.File(pin, "defs.mcap").toPath,
+      McapFormat.writeMcap(
+        Seq(McapFormat.McapSchema(1, "graft.test.DV", "protobuf", fdsB)),
+        Seq(McapFormat.McapChannel(1, 1, "/dv", "protobuf")),
+        Seq(McapFormat.McapMessage(1, 0L, 1000L, 1000L,
+          ProtoCodec.encode(parseSet(fdsB), "graft.test.DV", Seq[Any](1L))))))
+    val o = out("tc_pdiv")
+    Convert.run(spark, dir.getAbsolutePath, o, "mcap", partitions = 1,
+      options = Map("transcode" -> "strict",
+        "schema_defs_from" -> pin.getAbsolutePath))
+    val typed = spark.read.format("mcap")
+      .option("schema_name", "graft_test/msg/DV").load(o)
+    assert(typed.select("ident").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(7L, 9L),
+      "both divergent-descriptor cohorts decode under the pinned rendering")
+  }
+
   test("transcode to rosbag: protobuf rows still refuse (no ros1 rendering exists)") {
     val ex = intercept[Exception] {
       Convert.run(spark, protoDir, out("tc_proto_bag"), "rosbag",

@@ -129,6 +129,22 @@ class PartitionPackingSpec extends SparkTestBase {
     }
   }
 
+  test("limit early-stop works through a packed partition") {
+    val path = manyChunkMcap
+    withConfs((1L << 20).toString, "0") {
+      val df = spark.read.format("mcap").option("path", path)
+        .option("schema_name", "std_msgs/msg/KV").load()
+        .limit(5)
+      assert(df.count() === 5,
+        "a limit smaller than one pack must stop inside the concat reader")
+      // and a limit crossing chunk boundaries inside one pack
+      val df2 = spark.read.format("mcap").option("path", path)
+        .option("schema_name", "std_msgs/msg/KV").load()
+        .limit(150)
+      assert(df2.count() === 150)
+    }
+  }
+
   test("rosbag: a many-chunk bag packs and typed rows are identical") {
     val defText = "string data\nint64 n"
     val b1 = MsgDefParser.parse("graft_msgs/KV", defText)
