@@ -508,7 +508,68 @@ object ContainerQueries {
           round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
             .as("sum_value"))
         .orderBy(col("topic"))
+    }),
+
+    // Q94 — WARC crawl-shard ingestion, CHECKED: the documents table
+    // round-trips through the web-archive wire format (ISO 28500,
+    // Common Crawl's layout — member-per-record gzip, HTTP response
+    // blocks) and back through the `warc` DSv2 source. The per-source
+    // aggregates run over columns the SOURCE derives (the http split's
+    // body bytes, status-filtered), with source and doc id re-derived
+    // from the crawl URI — so framing, the gzip member stream, the
+    // http split AND payload byte fidelity all sit inside the DuckDB
+    // equality. sum_bytes compares the binary payload length against
+    // DuckDB's strlen(text): UTF-8 octets on both sides.
+    "q94_warc_ingest" -> ((s, d) => {
+      val dir = warcFixture(s, d)
+      s.read.format("warc").load(dir)
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .withColumn("source",
+          regexp_extract(col("target_uri"), "https://([^.]+)\\.", 1))
+        .withColumn("doc_id",
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("cnt"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(length(col("payload")).cast("long")).as("sum_bytes"))
+        .orderBy(col("source"))
     }))
+
+  /** q94's fixture: every document written as an HTTP-response WARC
+    * record (uri `https://<source>.example.com/doc/<doc_id>`, body =
+    * text UTF-8) across two member-gzipped shards, plus a warcinfo
+    * record per shard — the Common Crawl layout at fixture scale.
+    * Cache key derives from the documents parquet's (length, mtime).
+    */
+  private def warcFixture(s: SparkSession, d: String): String = synchronized {
+    val docs = new java.io.File(d, "documents.parquet")
+    val key = md5Key(s"warcv1:$d:${docs.length}:${docs.lastModified}")
+    publishStaged("graft_warc_" + key) { stage =>
+      import graft.warc.WarcFormat
+      stage.mkdirs()
+      val rows = documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+        .collect()
+      (0 until 2).foreach { shard =>
+        val recs = WarcFormat.WriteRecord("warcinfo", "",
+          "software: graft-fixture\r\n".getBytes("UTF-8"),
+          contentType = "application/warc-fields") +:
+          rows.filter(_.getLong(0) % 2 == shard).sortBy(_.getLong(0)).toSeq
+            .map { r =>
+              WarcFormat.WriteRecord("response",
+                s"https://${r.getString(2)}.example.com/doc/${r.getLong(0)}",
+                WarcFormat.httpResponseBlock(
+                  r.getString(1).getBytes("UTF-8"),
+                  "text/plain; charset=utf-8"),
+                contentType = "application/http; msgtype=response")
+            }
+        java.nio.file.Files.write(
+          new java.io.File(stage, f"crawl-$shard%02d.warc.gz").toPath,
+          WarcFormat.writeWarc(recs, gzipPerRecord = true))
+      }
+    }
+  }
 
   /** Sink-built fixture for q86: the same 1000-row slice EXPORTED as
     * MCAP through the DSv2 write path itself (two partitions — the
@@ -972,7 +1033,13 @@ object ContainerQueries {
         |       CAST(SUM(user_id) AS BIGINT) AS sum_uid,
         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
         |         AS sum_value
-        |FROM ev WHERE event_id % 2 = 0""".stripMargin)
+        |FROM ev WHERE event_id % 2 = 0""".stripMargin,
+    // payload bytes vs strlen(text): UTF-8 octets on both sides
+    "q94_warc_ingest" ->
+      """SELECT source, COUNT(*) AS cnt,
+        |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |       CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 
   // lazy: referenced from the `oracle` map initializer above
   private lazy val DoubledTopicOracle =

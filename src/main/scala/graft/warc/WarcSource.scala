@@ -1,0 +1,298 @@
+package graft.warc
+
+import java.util
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 `warc` batch source — web-archive crawl shards
+  * (Common Crawl's wire format) as a DataFrame, the INGESTION end of
+  * the text-pipeline operators (dedup, language-ID, quality scoring,
+  * contamination) this engine ships:
+  *
+  * ```scala
+  * spark.read.format("warc").load("/crawl/segment-00123")
+  *   .filter(col("warc_type") === "response" && col("http_status") === 200)
+  *   .select(col("target_uri"), col("payload"))
+  * ```
+  *
+  * Parallelism is per FILE: `.warc.gz` compresses record-at-time into
+  * concatenated gzip members, which stream sequentially but do not
+  * byte-split — the corpus's own layout (Common Crawl shards ~1 GB,
+  * tens of thousands per dump) IS the partition grain, exactly how
+  * production crawl pipelines schedule it.
+  *
+  * Pushdown: column pruning skips the HTTP split and payload
+  * materialization when no payload-derived column is required;
+  * file_path equality prunes whole files at plan time; warc_type /
+  * target_uri filters evaluate on the record HEADER before any block
+  * work; http_status filters evaluate right after the split; a pushed
+  * limit stops the stream early (records after the limit are never
+  * parsed). Residual semantics: Spark re-applies every filter above
+  * the scan, so partial evaluation here is safe.
+  *
+  * `response` records expose the HTTP body as `payload` with
+  * `http_status` / `http_content_type` parsed off the block; records
+  * whose block carries no parseable HTTP head (truncated crawls)
+  * surface the RAW block with null status — visible, not dropped.
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WarcTable(WarcDataSource.pathSpec(new CaseInsensitiveStringMap(properties)))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object WarcDataSource {
+  def pathSpec(opts: CaseInsensitiveStringMap): String = {
+    val files = opts.get("files")
+    if (files != null && files.nonEmpty) files else opts.get("path")
+  }
+
+  val Schema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    // record ordinal within the file — with file_path the stable
+    // storage identity (gzip members are not byte-addressable)
+    StructField("offset", IntegerType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("record_id", StringType, nullable = false),
+    StructField("warc_date", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = false),
+    // the WARC block's own Content-Type (application/http;... for
+    // response records)
+    StructField("content_type", StringType, nullable = false),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = false)))
+
+  def isWarc(name: String): Boolean =
+    name.endsWith(".warc") || name.endsWith(".warc.gz")
+
+  /** file | directory (its *.warc / *.warc.gz children) | glob |
+    * newline-separated list; fully-qualified URIs out, sorted.
+    */
+  def resolveFiles(path: String): Seq[String] = {
+    if (path.contains('\n'))
+      return path.split('\n').toSeq.filter(_.nonEmpty)
+        .flatMap(resolveFiles).distinct.sorted
+    val p = new Path(path)
+    val fs = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+    if (path.exists(c => "*?[]{}".indexOf(c.toInt) >= 0)) {
+      val out = Option(fs.globStatus(p)).getOrElse(Array.empty)
+        .filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+      require(out.nonEmpty, s"glob matches no files: $path")
+      out
+    } else {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) {
+        val out = fs.listStatus(p)
+          .filter(s => s.isFile && isWarc(s.getPath.getName))
+          .map(_.getPath.toString).sorted.toSeq
+        require(out.nonEmpty, s"directory contains no .warc files: $path")
+        out
+      } else Seq(st.getPath.toString)
+    }
+  }
+}
+
+class WarcTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"warc:$path"
+  override def schema(): StructType = WarcDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(path)
+}
+
+class WarcScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
+  private var required: StructType = WarcDataSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve source column order (readers compile extractors by name)
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(WarcDataSource.Schema.fields.filter(f => names(f.name)))
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(WarcFilters.supported)
+    filters // all residual: Spark re-applies above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(n: Int): Boolean = { limit = n; false }
+
+  override def build(): Scan = new WarcScan(path, required, pushed, limit)
+}
+
+private[warc] object WarcFilters {
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => cols(a)
+    case In(a, _) => cols(a)
+    case GreaterThan("http_status", _) | GreaterThanOrEqual("http_status", _) |
+         LessThan("http_status", _) | LessThanOrEqual("http_status", _) => true
+    case _ => false
+  }
+  private def cols(a: String): Boolean =
+    a == "file_path" || a == "warc_type" || a == "target_uri" ||
+      a == "http_status"
+
+  /** Evaluate on header fields alone; None = needs http_status. */
+  def evalHeader(f: Filter, filePath: String,
+      r: WarcFormat.WarcRecord): Option[Boolean] = f match {
+    case EqualTo("file_path", v) => Some(filePath == v)
+    case In("file_path", vs) => Some(vs.contains(filePath))
+    case EqualTo("warc_type", v) => Some(r.warcType == v)
+    case In("warc_type", vs) => Some(vs.contains(r.warcType))
+    case EqualTo("target_uri", v) => Some(r.targetUri == v)
+    case In("target_uri", vs) => Some(vs.contains(r.targetUri))
+    case _ => None
+  }
+
+  def evalStatus(f: Filter, status: Option[Int]): Boolean = f match {
+    case EqualTo("http_status", v) => status.contains(v)
+    case In("http_status", vs) => status.exists(s => vs.contains(s))
+    case GreaterThan("http_status", v: Integer) => status.exists(_ > v)
+    case GreaterThanOrEqual("http_status", v: Integer) => status.exists(_ >= v)
+    case LessThan("http_status", v: Integer) => status.exists(_ < v)
+    case LessThanOrEqual("http_status", v: Integer) => status.exists(_ <= v)
+    case _ => true
+  }
+
+  def fileMayMatch(f: Filter, path: String): Boolean = f match {
+    case EqualTo("file_path", v) => path == v
+    case In("file_path", vs) => vs.contains(path)
+    case _ => true
+  }
+}
+
+final case class WarcInputPartition(path: String) extends InputPartition
+
+class WarcScan(path: String, required: StructType, filters: Array[Filter],
+    limit: Int) extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // compressed on-disk bytes = an UNDER-estimate of row bytes (like
+    // the container sources) — fine for join-side sizing
+    private lazy val bytes: Long = {
+      val conf = graft.ros.bag.RosbagIO.hadoopConf()
+      WarcDataSource.resolveFiles(path).map { f =>
+        val p = new Path(f)
+        try p.getFileSystem(conf).getFileStatus(p).getLen
+        catch { case _: Exception => 0L }
+      }.sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    WarcDataSource.resolveFiles(path)
+      .filter(f => filters.forall(fl => WarcFilters.fileMayMatch(fl, f)))
+      .map(f => WarcInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (req, fls, lim) = (required, filters, limit)
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new WarcPartitionReader(
+          p.asInstanceOf[WarcInputPartition].path, req, fls, lim)
+    }
+  }
+
+  override def description(): String =
+    s"warc $path, pushedFilters=[${filters.mkString(", ")}], limit=$limit"
+}
+
+class WarcPartitionReader(filePath: String, required: StructType,
+    filters: Array[Filter], limit: Int) extends PartitionReader[InternalRow] {
+
+  private val needsHttp = {
+    val names = required.fieldNames.toSet
+    names("http_status") || names("http_content_type") || names("payload") ||
+      filters.exists {
+        case EqualTo("http_status", _) | In("http_status", _) |
+             GreaterThan("http_status", _) | GreaterThanOrEqual("http_status", _) |
+             LessThan("http_status", _) | LessThanOrEqual("http_status", _) => true
+        case _ => false
+      }
+  }
+
+  private lazy val stream: java.io.InputStream = {
+    val p = new Path(filePath)
+    val raw = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()).open(p)
+    // buffer below the gzip layer: GZIPInputStream issues small reads
+    val buf = new java.io.BufferedInputStream(raw, 1 << 16)
+    if (filePath.endsWith(".gz")) new java.util.zip.GZIPInputStream(buf, 1 << 16)
+    else buf
+  }
+
+  private val pathUtf8 = UTF8String.fromString(filePath)
+  private var current: WarcFormat.WarcRecord = _
+  private var http: Option[WarcFormat.HttpPayload] = None
+  private var emitted = 0
+
+  private val extractors: Array[() => Any] = required.fields.map { f =>
+    f.name match {
+      case "file_path" => () => pathUtf8
+      case "offset" => () => current.offset
+      case "warc_type" => () => UTF8String.fromString(current.warcType)
+      case "record_id" => () => UTF8String.fromString(current.recordId)
+      case "warc_date" => () => UTF8String.fromString(current.date)
+      case "target_uri" => () => UTF8String.fromString(current.targetUri)
+      case "content_type" => () => UTF8String.fromString(current.contentType)
+      case "http_status" => () => http.map(h => Int.box(h.status)).orNull
+      case "http_content_type" => () =>
+        http.map(h => UTF8String.fromString(h.contentType)).orNull
+      case "payload" => () => http.map(_.body).getOrElse(current.block)
+    }
+  }
+
+  private lazy val recs: Iterator[WarcFormat.WarcRecord] =
+    WarcFormat.records(stream)
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (recs.hasNext) {
+      val r = recs.next()
+      val headerVerdicts = filters.map(WarcFilters.evalHeader(_, filePath, r))
+      if (!headerVerdicts.exists(_.contains(false))) {
+        val h =
+          if (needsHttp && r.contentType.toLowerCase.startsWith("application/http"))
+            WarcFormat.httpSplit(r.block)
+          else None
+        if (filters.zip(headerVerdicts).forall { case (f, v) =>
+          v.getOrElse(WarcFilters.evalStatus(f, h.map(_.status))) }) {
+          current = r; http = h; emitted += 1
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) { vals(i) = extractors(i)(); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = stream.close()
+}

@@ -1,0 +1,123 @@
+package graft.warc
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** WARC crawl-shard ingestion: framing round trips (plain +
+  * member-gzip), HTTP response splitting, pushdown, loud refusals.
+  */
+class WarcSpec extends SparkTestBase {
+  import WarcFormat._
+
+  private def doc(i: Int): Array[Byte] =
+    s"<html>doc $i body ${"x" * i}</html>".getBytes("UTF-8")
+
+  private def fixtureRecords(n: Int): Seq[WriteRecord] =
+    WriteRecord("warcinfo", "", s"software: graft-fixture\r\n".getBytes("UTF-8"),
+      contentType = "application/warc-fields") +:
+      (0 until n).flatMap { i =>
+        Seq(
+          WriteRecord("request", s"https://ex.com/d/$i",
+            "GET /d HTTP/1.1\r\n\r\n".getBytes("UTF-8"),
+            contentType = "application/http; msgtype=request"),
+          WriteRecord("response", s"https://ex.com/d/$i",
+            httpResponseBlock(doc(i), "text/html; charset=utf-8"),
+            contentType = "application/http; msgtype=response"))
+      }
+
+  private def writeFixture(dir: java.io.File, name: String, n: Int,
+      gz: Boolean): java.io.File = {
+    val f = new java.io.File(dir, name)
+    java.nio.file.Files.write(f.toPath, writeWarc(fixtureRecords(n), gz))
+    f
+  }
+
+  test("framing round-trips, plain and member-gzip, parse identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_rt").toFile
+    val plain = writeFixture(dir, "a.warc", 5, gz = false)
+    val gzf = writeFixture(dir, "a.warc.gz", 5, gz = true)
+    def parse(f: java.io.File): Seq[(String, String, Int)] = {
+      val in = new java.io.FileInputStream(f)
+      val base: java.io.InputStream =
+        if (f.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(in)
+        else in
+      try records(base).map(r => (r.warcType, r.targetUri, r.block.length)).toList
+      finally base.close()
+    }
+    val a = parse(plain)
+    assert(a === parse(gzf),
+      "member-per-record gzip must parse identically to plain framing")
+    assert(a.size === 11 && a.head._1 === "warcinfo")
+    assert(a.count(_._1 === "response") === 5)
+  }
+
+  test("http split: status, content type, body; headless blocks surface raw") {
+    val block = httpResponseBlock("hello".getBytes("UTF-8"), "text/plain")
+    val h = httpSplit(block).get
+    assert(h.status === 200 && h.contentType === "text/plain")
+    assert(new String(h.body, "UTF-8") === "hello")
+    assert(httpSplit("no http head here".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("source: responses filter + derive, pushdown prunes and limits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_src").toFile
+    writeFixture(dir, "s0.warc.gz", 4, gz = true)
+    writeFixture(dir, "s1.warc.gz", 3, gz = true)
+    val df = spark.read.format("warc").load(dir.getAbsolutePath)
+    assert(df.rdd.getNumPartitions === 2, "one task per shard file")
+    assert(df.count() === (1 + 8) + (1 + 6))
+    val responses = df.filter(col("warc_type") === "response" &&
+      col("http_status") === 200)
+    assert(responses.count() === 7)
+    // body fidelity + per-record identity
+    val rows = responses
+      .select(col("target_uri"), col("http_content_type"), col("payload"))
+      .collect()
+    assert(rows.forall(_.getString(1) === "text/html; charset=utf-8"))
+    val byUri = rows.map(r => r.getString(0) ->
+      new String(r.getAs[Array[Byte]](2), "UTF-8")).toMap
+    assert(byUri("https://ex.com/d/2") === new String(doc(2), "UTF-8"))
+    // pushed filters reach the scan (plan-visible)
+    val plan = responses.queryExecution.executedPlan.toString
+    assert(plan.contains("warc_type"), s"pushed filter must show: $plan")
+    // limit early-stop
+    assert(df.limit(3).count() === 3)
+    // meta-only projection works with payload pruned
+    assert(df.select("warc_type").where(col("warc_type") === "request")
+      .count() === 7)
+  }
+
+  test("malformed framing fails loudly, never silently skips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_bad").toFile
+    val good = writeWarc(fixtureRecords(1))
+    // truncate inside the last record's block
+    val truncated = java.util.Arrays.copyOfRange(good, 0, good.length - 10)
+    val f = new java.io.File(dir, "bad.warc")
+    java.nio.file.Files.write(f.toPath, truncated)
+    val ex = intercept[Exception] {
+      spark.read.format("warc").load(f.getAbsolutePath).count()
+    }
+    assert(causeMessages(ex).contains("truncated"))
+    val junk = new java.io.File(dir, "junk.warc")
+    java.nio.file.Files.write(junk.toPath, "not a warc at all".getBytes("UTF-8"))
+    val ex2 = intercept[Exception] {
+      spark.read.format("warc").load(junk.getAbsolutePath).count()
+    }
+    assert(causeMessages(ex2).contains("WARC version"))
+  }
+
+  test("header folding and glob/list resolution") {
+    val folded = ("WARC/1.0\r\nWARC-Type: metadata\r\n" +
+      "WARC-Record-ID: <urn:x>\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      "X-Long: first\r\n  continued\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+      .getBytes("UTF-8")
+    val r = records(new java.io.ByteArrayInputStream(folded)).toSeq
+    assert(r.size === 1 && r.head.headers("x-long") === "first continued")
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_glob").toFile
+    writeFixture(dir, "g0.warc", 1, gz = false)
+    writeFixture(dir, "g1.warc", 1, gz = false)
+    assert(WarcDataSource.resolveFiles(dir.getAbsolutePath + "/*.warc").size === 2)
+    val listed = WarcDataSource.resolveFiles(dir.getAbsolutePath)
+    assert(WarcDataSource.resolveFiles(listed.mkString("\n")) === listed)
+  }
+}
