@@ -108,7 +108,7 @@ class WarcTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"warc:$path"
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path)
 }
@@ -218,6 +218,70 @@ class WarcScan(path: String, required: StructType, filters: Array[Filter],
 
   override def description(): String =
     s"warc $path, pushedFilters=[${filters.mkString(", ")}], limit=$limit"
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(path, required, filters, limit)
+}
+
+/** Standing crawl ingest: each trigger processes the shard files that
+  * LANDED since the last one, whole files at a time — crawl shards
+  * are immutable once written (unlike the growing robotics
+  * containers), so the file set IS the exact replayable offset. The
+  * offset grows with the corpus (one path per processed shard), the
+  * same unbounded-with-history shape the db3 directory stream
+  * carries; a decade-scale standing ingest should roll its input
+  * prefixes.
+  */
+class WarcMicroBatchStream(path: String, required: StructType,
+    filters: Array[Filter], limit: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def listNow(): Seq[String] =
+    try WarcDataSource.resolveFiles(path)
+      .filter(f => filters.forall(fl => WarcFilters.fileMayMatch(fl, f)))
+    catch {
+      // an empty / not-yet-created prefix is a legal stream start
+      case _: Exception => Seq.empty
+    }
+
+  override def latestOffset(): Offset = WarcStreamOffset(listNow().toSet)
+
+  override def initialOffset(): Offset = WarcStreamOffset(Set.empty)
+
+  override def deserializeOffset(json: String): Offset =
+    WarcStreamOffset(mapper.readValue(json, classOf[Array[String]]).toSet)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val done = start.asInstanceOf[WarcStreamOffset].files
+    end.asInstanceOf[WarcStreamOffset].files.diff(done).toSeq.sorted
+      .map(f => WarcInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (req, fls, lim) = (required, filters, limit)
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new WarcPartitionReader(
+          p.asInstanceOf[WarcInputPartition].path, req, fls, lim)
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** JSON array of processed shard paths, sorted for determinism. */
+final case class WarcStreamOffset(files: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.writeValueAsString(files.toArray.sorted)
+  }
 }
 
 class WarcPartitionReader(filePath: String, required: StructType,

@@ -106,6 +106,43 @@ class WarcSpec extends SparkTestBase {
     assert(causeMessages(ex2).contains("WARC version"))
   }
 
+  test("streaming: shards landing mid-stream ingest exactly once, restart resumes") {
+    val in = java.nio.file.Files.createTempDirectory("graft_warc_str").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("graft_warc_strout").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_warc_strck").toString
+    writeFixture(in, "s0.warc.gz", 2, gz = true)
+    def start() = spark.readStream.format("warc").load(in.getAbsolutePath)
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"), col("payload"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+      .start()
+    def uris(): Set[String] =
+      spark.read.parquet(outDir).select("target_uri").collect()
+        .map(_.getString(0)).toSet
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(uris() === (0 until 2).map(i => s"https://ex.com/d/$i").toSet)
+      // a NEW shard lands mid-stream: only its records append
+      writeFixture(in, "s1.warc.gz", 3, gz = true)
+      q.processAllAvailable()
+      assert(uris() === (0 until 3).map(i => s"https://ex.com/d/$i").toSet +
+        "https://ex.com/d/0" + "https://ex.com/d/1")
+      assert(spark.read.parquet(outDir).count() === 5,
+        "the already-processed shard must not replay")
+    } finally q.stop()
+    // RESTART from the checkpoint: nothing replays, new shards ingest
+    writeFixture(in, "s2.warc.gz", 1, gz = true)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() === 6,
+        "a restart must resume from the processed-file offset")
+    } finally q2.stop()
+  }
+
   test("header folding and glob/list resolution") {
     val folded = ("WARC/1.0\r\nWARC-Type: metadata\r\n" +
       "WARC-Record-ID: <urn:x>\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
