@@ -298,13 +298,22 @@ class WarcPartitionReader(filePath: String, required: StructType,
       }
   }
 
+  private var opened = false
   private lazy val stream: java.io.InputStream = {
     val p = new Path(filePath)
     val raw = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()).open(p)
-    // buffer below the gzip layer: GZIPInputStream issues small reads
-    val buf = new java.io.BufferedInputStream(raw, 1 << 16)
-    if (filePath.endsWith(".gz")) new java.util.zip.GZIPInputStream(buf, 1 << 16)
-    else buf
+    opened = true
+    try {
+      // buffer below the gzip layer: GZIPInputStream issues small reads
+      val buf = new java.io.BufferedInputStream(raw, 1 << 16)
+      if (filePath.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(buf, 1 << 16) // reads the header
+      else buf
+    } catch {
+      // a junk .gz fails in the wrapper's constructor — don't leak
+      // the raw fd behind the failed lazy init
+      case t: Throwable => opened = false; raw.close(); throw t
+    }
   }
 
   private val pathUtf8 = UTF8String.fromString(filePath)
@@ -358,5 +367,7 @@ class WarcPartitionReader(filePath: String, required: StructType,
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 
-  override def close(): Unit = stream.close()
+  // guard on `opened`: close() on a task that never read (an empty
+  // plan slice) must not OPEN the file just to close it
+  override def close(): Unit = if (opened) stream.close()
 }
