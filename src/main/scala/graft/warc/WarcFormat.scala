@@ -19,9 +19,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   * ```
   *
   * `.warc.gz` files compress RECORD-AT-TIME (each record its own gzip
-  * member — the spec's recommendation, what Common Crawl ships);
-  * `java.util.zip.GZIPInputStream` reads concatenated members
-  * transparently, so one sequential stream serves both layouts.
+  * member — the spec's recommendation, what Common Crawl ships).
+  * [[StrictGzipStream]] reads the concatenated members with LOUD
+  * failure semantics the JDK's `GZIPInputStream` lacks: the JDK
+  * reader treats a corrupt or truncated subsequent member header as
+  * clean EOF, which would let a truncated `.warc.gz` shard parse as
+  * complete — records silently dropped, and in streaming the shard
+  * committed with its tail permanently lost.
   *
   * `response` records carry an HTTP message as their block
   * (`Content-Type: application/http; msgtype=response`): status line +
@@ -48,6 +52,131 @@ object WarcFormat {
   /** (status, contentType, body) of an `application/http` block. */
   final case class HttpPayload(status: Int, contentType: String,
       body: Array[Byte])
+
+  /** Strict concatenated-gzip reader (RFC 1952) for `.warc.gz`
+    * shards. Differences from `java.util.zip.GZIPInputStream`, all in
+    * service of the module's fail-loudly contract:
+    *
+    *  - a member truncated mid-deflate-stream throws
+    *    [[IllegalArgumentException]] (the JDK throws a bare
+    *    `EOFException` that upstream clean-EOF handling can swallow);
+    *  - a malformed SUBSEQUENT member header throws (the JDK treats it
+    *    as clean EOF, silently dropping every record after it);
+    *  - each member's CRC32 and ISIZE trailer is verified (the JDK
+    *    does this too, but only for members it doesn't drop).
+    *
+    * Clean EOF is exactly: the underlying stream exhausted at a
+    * member boundary.
+    */
+  final class StrictGzipStream(under: InputStream) extends InputStream {
+    private val inf = new java.util.zip.Inflater(true)
+    private val crc = new java.util.zip.CRC32
+    private val inBuf = new Array[Byte](1 << 16)
+    private var inLen = 0
+    private var inPos = 0
+    private var memberOpen = false
+    private var memberOut = 0L
+    private var eos = false
+
+    /** Bytes buffered and unread, refilling if empty; -1 at EOF. */
+    private def avail(): Int = {
+      if (inPos < inLen) return inLen - inPos
+      inLen = under.read(inBuf, 0, inBuf.length)
+      inPos = 0
+      if (inLen < 0) { inLen = 0; -1 } else inLen
+    }
+
+    private def byteOr(what: String): Int = {
+      if (avail() < 0) throw new IllegalArgumentException(
+        s"warc.gz truncated in $what")
+      val b = inBuf(inPos) & 0xff
+      inPos += 1
+      b
+    }
+
+    /** Parse one member header; false = clean EOF at the boundary. */
+    private def openMember(): Boolean = {
+      if (avail() < 0) return false
+      val m1 = byteOr("gzip magic")
+      val m2 = byteOr("gzip magic")
+      if (m1 != 0x1f || m2 != 0x8b) throw new IllegalArgumentException(
+        f"warc.gz: bad gzip member magic 0x$m1%02x$m2%02x — corrupt " +
+          "shard or truncated member header")
+      val cm = byteOr("gzip header")
+      if (cm != 8) throw new IllegalArgumentException(
+        s"warc.gz: unsupported gzip compression method $cm")
+      val flg = byteOr("gzip header")
+      var i = 0
+      while (i < 6) { byteOr("gzip header"); i += 1 } // MTIME, XFL, OS
+      if ((flg & 0x04) != 0) {                         // FEXTRA
+        val xlen = byteOr("gzip FEXTRA") | (byteOr("gzip FEXTRA") << 8)
+        var j = 0
+        while (j < xlen) { byteOr("gzip FEXTRA"); j += 1 }
+      }
+      if ((flg & 0x08) != 0)                           // FNAME
+        while (byteOr("gzip FNAME") != 0) ()
+      if ((flg & 0x10) != 0)                           // FCOMMENT
+        while (byteOr("gzip FCOMMENT") != 0) ()
+      if ((flg & 0x02) != 0) { byteOr("gzip FHCRC"); byteOr("gzip FHCRC") }
+      inf.reset(); crc.reset(); memberOut = 0L
+      memberOpen = true
+      true
+    }
+
+    /** Reclaim the inflater's unconsumed lookahead, verify the 8-byte
+      * trailer, reset for the next member.
+      */
+    private def closeMember(): Unit = {
+      inPos = inLen - inf.getRemaining
+      val crcRead = byteOr("gzip trailer").toLong |
+        (byteOr("gzip trailer").toLong << 8) |
+        (byteOr("gzip trailer").toLong << 16) |
+        (byteOr("gzip trailer").toLong << 24)
+      val isize = byteOr("gzip trailer").toLong |
+        (byteOr("gzip trailer").toLong << 8) |
+        (byteOr("gzip trailer").toLong << 16) |
+        (byteOr("gzip trailer").toLong << 24)
+      if (crcRead != crc.getValue) throw new IllegalArgumentException(
+        f"warc.gz: member CRC mismatch (stored 0x$crcRead%08x, " +
+          f"computed 0x${crc.getValue}%08x) — corrupt shard")
+      if (isize != (memberOut & 0xffffffffL)) throw new IllegalArgumentException(
+        s"warc.gz: member ISIZE mismatch (stored $isize, " +
+          s"inflated ${memberOut & 0xffffffffL}) — corrupt shard")
+      memberOpen = false
+    }
+
+    override def read(): Int = {
+      val one = new Array[Byte](1)
+      val n = read(one, 0, 1)
+      if (n < 0) -1 else one(0) & 0xff
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (true) {
+        if (eos) return -1
+        if (!memberOpen && !openMember()) { eos = true; return -1 }
+        if (inf.needsInput && !inf.finished) {
+          if (avail() < 0) throw new IllegalArgumentException(
+            "warc.gz: member truncated mid-deflate stream")
+          inf.setInput(inBuf, inPos, inLen - inPos)
+          inPos = inLen // the inflater owns the window; reclaimed at close
+        }
+        val n = inf.inflate(b, off, len)
+        if (n > 0) { crc.update(b, off, n); memberOut += n; return n }
+        if (inf.finished) closeMember() // then loop into the next member
+        else if (!inf.needsInput) throw new IllegalArgumentException(
+          "warc.gz: inflater stalled (preset-dictionary deflate?) — " +
+            "not a gzip member stream")
+      }
+      -1 // unreachable
+    }
+
+    override def close(): Unit = {
+      inf.end()
+      under.close()
+    }
+  }
 
   private def readLine(in: InputStream): String = {
     val buf = new ByteArrayOutputStream(64)
@@ -79,30 +208,47 @@ object WarcFormat {
   /** Parse the NEXT record off the stream, or None at clean EOF.
     * Tolerates extra CRLFs between records (some writers pad) and a
     * missing final record terminator at EOF; everything else is loud.
+    *
+    * Clean EOF is detected by a one-byte probe at record START (after
+    * padding): a -1 there means the previous record was the last one.
+    * An EOF anywhere PAST the probe is mid-record truncation and
+    * fails loudly — the old shape (catching `EOFException` around the
+    * version-line read) also swallowed the gzip layer's
+    * truncated-member `EOFException`, parsing a cut-short shard as
+    * complete.
     */
   def readRecord(in: InputStream, ordinal: Int): Option[WarcRecord] = {
-    var version: String = null
-    try {
-      version = readLine(in)
-      while (version != null && version.isEmpty) version = readLine(in)
-    } catch { case _: EOFException => return None }
+    var first = in.read()
+    while (first == '\r' || first == '\n') first = in.read() // padding
+    if (first == -1) return None
+    val version =
+      try first.toChar.toString + readLine(in)
+      catch {
+        case _: EOFException => throw new IllegalArgumentException(
+          s"warc record $ordinal truncated mid version line")
+      }
     require(version.startsWith("WARC/"),
       s"expected a WARC version line, got '${version.take(40)}' " +
         s"(record $ordinal)")
     val headers = scala.collection.mutable.LinkedHashMap[String, String]()
-    var last: String = null
-    var line = readLine(in)
-    while (line.nonEmpty) {
-      if ((line.startsWith(" ") || line.startsWith("\t")) && last != null)
-        headers(last) = headers(last) + " " + line.trim // folding
-      else line.indexOf(':') match {
-        case -1 => throw new IllegalArgumentException(
-          s"malformed warc header line '${line.take(60)}' (record $ordinal)")
-        case i =>
-          last = line.substring(0, i).trim.toLowerCase
-          headers(last) = line.substring(i + 1).trim
+    try {
+      var last: String = null
+      var line = readLine(in)
+      while (line.nonEmpty) {
+        if ((line.startsWith(" ") || line.startsWith("\t")) && last != null)
+          headers(last) = headers(last) + " " + line.trim // folding
+        else line.indexOf(':') match {
+          case -1 => throw new IllegalArgumentException(
+            s"malformed warc header line '${line.take(60)}' (record $ordinal)")
+          case i =>
+            last = line.substring(0, i).trim.toLowerCase
+            headers(last) = line.substring(i + 1).trim
+        }
+        line = readLine(in)
       }
-      line = readLine(in)
+    } catch {
+      case _: EOFException => throw new IllegalArgumentException(
+        s"warc record $ordinal truncated mid named-field block")
     }
     val len = headers.getOrElse("content-length", throw
       new IllegalArgumentException(s"record $ordinal missing Content-Length"))
@@ -217,7 +363,10 @@ object WarcFormat {
       val bytes = renderRecord(r, i)
       if (gzipPerRecord) {
         val gz = new java.util.zip.GZIPOutputStream(out)
-        gz.write(bytes); gz.finish()
+        // close(), not finish(): finish alone leaves the member's
+        // native Deflater for GC finalization — one leaked context per
+        // record on a large export. Closing the BAOS is a no-op.
+        gz.write(bytes); gz.close()
       } else out.write(bytes)
     }
     out.toByteArray

@@ -47,8 +47,11 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WarcDataSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new WarcTable(WarcDataSource.pathSpec(new CaseInsensitiveStringMap(properties)))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new WarcTable(WarcDataSource.pathSpec(opts),
+      opts.getBoolean("ordered_shards", false))
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -104,16 +107,17 @@ object WarcDataSource {
   }
 }
 
-class WarcTable(path: String) extends Table with SupportsRead {
+class WarcTable(path: String, orderedShards: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"warc:$path"
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(path)
+    new WarcScanBuilder(path, orderedShards)
 }
 
-class WarcScanBuilder(path: String) extends ScanBuilder
+class WarcScanBuilder(path: String, orderedShards: Boolean = false) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit {
   private var required: StructType = WarcDataSource.Schema
@@ -134,7 +138,8 @@ class WarcScanBuilder(path: String) extends ScanBuilder
 
   override def pushLimit(n: Int): Boolean = { limit = n; false }
 
-  override def build(): Scan = new WarcScan(path, required, pushed, limit)
+  override def build(): Scan =
+    new WarcScan(path, required, pushed, limit, orderedShards)
 }
 
 private[warc] object WarcFilters {
@@ -181,7 +186,8 @@ private[warc] object WarcFilters {
 final case class WarcInputPartition(path: String) extends InputPartition
 
 class WarcScan(path: String, required: StructType, filters: Array[Filter],
-    limit: Int) extends Scan with Batch with SupportsReportStatistics {
+    limit: Int, orderedShards: Boolean = false)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -221,7 +227,7 @@ class WarcScan(path: String, required: StructType, filters: Array[Filter],
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(path, required, filters, limit)
+    new WarcMicroBatchStream(path, required, filters, limit, orderedShards)
 }
 
 /** Standing crawl ingest: each trigger processes the shard files that
@@ -232,33 +238,82 @@ class WarcScan(path: String, required: StructType, filters: Array[Filter],
   * same unbounded-with-history shape the db3 directory stream
   * carries; a decade-scale standing ingest should roll its input
   * prefixes.
+  *
+  * The served end offset is the current listing UNIONED with `start`
+  * (via `SupportsAdmissionControl.latestOffset(start, limit)`, the
+  * entry point Spark actually calls): a shard that transiently drops
+  * out of the listing after its batch committed (eventually-consistent
+  * store, rename-in-progress) must keep its entry in the offset
+  * chain — if simply omitted, the next trigger would diff the full
+  * listing against a smaller start and re-plan every previously
+  * ingested shard, duplicating records. For the same reason only a
+  * genuinely-missing prefix ([[java.io.FileNotFoundException]]) maps
+  * to "nothing landed yet"; any other listing failure FAILS the
+  * trigger rather than silently serving an empty end.
+  *
+  * `option("ordered_shards", "true")` BOUNDS the offset for a
+  * standing ingest: it declares that shards land in non-decreasing
+  * name order (how dump-per-prefix crawl corpora are laid down), which
+  * lets each trigger fold the previous offset's processed names into
+  * a single lexicographic high-water mark — the offset then carries
+  * only the watermark plus the current trigger's arrivals instead of
+  * one path per shard ever processed. The contract's price, stated
+  * plainly: a shard landing with a name ≤ the watermark AFTER
+  * compaction is treated as already ingested and skipped. Without the
+  * option the full processed set is retained (exact, unbounded — the
+  * db3 directory stream's shape).
   */
 class WarcMicroBatchStream(path: String, required: StructType,
-    filters: Array[Filter], limit: Int)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
-
-  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    filters: Array[Filter], limit: Int, orderedShards: Boolean = false)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def listNow(): Seq[String] =
     try WarcDataSource.resolveFiles(path)
       .filter(f => filters.forall(fl => WarcFilters.fileMayMatch(fl, f)))
     catch {
-      // an empty / not-yet-created prefix is a legal stream start
-      case _: Exception => Seq.empty
+      // an empty / not-yet-created prefix is a legal stream start; any
+      // OTHER failure (permissions, transient FS error) must fail the
+      // trigger, not serve an empty offset
+      case _: java.io.FileNotFoundException => Seq.empty
+      case e: IllegalArgumentException
+          if e.getMessage != null && (e.getMessage.contains("glob matches no files") ||
+            e.getMessage.contains("directory contains no .warc files")) => Seq.empty
     }
 
-  override def latestOffset(): Offset = WarcStreamOffset(listNow().toSet)
+  // Trigger.AvailableNow: pin the end ONCE at query start so the run
+  // drains exactly what had landed then and terminates even while
+  // shards keep arriving.
+  private var availableNowEnd: Option[Seq[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(listNow())
+
+  override def latestOffset(): Offset =
+    WarcStreamOffset(availableNowEnd.getOrElse(listNow()).toSet)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[WarcStreamOffset]
+    val listed = availableNowEnd.getOrElse(listNow())
+    val fresh = listed.filterNot(s.covers).toSet
+    if (orderedShards) {
+      // fold everything start already processed under one watermark;
+      // this trigger's arrivals stay explicit so planInputPartitions
+      // can diff them against start
+      val wm = (s.watermark.toSeq ++ s.files).maxOption
+      WarcStreamOffset(fresh, wm)
+    } else WarcStreamOffset(fresh ++ s.files, s.watermark)
+  }
 
   override def initialOffset(): Offset = WarcStreamOffset(Set.empty)
 
   override def deserializeOffset(json: String): Offset =
-    WarcStreamOffset(mapper.readValue(json, classOf[Array[String]]).toSet)
+    WarcStreamOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val done = start.asInstanceOf[WarcStreamOffset].files
-    end.asInstanceOf[WarcStreamOffset].files.diff(done).toSeq.sorted
+    val s = start.asInstanceOf[WarcStreamOffset]
+    end.asInstanceOf[WarcStreamOffset].files.filterNot(s.covers).toSeq.sorted
       .map(f => WarcInputPartition(f): InputPartition).toArray
   }
 
@@ -275,12 +330,45 @@ class WarcMicroBatchStream(path: String, required: StructType,
   override def stop(): Unit = ()
 }
 
-/** JSON array of processed shard paths, sorted for determinism. */
-final case class WarcStreamOffset(files: Set[String])
+/** Processed shards: an explicit path set plus (under
+  * `ordered_shards`) a lexicographic high-water mark covering every
+  * earlier name. Serializes as the legacy sorted JSON array when no
+  * watermark is set — pre-upgrade checkpoints resume unchanged — and
+  * as `{"watermark": w, "files": [...]}` once compaction starts.
+  */
+final case class WarcStreamOffset(files: Set[String],
+    watermark: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
+  def covers(f: String): Boolean = watermark.exists(f <= _) || files(f)
   override def json(): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    mapper.writeValueAsString(files.toArray.sorted)
+    watermark match {
+      case None => mapper.writeValueAsString(files.toArray.sorted)
+      case Some(w) =>
+        val node = mapper.createObjectNode()
+        node.put("watermark", w)
+        val arr = node.putArray("files")
+        files.toArray.sorted.foreach(arr.add)
+        mapper.writeValueAsString(node)
+    }
+  }
+}
+
+object WarcStreamOffset {
+  def parse(json: String): WarcStreamOffset = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(json)
+    if (tree.isArray) {
+      val it = tree.elements()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      WarcStreamOffset(b.result())
+    } else {
+      val it = tree.get("files").elements()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      WarcStreamOffset(b.result(), Some(tree.get("watermark").asText()))
+    }
   }
 }
 
@@ -304,10 +392,11 @@ class WarcPartitionReader(filePath: String, required: StructType,
     val raw = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()).open(p)
     opened = true
     try {
-      // buffer below the gzip layer: GZIPInputStream issues small reads
       val buf = new java.io.BufferedInputStream(raw, 1 << 16)
       if (filePath.endsWith(".gz"))
-        new java.util.zip.GZIPInputStream(buf, 1 << 16) // reads the header
+        // strict member-by-member reader: a truncated or corrupt
+        // member FAILS the task instead of parsing as clean EOF
+        new WarcFormat.StrictGzipStream(buf)
       else buf
     } catch {
       // a junk .gz fails in the wrapper's constructor — don't leak

@@ -39,7 +39,7 @@ class WarcSpec extends SparkTestBase {
     def parse(f: java.io.File): Seq[(String, String, Int)] = {
       val in = new java.io.FileInputStream(f)
       val base: java.io.InputStream =
-        if (f.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(in)
+        if (f.getName.endsWith(".gz")) new StrictGzipStream(in)
         else in
       try records(base).map(r => (r.warcType, r.targetUri, r.block.length)).toList
       finally base.close()
@@ -141,6 +141,138 @@ class WarcSpec extends SparkTestBase {
       assert(spark.read.parquet(outDir).count() === 6,
         "a restart must resume from the processed-file offset")
     } finally q2.stop()
+  }
+
+  test("truncated or corrupt .warc.gz fails loudly — never parses as complete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_gzbad").toFile
+    val good = writeWarc(fixtureRecords(2), gzipPerRecord = true)
+    // (a) cut mid final member: the JDK reader would serve a clean EOF
+    val cut = new java.io.File(dir, "cut.warc.gz")
+    java.nio.file.Files.write(cut.toPath,
+      java.util.Arrays.copyOfRange(good, 0, good.length - 15))
+    val ex = intercept[Exception] {
+      spark.read.format("warc").load(cut.getAbsolutePath).count()
+    }
+    assert(causeMessages(ex).contains("truncat"),
+      s"mid-member cut must fail loudly: ${causeMessages(ex)}")
+    // (b) corrupt a SUBSEQUENT member's magic: the JDK reader treats it
+    // as clean EOF and silently drops every record after it
+    val memberEnds = {
+      // member boundaries = positions where a fresh gzip magic starts
+      (1 until good.length - 1).filter(i =>
+        (good(i) & 0xff) == 0x1f && (good(i + 1) & 0xff) == 0x8b)
+    }
+    assert(memberEnds.nonEmpty, "fixture must be multi-member")
+    val corrupt = good.clone()
+    corrupt(memberEnds.head) = 'X'.toByte
+    val cf = new java.io.File(dir, "corrupt.warc.gz")
+    java.nio.file.Files.write(cf.toPath, corrupt)
+    val ex2 = intercept[Exception] {
+      spark.read.format("warc").load(cf.getAbsolutePath).count()
+    }
+    assert(causeMessages(ex2).contains("magic"),
+      s"corrupt next-member header must fail loudly: ${causeMessages(ex2)}")
+    // (c) flipped payload byte inside a member: CRC mismatch
+    val deepIdx = memberEnds.head + 24 // inside member 2's deflate data
+    val flipped = good.clone()
+    flipped(deepIdx) = (flipped(deepIdx) ^ 0x55).toByte
+    val ff = new java.io.File(dir, "flip.warc.gz")
+    java.nio.file.Files.write(ff.toPath, flipped)
+    val ex3 = intercept[Exception] {
+      spark.read.format("warc").load(ff.getAbsolutePath).count()
+    }
+    assert(causeMessages(ex3).contains("corrupt") ||
+      causeMessages(ex3).contains("truncat") ||
+      causeMessages(ex3).contains("invalid"),
+      s"corrupt deflate data must fail loudly: ${causeMessages(ex3)}")
+  }
+
+  test("stream offset: start unions in, transient listing failures never empty the end") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_off").toFile
+    // resolveFiles emits fully-qualified URIs
+    val f0 = "file:" + writeFixture(dir, "s0.warc.gz", 1, gz = true).getAbsolutePath
+    val f1 = "file:" + writeFixture(dir, "s1.warc.gz", 1, gz = true).getAbsolutePath
+    val stream = new WarcMicroBatchStream(dir.getAbsolutePath,
+      WarcDataSource.Schema, Array.empty, -1)
+    val zero = stream.initialOffset().asInstanceOf[WarcStreamOffset]
+    val end1 = stream.latestOffset(zero, ReadLimit.allAvailable())
+      .asInstanceOf[WarcStreamOffset]
+    assert(end1.files === Set(f0, f1))
+    // the directory goes briefly empty (delete + re-upload window):
+    // the served end must RETAIN start's files, not replan them later
+    new java.io.File(dir, "s0.warc.gz").delete()
+    new java.io.File(dir, "s1.warc.gz").delete()
+    val end2 = stream.latestOffset(end1, ReadLimit.allAvailable())
+      .asInstanceOf[WarcStreamOffset]
+    assert(end2.files === Set(f0, f1),
+      "a transiently-empty listing must not drop committed files from the offset")
+    assert(stream.planInputPartitions(end1, end2).isEmpty)
+    // the shards reappear under the same names: still covered — no dup
+    writeFixture(dir, "s0.warc.gz", 1, gz = true)
+    writeFixture(dir, "s1.warc.gz", 1, gz = true)
+    val end3 = stream.latestOffset(end2, ReadLimit.allAvailable())
+      .asInstanceOf[WarcStreamOffset]
+    assert(stream.planInputPartitions(end2, end3).isEmpty)
+  }
+
+  test("ordered_shards bounds the offset across landing epochs; json round-trips") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_wm").toFile
+    val stream = new WarcMicroBatchStream(dir.getAbsolutePath,
+      WarcDataSource.Schema, Array.empty, -1, orderedShards = true)
+    var start = stream.initialOffset().asInstanceOf[WarcStreamOffset]
+    var plannedTotal = 0
+    val epochs = 12
+    for (e <- 0 until epochs) {
+      writeFixture(dir, f"s$e%04d.warc.gz", 1, gz = true)
+      val end = stream.latestOffset(start, ReadLimit.allAvailable())
+        .asInstanceOf[WarcStreamOffset]
+      val batch = stream.planInputPartitions(start, end)
+      plannedTotal += batch.length
+      assert(batch.length === 1, s"epoch $e must plan exactly the new shard")
+      // BOUNDED: watermark + this epoch's arrivals only — never the
+      // full processed history
+      assert(end.files.size <= 1,
+        s"epoch $e offset carries ${end.files.size} explicit paths")
+      // checkpoint resume equality: json round-trip is identity
+      assert(WarcStreamOffset.parse(end.json()) === end)
+      start = end
+    }
+    assert(plannedTotal === epochs, "every shard planned exactly once")
+    assert(start.watermark.isDefined)
+    // legacy (pre-watermark) offset json still parses
+    val legacy = WarcStreamOffset(Set("/a/b.warc.gz", "/a/c.warc.gz"))
+    assert(WarcStreamOffset.parse(legacy.json()) === legacy)
+    // end-to-end: the option threads through readStream and the
+    // checkpoint's final offset entry is compact
+    val in2 = java.nio.file.Files.createTempDirectory("graft_warc_wm2").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("graft_warc_wm2o").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_warc_wm2c").toString
+    for (e <- 0 until 3) writeFixture(in2, f"t$e.warc.gz", 1, gz = true)
+    val q = spark.readStream.format("warc").option("ordered_shards", "true")
+      .load(in2.getAbsolutePath)
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+      .start()
+    try {
+      q.processAllAvailable()
+      writeFixture(in2, "t3.warc.gz", 1, gz = true)
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() === 4)
+    } finally q.stop()
+    val offsetFiles = new java.io.File(ck, "offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val lastOffsetJson = {
+      val lines = java.nio.file.Files.readAllLines(
+        offsetFiles.last.toPath).toArray.map(_.toString)
+      lines.last
+    }
+    assert(lastOffsetJson.contains("watermark"),
+      s"checkpointed offset must be compacted: $lastOffsetJson")
   }
 
   test("header folding and glob/list resolution") {
