@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print one machine-parsed JSON line LAST; the
+// default logged output strategy prefixes every line with "[info] "
+// and sbt appends "[success] Total time..." after it, so the consumer
+// never sees a bare JSON line as the final stdout line. Forked run
+// output goes straight to stdout, and the success banner is off.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,6 +14,13 @@ import duckdb, json, os, sys, time
 sf, oracle_path = sys.argv[1], sys.argv[2]
 # BENCH.json leads with the compact total line (round-9 contract)
 bench = json.loads(open(sys.argv[3]).readline()) if len(sys.argv) > 3 else None
+# Same before-load gate the Spark side applies (Bench.loadContaminated):
+# a "clean" pairing label must hold on BOTH legs — the r15 committed
+# artifact's Spark side self-labeled clean while the DuckDB leg ran at
+# loadavg 6.85 right after the Spark samples on a hot box.
+load_before = [round(v, 2) for v in os.getloadavg()]
+cpus = os.cpu_count() or 1
+before_threshold = max(1.0, min(2.0, cpus / 4.0))
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
@@ -34,11 +41,19 @@ print(f"{'TOTAL (oracle-checked)':30s} {tot_d:8.2f} {tot_s:8.2f}")
 if len(sys.argv) > 3:
     kept = [l for l in open(sys.argv[3]).read().splitlines()
             if l.strip() and json.loads(l).get("metric") != "duckdb_total"]
+    duck_contaminated = load_before[0] > before_threshold
+    # pairing-level flag ORs both legs: the Spark run's own label
+    # (from the compact total line) and this leg's before-load gate
+    spark_contaminated = bool(bench.get("load_contaminated", False))
     line = json.dumps({
         "metric": "duckdb_total", "value": round(tot_d, 6), "unit": "sec",
         "sf": sf, "spark_total": round(tot_s, 6),
         "ratio": round(tot_s / tot_d, 4) if tot_d > 0 else None,
+        "loadavg_before": load_before,
         "loadavg": [round(v, 2) for v in os.getloadavg()],
+        "duckdb_load_contaminated": duck_contaminated,
+        "spark_load_contaminated": spark_contaminated,
+        "pairing_load_contaminated": duck_contaminated or spark_contaminated,
         "queries": {n: round(d, 6) for n, d, _ in rows}},
         separators=(",", ":"))
     # temp + atomic replace: a crash mid-write must not destroy the
@@ -49,4 +64,5 @@ if len(sys.argv) > 3:
         f.write("\n".join(kept + [line]) + "\n")
     os.replace(tmp, sys.argv[3])
     print(f"merged duckdb_total into {sys.argv[3]} "
-          f"(ratio spark/duckdb = {tot_s/tot_d:.2f}x)")
+          f"(ratio spark/duckdb = {tot_s/tot_d:.2f}x, pairing_load_"
+          f"contaminated={duck_contaminated or spark_contaminated})")
