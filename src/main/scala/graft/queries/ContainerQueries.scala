@@ -534,6 +534,32 @@ object ContainerQueries {
           max(col("doc_id")).as("max_id"),
           sum(length(col("payload")).cast("long")).as("sum_bytes"))
         .orderBy(col("source"))
+    }),
+
+    // Q95 — crawl payload → clean text, CHECKED per document: the
+    // corpus HTML-wrapped (escaped text in <p> tags amid
+    // title/style/script/comment noise, entity-encoded punctuation,
+    // three charsets) through the engine's WARC writer, read back via
+    // format("warc"), and the native codegen'd html_text expression
+    // (charset decode from http_content_type, comment/script/style/tag
+    // strip, entity decode, RE2-\s collapse) must recover each
+    // document's text BIT-EXACTLY up to whitespace collapse — gated
+    // with a per-doc md5 against DuckDB computing the same collapse on
+    // the pre-wrap text. The step between q94 (ingestion) and every
+    // text operator consuming documents.text.
+    "q95_html_extract" -> ((s, d) => {
+      val dir = htmlWarcFixture(s, d)
+      val text = org.apache.spark.sql.graftfns.HtmlText.htmlText(
+        col("payload"), col("http_content_type"))
+      s.read.format("warc").load(dir)
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .withColumn("doc_id",
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long"))
+        .withColumn("text", text)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("text_md5"),
+          length(col("text")).cast("long").as("nchars"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q94's fixture: every document written as an HTTP-response WARC
@@ -570,6 +596,70 @@ object ContainerQueries {
       }
     }
   }
+
+  /** q95's fixture: the documents corpus HTML-wrapped and written as
+    * member-gzipped WARC response shards. The wrapping is the exact
+    * INVERSE of html_text's extraction contract, so recovering
+    * documents.text (up to whitespace collapse) is the gate:
+    * text xml-escaped into one or two `<p>` blocks (split at a space —
+    * the markup gap collapses back to that space), '!', '?', '"' and
+    * ''' additionally entity-encoded (numeric dec/hex + quot/apos —
+    * decoding restores the identical char, so the oracle needs no
+    * entity logic), surrounded by title-less head noise, a style and
+    * a script block (each containing tag-like text that must NOT
+    * leak), and an html comment. Per-doc charset utf-8 /
+    * iso-8859-1 / utf-16le declared in the HTTP Content-Type.
+    */
+  private def htmlWarcFixture(s: SparkSession, d: String): String =
+    synchronized {
+      val docs = new java.io.File(d, "documents.parquet")
+      val key = md5Key(s"htmlwarcv1:$d:${docs.length}:${docs.lastModified}")
+      publishStaged("graft_htmlwarc_" + key) { stage =>
+        import graft.warc.WarcFormat
+        stage.mkdirs()
+        val rows = documents(s, d).select(col("doc_id"), col("text")).collect()
+        def esc(t: String): String = t
+          .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+          .replace("!", "&#33;").replace("?", "&#x3F;")
+          .replace("\"", "&quot;").replace("'", "&apos;")
+        (0 until 2).foreach { shard =>
+          val recs = rows.filter(_.getLong(0) % 2 == shard)
+            .sortBy(_.getLong(0)).toSeq.map { r =>
+              val id = r.getLong(0)
+              val text = r.getString(1)
+              val mid = text.indexOf(' ', text.length / 2)
+              val body =
+                if (mid < 0) s"<p>${esc(text)}</p>"
+                else s"<p>${esc(text.substring(0, mid))}</p>\n  <BR/>\n" +
+                  s"  <p>${esc(text.substring(mid + 1))}</p>"
+              val html =
+                s"""<!DOCTYPE html>
+                   |<html><head><meta charset="fixture"><title></title>
+                   |<style type="text/css">body { margin: 0; } /* a > b */</style>
+                   |<SCRIPT>if (1 < 2 && "</div>" != x) { y = "&amp;"; }</SCRIPT>
+                   |</head>
+                   |<body>
+                   |<!-- fixture page $id: 1 < 2 -->
+                   |$body
+                   |</body></html>""".stripMargin
+              val ascii = text.forall(_ < 128)
+              val cs =
+                if (ascii && id % 7 == 0) "utf-16le"
+                else if (ascii && id % 7 == 3) "iso-8859-1"
+                else "utf-8"
+              WarcFormat.WriteRecord("response",
+                s"https://crawl.example.com/doc/$id",
+                WarcFormat.httpResponseBlock(
+                  html.getBytes(java.nio.charset.Charset.forName(cs)),
+                  s"text/html; charset=$cs"),
+                contentType = "application/http; msgtype=response")
+            }
+          java.nio.file.Files.write(
+            new java.io.File(stage, f"html-$shard%02d.warc.gz").toPath,
+            WarcFormat.writeWarc(recs, gzipPerRecord = true))
+        }
+      }
+    }
 
   /** Sink-built fixture for q86: the same 1000-row slice EXPORTED as
     * MCAP through the DSv2 write path itself (two partitions — the
@@ -1039,7 +1129,16 @@ object ContainerQueries {
       """SELECT source, COUNT(*) AS cnt,
         |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
         |       CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // html_text recovers each document's text up to whitespace
+    // collapse; RE2 \s == [\t\n\f\r ] on both sides, md5 over UTF-8
+    // octets on both sides
+    "q95_html_extract" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
+        |       CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |         AS BIGINT) AS nchars
+        |FROM documents ORDER BY doc_id""".stripMargin)
 
   // lazy: referenced from the `oracle` map initializer above
   private lazy val DoubledTopicOracle =

@@ -1,0 +1,246 @@
+package org.apache.spark.sql.graftfns
+
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `html_text(payload, http_content_type)` — crawl-payload → clean
+  * text, the step between WARC ingestion (q94) and every text
+  * operator in the corpus family (dedup q24–q29, language-ID q32,
+  * quality q33, tokenization q34, contamination q47/q59 all consume
+  * `documents.text`; a raw crawl only has HTTP body BYTES). A native
+  * codegen'd expression, not a UDF: this runs once per crawled page
+  * over the full corpus — exactly the hot path where interpreted
+  * per-row closures become the pipeline bottleneck (the
+  * [[WordShingles]]/[[DotProduct]] justification; reference trace
+  * rosbag2parquet README.md:2's query-enablement thesis extended to
+  * the text pipeline of BASELINE.json).
+  *
+  * Deterministic extraction contract (the q95 oracle replicates it in
+  * SQL on the pre-wrap text):
+  *
+  *  1. charset from the `charset=` parameter of the HTTP
+  *     Content-Type (quoted or bare, case-insensitive); absent,
+  *     unknown, or null → UTF-8. Malformed byte sequences decode to
+  *     U+FFFD (REPLACE) — a 100 TB scan must not lose a shard to one
+  *     mojibake page.
+  *  2. drop `<!-- … -->` comments, `<script>`/`<style>` elements WITH
+  *     their contents (case-insensitive, unterminated → drop to end),
+  *     and every remaining tag; each removal emits one space so text
+  *     separated only by markup never fuses.
+  *  3. decode entities AFTER tag removal (an encoded `&lt;` must not
+  *     re-parse as markup): the five named XML entities plus `nbsp`,
+  *     and numeric `&#NNN;` / `&#xHH;` forms; anything unknown or
+  *     unterminated stays literal.
+  *  4. collapse runs of `[\t\n\f\r ]` to one space and trim — the
+  *     exact RE2/DuckDB `\s` class, so `trim(regexp_replace(t, '\s+',
+  *     ' ', 'g'))` is the oracle-side equivalent.
+  */
+case class HtmlText(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_text"
+
+  // a null content type is a MISSING HEADER, not a missing row —
+  // only a null payload nulls the result
+  override def nullable: Boolean = left.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val p = left.eval(input)
+    if (p == null) null
+    else HtmlText.extract(p.asInstanceOf[Array[Byte]],
+      right.eval(input).asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val cls = HtmlText.getClass.getName.stripSuffix("$")
+    val utf8 = classOf[UTF8String].getName
+    ev.copy(code = code"""
+      ${l.code}
+      boolean ${ev.isNull} = ${l.isNull};
+      $utf8 ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${r.code}
+        ${ev.value} = $cls.extract(${l.value},
+          ${r.isNull} ? null : ${r.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object HtmlText {
+
+  /** Row kernel, shared verbatim by eval and codegen. */
+  def extract(payload: Array[Byte], contentType: UTF8String): UTF8String = {
+    val cs = charsetOf(if (contentType == null) null else contentType.toString)
+    val html = decode(payload, cs)
+    UTF8String.fromString(collapse(decodeEntities(stripMarkup(html))))
+  }
+
+  /** `charset=` parameter of a Content-Type, bare or quoted; absent /
+    * unknown / unsupported → UTF-8.
+    */
+  private[graftfns] def charsetOf(contentType: String): Charset = {
+    if (contentType != null) {
+      val lower = contentType.toLowerCase(java.util.Locale.ROOT)
+      val at = lower.indexOf("charset=")
+      if (at >= 0) {
+        var e = at + 8
+        while (e < lower.length && lower.charAt(e) != ';' &&
+          !Character.isWhitespace(lower.charAt(e))) e += 1
+        val name = lower.substring(at + 8, e)
+          .stripPrefix("\"").stripSuffix("\"")
+        if (name.nonEmpty) {
+          try return Charset.forName(name)
+          catch { case _: Exception => () } // unknown → UTF-8 fallback
+        }
+      }
+    }
+    StandardCharsets.UTF_8
+  }
+
+  /** Bytes → string with U+FFFD replacement on malformed sequences. */
+  private[graftfns] def decode(bytes: Array[Byte], cs: Charset): String = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+  }
+
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    val last = s.length - needle.length
+    var i = math.max(from, 0)
+    while (i <= last) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** One pass: comments, script/style elements (with contents), and
+    * tags drop; each removed region emits a single space.
+    */
+  private[graftfns] def stripMarkup(html: String): String = {
+    val n = html.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        sb.append(' ')
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (html.regionMatches(true, i, "<script", 0, 7)) {
+          i = skipElement(html, i, "</script")
+        } else if (html.regionMatches(true, i, "<style", 0, 6)) {
+          i = skipElement(html, i, "</style")
+        } else {
+          val e = html.indexOf('>', i + 1)
+          i = if (e < 0) n else e + 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Past the close of `endTag` (its trailing '>'), or end-of-input
+    * for an unterminated element — raw script/style content must
+    * never leak into text.
+    */
+  private def skipElement(html: String, open: Int, endTag: String): Int = {
+    val n = html.length
+    val at = indexOfIgnoreCase(html, endTag, open + 1)
+    if (at < 0) return n
+    val gt = html.indexOf('>', at + endTag.length)
+    if (gt < 0) n else gt + 1
+  }
+
+  /** Named XML entities + nbsp + numeric forms; unknown or
+    * unterminated (no ';' within 10 chars) stays literal.
+    */
+  private[graftfns] def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var advanced = false
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val cp = entityCodepoint(s.substring(i + 1, semi))
+          if (cp >= 0) { sb.appendCodePoint(cp); i = semi + 1; advanced = true }
+        }
+      }
+      if (!advanced) { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Codepoint of an entity body (between '&' and ';'), or -1. */
+  private def entityCodepoint(body: String): Int = body match {
+    case "amp" => '&'
+    case "lt" => '<'
+    case "gt" => '>'
+    case "quot" => '"'
+    case "apos" => '\''
+    case "nbsp" => 0xA0
+    case _ if body.startsWith("#") =>
+      val (digits, radix) =
+        if (body.length > 2 && (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
+          (body.substring(2), 16)
+        else (body.substring(1), 10)
+      try {
+        val cp = Integer.parseInt(digits, radix)
+        if (cp >= 0 && cp <= 0x10FFFF &&
+          !(cp >= 0xD800 && cp <= 0xDFFF)) cp else -1
+      } catch { case _: NumberFormatException => -1 }
+    case _ => -1
+  }
+
+  /** Collapse runs of the RE2 `\s` class `[\t\n\f\r ]` to one space
+    * and trim — `trim(regexp_replace(t, '\s+', ' ', 'g'))` in
+    * RE2-regex SQL engines. Deliberately NOT Character.isWhitespace:
+    * vertical tab (U+000B) and the Unicode space family are not in RE2's `\s`, and
+    * the oracle side must be expressible there.
+    */
+  private[graftfns] def collapse(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pending = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f')
+        pending = true
+      else {
+        if (pending && sb.length > 0) sb.append(' ')
+        sb.append(c)
+        pending = false
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Column API. */
+  def htmlText(payload: Column, contentType: Column): Column =
+    ExpressionUtils.column(HtmlText(
+      ExpressionUtils.expression(payload),
+      ExpressionUtils.expression(contentType)))
+}

@@ -200,6 +200,8 @@ object VectorFunctions {
       "winnow_fingerprints", winnowBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", minhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "html_text", exprs => HtmlText(exprs(0), exprs(1)), "built-in")
   }
 
   /** Shared SQL builder (registry + extensions): n must be a literal —
@@ -286,6 +288,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[MinHashSig].getCanonicalName, "minhash_sig"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorFunctions.minhashBuilder(exprs)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("html_text"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HtmlText].getCanonicalName, "html_text"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HtmlText(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => SplitTimeBounds)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftplans.AsOfJoinStrategy)
