@@ -138,8 +138,7 @@ class Db3TypedColumnarReader(p: Db3InputPartition, schemaName: String,
     "topic", "data")
   private def payloadVec(name: String): Option[WritableColumnVector] =
     vec(if (Db3TypedRead.reserved(name)) name + "_field" else name)
-  private val ops: Array[java.nio.ByteBuffer => Unit] =
-    CdrColumnarRead.compile(bundle, bundle.root, "", payloadVec).toArray
+  private val cdrProgs = new CdrColumnarRead.CdrPrograms(bundle, payloadVec)
   private val needsWalk: Boolean =
     required.fieldNames.exists(n => !metaNames(n))
 
@@ -198,7 +197,7 @@ class Db3TypedColumnarReader(p: Db3InputPartition, schemaName: String,
           val b = topicBytes(tid); topicV.appendByteArray(b, 0, b.length)
         }
         if (rawV != null) rawV.appendByteArray(data, 0, data.length)
-        if (needsWalk) CdrColumnarRead.walkMessage(ops, data)
+        if (needsWalk) CdrColumnarRead.walkMessage(cdrProgs, data)
         n += 1
       }
     }

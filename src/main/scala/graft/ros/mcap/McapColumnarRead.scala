@@ -32,22 +32,41 @@ import graft.ros.bag.RosbagColumnarRead
   * array-of-struct column falls back to the row reader for the scan.
   */
 object CdrColumnarRead {
+  import CdrCodec.{CdrFlavor, Xcdr1, Xcdr2Final, Xcdr2Delimited}
 
   type Op = ByteBuffer => Unit
 
-  private def align(buf: ByteBuffer, n: Int): Unit = {
-    val rem = (buf.position() - 4) % n
-    if (rem != 0) buf.position(buf.position() + n - rem)
+  private def alignTo(buf: ByteBuffer, w: Int): Unit = {
+    val rem = (buf.position() - 4) % w
+    if (rem != 0) buf.position(buf.position() + w - rem)
   }
   private def skip(buf: ByteBuffer, n: Int): Unit =
     buf.position(buf.position() + n)
 
-  /** Aligned u32 count/length read (array counts, string lengths). */
+  /** Aligned u32 count/length read (array counts, string lengths) —
+    * 4-byte alignment is identical in every flavor.
+    */
   private def readLen(buf: ByteBuffer): Int = {
-    align(buf, 4)
+    alignTo(buf, 4)
     val n = buf.getInt()
     require(n >= 0, s"negative cdr array/string length $n")
     n
+  }
+
+  /** Open a DHEADER scope: returns the scope's end position. */
+  private def openScope(buf: ByteBuffer): Int = {
+    val dh = readLen(buf)
+    buf.position() + dh
+  }
+
+  /** Close a DHEADER scope: appendable forward-compat skips to the
+    * end; an overrun is corruption.
+    */
+  private def closeScope(buf: ByteBuffer, end: Int): Unit = {
+    require(buf.position() <= end,
+      s"cdr decode overran its DHEADER scope: at ${buf.position()}, " +
+        s"scope ends at $end — schema/payload mismatch")
+    buf.position(end)
   }
 
   private def scalarWidth(p: RosPrimitive): Int = p match {
@@ -59,31 +78,38 @@ object CdrColumnarRead {
     case RString => -1 // dynamic
   }
 
-  /** Skip one scalar (align, then advance). */
-  private def skipScalar(p: RosPrimitive): Op = p match {
+  /** Skip one scalar (align to min(width, flavor max), then advance). */
+  private def skipScalar(p: RosPrimitive, maxAlign: Int): Op = p match {
     case RString => buf => skip(buf, readLen(buf))
     case other =>
       val w = scalarWidth(other)
       require(w > 0, s"unexpected scalar $other")
-      buf => { align(buf, w); skip(buf, w) }
+      val a = math.min(w, maxAlign)
+      buf => { alignTo(buf, a); skip(buf, w) }
   }
 
   /** Append one scalar into `v` — the same type widenings as
     * [[CdrCodec.decode]] / RosSchemaMapper.flatSchema, aligned reads.
+    * `maxAlign` caps alignment (xcdr2: 8-byte primitives align to 4).
     */
-  private def writeScalar(p: RosPrimitive, v: WritableColumnVector): Op = p match {
+  private def writeScalar(p: RosPrimitive, v: WritableColumnVector,
+      maxAlign: Int): Op = p match {
     case RBool    => buf => v.appendBoolean(buf.get() != 0)
     case RInt8 | RByte => buf => v.appendInt(buf.get().toInt)
     case RUInt8 | RChar => buf => v.appendInt(java.lang.Byte.toUnsignedInt(buf.get()))
-    case RInt16   => buf => { align(buf, 2); v.appendInt(buf.getShort().toInt) }
-    case RUInt16  => buf => { align(buf, 2)
+    case RInt16   => buf => { alignTo(buf, 2); v.appendInt(buf.getShort().toInt) }
+    case RUInt16  => buf => { alignTo(buf, 2)
       v.appendInt(java.lang.Short.toUnsignedInt(buf.getShort())) }
-    case RInt32   => buf => { align(buf, 4); v.appendInt(buf.getInt()) }
-    case RUInt32  => buf => { align(buf, 4)
+    case RInt32   => buf => { alignTo(buf, 4); v.appendInt(buf.getInt()) }
+    case RUInt32  => buf => { alignTo(buf, 4)
       v.appendLong(java.lang.Integer.toUnsignedLong(buf.getInt())) }
-    case RInt64 | RUInt64 => buf => { align(buf, 8); v.appendLong(buf.getLong()) }
-    case RFloat32 => buf => { align(buf, 4); v.appendFloat(buf.getFloat()) }
-    case RFloat64 => buf => { align(buf, 8); v.appendDouble(buf.getDouble()) }
+    case RInt64 | RUInt64 =>
+      val a = math.min(8, maxAlign)
+      buf => { alignTo(buf, a); v.appendLong(buf.getLong()) }
+    case RFloat32 => buf => { alignTo(buf, 4); v.appendFloat(buf.getFloat()) }
+    case RFloat64 =>
+      val a = math.min(8, maxAlign)
+      buf => { alignTo(buf, a); v.appendDouble(buf.getDouble()) }
     case RString  => buf => {
       val n = readLen(buf) // length INCLUDES the null terminator
       val arr = buf.array(); val off = buf.arrayOffset() + buf.position()
@@ -104,29 +130,47 @@ object CdrColumnarRead {
       throw new IllegalStateException("time handled by caller (two columns)")
   }
 
-  /** Compile the CDR op program for `msg` — one op per leaf, a writer
-    * when the leaf's flattened column is in `colFor`, an aligned skip
-    * otherwise. Mirrors [[CdrCodec.decodeMsg]] exactly so wire order
-    * and column order stay aligned.
+  /** Compile the CDR op program for `msg` under one serialization
+    * flavor — one op per leaf, a writer when the leaf's flattened
+    * column is in `colFor`, an aligned skip otherwise, plus DHEADER
+    * begin/end ops where the flavor requires them. Mirrors
+    * [[CdrCodec.decodeMsg]] exactly so wire order and column order
+    * stay aligned. `scopes` is the per-PROGRAM nesting stack for
+    * struct-member DHEADERs (the reader is single-threaded per
+    * partition, so one stack per compiled program is safe).
     */
   def compile(bundle: RosMsgBundle, msg: RosMsgDef, prefix: String,
-              colFor: String => Option[WritableColumnVector]): Seq[Op] = {
+              colFor: String => Option[WritableColumnVector],
+              flavor: CdrFlavor = Xcdr1,
+              scopes: java.util.ArrayDeque[Integer] =
+                new java.util.ArrayDeque[Integer]()): Seq[Op] = {
+    val maxAlign = flavor.maxAlign
+    val delim = flavor.delimited
+    val x2 = flavor.xcdr2
+    /** Wrap `inner` in a struct DHEADER scope when delimited. */
+    def structScope(inner: Seq[Op]): Seq[Op] =
+      if (!delim) inner
+      else ((buf: ByteBuffer) => scopes.push(openScope(buf))) +:
+        inner :+ ((buf: ByteBuffer) => closeScope(buf, scopes.pop()))
     def join(p: String, n: String) = if (p.isEmpty) n else s"${p}_$n"
     msg.fields.filterNot(_.isConstant).flatMap { f =>
       val col = join(prefix, f.name)
       f.tpe match {
         case RTime | RDuration =>
-          Seq(colFor(s"${col}_sec") match {
-            case Some(v) => (buf: ByteBuffer) => { align(buf, 4); v.appendInt(buf.getInt()) }
-            case None    => (buf: ByteBuffer) => { align(buf, 4); skip(buf, 4) }
+          structScope(Seq(colFor(s"${col}_sec") match {
+            case Some(v) => (buf: ByteBuffer) => { alignTo(buf, 4); v.appendInt(buf.getInt()) }
+            case None    => (buf: ByteBuffer) => { alignTo(buf, 4); skip(buf, 4) }
           }, colFor(s"${col}_nsec") match {
             case Some(v) => (buf: ByteBuffer) => v.appendInt(buf.getInt())
             case None    => (buf: ByteBuffer) => skip(buf, 4)
-          })
+          }))
         case p: RosPrimitive =>
-          Seq(colFor(col).map(writeScalar(p, _)).getOrElse(skipScalar(p)))
+          Seq(colFor(col).map(writeScalar(p, _, maxAlign))
+            .getOrElse(skipScalar(p, maxAlign)))
         case ref: RosMsgRef =>
-          compile(bundle, bundle.resolve(ref, msg.pkg), col, colFor)
+          structScope(
+            compile(bundle, bundle.resolve(ref, msg.pkg), col, colFor,
+              flavor, scopes))
         case RosArray(RUInt8 | RByte | RChar | RInt8, fixedLen) =>
           Seq(colFor(col) match {
             case Some(v) => (buf: ByteBuffer) => {
@@ -140,16 +184,30 @@ object CdrColumnarRead {
         case RosArray(RTime | RDuration, fixedLen) =>
           // array-of-struct columns are never writers (supportsColumnar
           // rejects them from the projection); 8 bytes per element
-          // after the first element's 4-alignment
+          // after the first element's 4-alignment; xcdr2 wraps the
+          // collection (non-primitive elements) and delimited wraps
+          // each element in DHEADERs
           Seq((buf: ByteBuffer) => {
+            val end = if (x2) openScope(buf) else -1
             val n = fixedLen.getOrElse(readLen(buf))
-            if (n > 0) { align(buf, 4); skip(buf, 8 * n) }
+            if (delim) {
+              var i = 0
+              while (i < n) {
+                val e = openScope(buf)
+                alignTo(buf, 4); skip(buf, 8)
+                closeScope(buf, e)
+                i += 1
+              }
+            } else if (n > 0) { alignTo(buf, 4); skip(buf, 8 * n) }
+            if (x2) closeScope(buf, end)
           })
         case RosArray(p: RosPrimitive, fixedLen) =>
+          val strElem = p == RString
           Seq(colFor(col) match {
             case Some(v) =>
-              val elemWriter = writeScalar(p, v.arrayData())
+              val elemWriter = writeScalar(p, v.arrayData(), maxAlign)
               (buf: ByteBuffer) => {
+                val end = if (x2 && strElem) openScope(buf) else -1
                 val n = fixedLen.getOrElse(readLen(buf))
                 // appendArray FIRST: it records the child's current
                 // elementsAppended as this row's offset (see the
@@ -157,30 +215,49 @@ object CdrColumnarRead {
                 v.appendArray(n)
                 var i = 0
                 while (i < n) { elemWriter(buf); i += 1 }
+                if (x2 && strElem) closeScope(buf, end)
               }
             case None =>
               val w = scalarWidth(p)
-              if (w > 0) (buf: ByteBuffer) => {
-                val n = fixedLen.getOrElse(readLen(buf))
-                if (n > 0) { align(buf, w); skip(buf, w * n) }
-              }
-              else {
-                val elemSkip = skipScalar(p)
+              if (w > 0) {
+                val a = math.min(w, maxAlign)
                 (buf: ByteBuffer) => {
+                  val n = fixedLen.getOrElse(readLen(buf))
+                  if (n > 0) { alignTo(buf, a); skip(buf, w * n) }
+                }
+              } else {
+                val elemSkip = skipScalar(p, maxAlign)
+                (buf: ByteBuffer) => {
+                  val end = if (x2 && strElem) openScope(buf) else -1
                   val n = fixedLen.getOrElse(readLen(buf))
                   var i = 0
                   while (i < n) { elemSkip(buf); i += 1 }
+                  if (x2 && strElem) closeScope(buf, end)
                 }
               }
           })
         case RosArray(ref: RosMsgRef, fixedLen) =>
-          // element skip program (no writers inside by construction)
-          val elemOps = compile(bundle, bundle.resolve(ref, msg.pkg), col,
-            _ => None)
+          // element skip program (no writers inside by construction);
+          // element DHEADERs ride the recursive structScope via a
+          // DEDICATED stack (the loop nests within this op)
+          val elemScopes = new java.util.ArrayDeque[Integer]()
+          val elemOps = (if (delim)
+            ((buf: ByteBuffer) => elemScopes.push(openScope(buf))) +:
+              compile(bundle, bundle.resolve(ref, msg.pkg), col, _ => None,
+                flavor, elemScopes) :+
+              ((buf: ByteBuffer) => closeScope(buf, elemScopes.pop()))
+          else compile(bundle, bundle.resolve(ref, msg.pkg), col, _ => None,
+            flavor, elemScopes)).toArray
           Seq((buf: ByteBuffer) => {
+            val end = if (x2) openScope(buf) else -1
             val n = fixedLen.getOrElse(readLen(buf))
             var i = 0
-            while (i < n) { elemOps.foreach(_(buf)); i += 1 }
+            while (i < n) {
+              var j = 0
+              while (j < elemOps.length) { elemOps(j)(buf); j += 1 }
+              i += 1
+            }
+            if (x2) closeScope(buf, end)
           })
         case RosArray(_: RosArray, _) =>
           throw new IllegalArgumentException("arrays of arrays are not in the ROS IDL")
@@ -188,24 +265,45 @@ object CdrColumnarRead {
     }
   }
 
-  /** Run the compiled op program over ONE CDR message: honor the
-    * 4-byte encapsulation header's endianness, start the walk at the
-    * post-header origin, and verify full consumption (up to 3 bytes of
+  /** The three per-flavor op programs over one (bundle, colFor) pair,
+    * compiled lazily — a fleet that never ships xcdr2 never pays for
+    * its programs. One instance per partition reader (the column
+    * vectors and scope stacks are not shareable across threads).
+    */
+  final class CdrPrograms(bundle: RosMsgBundle,
+      colFor: String => Option[WritableColumnVector]) {
+    private lazy val xcdr1: Array[Op] =
+      compile(bundle, bundle.root, "", colFor, Xcdr1).toArray
+    private lazy val xcdr2Final: Array[Op] =
+      compile(bundle, bundle.root, "", colFor, Xcdr2Final).toArray
+    private lazy val xcdr2Delim: Array[Op] =
+      compile(bundle, bundle.root, "", colFor, Xcdr2Delimited).toArray
+    def forFlavor(flavor: CdrFlavor): Array[Op] = flavor match {
+      case Xcdr1 => xcdr1
+      case Xcdr2Final => xcdr2Final
+      case Xcdr2Delimited => xcdr2Delim
+    }
+  }
+
+  /** Run the flavor-matched op program over ONE CDR message: the
+    * 4-byte encapsulation header selects endianness AND serialization
+    * flavor per message, the walk starts at the post-header origin,
+    * a delimited payload's top-level DHEADER scope wraps the walk,
+    * and full consumption is verified (up to 3 bytes of
     * final-alignment padding tolerated — [[CdrCodec.decode]]'s rule).
     * Shared by the mcap and db3 columnar readers.
     */
-  def walkMessage(ops: Array[Op], data: Array[Byte]): Unit = {
+  def walkMessage(progs: CdrPrograms, data: Array[Byte]): Unit = {
     require(data.length >= 4, "cdr payload shorter than its encapsulation header")
+    val (flavor, le) = CdrCodec.flavorOf(data(1) & 0xFF)
     val buf = ByteBuffer.wrap(data)
-    buf.order((data(1) & 0xFF) match {
-      case 0x01 => ByteOrder.LITTLE_ENDIAN
-      case 0x00 => ByteOrder.BIG_ENDIAN
-      case other => throw new IllegalArgumentException(
-        f"unsupported cdr representation id 0x$other%02x (XCDR2/PL_CDR not handled)")
-    })
+    buf.order(if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     buf.position(4)
+    val ops = progs.forFlavor(flavor)
+    val end = if (flavor.delimited) openScope(buf) else -1
     var j = 0
     while (j < ops.length) { ops(j)(buf); j += 1 }
+    if (flavor.delimited) closeScope(buf, end)
     require(buf.remaining <= 3,
       s"cdr decode left ${buf.remaining} bytes unread of ${data.length} — " +
         "schema/payload mismatch")
@@ -343,9 +441,12 @@ class McapTypedColumnarReader(p: McapInputPartition, schemaName: String,
     "publish_time", "sequence", "channel_id", "topic", "data")
   private def payloadVec(name: String): Option[WritableColumnVector] =
     vec(if (McapTypedRead.reserved(name)) name + "_field" else name)
+  // cdr walks dispatch per message representation id (xcdr1/xcdr2)
+  private val cdrProgs: CdrColumnarRead.CdrPrograms =
+    if (isCdr) new CdrColumnarRead.CdrPrograms(bundle, payloadVec) else null
   private val ops: Array[ByteBuffer => Unit] =
-    (if (isCdr) CdrColumnarRead.compile(bundle, bundle.root, "", payloadVec)
-     else RosbagColumnarRead.compile(bundle, bundle.root, "", payloadVec)).toArray
+    if (isCdr) Array.empty
+    else RosbagColumnarRead.compile(bundle, bundle.root, "", payloadVec).toArray
   private val needsWalk: Boolean =
     required.fieldNames.exists(n => !metaNames(n))
 
@@ -382,7 +483,7 @@ class McapTypedColumnarReader(p: McapInputPartition, schemaName: String,
   private val rawV = if (includeRaw) vec("data").orNull else null
 
   private def walk(data: Array[Byte]): Unit =
-    if (isCdr) CdrColumnarRead.walkMessage(ops, data)
+    if (isCdr) CdrColumnarRead.walkMessage(cdrProgs, data)
     else {
       // the packed ros1 walk: no header, LE, must consume everything
       val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)

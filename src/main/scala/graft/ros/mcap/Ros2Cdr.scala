@@ -117,26 +117,80 @@ object Ros2Msg {
   }
 }
 
-/** XCDR1 decode/encode against a RosMsgBundle, value-aligned with
-  * `RosSchemaMapper.flatSchema` (same contract as
+/** XCDR1 + XCDR2 decode/encode against a RosMsgBundle, value-aligned
+  * with `RosSchemaMapper.flatSchema` (same contract as
   * RosSchemaMapper.decode/encode for the ROS 1 wire format).
+  *
+  * XCDR2 (DDS-XTypes 1.3 §7.4.3) differs from XCDR1 in exactly two
+  * ways on this type subset:
+  *  - maximum alignment is 4 (8-byte primitives align to 4);
+  *  - DHEADERs — a u32 byte count of the object that follows —
+  *    precede (a) collections whose element type is non-primitive
+  *    (strings, Time/Duration, nested messages) in EVERY xcdr2
+  *    flavor, and (b) every struct value (top-level and nested,
+  *    including Time/Duration) under the DELIMITED encapsulations
+  *    0x08/0x09, which declare the bundle's types appendable.
+  * On decode a DHEADER is also honored as appendable forward-compat:
+  * members past what our schema knows are SKIPPED to the header's
+  * end (a newer writer appended fields); a decode OVERRUNNING its
+  * scope is corruption and fails loudly. PL_CDR (0x02/0x03) and
+  * PL_CDR2 (0x0a/0x0b) mutable parameter-list payloads refuse with a
+  * named error: member-id headers are out of this engine's scope.
   */
 object CdrCodec {
   import org.apache.spark.sql.Row
 
+  /** Serialization flavor selected by the encapsulation id: maximum
+    * alignment, struct delimiting, and the id the encoder stamps.
+    */
+  sealed abstract class CdrFlavor(val maxAlign: Int, val delimited: Boolean,
+      val repLe: Int) {
+    /** xcdr2 collection rule: non-primitive-element collections carry
+      * a DHEADER in both final and delimited flavors. */
+    def xcdr2: Boolean = maxAlign == 4
+  }
+  case object Xcdr1 extends CdrFlavor(8, false, 0x01)
+  case object Xcdr2Final extends CdrFlavor(4, false, 0x07)
+  case object Xcdr2Delimited extends CdrFlavor(4, true, 0x09)
+
+  /** (flavor, littleEndian) for a representation id; loud refusal for
+    * the parameter-list flavors and anything unknown.
+    */
+  def flavorOf(rep: Int): (CdrFlavor, Boolean) = rep match {
+    case 0x00 => (Xcdr1, false)
+    case 0x01 => (Xcdr1, true)
+    case 0x06 => (Xcdr2Final, false)
+    case 0x07 => (Xcdr2Final, true)
+    case 0x08 => (Xcdr2Delimited, false)
+    case 0x09 => (Xcdr2Delimited, true)
+    case 0x02 | 0x03 => throw new IllegalArgumentException(
+      f"unsupported cdr representation id 0x$rep%02x: PL_CDR (xcdr1 " +
+        "mutable, parameter-list) payloads are not supported")
+    case 0x0a | 0x0b => throw new IllegalArgumentException(
+      f"unsupported cdr representation id 0x$rep%02x: PL_CDR2 (xcdr2 " +
+        "mutable, member-header) payloads are not supported")
+    case other => throw new IllegalArgumentException(
+      f"unsupported cdr representation id 0x$other%02x")
+  }
+
   private final class Reader(bytes: Array[Byte]) {
     require(bytes.length >= 4, s"cdr payload shorter than its encapsulation header")
-    // {0x00, representation, options u16}: 0x00=CDR_BE, 0x01=CDR_LE
-    private val le: Boolean = (bytes(1) & 0xFF) match {
-      case 0x01 => true
-      case 0x00 => false
-      case other => throw new IllegalArgumentException(
-        f"unsupported cdr representation id 0x$other%02x (XCDR2/PL_CDR not handled)")
-    }
+    // {0x00, representation, options u16}
+    val (flavor, le) = flavorOf(bytes(1) & 0xFF)
     private var pos = 4
     def align(n: Int): Unit = {
-      val rem = (pos - 4) % n
-      if (rem != 0) pos += n - rem
+      val w = math.min(n, flavor.maxAlign)
+      val rem = (pos - 4) % w
+      if (rem != 0) pos += w - rem
+    }
+    def position: Int = pos
+    /** End of a DHEADER scope: appendable forward-compat skips ahead
+      * to unknown trailing members; an overrun is corruption.
+      */
+    def closeScope(end: Int): Unit = {
+      require(pos <= end, s"cdr decode overran its DHEADER scope: " +
+        s"at $pos, scope ends at $end — schema/payload mismatch")
+      pos = end
     }
     private def take(n: Int): Int = {
       require(pos + n <= bytes.length,
@@ -179,35 +233,66 @@ object CdrCodec {
   def decode(bundle: RosMsgBundle, bytes: Array[Byte]): Seq[Any] = {
     val r = new Reader(bytes)
     val out = scala.collection.mutable.ArrayBuffer[Any]()
-    decodeMsg(bundle, bundle.root, r, out)
+    inScope(r, r.flavor.delimited) { decodeMsg(bundle, bundle.root, r, out) }
     require(r.remaining <= 3,
       s"cdr decode left ${r.remaining} bytes unread of ${bytes.length} — schema/payload mismatch")
     out.toSeq
   }
 
+  /** DHEADER scope when `active`: read the u32 byte count, run the
+    * body, then reconcile (skip-forward to the scope's end, fail on
+    * overrun).
+    */
+  private def inScope[A](r: Reader, active: Boolean)(body: => A): A =
+    if (!active) body
+    else {
+      val dh = r.u32().toInt
+      require(dh >= 0, s"negative cdr DHEADER $dh")
+      val end = r.position + dh
+      val a = body
+      r.closeScope(end)
+      a
+    }
+
   private def decodeMsg(bundle: RosMsgBundle, msg: RosMsgDef, r: Reader,
                         out: scala.collection.mutable.ArrayBuffer[Any]): Unit =
     msg.fields.filterNot(_.isConstant).foreach { f =>
+      val delim = r.flavor.delimited
+      val x2 = r.flavor.xcdr2
       f.tpe match {
-        case RTime | RDuration => out += r.i32(); out += r.i32()
+        case RTime | RDuration =>
+          inScope(r, delim) { out += r.i32(); out += r.i32() }
         case p: RosPrimitive => out += scalar(p, r)
-        case ref: RosMsgRef => decodeMsg(bundle, bundle.resolve(ref, msg.pkg), r, out)
+        case ref: RosMsgRef => inScope(r, delim) {
+          decodeMsg(bundle, bundle.resolve(ref, msg.pkg), r, out)
+        }
         case RosArray(RUInt8 | RByte | RChar | RInt8, fixedLen) =>
           val n = fixedLen.getOrElse(r.u32().toInt)
           out += r.blob(n)
         case RosArray(RTime | RDuration, fixedLen) =>
-          val n = fixedLen.getOrElse(r.u32().toInt)
-          out += Seq.fill(n)(Row(r.i32(), r.i32()))
+          out += inScope(r, x2) {
+            val n = fixedLen.getOrElse(r.u32().toInt)
+            Seq.fill(n)(inScope(r, delim)(Row(r.i32(), r.i32())))
+          }
+        case RosArray(RString, fixedLen) =>
+          out += inScope(r, x2) {
+            val n = fixedLen.getOrElse(r.u32().toInt)
+            Seq.fill(n)(r.string())
+          }
         case RosArray(p: RosPrimitive, fixedLen) =>
           val n = fixedLen.getOrElse(r.u32().toInt)
           out += Seq.fill(n)(scalar(p, r))
         case RosArray(ref: RosMsgRef, fixedLen) =>
-          val n = fixedLen.getOrElse(r.u32().toInt)
-          val sub = bundle.resolve(ref, msg.pkg)
-          out += Seq.fill(n) {
-            val vals = scala.collection.mutable.ArrayBuffer[Any]()
-            decodeMsg(bundle, sub, r, vals)
-            Row.fromSeq(vals.toSeq)
+          out += inScope(r, x2) {
+            val n = fixedLen.getOrElse(r.u32().toInt)
+            val sub = bundle.resolve(ref, msg.pkg)
+            Seq.fill(n) {
+              inScope(r, delim) {
+                val vals = scala.collection.mutable.ArrayBuffer[Any]()
+                decodeMsg(bundle, sub, r, vals)
+                Row.fromSeq(vals.toSeq)
+              }
+            }
           }
         case RosArray(_: RosArray, _) =>
           throw new IllegalArgumentException("arrays of arrays are not in the ROS IDL")
@@ -231,13 +316,21 @@ object CdrCodec {
 
   // ---- encoder (fixtures + round-trip property tests) ----
 
-  private final class Writer {
+  /** `origin` is where alignment counts from: 4 past the top writer's
+    * encapsulation header, 0 for a DHEADER sub-scope — sound because a
+    * scope always starts 4-aligned and xcdr2's max alignment IS 4.
+    */
+  private final class Writer(flavor: CdrFlavor, withHeader: Boolean) {
     private val buf = new java.io.ByteArrayOutputStream()
-    buf.write(0x00); buf.write(0x01); buf.write(0x00); buf.write(0x00) // CDR_LE
+    private val origin = if (withHeader) 4 else 0
+    if (withHeader) {
+      buf.write(0x00); buf.write(flavor.repLe); buf.write(0x00); buf.write(0x00)
+    }
     private def pos: Int = buf.size()
     def align(n: Int): Unit = {
-      val rem = (pos - 4) % n
-      if (rem != 0) (0 until n - rem).foreach(_ => buf.write(0))
+      val w = math.min(n, flavor.maxAlign)
+      val rem = (pos - origin) % w
+      if (rem != 0) (0 until w - rem).foreach(_ => buf.write(0))
     }
     def u8(v: Int): Unit = buf.write(v & 0xFF)
     def u16(v: Int): Unit = { align(2); buf.write(v & 0xFF); buf.write((v >> 8) & 0xFF) }
@@ -248,26 +341,41 @@ object CdrCodec {
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       u32(b.length + 1); buf.write(b); buf.write(0)
     }
+    /** DHEADER scope when `active`: body into a fresh origin-0
+      * sub-writer, then u32 byte count + bytes.
+      */
+    def scope(active: Boolean)(body: Writer => Unit): Unit =
+      if (!active) body(this)
+      else {
+        val sub = new Writer(flavor, withHeader = false)
+        body(sub)
+        val b = sub.bytes
+        u32(b.length.toLong)
+        blob(b)
+      }
     def bytes: Array[Byte] = buf.toByteArray
   }
 
-  def encode(bundle: RosMsgBundle, values: Seq[Any]): Array[Byte] = {
-    val w = new Writer
+  def encode(bundle: RosMsgBundle, values: Seq[Any],
+      flavor: CdrFlavor = Xcdr1): Array[Byte] = {
+    val w = new Writer(flavor, withHeader = true)
     val it = values.iterator
-    encodeMsg(bundle, bundle.root, it, w)
+    w.scope(flavor.delimited)(encodeMsg(bundle, bundle.root, it, _, flavor))
     require(!it.hasNext, s"${it.size} leftover values after encode")
     w.bytes
   }
 
   private def encodeMsg(bundle: RosMsgBundle, msg: RosMsgDef, it: Iterator[Any],
-                        w: Writer): Unit =
+                        w: Writer, flavor: CdrFlavor): Unit =
     msg.fields.filterNot(_.isConstant).foreach { f =>
       f.tpe match {
         case RTime | RDuration =>
-          w.u32(it.next().asInstanceOf[Int].toLong)
-          w.u32(it.next().asInstanceOf[Int].toLong)
+          val sec = it.next().asInstanceOf[Int].toLong
+          val nsec = it.next().asInstanceOf[Int].toLong
+          w.scope(flavor.delimited) { sw => sw.u32(sec); sw.u32(nsec) }
         case p: RosPrimitive => encScalar(p, it.next(), w)
-        case ref: RosMsgRef => encodeMsg(bundle, bundle.resolve(ref, msg.pkg), it, w)
+        case ref: RosMsgRef => w.scope(flavor.delimited)(
+          encodeMsg(bundle, bundle.resolve(ref, msg.pkg), it, _, flavor))
         case RosArray(RUInt8 | RByte | RChar | RInt8, fixedLen) =>
           val b = it.next().asInstanceOf[Array[Byte]]
           fixedLen match {
@@ -279,19 +387,29 @@ object CdrCodec {
           val xs = it.next().asInstanceOf[Seq[Any]]
           fixedLen match {
             case Some(n) => require(xs.length == n, s"fixed array ${f.name}: ${xs.length} != $n")
-            case None => w.u32(xs.length.toLong)
+            case None => ()
           }
-          elem match {
-            case RTime | RDuration => xs.foreach { x =>
-              val row = x.asInstanceOf[Row]
-              w.u32(row.getInt(0).toLong); w.u32(row.getInt(1).toLong)
+          val nonPrimitive = elem match {
+            case RString | RTime | RDuration | _: RosMsgRef => true
+            case _ => false
+          }
+          w.scope(flavor.xcdr2 && nonPrimitive) { cw =>
+            if (fixedLen.isEmpty) cw.u32(xs.length.toLong)
+            elem match {
+              case RTime | RDuration => xs.foreach { x =>
+                val row = x.asInstanceOf[Row]
+                cw.scope(flavor.delimited) { sw =>
+                  sw.u32(row.getInt(0).toLong); sw.u32(row.getInt(1).toLong)
+                }
+              }
+              case p: RosPrimitive => xs.foreach(x => encScalar(p, x, cw))
+              case ref: RosMsgRef =>
+                val sub = bundle.resolve(ref, msg.pkg)
+                xs.foreach(x => cw.scope(flavor.delimited)(
+                  encodeMsg(bundle, sub, x.asInstanceOf[Row].toSeq.iterator, _, flavor)))
+              case _: RosArray =>
+                throw new IllegalArgumentException("arrays of arrays are not in the ROS IDL")
             }
-            case p: RosPrimitive => xs.foreach(x => encScalar(p, x, w))
-            case ref: RosMsgRef =>
-              val sub = bundle.resolve(ref, msg.pkg)
-              xs.foreach(x => encodeMsg(bundle, sub, x.asInstanceOf[Row].toSeq.iterator, w))
-            case _: RosArray =>
-              throw new IllegalArgumentException("arrays of arrays are not in the ROS IDL")
           }
       }
     }

@@ -139,6 +139,39 @@ class McapColumnarPropSpec extends SparkTestBase {
     }
   }
 
+  test("xcdr2 payloads (final + delimited, mixed with xcdr1 in one file) columnar ≡ row") {
+    import CdrCodec.{Xcdr1, Xcdr2Final, Xcdr2Delimited}
+    val flavors = Array(Xcdr1, Xcdr2Final, Xcdr2Delimited)
+    for (caseIdx <- 41 to 52) {
+      val d = genMsg.pureApply(Gen.Parameters.default, Seed(caseIdx.toLong))
+      val defText = render(d)
+      val bundle = Ros2Msg.bundle("t/msg/T", defText)
+      val rng = new scala.util.Random(caseIdx * 77L)
+      // each message picks its own flavor — the reader must dispatch
+      // per message off the representation id, not per file
+      val payloads = (0 until 6).map(i =>
+        CdrCodec.encode(bundle, genValues(d, rng), flavors(i % 3)))
+      val f = writeMcapOf(defText, payloads)
+      val df = spark.read.format("mcap")
+        .option("schema_name", "t/msg/T").option("includeRaw", "true")
+        .load(f.toString)
+      val flat = RosSchemaMapper.flatSchema(bundle)
+      val rows = df.orderBy("log_time").collect()
+      assert(rows.length == 6, s"case $caseIdx row count")
+      rows.foreach { r =>
+        val expected = CdrCodec.decode(bundle, r.getAs[Array[Byte]]("data"))
+        flat.fieldNames.zip(expected).foreach { case (name, exp) =>
+          val colName = if (Set("file_path", "chunk_idx", "offset", "log_time",
+            "publish_time", "sequence", "channel_id", "topic", "data",
+            "seqno")(name)) name + "_field" else name
+          assert(norm(r.getAs[Any](colName)) == norm(exp),
+            s"case $caseIdx column $colName\n$defText")
+        }
+      }
+      java.nio.file.Files.delete(f)
+    }
+  }
+
   test("big-endian cdr payloads decode identically to the row decoder") {
     val defText = "int32 a\nfloat64 b\nstring s\nuint16 t\n"
     val bundle = Ros2Msg.bundle("t/msg/T", defText)

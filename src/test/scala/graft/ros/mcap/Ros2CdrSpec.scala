@@ -77,9 +77,16 @@ class Ros2CdrSpec extends AnyFunSuite {
     // hand-build a CDR_BE payload: {0,0,0,0} then int32 BE
     val be = Array[Byte](0, 0, 0, 0, 0, 0, 1, 2)
     assert(CdrCodec.decode(b, be) == Seq(258))
-    val bad = Array[Byte](0, 9, 0, 0, 0, 0, 0, 0)
+    val bad = Array[Byte](0, 0x21, 0, 0, 0, 0, 0, 0)
     val e = intercept[IllegalArgumentException](CdrCodec.decode(b, bad))
     assert(e.getMessage.contains("representation"))
+    // the parameter-list flavors refuse with a NAMED error
+    for ((rep, name) <- Seq(0x02 -> "PL_CDR", 0x03 -> "PL_CDR",
+        0x0a -> "PL_CDR2", 0x0b -> "PL_CDR2")) {
+      val pl = Array[Byte](0, rep.toByte, 0, 0, 0, 0, 0, 0)
+      val pe = intercept[IllegalArgumentException](CdrCodec.decode(b, pl))
+      assert(pe.getMessage.contains(name), s"rep=$rep: ${pe.getMessage}")
+    }
   }
 
   test("nested structs, builtin Time, and sequences round-trip (randomized)") {
@@ -118,6 +125,148 @@ class Ros2CdrSpec extends AnyFunSuite {
         case other => other
       }
       assert(back.map(norm) == vals.map(norm), s"mismatch for $vals")
+    }
+  }
+
+  test("XCDR2 alignment golden: 8-byte primitives align to 4, both endiannesses") {
+    import CdrCodec.Xcdr2Final
+    val b = Ros2Msg.bundle("p/msg/E", "uint8 a\nfloat64 v\nint64 c")
+    // CDR2_LE {0,7,0,0}: a @4(rel0); pad rel1-3; v @rel4 (4-byte max
+    // alignment — XCDR1 would pad to rel8); c @rel12. Total 24.
+    val bytes = CdrCodec.encode(b, Seq(17, 1.5, -2L), Xcdr2Final)
+    assert(bytes.length == 24, s"got ${bytes.length}")
+    assert(bytes.slice(0, 4).toSeq == Seq[Byte](0, 7, 0, 0))
+    assert(bytes(4) == 17)
+    assert(java.lang.Double.longBitsToDouble(
+      (0 until 8).map(i => (bytes(8 + i) & 0xFFL) << (8 * i)).reduce(_ | _)) == 1.5)
+    assert((0 until 8).map(i => (bytes(16 + i) & 0xFFL) << (8 * i))
+      .reduce(_ | _) == -2L)
+    assert(CdrCodec.decode(b, bytes) == Seq(17, 1.5, -2L))
+    // the SAME values under XCDR1 pad v to rel8 → 4 bytes longer
+    assert(CdrCodec.encode(b, Seq(17, 1.5, -2L)).length == 28)
+    // hand-built CDR2_BE {0,6,0,0}
+    val bb = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(Array[Byte](0, 6, 0, 0)).put(17.toByte)
+      .put(Array[Byte](0, 0, 0)).putDouble(1.5).putLong(-2L)
+    assert(CdrCodec.decode(b, bb.array()) == Seq(17, 1.5, -2L))
+  }
+
+  test("XCDR2 delimited golden: DHEADERs, nested struct, appendable forward-skip") {
+    import CdrCodec.Xcdr2Delimited
+    val schema =
+      """int32 x
+        |p/msg/Inner i
+        |string s
+        |================================================================================
+        |MSG: p/msg/Inner
+        |uint8 y""".stripMargin
+    val b = Ros2Msg.bundle("p/msg/Outer", schema)
+    val bytes = CdrCodec.encode(b, Seq(7, 42, "hi"), Xcdr2Delimited)
+    // D_CDR2_LE {0,9,0,0}; top DHEADER @rel0 = 19; x @rel4 = 7;
+    // inner DHEADER @rel8 = 1; y @rel12 = 42; pad rel13-15;
+    // string len @rel16 = 3; "hi\0" @rel20-22. Total 4 + 4 + 19 = 27.
+    assert(bytes.slice(0, 4).toSeq == Seq[Byte](0, 9, 0, 0))
+    assert(McapFormat.leInt(bytes, 4) == 19, "top DHEADER bytes")
+    assert(McapFormat.leInt(bytes, 8) == 7)
+    assert(McapFormat.leInt(bytes, 12) == 1, "inner DHEADER bytes")
+    assert(bytes(16) == 42)
+    assert(McapFormat.leInt(bytes, 20) == 3)
+    assert(new String(bytes, 24, 2, "UTF-8") == "hi" && bytes(26) == 0)
+    assert(bytes.length == 27)
+    assert(CdrCodec.decode(b, bytes) == Seq(7, 42, "hi"))
+    // appendable forward-compat: a NEWER writer appended a field to
+    // Inner — extra bytes inside its DHEADER scope are skipped, and
+    // the decode still lands on s correctly
+    val grown = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0, 9, 0, 0))
+      def le(v: Int): Array[Byte] =
+        Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+          ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      out.write(le(27))          // top DHEADER (8 extra inner bytes)
+      out.write(le(7))           // x
+      out.write(le(9))           // inner DHEADER: y + pad + extra u32
+      out.write(42); out.write(Array[Byte](0, 0, 0)) // y + pad to 4
+      out.write(le(999))         // the appended unknown member
+      out.write(0)               // one more unknown byte in the scope
+      // after skip-to-end, string aligns from rel21 → pad to rel24?
+      // no: scope end is rel21... keep it simple, make inner scope a
+      // multiple of 4: dheader said 9 → next pos rel21; string align4
+      // pads rel21-23; len @rel24
+      out.write(Array[Byte](0, 0, 0)) // string alignment pad
+      out.write(le(3))
+      out.write("hi".getBytes("UTF-8")); out.write(0)
+      out.toByteArray
+    }
+    assert(CdrCodec.decode(b, grown) == Seq(7, 42, "hi"),
+      "unknown appended members must skip via the DHEADER")
+    // a decode OVERRUNNING its scope is corruption
+    val shrunk = bytes.clone()
+    shrunk(12) = 0 // inner DHEADER claims 0 bytes but y follows
+    val e = intercept[IllegalArgumentException](CdrCodec.decode(b, shrunk))
+    assert(e.getMessage.contains("DHEADER"))
+  }
+
+  test("XCDR2 collections: non-primitive element sequences carry DHEADERs") {
+    import CdrCodec.{Xcdr2Final, Xcdr2Delimited}
+    val b = Ros2Msg.bundle("p/msg/L", "string[] xs\nuint32 n")
+    val vals = Seq(Seq("ab", "c"), 9L)
+    val fin = CdrCodec.encode(b, vals, Xcdr2Final)
+    // CDR2_LE: collection DHEADER @rel0 = bytes of (count + elements)
+    // = 4 + (4+3) + pad1 + (4+2) = 18; count @rel4 = 2; "ab\0" len 3
+    // @rel8; "c\0" len 2 @rel16 (align4 from rel15); n @rel24
+    assert(McapFormat.leInt(fin, 4) == 18, "collection DHEADER")
+    assert(McapFormat.leInt(fin, 8) == 2, "element count")
+    assert(CdrCodec.decode(b, fin) == vals)
+    val delim = CdrCodec.encode(b, vals, Xcdr2Delimited)
+    assert(CdrCodec.decode(b, delim) == vals)
+    // uint8[] stays primitive: count + raw bytes, no DHEADER
+    val bb = Ros2Msg.bundle("p/msg/B", "uint8[] p\nint32 z")
+    val bv = Seq(Array[Byte](1, 2, 3), 5)
+    val enc = CdrCodec.encode(bb, bv, Xcdr2Final)
+    assert(McapFormat.leInt(enc, 4) == 3, "count directly, no DHEADER")
+    val back = CdrCodec.decode(bb, enc)
+    assert(back(0).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2, 3))
+    assert(back(1) == 5)
+  }
+
+  test("XCDR2 randomized round-trips match XCDR1 values (all flavors)") {
+    import CdrCodec.{Xcdr1, Xcdr2Final, Xcdr2Delimited}
+    val schema =
+      """std_msgs/msg/Header header
+        |float64[] ranges
+        |int16 level
+        |p/msg/Sub[] subs
+        |uint8[] payload
+        |string[] tags
+        |================================================================================
+        |MSG: std_msgs/msg/Header
+        |builtin_interfaces/Time stamp
+        |string frame_id
+        |================================================================================
+        |MSG: p/msg/Sub
+        |int8 tag
+        |float32 weight""".stripMargin
+    val b = Ros2Msg.bundle("p/msg/Scan", schema)
+    val rnd = new scala.util.Random(1616)
+    val norm = (x: Any) => x match {
+      case a: Array[Byte] => a.toSeq
+      case other => other
+    }
+    for (_ <- 0 until 40) {
+      val vals = Seq(
+        rnd.nextInt(), rnd.nextInt(1 << 30).toLong,
+        rnd.alphanumeric.take(rnd.nextInt(9)).mkString,
+        Seq.fill(rnd.nextInt(5))(rnd.nextDouble()),
+        rnd.nextInt(1 << 14) - (1 << 13),
+        Seq.fill(rnd.nextInt(4))(Row(rnd.nextInt(256) - 128, rnd.nextFloat())),
+        Array.fill(rnd.nextInt(9))(rnd.nextInt(256).toByte): Any,
+        Seq.fill(rnd.nextInt(4))(rnd.alphanumeric.take(rnd.nextInt(6)).mkString))
+      for (flavor <- Seq(Xcdr1, Xcdr2Final, Xcdr2Delimited)) {
+        val bytes = CdrCodec.encode(b, vals, flavor)
+        val back = CdrCodec.decode(b, bytes)
+        assert(back.map(norm) == vals.map(norm), s"flavor $flavor: $vals")
+      }
     }
   }
 
