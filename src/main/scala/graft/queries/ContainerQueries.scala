@@ -560,6 +560,33 @@ object ContainerQueries {
           md5(col("text").cast("binary")).as("text_md5"),
           length(col("text")).cast("long").as("nchars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Q96 — the matrix's LAST transcode cell, CHECKED: the mixed
+    // fixture's PROTOBUF channel (graft.test.Event, even event ids)
+    // normalized into a `.bag` archive via transcode=auto's composed
+    // proto→ros2→ros1 lowering. The typed rosbag read under the
+    // RENDERED ros1 name decodes genuine packed-ros1 payloads written
+    // against a genuine genmsg md5 connection — field values (even
+    // ids, user ids, decimal sums) all inside the DuckDB equality.
+    // Mirrors q92's read shape (typed read + O11 connections
+    // broadcast join) pointed at the proto-sourced connection.
+    "q96_transcode_proto_rosbag" -> ((s, d) => {
+      val out = transcodeBagFixture2(s, d)
+      val typed = s.read.format("rosbag").option("bags", out + "/*.bag")
+        .option("datatype", "graft_test/Event").load()
+      val conns = broadcast(graft.ros.bag.RosbagTables
+        .connections(s, out + "/*.bag")
+        .select(col("bag_path"), col("connection_id"), col("topic")))
+      typed.join(conns, Seq("bag_path", "connection_id"))
+        .groupBy(col("topic")).agg(
+          count(lit(1)).as("cnt"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          sum(col("user_id")).as("sum_uid"),
+          round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
+            .as("sum_value"))
+        .orderBy(col("topic"))
     }))
 
   /** q94's fixture: every document written as an HTTP-response WARC
@@ -806,6 +833,23 @@ object ContainerQueries {
           new java.io.File(stage, "export").getAbsolutePath,
           "rosbag", partitions = 2,
           transform = _.filter(col("encoding") =!= "protobuf"),
+          options = Map("transcode" -> "auto"))
+      } + "/export"
+    }
+
+  /** q96's fixture: the mixed dir converted to rosbag WITHOUT
+    * filtering the protobuf channel — `transcode=auto` must lower the
+    * graft.test.Event rows through the composed proto→ros2→ros1
+    * rendering into genuine ros1 connections (graft_test/Event, real
+    * genmsg md5).
+    */
+  private def transcodeBagFixture2(s: SparkSession, d: String): String =
+    synchronized {
+      val mixed = mixedFixture(s, d)
+      publishStaged("graft_container_tcbag2v1_" + md5Key(mixed)) { stage =>
+        graft.ros.Convert.run(s, mixed,
+          new java.io.File(stage, "export").getAbsolutePath,
+          "rosbag", partitions = 2,
           options = Map("transcode" -> "auto"))
       } + "/export"
     }
@@ -1130,6 +1174,17 @@ object ContainerQueries {
         |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
         |       CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the proto channel's rows land under /events_pb with even event
+    // ids — q93's oracle pointed at the rosbag target
+    "q96_transcode_proto_rosbag" ->
+      """WITH ev AS (
+        |  SELECT * FROM events ORDER BY event_id LIMIT 1000)
+        |SELECT '/events_pb' AS topic, COUNT(*) AS cnt,
+        |       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        |       CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
+        |         AS sum_value
+        |FROM ev WHERE event_id % 2 = 0""".stripMargin,
     // html_text recovers each document's text up to whitespace
     // collapse; RE2 \s == [\t\n\f\r ] on both sides, md5 over UTF-8
     // octets on both sides

@@ -246,16 +246,26 @@ object Convert {
           unresolved.isEmpty)
       case "rosbag" =>
         val (entries, failures) = Transcode.planToRos1(inPath)
+        val (pEntries, pFailures) = Transcode.planProtoToRos1(inPath)
         val pinned =
           if (channelFirst)
             pinnedPath.map(Transcode.pinnedRos1Entries).getOrElse(Map.empty)
           else Map.empty[String, Transcode.Ros1Entry]
-        reportFailures(failures -- pinned.keys, mode, inPath, "ros1msg",
+        val pinnedProto =
+          if (channelFirst)
+            pinnedPath.map(Transcode.pinnedProtoRos1Entries).getOrElse(Map.empty)
+          else Map.empty[String, Transcode.ProtoRos1Entry]
+        reportFailures((failures -- pinned.keys) ++
+            (pFailures -- pinnedProto.keys),
+          mode, inPath, "ros1msg",
           " (with allow_foreign_encoding=true) to embed those rows " +
             "as foreign bytes")
-        (Transcode.toRos1(spine, entries, strict = mode == "strict", pinned),
+        (Transcode.toRos1(spine, entries, strict = mode == "strict", pinned,
+          pEntries, pinnedProto),
           mergedInline("conn_defs_inline",
-            Transcode.inlineRos1Defs((entries ++ pinned).values), options),
+            Transcode.inlineRos1Defs((entries ++ pinned).values) ++
+              Transcode.inlineProtoRos1Defs((pEntries ++ pinnedProto).values),
+            options),
           false)
       case other => throw new IllegalArgumentException(
         s"transcode targets mcap | db3 | rosbag, not '$other'")

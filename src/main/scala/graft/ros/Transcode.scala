@@ -589,19 +589,43 @@ object Transcode {
 
   private val ros1FileDefs = new SourceDefs.FileDefCache[Ros1Entry](loadFileDefsToRos1)
 
-  /** Rewrite a mixed-spine frame's "cdr" rows to ros1 serialization:
-    * the reverse of [[toCdr]], for rosbag targets — what turns the
-    * bag sink's foreign-encoding refusal into a fallback. Protobuf
-    * rows are NOT translatable and pass through untouched (the
-    * rosbag prepare guard still fires on them unless the caller opts
-    * into byte-embedding or filters them out).
+  /** Rewrite a mixed-spine frame's "cdr" AND "protobuf" rows to ros1
+    * serialization: the reverse of [[toCdr]], for rosbag targets —
+    * what turns the bag sink's foreign-encoding refusal into a
+    * fallback. Protobuf rows lower through the composed
+    * proto→ros2→ros1 rendering ([[translateProtoToRos1]], round 16 —
+    * the matrix's last cell); cdr rows through [[translateToRos1]].
     */
   def toRos1(spine: DataFrame, entries: Map[String, Ros1Entry],
-      strict: Boolean, pinned: Map[String, Ros1Entry] = Map.empty): DataFrame = {
+      strict: Boolean, pinned: Map[String, Ros1Entry] = Map.empty,
+      protoEntries: Map[String, ProtoRos1Entry] = Map.empty,
+      pinnedProto: Map[String, ProtoRos1Entry] = Map.empty): DataFrame = {
     val bc = spine.sparkSession.sparkContext.broadcast(entries)
     val bcPinned = spine.sparkSession.sparkContext.broadcast(pinned)
-    val tcodeUdf = udf { (tpe: String, data: Array[Byte], filePath: String) =>
-      bcPinned.value.get(tpe).orElse(ros1FileDefs.get(filePath, tpe))
+    val bcProto = spine.sparkSession.sparkContext.broadcast(protoEntries)
+    val bcPinnedProto = spine.sparkSession.sparkContext.broadcast(pinnedProto)
+    val tcodeUdf = udf {
+      (enc: String, tpe: String, data: Array[Byte], filePath: String) =>
+      if (enc == "protobuf")
+        bcPinnedProto.value.get(tpe).orElse(protoRos1FileDefs.get(filePath, tpe))
+          .orElse(bcProto.value.get(tpe)) match {
+          case Some(e) if e eq DivergentProtoRos1Entry =>
+            if (strict) throw new IllegalArgumentException(
+              s"transcode: $filePath defines '$tpe' DIVERGENTLY (several " +
+                "descriptor sets under one name) — rows cannot be " +
+                "attributed to a definition; split the source or pass " +
+                "transcode=auto (with allow_foreign_encoding=true) to " +
+                "embed them as foreign bytes")
+            else null
+          case Some(e) => (e.dstName, codecProtoToRos1(e)(data))
+          case None if strict => throw new IllegalArgumentException(
+            s"transcode: no translatable protobuf descriptor for type " +
+              s"'$tpe' (file $filePath) — fix the source schema or pass " +
+              "transcode=auto (with allow_foreign_encoding=true) to embed " +
+              "untranslatable rows as foreign bytes")
+          case None => null
+        }
+      else bcPinned.value.get(tpe).orElse(ros1FileDefs.get(filePath, tpe))
         .orElse(bc.value.get(tpe)) match {
         case Some(e) if e eq DivergentRos1Entry =>
           if (strict) throw new IllegalArgumentException(
@@ -619,8 +643,9 @@ object Transcode {
         case None => null
       }
     }.asNondeterministic()
-    rewrite(spine, col("encoding") === lit("cdr"),
-      tcodeUdf(col("type"), col("data"), col("file_path")), "ros1")
+    rewrite(spine, col("encoding").isin("cdr", "protobuf"),
+      tcodeUdf(col("encoding"), col("type"), col("data"), col("file_path")),
+      "ros1")
   }
 
   // ---- the THIRD dialect crossing: protobuf → ros2msg / CDR ----
@@ -800,4 +825,101 @@ object Transcode {
 
   private val protoFileDefs =
     new SourceDefs.FileDefCache[ProtoEntry](loadFileProtoDefs)
+
+  // ---- the FOURTH crossing: protobuf → ros1msg (rosbag targets) ----
+
+  /** One translatable protobuf type and its ros1msg rendering — the
+    * matrix's last cell, closed by COMPOSITION: the descriptor lowers
+    * onto the shared bundle frame and renders as ros2msg
+    * ([[translateProto]] — injectivity + value-shape validated), and
+    * that rendering lowers through [[translateToRos1]] (value-shape
+    * validated again), so the proto decode walk and the ros1 encode
+    * walk consume the identical flat value stream by transitivity.
+    * `md5` is the GENUINE genmsg checksum of the ros1 rendering.
+    */
+  final case class ProtoRos1Entry(srcName: String, srcFdsB64: String,
+      dstName: String, dstDef: String, md5: String)
+
+  def translateProtoToRos1(fq: String, fds: Array[Byte]): ProtoRos1Entry = {
+    val mid = translateProto(fq, fds)
+    val r1 = translateToRos1(mid.dstName, "ros2msg", mid.dstDef)
+    ProtoRos1Entry(fq, mid.srcFdsB64, r1.dstName, r1.dstDef, r1.md5)
+  }
+
+  /** [[planProto]] lowered one hop further — failures from EITHER hop
+    * surface under the proto type's name.
+    */
+  def planProtoToRos1(inPath: String)
+      : (Map[String, ProtoRos1Entry], Map[String, String]) = {
+    val (mid, failures) = planProto(inPath)
+    val attempts = mid.toSeq.map { case (n, e) =>
+      n -> (try Right(lowerProtoEntry(e)) catch {
+        case ex: Exception => Left(ex.getMessage)
+      })
+    }
+    (attempts.collect { case (n, Right(e)) => n -> e }.toMap,
+      failures ++ attempts.collect { case (n, Left(m)) => n -> m })
+  }
+
+  private def lowerProtoEntry(e: ProtoEntry): ProtoRos1Entry = {
+    val r1 = translateToRos1(e.dstName, "ros2msg", e.dstDef)
+    ProtoRos1Entry(e.srcName, e.srcFdsB64, r1.dstName, r1.dstDef, r1.md5)
+  }
+
+  /** [[pinnedProtoEntries]] lowered to the ros1 rendering. */
+  def pinnedProtoRos1Entries(path: String): Map[String, ProtoRos1Entry] =
+    pinnedProtoEntries(path).flatMap { case (n, e) =>
+      try Some(n -> lowerProtoEntry(e))
+      catch { case _: Exception => None }
+    }
+
+  /** The translated definitions as the BAG sink's defs-channel
+    * entries, genuine genmsg md5s included.
+    */
+  def inlineProtoRos1Defs(entries: Iterable[ProtoRos1Entry])
+      : Seq[DefsHarvest.TypeDef] =
+    entries.toSeq.sortBy(_.dstName).map(e => DefsHarvest.TypeDef(
+      e.dstName, "ros1msg",
+      e.dstDef.getBytes(java.nio.charset.StandardCharsets.UTF_8), e.md5))
+
+  private val protoRos1Codecs = new java.util.concurrent.ConcurrentHashMap[
+    ProtoRos1Entry, Array[Byte] => Array[Byte]]()
+
+  /** ONE decode hop (proto wire → flat values) and one encode hop
+    * (values → packed ros1) — no intermediate CDR bytes; sound
+    * because both hops' value shapes were validated at translation.
+    */
+  private[ros] def codecProtoToRos1(e: ProtoRos1Entry)
+      : Array[Byte] => Array[Byte] =
+    protoRos1Codecs.computeIfAbsent(e, { entry =>
+      val set = mcap.ProtoDescriptor.parseSet(
+        java.util.Base64.getDecoder.decode(entry.srcFdsB64))
+      val dst = MsgDefParser.parse(entry.dstName, entry.dstDef)
+      bytes => RosSchemaMapper.encode(dst,
+        graft.ros.mcap.ProtoCodec.decode(set, entry.srcName, bytes))
+    })
+
+  private[ros] val DivergentProtoRos1Entry = ProtoRos1Entry("", "", "", "", "")
+
+  private def loadFileProtoRos1Defs(f: String)
+      : Map[String, Option[ProtoRos1Entry]] = {
+    val schemas: Seq[(String, Array[Byte])] = try {
+      if (f.endsWith(".mcap"))
+        mcap.McapIO.scanIndex(f).schemas.values.toSeq
+          .filter(s => s.encoding == "protobuf" && s.data.nonEmpty)
+          .map(s => (s.name, s.data))
+      else Seq.empty
+    } catch { case _: Exception => Seq.empty }
+    schemas.groupBy(_._1).map { case (name, ds) =>
+      val variants = ds.map(d =>
+        java.util.Base64.getEncoder.encodeToString(d._2)).distinct
+      name -> (if (variants.size > 1) Some(DivergentProtoRos1Entry)
+        else try Some(translateProtoToRos1(name, ds.head._2)) catch {
+          case _: Exception => None
+        })
+    }
+  }
+
+  private val protoRos1FileDefs =
+    new SourceDefs.FileDefCache[ProtoRos1Entry](loadFileProtoRos1Defs)
 }

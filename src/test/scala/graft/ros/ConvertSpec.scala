@@ -1512,14 +1512,33 @@ class ConvertSpec extends SparkTestBase {
       "both divergent-descriptor cohorts decode under the pinned rendering")
   }
 
-  test("transcode to rosbag: protobuf rows still refuse (no ros1 rendering exists)") {
-    val ex = intercept[Exception] {
-      Convert.run(spark, protoDir, out("tc_proto_bag"), "rosbag",
-        partitions = 1, options = Map("transcode" -> "auto"))
-    }
-    val all = causeMessages(ex)
-    assert(all.contains("allow_foreign_encoding"),
-      s"expected the foreign-encoding guard on the protobuf rows, got: $all")
+  test("transcode to rosbag: protobuf rows lower through proto→ros2→ros1 (round 16)") {
+    val o = out("tc_proto_bag")
+    Convert.run(spark, protoDir, o, "rosbag",
+      partitions = 1, options = Map("transcode" -> "auto"))
+    // the proto channel landed as a GENUINE ros1 connection: renamed
+    // type, rendered ros1msg definition, genuine genmsg md5
+    val conns = graft.ros.bag.RosbagTables
+      .connections(spark, o + "/*.bag").collect()
+    val pb = conns.filter(_.getAs[String]("datatype") == "graft_test/Ev")
+    assert(pb.nonEmpty, s"expected the renamed proto connection, got " +
+      conns.map(_.getAs[String]("datatype")).toSeq)
+    val defText = pb.head.getAs[String]("msg_def")
+    assert(defText.linesIterator.contains("int64 id"))
+    assert(pb.head.getAs[String]("md5sum") ===
+      graft.ros.RosMd5.compute("graft_test/Ev", defText),
+      "the connection's md5 must be the genuine genmsg checksum")
+    // typed read: field VALUES survived the proto wire → packed ros1
+    val typed = spark.read.format("rosbag").option("bags", o + "/*.bag")
+      .option("datatype", "graft_test/Ev").load()
+      .orderBy("id").collect()
+    assert(typed.map(r => (r.getAs[Long]("id"), r.getAs[String]("tag"))).toSeq
+      === Seq((100L, "p0"), (102L, "p2"), (104L, "p4")))
+    // the cdr channel lowered through the existing ros2→ros1 path in
+    // the SAME convert
+    val typedStr = spark.read.format("rosbag").option("bags", o + "/*.bag")
+      .option("datatype", "std_msgs/String").load().collect()
+    assert(typedStr.length === 3)
   }
 
   test("runStream + transcode: a protobuf file landing MID-STREAM re-encodes and late-binds") {

@@ -469,6 +469,42 @@ class TranscodeSpec extends AnyFunSuite {
     assert(norm(decoded) === norm(values))
   }
 
+  test("protobuf → ros1: the composed lowering renders ros1msg with a genuine md5") {
+    import graft.ros.mcap.{ProtoCodec, ProtoDescriptor}
+    import ProtoDescriptor._
+    val fds = buildFds("graft.test", Seq(
+      "Point" -> Seq(
+        ProtoField("x", 1, repeated = false, TDouble, ""),
+        ProtoField("y", 2, repeated = false, TFloat, "")),
+      "Sample" -> Seq(
+        ProtoField("id", 1, repeated = false, TInt64, ""),
+        ProtoField("name", 2, repeated = false, TString, ""),
+        ProtoField("origin", 3, repeated = false, TMessage, "graft.test.Point"),
+        ProtoField("pts", 4, repeated = true, TMessage, "graft.test.Point"),
+        ProtoField("tags", 5, repeated = true, TString, ""))))
+    val e = Transcode.translateProtoToRos1("graft.test.Sample", fds)
+    assert(e.dstName === "graft_test/Sample",
+      "ros1 two-segment name off the ros2 rendering")
+    val lines = e.dstDef.linesIterator.toSeq
+    assert(lines.contains("int64 id"))
+    assert(lines.contains("graft_test/Point origin"))
+    assert(lines.contains("graft_test/Point[] pts"))
+    assert(lines.contains("MSG: graft_test/Point"))
+    // the md5 is the GENUINE genmsg checksum of the rendered text
+    assert(e.md5 === graft.ros.RosMd5.compute(e.dstName, e.dstDef))
+    // one decode hop + one encode hop: proto wire → packed ros1
+    val set = parseSet(fds)
+    val values = Seq[Any](
+      42L, "n", 1.5, 2.5f,
+      Seq(Row(-1.0, 0.5f), Row(3.0, -4.5f)),
+      Seq("a", "b"))
+    val pb = ProtoCodec.encode(set, "graft.test.Sample", values)
+    val ros1 = Transcode.codecProtoToRos1(e)(pb)
+    val decoded = RosSchemaMapper.decode(
+      MsgDefParser.parse(e.dstName, e.dstDef), ros1)
+    assert(norm(decoded) === norm(values))
+  }
+
   test("property: random proto descriptors + values transcode value-identically") {
     import graft.ros.mcap.{ProtoCodec, ProtoDescriptor}
     import ProtoDescriptor._
