@@ -300,13 +300,33 @@ object ContainerQueries {
     // metadata-aggregate pushdown exactly like q80 (SqlCatalogSpec
     // pins metadataAgg=true through the SQL path); the per-topic
     // even/odd routing sits inside the DuckDB equality.
+    // warc joins the catalog gate (round 16): `USING warc` is pure
+    // SQL-surface — the crawl rows union in under the same output
+    // shape, with doc-id ranges standing in the *_ts_ns columns
     "q85_sql_catalog" -> ((s, d) => {
       val path = fixture(s, d)
+      val crawl = warcFixture(s, d)
       s.sql("DROP TABLE IF EXISTS graft_fleet_sql")
       s.sql(s"CREATE TABLE graft_fleet_sql USING mcap OPTIONS (path '$path')")
-      s.sql("""SELECT topic, count(*) AS cnt,
-              |       min(log_time) AS min_ts_ns, max(log_time) AS max_ts_ns
-              |FROM graft_fleet_sql GROUP BY topic ORDER BY topic""".stripMargin)
+      s.sql("DROP TABLE IF EXISTS graft_crawl_sql")
+      s.sql(s"CREATE TABLE graft_crawl_sql USING warc OPTIONS (path '$crawl')")
+      s.sql("""SELECT topic, cnt, min_ts_ns, max_ts_ns FROM (
+              |  SELECT topic, count(*) AS cnt,
+              |         min(log_time) AS min_ts_ns, max(log_time) AS max_ts_ns
+              |  FROM graft_fleet_sql GROUP BY topic
+              |  UNION ALL
+              |  SELECT concat('/crawl/',
+              |           regexp_extract(target_uri, 'https://([^.]+)[.]', 1))
+              |           AS topic,
+              |         count(*) AS cnt,
+              |         min(cast(regexp_extract(target_uri, '/doc/([0-9]+)$', 1)
+              |           AS BIGINT)) AS min_ts_ns,
+              |         max(cast(regexp_extract(target_uri, '/doc/([0-9]+)$', 1)
+              |           AS BIGINT)) AS max_ts_ns
+              |  FROM graft_crawl_sql
+              |  WHERE warc_type = 'response' AND http_status = 200
+              |  GROUP BY 1
+              |) ORDER BY topic""".stripMargin)
     }),
 
     // Q86 — the EXPORT direction, CHECKED: events → McapExport.prepare
@@ -1071,12 +1091,18 @@ object ContainerQueries {
       """WITH ev AS (
         |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
         |  FROM events ORDER BY event_id LIMIT 1000)
-        |SELECT CASE WHEN event_id % 2 = 0
-        |            THEN '/events_pb' ELSE '/events_ros' END AS topic,
-        |       COUNT(*) AS cnt,
-        |       MIN(epoch_us(ts)) * 1000 AS min_ts_ns,
-        |       MAX(epoch_us(ts)) * 1000 AS max_ts_ns
-        |FROM ev GROUP BY 1 ORDER BY topic""".stripMargin,
+        |SELECT topic, cnt, min_ts_ns, max_ts_ns FROM (
+        |  SELECT CASE WHEN event_id % 2 = 0
+        |              THEN '/events_pb' ELSE '/events_ros' END AS topic,
+        |         COUNT(*) AS cnt,
+        |         MIN(epoch_us(ts)) * 1000 AS min_ts_ns,
+        |         MAX(epoch_us(ts)) * 1000 AS max_ts_ns
+        |  FROM ev GROUP BY 1
+        |  UNION ALL
+        |  SELECT '/crawl/' || source AS topic, COUNT(*) AS cnt,
+        |         MIN(doc_id) AS min_ts_ns, MAX(doc_id) AS max_ts_ns
+        |  FROM documents GROUP BY 1
+        |) ORDER BY topic""".stripMargin,
     "q86_mcap_export" ->
       """WITH ev AS (
         |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)

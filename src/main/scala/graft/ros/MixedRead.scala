@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object MixedRead {
 
+  /** Deliberately NOT dispatched: `.warc`/`.warc.gz` crawl shards.
+    * The mixed spine's columns are robotics message-log semantics
+    * (topic, connection, nanosecond message time, typed decode) — a
+    * web-archive record shares none of them, so forcing crawl shards
+    * onto this spine would surface meaningless nulls instead of the
+    * warc source's own schema. A directory mixing both domains reads
+    * each through its own source (`format("warc")` /
+    * `format("rosbag2")`); in a listing, warc files are skipped like
+    * any other non-container file, and an EXPLICITLY named `.warc`
+    * fails loudly below.
+    */
   private def classify(name: String): Option[String] =
     if (name.endsWith(".bag")) Some("rosbag")
     else if (name.endsWith(".mcap")) Some("mcap")
