@@ -152,6 +152,10 @@ object CdrColumnarRead {
       if (!delim) inner
       else ((buf: ByteBuffer) => scopes.push(openScope(buf))) +:
         inner :+ ((buf: ByteBuffer) => closeScope(buf, scopes.pop()))
+    /** A DHEADER already bounds its object: a fully-PRUNED scoped
+      * subtree jumps to the end in O(1) instead of walking its bytes.
+      */
+    val scopeJump: Op = buf => closeScope(buf, openScope(buf))
     def join(p: String, n: String) = if (p.isEmpty) n else s"${p}_$n"
     msg.fields.filterNot(_.isConstant).flatMap { f =>
       val col = join(prefix, f.name)
@@ -168,9 +172,13 @@ object CdrColumnarRead {
           Seq(colFor(col).map(writeScalar(p, _, maxAlign))
             .getOrElse(skipScalar(p, maxAlign)))
         case ref: RosMsgRef =>
-          structScope(
-            compile(bundle, bundle.resolve(ref, msg.pkg), col, colFor,
-              flavor, scopes))
+          var anyWriter = false
+          val probe: String => Option[WritableColumnVector] = n => {
+            val r = colFor(n); if (r.isDefined) anyWriter = true; r
+          }
+          val inner = compile(bundle, bundle.resolve(ref, msg.pkg), col,
+            probe, flavor, scopes)
+          if (delim && !anyWriter) Seq(scopeJump) else structScope(inner)
         case RosArray(RUInt8 | RByte | RChar | RInt8, fixedLen) =>
           Seq(colFor(col) match {
             case Some(v) => (buf: ByteBuffer) => {
@@ -186,20 +194,12 @@ object CdrColumnarRead {
           // rejects them from the projection); 8 bytes per element
           // after the first element's 4-alignment; xcdr2 wraps the
           // collection (non-primitive elements) and delimited wraps
-          // each element in DHEADERs
-          Seq((buf: ByteBuffer) => {
-            val end = if (x2) openScope(buf) else -1
+          // each element in DHEADERs. Under xcdr2 the collection
+          // DHEADER bounds the whole thing — jump, never walk.
+          if (x2) Seq(scopeJump)
+          else Seq((buf: ByteBuffer) => {
             val n = fixedLen.getOrElse(readLen(buf))
-            if (delim) {
-              var i = 0
-              while (i < n) {
-                val e = openScope(buf)
-                alignTo(buf, 4); skip(buf, 8)
-                closeScope(buf, e)
-                i += 1
-              }
-            } else if (n > 0) { alignTo(buf, 4); skip(buf, 8 * n) }
-            if (x2) closeScope(buf, end)
+            if (n > 0) { alignTo(buf, 4); skip(buf, 8 * n) }
           })
         case RosArray(p: RosPrimitive, fixedLen) =>
           val strElem = p == RString
@@ -225,40 +225,35 @@ object CdrColumnarRead {
                   val n = fixedLen.getOrElse(readLen(buf))
                   if (n > 0) { alignTo(buf, a); skip(buf, w * n) }
                 }
-              } else {
+              } else if (x2 && strElem) scopeJump // DHEADER bounds it
+              else {
                 val elemSkip = skipScalar(p, maxAlign)
                 (buf: ByteBuffer) => {
-                  val end = if (x2 && strElem) openScope(buf) else -1
                   val n = fixedLen.getOrElse(readLen(buf))
                   var i = 0
                   while (i < n) { elemSkip(buf); i += 1 }
-                  if (x2 && strElem) closeScope(buf, end)
                 }
               }
           })
         case RosArray(ref: RosMsgRef, fixedLen) =>
-          // element skip program (no writers inside by construction);
-          // element DHEADERs ride the recursive structScope via a
-          // DEDICATED stack (the loop nests within this op)
-          val elemScopes = new java.util.ArrayDeque[Integer]()
-          val elemOps = (if (delim)
-            ((buf: ByteBuffer) => elemScopes.push(openScope(buf))) +:
-              compile(bundle, bundle.resolve(ref, msg.pkg), col, _ => None,
-                flavor, elemScopes) :+
-              ((buf: ByteBuffer) => closeScope(buf, elemScopes.pop()))
-          else compile(bundle, bundle.resolve(ref, msg.pkg), col, _ => None,
-            flavor, elemScopes)).toArray
-          Seq((buf: ByteBuffer) => {
-            val end = if (x2) openScope(buf) else -1
-            val n = fixedLen.getOrElse(readLen(buf))
-            var i = 0
-            while (i < n) {
-              var j = 0
-              while (j < elemOps.length) { elemOps(j)(buf); j += 1 }
-              i += 1
-            }
-            if (x2) closeScope(buf, end)
-          })
+          // element skip program (no writers inside by construction,
+          // so under xcdr2 the collection DHEADER bounds the whole
+          // array — jump, never walk); xcdr1 walks element skips
+          if (x2) Seq(scopeJump)
+          else {
+            val elemScopes = new java.util.ArrayDeque[Integer]()
+            val elemOps = compile(bundle, bundle.resolve(ref, msg.pkg), col,
+              _ => None, flavor, elemScopes).toArray
+            Seq((buf: ByteBuffer) => {
+              val n = fixedLen.getOrElse(readLen(buf))
+              var i = 0
+              while (i < n) {
+                var j = 0
+                while (j < elemOps.length) { elemOps(j)(buf); j += 1 }
+                i += 1
+              }
+            })
+          }
         case RosArray(_: RosArray, _) =>
           throw new IllegalArgumentException("arrays of arrays are not in the ROS IDL")
       }

@@ -145,8 +145,11 @@ object WarcFormat {
       memberOpen = false
     }
 
+    // reused: readLine consumes header bytes one at a time, and an
+    // allocation per byte would dominate the header parse (the reader
+    // is single-threaded per partition, like the JDK's own field)
+    private val one = new Array[Byte](1)
     override def read(): Int = {
-      val one = new Array[Byte](1)
       val n = read(one, 0, 1)
       if (n < 0) -1 else one(0) & 0xff
     }
