@@ -607,7 +607,160 @@ object ContainerQueries {
           round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
             .as("sum_value"))
         .orderBy(col("topic"))
+    }),
+
+    // Q97 — the full DDS-XTypes encapsulation matrix in ONE file,
+    // CHECKED: each message encodes under the flavor its event_id
+    // selects (XCDR1, PL_CDR mutable, XCDR2 final, XCDR2 delimited,
+    // PL_CDR2 mutable), and the aggregation groups BY that slot — a
+    // flavor decoding wrong (member headers, DHEADERs, origin resets,
+    // 4-vs-8 alignment) breaks exactly its group's sums against
+    // DuckDB. Per-message flavor dispatch is inside the equality too:
+    // one channel, five encapsulation ids.
+    "q97_mutable_cdr" -> ((s, d) => {
+      val path = mutableFixture(s, d)
+      s.read.format("mcap").option("path", path)
+        .option("schema_name", RosName).load()
+        .groupBy(pmod(col("event_id"), lit(5)).as("flavor_slot"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          sum(col("user_id")).as("sum_uid"),
+          round(sum(col("value").cast("decimal(28,10)")), 2).cast("double")
+            .as("sum_value"),
+          sum(length(col("props")).cast("long")).as("props_chars"))
+        .orderBy(col("flavor_slot"))
+    }),
+
+    // Q98 — the crawl CURATION pipeline end-to-end, CHECKED: WARC
+    // shards (with a third "recrawl" shard duplicating every third
+    // document under a ?recrawl=1 uri) → format("warc") ingestion →
+    // html_text extraction → word-count quality gate → EXACT dedup on
+    // the extracted text's md5 → per-source corpus stats. This is the
+    // q94→q95→q24 composition as ONE dataflow: the oracle recomputes
+    // total/unique/char counts straight off `documents` with the same
+    // duplication rule, so ingestion fidelity, extraction inversion,
+    // the quality predicate and the dedup key all sit inside a single
+    // DuckDB equality. The shape is the at-scale one: one shuffle on
+    // the dedup key (md5 groupBy), then a partial-aggregable rollup —
+    // no self-join, no window over the corpus.
+    "q98_crawl_pipeline" -> ((s, d) => {
+      val dir = dupCrawlFixture(s, d)
+      val text = org.apache.spark.sql.graftfns.HtmlText.htmlText(
+        col("payload"), col("http_content_type"))
+      s.read.format("warc").load(dir)
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .withColumn("source",
+          regexp_extract(col("target_uri"), "https://([^.]+)\\.", 1))
+        .withColumn("t", text)
+        .filter(size(split(col("t"), " ")) >= lit(5)) // quality: ≥5 words
+        .groupBy(col("source"), md5(col("t").cast("binary")).as("text_md5"))
+        .agg(count(lit(1)).as("copies"),
+          min(length(col("t")).cast("long")).as("nchars"))
+        .groupBy(col("source")).agg(
+          sum(col("copies")).as("docs_total"),
+          count(lit(1)).as("docs_unique"),
+          sum(col("nchars")).as("uniq_chars"))
+        .orderBy(col("source"))
     }))
+
+  /** q97's fixture: the events slice on one cdr channel, each message
+    * encoded under the encapsulation flavor its event_id selects —
+    * all five DDS-XTypes flavors (XCDR1 0x01, PL_CDR 0x03, XCDR2
+    * final 0x07, XCDR2 delimited 0x09, PL_CDR2 0x0b) interleaved in
+    * one file, as a fleet mid-rmw-upgrade would record them.
+    */
+  private def mutableFixture(s: SparkSession, d: String): String = synchronized {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_mutable_" + cacheKey(d))
+    dir.mkdirs()
+    val f = new java.io.File(dir, "events_mutable.mcap")
+    val done = new java.io.File(dir, "_built")
+    if (!done.exists()) {
+      val rows = events(s, d).orderBy(col("event_id")).limit(1000)
+        .select(col("event_id"), us(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .collect()
+      val rosBundle = Ros2Msg.bundle(RosName, RosDef)
+      import CdrCodec.{Xcdr1, Xcdr1Mutable, Xcdr2Final, Xcdr2Delimited, Xcdr2Mutable}
+      val flavors = Array(Xcdr1, Xcdr1Mutable, Xcdr2Final, Xcdr2Delimited, Xcdr2Mutable)
+      val schemas = Seq(
+        McapFormat.McapSchema(1, RosName, "ros2msg", RosDef.getBytes("UTF-8")))
+      val channels = Seq(McapFormat.McapChannel(1, 1, "/events_ros", "cdr"))
+      val msgs = rows.map { r =>
+        val vals = Seq[Any](r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getString(5))
+        McapFormat.McapMessage(
+          channelId = 1,
+          sequence = r.getLong(0),
+          logTime = r.getLong(1) * 1000L,
+          publishTime = r.getLong(1) * 1000L,
+          data = CdrCodec.encode(rosBundle, vals,
+            flavors(java.lang.Math.floorMod(r.getLong(0), 5L).toInt)))
+      }.toSeq
+      val tmp = new java.io.File(dir, "events_mutable.mcap.tmp")
+      val out = new java.io.FileOutputStream(tmp)
+      try out.write(McapFormat.writeMcap(schemas, channels, msgs, "zstd"))
+      finally out.close()
+      require(tmp.renameTo(f) || f.exists(), s"fixture rename failed: $f")
+      done.createNewFile()
+      ()
+    }
+    f.getAbsolutePath
+  }
+
+  /** q98's fixture: the documents corpus HTML-wrapped into THREE
+    * member-gzipped WARC shards — even ids, odd ids, and a "recrawl"
+    * shard repeating every doc_id%3==0 document under a ?recrawl=1
+    * uri (same body → an exact duplicate after extraction). The wrap
+    * is extraction-invertible (escaped text in one `<p>` amid
+    * script/comment noise), so the pipeline's dedup key md5(html_text)
+    * equals DuckDB's md5 over the collapsed original text.
+    */
+  private def dupCrawlFixture(s: SparkSession, d: String): String =
+    synchronized {
+      val docs = new java.io.File(d, "documents.parquet")
+      val key = md5Key(s"dupcrawlv1:$d:${docs.length}:${docs.lastModified}")
+      publishStaged("graft_dupcrawl_" + key) { stage =>
+        import graft.warc.WarcFormat
+        stage.mkdirs()
+        val rows = documents(s, d)
+          .select(col("doc_id"), col("text"), col("source")).collect()
+        def esc(t: String): String = t
+          .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        def wrap(id: Long, text: String): Array[Byte] =
+          (s"""<html><head><title></title>
+              |<script>if (1 < 2) { x = "</p>"; }</script></head>
+              |<body><!-- recrawl fixture $id --><p>${esc(text)}</p>
+              |</body></html>""").stripMargin.getBytes("UTF-8")
+        def rec(r: org.apache.spark.sql.Row, recrawl: Boolean) = {
+          val id = r.getLong(0)
+          val uri = s"https://${r.getString(2)}.example.com/doc/$id" +
+            (if (recrawl) "?recrawl=1" else "")
+          WarcFormat.WriteRecord("response", uri,
+            WarcFormat.httpResponseBlock(wrap(id, r.getString(1)),
+              "text/html; charset=utf-8"),
+            contentType = "application/http; msgtype=response")
+        }
+        val shards = Seq(
+          rows.filter(_.getLong(0) % 2 == 0).sortBy(_.getLong(0)).toSeq
+            .map(rec(_, recrawl = false)),
+          rows.filter(_.getLong(0) % 2 == 1).sortBy(_.getLong(0)).toSeq
+            .map(rec(_, recrawl = false)),
+          rows.filter(_.getLong(0) % 3 == 0).sortBy(_.getLong(0)).toSeq
+            .map(rec(_, recrawl = true)))
+        shards.zipWithIndex.foreach { case (recs, i) =>
+          java.nio.file.Files.write(
+            new java.io.File(stage, f"crawl-$i%02d.warc.gz").toPath,
+            WarcFormat.writeWarc(
+              WarcFormat.WriteRecord("warcinfo", "",
+                "software: graft-fixture\r\n".getBytes("UTF-8"),
+                contentType = "application/warc-fields") +: recs,
+              gzipPerRecord = true))
+        }
+      }
+    }
 
   /** q94's fixture: every document written as an HTTP-response WARC
     * record (uri `https://<source>.example.com/doc/<doc_id>`, body =
@@ -1219,7 +1372,40 @@ object ContainerQueries {
         |       md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
         |       CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g')))
         |         AS BIGINT) AS nchars
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // each event_id%5 slot is one encapsulation flavor — a wrong
+    // flavor decode breaks exactly its group
+    "q97_mutable_cdr" ->
+      """WITH ev AS (
+        |  SELECT * FROM events ORDER BY event_id LIMIT 1000)
+        |SELECT event_id % 5 AS flavor_slot, COUNT(*) AS cnt,
+        |       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        |       CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
+        |         AS sum_value,
+        |       CAST(SUM(strlen(props)) AS BIGINT) AS props_chars
+        |FROM ev GROUP BY 1 ORDER BY flavor_slot""".stripMargin,
+    // the same duplication rule (doc_id%3==0 recrawled once), the same
+    // collapse, the same ≥5-word gate, the same md5 dedup key —
+    // recomputed straight off `documents`
+    "q98_crawl_pipeline" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
+        |         CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS copies
+        |  FROM documents),
+        |q AS (
+        |  SELECT * FROM t
+        |  WHERE length(t) - length(replace(t, ' ', '')) + 1 >= 5),
+        |u AS (
+        |  SELECT source, md5(t) AS text_md5,
+        |         CAST(SUM(copies) AS BIGINT) AS copies,
+        |         MIN(length(t)) AS nchars
+        |  FROM q GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(copies) AS BIGINT) AS docs_total,
+        |       COUNT(*) AS docs_unique,
+        |       CAST(SUM(nchars) AS BIGINT) AS uniq_chars
+        |FROM u GROUP BY source ORDER BY source""".stripMargin)
 
   // lazy: referenced from the `oracle` map initializer above
   private lazy val DoubledTopicOracle =

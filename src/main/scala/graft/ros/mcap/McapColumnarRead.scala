@@ -32,12 +32,20 @@ import graft.ros.bag.RosbagColumnarRead
   * array-of-struct column falls back to the row reader for the scan.
   */
 object CdrColumnarRead {
-  import CdrCodec.{CdrFlavor, Xcdr1, Xcdr2Final, Xcdr2Delimited}
+  import CdrCodec.{CdrFlavor, Xcdr1, Xcdr2Final, Xcdr2Delimited, Xcdr1Mutable, Xcdr2Mutable}
 
   type Op = ByteBuffer => Unit
 
-  private def alignTo(buf: ByteBuffer, w: Int): Unit = {
-    val rem = (buf.position() - 4) % w
+  /** Alignment origin — 4 (post-encapsulation) except inside a PL_CDR
+    * mutable member value, which resets it to the value's start
+    * (XTypes §7.4.1 PUSH(ORIGIN=0)). One instance shared by all of a
+    * [[CdrPrograms]]'s programs: a partition reader is
+    * single-threaded and [[walkMessage]] re-arms it per message.
+    */
+  final class Origin { var off: Int = 4 }
+
+  private def alignTo(buf: ByteBuffer, w: Int, orig: Origin): Unit = {
+    val rem = (buf.position() - orig.off) % w
     if (rem != 0) buf.position(buf.position() + w - rem)
   }
   private def skip(buf: ByteBuffer, n: Int): Unit =
@@ -46,16 +54,16 @@ object CdrColumnarRead {
   /** Aligned u32 count/length read (array counts, string lengths) —
     * 4-byte alignment is identical in every flavor.
     */
-  private def readLen(buf: ByteBuffer): Int = {
-    alignTo(buf, 4)
+  private def readLen(buf: ByteBuffer, orig: Origin): Int = {
+    alignTo(buf, 4, orig)
     val n = buf.getInt()
     require(n >= 0, s"negative cdr array/string length $n")
     n
   }
 
   /** Open a DHEADER scope: returns the scope's end position. */
-  private def openScope(buf: ByteBuffer): Int = {
-    val dh = readLen(buf)
+  private def openScope(buf: ByteBuffer, orig: Origin): Int = {
+    val dh = readLen(buf, orig)
     buf.position() + dh
   }
 
@@ -79,13 +87,13 @@ object CdrColumnarRead {
   }
 
   /** Skip one scalar (align to min(width, flavor max), then advance). */
-  private def skipScalar(p: RosPrimitive, maxAlign: Int): Op = p match {
-    case RString => buf => skip(buf, readLen(buf))
+  private def skipScalar(p: RosPrimitive, maxAlign: Int, orig: Origin): Op = p match {
+    case RString => buf => skip(buf, readLen(buf, orig))
     case other =>
       val w = scalarWidth(other)
       require(w > 0, s"unexpected scalar $other")
       val a = math.min(w, maxAlign)
-      buf => { alignTo(buf, a); skip(buf, w) }
+      buf => { alignTo(buf, a, orig); skip(buf, w) }
   }
 
   /** Append one scalar into `v` — the same type widenings as
@@ -93,25 +101,25 @@ object CdrColumnarRead {
     * `maxAlign` caps alignment (xcdr2: 8-byte primitives align to 4).
     */
   private def writeScalar(p: RosPrimitive, v: WritableColumnVector,
-      maxAlign: Int): Op = p match {
+      maxAlign: Int, orig: Origin): Op = p match {
     case RBool    => buf => v.appendBoolean(buf.get() != 0)
     case RInt8 | RByte => buf => v.appendInt(buf.get().toInt)
     case RUInt8 | RChar => buf => v.appendInt(java.lang.Byte.toUnsignedInt(buf.get()))
-    case RInt16   => buf => { alignTo(buf, 2); v.appendInt(buf.getShort().toInt) }
-    case RUInt16  => buf => { alignTo(buf, 2)
+    case RInt16   => buf => { alignTo(buf, 2, orig); v.appendInt(buf.getShort().toInt) }
+    case RUInt16  => buf => { alignTo(buf, 2, orig)
       v.appendInt(java.lang.Short.toUnsignedInt(buf.getShort())) }
-    case RInt32   => buf => { alignTo(buf, 4); v.appendInt(buf.getInt()) }
-    case RUInt32  => buf => { alignTo(buf, 4)
+    case RInt32   => buf => { alignTo(buf, 4, orig); v.appendInt(buf.getInt()) }
+    case RUInt32  => buf => { alignTo(buf, 4, orig)
       v.appendLong(java.lang.Integer.toUnsignedLong(buf.getInt())) }
     case RInt64 | RUInt64 =>
       val a = math.min(8, maxAlign)
-      buf => { alignTo(buf, a); v.appendLong(buf.getLong()) }
-    case RFloat32 => buf => { alignTo(buf, 4); v.appendFloat(buf.getFloat()) }
+      buf => { alignTo(buf, a, orig); v.appendLong(buf.getLong()) }
+    case RFloat32 => buf => { alignTo(buf, 4, orig); v.appendFloat(buf.getFloat()) }
     case RFloat64 =>
       val a = math.min(8, maxAlign)
-      buf => { alignTo(buf, a); v.appendDouble(buf.getDouble()) }
+      buf => { alignTo(buf, a, orig); v.appendDouble(buf.getDouble()) }
     case RString  => buf => {
-      val n = readLen(buf) // length INCLUDES the null terminator
+      val n = readLen(buf, orig) // length INCLUDES the null terminator
       val arr = buf.array(); val off = buf.arrayOffset() + buf.position()
       val end = if (n > 0 && arr(off + n - 1) == 0) n - 1 else n
       // parity with the row path (CdrCodec.string goes through
@@ -143,51 +151,65 @@ object CdrColumnarRead {
               colFor: String => Option[WritableColumnVector],
               flavor: CdrFlavor = Xcdr1,
               scopes: java.util.ArrayDeque[Integer] =
-                new java.util.ArrayDeque[Integer]()): Seq[Op] = {
+                new java.util.ArrayDeque[Integer](),
+              origin: Origin = new Origin): Seq[Op] =
+    msg.fields.filterNot(_.isConstant)
+      .flatMap(f => compileField(bundle, msg, f, prefix, colFor, flavor, scopes, origin))
+
+  private def compileField(bundle: RosMsgBundle, msg: RosMsgDef, f: RosField,
+              prefix: String, colFor: String => Option[WritableColumnVector],
+              flavor: CdrFlavor, scopes: java.util.ArrayDeque[Integer],
+              origin: Origin): Seq[Op] = {
     val maxAlign = flavor.maxAlign
     val delim = flavor.delimited
     val x2 = flavor.xcdr2
+    val mut = flavor.mutable
     /** Wrap `inner` in a struct DHEADER scope when delimited. */
     def structScope(inner: Seq[Op]): Seq[Op] =
       if (!delim) inner
-      else ((buf: ByteBuffer) => scopes.push(openScope(buf))) +:
+      else ((buf: ByteBuffer) => scopes.push(openScope(buf, origin))) +:
         inner :+ ((buf: ByteBuffer) => closeScope(buf, scopes.pop()))
     /** A DHEADER already bounds its object: a fully-PRUNED scoped
       * subtree jumps to the end in O(1) instead of walking its bytes.
       */
-    val scopeJump: Op = buf => closeScope(buf, openScope(buf))
+    val scopeJump: Op = buf => closeScope(buf, openScope(buf, origin))
     def join(p: String, n: String) = if (p.isEmpty) n else s"${p}_$n"
-    msg.fields.filterNot(_.isConstant).flatMap { f =>
-      val col = join(prefix, f.name)
-      f.tpe match {
+    val col = join(prefix, f.name)
+    f.tpe match {
         case RTime | RDuration =>
-          structScope(Seq(colFor(s"${col}_sec") match {
-            case Some(v) => (buf: ByteBuffer) => { alignTo(buf, 4); v.appendInt(buf.getInt()) }
-            case None    => (buf: ByteBuffer) => { alignTo(buf, 4); skip(buf, 4) }
+          if (mut) Seq(compileMutable(bundle, CdrCodec.MutableTimeMsg, col,
+            colFor, flavor, origin))
+          else structScope(Seq(colFor(s"${col}_sec") match {
+            case Some(v) => (buf: ByteBuffer) => { alignTo(buf, 4, origin); v.appendInt(buf.getInt()) }
+            case None    => (buf: ByteBuffer) => { alignTo(buf, 4, origin); skip(buf, 4) }
           }, colFor(s"${col}_nsec") match {
             case Some(v) => (buf: ByteBuffer) => v.appendInt(buf.getInt())
             case None    => (buf: ByteBuffer) => skip(buf, 4)
           }))
         case p: RosPrimitive =>
-          Seq(colFor(col).map(writeScalar(p, _, maxAlign))
-            .getOrElse(skipScalar(p, maxAlign)))
+          Seq(colFor(col).map(writeScalar(p, _, maxAlign, origin))
+            .getOrElse(skipScalar(p, maxAlign, origin)))
         case ref: RosMsgRef =>
-          var anyWriter = false
-          val probe: String => Option[WritableColumnVector] = n => {
-            val r = colFor(n); if (r.isDefined) anyWriter = true; r
+          if (mut) Seq(compileMutable(bundle, bundle.resolve(ref, msg.pkg), col,
+            colFor, flavor, origin))
+          else {
+            var anyWriter = false
+            val probe: String => Option[WritableColumnVector] = n => {
+              val r = colFor(n); if (r.isDefined) anyWriter = true; r
+            }
+            val inner = compile(bundle, bundle.resolve(ref, msg.pkg), col,
+              probe, flavor, scopes, origin)
+            if (delim && !anyWriter) Seq(scopeJump) else structScope(inner)
           }
-          val inner = compile(bundle, bundle.resolve(ref, msg.pkg), col,
-            probe, flavor, scopes)
-          if (delim && !anyWriter) Seq(scopeJump) else structScope(inner)
         case RosArray(RUInt8 | RByte | RChar | RInt8, fixedLen) =>
           Seq(colFor(col) match {
             case Some(v) => (buf: ByteBuffer) => {
-              val n = fixedLen.getOrElse(readLen(buf))
+              val n = fixedLen.getOrElse(readLen(buf, origin))
               v.appendByteArray(buf.array(), buf.arrayOffset() + buf.position(), n)
               skip(buf, n)
             }
             case None => (buf: ByteBuffer) =>
-              skip(buf, fixedLen.getOrElse(readLen(buf)))
+              skip(buf, fixedLen.getOrElse(readLen(buf, origin)))
           })
         case RosArray(RTime | RDuration, fixedLen) =>
           // array-of-struct columns are never writers (supportsColumnar
@@ -195,20 +217,22 @@ object CdrColumnarRead {
           // after the first element's 4-alignment; xcdr2 wraps the
           // collection (non-primitive elements) and delimited wraps
           // each element in DHEADERs. Under xcdr2 the collection
-          // DHEADER bounds the whole thing — jump, never walk.
-          if (x2) Seq(scopeJump)
+          // DHEADER bounds the whole thing — jump, never walk. In the
+          // mutable flavors the MEMBER header bounds it: never reached.
+          if (mut) Seq.empty
+          else if (x2) Seq(scopeJump)
           else Seq((buf: ByteBuffer) => {
-            val n = fixedLen.getOrElse(readLen(buf))
-            if (n > 0) { alignTo(buf, 4); skip(buf, 8 * n) }
+            val n = fixedLen.getOrElse(readLen(buf, origin))
+            if (n > 0) { alignTo(buf, 4, origin); skip(buf, 8 * n) }
           })
         case RosArray(p: RosPrimitive, fixedLen) =>
           val strElem = p == RString
           Seq(colFor(col) match {
             case Some(v) =>
-              val elemWriter = writeScalar(p, v.arrayData(), maxAlign)
+              val elemWriter = writeScalar(p, v.arrayData(), maxAlign, origin)
               (buf: ByteBuffer) => {
-                val end = if (x2 && strElem) openScope(buf) else -1
-                val n = fixedLen.getOrElse(readLen(buf))
+                val end = if (x2 && strElem) openScope(buf, origin) else -1
+                val n = fixedLen.getOrElse(readLen(buf, origin))
                 // appendArray FIRST: it records the child's current
                 // elementsAppended as this row's offset (see the
                 // rosbag columnar reader's comment)
@@ -222,14 +246,14 @@ object CdrColumnarRead {
               if (w > 0) {
                 val a = math.min(w, maxAlign)
                 (buf: ByteBuffer) => {
-                  val n = fixedLen.getOrElse(readLen(buf))
-                  if (n > 0) { alignTo(buf, a); skip(buf, w * n) }
+                  val n = fixedLen.getOrElse(readLen(buf, origin))
+                  if (n > 0) { alignTo(buf, a, origin); skip(buf, w * n) }
                 }
               } else if (x2 && strElem) scopeJump // DHEADER bounds it
               else {
-                val elemSkip = skipScalar(p, maxAlign)
+                val elemSkip = skipScalar(p, maxAlign, origin)
                 (buf: ByteBuffer) => {
-                  val n = fixedLen.getOrElse(readLen(buf))
+                  val n = fixedLen.getOrElse(readLen(buf, origin))
                   var i = 0
                   while (i < n) { elemSkip(buf); i += 1 }
                 }
@@ -238,14 +262,16 @@ object CdrColumnarRead {
         case RosArray(ref: RosMsgRef, fixedLen) =>
           // element skip program (no writers inside by construction,
           // so under xcdr2 the collection DHEADER bounds the whole
-          // array — jump, never walk); xcdr1 walks element skips
-          if (x2) Seq(scopeJump)
+          // array — jump, never walk); xcdr1 walks element skips; the
+          // mutable member header bounds it before this op could run
+          if (mut) Seq.empty
+          else if (x2) Seq(scopeJump)
           else {
             val elemScopes = new java.util.ArrayDeque[Integer]()
             val elemOps = compile(bundle, bundle.resolve(ref, msg.pkg), col,
-              _ => None, flavor, elemScopes).toArray
+              _ => None, flavor, elemScopes, origin).toArray
             Seq((buf: ByteBuffer) => {
-              val n = fixedLen.getOrElse(readLen(buf))
+              val n = fixedLen.getOrElse(readLen(buf, origin))
               var i = 0
               while (i < n) {
                 var j = 0
@@ -256,37 +282,209 @@ object CdrColumnarRead {
           }
         case RosArray(_: RosArray, _) =>
           throw new IllegalArgumentException("arrays of arrays are not in the ROS IDL")
+    }
+  }
+
+  /** One Op decoding a MUTABLE struct value (PL_CDR / PL_CDR2) —
+    * mirrors [[CdrCodec.decodeMutable]]: member-id headers dispatch
+    * into per-field sub-programs in ANY wire order (each column vector
+    * tracks its own append cursor, so cross-column write order within
+    * a row is free); pruned and unknown members skip in O(1) by their
+    * declared length; members absent from the wire append their
+    * default values after the walk.
+    */
+  private def compileMutable(bundle: RosMsgBundle, msg: RosMsgDef,
+      prefix: String, colFor: String => Option[WritableColumnVector],
+      flavor: CdrFlavor, origin: Origin): Op = {
+    val fields = msg.fields.filterNot(_.isConstant).toArray
+    val fieldOps: Array[Array[Op]] = fields.map { f =>
+      var anyWriter = false
+      val probe: String => Option[WritableColumnVector] = n => {
+        val r = colFor(n); if (r.isDefined) anyWriter = true; r
+      }
+      val ops = compileField(bundle, msg, f, prefix, probe, flavor,
+        new java.util.ArrayDeque[Integer](), origin)
+      if (anyWriter) ops.toArray else null
+    }
+    val defaultOps: Array[Array[Op]] = fields.indices.map { i =>
+      if (fieldOps(i) == null) Array.empty[Op]
+      else compileDefault(bundle, msg, fields(i), prefix, colFor).toArray
+    }.toArray
+    // per-message presence — the reader is single-threaded, one walk
+    // at a time per program, so one array per compiled struct is safe
+    // (members of an ARRAY of mutable structs run sequentially too)
+    val seen = new Array[Boolean](fields.length)
+    val xcdr2 = flavor.xcdr2
+
+    buf => {
+      java.util.Arrays.fill(seen, false)
+      def runMember(id: Int, must: Boolean, len: Int): Unit = {
+        require(len >= 0,
+          s"negative mutable member length $len (id $id) in ${msg.fullName}")
+        val end = buf.position() + len
+        if (id >= 0 && id < fields.length) {
+          require(!seen(id), s"duplicate mutable member id $id in ${msg.fullName}")
+          seen(id) = true
+          val ops = fieldOps(id)
+          if (ops != null) {
+            var j = 0
+            while (j < ops.length) { ops(j)(buf); j += 1 }
+            closeScope(buf, end) // tolerate member padding; overrun is corruption
+          } else buf.position(end) // pruned column: O(1) skip
+        } else if (must) throw new IllegalArgumentException(
+          s"unknown must-understand mutable member id $id in ${msg.fullName}")
+        else buf.position(end) // unknown member: skip by declared length
+      }
+      if (xcdr2) {
+        // PL_CDR2: DHEADER scope, then EMHEADER-framed members
+        val end = openScope(buf, origin)
+        while (buf.position() < end) {
+          alignTo(buf, 4, origin)
+          val em = buf.getInt()
+          val must = (em & 0x80000000) != 0
+          val lc = (em >>> 28) & 0x7
+          val id = em & 0x0FFFFFFF
+          val len = lc match {
+            case 0 => 1
+            case 1 => 2
+            case 2 => 4
+            case 3 => 8
+            case 4 => readLen(buf, origin)
+            case other =>
+              alignTo(buf, 4, origin)
+              val count = buf.getInt(buf.position()) // NEXTINT reused: peek
+              require(count >= 0, s"negative mutable member count $count (id $id)")
+              4 + count * (if (other == 5) 1 else if (other == 6) 2 else 8)
+          }
+          require(buf.position() + len <= end,
+            s"mutable member id $id (len $len) overruns its struct DHEADER in ${msg.fullName}")
+          runMember(id, must, len)
+        }
+        require(buf.position() == end,
+          s"mutable member walk overran its DHEADER scope in ${msg.fullName}")
+      } else {
+        // PL_CDR: sentinel-terminated parameter list; each member
+        // value gets a fresh alignment origin
+        var done = false
+        while (!done) {
+          alignTo(buf, 4, origin)
+          val pid = buf.getShort() & 0xFFFF
+          val plen = buf.getShort() & 0xFFFF
+          val idPart = pid & 0x3FFF
+          val must = (pid & CdrCodec.PidFlagMustUnderstand) != 0
+          if (idPart == CdrCodec.PidSentinel) done = true
+          else {
+            val (id, len) =
+              if (idPart == CdrCodec.PidExtended) {
+                require(plen == 8,
+                  s"PID_EXTENDED header length $plen != 8 in ${msg.fullName}")
+                (buf.getInt(), buf.getInt())
+              } else (idPart, plen)
+            val saved = origin.off
+            origin.off = buf.position()
+            try runMember(id, must, len)
+            finally origin.off = saved
+          }
+        }
+      }
+      var i = 0
+      while (i < fields.length) {
+        if (!seen(i) && fieldOps(i) != null) {
+          val d = defaultOps(i)
+          var j = 0
+          while (j < d.length) { d(j)(buf); j += 1 }
+        }
+        i += 1
       }
     }
   }
 
-  /** The three per-flavor op programs over one (bundle, colFor) pair,
-    * compiled lazily — a fleet that never ships xcdr2 never pays for
-    * its programs. One instance per partition reader (the column
-    * vectors and scope stacks are not shareable across threads).
+  /** Default-value append ops for a mutable member ABSENT from the
+    * wire — zero/""/empty into exactly the field's projected columns,
+    * value-identical with [[CdrCodec]]'s defaultFlat.
+    */
+  private def compileDefault(bundle: RosMsgBundle, msg: RosMsgDef, f: RosField,
+      prefix: String, colFor: String => Option[WritableColumnVector]): Seq[Op] = {
+    def join(p: String, n: String) = if (p.isEmpty) n else s"${p}_$n"
+    val col = join(prefix, f.name)
+    def scalarDefault(p: RosPrimitive, v: WritableColumnVector): Op = p match {
+      case RBool => _ => v.appendBoolean(false)
+      case RUInt32 | RInt64 | RUInt64 => _ => v.appendLong(0L)
+      case RFloat32 => _ => v.appendFloat(0f)
+      case RFloat64 => _ => v.appendDouble(0d)
+      case RString => _ => v.appendByteArray(Array.emptyByteArray, 0, 0)
+      case RTime | RDuration =>
+        throw new IllegalStateException("time handled by caller (two columns)")
+      case _ => _ => v.appendInt(0)
+    }
+    f.tpe match {
+      case RTime | RDuration =>
+        Seq(s"${col}_sec", s"${col}_nsec").flatMap(n =>
+          colFor(n).map(v => ((_: ByteBuffer) => v.appendInt(0)): Op))
+      case p: RosPrimitive => colFor(col).map(scalarDefault(p, _)).toSeq
+      case ref: RosMsgRef =>
+        val sub = bundle.resolve(ref, msg.pkg)
+        sub.fields.filterNot(_.isConstant)
+          .flatMap(sf => compileDefault(bundle, sub, sf, col, colFor))
+      case RosArray(RUInt8 | RByte | RChar | RInt8, fixedLen) =>
+        colFor(col).map { v =>
+          val n = fixedLen.getOrElse(0)
+          val zeros = new Array[Byte](n)
+          ((_: ByteBuffer) => v.appendByteArray(zeros, 0, n)): Op
+        }.toSeq
+      case RosArray(p: RosPrimitive, fixedLen) =>
+        colFor(col).map { v =>
+          val n = fixedLen.getOrElse(0)
+          val elemDefault = scalarDefault(p, v.arrayData())
+          ((buf: ByteBuffer) => {
+            v.appendArray(n)
+            var i = 0
+            while (i < n) { elemDefault(buf); i += 1 }
+          }): Op
+        }.toSeq
+      case _ => Seq.empty // array-of-struct/time columns are never writers
+    }
+  }
+
+  /** The per-flavor op programs over one (bundle, colFor) pair,
+    * compiled lazily — a fleet that never ships xcdr2 or mutable
+    * payloads never pays for their programs. One instance per
+    * partition reader (the column vectors, scope stacks and the
+    * alignment origin are not shareable across threads).
     */
   final class CdrPrograms(bundle: RosMsgBundle,
       colFor: String => Option[WritableColumnVector]) {
+    private[mcap] val origin = new Origin
     private lazy val xcdr1: Array[Op] =
-      compile(bundle, bundle.root, "", colFor, Xcdr1).toArray
+      compile(bundle, bundle.root, "", colFor, Xcdr1,
+        new java.util.ArrayDeque[Integer](), origin).toArray
     private lazy val xcdr2Final: Array[Op] =
-      compile(bundle, bundle.root, "", colFor, Xcdr2Final).toArray
+      compile(bundle, bundle.root, "", colFor, Xcdr2Final,
+        new java.util.ArrayDeque[Integer](), origin).toArray
     private lazy val xcdr2Delim: Array[Op] =
-      compile(bundle, bundle.root, "", colFor, Xcdr2Delimited).toArray
+      compile(bundle, bundle.root, "", colFor, Xcdr2Delimited,
+        new java.util.ArrayDeque[Integer](), origin).toArray
+    private lazy val plCdr: Array[Op] =
+      Array(compileMutable(bundle, bundle.root, "", colFor, Xcdr1Mutable, origin))
+    private lazy val plCdr2: Array[Op] =
+      Array(compileMutable(bundle, bundle.root, "", colFor, Xcdr2Mutable, origin))
     def forFlavor(flavor: CdrFlavor): Array[Op] = flavor match {
       case Xcdr1 => xcdr1
       case Xcdr2Final => xcdr2Final
       case Xcdr2Delimited => xcdr2Delim
+      case Xcdr1Mutable => plCdr
+      case Xcdr2Mutable => plCdr2
     }
   }
 
   /** Run the flavor-matched op program over ONE CDR message: the
     * 4-byte encapsulation header selects endianness AND serialization
     * flavor per message, the walk starts at the post-header origin,
-    * a delimited payload's top-level DHEADER scope wraps the walk,
-    * and full consumption is verified (up to 3 bytes of
-    * final-alignment padding tolerated — [[CdrCodec.decode]]'s rule).
-    * Shared by the mcap and db3 columnar readers.
+    * a delimited payload's top-level DHEADER scope wraps the walk
+    * (the mutable programs frame their own scopes), and full
+    * consumption is verified (up to 3 bytes of final-alignment
+    * padding tolerated — [[CdrCodec.decode]]'s rule). Shared by the
+    * mcap and db3 columnar readers.
     */
   def walkMessage(progs: CdrPrograms, data: Array[Byte]): Unit = {
     require(data.length >= 4, "cdr payload shorter than its encapsulation header")
@@ -294,8 +492,9 @@ object CdrColumnarRead {
     val buf = ByteBuffer.wrap(data)
     buf.order(if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     buf.position(4)
+    progs.origin.off = 4 // re-arm after any mid-walk failure
     val ops = progs.forFlavor(flavor)
-    val end = if (flavor.delimited) openScope(buf) else -1
+    val end = if (flavor.delimited) openScope(buf, progs.origin) else -1
     var j = 0
     while (j < ops.length) { ops(j)(buf); j += 1 }
     if (flavor.delimited) closeScope(buf, end)

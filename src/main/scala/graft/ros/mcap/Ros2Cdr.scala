@@ -133,18 +133,46 @@ object Ros2Msg {
   * On decode a DHEADER is also honored as appendable forward-compat:
   * members past what our schema knows are SKIPPED to the header's
   * end (a newer writer appended fields); a decode OVERRUNNING its
-  * scope is corruption and fails loudly. PL_CDR (0x02/0x03) and
-  * PL_CDR2 (0x0a/0x0b) mutable parameter-list payloads refuse with a
-  * named error: member-id headers are out of this engine's scope.
+  * scope is corruption and fails loudly.
+  *
+  * The MUTABLE encapsulations carry a per-member id header on every
+  * struct member (top-level and nested, including Time/Duration),
+  * which makes members reorderable, omittable and extensible:
+  *  - PL_CDR (0x02/0x03, XCDR1 mutable): each member is a 4-aligned
+  *    RTPS-style parameter `{u16 pid, u16 length}` whose value gets a
+  *    FRESH alignment origin (XTypes 1.3 §7.4.1's PUSH(ORIGIN=0) for
+  *    mutable xcdr1 members); ids ≥ 0x3F00 or lengths > 0xFFFF use
+  *    the extended header (PID_EXTENDED 0x3F01, length 8, then
+  *    u32 id + u32 length); the list ends at PID_SENTINEL 0x3F02.
+  *    Flag 0x4000 is must-understand; 0x8000 (impl-extension) is
+  *    ignored. Member values are padded to a 4-byte multiple with the
+  *    padding INCLUDED in the declared length (the RTPS convention);
+  *    exact lengths also decode (the next header re-aligns).
+  *  - PL_CDR2 (0x0a/0x0b, XCDR2 mutable): the struct value is a
+  *    DHEADER followed by EMHEADER-framed members — a 4-aligned u32
+  *    `(M<<31)|(LC<<28)|id`; LC 0–3 declare value lengths 1/2/4/8,
+  *    LC 4 takes the length from a following NEXTINT u32, and LC
+  *    5/6/7 REUSE the member's own leading u32 as an element count
+  *    (length = 4 + count×{1,2,8}).
+  * Decode semantics for both: member ids are the field ordinals in
+  * definition order (the DDS default AUTOID sequential assignment
+  * from 0) per struct; unknown ids skip by their declared length
+  * (must-understand unknowns fail loudly); duplicate known ids fail;
+  * members ABSENT from the wire take the type's default values
+  * (XTypes member-default rule: zero/""/empty).
   */
 object CdrCodec {
   import org.apache.spark.sql.Row
 
   /** Serialization flavor selected by the encapsulation id: maximum
-    * alignment, struct delimiting, and the id the encoder stamps.
+    * alignment, struct delimiting, member-id headers, and the id the
+    * encoder stamps. The mutable flavors keep `delimited = false`
+    * because the mutable struct machinery frames its OWN scope
+    * (DHEADER + EMHEADERs for xcdr2, sentinel-terminated parameter
+    * list for xcdr1) — the generic inScope wrappers stay no-ops.
     */
   sealed abstract class CdrFlavor(val maxAlign: Int, val delimited: Boolean,
-      val repLe: Int) {
+      val repLe: Int, val mutable: Boolean = false) {
     /** xcdr2 collection rule: non-primitive-element collections carry
       * a DHEADER in both final and delimited flavors. */
     def xcdr2: Boolean = maxAlign == 4
@@ -152,23 +180,34 @@ object CdrCodec {
   case object Xcdr1 extends CdrFlavor(8, false, 0x01)
   case object Xcdr2Final extends CdrFlavor(4, false, 0x07)
   case object Xcdr2Delimited extends CdrFlavor(4, true, 0x09)
+  case object Xcdr1Mutable extends CdrFlavor(8, false, 0x03, mutable = true)
+  case object Xcdr2Mutable extends CdrFlavor(4, false, 0x0b, mutable = true)
+
+  private[mcap] val PidExtended = 0x3F01
+  private[mcap] val PidSentinel = 0x3F02
+  private[mcap] val PidFlagMustUnderstand = 0x4000
+
+  /** Time/Duration as a struct for the mutable flavors: two members,
+    * id 0 = sec, id 1 = nsec — the same two flattened i32 values the
+    * other flavors emit.
+    */
+  private[mcap] val MutableTimeMsg = RosMsgDef("builtin_interfaces/Time",
+    Seq(RosField("sec", RInt32, None), RosField("nsec", RInt32, None)))
 
   /** (flavor, littleEndian) for a representation id; loud refusal for
-    * the parameter-list flavors and anything unknown.
+    * anything unknown.
     */
   def flavorOf(rep: Int): (CdrFlavor, Boolean) = rep match {
     case 0x00 => (Xcdr1, false)
     case 0x01 => (Xcdr1, true)
+    case 0x02 => (Xcdr1Mutable, false)
+    case 0x03 => (Xcdr1Mutable, true)
     case 0x06 => (Xcdr2Final, false)
     case 0x07 => (Xcdr2Final, true)
     case 0x08 => (Xcdr2Delimited, false)
     case 0x09 => (Xcdr2Delimited, true)
-    case 0x02 | 0x03 => throw new IllegalArgumentException(
-      f"unsupported cdr representation id 0x$rep%02x: PL_CDR (xcdr1 " +
-        "mutable, parameter-list) payloads are not supported")
-    case 0x0a | 0x0b => throw new IllegalArgumentException(
-      f"unsupported cdr representation id 0x$rep%02x: PL_CDR2 (xcdr2 " +
-        "mutable, member-header) payloads are not supported")
+    case 0x0a => (Xcdr2Mutable, false)
+    case 0x0b => (Xcdr2Mutable, true)
     case other => throw new IllegalArgumentException(
       f"unsupported cdr representation id 0x$other%02x")
   }
@@ -178,12 +217,24 @@ object CdrCodec {
     // {0x00, representation, options u16}
     val (flavor, le) = flavorOf(bytes(1) & 0xFF)
     private var pos = 4
+    /** Alignment origin — 4 (post-encapsulation) except inside a
+      * PL_CDR mutable member value, which resets it to the value's
+      * start (XTypes §7.4.1 PUSH(ORIGIN=0)).
+      */
+    private var orig = 4
+    def origin: Int = orig
+    def setOrigin(o: Int): Unit = orig = o
     def align(n: Int): Unit = {
       val w = math.min(n, flavor.maxAlign)
-      val rem = (pos - 4) % w
+      val rem = (pos - orig) % w
       if (rem != 0) pos += w - rem
     }
     def position: Int = pos
+    def seek(p: Int): Unit = pos = p
+    /** Aligned u32 read that does NOT consume — EMHEADER LC 5/6/7
+      * reuse the member's own leading count as its length.
+      */
+    def peekU32(): Long = { align(4); val p = pos; val v = u32(); pos = p; v }
     /** End of a DHEADER scope: appendable forward-compat skips ahead
       * to unknown trailing members; an overrun is corruption.
       */
@@ -256,12 +307,20 @@ object CdrCodec {
 
   private def decodeMsg(bundle: RosMsgBundle, msg: RosMsgDef, r: Reader,
                         out: scala.collection.mutable.ArrayBuffer[Any]): Unit =
-    msg.fields.filterNot(_.isConstant).foreach { f =>
+    if (r.flavor.mutable) decodeMutable(bundle, msg, r, out)
+    else msg.fields.filterNot(_.isConstant)
+      .foreach(f => decodeField(bundle, msg, f, r, out))
+
+  private def decodeField(bundle: RosMsgBundle, msg: RosMsgDef, f: RosField,
+                          r: Reader,
+                          out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
       val delim = r.flavor.delimited
       val x2 = r.flavor.xcdr2
+      val mut = r.flavor.mutable
       f.tpe match {
         case RTime | RDuration =>
-          inScope(r, delim) { out += r.i32(); out += r.i32() }
+          if (mut) decodeMutable(bundle, MutableTimeMsg, r, out)
+          else inScope(r, delim) { out += r.i32(); out += r.i32() }
         case p: RosPrimitive => out += scalar(p, r)
         case ref: RosMsgRef => inScope(r, delim) {
           decodeMsg(bundle, bundle.resolve(ref, msg.pkg), r, out)
@@ -272,7 +331,13 @@ object CdrCodec {
         case RosArray(RTime | RDuration, fixedLen) =>
           out += inScope(r, x2) {
             val n = fixedLen.getOrElse(r.u32().toInt)
-            Seq.fill(n)(inScope(r, delim)(Row(r.i32(), r.i32())))
+            Seq.fill(n) {
+              if (mut) {
+                val vals = scala.collection.mutable.ArrayBuffer[Any]()
+                decodeMutable(bundle, MutableTimeMsg, r, vals)
+                Row.fromSeq(vals.toSeq)
+              } else inScope(r, delim)(Row(r.i32(), r.i32()))
+            }
           }
         case RosArray(RString, fixedLen) =>
           out += inScope(r, x2) {
@@ -298,6 +363,117 @@ object CdrCodec {
           throw new IllegalArgumentException("arrays of arrays are not in the ROS IDL")
       }
     }
+
+  /** Decode one MUTABLE struct value (both PL flavors): member-id
+    * headers dispatch to the schema's fields in ANY wire order; the
+    * flattened values are emitted in SCHEMA order afterwards, with
+    * absent members taking their defaults.
+    */
+  private def decodeMutable(bundle: RosMsgBundle, msg: RosMsgDef, r: Reader,
+                            out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+    val fields = msg.fields.filterNot(_.isConstant).toIndexedSeq
+    val slots = new Array[Seq[Any]](fields.length)
+    def member(id: Int, must: Boolean, len: Int): Unit = {
+      require(len >= 0, s"negative mutable member length $len (id $id) in ${msg.fullName}")
+      val end = r.position + len
+      if (id >= 0 && id < fields.length) {
+        require(slots(id) == null,
+          s"duplicate mutable member id $id in ${msg.fullName}")
+        val vals = scala.collection.mutable.ArrayBuffer[Any]()
+        decodeField(bundle, msg, fields(id), r, vals)
+        slots(id) = vals.toSeq
+        r.closeScope(end) // tolerate member padding; overrun is corruption
+      } else if (must) throw new IllegalArgumentException(
+        s"unknown must-understand mutable member id $id in ${msg.fullName}")
+      else r.seek(end) // unknown member: skip by its declared length
+    }
+    if (r.flavor.xcdr2) {
+      // PL_CDR2: DHEADER scope, then EMHEADER-framed members
+      val dh = r.u32().toInt
+      require(dh >= 0, s"negative cdr DHEADER $dh")
+      val end = r.position + dh
+      while (r.position < end) {
+        val em = r.u32()
+        val must = (em & 0x80000000L) != 0
+        val lc = ((em >>> 28) & 0x7L).toInt
+        val id = (em & 0x0FFFFFFFL).toInt
+        val len = lc match {
+          case 0 => 1
+          case 1 => 2
+          case 2 => 4
+          case 3 => 8
+          case 4 => r.u32().toInt
+          case 5 => 4 + r.peekU32().toInt
+          case 6 => 4 + r.peekU32().toInt * 2
+          case 7 => 4 + r.peekU32().toInt * 8
+        }
+        require(r.position + len <= end,
+          s"mutable member id $id (len $len) overruns its struct DHEADER in ${msg.fullName}")
+        member(id, must, len)
+      }
+      require(r.position == end,
+        s"mutable member walk overran its DHEADER scope in ${msg.fullName}")
+    } else {
+      // PL_CDR: sentinel-terminated parameter list; each member value
+      // gets a fresh alignment origin
+      var done = false
+      while (!done) {
+        r.align(4)
+        val pid = r.u16()
+        val plen = r.u16()
+        val idPart = pid & 0x3FFF
+        val must = (pid & PidFlagMustUnderstand) != 0
+        if (idPart == PidSentinel) done = true
+        else {
+          val (id, len) =
+            if (idPart == PidExtended) {
+              require(plen == 8,
+                s"PID_EXTENDED header length $plen != 8 in ${msg.fullName}")
+              (r.u32().toInt, r.u32().toInt)
+            } else (idPart, plen)
+          val savedOrigin = r.origin
+          r.setOrigin(r.position)
+          try member(id, must, len)
+          finally r.setOrigin(savedOrigin)
+        }
+      }
+    }
+    fields.indices.foreach { i =>
+      out ++= (if (slots(i) != null) slots(i)
+               else defaultFlat(bundle, msg, fields(i).tpe))
+    }
+  }
+
+  /** Flattened default values for a member ABSENT from a mutable
+    * struct's wire form — zero/""/empty, box-for-box identical with
+    * what [[decodeField]] emits (Int for narrow ints, Long for
+    * uint32/64, two Ints for Time).
+    */
+  private def defaultFlat(bundle: RosMsgBundle, msg: RosMsgDef,
+                          tpe: RosType): Seq[Any] = tpe match {
+    case RTime | RDuration => Seq(0, 0)
+    case RBool => Seq(false)
+    case RUInt32 | RInt64 | RUInt64 => Seq(0L)
+    case RFloat32 => Seq(0.0f)
+    case RFloat64 => Seq(0.0)
+    case RString => Seq("")
+    case _: RosPrimitive => Seq(0)
+    case ref: RosMsgRef =>
+      val sub = bundle.resolve(ref, msg.pkg)
+      sub.fields.filterNot(_.isConstant).flatMap(f => defaultFlat(bundle, sub, f.tpe))
+    case RosArray(RUInt8 | RByte | RChar | RInt8, fixedLen) =>
+      Seq(new Array[Byte](fixedLen.getOrElse(0)))
+    case RosArray(elem, fixedLen) =>
+      val n = fixedLen.getOrElse(0)
+      val one: Any = elem match {
+        case RTime | RDuration => Row(0, 0)
+        case p: RosPrimitive => defaultFlat(bundle, msg, p).head
+        case ref: RosMsgRef => Row.fromSeq(defaultFlat(bundle, msg, ref))
+        case _: RosArray =>
+          throw new IllegalArgumentException("arrays of arrays are not in the ROS IDL")
+      }
+      Seq(Seq.fill(n)(one))
+  }
 
   private def scalar(p: RosPrimitive, r: Reader): Any = p match {
     case RBool => r.u8() != 0
@@ -367,12 +543,21 @@ object CdrCodec {
 
   private def encodeMsg(bundle: RosMsgBundle, msg: RosMsgDef, it: Iterator[Any],
                         w: Writer, flavor: CdrFlavor): Unit =
-    msg.fields.filterNot(_.isConstant).foreach { f =>
+    if (flavor.mutable) encodeMutable(bundle, msg, it, w, flavor)
+    else msg.fields.filterNot(_.isConstant)
+      .foreach(f => encodeField(bundle, msg, f, it, w, flavor))
+
+  private def encodeField(bundle: RosMsgBundle, msg: RosMsgDef, f: RosField,
+                          it: Iterator[Any], w: Writer, flavor: CdrFlavor): Unit =
       f.tpe match {
         case RTime | RDuration =>
-          val sec = it.next().asInstanceOf[Int].toLong
-          val nsec = it.next().asInstanceOf[Int].toLong
-          w.scope(flavor.delimited) { sw => sw.u32(sec); sw.u32(nsec) }
+          if (flavor.mutable)
+            encodeMutable(bundle, MutableTimeMsg, it, w, flavor)
+          else {
+            val sec = it.next().asInstanceOf[Int].toLong
+            val nsec = it.next().asInstanceOf[Int].toLong
+            w.scope(flavor.delimited) { sw => sw.u32(sec); sw.u32(nsec) }
+          }
         case p: RosPrimitive => encScalar(p, it.next(), w)
         case ref: RosMsgRef => w.scope(flavor.delimited)(
           encodeMsg(bundle, bundle.resolve(ref, msg.pkg), it, _, flavor))
@@ -398,7 +583,10 @@ object CdrCodec {
             elem match {
               case RTime | RDuration => xs.foreach { x =>
                 val row = x.asInstanceOf[Row]
-                cw.scope(flavor.delimited) { sw =>
+                if (flavor.mutable)
+                  encodeMutable(bundle, MutableTimeMsg,
+                    Iterator(row.getInt(0), row.getInt(1)), cw, flavor)
+                else cw.scope(flavor.delimited) { sw =>
                   sw.u32(row.getInt(0).toLong); sw.u32(row.getInt(1).toLong)
                 }
               }
@@ -412,7 +600,57 @@ object CdrCodec {
             }
           }
       }
+
+  /** Encode one MUTABLE struct value: per-member id headers in schema
+    * order (M flag clear — every member here is schema-known). PL_CDR2
+    * picks the tightest length code (LC 0–3 by byte length, LC 5 when
+    * the member's own leading u32 is its byte count, LC 4 + NEXTINT
+    * otherwise); PL_CDR pads each value to a 4-byte multiple with the
+    * padding inside the declared length, and terminates with
+    * PID_SENTINEL.
+    */
+  private def encodeMutable(bundle: RosMsgBundle, msg: RosMsgDef,
+                            it: Iterator[Any], w: Writer,
+                            flavor: CdrFlavor): Unit = {
+    val fields = msg.fields.filterNot(_.isConstant)
+    def leadingCount(b: Array[Byte]): Long =
+      if (b.length < 4) -1L
+      else (b(0) & 0xFFL) | ((b(1) & 0xFFL) << 8) |
+        ((b(2) & 0xFFL) << 16) | ((b(3) & 0xFFL) << 24)
+    def members(sub: Writer): Unit = fields.zipWithIndex.foreach { case (f, id) =>
+      val mv = new Writer(flavor, withHeader = false) // fresh origin: PL_CDR's member origin reset
+      encodeField(bundle, msg, f, it, mv, flavor)
+      val b = mv.bytes
+      if (flavor.xcdr2) {
+        val lc = b.length match {
+          case 1 => 0
+          case 2 => 1
+          case 4 => 2
+          case 8 => 3
+          case n if n > 4 && leadingCount(b) == n - 4 => 5
+          case _ => 4
+        }
+        sub.align(4)
+        sub.u32(((lc.toLong & 0x7L) << 28) | (id.toLong & 0x0FFFFFFFL))
+        if (lc == 4) sub.u32(b.length.toLong)
+        sub.blob(b)
+      } else {
+        val padded = (b.length + 3) / 4 * 4
+        sub.align(4)
+        if (id >= 0x3F00 || padded > 0xFFFF) {
+          sub.u16(PidExtended); sub.u16(8)
+          sub.u32(id.toLong); sub.u32(padded.toLong)
+        } else { sub.u16(id); sub.u16(padded) }
+        sub.blob(b)
+        (b.length until padded).foreach(_ => sub.u8(0))
+      }
     }
+    if (flavor.xcdr2) w.scope(active = true)(members) // PL_CDR2: DHEADER wrap
+    else {
+      members(w)
+      w.align(4); w.u16(PidSentinel); w.u16(0)
+    }
+  }
 
   // numeric values arrive as whatever box the caller had (decode emits
   // Int for narrow types, Long for uint32 — and Rows round-tripped

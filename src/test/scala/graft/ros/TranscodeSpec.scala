@@ -295,6 +295,27 @@ class TranscodeSpec extends AnyFunSuite {
     assert(norm(decoded) === norm(values))
   }
 
+  test("reverse: MUTABLE-encoded cdr payloads (PL_CDR + PL_CDR2) transcode to ros1 too") {
+    // the transcode decode hop dispatches per representation id, so a
+    // fleet recording under a mutable-extensibility rmw still lowers
+    // into packed ros1 value-identically
+    import graft.ros.mcap.CdrCodec.{Xcdr1Mutable, Xcdr2Mutable}
+    val ros2Def =
+      """builtin_interfaces/Time stamp
+        |uint8 b
+        |string note
+        |float64[] xs""".stripMargin
+    val e = Transcode.translateToRos1("graft_msgs/msg/MSample", "ros2msg", ros2Def)
+    val b2 = Ros2Msg.bundle("graft_msgs/msg/MSample", ros2Def)
+    val values = Seq[Any](100, 200, 250, "note text", Seq[Any](1.5, -2.5))
+    for (flavor <- Seq(Xcdr1Mutable, Xcdr2Mutable)) {
+      val cdr = CdrCodec.encode(b2, values, flavor)
+      val decoded = RosSchemaMapper.decode(
+        MsgDefParser.parse(e.dstName, e.dstDef), Transcode.codecToRos1(e)(cdr))
+      assert(norm(decoded) === norm(values), s"flavor $flavor")
+    }
+  }
+
   test("reverse: ros2idl definitions translate too") {
     val idl =
       """module graft_msgs { module msg { struct Ev {

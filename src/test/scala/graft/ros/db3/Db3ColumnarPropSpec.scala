@@ -135,6 +135,36 @@ class Db3ColumnarPropSpec extends SparkTestBase {
     }
   }
 
+  test("db3 mutable payloads (PL_CDR + PL_CDR2) columnar ≡ row — shared op program") {
+    import CdrCodec.{Xcdr1, Xcdr1Mutable, Xcdr2Mutable}
+    val flavors = Array(Xcdr1, Xcdr1Mutable, Xcdr2Mutable)
+    for (caseIdx <- 31 to 36) {
+      val d = genMsg.pureApply(Gen.Parameters.default, Seed(caseIdx.toLong))
+      val defText = render(d)
+      val bundle = Ros2Msg.bundle("t/msg/T", defText)
+      val rng = new scala.util.Random(caseIdx * 31L)
+      val payloads = (0 until 6).map(i =>
+        CdrCodec.encode(bundle, genValues(d, rng), flavors(i % 3)))
+      val f = writeDb3Of(defText, payloads)
+      val df = spark.read.format("db3")
+        .option("schema_name", "t/msg/T").option("includeRaw", "true")
+        .load(f.toString)
+      val flat = RosSchemaMapper.flatSchema(bundle)
+      val rows = df.orderBy("timestamp").collect()
+      assert(rows.length == 6, s"case $caseIdx row count")
+      rows.foreach { r =>
+        val expected = CdrCodec.decode(bundle, r.getAs[Array[Byte]]("data"))
+        flat.fieldNames.zip(expected).foreach { case (name, exp) =>
+          val colName = if (Set("file_path", "msg_id", "timestamp", "topic_id",
+            "topic", "data", "seqno")(name)) name + "_field" else name
+          assert(norm(r.getAs[Any](colName)) == norm(exp),
+            s"case $caseIdx column $colName\n$defText")
+        }
+      }
+      java.nio.file.Files.delete(f)
+    }
+  }
+
   test("message-mode zstd payloads inflate inside the columnar walk; filters + limit hold") {
     val defText = "int64 v\nstring s\n"
     val bundle = Ros2Msg.bundle("t/msg/T", defText)

@@ -172,6 +172,68 @@ class McapColumnarPropSpec extends SparkTestBase {
     }
   }
 
+  test("mutable payloads (PL_CDR + PL_CDR2, mixed with all other flavors) columnar ≡ row") {
+    import CdrCodec.{Xcdr1, Xcdr2Final, Xcdr2Delimited, Xcdr1Mutable, Xcdr2Mutable}
+    val flavors = Array(Xcdr1, Xcdr1Mutable, Xcdr2Final, Xcdr2Delimited, Xcdr2Mutable)
+    for (caseIdx <- 61 to 72) {
+      val d = genMsg.pureApply(Gen.Parameters.default, Seed(caseIdx.toLong))
+      val defText = render(d)
+      val bundle = Ros2Msg.bundle("t/msg/T", defText)
+      val rng = new scala.util.Random(caseIdx * 99L)
+      // one file, five serialization flavors — dispatch is per message
+      val payloads = (0 until 10).map(i =>
+        CdrCodec.encode(bundle, genValues(d, rng), flavors(i % 5)))
+      val f = writeMcapOf(defText, payloads)
+      val df = spark.read.format("mcap")
+        .option("schema_name", "t/msg/T").option("includeRaw", "true")
+        .load(f.toString)
+      val flat = RosSchemaMapper.flatSchema(bundle)
+      val rows = df.orderBy("log_time").collect()
+      assert(rows.length == 10, s"case $caseIdx row count")
+      rows.foreach { r =>
+        val expected = CdrCodec.decode(bundle, r.getAs[Array[Byte]]("data"))
+        flat.fieldNames.zip(expected).foreach { case (name, exp) =>
+          val colName = if (Set("file_path", "chunk_idx", "offset", "log_time",
+            "publish_time", "sequence", "channel_id", "topic", "data",
+            "seqno")(name)) name + "_field" else name
+          assert(norm(r.getAs[Any](colName)) == norm(exp),
+            s"case $caseIdx column $colName\n$defText")
+        }
+      }
+      // a pruned projection over the mutable payloads still matches —
+      // pruned members skip in O(1) by their header length
+      val firstCol = flat.fieldNames.head
+      val colName = if (Set("file_path", "chunk_idx", "offset", "log_time",
+        "publish_time", "sequence", "channel_id", "topic", "data",
+        "seqno")(firstCol)) firstCol + "_field" else firstCol
+      val pruned = df.orderBy("log_time").select(colName).collect()
+      rows.zip(pruned).foreach { case (full, p) =>
+        assert(norm(p.get(0)) == norm(full.getAs[Any](colName)),
+          s"case $caseIdx pruned column $colName\n$defText")
+      }
+      java.nio.file.Files.delete(f)
+    }
+  }
+
+  test("mutable columnar defaults: members absent from the wire land as zero/empty") {
+    val defText = "int32 x\nfloat64 v\nstring s\nuint8[] blob\n"
+    val bundle = Ros2Msg.bundle("t/msg/T", defText)
+    // hand-build a PL_CDR2 payload carrying ONLY x (id 0)
+    def le(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val payload = Array[Byte](0, 0x0b, 0, 0) ++ le(8) ++ le(0x20000000) ++ le(77)
+    assert(CdrCodec.decode(bundle, payload).take(3) == Seq(77, 0.0, ""))
+    val f = writeMcapOf(defText, Seq(payload))
+    val r = spark.read.format("mcap").option("schema_name", "t/msg/T")
+      .load(f.toString).collect().head
+    assert(r.getAs[Int]("x") === 77)
+    assert(r.getAs[Double]("v") === 0.0)
+    assert(r.getAs[String]("s") === "")
+    assert(r.getAs[Array[Byte]]("blob").length === 0)
+    java.nio.file.Files.delete(f)
+  }
+
   test("big-endian cdr payloads decode identically to the row decoder") {
     val defText = "int32 a\nfloat64 b\nstring s\nuint16 t\n"
     val bundle = Ros2Msg.bundle("t/msg/T", defText)

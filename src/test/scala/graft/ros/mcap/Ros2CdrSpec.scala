@@ -80,12 +80,10 @@ class Ros2CdrSpec extends AnyFunSuite {
     val bad = Array[Byte](0, 0x21, 0, 0, 0, 0, 0, 0)
     val e = intercept[IllegalArgumentException](CdrCodec.decode(b, bad))
     assert(e.getMessage.contains("representation"))
-    // the parameter-list flavors refuse with a NAMED error
-    for ((rep, name) <- Seq(0x02 -> "PL_CDR", 0x03 -> "PL_CDR",
-        0x0a -> "PL_CDR2", 0x0b -> "PL_CDR2")) {
+    // the PL_PLAIN gap ids (0x04/0x05 are unassigned) refuse too
+    for (rep <- Seq(0x04, 0x05, 0x0c)) {
       val pl = Array[Byte](0, rep.toByte, 0, 0, 0, 0, 0, 0)
-      val pe = intercept[IllegalArgumentException](CdrCodec.decode(b, pl))
-      assert(pe.getMessage.contains(name), s"rep=$rep: ${pe.getMessage}")
+      intercept[IllegalArgumentException](CdrCodec.decode(b, pl))
     }
   }
 
@@ -277,6 +275,189 @@ class Ros2CdrSpec extends AnyFunSuite {
     assert(e.getMessage.contains("mismatch"))
     val tooShort = CdrCodec.encode(b, Seq(5L)).take(8)
     intercept[IllegalArgumentException](CdrCodec.decode(b, tooShort))
+  }
+
+  // ---- mutable flavors: PL_CDR (0x02/0x03) and PL_CDR2 (0x0a/0x0b) ----
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  test("PL_CDR2 mutable golden: EMHEADER layout byte-by-byte, LC 2/3/5") {
+    import CdrCodec.Xcdr2Mutable
+    val b = Ros2Msg.bundle("p/msg/M", "int32 x\nfloat64 v\nstring s")
+    val bytes = CdrCodec.encode(b, Seq(7, 1.5, "hi"), Xcdr2Mutable)
+    // {0,0x0b,0,0}; DHEADER @rel0 = 31; EMHEADER(x: LC=2, id=0) @rel4;
+    // 7 @rel8; EMHEADER(v: LC=3, id=1) @rel12; 1.5 @rel16 (xcdr2: no
+    // 8-align); EMHEADER(s: LC=5 NEXTINT-reuse, id=2) @rel24;
+    // len 3 @rel28; "hi\0" @rel32..34. Total 4+4+31 = 39.
+    assert(bytes.slice(0, 4).toSeq == Seq[Byte](0, 0x0b, 0, 0))
+    assert(McapFormat.leInt(bytes, 4) == 31, "top DHEADER")
+    assert(McapFormat.leInt(bytes, 8) == 0x20000000, "EMHEADER x: LC=2 id=0")
+    assert(McapFormat.leInt(bytes, 12) == 7)
+    assert(McapFormat.leInt(bytes, 16) == 0x30000001, "EMHEADER v: LC=3 id=1")
+    assert(java.lang.Double.longBitsToDouble(
+      (0 until 8).map(i => (bytes(20 + i) & 0xFFL) << (8 * i)).reduce(_ | _)) == 1.5)
+    assert(McapFormat.leInt(bytes, 28) == 0x50000002, "EMHEADER s: LC=5 id=2")
+    assert(McapFormat.leInt(bytes, 32) == 3, "string length doubles as NEXTINT")
+    assert(new String(bytes, 36, 2, "UTF-8") == "hi" && bytes(38) == 0)
+    assert(bytes.length == 39)
+    assert(CdrCodec.decode(b, bytes) == Seq(7, 1.5, "hi"))
+  }
+
+  test("PL_CDR2 mutable: any member order, unknown ids skip, absent members default") {
+    val b = Ros2Msg.bundle("p/msg/M", "int32 x\nfloat64 v\nstring s")
+    // hand-build {s first, then an UNKNOWN id 9 (LC=4), then x; v absent}
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0, 0x0b, 0, 0))
+    val members = new java.io.ByteArrayOutputStream()
+    members.write(le32(0x50000002))            // s: LC=5, id=2
+    members.write(le32(3)); members.write("hi".getBytes("UTF-8")); members.write(0)
+    members.write(0)                           // pad to 4 for next EMHEADER
+    members.write(le32(0x40000009))            // unknown id 9: LC=4
+    members.write(le32(6))                     // NEXTINT: 6 bytes follow
+    members.write(Array[Byte](1, 2, 3, 4, 5, 6))
+    members.write(Array[Byte](0, 0))           // pad to 4
+    members.write(le32(0x20000000))            // x: LC=2, id=0
+    members.write(le32(42))
+    val m = members.toByteArray
+    out.write(le32(m.length)); out.write(m)
+    assert(CdrCodec.decode(b, out.toByteArray) == Seq(42, 0.0, "hi"),
+      "reorder + unknown-skip + default for the absent double")
+    // the SAME unknown id with the must-understand bit set fails loudly
+    val mu = m.clone()
+    // flip id-9's EMHEADER top bit (offset: 12 bytes of s member + pad)
+    val emOff = 4 + (4 + 3) + 1
+    assert(McapFormat.leInt(mu, emOff) == 0x40000009)
+    mu(emOff + 3) = (mu(emOff + 3) | 0x80).toByte
+    val out2 = new java.io.ByteArrayOutputStream()
+    out2.write(Array[Byte](0, 0x0b, 0, 0)); out2.write(le32(mu.length)); out2.write(mu)
+    val e = intercept[IllegalArgumentException](CdrCodec.decode(b, out2.toByteArray))
+    assert(e.getMessage.contains("must-understand"))
+  }
+
+  test("PL_CDR2 mutable: LC 6/7 element-count lengths and duplicate-id refusal") {
+    val b = Ros2Msg.bundle("p/msg/M", "uint16[] xs\nfloat64[] vs")
+    // xs via LC=6 (count*2), vs via LC=7 (count*8) — NEXTINT reused
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0, 0x0b, 0, 0))
+    val members = new java.io.ByteArrayOutputStream()
+    members.write(le32(0x60000000))                      // xs: LC=6, id=0
+    members.write(le32(2)); members.write(le16(7)); members.write(le16(9))
+    members.write(le32(0x70000001))                      // vs: LC=7, id=1
+    members.write(le32(1))
+    (0 until 8).foreach(i => members.write(((java.lang.Double.doubleToLongBits(2.5) >> (8 * i)) & 0xFF).toInt))
+    val m = members.toByteArray
+    out.write(le32(m.length)); out.write(m)
+    assert(CdrCodec.decode(b, out.toByteArray) == Seq(Seq(7, 9), Seq(2.5)))
+    // a duplicated member id is corruption, not last-wins
+    val dup = new java.io.ByteArrayOutputStream()
+    dup.write(Array[Byte](0, 0x0b, 0, 0))
+    val dm = new java.io.ByteArrayOutputStream()
+    dm.write(le32(0x60000000)); dm.write(le32(1)); dm.write(le16(7)); dm.write(le16(0)) // pad
+    dm.write(le32(0x60000000)); dm.write(le32(1)); dm.write(le16(8)); dm.write(le16(0))
+    val dmb = dm.toByteArray
+    dup.write(le32(dmb.length)); dup.write(dmb)
+    val e = intercept[IllegalArgumentException](CdrCodec.decode(b, dup.toByteArray))
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("PL_CDR mutable golden: parameter headers, member origin reset, sentinel") {
+    import CdrCodec.Xcdr1Mutable
+    val b = Ros2Msg.bundle("p/msg/M", "int32 x\nfloat64 v\nstring s")
+    val bytes = CdrCodec.encode(b, Seq(7, 1.5, "hi"), Xcdr1Mutable)
+    // {0,0x03,0,0}; param(id=0,len=4) @rel0, 7 @rel4;
+    // param(id=1,len=8) @rel8, 1.5 @rel12 — rel12 is NOT 8-aligned:
+    // the member value's alignment origin RESETS (XTypes PUSH(ORIGIN=0));
+    // param(id=2,len=8 incl pad) @rel20, u32 3 + "hi\0" + pad @rel24;
+    // sentinel 0x3F02 len 0 @rel32. Total 4 + 36 = 40.
+    assert(bytes.slice(0, 4).toSeq == Seq[Byte](0, 3, 0, 0))
+    assert(McapFormat.leShort(bytes, 4) == 0 && McapFormat.leShort(bytes, 6) == 4)
+    assert(McapFormat.leInt(bytes, 8) == 7)
+    assert(McapFormat.leShort(bytes, 12) == 1 && McapFormat.leShort(bytes, 14) == 8)
+    assert(java.lang.Double.longBitsToDouble(
+      (0 until 8).map(i => (bytes(16 + i) & 0xFFL) << (8 * i)).reduce(_ | _)) == 1.5,
+      "double at a 4-but-not-8-aligned stream position: origin reset")
+    assert(McapFormat.leShort(bytes, 24) == 2 && McapFormat.leShort(bytes, 26) == 8)
+    assert(McapFormat.leInt(bytes, 28) == 3)
+    assert(new String(bytes, 32, 2, "UTF-8") == "hi" && bytes(34) == 0)
+    assert(McapFormat.leShort(bytes, 36) == 0x3F02 && McapFormat.leShort(bytes, 38) == 0)
+    assert(bytes.length == 40)
+    assert(CdrCodec.decode(b, bytes) == Seq(7, 1.5, "hi"))
+  }
+
+  test("PL_CDR mutable: reorder, extended PID, unknown skip, defaults, must-understand") {
+    val b = Ros2Msg.bundle("p/msg/M", "int32 x\nfloat64 v\nstring s")
+    def payload(params: Array[Byte]): Array[Byte] =
+      Array[Byte](0, 3, 0, 0) ++ params ++ le16(0x3F02) ++ le16(0)
+    // v via EXTENDED pid header, then unknown id 7 skipped, then x; s absent
+    val p = new java.io.ByteArrayOutputStream()
+    p.write(le16(0x3F01)); p.write(le16(8))    // PID_EXTENDED, header len 8
+    p.write(le32(1)); p.write(le32(8))         // member id 1, value len 8
+    (0 until 8).foreach(i => p.write(((java.lang.Double.doubleToLongBits(1.5) >> (8 * i)) & 0xFF).toInt))
+    p.write(le16(7)); p.write(le16(4)); p.write(le32(99))  // unknown id 7
+    p.write(le16(0)); p.write(le16(4)); p.write(le32(42))  // x
+    assert(CdrCodec.decode(b, payload(p.toByteArray)) == Seq(42, 1.5, ""),
+      "extended pid + reorder + unknown-skip + default for the absent string")
+    // the unknown id with FLAG_MUST_UNDERSTAND (0x4000) fails loudly
+    val q = new java.io.ByteArrayOutputStream()
+    q.write(le16(7 | 0x4000)); q.write(le16(4)); q.write(le32(99))
+    val e = intercept[IllegalArgumentException](CdrCodec.decode(b, payload(q.toByteArray)))
+    assert(e.getMessage.contains("must-understand"))
+  }
+
+  test("mutable randomized round-trips across BOTH PL flavors (nested, arrays, Time)") {
+    import CdrCodec.{Xcdr1Mutable, Xcdr2Mutable}
+    val schema =
+      """std_msgs/msg/Header header
+        |float64[] ranges
+        |int16 level
+        |p/msg/Sub[] subs
+        |uint8[] payload
+        |string[] tags
+        |================================================================================
+        |MSG: std_msgs/msg/Header
+        |builtin_interfaces/Time stamp
+        |string frame_id
+        |================================================================================
+        |MSG: p/msg/Sub
+        |int8 tag
+        |float32 weight""".stripMargin
+    val b = Ros2Msg.bundle("p/msg/Scan", schema)
+    val rnd = new scala.util.Random(2024)
+    val norm = (x: Any) => x match {
+      case a: Array[Byte] => a.toSeq
+      case other => other
+    }
+    for (_ <- 0 until 40) {
+      val vals = Seq(
+        rnd.nextInt(), rnd.nextInt(1 << 30).toLong,
+        rnd.alphanumeric.take(rnd.nextInt(9)).mkString,
+        Seq.fill(rnd.nextInt(5))(rnd.nextDouble()),
+        rnd.nextInt(1 << 14) - (1 << 13),
+        Seq.fill(rnd.nextInt(4))(Row(rnd.nextInt(256) - 128, rnd.nextFloat())),
+        Array.fill(rnd.nextInt(9))(rnd.nextInt(256).toByte): Any,
+        Seq.fill(rnd.nextInt(4))(rnd.alphanumeric.take(rnd.nextInt(6)).mkString))
+      for (flavor <- Seq(Xcdr1Mutable, Xcdr2Mutable)) {
+        val bytes = CdrCodec.encode(b, vals, flavor)
+        val back = CdrCodec.decode(b, bytes)
+        assert(back.map(norm) == vals.map(norm), s"flavor $flavor: $vals")
+      }
+    }
+  }
+
+  test("PL_CDR2 member overrunning its struct DHEADER fails loudly") {
+    val b = Ros2Msg.bundle("p/msg/M", "int32 x")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0, 0x0b, 0, 0))
+    out.write(le32(8))                 // DHEADER claims 8 bytes
+    out.write(le32(0x40000000))        // x: LC=4 …
+    out.write(le32(64))                // … but NEXTINT says 64 bytes
+    out.write(le32(42))
+    val e = intercept[IllegalArgumentException](CdrCodec.decode(b, out.toByteArray))
+    assert(e.getMessage.contains("overruns"))
   }
 
   test("'=' in a string default or comment does not turn a field into a constant") {
