@@ -654,10 +654,19 @@ object ContainerQueries {
         .withColumn("source",
           regexp_extract(col("target_uri"), "https://([^.]+)\\.", 1))
         .withColumn("t", text)
-        .filter(size(split(col("t"), " ")) >= lit(5)) // quality: ≥5 words
+        // the ≥5-word quality gate applies PER GROUP (copies of one
+        // md5 share one text), evaluated as an aggregate and filtered
+        // ABOVE the first groupBy — a direct row filter on `t` would
+        // be pushed below the projection and inline html_text into
+        // the Filter condition, decoding every payload twice (the
+        // collapsed-filter anti-pattern in the verify gotchas); this
+        // shape keeps extraction at one evaluation per record for the
+        // cost of shuffling rejected groups' 48-byte agg rows
         .groupBy(col("source"), md5(col("t").cast("binary")).as("text_md5"))
         .agg(count(lit(1)).as("copies"),
-          min(length(col("t")).cast("long")).as("nchars"))
+          min(length(col("t")).cast("long")).as("nchars"),
+          min(size(split(col("t"), " "))).as("words"))
+        .filter(col("words") >= lit(5)) // quality: ≥5 words
         .groupBy(col("source")).agg(
           sum(col("copies")).as("docs_total"),
           count(lit(1)).as("docs_unique"),
@@ -1394,18 +1403,16 @@ object ContainerQueries {
         |         trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
         |         CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS copies
         |  FROM documents),
-        |q AS (
-        |  SELECT * FROM t
-        |  WHERE length(t) - length(replace(t, ' ', '')) + 1 >= 5),
         |u AS (
         |  SELECT source, md5(t) AS text_md5,
         |         CAST(SUM(copies) AS BIGINT) AS copies,
-        |         MIN(length(t)) AS nchars
-        |  FROM q GROUP BY 1, 2)
+        |         MIN(length(t)) AS nchars,
+        |         MIN(length(t) - length(replace(t, ' ', '')) + 1) AS words
+        |  FROM t GROUP BY 1, 2)
         |SELECT source, CAST(SUM(copies) AS BIGINT) AS docs_total,
         |       COUNT(*) AS docs_unique,
         |       CAST(SUM(nchars) AS BIGINT) AS uniq_chars
-        |FROM u GROUP BY source ORDER BY source""".stripMargin)
+        |FROM u WHERE words >= 5 GROUP BY source ORDER BY source""".stripMargin)
 
   // lazy: referenced from the `oracle` map initializer above
   private lazy val DoubledTopicOracle =

@@ -448,6 +448,33 @@ class Ros2CdrSpec extends AnyFunSuite {
     }
   }
 
+  test("big-endian mutable payloads decode too (PL_CDR2 0x0a, PL_CDR 0x02)") {
+    val b = Ros2Msg.bundle("p/msg/M", "int32 x\nfloat64 v")
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val vbits = java.lang.Double.doubleToLongBits(1.5)
+    val beDouble = (0 until 8).map(i => ((vbits >> (8 * (7 - i))) & 0xFF).toByte).toArray
+    // PL_CDR2 BE: {0,0x0a,0,0}; DHEADER; EMHEADER(LC=2,id=0); x;
+    // EMHEADER(LC=3,id=1); v
+    val pl2 = new java.io.ByteArrayOutputStream()
+    pl2.write(Array[Byte](0, 0x0a, 0, 0))
+    val m2 = be32(0x20000000) ++ be32(7) ++ be32(0x30000001) ++ beDouble
+    pl2.write(be32(m2.length)); pl2.write(m2)
+    assert(CdrCodec.decode(b, pl2.toByteArray) == Seq(7, 1.5))
+    // PL_CDR BE: {0,0x02,0,0}; param(0,4); x; param(1,8); v (origin
+    // reset: the double starts unpadded at its member's value start);
+    // sentinel
+    val pl1 = new java.io.ByteArrayOutputStream()
+    pl1.write(Array[Byte](0, 0x02, 0, 0))
+    pl1.write(be16(0)); pl1.write(be16(4)); pl1.write(be32(7))
+    pl1.write(be16(1)); pl1.write(be16(8)); pl1.write(beDouble)
+    pl1.write(be16(0x3F02)); pl1.write(be16(0))
+    assert(CdrCodec.decode(b, pl1.toByteArray) == Seq(7, 1.5))
+  }
+
   test("PL_CDR2 member overrunning its struct DHEADER fails loudly") {
     val b = Ros2Msg.bundle("p/msg/M", "int32 x")
     val out = new java.io.ByteArrayOutputStream()
