@@ -1392,7 +1392,7 @@ object ContainerQueries {
         |       CAST(SUM(user_id) AS BIGINT) AS sum_uid,
         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
         |         AS sum_value,
-        |       CAST(SUM(strlen(props)) AS BIGINT) AS props_chars
+        |       CAST(SUM(length(props)) AS BIGINT) AS props_chars
         |FROM ev GROUP BY 1 ORDER BY flavor_slot""".stripMargin,
     // the same duplication rule (doc_id%3==0 recrawled once), the same
     // collapse, the same ≥5-word gate, the same md5 dedup key —

@@ -344,21 +344,24 @@ object CdrColumnarRead {
           val must = (em & 0x80000000) != 0
           val lc = (em >>> 28) & 0x7
           val id = em & 0x0FFFFFFF
-          val len = lc match {
-            case 0 => 1
-            case 1 => 2
-            case 2 => 4
-            case 3 => 8
-            case 4 => readLen(buf, origin)
+          // lengths in LONG: an adversarial LC 5/6/7 count (u32, up
+          // to 4G elements × 8 bytes) must overrun the DHEADER check,
+          // not wrap Int into a small positive skip that misparses
+          val len: Long = lc match {
+            case 0 => 1L
+            case 1 => 2L
+            case 2 => 4L
+            case 3 => 8L
+            case 4 => readLen(buf, origin).toLong
             case other =>
               alignTo(buf, 4, origin)
-              val count = buf.getInt(buf.position()) // NEXTINT reused: peek
-              require(count >= 0, s"negative mutable member count $count (id $id)")
-              4 + count * (if (other == 5) 1 else if (other == 6) 2 else 8)
+              val count = java.lang.Integer
+                .toUnsignedLong(buf.getInt(buf.position())) // NEXTINT reused: peek
+              4L + count * (if (other == 5) 1L else if (other == 6) 2L else 8L)
           }
           require(buf.position() + len <= end,
             s"mutable member id $id (len $len) overruns its struct DHEADER in ${msg.fullName}")
-          runMember(id, must, len)
+          runMember(id, must, len.toInt)
         }
         require(buf.position() == end,
           s"mutable member walk overran its DHEADER scope in ${msg.fullName}")

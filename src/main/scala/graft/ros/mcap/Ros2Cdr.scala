@@ -231,6 +231,7 @@ object CdrCodec {
     }
     def position: Int = pos
     def seek(p: Int): Unit = pos = p
+    def payloadLength: Int = bytes.length
     /** Aligned u32 read that does NOT consume — EMHEADER LC 5/6/7
       * reuse the member's own leading count as its length.
       */
@@ -374,7 +375,8 @@ object CdrCodec {
     val fields = msg.fields.filterNot(_.isConstant).toIndexedSeq
     val slots = new Array[Seq[Any]](fields.length)
     def member(id: Int, must: Boolean, len: Int): Unit = {
-      require(len >= 0, s"negative mutable member length $len (id $id) in ${msg.fullName}")
+      require(len >= 0 && len <= r.payloadLength,
+        s"mutable member length $len (id $id) exceeds the payload in ${msg.fullName}")
       val end = r.position + len
       if (id >= 0 && id < fields.length) {
         require(slots(id) == null,
@@ -397,19 +399,22 @@ object CdrCodec {
         val must = (em & 0x80000000L) != 0
         val lc = ((em >>> 28) & 0x7L).toInt
         val id = (em & 0x0FFFFFFFL).toInt
-        val len = lc match {
-          case 0 => 1
-          case 1 => 2
-          case 2 => 4
-          case 3 => 8
-          case 4 => r.u32().toInt
-          case 5 => 4 + r.peekU32().toInt
-          case 6 => 4 + r.peekU32().toInt * 2
-          case 7 => 4 + r.peekU32().toInt * 8
+        // lengths in LONG: an adversarial LC 5/6/7 count (u32, up to
+        // 4G elements × 8 bytes) must overrun the DHEADER check, not
+        // wrap Int into a small positive skip that silently misparses
+        val len: Long = lc match {
+          case 0 => 1L
+          case 1 => 2L
+          case 2 => 4L
+          case 3 => 8L
+          case 4 => r.u32()
+          case 5 => 4L + r.peekU32()
+          case 6 => 4L + r.peekU32() * 2L
+          case 7 => 4L + r.peekU32() * 8L
         }
         require(r.position + len <= end,
           s"mutable member id $id (len $len) overruns its struct DHEADER in ${msg.fullName}")
-        member(id, must, len)
+        member(id, must, len.toInt)
       }
       require(r.position == end,
         s"mutable member walk overran its DHEADER scope in ${msg.fullName}")

@@ -234,6 +234,89 @@ class McapColumnarPropSpec extends SparkTestBase {
     java.nio.file.Files.delete(f)
   }
 
+  test("columnar mutable foreign-writer shapes: LC 6/7, extended PID, unknown skip, must-understand") {
+    // the engine's own encoder never emits LC 6/7 or extended PIDs —
+    // hand-build what a foreign DDS writer would, and pin the
+    // VECTORIZED walk (the row-path goldens live in Ros2CdrSpec)
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val defText = "uint16[] xs\nfloat64[] vs\nint32 x\n"
+    val bundle = Ros2Msg.bundle("t/msg/T", defText)
+    val vbits = java.lang.Double.doubleToLongBits(2.5)
+    val leDouble = (0 until 8).map(i => ((vbits >> (8 * i)) & 0xFF).toByte).toArray
+    // PL_CDR2: xs via LC=6 (count×2), vs via LC=7 (count×8), an
+    // unknown id 9 (LC=4) to skip, x reordered last via LC=2
+    val m2 = le32(0x60000000) ++ le32(2) ++ le16(7) ++ le16(9) ++
+      le32(0x70000001) ++ le32(1) ++ leDouble ++
+      le32(0x40000009) ++ le32(4) ++ le32(99) ++
+      le32(0x20000002) ++ le32(42)
+    val pl2 = Array[Byte](0, 0x0b, 0, 0) ++ le32(m2.length) ++ m2
+    // PL_CDR: vs via an EXTENDED pid header (xcdr1: the double aligns
+    // to 8 from the member's reset origin → count + 4 pad + element =
+    // 16 bytes), xs short, x absent → default 0 (sentinel-terminated)
+    val pl1 = Array[Byte](0, 0x03, 0, 0) ++
+      le16(0x3F01) ++ le16(8) ++ le32(1) ++ le32(16) ++
+      le32(1) ++ le32(0) ++ leDouble ++
+      le16(0) ++ le16(8) ++ le32(2) ++ le16(7) ++ le16(9) ++
+      le16(0x3F02) ++ le16(0)
+    assert(CdrCodec.decode(bundle, pl2) == Seq(Seq(7, 9), Seq(2.5), 42))
+    assert(CdrCodec.decode(bundle, pl1) == Seq(Seq(7, 9), Seq(2.5), 0))
+    val f = writeMcapOf(defText, Seq(pl2, pl1))
+    val df = spark.read.format("mcap").option("schema_name", "t/msg/T")
+      .load(f.toString)
+    assert(graft.ros.bag.RosbagColumnarRead.supportsColumnar(df.schema))
+    val rows = df.orderBy("log_time").collect()
+    assert(rows.map(r => (norm(r.getAs[Any]("xs")), norm(r.getAs[Any]("vs")),
+      r.getAs[Int]("x"))).toSeq ===
+      Seq((Seq(7, 9), Seq(2.5), 42), (Seq(7, 9), Seq(2.5), 0)))
+    // pruned projection exercises the O(1) member skips around the
+    // surviving column
+    assert(df.orderBy("log_time").select("x").collect().map(_.getInt(0)).toSeq
+      === Seq(42, 0))
+    java.nio.file.Files.delete(f)
+    // a must-understand UNKNOWN member fails the vectorized walk too
+    val mu = m2.clone()
+    val emOff = (4 + 4 + 2 + 2) + (4 + 4 + 8) // xs member + vs member
+    assert(McapFormat.leInt(mu, emOff) == 0x40000009)
+    mu(emOff + 3) = (mu(emOff + 3) | 0x80).toByte
+    val bad = Array[Byte](0, 0x0b, 0, 0) ++ le32(mu.length) ++ mu
+    val f2 = writeMcapOf(defText, Seq(bad))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("mcap").option("schema_name", "t/msg/T")
+        .load(f2.toString).select("x").collect()
+    }
+    assert(e.getMessage.contains("must-understand") ||
+      Option(e.getCause).exists(_.getMessage.contains("must-understand")))
+    java.nio.file.Files.delete(f2)
+  }
+
+  test("columnar mutable corrupt-count member overruns loudly, never wraps to a misparse") {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val defText = "int32 x\n"
+    val bundle = Ros2Msg.bundle("t/msg/T", defText)
+    // unknown member id 7 with LC=7 and count 0x20000000: 4 + count*8
+    // wraps Int to 4 — the walk must refuse via the Long-domain
+    // DHEADER bound, not skip 4 bytes and misparse
+    val m = le32(0x70000007) ++ le32(0x20000000) ++ le32(0) ++
+      le32(0x20000000) ++ le32(42)
+    val payload = Array[Byte](0, 0x0b, 0, 0) ++ le32(m.length) ++ m
+    val re = intercept[IllegalArgumentException](CdrCodec.decode(bundle, payload))
+    assert(re.getMessage.contains("overruns"))
+    val f = writeMcapOf(defText, Seq(payload))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("mcap").option("schema_name", "t/msg/T")
+        .load(f.toString).select("x").collect()
+    }
+    assert(e.getMessage.contains("overruns") ||
+      Option(e.getCause).exists(_.getMessage.contains("overruns")))
+    java.nio.file.Files.delete(f)
+  }
+
   test("big-endian cdr payloads decode identically to the row decoder") {
     val defText = "int32 a\nfloat64 b\nstring s\nuint16 t\n"
     val bundle = Ros2Msg.bundle("t/msg/T", defText)
