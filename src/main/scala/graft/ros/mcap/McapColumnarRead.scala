@@ -357,7 +357,7 @@ object CdrColumnarRead {
               alignTo(buf, 4, origin)
               val count = java.lang.Integer
                 .toUnsignedLong(buf.getInt(buf.position())) // NEXTINT reused: peek
-              4L + count * (if (other == 5) 1L else if (other == 6) 2L else 8L)
+              4L + count * (if (other == 5) 1L else if (other == 6) 4L else 8L)
           }
           require(buf.position() + len <= end,
             s"mutable member id $id (len $len) overruns its struct DHEADER in ${msg.fullName}")

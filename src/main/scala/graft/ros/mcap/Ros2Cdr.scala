@@ -152,14 +152,24 @@ object Ros2Msg {
   *    DHEADER followed by EMHEADER-framed members — a 4-aligned u32
   *    `(M<<31)|(LC<<28)|id`; LC 0–3 declare value lengths 1/2/4/8,
   *    LC 4 takes the length from a following NEXTINT u32, and LC
-  *    5/6/7 REUSE the member's own leading u32 as an element count
-  *    (length = 4 + count×{1,2,8}).
+  *    5/6/7 REUSE the member's own leading u32 (an element count, or
+  *    a DHEADER value under LC 5): length = 4 + NEXTINT×{1,4,8} —
+  *    the shortcut covers 1/4/8-byte-element sequences; 2-byte
+  *    elements take LC 4.
   * Decode semantics for both: member ids are the field ordinals in
   * definition order (the DDS default AUTOID sequential assignment
   * from 0) per struct; unknown ids skip by their declared length
   * (must-understand unknowns fail loudly); duplicate known ids fail;
   * members ABSENT from the wire take the type's default values
   * (XTypes member-default rule: zero/""/empty).
+  *
+  * Scope note: XTypes extensibility is formally PER TYPE — a bundle
+  * could mix a mutable root with final nested structs. This codec
+  * assumes UNIFORM extensibility across the bundle, selected by the
+  * message's encapsulation id (the ROS 2 reality: rosidl applies one
+  * default to generated types and rmw stamps the message-level id
+  * accordingly). A genuinely mixed-extensibility payload fails
+  * loudly on the scope/overrun checks rather than misparsing.
   */
 object CdrCodec {
   import org.apache.spark.sql.Row
@@ -409,7 +419,7 @@ object CdrCodec {
           case 3 => 8L
           case 4 => r.u32()
           case 5 => 4L + r.peekU32()
-          case 6 => 4L + r.peekU32() * 2L
+          case 6 => 4L + r.peekU32() * 4L
           case 7 => 4L + r.peekU32() * 8L
         }
         require(r.position + len <= end,

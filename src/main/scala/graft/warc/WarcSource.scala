@@ -341,7 +341,7 @@ final case class WarcStreamOffset(files: Set[String],
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   def covers(f: String): Boolean = watermark.exists(f <= _) || files(f)
   override def json(): String = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mapper = WarcStreamOffset.mapper
     watermark match {
       case None => mapper.writeValueAsString(files.toArray.sorted)
       case Some(w) =>
@@ -355,8 +355,10 @@ final case class WarcStreamOffset(files: Set[String],
 }
 
 object WarcStreamOffset {
+  // one mapper for the trigger path (offset-log write + restart read
+  // per micro-batch) — construction is the expensive part of Jackson
+  private[warc] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   def parse(json: String): WarcStreamOffset = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val tree = mapper.readTree(json)
     if (tree.isArray) {
       val it = tree.elements()

@@ -130,6 +130,18 @@ object HtmlText {
     -1
   }
 
+  /** HTML5 tag-name boundary: a name ends only at whitespace, '/',
+    * '>' or end-of-input — `<styleguide>` / `<scripted-widget>` are
+    * DIFFERENT elements, not style/script, and their text content
+    * must survive the strip.
+    */
+  private def nameBoundary(s: String, idx: Int): Boolean =
+    idx >= s.length || {
+      val c = s.charAt(idx)
+      c == '>' || c == '/' || c == ' ' || c == '\t' || c == '\n' ||
+        c == '\f' || c == '\r'
+    }
+
   /** One pass: comments, script/style elements (with contents), and
     * tags drop; each removed region emits a single space.
     */
@@ -144,9 +156,11 @@ object HtmlText {
         if (html.regionMatches(i, "<!--", 0, 4)) {
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
-        } else if (html.regionMatches(true, i, "<script", 0, 7)) {
+        } else if (html.regionMatches(true, i, "<script", 0, 7) &&
+            nameBoundary(html, i + 7)) {
           i = skipElement(html, i, "</script")
-        } else if (html.regionMatches(true, i, "<style", 0, 6)) {
+        } else if (html.regionMatches(true, i, "<style", 0, 6) &&
+            nameBoundary(html, i + 6)) {
           i = skipElement(html, i, "</style")
         } else {
           val e = html.indexOf('>', i + 1)
@@ -159,14 +173,22 @@ object HtmlText {
 
   /** Past the close of `endTag` (its trailing '>'), or end-of-input
     * for an unterminated element — raw script/style content must
-    * never leak into text.
+    * never leak into text. Only a BOUNDARY-valid close counts:
+    * `</scriptx>` is inert script content, per the HTML5 rule.
     */
   private def skipElement(html: String, open: Int, endTag: String): Int = {
     val n = html.length
-    val at = indexOfIgnoreCase(html, endTag, open + 1)
-    if (at < 0) return n
-    val gt = html.indexOf('>', at + endTag.length)
-    if (gt < 0) n else gt + 1
+    var from = open + 1
+    var result = -1
+    while (result < 0) {
+      val at = indexOfIgnoreCase(html, endTag, from)
+      if (at < 0) result = n
+      else if (nameBoundary(html, at + endTag.length)) {
+        val gt = html.indexOf('>', at + endTag.length)
+        result = if (gt < 0) n else gt + 1
+      } else from = at + 1
+    }
+    result
   }
 
   /** Named XML entities + nbsp + numeric forms; unknown or

@@ -30,8 +30,10 @@ class HtmlTextSpec extends SparkTestBase {
   private def refExtract(html: String): String = {
     var s = html
     s = s.replaceAll("(?s)<!--.*?-->", " ")
-    s = s.replaceAll("(?si)<script\\b.*?</script[^>]*>", " ")
-    s = s.replaceAll("(?si)<style\\b.*?</style[^>]*>", " ")
+    // name boundary = HTML5's: whitespace, '/' or '>' — NOT \b (which
+    // would treat <script-foo> as a script element)
+    s = s.replaceAll("(?si)<script(?=[\\t\\n\\f\\r />]).*?</script(?=[\\t\\n\\f\\r />])[^>]*>", " ")
+    s = s.replaceAll("(?si)<style(?=[\\t\\n\\f\\r />]).*?</style(?=[\\t\\n\\f\\r />])[^>]*>", " ")
     s = s.replaceAll("(?s)<[^>]*>", " ")
     val m = java.util.regex.Pattern
       .compile("&(#[xX]?[0-9a-fA-F]+|[a-zA-Z]+);").matcher(s)
@@ -135,6 +137,17 @@ class HtmlTextSpec extends SparkTestBase {
     // unterminated constructs drop to end — raw script must not leak
     assert(extract("a <script>var x = 1; b") === "a")
     assert(extract("a <style>p{} b") === "a")
+    // custom elements whose NAME merely starts with script/style are
+    // ordinary tags — their text content survives (HTML5 name
+    // boundary: whitespace, '/' or '>')
+    assert(extract("<styleguide>visible text</styleguide>rest") ===
+      "visible text rest")
+    assert(extract("<scripted-widget>hello</scripted-widget> w") === "hello w")
+    // ...and an end tag whose name merely STARTS with script is inert
+    // script content, not a close
+    assert(extract("a <script>x = \"</scriptx>\";</script> b") === "a b")
+    // attributes after the name still mark a real script element
+    assert(extract("a <script type=\"module\">x()</script> b") === "a b")
     assert(extract("a <!-- never closed b") === "a")
     assert(extract("a <unclosed tag b") === "a")
     // document order beats construct priority: a comment opener inside

@@ -243,13 +243,13 @@ class McapColumnarPropSpec extends SparkTestBase {
         ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
     def le16(v: Int): Array[Byte] =
       Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
-    val defText = "uint16[] xs\nfloat64[] vs\nint32 x\n"
+    val defText = "uint32[] xs\nfloat64[] vs\nint32 x\n"
     val bundle = Ros2Msg.bundle("t/msg/T", defText)
     val vbits = java.lang.Double.doubleToLongBits(2.5)
     val leDouble = (0 until 8).map(i => ((vbits >> (8 * i)) & 0xFF).toByte).toArray
-    // PL_CDR2: xs via LC=6 (count×2), vs via LC=7 (count×8), an
+    // PL_CDR2: xs via LC=6 (count×4), vs via LC=7 (count×8), an
     // unknown id 9 (LC=4) to skip, x reordered last via LC=2
-    val m2 = le32(0x60000000) ++ le32(2) ++ le16(7) ++ le16(9) ++
+    val m2 = le32(0x60000000) ++ le32(2) ++ le32(7) ++ le32(9) ++
       le32(0x70000001) ++ le32(1) ++ leDouble ++
       le32(0x40000009) ++ le32(4) ++ le32(99) ++
       le32(0x20000002) ++ le32(42)
@@ -260,7 +260,7 @@ class McapColumnarPropSpec extends SparkTestBase {
     val pl1 = Array[Byte](0, 0x03, 0, 0) ++
       le16(0x3F01) ++ le16(8) ++ le32(1) ++ le32(16) ++
       le32(1) ++ le32(0) ++ leDouble ++
-      le16(0) ++ le16(8) ++ le32(2) ++ le16(7) ++ le16(9) ++
+      le16(0) ++ le16(12) ++ le32(2) ++ le32(7) ++ le32(9) ++
       le16(0x3F02) ++ le16(0)
     assert(CdrCodec.decode(bundle, pl2) == Seq(Seq(7, 9), Seq(2.5), 42))
     assert(CdrCodec.decode(bundle, pl1) == Seq(Seq(7, 9), Seq(2.5), 0))
@@ -279,7 +279,7 @@ class McapColumnarPropSpec extends SparkTestBase {
     java.nio.file.Files.delete(f)
     // a must-understand UNKNOWN member fails the vectorized walk too
     val mu = m2.clone()
-    val emOff = (4 + 4 + 2 + 2) + (4 + 4 + 8) // xs member + vs member
+    val emOff = (4 + 4 + 4 + 4) + (4 + 4 + 8) // xs member + vs member
     assert(McapFormat.leInt(mu, emOff) == 0x40000009)
     mu(emOff + 3) = (mu(emOff + 3) | 0x80).toByte
     val bad = Array[Byte](0, 0x0b, 0, 0) ++ le32(mu.length) ++ mu

@@ -339,13 +339,16 @@ class Ros2CdrSpec extends AnyFunSuite {
   }
 
   test("PL_CDR2 mutable: LC 6/7 element-count lengths and duplicate-id refusal") {
-    val b = Ros2Msg.bundle("p/msg/M", "uint16[] xs\nfloat64[] vs")
-    // xs via LC=6 (count*2), vs via LC=7 (count*8) — NEXTINT reused
+    val b = Ros2Msg.bundle("p/msg/M", "uint32[] xs\nfloat64[] vs")
+    // xs via LC=6 (4-byte elements: len = 4 + count*4), vs via LC=7
+    // (8-byte elements: len = 4 + count*8) — NEXTINT reused as the
+    // sequence's own count; 2-byte-element sequences have no
+    // shortcut code and take LC=4
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Byte](0, 0x0b, 0, 0))
     val members = new java.io.ByteArrayOutputStream()
     members.write(le32(0x60000000))                      // xs: LC=6, id=0
-    members.write(le32(2)); members.write(le16(7)); members.write(le16(9))
+    members.write(le32(2)); members.write(le32(7)); members.write(le32(9))
     members.write(le32(0x70000001))                      // vs: LC=7, id=1
     members.write(le32(1))
     (0 until 8).foreach(i => members.write(((java.lang.Double.doubleToLongBits(2.5) >> (8 * i)) & 0xFF).toInt))
@@ -356,8 +359,8 @@ class Ros2CdrSpec extends AnyFunSuite {
     val dup = new java.io.ByteArrayOutputStream()
     dup.write(Array[Byte](0, 0x0b, 0, 0))
     val dm = new java.io.ByteArrayOutputStream()
-    dm.write(le32(0x60000000)); dm.write(le32(1)); dm.write(le16(7)); dm.write(le16(0)) // pad
-    dm.write(le32(0x60000000)); dm.write(le32(1)); dm.write(le16(8)); dm.write(le16(0))
+    dm.write(le32(0x60000000)); dm.write(le32(1)); dm.write(le32(7))
+    dm.write(le32(0x60000000)); dm.write(le32(1)); dm.write(le32(8))
     val dmb = dm.toByteArray
     dup.write(le32(dmb.length)); dup.write(dmb)
     val e = intercept[IllegalArgumentException](CdrCodec.decode(b, dup.toByteArray))
