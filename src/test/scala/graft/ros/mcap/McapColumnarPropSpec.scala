@@ -293,6 +293,32 @@ class McapColumnarPropSpec extends SparkTestBase {
     java.nio.file.Files.delete(f2)
   }
 
+  test("columnar big-endian mutable payloads (0x0a, 0x02) decode identically to the row path") {
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val defText = "int32 x\nfloat64 v\n"
+    val bundle = Ros2Msg.bundle("t/msg/T", defText)
+    val vbits = java.lang.Double.doubleToLongBits(1.5)
+    val beDouble = (0 until 8).map(i => ((vbits >> (8 * (7 - i))) & 0xFF).toByte).toArray
+    val m2 = be32(0x20000000) ++ be32(7) ++ be32(0x30000001) ++ beDouble
+    val pl2be = Array[Byte](0, 0x0a, 0, 0) ++ be32(m2.length) ++ m2
+    val pl1be = Array[Byte](0, 0x02, 0, 0) ++
+      be16(0) ++ be16(4) ++ be32(7) ++
+      be16(1) ++ be16(8) ++ beDouble ++
+      be16(0x3F02) ++ be16(0)
+    assert(CdrCodec.decode(bundle, pl2be) == Seq(7, 1.5))
+    assert(CdrCodec.decode(bundle, pl1be) == Seq(7, 1.5))
+    val f = writeMcapOf(defText, Seq(pl2be, pl1be))
+    val rows = spark.read.format("mcap").option("schema_name", "t/msg/T")
+      .load(f.toString).orderBy("log_time").collect()
+    assert(rows.map(r => (r.getAs[Int]("x"), r.getAs[Double]("v"))).toSeq ===
+      Seq((7, 1.5), (7, 1.5)))
+    java.nio.file.Files.delete(f)
+  }
+
   test("columnar mutable corrupt-count member overruns loudly, never wraps to a misparse") {
     def le32(v: Int): Array[Byte] =
       Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
