@@ -92,7 +92,7 @@ object Bench {
     * sample shapes; with the flag IN the artifact a loaded run
     * self-labels and the perf gate can cite only clean ones.
     *
-    * Three signals, any one flags:
+    * Five signals, any one flags:
     *  - BEFORE load is foreign by definition, but the 1-min average
     *    also carries this process's own sbt/JVM/session startup —
     *    threshold min(2, cpus/4), floored at 1: the r13 driver run
@@ -100,19 +100,94 @@ object Bench {
     *    old cpus/4=8 threshold said clean; idle runs start ≤ ~1.5;
     *  - AFTER gets a self-load allowance of the bench's own
     *    just-finished threads on top;
+    *  - MID-RUN RAMP: after minus before beyond the bench's own
+    *    self-load. The nine committed clean artifacts ramp the 1-min
+    *    average by at most +7.95 (the suite's own threads, decayed by
+    *    the 1-min window), so the allowance is +10 — a box that ramps
+    *    past that DURING the run was loaded mid-run even though the
+    *    before-gate passed;
     *  - PERSISTENT DISPERSAL: any query whose samples stay dispersed
     *    after the escalation rounds means the medians themselves sit
     *    on contaminated samples — downstream readers should not have
-    *    to re-derive that from the spread.
+    *    to re-derive that from the spread;
+    *  - MEDIAN DRIFT vs the last CLEAN committed artifact: the r16
+    *    driver run self-labeled clean (before 1.42, after 4.65 — both
+    *    under their thresholds, zero dispersal) yet was a loaded-box
+    *    run: 8 queries untouched for rounds ran 5–16x their committed
+    *    clean medians (q38 0.29→4.76 s). Uniform slowdown defeats the
+    *    sample-shape detectors — the only reference frame that
+    *    catches it is the previous clean run's medians, so >= 2
+    *    queries still >3x their clean baseline AFTER escalation
+    *    samples flags the run (consecutive clean artifacts show 0–1
+    *    such drifts; contaminated ones show 8+).
     */
   private[graft] def loadContaminated(before: String, after: String,
-      benchThreads: Int, dispersedAfterEscalation: Int = 0): Boolean = {
+      benchThreads: Int, dispersedAfterEscalation: Int = 0,
+      driftedVsBaseline: Int = 0): Boolean = {
     val cpus = Runtime.getRuntime.availableProcessors
     val beforeThreshold = math.max(1.0, math.min(2.0, cpus / 4.0))
-    load1(before) > beforeThreshold ||
-      load1(after) > benchThreads + cpus / 4.0 ||
-      dispersedAfterEscalation > 0
+    val b = load1(before)
+    val a = load1(after)
+    b > beforeThreshold ||
+      a > benchThreads + cpus / 4.0 ||
+      (b > 0 && a - b > rampAllowance(benchThreads)) ||
+      dispersedAfterEscalation > 0 ||
+      driftedVsBaseline >= 2
   }
+
+  /** The bench's own maximal contribution to the 1-min load ramp —
+    * calibrated on the committed clean history (max observed +7.95 at
+    * 32 bench threads, i.e. the suite keeps ≈1/4 of its threads busy
+    * under the 1-min decay; 1/3 leaves headroom). Floored at 3 so a
+    * tiny-thread bench still absorbs kernel/GC noise.
+    */
+  private[graft] def rampAllowance(benchThreads: Int): Double =
+    math.max(3.0, benchThreads / 3.0)
+
+  /** Queries whose median drifted >3x above a CLEAN baseline median.
+    * The floor skips queries whose baseline sits at Spark's per-job
+    * scheduling noise (sub-0.2 s medians legitimately swing 2–4x
+    * between idle runs); 3x above a >=0.2 s clean median does not
+    * happen on an idle box (zero to one occurrences across every
+    * committed consecutive clean pair; eight in the one known
+    * contaminated artifact).
+    */
+  private[graft] def driftedQueries(baseline: Map[String, Double],
+      medians: Map[String, Double], floor: Double = 0.2,
+      ratio: Double = 3.0): Seq[String] =
+    medians.toSeq.collect {
+      case (q, v) if v > 0 && baseline.get(q).exists(b =>
+        b >= floor && v / b > ratio) => q
+    }.sorted
+
+  /** Per-query medians of the last CLEAN committed run, from the
+    * dedicated baseline artifact ([[BaselineFile]], written only by
+    * runs that self-label clean — a contaminated run must never
+    * become the reference frame). Empty when absent/unparseable OR
+    * recorded at a DIFFERENT sf dir: an sf0.01 local baseline
+    * compared against sf0.1 driver medians would flag every query as
+    * drifted (and vice versa silently disarm the signal).
+    */
+  private[graft] def readBaseline(file: String,
+      sfDir: String): Map[String, Double] =
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(new java.io.File(file))
+      val qs = node.get("queries")
+      if (qs == null || node.get("sf") == null ||
+          node.get("sf").asText() != sfDir) Map.empty
+      else {
+        val it = qs.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
+      }
+    } catch { case _: Exception => Map.empty }
+
+  private[graft] val BaselineFile = "BENCH_clean_baseline.json"
 
   /** Is a timing sample set too dispersed to trust its median?
     * max/med > 3 = an outlier sample (load spike during one run, or a
@@ -150,7 +225,8 @@ object Bench {
     * output's tail) and writes them whole to an in-repo file via
     * [[writeArtifact]], the only capture that cannot truncate.
     */
-  private[graft] def timeSuite(spark: SparkSession, sfDir: String, runs: Int)
+  private[graft] def timeSuite(spark: SparkSession, sfDir: String, runs: Int,
+      baselineFile: Option[String] = None)
       : (String, String, Boolean, String) = {
     require(runs >= 1, s"bench runs must be >= 1, got $runs")
     val loadBefore = loadavg()
@@ -170,9 +246,11 @@ object Bench {
     // Per-query median of N runs: this box has co-tenant load that
     // swings single-shot timings by up to 10x (round-1 q19: 0.9-8.1s
     // on identical plans), so one sample per query is noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    final class QueryRun(val name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) {
       var err: Option[String] = None
-      def sample(): Double = {
+      var times: Seq[Double] = Seq.empty
+      def sample(): Unit = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); () }
         catch {
@@ -180,9 +258,14 @@ object Bench {
             err = Some(s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(200))
         }
-        (System.nanoTime() - t0) / 1e9
+        times = times :+ (System.nanoTime() - t0) / 1e9
       }
-      val base = (1 to runs).map(_ => sample())
+      // a failed query must NOT masquerade as a fast one
+      def med: Double = if (err.isDefined) -1.0 else median(times)
+    }
+    val runsList = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val qr = new QueryRun(name, fn)
+      (1 to runs).foreach(_ => qr.sample())
       // the SUB-SECOND tier gets 2 extra samples (runs+2 total): at
       // this box's co-tenant noise floor a 3-sample median still swings
       // up to ~5x round-over-round (r7: q50 med 0.70 vs 3.37 across two
@@ -194,18 +277,35 @@ object Bench {
       // a regression. Stable multi-second queries keep `runs`: their
       // medians are already trustworthy and extra samples cost real
       // wall-clock.
-      var times = base
-      if (err.isEmpty && runs > 1) {
-        if (median(times) < 1.0) times = times ++ (1 to 2).map(_ => sample())
+      if (qr.err.isEmpty && runs > 1) {
+        if (median(qr.times) < 1.0) (1 to 2).foreach(_ => qr.sample())
         var rounds = 0
-        while (rounds < 2 && err.isEmpty && dispersed(times)) {
-          times = times ++ (1 to 2).map(_ => sample())
+        while (rounds < 2 && qr.err.isEmpty && dispersed(qr.times)) {
+          (1 to 2).foreach(_ => qr.sample())
           rounds += 1
         }
       }
-      // a failed query must NOT masquerade as a fast one
-      (name, if (err.isDefined) -1.0 else median(times), err, times)
+      qr
     }
+    // MEDIAN-DRIFT escalation against the last CLEAN committed run
+    // (the r16 blind spot: a uniformly loaded box defeats every
+    // sample-shape signal). Drifted queries get 2 extra samples first —
+    // a transient spike that cleared mid-run re-converges and drops
+    // off the list; a genuinely loaded box stays >3x and the count
+    // feeds [[loadContaminated]].
+    val baseline =
+      baselineFile.map(readBaseline(_, sfDir)).getOrElse(Map.empty)
+    def medians(): Map[String, Double] =
+      runsList.map(qr => qr.name -> qr.med).toMap
+    if (baseline.nonEmpty && runs > 1) {
+      val first = driftedQueries(baseline, medians())
+      runsList.filter(qr => first.contains(qr.name) && qr.err.isEmpty)
+        .foreach(qr => (1 to 2).foreach(_ => qr.sample()))
+    }
+    val drifted =
+      if (baseline.isEmpty || runs <= 1) Seq.empty
+      else driftedQueries(baseline, medians())
+    val results = runsList.map(qr => (qr.name, qr.med, qr.err, qr.times))
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + rk(v) }
       .mkString("{", ",", "}")
     // per-query min/median/max across the runs: lets the artifact
@@ -233,13 +333,25 @@ object Bench {
       e.isEmpty && runs > 1 && medianSuspect(times)
     }
     val contaminated = loadContaminated(loadBefore, loadAfter,
-      spark.sparkContext.defaultParallelism, stillDispersed)
+      spark.sparkContext.defaultParallelism, stillDispersed, drifted.size)
+    val driftJson = drifted.map { q =>
+      "\"" + q + "\":{\"base\":" + rk(baseline(q)) + ",\"med\":" +
+        rk(runsList.find(_.name == q).map(_.med).getOrElse(-1.0)) + "}"
+    }.mkString("{", ",", "}")
     val compact = s""""value":${rk(total)},"unit":"sec","runs":$runs,""" +
       s""""load_contaminated":$contaminated,""" +
       s""""dispersed_after_escalation":$stillDispersed,""" +
+      s""""drifted_vs_clean_baseline":${drifted.size},""" +
       s""""warm_sec":${rk(warmTotal)},"errors":$errs,"queries":$qs"""
     val detail = s""""loadavg":{"before":$loadBefore,"after":$loadAfter},""" +
-      s""""warm":$warmJson,"spread":$spread"""
+      s""""drift":$driftJson,"warm":$warmJson,"spread":$spread"""
+    // a clean, error-free run becomes the NEXT run's drift reference
+    // frame; contaminated or failing runs must never poison it
+    if (baselineFile.isDefined && !contaminated &&
+        results.forall(_._3.isEmpty) && warm.forall(_._2 >= 0))
+      writeArtifact(baselineFile.get, Seq(
+        s"""{"metric":"clean_baseline","value":${rk(total)},""" +
+          s""""unit":"sec","runs":$runs,"sf":"$sfDir","queries":$qs}"""))
     val minimal = minimalFields(total, runs, contaminated, stillDispersed,
       results.size, results.count(_._3.isDefined))
     (compact, detail,
@@ -276,7 +388,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val (compact, detail, failed, minimal) = timeSuite(spark, sfDir, runs)
+    val (compact, detail, failed, minimal) =
+      timeSuite(spark, sfDir, runs, Some(BaselineFile))
     val totalLine = s"""{"metric":"total",$compact,"sf":"$sfDir"}"""
     val detailLine = s"""{"metric":"detail",$detail,"sf":"$sfDir"}"""
     val minLine = s"""{"metric":"total_min",$minimal,"sf":"$sfDir"}"""

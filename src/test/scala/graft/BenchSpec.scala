@@ -44,8 +44,8 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.loadContaminated(j(3.03), j(0.5), benchThreads = 4))
     // the bench's OWN sbt/JVM startup tail (<= threshold) stays clean
     assert(!Bench.loadContaminated(j(beforeT - 0.1), j(0.5), benchThreads = 4))
-    // after-sample within the bench's own parallelism allowance: clean
-    assert(!Bench.loadContaminated(j(0.5), j(4 + q - 0.1), benchThreads = 4))
+    // after-sample within the bench's own ramp allowance: clean
+    assert(!Bench.loadContaminated(j(0.5), j(3.4), benchThreads = 4))
     // after-sample beyond self-load + quarter-box: foreign co-tenant
     assert(Bench.loadContaminated(j(0.5), j(4 + q + 1), benchThreads = 4))
     // unavailable /proc/loadavg never flags
@@ -67,6 +67,70 @@ class BenchSpec extends AnyFunSuite {
       "median sitting on inflated samples must flag")
     assert(Bench.dispersed(Seq(0.15, 0.17, 3.4)),
       "the same shape still warrants MORE SAMPLES (escalation)")
+  }
+
+  test("median drift vs clean baseline: flags the r16 loaded-box shape") {
+    // the exact r16 blind spot: before-load 1.42 (< 2, passes), after
+    // 4.65 (< threads + cpus/4, passes), zero dispersal — yet queries
+    // untouched for ten rounds ran 5-16x their committed clean
+    // medians. The drift detector is the only signal that fires.
+    val clean = Map("q31_ann_lsh" -> 1.07, "q37_grouping_sets" -> 0.38,
+      "q38_stats_agg" -> 0.29, "q14_limit" -> 0.14, "q60_sem" -> 2.46)
+    val loaded = Map("q31_ann_lsh" -> 11.0, "q37_grouping_sets" -> 4.51,
+      "q38_stats_agg" -> 4.76, "q14_limit" -> 0.30, "q60_sem" -> 2.60)
+    val drifted = Bench.driftedQueries(clean, loaded)
+    assert(drifted === Seq("q31_ann_lsh", "q37_grouping_sets", "q38_stats_agg"))
+    assert(Bench.loadContaminated("[1.42,1.59,1.57]", "[4.65,3.71,2.5]",
+      benchThreads = 32, dispersedAfterEscalation = 0,
+      driftedVsBaseline = drifted.size), "the r16 artifact must self-label")
+    // an idle same-plan re-run drifts 0-1 queries (committed history:
+    // every consecutive clean pair shows <= 1) — must stay clean
+    val rerun = Map("q31_ann_lsh" -> 0.95, "q37_grouping_sets" -> 0.41,
+      "q38_stats_agg" -> 0.33, "q14_limit" -> 0.41, "q60_sem" -> 2.2)
+    assert(Bench.driftedQueries(clean, rerun) === Seq.empty,
+      "sub-floor noise (q14 0.14->0.41) must not count as drift")
+    // ONE genuine >3x drift (a real single-query regression) must not
+    // impeach the whole run — regressions are per-query signal, not
+    // box contamination
+    val oneReg = rerun.updated("q60_sem", 9.0)
+    assert(Bench.driftedQueries(clean, oneReg) === Seq("q60_sem"))
+    assert(!Bench.loadContaminated("[0.5,0,0]", "[2.0,0,0]",
+      benchThreads = 32, driftedVsBaseline = 1))
+    // a failed query (med = -1) never counts as drifted
+    assert(Bench.driftedQueries(clean,
+      Map("q31_ann_lsh" -> -1.0)) === Seq.empty)
+  }
+
+  test("mid-run load ramp beyond the bench's own allowance flags") {
+    // clean history ramps at most +7.95 (the suite's own threads under
+    // the 1-min decay); a +12 ramp is a co-tenant landing mid-run
+    assert(Bench.loadContaminated("[1.0,0,0]", "[13.0,0,0]",
+      benchThreads = 32))
+    assert(!Bench.loadContaminated("[1.0,0,0]", "[9.0,0,0]",
+      benchThreads = 32), "the bench's own ramp must not flag")
+    // before unavailable -> the ramp signal never fires
+    assert(!Bench.loadContaminated("null", "[13.0,0,0]",
+      benchThreads = 32))
+  }
+
+  test("readBaseline: sf-mismatched or missing baselines disarm cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    val f = new java.io.File(dir, "baseline.json")
+    java.nio.file.Files.write(f.toPath,
+      """{"metric":"clean_baseline","sf":"/root/testdata/sf0.1","queries":{"q01":0.25,"q02":1.5}}"""
+        .getBytes("UTF-8"))
+    assert(Bench.readBaseline(f.getAbsolutePath, "/root/testdata/sf0.1") ===
+      Map("q01" -> 0.25, "q02" -> 1.5))
+    // an sf0.01 local baseline must NOT become the sf0.1 reference
+    // frame (every query would read as drifted)
+    assert(Bench.readBaseline(f.getAbsolutePath, "/root/testdata/sf0.01")
+      === Map.empty)
+    assert(Bench.readBaseline(
+      new java.io.File(dir, "absent.json").getAbsolutePath,
+      "/root/testdata/sf0.1") === Map.empty)
+    java.nio.file.Files.write(f.toPath, "{not json".getBytes("UTF-8"))
+    assert(Bench.readBaseline(f.getAbsolutePath, "/root/testdata/sf0.1")
+      === Map.empty)
   }
 
   test("merged artifact format: total + detail + duckdb_total, one JSON line each") {
