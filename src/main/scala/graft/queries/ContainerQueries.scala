@@ -681,8 +681,13 @@ object ContainerQueries {
     * one file, as a fleet mid-rmw-upgrade would record them.
     */
   private def mutableFixture(s: SparkSession, d: String): String = synchronized {
+    // own versioned salt (not the shared cacheKey "v2"): a change to
+    // the mutable ENCODER's wire output for the same testdata must
+    // invalidate exactly this fixture — bump "mutablev1" with it
+    val ev = new java.io.File(d, "events.parquet")
+    val key = md5Key(s"mutablev1:$d:${ev.length}:${ev.lastModified}")
     val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_mutable_" + cacheKey(d))
+      sys.props("java.io.tmpdir"), "graft_mutable_" + key)
     dir.mkdirs()
     val f = new java.io.File(dir, "events_mutable.mcap")
     val done = new java.io.File(dir, "_built")

@@ -322,6 +322,12 @@ object CdrColumnarRead {
         require(len >= 0,
           s"negative mutable member length $len (id $id) in ${msg.fullName}")
         val end = buf.position() + len
+        // fail at the member header with the type named — without this
+        // an oversized declared length only surfaces as a bare
+        // IllegalArgumentException from ByteBuffer.position(end)
+        require(end <= buf.limit(),
+          s"mutable member length $len (id $id) at ${buf.position()} " +
+            s"exceeds the ${buf.limit()}-byte payload in ${msg.fullName}")
         if (id >= 0 && id < fields.length) {
           require(!seen(id), s"duplicate mutable member id $id in ${msg.fullName}")
           seen(id) = true

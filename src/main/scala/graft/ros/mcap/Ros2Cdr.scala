@@ -385,8 +385,12 @@ object CdrCodec {
     val fields = msg.fields.filterNot(_.isConstant).toIndexedSeq
     val slots = new Array[Seq[Any]](fields.length)
     def member(id: Int, must: Boolean, len: Int): Unit = {
-      require(len >= 0 && len <= r.payloadLength,
-        s"mutable member length $len (id $id) exceeds the payload in ${msg.fullName}")
+      // bound at the member HEADER (position + len, not len alone): a
+      // declared length overrunning the remaining payload must fail
+      // here with the type named, not later as a generic take() error
+      require(len >= 0 && r.position + len <= r.payloadLength,
+        s"mutable member length $len (id $id) at ${r.position} exceeds " +
+          s"the ${r.payloadLength}-byte payload in ${msg.fullName}")
       val end = r.position + len
       if (id >= 0 && id < fields.length) {
         require(slots(id) == null,
@@ -628,6 +632,11 @@ object CdrCodec {
                             it: Iterator[Any], w: Writer,
                             flavor: CdrFlavor): Unit = {
     val fields = msg.fields.filterNot(_.isConstant)
+    // reads the leading u32 LITTLE-endian unconditionally: Writer is
+    // LE-only (it always stamps the repLe encapsulation ids), so the
+    // member bytes here are LE by construction. If a BE encode mode
+    // ever lands, derive this read order from the flavor or LC 5 will
+    // silently mislabel member lengths.
     def leadingCount(b: Array[Byte]): Long =
       if (b.length < 4) -1L
       else (b(0) & 0xFFL) | ((b(1) & 0xFFL) << 8) |
