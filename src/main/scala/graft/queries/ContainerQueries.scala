@@ -672,6 +672,33 @@ object ContainerQueries {
           count(lit(1)).as("docs_unique"),
           sum(col("nchars")).as("uniq_chars"))
         .orderBy(col("source"))
+    }),
+
+    // Q99 — the crawl path's WIRE-DECODE matrix, CHECKED per document:
+    // the corpus HTML-wrapped and written with each doc's slot picking
+    // its HTTP wire form — identity, Content-Encoding: gzip,
+    // Transfer-Encoding: chunked, chunked-over-gzip, and a
+    // header-less-charset page (charset only in <meta>, or only a
+    // BOM for text ISO-8859-1 can't carry). format("warc") must
+    // reverse the declared encodings (de-chunk, then inflate) and
+    // html_text must run the HTML5 sniff (BOM > meta > utf-8) before
+    // each document's text comes back bit-exactly (q95's md5 gate).
+    // enc_left pins "fully decoded" INSIDE the oracle equality: any
+    // leftover chain on any row breaks the NULL column.
+    "q99_warc_encoded" -> ((s, d) => {
+      val dir = encodedWarcFixture(s, d)
+      val text = org.apache.spark.sql.graftfns.HtmlText.htmlText(
+        col("payload"), col("http_content_type"))
+      s.read.format("warc").load(dir)
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .withColumn("doc_id",
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long"))
+        .withColumn("text", text)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("text_md5"),
+          length(col("text")).cast("long").as("nchars"),
+          col("http_content_encoding").as("enc_left"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q97's fixture: the events slice on one cdr channel, each message
@@ -870,6 +897,82 @@ object ContainerQueries {
             }
           java.nio.file.Files.write(
             new java.io.File(stage, f"html-$shard%02d.warc.gz").toPath,
+            WarcFormat.writeWarc(recs, gzipPerRecord = true))
+        }
+      }
+    }
+
+  /** q99's fixture: the documents corpus HTML-wrapped (extraction-
+    * invertible like q95's) with the WIRE form cycling by doc_id%5:
+    * identity / gzip entity / chunked framing / chunked-over-gzip /
+    * header-without-charset. The last slot declares its charset only
+    * IN the document — `<meta charset="iso-8859-1">` when the text is
+    * Latin-1-encodable, a UTF-16LE BOM otherwise — so the HTML5 sniff
+    * sits inside the oracle equality for genuinely non-ASCII bytes.
+    */
+  private def encodedWarcFixture(s: SparkSession, d: String): String =
+    synchronized {
+      val docs = new java.io.File(d, "documents.parquet")
+      val key = md5Key(s"encwarcv2:$d:${docs.length}:${docs.lastModified}")
+      publishStaged("graft_encwarc_" + key) { stage =>
+        import graft.warc.WarcFormat
+        stage.mkdirs()
+        val rows = documents(s, d).select(col("doc_id"), col("text")).collect()
+        def esc(t: String): String = t
+          .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        def html(id: Long, text: String, meta: String): String =
+          s"""<html><head>$meta<title></title>
+             |<script>if (1 < 2) { x = "</p>"; }</script></head>
+             |<body><!-- enc fixture $id --><p>${esc(text)}</p>
+             |</body></html>""".stripMargin
+        (0 until 2).foreach { shard =>
+          val recs = rows.filter(_.getLong(0) % 2 == shard)
+            .sortBy(_.getLong(0)).toSeq.map { r =>
+              val id = r.getLong(0)
+              val text = r.getString(1)
+              val plainBody = html(id, text, "").getBytes("UTF-8")
+              val (wire, ct, extra) = (id % 5) match {
+                case 0 =>
+                  (plainBody, "text/html; charset=utf-8", Seq.empty[String])
+                case 1 =>
+                  (WarcFormat.gzipBody(plainBody), "text/html; charset=utf-8",
+                    Seq("Content-Encoding: gzip"))
+                case 2 =>
+                  (WarcFormat.chunkedBody(plainBody, 64),
+                    "text/html; charset=utf-8",
+                    Seq("Transfer-Encoding: chunked"))
+                case 3 =>
+                  // the real-wire nesting: entity gzipped, then the
+                  // message chunk-framed — reversed transfer-first
+                  (WarcFormat.chunkedBody(WarcFormat.gzipBody(plainBody), 64),
+                    "text/html; charset=utf-8",
+                    Seq("Content-Encoding: gzip",
+                      "Transfer-Encoding: chunked"))
+                case _ =>
+                  // half the slot takes the BOM path UNCONDITIONALLY:
+                  // UTF-16LE bytes under a failed sniff decode as
+                  // utf-8 garbage, so the md5 gate is hard even for
+                  // pure-ASCII text (where a wrong meta-sniff fallback
+                  // would be value-invisible); the other half gates
+                  // the <meta> scan and is additionally value-hard
+                  // whenever the corpus carries Latin-1 codepoints
+                  val h = html(id, text, "")
+                  if (id % 10 == 9 || !h.forall(_ <= 0xFF))
+                    (Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+                      h.getBytes(java.nio.charset.StandardCharsets.UTF_16LE),
+                      "text/html", Seq.empty[String])
+                  else
+                    (html(id, text, "<meta charset=\"iso-8859-1\">")
+                      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+                      "text/html", Seq.empty[String])
+              }
+              WarcFormat.WriteRecord("response",
+                s"https://crawl.example.com/doc/$id",
+                WarcFormat.httpResponseBlock(wire, ct, extra),
+                contentType = "application/http; msgtype=response")
+            }
+          java.nio.file.Files.write(
+            new java.io.File(stage, f"enc-$shard%02d.warc.gz").toPath,
             WarcFormat.writeWarc(recs, gzipPerRecord = true))
         }
       }
@@ -1402,6 +1505,16 @@ object ContainerQueries {
     // the same duplication rule (doc_id%3==0 recrawled once), the same
     // collapse, the same ≥5-word gate, the same md5 dedup key —
     // recomputed straight off `documents`
+    // q95's inversion gate pointed at the wire-decode matrix: text
+    // recovery proves de-chunk + inflate + charset sniff all at once;
+    // enc_left NULL proves no row kept an undecoded chain
+    "q99_warc_encoded" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
+        |       CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |         AS BIGINT) AS nchars,
+        |       CAST(NULL AS VARCHAR) AS enc_left
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q98_crawl_pipeline" ->
       """WITH t AS (
         |  SELECT source, doc_id,

@@ -49,9 +49,16 @@ object WarcFormat {
       contentType: String, headers: Map[String, String],
       block: Array[Byte])
 
-  /** (status, contentType, body) of an `application/http` block. */
+  /** (status, contentType, body) of an `application/http` block.
+    * `remainingEncoding` is the part of the body's declared encoding
+    * chain the reader could NOT reverse ("" = body is plain entity
+    * bytes): unknown content-codings (br, zstd) surface the raw bytes
+    * WITH their name instead of failing the shard or — worse —
+    * letting compressed bytes masquerade as text (the silent-mojibake
+    * failure the loud-truncation contract exists to prevent).
+    */
   final case class HttpPayload(status: Int, contentType: String,
-      body: Array[Byte])
+      body: Array[Byte], remainingEncoding: String = "")
 
   /** Strict concatenated-gzip reader (RFC 1952) for `.warc.gz`
     * shards. Differences from `java.util.zip.GZIPInputStream`, all in
@@ -292,8 +299,24 @@ object WarcFormat {
   /** Split an `application/http` block into status, Content-Type and
     * body. None when the block carries no parseable HTTP head (the
     * caller then surfaces the raw block — truncated crawls exist).
+    *
+    * `decodeBody = true` additionally reverses the body's declared
+    * wire encodings — `Transfer-Encoding: chunked` framing first (the
+    * message layer), then `Content-Encoding: gzip/deflate` (the
+    * entity layer) — so `payload` carries the entity bytes a text
+    * pipeline actually wants. Common Crawl strips both before
+    * writing, but self-recorded crawls (Heritrix, wget) store the
+    * wire form; without this path `html_text` over a gzipped body
+    * silently yields mojibake. Corrupt framing or a truncated deflate
+    * stream FAILS LOUDLY; encodings the reader cannot reverse (br,
+    * zstd) keep the raw bytes and surface the leftover chain in
+    * [[HttpPayload.remainingEncoding]]. With `decodeBody = false`
+    * (payload not projected) the body is split but left as-is —
+    * status/content-type filters never pay for an inflate — while
+    * `remainingEncoding` still reports the full declared chain.
     */
-  def httpSplit(block: Array[Byte]): Option[HttpPayload] = {
+  def httpSplit(block: Array[Byte],
+      decodeBody: Boolean = false): Option[HttpPayload] = {
     var i = 0
     var split = -1
     while (split < 0 && i + 3 < block.length) {
@@ -309,12 +332,205 @@ object WarcFormat {
         try parts(1).toInt catch { case _: NumberFormatException => return None }
       case _ => return None
     }
-    val contentType = lines.drop(1).collectFirst {
-      case l if l.toLowerCase.startsWith("content-type:") =>
-        l.substring(l.indexOf(':') + 1).trim
-    }.getOrElse("")
-    Some(HttpPayload(status, contentType,
-      java.util.Arrays.copyOfRange(block, split + 4, block.length)))
+    def header(name: String): String = {
+      val p = name + ":"
+      lines.drop(1).collectFirst {
+        case l if l.toLowerCase.startsWith(p) =>
+          l.substring(l.indexOf(':') + 1).trim
+      }.getOrElse("")
+    }
+    val contentType = header("content-type")
+    val body = java.util.Arrays.copyOfRange(block, split + 4, block.length)
+    val transferEnc = header("transfer-encoding")
+    val contentEnc = header("content-encoding")
+    if (decodeBody) {
+      val (decoded, remaining) = decodePayload(body, transferEnc, contentEnc)
+      Some(HttpPayload(status, contentType, decoded, remaining))
+    } else
+      Some(HttpPayload(status, contentType, body,
+        remainingChain(transferEnc, contentEnc)))
+  }
+
+  private def encTokens(h: String): Seq[String] =
+    if (h.isEmpty) Seq.empty
+    else h.split(',').toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)
+      .filterNot(_ == "identity")
+
+  private def decodable(tok: String): Boolean =
+    tok == "gzip" || tok == "x-gzip" || tok == "deflate" || tok == "chunked"
+
+  /** The declared encoding chain the reader will NOT reverse, without
+    * touching the body: derivable from the headers alone, so a
+    * projection of `http_content_encoding` WITHOUT `payload` reports
+    * the same verdict the decode path would. Transfer layer leftovers
+    * are prefixed `te:` to keep the (theoretical) namespace collision
+    * between transfer- and content-codings visible. Encodings are
+    * reversed right-to-left (innermost applied first), so a chain
+    * stops being decodable at the first unknown token FROM THE RIGHT.
+    */
+  private[warc] def remainingChain(transferEnc: String,
+      contentEnc: String): String = {
+    val ct = encTokens(contentEnc)
+    val ctCut = ct.lastIndexWhere(!decodable(_)) + 1 // 0 = whole chain ok
+    val ctLeft = ct.take(ctCut)
+    val te = encTokens(transferEnc)
+    // the transfer layer wraps the content layer, so ANY content
+    // leftover also blocks the transfer decode below it
+    val teCut =
+      if (ctLeft.nonEmpty) te.length
+      else te.lastIndexWhere(!decodable(_)) + 1
+    (te.take(teCut).map("te:" + _) ++ ctLeft).mkString(",")
+  }
+
+  /** Reverse the declared encodings (see [[httpSplit]]): transfer
+    * layer right-to-left, then content layer right-to-left, stopping
+    * at the first token the reader cannot reverse; returns the body
+    * and the leftover chain in [[remainingChain]]'s format.
+    */
+  private[warc] def decodePayload(body: Array[Byte], transferEnc: String,
+      contentEnc: String): (Array[Byte], String) = {
+    var b = body
+    val te = encTokens(transferEnc)
+    var teLeft = te
+    var stopped = false
+    while (teLeft.nonEmpty && !stopped) {
+      teLeft.last match {
+        case "chunked" => b = dechunk(b); teLeft = teLeft.init
+        case "gzip" | "x-gzip" => b = gunzipStrict(b); teLeft = teLeft.init
+        case "deflate" => b = inflateAuto(b); teLeft = teLeft.init
+        case _ => stopped = true
+      }
+    }
+    var ctLeft = encTokens(contentEnc)
+    if (teLeft.isEmpty) {
+      stopped = false
+      while (ctLeft.nonEmpty && !stopped) {
+        ctLeft.last match {
+          case "gzip" | "x-gzip" => b = gunzipStrict(b); ctLeft = ctLeft.init
+          case "deflate" => b = inflateAuto(b); ctLeft = ctLeft.init
+          case _ => stopped = true
+        }
+      }
+    }
+    (b, (teLeft.map("te:" + _) ++ ctLeft).mkString(","))
+  }
+
+  /** De-frame `Transfer-Encoding: chunked` (RFC 7230 §4.1): hex size
+    * line (chunk extensions after ';' ignored), chunk octets, CRLF,
+    * repeated to the 0-size last-chunk; trailer fields through the
+    * final blank line are consumed and dropped. Malformed framing or
+    * truncation FAILS LOUDLY — a half-dechunked page is training data
+    * silently corrupted.
+    */
+  private[warc] def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(body.length)
+    var i = 0
+    def line(what: String): String = {
+      val at = {
+        var j = i
+        var found = -1
+        while (found < 0 && j + 1 < body.length) {
+          if (body(j) == '\r' && body(j + 1) == '\n') found = j
+          j += 1
+        }
+        found
+      }
+      if (at < 0) throw new IllegalArgumentException(
+        s"chunked body truncated in $what at offset $i")
+      val s = new String(body, i, at - i, UTF_8)
+      i = at + 2
+      s
+    }
+    var done = false
+    while (!done) {
+      val sizeLine = line("chunk size line")
+      val hex = sizeLine.indexOf(';') match {
+        case -1 => sizeLine.trim
+        case k => sizeLine.substring(0, k).trim
+      }
+      val n = try Integer.parseInt(hex, 16) catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"malformed chunk size line '${sizeLine.take(40)}'")
+      }
+      if (n < 0) throw new IllegalArgumentException(
+        s"negative chunk size in '$sizeLine'")
+      if (n == 0) done = true
+      else {
+        if (i + n > body.length) throw new IllegalArgumentException(
+          s"chunked body truncated: chunk of $n octets at offset $i " +
+            s"overruns the ${body.length}-byte body")
+        out.write(body, i, n)
+        i += n
+        if (i + 1 >= body.length || body(i) != '\r' || body(i + 1) != '\n')
+          throw new IllegalArgumentException(
+            s"chunk of $n octets not terminated by CRLF at offset $i")
+        i += 2
+      }
+    }
+    // trailer section: header lines through one blank line; absent
+    // trailers mean the next line IS the blank terminator. Tolerate a
+    // missing final CRLF at end-of-body (some writers drop it).
+    var trailerDone = i >= body.length
+    while (!trailerDone) {
+      val t = line("trailer section")
+      if (t.isEmpty) trailerDone = true
+      else if (i >= body.length) trailerDone = true
+    }
+    out.toByteArray
+  }
+
+  /** Strict gunzip via [[StrictGzipStream]] — truncated members,
+    * trailing garbage and CRC mismatches all throw.
+    */
+  private[warc] def gunzipStrict(body: Array[Byte]): Array[Byte] = {
+    val in = new StrictGzipStream(new java.io.ByteArrayInputStream(body))
+    val out = new ByteArrayOutputStream(body.length * 3)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** `Content-Encoding: deflate` officially means zlib-wrapped (RFC
+    * 7230 references RFC 1950), but a well-known population of
+    * servers ships RAW deflate under the same name — browsers accept
+    * both, so the reader does too: zlib first, raw on a zlib header
+    * mismatch. A stream that fails BOTH, or ends before the deflate
+    * stream does, throws.
+    */
+  private[warc] def inflateAuto(body: Array[Byte]): Array[Byte] = {
+    def run(raw: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(body)
+        val out = new ByteArrayOutputStream(body.length * 3)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+          else if (inf.needsInput() || inf.needsDictionary())
+            throw new IllegalArgumentException(
+              "deflate body truncated mid-stream")
+        }
+        out.toByteArray
+      } finally inf.end()
+    }
+    // a zlib stream starts with CMF 0x78 (CM=8, CINFO<=7) — cheap
+    // header sniff picks the right mode without a speculative parse
+    // that could ACCEPT garbage; the fallback covers CINFO variants
+    val zlibLikely = body.length >= 2 && (body(0) & 0x0f) == 8 &&
+      ((((body(0) & 0xff) << 8) | (body(1) & 0xff)) % 31 == 0)
+    try run(raw = !zlibLikely)
+    catch {
+      case e: java.util.zip.DataFormatException =>
+        try run(raw = zlibLikely)
+        catch {
+          case _: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"corrupt deflate body (both zlib and raw modes fail): " +
+                s"${e.getMessage}")
+        }
+    }
   }
 
   // ---- writer (fixtures + the export utility) ----
@@ -325,17 +541,65 @@ object WarcFormat {
       recordId: String = "", date: String = "2024-01-01T00:00:00Z")
 
   /** Wrap an HTTP 200 response head around a body — the shape one
-    * response record per crawled document takes.
+    * response record per crawled document takes. `extraHeaders` go in
+    * verbatim (fixtures declare Content-/Transfer-Encoding here; the
+    * body bytes must already BE in that wire form — see [[gzipBody]],
+    * [[deflateBody]], [[chunkedBody]]).
     */
   def httpResponseBlock(body: Array[Byte],
-      contentType: String = "text/plain; charset=utf-8"): Array[Byte] = {
+      contentType: String = "text/plain; charset=utf-8",
+      extraHeaders: Seq[String] = Seq.empty): Array[Byte] = {
     val head = s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
+      extraHeaders.map(_ + "\r\n").mkString +
       s"Content-Length: ${body.length}\r\n\r\n"
     val hb = head.getBytes(UTF_8)
     val out = new Array[Byte](hb.length + body.length)
     System.arraycopy(hb, 0, out, 0, hb.length)
     System.arraycopy(body, 0, out, hb.length, body.length)
     out
+  }
+
+  /** One-member gzip of an entity body (`Content-Encoding: gzip`). */
+  def gzipBody(body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(body.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(body); gz.close()
+    out.toByteArray
+  }
+
+  /** zlib-wrapped deflate (`Content-Encoding: deflate`, the RFC
+    * form); `raw = true` emits the header-less stream the well-known
+    * buggy-server population ships under the same name.
+    */
+  def deflateBody(body: Array[Byte], raw: Boolean = false): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+    try {
+      d.setInput(body); d.finish()
+      val out = new ByteArrayOutputStream(body.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Frame a body as `Transfer-Encoding: chunked` (RFC 7230 §4.1),
+    * one chunk per `chunkSize` octets plus the 0-size last-chunk and
+    * empty trailer section.
+    */
+  def chunkedBody(body: Array[Byte], chunkSize: Int = 512): Array[Byte] = {
+    require(chunkSize > 0, s"chunk size must be positive: $chunkSize")
+    val out = new ByteArrayOutputStream(body.length + 64)
+    var i = 0
+    while (i < body.length) {
+      val n = math.min(chunkSize, body.length - i)
+      out.write(s"${n.toHexString}\r\n".getBytes(UTF_8))
+      out.write(body, i, n)
+      out.write("\r\n".getBytes(UTF_8))
+      i += n
+    }
+    out.write("0\r\n\r\n".getBytes(UTF_8))
+    out.toByteArray
   }
 
   private def renderRecord(r: WriteRecord, ordinal: Int): Array[Byte] = {

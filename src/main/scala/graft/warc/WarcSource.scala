@@ -75,6 +75,12 @@ object WarcDataSource {
     StructField("content_type", StringType, nullable = false),
     StructField("http_status", IntegerType, nullable = true),
     StructField("http_content_type", StringType, nullable = true),
+    // the encoding chain REMAINING on `payload` beyond what the
+    // reader reverses (chunked framing, gzip, deflate): null = plain
+    // entity bytes, a name (e.g. "br") = bytes the reader surfaces
+    // still encoded — filter on IS NOT NULL to find pages text
+    // extraction would mis-decode
+    StructField("http_content_encoding", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = false)))
 
   def isWarc(name: String): Boolean =
@@ -377,9 +383,14 @@ object WarcStreamOffset {
 class WarcPartitionReader(filePath: String, required: StructType,
     filters: Array[Filter], limit: Int) extends PartitionReader[InternalRow] {
 
+  private val names = required.fieldNames.toSet
+  // only a projected payload pays for the body decode (dechunk +
+  // inflate); header-only projections and status filters split the
+  // block but never touch the entity bytes
+  private val needsPayload = names("payload")
   private val needsHttp = {
-    val names = required.fieldNames.toSet
-    names("http_status") || names("http_content_type") || names("payload") ||
+    names("http_status") || names("http_content_type") ||
+      names("http_content_encoding") || names("payload") ||
       filters.exists {
         case EqualTo("http_status", _) | In("http_status", _) |
              GreaterThan("http_status", _) | GreaterThanOrEqual("http_status", _) |
@@ -424,6 +435,9 @@ class WarcPartitionReader(filePath: String, required: StructType,
       case "http_status" => () => http.map(h => Int.box(h.status)).orNull
       case "http_content_type" => () =>
         http.map(h => UTF8String.fromString(h.contentType)).orNull
+      case "http_content_encoding" => () =>
+        http.filter(_.remainingEncoding.nonEmpty)
+          .map(h => UTF8String.fromString(h.remainingEncoding)).orNull
       case "payload" => () => http.map(_.body).getOrElse(current.block)
     }
   }
@@ -439,7 +453,7 @@ class WarcPartitionReader(filePath: String, required: StructType,
       if (!headerVerdicts.exists(_.contains(false))) {
         val h =
           if (needsHttp && r.contentType.toLowerCase.startsWith("application/http"))
-            WarcFormat.httpSplit(r.block)
+            WarcFormat.httpSplit(r.block, decodeBody = needsPayload)
           else None
         if (filters.zip(headerVerdicts).forall { case (f, v) =>
           v.getOrElse(WarcFilters.evalStatus(f, h.map(_.status))) }) {

@@ -28,9 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  1. charset from the `charset=` parameter of the HTTP
   *     Content-Type (quoted or bare, case-insensitive); absent,
-  *     unknown, or null → UTF-8. Malformed byte sequences decode to
-  *     U+FFFD (REPLACE) — a 100 TB scan must not lose a shard to one
-  *     mojibake page.
+  *     unknown, or null → the HTML5 document sniff (BOM, then a
+  *     `<meta>` declaration in the first 1024 bytes — see
+  *     [[HtmlText.sniffCharset]]) → UTF-8. Malformed byte sequences
+  *     decode to U+FFFD (REPLACE) — a 100 TB scan must not lose a
+  *     shard to one mojibake page.
   *  2. drop `<!-- … -->` comments, `<script>`/`<style>` elements WITH
   *     their contents (case-insensitive, unterminated → drop to end),
   *     and every remaining tag; each removal emits one space so text
@@ -83,17 +85,25 @@ case class HtmlText(left: Expression, right: Expression)
 
 object HtmlText {
 
-  /** Row kernel, shared verbatim by eval and codegen. */
+  /** Row kernel, shared verbatim by eval and codegen. Charset
+    * precedence mirrors the HTML5 encoding-sniffing order a browser
+    * applies: the transport (HTTP Content-Type charset param) wins;
+    * absent that, a BOM; absent that, a `<meta>` declaration in the
+    * document prescan window; UTF-8 as the final fallback. A large
+    * real-web fraction declares its charset ONLY in `<meta>` —
+    * header-only detection mis-decodes those pages.
+    */
   def extract(payload: Array[Byte], contentType: UTF8String): UTF8String = {
     val cs = charsetOf(if (contentType == null) null else contentType.toString)
+      .getOrElse(sniffCharset(payload))
     val html = decode(payload, cs)
     UTF8String.fromString(collapse(decodeEntities(stripMarkup(html))))
   }
 
-  /** `charset=` parameter of a Content-Type, bare or quoted; absent /
-    * unknown / unsupported → UTF-8.
+  /** `charset=` parameter of a Content-Type, bare or quoted; None
+    * when absent / unknown / unsupported (→ the caller sniffs).
     */
-  private[graftfns] def charsetOf(contentType: String): Charset = {
+  private[graftfns] def charsetOf(contentType: String): Option[Charset] = {
     if (contentType != null) {
       val lower = contentType.toLowerCase(java.util.Locale.ROOT)
       val at = lower.indexOf("charset=")
@@ -104,20 +114,83 @@ object HtmlText {
         val name = lower.substring(at + 8, e)
           .stripPrefix("\"").stripSuffix("\"")
         if (name.nonEmpty) {
-          try return Charset.forName(name)
-          catch { case _: Exception => () } // unknown → UTF-8 fallback
+          try return Some(Charset.forName(name))
+          catch { case _: Exception => () } // unknown → sniff fallback
         }
       }
+    }
+    None
+  }
+
+  /** HTML5 prescan window: the spec's algorithm examines the first
+    * 1024 bytes for a `<meta>` declaration.
+    */
+  private val PrescanBytes = 1024
+
+  /** Document-level charset detection for a header without one, in
+    * HTML5 precedence order: byte-order mark (UTF-8 / UTF-16LE/BE),
+    * then `<meta charset="x">` or `<meta http-equiv="content-type"
+    * content="...; charset=x">` within the first 1024 bytes (scanned
+    * as ASCII — every charset this sniff can RETURN is an
+    * ASCII-compatible superset or BOM-marked, so the prescan bytes
+    * read identically); UTF-8 otherwise.
+    */
+  private[graftfns] def sniffCharset(payload: Array[Byte]): Charset = {
+    val n = payload.length
+    if (n >= 3 && (payload(0) & 0xff) == 0xef && (payload(1) & 0xff) == 0xbb &&
+        (payload(2) & 0xff) == 0xbf) return StandardCharsets.UTF_8
+    if (n >= 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xfe)
+      return StandardCharsets.UTF_16LE
+    if (n >= 2 && (payload(0) & 0xff) == 0xfe && (payload(1) & 0xff) == 0xff)
+      return StandardCharsets.UTF_16BE
+    val win = new String(payload, 0, math.min(n, PrescanBytes),
+      StandardCharsets.US_ASCII).toLowerCase(java.util.Locale.ROOT)
+    var i = win.indexOf("<meta")
+    while (i >= 0) {
+      val end = win.indexOf('>', i) match { case -1 => win.length; case e => e }
+      val tag = win.substring(i, end)
+      val at = tag.indexOf("charset=")
+      if (at >= 0) {
+        var s = at + 8
+        // both attribute forms quote-wrap: charset="x" / charset='x',
+        // and the http-equiv content value nests bare charset=x inside
+        // its own quotes
+        if (s < tag.length && (tag.charAt(s) == '"' || tag.charAt(s) == '\''))
+          s += 1
+        var e = s
+        while (e < tag.length && tag.charAt(e) != '"' && tag.charAt(e) != '\'' &&
+          tag.charAt(e) != ';' && tag.charAt(e) != '/' &&
+          !Character.isWhitespace(tag.charAt(e))) e += 1
+        val name = tag.substring(s, e)
+        if (name.nonEmpty) {
+          try {
+            val cs = Charset.forName(name)
+            // the prescan cannot have read a UTF-16 document as ASCII;
+            // a meta claiming utf-16 means the bytes are really an
+            // ASCII superset (the HTML5 rule: treat as UTF-8)
+            return if (cs == StandardCharsets.UTF_16LE ||
+              cs == StandardCharsets.UTF_16BE ||
+              cs.name.startsWith("UTF-16")) StandardCharsets.UTF_8
+            else cs
+          } catch { case _: Exception => () } // unknown name: keep scanning
+        }
+      }
+      i = win.indexOf("<meta", i + 5)
     }
     StandardCharsets.UTF_8
   }
 
-  /** Bytes → string with U+FFFD replacement on malformed sequences. */
+  /** Bytes → string with U+FFFD replacement on malformed sequences.
+    * A leading U+FEFF is a byte-order MARK, not content (it decodes
+    * to a character under utf-8/utf-16 whether the charset came from
+    * the header or the sniff) — dropped, as browsers do.
+    */
   private[graftfns] def decode(bytes: Array[Byte], cs: Charset): String = {
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)
       .onUnmappableCharacter(CodingErrorAction.REPLACE)
-    dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    val s = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
   }
 
   private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {

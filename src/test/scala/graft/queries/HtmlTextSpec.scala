@@ -133,6 +133,48 @@ class HtmlTextSpec extends SparkTestBase {
     assert(HtmlText.extract(bad, null).toString === "�")
   }
 
+  test("charset sniffing: BOM, meta charset, http-equiv, prescan window") {
+    def sniffed(bytes: Array[Byte]): String =
+      HtmlText.extract(bytes, UTF8String.fromString("text/html")).toString
+    val body = "<html><head><meta charset=\"iso-8859-1\"></head>" +
+      "<body><p>café</p></body></html>"
+    // header carries no charset → the meta declaration decides
+    assert(sniffed(body.getBytes("ISO-8859-1")) === "café")
+    // http-equiv form, single quotes, charset nested in content=
+    val he = "<html><head><meta http-equiv='Content-Type' " +
+      "content='text/html; charset=iso-8859-1'></head><body>café</body></html>"
+    assert(sniffed(he.getBytes("ISO-8859-1")) === "café")
+    // BOMs outrank meta and decode without any declaration at all
+    val plain = "<p>café €5</p>"
+    val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++ plain.getBytes("UTF-16LE")
+    assert(sniffed(le) === "café €5")
+    val be = Array[Byte](0xFE.toByte, 0xFF.toByte) ++ plain.getBytes("UTF-16BE")
+    assert(sniffed(be) === "café €5")
+    val u8 = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      plain.getBytes("UTF-8")
+    assert(sniffed(u8) === "café €5", "utf-8 BOM is a mark, not content")
+    // a leading BOM never leaks into the text even when the header
+    // declares the charset
+    assert(HtmlText.extract(u8,
+      UTF8String.fromString("text/html; charset=utf-8")).toString
+      === "café €5")
+    // header charset (when present) outranks a contradicting meta
+    assert(HtmlText.extract(body.getBytes("ISO-8859-1"),
+      UTF8String.fromString("text/html; charset=iso-8859-1")).toString
+      === "café")
+    // meta claiming utf-16 on ASCII-superset bytes → utf-8 (HTML5 rule)
+    val lie = "<meta charset=\"utf-16le\"><p>café</p>"
+    assert(sniffed(lie.getBytes("UTF-8")) === "café")
+    // a meta OUTSIDE the 1024-byte prescan window is not consulted
+    val far = "<html><head>" + ("<!-- pad -->" * 120) +
+      "<meta charset=\"iso-8859-1\"></head><body>café</body></html>"
+    assert(sniffed(far.getBytes("UTF-8")) === "café",
+      "beyond the window the utf-8 fallback applies (and the bytes ARE utf-8)")
+    // unknown meta name keeps scanning; none left → utf-8
+    assert(sniffed("<meta charset=\"klingon\"><p>ok</p>".getBytes("UTF-8"))
+      === "ok")
+  }
+
   test("malformed markup goldens: document-order, drop-to-end, literal entities") {
     // unterminated constructs drop to end — raw script must not leak
     assert(extract("a <script>var x = 1; b") === "a")

@@ -87,6 +87,149 @@ class WarcSpec extends SparkTestBase {
       .count() === 7)
   }
 
+  test("http body decoding: gzip, deflate (zlib + raw), chunked, chained") {
+    val body = ("Etaoin shrdlu " * 40).getBytes("UTF-8")
+    def block(wire: Array[Byte], extra: String*) =
+      httpResponseBlock(wire, "text/html; charset=utf-8", extra)
+    def decoded(wire: Array[Byte], extra: String*) = {
+      val h = httpSplit(block(wire, extra: _*), decodeBody = true).get
+      (h.body.toSeq, h.remainingEncoding)
+    }
+    assert(decoded(gzipBody(body), "Content-Encoding: gzip")
+      === (body.toSeq, ""))
+    assert(decoded(deflateBody(body), "Content-Encoding: deflate")
+      === (body.toSeq, ""), "zlib-wrapped deflate (the RFC form)")
+    assert(decoded(deflateBody(body, raw = true), "Content-Encoding: deflate")
+      === (body.toSeq, ""), "raw deflate (the buggy-server population)")
+    assert(decoded(chunkedBody(body, 37), "Transfer-Encoding: chunked")
+      === (body.toSeq, ""))
+    // the real-wire chain: entity gzipped, message chunked — reversed
+    // transfer-first
+    assert(decoded(chunkedBody(gzipBody(body), 50),
+      "Content-Encoding: gzip", "Transfer-Encoding: chunked")
+      === (body.toSeq, ""))
+    // x-gzip alias and a chunk-extension size line
+    assert(decoded(gzipBody(body), "Content-Encoding: x-gzip")
+      === (body.toSeq, ""))
+    val ext = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(s"${body.length.toHexString};name=v\r\n".getBytes("UTF-8"))
+      b.write(body); b.write("\r\n0\r\n\r\n".getBytes("UTF-8"))
+      b.toByteArray
+    }
+    assert(decoded(ext, "Transfer-Encoding: chunked") === (body.toSeq, ""))
+    // identity tokens are transparent
+    assert(decoded(body, "Content-Encoding: identity") === (body.toSeq, ""))
+    // header-only split (decodeBody = false) leaves the wire bytes
+    val h = httpSplit(block(gzipBody(body), "Content-Encoding: gzip")).get
+    assert(h.body.toSeq === gzipBody(body).toSeq && h.remainingEncoding === "")
+  }
+
+  test("undecodable encodings surface raw bytes plus the leftover chain") {
+    val body = "br-compressed-pretend".getBytes("UTF-8")
+    val blk = httpResponseBlock(body, "text/html",
+      Seq("Content-Encoding: br"))
+    val h = httpSplit(blk, decodeBody = true).get
+    assert(h.body.toSeq === body.toSeq && h.remainingEncoding === "br",
+      "unknown coding: raw bytes kept, chain surfaced — never mojibake-silent")
+    // gzip OUTSIDE br decodes; br remains
+    val blk2 = httpResponseBlock(gzipBody(body), "text/html",
+      Seq("Content-Encoding: br, gzip"))
+    val h2 = httpSplit(blk2, decodeBody = true).get
+    assert(h2.body.toSeq === body.toSeq && h2.remainingEncoding === "br")
+    // a content leftover blocks the transfer layer below it
+    assert(remainingChain("chunked", "br") === "te:chunked,br")
+    assert(remainingChain("chunked", "gzip") === "")
+    assert(remainingChain("", "br, gzip") === "br")
+    assert(remainingChain("", "gzip") === "")
+  }
+
+  test("corrupt encoded bodies fail loudly, with context") {
+    val body = ("quality data " * 30).getBytes("UTF-8")
+    def split(wire: Array[Byte], extra: String*) =
+      httpSplit(httpResponseBlock(wire, "text/html", extra),
+        decodeBody = true)
+    // corrupt deflate stream
+    val garbage = Array.fill[Byte](64)(0x55)
+    val e1 = intercept[IllegalArgumentException] {
+      split(garbage, "Content-Encoding: deflate")
+    }
+    assert(e1.getMessage.contains("deflate"))
+    // truncated gzip member
+    val gz = gzipBody(body)
+    val e2 = intercept[IllegalArgumentException] {
+      split(java.util.Arrays.copyOfRange(gz, 0, gz.length - 6),
+        "Content-Encoding: gzip")
+    }
+    assert(e2.getMessage.contains("truncated") ||
+      e2.getMessage.contains("trailer"))
+    // malformed chunk framing: bad size line, overrun, missing CRLF
+    val e3 = intercept[IllegalArgumentException] {
+      split("zz\r\nabc\r\n0\r\n\r\n".getBytes("UTF-8"),
+        "Transfer-Encoding: chunked")
+    }
+    assert(e3.getMessage.contains("chunk size"))
+    val e4 = intercept[IllegalArgumentException] {
+      split("ff\r\nshort\r\n0\r\n\r\n".getBytes("UTF-8"),
+        "Transfer-Encoding: chunked")
+    }
+    assert(e4.getMessage.contains("overruns"))
+    val e5 = intercept[IllegalArgumentException] {
+      split("3\r\nabcX\r\n0\r\n\r\n".getBytes("UTF-8"),
+        "Transfer-Encoding: chunked")
+    }
+    assert(e5.getMessage.contains("CRLF"))
+  }
+
+  test("source: payload projection decodes; http_content_encoding column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_enc").toFile
+    val body = "the entity text".getBytes("UTF-8")
+    val recs = Seq(
+      WriteRecord("response", "https://ex.com/gz",
+        httpResponseBlock(gzipBody(body), "text/plain; charset=utf-8",
+          Seq("Content-Encoding: gzip")),
+        contentType = "application/http; msgtype=response"),
+      WriteRecord("response", "https://ex.com/br",
+        httpResponseBlock("opaque".getBytes("UTF-8"), "text/plain",
+          Seq("Content-Encoding: br")),
+        contentType = "application/http; msgtype=response"),
+      WriteRecord("response", "https://ex.com/plain",
+        httpResponseBlock(body, "text/plain"),
+        contentType = "application/http; msgtype=response"))
+    val f = new java.io.File(dir, "enc.warc.gz")
+    java.nio.file.Files.write(f.toPath, writeWarc(recs, gzipPerRecord = true))
+    val df = spark.read.format("warc").load(f.getAbsolutePath)
+    val rows = df.select("target_uri", "http_content_encoding", "payload")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), new String(r.getAs[Array[Byte]](2), "UTF-8")))
+      .toMap
+    assert(rows("https://ex.com/gz") === (None, "the entity text"),
+      "gzip body decodes; no leftover encoding")
+    assert(rows("https://ex.com/br") === (Some("br"), "opaque"),
+      "br surfaces raw with the chain visible")
+    assert(rows("https://ex.com/plain") === (None, "the entity text"))
+    // header-only projections never pay for (or trip over) the body:
+    // corrupt gzip body + no payload column = clean read
+    val bad = new java.io.File(dir, "bad.warc")
+    java.nio.file.Files.write(bad.toPath, writeWarc(Seq(
+      WriteRecord("response", "https://ex.com/corrupt",
+        httpResponseBlock(Array.fill[Byte](32)(0x55),
+          "text/plain", Seq("Content-Encoding: gzip")),
+        contentType = "application/http; msgtype=response"))))
+    val headerOnly = spark.read.format("warc").load(bad.getAbsolutePath)
+      .select("target_uri", "http_status", "http_content_encoding")
+    assert(headerOnly.collect().map(r =>
+      (r.getString(0), r.getInt(1), Option(r.getString(2)))).toSeq ===
+      Seq(("https://ex.com/corrupt", 200, None)))
+    // ...but projecting payload trips the strict decode (collect, not
+    // count — count prunes the payload column and the decode with it)
+    val ex = intercept[Exception] {
+      spark.read.format("warc").load(bad.getAbsolutePath)
+        .select("payload").collect()
+    }
+    assert(causeMessages(ex).toLowerCase.contains("gzip"))
+  }
+
   test("malformed framing fails loudly, never silently skips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_bad").toFile
     val good = writeWarc(fixtureRecords(1))
