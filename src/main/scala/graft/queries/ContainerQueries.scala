@@ -634,23 +634,30 @@ object ContainerQueries {
     }),
 
     // Q98 — the crawl CURATION pipeline end-to-end, CHECKED: WARC
-    // shards (with a third "recrawl" shard duplicating every third
-    // document under a ?recrawl=1 uri) → format("warc") ingestion →
-    // html_text extraction → word-count quality gate → EXACT dedup on
-    // the extracted text's md5 → per-source corpus stats. This is the
+    // shards (with a third "recrawl" shard of genuine `revisit`
+    // records — body elided, payload digest + refers-to, as a
+    // deduplicating crawler stores re-fetches) → format("warc")
+    // ingestion → REVISIT RESOLUTION (the crawl-native exact-dedup
+    // signal: revisit counts join the response spine on the sha1
+    // digest the crawler itself computed, so duplicates never pay
+    // extraction) → html_text once per STORED page → word-count
+    // quality gate → exact dedup on the extracted text's md5 weighted
+    // by fetch multiplicity → per-source corpus stats. This is the
     // q94→q95→q24 composition as ONE dataflow: the oracle recomputes
     // total/unique/char counts straight off `documents` with the same
-    // duplication rule, so ingestion fidelity, extraction inversion,
-    // the quality predicate and the dedup key all sit inside a single
-    // DuckDB equality. The shape is the at-scale one: one shuffle on
-    // the dedup key (md5 groupBy), then a partial-aggregable rollup —
-    // no self-join, no window over the corpus.
+    // duplication rule, so ingestion fidelity, digest attribution,
+    // extraction inversion, the quality predicate and the dedup key
+    // all sit inside a single DuckDB equality. Scale shape: the
+    // revisit side partial-aggs to (digest, count) before its join,
+    // one shuffle on the text-dedup key, then a partial-aggregable
+    // rollup — no self-join, no window over the corpus.
     "q98_crawl_pipeline" -> ((s, d) => {
       val dir = dupCrawlFixture(s, d)
       val text = org.apache.spark.sql.graftfns.HtmlText.htmlText(
         col("payload"), col("http_content_type"))
-      s.read.format("warc").load(dir)
-        .filter(col("warc_type") === "response" && col("http_status") === 200)
+      val crawl = s.read.format("warc").load(dir)
+      graft.warc.RevisitResolve.resolve(crawl)
+        .filter(col("http_status") === 200)
         .withColumn("source",
           regexp_extract(col("target_uri"), "https://([^.]+)\\.", 1))
         .withColumn("t", text)
@@ -663,7 +670,7 @@ object ContainerQueries {
         // shape keeps extraction at one evaluation per record for the
         // cost of shuffling rejected groups' 48-byte agg rows
         .groupBy(col("source"), md5(col("t").cast("binary")).as("text_md5"))
-        .agg(count(lit(1)).as("copies"),
+        .agg(sum(col("copies")).as("copies"),
           min(length(col("t")).cast("long")).as("nchars"),
           min(size(split(col("t"), " "))).as("words"))
         .filter(col("words") >= lit(5)) // quality: ≥5 words
@@ -752,17 +759,21 @@ object ContainerQueries {
   }
 
   /** q98's fixture: the documents corpus HTML-wrapped into THREE
-    * member-gzipped WARC shards — even ids, odd ids, and a "recrawl"
-    * shard repeating every doc_id%3==0 document under a ?recrawl=1
-    * uri (same body → an exact duplicate after extraction). The wrap
-    * is extraction-invertible (escaped text in one `<p>` amid
+    * member-gzipped WARC shards — even ids, odd ids, and (since
+    * round 17) a "recrawl" shard of GENUINE `revisit` records: every
+    * doc_id%3==0 document re-fetched under a ?recrawl=1 uri, stored
+    * as the deduplicating-crawler shape — HTTP head only, body
+    * elided, `WARC-Payload-Digest` = sha1:base32 of the original
+    * entity bytes, `WARC-Refers-To` = the original record's id, the
+    * identical-payload-digest profile. The wrap is
+    * extraction-invertible (escaped text in one `<p>` amid
     * script/comment noise), so the pipeline's dedup key md5(html_text)
     * equals DuckDB's md5 over the collapsed original text.
     */
   private def dupCrawlFixture(s: SparkSession, d: String): String =
     synchronized {
       val docs = new java.io.File(d, "documents.parquet")
-      val key = md5Key(s"dupcrawlv1:$d:${docs.length}:${docs.lastModified}")
+      val key = md5Key(s"dupcrawlv2:$d:${docs.length}:${docs.lastModified}")
       publishStaged("graft_dupcrawl_" + key) { stage =>
         import graft.warc.WarcFormat
         stage.mkdirs()
@@ -775,22 +786,40 @@ object ContainerQueries {
               |<script>if (1 < 2) { x = "</p>"; }</script></head>
               |<body><!-- recrawl fixture $id --><p>${esc(text)}</p>
               |</body></html>""").stripMargin.getBytes("UTF-8")
-        def rec(r: org.apache.spark.sql.Row, recrawl: Boolean) = {
+        def rec(r: org.apache.spark.sql.Row) = {
           val id = r.getLong(0)
-          val uri = s"https://${r.getString(2)}.example.com/doc/$id" +
-            (if (recrawl) "?recrawl=1" else "")
-          WarcFormat.WriteRecord("response", uri,
+          WarcFormat.WriteRecord("response",
+            s"https://${r.getString(2)}.example.com/doc/$id",
             WarcFormat.httpResponseBlock(wrap(id, r.getString(1)),
               "text/html; charset=utf-8"),
-            contentType = "application/http; msgtype=response")
+            contentType = "application/http; msgtype=response",
+            recordId = s"<urn:uuid:doc-$id>")
+        }
+        // the digest a real crawler would have computed over the
+        // stored payload — the SAME labeled sha1:base32 the reader's
+        // warc_digest expression computes on the response side
+        def revisit(r: org.apache.spark.sql.Row) = {
+          val id = r.getLong(0)
+          WarcFormat.WriteRecord("revisit",
+            s"https://${r.getString(2)}.example.com/doc/$id?recrawl=1",
+            ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+              "charset=utf-8\r\n\r\n").getBytes("UTF-8"),
+            contentType = "application/http; msgtype=response",
+            extraHeaders = Seq(
+              "WARC-Payload-Digest" ->
+                org.apache.spark.sql.graftfns.WarcDigest
+                  .labeled(wrap(id, r.getString(1))),
+              "WARC-Refers-To" -> s"<urn:uuid:doc-$id>",
+              "WARC-Profile" ->
+                "http://netpreservation.org/warc/1.1/revisit/identical-payload-digest"))
         }
         val shards = Seq(
           rows.filter(_.getLong(0) % 2 == 0).sortBy(_.getLong(0)).toSeq
-            .map(rec(_, recrawl = false)),
+            .map(rec(_)),
           rows.filter(_.getLong(0) % 2 == 1).sortBy(_.getLong(0)).toSeq
-            .map(rec(_, recrawl = false)),
+            .map(rec(_)),
           rows.filter(_.getLong(0) % 3 == 0).sortBy(_.getLong(0)).toSeq
-            .map(rec(_, recrawl = true)))
+            .map(revisit(_)))
         shards.zipWithIndex.foreach { case (recs, i) =>
           java.nio.file.Files.write(
             new java.io.File(stage, f"crawl-$i%02d.warc.gz").toPath,

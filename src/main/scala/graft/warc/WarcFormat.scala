@@ -535,10 +535,15 @@ object WarcFormat {
 
   // ---- writer (fixtures + the export utility) ----
 
-  /** One record to write: block = the full block bytes. */
+  /** One record to write: block = the full block bytes.
+    * `extraHeaders` are rendered verbatim after the standard named
+    * fields (revisit fixtures carry WARC-Payload-Digest /
+    * WARC-Refers-To / WARC-Profile here).
+    */
   final case class WriteRecord(warcType: String, targetUri: String,
       block: Array[Byte], contentType: String = "",
-      recordId: String = "", date: String = "2024-01-01T00:00:00Z")
+      recordId: String = "", date: String = "2024-01-01T00:00:00Z",
+      extraHeaders: Seq[(String, String)] = Seq.empty)
 
   /** Wrap an HTTP 200 response head around a body — the shape one
     * response record per crawled document takes. `extraHeaders` go in
@@ -612,6 +617,7 @@ object WarcFormat {
     sb.append(s"WARC-Date: ${r.date}\r\n")
     if (r.targetUri.nonEmpty) sb.append(s"WARC-Target-URI: ${r.targetUri}\r\n")
     if (r.contentType.nonEmpty) sb.append(s"Content-Type: ${r.contentType}\r\n")
+    r.extraHeaders.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
     sb.append(s"Content-Length: ${r.block.length}\r\n\r\n")
     val head = sb.toString.getBytes(UTF_8)
     val out = new ByteArrayOutputStream(head.length + r.block.length + 4)

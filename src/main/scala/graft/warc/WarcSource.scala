@@ -73,6 +73,13 @@ object WarcDataSource {
     // the WARC block's own Content-Type (application/http;... for
     // response records)
     StructField("content_type", StringType, nullable = false),
+    // the record's own WARC-Payload-Digest header (sha1:<base32> in
+    // the wild) — on `revisit` records this is the crawl-native
+    // exact-dedup key pointing at the stored response it re-fetched
+    StructField("payload_digest", StringType, nullable = true),
+    // WARC-Refers-To: the record id of the referent (revisit /
+    // metadata / conversion records)
+    StructField("refers_to", StringType, nullable = true),
     StructField("http_status", IntegerType, nullable = true),
     StructField("http_content_type", StringType, nullable = true),
     // the encoding chain REMAINING on `payload` beyond what the
@@ -432,6 +439,12 @@ class WarcPartitionReader(filePath: String, required: StructType,
       case "warc_date" => () => UTF8String.fromString(current.date)
       case "target_uri" => () => UTF8String.fromString(current.targetUri)
       case "content_type" => () => UTF8String.fromString(current.contentType)
+      case "payload_digest" => () =>
+        current.headers.get("warc-payload-digest")
+          .map(UTF8String.fromString).orNull
+      case "refers_to" => () =>
+        current.headers.get("warc-refers-to")
+          .map(UTF8String.fromString).orNull
       case "http_status" => () => http.map(h => Int.box(h.status)).orNull
       case "http_content_type" => () =>
         http.map(h => UTF8String.fromString(h.contentType)).orNull

@@ -289,6 +289,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorFunctions.minhashBuilder(exprs)))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("warc_digest"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WarcDigest].getCanonicalName, "warc_digest"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WarcDigest(exprs(0))))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("html_text"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[HtmlText].getCanonicalName, "html_text"),

@@ -230,6 +230,58 @@ class WarcSpec extends SparkTestBase {
     assert(causeMessages(ex).toLowerCase.contains("gzip"))
   }
 
+  test("revisit resolution: digest attribution, dangling referents visible") {
+    import org.apache.spark.sql.graftfns.WarcDigest
+    // the canonical empty-payload digest every WARC toolchain agrees on
+    assert(WarcDigest.labeled(Array.empty[Byte])
+      === "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    assert(WarcDigest.base32(Array[Byte](0)) === "AA",
+      "partial final group is emitted unpadded")
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_rev").toFile
+    val bodyA = "<p>stored page A</p>".getBytes("UTF-8")
+    val bodyB = "<p>stored page B</p>".getBytes("UTF-8")
+    val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+      .getBytes("UTF-8")
+    def resp(uri: String, body: Array[Byte], id: String) =
+      WriteRecord("response", uri, httpResponseBlock(body, "text/html"),
+        contentType = "application/http; msgtype=response", recordId = id)
+    def rev(uri: String, digest: String, refersTo: String) =
+      WriteRecord("revisit", uri, head,
+        contentType = "application/http; msgtype=response",
+        extraHeaders = Seq("WARC-Payload-Digest" -> digest,
+          "WARC-Refers-To" -> refersTo,
+          "WARC-Profile" ->
+            "http://netpreservation.org/warc/1.1/revisit/identical-payload-digest"))
+    val recs = Seq(
+      resp("https://ex.com/a", bodyA, "<urn:uuid:a>"),
+      resp("https://ex.com/b", bodyB, "<urn:uuid:b>"),
+      // two re-fetches of A, one of B
+      rev("https://ex.com/a?r=1", WarcDigest.labeled(bodyA), "<urn:uuid:a>"),
+      rev("https://ex.com/a?r=2", WarcDigest.labeled(bodyA), "<urn:uuid:a>"),
+      rev("https://ex.com/b?r=1", WarcDigest.labeled(bodyB), "<urn:uuid:b>"),
+      // a dangling revisit: its referent lives in a shard not read here
+      rev("https://ex.com/gone?r=1",
+        WarcDigest.labeled("elsewhere".getBytes("UTF-8")), "<urn:uuid:gone>"))
+    val f = new java.io.File(dir, "rev.warc.gz")
+    java.nio.file.Files.write(f.toPath, writeWarc(recs, gzipPerRecord = true))
+    val crawl = spark.read.format("warc").load(f.getAbsolutePath)
+    // the revisit headers surface as columns
+    val revRows = crawl.filter(col("warc_type") === "revisit")
+      .select("target_uri", "payload_digest", "refers_to").collect()
+    assert(revRows.length === 4)
+    assert(revRows.forall(r => r.getString(1).startsWith("sha1:") &&
+      r.getString(2).startsWith("<urn:uuid:")))
+    // resolution: copies = 1 + matching revisits, all columns kept
+    val resolved = RevisitResolve.resolve(crawl)
+      .select("target_uri", "copies").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(resolved === Map("https://ex.com/a" -> 3L, "https://ex.com/b" -> 2L))
+    // the dangling referent is visible, never silently dropped
+    val gone = RevisitResolve.dangling(crawl)
+      .select("target_uri").collect().map(_.getString(0)).toSeq
+    assert(gone === Seq("https://ex.com/gone?r=1"))
+  }
+
   test("malformed framing fails loudly, never silently skips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_bad").toFile
     val good = writeWarc(fixtureRecords(1))
