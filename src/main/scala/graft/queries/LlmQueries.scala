@@ -2127,8 +2127,109 @@ object LlmQueries {
       tf.join(dl, "doc_id").join(dfreq, "token").crossJoin(nDocs)
         .select(col("doc_id"), col("token"), rk(tfidfScore, 6).as("tfidf"))
         .orderBy(col("tfidf").desc, col("doc_id"), col("token")).limit(20)
+    }),
+
+    // Q100 — BPE vocabulary induction + apply (Sennrich et al. 2016),
+    // the full merge LOOP over q64's pair statistics: the corpus
+    // collapses to its (word, freq) table (ONE count shuffle — the
+    // sufficient statistic for every round, vocabulary-bounded, never
+    // corpus-bounded), the driver learns BpeMerges merges
+    // deterministically (ties → smallest "a b" string), and the apply
+    // side segments the top words with the learned table via the
+    // codegen bpe_segment expression (merges plan-embedded). The
+    // oracle REPLAYS training: the same capped word table, then
+    // BpeMerges unrolled rounds of best-pair selection + left-to-right
+    // non-overlapping merge in pure SQL (the doubled-space replace
+    // trick), so merge selection, tie-breaks, merge application AND
+    // the apply path all sit inside one DuckDB equality.
+    "q100_bpe_train_apply" -> ((s, d) => {
+      val merges = bpeMerges(s, d)
+      bpeWordFreqs(s, d)
+        .orderBy(col("freq").desc, col("word")).limit(50)
+        .select(col("word"), col("freq"),
+          org.apache.spark.sql.graftfns.BpeSegment
+            .bpeSegment(col("word"), merges).as("seg"))
+        .withColumn("n_pieces",
+          size(split(col("seg"), " ")).cast("long"))
+        .orderBy(col("freq").desc, col("word"))
     })
   )
+
+  /** q100's knobs — mirrored VERBATIM in the generated oracle SQL. */
+  private val BpeMerges = 10
+  private val BpeVocabCap = 65536
+
+  /** The (word, freq) table BPE trains on: lowercase-alpha tokens
+    * only (^[a-z]+$ keeps the char-split trivially identical across
+    * engines — no codepoint-vs-UTF16 divergence), capped
+    * deterministically at the top [[BpeVocabCap]] by (freq DESC,
+    * word). The cap bounds the driver-held statistic at ANY corpus
+    * scale; the excluded tail's pair mass is negligible by
+    * construction (freq-ordered).
+    */
+  private def bpeWordFreqs(s: SparkSession, d: String): DataFrame =
+    docToks(s, d).select(explode(col("toks")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(BpeVocabCap)
+
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, String)]]()
+
+  /** Learned merge table, once per (session, corpus) — the KMeans
+    * model-cache shape: the collect is the capped vocabulary-bounded
+    * statistic, never corpus rows.
+    */
+  private[graft] def bpeMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+    bpeCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    bpeCache.computeIfAbsent((s, d), _ => {
+      val wf = bpeWordFreqs(s, d).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.operators.BpeTrain.train(wf, BpeMerges).merges
+    })
+  }
+
+  /** The q100 oracle, generated: w0 = char-split capped word table;
+    * round k picks b(k) = the (cnt DESC, pair ASC) best adjacent pair
+    * and rewrites every word via the doubled-space replace (matches
+    * left-to-right non-overlapping merge exactly: doubling makes
+    * adjacent occurrences stop sharing their boundary space);
+    * coalesce(chr(1)) keeps a dry round (no pairs left) a no-op
+    * instead of NULLing the corpus.
+    */
+  private def bpeOracle: String = {
+    val rounds = (0 until BpeMerges).map { k =>
+      s"""b$k AS MATERIALIZED (
+         |  SELECT pair, SUM(freq) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(l)), i ->
+         |             l[i] || ' ' || l[i+1])) AS pair
+         |    FROM (SELECT freq, string_split(toks, ' ') AS l FROM w$k))
+         |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+         |w${k + 1} AS MATERIALIZED (
+         |  SELECT word, freq, trim(replace(replace(
+         |    ' ' || replace(toks, ' ', '  ') || ' ',
+         |    coalesce((SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM b$k), chr(1)),
+         |    coalesce((SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b$k), chr(1))),
+         |    '  ', ' ')) AS toks
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT tok AS word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |             x -> x <> '')) AS tok
+       |    FROM documents)
+       |  WHERE regexp_matches(tok, '^[a-z]+$$')
+       |  GROUP BY tok ORDER BY freq DESC, word LIMIT $BpeVocabCap),
+       |w0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |         array_to_string(list_transform(range(1, length(word) + 1),
+       |           i -> substr(word, i, 1)), ' ') AS toks
+       |  FROM wf),
+       |$rounds
+       |SELECT word, freq, toks AS seg,
+       |       CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_pieces
+       |FROM w$BpeMerges ORDER BY freq DESC, word LIMIT 50""".stripMargin
+  }
 
   /** The (doc_id, token, tf_cnt) term-frequency relation — staged and
     * persisted like docToks, because it is the expensive half of the
@@ -2880,6 +2981,9 @@ object LlmQueries {
         |       FLOOR(hi * 10000.0 + 0.5) / 10000.0 AS hi
         |FROM documents d JOIN b ON d.lang = b.lang
         |WHERE n_chars >= lo AND n_chars <= hi
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // generated: BpeMerges unrolled best-pair + merge rounds — see
+    // bpeOracle's doc for the doubled-space replace equivalence
+    "q100_bpe_train_apply" -> bpeOracle
   )
 }
