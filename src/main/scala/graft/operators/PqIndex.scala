@@ -177,23 +177,24 @@ object PqIndex {
   /** ANN search in TWO passes so the claim "only shortlist rows touch
     * their float vectors" is true in the PLAN, not just the prose:
     * pass 1 scores (id, pqcode) only — the float column is absent from
-    * that scan — and collects the shortlist ids (model-sized driver
-    * traffic, same pattern as IvfIndex.probeCells); pass 2 filters
-    * id IN (shortlist) — pushed into the scan, pruning row groups —
-    * and exact-reranks just those rows by cosine. Zero-norm vectors
-    * rank LAST (cos would be 0/0 = NaN, which Spark sorts above every
-    * real double — a garbage vector must not win).
+    * that projection — and the shortlist stays IN-PLAN (per-partition
+    * local top-`shortlist` + one k×partitions-row merge, then a
+    * broadcast semi-join prunes the rerank side at runtime), so the
+    * whole search is ONE Spark action instead of a collect-then-requery
+    * pair; pass 2 exact-reranks just the semi-joined rows by cosine.
+    * Zero-norm vectors rank LAST (cos would be 0/0 = NaN, which Spark
+    * sorts above every real double — a garbage vector must not win).
     */
   def search(encoded: DataFrame, idCol: String, vecCol: String, model: Model,
              q: Array[Float], topK: Int, shortlist: Int = 64): DataFrame = {
     val qNorm = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
     require(qNorm > 0, "zero query vector has no cosine neighbors")
-    val ids = encoded.select(col(idCol), col("pqcode"))
+    val short = encoded.select(col(idCol), col("pqcode"))
       .withColumn("adc", adcScore(q, model))
       .orderBy(col("adc").desc, col(idCol)).limit(shortlist)
-      .select(col(idCol)).collect().map(_.get(0))
+      .select(col(idCol))
     val nrm = VectorFunctions.norm(col(vecCol))
-    encoded.filter(col(idCol).isin(ids: _*))
+    encoded.join(broadcast(short), Seq(idCol), "left_semi")
       .select(col(idCol),
         when(nrm > 0, dotd(col(vecCol), typedLit(q)) / (nrm * lit(qNorm)))
           .otherwise(lit(-2.0)).as("cos"))

@@ -174,22 +174,28 @@ object LlmQueries {
       try { f; name -> (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => name -> -1.0 }
     }
-    def embIn = spread(embeddings(s, d), col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
     Seq(
       timed("docToks") { docToks(s, d).count(); () },
       timed("termFreqs") { termFreqs(s, d).count(); () },
       timed("shingleSets") { shingleSets(s, d).count(); () },
       timed("simhashes") { simhashes(s, d).count(); () },
       timed("jaccardPairs") { jaccardPairs(s, d, 0.5).count(); () },
+      // the probes' shared corpus relation + fixed query vector
+      timed("embCorpus") { embCorpus(s, d).count(); queryVec(s, d); () },
       timed("ivfModel") {
-        cachedIvf(s, d, "ivf_k16_i2")(
-          graft.operators.IvfIndex.train(embIn, "vec_id", "embedding", 16, iters = 2))
+        val cents = cachedIvf(s, d, "ivf_k16_i2")(
+          graft.operators.IvfIndex.train(embCorpus(s, d), "vec_id",
+            "embedding", 16, iters = 2))
+        // the served probe index (cell-partitioned staged assignment)
+        ivfAssigned(s, d, 16, cents).count()
         ()
       },
       timed("pqModel") {
-        cachedPq(s, d, "pq_m8_k16_i2")(
-          graft.operators.PqIndex.train(embIn, "vec_id", "embedding", m = 8, k = 16, iters = 2))
+        val model = cachedPq(s, d, "pq_m8_k16_i2")(
+          graft.operators.PqIndex.train(embCorpus(s, d), "vec_id",
+            "embedding", m = 8, k = 16, iters = 2))
+        // the served probe index (staged codes)
+        pqEncoded(s, d, model).count()
         ()
       },
       // q31's served index (12-table hyperplane signatures)
@@ -309,7 +315,8 @@ object LlmQueries {
     * stages (the LSH ANN index) key staleness on the EMBEDDINGS
     * corpus, not the documents one.
     */
-  private def stagedRel(s: SparkSession, d: String, stage: String, fp: String)(
+  private def stagedRel(s: SparkSession, d: String, stage: String, fp: String,
+      partitionCols: Seq[String] = Nil)(
       build: => DataFrame): DataFrame = {
     val store = modelStoreDir(d, s"stage_$stage")
     val data = s"$store/data"
@@ -322,12 +329,57 @@ object LlmQueries {
       .getOrElse {
         try {
           graft.operators.ModelIO.deleteManifest(s, store)
-          build.write.mode("overwrite").parquet(data)
+          // partitionCols (e.g. the IVF cell): a fresh JVM's probes
+          // then PRUNE to the probed directories instead of scanning
+          // the whole staged relation — the IvfIndex.build layout
+          build.write.mode("overwrite").partitionBy(partitionCols: _*)
+            .parquet(data)
           graft.operators.ModelIO.writeManifest(s, store,
             Map("fp" -> fp, "stage" -> stage, "type" -> "stage"))
           s.read.parquet(data)
         } catch { case scala.util.control.NonFatal(_) => build }
       }
+  }
+
+  /** The embedding corpus as ONE persisted (vec_id, embedding)
+    * relation, spread once at build: every ANN probe previously paid
+    * its own `spread(...)` — a full corpus SHUFFLE per query
+    * execution — before map-only scoring. The probes' dot products
+    * are native codegen (DotProduct), so the only thing the per-query
+    * shuffle bought was parallelism the one-time build now provides.
+    */
+  private val embCorpusCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def embCorpus(s: SparkSession, d: String): DataFrame = {
+    embCorpusCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    embCorpusCache.computeIfAbsent((s, d), _ =>
+      spread(embeddings(s, d), col("vec_id"))
+        .select(col("vec_id"), col("embedding")).persist())
+  }
+
+  /** The fixed probe vector (vec_id = 0), collected ONCE per corpus —
+    * each ANN query used to run its own scan-and-head job at
+    * DataFrame-BUILD time just to re-fetch the same 64 floats.
+    */
+  private val queryVecCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Float]]()
+  private def queryVec(s: SparkSession, d: String): Array[Float] = {
+    queryVecCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    queryVecCache.computeIfAbsent((s, d), _ =>
+      embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray)
+  }
+
+  /** |q| by the SAME left-to-right double fold as l2()'s DotProduct —
+    * driver-side, so rerank projections embed it as a literal instead
+    * of recomputing sqrt(dot(q,q)) per row; bit-identical to the
+    * column form (and to the DuckDB oracle's list_reduce).
+    */
+  private def qNorm(q: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
+    math.sqrt(acc)
   }
 
   private def cachedModel[T <: AnyRef](s: SparkSession, d: String, scheme: String)(
@@ -831,12 +883,16 @@ object LlmQueries {
     * the ANN gates (q31/q42/q53) use it as the checked reference.
     */
   def exactCosTopK(s: SparkSession, d: String, k: Int): DataFrame = {
-    val e = embeddings(s, d)
-    val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
-    spread(e, col("vec_id")).crossJoin(q)
+    // probe vector as a PLAN LITERAL over the persisted corpus: the
+    // old shape re-shuffled the embeddings (spread) and ran a
+    // broadcast-exchange job for the one query row on EVERY execution
+    // — now one map stage + TakeOrdered, nothing else
+    val qv = queryVec(s, d)
+    embCorpus(s, d)
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
-        (dotd(col("embedding"), col("qv")) / (l2(col("embedding")) * l2(col("qv")))).as("cos"))
+        (dotd(col("embedding"), typedLit(qv)) /
+          (l2(col("embedding")) * lit(qNorm(qv)))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
@@ -897,15 +953,13 @@ object LlmQueries {
     require(bits <= 30 && radius >= 0 && radius <= 3)
     val dim = 64
     val planes = lshPlanes(tables, bits, seed, dim)
-    val e = spread(embeddings(s, d), col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
+    val e = embCorpus(s, d)
     // narrow index: (vec_id, tbl, bucket) ×L — served from the model
     // store (built once per corpus, like IVF/PQ), never rebuilt per
     // query; the ×L signature pass over the corpus was the one ANN
     // path still paying its index inside every probe (VERDICT r10)
     val index = lshIndex(s, d, tables, bits, seed, dim)
-    val qv = embeddings(s, d).filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val qv = queryVec(s, d)
     def sigOf(t: Int): Int =
       (0 until bits).foldLeft(0) { (acc, j) =>
         var dot = 0.0
@@ -922,15 +976,15 @@ object LlmQueries {
     }
     import s.implicits._
     val probes = probeRows.toDF("tbl", "bucket")
+    // no distinct: the left-semi join below already dedups candidate
+    // ids — the explicit distinct cost one more exchange per probe
     val candIds = index.join(broadcast(probes), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id")).distinct()
-    val q = broadcast(embeddings(s, d).filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv")))
+      .select(col("vec_id"))
     e.join(candIds, Seq("vec_id"), "left_semi")
-      .crossJoin(q)
       .select(col("vec_id"),
-        (dotd(col("embedding"), col("qv")) / (l2(col("embedding")) * l2(col("qv")))).as("cos"))
+        (dotd(col("embedding"), typedLit(qv)) /
+          (l2(col("embedding")) * lit(qNorm(qv)))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
@@ -941,33 +995,68 @@ object LlmQueries {
   def annIvfTopK(s: SparkSession, d: String, nProbe: Int, k: Int): DataFrame = {
     import graft.operators.IvfIndex
     val kCells = 16
-    val e = spread(embeddings(s, d), col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
     val cents = cachedIvf(s, d, s"ivf_k${kCells}_i2")(
-      IvfIndex.train(e, "vec_id", "embedding", kCells, iters = 2))
-    val qv = embeddings(s, d).filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+      IvfIndex.train(embCorpus(s, d), "vec_id", "embedding", kCells, iters = 2))
+    val qv = queryVec(s, d)
     val cells = IvfIndex.probeCells(qv, cents, nProbe)
-    IvfIndex.assign(e, "embedding", cents)
+    // probes hit the STAGED assigned relation (cell-partitioned
+    // parquet + in-session persist) — the old shape re-ran the 16-dot
+    // assignment pass over a freshly shuffled corpus on every query;
+    // now a probe is filter + rerank over the cached index, and a
+    // fresh JVM partition-prunes to the probed cell directories
+    ivfAssigned(s, d, kCells, cents)
       .filter(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
       .select(col("vec_id"),
         (dotd(col("embedding"), typedLit(qv)) /
-          (l2(col("embedding")) * lit(math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x))))).as("cos"))
+          (l2(col("embedding")) * lit(qNorm(qv)))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
+  /** The served IVF index: (vec_id, embedding, cell) staged as
+    * cell-partitioned parquet once per corpus fingerprint, persisted
+    * per session — the loaded-index DataFrame cache the probe path
+    * serves from (train once, assign once, probe forever).
+    */
+  private val ivfIdxDfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+  private def ivfAssigned(s: SparkSession, d: String, kCells: Int,
+      cents: Seq[graft.operators.IvfIndex.Centroid]): DataFrame = {
+    ivfIdxDfCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfIdxDfCache.computeIfAbsent((s, d, kCells), _ =>
+      stagedRel(s, d, s"ivfassign_k${kCells}_i2",
+        embeddingsFingerprint(s, d), partitionCols = Seq("cell"))(
+        graft.operators.IvfIndex.assign(embCorpus(s, d), "embedding", cents))
+        .persist())
   }
 
   /** PQ-ADC ANN (factored q53 body). Returns (vec_id, cos) unrounded. */
   def annPqTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     import graft.operators.PqIndex
-    val e = spread(embeddings(s, d), col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
     val model = cachedPq(s, d, "pq_m8_k16_i2")(
-      PqIndex.train(e, "vec_id", "embedding", m = 8, k = 16, iters = 2))
-    val qv = embeddings(s, d).filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
-    val enc = PqIndex.encode(e.filter(col("vec_id") =!= 0), "embedding", model)
-    PqIndex.search(enc, "vec_id", "embedding", model, qv, topK = k)
+      PqIndex.train(embCorpus(s, d), "vec_id", "embedding", m = 8, k = 16, iters = 2))
+    val qv = queryVec(s, d)
+    // probes serve from the STAGED encoded relation — the old shape
+    // re-ran the m-argmin encode pass over a freshly shuffled corpus
+    // on every query; a probe is now ADC lookups + shortlist rerank
+    // over the cached codes
+    PqIndex.search(pqEncoded(s, d, model).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", model, qv, topK = k)
       .select(col("vec_id"), col("cos"))
+  }
+
+  /** The served PQ index: (vec_id, embedding, pqcode) staged once per
+    * corpus fingerprint, persisted per session — codes for the ADC
+    * pass, float vectors fetched only by the shortlist rerank.
+    */
+  private val pqIdxDfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def pqEncoded(s: SparkSession, d: String,
+      model: graft.operators.PqIndex.Model): DataFrame = {
+    pqIdxDfCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    pqIdxDfCache.computeIfAbsent((s, d), _ =>
+      stagedRel(s, d, "pqcodes_m8_k16_i2", embeddingsFingerprint(s, d))(
+        graft.operators.PqIndex.encode(embCorpus(s, d), "embedding", model))
+        .persist())
   }
 
   /** Q63 body with an explicit winnowing window: per-position
@@ -1020,9 +1109,18 @@ object LlmQueries {
     * set, which is precisely this query's shape.)
     */
   private def annChecked(exact: DataFrame, ann: DataFrame, minHits: Int): DataFrame = {
-    val gate = exact.join(ann.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      .agg((count(lit(1)) >= minHits).as("recall_ok"))
-    exact.crossJoin(broadcast(gate))
+    // the gate as a WINDOW over the k exact rows (left-outer hit mark,
+    // sum over the unpartitioned frame): the old agg + crossJoin
+    // (broadcast) shape cost two extra exchanges and re-executed the
+    // exact subtree — here exact runs once and the single-partition
+    // window sees exactly k rows (exact is a top-k), so the "whole
+    // relation in one task" window anti-pattern doesn't apply
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    exact.join(ann.select(col("vec_id"), lit(1).as("__hit")),
+        Seq("vec_id"), "left_outer")
+      .withColumn("recall_ok",
+        sum(coalesce(col("__hit"), lit(0))).over(w) >= minHits)
       .orderBy(col("cos").desc, col("vec_id"))
       .select(col("vec_id"), rk(col("cos"), 6).as("cosine"), col("recall_ok"))
   }
