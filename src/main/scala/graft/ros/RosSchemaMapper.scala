@@ -38,7 +38,7 @@ object RosSchemaMapper {
     case RUInt32 | RInt64 | RUInt64 => LongType
     case RFloat32 => FloatType
     case RFloat64 => DoubleType
-    case RString => StringType
+    case RString | RWString => StringType
     case RTime | RDuration =>
       throw new IllegalArgumentException("time/duration split into _sec/_nsec")
   }
@@ -150,6 +150,11 @@ object RosSchemaMapper {
       val n = readLen(buf)
       val arr = new Array[Byte](n); buf.get(arr)
       new String(arr, StandardCharsets.UTF_8)
+    case RWString =>
+      // wstring is a ROS 2 IDL type; it has NO ROS 1 wire form — a
+      // definition claiming one is not a ROS 1 message
+      throw new IllegalArgumentException(
+        "wstring is not a ROS 1 wire type (ros2 CDR decodes it)")
     case RTime | RDuration =>
       throw new IllegalStateException("handled by caller")
   }
@@ -224,6 +229,8 @@ object RosSchemaMapper {
     case RString  =>
       val b = v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
       writeLE(bos, 4, b.length.toLong); bos.write(b)
+    case RWString => throw new IllegalArgumentException(
+      "wstring is not a ROS 1 wire type (ros2 CDR encodes it)")
     case RTime | RDuration => throw new IllegalStateException("handled by caller")
   }
 }

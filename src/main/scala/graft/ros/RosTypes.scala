@@ -28,12 +28,16 @@ object RosPrimitive {
   case object RFloat32 extends RosPrimitive("float32", 4)
   case object RFloat64 extends RosPrimitive("float64", 8)
   case object RString  extends RosPrimitive("string", -1)   // var-length
+  // ROS 2 IDL only (DDS CHAR16 string; UTF-16 on the wire, exposed as
+  // a UTF-8 Spark string) — never a ROS 1 wire type: the ros1
+  // decode/encode paths refuse it loudly
+  case object RWString extends RosPrimitive("wstring", -1)  // var-length
   case object RTime    extends RosPrimitive("time", 8)
   case object RDuration extends RosPrimitive("duration", 8)
 
   val all: Seq[RosPrimitive] = Seq(RBool, RInt8, RUInt8, RByte, RChar,
     RInt16, RUInt16, RInt32, RUInt32, RInt64, RUInt64, RFloat32, RFloat64,
-    RString, RTime, RDuration)
+    RString, RWString, RTime, RDuration)
   val byName: Map[String, RosPrimitive] = all.map(p => p.name -> p).toMap
 }
 

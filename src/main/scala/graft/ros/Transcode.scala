@@ -125,7 +125,7 @@ object Transcode {
           case RBool => sb.append("B")
           case RFloat32 => sb.append("f")
           case RFloat64 => sb.append("F")
-          case RString => sb.append("S")
+          case RString | RosPrimitive.RWString => sb.append("S")
           case _: RosPrimitive => sb.append("N")
           case ref: RosMsgRef => walk(bundle.resolve(ref, msg.pkg), depth + 1)
           case RosArray(_, _) => throw new IllegalStateException("unreachable")
@@ -443,6 +443,10 @@ object Transcode {
   }
 
   private def ros1TypeText(t: RosType): String = t match {
+    // ros1 has no wstring: lower to string — the value stream carries
+    // a decoded String either way, so re-encode writes UTF-8 bytes
+    // under the ros1 wire (validated by the valueShape equality below)
+    case RosPrimitive.RWString => "string"
     case p: RosPrimitive => p.name
     case RosMsgRef(Some("builtin_interfaces"), "Time") => "time"
     case RosMsgRef(Some("builtin_interfaces"), "Duration") => "duration"

@@ -64,6 +64,8 @@ object RosbagColumnarRead {
     case RInt32 | RUInt32 | RFloat32 => 4
     case RInt64 | RUInt64 | RFloat64 | RTime | RDuration => 8
     case RString => -1 // dynamic
+    case RWString => throw new IllegalArgumentException(
+      "wstring is not a ROS 1 wire type (ros2 CDR decodes it)")
   }
 
   /** Skip one scalar of primitive type `p`. */
@@ -103,6 +105,8 @@ object RosbagColumnarRead {
       }
       skip(buf, n)
     }
+    case RWString => throw new IllegalArgumentException(
+      "wstring is not a ROS 1 wire type (ros2 CDR decodes it)")
     case RTime | RDuration =>
       throw new IllegalStateException("time handled by caller (two columns)")
   }

@@ -83,12 +83,12 @@ object CdrColumnarRead {
     case RInt32 | RUInt32 | RFloat32 => 4
     case RInt64 | RUInt64 | RFloat64 => 8
     case RTime | RDuration => -1 // two i32 columns, handled by caller
-    case RString => -1 // dynamic
+    case RString | RWString => -1 // dynamic
   }
 
   /** Skip one scalar (align to min(width, flavor max), then advance). */
   private def skipScalar(p: RosPrimitive, maxAlign: Int, orig: Origin): Op = p match {
-    case RString => buf => skip(buf, readLen(buf, orig))
+    case RString | RWString => buf => skip(buf, readLen(buf, orig))
     case other =>
       val w = scalarWidth(other)
       require(w > 0, s"unexpected scalar $other")
@@ -132,6 +132,27 @@ object CdrColumnarRead {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         v.appendByteArray(fixed, 0, fixed.length)
       }
+      skip(buf, n)
+    }
+    case RWString => buf => {
+      // DDS CHAR16 string: u32 BYTE length, UTF-16 code units in the
+      // buffer's endianness, NO terminator (tolerate one anyway, like
+      // the row path's Reader.wstring); transcoded to UTF-8 for the
+      // vector — parity with CdrCodec's wstring()
+      val n = readLen(buf, orig)
+      require(n % 2 == 0, s"cdr wstring byte length $n is odd — " +
+        "not UTF-16 code units")
+      val arr = buf.array(); val off = buf.arrayOffset() + buf.position()
+      val end =
+        if (n >= 2 && arr(off + n - 1) == 0 && arr(off + n - 2) == 0) n - 2
+        else n
+      val cs =
+        if (buf.order() == ByteOrder.LITTLE_ENDIAN)
+          java.nio.charset.StandardCharsets.UTF_16LE
+        else java.nio.charset.StandardCharsets.UTF_16BE
+      val utf8 = new String(arr, off, end, cs)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      v.appendByteArray(utf8, 0, utf8.length)
       skip(buf, n)
     }
     case RTime | RDuration =>
@@ -226,7 +247,7 @@ object CdrColumnarRead {
             if (n > 0) { alignTo(buf, 4, origin); skip(buf, 8 * n) }
           })
         case RosArray(p: RosPrimitive, fixedLen) =>
-          val strElem = p == RString
+          val strElem = p == RString || p == RWString
           Seq(colFor(col) match {
             case Some(v) =>
               val elemWriter = writeScalar(p, v.arrayData(), maxAlign, origin)
@@ -421,7 +442,8 @@ object CdrColumnarRead {
       case RUInt32 | RInt64 | RUInt64 => _ => v.appendLong(0L)
       case RFloat32 => _ => v.appendFloat(0f)
       case RFloat64 => _ => v.appendDouble(0d)
-      case RString => _ => v.appendByteArray(Array.emptyByteArray, 0, 0)
+      case RString | RWString =>
+        _ => v.appendByteArray(Array.emptyByteArray, 0, 0)
       case RTime | RDuration =>
         throw new IllegalStateException("time handled by caller (two columns)")
       case _ => _ => v.appendInt(0)

@@ -33,8 +33,10 @@ object Ros2Msg {
     *    (defaults are a codegen concern, not a wire one);
     *  - `byte`/`char` → `uint8` (the ROS 2 semantics; ROS 1 aliased
     *    byte to int8);
-    *  - `wstring` rejected loudly (UTF-16 payloads need a decode
-    *    policy, not a silent mojibake).
+    *  - `wstring` (bounded or not) kept as the distinct RWString
+    *    primitive — UTF-16 on the wire (round 17; previously refused),
+    *    decoded per XTypes: u32 BYTE length, no terminator, code units
+    *    in the encapsulation's endianness. ROS 1 paths still refuse it.
     */
   def normalize(definition: String): String =
     definition.linesIterator.map { raw =>
@@ -75,14 +77,15 @@ object Ros2Msg {
     }
 
   private def normalizeType(t: String): String = {
-    require(!t.startsWith("wstring"),
-      s"wstring fields are not supported (UTF-16 wire payload): $t")
     // split base type from array suffix
     val (base0, arr) = t.indexOf('[') match {
       case -1 => (t, "")
       case i => (t.substring(0, i), t.substring(i))
     }
-    val base1 = if (base0.startsWith("string<=")) "string" else base0
+    val base1 =
+      if (base0.startsWith("string<=")) "string"
+      else if (base0.startsWith("wstring<=")) "wstring"
+      else base0
     val base2 = base1 match {
       case "byte" | "char" => "uint8"
       case b => collapseMsg(b)
@@ -278,6 +281,25 @@ object CdrCodec {
       val end = if (n > 0 && raw(n - 1) == 0) n - 1 else n
       new String(raw, 0, end, java.nio.charset.StandardCharsets.UTF_8)
     }
+    /** DDS CHAR16 string (ros2 `wstring`): u32 BYTE length of the
+      * UTF-16 code units, NO terminator included (XTypes' asymmetry
+      * with `string`, whose length counts the NUL). Code units follow
+      * the encapsulation's endianness. Interop tolerance: a writer
+      * that appended a UTF-16 NUL terminator anyway (and counted it)
+      * has it stripped, mirroring string()'s terminator handling; an
+      * ODD byte length is corruption and fails loudly.
+      */
+    def wstring(): String = {
+      val n = u32().toInt
+      require(n >= 0, s"negative cdr wstring length $n")
+      require(n % 2 == 0, s"cdr wstring byte length $n is odd — " +
+        "not UTF-16 code units")
+      val raw = blob(n)
+      val end = if (n >= 2 && raw(n - 1) == 0 && raw(n - 2) == 0) n - 2 else n
+      new String(raw, 0, end,
+        if (le) java.nio.charset.StandardCharsets.UTF_16LE
+        else java.nio.charset.StandardCharsets.UTF_16BE)
+    }
     private def bits(o: Int, n: Int): Long = {
       var v = 0L
       if (le) { var i = n - 1; while (i >= 0) { v = (v << 8) | (bytes(o + i) & 0xFFL); i -= 1 } }
@@ -354,6 +376,11 @@ object CdrCodec {
           out += inScope(r, x2) {
             val n = fixedLen.getOrElse(r.u32().toInt)
             Seq.fill(n)(r.string())
+          }
+        case RosArray(RWString, fixedLen) =>
+          out += inScope(r, x2) {
+            val n = fixedLen.getOrElse(r.u32().toInt)
+            Seq.fill(n)(r.wstring())
           }
         case RosArray(p: RosPrimitive, fixedLen) =>
           val n = fixedLen.getOrElse(r.u32().toInt)
@@ -475,7 +502,7 @@ object CdrCodec {
     case RUInt32 | RInt64 | RUInt64 => Seq(0L)
     case RFloat32 => Seq(0.0f)
     case RFloat64 => Seq(0.0)
-    case RString => Seq("")
+    case RString | RWString => Seq("")
     case _: RosPrimitive => Seq(0)
     case ref: RosMsgRef =>
       val sub = bundle.resolve(ref, msg.pkg)
@@ -506,6 +533,7 @@ object CdrCodec {
     case RFloat32 => r.f32()
     case RFloat64 => r.f64()
     case RString => r.string()
+    case RWString => r.wstring()
     case RTime | RDuration => throw new IllegalStateException("handled by caller")
   }
 
@@ -535,6 +563,13 @@ object CdrCodec {
     def string(s: String): Unit = {
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       u32(b.length + 1); buf.write(b); buf.write(0)
+    }
+    /** `wstring`: u32 BYTE length, UTF-16LE code units (the Writer is
+      * LE-only), no terminator — XTypes' asymmetry with string().
+      */
+    def wstring(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      u32(b.length.toLong); buf.write(b)
     }
     /** DHEADER scope when `active`: body into a fresh origin-0
       * sub-writer, then u32 byte count + bytes.
@@ -594,7 +629,7 @@ object CdrCodec {
             case None => ()
           }
           val nonPrimitive = elem match {
-            case RString | RTime | RDuration | _: RosMsgRef => true
+            case RString | RWString | RTime | RDuration | _: RosMsgRef => true
             case _ => false
           }
           w.scope(flavor.xcdr2 && nonPrimitive) { cw =>
@@ -688,6 +723,7 @@ object CdrCodec {
     case RFloat32 => w.u32(java.lang.Float.floatToIntBits(v.asInstanceOf[Number].floatValue).toLong & 0xFFFFFFFFL)
     case RFloat64 => w.u64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Number].doubleValue))
     case RString => w.string(v.asInstanceOf[String])
+    case RWString => w.wstring(v.asInstanceOf[String])
     case RTime | RDuration => throw new IllegalStateException("handled by caller")
   }
 }

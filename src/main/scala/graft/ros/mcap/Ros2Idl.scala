@@ -26,8 +26,10 @@ import graft.ros.RosPrimitive._
   *    `T name[N]`;
   *  - scoped references `pkg::msg::Type` → the bundle's `pkg/Type`
   *    names (same collapse as ros2msg's three-segment names);
-  *  - `wstring`/`wchar`/`long double` rejected loudly (UTF-16 / 128-bit
-  *    payloads need a decode policy, not silent mojibake).
+  *  - `wstring` (bounded or not) → the RWString primitive, decoded
+  *    per XTypes as UTF-16 (round 17; previously refused);
+  *    `wchar`/`long double` still rejected loudly (2-byte char /
+  *    128-bit payloads need a decode policy, not silent mojibake).
   *
   * Multi-type closures arrive as blocks separated by `===` lines, each
   * headed by `IDL: pkg/msg/Type` (the rosbag2/MCAP concatenation
@@ -170,11 +172,10 @@ object Ros2Idl {
             case e => (RosArray(e, None), "sequence")
           }
         case "string" | "wstring" =>
-          require(t0 == "string", "wstring fields are not supported (UTF-16 wire payload)")
           if (tokens(i) == "<") { // bounded: same CDR layout
             expect("<"); i += 1; expect(">")
           }
-          (RString, "string")
+          if (t0 == "string") (RString, "string") else (RWString, "wstring")
         case "unsigned" =>
           val t1 = tokens(i); i += 1
           t1 match {

@@ -200,13 +200,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Exchange")) <= 3, s"extra shuffle:\n$p")
   }
 
-  test("q53: PQ encode+ADC is map-only — no join, no window; top-k is TakeOrdered") {
-    // the ANN pipeline itself (see the q42 note above)
+  test("q53: PQ ADC + shortlist is ONE action — broadcast semi-join, no shuffle, no window") {
+    // the ANN pipeline itself (see the q42 note above). Round 17 moved
+    // the shortlist IN-PLAN: ADC scores (id, pqcode) only — the float
+    // column absent from that side — local top-64 via TakeOrdered,
+    // then a BROADCAST left-semi prunes the rerank side at runtime;
+    // the whole search is one Spark action instead of a
+    // collect-then-requery pair. The join must stay broadcast (a
+    // shuffle of the corpus for a 64-row shortlist would be the
+    // regression this test now guards).
     val df = LlmQueries.annPqTopK(spark, sf, k = 5)
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.toLowerCase.contains("join"), s"q53 plans a join:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"shortlist should prune the rerank via a broadcast semi-join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q53 must not shuffle the corpus:\n$p")
     assert(!p.contains("Window"), s"q53 plans a window:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"shortlist/top-k not TakeOrdered:\n$p")
+    // the ADC (shortlist) side never reads the float vectors
+    val shortlistSide = p.substring(p.indexOf("BroadcastExchange"))
+    assert(shortlistSide.contains("InMemoryTableScan [pqcode") ||
+      shortlistSide.contains("InMemoryTableScan [vec_id"),
+      s"ADC pass should scan codes only:\n$shortlistSide")
   }
 
   test("q55: sessionize shares ONE hash exchange across lag, cumsum, and agg") {

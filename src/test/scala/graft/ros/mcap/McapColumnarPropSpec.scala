@@ -18,7 +18,7 @@ class McapColumnarPropSpec extends SparkTestBase {
 
   private val scalarPrims: Seq[RosPrimitive] = Seq(
     RBool, RInt8, RUInt8, RInt16, RUInt16, RInt32, RUInt32,
-    RInt64, RUInt64, RFloat32, RFloat64, RString, RTime, RDuration)
+    RInt64, RUInt64, RFloat32, RFloat64, RString, RWString, RTime, RDuration)
 
   private def ros2Name(p: RosPrimitive): String = p match {
     case RBool => "bool"; case RInt8 => "int8"; case RUInt8 => "uint8"
@@ -26,6 +26,7 @@ class McapColumnarPropSpec extends SparkTestBase {
     case RUInt32 => "uint32"; case RInt64 => "int64"; case RUInt64 => "uint64"
     case RFloat32 => "float32"; case RFloat64 => "float64"
     case RString => "string"
+    case RWString => "wstring"
     case RTime => "builtin_interfaces/Time"
     case RDuration => "builtin_interfaces/Duration"
     case RByte => "byte"; case RChar => "char"
@@ -53,6 +54,13 @@ class McapColumnarPropSpec extends SparkTestBase {
     case RFloat32 => if (rng.nextInt(10) == 0) Float.NaN else rng.nextFloat() * 1e6f
     case RFloat64 => if (rng.nextInt(10) == 0) Double.NaN else rng.nextDouble() * 1e12
     case RString  => rng.alphanumeric.take(rng.nextInt(20)).mkString
+    case RWString =>
+      // mixed BMP + astral pool: UTF-16 surrogate pairs must survive
+      // the wire transcode on both readers
+      val pool = "ae\u00e9\u6f22\u2211z" + new String(Character.toChars(0x1F600))
+      val cps = pool.codePoints().toArray
+      (0 until rng.nextInt(12)).map(_ => new String(
+        Character.toChars(cps(rng.nextInt(cps.length))))).mkString
     case other    => throw new IllegalArgumentException(other.toString)
   }
 

@@ -47,11 +47,45 @@ class Ros2CdrSpec extends AnyFunSuite {
     assert(CdrCodec.decode(b, bytes) == Seq(7))
   }
 
-  test("wstring fails loudly") {
-    val e = intercept[IllegalArgumentException] {
-      Ros2Msg.bundle("p/msg/W", "wstring s")
+  test("wstring: XTypes UTF-16 wire goldens, both endiannesses, round trips") {
+    val b = Ros2Msg.bundle("p/msg/W", "wstring s\nint32 x")
+    // LE golden: {0,1,0,0} header; u32 byte length 4 (NO terminator,
+    // unlike string's NUL-counting length); "aé" as UTF-16LE; x @12
+    val le = Array[Byte](0, 1, 0, 0,
+      4, 0, 0, 0, 0x61, 0x00, 0xE9.toByte, 0x00,
+      7, 0, 0, 0)
+    assert(CdrCodec.decode(b, le) === Seq("aé", 7))
+    // BE golden (representation id 0x00): code units big-endian
+    val be = Array[Byte](0, 0, 0, 0,
+      0, 0, 0, 4, 0x00, 0x61, 0x00, 0xE9.toByte,
+      0, 0, 0, 7)
+    assert(CdrCodec.decode(b, be) === Seq("aé", 7))
+    // interop tolerance: a writer that appended (and counted) a
+    // UTF-16 NUL terminator still decodes clean
+    val leNul = Array[Byte](0, 1, 0, 0,
+      6, 0, 0, 0, 0x61, 0x00, 0xE9.toByte, 0x00, 0x00, 0x00,
+      0, 0, // alignment pad to 4 for x
+      7, 0, 0, 0)
+    assert(CdrCodec.decode(b, leNul) === Seq("aé", 7))
+    // odd byte length is corruption, not UTF-16
+    val odd = Array[Byte](0, 1, 0, 0, 3, 0, 0, 0, 0x61, 0x00, 0x62, 0x00)
+    val eOdd = intercept[IllegalArgumentException] { CdrCodec.decode(b, odd) }
+    assert(eOdd.getMessage.contains("odd"))
+    // encode round trip across every flavor, surrogate pairs included
+    val arr = Ros2Msg.bundle("p/msg/WA",
+      "wstring<=16 s\nwstring[] many\nwstring[2] two")
+    val vals = Seq("漢字 😀", Seq("", "π≈3"), Seq("aé", new String(Character.toChars(0x1F680))))
+    import CdrCodec._
+    for (fl <- Seq(Xcdr1, Xcdr1Mutable, Xcdr2Final, Xcdr2Delimited, Xcdr2Mutable)) {
+      val bytes = CdrCodec.encode(arr, vals, fl)
+      assert(CdrCodec.decode(arr, bytes) === vals, s"flavor $fl")
     }
-    assert(e.getMessage.contains("wstring"))
+    // ros1 paths refuse: wstring has no ROS 1 wire form
+    val ros1 = graft.ros.MsgDefParser.parse("p/W", "wstring s")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ros.RosSchemaMapper.decode(ros1, Array[Byte](0, 0, 0, 0))
+    }
+    assert(e1.getMessage.contains("not a ROS 1 wire type"))
   }
 
   test("CDR alignment golden: hand-computed byte layout") {

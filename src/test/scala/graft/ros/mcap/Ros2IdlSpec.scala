@@ -110,15 +110,18 @@ class Ros2IdlSpec extends AnyFunSuite {
     assert(b(11) === 7 && b(12) === 999L)
   }
 
-  test("headerless first block is the root; wstring and long double refuse loudly") {
+  test("headerless first block is the root; wstring decodes, long double refuses") {
     val bare = Ros2Idl.bundle("p/msg/T",
       "module p { module msg { struct T { int32 v; }; }; };")
     assert(RosSchemaMapper.flatSchema(bare).fieldNames.toSeq === Seq("v"))
-    val exW = intercept[IllegalArgumentException] {
-      Ros2Idl.bundle("p/msg/T",
-        "module p { module msg { struct T { wstring w; }; }; };")
-    }
-    assert(exW.getMessage.contains("wstring"))
+    // wstring (bounded too) is a real IDL type now: StringType column,
+    // UTF-16 wire decode — the round-trip lives in Ros2CdrSpec
+    val withW = Ros2Idl.bundle("p/msg/T",
+      "module p { module msg { struct T { wstring w; wstring<8> b; }; }; };")
+    assert(RosSchemaMapper.flatSchema(withW).fields.toSeq.map(f =>
+      (f.name, f.dataType.typeName)) === Seq("w" -> "string", "b" -> "string"))
+    assert(CdrCodec.decode(withW, CdrCodec.encode(withW, Seq("é漢", "ok")))
+      === Seq("é漢", "ok"))
     val exLd = intercept[IllegalArgumentException] {
       Ros2Idl.bundle("p/msg/T",
         "module p { module msg { struct T { long double d; }; }; };")
