@@ -2250,6 +2250,39 @@ object LlmQueries {
         .withColumn("n_pieces",
           size(split(col("seg"), " ")).cast("long"))
         .orderBy(col("freq").desc, col("word"))
+    }),
+
+    // Q101 — sequence packing over REAL subword ids: q66's
+    // concat-and-chunk layout re-pointed at the q100-trained BPE
+    // vocabulary — each doc's token budget is its BPE piece count
+    // (lowercase-alpha words segment under the learned merges;
+    // non-alpha tokens pass through as one unit each), cumulated by
+    // the distributed PrefixSum into 2048-piece training sequences.
+    // Scale shape: the piece count is MAP-ONLY (bpe_segment inside a
+    // transform+aggregate fold over the cached token arrays — no
+    // explode, no shuffle before the prefix sum), then PrefixSum's
+    // two-phase scan; the merge table rides the plan as literals. The
+    // oracle replays training on the CAPPED vocab (q100's chain) but
+    // applies the merges to the FULL distinct-word list, exactly like
+    // the engine's apply path — so the gate stays exact even when the
+    // corpus vocabulary outgrows the training cap.
+    "q101_bpe_packing" -> ((s, d) => {
+      val merges = bpeMerges(s, d)
+      val seqLen = 2048L
+      val pieces = docToks(s, d).select(col("doc_id"),
+        aggregate(
+          transform(col("toks"), t =>
+            when(t.rlike("^[a-z]+$"),
+              size(split(org.apache.spark.sql.graftfns.BpeSegment
+                .bpeSegment(t, merges), lit(" "))))
+              .otherwise(lit(1)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_tok"))
+      graft.operators.PrefixSum
+        .exclusive(pieces, Seq(col("doc_id")), col("n_tok"), "tok_start")
+        .select(col("doc_id"), col("n_tok"),
+          expr(s"tok_start div $seqLen").as("pack_id"),
+          pmod(col("tok_start"), lit(seqLen)).as("pack_offset"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2327,6 +2360,85 @@ object LlmQueries {
        |SELECT word, freq, toks AS seg,
        |       CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_pieces
        |FROM w$BpeMerges ORDER BY freq DESC, word LIMIT 50""".stripMargin
+  }
+
+  /** The q101 oracle: the q100 TRAINING chain (capped vocab, the
+    * b(k) selections) rerun verbatim, then the merges APPLIED — in
+    * the same rank order, via the same doubled-space replace — to the
+    * FULL distinct-word list (a0..aN, uncapped: exactly the engine's
+    * apply path, which segments any alpha word whether or not it was
+    * inside the training cap), then per-doc piece sums (non-alpha
+    * tokens count 1) and the q66 window prefix sum into 2048-piece
+    * packs.
+    */
+  private def bpePackingOracle: String = {
+    val trainRounds = (0 until BpeMerges).map { k =>
+      s"""b$k AS MATERIALIZED (
+         |  SELECT pair, SUM(freq) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(l)), i ->
+         |             l[i] || ' ' || l[i+1])) AS pair
+         |    FROM (SELECT freq, string_split(toks, ' ') AS l FROM w$k))
+         |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+         |w${k + 1} AS MATERIALIZED (
+         |  SELECT word, freq, trim(replace(replace(
+         |    ' ' || replace(toks, ' ', '  ') || ' ',
+         |    coalesce((SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM b$k), chr(1)),
+         |    coalesce((SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b$k), chr(1))),
+         |    '  ', ' ')) AS toks
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    val applyRounds = (0 until BpeMerges).map { k =>
+      s"""a${k + 1} AS MATERIALIZED (
+         |  SELECT word, trim(replace(replace(
+         |    ' ' || replace(toks, ' ', '  ') || ' ',
+         |    coalesce((SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM b$k), chr(1)),
+         |    coalesce((SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b$k), chr(1))),
+         |    '  ', ' ')) AS toks
+         |  FROM a$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |           x -> x <> '') AS toks
+       |  FROM documents),
+       |wf AS MATERIALIZED (
+       |  SELECT tok AS word, COUNT(*) AS freq
+       |  FROM (SELECT unnest(toks) AS tok FROM toks)
+       |  WHERE regexp_matches(tok, '^[a-z]+$$')
+       |  GROUP BY tok ORDER BY freq DESC, word LIMIT $BpeVocabCap),
+       |w0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |         array_to_string(list_transform(range(1, length(word) + 1),
+       |           i -> substr(word, i, 1)), ' ') AS toks
+       |  FROM wf),
+       |$trainRounds,
+       |a0 AS MATERIALIZED (
+       |  SELECT word,
+       |         array_to_string(list_transform(range(1, length(word) + 1),
+       |           i -> substr(word, i, 1)), ' ') AS toks
+       |  FROM (SELECT DISTINCT unnest(toks) AS word FROM toks)
+       |  WHERE regexp_matches(word, '^[a-z]+$$')),
+       |$applyRounds,
+       |pieces AS MATERIALIZED (
+       |  SELECT word, CAST(len(string_split(toks, ' ')) AS BIGINT) AS np
+       |  FROM a$BpeMerges),
+       |ex AS (
+       |  SELECT doc_id, unnest(toks) AS tok FROM toks),
+       |cnt AS (
+       |  SELECT ex.doc_id,
+       |         SUM(CASE WHEN regexp_matches(ex.tok, '^[a-z]+$$')
+       |             THEN p.np ELSE 1 END) AS n_tok
+       |  FROM ex LEFT JOIN pieces p ON p.word = ex.tok
+       |  GROUP BY 1),
+       |t AS (
+       |  SELECT d.doc_id, CAST(COALESCE(c.n_tok, 0) AS BIGINT) AS n_tok
+       |  FROM documents d LEFT JOIN cnt c USING (doc_id)),
+       |pre AS (
+       |  SELECT doc_id, n_tok,
+       |         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+       |  FROM t)
+       |SELECT doc_id, n_tok, pre // 2048 AS pack_id, pre % 2048 AS pack_offset
+       |FROM pre ORDER BY doc_id""".stripMargin
   }
 
   /** The (doc_id, token, tf_cnt) term-frequency relation — staged and
@@ -3082,6 +3194,9 @@ object LlmQueries {
         |ORDER BY doc_id""".stripMargin,
     // generated: BpeMerges unrolled best-pair + merge rounds — see
     // bpeOracle's doc for the doubled-space replace equivalence
-    "q100_bpe_train_apply" -> bpeOracle
+    "q100_bpe_train_apply" -> bpeOracle,
+    // generated: the training chain + full-vocab APPLY + per-doc piece
+    // sums + the q66 window prefix sum — see bpePackingOracle
+    "q101_bpe_packing" -> bpePackingOracle
   )
 }
