@@ -706,6 +706,36 @@ object ContainerQueries {
           length(col("text")).cast("long").as("nchars"),
           col("http_content_encoding").as("enc_left"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Q102 — WET export round trip, CHECKED per document: the q98
+    // crawl (responses + genuine revisits) → RevisitResolve →
+    // html_text → `conversion` records (extracted text, text/plain,
+    // WARC-Refers-To naming the source record — the Common Crawl WET
+    // sidecar shape) written through the DSv2 warc SINK (two
+    // partitions — the multi-shard layout; member-per-record gzip the
+    // strict reader verifies member-by-member) → read BACK via
+    // format("warc") → per-doc md5 + char count of the conversion
+    // payload must equal DuckDB's collapse of the original text. The
+    // sink's framing, record rendering, refers-to headers, gzip
+    // members, commit protocol AND the reader all sit inside one
+    // equality — the export direction of the crawl pipeline (the
+    // mcap/rosbag/db3 sinks' q86/q87 gate, pointed at the fourth
+    // container).
+    "q102_wet_export" -> ((s, d) => {
+      val wet = wetFixture(s, d)
+      s.read.format("warc").load(wet)
+        .filter(col("warc_type") === "conversion")
+        .withColumn("doc_id",
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long"))
+        .withColumn("t", decode(col("payload"), "UTF-8"))
+        .select(col("doc_id"),
+          md5(col("payload")).as("text_md5"),
+          length(col("t")).cast("long").as("nchars"),
+          // every conversion must point at its source record — a
+          // boolean inside the oracle equality, not a side assert
+          col("refers_to").startsWith("<urn:uuid:doc-").as("linked"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q97's fixture: the events slice on one cdr channel, each message
@@ -930,6 +960,30 @@ object ContainerQueries {
         }
       }
     }
+
+  /** q102's fixture: the WET sidecar of the q98 crawl, built through
+    * the engine's own pipeline AND the DSv2 warc sink — crawl read →
+    * revisit resolution → html_text → conversion records → two
+    * member-gzipped shards. Keyed on the crawl fixture's path (itself
+    * content-salted), plus a version salt for the WET layout.
+    */
+  private def wetFixture(s: SparkSession, d: String): String = synchronized {
+    val crawl = dupCrawlFixture(s, d)
+    publishStaged("graft_wet_" + md5Key(s"wetv1:$crawl")) { stage =>
+      val text = org.apache.spark.sql.graftfns.HtmlText.htmlText(
+        col("payload"), col("http_content_type"))
+      val resolved = graft.warc.RevisitResolve
+        .resolve(s.read.format("warc").load(crawl))
+        .filter(col("http_status") === 200)
+        .withColumn("t", text)
+      graft.warc.WarcExport.prepareConversion(resolved,
+          uri = col("target_uri"), text = col("t"),
+          refersTo = col("record_id"))
+        .repartition(2)
+        .write.format("warc").mode("overwrite")
+        .save(new java.io.File(stage, "wet").getAbsolutePath)
+    } + "/wet"
+  }
 
   /** q99's fixture: the documents corpus HTML-wrapped (extraction-
     * invertible like q95's) with the WIRE form cycling by doc_id%5:
@@ -1534,6 +1588,16 @@ object ContainerQueries {
     // the same duplication rule (doc_id%3==0 recrawled once), the same
     // collapse, the same ≥5-word gate, the same md5 dedup key —
     // recomputed straight off `documents`
+    // the q95 inversion gate pointed at the SINK's output: conversion
+    // payload bytes == the collapsed original text, every record
+    // refers-to-linked
+    "q102_wet_export" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
+        |       CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |         AS BIGINT) AS nchars,
+        |       TRUE AS linked
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q95's inversion gate pointed at the wire-decode matrix: text
     // recovery proves de-chunk + inflate + charset sniff all at once;
     // enc_left NULL proves no row kept an undecoded chain

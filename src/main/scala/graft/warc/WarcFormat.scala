@@ -607,7 +607,7 @@ object WarcFormat {
     out.toByteArray
   }
 
-  private def renderRecord(r: WriteRecord, ordinal: Int): Array[Byte] = {
+  private[warc] def renderRecord(r: WriteRecord, ordinal: Int): Array[Byte] = {
     val id = if (r.recordId.nonEmpty) r.recordId
       else s"<urn:uuid:fixture-$ordinal>"
     val sb = new StringBuilder
