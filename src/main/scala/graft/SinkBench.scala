@@ -58,7 +58,14 @@ object SinkBench {
       "db3" -> graft.ros.db3.Db3Export.prepare(df,
         topic = concat(lit("/"), col("event_type")),
         timestampNs = col("ts_ns"), data = col("payload"),
-        tpe = lit("graft/Props")))
+        tpe = lit("graft/Props")),
+      // the fourth container: HTTP-response records, one per row —
+      // the crawl-export direction (member gzip unless overridden)
+      "warc" -> graft.warc.WarcExport.prepareHttpResponse(df,
+        uri = concat(lit("https://fleet.example.com/"), col("event_type"),
+          lit("/"), col("event_id").cast("string")),
+        body = col("payload"),
+        httpContentType = lit("application/octet-stream")))
     val prepared = prepareAll(ev)
 
     // variants: (label, format, extra write options)
@@ -68,7 +75,9 @@ object SinkBench {
       ("rosbag_none", "rosbag", Map("compression" -> "none")),
       ("db3_plain", "db3", Map.empty),
       ("db3_zstd_file", "db3",
-        Map("compression_format" -> "zstd", "compression_mode" -> "file")))
+        Map("compression_format" -> "zstd", "compression_mode" -> "file")),
+      ("warc_gz", "warc", Map.empty),
+      ("warc_plain", "warc", Map("gzip" -> "false")))
 
     // BYTE-bound axis: the events payloads average ~9 bytes, so the
     // rows above measure per-message overhead. Real robotics payloads
@@ -91,7 +100,8 @@ object SinkBench {
     val fatVariants: Seq[(String, String, Map[String, String])] = Seq(
       ("mcap_zstd_fat", "mcap", Map.empty),
       ("rosbag_lz4_fat", "rosbag", Map.empty),
-      ("db3_plain_fat", "db3", Map.empty))
+      ("db3_plain_fat", "db3", Map.empty),
+      ("warc_gz_fat", "warc", Map.empty))
 
     val parts = cpus.toInt
     val root = java.nio.file.Files.createTempDirectory("graft_sink_bench")
@@ -116,8 +126,14 @@ object SinkBench {
         // read-back: the sink's own output serves the grouped "info"
         // aggregate (metadata-agg pushdown where the format supports it)
         val readBack = timed {
-          val n = spark.read.format(fmt).load(writes.last._2.getAbsolutePath)
-            .groupBy("topic").count().collect().map(_.getLong(1)).sum
+          // each sink's own grouped read-back: topic for the robotics
+          // containers (metadata-agg pushdown where supported),
+          // warc_type for crawl shards
+          val df = spark.read.format(fmt).load(writes.last._2.getAbsolutePath)
+          val n =
+            if (fmt == "warc")
+              df.groupBy("warc_type").count().collect().map(_.getLong(1)).sum
+            else df.groupBy("topic").count().collect().map(_.getLong(1)).sum
           require(n == nRows, s"$label read-back: $n != $nRows")
         }
         writes.foreach(w => cleanup(w._2))

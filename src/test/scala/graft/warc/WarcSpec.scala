@@ -230,6 +230,43 @@ class WarcSpec extends SparkTestBase {
     assert(causeMessages(ex).toLowerCase.contains("gzip"))
   }
 
+  test("wire-encoding property: random bodies x random chains round trip") {
+    // any stack of the decodable codings, applied in any order, must
+    // come back byte-identical with an empty leftover chain — the
+    // decode loop walks right-to-left over whatever a server declared
+    val rng = new scala.util.Random(4217)
+    def enc(tok: String, b: Array[Byte]): Array[Byte] = tok match {
+      case "chunked" => chunkedBody(b, 1 + rng.nextInt(97))
+      case "gzip" | "x-gzip" => gzipBody(b)
+      case "deflate" =>
+        deflateBody(b, raw = rng.nextBoolean()) // both server populations
+    }
+    (1 to 60).foreach { i =>
+      val body = {
+        val b = new Array[Byte](rng.nextInt(3000))
+        rng.nextBytes(b); b
+      }
+      // content chain (inner-to-outer application order, left-to-right
+      // header order); transfer layer optionally chunked on top
+      val cts = Seq.fill(rng.nextInt(3))(
+        Seq("gzip", "x-gzip", "deflate")(rng.nextInt(3)))
+      val te = if (rng.nextBoolean()) Seq("chunked") else Seq.empty
+      var wire = body
+      cts.foreach(t => wire = enc(t, wire))
+      te.foreach(t => wire = enc(t, wire))
+      val extra =
+        (if (cts.nonEmpty) Seq("Content-Encoding: " + cts.mkString(", "))
+         else Seq.empty) ++
+          (if (te.nonEmpty) Seq("Transfer-Encoding: chunked") else Seq.empty)
+      val h = httpSplit(
+        httpResponseBlock(wire, "application/octet-stream", extra),
+        decodeBody = true).get
+      assert(h.remainingEncoding === "", s"case $i: $cts/$te")
+      assert(h.body.toSeq === body.toSeq,
+        s"case $i: chain $cts + $te must round trip byte-identically")
+    }
+  }
+
   test("revisit resolution: digest attribution, dangling referents visible") {
     import org.apache.spark.sql.graftfns.WarcDigest
     // the canonical empty-payload digest every WARC toolchain agrees on
