@@ -80,11 +80,13 @@ object Bench {
     } catch { case _: Throwable => "null" }
 
   /** First (1-minute) load average from a [[loadavg]] JSON array
-    * string; 0.0 when unavailable (never flags).
+    * string; -1.0 when unavailable (a SENTINEL, not 0.0 — a genuinely
+    * idle box reads 0.00, and conflating the two would disarm the
+    * mid-run-ramp signal exactly on the idlest boxes).
     */
   private[graft] def load1(j: String): Double =
     try j.stripPrefix("[").split(",")(0).toDouble
-    catch { case _: Throwable => 0.0 }
+    catch { case _: Throwable => -1.0 }
 
   /** Was this run co-tenant contaminated? The r10/r11 artifacts were
     * both taken under heavy foreign load (1-min loadavg 9.3 / 15.9 on
@@ -128,9 +130,11 @@ object Bench {
     val beforeThreshold = math.max(1.0, math.min(2.0, cpus / 4.0))
     val b = load1(before)
     val a = load1(after)
+    // b/a == -1.0 means /proc/loadavg was unavailable: those signals
+    // never fire (the sentinel keeps a GENUINELY idle 0.00 box armed)
     b > beforeThreshold ||
       a > benchThreads + cpus / 4.0 ||
-      (b > 0 && a - b > rampAllowance(benchThreads)) ||
+      (b >= 0 && a >= 0 && a - b > rampAllowance(benchThreads)) ||
       dispersedAfterEscalation > 0 ||
       driftedVsBaseline >= 2
   }
@@ -170,12 +174,22 @@ object Bench {
     */
   private[graft] def readBaseline(file: String,
       sfDir: String): Map[String, Double] =
+    readBaselineWithState(file, sfDir)._1
+
+  /** [[readBaseline]] plus WHY it is empty: "ok" | "none" (absent or
+    * unparseable) | "sf_mismatch" (recorded at a different sf). The
+    * state lands in the artifact — a disarmed drift detector must be
+    * VISIBLE, because `drifted: 0` otherwise reads identically to
+    * "checked and clean".
+    */
+  private[graft] def readBaselineWithState(file: String,
+      sfDir: String): (Map[String, Double], String) =
     try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = mapper.readTree(new java.io.File(file))
       val qs = node.get("queries")
-      if (qs == null || node.get("sf") == null ||
-          node.get("sf").asText() != sfDir) Map.empty
+      if (qs == null || node.get("sf") == null) (Map.empty, "none")
+      else if (node.get("sf").asText() != sfDir) (Map.empty, "sf_mismatch")
       else {
         val it = qs.fields()
         val b = Map.newBuilder[String, Double]
@@ -183,9 +197,17 @@ object Bench {
           val e = it.next()
           b += e.getKey -> e.getValue.asDouble()
         }
-        b.result()
+        (b.result(), "ok")
       }
-    } catch { case _: Exception => Map.empty }
+    } catch { case _: Exception => (Map.empty, "none") }
+
+  /** The recorded sf of an existing baseline file, if any. */
+  private[graft] def baselineSf(file: String): Option[String] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(file))
+      Option(node.get("sf")).map(_.asText())
+    } catch { case _: Exception => None }
 
   private[graft] val BaselineFile = "BENCH_clean_baseline.json"
 
@@ -293,8 +315,9 @@ object Bench {
     // a transient spike that cleared mid-run re-converges and drops
     // off the list; a genuinely loaded box stays >3x and the count
     // feeds [[loadContaminated]].
-    val baseline =
-      baselineFile.map(readBaseline(_, sfDir)).getOrElse(Map.empty)
+    val (baseline, baselineState) = baselineFile
+      .map(readBaselineWithState(_, sfDir))
+      .getOrElse((Map.empty[String, Double], "disabled"))
     def medians(): Map[String, Double] =
       runsList.map(qr => qr.name -> qr.med).toMap
     if (baseline.nonEmpty && runs > 1) {
@@ -342,13 +365,19 @@ object Bench {
       s""""load_contaminated":$contaminated,""" +
       s""""dispersed_after_escalation":$stillDispersed,""" +
       s""""drifted_vs_clean_baseline":${drifted.size},""" +
+      s""""drift_baseline":"$baselineState",""" +
       s""""warm_sec":${rk(warmTotal)},"errors":$errs,"queries":$qs"""
     val detail = s""""loadavg":{"before":$loadBefore,"after":$loadAfter},""" +
       s""""drift":$driftJson,"warm":$warmJson,"spread":$spread"""
     // a clean, error-free run becomes the NEXT run's drift reference
-    // frame; contaminated or failing runs must never poison it
+    // frame; contaminated or failing runs must never poison it — and
+    // neither may a clean run at a DIFFERENT sf (a local sf0.001 run
+    // would otherwise clobber the committed sf0.1 frame and silently
+    // disarm the detector for the next driver run; re-baselining a
+    // new sf requires deleting the file deliberately)
     if (baselineFile.isDefined && !contaminated &&
-        results.forall(_._3.isEmpty) && warm.forall(_._2 >= 0))
+        results.forall(_._3.isEmpty) && warm.forall(_._2 >= 0) &&
+        baselineFile.flatMap(baselineSf).forall(_ == sfDir))
       writeArtifact(baselineFile.get, Seq(
         s"""{"metric":"clean_baseline","value":${rk(total)},""" +
           s""""unit":"sec","runs":$runs,"sf":"$sfDir","queries":$qs}"""))

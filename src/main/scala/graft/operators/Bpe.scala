@@ -57,9 +57,20 @@ object BpeTrain {
     out
   }
 
-  /** Learn up to `rounds` merges from a (word, freq) table. */
+  /** Learn up to `rounds` merges from a (word, freq) table. Words
+    * must carry no spaces: the pair-count key and the apply side's
+    * segmentation string are space-joined, so a space INSIDE a symbol
+    * would make the "a b" key ambiguous and record merges that can
+    * never apply (q100/q101 filter to ^[a-z]+$; this guards direct
+    * operator callers).
+    */
   def train(wordFreqs: Seq[(String, Long)], rounds: Int): Result = {
     require(rounds >= 0, s"merge rounds must be >= 0: $rounds")
+    wordFreqs.find(_._1.contains(' ')).foreach { case (w, _) =>
+      throw new IllegalArgumentException(
+        s"BPE words must not contain spaces (space-joined pair keys " +
+          s"would be ambiguous): '$w'")
+    }
     val words = wordFreqs.map { case (w, f) =>
       (w.toCharArray.map(_.toString), f)
     }.toArray

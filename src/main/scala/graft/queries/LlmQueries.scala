@@ -2320,6 +2320,32 @@ object LlmQueries {
     })
   }
 
+  /** One training round's SQL (best-pair selection + doubled-space
+    * merge) — ONE template shared by the q100 and q101 oracles so the
+    * replace-trick semantics can never diverge between them.
+    */
+  private def bpeTrainRoundSql(k: Int): String =
+    s"""b$k AS MATERIALIZED (
+       |  SELECT pair, SUM(freq) AS cnt FROM (
+       |    SELECT freq, unnest(list_transform(range(1, len(l)), i ->
+       |             l[i] || ' ' || l[i+1])) AS pair
+       |    FROM (SELECT freq, string_split(toks, ' ') AS l FROM w$k))
+       |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+       |w${k + 1} AS MATERIALIZED (
+       |  SELECT word, freq, ${bpeMergeSql("b" + k)} AS toks
+       |  FROM w$k)""".stripMargin
+
+  /** The doubled-space replace that IS left-to-right non-overlapping
+    * merge (adjacent occurrences stop sharing their boundary space);
+    * coalesce(chr(1)) keeps a dry round a no-op instead of NULLing.
+    */
+  private def bpeMergeSql(bestCte: String): String =
+    s"""trim(replace(replace(
+       |    ' ' || replace(toks, ' ', '  ') || ' ',
+       |    coalesce((SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM $bestCte), chr(1)),
+       |    coalesce((SELECT ' ' || replace(pair, ' ', '') || ' ' FROM $bestCte), chr(1))),
+       |    '  ', ' '))""".stripMargin
+
   /** The q100 oracle, generated: w0 = char-split capped word table;
     * round k picks b(k) = the (cnt DESC, pair ASC) best adjacent pair
     * and rewrites every word via the doubled-space replace (matches
@@ -2329,21 +2355,7 @@ object LlmQueries {
     * instead of NULLing the corpus.
     */
   private def bpeOracle: String = {
-    val rounds = (0 until BpeMerges).map { k =>
-      s"""b$k AS MATERIALIZED (
-         |  SELECT pair, SUM(freq) AS cnt FROM (
-         |    SELECT freq, unnest(list_transform(range(1, len(l)), i ->
-         |             l[i] || ' ' || l[i+1])) AS pair
-         |    FROM (SELECT freq, string_split(toks, ' ') AS l FROM w$k))
-         |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
-         |w${k + 1} AS MATERIALIZED (
-         |  SELECT word, freq, trim(replace(replace(
-         |    ' ' || replace(toks, ' ', '  ') || ' ',
-         |    coalesce((SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM b$k), chr(1)),
-         |    coalesce((SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b$k), chr(1))),
-         |    '  ', ' ')) AS toks
-         |  FROM w$k)""".stripMargin
-    }.mkString(",\n")
+    val rounds = (0 until BpeMerges).map(bpeTrainRoundSql).mkString(",\n")
     s"""WITH wf AS MATERIALIZED (
        |  SELECT tok AS word, COUNT(*) AS freq FROM (
        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -2372,28 +2384,11 @@ object LlmQueries {
     * packs.
     */
   private def bpePackingOracle: String = {
-    val trainRounds = (0 until BpeMerges).map { k =>
-      s"""b$k AS MATERIALIZED (
-         |  SELECT pair, SUM(freq) AS cnt FROM (
-         |    SELECT freq, unnest(list_transform(range(1, len(l)), i ->
-         |             l[i] || ' ' || l[i+1])) AS pair
-         |    FROM (SELECT freq, string_split(toks, ' ') AS l FROM w$k))
-         |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
-         |w${k + 1} AS MATERIALIZED (
-         |  SELECT word, freq, trim(replace(replace(
-         |    ' ' || replace(toks, ' ', '  ') || ' ',
-         |    coalesce((SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM b$k), chr(1)),
-         |    coalesce((SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b$k), chr(1))),
-         |    '  ', ' ')) AS toks
-         |  FROM w$k)""".stripMargin
-    }.mkString(",\n")
+    val trainRounds =
+      (0 until BpeMerges).map(bpeTrainRoundSql).mkString(",\n")
     val applyRounds = (0 until BpeMerges).map { k =>
       s"""a${k + 1} AS MATERIALIZED (
-         |  SELECT word, trim(replace(replace(
-         |    ' ' || replace(toks, ' ', '  ') || ' ',
-         |    coalesce((SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM b$k), chr(1)),
-         |    coalesce((SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b$k), chr(1))),
-         |    '  ', ' ')) AS toks
+         |  SELECT word, ${bpeMergeSql("b" + k)} AS toks
          |  FROM a$k)""".stripMargin
     }.mkString(",\n")
     s"""WITH toks AS MATERIALIZED (

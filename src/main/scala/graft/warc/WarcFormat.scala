@@ -356,8 +356,15 @@ object WarcFormat {
     else h.split(',').toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)
       .filterNot(_ == "identity")
 
-  private def decodable(tok: String): Boolean =
+  // what each LAYER's decode loop actually reverses: chunked framing
+  // is a transfer-coding only — a (buggy) `Content-Encoding: chunked`
+  // is NOT decodable there, and remainingChain must say so or the
+  // header-only projection would report a different verdict than the
+  // payload-decoding path
+  private def teDecodable(tok: String): Boolean =
     tok == "gzip" || tok == "x-gzip" || tok == "deflate" || tok == "chunked"
+  private def ctDecodable(tok: String): Boolean =
+    tok == "gzip" || tok == "x-gzip" || tok == "deflate"
 
   /** The declared encoding chain the reader will NOT reverse, without
     * touching the body: derivable from the headers alone, so a
@@ -371,15 +378,17 @@ object WarcFormat {
   private[warc] def remainingChain(transferEnc: String,
       contentEnc: String): String = {
     val ct = encTokens(contentEnc)
-    val ctCut = ct.lastIndexWhere(!decodable(_)) + 1 // 0 = whole chain ok
+    val ctCut = ct.lastIndexWhere(!ctDecodable(_)) + 1 // 0 = whole chain ok
     val ctLeft = ct.take(ctCut)
     val te = encTokens(transferEnc)
-    // the transfer layer wraps the content layer, so ANY content
-    // leftover also blocks the transfer decode below it
-    val teCut =
-      if (ctLeft.nonEmpty) te.length
-      else te.lastIndexWhere(!decodable(_)) + 1
-    (te.take(teCut).map("te:" + _) ++ ctLeft).mkString(",")
+    // wire nesting is transfer OUTSIDE content: the transfer layer
+    // decodes first; a transfer leftover therefore blocks the whole
+    // content layer beneath it (the entity bytes are still framed),
+    // exactly as decodePayload's loops behave
+    val teCut = te.lastIndexWhere(!teDecodable(_)) + 1
+    val teLeft = te.take(teCut)
+    val ctLeftAll = if (teLeft.nonEmpty) ct else ctLeft
+    (teLeft.map("te:" + _) ++ ctLeftAll).mkString(",")
   }
 
   /** Reverse the declared encodings (see [[httpSplit]]): transfer

@@ -281,12 +281,18 @@ object WarcExport {
   import org.apache.spark.sql.{Column, DataFrame}
   import org.apache.spark.sql.functions._
 
+  // per-thread digester: getInstance-per-row would dominate the write
+  // kernel on short records (the WarcDigest precedent)
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   /** Deterministic record id: a name-UUID over (uri, date, payload) —
     * byte-identical across epoch replays, unlike a random UUID.
     */
   def deterministicId(uri: String, date: String,
       payload: Array[Byte]): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5.get()
+    md.reset()
     md.update(uri.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md.update(0.toByte)
     md.update(date.getBytes(java.nio.charset.StandardCharsets.UTF_8))

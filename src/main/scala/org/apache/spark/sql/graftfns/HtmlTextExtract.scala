@@ -26,13 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Deterministic extraction contract (the q95 oracle replicates it in
   * SQL on the pre-wrap text):
   *
-  *  1. charset from the `charset=` parameter of the HTTP
-  *     Content-Type (quoted or bare, case-insensitive); absent,
-  *     unknown, or null → the HTML5 document sniff (BOM, then a
-  *     `<meta>` declaration in the first 1024 bytes — see
-  *     [[HtmlText.sniffCharset]]) → UTF-8. Malformed byte sequences
-  *     decode to U+FFFD (REPLACE) — a 100 TB scan must not lose a
-  *     shard to one mojibake page.
+  *  1. charset in WHATWG sniff order: a byte-order mark wins over
+  *     everything ([[HtmlText.bomCharset]]); then the `charset=`
+  *     parameter of the HTTP Content-Type (quoted or bare,
+  *     case-insensitive); then the HTML5 `<meta>` prescan of the
+  *     first 1024 bytes (comment-skipping, attribute-parsed — see
+  *     [[HtmlText.sniffMeta]]); UTF-8 otherwise. Malformed byte
+  *     sequences decode to U+FFFD (REPLACE) — a 100 TB scan must not
+  *     lose a shard to one mojibake page.
   *  2. drop `<!-- … -->` comments, `<script>`/`<style>` elements WITH
   *     their contents (case-insensitive, unterminated → drop to end),
   *     and every remaining tag; each removal emits one space so text
@@ -86,16 +87,20 @@ case class HtmlText(left: Expression, right: Expression)
 object HtmlText {
 
   /** Row kernel, shared verbatim by eval and codegen. Charset
-    * precedence mirrors the HTML5 encoding-sniffing order a browser
-    * applies: the transport (HTTP Content-Type charset param) wins;
-    * absent that, a BOM; absent that, a `<meta>` declaration in the
+    * precedence mirrors the WHATWG encoding-sniffing order a browser
+    * applies: a byte-order mark wins over EVERYTHING (spec step 1 —
+    * a BOM'd UTF-8 page served with a wrong `charset=iso-8859-1`
+    * header is a common real-web misconfiguration and must decode as
+    * its bytes say, not as the header lies); then the transport (HTTP
+    * Content-Type charset param); then a `<meta>` declaration in the
     * document prescan window; UTF-8 as the final fallback. A large
     * real-web fraction declares its charset ONLY in `<meta>` —
     * header-only detection mis-decodes those pages.
     */
   def extract(payload: Array[Byte], contentType: UTF8String): UTF8String = {
-    val cs = charsetOf(if (contentType == null) null else contentType.toString)
-      .getOrElse(sniffCharset(payload))
+    val cs = bomCharset(payload)
+      .orElse(charsetOf(if (contentType == null) null else contentType.toString))
+      .getOrElse(sniffMeta(payload))
     val html = decode(payload, cs)
     UTF8String.fromString(collapse(decodeEntities(stripMarkup(html))))
   }
@@ -127,57 +132,119 @@ object HtmlText {
     */
   private val PrescanBytes = 1024
 
-  /** Document-level charset detection for a header without one, in
-    * HTML5 precedence order: byte-order mark (UTF-8 / UTF-16LE/BE),
-    * then `<meta charset="x">` or `<meta http-equiv="content-type"
-    * content="...; charset=x">` within the first 1024 bytes (scanned
-    * as ASCII — every charset this sniff can RETURN is an
-    * ASCII-compatible superset or BOM-marked, so the prescan bytes
-    * read identically); UTF-8 otherwise.
+  /** Byte-order-mark detection (UTF-8 / UTF-16LE / UTF-16BE) — the
+    * WHATWG algorithm's step 1, consulted before the header.
     */
-  private[graftfns] def sniffCharset(payload: Array[Byte]): Charset = {
+  private[graftfns] def bomCharset(payload: Array[Byte]): Option[Charset] = {
     val n = payload.length
     if (n >= 3 && (payload(0) & 0xff) == 0xef && (payload(1) & 0xff) == 0xbb &&
-        (payload(2) & 0xff) == 0xbf) return StandardCharsets.UTF_8
-    if (n >= 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xfe)
-      return StandardCharsets.UTF_16LE
-    if (n >= 2 && (payload(0) & 0xff) == 0xfe && (payload(1) & 0xff) == 0xff)
-      return StandardCharsets.UTF_16BE
+      (payload(2) & 0xff) == 0xbf) Some(StandardCharsets.UTF_8)
+    else if (n >= 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xfe)
+      Some(StandardCharsets.UTF_16LE)
+    else if (n >= 2 && (payload(0) & 0xff) == 0xfe && (payload(1) & 0xff) == 0xff)
+      Some(StandardCharsets.UTF_16BE)
+    else None
+  }
+
+  /** `<meta>` charset detection for a header without one — the HTML5
+    * prescan over the first 1024 bytes (scanned as ASCII — every
+    * charset this sniff can RETURN is an ASCII-compatible superset,
+    * BOM-marked docs never reach here): `<!--...-->` comments are
+    * SKIPPED (a commented-out legacy declaration must not win, per the
+    * spec's comment rule), and each `<meta>` tag's ATTRIBUTES are
+    * parsed (quote-aware) rather than substring-matched — only a
+    * `charset` attribute, or the `charset=` parameter of a `content`
+    * attribute on a tag that also carries `http-equiv`, counts (a
+    * `charset=` inside an unrelated attribute like a description's
+    * content must not). UTF-8 otherwise.
+    */
+  private[graftfns] def sniffMeta(payload: Array[Byte]): Charset = {
+    val n = payload.length
     val win = new String(payload, 0, math.min(n, PrescanBytes),
       StandardCharsets.US_ASCII).toLowerCase(java.util.Locale.ROOT)
-    var i = win.indexOf("<meta")
-    while (i >= 0) {
-      val end = win.indexOf('>', i) match { case -1 => win.length; case e => e }
-      val tag = win.substring(i, end)
-      val at = tag.indexOf("charset=")
-      if (at >= 0) {
-        var s = at + 8
-        // both attribute forms quote-wrap: charset="x" / charset='x',
-        // and the http-equiv content value nests bare charset=x inside
-        // its own quotes
-        if (s < tag.length && (tag.charAt(s) == '"' || tag.charAt(s) == '\''))
-          s += 1
-        var e = s
-        while (e < tag.length && tag.charAt(e) != '"' && tag.charAt(e) != '\'' &&
-          tag.charAt(e) != ';' && tag.charAt(e) != '/' &&
-          !Character.isWhitespace(tag.charAt(e))) e += 1
-        val name = tag.substring(s, e)
-        if (name.nonEmpty) {
-          try {
-            val cs = Charset.forName(name)
-            // the prescan cannot have read a UTF-16 document as ASCII;
-            // a meta claiming utf-16 means the bytes are really an
-            // ASCII superset (the HTML5 rule: treat as UTF-8)
-            return if (cs == StandardCharsets.UTF_16LE ||
-              cs == StandardCharsets.UTF_16BE ||
-              cs.name.startsWith("UTF-16")) StandardCharsets.UTF_8
-            else cs
-          } catch { case _: Exception => () } // unknown name: keep scanning
+    var i = 0
+    while (i < win.length) {
+      if (win.startsWith("<!--", i)) {
+        val e = win.indexOf("-->", i + 4)
+        i = if (e < 0) win.length else e + 3
+      } else if (win.startsWith("<meta", i) &&
+          (i + 5 >= win.length || !Character.isLetterOrDigit(win.charAt(i + 5)))) {
+        val end = win.indexOf('>', i) match { case -1 => win.length; case e => e }
+        metaTagCharset(win.substring(i + 5, end)) match {
+          case Some(cs) => return cs
+          case None => ()
         }
-      }
-      i = win.indexOf("<meta", i + 5)
+        i = end + 1
+      } else i += 1
     }
     StandardCharsets.UTF_8
+  }
+
+  /** Charset of one `<meta>` tag's attribute text, per the prescan's
+    * attribute rules; None when the tag declares nothing usable.
+    */
+  private def metaTagCharset(attrs: String): Option[Charset] = {
+    // quote-aware attribute scan: name [= value], values bare or quoted
+    var i = 0
+    var charsetAttr: String = null
+    var httpEquiv: String = null
+    var content: String = null
+    while (i < attrs.length) {
+      while (i < attrs.length && (Character.isWhitespace(attrs.charAt(i)) ||
+        attrs.charAt(i) == '/')) i += 1
+      val ns = i
+      while (i < attrs.length && !Character.isWhitespace(attrs.charAt(i)) &&
+        attrs.charAt(i) != '=' && attrs.charAt(i) != '/') i += 1
+      val name = attrs.substring(ns, i)
+      while (i < attrs.length && Character.isWhitespace(attrs.charAt(i))) i += 1
+      var value = ""
+      if (i < attrs.length && attrs.charAt(i) == '=') {
+        i += 1
+        while (i < attrs.length && Character.isWhitespace(attrs.charAt(i))) i += 1
+        if (i < attrs.length && (attrs.charAt(i) == '"' || attrs.charAt(i) == '\'')) {
+          val q = attrs.charAt(i)
+          val e = attrs.indexOf(q, i + 1)
+          if (e < 0) { value = attrs.substring(i + 1); i = attrs.length }
+          else { value = attrs.substring(i + 1, e); i = e + 1 }
+        } else {
+          val vs = i
+          while (i < attrs.length && !Character.isWhitespace(attrs.charAt(i)))
+            i += 1
+          value = attrs.substring(vs, i)
+        }
+      }
+      if (name == "charset") charsetAttr = value
+      else if (name == "http-equiv") httpEquiv = value
+      else if (name == "content") content = value
+    }
+    val declared: String =
+      if (charsetAttr != null && charsetAttr.nonEmpty) charsetAttr
+      else if (httpEquiv == "content-type" && content != null) {
+        val at = content.indexOf("charset=")
+        if (at < 0) null
+        else {
+          var s = at + 8
+          if (s < content.length &&
+            (content.charAt(s) == '"' || content.charAt(s) == '\'')) s += 1
+          var e = s
+          while (e < content.length && content.charAt(e) != '"' &&
+            content.charAt(e) != '\'' && content.charAt(e) != ';' &&
+            !Character.isWhitespace(content.charAt(e))) e += 1
+          content.substring(s, e)
+        }
+      } else null
+    if (declared == null || declared.isEmpty) None
+    else
+      try {
+        val cs = Charset.forName(declared)
+        // the prescan cannot have read a UTF-16 document as ASCII; a
+        // meta claiming utf-16 means the bytes are really an ASCII
+        // superset (the HTML5 rule: treat as UTF-8)
+        Some(if (cs == StandardCharsets.UTF_16LE ||
+          cs == StandardCharsets.UTF_16BE ||
+          cs.name.startsWith("UTF-16")) StandardCharsets.UTF_8
+        else cs)
+      } catch { case _: Exception => None } // unknown name: keep scanning
   }
 
   /** Bytes → string with U+FFFD replacement on malformed sequences.

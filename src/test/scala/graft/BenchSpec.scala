@@ -108,9 +108,14 @@ class BenchSpec extends AnyFunSuite {
       benchThreads = 32))
     assert(!Bench.loadContaminated("[1.0,0,0]", "[9.0,0,0]",
       benchThreads = 32), "the bench's own ramp must not flag")
+    // a GENUINELY idle box (0.00, not unavailable) stays armed — the
+    // unavailable sentinel is -1, never 0
+    assert(Bench.loadContaminated("[0.0,0,0]", "[13.0,0,0]",
+      benchThreads = 32), "idle-zero before must not disarm the ramp")
     // before unavailable -> the ramp signal never fires
     assert(!Bench.loadContaminated("null", "[13.0,0,0]",
       benchThreads = 32))
+    assert(Bench.load1("null") === -1.0, "unavailable is a sentinel, not 0")
   }
 
   test("readBaseline: sf-mismatched or missing baselines disarm cleanly") {
@@ -131,6 +136,29 @@ class BenchSpec extends AnyFunSuite {
     java.nio.file.Files.write(f.toPath, "{not json".getBytes("UTF-8"))
     assert(Bench.readBaseline(f.getAbsolutePath, "/root/testdata/sf0.1")
       === Map.empty)
+  }
+
+  test("baseline state is visible and cross-sf writes are refused") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec2").toFile
+    val f = new java.io.File(dir, "baseline.json")
+    java.nio.file.Files.write(f.toPath,
+      """{"metric":"clean_baseline","sf":"/root/testdata/sf0.1","queries":{"q01":0.25}}"""
+        .getBytes("UTF-8"))
+    // the artifact must distinguish "checked and clean" from
+    // "detector disarmed" — 'drifted: 0' alone reads identically
+    assert(Bench.readBaselineWithState(f.getAbsolutePath,
+      "/root/testdata/sf0.1")._2 === "ok")
+    assert(Bench.readBaselineWithState(f.getAbsolutePath,
+      "/root/testdata/sf0.001")._2 === "sf_mismatch")
+    assert(Bench.readBaselineWithState(
+      new java.io.File(dir, "absent.json").getAbsolutePath,
+      "/root/testdata/sf0.1")._2 === "none")
+    // the write-protect key: a clean sf0.001 local run must NOT be
+    // allowed to clobber the committed sf0.1 reference frame
+    assert(Bench.baselineSf(f.getAbsolutePath)
+      === Some("/root/testdata/sf0.1"))
+    assert(Bench.baselineSf(
+      new java.io.File(dir, "absent.json").getAbsolutePath) === None)
   }
 
   test("merged artifact format: total + detail + duckdb_total, one JSON line each") {

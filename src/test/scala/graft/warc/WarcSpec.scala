@@ -137,11 +137,23 @@ class WarcSpec extends SparkTestBase {
       Seq("Content-Encoding: br, gzip"))
     val h2 = httpSplit(blk2, decodeBody = true).get
     assert(h2.body.toSeq === body.toSeq && h2.remainingEncoding === "br")
-    // a content leftover blocks the transfer layer below it
-    assert(remainingChain("chunked", "br") === "te:chunked,br")
+    // transfer decodes first and independently: chunked framing comes
+    // off even when the entity stays br-compressed — and the header-
+    // only verdict must MATCH what decodePayload leaves
+    assert(remainingChain("chunked", "br") === "br")
+    val (deBr, remBr) = decodePayload(
+      chunkedBody("brrr".getBytes("UTF-8"), 2), "chunked", "br")
+    assert(deBr.toSeq === "brrr".getBytes("UTF-8").toSeq && remBr === "br")
     assert(remainingChain("chunked", "gzip") === "")
     assert(remainingChain("", "br, gzip") === "br")
     assert(remainingChain("", "gzip") === "")
+    // chunked is a TRANSFER coding: a buggy `Content-Encoding:
+    // chunked` is not decodable there, and both paths say so
+    assert(remainingChain("", "chunked") === "chunked")
+    val (rawC, remC) = decodePayload("x".getBytes("UTF-8"), "", "chunked")
+    assert(rawC.toSeq === "x".getBytes("UTF-8").toSeq && remC === "chunked")
+    // a transfer leftover blocks the content layer beneath it
+    assert(remainingChain("foo", "gzip") === "te:foo,gzip")
   }
 
   test("corrupt encoded bodies fail loudly, with context") {
