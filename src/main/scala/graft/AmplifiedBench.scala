@@ -88,7 +88,8 @@ object AmplifiedBench {
         d
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val (compact, detail, failed, minimal) = Bench.timeSuite(spark, outDir, runs)
+    val Bench.SuiteResult(compact, detail, failed, minimal, _) =
+      Bench.timeSuite(spark, outDir, runs)
     val totalLine = s"""{"metric":"amplified_total",$compact,""" +
       s""""src":"$srcDir","docs_x":$docsX,"emb_x":$embX,"sf":"$outDir"}"""
     val detailLine = s"""{"metric":"amplified_detail",$detail,"sf":"$outDir"}"""

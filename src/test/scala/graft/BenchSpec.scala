@@ -198,6 +198,36 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("nq").asInt() === 9999)
   }
 
+  test("settle gate: waits until the load drops, bounded, sentinel never waits") {
+    // the retry-to-clean pre-gate (r17: the driver's bench landed in a
+    // loaded window and shipped 212 s against a true 29-47 s — the
+    // detector labeled it but nothing WAITED for a clean window)
+    var calls = 0
+    val loads = Seq(5.0, 4.0, 1.5, 0.5)
+    val slept = scala.collection.mutable.ArrayBuffer[Long]()
+    val (l, polls) = Bench.settleGate(2.0, maxPolls = 10, pollMs = 7L,
+      load = () => { val v = loads(math.min(calls, loads.size - 1)); calls += 1; v },
+      sleep = slept += _)
+    assert(l === 1.5 && polls === 2 && slept.toSeq === Seq(7L, 7L))
+    // bounded: a persistently loaded box stops at maxPolls and the
+    // attempt proceeds (self-labeling contaminated downstream)
+    val (l2, p2) = Bench.settleGate(2.0, maxPolls = 3, pollMs = 1L,
+      load = () => 9.9, sleep = _ => ())
+    assert(l2 === 9.9 && p2 === 3)
+    // the unavailable-loadavg sentinel (-1) must not spin the full cap:
+    // there is nothing to wait for, and the verdict is disarmed anyway
+    val (l3, p3) = Bench.settleGate(2.0, maxPolls = 3, pollMs = 1L,
+      load = () => -1.0,
+      sleep = _ => throw new IllegalStateException("must not sleep"))
+    assert(l3 === -1.0 && p3 === 0)
+    // the gate's bar IS the verdict's bar — a run that waited "until
+    // clean" must then also LABEL clean on the before signal
+    val cpus = Runtime.getRuntime.availableProcessors
+    assert(!Bench.loadContaminated(
+      s"[${Bench.beforeThreshold(cpus) - 0.01},0,0]", "[0.5,0,0]",
+      benchThreads = 4))
+  }
+
   test("esc escapes JSON-hostile characters") {
     assert(Bench.esc("a\"b\\c\nd") === "a\\\"b\\\\c\\nd")
     assert(Bench.esc("\u0001") === "\\u0001")
