@@ -288,12 +288,29 @@ object CdrCodec {
       * that appended a UTF-16 NUL terminator anyway (and counted it)
       * has it stripped, mirroring string()'s terminator handling; an
       * ODD byte length is corruption and fails loudly.
+      *
+      * SUPPORTED WIRE FORM, stated plainly: the XTypes §7.4.3.5
+      * byte-length + 2-byte-code-unit layout above is the ONLY one
+      * this reader decodes. Fast-CDR 1.x (FastDDS's default
+      * serializer in several ROS 2 distros) serialized wstring as an
+      * ELEMENT COUNT followed by 4-byte wchar_t values — bags from
+      * that population mis-frame here: best case the length check or
+      * a downstream overrun fails loudly, worst case alternating NUL
+      * code units decode as garbage text. The error paths name the
+      * divergence so the failure is attributable, not a generic
+      * frame error.
       */
     def wstring(): String = {
       val n = u32().toInt
       require(n >= 0, s"negative cdr wstring length $n")
-      require(n % 2 == 0, s"cdr wstring byte length $n is odd — " +
-        "not UTF-16 code units")
+      require(n % 2 == 0, s"cdr wstring byte length $n is odd — not " +
+        "UTF-16 code units (supported wire form is XTypes " +
+        "byte-length + UTF-16; Fast-CDR 1.x bags use element-count + " +
+        "4-byte wchar_t, which this reader does not decode)")
+      require(n <= remaining, s"cdr wstring byte length $n overruns " +
+        s"the payload ($remaining bytes left) — a Fast-CDR 1.x " +
+        "element-count + 4-byte-wchar_t wstring mis-framed under the " +
+        "XTypes byte-length layout produces exactly this shape")
       val raw = blob(n)
       val end = if (n >= 2 && raw(n - 1) == 0 && raw(n - 2) == 0) n - 2 else n
       new String(raw, 0, end,

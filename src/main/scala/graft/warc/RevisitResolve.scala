@@ -1,6 +1,7 @@
 package graft.warc
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftfns.WarcDigest.warcDigest
 
@@ -22,11 +23,34 @@ import org.apache.spark.sql.graftfns.WarcDigest.warcDigest
   *     shard set or a cross-segment referent is an auditable
   *     condition, the loud-ingestion contract's shape).
   *
+  * Digest key (round 18): a response's OWN `WARC-Payload-Digest`
+  * header wins when present; only header-less responses fall back to
+  * computing sha1 over the reader's `payload`. The crawler computed
+  * its digest over the payload AS STORED in the record block, and the
+  * reader's `payload` is the DECODED entity body — for crawls that
+  * store wire-form bodies (Content-Encoding / chunked) the two
+  * diverge, so a computed-only key would silently strand every
+  * revisit in [[dangling]] with `copies` stuck at 1. The header IS
+  * the crawler's stored-form digest, so matching it is exact for
+  * precisely the crawls where recompute is not.
+  *
+  * Attribution (round 18, pinned): when one digest matches SEVERAL
+  * stored responses (a merged archive whose segments each stored the
+  * page — deduplicating crawlers store one, but resolution must not
+  * assume its input was deduplicated), the revisit count attaches to
+  * exactly ONE of them — the first by `record_id` — and the rest keep
+  * `copies = 1`. Attribute-once keeps the identity
+  * `sum(copies) = responses + matched revisits` that downstream
+  * weighted dedup depends on; handing every duplicate the full count
+  * (the pre-r18 behavior) inflated it to responses + k·revisits.
+  *
   * Scale shape: the revisit side collapses to (digest, count) via a
   * partial-aggregable groupBy BEFORE the join, so the join's build
   * volume is distinct-digest-sized; both sides shuffle once on the
-  * digest key (the aggregate's partitioning is reusable by the join).
-  * The digest for the response side is computed natively
+  * digest key, and the attribute-once rank rides that SAME
+  * clustering (a per-digest window whose partitions are
+  * duplicate-count-sized — no extra exchange, no corpus-wide sort).
+  * The digest for header-less responses is computed natively
   * ([[org.apache.spark.sql.graftfns.WarcDigest]], codegen) — one
   * sha1 per stored page, not per copy.
   *
@@ -36,36 +60,51 @@ import org.apache.spark.sql.graftfns.WarcDigest.warcDigest
   */
 object RevisitResolve {
 
+  /** The effective match key: the record's own stored-form digest
+    * header when the crawler wrote one, else sha1 over the decoded
+    * payload. Internal working columns are namespaced: withColumn
+    * silently REPLACES a same-named user column (the KeyedPairs
+    * lesson).
+    */
+  private def respKeyed(crawl: DataFrame): DataFrame =
+    crawl.filter(col("warc_type") === "response")
+      .withColumn("__rr_digest",
+        coalesce(col("payload_digest"), warcDigest(col("payload"))))
+
   /** Split a raw `format("warc")` frame on `warc_type` and resolve:
     * every `response` row comes back (all its columns preserved) plus
     * `copies` = 1 + the number of revisit records whose
-    * `payload_digest` equals the response payload's own sha1:base32
-    * digest. Revisits with a NULL digest header cannot be attributed
-    * and are ignored here (they remain visible in [[dangling]]).
+    * `payload_digest` equals the response's effective digest —
+    * attributed once per digest (see the attribution contract above).
+    * Revisits with a NULL digest header cannot be attributed and are
+    * ignored here (they remain visible in [[dangling]]).
     */
   def resolve(crawl: DataFrame): DataFrame = {
-    val resp = crawl.filter(col("warc_type") === "response")
-      // internal working columns are namespaced: withColumn silently
-      // REPLACES a same-named user column (the KeyedPairs lesson)
-      .withColumn("__rr_digest", warcDigest(col("payload")))
     val revs = crawl.filter(col("warc_type") === "revisit" &&
         col("payload_digest").isNotNull)
       .groupBy(col("payload_digest").as("__rr_digest"))
       .agg(count(lit(1)).as("__rr_revisits"))
-    resp.join(revs, Seq("__rr_digest"), "left_outer")
+    // rank rides the join's digest clustering; record_id is the
+    // schema's per-record identity, so first-by-record_id is
+    // deterministic without assuming file_path/offset survived the
+    // caller's projection
+    val w = Window.partitionBy(col("__rr_digest")).orderBy(col("record_id"))
+    respKeyed(crawl)
+      .join(revs, Seq("__rr_digest"), "left_outer")
       .withColumn("copies",
-        lit(1L) + coalesce(col("__rr_revisits"), lit(0L)))
+        when(row_number().over(w) === 1,
+          lit(1L) + coalesce(col("__rr_revisits"), lit(0L)))
+          .otherwise(lit(1L)))
       .drop("__rr_digest", "__rr_revisits")
   }
 
-  /** Revisit rows whose digest matches no response payload in the
-    * frame (left-anti on the computed response digests) — the audit
+  /** Revisit rows whose digest matches no response in the frame
+    * (left-anti on the responses' effective digests) — the audit
     * view of referents lost to truncation or living in shards outside
     * this read.
     */
   def dangling(crawl: DataFrame): DataFrame = {
-    val respDigests = crawl.filter(col("warc_type") === "response")
-      .select(warcDigest(col("payload")).as("__rr_digest"))
+    val respDigests = respKeyed(crawl).select(col("__rr_digest"))
     crawl.filter(col("warc_type") === "revisit")
       .join(respDigests,
         col("payload_digest") === col("__rr_digest"), "left_anti")

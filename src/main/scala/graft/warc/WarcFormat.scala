@@ -51,11 +51,15 @@ object WarcFormat {
 
   /** (status, contentType, body) of an `application/http` block.
     * `remainingEncoding` is the part of the body's declared encoding
-    * chain the reader could NOT reverse ("" = body is plain entity
-    * bytes): unknown content-codings (br, zstd) surface the raw bytes
-    * WITH their name instead of failing the shard or — worse —
-    * letting compressed bytes masquerade as text (the silent-mojibake
-    * failure the loud-truncation contract exists to prevent).
+    * chain a decode could not / did not reverse — the POST-DECODE
+    * verdict in both [[httpSplit]] modes. Under `decodeBody = true`,
+    * "" means `body` IS plain entity bytes; under `decodeBody =
+    * false` it only means the chain is fully reversible while `body`
+    * stays in wire form (see [[httpSplit]]). Unknown content-codings
+    * (br, zstd) surface the raw bytes WITH their name instead of
+    * failing the shard or — worse — letting compressed bytes
+    * masquerade as text (the silent-mojibake failure the
+    * loud-truncation contract exists to prevent).
     */
   final case class HttpPayload(status: Int, contentType: String,
       body: Array[Byte], remainingEncoding: String = "")
@@ -312,8 +316,15 @@ object WarcFormat {
     * zstd) keep the raw bytes and surface the leftover chain in
     * [[HttpPayload.remainingEncoding]]. With `decodeBody = false`
     * (payload not projected) the body is split but left as-is —
-    * status/content-type filters never pay for an inflate — while
-    * `remainingEncoding` still reports the full declared chain.
+    * status/content-type filters never pay for an inflate. In BOTH
+    * modes `remainingEncoding` is the POST-DECODE verdict (what a
+    * decode would leave / did leave): "" means the declared chain is
+    * fully reversible, NOT that `body` already holds plain entity
+    * bytes — under `decodeBody = false` a gzip body comes back still
+    * gzipped with `remainingEncoding == ""`. Direct callers that
+    * consume `body` must pass `decodeBody = true`; the two modes
+    * agree on the verdict by construction so a header-only projection
+    * and a payload projection can never report different chains.
     */
   def httpSplit(block: Array[Byte],
       decodeBody: Boolean = false): Option[HttpPayload] = {

@@ -169,7 +169,7 @@ object HtmlText {
         i = if (e < 0) win.length else e + 3
       } else if (win.startsWith("<meta", i) &&
           (i + 5 >= win.length || !Character.isLetterOrDigit(win.charAt(i + 5)))) {
-        val end = win.indexOf('>', i) match { case -1 => win.length; case e => e }
+        val end = tagEnd(win, i + 5)
         metaTagCharset(win.substring(i + 5, end)) match {
           case Some(cs) => return cs
           case None => ()
@@ -178,6 +178,34 @@ object HtmlText {
       } else i += 1
     }
     StandardCharsets.UTF_8
+  }
+
+  /** First '>' at or after `from` that is not inside a quoted
+    * ATTRIBUTE VALUE (string length when none — unterminated drops to
+    * end). The HTML5 tokenizer's attribute-value states consume '>'
+    * as value content, so `content="a > b"` must neither truncate the
+    * tag nor resume the outer scan mid-tag; but only quotes in VALUE
+    * position (first non-space after '=') delimit — a stray quote in
+    * free-standing text after a bare '<' is content, exactly like the
+    * tokenizer never entering a value state without '='. Shared by
+    * the meta prescan and [[stripMarkup]]'s generic-tag branch so the
+    * sniff and the strip can never disagree about where a tag ends.
+    */
+  private[graftfns] def tagEnd(s: String, from: Int): Int = {
+    var i = from
+    var eqPending = false // saw '=', scanning whitespace toward the value
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '>') return i
+      else if (c == '=') { eqPending = true; i += 1 }
+      else if (Character.isWhitespace(c)) i += 1 // `attr = "v"` is legal
+      else if ((c == '"' || c == '\'') && eqPending) {
+        val e = s.indexOf(c, i + 1)
+        i = if (e < 0) s.length else e + 1
+        eqPending = false
+      } else { eqPending = false; i += 1 }
+    }
+    s.length
   }
 
   /** Charset of one `<meta>` tag's attribute text, per the prescan's
@@ -303,8 +331,11 @@ object HtmlText {
             nameBoundary(html, i + 6)) {
           i = skipElement(html, i, "</style")
         } else {
-          val e = html.indexOf('>', i + 1)
-          i = if (e < 0) n else e + 1
+          // quote-aware (shared tagEnd): a '>' inside a quoted
+          // attribute value must not end the tag and leak the rest of
+          // the tag's attribute text into the extracted output
+          val e = tagEnd(html, i + 1)
+          i = if (e >= n) n else e + 1
         }
       } else { sb.append(c); i += 1 }
     }

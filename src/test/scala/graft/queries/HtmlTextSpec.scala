@@ -173,6 +173,21 @@ class HtmlTextSpec extends SparkTestBase {
     // unknown meta name keeps scanning; none left → utf-8
     assert(sniffed("<meta charset=\"klingon\"><p>ok</p>".getBytes("UTF-8"))
       === "ok")
+    // a '>' INSIDE a quoted attribute value must not truncate the tag:
+    // the prescan's attribute algorithm consumes quoted values across
+    // '>', so the charset after the quoted content still counts...
+    val gtInQuote = "<html><head><meta name=\"desc\" content=\"a > b\" " +
+      "charset=\"iso-8859-1\"></head><body>café</body></html>"
+    assert(sniffed(gtInQuote.getBytes("ISO-8859-1")) === "café",
+      "quoted '>' truncated the meta tag before its charset")
+    // ...and the outer scan must resume AFTER the real tag end, not
+    // mid-tag where quoted-value TEXT (here a meta-shaped string
+    // inside a description) would be re-parsed as a fresh declaration
+    val resumeMidTag = "<html><head><meta name=\"desc\" " +
+      "content=\"a > <meta charset=iso-8859-1>\"></head>" +
+      "<body>café</body></html>"
+    assert(sniffed(resumeMidTag.getBytes("UTF-8")) === "café",
+      "resuming mid-tag surfaced a charset from inside a quoted value")
   }
 
   test("malformed markup goldens: document-order, drop-to-end, literal entities") {
@@ -213,6 +228,13 @@ class HtmlTextSpec extends SparkTestBase {
     // tags fuse to a single space, never zero
     assert(extract("a<br/>b") === "a b")
     assert(extract("<p></p>") === "")
+    // a '>' inside a quoted attribute VALUE does not end the tag (the
+    // tokenizer's attribute-value state) — no attribute text leaks
+    assert(extract("a <span title=\"x > y\">b</span> c") === "a b c")
+    // but a stray quote after a bare '<' in free text is NOT a value
+    // delimiter (no '='), so the first '>' still closes the "tag" —
+    // the pre-r18 behavior for non-markup text is preserved
+    assert(extract("1 < 2 && \"q\" > 3 ok") === "1 3 ok")
     assert(extract("") === "")
   }
 

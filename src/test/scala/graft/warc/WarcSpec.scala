@@ -331,6 +331,63 @@ class WarcSpec extends SparkTestBase {
     assert(gone === Seq("https://ex.com/gone?r=1"))
   }
 
+  test("revisit resolution: header-digest wins for wire-form bodies, " +
+      "duplicate responses attribute once") {
+    import org.apache.spark.sql.graftfns.WarcDigest
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_rev2").toFile
+    val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+      .getBytes("UTF-8")
+    def rev(uri: String, digest: String, refersTo: String) =
+      WriteRecord("revisit", uri, head,
+        contentType = "application/http; msgtype=response",
+        extraHeaders = Seq("WARC-Payload-Digest" -> digest,
+          "WARC-Refers-To" -> refersTo,
+          "WARC-Profile" ->
+            "http://netpreservation.org/warc/1.1/revisit/identical-payload-digest"))
+    // a self-recorded crawl STORING the wire form: entity gzipped in
+    // the block, the crawler's digest computed over the STORED bytes
+    // (the header), never the decoded entity the reader surfaces —
+    // the ADVICE r17 shape where computed-only matching strands every
+    // revisit in dangling()
+    val bodyW = "<p>wire-form page</p>".getBytes("UTF-8")
+    val storedW = gzipBody(bodyW)
+    val wireResp = WriteRecord("response", "https://ex.com/w",
+      httpResponseBlock(storedW, "text/html",
+        Seq("Content-Encoding: gzip")),
+      contentType = "application/http; msgtype=response",
+      recordId = "<urn:uuid:w>",
+      extraHeaders = Seq(
+        "WARC-Payload-Digest" -> WarcDigest.labeled(storedW)))
+    // a MERGED archive: two segments each stored page D (same body,
+    // distinct records) — n revisits must attach to exactly one
+    val bodyD = "<p>doubly stored page</p>".getBytes("UTF-8")
+    def respD(id: String) = WriteRecord("response", s"https://ex.com/d",
+      httpResponseBlock(bodyD, "text/html"),
+      contentType = "application/http; msgtype=response", recordId = id)
+    val recs = Seq(
+      wireResp,
+      rev("https://ex.com/w?r=1", WarcDigest.labeled(storedW), "<urn:uuid:w>"),
+      respD("<urn:uuid:d1>"), respD("<urn:uuid:d2>"),
+      rev("https://ex.com/d?r=1", WarcDigest.labeled(bodyD), "<urn:uuid:d1>"),
+      rev("https://ex.com/d?r=2", WarcDigest.labeled(bodyD), "<urn:uuid:d1>"))
+    val f = new java.io.File(dir, "rev2.warc.gz")
+    java.nio.file.Files.write(f.toPath, writeWarc(recs, gzipPerRecord = true))
+    val crawl = spark.read.format("warc").load(f.getAbsolutePath)
+    val resolved = RevisitResolve.resolve(crawl)
+      .select("record_id", "copies").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // header digest matched the stored-form revisit: copies = 2, and
+    // the wire revisit is NOT dangling
+    assert(resolved("<urn:uuid:w>") === 2L)
+    // attribute-once: the first record_id takes both revisits, the
+    // duplicate keeps copies = 1 — sum(copies) = responses + revisits
+    assert(resolved("<urn:uuid:d1>") === 3L)
+    assert(resolved("<urn:uuid:d2>") === 1L)
+    assert(resolved.values.sum === recs.size.toLong,
+      "sum(copies) must equal responses + matched revisits")
+    assert(RevisitResolve.dangling(crawl).count() === 0L)
+  }
+
   test("malformed framing fails loudly, never silently skips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_bad").toFile
     val good = writeWarc(fixtureRecords(1))
