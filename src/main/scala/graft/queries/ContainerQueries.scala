@@ -736,7 +736,83 @@ object ContainerQueries {
           // boolean inside the oracle equality, not a side assert
           col("refers_to").startsWith("<urn:uuid:doc-").as("linked"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Q104 — URL canonicalization matrix, CHECKED per document: each
+    // doc_id%8 slot constructs a deterministically MESSY url (mixed
+    // case, default port, www, dot-segments + non-default port on a
+    // multi-part ccTLD, tracking params + unsorted query, userinfo +
+    // FQDN dot + fragment, ftp default port, bare-IP host, opaque
+    // mailto) and the native url_canon / url_host / url_domain /
+    // url_surt expressions normalize it. The oracle states each
+    // slot's expected canonical/host/registered-domain/SURT form as a
+    // literal CASE over (source, doc_id), so every canonicalization
+    // rule — including the PSL-subset multi-part suffix, the IP
+    // passthrough, the www-fold and the NULLs for opaque urls — sits
+    // inside one DuckDB equality. Map-only: one projection, no
+    // shuffle before the verify sort.
+    "q104_url_canon" -> ((s, d) => {
+      import org.apache.spark.sql.graftfns.UrlFns._
+      val url = slotUrl
+      documents(s, d).select(col("doc_id"),
+          urlCanon(url).as("canon"), urlHost(url).as("host"),
+          urlDomain(url).as("domain"), urlSurt(url).as("surt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q105 — per-DOMAIN corpus stats and mixture shares (the q67
+    // shape keyed by registered domain instead of source): every
+    // production crawl pipeline balances by domain BEFORE text-level
+    // dedup, and the registered domain — not the host — is the
+    // balancing key (a site's subdomains must pool). The q104 slot
+    // urls give 61 hosts that COLLAPSE to three domains (+ the
+    // opaque slot's NULLs, filtered), so the host→domain fold is
+    // inside the equality, not just the arithmetic. Scale shape: one
+    // partial-aggregable shuffle on the domain key; the total rides a
+    // broadcast of the one-row aggregate.
+    "q105_domain_stats" -> ((s, d) => {
+      import org.apache.spark.sql.graftfns.UrlFns._
+      val perDom = documents(s, d)
+        .select(urlDomain(slotUrl).as("domain"),
+          urlHost(slotUrl).as("host"), col("n_chars"))
+        .filter(col("domain").isNotNull)
+        .groupBy(col("domain")).agg(
+          count(lit(1)).as("docs"),
+          countDistinct(col("host")).as("hosts"),
+          sum(col("n_chars")).as("chars"))
+      val tot = perDom.agg(sum(col("docs")).as("tot_docs"))
+      perDom.crossJoin(broadcast(tot))
+        .select(col("domain"), col("docs"), col("hosts"), col("chars"),
+          rk(col("docs").cast("double") / col("tot_docs"), 6).as("share"))
+        .orderBy(col("domain"))
     }))
+
+  /** The q104/q105 messy-url construction — doc_id%8 picks the
+    * canonicalization rule the slot exercises; mirrored as literal
+    * expected forms in the oracle SQL.
+    */
+  private def slotUrl: org.apache.spark.sql.Column = {
+    val slot = pmod(col("doc_id"), lit(8))
+    val id = col("doc_id").cast("string")
+    when(slot === 0,
+        concat(lit("https://"), col("source"), lit(".example.com/doc/"), id))
+      .when(slot === 1,
+        concat(lit("HTTPS://WWW."), col("source"),
+          lit(".Example.COM:443/doc/"), id))
+      .when(slot === 2,
+        concat(lit("http://"), col("source"),
+          lit(".example.co.uk:8080/a/./b/../doc/"), id))
+      .when(slot === 3,
+        concat(lit("https://"), col("source"), lit(".example.com/doc/"), id,
+          lit("?utm_source=x&b=2&a=1")))
+      .when(slot === 4,
+        concat(lit("https://user:pw@"), col("source"),
+          lit(".example.com./doc/"), id, lit("#frag")))
+      .when(slot === 5,
+        concat(lit("ftp://"), col("source"), lit(".example.com:21/doc/"), id))
+      .when(slot === 6, concat(lit("https://192.168.0.1/doc/"), id))
+      .otherwise(concat(lit("mailto:"), col("source"), lit("@example.com")))
+  }
 
   /** q97's fixture: the events slice on one cdr channel, each message
     * encoded under the encapsulation flavor its event_id selects —
@@ -1623,7 +1699,64 @@ object ContainerQueries {
         |SELECT source, CAST(SUM(copies) AS BIGINT) AS docs_total,
         |       COUNT(*) AS docs_unique,
         |       CAST(SUM(nchars) AS BIGINT) AS uniq_chars
-        |FROM u WHERE words >= 5 GROUP BY source ORDER BY source""".stripMargin)
+        |FROM u WHERE words >= 5 GROUP BY source ORDER BY source""".stripMargin,
+    // each slot's EXPECTED canonical/host/domain/SURT form, stated as
+    // literals — the canonicalization rules themselves are the gate
+    "q104_url_canon" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'https://'||source||'.example.com/doc/'||doc_id
+        |    WHEN 1 THEN 'https://www.'||source||'.example.com/doc/'||doc_id
+        |    WHEN 2 THEN 'http://'||source||'.example.co.uk:8080/a/doc/'||doc_id
+        |    WHEN 3 THEN 'https://'||source||'.example.com/doc/'||doc_id||'?a=1&b=2'
+        |    WHEN 4 THEN 'https://'||source||'.example.com/doc/'||doc_id
+        |    WHEN 5 THEN 'ftp://'||source||'.example.com/doc/'||doc_id
+        |    WHEN 6 THEN 'https://192.168.0.1/doc/'||doc_id
+        |    ELSE 'mailto:'||source||'@example.com' END AS canon,
+        |  CASE doc_id % 8
+        |    WHEN 1 THEN 'www.'||source||'.example.com'
+        |    WHEN 2 THEN source||'.example.co.uk'
+        |    WHEN 6 THEN '192.168.0.1'
+        |    WHEN 7 THEN NULL
+        |    ELSE source||'.example.com' END AS host,
+        |  CASE doc_id % 8
+        |    WHEN 2 THEN 'example.co.uk'
+        |    WHEN 6 THEN '192.168.0.1'
+        |    WHEN 7 THEN NULL
+        |    ELSE 'example.com' END AS domain,
+        |  CASE doc_id % 8
+        |    WHEN 2 THEN 'uk,co,example,'||source||':8080)/a/doc/'||doc_id
+        |    WHEN 3 THEN 'com,example,'||source||')/doc/'||doc_id||'?a=1&b=2'
+        |    WHEN 6 THEN '192.168.0.1)/doc/'||doc_id
+        |    WHEN 7 THEN NULL
+        |    ELSE 'com,example,'||source||')/doc/'||doc_id END AS surt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // domain fold replicated per slot, then the q67 mixture arithmetic
+    "q105_domain_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE doc_id % 8
+        |      WHEN 1 THEN 'www.'||source||'.example.com'
+        |      WHEN 2 THEN source||'.example.co.uk'
+        |      WHEN 6 THEN '192.168.0.1'
+        |      WHEN 7 THEN NULL
+        |      ELSE source||'.example.com' END AS host,
+        |    CASE doc_id % 8
+        |      WHEN 2 THEN 'example.co.uk'
+        |      WHEN 6 THEN '192.168.0.1'
+        |      WHEN 7 THEN NULL
+        |      ELSE 'example.com' END AS domain
+        |  FROM documents),
+        |s AS (
+        |  SELECT domain, COUNT(*) AS docs,
+        |         COUNT(DISTINCT host) AS hosts,
+        |         CAST(SUM(n_chars) AS BIGINT) AS chars
+        |  FROM u WHERE domain IS NOT NULL GROUP BY 1),
+        |g AS (SELECT CAST(SUM(docs) AS BIGINT) AS tot_docs FROM s)
+        |SELECT domain, docs, hosts, chars,
+        |  FLOOR(CAST(docs AS DOUBLE) / tot_docs * 1000000.0 + 0.5)
+        |    / 1000000.0 AS share
+        |FROM s, g ORDER BY domain""".stripMargin)
 
   // lazy: referenced from the `oracle` map initializer above
   private lazy val DoubledTopicOracle =

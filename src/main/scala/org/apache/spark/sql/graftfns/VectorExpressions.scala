@@ -300,6 +300,30 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[HtmlText].getCanonicalName, "html_text"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HtmlText(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("url_canon"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[UrlCanon].getCanonicalName, "url_canon"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UrlCanon(exprs(0))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("url_host"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[UrlHost].getCanonicalName, "url_host"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UrlHost(exprs(0))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("url_domain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[UrlDomain].getCanonicalName, "url_domain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UrlDomain(exprs(0))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("url_surt"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[UrlSurt].getCanonicalName, "url_surt"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UrlSurt(exprs(0))))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => SplitTimeBounds)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftplans.AsOfJoinStrategy)
