@@ -738,6 +738,34 @@ object ContainerQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Q103 — CDX random-access lookup, CHECKED per addressed
+    // document: the corpus written as HTTP-response WARC shards
+    // through the SINK (which publishes a sorted CDXJ sidecar per
+    // shard as it writes — exact compressed member byte ranges), then
+    // a 10-url lookup resolved THROUGH the index: `option("cdx")`
+    // plans (offset, length) ranges off the sidecars at plan time, so
+    // only the addressed shards — and only the addressed gzip members
+    // within them — are read. Each fetched member's payload must
+    // md5-match DuckDB's md5 over the original text, so the sink's
+    // byte accounting, the sidecar round-trip, the SURT keying, the
+    // range fetch AND the standalone member decode all sit inside one
+    // DuckDB equality (a stale offset or a mis-framed member breaks
+    // its row). The sequential-scan ≡ indexed-read row equality is
+    // pinned separately in WarcCdxSpec.
+    "q103_cdx_lookup" -> ((s, d) => {
+      val dir = cdxFixture(s, d)
+      val urls = (0 until 10).map(k =>
+        s"https://crawl.example.com/doc/${10 * k + 3}")
+      s.read.format("warc").option("cdx", "true").load(dir)
+        .filter(col("target_uri").isin(urls: _*) &&
+          col("http_status") === 200)
+        .withColumn("doc_id",
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long"))
+        .select(col("doc_id"), md5(col("payload")).as("text_md5"),
+          length(decode(col("payload"), "UTF-8")).cast("long").as("nchars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Q104 — URL canonicalization matrix, CHECKED per document: each
     // doc_id%8 slot constructs a deterministically MESSY url (mixed
     // case, default port, www, dot-segments + non-default port on a
@@ -786,6 +814,29 @@ object ContainerQueries {
           rk(col("docs").cast("double") / col("tot_docs"), 6).as("share"))
         .orderBy(col("domain"))
     }))
+
+  /** q103's fixture: every document an HTTP-response WARC record
+    * (uri `https://crawl.example.com/doc/<doc_id>`, body = text
+    * UTF-8) across three member-gzipped shards written through the
+    * DSv2 SINK with its default cdx sidecars — the indexed-lookup
+    * target. Keyed on the documents parquet (length, mtime) + a
+    * version salt.
+    */
+  private def cdxFixture(s: SparkSession, d: String): String = synchronized {
+    val docs = new java.io.File(d, "documents.parquet")
+    val key = md5Key(s"cdxv1:$d:${docs.length}:${docs.lastModified}")
+    publishStaged("graft_cdx_" + key) { stage =>
+      graft.warc.WarcExport.prepareHttpResponse(
+          documents(s, d).select(col("doc_id"), col("text")),
+          uri = concat(lit("https://crawl.example.com/doc/"),
+            col("doc_id").cast("string")),
+          body = encode(col("text"), "UTF-8"),
+          httpContentType = lit("text/plain; charset=utf-8"))
+        .repartition(3)
+        .write.format("warc").mode("overwrite")
+        .save(new java.io.File(stage, "crawl").getAbsolutePath)
+    } + "/crawl"
+  }
 
   /** The q104/q105 messy-url construction — doc_id%8 picks the
     * canonicalization rule the slot exercises; mirrored as literal
@@ -1700,6 +1751,14 @@ object ContainerQueries {
         |       COUNT(*) AS docs_unique,
         |       CAST(SUM(nchars) AS BIGINT) AS uniq_chars
         |FROM u WHERE words >= 5 GROUP BY source ORDER BY source""".stripMargin,
+    // the addressed id set, content md5'd straight off documents —
+    // the indexed fetch path must land byte-identical text
+    "q103_cdx_lookup" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |       CAST(length(text) AS BIGINT) AS nchars
+        |FROM documents
+        |WHERE doc_id % 10 = 3 AND doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
     // each slot's EXPECTED canonical/host/domain/SURT form, stated as
     // literals — the canonicalization rules themselves are the gate
     "q104_url_canon" ->

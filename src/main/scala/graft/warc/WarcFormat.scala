@@ -88,13 +88,43 @@ object WarcFormat {
     private var memberOpen = false
     private var memberOut = 0L
     private var eos = false
+    private var underRead = 0L
+    private var memberStartPos = 0L
+
+    /** COMPRESSED byte position of the current parse point — exact at
+      * member boundaries (mid-member the inflater owns the buffered
+      * window, so only boundary reads consult this). The CDX indexer's
+      * source of (offset, length).
+      */
+    def compressedPos: Long = underRead - (inLen - inPos)
+
+    /** Compressed start offset of the current/last member. */
+    def memberStart: Long = memberStartPos
+
+    /** Single-member mode: read() returns -1 at each member END
+      * instead of opening the next member; [[nextMember]] advances.
+      * Lets the CDX indexer attribute exact (offset, length) byte
+      * ranges to each member without re-implementing the strict
+      * header/trailer verification.
+      */
+    var memberLimit = false
+
+    /** Open the next member when in [[memberLimit]] mode; false at
+      * clean EOF. A no-op (true) if a member is already open.
+      */
+    def nextMember(): Boolean = {
+      if (eos) return false
+      if (memberOpen) return true
+      if (openMember()) true else { eos = true; false }
+    }
 
     /** Bytes buffered and unread, refilling if empty; -1 at EOF. */
     private def avail(): Int = {
       if (inPos < inLen) return inLen - inPos
       inLen = under.read(inBuf, 0, inBuf.length)
       inPos = 0
-      if (inLen < 0) { inLen = 0; -1 } else inLen
+      if (inLen < 0) { inLen = 0; -1 }
+      else { underRead += inLen; inLen }
     }
 
     private def byteOr(what: String): Int = {
@@ -108,6 +138,7 @@ object WarcFormat {
     /** Parse one member header; false = clean EOF at the boundary. */
     private def openMember(): Boolean = {
       if (avail() < 0) return false
+      memberStartPos = compressedPos
       val m1 = byteOr("gzip magic")
       val m2 = byteOr("gzip magic")
       if (m1 != 0x1f || m2 != 0x8b) throw new IllegalArgumentException(
@@ -169,7 +200,10 @@ object WarcFormat {
       if (len == 0) return 0
       while (true) {
         if (eos) return -1
-        if (!memberOpen && !openMember()) { eos = true; return -1 }
+        if (!memberOpen) {
+          if (memberLimit) return -1 // boundary: caller advances
+          if (!openMember()) { eos = true; return -1 }
+        }
         if (inf.needsInput && !inf.finished) {
           if (avail() < 0) throw new IllegalArgumentException(
             "warc.gz: member truncated mid-deflate stream")
@@ -178,7 +212,10 @@ object WarcFormat {
         }
         val n = inf.inflate(b, off, len)
         if (n > 0) { crc.update(b, off, n); memberOut += n; return n }
-        if (inf.finished) closeMember() // then loop into the next member
+        if (inf.finished) { // then loop into the next member (or stop
+          closeMember()     // at the boundary under memberLimit)
+          if (memberLimit) return -1
+        }
         else if (!inf.needsInput) throw new IllegalArgumentException(
           "warc.gz: inflater stalled (preset-dictionary deflate?) — " +
             "not a gzip member stream")

@@ -79,7 +79,10 @@ class WarcWriteBuilder(path: String, info: LogicalWriteInfo)
       refersTo = opt("refers_to", StringType),
       payloadDigest = opt("payload_digest", StringType))
     val gzip = Option(info.options().get("gzip")).forall(_.toBoolean)
-    new WarcWrite(path, ords, gzip, truncateFirst, info.queryId())
+    // cdx sidecars ON by default: an archive without its index is
+    // sequential-scan-only; `option("cdx", "false")` opts out
+    val cdx = Option(info.options().get("cdx")).forall(_.toBoolean)
+    new WarcWrite(path, ords, gzip, truncateFirst, info.queryId(), cdx)
   }
 }
 
@@ -88,20 +91,21 @@ private[warc] final case class WarcWriteOrdinals(warcType: Int, targetUri: Int,
     refersTo: Int = -1, payloadDigest: Int = -1)
 
 class WarcWrite(path: String, ords: WarcWriteOrdinals, gzip: Boolean,
-    truncateFirst: Boolean, queryId: String) extends Write {
+    truncateFirst: Boolean, queryId: String, cdx: Boolean = true)
+    extends Write {
   override def toBatch: BatchWrite =
-    new WarcBatchWrite(path, ords, gzip, truncateFirst)
+    new WarcBatchWrite(path, ords, gzip, truncateFirst, cdx)
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!truncateFirst,
       "warc streaming write supports the Append output mode only " +
         "(a shard directory cannot be truncated per epoch)")
-    new WarcStreamingSinkWrite(path, ords, gzip, queryId)
+    new WarcStreamingSinkWrite(path, ords, gzip, queryId, cdx)
   }
 }
 
 class WarcBatchWrite(dir: String, ords: WarcWriteOrdinals, gzip: Boolean,
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean, cdx: Boolean = true) extends BatchWrite {
 
   private val jobId = java.util.UUID.randomUUID().toString.take(8)
 
@@ -111,7 +115,8 @@ class WarcBatchWrite(dir: String, ords: WarcWriteOrdinals, gzip: Boolean,
     val fs = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     if (truncateFirst && fs.exists(p))
       fs.listStatus(p).toSeq
-        .filter(s => s.isFile && WarcDataSource.isWarc(s.getPath.getName))
+        .filter(s => s.isFile && (WarcDataSource.isWarc(s.getPath.getName) ||
+          s.getPath.getName.endsWith(".cdx")))
         .map(_.getPath.toString)
     else {
       if (!fs.exists(p)) { fs.mkdirs(p); () }
@@ -120,7 +125,7 @@ class WarcBatchWrite(dir: String, ords: WarcWriteOrdinals, gzip: Boolean,
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    WarcWriterFactory(dir, jobId, ords, gzip)
+    WarcWriterFactory(dir, jobId, ords, gzip, cdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
@@ -134,24 +139,28 @@ class WarcBatchWrite(dir: String, ords: WarcWriteOrdinals, gzip: Boolean,
     val fs = new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     messages.foreach {
       case c: WarcFileCommit if c.path != null =>
-        fs.delete(new Path(c.path), false); ()
+        fs.delete(new Path(c.path), false)
+        // a committed task published its sidecar too
+        fs.delete(new Path(WarcCdx.sidecarPath(c.path)), false)
+        ()
       case _ => ()
     }
   }
 }
 
 private[warc] final case class WarcWriterFactory(dir: String, jobId: String,
-    ords: WarcWriteOrdinals, gzip: Boolean) extends DataWriterFactory {
+    ords: WarcWriteOrdinals, gzip: Boolean, cdx: Boolean)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new WarcDataWriter(dir, f"part-$partitionId%05d-$taskId-$jobId", ords, gzip,
-      partitionId)
+      partitionId, cdx = cdx)
 }
 
 private[warc] final case class WarcFileCommit(path: String, rows: Long)
     extends WriterCommitMessage
 
 class WarcStreamingSinkWrite(dir: String, ords: WarcWriteOrdinals,
-    gzip: Boolean, queryId: String)
+    gzip: Boolean, queryId: String, cdx: Boolean = true)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -163,7 +172,7 @@ class WarcStreamingSinkWrite(dir: String, ords: WarcWriteOrdinals,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    WarcStreamWriterFactory(dir, queryId.take(8), ords, gzip)
+    WarcStreamWriterFactory(dir, queryId.take(8), ords, gzip, cdx)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = ()
@@ -173,27 +182,34 @@ class WarcStreamingSinkWrite(dir: String, ords: WarcWriteOrdinals,
     val fs = new Path(dir).getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
     messages.foreach {
       case c: WarcFileCommit if c.path != null =>
-        fs.delete(new Path(c.path), false); ()
+        fs.delete(new Path(c.path), false)
+        fs.delete(new Path(WarcCdx.sidecarPath(c.path)), false)
+        ()
       case _ => ()
     }
   }
 }
 
 private[warc] final case class WarcStreamWriterFactory(dir: String, qid: String,
-    ords: WarcWriteOrdinals, gzip: Boolean)
+    ords: WarcWriteOrdinals, gzip: Boolean, cdx: Boolean)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new WarcDataWriter(dir, f"part-$partitionId%05d-q$qid-e$epochId", ords,
-      gzip, partitionId, attemptTag = s"-t$taskId")
+      gzip, partitionId, attemptTag = s"-t$taskId", cdx = cdx)
 }
 
 /** One task's shard: record-at-a-time rendering (no whole-file
   * buffering — a shard is written in one pass at any size), each
-  * record its own gzip member when `gzip`.
+  * record its own gzip member when `gzip`. With `cdx` (the default)
+  * the writer tracks each record's exact byte range as it writes and
+  * publishes a sorted CDXJ sidecar at task commit — the index costs
+  * one pass of line buffering (entry-count-bounded, ~100 B/record),
+  * never a re-read of the shard.
   */
 class WarcDataWriter(dir: String, stem: String, ords: WarcWriteOrdinals,
-    gzip: Boolean, partitionId: Int, attemptTag: String = "")
+    gzip: Boolean, partitionId: Int, attemptTag: String = "",
+    cdx: Boolean = true)
     extends DataWriter[InternalRow] {
 
   private val ext = if (gzip) ".warc.gz" else ".warc"
@@ -206,6 +222,21 @@ class WarcDataWriter(dir: String, stem: String, ords: WarcWriteOrdinals,
   // lazy: an empty partition leaves no file (empty shards are debris)
   private var stream: java.io.OutputStream = null
   private var rows = 0L
+  private var written = 0L
+  private val cdxEntries =
+    if (cdx) Seq.newBuilder[WarcCdx.CdxEntry] else null
+
+  /** Counts bytes at the FILE layer (below the per-record gzip, above
+    * the fs stream) — the offsets the sidecar publishes are positions
+    * in the final shard file.
+    */
+  private final class Counting(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    override def write(b: Int): Unit = { out.write(b); written += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); written += len
+    }
+  }
 
   private def nonNull(row: InternalRow, ord: Int, name: String): Unit =
     require(!row.isNullAt(ord), s"warc write: null '$name' " +
@@ -213,7 +244,8 @@ class WarcDataWriter(dir: String, stem: String, ords: WarcWriteOrdinals,
 
   override def write(row: InternalRow): Unit = {
     if (stream == null)
-      stream = new java.io.BufferedOutputStream(fs.create(tmpPath, true), 1 << 16)
+      stream = new Counting(
+        new java.io.BufferedOutputStream(fs.create(tmpPath, true), 1 << 16))
     nonNull(row, ords.warcType, "warc_type")
     nonNull(row, ords.payload, "payload")
     nonNull(row, ords.warcDate, "warc_date")
@@ -245,6 +277,7 @@ class WarcDataWriter(dir: String, stem: String, ords: WarcWriteOrdinals,
       date = date,
       extraHeaders = extra)
     val bytes = WarcFormat.renderRecord(rec, 0)
+    val start = written
     if (gzip) {
       // member per record; the shield keeps the gzip close() (which
       // releases the member's native deflater) off the shard stream
@@ -252,6 +285,12 @@ class WarcDataWriter(dir: String, stem: String, ords: WarcWriteOrdinals,
         org.apache.commons.io.output.CloseShieldOutputStream.wrap(stream))
       gz.write(bytes); gz.close()
     } else stream.write(bytes)
+    if (cdx)
+      cdxEntries += WarcCdx.CdxEntry(WarcCdx.surtKey(uri),
+        WarcCdx.timestamp14(date), uri, rows.toInt, start, written - start,
+        finalPath.getName,
+        digest = extra.collectFirst {
+          case ("WARC-Payload-Digest", v) => v }.getOrElse(""))
     rows += 1
   }
 
@@ -263,6 +302,12 @@ class WarcDataWriter(dir: String, stem: String, ords: WarcWriteOrdinals,
     if (fs.exists(finalPath)) fs.delete(finalPath, false)
     require(fs.rename(tmpPath, finalPath),
       s"warc write: rename $tmpPath -> $finalPath failed")
+    // sidecar AFTER the shard: a reader that sees the index can
+    // always fetch the bytes it addresses (the reverse would address
+    // a half-renamed shard); epoch replays replace it with the shard
+    if (cdx)
+      WarcCdx.writeSidecar(finalPath.toString,
+        cdxEntries.result().sortBy(e => (e.surt, e.timestamp)))
     WarcFileCommit(finalPath.toString, rows)
   }
 

@@ -50,7 +50,8 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new WarcTable(WarcDataSource.pathSpec(opts),
-      opts.getBoolean("ordered_shards", false))
+      opts.getBoolean("ordered_shards", false),
+      opts.getBoolean("cdx", false))
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -120,7 +121,8 @@ object WarcDataSource {
   }
 }
 
-class WarcTable(path: String, orderedShards: Boolean = false)
+class WarcTable(path: String, orderedShards: Boolean = false,
+    cdxLookup: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"warc:$path"
@@ -130,14 +132,15 @@ class WarcTable(path: String, orderedShards: Boolean = false)
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(path, orderedShards)
+    new WarcScanBuilder(path, orderedShards, cdxLookup)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new WarcWriteBuilder(path, info)
 }
 
-class WarcScanBuilder(path: String, orderedShards: Boolean = false) extends ScanBuilder
+class WarcScanBuilder(path: String, orderedShards: Boolean = false,
+    cdxLookup: Boolean = false) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit {
   private var required: StructType = WarcDataSource.Schema
@@ -159,7 +162,7 @@ class WarcScanBuilder(path: String, orderedShards: Boolean = false) extends Scan
   override def pushLimit(n: Int): Boolean = { limit = n; false }
 
   override def build(): Scan =
-    new WarcScan(path, required, pushed, limit, orderedShards)
+    new WarcScan(path, required, pushed, limit, orderedShards, cdxLookup)
 }
 
 private[warc] object WarcFilters {
@@ -201,12 +204,28 @@ private[warc] object WarcFilters {
     case In("file_path", vs) => vs.contains(path)
     case _ => true
   }
+
+  /** May a CDX entry with this url survive the filter? Only the
+    * target_uri shapes prune at the index; everything else (type,
+    * status) is re-evaluated on the fetched record.
+    */
+  def uriMayMatch(f: Filter, url: String): Boolean = f match {
+    case EqualTo("target_uri", v) => url == v
+    case In("target_uri", vs) => vs.contains(url)
+    case _ => true
+  }
 }
 
 final case class WarcInputPartition(path: String) extends InputPartition
 
+/** One shard's ADDRESSED subset: (ordinal, offset, length) ranges —
+  * the CDX lookup path's partition grain.
+  */
+final case class WarcRangesPartition(path: String,
+    ranges: Seq[(Int, Long, Long)]) extends InputPartition
+
 class WarcScan(path: String, required: StructType, filters: Array[Filter],
-    limit: Int, orderedShards: Boolean = false)
+    limit: Int, orderedShards: Boolean = false, cdxLookup: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -228,22 +247,49 @@ class WarcScan(path: String, required: StructType, filters: Array[Filter],
       java.util.OptionalLong.empty()
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    WarcDataSource.resolveFiles(path)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = WarcDataSource.resolveFiles(path)
       .filter(f => filters.forall(fl => WarcFilters.fileMayMatch(fl, f)))
-      .map(f => WarcInputPartition(f): InputPartition).toArray
+    if (!cdxLookup)
+      return files.map(f => WarcInputPartition(f): InputPartition).toArray
+    // CDX lookup: resolve pushed target_uri filters through the
+    // per-shard sidecars at PLAN time — only shards with surviving
+    // entries get a partition, and each partition fetches only its
+    // addressed byte ranges. A shard without a sidecar is LOUD: its
+    // records would silently vanish from the "index-resolved" result.
+    files.flatMap { shard =>
+      val side = WarcCdx.sidecarPath(shard)
+      val sideP = new org.apache.hadoop.fs.Path(side)
+      require(sideP.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf())
+          .exists(sideP),
+        s"cdx read: shard $shard has no .cdx sidecar — build one with " +
+          "WarcCdx.buildSidecars or drop option(\"cdx\")")
+      val ranges = WarcCdx.driverEntries(shard)
+        .map(_._2)
+        .filter(e => filters.forall(fl => WarcFilters.uriMayMatch(fl, e.url)))
+        .sortBy(_.offset)
+        .map(e => (e.ordinal, e.offset, e.length))
+      if (ranges.isEmpty) None
+      else Some(WarcRangesPartition(shard, ranges): InputPartition)
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val (req, fls, lim) = (required, filters, limit)
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new WarcPartitionReader(
-          p.asInstanceOf[WarcInputPartition].path, req, fls, lim)
+        p match {
+          case WarcRangesPartition(f, ranges) =>
+            new WarcRangeReader(f, ranges, req, fls, lim)
+          case wp: WarcInputPartition =>
+            new WarcPartitionReader(wp.path, req, fls, lim)
+        }
     }
   }
 
   override def description(): String =
-    s"warc $path, pushedFilters=[${filters.mkString(", ")}], limit=$limit"
+    s"warc $path, pushedFilters=[${filters.mkString(", ")}], " +
+      s"limit=$limit, cdx=$cdxLookup"
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -394,9 +440,13 @@ object WarcStreamOffset {
   }
 }
 
-class WarcPartitionReader(filePath: String, required: StructType,
-    filters: Array[Filter], limit: Int) extends PartitionReader[InternalRow] {
-
+/** Shared filter + http-split + row-assembly kernel — ONE
+  * implementation for the sequential scan and the CDX range reader so
+  * an indexed read's rows are byte-identical to the scan's by
+  * construction.
+  */
+private[warc] final class WarcRowAssembler(filePath: String,
+    required: StructType, filters: Array[Filter]) {
   private val names = required.fieldNames.toSet
   // only a projected payload pays for the body decode (dechunk +
   // inflate); header-only projections and status filters split the
@@ -413,29 +463,26 @@ class WarcPartitionReader(filePath: String, required: StructType,
       }
   }
 
-  private var opened = false
-  private lazy val stream: java.io.InputStream = {
-    val p = new Path(filePath)
-    val raw = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()).open(p)
-    opened = true
-    try {
-      val buf = new java.io.BufferedInputStream(raw, 1 << 16)
-      if (filePath.endsWith(".gz"))
-        // strict member-by-member reader: a truncated or corrupt
-        // member FAILS the task instead of parsing as clean EOF
-        new WarcFormat.StrictGzipStream(buf)
-      else buf
-    } catch {
-      // a junk .gz fails in the wrapper's constructor — don't leak
-      // the raw fd behind the failed lazy init
-      case t: Throwable => opened = false; raw.close(); throw t
-    }
-  }
-
   private val pathUtf8 = UTF8String.fromString(filePath)
   private var current: WarcFormat.WarcRecord = _
   private var http: Option[WarcFormat.HttpPayload] = None
-  private var emitted = 0
+
+  /** Evaluate the pushed filters, split the HTTP block if any
+    * projected column needs it, and stage the record for [[row]];
+    * false = filtered out.
+    */
+  def stage(r: WarcFormat.WarcRecord): Boolean = {
+    val headerVerdicts = filters.map(WarcFilters.evalHeader(_, filePath, r))
+    if (headerVerdicts.exists(_.contains(false))) return false
+    val h =
+      if (needsHttp && r.contentType.toLowerCase.startsWith("application/http"))
+        WarcFormat.httpSplit(r.block, decodeBody = needsPayload)
+      else None
+    if (!filters.zip(headerVerdicts).forall { case (f, v) =>
+      v.getOrElse(WarcFilters.evalStatus(f, h.map(_.status))) }) return false
+    current = r; http = h
+    true
+  }
 
   private val extractors: Array[() => Any] = required.fields.map { f =>
     f.name match {
@@ -462,37 +509,107 @@ class WarcPartitionReader(filePath: String, required: StructType,
     }
   }
 
+  def row(): InternalRow = {
+    val vals = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) { vals(i) = extractors(i)(); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+}
+
+class WarcPartitionReader(filePath: String, required: StructType,
+    filters: Array[Filter], limit: Int) extends PartitionReader[InternalRow] {
+
+  private val asm = new WarcRowAssembler(filePath, required, filters)
+
+  private var opened = false
+  private lazy val stream: java.io.InputStream = {
+    val p = new Path(filePath)
+    val raw = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()).open(p)
+    opened = true
+    try {
+      val buf = new java.io.BufferedInputStream(raw, 1 << 16)
+      if (filePath.endsWith(".gz"))
+        // strict member-by-member reader: a truncated or corrupt
+        // member FAILS the task instead of parsing as clean EOF
+        new WarcFormat.StrictGzipStream(buf)
+      else buf
+    } catch {
+      // a junk .gz fails in the wrapper's constructor — don't leak
+      // the raw fd behind the failed lazy init
+      case t: Throwable => opened = false; raw.close(); throw t
+    }
+  }
+
+  private var emitted = 0
+
   private lazy val recs: Iterator[WarcFormat.WarcRecord] =
     WarcFormat.records(stream)
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     while (recs.hasNext) {
-      val r = recs.next()
-      val headerVerdicts = filters.map(WarcFilters.evalHeader(_, filePath, r))
-      if (!headerVerdicts.exists(_.contains(false))) {
-        val h =
-          if (needsHttp && r.contentType.toLowerCase.startsWith("application/http"))
-            WarcFormat.httpSplit(r.block, decodeBody = needsPayload)
-          else None
-        if (filters.zip(headerVerdicts).forall { case (f, v) =>
-          v.getOrElse(WarcFilters.evalStatus(f, h.map(_.status))) }) {
-          current = r; http = h; emitted += 1
-          return true
-        }
-      }
+      if (asm.stage(recs.next())) { emitted += 1; return true }
     }
     false
   }
 
-  override def get(): InternalRow = {
-    val vals = new Array[Any](extractors.length)
-    var i = 0
-    while (i < extractors.length) { vals(i) = extractors(i)(); i += 1 }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
-  }
+  override def get(): InternalRow = asm.row()
 
   // guard on `opened`: close() on a task that never read (an empty
   // plan slice) must not OPEN the file just to close it
   override def close(): Unit = if (opened) stream.close()
+}
+
+/** CDX random-access reader: one seek + bounded read per addressed
+  * record — for `.warc.gz` the range is one gzip member (decompressed
+  * standalone under the same strict CRC/ISIZE verification as the
+  * scan), for plain `.warc` the record's rendered bytes. The record's
+  * `offset` column carries the index's ordinal so rows are
+  * byte-identical to the sequential scan's.
+  */
+class WarcRangeReader(filePath: String,
+    ranges: Seq[(Int, Long, Long)], // (ordinal, offset, length)
+    required: StructType, filters: Array[Filter], limit: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val asm = new WarcRowAssembler(filePath, required, filters)
+  private var opened = false
+  private lazy val in: org.apache.hadoop.fs.FSDataInputStream = {
+    val p = new Path(filePath)
+    val s = p.getFileSystem(graft.ros.bag.RosbagIO.hadoopConf()).open(p)
+    opened = true
+    s
+  }
+  private val it = ranges.iterator
+  private var emitted = 0
+
+  private def readRecord(ordinal: Int, offset: Long, length: Long)
+      : WarcFormat.WarcRecord = {
+    require(length > 0 && length <= Int.MaxValue,
+      s"cdx range length $length out of bounds ($filePath @$offset)")
+    val buf = new Array[Byte](length.toInt)
+    in.readFully(offset, buf)
+    val slice: java.io.InputStream =
+      if (filePath.endsWith(".gz"))
+        new WarcFormat.StrictGzipStream(new java.io.ByteArrayInputStream(buf))
+      else new java.io.ByteArrayInputStream(buf)
+    val recs = WarcFormat.records(slice).toSeq
+    require(recs.size == 1,
+      s"cdx range at $filePath@$offset+$length holds ${recs.size} " +
+        "records — stale or foreign index")
+    recs.head.copy(offset = ordinal)
+  }
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (it.hasNext) {
+      val (ord, off, len) = it.next()
+      if (asm.stage(readRecord(ord, off, len))) { emitted += 1; return true }
+    }
+    false
+  }
+
+  override def get(): InternalRow = asm.row()
+  override def close(): Unit = if (opened) in.close()
 }

@@ -38,11 +38,16 @@ class WarcSinkSpec extends SparkTestBase {
         "http head split + body byte fidelity through the sink")
       assert(back.forall(_.getString(4).startsWith("<urn:uuid:")),
         "deterministic record ids generated")
-      // extension matches the framing
+      // extension matches the framing; every shard carries its .cdx
+      // sidecar (on by default)
       val files = new java.io.File(dir).listFiles()
-        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.endsWith(".cdx"))
       assert(files.nonEmpty && files.forall(
         _.getName.endsWith(if (gz) ".warc.gz" else ".warc")))
+      assert(files.forall(f =>
+        new java.io.File(WarcCdx.sidecarPath(f.getAbsolutePath)).isFile),
+        "each shard publishes its cdx sidecar")
     }
   }
 
@@ -143,7 +148,8 @@ class WarcSinkSpec extends SparkTestBase {
     assert(uris === Seq("https://ex.com/1", "https://ex.com/2",
       "https://ex.com/3"), "each row exactly once across restarts")
     val names = new java.io.File(dir).listFiles()
-      .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getName)
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.endsWith(".cdx")).map(_.getName)
     assert(names.forall(_.matches("part-\\d{5}-q[0-9a-f-]{8}-e\\d+\\.warc\\.gz")),
       s"deterministic epoch names, got ${names.mkString(", ")}")
     // truncate per epoch is refused
