@@ -138,4 +138,50 @@ final class BpeEncoder(val merges: Seq[(String, String)])
     * is injective) — the q100 oracle's comparison form.
     */
   def segmentString(word: String): String = segment(word).mkString(" ")
+
+  /** BYTE-FALLBACK apply (GPT-2/SentencePiece shape): tokens the
+    * training vocabulary can never cover — anything outside
+    * `^[a-z]+$`, the training filter — segment into their UTF-8 BYTES
+    * as `<0xNN>` units instead of passing through as one opaque unit.
+    * Keeps the capped-word-table training shape while making the
+    * token budget HONEST on mixed-script corpora: a CJK token is ~3
+    * units per character to a byte-level trainer, not 1. In-vocab
+    * (all-lowercase-alpha) words take the learned merges exactly as
+    * [[segment]].
+    */
+  def segmentWithByteFallback(token: String): Array[String] =
+    if (BpeEncoder.isTrainable(token)) segment(token)
+    else {
+      val bytes = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val out = new Array[String](bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        out(i) = f"<0x${bytes(i) & 0xff}%02x>"
+        i += 1
+      }
+      out
+    }
+
+  /** Space-joined [[segmentWithByteFallback]] (byte units contain no
+    * spaces either, so the join stays injective).
+    */
+  def segmentTokenString(token: String): String =
+    segmentWithByteFallback(token).mkString(" ")
+}
+
+object BpeEncoder {
+  /** The training filter: only these words enter the (word, freq)
+    * table, so only these can be segmented by merges — everything
+    * else byte-falls-back.
+    */
+  def isTrainable(token: String): Boolean = {
+    if (token.isEmpty) return false
+    var i = 0
+    while (i < token.length) {
+      val c = token.charAt(i)
+      if (c < 'a' || c > 'z') return false
+      i += 1
+    }
+    true
+  }
 }

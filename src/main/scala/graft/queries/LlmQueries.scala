@@ -2256,7 +2256,9 @@ object LlmQueries {
     // concat-and-chunk layout re-pointed at the q100-trained BPE
     // vocabulary — each doc's token budget is its BPE piece count
     // (lowercase-alpha words segment under the learned merges;
-    // non-alpha tokens pass through as one unit each), cumulated by
+    // non-alpha tokens take the BYTE FALLBACK, one `<0xNN>` unit per
+    // UTF-8 octet — the GPT-2/SentencePiece shape that keeps the
+    // budget honest on mixed-script corpora; round 18), cumulated by
     // the distributed PrefixSum into 2048-piece training sequences.
     // Scale shape: the piece count is MAP-ONLY (bpe_segment inside a
     // transform+aggregate fold over the cached token arrays — no
@@ -2275,13 +2277,76 @@ object LlmQueries {
             when(t.rlike("^[a-z]+$"),
               size(split(org.apache.spark.sql.graftfns.BpeSegment
                 .bpeSegment(t, merges), lit(" "))))
-              .otherwise(lit(1)).cast("long")),
+              .otherwise(octet_length(t)).cast("long")),
           lit(0L), (acc, x) => acc + x).as("n_tok"))
       graft.operators.PrefixSum
         .exclusive(pieces, Seq(col("doc_id")), col("n_tok"), "tok_start")
         .select(col("doc_id"), col("n_tok"),
           expr(s"tok_start div $seqLen").as("pack_id"),
           pmod(col("tok_start"), lit(seqLen)).as("pack_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q106 — packed training-shard MATERIALIZATION: q101 computed the
+    // (pack_id, offset) assignment; this writes the actual
+    // fixed-length token-id rows a trainer reads (PackedShards: one
+    // prefix-sum pass + one pack_id shuffle, codegen slices, no
+    // driver tokens; staged as parquet once per corpus — the
+    // training-shard sink) and then REASSEMBLES the per-document
+    // assignment from the written shards' doc_spans alone. Equality
+    // with the q101 oracle (the full BPE-train + segment + prefix-sum
+    // replay) proves the shards are LOSSLESS w.r.t. the packing spec:
+    // every document's tokens land whole, in order, at exactly the
+    // declared offsets — and the `contiguous` gate breaks if a middle
+    // span were misplaced even with the sums intact. Token ids are
+    // xxhash64 of the BPE piece (plan-embedded merges, the q107
+    // byte-fallback segmenter — so the id stream's length IS q101's
+    // byte-honest budget); span bookkeeping is id-agnostic, and
+    // PackedShardsSpec pins the id-level layout on known fixtures.
+    "q106_packed_shards" -> ((s, d) => {
+      val merges = bpeMerges(s, d)
+      val shards = staged(s, d, "packedShardsV2") {
+        val ids = docToks(s, d).select(col("doc_id"),
+          transform(
+            flatten(transform(col("toks"), t =>
+              split(org.apache.spark.sql.graftfns.BpeSegment
+                .bpeSegmentBytes(t, merges), " "))),
+            p => xxhash64(p)).as("ids"))
+        graft.operators.PackedShards.packs(ids, col("doc_id"), col("ids"),
+          2048, padId = -1L)
+      }
+      graft.operators.PackedShards.reassemble(shards, 2048)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q107 — BYTE-FALLBACK BPE apply on mixed-script tokens, CHECKED
+    // per (doc, slot): each doc_id%5 slot carries a token the
+    // training vocabulary (^[a-z]+$) can never cover — accented
+    // Latin, CJK, alphanumeric, emoji+ascii, and a three-script mix —
+    // and bpe_segment_bytes must segment it into its UTF-8 bytes as
+    // `<0xNN>` units (the GPT-2/SentencePiece fallback). The oracle
+    // RENDERS the expected unit string from DuckDB's own hex() of the
+    // same literal, so UTF-8 octet framing, the unit rendering AND
+    // the piece count all sit inside the equality; `alpha_merged`
+    // pins in-oracle that a trainable token still takes the LEARNED
+    // merges (byte fallback must not leak into the vocab path —
+    // computed in Spark by comparing both apply forms on an alpha
+    // corpus word, TRUE expected).
+    "q107_bpe_byte_fallback" -> ((s, d) => {
+      import org.apache.spark.sql.graftfns.BpeSegment.{bpeSegment, bpeSegmentBytes}
+      val merges = bpeMerges(s, d)
+      val tok = element_at(
+        array(lit("héllo"), lit("数据"), lit("a1b2"), lit("👍ok"),
+          lit("café№7")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+      val alphaWord = lit("data")
+      documents(s, d).select(col("doc_id"),
+          tok.as("token"),
+          bpeSegmentBytes(tok, merges).as("seg"),
+          size(split(bpeSegmentBytes(tok, merges), lit(" ")))
+            .cast("long").as("n_pieces"),
+          (bpeSegmentBytes(alphaWord, merges) ===
+            bpeSegment(alphaWord, merges)).as("alpha_merged"))
         .orderBy(col("doc_id"))
     })
   )
@@ -2383,7 +2448,7 @@ object LlmQueries {
     * tokens count 1) and the q66 window prefix sum into 2048-piece
     * packs.
     */
-  private def bpePackingOracle: String = {
+  private def bpePackingOracle(extraSelect: String = ""): String = {
     val trainRounds =
       (0 until BpeMerges).map(bpeTrainRoundSql).mkString(",\n")
     val applyRounds = (0 until BpeMerges).map { k =>
@@ -2421,7 +2486,7 @@ object LlmQueries {
        |cnt AS (
        |  SELECT ex.doc_id,
        |         SUM(CASE WHEN regexp_matches(ex.tok, '^[a-z]+$$')
-       |             THEN p.np ELSE 1 END) AS n_tok
+       |             THEN p.np ELSE strlen(ex.tok) END) AS n_tok
        |  FROM ex LEFT JOIN pieces p ON p.word = ex.tok
        |  GROUP BY 1),
        |t AS (
@@ -2432,7 +2497,7 @@ object LlmQueries {
        |         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
        |  FROM t)
-       |SELECT doc_id, n_tok, pre // 2048 AS pack_id, pre % 2048 AS pack_offset
+       |SELECT doc_id, n_tok, pre // 2048 AS pack_id, pre % 2048 AS pack_offset$extraSelect
        |FROM pre ORDER BY doc_id""".stripMargin
   }
 
@@ -3192,6 +3257,24 @@ object LlmQueries {
     "q100_bpe_train_apply" -> bpeOracle,
     // generated: the training chain + full-vocab APPLY + per-doc piece
     // sums + the q66 window prefix sum — see bpePackingOracle
-    "q101_bpe_packing" -> bpePackingOracle
+    "q101_bpe_packing" -> bpePackingOracle(),
+    // the SAME assignment replay, but compared against what the
+    // WRITTEN shards' doc_spans reassemble to — plus the contiguity
+    // gate (see q106's comment)
+    "q106_packed_shards" -> bpePackingOracle(", TRUE AS contiguous"),
+    // byte-fallback rendering rebuilt from DuckDB's own hex() of the
+    // same slot literals — octet framing + unit form + count in one
+    // equality
+    "q107_bpe_byte_fallback" ->
+      """WITH toks(slot, t) AS (VALUES
+        |  (0, 'héllo'), (1, '数据'), (2, 'a1b2'), (3, '👍ok'), (4, 'café№7'))
+        |SELECT d.doc_id, t.t AS token,
+        |  array_to_string(list_transform(range(1, strlen(t.t) + 1),
+        |    i -> '<0x' || lower(substr(hex(t.t), (2*i-1)::int, 2)) || '>'),
+        |    ' ') AS seg,
+        |  CAST(strlen(t.t) AS BIGINT) AS n_pieces,
+        |  TRUE AS alpha_merged
+        |FROM documents d JOIN toks t ON t.slot = d.doc_id % 5
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

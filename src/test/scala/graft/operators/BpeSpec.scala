@@ -64,6 +64,30 @@ class BpeSpec extends AnyFunSuite {
     assert(BpeTrain.mergeOnce(in, "a", "b") eq in)
   }
 
+  test("byte fallback: non-trainable tokens segment to <0xNN> units") {
+    val enc = new BpeEncoder(Seq(("a", "b")))
+    // trainable tokens take the merges — fallback must not leak in
+    assert(enc.segmentWithByteFallback("abab").toSeq === Seq("ab", "ab"))
+    // ASCII non-alpha: one unit per byte
+    assert(enc.segmentWithByteFallback("a1").toSeq === Seq("<0x61>", "<0x31>"))
+    // multi-byte UTF-8: é = C3 A9
+    assert(enc.segmentWithByteFallback("é").toSeq === Seq("<0xc3>", "<0xa9>"))
+    // CJK (3 bytes/char) and a 4-byte supplementary codepoint
+    assert(enc.segmentWithByteFallback("数").length === 3)
+    assert(enc.segmentWithByteFallback("👍").length === 4)
+    // uppercase is NOT trainable (the ^[a-z]+$ filter), so bytes
+    assert(enc.segmentWithByteFallback("Ab").toSeq === Seq("<0x41>", "<0x62>"))
+    assert(BpeEncoder.isTrainable("word") && !BpeEncoder.isTrainable("")
+      && !BpeEncoder.isTrainable("naïve"))
+    // units concatenate back to the exact byte sequence
+    val units = enc.segmentWithByteFallback("café№7")
+    assert(units.length === "café№7".getBytes("UTF-8").length)
+    val bytes = units.map(u =>
+      Integer.parseInt(u.substring(3, 5), 16).toByte)
+    assert(new String(bytes, "UTF-8") === "café№7", "byte-lossless")
+    assert(enc.segmentTokenString("a1") === "<0x61> <0x31>")
+  }
+
   test("dry corpus stops early; zero rounds is identity") {
     val single = Seq(("a", 3L), ("b", 2L)) // only 1-symbol words
     assert(BpeTrain.train(single, 10).merges === Seq.empty)
