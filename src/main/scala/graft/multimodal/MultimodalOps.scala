@@ -781,6 +781,8 @@ object MultimodalOps {
     * H.264/VP9 range needs a native codec the JDK doesn't ship. This
     * stub stands in for that decode: real plumbing (explode
     * cardinality, per-frame keying), fake payload (a byte slice).
+    * PERMANENT scope decision — rationale, integration surface and
+    * revisit condition recorded in DECISIONS.md DR-1.
     */
   def sampleFramesStub(df: DataFrame, blobCol: String, idCol: String,
                        everyNth: Int = 10, maxFrames: Int = 8): DataFrame = {
