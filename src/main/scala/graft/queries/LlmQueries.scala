@@ -1746,9 +1746,11 @@ object LlmQueries {
     //     (precision 1.0: the cosine confirm makes this provable, and
     //     the anti-join proves the implementation did it);
     //   recall_ok — the cell-blocked pass recovered >= 60% of the
-    //     exact graph (measured 0.81 at the sf0.01 verify corpus;
-    //     SemDeDup's contract is within-cluster pruning, so 100% is
-    //     NOT expected — the knob math is in semanticDedupPairs).
+    //     exact graph (nAssign=3 since round 18: nAssign=2 measured
+    //     0.598 at the sf0.1 corpus — one pair under the floor —
+    //     vs 0.839 at 3; SemDeDup's contract is within-cluster
+    //     pruning, so 100% is NOT expected — the knob math is in
+    //     semanticDedupPairs).
     // Cluster refinement follows from pairs_subset_ok: components of a
     // subgraph always refine components of the graph. The dedup
     // decision itself stays available as semanticDedup (specs + users).
@@ -1762,7 +1764,7 @@ object LlmQueries {
     "q60_semantic_dedup" -> ((s, d) => {
       val thresh = 0.40
       val m = gateSampleMod(corpusVecs(s, d), 4000L)
-      val sem0 = semanticDedupPairs(s, d, nAssign = 2, thresh)
+      val sem0 = semanticDedupPairs(s, d, nAssign = 3, thresh)
         .select(least(col("va"), col("vb")).as("va"),
           greatest(col("va"), col("vb")).as("vb"))
       val sem = if (m == 1L) sem0
@@ -2119,8 +2121,9 @@ object LlmQueries {
     }),
 
     // Q75 — semantic incremental dedup, CHECKED: q73's shape over
-    // embeddings — the incoming batch (odd vec_ids) assigns to its 2
-    // nearest IVF cells and equi-joins the accumulated base corpus's
+    // embeddings — the incoming batch (odd vec_ids) assigns to its 3
+    // nearest IVF cells (2 until round 18 — see the q60 recall note)
+    // and equi-joins the accumulated base corpus's
     // (even ids) cell index, cos confirmed exactly on candidates
     // (IncrementalDedup.newVsBaseCos: bit-equal arithmetic to the
     // exact all-pairs reference, so confirmed ⊆ exact). Centroids are
@@ -2139,9 +2142,9 @@ object LlmQueries {
         IvfIndex.train(e0, "vec_id", "embedding", k = 16, iters = 2))
       val nw = e.filter(pmod(col("vec_id"), lit(2L)) === 1L)
       val base = e.filter(pmod(col("vec_id"), lit(2L)) === 0L)
-      val idx = IncrementalDedup.cosIndex(base, "vec_id", "embedding", cents, 2)
+      val idx = IncrementalDedup.cosIndex(base, "vec_id", "embedding", cents, 3)
       val sem = IncrementalDedup
-        .newVsBaseCos(nw, idx, "vec_id", "embedding", cents, 2, thresh)
+        .newVsBaseCos(nw, idx, "vec_id", "embedding", cents, 3, thresh)
         .select(least(col("new_id"), col("base_id")).as("va"),
           greatest(col("new_id"), col("base_id")).as("vb"))
       val exact = exactCosPairs(s, d, thresh, m)
