@@ -496,7 +496,10 @@ object Bench {
     // the total. The LAST line is the size-bounded minimal total: at 92
     // queries the compact line alone overflows the window (r14's driver
     // artifact parsed null), the minimal line cannot.
-    writeArtifact("BENCH.json", discarded.toSeq ++ Seq(totalLine, detailLine))
+    // total line FIRST in the file (tools/duckdb_bench.py and any
+    // first-line reader get the FINAL attempt); discarded attempts
+    // follow as their own metric lines
+    writeArtifact("BENCH.json", Seq(totalLine, detailLine) ++ discarded.toSeq)
     discarded.foreach(println)
     println(detailLine)
     println(totalLine)

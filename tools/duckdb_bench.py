@@ -12,8 +12,15 @@ the round protocol commits (PERF.md cites only this file).
 """
 import duckdb, json, os, sys, time
 sf, oracle_path = sys.argv[1], sys.argv[2]
-# BENCH.json leads with the compact total line (round-9 contract)
-bench = json.loads(open(sys.argv[3]).readline()) if len(sys.argv) > 3 else None
+# take the FINAL attempt's compact total line by its metric name —
+# retry-to-clean (round 18) may add discarded_attempt_N lines, and a
+# first-line read would pair against a thrown-away contaminated run
+def _total_line(path):
+    for l in open(path):
+        if l.strip() and json.loads(l).get("metric") == "total":
+            return json.loads(l)
+    raise SystemExit(f"no metric=total line in {path}")
+bench = _total_line(sys.argv[3]) if len(sys.argv) > 3 else None
 # Same before-load gate the Spark side applies (Bench.loadContaminated):
 # a "clean" pairing label must hold on BOTH legs — the r15 committed
 # artifact's Spark side self-labeled clean while the DuckDB leg ran at
