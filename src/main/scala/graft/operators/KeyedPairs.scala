@@ -142,6 +142,62 @@ object KeyedPairs {
       .select(col(s"$PR.pa").as("pa"), col(s"$PR.pb").as("pb"))
   }
 
+  /** [[pairs]] for callers that ALREADY KNOW each key's bucket size —
+    * e.g. DupCollapse members, which carry the group's member count on
+    * every row. The two-pass hot-key machinery above exists only to
+    * LEARN the sizes (one counting pass + a driver collect + two
+    * broadcast routing joins); with the size on the row, routing is a
+    * pure map-side filter — one pass over the input, no eager job, no
+    * driver state, no broadcast, and no maxHotKeys ceiling (nothing is
+    * collected, so any number of over-cap keys is fine). Same output
+    * contract as [[pairs]]: every unordered pair of rows sharing a key,
+    * exactly once per key, `pa < pb` by payload order.
+    *
+    * @param sizeCol the EXACT number of rows sharing this row's key —
+    *                wrong sizes break the routing (an undersized hot
+    *                bucket lands whole on the single-task path; an
+    *                oversized small bucket splits needlessly but stays
+    *                correct)
+    */
+  def pairsPresized(df: DataFrame, keys: Seq[String], sizeCol: Column,
+                    payload: Column, cap: Int): DataFrame = {
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    require(keys.forall(!_.startsWith("__kp_")), "key columns may not use the __kp_ prefix")
+    val k = keys.map(col)
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val rows = df.select(k ++ Seq(sizeCol.cast("long").as(F), payload.as(P)): _*)
+
+    val emptyPs = array().cast(
+      org.apache.spark.sql.types.ArrayType(rows.schema(P).dataType))
+    val small = rows.filter(col(F) <= cap)
+      .groupBy(k: _*).agg(collect_list(col(P)).as(PS))
+      .repartition(nPart, k: _*)
+      .select(explode(org.apache.spark.sql.graftfns.PairFunctions
+        .pairExpand(col(PS), emptyPs, lit(true))).as(PR))
+
+    val big = rows.filter(col(F) > cap)
+      .withColumn(NB, ceil(col(F) / lit(cap)).cast("int"))
+      .withColumn(BLK, pmod(xxhash64(col(P)), col(NB)).cast("int"))
+    val aSide = big.select(k ++ Seq(col(BLK).as(BI),
+      explode(sequence(col(BLK), col(NB) - 1)).as(BJ),
+      col(P), lit(true).as(ISA)): _*)
+    val bSide = big
+      .filter(col(BLK) > 0)
+      .select(k ++ Seq(explode(sequence(lit(0), col(BLK) - 1)).as(BI),
+        col(BLK).as(BJ), col(P), lit(false).as(ISA)): _*)
+    val grouped = aSide.unionByName(bSide)
+      .groupBy(k ++ Seq(col(BI), col(BJ)): _*)
+      .agg(collect_list(when(col(ISA), col(P))).as(AS),
+           collect_list(when(!col(ISA), col(P))).as(BS))
+      .repartition(nPart, k ++ Seq(col(BI), col(BJ)): _*)
+    val bigPairs = grouped.select(explode(
+      org.apache.spark.sql.graftfns.PairFunctions
+        .pairExpand(col(AS), col(BS), col(BI) === col(BJ))).as(PR))
+
+    small.unionByName(bigPairs)
+      .select(col(s"$PR.pa").as("pa"), col(s"$PR.pb").as("pb"))
+  }
+
   /** All unordered pairs of the WHOLE table — the degenerate
     * one-bucket case, for exact all-pairs similarity. A keyed call
     * with a constant key would plan the size lookup as a trivially-true
@@ -165,11 +221,22 @@ object KeyedPairs {
     * of materializing cap² pair structs per task — the shuffle after
     * the fused op carries the reduced rows only.
     */
-  def allPairsGrouped(df: DataFrame, payload: Column, cap: Int): DataFrame = {
+  def allPairsGrouped(df: DataFrame, payload: Column, cap: Int): DataFrame =
+    allPairsGrouped(df, payload, cap, df.select(payload.as("p")).count())
+
+  /** [[allPairsGrouped]] with a caller-supplied row count — for
+    * callers that already hold the count (memoized corpus statistics),
+    * so block sizing costs no eager counting job. `n` only sizes the
+    * block grid: an ESTIMATE is safe for correctness (every pair is
+    * still emitted exactly once for any nb >= 1) — an underestimate
+    * grows per-task members beyond cap by the same factor, an
+    * overestimate multiplies the row-replication shuffle, so callers
+    * should stay within a small factor of the truth.
+    */
+  def allPairsGrouped(df: DataFrame, payload: Column, cap: Int, n: Long): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val rows = df.select(payload.as("p"))
-    val n = rows.count()
     val nb = math.max(1L, (n + cap - 1) / cap).toInt
     val withBlk = rows.withColumn("blk", pmod(xxhash64(col("p")), lit(nb)).cast("int"))
     val aSide = withBlk.select(col("blk").as("bi"),

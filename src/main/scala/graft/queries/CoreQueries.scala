@@ -197,14 +197,22 @@ object CoreQueries {
         ntz(date_trunc("day", col("ts"))).as("day"))
         .orderBy(col("event_id"))),
 
-    // Q19 — JSON extraction on events.props.
+    // Q19 — JSON extraction on events.props. The k_val >= 50 filter is
+    // applied AFTER the aggregation: it is a predicate on the GROUP KEY,
+    // so it commutes with the groupBy (NULL k_val fails `>= 50` before,
+    // and the NULL group is dropped after — identical rows out), while
+    // the pre-agg form made the optimizer reconstitute the predicate
+    // below the Project and evaluate the interpreted (CodegenFallback)
+    // get_json_object TWICE per scanned row — once in the Filter, once
+    // in the Project (round-18 plan audit: the JSON parse is this
+    // query's entire per-row cost, and it halved).
     "q19_json" -> ((s, d) =>
       events(s, d)
         .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
-        .filter(col("k_val") >= 50)
         .groupBy(col("k_val")).agg(
           count(lit(1)).as("cnt"),
           round(sum(col("value").cast("decimal(28,10)")), 2).cast("double").as("sum_value"))
+        .filter(col("k_val") >= 50)
         .orderBy(col("k_val"))),
 
     // Q20 — array functions over embeddings (arrays extension,

@@ -156,6 +156,16 @@ object LlmQueries {
     modelCache.clear()
     corpusFpCache.clear()
     docsFpCache.clear()
+    collapseCache.values.forEach { c =>
+      c.groups.unpersist(); c.members.unpersist(); ()
+    }
+    collapseCache.clear()
+    collapseCountCache.clear()
+    repPairsCache.values.forEach(df => { df.unpersist(); () })
+    repPairsCache.clear()
+    embCorpusCache.values.forEach(df => { df.unpersist(); () })
+    embCorpusCache.clear()
+    queryVecCache.clear()
   }
 
   /** Force-build every shared derivation (tokenized corpus, shingle
@@ -472,6 +482,20 @@ object LlmQueries {
     })
   }
 
+  /** Memoized row count of a collapse's groups side — the corpusDocs
+    * pattern for collapsed derivations: block-grid sizing
+    * (KeyedPairs.allPairsGrouped) needs the rep count, and counting
+    * the persisted groups once per (session, dir, derivation) beats an
+    * eager counting job per query invocation.
+    */
+  private val collapseCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), java.lang.Long]()
+  private def collapsedGroupCount(s: SparkSession, d: String, key: String,
+      c: graft.operators.DupCollapse.Collapsed): Long = {
+    collapseCountCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    collapseCountCache.computeIfAbsent((s, d, key), _ => c.groups.count())
+  }
+
   /** THE memoized shingle-set collapse — jaccardPairs, minhashPairs
     * and q65 all consume the same groups; one definition means the
     * string-keyed collapseCache can never serve one call site a frame
@@ -538,6 +562,97 @@ object LlmQueries {
       .select(col("da"), col("db"), col("shared"), col("na"), col("nb"), col("jaccard"))
   }
 
+  /** TEMPORARY round-18 diagnostic: named sub-pipelines of the heavy
+    * gate queries, so OptProbe can attribute wall-clock to stages
+    * (guide §1: measure first). Remove before the round closes.
+    */
+  private[graft] def diagPieces(s: SparkSession, d: String): Seq[(String, () => Unit)] = {
+    import graft.operators.LshTuning
+    val n = corpusDocs(s, d)
+    val cap = LshTuning.pairCap(n)
+    val autoBl = LshTuning.simhashBlocking(n)
+    val altBl =
+      if (autoBl.blocks == 4) LshTuning.SimHashBlocking(8, 1)
+      else LshTuning.SimHashBlocking(4, 1)
+    val m29 = if (n <= 2000L) 1L else math.max(1L, n / 1000L)
+    lazy val simS = simhashes(s, d)
+      .filter(pmod(xxhash64(col("doc_id")), lit(m29)) === 0).persist()
+    lazy val sa = simhashPairsFrom(simS, autoBl, cap)
+    lazy val alt = simhashPairsFrom(simS, altBl, cap)
+    val mv = gateSampleMod(corpusVecs(s, d), 4000L)
+    lazy val sem = semanticDedupPairs(s, d, nAssign = 3, 0.40)
+    lazy val exact = exactCosPairs(s, d, 0.40, mv)
+    lazy val winW = graft.operators.LshTuning.winnowWindow(corpusDocs(s, d))
+    Seq(
+      "q29.simS" -> (() => { simS.count(); () }),
+      "q29.sa_cap1024" -> (() => { simhashPairsFrom(simS, autoBl, 1024).count(); () }),
+      "q29.alt_cap1024" -> (() => { simhashPairsFrom(simS, altBl, 1024).count(); () }),
+      "q29.sa_cap256" -> (() => { simhashPairsFrom(simS, autoBl, 256).count(); () }),
+      "q29.alt_cap256" -> (() => { simhashPairsFrom(simS, altBl, 256).count(); () }),
+      "q29.sa_cap128" -> (() => { simhashPairsFrom(simS, autoBl, 128).count(); () }),
+      "q29.alt_cap128" -> (() => { simhashPairsFrom(simS, altBl, 128).count(); () }),
+      "q29.sa_build+count" -> (() => { sa.count(); () }),
+      "q29.alt_build+count" -> (() => { alt.count(); () }),
+      "q29.nDocs" -> (() => { simhashes(s, d).agg(count(lit(1))).collect(); () }),
+      "q60.sem_pairs" -> (() => { sem.count(); () }),
+      "q60.exact_pairs" -> (() => { exact.count(); () }),
+      "q60.nVecs" -> (() => { embeddings(s, d).agg(count(lit(1))).collect(); () }),
+      "q63.collapse_groups" -> (() => {
+        collapsed(s, d, s"winnowCollapse_w$winW")(
+          graft.operators.DupCollapse.collapse(
+            docToks(s, d).select(col("doc_id"),
+              org.apache.spark.sql.graftfns.TextFunctions
+                .winnowFingerprints(col("toks"), 3, winW).as("fps")),
+            "doc_id", "fps")).groups.count(); () }),
+      "q63.full" -> (() => { winnowPairs(s, d, winW).count(); () }),
+      "q63.repFps_explode" -> (() => {
+        val c = collapsed(s, d, s"winnowCollapse_w$winW")(null)
+        c.groups.filter(col("n") > 0)
+          .select(col("gid").as("doc_id"), explode(col("key")).as("fp"))
+          .count(); () }),
+      "q63.repPairs" -> (() => {
+        val c = collapsed(s, d, s"winnowCollapse_w$winW")(null)
+        val repFps = c.groups.filter(col("n") > 0)
+          .select(col("gid").as("doc_id"), explode(col("key")).as("fp"))
+        graft.operators.KeyedPairs.pairs(repFps, Seq("fp"), col("doc_id"),
+            graft.operators.LshTuning.pairCap(corpusDocs(s, d)))
+          .groupBy(col("pa"), col("pb")).agg(count(lit(1)))
+          .filter(col("count(1)") >= 3).count(); () }),
+      "q63.within" -> (() => {
+        val c = collapsed(s, d, s"winnowCollapse_w$winW")(null)
+        graft.operators.DupCollapse.withinPairs(c.members,
+          graft.operators.LshTuning.pairCap(corpusDocs(s, d)), minN = 3)
+          .count(); () }),
+      "q60.assigned" -> (() => {
+        val e = spread(embeddings(s, d), col("vec_id"))
+          .select(col("vec_id"), col("embedding"))
+        val cents = cachedIvf(s, d, "ivf_k16_i2")(
+          graft.operators.IvfIndex.train(e, "vec_id", "embedding", 16, 2))
+        val c = collapsed(s, d, "vecCollapse")(
+          graft.operators.DupCollapse.collapseExact(e, "vec_id", "embedding"))
+        val reps = c.groups.select(col("gid").as("vec_id"), col("key").as("embedding"))
+        graft.operators.IvfIndex.assignMulti(reps, "embedding", cents, 3)
+          .count(); () }),
+      "q60.repPairs" -> (() => {
+        val e = spread(embeddings(s, d), col("vec_id"))
+          .select(col("vec_id"), col("embedding"))
+        val cents = cachedIvf(s, d, "ivf_k16_i2")(
+          graft.operators.IvfIndex.train(e, "vec_id", "embedding", 16, 2))
+        val c = collapsed(s, d, "vecCollapse")(
+          graft.operators.DupCollapse.collapseExact(e, "vec_id", "embedding"))
+        val reps = c.groups.select(col("gid").as("vec_id"), col("key").as("embedding"))
+        val assigned = graft.operators.IvfIndex.assignMulti(reps, "embedding", cents, 3)
+          .withColumn("nrm", l2(col("embedding")))
+          .filter(col("nrm") > 0 && !isnan(col("nrm")))
+        val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
+        graft.operators.KeyedPairs.pairs(assigned, Seq("cell"), payload, PairCap)
+          .select(col("pa.vec_id").as("ga"), col("pb.vec_id").as("gb"),
+            (dotd(col("pa.embedding"), col("pb.embedding")) /
+              (col("pa.nrm") * col("pb.nrm"))).as("cos"))
+          .filter(col("cos") >= 0.40 && !isnan(col("cos")))
+          .select(col("ga"), col("gb")).distinct().count(); () }))
+  }
+
   /** q60's pair graph with the cross-cell recall knob. nAssign=1 is
     * the published single-cell SemDeDup tradeoff (pairs straddling a
     * cell boundary are missed by construction); nAssign>1 assigns each
@@ -551,8 +666,9 @@ object LlmQueries {
   private[graft] def semanticDedupPairs(s: SparkSession, d: String,
       nAssign: Int, thresh: Double): DataFrame = {
     import graft.operators.{DupCollapse, IvfIndex, KeyedPairs}
-    val e = spread(embeddings(s, d), col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
+    // the persisted probe corpus IS spread(embeddings) — one shuffle
+    // per session instead of one per invocation (round 18)
+    val e = embCorpus(s, d)
     // model trained on the FULL corpus (identical centroids with or
     // without duplicates MATTERS: the store fingerprints the raw
     // corpus); the pair stage then runs over one representative per
@@ -576,6 +692,13 @@ object LlmQueries {
       // Spark orders NaN above every double so `NaN >= thresh` passes
       // — phantom pairs the reference never emits
       .filter(col("nrm") > 0 && !isnan(col("nrm")))
+      // pinned: KeyedPairs' routing reads its input three times (the
+      // size pass, the small path, the big path) and each read would
+      // otherwise re-run the k-centroid assignment + norm per rep
+      // (measured: assignment was ~half of the pair stage at sf0.1).
+      // The pinned relation is (rep × nAssign) rows — reps-sized, the
+      // same scale class as the memoized collapse it derives from.
+      .persist()
     val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
     val repPairs0 = KeyedPairs.pairs(assigned, Seq("cell"), payload, PairCap)
       .select(col("pa.vec_id").as("ga"), col("pb.vec_id").as("gb"),
@@ -627,18 +750,24 @@ object LlmQueries {
   def exactCosPairs(s: SparkSession, d: String, thresh: Double,
       sampleMod: Long = 1L): DataFrame = {
     import graft.operators.KeyedPairs
+    // read from the persisted probe corpus (= spread(embeddings),
+    // already 32-way) — the sampled slice is then a map-side filter on
+    // cached blocks instead of a fresh scan + shuffle per invocation
     val in =
-      if (sampleMod <= 1L) embeddings(s, d)
-      else embeddings(s, d).filter(lehmerSampled(col("vec_id"), sampleMod))
-    val e = spread(in, col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", l2(col("embedding")))
+      if (sampleMod <= 1L) embCorpus(s, d)
+      else embCorpus(s, d).filter(lehmerSampled(col("vec_id"), sampleMod))
+    val e = in.withColumn("nrm", l2(col("embedding")))
     val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
     // fused scoring (ThresholdDotPairs): the double loop runs inside
     // one eval per block-pair task and only the threshold-sparse graph
     // leaves it — the unfused form materialized cap² pair structs with
-    // two embedding copies each before the filter dropped ~all of them
-    KeyedPairs.allPairsGrouped(e, payload, cap = 256)
+    // two embedding copies each before the filter dropped ~all of them.
+    // Block sizing comes from the memoized corpus count (÷ the Lehmer
+    // modulus for the sampled gate path — the slice is ~uniform, so
+    // the estimate is within a small factor and the task bound holds):
+    // no eager counting scan per invocation (round 18, guide §1.2).
+    val nEst = math.max(1L, corpusVecs(s, d) / math.max(1L, sampleMod))
+    KeyedPairs.allPairsGrouped(e, payload, cap = 256, nEst)
       .select(explode(org.apache.spark.sql.graftfns.PairFunctions
         .thresholdDotPairs(col("as_"), col("bs"), col("bi") === col("bj"), thresh)).as("pr"))
       .select(col("pr.va").as("va"), col("pr.vb").as("vb"), col("pr.cos").as("cos"))
@@ -1086,9 +1215,13 @@ object LlmQueries {
     // within a group every pair shares the whole set: shared = n
     val within = DupCollapse.withinPairs(c.members, cap, minN = 3)
       .select(col("da"), col("db"), col("n").cast("long").as("shared"))
-    // across groups: the raw pipeline, over representatives only
+    // across groups: the raw pipeline, over representatives only.
+    // Pinned: KeyedPairs' routing reads its input three times (size
+    // pass, small path, big path), and each read re-runs the
+    // fingerprint explode over every rep otherwise.
     val repFps = c.groups.filter(col("n") > 0)
       .select(col("gid").as("doc_id"), explode(col("key")).as("fp"))
+      .persist()
     val repPairs = KeyedPairs.pairs(repFps, Seq("fp"), col("doc_id"), cap)
       .select(col("pa").as("ga"), col("pb").as("gb"))
       .groupBy(col("ga"), col("gb"))
@@ -1255,7 +1388,6 @@ object LlmQueries {
     "q29_simhash" -> ((s, d) => {
       import graft.operators.LshTuning
       val n = corpusDocs(s, d)
-      val cap = LshTuning.pairCap(n)
       val autoBl = LshTuning.simhashBlocking(n)
       val altBl =
         if (autoBl.blocks == 4) LshTuning.SimHashBlocking(8, 1)
@@ -1266,6 +1398,13 @@ object LlmQueries {
         // both gates read this twice (valid + the agree join's sa
         // side); persisting the ~1k-row sample pins one derivation
         .persist()
+      // Pair cap stays the corpus one: a round-18 A/B swept the gate
+      // pipelines at cap 1024/256/128 and SMALLER caps were strictly
+      // slower (1.03→1.39 s sa, 1.46→1.99 s alt) — at sample scale the
+      // block-split's extra stages cost more than the split buckets
+      // save, so the straggler hypothesis was wrong and the sweep is
+      // recorded in OPTIMIZATION_r18.md.
+      val cap = LshTuning.pairCap(n)
       val sa = simhashPairsFrom(simS, autoBl, cap)
       val alt = simhashPairsFrom(simS, altBl, cap)
       val nDocs = simhashes(s, d).agg(count(lit(1)).as("n_docs_hashed"))
@@ -1318,15 +1457,15 @@ object LlmQueries {
       // the true top-20. The per-task k equaling the global limit is
       // what makes this airtight; DupCollapseSpec pins it on an
       // all-ties corpus.
-      val e = spread(embeddings(s, d), col("vec_id"))
-        .select(col("vec_id"), col("embedding"))
+      val e = embCorpus(s, d)
       val c = collapsed(s, d, "vecCollapse")(
         DupCollapse.collapseExact(e, "vec_id", "embedding"))
       val reps = c.groups
         .select(col("gid").as("vec_id"), col("key").as("embedding"))
         .withColumn("nrm", l2(col("embedding")))
       val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
-      val repPairs = graft.operators.KeyedPairs.allPairsGrouped(reps, payload, cap = 256)
+      val repPairs = graft.operators.KeyedPairs.allPairsGrouped(reps, payload,
+          cap = 256, collapsedGroupCount(s, d, "vecCollapse", c))
         .select(explode(org.apache.spark.sql.graftfns.PairFunctions
           .topDotPairs(col("as_"), col("bs"), col("bi") === col("bj"), 20)).as("pr"))
         .select(col("pr.va").as("ga"), col("pr.vb").as("gb"), col("pr.cos").as("cos"))
@@ -1600,7 +1739,7 @@ object LlmQueries {
           transform(v, x => floor(x.cast("double") * lit(127.0) / mx + 0.5)))
           .otherwise(transform(v, _ => lit(0.0)))
       }
-      val q = spread(embeddings(s, d), col("vec_id"))
+      val q = embCorpus(s, d)
         // int values ±127: the float cast is exact, and dotd's
         // left-to-right double fold then matches DuckDB's list_reduce
         .withColumn("qe", quant(col("embedding")).cast("array<float>"))
@@ -1625,17 +1764,28 @@ object LlmQueries {
     // reasoning as q44 — a web-scale vocab outgrows the driver; AQE
     // broadcasts when it fits). The 1-row total is broadcast.
     "q51_unigram_lm" -> ((s, d) => {
-      val tok = docToks(s, d)
-        .select(col("doc_id"), explode(col("toks")).as("token"))
-      val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      val total = broadcast(tok.agg(count(lit(1)).as("total")))
+      // All three statistics re-aggregate the staged termFreqs relation
+      // ((doc_id, token, tf_cnt) — the same sufficient statistic q44
+      // rides) instead of re-exploding token OCCURRENCES: per-token
+      // count = Σ tf_cnt, corpus total = Σ tf_cnt, per-doc n_tokens =
+      // Σ tf_cnt and lp_sum = Σ tf_cnt·lp_micro — exact long
+      // arithmetic, identical to the occurrence-grain sums by
+      // definition of tf_cnt. The vocabulary join and the doc agg now
+      // ship one row per DISTINCT (doc, token) instead of one per
+      // occurrence (guide §2.3: aggregate before you shuffle) — the
+      // round-18 A/B read 1.49 s → ~0.5 s at sf0.1, and at corpus
+      // scale the join volume drops by the mean term frequency.
+      val tf = termFreqs(s, d)
+      val counts = tf.groupBy(col("token")).agg(sum(col("tf_cnt")).as("cnt"))
+      val total = broadcast(tf.agg(sum(col("tf_cnt")).as("total")))
       val scored = counts.crossJoin(total)
         .select(col("token"),
           floor(-log(col("cnt").cast("double") / col("total")) * 1e6 + 0.5)
             .cast("long").as("lp_micro"))
-      tok.join(scored, "token")
+      tf.join(scored, "token")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("lp_sum"))
+        .agg(sum(col("tf_cnt")).as("n_tokens"),
+          sum(col("tf_cnt") * col("lp_micro")).as("lp_sum"))
         .select(col("doc_id"), col("n_tokens"),
           rk(col("lp_sum").cast("double") / (col("n_tokens") * 1e6), 4)
             .as("mean_surprisal"))
@@ -1667,9 +1817,14 @@ object LlmQueries {
     "q54_curation_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val budget = 1000L
-      val base = spread(documents(s, d), col("doc_id"))
-        .select(col("doc_id"), col("source"), col("text"),
-          tokens(col("text")).as("toks"))
+      // the tokenized corpus comes from the persisted docToks
+      // derivation (identical toks by construction) joined back to the
+      // documents scan for (source, text) — the previous inline
+      // tokens() re-ran the interpreted regex split per invocation,
+      // the single most expensive per-row op this pipeline had
+      val base = documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .join(docToks(s, d), Seq("doc_id"))
         .filter(size(col("toks")) > 0)
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("dup_tok_frac",
@@ -1711,7 +1866,13 @@ object LlmQueries {
       import org.apache.spark.sql.graftfns.BloomScreen
       val sets = shingleSets(s, d)
       val isBench = pmod(col("doc_id"), lit(97)) === 0
-      val benchSh = sets.filter(isBench).select(explode(col("sh")).as("s")).distinct()
+      // persisted: three consumers (the sizing count, the distributed
+      // bloom build, and the confirm join) otherwise each re-run the
+      // explode+distinct shuffle — with the pin the benchmark set is
+      // derived once and the two later reads are in-memory scans of a
+      // benchmark-suite-sized relation (tiny by definition)
+      val benchSh = sets.filter(isBench).select(explode(col("sh")).as("s"))
+        .distinct().persist()
       // sizing hint: one tiny count job over the (cached) bench slice
       val nBench = math.max(benchSh.count(), 1L)
       val bf = BloomScreen.build(benchSh, col("s"), nBench, fpp = 0.01)
@@ -1770,7 +1931,9 @@ object LlmQueries {
       val sem = if (m == 1L) sem0
         else sem0.filter(lehmerSampled(col("va"), m) && lehmerSampled(col("vb"), m))
       val exact = exactCosPairs(s, d, thresh, m).select(col("va"), col("vb"))
-      val nVecs = embeddings(s, d).agg(count(lit(1)).as("n_vecs"))
+      // counted off the persisted probe corpus (same rows as the raw
+      // scan by construction) instead of a fresh parquet pass
+      val nVecs = embCorpus(s, d).agg(count(lit(1)).as("n_vecs"))
       // ONE full_outer join + one aggregate yields all three gates —
       // the r6 shape ran the exact all-pairs reference three times
       // (count, anti-join, semi-join); this runs it once.
@@ -1939,8 +2102,15 @@ object LlmQueries {
     // the tiny per-source table (the two consumers share the agg
     // exchange).
     "q67_mixture_weights" -> ((s, d) => {
-      val perSrc = spread(documents(s, d), col("doc_id"))
-        .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      // token counts come off the persisted docToks derivation (q49's
+      // shape) instead of a fresh interpreted tokens() pass over the
+      // corpus — the join ships only (doc_id, n_tok) against the
+      // 2-column (doc_id, source) scan (round 18; the re-tokenize was
+      // this query's entire per-row cost)
+      val counts = docToks(s, d)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+      val perSrc = documents(s, d).select(col("doc_id"), col("source"))
+        .join(counts, Seq("doc_id"))
         .groupBy(col("source"))
         .agg(sum(col("n_tok")).as("toks"), count(lit(1)).as("docs"))
       val tot = perSrc
@@ -1963,7 +2133,10 @@ object LlmQueries {
       val e = embeddings(s, d)
       val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
       val keep = documents(s, d).filter(col("lang") === "en").select(col("doc_id"))
-      spread(e, col("vec_id"))
+      // the persisted probe corpus (embCorpus) replaces a fresh
+      // per-invocation spread — the ANN probes' round-17 fix, applied
+      // to the filtered-search leg too
+      embCorpus(s, d)
         .join(keep, col("vec_id") === col("doc_id"), "left_semi")
         .filter(col("vec_id") =!= 0)
         .crossJoin(q)
@@ -1993,7 +2166,8 @@ object LlmQueries {
           row_number().over(Window.orderBy(col("lscore").desc, col("doc_id"))))
       val e = embeddings(s, d)
       val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
-      val vec = spread(e, col("vec_id")).crossJoin(q)
+      // persisted probe corpus instead of a fresh per-invocation spread
+      val vec = embCorpus(s, d).crossJoin(q)
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id").as("doc_id"),
           (dotd(col("embedding"), col("qv")) / (l2(col("embedding")) * l2(col("qv")))).as("vscore"))
@@ -2135,8 +2309,7 @@ object LlmQueries {
       import graft.operators.{IncrementalDedup, IvfIndex}
       val thresh = 0.40
       val m = gateSampleMod(corpusVecs(s, d), 4000L)
-      val e0 = spread(embeddings(s, d), col("vec_id"))
-        .select(col("vec_id"), col("embedding"))
+      val e0 = embCorpus(s, d)
       val e = if (m == 1L) e0 else e0.filter(lehmerSampled(col("vec_id"), m))
       val cents = cachedIvf(s, d, "ivf_k16_i2")(
         IvfIndex.train(e0, "vec_id", "embedding", k = 16, iters = 2))
@@ -2150,7 +2323,7 @@ object LlmQueries {
       val exact = exactCosPairs(s, d, thresh, m)
         .filter(pmod(col("va"), lit(2L)) =!= pmod(col("vb"), lit(2L)))
         .select(col("va"), col("vb"))
-      val nNew = embeddings(s, d).filter(pmod(col("vec_id"), lit(2L)) === 1L)
+      val nNew = embCorpus(s, d).filter(pmod(col("vec_id"), lit(2L)) === 1L)
         .agg(count(lit(1)).as("n_new"))
       val gates = sem.withColumn("ins", lit(1))
         .join(exact.withColumn("ine", lit(1)), Seq("va", "vb"), "full_outer")

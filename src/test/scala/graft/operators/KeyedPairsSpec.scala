@@ -92,6 +92,39 @@ class KeyedPairsSpec extends SparkTestBase {
     assert(got == Set((3L, "y", 5L, "x"), (3L, "y", 9L, "z"), (5L, "x", 9L, "z")))
   }
 
+  test("pairsPresized matches pairs() at every cap when sizes are exact") {
+    // the presized route (caller-known bucket sizes, round 18) must be
+    // result-identical to the counting route: same pair multiset, same
+    // pa < pb order, both routing paths (f <= cap in-row, f > cap
+    // block-split) exercised by the hot key at small caps
+    val df = rows.toDF("k", "id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    val sized = df.withColumn("f", count(lit(1)).over(w))
+    for (cap <- Seq(2, 7, 1000)) {
+      val got = KeyedPairs.pairsPresized(sized, Seq("k"), col("f"), col("id"), cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.sorted == brute(rows).sorted, s"cap=$cap")
+      assert(got.forall { case (a, b) => a < b }, s"cap=$cap pair order")
+    }
+  }
+
+  test("pairsPresized plans no eager job and no broadcast routing join") {
+    // the whole point of the presized route: routing is a map-side
+    // filter on the carried size — building the DataFrame must launch
+    // ZERO jobs (pairs() runs its hot-key collect eagerly) and the
+    // plan must contain no broadcast routing joins
+    val df = rows.toDF("k", "id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    val sized = df.withColumn("f", count(lit(1)).over(w))
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val pp = KeyedPairs.pairsPresized(sized, Seq("k"), col("f"), col("id"), 7)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "pairsPresized must not run eager jobs at build")
+    val plan = pp.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("broadcast"),
+      s"presized routing must not join against a collected hot list:\n$plan")
+  }
+
   test("hot-list guard: a pathologically hot corpus fails with a diagnostic, not an OOM") {
     // 40 keys, each with 3 members (> cap=2): with maxHotKeys=16 the
     // broadcast-sized assumption is violated and the guard must name
