@@ -51,8 +51,31 @@ object KeyedPairs {
     * @return columns `pa`, `pb` (payload type), one row per (key, pair)
     */
   def pairs(df: DataFrame, keys: Seq[String], payload: Column, cap: Int,
-            maxHotKeys: Int = 1 << 20): DataFrame = {
+            maxHotKeys: Int = 1 << 20): DataFrame =
+    pairsGrouped(df, keys, payload, cap, maxHotKeys)
+      .select(explode(org.apache.spark.sql.graftfns.PairFunctions
+        .pairExpand(col("as_"), col("bs"), col("diag"))).as(PR))
+      .select(col(s"$PR.pa").as("pa"), col(s"$PR.pb").as("pb"))
+
+  /** The block-pair GROUPS behind [[pairs]], before pair expansion —
+    * the keyed analogue of [[allPairsGrouped]] (round 18): returns
+    * `keys..., as_, bs, diag` with `as_`/`bs` the two sides' payload
+    * arrays (small buckets: the whole bucket in `as_`, `bs` empty,
+    * `diag` true; hot buckets: one row per unordered block pair,
+    * `diag` = within-block). Callers that only need a REDUCTION of
+    * each bucket's pairs (threshold scoring, per-task top-k) fuse it
+    * into one expression over the arrays instead of materializing
+    * cap² pair structs per task — for embedding payloads that is the
+    * difference between a sparse survivor graph and gigabytes of
+    * transient two-embedding pair rows. Same routing machinery as
+    * [[pairs]] (hot-key counting pass + bounded blocks + maxHotKeys
+    * guard); [[pairs]] itself is the pairExpand of this relation.
+    */
+  def pairsGrouped(df: DataFrame, keys: Seq[String], payload: Column, cap: Int,
+                   maxHotKeys: Int = 1 << 20): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
+    require(!keys.exists(Set("as_", "bs", "diag")),
+      "key columns may not be named as_/bs/diag (the grouped output columns)")
     require(maxHotKeys >= 1, s"maxHotKeys must be >= 1, got $maxHotKeys")
     require(keys.forall(!_.startsWith("__kp_")), "key columns may not use the __kp_ prefix")
     val k = keys.map(col)
@@ -95,21 +118,18 @@ object KeyedPairs {
         keys.map(n => rows.schema(n)) :+
         org.apache.spark.sql.types.StructField(F, org.apache.spark.sql.types.LongType, nullable = false)))
 
-    // -- small buckets (everything not hot): in-row expansion,
-    // buffer ≤ cap guaranteed by the anti join. The expansion itself is
-    // the native PairExpand expression — one eval per bucket instead of
-    // a nested lambda tree + CreateStruct per pair, which on pair-heavy
-    // corpora was the dominant cost of the whole stage.
-    // The explicit repartition keeps the (byte-light) expansion wide:
-    // AQE would coalesce the tiny post-agg shuffle to one partition and
+    // -- small buckets (everything not hot): whole bucket in one
+    // group, buffer ≤ cap guaranteed by the anti join. The explicit
+    // repartition keeps the (byte-light) downstream work wide: AQE
+    // would coalesce the tiny post-agg shuffle to one partition and
     // serialize the compute.
     val emptyPs = array().cast(
       org.apache.spark.sql.types.ArrayType(rows.schema(P).dataType))
     val small = rows.join(broadcast(hot.select(k: _*)), keys, "left_anti")
-      .groupBy(k: _*).agg(collect_list(col(P)).as(PS))
+      .groupBy(k: _*).agg(collect_list(col(P)).as(AS))
       .repartition(nPart, k: _*)
-      .select(explode(org.apache.spark.sql.graftfns.PairFunctions
-        .pairExpand(col(PS), emptyPs, lit(true))).as(PR))
+      .select(k ++ Seq(col(AS).as("as_"), emptyPs.as("bs"),
+        lit(true).as("diag")): _*)
 
     // -- big buckets: split members into nb = ⌈f/cap⌉ hash-blocks.
     // A row in block b joins group (b, j) for all j ≥ b as the A side,
@@ -132,14 +152,12 @@ object KeyedPairs {
       .agg(collect_list(when(col(ISA), col(P))).as(AS),
            collect_list(when(!col(ISA), col(P))).as(BS))
       .repartition(nPart, k ++ Seq(col(BI), col(BJ)): _*)
-    // within-block (bi == bj) and cross-block pairs in one native
-    // expression call per group (blocks differ => x ≠ y on the cross arm)
-    val bigPairs = grouped.select(explode(
-      org.apache.spark.sql.graftfns.PairFunctions
-        .pairExpand(col(AS), col(BS), col(BI) === col(BJ))).as(PR))
+      // within-block (bi == bj) and cross-block groups in one stream
+      // (blocks differ => x ≠ y on the cross arm)
+      .select(k ++ Seq(col(AS).as("as_"), col(BS).as("bs"),
+        (col(BI) === col(BJ)).as("diag")): _*)
 
-    small.unionByName(bigPairs)
-      .select(col(s"$PR.pa").as("pa"), col(s"$PR.pb").as("pb"))
+    small.unionByName(grouped)
   }
 
   /** [[pairs]] for callers that ALREADY KNOW each key's bucket size —

@@ -190,9 +190,13 @@ object ExtraQueries {
     // The window and the groupBy share the token hash partitioning:
     // one distinct shuffle + one token shuffle, both bounded.
     "q57_inverted_index" -> ((s, d) => {
-      val td = LlmQueries.docToks(s, d)
-        .select(col("doc_id"), explode(col("toks")).as("token"))
-        .distinct()
+      // the staged termFreqs relation's rows ARE the distinct
+      // (doc_id, token) pairs (it is grouped on exactly that key), so
+      // the posting-list derivation reads the cache instead of
+      // re-exploding the corpus and paying a distinct shuffle per
+      // invocation (round 18, guide §2.4)
+      val td = LlmQueries.termFreqs(s, d)
+        .select(col("doc_id"), col("token"))
       val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
       td.withColumn("rn", row_number().over(w))
         .groupBy(col("token"))

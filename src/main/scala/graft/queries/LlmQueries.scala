@@ -699,15 +699,20 @@ object LlmQueries {
       // The pinned relation is (rep × nAssign) rows — reps-sized, the
       // same scale class as the memoized collapse it derives from.
       .persist()
-    val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
-    val repPairs0 = KeyedPairs.pairs(assigned, Seq("cell"), payload, PairCap)
-      .select(col("pa.vec_id").as("ga"), col("pb.vec_id").as("gb"),
-        (dotd(col("pa.embedding"), col("pb.embedding")) /
-          (col("pa.nrm") * col("pb.nrm"))).as("cos"))
-      // !isnan(cos): Inf-norm vectors pass the nrm gate but divide to
-      // NaN; the kernel's Java `>= thresh` rejects NaN, Spark's accepts
-      .filter(col("cos") >= thresh && !isnan(col("cos")))
-      .select(col("ga"), col("gb"))
+    val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
+    // FUSED cell-pair scoring (round 18): the unfused form expanded
+    // every cell bucket into cap²-scale pair structs — each carrying
+    // TWO embedding copies — before the cosine filter dropped ~all of
+    // them (gigabytes of transient rows per action at sf0.1). The
+    // ThresholdDotPairs kernel scores each bucket/block-pair group in
+    // place with the same left-to-right double fold, Java `>= thresh`
+    // (NaN rejected) and nrm > 0 contract the old column chain's
+    // guards replicated, so only the threshold-sparse survivor graph
+    // leaves the task — exactly exactCosPairs' shape, now keyed.
+    val repPairs0 = KeyedPairs.pairsGrouped(assigned, Seq("cell"), payload, PairCap)
+      .select(explode(org.apache.spark.sql.graftfns.PairFunctions
+        .thresholdDotPairs(col("as_"), col("bs"), col("diag"), thresh)).as("pr"))
+      .select(col("pr.va").as("ga"), col("pr.vb").as("gb"))
     // dedupe BEFORE expansion (cheaper than after; same result set)
     val repPairs = if (nAssign == 1) repPairs0 else repPairs0.distinct()
     val cross = DupCollapse.expandPairs(repPairs, c.members)
@@ -930,6 +935,59 @@ object LlmQueries {
       .filter(col("pa.ck") === firstShared)
       .select(col("pa.doc_id").as("da"), col("pb.doc_id").as("db"),
         bit_count(xor).as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Several blocking configs through ONE banded pair pass (round 18,
+    * q29's gate): the per-config keyed explodes union with a `cfg`
+    * tag that is part of the bucket key — pairs form within a config
+    * only, so each config's pair set is exactly [[simhashPairsCore]]'s
+    * — and the single KeyedPairs invocation pays ONE hot-key pass and
+    * ONE routing/expansion pipeline instead of one per config. The
+    * emit-once filter picks each row's own config's first-clean-combo
+    * (a per-cfg CASE over the same xor). Returns (da, db, hamming,
+    * cfg), UNSORTED; hamming <= 3 filtered like the single-config
+    * kernel.
+    */
+  private def simhashPairsMulti(sim: DataFrame,
+      bls: Seq[graft.operators.LshTuning.SimHashBlocking], cap: Int): DataFrame = {
+    def blockVal(c: Column, b: Int, width: Int, mask: Long): Column =
+      shiftright(c, b * width).bitwiseAND(mask)
+    def comboKey(c: Column, combo: Seq[Int], width: Int, mask: Long): Column =
+      combo.zipWithIndex.map { case (b, i) =>
+        shiftleft(blockVal(c, b, width, mask), i * width) }
+        .reduce((x, y) => x.bitwiseOR(y))
+    def combosOf(bl: graft.operators.LshTuning.SimHashBlocking): Seq[Seq[Int]] =
+      (0 until bl.blocks).combinations(bl.blocksPerKey).map(_.toSeq).toSeq
+    val keyed = sim.select(col("doc_id"), col("simhash"),
+        explode(array(bls.zipWithIndex.flatMap { case (bl, cfg) =>
+          val width = 64 / bl.blocks
+          val mask = (1L << width) - 1
+          combosOf(bl).zipWithIndex.map { case (combo, ci) =>
+            struct(lit(cfg).as("cfg"), lit(ci).as("ck"),
+              comboKey(col("simhash"), combo, width, mask).as("v")) }
+        }: _*)).as("kb"))
+      .select(col("doc_id"), col("simhash"),
+        col("kb.cfg"), col("kb.ck"), col("kb.v"))
+    val pairs = graft.operators.KeyedPairs
+      .pairs(keyed, Seq("cfg", "ck", "v"),
+        struct(col("doc_id"), col("simhash"), col("ck"), col("cfg")), cap)
+    val xor = col("pa.simhash").bitwiseXOR(col("pb.simhash"))
+    def firstSharedOf(bl: graft.operators.LshTuning.SimHashBlocking): Column = {
+      val width = 64 / bl.blocks
+      val mask = (1L << width) - 1
+      array_min(array(combosOf(bl).zipWithIndex.map { case (combo, ci) =>
+        when(combo.map(b => blockVal(xor, b, width, mask) === 0)
+          .reduce(_ && _), lit(ci)) }: _*))
+    }
+    val firstShared = bls.zipWithIndex.tail.foldLeft(
+        when(col("pa.cfg") === 0, firstSharedOf(bls.head))) {
+      case (acc, (bl, cfg)) => acc.when(col("pa.cfg") === cfg, firstSharedOf(bl))
+    }
+    pairs
+      .filter(col("pa.ck") === firstShared)
+      .select(col("pa.doc_id").as("da"), col("pb.doc_id").as("db"),
+        bit_count(xor).as("hamming"), col("pa.cfg").as("cfg"))
       .filter(col("hamming") <= 3)
   }
 
@@ -1275,11 +1333,13 @@ object LlmQueries {
       exactCosTopK(s, d, 5)
         .select(col("vec_id"), rk(col("cos"), 6).as("cosine"))),
 
-    // Q26 — token counting: explode + count, top-20 by (cnt desc, token).
+    // Q26 — token counting: top-20 by (cnt desc, token). Occurrence
+    // counts re-aggregate the staged termFreqs relation (Σ tf_cnt per
+    // token ≡ counting the exploded occurrences — q51's proof), so the
+    // corpus is never re-exploded per invocation (round 18).
     "q26_token_topk" -> ((s, d) =>
-      docToks(s, d).select(explode_outer(col("toks")).as("token"))
-        .filter(col("token").isNotNull)
-        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      termFreqs(s, d)
+        .groupBy(col("token")).agg(sum(col("tf_cnt")).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(20)),
 
     // Q27 — n-gram Jaccard near-dup: word-3-shingle inverted-index join,
@@ -1404,9 +1464,19 @@ object LlmQueries {
       // block-split's extra stages cost more than the split buckets
       // save, so the straggler hypothesis was wrong and the sweep is
       // recorded in OPTIMIZATION_r18.md.
+      //
+      // BOTH configs ride one combined banded pass (simhashPairsMulti:
+      // the cfg tag is part of the bucket key, so each config's pair
+      // set is exactly the single-config kernel's) — one hot-key pass
+      // and one routing/expansion pipeline instead of two, and the
+      // pinned result serves its three consumers (valid reads sa,
+      // agree reads sa AND alt) without re-expanding per consumer.
       val cap = LshTuning.pairCap(n)
-      val sa = simhashPairsFrom(simS, autoBl, cap)
-      val alt = simhashPairsFrom(simS, altBl, cap)
+      val combined = simhashPairsMulti(simS, Seq(autoBl, altBl), cap).persist()
+      val sa = combined.filter(col("cfg") === 0)
+        .select(col("da"), col("db"), col("hamming"))
+      val alt = combined.filter(col("cfg") === 1)
+        .select(col("da"), col("db"), col("hamming"))
       val nDocs = simhashes(s, d).agg(count(lit(1)).as("n_docs_hashed"))
       val valid = sa.agg(
         coalesce(bool_and(col("da") < col("db") &&
@@ -2687,7 +2757,7 @@ object LlmQueries {
     */
   private val termFreqsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def termFreqs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def termFreqs(s: SparkSession, d: String): DataFrame = {
     termFreqsCache.keySet.removeIf(_._1.sparkContext.isStopped)
     termFreqsCache.computeIfAbsent((s, d), _ =>
       staged(s, d, "termFreqs")(
