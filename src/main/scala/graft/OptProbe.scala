@@ -52,24 +52,6 @@ object OptProbe {
     // the first probed query
     spark.range(1000).selectExpr("sum(id)").collect()
     graft.queries.LlmQueries.warmShared(spark, sfDir)
-    if (sys.env.get("GRAFT_PROBE_DIAG").contains("1")) {
-      val pieces = graft.queries.LlmQueries.diagPieces(spark, sfDir)
-      pieces.foreach { case (nm, f) =>
-        val times = (1 to runs).map { _ =>
-          c.reset()
-          val t0 = System.nanoTime()
-          f()
-          val sec = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(100)
-          (sec, c.jobs.get, c.stages.get)
-        }
-        val med = times.map(_._1).sorted.apply(times.length / 2)
-        val mn = times.minBy(_._1)
-        println(f"[diag] $nm%-24s med=$med%6.3f min=${mn._1}%6.3f jobs=${mn._2}%3d stages=${mn._3}%3d")
-      }
-      spark.stop()
-      return
-    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val samples = (1 to runs).map { _ =>

@@ -562,97 +562,6 @@ object LlmQueries {
       .select(col("da"), col("db"), col("shared"), col("na"), col("nb"), col("jaccard"))
   }
 
-  /** TEMPORARY round-18 diagnostic: named sub-pipelines of the heavy
-    * gate queries, so OptProbe can attribute wall-clock to stages
-    * (guide §1: measure first). Remove before the round closes.
-    */
-  private[graft] def diagPieces(s: SparkSession, d: String): Seq[(String, () => Unit)] = {
-    import graft.operators.LshTuning
-    val n = corpusDocs(s, d)
-    val cap = LshTuning.pairCap(n)
-    val autoBl = LshTuning.simhashBlocking(n)
-    val altBl =
-      if (autoBl.blocks == 4) LshTuning.SimHashBlocking(8, 1)
-      else LshTuning.SimHashBlocking(4, 1)
-    val m29 = if (n <= 2000L) 1L else math.max(1L, n / 1000L)
-    lazy val simS = simhashes(s, d)
-      .filter(pmod(xxhash64(col("doc_id")), lit(m29)) === 0).persist()
-    lazy val sa = simhashPairsFrom(simS, autoBl, cap)
-    lazy val alt = simhashPairsFrom(simS, altBl, cap)
-    val mv = gateSampleMod(corpusVecs(s, d), 4000L)
-    lazy val sem = semanticDedupPairs(s, d, nAssign = 3, 0.40)
-    lazy val exact = exactCosPairs(s, d, 0.40, mv)
-    lazy val winW = graft.operators.LshTuning.winnowWindow(corpusDocs(s, d))
-    Seq(
-      "q29.simS" -> (() => { simS.count(); () }),
-      "q29.sa_cap1024" -> (() => { simhashPairsFrom(simS, autoBl, 1024).count(); () }),
-      "q29.alt_cap1024" -> (() => { simhashPairsFrom(simS, altBl, 1024).count(); () }),
-      "q29.sa_cap256" -> (() => { simhashPairsFrom(simS, autoBl, 256).count(); () }),
-      "q29.alt_cap256" -> (() => { simhashPairsFrom(simS, altBl, 256).count(); () }),
-      "q29.sa_cap128" -> (() => { simhashPairsFrom(simS, autoBl, 128).count(); () }),
-      "q29.alt_cap128" -> (() => { simhashPairsFrom(simS, altBl, 128).count(); () }),
-      "q29.sa_build+count" -> (() => { sa.count(); () }),
-      "q29.alt_build+count" -> (() => { alt.count(); () }),
-      "q29.nDocs" -> (() => { simhashes(s, d).agg(count(lit(1))).collect(); () }),
-      "q60.sem_pairs" -> (() => { sem.count(); () }),
-      "q60.exact_pairs" -> (() => { exact.count(); () }),
-      "q60.nVecs" -> (() => { embeddings(s, d).agg(count(lit(1))).collect(); () }),
-      "q63.collapse_groups" -> (() => {
-        collapsed(s, d, s"winnowCollapse_w$winW")(
-          graft.operators.DupCollapse.collapse(
-            docToks(s, d).select(col("doc_id"),
-              org.apache.spark.sql.graftfns.TextFunctions
-                .winnowFingerprints(col("toks"), 3, winW).as("fps")),
-            "doc_id", "fps")).groups.count(); () }),
-      "q63.full" -> (() => { winnowPairs(s, d, winW).count(); () }),
-      "q63.repFps_explode" -> (() => {
-        val c = collapsed(s, d, s"winnowCollapse_w$winW")(null)
-        c.groups.filter(col("n") > 0)
-          .select(col("gid").as("doc_id"), explode(col("key")).as("fp"))
-          .count(); () }),
-      "q63.repPairs" -> (() => {
-        val c = collapsed(s, d, s"winnowCollapse_w$winW")(null)
-        val repFps = c.groups.filter(col("n") > 0)
-          .select(col("gid").as("doc_id"), explode(col("key")).as("fp"))
-        graft.operators.KeyedPairs.pairs(repFps, Seq("fp"), col("doc_id"),
-            graft.operators.LshTuning.pairCap(corpusDocs(s, d)))
-          .groupBy(col("pa"), col("pb")).agg(count(lit(1)))
-          .filter(col("count(1)") >= 3).count(); () }),
-      "q63.within" -> (() => {
-        val c = collapsed(s, d, s"winnowCollapse_w$winW")(null)
-        graft.operators.DupCollapse.withinPairs(c.members,
-          graft.operators.LshTuning.pairCap(corpusDocs(s, d)), minN = 3)
-          .count(); () }),
-      "q60.assigned" -> (() => {
-        val e = spread(embeddings(s, d), col("vec_id"))
-          .select(col("vec_id"), col("embedding"))
-        val cents = cachedIvf(s, d, "ivf_k16_i2")(
-          graft.operators.IvfIndex.train(e, "vec_id", "embedding", 16, 2))
-        val c = collapsed(s, d, "vecCollapse")(
-          graft.operators.DupCollapse.collapseExact(e, "vec_id", "embedding"))
-        val reps = c.groups.select(col("gid").as("vec_id"), col("key").as("embedding"))
-        graft.operators.IvfIndex.assignMulti(reps, "embedding", cents, 3)
-          .count(); () }),
-      "q60.repPairs" -> (() => {
-        val e = spread(embeddings(s, d), col("vec_id"))
-          .select(col("vec_id"), col("embedding"))
-        val cents = cachedIvf(s, d, "ivf_k16_i2")(
-          graft.operators.IvfIndex.train(e, "vec_id", "embedding", 16, 2))
-        val c = collapsed(s, d, "vecCollapse")(
-          graft.operators.DupCollapse.collapseExact(e, "vec_id", "embedding"))
-        val reps = c.groups.select(col("gid").as("vec_id"), col("key").as("embedding"))
-        val assigned = graft.operators.IvfIndex.assignMulti(reps, "embedding", cents, 3)
-          .withColumn("nrm", l2(col("embedding")))
-          .filter(col("nrm") > 0 && !isnan(col("nrm")))
-        val payload = struct(col("vec_id"), col("embedding"), col("nrm"))
-        graft.operators.KeyedPairs.pairs(assigned, Seq("cell"), payload, PairCap)
-          .select(col("pa.vec_id").as("ga"), col("pb.vec_id").as("gb"),
-            (dotd(col("pa.embedding"), col("pb.embedding")) /
-              (col("pa.nrm") * col("pb.nrm"))).as("cos"))
-          .filter(col("cos") >= 0.40 && !isnan(col("cos")))
-          .select(col("ga"), col("gb")).distinct().count(); () }))
-  }
-
   /** q60's pair graph with the cross-cell recall knob. nAssign=1 is
     * the published single-cell SemDeDup tradeoff (pairs straddling a
     * cell boundary are missed by construction); nAssign>1 assigns each
