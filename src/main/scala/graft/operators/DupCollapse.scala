@@ -120,10 +120,10 @@ object DupCollapse {
     */
   def withinPairs(members: DataFrame, cap: Int, minN: Int = 1): DataFrame =
     // members carry the group size `m` on every row, so the bucket
-    // size is pre-known: the presized route skips KeyedPairs' counting
-    // pass + driver hot-key collect + broadcast routing joins — one
-    // map-side filter routes each group (round 18; output contract
-    // identical, DupCollapseSpec unchanged)
+    // size is pre-known: the presized route skips even the in-plan
+    // window count the generic path pays — one map-side filter routes
+    // each group (round 18; output contract identical,
+    // DupCollapseSpec unchanged)
     KeyedPairs.pairsPresized(members.filter(col("m") >= 2 && col("n") >= minN),
         Seq("gid"), col("m"), struct(col("id"), col("gid"), col("n")), cap)
       .select(col("pa.id").as("da"), col("pb.id").as("db"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distinct unordered pairs of rows sharing a key, with bounded
@@ -23,6 +24,20 @@ import org.apache.spark.sql.functions._
   *    unavoidable by definition; what matters is that it is spread
   *    over (f/cap)²/2 tasks instead of one.
   *
+  * ROUTING IS FULLY IN-PLAN (round 19). The sizes that drive the
+  * small/big split come from a window count over the bucket key —
+  * one shuffle by key that the small path's aggregation then reuses —
+  * so building the pair DataFrame launches ZERO eager jobs, collects
+  * NOTHING to the driver and broadcasts NOTHING. (Rounds 2–18 ran an
+  * eager counting job per invocation, collected the over-cap keys to
+  * the driver and broadcast them into two routing joins; that was a
+  * full input pass per invocation at any scale plus a driver-memory
+  * ceiling — `maxHotKeys` — on how many keys could exceed the cap.
+  * The window route has no such ceiling: a corpus where EVERY key is
+  * hot still routes correctly, the per-key window buffer is O(f) rows
+  * and spills.) The window's per-partition sort is the price; it is
+  * paid inside the one shuffle the small path needed anyway.
+  *
   * Every unordered pair {x, y} of rows sharing a key is emitted
   * exactly once per key, ordered `pa < pb` by the payload's natural
   * (struct) ordering — callers put the id field first. Pairs sharing
@@ -38,8 +53,8 @@ object KeyedPairs {
   // hot-bucket path).
   private val F = "__kp_f"; private val NB = "__kp_nb"; private val BLK = "__kp_blk"
   private val BI = "__kp_bi"; private val BJ = "__kp_bj"; private val ISA = "__kp_isA"
-  private val P = "__kp_p"; private val PS = "__kp_ps"; private val PR = "__kp_pr"
-  private val AS = "__kp_as"; private val BS = "__kp_bs"
+  private val P = "__kp_p"; private val PR = "__kp_pr"
+  private val AS = "__kp_as"; private val BS = "__kp_bs"; private val DIAG = "__kp_diag"
 
   /** @param df      input rows
     * @param keys    bucket key columns (pairs form within a key)
@@ -47,7 +62,10 @@ object KeyedPairs {
     *                must be a unique, orderable id (pair order + the
     *                block-split hash derive from the whole payload)
     * @param cap     max members expanded in one task (≥ 2)
-    * @param maxHotKeys guard on the broadcast hot-key list (below)
+    * @param maxHotKeys retained for source compatibility; UNUSED since
+    *                the round-19 in-plan routing (nothing is collected
+    *                or broadcast, so there is no hot-key-count ceiling
+    *                to guard)
     * @return columns `pa`, `pb` (payload type), one row per (key, pair)
     */
   def pairs(df: DataFrame, keys: Seq[String], payload: Column, cap: Int,
@@ -67,76 +85,83 @@ object KeyedPairs {
     * into one expression over the arrays instead of materializing
     * cap² pair structs per task — for embedding payloads that is the
     * difference between a sparse survivor graph and gigabytes of
-    * transient two-embedding pair rows. Same routing machinery as
-    * [[pairs]] (hot-key counting pass + bounded blocks + maxHotKeys
-    * guard); [[pairs]] itself is the pairExpand of this relation.
+    * transient two-embedding pair rows. Bucket sizes come from an
+    * in-plan window count (see the object doc); [[pairs]] itself is
+    * the pairExpand of this relation.
     */
   def pairsGrouped(df: DataFrame, keys: Seq[String], payload: Column, cap: Int,
                    maxHotKeys: Int = 1 << 20): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
     require(!keys.exists(Set("as_", "bs", "diag")),
       "key columns may not be named as_/bs/diag (the grouped output columns)")
-    require(maxHotKeys >= 1, s"maxHotKeys must be >= 1, got $maxHotKeys")
     require(keys.forall(!_.startsWith("__kp_")), "key columns may not use the __kp_ prefix")
     val k = keys.map(col)
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val rows = df.select(k :+ payload.as(P): _*)
+    // bucket sizes in-plan: ONE window count over the key — the same
+    // shuffle the small path's collect_list aggregation needs, so the
+    // size attaches for free (the aggregation reuses the window's
+    // partitioning; the big path re-shuffles by (key, block pair)
+    // regardless). No eager job, no driver collect, no broadcast.
+    // (A lazy-broadcast variant — the old routing joins built at
+    // execution time instead of eagerly — measured strictly slower in
+    // a same-JVM A/B: q29 0.99 vs 1.22, q60 3.21 vs 4.12, q63 3.52 vs
+    // 3.78 med s; it also re-reads the input three times per action
+    // where this reads it once. See OPTIMIZATION_r19.md.)
+    val sized = rows.withColumn(F,
+      count(lit(1)).over(Window.partitionBy(k: _*)))
+    groupedFromSized(sized, keys, cap)
+      .select(k ++ Seq(col(AS).as("as_"), col(BS).as("bs"),
+        col(DIAG).as("diag")): _*)
+  }
 
-    // bucket sizes first: a bounded count-agg (map-side partial).
-    // Only the keys ABOVE the cap are materialized and broadcast —
-    // hot keys are rare by definition (if a workload makes them
-    // common, raise the cap or pre-drop stop-keys). That
-    // broadcast-sized assumption is GUARDED, not hoped for: the hot
-    // list is collected once, UNSORTED with a bounded limit
-    // (CollectLimit — early-out, no per-partition top-k heap: the
-    // first guard shipped as orderBy(desc).limit(1M), which planned a
-    // TakeOrdered that built a million-row heap per partition and
-    // merged nPart×1M rows on the driver on EVERY build — a 5× tax on
-    // the amplified jaccard graph for a diagnostic that only matters
-    // on the failure path). A pathological corpus still fails loudly:
-    // the top offenders are fetched by a SEPARATE small query only
-    // after the guard trips. The collected list then feeds both
-    // routing joins as a LocalRelation, so the size aggregation runs
-    // exactly once instead of once per broadcast. Routing is two
-    // map-side broadcast joins: no shuffle join of the full input
-    // against its sizes.
-    val hotAgg = rows.groupBy(k: _*).agg(count(lit(1)).as(F)).filter(col(F) > cap)
-    val hotRows = hotAgg.limit(maxHotKeys + 1).collect()
-    if (hotRows.length > maxHotKeys) {
-      val sample = hotAgg.orderBy(col(F).desc).limit(5).collect().map { r =>
-        val kv = keys.zipWithIndex.map { case (n, i) => s"$n=${r.get(i)}" }.mkString(", ")
-        s"($kv) -> ${r.getLong(keys.length)} members"
-      }.mkString("; ")
-      throw new IllegalArgumentException(
-        s"KeyedPairs: more than $maxHotKeys keys exceed cap=$cap — the hot-key list " +
-        s"would not be broadcast-safe. Largest buckets: $sample. Raise cap, pre-drop " +
-        "stop-keys, or raise maxHotKeys if the driver can hold the list.")
-    }
-    val hot = df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(hotRows: _*),
-      org.apache.spark.sql.types.StructType(
-        keys.map(n => rows.schema(n)) :+
-        org.apache.spark.sql.types.StructField(F, org.apache.spark.sql.types.LongType, nullable = false)))
-
-    // -- small buckets (everything not hot): whole bucket in one
-    // group, buffer ≤ cap guaranteed by the anti join. The explicit
-    // repartition keeps the (byte-light) downstream work wide: AQE
-    // would coalesce the tiny post-agg shuffle to one partition and
-    // serialize the compute.
+  /** The shared routing core: `rows` carries the bucket key columns,
+    * the bucket size in [[F]] and the payload in [[P]]; returns the
+    * grouped relation `keys..., __kp_as, __kp_bs, __kp_diag`. Pure
+    * map-side routing on the carried size — small buckets (f ≤ cap)
+    * collect in-row, hot buckets hash-split into bounded block pairs.
+    * The explicit repartitions keep the (byte-light) downstream work
+    * wide: AQE would coalesce the tiny post-agg shuffles to one
+    * partition and serialize the pair expansion.
+    */
+  private def groupedFromSized(rows: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame = {
+    val k = keys.map(col)
+    val nPart = rows.sparkSession.sessionState.conf.numShufflePartitions
     val emptyPs = array().cast(
       org.apache.spark.sql.types.ArrayType(rows.schema(P).dataType))
-    val small = rows.join(broadcast(hot.select(k: _*)), keys, "left_anti")
-      .groupBy(k: _*).agg(collect_list(col(P)).as(AS))
-      .repartition(nPart, k: _*)
-      .select(k ++ Seq(col(AS).as("as_"), emptyPs.as("bs"),
-        lit(true).as("diag")): _*)
+    smallArm(rows.filter(col(F) <= cap), keys, nPart, emptyPs)
+      .unionByName(bigArm(rows.filter(col(F) > cap), keys, nPart, cap))
+  }
 
-    // -- big buckets: split members into nb = ⌈f/cap⌉ hash-blocks.
-    // A row in block b joins group (b, j) for all j ≥ b as the A side,
-    // and group (i, b) for all i < b as the B side; so each unordered
-    // block pair is one group, the diagonal group (b, b) holds the
-    // block itself once (A side only).
-    val big = rows.join(broadcast(hot), keys)  // attaches f, map-side
+  private def smallArm(small: DataFrame, keys: Seq[String], nPart: Int,
+      emptyPs: Column): DataFrame = {
+    val k = keys.map(col)
+    small.groupBy(k: _*).agg(collect_list(col(P)).as(AS))
+      .repartition(nPart, k: _*)
+      .select(k ++ Seq(col(AS), emptyPs.as(BS), lit(true).as(DIAG)): _*)
+  }
+
+  /** Hot buckets: split members into nb = ⌈f/cap⌉ hash-blocks.
+    * A row in block b joins group (b, j) for all j ≥ b as the A side,
+    * and group (i, b) for all i < b as the B side; so each unordered
+    * block pair is one group, the diagonal group (b, b) holds the
+    * block itself once (A side only). `big` must carry the bucket size
+    * in [[F]] on every row (only rows with f > cap).
+    */
+  private def bigArm(big0: DataFrame, keys: Seq[String], nPart: Int,
+      cap: Int): DataFrame = {
+    val k = keys.map(col)
+    // spread hot-bucket rows over a deterministic synthetic key BEFORE
+    // the ×nb replication explode: upstream routing (the window count,
+    // or DupCollapse's group window) leaves a whole bucket in ONE
+    // task, and f·⌈f/cap⌉ rows emitted serially from that task is
+    // exactly the straggler the block split exists to avoid. The key
+    // is a payload hash (deterministic under task retry, unlike
+    // round-robin) with ~64 values per partition so the spread is even
+    // (guide §2.5). Costs one extra f-row hop — 1/nb of the
+    // replication shuffle that follows; same-JVM A/B: never slower.
+    val big = big0
+      .repartition(nPart, pmod(xxhash64(col(P)), lit(nPart * 64L)))
       .withColumn(NB, ceil(col(F) / lit(cap)).cast("int"))
       .withColumn(BLK, pmod(xxhash64(col(P)), col(NB)).cast("int"))
     val aSide = big.select(k ++ Seq(col(BLK).as(BI),
@@ -146,7 +171,7 @@ object KeyedPairs {
       .filter(col(BLK) > 0)  // sequence(0, -1) would count DOWN
       .select(k ++ Seq(explode(sequence(lit(0), col(BLK) - 1)).as(BI),
         col(BLK).as(BJ), col(P), lit(false).as(ISA)): _*)
-    val grouped = aSide.unionByName(bSide)
+    aSide.unionByName(bSide)
       .groupBy(k ++ Seq(col(BI), col(BJ)): _*)
       // collect_list skips nulls: each side's members, ≤ ~cap each
       .agg(collect_list(when(col(ISA), col(P))).as(AS),
@@ -154,76 +179,52 @@ object KeyedPairs {
       .repartition(nPart, k ++ Seq(col(BI), col(BJ)): _*)
       // within-block (bi == bj) and cross-block groups in one stream
       // (blocks differ => x ≠ y on the cross arm)
-      .select(k ++ Seq(col(AS).as("as_"), col(BS).as("bs"),
-        (col(BI) === col(BJ)).as("diag")): _*)
-
-    small.unionByName(grouped)
+      .select(k ++ Seq(col(AS), col(BS), (col(BI) === col(BJ)).as(DIAG)): _*)
   }
 
   /** [[pairs]] for callers that ALREADY KNOW each key's bucket size —
     * e.g. DupCollapse members, which carry the group's member count on
-    * every row. The two-pass hot-key machinery above exists only to
-    * LEARN the sizes (one counting pass + a driver collect + two
-    * broadcast routing joins); with the size on the row, routing is a
-    * pure map-side filter — one pass over the input, no eager job, no
-    * driver state, no broadcast, and no maxHotKeys ceiling (nothing is
-    * collected, so any number of over-cap keys is fine). Same output
-    * contract as [[pairs]]: every unordered pair of rows sharing a key,
-    * exactly once per key, `pa < pb` by payload order.
+    * every row. Same routing core as [[pairsGrouped]] minus the window
+    * count: with the size on the row, routing is a pure map-side
+    * filter — one pass over the input, no shuffle beyond the ones the
+    * pair expansion itself needs. Same output contract as [[pairs]]:
+    * every unordered pair of rows sharing a key, exactly once per key,
+    * `pa < pb` by payload order.
     *
     * @param sizeCol the EXACT number of rows sharing this row's key —
     *                wrong sizes break the routing (an undersized hot
     *                bucket lands whole on the single-task path; an
     *                oversized small bucket splits needlessly but stays
-    *                correct)
+    *                correct). A NULL size (or one whose cast to long
+    *                nulls out) fails LOUDLY at execution: both routing
+    *                filters would silently drop the row otherwise,
+    *                yielding a wrong pair set instead of an error.
     */
   def pairsPresized(df: DataFrame, keys: Seq[String], sizeCol: Column,
                     payload: Column, cap: Int): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
     require(keys.forall(!_.startsWith("__kp_")), "key columns may not use the __kp_ prefix")
     val k = keys.map(col)
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val rows = df.select(k ++ Seq(sizeCol.cast("long").as(F), payload.as(P)): _*)
-
-    val emptyPs = array().cast(
-      org.apache.spark.sql.types.ArrayType(rows.schema(P).dataType))
-    val small = rows.filter(col(F) <= cap)
-      .groupBy(k: _*).agg(collect_list(col(P)).as(PS))
-      .repartition(nPart, k: _*)
+    val rows = df.select(k ++ Seq(
+      coalesce(sizeCol.cast("long"), raise_error(lit(
+        "KeyedPairs.pairsPresized: sizeCol is NULL (or not castable to long) — " +
+        "every row must carry its key's exact bucket size; a NULL would be " +
+        "dropped by both routing filters and silently corrupt the pair set")))
+        .as(F),
+      payload.as(P)): _*)
+    groupedFromSized(rows, keys, cap)
       .select(explode(org.apache.spark.sql.graftfns.PairFunctions
-        .pairExpand(col(PS), emptyPs, lit(true))).as(PR))
-
-    val big = rows.filter(col(F) > cap)
-      .withColumn(NB, ceil(col(F) / lit(cap)).cast("int"))
-      .withColumn(BLK, pmod(xxhash64(col(P)), col(NB)).cast("int"))
-    val aSide = big.select(k ++ Seq(col(BLK).as(BI),
-      explode(sequence(col(BLK), col(NB) - 1)).as(BJ),
-      col(P), lit(true).as(ISA)): _*)
-    val bSide = big
-      .filter(col(BLK) > 0)
-      .select(k ++ Seq(explode(sequence(lit(0), col(BLK) - 1)).as(BI),
-        col(BLK).as(BJ), col(P), lit(false).as(ISA)): _*)
-    val grouped = aSide.unionByName(bSide)
-      .groupBy(k ++ Seq(col(BI), col(BJ)): _*)
-      .agg(collect_list(when(col(ISA), col(P))).as(AS),
-           collect_list(when(!col(ISA), col(P))).as(BS))
-      .repartition(nPart, k ++ Seq(col(BI), col(BJ)): _*)
-    val bigPairs = grouped.select(explode(
-      org.apache.spark.sql.graftfns.PairFunctions
-        .pairExpand(col(AS), col(BS), col(BI) === col(BJ))).as(PR))
-
-    small.unionByName(bigPairs)
+        .pairExpand(col(AS), col(BS), col(DIAG))).as(PR))
       .select(col(s"$PR.pa").as("pa"), col(s"$PR.pb").as("pb"))
   }
 
   /** All unordered pairs of the WHOLE table — the degenerate
     * one-bucket case, for exact all-pairs similarity. A keyed call
-    * with a constant key would plan the size lookup as a trivially-true
-    * nested-loop join (the optimizer folds `lit = lit` away); here the
-    * member count is read once up front instead, making the block
-    * count a literal: the whole plan is two projections, one shuffle
-    * on (bi, bj), and bounded in-task expansion — nothing broadcast,
-    * no join.
+    * with a constant key would window-count a single global partition;
+    * here the member count is read once up front instead, making the
+    * block count a literal: the whole plan is two projections, one
+    * shuffle on (bi, bj), and bounded in-task expansion — nothing
+    * broadcast, no join.
     */
   def allPairs(df: DataFrame, payload: Column, cap: Int): DataFrame =
     allPairsGrouped(df, payload, cap)

@@ -125,20 +125,42 @@ class KeyedPairsSpec extends SparkTestBase {
       s"presized routing must not join against a collected hot list:\n$plan")
   }
 
-  test("hot-list guard: a pathologically hot corpus fails with a diagnostic, not an OOM") {
-    // 40 keys, each with 3 members (> cap=2): with maxHotKeys=16 the
-    // broadcast-sized assumption is violated and the guard must name
-    // the largest offenders instead of letting the broadcast blow up
+  test("pairs() plans no eager job and no broadcast routing join") {
+    // round 19: the generic path routes on an in-plan window count —
+    // building the DataFrame must launch ZERO jobs (rounds 2–18 ran an
+    // eager hot-key counting job + driver collect per invocation) and
+    // the plan must contain no broadcast routing joins
+    val df = rows.toDF("k", "id")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val pp = KeyedPairs.pairs(df, Seq("k"), col("id"), 7)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "pairs() must not run eager jobs at build")
+    val plan = pp.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("broadcast"),
+      s"in-plan routing must not join against a collected hot list:\n$plan")
+  }
+
+  test("a corpus where EVERY key is over-cap routes in-plan — no hot-key ceiling") {
+    // 40 keys, each with 3 members (> cap=2): the pre-round-19 route
+    // collected the over-cap keys to the driver and failed loudly past
+    // maxHotKeys; the window route has nothing to collect, so ANY
+    // number of hot keys routes correctly (maxHotKeys is now a no-op,
+    // retained for source compatibility)
     val df = (0 until 40).flatMap(key => (0 until 3).map(m => (s"k$key", key * 10L + m)))
       .toDF("k", "id")
-    val e = intercept[IllegalArgumentException] {
-      KeyedPairs.pairs(df, Seq("k"), struct(col("id")), cap = 2, maxHotKeys = 16)
-    }
-    assert(e.getMessage.contains("hot-key") && e.getMessage.contains("members"),
-      s"diagnostic missing: ${e.getMessage}")
-    assert(e.getMessage.contains("k="), "diagnostic must sample offending keys")
-    // same corpus passes with an adequate guard and stays exact
-    val got = KeyedPairs.pairs(df, Seq("k"), struct(col("id")), cap = 2, maxHotKeys = 64)
+    val got = KeyedPairs.pairs(df, Seq("k"), struct(col("id")), cap = 2, maxHotKeys = 16)
     assert(got.count() == 40L * 3)  // 3 members -> 3 unordered pairs per key
+  }
+
+  test("pairsPresized fails loudly on a NULL size instead of dropping the row") {
+    val df = Seq(("k", 1L, java.lang.Long.valueOf(2L)),
+      ("k", 2L, null.asInstanceOf[java.lang.Long])).toDF("k", "id", "f")
+    val e = intercept[Exception] {
+      KeyedPairs.pairsPresized(df, Seq("k"), col("f"), col("id"), 7).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("sizeCol is NULL")),
+      s"expected the loud NULL-size diagnostic, got: ${messages(e).mkString(" | ")}")
   }
 }
