@@ -466,8 +466,13 @@ object Bench {
     // record must show what was thrown away, not pretend one clean
     // run happened). A persistently loaded box exhausts the retries
     // and ships the last attempt, still self-labeled contaminated.
-    val retries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
-    val settleSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_SEC", "300").toInt
+    // Defaults raised in round 19 (2 retries / 300 s settle shipped a
+    // contaminated final attempt in the round-18 driver snapshot after
+    // burning both retries): one more retry and a longer settle bound
+    // make the committed record land clean through longer busy
+    // windows; worst case adds ~10 min to a fully-contaminated run.
+    val retries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt
+    val settleSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_SEC", "480").toInt
     val threshold = beforeThreshold(Runtime.getRuntime.availableProcessors)
     val pollMs = 15000L
     def attemptOnce(): SuiteResult = {
@@ -484,11 +489,19 @@ object Bench {
         s"""${res.compact},"sf":"$sfDir"}"""
       res = attemptOnce()
     }
+    // explicit round-19 marker for the cross-round comparator: when
+    // every attempt (initial + all retries) self-labeled contaminated,
+    // the shipped numbers are load-garbage and the committed
+    // clean-baseline artifact (BENCH_clean_baseline.json, written only
+    // by clean runs) is the trustworthy record — downstream readers
+    // can key on this instead of re-deriving it from discarded_attempts
+    val exhausted =
+      if (res.contaminated) s""","all_attempts_contaminated":true""" else ""
     val totalLine = s"""{"metric":"total",${res.compact},""" +
-      s""""discarded_attempts":${discarded.size},"sf":"$sfDir"}"""
+      s""""discarded_attempts":${discarded.size}$exhausted,"sf":"$sfDir"}"""
     val detailLine = s"""{"metric":"detail",${res.detail},"sf":"$sfDir"}"""
     val minLine = s"""{"metric":"total_min",${res.minimal},""" +
-      s""""discarded_attempts":${discarded.size},"sf":"$sfDir"}"""
+      s""""discarded_attempts":${discarded.size}$exhausted,"sf":"$sfDir"}"""
     // the committed file is the self-contained record; stdout prints the
     // detail line FIRST and the compact line toward the end because the
     // driver's ~2000-char capture keeps the TAIL of the output — r7 led

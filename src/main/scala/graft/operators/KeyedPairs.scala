@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distinct unordered pairs of rows sharing a key, with bounded
@@ -24,19 +23,19 @@ import org.apache.spark.sql.functions._
   *    unavoidable by definition; what matters is that it is spread
   *    over (f/cap)²/2 tasks instead of one.
   *
-  * ROUTING IS FULLY IN-PLAN (round 19). The sizes that drive the
-  * small/big split come from a window count over the bucket key —
-  * one shuffle by key that the small path's aggregation then reuses —
-  * so building the pair DataFrame launches ZERO eager jobs, collects
-  * NOTHING to the driver and broadcasts NOTHING. (Rounds 2–18 ran an
-  * eager counting job per invocation, collected the over-cap keys to
-  * the driver and broadcast them into two routing joins; that was a
-  * full input pass per invocation at any scale plus a driver-memory
-  * ceiling — `maxHotKeys` — on how many keys could exceed the cap.
-  * The window route has no such ceiling: a corpus where EVERY key is
-  * hot still routes correctly, the per-key window buffer is O(f) rows
-  * and spills.) The window's per-partition sort is the price; it is
-  * paid inside the one shuffle the small path needed anyway.
+  * ROUTING IS FULLY IN-PLAN (round 19): one bounded-collect
+  * aggregation per invocation yields every bucket's exact count and —
+  * within the cap — its members, so small buckets are materialized by
+  * the same pass that sizes them, and only the over-cap keys (reduced
+  * to key + count, buffer-bounded) feed a lazily-broadcast re-route
+  * of the hot rows. Building the pair DataFrame launches ZERO eager
+  * jobs and collects NOTHING to the driver. (Rounds 2–18 ran an eager
+  * counting job per invocation, collected the over-cap keys to the
+  * driver and broadcast them into TWO routing joins — a full input
+  * pass per build at any scale, plus a driver-memory ceiling,
+  * `maxHotKeys`, on how many keys could exceed the cap. Now the only
+  * driver state is the in-plan hot-list broadcast, loudly guarded by
+  * Spark's broadcast limits.)
   *
   * Every unordered pair {x, y} of rows sharing a key is emitted
   * exactly once per key, ordered `pa < pb` by the payload's natural
@@ -53,7 +52,7 @@ object KeyedPairs {
   // hot-bucket path).
   private val F = "__kp_f"; private val NB = "__kp_nb"; private val BLK = "__kp_blk"
   private val BI = "__kp_bi"; private val BJ = "__kp_bj"; private val ISA = "__kp_isA"
-  private val P = "__kp_p"; private val PR = "__kp_pr"
+  private val P = "__kp_p"; private val PR = "__kp_pr"; private val FC = "__kp_fc"
   private val AS = "__kp_as"; private val BS = "__kp_bs"; private val DIAG = "__kp_diag"
 
   /** @param df      input rows
@@ -64,8 +63,8 @@ object KeyedPairs {
     * @param cap     max members expanded in one task (≥ 2)
     * @param maxHotKeys retained for source compatibility; UNUSED since
     *                the round-19 in-plan routing (nothing is collected
-    *                or broadcast, so there is no hot-key-count ceiling
-    *                to guard)
+    *                at build time — the execution-time hot-list
+    *                broadcast is guarded by Spark's broadcast limits)
     * @return columns `pa`, `pb` (payload type), one row per (key, pair)
     */
   def pairs(df: DataFrame, keys: Seq[String], payload: Column, cap: Int,
@@ -85,9 +84,9 @@ object KeyedPairs {
     * into one expression over the arrays instead of materializing
     * cap² pair structs per task — for embedding payloads that is the
     * difference between a sparse survivor graph and gigabytes of
-    * transient two-embedding pair rows. Bucket sizes come from an
-    * in-plan window count (see the object doc); [[pairs]] itself is
-    * the pairExpand of this relation.
+    * transient two-embedding pair rows. Routing is one bounded-collect
+    * aggregation (see the object doc); [[pairs]] itself is the
+    * pairExpand of this relation.
     */
   def pairsGrouped(df: DataFrame, keys: Seq[String], payload: Column, cap: Int,
                    maxHotKeys: Int = 1 << 20): DataFrame = {
@@ -96,22 +95,46 @@ object KeyedPairs {
       "key columns may not be named as_/bs/diag (the grouped output columns)")
     require(keys.forall(!_.startsWith("__kp_")), "key columns may not use the __kp_ prefix")
     val k = keys.map(col)
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val rows = df.select(k :+ payload.as(P): _*)
-    // bucket sizes in-plan: ONE window count over the key — the same
-    // shuffle the small path's collect_list aggregation needs, so the
-    // size attaches for free (the aggregation reuses the window's
-    // partitioning; the big path re-shuffles by (key, block pair)
-    // regardless). No eager job, no driver collect, no broadcast.
-    // (A lazy-broadcast variant — the old routing joins built at
-    // execution time instead of eagerly — measured strictly slower in
-    // a same-JVM A/B: q29 0.99 vs 1.22, q60 3.21 vs 4.12, q63 3.52 vs
-    // 3.78 med s; it also re-reads the input three times per action
-    // where this reads it once. See OPTIMIZATION_r19.md.)
-    val sized = rows.withColumn(F,
-      count(lit(1)).over(Window.partitionBy(k: _*)))
-    groupedFromSized(sized, keys, cap)
+    val emptyPs = array().cast(
+      org.apache.spark.sql.types.ArrayType(rows.schema(P).dataType))
+    // routing in ONE aggregation pass (round 19): bounded_collect
+    // yields each bucket's exact count AND — for buckets within the
+    // cap — its full member list, with a HARD cap+1 buffer bound per
+    // key (a hot key keeps counting but stops collecting). Small
+    // buckets come out of the aggregate already materialized; only
+    // the over-cap keys — rare by construction, each reduced to
+    // (key, count) — feed a lazily-broadcast routing join for the
+    // block split. Nothing runs eagerly and nothing is collected to
+    // the driver at build time; the hot-list broadcast materializes
+    // inside the action and Spark's broadcast limits are its loud
+    // guard (a corpus with millions of over-cap keys fails with the
+    // broadcast-size error, naming this join). Two rejected
+    // alternatives, same-JVM A/Bs in OPTIMIZATION_r19.md: a window
+    // count (sorts the whole input by key and serializes each hot
+    // bucket through one task — q63 1.1 → 1.9 s) and lazily
+    // broadcasting the old THREE-pass routing (strictly slower still).
+    val agged = rows.groupBy(k: _*)
+      .agg(org.apache.spark.sql.graftfns.BoundedCollect
+        .boundedCollect(col(P), cap).as(FC))
+    // the explicit repartition keeps the (byte-light) pair expansion
+    // wide: AQE would coalesce the tiny post-agg shuffle to one
+    // partition and serialize the compute
+    val small = agged.filter(col(s"$FC.n") <= cap)
+      .repartition(nPart, k: _*)
+      .select(k ++ Seq(col(s"$FC.items").as("as_"), emptyPs.as("bs"),
+        lit(true).as("diag")): _*)
+    val hot = agged.filter(col(s"$FC.n") > cap)
+      .select(k :+ col(s"$FC.n").as(F): _*)
+    // spread = false: the broadcast join leaves each hot bucket's rows
+    // on their natural input partitions — already distributed, so the
+    // replication explode is map-side wide without an extra exchange
+    val big = bigArm(rows.join(broadcast(hot), keys), keys, nPart, cap,
+        spread = false)
       .select(k ++ Seq(col(AS).as("as_"), col(BS).as("bs"),
         col(DIAG).as("diag")): _*)
+    small.unionByName(big)
   }
 
   /** The shared routing core: `rows` carries the bucket key columns,
@@ -129,8 +152,13 @@ object KeyedPairs {
     val nPart = rows.sparkSession.sessionState.conf.numShufflePartitions
     val emptyPs = array().cast(
       org.apache.spark.sql.types.ArrayType(rows.schema(P).dataType))
+    // spread = true: presized callers' rows arrive concentrated per
+    // group (DupCollapse members flow out of the collapse window with
+    // each group in one task), so the hot arm must redistribute before
+    // the replication explode
     smallArm(rows.filter(col(F) <= cap), keys, nPart, emptyPs)
-      .unionByName(bigArm(rows.filter(col(F) > cap), keys, nPart, cap))
+      .unionByName(bigArm(rows.filter(col(F) > cap), keys, nPart, cap,
+        spread = true))
   }
 
   private def smallArm(small: DataFrame, keys: Seq[String], nPart: Int,
@@ -149,19 +177,20 @@ object KeyedPairs {
     * in [[F]] on every row (only rows with f > cap).
     */
   private def bigArm(big0: DataFrame, keys: Seq[String], nPart: Int,
-      cap: Int): DataFrame = {
+      cap: Int, spread: Boolean): DataFrame = {
     val k = keys.map(col)
-    // spread hot-bucket rows over a deterministic synthetic key BEFORE
-    // the ×nb replication explode: upstream routing (the window count,
-    // or DupCollapse's group window) leaves a whole bucket in ONE
-    // task, and f·⌈f/cap⌉ rows emitted serially from that task is
-    // exactly the straggler the block split exists to avoid. The key
-    // is a payload hash (deterministic under task retry, unlike
-    // round-robin) with ~64 values per partition so the spread is even
-    // (guide §2.5). Costs one extra f-row hop — 1/nb of the
-    // replication shuffle that follows; same-JVM A/B: never slower.
-    val big = big0
-      .repartition(nPart, pmod(xxhash64(col(P)), lit(nPart * 64L)))
+    // spread: redistribute hot-bucket rows over a deterministic
+    // synthetic key BEFORE the ×nb replication explode when the
+    // caller's input arrives concentrated per group — f·⌈f/cap⌉ rows
+    // emitted serially from one task is exactly the straggler the
+    // block split exists to avoid. The key is a payload hash
+    // (deterministic under task retry, unlike round-robin) with ~64
+    // values per partition so the spread is even (guide §2.5). Costs
+    // one extra f-row hop — 1/nb of the replication shuffle that
+    // follows; same-JVM A/B: never slower where it applies.
+    val big = (if (spread)
+        big0.repartition(nPart, pmod(xxhash64(col(P)), lit(nPart * 64L)))
+      else big0)
       .withColumn(NB, ceil(col(F) / lit(cap)).cast("int"))
       .withColumn(BLK, pmod(xxhash64(col(P)), col(NB)).cast("int"))
     val aSide = big.select(k ++ Seq(col(BLK).as(BI),

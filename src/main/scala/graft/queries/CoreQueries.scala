@@ -197,22 +197,33 @@ object CoreQueries {
         ntz(date_trunc("day", col("ts"))).as("day"))
         .orderBy(col("event_id"))),
 
-    // Q19 — JSON extraction on events.props. The k_val >= 50 filter is
-    // applied AFTER the aggregation: it is a predicate on the GROUP KEY,
-    // so it commutes with the groupBy (NULL k_val fails `>= 50` before,
-    // and the NULL group is dropped after — identical rows out), while
-    // the pre-agg form made the optimizer reconstitute the predicate
-    // below the Project and evaluate the interpreted (CodegenFallback)
-    // get_json_object TWICE per scanned row — once in the Filter, once
-    // in the Project (round-18 plan audit: the JSON parse is this
-    // query's entire per-row cost, and it halved).
+    // Q19 — JSON extraction on events.props. The interpreted
+    // (CodegenFallback) JSON parse is this query's entire per-row
+    // cost, and the naive form pays it TWICE per row: the optimizer
+    // reconstitutes the k_val filter below the Project, so
+    // get_json_object evaluates in the Filter AND again in the
+    // Project. (The round-18 filter-after-aggregate move did NOT fix
+    // this — Catalyst pushed the group-key predicate straight back
+    // below the aggregate; the r18 after-plan showed both evals, as
+    // the round-18 verdict called out.) The fix that sticks: make the
+    // k_val projection NON-DETERMINISTIC (guide §4.4) by adding
+    // `cast(rand()*0 as long)` — exactly 0 for every row and NULL-
+    // transparent (null + 0 = null), so values are bit-identical —
+    // which forbids Catalyst from duplicating or reordering the
+    // expression past the projection boundary. The filter then runs
+    // ABOVE the projection on the computed column: ONE
+    // get_json_object per scanned row (plans/r19/after/q19_json.txt —
+    // a single Project(get_json_object) below Filter(isnotnull AND
+    // >= 50)), and it still prunes before the aggregation.
     "q19_json" -> ((s, d) =>
       events(s, d)
-        .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k_val",
+          get_json_object(col("props"), "$.k").cast("long") +
+            (rand() * 0).cast("long"))
+        .filter(col("k_val") >= 50)
         .groupBy(col("k_val")).agg(
           count(lit(1)).as("cnt"),
           round(sum(col("value").cast("decimal(28,10)")), 2).cast("double").as("sum_value"))
-        .filter(col("k_val") >= 50)
         .orderBy(col("k_val"))),
 
     // Q20 — array functions over embeddings (arrays extension,

@@ -166,6 +166,9 @@ object LlmQueries {
     embCorpusCache.values.forEach(df => { df.unpersist(); () })
     embCorpusCache.clear()
     queryVecCache.clear()
+    pinCache.values.forEach(df => { df.unpersist(); () })
+    pinCache.clear()
+    pinCountCache.clear()
   }
 
   /** Force-build every shared derivation (tokenized corpus, shingle
@@ -365,6 +368,37 @@ object LlmQueries {
     embCorpusCache.computeIfAbsent((s, d), _ =>
       spread(embeddings(s, d), col("vec_id"))
         .select(col("vec_id"), col("embedding")).persist())
+  }
+
+  /** Generic memoized pin for derivation-sized intermediates that one
+    * query family rebuilds per invocation (round 19, verdict item 4):
+    * the round-18 per-invocation `.persist()` calls (q29's combined
+    * pair set, q60's cell assignment, q59's benchmark shingles, q63's
+    * rep fingerprints) registered a NEW cached relation on every
+    * invocation and nothing ever released them — storage-memory
+    * pressure in a long-lived session. Keyed (session, dir, tag) like
+    * embCorpus so each builds once per session and [[invalidateCaches]]
+    * releases them deterministically. Tags must be injective in every
+    * parameter the build depends on beyond (session, dir).
+    */
+  private val pinCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private def pinned(s: SparkSession, d: String, tag: String)(
+      build: => DataFrame): DataFrame = {
+    pinCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    pinCache.computeIfAbsent((s, d, tag), _ => build.persist())
+  }
+
+  /** Memoized row count of a [[pinned]] relation — for sizing hints
+    * (q59's bloom build) that would otherwise run an eager count job
+    * per query invocation.
+    */
+  private val pinCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
+  private def pinnedCount(s: SparkSession, d: String, tag: String,
+      df: DataFrame): Long = {
+    pinCountCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    pinCountCache.computeIfAbsent((s, d, tag), _ => df.count())
   }
 
   /** The fixed probe vector (vec_id = 0), collected ONCE per corpus —
@@ -593,21 +627,22 @@ object LlmQueries {
     val c = collapsed(s, d, "vecCollapse")(
       DupCollapse.collapseExact(e, "vec_id", "embedding"))
     val reps = c.groups.select(col("gid").as("vec_id"), col("key").as("embedding"))
-    val assigned = IvfIndex.assignMulti(reps, "embedding", cents, nAssign)
-      .withColumn("nrm", l2(col("embedding")))
-      // match the exact reference kernel's Java-comparison contract
-      // (ThresholdDotPairs drops nrm <= 0 and NaN at extract): a zero-
-      // norm rep in a shared cell would make cos = 0/0 = NaN, and
-      // Spark orders NaN above every double so `NaN >= thresh` passes
-      // — phantom pairs the reference never emits
-      .filter(col("nrm") > 0 && !isnan(col("nrm")))
-      // pinned: KeyedPairs' routing reads its input three times (the
-      // size pass, the small path, the big path) and each read would
-      // otherwise re-run the k-centroid assignment + norm per rep
-      // (measured: assignment was ~half of the pair stage at sf0.1).
-      // The pinned relation is (rep × nAssign) rows — reps-sized, the
-      // same scale class as the memoized collapse it derives from.
-      .persist()
+    // memoized pin (round 19 — was a per-invocation persist that was
+    // never released): the small and big routing arms both read this,
+    // and each read would otherwise re-run the k-centroid assignment +
+    // norm per rep (measured: assignment was ~half of the pair stage
+    // at sf0.1). The pinned relation is (rep × nAssign) rows —
+    // reps-sized, the same scale class as the memoized collapse it
+    // derives from.
+    val assigned = pinned(s, d, s"semAssign_n$nAssign")(
+      IvfIndex.assignMulti(reps, "embedding", cents, nAssign)
+        .withColumn("nrm", l2(col("embedding")))
+        // match the exact reference kernel's Java-comparison contract
+        // (ThresholdDotPairs drops nrm <= 0 and NaN at extract): a
+        // zero-norm rep in a shared cell would make cos = 0/0 = NaN,
+        // and Spark orders NaN above every double so `NaN >= thresh`
+        // passes — phantom pairs the reference never emits
+        .filter(col("nrm") > 0 && !isnan(col("nrm"))))
     val payload = struct(col("vec_id").as("id"), col("embedding"), col("nrm"))
     // FUSED cell-pair scoring (round 18): the unfused form expanded
     // every cell bucket into cap²-scale pair structs — each carrying
@@ -1183,12 +1218,12 @@ object LlmQueries {
     val within = DupCollapse.withinPairs(c.members, cap, minN = 3)
       .select(col("da"), col("db"), col("n").cast("long").as("shared"))
     // across groups: the raw pipeline, over representatives only.
-    // Pinned: KeyedPairs' routing reads its input three times (size
-    // pass, small path, big path), and each read re-runs the
-    // fingerprint explode over every rep otherwise.
-    val repFps = c.groups.filter(col("n") > 0)
-      .select(col("gid").as("doc_id"), explode(col("key")).as("fp"))
-      .persist()
+    // Memoized pin (round 19 — was a per-invocation persist, never
+    // released): the routing arms read this twice, and each read
+    // re-runs the fingerprint explode over every rep otherwise.
+    val repFps = pinned(s, d, s"winnowRepFps_w$window")(
+      c.groups.filter(col("n") > 0)
+        .select(col("gid").as("doc_id"), explode(col("key")).as("fp")))
     val repPairs = KeyedPairs.pairs(repFps, Seq("fp"), col("doc_id"), cap)
       .select(col("pa").as("ga"), col("pb").as("gb"))
       .groupBy(col("ga"), col("gb"))
@@ -1299,9 +1334,10 @@ object LlmQueries {
       val exact = if (m == 1L) exact0
         else exact0.filter(lehmerSampled(col("da"), m) && lehmerSampled(col("db"), m))
       // joined feeds both the row stream and the recall aggregate —
-      // persist pins one LSH pass (CacheManager dedupes the entry
-      // across repeated runs of the same (session, dir) plan)
-      val joined = exact.join(lsh, Seq("da", "db"), "left").persist()
+      // memoized pin (round 19): one LSH pass per session, released by
+      // invalidateCaches instead of leaking per invocation
+      val joined = pinned(s, d, "q28joined")(
+        exact.join(lsh, Seq("da", "db"), "left"))
       val missProb = pow(lit(1.0) - pow(col("jaccard"), lit(scheme.rows)), lit(scheme.bands))
       val floor = math.max(0.5, scheme.recallAt(0.5) - 0.10)
       val recall = joined.agg(
@@ -1364,9 +1400,6 @@ object LlmQueries {
       val m = if (n <= 2000L) 1L else math.max(1L, n / 1000L)
       val simS = simhashes(s, d)
         .filter(pmod(xxhash64(col("doc_id")), lit(m)) === 0)
-        // both gates read this twice (valid + the agree join's sa
-        // side); persisting the ~1k-row sample pins one derivation
-        .persist()
       // Pair cap stays the corpus one: a round-18 A/B swept the gate
       // pipelines at cap 1024/256/128 and SMALLER caps were strictly
       // slower (1.03→1.39 s sa, 1.46→1.99 s alt) — at sample scale the
@@ -1376,28 +1409,39 @@ object LlmQueries {
       //
       // BOTH configs ride one combined banded pass (simhashPairsMulti:
       // the cfg tag is part of the bucket key, so each config's pair
-      // set is exactly the single-config kernel's) — one hot-key pass
-      // and one routing/expansion pipeline instead of two, and the
-      // pinned result serves its three consumers (valid reads sa,
-      // agree reads sa AND alt) without re-expanding per consumer.
+      // set is exactly the single-config kernel's) — one routing/
+      // expansion pipeline instead of two. Memoized pin (round 19 —
+      // was a per-invocation persist, never released; the sample
+      // filter needs no pin of its own once this builds once).
       val cap = LshTuning.pairCap(n)
-      val combined = simhashPairsMulti(simS, Seq(autoBl, altBl), cap).persist()
-      val sa = combined.filter(col("cfg") === 0)
-        .select(col("da"), col("db"), col("hamming"))
-      val alt = combined.filter(col("cfg") === 1)
-        .select(col("da"), col("db"), col("hamming"))
+      val combined = pinned(s, d, "q29combined")(
+        simhashPairsMulti(simS, Seq(autoBl, altBl), cap))
       val nDocs = simhashes(s, d).agg(count(lit(1)).as("n_docs_hashed"))
-      val valid = sa.agg(
-        coalesce(bool_and(col("da") < col("db") &&
-          col("hamming") >= 0 && col("hamming") <= 3), lit(true))
-          .&& (count(lit(1)) === countDistinct(col("da"), col("db")))
-          .as("pairs_valid"))
-      val agree = sa.select(col("da"), col("db")).withColumn("ina", lit(1))
-        .join(alt.select(col("da"), col("db")).withColumn("inb", lit(1)),
-          Seq("da", "db"), "full_outer")
-        .agg(coalesce(bool_and(col("ina").isNotNull && col("inb").isNotNull), lit(true))
+      // BOTH gates from ONE pass over the pinned pair set (round 19 —
+      // the r18 shape ran a global aggregate over sa plus a full_outer
+      // join of sa against alt, three exchanges for two booleans).
+      // Per (da, db): n0/n1 = emission counts under config 0/1, ok0 =
+      // every cfg-0 row satisfies the per-row validity predicate.
+      //   pairs_valid  ⟺ all sa rows valid AND sa duplicate-free
+      //                ⟺ over groups with n0 > 0: ok0 AND n0 == 1
+      //                  (count == countDistinct ⟺ every key once)
+      //   configs_agree ⟺ the full_outer join of sa and alt has no
+      //                  one-sided row ⟺ every group has n0 > 0 AND
+      //                  n1 > 0 (a group exists only if in sa or alt)
+      // Empty sa / empty graph: bool_and over zero rows is NULL →
+      // coalesce(…, true), exactly the r18 gates' vacuous-truth value.
+      val perPair = combined.groupBy(col("da"), col("db")).agg(
+        count(when(col("cfg") === 0, 1)).as("n0"),
+        count(when(col("cfg") === 1, 1)).as("n1"),
+        bool_and(when(col("cfg") === 0,
+          col("da") < col("db") &&
+            col("hamming") >= 0 && col("hamming") <= 3)).as("ok0"))
+      val gates = perPair.agg(
+        coalesce(bool_and(when(col("n0") > 0, col("ok0") && col("n0") === 1)),
+          lit(true)).as("pairs_valid"),
+        coalesce(bool_and(col("n0") > 0 && col("n1") > 0), lit(true))
           .as("configs_agree"))
-      nDocs.crossJoin(broadcast(valid)).crossJoin(broadcast(agree))
+      nDocs.crossJoin(broadcast(gates))
     }),
 
     // Q30 — embedding-cosine near-dup ranking: top-20 most-similar pairs.
@@ -1850,10 +1894,11 @@ object LlmQueries {
       // explode+distinct shuffle — with the pin the benchmark set is
       // derived once and the two later reads are in-memory scans of a
       // benchmark-suite-sized relation (tiny by definition)
-      val benchSh = sets.filter(isBench).select(explode(col("sh")).as("s"))
-        .distinct().persist()
-      // sizing hint: one tiny count job over the (cached) bench slice
-      val nBench = math.max(benchSh.count(), 1L)
+      val benchSh = pinned(s, d, "benchShingles")(
+        sets.filter(isBench).select(explode(col("sh")).as("s")).distinct())
+      // sizing hint: one tiny count over the pinned bench slice,
+      // memoized so repeated invocations pay no eager count job
+      val nBench = math.max(pinnedCount(s, d, "benchShingles", benchSh), 1L)
       val bf = BloomScreen.build(benchSh, col("s"), nBench, fpp = 0.01)
       // no broadcast hint on the confirm join: at eval-suite scale AQE
       // picks broadcast on its own, and when the benchmark set outgrows
@@ -1913,11 +1958,24 @@ object LlmQueries {
       // counted off the persisted probe corpus (same rows as the raw
       // scan by construction) instead of a fresh parquet pass
       val nVecs = embCorpus(s, d).agg(count(lit(1)).as("n_vecs"))
-      // ONE full_outer join + one aggregate yields all three gates —
-      // the r6 shape ran the exact all-pairs reference three times
-      // (count, anti-join, semi-join); this runs it once.
-      val gates = sem.withColumn("ins", lit(1))
-        .join(exact.withColumn("ine", lit(1)), Seq("va", "vb"), "full_outer")
+      // ONE union + one keyed aggregate yields all three gates (round
+      // 19 — the r18 shape full_outer-joined sem against exact, which
+      // shuffles BOTH sides and sort-merges; the union shuffles once
+      // into a hash aggregate). Exact because both sides are
+      // duplicate-free pair SETS, so per (va, vb) the join produced
+      // exactly one row with membership flags — identical to
+      // groupBy + max(flag): sem = within ∪ cross over the collapse
+      // (within: one row per member pair of a group; cross: expansion
+      // of DISTINCT rep pairs, and a member pair determines its rep
+      // pair — disjoint from within since its endpoints span groups);
+      // exact = KeyedPairs.allPairs, each unordered pair exactly once.
+      val gates = sem
+        .select(col("va"), col("vb"),
+          lit(1).as("ins"), lit(null).cast("int").as("ine"))
+        .unionByName(exact.select(col("va"), col("vb"),
+          lit(null).cast("int").as("ins"), lit(1).as("ine")))
+        .groupBy(col("va"), col("vb"))
+        .agg(max(col("ins")).as("ins"), max(col("ine")).as("ine"))
         .agg(count(col("ine")).as("ne"),
           (count(when(col("ins").isNotNull && col("ine").isNull, 1)) === 0)
             .as("pairs_subset_ok"),
@@ -2025,19 +2083,20 @@ object LlmQueries {
         .select(col("source"), explode(org.apache.spark.sql.graftfns
           .TextFunctions.polyHashes(col("key"))).as("sh"))
         .groupBy(col("sh")).agg(sort_array(collect_set(col("source"))).as("ss"))
-      val counts = ss
+      // three consumers (ov + both broadcast sizes sides) would
+      // re-execute the whole explode→collect_set→pair chain 3×
+      // without this pin; the relation is ≤ |sources|² + |sources|
+      // rows — tiny at ANY corpus scale (provenance tags are few).
+      // Memoized (round 19): one build per session, released by
+      // invalidateCaches instead of re-pinned per invocation.
+      val counts = pinned(s, d, "q65counts")(ss
         .select(explode(flatten(transform(sequence(lit(1), size(col("ss"))), i =>
           transform(sequence(i, size(col("ss"))), j =>
             struct(try_element_at(col("ss"), i).as("sa"),
               when(j > i, try_element_at(col("ss"), j))
                 .otherwise(lit(null).cast("string")).as("sb")))))).as("p"))
         .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
-        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("cnt"))
-        // three consumers (ov + both broadcast sizes sides) would
-        // re-execute the whole explode→collect_set→pair chain 3×
-        // without this pin; the relation is ≤ |sources|² + |sources|
-        // rows — tiny at ANY corpus scale (provenance tags are few)
-        .persist()
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("cnt")))
       val sizes = counts.filter(col("sb").isNull)
         .select(col("sa").as("source"), col("cnt").as("n_sh"))
       val ov = counts.filter(col("sb").isNotNull)
@@ -2260,7 +2319,10 @@ object LlmQueries {
         .filter(pmod(col("da"), lit(2L)) =!= pmod(col("db"), lit(2L)))
       val exact = if (m == 1L) exact0
         else exact0.filter(lehmerSampled(col("da"), m) && lehmerSampled(col("db"), m))
-      val joined = exact.join(lsh, Seq("da", "db"), "left").persist()
+      // memoized pin (round 19 — was a per-invocation persist, never
+      // released): the recall gate and the row output both read it
+      val joined = pinned(s, d, "q73joined")(
+        exact.join(lsh, Seq("da", "db"), "left"))
       val missProb = pow(lit(1.0) - pow(col("jaccard"), lit(scheme.rows)), lit(scheme.bands))
       val floor = math.max(0.5, scheme.recallAt(0.5) - 0.10)
       val recall = joined.agg(
@@ -2304,8 +2366,17 @@ object LlmQueries {
         .select(col("va"), col("vb"))
       val nNew = embCorpus(s, d).filter(pmod(col("vec_id"), lit(2L)) === 1L)
         .agg(count(lit(1)).as("n_new"))
-      val gates = sem.withColumn("ins", lit(1))
-        .join(exact.withColumn("ine", lit(1)), Seq("va", "vb"), "full_outer")
+      // union + keyed aggregate instead of a full_outer join — q60's
+      // rewrite, same duplicate-freedom argument: sem is
+      // newVsBaseCos(...).distinct() normalized, exact is the
+      // exactCosPairs set (each unordered pair once).
+      val gates = sem
+        .select(col("va"), col("vb"),
+          lit(1).as("ins"), lit(null).cast("int").as("ine"))
+        .unionByName(exact.select(col("va"), col("vb"),
+          lit(null).cast("int").as("ins"), lit(1).as("ine")))
+        .groupBy(col("va"), col("vb"))
+        .agg(max(col("ins")).as("ins"), max(col("ine")).as("ine"))
         .agg(count(col("ine")).as("ne"),
           (count(when(col("ins").isNotNull && col("ine").isNull, 1)) === 0)
             .as("pairs_subset_ok"),

@@ -125,27 +125,34 @@ class KeyedPairsSpec extends SparkTestBase {
       s"presized routing must not join against a collected hot list:\n$plan")
   }
 
-  test("pairs() plans no eager job and no broadcast routing join") {
-    // round 19: the generic path routes on an in-plan window count —
-    // building the DataFrame must launch ZERO jobs (rounds 2–18 ran an
-    // eager hot-key counting job + driver collect per invocation) and
-    // the plan must contain no broadcast routing joins
+  test("pairs() plans no eager job and no driver-collected routing list") {
+    // round 19: the generic path routes in ONE bounded-collect
+    // aggregation — building the DataFrame must launch ZERO jobs
+    // (rounds 2–18 ran an eager hot-key counting job + driver collect
+    // per invocation), and the only broadcast allowed is the lazy
+    // in-plan hot-list aggregate (never a collected LocalRelation,
+    // which is what the old driver-side route produced)
     val df = rows.toDF("k", "id")
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val pp = KeyedPairs.pairs(df, Seq("k"), col("id"), 7)
     val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     assert(after == before, "pairs() must not run eager jobs at build")
     val plan = pp.queryExecution.optimizedPlan.toString
-    assert(!plan.toLowerCase.contains("broadcast"),
-      s"in-plan routing must not join against a collected hot list:\n$plan")
+    // the old route's collected hot list surfaced as a LocalRelation
+    // carrying the internal size column; the in-plan route derives the
+    // hot list from the bounded-collect aggregate instead
+    assert(!plan.contains("LocalRelation [__kp_"),
+      s"routing must not embed a driver-collected hot list:\n$plan")
+    assert(plan.contains("bounded_collect"),
+      s"routing must ride the single bounded-collect aggregation:\n$plan")
   }
 
   test("a corpus where EVERY key is over-cap routes in-plan — no hot-key ceiling") {
     // 40 keys, each with 3 members (> cap=2): the pre-round-19 route
     // collected the over-cap keys to the driver and failed loudly past
-    // maxHotKeys; the window route has nothing to collect, so ANY
-    // number of hot keys routes correctly (maxHotKeys is now a no-op,
-    // retained for source compatibility)
+    // maxHotKeys; the bounded-collect route keeps only (key, count)
+    // per hot key, so ANY number of hot keys routes correctly
+    // (maxHotKeys is now a no-op, retained for source compatibility)
     val df = (0 until 40).flatMap(key => (0 until 3).map(m => (s"k$key", key * 10L + m)))
       .toDF("k", "id")
     val got = KeyedPairs.pairs(df, Seq("k"), struct(col("id")), cap = 2, maxHotKeys = 16)

@@ -459,4 +459,20 @@ class LlmQueriesSpec extends SparkTestBase {
       ()
     }
   }
+
+  test("repeated invocations do not grow the persisted-relation set (memoized pins)") {
+    // round 19: the per-invocation .persist() calls in q28/q29/q59/
+    // q60/q63/q65/q73 became (session, dir, tag)-memoized pins -- a
+    // long-lived session running the same query many times must hold a
+    // CONSTANT set of cached relations, not one more per invocation
+    val names = Seq("q29_simhash", "q59_contamination_bloom",
+      "q60_semantic_dedup", "q63_winnow_fingerprints",
+      "q73_incremental_dedup", "q65_source_overlap")
+    names.foreach(n => run(n).count())   // first pass: pins build
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    (1 to 2).foreach(_ => names.foreach(n => run(n).count()))
+    val after3 = spark.sparkContext.getPersistentRDDs.size
+    assert(after3 == after1,
+      s"persisted-RDD count grew across invocations: $after1 -> $after3")
+  }
 }
